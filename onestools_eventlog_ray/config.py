@@ -1,0 +1,61 @@
+"""Engine configuration.
+
+Analog of the reference's ``EventLogExporterSettings``
+(``/root/reference/OneSTools.EventLog.Exporter.Core/EventLogExporterSettings.cs:6-17``
+— Portion, WritingMaxDop, CollectedFactor, ...): one dataclass holding
+every knob of the build/query pipelines, so tests and bench runs are
+fully reproducible from a config value.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+from typing import Any
+
+
+@dataclass(frozen=True)
+class Bm25Params:
+    k1: float = 1.2
+    b: float = 0.75
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # ---- analyzer ----------------------------------------------------
+    # Canonical code tokenizer: lowercase, split on runs of characters
+    # outside [a-z0-9_], drop empty tokens.  Must stay in lock-step with
+    # the DuckDB oracle expression in __ray_entry__.oracle_sql().
+    token_split_pattern: str = r"[^a-z0-9_]+"
+
+    # ---- index layout ------------------------------------------------
+    num_partitions: int = 32          # P: posting shards = hash(term) % P
+    block_size: int = 128             # docs per posting block (block-skip/WAND unit)
+
+    # ---- skew handling (north_rule: explicit salting of hot terms) ---
+    # A term with df > salt_threshold is split into ceil(df/salt_target_run)
+    # doc_id-range runs that build in parallel and concatenate at merge.
+    salt_threshold: int = 200_000
+    salt_target_run: int = 100_000
+    max_salts: int = 64
+
+    # ---- execution ---------------------------------------------------
+    tokenize_batch_size: int = 1024   # docs per tokenize batch (content rows are wide)
+    triple_batch_size: int = 256_000  # (term, doc_id, tf, dl) rows per batch
+    tokenize_concurrency: int | None = None  # None = stateless tasks sized by Ray
+
+    # ---- scoring -----------------------------------------------------
+    bm25: Bm25Params = field(default_factory=Bm25Params)
+
+    # ---- docstore ----------------------------------------------------
+    store_content: bool = True        # keep raw content in the docstore
+                                      # (needed for the sha256 per-row invariant audit)
+
+    def to_dict(self) -> dict[str, Any]:
+        return asdict(self)
+
+    @staticmethod
+    def from_dict(d: dict[str, Any]) -> "EngineConfig":
+        d = dict(d)
+        bm25 = d.pop("bm25", None)
+        cfg = EngineConfig(**d) if bm25 is None else EngineConfig(**d, bm25=Bm25Params(**bm25))
+        return cfg

@@ -1,0 +1,91 @@
+"""Content hashing + deterministic doc_id assignment.
+
+The reference assigns a serial monotone ``Id`` on a single reader thread
+(``/root/reference/OneSTools.EventLog/EventLogReader.cs:105-106``) —
+inherently order-dependent and unusable under parallelism.  Our ids are
+*content-key-derived*: ``doc_id = first 8 bytes of blake2b(repo\\0path\\0commit)
+>> 1`` (63-bit non-negative), deterministic per row, independent of
+partitioning, block order and cluster size (SURVEY.md §7.4).  Uniformity
+of the hash also gives balanced doc_id-range salting of hot terms.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+TERM_HASH_SEED = 0x51_F0_0D
+
+
+def sha256_hex(values: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Per-row sha256 hex of a utf8 column (the per-row audit invariant)."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    return pa.array([hashlib.sha256(v.encode("utf-8")).hexdigest()
+                     if v is not None else None
+                     for v in values.to_pylist()], type=pa.string())
+
+
+def md5_hex(values: pa.Array | pa.ChunkedArray) -> pa.Array:
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    return pa.array([hashlib.md5(v.encode("utf-8")).hexdigest()
+                     if v is not None else None
+                     for v in values.to_pylist()], type=pa.string())
+
+
+def doc_id_from_keys(*key_cols: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Deterministic 63-bit doc_id from the NUL-joined key columns."""
+    cols = [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            for c in key_cols]
+    n = len(cols[0])
+    out = np.empty(n, dtype=np.int64)
+    lists = [c.to_pylist() for c in cols]
+    for i in range(n):
+        key = "\x00".join(str(l[i]) for l in lists).encode("utf-8")
+        h = hashlib.blake2b(key, digest_size=8).digest()
+        out[i] = int.from_bytes(h, "big") >> 1
+    return pa.array(out, type=pa.int64())
+
+
+def term_partition(terms: pa.Array | pa.ChunkedArray | list[str] | np.ndarray,
+                   num_partitions: int) -> np.ndarray:
+    """Stable shard id per term: blake2b-based, identical across processes.
+
+    Python's builtin ``hash(str)`` is salted per process (PYTHONHASHSEED)
+    and must never be used for partitioning.
+    """
+    if isinstance(terms, (pa.Array, pa.ChunkedArray)):
+        terms = terms.to_pylist()
+    out = np.empty(len(terms), dtype=np.int64)
+    for i, t in enumerate(terms):
+        h = hashlib.blake2b(t.encode("utf-8"), digest_size=8,
+                            salt=b"termpart").digest()
+        out[i] = int.from_bytes(h, "big") % num_partitions
+    return out
+
+
+def term_partition_one(term: str, num_partitions: int) -> int:
+    h = hashlib.blake2b(term.encode("utf-8"), digest_size=8,
+                        salt=b"termpart").digest()
+    return int.from_bytes(h, "big") % num_partitions
+
+
+def fingerprint_combine(hash_hexes: pa.Array | pa.ChunkedArray) -> tuple[int, int]:
+    """Order-independent lineage rollup of per-row content hashes.
+
+    -> (row_count, xor of the first 8 bytes of each sha256).  Commutative,
+    so partial rollups from parallel batches combine without ordering —
+    the analog of the reference's byte-position lineage
+    (``StreamReaderExtensions.cs:18-46``) without requiring a serial scan.
+    """
+    if isinstance(hash_hexes, pa.ChunkedArray):
+        hash_hexes = hash_hexes.combine_chunks()
+    acc = 0
+    n = 0
+    for h in hash_hexes.to_pylist():
+        acc ^= int(h[:16], 16)
+        n += 1
+    return n, acc

@@ -1,0 +1,307 @@
+"""BM25 top-k query path: shard-pruned posting reads, exact TAAT scorer,
+block-max WAND scorer, and a Ray actor-pool stage for query batches.
+
+The reference delegates this entirely to ElasticSearch's query engine
+over its ``text``-analyzed fields
+(``/root/reference/OneSTools.EventLog.Exporter.Core/ElasticSearch/ElasticSearchStorage.cs:200-236``);
+here it is built from the shards:
+
+- a query touches ONLY the shards its terms hash to (partition pruning —
+  the J4 lookup of SURVEY.md §2.5), read with a parquet ``term IN (...)``
+  row filter;
+- TAAT (term-at-a-time) scoring is the exact reference path: float64,
+  per-doc accumulation in sorted-unique-term order, tie-break
+  ``(score desc, doc_id asc)`` — rank-identical to the brute-force oracle;
+- block-max WAND uses the per-block upper bounds stored by the codec to
+  skip blocks that cannot reach the current top-k threshold; it returns
+  results identical to TAAT (property-tested).
+
+``SearchEngine`` holds shard/posting caches — the stateful-scorer analog
+of the reference's sticky ES node state (``ElasticSearchStorage.cs:245-256``)
+— and is the per-actor state of ``score_queries``'s actor pool.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+from collections import OrderedDict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from onestools_eventlog_ray.functions import codec
+from onestools_eventlog_ray.functions.bm25 import idf as idf_fn, topk_order
+from onestools_eventlog_ray.functions.hashing import term_partition_one
+from onestools_eventlog_ray.state import checkpoint as ckpt
+
+_TERM_CACHE_MAX = 4096
+
+
+class SearchEngine:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        stats = ckpt.read_stats(index_dir)
+        self.N = stats["n_docs"]
+        self.avgdl = stats["avgdl"]
+        self.P = stats["num_partitions"]
+        bm = stats["config"]["bm25"]
+        self.k1, self.b = bm["k1"], bm["b"]
+        self._cache: OrderedDict[str, tuple[int, bytes] | None] = OrderedDict()
+
+    # ---- posting access -------------------------------------------------
+
+    def _shard_file(self, pkey: int) -> str:
+        return os.path.join(self.index_dir, "shards", f"part-{pkey:05d}.parquet")
+
+    def load_terms(self, terms: list[str]) -> dict[str, tuple[int, bytes]]:
+        """term -> (df, posting blob); reads only the shards the terms
+        hash to, with a parquet-level ``term IN`` filter (row-group +
+        dictionary pruning)."""
+        out: dict[str, tuple[int, bytes]] = {}
+        missing_by_shard: dict[int, list[str]] = {}
+        for t in terms:
+            if t in self._cache:
+                self._cache.move_to_end(t)
+                hit = self._cache[t]
+                if hit is not None:
+                    out[t] = hit
+            else:
+                missing_by_shard.setdefault(
+                    term_partition_one(t, self.P), []).append(t)
+        for pkey, ts in missing_by_shard.items():
+            path = self._shard_file(pkey)
+            found: dict[str, tuple[int, bytes]] = {}
+            if os.path.exists(path):
+                tbl = pq.read_table(path, columns=["term", "df", "posting"],
+                                    filters=[("term", "in", ts)])
+                for term, df, blob in zip(tbl["term"].to_pylist(),
+                                          tbl["df"].to_pylist(),
+                                          tbl["posting"].to_pylist()):
+                    found[term] = (int(df), blob)
+            for t in ts:
+                self._cache[t] = found.get(t)
+                if len(self._cache) > _TERM_CACHE_MAX:
+                    self._cache.popitem(last=False)
+                if t in found:
+                    out[t] = found[t]
+        return out
+
+    # ---- exact TAAT scorer ----------------------------------------------
+
+    def search(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+        """-> [(doc_id, score)], (score desc, doc_id asc), len <= k."""
+        uniq = sorted(set(terms))
+        loaded = self.load_terms(uniq)
+        ids_parts, w_parts = [], []
+        for t in uniq:                      # sorted term order == oracle order
+            hit = loaded.get(t)
+            if hit is None:
+                continue
+            df, blob = hit
+            post = codec.decode_posting(blob)
+            idf_t = idf_fn(self.N, df)
+            w = idf_t * codec.bm25_impact(post.tfs, post.dls, self.avgdl,
+                                          self.k1, self.b)
+            ids_parts.append(post.doc_ids)
+            w_parts.append(w)
+        if not ids_parts:
+            return []
+        all_ids = np.concatenate(ids_parts)
+        all_w = np.concatenate(w_parts)
+        uids, inverse = np.unique(all_ids, return_inverse=True)
+        scores = np.zeros(uids.size, dtype=np.float64)
+        np.add.at(scores, inverse, all_w)   # adds in term order per doc
+        idx = topk_order(scores, uids, k)
+        return [(int(uids[i]), float(scores[i])) for i in idx]
+
+    # ---- block-max WAND -------------------------------------------------
+
+    def search_wand(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+        """Identical results to :meth:`search`, computed with block-skip.
+
+        Scores candidates document-at-a-time; per-candidate accumulation
+        iterates terms in the same sorted order as TAAT so float64 sums
+        are bit-identical.  A block/term is skipped only when its upper
+        bound is STRICTLY below the current threshold, so equal-score
+        tie-breaks are preserved.
+        """
+        uniq = sorted(set(terms))
+        loaded = self.load_terms(uniq)
+        iters = []
+        for t in uniq:
+            hit = loaded.get(t)
+            if hit is None:
+                continue
+            df, blob = hit
+            iters.append(_PostingCursor(blob, idf_fn(self.N, df),
+                                        self.avgdl, self.k1, self.b))
+        if not iters:
+            return []
+        # max-heap of (score, -doc_id) as a min-heap keeps the k best;
+        # (score, -doc_id) ordering makes equal scores prefer smaller ids.
+        heap: list[tuple[float, int]] = []
+        while True:
+            live = [it for it in iters if not it.exhausted]
+            if not live:
+                break
+            live.sort(key=lambda it: it.cur_doc)
+            threshold = heap[0][0] if len(heap) == k else -np.inf
+            # WAND pivot: smallest prefix of doc-sorted cursors whose
+            # term-level upper-bound sum can reach the threshold.  Bounds
+            # are compared NON-strictly so equal-score candidates are
+            # still evaluated (tie-break safety).
+            ub_sum = 0.0
+            pivot = None
+            for i, it in enumerate(live):
+                ub_sum += it.max_score
+                if len(heap) < k or ub_sum >= threshold:
+                    pivot = i
+                    break
+            if pivot is None:
+                break                         # no remaining doc can qualify
+            pivot_doc = live[pivot].cur_doc
+            if live[0].cur_doc == pivot_doc:
+                at_pivot = [it for it in iters
+                            if not it.exhausted and it.cur_doc == pivot_doc]
+                # block-max refinement: sum of the CURRENT blocks' bounds;
+                # skip full scoring when even that cannot reach the threshold
+                block_ub = sum(it.cur_block_bound() for it in at_pivot)
+                if len(heap) < k or block_ub >= threshold:
+                    # fully score pivot_doc (sorted term order == TAAT order,
+                    # so the float64 sum is bit-identical to search())
+                    score = 0.0
+                    for it in at_pivot:
+                        score += it.cur_weight()
+                    entry = (score, -pivot_doc)
+                    if len(heap) < k:
+                        heapq.heappush(heap, entry)
+                    elif entry > heap[0]:
+                        heapq.heapreplace(heap, entry)
+                for it in at_pivot:
+                    it.seek_geq(pivot_doc + 1)
+            else:
+                for i in range(pivot):
+                    live[i].seek_geq(pivot_doc)
+        out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+        return [(-d, s) for (s, d) in out]
+
+
+class _PostingCursor:
+    """Lazy block-decoding cursor over one term's posting."""
+
+    __slots__ = ("blob", "idf", "avgdl", "k1", "b", "headers", "block_bounds",
+                 "max_score", "n_blocks", "bi", "ids", "ws", "pos", "exhausted",
+                 "cur_doc")
+
+    def __init__(self, blob: bytes, idf_val: float, avgdl: float,
+                 k1: float, b: float):
+        self.blob, self.idf, self.avgdl, self.k1, self.b = blob, idf_val, avgdl, k1, b
+        headers, n_docs, _ = codec.read_header(blob)
+        self.headers = headers
+        self.block_bounds = headers["max_impact"] * idf_val
+        self.max_score = float(self.block_bounds.max()) if headers.size else 0.0
+        self.n_blocks = headers.size
+        self.bi = -1
+        self.exhausted = n_docs == 0
+        self.ids = np.empty(0, dtype=np.int64)
+        self.ws = np.empty(0, dtype=np.float64)
+        self.pos = 0
+        self.cur_doc = -1
+        if not self.exhausted:
+            self._load_block(0)
+
+    def _load_block(self, bi: int) -> None:
+        if bi >= self.n_blocks:
+            self.exhausted = True
+            self.cur_doc = np.iinfo(np.int64).max
+            return
+        p = codec.decode_block(self.blob, bi)
+        self.bi = bi
+        self.ids = p.doc_ids
+        self.ws = self.idf * codec.bm25_impact(p.tfs, p.dls, self.avgdl,
+                                               self.k1, self.b)
+        self.pos = 0
+        self.cur_doc = int(self.ids[0])
+
+    def cur_weight(self) -> float:
+        return float(self.ws[self.pos])
+
+    def cur_block_bound(self) -> float:
+        return float(self.block_bounds[self.bi])
+
+    def seek_geq(self, target: int) -> None:
+        """Advance to the first posting with doc_id >= target.  Whole
+        blocks between here and the target are SKIPPED WITHOUT DECODING
+        (binary-search on the block headers' first_doc) — the block-skip
+        payoff of the codec layout."""
+        if self.exhausted:
+            return
+        bi = self.bi
+        if (bi + 1 < self.n_blocks
+                and self.headers["first_doc"][bi + 1] <= target):
+            # find the last block whose first_doc <= target
+            bi = int(np.searchsorted(self.headers["first_doc"], target,
+                                     side="right")) - 1
+        if bi != self.bi:
+            self._load_block(bi)
+            if self.exhausted:
+                return
+        pos = int(np.searchsorted(self.ids, target, side="left"))
+        while pos >= self.ids.size:
+            self._load_block(self.bi + 1)
+            if self.exhausted:
+                return
+            pos = int(np.searchsorted(self.ids, target, side="left"))
+        self.pos = pos
+        self.cur_doc = int(self.ids[pos])
+
+
+# --------------------------------------------------------------------------
+# Ray actor-pool query stage
+# --------------------------------------------------------------------------
+
+class QueryScorer:
+    """map_batches class: batches of (query_id, terms, k) -> top-k rows.
+
+    One ``SearchEngine`` (with its shard caches) per actor — setup in
+    ``__init__``, scoring per batch (the actor-pool contract)."""
+
+    def __init__(self, index_dir: str, use_wand: bool = False):
+        self.engine = SearchEngine(index_dir)
+        self.use_wand = use_wand
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, doc_ids, scores = [], [], [], []
+        terms_col = batch["terms"].to_pylist()
+        k_col = batch["k"].to_pylist() if "k" in batch.column_names \
+            else [10] * batch.num_rows
+        for qid, terms, k in zip(batch["query_id"].to_pylist(), terms_col, k_col):
+            fn = self.engine.search_wand if self.use_wand else self.engine.search
+            for rank, (doc_id, score) in enumerate(fn(list(terms), int(k)), 1):
+                qids.append(qid)
+                ranks.append(rank)
+                doc_ids.append(doc_id)
+                scores.append(score)
+        return pa.table({
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        })
+
+
+def score_queries(index_dir: str, queries, k: int = 10,
+                  use_wand: bool = False, concurrency=(1, 8)):
+    """Queries (list[dict] or Dataset with query_id/terms[/k]) -> Dataset
+    of (query_id, rank, doc_id, score)."""
+    import ray.data
+    if not isinstance(queries, ray.data.Dataset):
+        rows = [{"query_id": q["query_id"], "terms": list(q["terms"]),
+                 "k": int(q.get("k", k))} for q in queries]
+        queries = ray.data.from_items(rows)
+    return queries.map_batches(QueryScorer, batch_format="pyarrow",
+                               batch_size=64, concurrency=concurrency,
+                               fn_constructor_kwargs=dict(index_dir=index_dir,
+                                                          use_wand=use_wand))

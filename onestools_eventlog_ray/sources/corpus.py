@@ -1,0 +1,62 @@
+"""Corpus sources — Parquet in, canonical Dataset out.
+
+The analog of the reference's pull-based LGP folder source
+(``/root/reference/OneSTools.EventLog/EventLogReader.cs:55-113``): file
+enumeration / ordering / block splitting are delegated to Ray Data's
+parquet datasource; column pruning happens AT THE READ so a stage that
+only needs ``content`` never decodes metadata columns.
+
+A ``CorpusSpec`` adapts any table shape to the engine's canonical view:
+either the ``input_hint`` shape ``(repo, path, commit, lang, content)``
+(doc_id derived from the key columns) or a table that already carries an
+id (e.g. the driver's ``documents(doc_id, text, ...)``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import ray.data
+
+
+@dataclass(frozen=True)
+class CorpusSpec:
+    content_col: str = "content"
+    id_col: str | None = None                       # pre-existing doc_id column
+    key_cols: tuple[str, ...] = ("repo", "path", "commit")  # doc_id source if id_col None
+    meta_cols: tuple[str, ...] = ("repo", "path", "commit", "lang")
+
+    @property
+    def id_source_cols(self) -> tuple[str, ...]:
+        return (self.id_col,) if self.id_col else self.key_cols
+
+    def read_cols(self, with_content: bool = True, with_meta: bool = True) -> list[str]:
+        cols: list[str] = []
+        for c in self.id_source_cols:
+            cols.append(c)
+        if with_meta:
+            for c in self.meta_cols:
+                if c not in cols:
+                    cols.append(c)
+        if with_content and self.content_col not in cols:
+            cols.append(self.content_col)
+        return cols
+
+
+CODE_CORPUS_SPEC = CorpusSpec()   # the input_hint shape
+
+DOCUMENTS_SPEC = CorpusSpec(      # /root/testdata/sf*/documents.parquet adapter
+    content_col="text",
+    id_col="doc_id",
+    key_cols=("doc_id",),
+    meta_cols=("lang", "source", "n_chars"),
+)
+
+
+def read_corpus(paths: str | list[str], spec: CorpusSpec = CODE_CORPUS_SPEC,
+                with_content: bool = True, with_meta: bool = True,
+                **read_kwargs) -> ray.data.Dataset:
+    """Column-pruned parquet read of a corpus table."""
+    return ray.data.read_parquet(paths,
+                                 columns=spec.read_cols(with_content, with_meta),
+                                 **read_kwargs)

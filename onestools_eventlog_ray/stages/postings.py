@@ -1,0 +1,207 @@
+"""Posting-build stages: shard/salt assignment, run encoding, salted-run merge.
+
+THE wide operation of the engine (SURVEY.md §2.6 A1, §7.3): the
+``groupby`` that co-locates each term's (doc_id, tf, dl) rows.  Zipf-hot
+terms (``def``, ``the``, license boilerplate) have df ≈ N, so a naive
+``groupby(term)`` would put a whole-corpus-sized group on one task — the
+skew called out by the north_rule.  Handling:
+
+- every triple gets ``pkey = blake2b(term) % P`` (its final shard);
+- a HOT term (estimated df > salt_threshold) is additionally split into
+  ``n_salts`` runs by **doc_id range** (``salt = doc_id // range_width``)
+  and its build-group key ``gkey`` becomes ``hash(term, salt) % G`` so
+  the runs land on different tasks;
+- each run is encoded independently into the block codec; because salts
+  are doc_id RANGES, a term's runs cover disjoint ascending id ranges,
+  so the final merge (grouped by ``pkey``) is a header splice
+  (``codec.concat_postings``) — no decode/re-encode of hot terms.
+
+Equivalence of salted and unsalted builds is property-tested
+(tests/test_salt_equivalence.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from onestools_eventlog_ray.functions import codec
+from onestools_eventlog_ray.functions.hashing import term_partition
+from onestools_eventlog_ray.state import checkpoint as ckpt
+
+RUN_SCHEMA = pa.schema([
+    ("pkey", pa.int32()),
+    ("term", pa.string()),
+    ("salt", pa.int32()),
+    ("df_run", pa.int64()),
+    ("cf_run", pa.int64()),
+    ("blob", pa.large_binary()),
+])
+
+
+class AssignShard:
+    """triples -> triples + (pkey, salt, gkey).
+
+    Stateful actor-pool stage: the hot-term map ``{term: n_salts}`` is
+    broadcast once via ``ray.put`` and fetched once per actor in
+    ``__init__`` (broadcast-small-side lookup — the J1 pattern,
+    ``/root/reference/OneSTools.EventLog/LgfReader.cs:102-115``), never
+    re-shipped per batch.  Term hashing runs over the batch's UNIQUE
+    terms via dictionary encoding, not per row.
+    """
+
+    def __init__(self, hot_ref, num_partitions: int, id_space_max: int,
+                 done_pkeys: frozenset[int] = frozenset()):
+        import ray
+        self.hot: dict[str, int] = ray.get(hot_ref) if hot_ref is not None else {}
+        self.P = num_partitions
+        self.id_space_max = max(int(id_space_max), 0)
+        self.done = done_pkeys
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("pkey", pa.array([], pa.int32())) \
+                        .append_column("salt", pa.array([], pa.int32())) \
+                        .append_column("gkey", pa.array([], pa.int32()))
+        term_col = batch["term"]
+        if isinstance(term_col, pa.ChunkedArray):
+            term_col = term_col.combine_chunks()
+        dict_arr = term_col.dictionary_encode()
+        uniq = dict_arr.dictionary.to_pylist()
+        idx = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        upkey = term_partition(uniq, self.P)
+        pkey = upkey[idx].astype(np.int32)
+
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        salt = np.zeros(batch.num_rows, dtype=np.int32)
+        gkey = pkey.copy()
+        if self.hot:
+            width_cache: dict[int, int] = {}
+            for u_i, t in enumerate(uniq):
+                s = self.hot.get(t)
+                if not s or s <= 1:
+                    continue
+                rows = np.flatnonzero(idx == u_i)
+                width = width_cache.setdefault(s, (self.id_space_max // s) + 1)
+                tsalt = (doc_ids[rows] // width).astype(np.int32)
+                salt[rows] = tsalt
+                usalts = np.unique(tsalt)
+                gk = term_partition([f"{t}#{v}" for v in usalts], self.P)
+                gkey[rows] = gk[np.searchsorted(usalts, tsalt)].astype(np.int32)
+        out = batch.append_column("pkey", pa.array(pkey, pa.int32())) \
+                   .append_column("salt", pa.array(salt, pa.int32())) \
+                   .append_column("gkey", pa.array(gkey, pa.int32()))
+        if self.done:
+            keep = ~np.isin(pkey, np.fromiter(self.done, dtype=np.int32))
+            out = out.filter(pa.array(keep))
+        return out
+
+
+def make_encode_runs(avgdl: float, k1: float, b: float, block_size: int):
+    """map_groups(fn) over ``gkey``: encode every (term, salt) run in the group."""
+
+    def encode_runs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return RUN_SCHEMA.empty_table()
+        term_col = group["term"]
+        if isinstance(term_col, pa.ChunkedArray):
+            term_col = term_col.combine_chunks()
+        d = term_col.dictionary_encode()
+        tidx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = d.dictionary.to_pylist()
+        doc_ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tfs = group["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dls = group["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        salts = group["salt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pkeys = group["pkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        order = np.lexsort((doc_ids, salts, tidx))
+        tidx, doc_ids, tfs, dls, salts, pkeys = \
+            (a[order] for a in (tidx, doc_ids, tfs, dls, salts, pkeys))
+        # run boundaries on (term, salt)
+        change = np.empty(tidx.size, dtype=bool)
+        change[0] = True
+        np.logical_or(np.diff(tidx) != 0, np.diff(salts) != 0, out=change[1:])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], tidx.size)
+
+        out = {k: [] for k in ("pkey", "term", "salt", "df_run", "cf_run", "blob")}
+        for s, e in zip(starts, ends):
+            out["pkey"].append(int(pkeys[s]))
+            out["term"].append(terms[tidx[s]])
+            out["salt"].append(int(salts[s]))
+            out["df_run"].append(int(e - s))
+            out["cf_run"].append(int(tfs[s:e].sum()))
+            out["blob"].append(codec.encode_posting(
+                doc_ids[s:e], tfs[s:e], dls[s:e], avgdl, k1, b, block_size))
+        return pa.table(out, schema=RUN_SCHEMA)
+
+    return encode_runs
+
+
+def make_merge_and_write(index_dir: str, fingerprint: str):
+    """map_groups(fn) over ``pkey``: splice each term's salted runs into one
+    posting, write the shard parquet atomically, emit the checkpoint
+    record (lineage + metrics) for the partition."""
+
+    def merge_and_write(group: pa.Table) -> pa.Table:
+        t0 = time.monotonic()
+        pkey = int(group["pkey"][0].as_py())
+        term_col = group["term"]
+        if isinstance(term_col, pa.ChunkedArray):
+            term_col = term_col.combine_chunks()
+        d = term_col.dictionary_encode()
+        tidx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = d.dictionary.to_pylist()
+        salts = group["salt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dfr = group["df_run"].to_numpy(zero_copy_only=False)
+        cfr = group["cf_run"].to_numpy(zero_copy_only=False)
+        blobs = group["blob"].to_pylist()
+
+        order = np.lexsort((salts, tidx))
+        change = np.empty(tidx.size, dtype=bool)
+        if tidx.size:
+            change[0] = True
+            change[1:] = np.diff(tidx[order]) != 0
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], tidx.size)
+
+        out_terms, out_df, out_cf, out_blob = [], [], [], []
+        for s, e in zip(starts, ends):
+            rows = order[s:e]
+            out_terms.append(terms[tidx[rows[0]]])
+            out_df.append(int(dfr[rows].sum()))
+            out_cf.append(int(cfr[rows].sum()))
+            # salts ascending == doc_id ranges ascending -> header splice
+            out_blob.append(codec.concat_postings([blobs[r] for r in rows]))
+
+        torder = np.argsort(np.asarray(out_terms, dtype=object), kind="stable")
+        shard = pa.table({
+            "term": pa.array([out_terms[i] for i in torder], pa.string()),
+            "df": pa.array([out_df[i] for i in torder], pa.int64()),
+            "cf": pa.array([out_cf[i] for i in torder], pa.int64()),
+            "posting": pa.array([out_blob[i] for i in torder], pa.large_binary()),
+        })
+        shard_path = os.path.join(index_dir, "shards", f"part-{pkey:05d}.parquet")
+        ckpt.atomic_write_bytes(shard_path, lambda tmp: pq.write_table(shard, tmp))
+        rec = ckpt.PartitionRecord(
+            partition_id=pkey, input_fingerprint=fingerprint,
+            output_path=shard_path, n_terms=shard.num_rows,
+            n_postings=int(sum(out_df)),
+            build_wall_s=time.monotonic() - t0, status="done")
+        ckpt.write_record(index_dir, rec)
+        return pa.table({
+            "partition_id": pa.array([pkey], pa.int64()),
+            "n_terms": pa.array([shard.num_rows], pa.int64()),
+            "n_postings": pa.array([rec.n_postings], pa.int64()),
+            "build_wall_s": pa.array([rec.build_wall_s], pa.float64()),
+        })
+
+    return merge_and_write

@@ -1,0 +1,58 @@
+"""Salted build == unsalted build (SURVEY.md §7.4 'Skew').
+
+Forces the hot-term salting path on a small corpus (by injecting a hot
+map, as the sampler would for df > threshold at scale) and asserts the
+resulting shards decode to EXACTLY the postings of the unsalted build —
+the provable-equivalence requirement of the north_rule's skew handling.
+"""
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+
+from onestools_eventlog_ray import synth
+from onestools_eventlog_ray.config import EngineConfig
+from onestools_eventlog_ray.functions import codec
+from onestools_eventlog_ray.pipelines.build import build_index
+from onestools_eventlog_ray.pipelines.query import SearchEngine
+
+CFG = EngineConfig(num_partitions=8, tokenize_batch_size=64)
+
+
+def _load_all_postings(index_dir):
+    out = {}
+    for f in sorted(glob.glob(index_dir + "/shards/*.parquet")):
+        t = pq.read_table(f)
+        for term, df, cf, blob in zip(t["term"].to_pylist(), t["df"].to_pylist(),
+                                      t["cf"].to_pylist(), t["posting"].to_pylist()):
+            p = codec.decode_posting(blob)
+            out[term] = (df, cf, p.doc_ids.tolist(), p.tfs.tolist(), p.dls.tolist())
+    return out
+
+
+@pytest.fixture(scope="module")
+def two_builds(tmp_path_factory, small_corpus_dir):
+    plain_dir = str(tmp_path_factory.mktemp("idx_plain"))
+    salted_dir = str(tmp_path_factory.mktemp("idx_salted"))
+    build_index(small_corpus_dir, plain_dir, cfg=CFG, hot_terms={})
+    # every lang keyword + license boilerplate term becomes hot with 4 salts
+    hot = {t: 4 for t in ["def", "import", "return", "the", "license",
+                          "copyright", "is", "as", "software"]}
+    build_index(small_corpus_dir, salted_dir, cfg=CFG, hot_terms=hot)
+    return plain_dir, salted_dir
+
+
+def test_salted_postings_identical(two_builds):
+    plain, salted = two_builds
+    pp, sp = _load_all_postings(plain), _load_all_postings(salted)
+    assert pp.keys() == sp.keys()
+    for term in pp:
+        assert pp[term] == sp[term], term
+
+
+def test_salted_query_results_identical(two_builds, small_corpus):
+    plain, salted = two_builds
+    ep, es = SearchEngine(plain), SearchEngine(salted)
+    for q in synth.reference_queries(small_corpus, n_queries=30):
+        assert ep.search(q["terms"], q["k"]) == es.search(q["terms"], q["k"])
