@@ -1,44 +1,316 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship pipeline (index build + BM25 top-k) on sf0.001.
+``queries()`` — one callable per implemented operator/pipeline
+(SURVEY.md §2); each takes ``sf_dir`` and returns a Dataset / pandas
+DataFrame / pyarrow Table.
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
+(same column names; computed/rounded columns use identical integer
+semantics on both sides so value hashes match).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+# Canonical tokenizer expression — MUST stay in lock-step with
+# onestools_eventlog_ray.functions.analyzer (same RE2 pattern).
+_TOKS = ("SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),"
+         " '[^a-z0-9_]+'), x -> x <> '')) AS term FROM documents")
+
+_STOP_SQL = "('a','the','and','of','to','in','is','it')"
+
+_BM25_TERMS = ["spark", "vector", "window"]
+_BM25_TERMS_SINGLE = ["spark"]
+
+
+def _documents_ds(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _index_dir_for(sf_dir: str) -> str:
+    h = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    return f"/tmp/oel_ray_index/{h}"
+
+
+def _ensure_index(sf_dir: str) -> str:
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.build import build_index
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    index_dir = _index_dir_for(sf_dir)
+    build_index(os.path.join(sf_dir, "documents.parquet"), index_dir,
+                spec=DOCUMENTS_SPEC, cfg=EngineConfig(num_partitions=16))
+    return index_dir
+
+
+def _score_e6(scores: np.ndarray) -> np.ndarray:
+    return np.floor(scores * 1_000_000 + 0.5).astype(np.int64)
+
+
+def _bm25_table(sf_dir: str, terms: list[str], k: int = 10) -> pa.Table:
+    """Engine BM25 over the built index, ranked on score_e6 (the integer
+    the oracle ranks on, so FP-last-bit differences cannot flip ranks)."""
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    eng = SearchEngine(_ensure_index(sf_dir))
+    hits = eng.search(terms, k=1_000_000)       # all matching docs
+    ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+    e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+    order = np.lexsort((ids, -e6))[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+        "doc_id": pa.array(ids[order], pa.int64()),
+        "score_e6": pa.array(e6[order], pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over sf0.001 documents, answer a
+    BM25 top-10 query set, return the (query_id, rank, doc_id, score) table."""
+    from onestools_eventlog_ray.pipelines.query import score_queries
+    sf_dir = "/root/testdata/sf0.001"
+    index_dir = _ensure_index(sf_dir)
+    queries = [
+        {"query_id": 0, "terms": ["spark", "vector"], "k": 10},
+        {"query_id": 1, "terms": ["window"], "k": 10},
+        {"query_id": 2, "terms": ["table", "join", "merge"], "k": 10},
+        {"query_id": 3, "terms": ["nosuchterm"], "k": 10},
+    ]
+    return score_queries(index_dir, queries).to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from onestools_eventlog_ray.pipelines import dedup, relational, similarity, text
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def doc_token_stats(sf_dir):
+        return text.doc_token_stats(_documents_ds(sf_dir), DOCUMENTS_SPEC)
+
+    def term_stats(sf_dir):
+        return text.term_stats(_documents_ds(sf_dir), DOCUMENTS_SPEC)
+
+    def corpus_summary(sf_dir):
+        return text.corpus_summary(_documents_ds(sf_dir), DOCUMENTS_SPEC)
+
+    def quality_scores(sf_dir):
+        return text.quality_scores(_documents_ds(sf_dir), DOCUMENTS_SPEC)
+
+    def term_topk(sf_dir):
+        t = text.term_stats(_documents_ds(sf_dir), DOCUMENTS_SPEC).to_pandas()
+        t = t.sort_values(["cf", "term"], ascending=[False, True]).head(10)
+        return t[["term", "cf"]].reset_index(drop=True)
+
+    def bm25_topk(sf_dir):
+        return _bm25_table(sf_dir, _BM25_TERMS, k=10)
+
+    def bm25_topk_single(sf_dir):
+        return _bm25_table(sf_dir, _BM25_TERMS_SINGLE, k=10)
+
+    def exact_dedup(sf_dir):
+        return dedup.exact_dedup(_documents_ds(sf_dir), DOCUMENTS_SPEC)
+
+    def top1_recovery(sf_dir):
+        return relational.top1_recovery(_documents_ds(sf_dir), "doc_id")
+
+    def events_by_type(sf_dir):
+        import ray.data
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_type", "value"])
+        return relational.events_by_type(ds)
+
+    def lineitem_qty_by_flag(sf_dir):
+        import ray.data
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_linestatus", "l_quantity"])
+        return relational.lineitem_qty_by_flag(ds)
+
+    def knn_cosine(sf_dir):
+        import pyarrow.parquet as pq
+        import ray.data
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        emb = pq.read_table(path, columns=["vec_id", "embedding"])
+        i0 = emb["vec_id"].to_pylist().index(0)
+        qvec = np.asarray(emb["embedding"][i0].as_py(), dtype=np.float64)
+        ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        res = similarity.knn_cosine(ds, qvec, k=50, exclude_ids={0})
+        cos = res["cosine"].to_numpy(zero_copy_only=False)
+        ids = res["vec_id"].to_numpy(zero_copy_only=False)
+        e6 = _score_e6(cos)
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "cos_e6": pa.array(e6[order], pa.int64()),
+        })
+
+    # ---- non-SQL-expressible (driver does rows-only checks) ----------
+    def language_id(sf_dir):
+        return text.language_id(_documents_ds(sf_dir), DOCUMENTS_SPEC)
+
+    def rolling_fingerprint(sf_dir):
+        return text.rolling_fingerprint(_documents_ds(sf_dir), DOCUMENTS_SPEC)
+
+    def minhash_lsh_groups(sf_dir):
+        return dedup.minhash_lsh_groups(_documents_ds(sf_dir), DOCUMENTS_SPEC)
+
+    def simhash_signatures(sf_dir):
+        return dedup.simhash_signatures(_documents_ds(sf_dir), DOCUMENTS_SPEC)
+
+    def lsh_buckets(sf_dir):
+        import ray.data
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                   columns=["vec_id", "embedding"])
+        return similarity.lsh_bucket(ds, dim=64, nbits=12)
+
+    return {
+        "doc_token_stats": doc_token_stats,
+        "term_stats": term_stats,
+        "corpus_summary": corpus_summary,
+        "quality_scores": quality_scores,
+        "term_topk": term_topk,
+        "bm25_topk": bm25_topk,
+        "bm25_topk_single": bm25_topk_single,
+        "exact_dedup": exact_dedup,
+        "top1_recovery": top1_recovery,
+        "events_by_type": events_by_type,
+        "lineitem_qty_by_flag": lineitem_qty_by_flag,
+        "knn_cosine": knn_cosine,
+        "language_id": language_id,
+        "rolling_fingerprint": rolling_fingerprint,
+        "minhash_lsh_groups": minhash_lsh_groups,
+        "simhash_signatures": simhash_signatures,
+        "lsh_buckets": lsh_buckets,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+def _bm25_sql(terms: list[str], k: int = 10) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS ({_TOKS}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({in_list}) GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ({in_list}) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + ((SELECT n_docs FROM stats) - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+            ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id)
+SELECT CAST(row_number() OVER (
+         ORDER BY CAST(floor(score * 1000000 + 0.5) AS BIGINT) DESC,
+                  doc_id ASC) AS BIGINT) AS rank,
+       doc_id,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6
+FROM scored
+ORDER BY score_e6 DESC, doc_id ASC
+LIMIT {k}"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_token_stats": f"""
+WITH toks AS ({_TOKS}),
+agg AS (SELECT doc_id, count(*) AS n_tokens,
+               count(DISTINCT term) AS n_distinct_terms
+        FROM toks GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_distinct_terms, 0) AS n_distinct_terms
+FROM documents d LEFT JOIN agg a USING (doc_id)""",
+
+        "term_stats": f"""
+WITH toks AS ({_TOKS})
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+FROM toks GROUP BY term""",
+
+        "corpus_summary": f"""
+WITH toks AS ({_TOKS})
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       count(*) AS total_tokens,
+       count(*) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+FROM toks""",
+
+        "quality_scores": f"""
+WITH toks AS ({_TOKS}),
+agg AS (SELECT doc_id, count(*) AS n_tokens,
+               count(*) FILTER (WHERE term IN {_STOP_SQL}) AS n_stopwords,
+               sum(length(term)) AS char_sum
+        FROM toks GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_stopwords, 0) AS n_stopwords,
+       CASE WHEN coalesce(a.n_tokens, 0) > 0
+            THEN CAST((a.char_sum * 1000000) // a.n_tokens AS BIGINT)
+            ELSE 0 END AS mean_token_len_e6
+FROM documents d LEFT JOIN agg a USING (doc_id)""",
+
+        "term_topk": f"""
+WITH toks AS ({_TOKS})
+SELECT term, count(*) AS cf
+FROM toks GROUP BY term
+ORDER BY cf DESC, term ASC
+LIMIT 10""",
+
+        "bm25_topk": _bm25_sql(_BM25_TERMS),
+        "bm25_topk_single": _bm25_sql(_BM25_TERMS_SINGLE),
+
+        "exact_dedup": """
+SELECT md5(text) AS content_md5, min(doc_id) AS rep_doc_id,
+       count(*) AS n_dups
+FROM documents GROUP BY md5(text)""",
+
+        "top1_recovery": """
+SELECT max(doc_id) AS max_id, count(*) AS n_rows FROM documents""",
+
+        "events_by_type": """
+SELECT event_type, count(*) AS n_events,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type""",
+
+        "lineitem_qty_by_flag": """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+        "knn_cosine": """
+WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id,
+             list_cosine_similarity(
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+               (SELECT v FROM q)) AS cos
+      FROM embeddings e WHERE e.vec_id <> 0)
+SELECT CAST(row_number() OVER (
+         ORDER BY CAST(floor(cos * 1000000 + 0.5) AS BIGINT) DESC,
+                  vec_id ASC) AS BIGINT) AS rank,
+       vec_id,
+       CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_e6
+FROM s ORDER BY cos_e6 DESC, vec_id ASC
+LIMIT 10""",
+    }

@@ -1,0 +1,179 @@
+"""Text-analysis pipelines over a corpus Dataset — the training-data-prep
+operator family (language ID, quality scoring, token counting, term
+statistics, fingerprinting).
+
+These generalize the reference's per-record normalizers/decoders
+(SURVEY.md §2.2 M5-M9: free-text flatten + static dictionary decodes)
+into corpus-scale batch transforms: every function is a vectorized
+``map_batches`` over Arrow batches, aggregations use the
+partial-then-small-groupby pattern (no full-row shuffles).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Sum
+
+from onestools_eventlog_ray.functions.analyzer import (STOPWORDS,
+                                                       tokenize_array)
+from onestools_eventlog_ray.sources.corpus import CorpusSpec, DOCUMENTS_SPEC
+from onestools_eventlog_ray.stages.normalize import add_doc_id
+
+# Tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic (deterministic, no model download).
+LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "for", "with"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "dans", "pour"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "de", "en", "para"},
+    "zh": set(),   # no latin stopwords -> matched by elimination
+}
+
+
+def doc_token_stats(ds: ray.data.Dataset,
+                    spec: CorpusSpec = DOCUMENTS_SPEC) -> ray.data.Dataset:
+    """Per-doc token counts: (doc_id, n_tokens, n_distinct_terms)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.analyzer import doc_term_table
+        b = add_doc_id(batch, spec)
+        _, stats = doc_term_table(b["doc_id"], b["content"])
+        return stats
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def term_stats(ds: ray.data.Dataset,
+               spec: CorpusSpec = DOCUMENTS_SPEC) -> ray.data.Dataset:
+    """Global (term, df, cf) — partial per-batch df/cf then a small
+    groupby over the partials (SURVEY.md §2.6 A3 pattern)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.analyzer import doc_term_table
+        b = add_doc_id(batch, spec)
+        triples, _ = doc_term_table(b["doc_id"], b["content"])
+        agg = triples.group_by("term").aggregate([("doc_id", "count"),
+                                                  ("tf", "sum")])
+        return agg.rename_columns(["term", "df_p", "cf_p"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby("term") \
+             .aggregate(Sum("df_p", alias_name="df"), Sum("cf_p", alias_name="cf"))
+
+
+def corpus_summary(ds: ray.data.Dataset,
+                   spec: CorpusSpec = DOCUMENTS_SPEC) -> pa.Table:
+    """One row: (n_docs, total_tokens, avgdl)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = tokenize_array(batch[spec.content_col])
+        n_tok = pc.list_value_length(toks)
+        return pa.table({
+            "n_docs_p": pa.array([batch.num_rows], pa.int64()),
+            "tok_p": pa.array([pc.sum(n_tok).as_py() or 0], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(p["n_docs_p"] for p in parts)
+    tok = sum(p["tok_p"] for p in parts)
+    return pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "total_tokens": pa.array([tok], pa.int64()),
+        "avgdl": pa.array([tok / n if n else 0.0], pa.float64()),
+    })
+
+
+def quality_scores(ds: ray.data.Dataset,
+                   spec: CorpusSpec = DOCUMENTS_SPEC,
+                   stopwords: tuple[str, ...] = STOPWORDS) -> ray.data.Dataset:
+    """Per-doc quality features: token count, stopword count, mean token
+    length scaled by 1e6 (exact integer — hash-stable vs a SQL oracle)."""
+    stopset = list(stopwords)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = add_doc_id(batch, spec)
+        toks = tokenize_array(b["content"])
+        flat = toks.flatten()
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        n = len(toks)
+        n_tokens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        is_stop = pc.is_in(flat, value_set=pa.array(stopset)).to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_stop = np.zeros(n, dtype=np.int64)
+        char_sum = np.zeros(n, dtype=np.int64)
+        if parents.size:
+            np.add.at(n_stop, parents, is_stop.astype(np.int64))
+            np.add.at(char_sum, parents, lens)
+        # mean token length * 1e6, floor -> exact integer both here and in SQL
+        mean_len_e6 = np.zeros(n, dtype=np.int64)
+        nz = n_tokens > 0
+        mean_len_e6[nz] = (char_sum[nz] * 1_000_000) // n_tokens[nz]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_stopwords": pa.array(n_stop, pa.int64()),
+            "mean_token_len_e6": pa.array(mean_len_e6, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def language_id(ds: ray.data.Dataset,
+                spec: CorpusSpec = DOCUMENTS_SPEC) -> ray.data.Dataset:
+    """Stopword-profile language-ID heuristic: argmax over per-language
+    stopword hit counts (ties / zero hits -> 'und').  Deterministic, no
+    external model; a real fastText-style model would slot into the same
+    actor-pool stage."""
+    profiles = {k: pa.array(sorted(v)) for k, v in LANG_PROFILES.items() if v}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = add_doc_id(batch, spec)
+        toks = tokenize_array(b["content"])
+        flat = toks.flatten()
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        n = len(toks)
+        langs = sorted(profiles)
+        hits = np.zeros((n, len(langs)), dtype=np.int64)
+        for j, lang in enumerate(langs):
+            m = pc.is_in(flat, value_set=profiles[lang]).to_numpy(zero_copy_only=False)
+            if parents.size:
+                np.add.at(hits[:, j], parents, m.astype(np.int64))
+        best = np.argmax(hits, axis=1)
+        best_hits = hits[np.arange(n), best]
+        pred = np.where(best_hits > 0, np.asarray(langs, dtype=object)[best], "und")
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "pred_lang": pa.array(pred, pa.string()),
+            "stopword_hits": pa.array(best_hits, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def rolling_fingerprint(ds: ray.data.Dataset,
+                        spec: CorpusSpec = DOCUMENTS_SPEC,
+                        window: int = 8, mod: int = 2**61 - 1) -> ray.data.Dataset:
+    """Per-doc polynomial rolling-hash document fingerprint over the token
+    stream (Rabin-Karp style, base 1_000_003): (doc_id, fingerprint)."""
+    base = 1_000_003
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import hashlib
+        b = add_doc_id(batch, spec)
+        toks = tokenize_array(b["content"]).to_pylist()
+        fps = np.empty(len(toks), dtype=np.int64)
+        for i, ts in enumerate(toks):
+            h = 0
+            for t in ts:
+                th = int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+                h = (h * base + th) % mod
+            fps[i] = h
+        return pa.table({"doc_id": b["doc_id"],
+                         "fingerprint": pa.array(fps, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
