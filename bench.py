@@ -1,0 +1,212 @@
+"""Benchmark harness.
+
+Runs the engine's headline pipelines and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-stage sec...}, "sf": <sf>, "num_cpus": N, ...}
+
+Inputs: ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) for the
+auxiliary-table pipelines, plus a deterministic synthetic source-code
+corpus (FIXTURES.md §1) scaled to the sf and cached under /tmp.
+
+``--scaling``: runs the headline index build twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on identical input (the sandbox proxy for N
+vs 4N cluster nodes, per BASELINE.md) and reports both throughputs plus
+scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+DOCS_PER_SF = 5_000_000    # sf0.1 -> 500k synthetic source files
+BENCH_SEED = 42
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+SF = _sf_from_dir(SF_DIR)
+N_DOCS = max(500, int(DOCS_PER_SF * SF))
+CORPUS_DIR = f"/tmp/oel_bench_corpus/n{N_DOCS}_s{BENCH_SEED}"
+
+
+def bench_cfg():
+    from onestools_eventlog_ray.config import EngineConfig
+    # salt thresholds scaled down so the skew/salting path is exercised
+    # at bench scale exactly as it would be at 10^12 files
+    return EngineConfig(num_partitions=64,
+                        salt_threshold=max(2000, N_DOCS // 4),
+                        salt_target_run=max(1000, N_DOCS // 8))
+
+
+def bench_queries(n: int = 50) -> list[dict]:
+    """Deterministic query set: hot keywords / mid vocab / rare vocab."""
+    import numpy as np
+    from onestools_eventlog_ray.synth import make_vocab
+    vocab = make_vocab()
+    hot = ["def", "import", "return", "the", "license", "copyright",
+           "func", "public", "software"]
+    rng = np.random.default_rng(7)
+    out = []
+    for qid in range(n):
+        terms = []
+        for _ in range(int(rng.integers(1, 4))):
+            r = rng.integers(0, 3)
+            if r == 0:
+                terms.append(hot[int(rng.integers(0, len(hot)))])
+            elif r == 1:
+                terms.append(vocab[int(rng.integers(100, 2000))])
+            else:
+                terms.append(vocab[int(rng.integers(10_000, 20_000))])
+        out.append({"query_id": qid, "terms": terms, "k": 10})
+    return out
+
+
+def run_build(index_dir: str) -> dict:
+    from onestools_eventlog_ray.pipelines.build import build_index
+    shutil.rmtree(index_dir, ignore_errors=True)
+    return build_index(CORPUS_DIR, index_dir, cfg=bench_cfg())
+
+
+def run_headline() -> dict:
+    """Index build + BM25 query batch; returns stage timings + throughput."""
+    from onestools_eventlog_ray.pipelines.query import score_queries
+
+    index_dir = f"/dev/shm/oel_bench_index/cpus{NUM_CPUS}"
+    t0 = time.monotonic()
+    report = run_build(index_dir)
+    t_build = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    n_hits = score_queries(index_dir, bench_queries(), use_wand=False,
+                           batch_size=2,
+                           concurrency=(2, min(16, NUM_CPUS))).count()
+    t_query = time.monotonic() - t0
+
+    return {
+        "index_build": round(t_build, 3),
+        "bm25_queries": round(t_query, 3),
+        "files_per_sec": round(report["n_docs"] / t_build, 1),
+        "n_docs": report["n_docs"],
+        "n_hot_terms": report["n_hot_terms"],
+        "n_query_hits": n_hits,
+        "build_detail": {k: round(report[k], 2) for k in
+                         ("docstore_s", "stats_s", "hot_detect_s", "postings_s")},
+    }
+
+
+def run_aux() -> dict:
+    """Auxiliary-table pipelines over $GRAFT_SF_DIR."""
+    import __ray_entry__ as entrymod
+    q = entrymod.queries()
+    out = {}
+    for name in ("term_stats", "exact_dedup", "quality_scores",
+                 "minhash_lsh_groups", "knn_cosine"):
+        t0 = time.monotonic()
+        res = q[name](SF_DIR)
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def ensure_corpus():
+    from onestools_eventlog_ray.synth import write_corpus
+    write_corpus(CORPUS_DIR, n_docs=N_DOCS, seed=BENCH_SEED)
+    # warm the page cache so timed runs measure compute+shuffle, not cold disk
+    for name in os.listdir(CORPUS_DIR):
+        with open(os.path.join(CORPUS_DIR, name), "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+
+def main_single(build_only: bool = False) -> dict:
+    import ray
+    from ray.data import DataContext
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # Two knobs that dominate single-node shuffle behavior (measured):
+    # - operator resource reservation starves the map side of a pipeline
+    #   feeding an AllToAll at low CPU counts (8-cpu pass B ran maps ~1-wide:
+    #   90s -> 22s with reservation off);
+    # - sort-shuffle chunk count is (input blocks x output partitions): keep
+    #   blocks near 2x CPUs so the all-to-all stays O(cpus^2), not O(200^2).
+    ctx.op_resource_reservation_enabled = False
+    ctx.read_op_min_num_blocks = max(32, 2 * NUM_CPUS)
+    ensure_corpus()
+    stages = run_headline()
+    if not build_only:
+        stages.update(run_aux())
+    ray.shutdown()
+    total = sum(v for k, v in stages.items()
+                if isinstance(v, float) and k not in ("files_per_sec",))
+    return {
+        "metric": "index_build_plus_queries_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: v for k, v in stages.items()
+                    if isinstance(v, (int, float)) and
+                    k not in ("files_per_sec", "n_docs", "n_hot_terms",
+                              "n_query_hits")},
+        "files_per_sec": stages["files_per_sec"],
+        "n_docs": stages["n_docs"],
+        "n_hot_terms": stages["n_hot_terms"],
+        "build_detail": stages["build_detail"],
+        "sf": SF,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling() -> dict:
+    """Same build, fresh processes, num_cpus=8 then 32 (N vs 4N proxy)."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        best = None
+        for _trial in range(2):     # take the faster of 2 runs per level
+            out = subprocess.run([sys.executable, __file__, "--build-only"],
+                                 env=env, capture_output=True, text=True,
+                                 check=True,
+                                 cwd=os.path.dirname(os.path.abspath(__file__)))
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            if best is None or r["files_per_sec"] > best["files_per_sec"]:
+                best = r
+        results[ncpu] = best
+    fps8 = results[8]["files_per_sec"]
+    fps32 = results[32]["files_per_sec"]
+    eff = (fps32 / fps8) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "files_per_sec_8": fps8,
+        "files_per_sec_32": fps32,
+        "build_sec_8": results[8]["queries"]["index_build"],
+        "build_sec_32": results[32]["queries"]["index_build"],
+        "n_docs": results[8]["n_docs"],
+        "sf": SF,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif "--build-only" in sys.argv:
+        print(json.dumps(main_single(build_only=True)))
+    else:
+        print(json.dumps(main_single()))

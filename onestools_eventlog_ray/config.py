@@ -39,8 +39,12 @@ class EngineConfig:
     max_salts: int = 64
 
     # ---- execution ---------------------------------------------------
-    tokenize_batch_size: int = 1024   # docs per tokenize batch (content rows are wide)
-    triple_batch_size: int = 256_000  # (term, doc_id, tf, dl) rows per batch
+    # None = operate on Ray Data's natural blocks (no re-batching). An
+    # explicit batch_size forces a block coalesce/split that measured ~10x
+    # the cost of the stage UDFs themselves — only set it when a stage
+    # genuinely needs bounded batches (e.g. huge binary payloads).
+    tokenize_batch_size: int | None = None
+    triple_batch_size: int | None = None
     tokenize_concurrency: int | None = None  # None = stateless tasks sized by Ray
 
     # ---- scoring -----------------------------------------------------

@@ -7,13 +7,20 @@ and of the inverted index ElasticSearch builds for the analyzed ``text``
 fields (``ElasticSearchStorage.cs:217,227,231``) — here we build it
 ourselves.
 
-Layout (little-endian)::
+Layout v2 (little-endian)::
 
-    [u8 version=1][u32 n_blocks][u64 n_docs_total]
+    [u8 version=2][u32 n_blocks][u64 n_docs_total]
     n_blocks * block header:
-        u64 first_doc_id | u64 last_doc_id | u32 n_docs | u32 payload_bytes | f64 max_impact
-    concatenated block payloads; each payload is three varint runs:
-        doc_id gaps (first gap = doc_id - first_doc_id = 0), tfs, dls
+        u64 first_doc_id | u64 last_doc_id | u32 n_docs
+        | u32 gap_end | u32 tf_end | u32 dl_end      (cumulative byte offsets
+                                                      into each varint section)
+        | f64 max_impact
+    three COLUMNAR varint sections: all doc_id gaps | all tfs | all dls
+    (each block's first gap is 0; ids are relative to its first_doc_id)
+
+The columnar-section layout lets one vectorized varint pass encode or
+decode an entire posting (no per-block Python loop), while the per-block
+section offsets keep blocks independently decodable for block-skip.
 
 Key properties:
 
@@ -35,10 +42,11 @@ from dataclasses import dataclass
 
 import numpy as np
 
-_VERSION = 1
+_VERSION = 2
 _FIXED = struct.Struct("<BIQ")           # version, n_blocks, n_docs_total
 _BLOCK_DT = np.dtype([("first_doc", "<u8"), ("last_doc", "<u8"),
-                      ("n_docs", "<u4"), ("nbytes", "<u4"),
+                      ("n_docs", "<u4"), ("gap_end", "<u4"),
+                      ("tf_end", "<u4"), ("dl_end", "<u4"),
                       ("max_impact", "<f8")])
 
 
@@ -76,6 +84,31 @@ def varint_encode(values: np.ndarray) -> bytes:
         cont = (nbytes[mask] - 1 > j)
         out[pos] = byte | (cont.astype(np.uint8) << 7)
     return out.tobytes()
+
+
+def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """varint_encode + the per-value byte length array (for section offsets)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    nz = tmp > 0
+    while nz.any():
+        nbits[nz] += 1
+        tmp >>= np.uint64(7)
+        nz = tmp > 0
+    nbytes = np.maximum(nbits, 1)
+    offsets = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offsets[1:])
+    out = np.zeros(offsets[-1], dtype=np.uint8)
+    for j in range(int(nbytes.max())):
+        mask = nbytes > j
+        pos = offsets[:-1][mask] + j
+        byte = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] - 1 > j)
+        out[pos] = byte | (cont.astype(np.uint8) << 7)
+    return out.tobytes(), nbytes
 
 
 def varint_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarray:
@@ -123,7 +156,8 @@ def bm25_impact(tf: np.ndarray, dl: np.ndarray, avgdl: float,
 def encode_posting(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                    avgdl: float, k1: float, b: float,
                    block_size: int = 128) -> bytes:
-    """Encode one term's (sorted-by-doc_id) posting into the block format."""
+    """Encode one term's (sorted-by-doc_id) posting — fully vectorized:
+    three varint passes over the whole posting, no per-block loop."""
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     n = doc_ids.size
     if n == 0:
@@ -133,22 +167,30 @@ def encode_posting(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     impacts = bm25_impact(tfs, dls, avgdl, k1, b)
 
     n_blocks = (n + block_size - 1) // block_size
-    headers = np.empty(n_blocks, dtype=_BLOCK_DT)
-    payloads: list[bytes] = []
+    starts = np.arange(n_blocks, dtype=np.int64) * block_size
+    ends = np.minimum(starts + block_size, n)
+
     u_ids = doc_ids.astype(np.uint64)
-    for i in range(n_blocks):
-        lo, hi = i * block_size, min((i + 1) * block_size, n)
-        ids = u_ids[lo:hi]
-        gaps = np.empty(ids.size, dtype=np.uint64)
-        gaps[0] = 0
-        np.subtract(ids[1:], ids[:-1], out=gaps[1:])
-        payload = (varint_encode(gaps)
-                   + varint_encode(np.asarray(tfs[lo:hi], dtype=np.uint64))
-                   + varint_encode(np.asarray(dls[lo:hi], dtype=np.uint64)))
-        headers[i] = (ids[0], ids[-1], hi - lo, len(payload),
-                      float(impacts[lo:hi].max()))
-        payloads.append(payload)
-    return _FIXED.pack(_VERSION, n_blocks, n) + headers.tobytes() + b"".join(payloads)
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = 0
+    np.subtract(u_ids[1:], u_ids[:-1], out=gaps[1:])
+    gaps[starts] = 0                      # ids are relative to block first_doc
+
+    gap_b, gap_len = varint_encode_with_lengths(gaps)
+    tf_b, tf_len = varint_encode_with_lengths(np.asarray(tfs, dtype=np.uint64))
+    dl_b, dl_len = varint_encode_with_lengths(np.asarray(dls, dtype=np.uint64))
+
+    headers = np.empty(n_blocks, dtype=_BLOCK_DT)
+    headers["first_doc"] = u_ids[starts]
+    headers["last_doc"] = u_ids[ends - 1]
+    headers["n_docs"] = (ends - starts).astype(np.uint32)
+    headers["gap_end"] = np.cumsum(gap_len)[ends - 1].astype(np.uint32)
+    headers["tf_end"] = np.cumsum(tf_len)[ends - 1].astype(np.uint32)
+    headers["dl_end"] = np.cumsum(dl_len)[ends - 1].astype(np.uint32)
+    headers["max_impact"] = np.maximum.reduceat(impacts, starts)
+
+    return (_FIXED.pack(_VERSION, n_blocks, n) + headers.tobytes()
+            + gap_b + tf_b + dl_b)
 
 
 def read_header(blob: bytes) -> tuple[np.ndarray, int, int]:
@@ -161,53 +203,73 @@ def read_header(blob: bytes) -> tuple[np.ndarray, int, int]:
     return headers, n_docs, hdr_off + n_blocks * _BLOCK_DT.itemsize
 
 
+def _sections(blob: bytes, headers: np.ndarray, payload_off: int):
+    g_end = int(headers["gap_end"][-1])
+    t_end = int(headers["tf_end"][-1])
+    d_end = int(headers["dl_end"][-1])
+    buf = np.frombuffer(blob, dtype=np.uint8, offset=payload_off,
+                        count=g_end + t_end + d_end)
+    return buf[:g_end], buf[g_end:g_end + t_end], buf[g_end + t_end:]
+
+
+def _ids_from_gaps(gaps: np.ndarray, headers: np.ndarray) -> np.ndarray:
+    counts = headers["n_docs"].astype(np.int64)
+    starts = np.zeros(counts.size, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    csum = np.cumsum(gaps, dtype=np.uint64)
+    base = headers["first_doc"] - csum[starts]      # uint64 wraparound-safe
+    return (csum + np.repeat(base, counts)).astype(np.int64)
+
+
 def decode_posting(blob: bytes) -> Posting:
-    """Decode a full posting (all blocks in one vectorized varint pass)."""
+    """Decode a full posting: three vectorized varint passes + one cumsum."""
     headers, n_docs, payload_off = read_header(blob)
     if n_docs == 0:
         z = np.empty(0, dtype=np.int64)
         return Posting(z, z.copy(), z.copy())
-    buf = np.frombuffer(blob, dtype=np.uint8, offset=payload_off)
-    all_vals = varint_decode(buf, count=3 * n_docs)
-    # per block the payload is [gaps, tfs, dls]; split by block doc counts
-    counts = headers["n_docs"].astype(np.int64)
-    doc_ids = np.empty(n_docs, dtype=np.int64)
-    tfs = np.empty(n_docs, dtype=np.int64)
-    dls = np.empty(n_docs, dtype=np.int64)
-    vpos = 0
-    opos = 0
-    for i in range(counts.size):
-        c = counts[i]
-        gaps = all_vals[vpos:vpos + c]
-        tfs[opos:opos + c] = all_vals[vpos + c:vpos + 2 * c].astype(np.int64)
-        dls[opos:opos + c] = all_vals[vpos + 2 * c:vpos + 3 * c].astype(np.int64)
-        ids = np.cumsum(gaps, dtype=np.uint64) + headers["first_doc"][i]
-        doc_ids[opos:opos + c] = ids.astype(np.int64)
-        vpos += 3 * c
-        opos += c
-    return Posting(doc_ids, tfs, dls)
+    gap_s, tf_s, dl_s = _sections(blob, headers, payload_off)
+    gaps = varint_decode(gap_s, count=n_docs)
+    tfs = varint_decode(tf_s, count=n_docs).astype(np.int64)
+    dls = varint_decode(dl_s, count=n_docs).astype(np.int64)
+    return Posting(_ids_from_gaps(gaps, headers), tfs, dls)
 
 
 def concat_postings(blobs: list[bytes]) -> bytes:
-    """Concatenate postings over DISJOINT ascending doc_id ranges.
-
-    Used to merge a hot term's salted runs (salt = doc_id range bucket,
-    so runs arrive range-ordered): header splice only, no re-encoding.
-    """
+    """Concatenate postings over DISJOINT ascending doc_id ranges (hot-term
+    salted runs): per-section memcpy splice + vectorized header offset
+    shifts — no varint re-encoding."""
     parts = [read_header(b) + (b,) for b in blobs]
     parts = [(h, n, off, b) for (h, n, off, b) in parts if n > 0]
     if not parts:
         return _FIXED.pack(_VERSION, 0, 0)
     if len(parts) == 1:
         return parts[0][3]
-    headers = np.concatenate([h for (h, _, _, _) in parts])
-    firsts = headers["first_doc"].astype(np.int64)
-    lasts = headers["last_doc"].astype(np.int64)
+    firsts = np.concatenate([h["first_doc"] for (h, _, _, _) in parts]).astype(np.int64)
+    lasts = np.concatenate([h["last_doc"] for (h, _, _, _) in parts]).astype(np.int64)
     if not (firsts[1:] > lasts[:-1]).all():
         raise ValueError("concat_postings: runs overlap or are out of order")
-    n_total = int(headers["n_docs"].sum())
-    payloads = b"".join(b[off:] for (_, _, off, b) in parts)
-    return _FIXED.pack(_VERSION, len(headers), n_total) + headers.tobytes() + payloads
+
+    headers = np.concatenate([h for (h, _, _, _) in parts]).copy()
+    n_total = 0
+    gap_parts, tf_parts, dl_parts = [], [], []
+    g_off = t_off = d_off = 0
+    row = 0
+    for (h, n, off, b) in parts:
+        gap_s, tf_s, dl_s = _sections(b, h, off)
+        nb = h.size
+        headers["gap_end"][row:row + nb] += np.uint32(g_off)
+        headers["tf_end"][row:row + nb] += np.uint32(t_off)
+        headers["dl_end"][row:row + nb] += np.uint32(d_off)
+        g_off += gap_s.size
+        t_off += tf_s.size
+        d_off += dl_s.size
+        gap_parts.append(gap_s)
+        tf_parts.append(tf_s)
+        dl_parts.append(dl_s)
+        n_total += n
+        row += nb
+    return (_FIXED.pack(_VERSION, len(headers), n_total) + headers.tobytes()
+            + b"".join(p.tobytes() for p in gap_parts + tf_parts + dl_parts))
 
 
 def block_max_scores(blob: bytes, idf: float) -> np.ndarray:
@@ -221,11 +283,14 @@ def decode_block(blob: bytes, block_idx: int) -> Posting:
     headers, n_docs, payload_off = read_header(blob)
     if not (0 <= block_idx < headers.size):
         raise IndexError(block_idx)
-    start = payload_off + int(headers["nbytes"][:block_idx].sum())
-    nb = int(headers["nbytes"][block_idx])
+    gap_s, tf_s, dl_s = _sections(blob, headers, payload_off)
+    g0 = int(headers["gap_end"][block_idx - 1]) if block_idx else 0
+    t0 = int(headers["tf_end"][block_idx - 1]) if block_idx else 0
+    d0 = int(headers["dl_end"][block_idx - 1]) if block_idx else 0
     c = int(headers["n_docs"][block_idx])
-    vals = varint_decode(np.frombuffer(blob, dtype=np.uint8, offset=start, count=nb),
-                         count=3 * c)
-    ids = (np.cumsum(vals[:c], dtype=np.uint64)
+    gaps = varint_decode(gap_s[g0:int(headers["gap_end"][block_idx])], count=c)
+    tfs = varint_decode(tf_s[t0:int(headers["tf_end"][block_idx])], count=c)
+    dls = varint_decode(dl_s[d0:int(headers["dl_end"][block_idx])], count=c)
+    ids = (np.cumsum(gaps, dtype=np.uint64)
            + headers["first_doc"][block_idx]).astype(np.int64)
-    return Posting(ids, vals[c:2 * c].astype(np.int64), vals[2 * c:].astype(np.int64))
+    return Posting(ids, tfs.astype(np.int64), dls.astype(np.int64))

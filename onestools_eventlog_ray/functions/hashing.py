@@ -19,21 +19,32 @@ import pyarrow as pa
 TERM_HASH_SEED = 0x51_F0_0D
 
 
-def sha256_hex(values: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Per-row sha256 hex of a utf8 column (the per-row audit invariant)."""
+def _hash_utf8_column(values: pa.Array | pa.ChunkedArray, algo) -> pa.Array:
+    """Per-row digest over the Arrow string buffers directly — no per-row
+    Python str materialization (zero-copy memoryview slices)."""
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
-    return pa.array([hashlib.sha256(v.encode("utf-8")).hexdigest()
-                     if v is not None else None
-                     for v in values.to_pylist()], type=pa.string())
+    if values.null_count:
+        return pa.array([algo(v.encode("utf-8")).hexdigest()
+                         if v is not None else None
+                         for v in values.to_pylist()], type=pa.string())
+    buffers = values.buffers()
+    # [validity, offsets, data] for string/large_string
+    width = 8 if pa.types.is_large_string(values.type) else 4
+    offsets = np.frombuffer(buffers[1], dtype=np.int64 if width == 8 else np.int32,
+                            count=len(values) + 1 + values.offset)[values.offset:]
+    data = memoryview(buffers[2])
+    return pa.array([algo(data[offsets[i]:offsets[i + 1]]).hexdigest()
+                     for i in range(len(values))], type=pa.string())
+
+
+def sha256_hex(values: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Per-row sha256 hex of a utf8 column (the per-row audit invariant)."""
+    return _hash_utf8_column(values, hashlib.sha256)
 
 
 def md5_hex(values: pa.Array | pa.ChunkedArray) -> pa.Array:
-    if isinstance(values, pa.ChunkedArray):
-        values = values.combine_chunks()
-    return pa.array([hashlib.md5(v.encode("utf-8")).hexdigest()
-                     if v is not None else None
-                     for v in values.to_pylist()], type=pa.string())
+    return _hash_utf8_column(values, hashlib.md5)
 
 
 def doc_id_from_keys(*key_cols: pa.Array | pa.ChunkedArray) -> pa.Array:

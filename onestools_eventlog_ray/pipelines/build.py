@@ -2,10 +2,9 @@
 export lifecycle (``/root/reference/OneSTools.EventLog.Exporter.Core/EventLogExporter.cs:96-156``):
 
     read_parquet(corpus)
-      -> map_batches(PrepareDocs)        [docstore + sha256 + n_tokens]
-      -> write_parquet(docstore)                                   pass A
-    corpus stats rollup (N, avgdl, fingerprint)  [partial-agg, no shuffle]
-    hot-term detection on a deterministic doc_id sample            pass H
+      -> map_batches(DocstoreSink)  [docstore part files + sha256 +
+            per-batch stats/hot-candidate partials — fused sink]   pass A
+    fold partials -> N, avgdl, fingerprint, hot-term salt fan-out
     read_parquet(corpus, content only)
       -> map_batches(TripleEmitter)      [(term, doc_id, tf, dl)]
       -> map_batches(AssignShard)        [pkey/salt/gkey, resume filter]
@@ -24,23 +23,17 @@ import math
 import os
 import time
 
-import pyarrow as pa
-import pyarrow.compute as pc
-
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 from onestools_eventlog_ray.config import EngineConfig
 from onestools_eventlog_ray.sources.corpus import CorpusSpec, CODE_CORPUS_SPEC, read_corpus
-from onestools_eventlog_ray.stages.normalize import PrepareDocs, add_doc_id
-from onestools_eventlog_ray.stages.tokenize import TripleEmitter
-from onestools_eventlog_ray.stages.postings import (AssignShard, make_encode_runs,
+from onestools_eventlog_ray.stages.normalize import docstore_sink
+from onestools_eventlog_ray.stages.tokenize import emit_triples
+from onestools_eventlog_ray.stages.postings import (assign_shard, make_encode_runs,
                                                     make_merge_and_write)
 from onestools_eventlog_ray.stages import stats as stats_mod
 from onestools_eventlog_ray.state import checkpoint as ckpt
-
-HOT_SAMPLE_TARGET_DOCS = 50_000
 
 
 def _pool_size() -> int:
@@ -69,48 +62,6 @@ def _input_signature(corpus_paths) -> str:
     return h.hexdigest()
 
 
-def detect_hot_terms(corpus_paths, spec: CorpusSpec, cfg: EngineConfig,
-                     n_docs: int) -> dict[str, int]:
-    """Estimate per-term df on a deterministic doc_id-hash sample and size
-    the salt fan-out for terms whose projected df exceeds the threshold.
-
-    Salting needs only a good ESTIMATE (any assignment merges correctly —
-    see stages/postings.py); exact df/cf are computed from the merged
-    postings themselves.
-    """
-    if n_docs <= cfg.salt_threshold:
-        return {}
-    m = max(1, n_docs // HOT_SAMPLE_TARGET_DOCS)
-
-    def sample_triples(batch: pa.Table) -> pa.Table:
-        import numpy as np
-        b = add_doc_id(batch, spec)
-        if m > 1:
-            ids = b["doc_id"].to_numpy(zero_copy_only=False)
-            b = b.filter(pa.array(ids % m == 0))
-        from onestools_eventlog_ray.functions.analyzer import doc_term_table
-        triples, _ = doc_term_table(b["doc_id"], b["content"], cfg.token_split_pattern)
-        # partial df per term within the batch
-        return triples.group_by("term").aggregate([("doc_id", "count")]) \
-                      .rename_columns(["term", "df_part"])
-
-    ds = read_corpus(corpus_paths, spec, with_meta=False)
-    df_ds = ds.map_batches(sample_triples, batch_format="pyarrow",
-                           batch_size=cfg.tokenize_batch_size)
-    agg = df_ds.groupby("term").aggregate(Sum("df_part", alias_name="df_est"))
-    thr = max(1, cfg.salt_threshold // m)
-    hot_rows = agg.map_batches(
-        lambda t: t.filter(pc.greater(t["df_est"], thr)),
-        batch_format="pyarrow").take_all()
-    hot: dict[str, int] = {}
-    for r in hot_rows:
-        df_est = int(r["df_est"]) * m
-        n_salts = min(cfg.max_salts, math.ceil(df_est / cfg.salt_target_run))
-        if n_salts > 1:
-            hot[r["term"]] = n_salts
-    return hot
-
-
 def build_index(corpus_paths, index_dir: str,
                 spec: CorpusSpec = CODE_CORPUS_SPEC,
                 cfg: EngineConfig = EngineConfig(),
@@ -118,7 +69,6 @@ def build_index(corpus_paths, index_dir: str,
     """Build (or resume) the full-text index. Returns a build report dict."""
     t_start = time.monotonic()
     os.makedirs(index_dir, exist_ok=True)
-    pool = cfg.tokenize_concurrency or _pool_size()
 
     # ---- pass A: docstore + per-row invariants --------------------------
     dstore = docstore_path(index_dir)
@@ -131,24 +81,39 @@ def build_index(corpus_paths, index_dir: str,
     reuse_docstore = (os.path.exists(done_marker)
                       and open(done_marker).read() == marker_text)
     t0 = time.monotonic()
+    df_est: dict[str, int] = {}
     if not reuse_docstore:
-        ds = read_corpus(corpus_paths, spec)
-        ds = ds.map_batches(PrepareDocs, batch_format="pyarrow",
-                            batch_size=cfg.tokenize_batch_size,
-                            concurrency=(1, pool),
-                            fn_constructor_kwargs=dict(
-                                spec=spec, token_split_pattern=cfg.token_split_pattern,
-                                store_content=cfg.store_content))
+        # fused pass: write docstore part files + emit stats/hot partials
+        # (one corpus read instead of write + stats-read + hot-sample)
         os.makedirs(dstore, exist_ok=True)
-        ds.write_parquet(dstore)
+        ds = read_corpus(corpus_paths, spec)
+        partials = ds.map_batches(docstore_sink, batch_format="pyarrow",
+                                  batch_size=cfg.tokenize_batch_size,
+                                  fn_kwargs=dict(
+                                      spec=spec,
+                                      token_split_pattern=cfg.token_split_pattern,
+                                      store_content=cfg.store_content,
+                                      docstore_dir=dstore)).take_all()
+        stats = stats_mod.fold_stats(partials)
+        df_est = stats_mod.fold_hot_candidates(partials)
+        ckpt.write_stats(index_dir, {**stats, "df_est_hot_candidates": df_est,
+                                     "num_partitions": cfg.num_partitions,
+                                     "config": cfg.to_dict()})
         ckpt.atomic_write_text(done_marker, marker_text)
-    t_docstore = time.monotonic() - t0
-
-    # ---- corpus stats (partial-agg rollup over 3 narrow columns) --------
-    t0 = time.monotonic()
-    stats = stats_mod.corpus_stats_from_docstore(dstore)
+    else:
+        try:
+            prior = ckpt.read_stats(index_dir)
+            stats = {k: prior[k] for k in
+                     ("n_docs", "total_tokens", "avgdl", "max_doc_id",
+                      "fingerprint")}
+            df_est = prior.get("df_est_hot_candidates", {})
+        except (FileNotFoundError, KeyError):
+            # docstore exists but stats manifest lost: recompute the
+            # rollup from the docstore's narrow columns
+            stats = stats_mod.corpus_stats_from_docstore(dstore)
     fingerprint = stats["fingerprint"]
-    t_stats = time.monotonic() - t0
+    t_docstore = time.monotonic() - t0
+    t_stats = 0.0
 
     # ---- resume check ---------------------------------------------------
     P = cfg.num_partitions
@@ -156,29 +121,32 @@ def build_index(corpus_paths, index_dir: str,
     done = {p for p in done if p < P}
 
     t_hot = t_build = 0.0
-    hot = hot_terms if hot_terms is not None else {}
+    if hot_terms is not None:
+        hot = hot_terms
+    else:
+        # salt fan-out from the pass-A df estimates (SURVEY.md §4 'Skew')
+        hot = {}
+        for t, d in df_est.items():
+            if d > cfg.salt_threshold:
+                n_salts = min(cfg.max_salts,
+                              math.ceil(d / cfg.salt_target_run))
+                if n_salts > 1:
+                    hot[t] = n_salts
     if len(done) < P:
-        # ---- pass H: hot-term detection for skew salting ----------------
-        if hot_terms is None:
-            t0 = time.monotonic()
-            hot = detect_hot_terms(corpus_paths, spec, cfg, stats["n_docs"])
-            t_hot = time.monotonic() - t0
         hot_ref = ray.put(hot)
 
         # ---- pass B: triples -> salted shuffle -> shards ----------------
         t0 = time.monotonic()
         id_space_max = max(stats["max_doc_id"], 0)
         ds = read_corpus(corpus_paths, spec, with_meta=False)
-        triples = ds.map_batches(TripleEmitter, batch_format="pyarrow",
+        triples = ds.map_batches(emit_triples, batch_format="pyarrow",
                                  batch_size=cfg.tokenize_batch_size,
-                                 concurrency=(1, pool),
-                                 fn_constructor_kwargs=dict(
+                                 fn_kwargs=dict(
                                      spec=spec,
                                      token_split_pattern=cfg.token_split_pattern))
-        keyed = triples.map_batches(AssignShard, batch_format="pyarrow",
+        keyed = triples.map_batches(assign_shard, batch_format="pyarrow",
                                     batch_size=cfg.triple_batch_size,
-                                    concurrency=(1, pool),
-                                    fn_constructor_kwargs=dict(
+                                    fn_kwargs=dict(
                                         hot_ref=hot_ref, num_partitions=P,
                                         id_space_max=id_space_max,
                                         done_pkeys=frozenset(done)))
@@ -206,6 +174,7 @@ def build_index(corpus_paths, index_dir: str,
         **stats,
         "num_partitions": P,
         "config": cfg.to_dict(),
+        "df_est_hot_candidates": df_est,
         "hot_terms": hot,
         "spec": {"content_col": spec.content_col, "id_col": spec.id_col,
                  "key_cols": list(spec.key_cols), "meta_cols": list(spec.meta_cols)},

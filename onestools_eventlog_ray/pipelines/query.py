@@ -293,15 +293,17 @@ class QueryScorer:
 
 
 def score_queries(index_dir: str, queries, k: int = 10,
-                  use_wand: bool = False, concurrency=(1, 8)):
+                  use_wand: bool = False, concurrency=(1, 8),
+                  batch_size: int = 8):
     """Queries (list[dict] or Dataset with query_id/terms[/k]) -> Dataset
-    of (query_id, rank, doc_id, score)."""
+    of (query_id, rank, doc_id, score).  Small ``batch_size`` spreads a
+    small query batch across the scorer actor pool."""
     import ray.data
     if not isinstance(queries, ray.data.Dataset):
         rows = [{"query_id": q["query_id"], "terms": list(q["terms"]),
                  "k": int(q.get("k", k))} for q in queries]
         queries = ray.data.from_items(rows)
     return queries.map_batches(QueryScorer, batch_format="pyarrow",
-                               batch_size=64, concurrency=concurrency,
+                               batch_size=batch_size, concurrency=concurrency,
                                fn_constructor_kwargs=dict(index_dir=index_dir,
                                                           use_wand=use_wand))

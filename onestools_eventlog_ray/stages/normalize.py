@@ -32,7 +32,7 @@ class PrepareDocs:
         self.pattern = token_split_pattern
         self.store_content = store_content
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def prepare(self, batch: pa.Table) -> tuple[pa.Table, pa.ListArray]:
         spec = self.spec
         content = batch[spec.content_col]
         if spec.id_col:
@@ -48,7 +48,10 @@ class PrepareDocs:
         cols["content_sha256"] = sha256_hex(content)
         if self.store_content:
             cols["content"] = content
-        return pa.table(cols)
+        return pa.table(cols), toks
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.prepare(batch)[0]
 
 
 def add_doc_id(batch: pa.Table, spec: CorpusSpec) -> pa.Table:
@@ -58,3 +61,74 @@ def add_doc_id(batch: pa.Table, spec: CorpusSpec) -> pa.Table:
     else:
         doc_id = doc_id_from_keys(*[batch[c] for c in spec.key_cols])
     return pa.table({"doc_id": doc_id, "content": batch[spec.content_col]})
+
+
+class DocstoreSink(PrepareDocs):
+    """Fused pass-A stage: prepares the docstore batch, WRITES it as a
+    parquet part file itself (custom-sink pattern), and emits one tiny
+    partial row: corpus stats rollup + the batch's top local-df terms
+    (hot-term candidates for salting).
+
+    One corpus read replaces the previous docstore-write + stats-read +
+    hot-sample passes.  Idempotent under Ray task retries: the part-file
+    name is derived from the batch's content rollup and committed via
+    tmp + atomic rename, so a re-executed task rewrites the same file.
+    """
+
+    TOP_CANDIDATES = 64
+
+    def __init__(self, spec: CorpusSpec, token_split_pattern: str,
+                 store_content: bool, docstore_dir: str):
+        super().__init__(spec, token_split_pattern, store_content)
+        self.docstore_dir = docstore_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.parquet as pq
+        from onestools_eventlog_ray.state.checkpoint import atomic_write_bytes
+
+        out, toks = self.prepare(batch)
+
+        # ---- stats rollup (commutative, retry/ordering independent) ---
+        n = out.num_rows
+        n_tokens = out["n_tokens"].to_numpy(zero_copy_only=False)
+        doc_ids = out["doc_id"].to_numpy(zero_copy_only=False)
+        acc = 0
+        for h in out["content_sha256"].to_pylist():
+            acc ^= int(h[:16], 16)
+
+        # ---- deterministic idempotent part file ------------------------
+        fname = f"part-{n:08d}-{acc:016x}.parquet"
+        atomic_write_bytes(f"{self.docstore_dir}/{fname}",
+                           lambda tmp: pq.write_table(out, tmp))
+
+        # ---- hot-term candidates: top local-df terms of this batch -----
+        flat = toks.flatten()
+        parents = pc.list_parent_indices(toks)
+        uniq_pairs = pa.table({"parent": parents, "term": flat}) \
+            .group_by(["parent", "term"]).aggregate([])
+        local_df = uniq_pairs.group_by("term").aggregate([("parent", "count")])
+        terms = local_df["term"].to_pylist()
+        dfs = local_df["parent_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        top = np.argsort(-dfs, kind="stable")[:self.TOP_CANDIDATES]
+        top = top[dfs[top] >= 2]
+
+        return pa.table({
+            "n_docs": pa.array([n], pa.int64()),
+            "total_tokens": pa.array([int(n_tokens.sum())], pa.int64()),
+            "max_doc_id": pa.array([int(doc_ids.max()) if n else -1], pa.int64()),
+            "sha_xor": pa.array([np.int64(acc - (1 << 63))], pa.int64()),
+            "cand_terms": pa.array([[terms[i] for i in top]],
+                                   pa.list_(pa.string())),
+            "cand_dfs": pa.array([[int(dfs[i]) for i in top]],
+                                 pa.list_(pa.int64())),
+        })
+
+
+def docstore_sink(batch: pa.Table, *, spec: CorpusSpec, token_split_pattern: str,
+                  store_content: bool, docstore_dir: str) -> pa.Table:
+    """Stateless-task form of :class:`DocstoreSink` (no heavy per-worker
+    state; plain tasks reuse prestarted workers across stages instead of
+    paying an actor-pool spin-up per stage)."""
+    return DocstoreSink(spec, token_split_pattern, store_content,
+                        docstore_dir)(batch)

@@ -103,6 +103,21 @@ class AssignShard:
         return out
 
 
+def assign_shard(batch: pa.Table, *, hot_ref, num_partitions: int,
+                 id_space_max: int, done_pkeys: frozenset[int]) -> pa.Table:
+    """Stateless-task form of :class:`AssignShard`: the broadcast hot map
+    is a ``ray.put`` ref fetched with a local object-store hit per task
+    (cached in the worker's plasma client after the first fetch)."""
+    import ray
+    hot = ray.get(hot_ref) if hot_ref is not None else {}
+    stage = AssignShard.__new__(AssignShard)
+    stage.hot = hot
+    stage.P = num_partitions
+    stage.id_space_max = max(int(id_space_max), 0)
+    stage.done = done_pkeys
+    return stage(batch)
+
+
 def make_encode_runs(avgdl: float, k1: float, b: float, block_size: int):
     """map_groups(fn) over ``gkey``: encode every (term, salt) run in the group."""
 

@@ -48,6 +48,19 @@ def fold_stats(partials: list[dict]) -> dict:
     }
 
 
+def fold_hot_candidates(partials: list[dict]) -> dict[str, int]:
+    """Fold the per-batch top-local-df candidate lists into global df
+    estimates.  Genuinely hot terms (df comparable to N) rank in the top
+    candidates of essentially every batch, so their estimate is near-exact;
+    an undercounted borderline term just gets fewer salts — the salted
+    build is correct for ANY salt assignment (tests/test_salt_equivalence)."""
+    df_est: dict[str, int] = {}
+    for p in partials:
+        for t, d in zip(p.get("cand_terms") or [], p.get("cand_dfs") or []):
+            df_est[t] = df_est.get(t, 0) + int(d)
+    return df_est
+
+
 def corpus_stats_from_docstore(docstore_path: str) -> dict:
     """Aggregate the docstore's 3 narrow columns (column-pruned read)."""
     ds = ray.data.read_parquet(

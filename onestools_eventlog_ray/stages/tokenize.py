@@ -27,3 +27,16 @@ class TripleEmitter:
         b = add_doc_id(batch, self.spec)
         triples, _stats = doc_term_table(b["doc_id"], b["content"], self.pattern)
         return triples
+
+
+def emit_triples(batch: pa.Table, *, spec: CorpusSpec,
+                 token_split_pattern: str) -> pa.Table:
+    """Stateless-task form of :class:`TripleEmitter`.
+
+    There is no heavy per-worker state here (the pattern is a string), so
+    plain tasks beat an actor pool: they reuse Ray's prestarted worker
+    processes across ALL stages instead of paying a pool spin-up per
+    stage — measured ~5s of fixed wall per pool on this workload."""
+    b = add_doc_id(batch, spec)
+    triples, _ = doc_term_table(b["doc_id"], b["content"], token_split_pattern)
+    return triples

@@ -46,16 +46,20 @@ def make_vocab() -> list[str]:
 
 
 def generate_corpus(n_docs: int, seed: int = 42,
-                    min_len: int = 20, max_len: int = 2000) -> pa.Table:
+                    min_len: int = 20, max_len: int = 2000,
+                    start: int = 0) -> pa.Table:
+    """``start`` offsets repo/path naming so chunked generation with
+    per-chunk rngs stays disjoint and deterministic."""
     rng = np.random.default_rng(seed)
     vocab = np.asarray(make_vocab(), dtype=object)
 
-    repos = np.asarray([f"org{i % 7}/repo{i % 23}" for i in range(n_docs)], dtype=object)
+    repos = np.asarray([f"org{(start + i) % 7}/repo{(start + i) % 23}"
+                        for i in range(n_docs)], dtype=object)
     langs_idx = rng.choice(len(LANGS), size=n_docs, p=LANG_WEIGHTS / LANG_WEIGHTS.sum())
     langs = np.asarray([LANGS[i] for i in langs_idx], dtype=object)
     paths = np.asarray(
-        [f"src/d{rng.integers(0, 40)}/f{i}.{LANG_EXT[langs[i]]}" for i in range(n_docs)],
-        dtype=object)
+        [f"src/d{rng.integers(0, 40)}/f{start + i}.{LANG_EXT[langs[i]]}"
+         for i in range(n_docs)], dtype=object)
     commits = np.asarray(
         [hashlib.sha1(f"{repos[i]}/{paths[i]}".encode()).hexdigest() for i in range(n_docs)],
         dtype=object)
@@ -88,18 +92,33 @@ def generate_corpus(n_docs: int, seed: int = 42,
 
 
 def write_corpus(path: str, n_docs: int, seed: int = 42,
-                 rows_per_file: int = 25_000) -> str:
-    """Write the corpus as a directory of parquet files (cached: skip if
-    a matching _SYNTH_META marker already exists)."""
-    meta = f"n_docs={n_docs} seed={seed} v=1"
+                 rows_per_file: int = 5_000) -> str:
+    """Write the corpus as a directory of parquet files (cached: skip if a
+    matching _SYNTH_META marker already exists).  Chunks are generated
+    with independent per-chunk rng seeds — deterministic, and generated
+    in parallel as Ray tasks when a Ray session is up.  Small files +
+    small row groups give the read stage real task parallelism (the
+    100 TB corpus would likewise arrive as many files)."""
+    meta = f"n_docs={n_docs} seed={seed} rpf={rows_per_file} v=2"
     marker = os.path.join(path, "_SYNTH_META")
     if os.path.exists(marker) and open(marker).read() == meta:
         return path
     os.makedirs(path, exist_ok=True)
-    tbl = generate_corpus(n_docs, seed)
-    for start in range(0, n_docs, rows_per_file):
-        pq.write_table(tbl.slice(start, rows_per_file),
-                       os.path.join(path, f"part-{start // rows_per_file:05d}.parquet"))
+    chunks = [(start, min(rows_per_file, n_docs - start))
+              for start in range(0, n_docs, rows_per_file)]
+
+    def _write_chunk(start: int, n: int) -> None:
+        tbl = generate_corpus(n, seed=seed + start, start=start)
+        pq.write_table(tbl, os.path.join(path, f"part-{start // rows_per_file:05d}.parquet"),
+                       row_group_size=1024)
+
+    import ray
+    if ray.is_initialized():
+        gen = ray.remote(lambda s, n: _write_chunk(s, n))
+        ray.get([gen.remote(s, n) for s, n in chunks])
+    else:
+        for s_, n_ in chunks:
+            _write_chunk(s_, n_)
     with open(marker, "w") as f:
         f.write(meta)
     return path
