@@ -47,6 +47,14 @@ class EngineConfig:
     triple_batch_size: int | None = None
     tokenize_concurrency: int | None = None  # None = stateless tasks sized by Ray
 
+    # ---- pass-B execution engine --------------------------------------
+    # "exchange": explicit two-level partition exchange with raw Ray tasks
+    #   (stages/exchange.py) — measured ~2x lower fixed overhead than the
+    #   Dataset groupby path on the integer-keyed posting shuffle.
+    # "raydata": groupby(gkey)/groupby(pkey) Dataset path.
+    # Both produce identical shards (tests/test_exchange.py).
+    postings_impl: str = "exchange"
+
     # ---- scoring -----------------------------------------------------
     bm25: Bm25Params = field(default_factory=Bm25Params)
 

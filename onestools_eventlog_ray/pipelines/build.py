@@ -133,31 +133,37 @@ def build_index(corpus_paths, index_dir: str,
                 if n_salts > 1:
                     hot[t] = n_salts
     if len(done) < P:
-        hot_ref = ray.put(hot)
-
         # ---- pass B: triples -> salted shuffle -> shards ----------------
         t0 = time.monotonic()
         id_space_max = max(stats["max_doc_id"], 0)
         ds = read_corpus(corpus_paths, spec, with_meta=False)
-        triples = ds.map_batches(emit_triples, batch_format="pyarrow",
-                                 batch_size=cfg.tokenize_batch_size,
-                                 fn_kwargs=dict(
-                                     spec=spec,
-                                     token_split_pattern=cfg.token_split_pattern))
-        keyed = triples.map_batches(assign_shard, batch_format="pyarrow",
-                                    batch_size=cfg.triple_batch_size,
-                                    fn_kwargs=dict(
-                                        hot_ref=hot_ref, num_partitions=P,
-                                        id_space_max=id_space_max,
-                                        done_pkeys=frozenset(done)))
-        runs = keyed.groupby("gkey").map_groups(
-            make_encode_runs(stats["avgdl"], cfg.bm25.k1, cfg.bm25.b,
-                             cfg.block_size),
-            batch_format="pyarrow")
-        merged = runs.groupby("pkey").map_groups(
-            make_merge_and_write(index_dir, fingerprint),
-            batch_format="pyarrow")
-        part_rows = merged.take_all()   # <= P tiny rows
+        if cfg.postings_impl == "exchange":
+            from onestools_eventlog_ray.stages.exchange import \
+                build_postings_exchange
+            part_rows = build_postings_exchange(
+                ds, spec, cfg, {**stats, "fingerprint": fingerprint},
+                hot, index_dir, frozenset(done))
+        else:
+            hot_ref = ray.put(hot)
+            triples = ds.map_batches(emit_triples, batch_format="pyarrow",
+                                     batch_size=cfg.tokenize_batch_size,
+                                     fn_kwargs=dict(
+                                         spec=spec,
+                                         token_split_pattern=cfg.token_split_pattern))
+            keyed = triples.map_batches(assign_shard, batch_format="pyarrow",
+                                        batch_size=cfg.triple_batch_size,
+                                        fn_kwargs=dict(
+                                            hot_ref=hot_ref, num_partitions=P,
+                                            id_space_max=id_space_max,
+                                            done_pkeys=frozenset(done)))
+            runs = keyed.groupby("gkey").map_groups(
+                make_encode_runs(stats["avgdl"], cfg.bm25.k1, cfg.bm25.b,
+                                 cfg.block_size),
+                batch_format="pyarrow")
+            merged = runs.groupby("pkey").map_groups(
+                make_merge_and_write(index_dir, fingerprint),
+                batch_format="pyarrow")
+            part_rows = merged.take_all()   # <= P tiny rows
         t_build = time.monotonic() - t0
 
         # empty partitions (no terms hash there) still get a checkpoint record

@@ -44,6 +44,33 @@ RUN_SCHEMA = pa.schema([
 ])
 
 
+def compute_keys(uniq: list[str], idx: np.ndarray, doc_ids: np.ndarray,
+                 hot: dict[str, int], P: int, id_space_max: int
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Shared key computation: per-row (pkey, salt, gkey) from the batch's
+    dictionary-encoded terms.  pkey = blake2b(term) % P; hot terms get a
+    doc_id-RANGE salt and gkey = blake2b(term#salt) % P so their runs
+    build on different tasks (cold terms: salt 0, gkey == pkey)."""
+    upkey = term_partition(uniq, P)
+    pkey = upkey[idx].astype(np.int32)
+    salt = np.zeros(idx.size, dtype=np.int32)
+    gkey = pkey.copy()
+    if hot:
+        width_cache: dict[int, int] = {}
+        for u_i, t in enumerate(uniq):
+            s = hot.get(t)
+            if not s or s <= 1:
+                continue
+            rows = np.flatnonzero(idx == u_i)
+            width = width_cache.setdefault(s, (max(id_space_max, 0) // s) + 1)
+            tsalt = (doc_ids[rows] // width).astype(np.int32)
+            salt[rows] = tsalt
+            usalts = np.unique(tsalt)
+            gk = term_partition([f"{t}#{v}" for v in usalts], P)
+            gkey[rows] = gk[np.searchsorted(usalts, tsalt)].astype(np.int32)
+    return pkey, salt, gkey
+
+
 class AssignShard:
     """triples -> triples + (pkey, salt, gkey).
 
@@ -74,26 +101,9 @@ class AssignShard:
         dict_arr = term_col.dictionary_encode()
         uniq = dict_arr.dictionary.to_pylist()
         idx = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-
-        upkey = term_partition(uniq, self.P)
-        pkey = upkey[idx].astype(np.int32)
-
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        salt = np.zeros(batch.num_rows, dtype=np.int32)
-        gkey = pkey.copy()
-        if self.hot:
-            width_cache: dict[int, int] = {}
-            for u_i, t in enumerate(uniq):
-                s = self.hot.get(t)
-                if not s or s <= 1:
-                    continue
-                rows = np.flatnonzero(idx == u_i)
-                width = width_cache.setdefault(s, (self.id_space_max // s) + 1)
-                tsalt = (doc_ids[rows] // width).astype(np.int32)
-                salt[rows] = tsalt
-                usalts = np.unique(tsalt)
-                gk = term_partition([f"{t}#{v}" for v in usalts], self.P)
-                gkey[rows] = gk[np.searchsorted(usalts, tsalt)].astype(np.int32)
+        pkey, salt, gkey = compute_keys(uniq, idx, doc_ids, self.hot,
+                                        self.P, self.id_space_max)
         out = batch.append_column("pkey", pa.array(pkey, pa.int32())) \
                    .append_column("salt", pa.array(salt, pa.int32())) \
                    .append_column("gkey", pa.array(gkey, pa.int32()))
