@@ -43,6 +43,13 @@ def _index_dir_for(sf_dir: str) -> str:
     return f"/tmp/oel_ray_index/{h}"
 
 
+def _sf_of(sf_dir: str) -> float:
+    try:
+        return float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        return 0.01
+
+
 def _ensure_index(sf_dir: str) -> str:
     from onestools_eventlog_ray.config import EngineConfig
     from onestools_eventlog_ray.pipelines.build import build_index
@@ -157,7 +164,85 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "cos_e6": pa.array(e6[order], pa.int64()),
         })
 
-    # ---- non-SQL-expressible (driver does rows-only checks) ----------
+    def window_counts(sf_dir):
+        import ray.data
+        from onestools_eventlog_ray.pipelines import streaming
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["user_id", "ts", "value"])
+        return streaming.tumbling_window_counts(ds, window_s=3600)
+
+    def sessionize(sf_dir):
+        import ray.data
+        from onestools_eventlog_ray.pipelines import streaming
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["user_id", "ts"])
+        return streaming.sessionize(ds, gap_s=1800)
+
+    def cosine_pairs(sf_dir):
+        import pyarrow.parquet as pq
+        import ray.data
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        emb = pq.read_table(path, columns=["vec_id", "embedding"])
+        all_ids = emb["vec_id"].to_numpy(zero_copy_only=False)
+        mat = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+        ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        res = similarity.cosine_pairs(ds, all_ids, mat, threshold=0.45)
+        t = res.to_pandas()
+        t["cos_e6"] = np.floor(t.pop("cosine") * 1_000_000 + 0.5).astype("int64")
+        return t.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+
+    def ngram_jaccard_topk(sf_dir):
+        t = dedup.ngram_jaccard_pairs(_documents_ds(sf_dir), DOCUMENTS_SPEC,
+                                      n=3, max_doc_id=40).to_pandas()
+        t["jaccard_e6"] = np.floor(t.pop("jaccard") * 1_000_000 + 0.5).astype("int64")
+        # rank on the ROUNDED value (same integer the oracle ranks on)
+        t = t.sort_values(["jaccard_e6", "doc_a", "doc_b"],
+                          ascending=[False, True, True]).head(20)
+        return t.reset_index(drop=True)
+
+    def bm25_incremental(sf_dir):
+        """Two-generation incremental index over a doc_id split of the
+        documents table; must give the SAME ranking as the single-build
+        oracle (global stats compose exactly — pipelines/incremental.py)."""
+        import duckdb
+        from onestools_eventlog_ray.config import EngineConfig
+        from onestools_eventlog_ray.pipelines.incremental import (
+            GenerationalSearchEngine, add_generation, list_generations)
+        from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC as DS
+        root = _index_dir_for(sf_dir) + "_gens"
+        if len(list_generations(root)) < 2:
+            src = os.path.join(sf_dir, "documents.parquet")
+            half_dir = root + "_src"
+            os.makedirs(half_dir, exist_ok=True)
+            con = duckdb.connect()
+            n = con.sql(f"SELECT max(doc_id) FROM read_parquet('{src}')").fetchone()[0]
+            for i, pred in enumerate([f"doc_id <= {n // 2}", f"doc_id > {n // 2}"]):
+                con.sql(f"COPY (SELECT * FROM read_parquet('{src}') WHERE {pred}) "
+                        f"TO '{half_dir}/half{i}.parquet' (FORMAT PARQUET)")
+                add_generation(f"{half_dir}/half{i}.parquet", root, spec=DS,
+                               cfg=EngineConfig(num_partitions=16))
+        eng = GenerationalSearchEngine(root)
+        hits = eng.search(_BM25_TERMS, k=1_000_000)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
+    def media_features(sf_dir):
+        """Multimodal plumbing demo: deterministic fake media payloads ->
+        actor-pool decode/feature stage (stubbed codec; no image libs in
+        this container)."""
+        import ray.data
+        from onestools_eventlog_ray.stages.multimodal import (
+            extract_media_features, synthesize_media_table)
+        n = max(60, int(200 * _sf_of(sf_dir) * 10))
+        ds = ray.data.from_arrow(synthesize_media_table(n, seed=42))
+        return extract_media_features(ds, batch_size=16, concurrency=(1, 2))
+
     def language_id(sf_dir):
         return text.language_id(_documents_ds(sf_dir), DOCUMENTS_SPEC)
 
@@ -189,6 +274,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": events_by_type,
         "lineitem_qty_by_flag": lineitem_qty_by_flag,
         "knn_cosine": knn_cosine,
+        "window_counts": window_counts,
+        "sessionize": sessionize,
+        "cosine_pairs": cosine_pairs,
+        "ngram_jaccard_topk": ngram_jaccard_topk,
+        "bm25_incremental": bm25_incremental,
+        "media_features": media_features,
         "language_id": language_id,
         "rolling_fingerprint": rolling_fingerprint,
         "minhash_lsh_groups": minhash_lsh_groups,
@@ -279,6 +370,9 @@ LIMIT 10""",
 
         "bm25_topk": _bm25_sql(_BM25_TERMS),
         "bm25_topk_single": _bm25_sql(_BM25_TERMS_SINGLE),
+        # the incremental (two-generation) engine must reproduce the very
+        # same single-build BM25 ranking
+        "bm25_incremental": _bm25_sql(_BM25_TERMS),
 
         "exact_dedup": """
 SELECT md5(text) AS content_md5, min(doc_id) AS rep_doc_id,
@@ -297,6 +391,77 @@ FROM events GROUP BY event_type""",
 SELECT l_returnflag, l_linestatus,
        sum(CAST(l_quantity AS BIGINT)) AS sum_qty, count(*) AS n
 FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+        "window_counts": """
+SELECT user_id,
+       (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       count(*) AS n_events,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY user_id, window_start_us""",
+
+        "sessionize": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts FROM events),
+m AS (SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+             OR ts - lag(ts) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, ts,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+SELECT user_id, min(ts) AS session_start_us, max(ts) AS session_end_us,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid""",
+
+        "cosine_pairs": """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) AS BIGINT)
+         AS cos_e6
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.45""",
+
+        "ngram_jaccard_topk": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents WHERE doc_id < 40),
+sh AS (SELECT doc_id,
+              list_distinct([t[i] || '|' || t[i+1] || '|' || t[i+2]
+                             for i in range(1, len(t) - 1)]) AS s
+       FROM toks),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.s, b.s)) * 1.0
+           / len(list_distinct(a.s || b.s)) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jaccard_e6
+FROM pairs
+ORDER BY jaccard_e6 DESC, doc_a, doc_b
+LIMIT 20""",
+
+        "language_id": """
+WITH toks AS (SELECT doc_id,
+    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                       x -> x <> '')) AS term
+  FROM documents),
+hits AS (SELECT doc_id,
+    count(*) FILTER (WHERE term IN ('der','die','das','und','ist','nicht','mit','ein','zu','den')) AS h_de,
+    count(*) FILTER (WHERE term IN ('the','and','of','to','a','in','is','it','for','with')) AS h_en,
+    count(*) FILTER (WHERE term IN ('el','la','los','y','es','un','una','de','en','para')) AS h_es,
+    count(*) FILTER (WHERE term IN ('le','la','les','et','est','un','une','des','dans','pour')) AS h_fr
+  FROM toks GROUP BY doc_id)
+SELECT d.doc_id,
+  CASE WHEN coalesce(greatest(h_de, h_en, h_es, h_fr), 0) = 0 THEN 'und'
+       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+       WHEN h_es >= h_fr THEN 'es'
+       ELSE 'fr' END AS pred_lang,
+  coalesce(greatest(h_de, h_en, h_es, h_fr), 0) AS stopword_hits
+FROM documents d LEFT JOIN hits USING (doc_id)""",
 
         "knn_cosine": """
 WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

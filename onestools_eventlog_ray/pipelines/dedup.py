@@ -199,6 +199,55 @@ def minhash_dedup_pairs(ds: ray.data.Dataset,
         "jaccard": pa.array(out_j, pa.float64())}))
 
 
+def ngram_jaccard_pairs(ds: ray.data.Dataset,
+                        spec: CorpusSpec = DOCUMENTS_SPEC,
+                        n: int = 3, max_doc_id: int | None = None,
+                        top_k: int | None = None) -> pa.Table:
+    """Exact token-n-gram Jaccard for all doc pairs (optionally bounded
+    to doc_id < max_doc_id): the verification primitive behind
+    MinHash-LSH.  Shingles are JOINED TOKEN STRINGS (``a|b|c``) so the
+    result is string-exact against a SQL oracle.
+    -> (doc_a, doc_b, jaccard) sorted by (jaccard desc, doc_a, doc_b).
+
+    Shingle sets are computed distributed (map_batches); the pairwise
+    O(n^2) comparison happens on the collected shingle sets — use the
+    MinHash-LSH pipeline to restrict candidates first at scale."""
+    import ray
+
+    def shingles(batch: pa.Table) -> pa.Table:
+        b = add_doc_id(batch, spec)
+        if max_doc_id is not None:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            b = b.filter(pa.array(ids < max_doc_id))
+        toks = tokenize_array(b["content"]).to_pylist()
+        out = []
+        for ts in toks:
+            out.append(sorted({"|".join(ts[i:i + n])
+                               for i in range(len(ts) - n + 1)}))
+        return pa.table({"doc_id": b["doc_id"],
+                         "shingles": pa.array(out, pa.list_(pa.string()))})
+
+    rows = ds.map_batches(shingles, batch_format="pyarrow").take_all()
+    sets = {int(r["doc_id"]): set(r["shingles"]) for r in rows}
+    ids = sorted(sets)
+    da, db, jac = [], [], []
+    for i, a in enumerate(ids):
+        for b_ in ids[i + 1:]:
+            u = len(sets[a] | sets[b_])
+            j = (len(sets[a] & sets[b_]) / u) if u else 0.0
+            da.append(a)
+            db.append(b_)
+            jac.append(j)
+    order = sorted(range(len(jac)), key=lambda i: (-jac[i], da[i], db[i]))
+    if top_k is not None:
+        order = order[:top_k]
+    return pa.table({
+        "doc_a": pa.array([da[i] for i in order], pa.int64()),
+        "doc_b": pa.array([db[i] for i in order], pa.int64()),
+        "jaccard": pa.array([jac[i] for i in order], pa.float64()),
+    })
+
+
 class SimHasher:
     """64-bit SimHash per doc (token-unigram features, tf-weighted)."""
 

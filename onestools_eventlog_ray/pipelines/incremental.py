@@ -1,0 +1,125 @@
+"""Incremental (generational) indexing — the batch analog of the
+reference's live tailing.
+
+The reference follows a growing log: a FileSystemWatcher wakes the
+reader when new LGP files appear (SURVEY.md §2.10 W1,
+``/root/reference/OneSTools.EventLog/EventLogReader.cs:156-173``) and the
+stored position makes restarts incremental.  Our batch equivalent:
+**new documents arrive as a new GENERATION** — a self-contained index
+(own docstore, shards, manifest, stats) built by the normal pipeline
+under ``<root>/gen-NNNN``.  No existing shard is rewritten (append-only,
+like the reference's sinks), and a crashed generation build resumes via
+its own partition manifest.
+
+Query-time the generations compose EXACTLY: BM25 needs global N, avgdl
+and df, all of which are sums over generations; postings store raw
+(tf, dl) so per-doc weights are recomputed under the global stats —
+the merged engine is therefore rank-identical to a single full build
+(tests/test_incremental.py proves it against the brute-force oracle).
+Block-max WAND bounds are baked with per-generation avgdl, so the
+generational engine scores TAAT (exact) only.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+
+from onestools_eventlog_ray.config import EngineConfig
+from onestools_eventlog_ray.functions import codec
+from onestools_eventlog_ray.functions.bm25 import idf as idf_fn, topk_order
+from onestools_eventlog_ray.pipelines.build import build_index
+from onestools_eventlog_ray.pipelines.query import SearchEngine
+from onestools_eventlog_ray.sources.corpus import CorpusSpec, CODE_CORPUS_SPEC
+
+_GEN_RE = re.compile(r"^gen-(\d{4})$")
+
+
+def list_generations(index_root: str) -> list[str]:
+    if not os.path.isdir(index_root):
+        return []
+    gens = [d for d in os.listdir(index_root) if _GEN_RE.match(d)]
+    return [os.path.join(index_root, d) for d in sorted(gens)]
+
+
+def add_generation(corpus_paths, index_root: str,
+                   spec: CorpusSpec = CODE_CORPUS_SPEC,
+                   cfg: EngineConfig = EngineConfig()) -> dict:
+    """Index a new batch of documents as the next generation.  Returns the
+    build report (with ``generation_dir``).  Re-running after a crash
+    resumes the LAST generation via its partition manifest (same lineage
+    rules as a full build)."""
+    gens = list_generations(index_root)
+    if gens:
+        last = gens[-1]
+        # an incomplete last generation (missing stats or partitions) is
+        # resumed in place rather than leaving a hole
+        try:
+            from onestools_eventlog_ray.state import checkpoint as ckpt
+            st = ckpt.read_stats(last)
+            complete = len(ckpt.done_partitions(last, st["fingerprint"])) \
+                >= st.get("num_partitions", cfg.num_partitions)
+        except Exception:
+            complete = False
+        next_id = len(gens) if complete else len(gens) - 1
+    else:
+        next_id = 0
+    gen_dir = os.path.join(index_root, f"gen-{next_id:04d}")
+    report = build_index(corpus_paths, gen_dir, spec=spec, cfg=cfg)
+    report["generation_dir"] = gen_dir
+    return report
+
+
+class GenerationalSearchEngine:
+    """Exact BM25 over all generations combined (global N/avgdl/df)."""
+
+    def __init__(self, index_root: str):
+        self.gen_dirs = list_generations(index_root)
+        if not self.gen_dirs:
+            raise FileNotFoundError(f"no generations under {index_root}")
+        self.engines = [SearchEngine(d) for d in self.gen_dirs]
+        self.N = sum(e.N for e in self.engines)
+        total_tokens = sum(e.avgdl * e.N for e in self.engines)
+        self.avgdl = total_tokens / self.N if self.N else 0.0
+        e0 = self.engines[0]
+        self.k1, self.b = e0.k1, e0.b
+
+    def df(self, term: str) -> int:
+        total = 0
+        for e in self.engines:
+            hit = e.load_terms([term]).get(term)
+            if hit:
+                total += hit[0]
+        return total
+
+    def search(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+        """TAAT over all generations; identical semantics (and identical
+        float64 accumulation order: sorted terms major, generations minor)
+        to a single-index build over the union of the documents."""
+        uniq = sorted(set(terms))
+        per_gen = [e.load_terms(uniq) for e in self.engines]
+        ids_parts, w_parts = [], []
+        for t in uniq:
+            hits = [(g, per_gen[g][t]) for g in range(len(self.engines))
+                    if t in per_gen[g]]
+            if not hits:
+                continue
+            df_global = sum(df for (_, (df, _)) in hits)
+            idf_t = idf_fn(self.N, df_global)
+            for g, (_df, blob) in hits:
+                post = codec.decode_posting(blob)
+                w = idf_t * codec.bm25_impact(post.tfs, post.dls, self.avgdl,
+                                              self.k1, self.b)
+                ids_parts.append(post.doc_ids)
+                w_parts.append(w)
+        if not ids_parts:
+            return []
+        all_ids = np.concatenate(ids_parts)
+        all_w = np.concatenate(w_parts)
+        uids, inverse = np.unique(all_ids, return_inverse=True)
+        scores = np.zeros(uids.size, dtype=np.float64)
+        np.add.at(scores, inverse, all_w)
+        idx = topk_order(scores, uids, k)
+        return [(int(uids[i]), float(scores[i])) for i in idx]

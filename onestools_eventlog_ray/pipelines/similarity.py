@@ -98,6 +98,57 @@ def knn_cosine(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10,
                      for k_, v in out.items()})
 
 
+class _PairFinder:
+    """Actor-pool stage: each batch's vectors x the full broadcast
+    normalized matrix -> (vec_id_a < vec_id_b, cosine >= threshold) pairs.
+
+    The broadcast-all-vectors approach is the exact small-side path; at
+    10^12 scale the same stage runs per LSH bucket (``lsh_bucket`` +
+    groupby) so each task only sees its bucket's candidates."""
+
+    def __init__(self, mat_ref, ids_ref, threshold: float,
+                 id_col: str, vec_col: str):
+        m = ray.get(mat_ref)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        self.mn = m / norms
+        self.all_ids = ray.get(ids_ref)
+        self.threshold = threshold
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _as_matrix(batch[self.vec_col])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ self.mn.T                # (n_batch, n_all)
+        rows, cols = np.nonzero(sims >= self.threshold)
+        a = ids[rows]
+        b = self.all_ids[cols]
+        keep = a < b                                   # dedup + drop self-pairs
+        return pa.table({
+            "vec_id_a": pa.array(a[keep], pa.int64()),
+            "vec_id_b": pa.array(b[keep], pa.int64()),
+            "cosine": pa.array(sims[rows[keep], cols[keep]], pa.float64()),
+        })
+
+
+def cosine_pairs(ds: ray.data.Dataset, all_ids: np.ndarray,
+                 all_vectors: np.ndarray, threshold: float = 0.45,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 concurrency=(1, 4)) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs above ``threshold``."""
+    mat_ref = ray.put(np.asarray(all_vectors, dtype=np.float64))
+    ids_ref = ray.put(np.asarray(all_ids, dtype=np.int64))
+    return ds.map_batches(_PairFinder, batch_format="pyarrow",
+                          concurrency=concurrency,
+                          fn_constructor_kwargs=dict(
+                              mat_ref=mat_ref, ids_ref=ids_ref,
+                              threshold=threshold, id_col=id_col,
+                              vec_col=vec_col))
+
+
 class HyperplaneLSH:
     """Random-hyperplane signature stage: (vec_id, bucket) rows.
 

@@ -1,0 +1,73 @@
+"""Stream-shaped operators over the ``events`` table.
+
+The reference is a live log tailer whose only window is a time-based
+flush (SURVEY.md §2.10 W2: reading-timeout -> TriggerBatch,
+``/root/reference/OneSTools.EventLog.Exporter.Core/EventLogExporter.cs:122-151``)
+and whose sinks bucket rows by event-time
+(``ElasticSearch/ElasticSearchStorage.cs:293-320``).  Ray Data is a
+batch engine with no watermarks, so per the engine's streaming model the
+events table is treated as an ordered, partitioned log: windows are
+``groupby(key)`` + vectorized window-key math; sessions are
+``groupby(key).map_groups`` over ts-sorted groups (the ordering
+assumption: each group is sorted in-task before use, so input order is
+irrelevant).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min
+
+US = 1_000_000
+
+
+def tumbling_window_counts(ds: ray.data.Dataset, window_s: int = 3600
+                           ) -> ray.data.Dataset:
+    """Per (user_id, tumbling window): event count + exact min/max value.
+    Window key = epoch_us // window_us (integer math — oracle-exact).
+    -> (user_id, window_start_us, n_events, min_value, max_value)."""
+    w_us = window_s * US
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "window_start_us": pa.array((ts // w_us) * w_us, pa.int64()),
+            "value": batch["value"],
+        })
+
+    return ds.map_batches(add_window, batch_format="pyarrow") \
+             .groupby(["user_id", "window_start_us"]) \
+             .aggregate(Count(alias_name="n_events"),
+                        Min("value", alias_name="min_value"),
+                        Max("value", alias_name="max_value"))
+
+
+def sessionize(ds: ray.data.Dataset, gap_s: int = 1800) -> ray.data.Dataset:
+    """Session windows per user: a session ends after ``gap_s`` of
+    inactivity (the classic gaps-and-islands computation, done per user
+    group over the ts-sorted group — the stateful-window pattern).
+    -> (user_id, session_start_us, session_end_us, n_events)."""
+    gap_us = gap_s * US
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].astype("int64").to_numpy())
+        new_session = np.empty(ts.size, dtype=bool)
+        new_session[0] = True
+        np.greater(np.diff(ts), gap_us, out=new_session[1:])
+        sid = np.cumsum(new_session)
+        out = pd.DataFrame({"sid": sid, "ts": ts}).groupby("sid")["ts"] \
+                .agg(["min", "max", "count"]).reset_index()
+        return pd.DataFrame({
+            "user_id": g["user_id"].iloc[0],
+            "session_start_us": out["min"].astype("int64"),
+            "session_end_us": out["max"].astype("int64"),
+            "n_events": out["count"].astype("int64"),
+        })
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
