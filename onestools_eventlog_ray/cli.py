@@ -1,0 +1,137 @@
+"""Command-line entry points — the analog of the reference's service
+executables (``EventLogExporter.exe`` / ``EventLogExportersManager.exe``,
+``/root/reference/OneSTools.EventLog.Exporter/Program.cs:15-55``) with an
+appsettings-style JSON config file (SURVEY.md §2.11 X3).
+
+    python -m onestools_eventlog_ray build  --corpus DIR --index DIR
+    python -m onestools_eventlog_ray search --index DIR --terms "def import" -k 10
+    python -m onestools_eventlog_ray add-generation --corpus DIR --index-root DIR
+    python -m onestools_eventlog_ray manager --registry reg.json --once
+    python -m onestools_eventlog_ray stats  --index DIR
+
+The CLI owns the Ray session (guarded init — library code never calls
+ray.init, per the embedding contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from onestools_eventlog_ray.config import EngineConfig
+from onestools_eventlog_ray.sources.corpus import (CODE_CORPUS_SPEC,
+                                                   DOCUMENTS_SPEC, CorpusSpec)
+
+SPECS = {"code": CODE_CORPUS_SPEC, "documents": DOCUMENTS_SPEC}
+
+
+def _load_cfg(path: str | None) -> EngineConfig:
+    if not path:
+        return EngineConfig()
+    with open(path) as f:
+        return EngineConfig.from_dict(json.load(f))
+
+
+def _ray_up(num_cpus: int | None):
+    import ray
+    if not ray.is_initialized():
+        kw = dict(address="local", include_dashboard=False,
+                  ignore_reinit_error=True, logging_level="ERROR")
+        if num_cpus:
+            kw["num_cpus"] = num_cpus
+        ray.init(**kw)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="onestools_eventlog_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) an index")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--config", default=None, help="EngineConfig JSON file")
+    b.add_argument("--spec", choices=sorted(SPECS), default="code")
+
+    s = sub.add_parser("search", help="BM25 top-k query")
+    s.add_argument("--index", required=True)
+    s.add_argument("--terms", required=True, help="space-separated terms")
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--wand", action="store_true")
+    s.add_argument("--generational", action="store_true",
+                   help="treat --index as a generation root")
+
+    g = sub.add_parser("add-generation", help="incrementally index new docs")
+    g.add_argument("--corpus", required=True)
+    g.add_argument("--index-root", required=True)
+    g.add_argument("--config", default=None)
+    g.add_argument("--spec", choices=sorted(SPECS), default="code")
+
+    m = sub.add_parser("manager", help="multi-corpus registry sync")
+    m.add_argument("--registry", required=True)
+    m.add_argument("--once", action="store_true")
+    m.add_argument("--interval", type=float, default=30.0)
+    m.add_argument("--config", default=None)
+    m.add_argument("--spec", choices=sorted(SPECS), default="code")
+
+    st = sub.add_parser("stats", help="print an index's stats manifest")
+    st.add_argument("--index", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "stats":
+        from onestools_eventlog_ray.state.checkpoint import read_records, read_stats
+        stats = read_stats(args.index)
+        recs = read_records(args.index)
+        stats["partitions_done"] = sum(r.status == "done" for r in recs.values())
+        print(json.dumps(stats, indent=1, default=str))
+        return 0
+
+    if args.cmd == "search":
+        from onestools_eventlog_ray.pipelines.incremental import \
+            GenerationalSearchEngine
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        if args.generational:
+            eng = GenerationalSearchEngine(args.index)
+            hits = eng.search(args.terms.split(), args.k)
+        else:
+            eng = SearchEngine(args.index)
+            fn = eng.search_wand if args.wand else eng.search
+            hits = fn(args.terms.split(), args.k)
+        for rank, (doc_id, score) in enumerate(hits, 1):
+            print(json.dumps({"rank": rank, "doc_id": doc_id, "score": score}))
+        return 0
+
+    import ray
+    owns_session = not ray.is_initialized()   # embedded callers keep theirs
+    _ray_up(args.num_cpus)
+    try:
+        if args.cmd == "build":
+            from onestools_eventlog_ray.pipelines.build import build_index
+            rep = build_index(args.corpus, args.index, spec=SPECS[args.spec],
+                              cfg=_load_cfg(args.config))
+            print(json.dumps(rep))
+        elif args.cmd == "add-generation":
+            from onestools_eventlog_ray.pipelines.incremental import add_generation
+            rep = add_generation(args.corpus, args.index_root,
+                                 spec=SPECS[args.spec], cfg=_load_cfg(args.config))
+            print(json.dumps(rep))
+        elif args.cmd == "manager":
+            from onestools_eventlog_ray.pipelines.manager import (sync_registry,
+                                                                  watch_registry)
+            if args.once:
+                print(json.dumps(sync_registry(args.registry,
+                                               spec=SPECS[args.spec],
+                                               cfg=_load_cfg(args.config))))
+            else:
+                watch_registry(args.registry, interval_s=args.interval,
+                               spec=SPECS[args.spec], cfg=_load_cfg(args.config))
+    finally:
+        if owns_session and ray.is_initialized():
+            ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -84,7 +84,13 @@ def build_index(corpus_paths, index_dir: str,
     df_est: dict[str, int] = {}
     if not reuse_docstore:
         # fused pass: write docstore part files + emit stats/hot partials
-        # (one corpus read instead of write + stats-read + hot-sample)
+        # (one corpus read instead of write + stats-read + hot-sample).
+        # No (valid) marker means any existing part files are leftovers of
+        # an interrupted pass or a different corpus — wipe, or the rerun
+        # would leave duplicate/stale docs beside the fresh files.
+        import shutil
+        if os.path.isdir(dstore):
+            shutil.rmtree(dstore)
         os.makedirs(dstore, exist_ok=True)
         ds = read_corpus(corpus_paths, spec)
         partials = ds.map_batches(docstore_sink, batch_format="pyarrow",

@@ -72,3 +72,27 @@ def test_changed_corpus_invalidates(tmp_path):
     build_index(str(d1), index_dir, cfg=CFG)
     r2 = build_index(str(d2), index_dir, cfg=CFG)
     assert r2["resumed_partitions"] == 0
+
+
+def test_interrupted_docstore_pass_leaves_no_duplicates(tmp_path, small_corpus_dir):
+    """A crash mid-pass-A leaves part files but no _DOCSTORE_DONE marker;
+    the rerun must wipe them (else the docstore holds duplicate docs and
+    the corpus stats/fingerprint are wrong)."""
+    import glob
+    import pyarrow.parquet as pq
+    from onestools_eventlog_ray.pipelines.build import docstore_path
+    index_dir = str(tmp_path / "idx")
+    r1 = build_index(small_corpus_dir, index_dir, cfg=CFG)
+    dstore = docstore_path(index_dir)
+    n_rows = pq.read_table(glob.glob(dstore + "/*.parquet")).num_rows
+
+    # simulate the crash: marker gone, stale part files still on disk
+    os.remove(os.path.join(dstore, "_DOCSTORE_DONE"))
+    stale = os.path.join(dstore, "part-99999999-deadbeefdeadbeef.parquet")
+    files = glob.glob(dstore + "/*.parquet")
+    os.rename(files[0], stale)
+
+    r2 = build_index(small_corpus_dir, index_dir, cfg=CFG)
+    assert r2["fingerprint"] == r1["fingerprint"]
+    assert not os.path.exists(stale)
+    assert pq.read_table(glob.glob(dstore + "/*.parquet")).num_rows == n_rows
