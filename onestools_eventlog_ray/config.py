@@ -55,6 +55,18 @@ class EngineConfig:
     # Both produce identical shards (tests/test_exchange.py).
     postings_impl: str = "exchange"
 
+    # Single-pass build (exchange impl only): ONE corpus read does
+    # docstore + stats + triples + exchange.  Skew handling switches to
+    # prepass-free UNIVERSAL fixed-range salting: every term is split
+    # into up to ``salt_ranges`` doc_id-high-bit ranges (power of two),
+    # so a hot term spreads over ``salt_ranges`` encode tasks with no
+    # df estimate at all; small fragmented postings are re-encoded at
+    # merge.  (Dense externally-supplied doc_ids occupy the low end of
+    # the 63-bit space, so range salting degenerates to one run — only
+    # the hash-derived id path gets spreading.)
+    single_pass: bool = True
+    salt_ranges: int = 4
+
     # ---- scoring -----------------------------------------------------
     bm25: Bm25Params = field(default_factory=Bm25Params)
 

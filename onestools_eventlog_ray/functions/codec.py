@@ -193,6 +193,79 @@ def encode_posting(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
             + gap_b + tf_b + dl_b)
 
 
+def encode_run_group(run_starts: np.ndarray, doc_ids: np.ndarray,
+                     tfs: np.ndarray, dls: np.ndarray, avgdl: float,
+                     k1: float, b: float, block_size: int = 128) -> list[bytes]:
+    """Encode MANY runs at once (one varint pass over the whole group).
+
+    ``run_starts``: start index of each run in the (run-major,
+    doc_id-ascending-within-run) arrays.  Returns one posting blob per
+    run, byte-identical to calling :func:`encode_posting` per run — the
+    per-run Python overhead (the cost driver when universal range
+    salting fragments terms into many small runs) collapses to a few
+    slices per run."""
+    n = doc_ids.size
+    if n == 0:
+        return []
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    run_starts = np.asarray(run_starts, dtype=np.int64)
+    run_ends = np.append(run_starts[1:], n)
+    impacts = bm25_impact(tfs, dls, avgdl, k1, b)
+    u_ids = doc_ids.astype(np.uint64)
+
+    # block starts: every block_size-th element within its run
+    run_id = np.zeros(n, dtype=np.int64)
+    run_id[run_starts[1:]] = 1
+    run_id = np.cumsum(run_id)
+    offset_in_run = np.arange(n, dtype=np.int64) - run_starts[run_id]
+    block_start = (offset_in_run % block_size) == 0
+    bstarts = np.flatnonzero(block_start)
+    bends = np.append(bstarts[1:], n)
+
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = 0
+    np.subtract(u_ids[1:], u_ids[:-1], out=gaps[1:])
+    gaps[bstarts] = 0
+
+    gap_b, gap_len = varint_encode_with_lengths(gaps)
+    tf_b, tf_len = varint_encode_with_lengths(np.asarray(tfs, dtype=np.uint64))
+    dl_b, dl_len = varint_encode_with_lengths(np.asarray(dls, dtype=np.uint64))
+    gap_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(gap_len, out=gap_cum[1:])
+    tf_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tf_len, out=tf_cum[1:])
+    dl_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(dl_len, out=dl_cum[1:])
+
+    headers = np.empty(bstarts.size, dtype=_BLOCK_DT)
+    headers["first_doc"] = u_ids[bstarts]
+    headers["last_doc"] = u_ids[bends - 1]
+    headers["n_docs"] = (bends - bstarts).astype(np.uint32)
+    headers["max_impact"] = np.maximum.reduceat(impacts, bstarts)
+    # global byte ends per block (made run-local below)
+    g_end = gap_cum[bends]
+    t_end = tf_cum[bends]
+    d_end = dl_cum[bends]
+
+    block_run = run_id[bstarts]                 # run of each block
+    run_first_block = np.searchsorted(block_run, np.arange(run_starts.size))
+    out: list[bytes] = []
+    mv_gap, mv_tf, mv_dl = memoryview(gap_b), memoryview(tf_b), memoryview(dl_b)
+    for r in range(run_starts.size):
+        b0 = run_first_block[r]
+        b1 = run_first_block[r + 1] if r + 1 < run_starts.size else bstarts.size
+        h = headers[b0:b1].copy()
+        s, e = run_starts[r], run_ends[r]
+        h["gap_end"] = (g_end[b0:b1] - gap_cum[s]).astype(np.uint32)
+        h["tf_end"] = (t_end[b0:b1] - tf_cum[s]).astype(np.uint32)
+        h["dl_end"] = (d_end[b0:b1] - dl_cum[s]).astype(np.uint32)
+        out.append(_FIXED.pack(_VERSION, b1 - b0, e - s) + h.tobytes()
+                   + bytes(mv_gap[gap_cum[s]:gap_cum[e]])
+                   + bytes(mv_tf[tf_cum[s]:tf_cum[e]])
+                   + bytes(mv_dl[dl_cum[s]:dl_cum[e]]))
+    return out
+
+
 def read_header(blob: bytes) -> tuple[np.ndarray, int, int]:
     """-> (block header struct array, total docs, payload start offset)."""
     version, n_blocks, n_docs = _FIXED.unpack_from(blob, 0)

@@ -82,6 +82,53 @@ def build_index(corpus_paths, index_dir: str,
                       and open(done_marker).read() == marker_text)
     t0 = time.monotonic()
     df_est: dict[str, int] = {}
+    P = cfg.num_partitions
+
+    # ---- single-pass combined build (exchange impl, full builds) --------
+    # ONE corpus read produces docstore + stats + shards; skew handled by
+    # prepass-free fixed-range salting (stages/exchange.py).  Resume and
+    # non-exchange impls take the two-pass path below.
+    if (not reuse_docstore and cfg.single_pass
+            and cfg.postings_impl == "exchange" and hot_terms is None):
+        import shutil
+        from onestools_eventlog_ray.stages.exchange import \
+            build_combined_exchange
+        if os.path.isdir(dstore):
+            shutil.rmtree(dstore)
+        os.makedirs(dstore, exist_ok=True)
+        ds = read_corpus(corpus_paths, spec)
+        part_rows, stats = build_combined_exchange(ds, spec, cfg,
+                                                   index_dir, dstore)
+        fingerprint = stats["fingerprint"]
+        built = {int(r["partition_id"]) for r in part_rows}
+        for pid in range(P):
+            if pid not in built:
+                ckpt.write_record(index_dir, ckpt.PartitionRecord(
+                    partition_id=pid, input_fingerprint=fingerprint,
+                    output_path="", n_terms=0, n_postings=0,
+                    build_wall_s=0.0, status="done"))
+        ckpt.write_stats(index_dir, {
+            **stats, "num_partitions": P, "config": cfg.to_dict(),
+            "df_est_hot_candidates": {}, "hot_terms": {},
+            "salting": f"fixed-range:{cfg.salt_ranges}",
+            "spec": {"content_col": spec.content_col, "id_col": spec.id_col,
+                     "key_cols": list(spec.key_cols),
+                     "meta_cols": list(spec.meta_cols)},
+        })
+        ckpt.atomic_write_text(done_marker, marker_text)
+        wall = time.monotonic() - t_start
+        n_docs = stats["n_docs"]
+        return {
+            "n_docs": n_docs, "total_tokens": stats["total_tokens"],
+            "avgdl": stats["avgdl"], "fingerprint": fingerprint,
+            "num_partitions": P, "n_hot_terms": 0,
+            "resumed_partitions": 0,
+            "wall_s": wall, "docstore_s": 0.0, "stats_s": 0.0,
+            "hot_detect_s": 0.0, "postings_s": wall,
+            "single_pass": True,
+            "files_per_sec": n_docs / wall if wall > 0 else 0.0,
+        }
+
     if not reuse_docstore:
         # fused pass: write docstore part files + emit stats/hot partials
         # (one corpus read instead of write + stats-read + hot-sample).
@@ -122,7 +169,6 @@ def build_index(corpus_paths, index_dir: str,
     t_stats = 0.0
 
     # ---- resume check ---------------------------------------------------
-    P = cfg.num_partitions
     done = ckpt.done_partitions(index_dir, fingerprint)
     done = {p for p in done if p < P}
 

@@ -148,14 +148,212 @@ def _encode_partition(avgdl: float, k1: float, b: float, block_size: int,
 
 @ray.remote
 def _merge_partition(index_dir: str, fingerprint: str,
+                     reencode_params: tuple | None,
                      *parts: pa.Table) -> dict:
     """all of one pkey's runs -> spliced postings -> shard + checkpoint."""
     parts = [p for p in parts if p.num_rows]
     if not parts:
         return {}
     group = pa.concat_tables(parts).combine_chunks()
-    out = post_mod.make_merge_and_write(index_dir, fingerprint)(group)
+    out = post_mod.make_merge_and_write(index_dir, fingerprint,
+                                        reencode_params)(group)
     return out.to_pylist()[0]
+
+
+@ray.remote
+def _map_combined(spec, pattern: str, num_partitions: int, num_groups: int,
+                  salt_ranges: int, store_content: bool, docstore_dir: str,
+                  *blocks: pa.Table) -> list:
+    """Single-pass map task: corpus blocks -> docstore part files (side
+    effect) + stats partial + G slim triple sub-tables.
+
+    Salting here is UNIVERSAL and prepass-free: salt = the doc_id's top
+    ``log2(salt_ranges)`` bits, so any term's rows spread over at most
+    ``salt_ranges`` build groups without knowing df — the fan-out the
+    sampled hot map provides in the two-pass path.  Returns
+    ``[G sub-tables..., stats_table]``."""
+    import pyarrow.parquet as pq
+    from onestools_eventlog_ray.functions.analyzer import doc_term_table
+    from onestools_eventlog_ray.functions.hashing import sha256_hex
+    from onestools_eventlog_ray.state.checkpoint import atomic_write_bytes
+    from onestools_eventlog_ray.stages.normalize import add_doc_id
+
+    shift = np.int64(63 - int(np.log2(salt_ranges))) if salt_ranges > 1 else None
+    slim_parts = []
+    stat_rows = {"n_docs": 0, "total_tokens": 0, "max_doc_id": -1, "acc": 0}
+    for block in blocks:
+        b = add_doc_id(block, spec)
+        triples, doc_stats = doc_term_table(b["doc_id"], b["content"], pattern)
+
+        # ---- docstore part (tokenized exactly once, n_tokens from stats)
+        sha = sha256_hex(b["content"])
+        acc = 0
+        for h in sha.to_pylist():
+            acc ^= int(h[:16], 16)
+        cols = {"doc_id": b["doc_id"]}
+        for c in spec.meta_cols:
+            cols[c] = block[c]
+        cols["n_tokens"] = doc_stats["n_tokens"]
+        cols["content_sha256"] = sha
+        if store_content:
+            cols["content"] = b["content"]
+        out = pa.table(cols)
+        atomic_write_bytes(
+            f"{docstore_dir}/part-{out.num_rows:08d}-{acc:016x}.parquet",
+            lambda tmp: pq.write_table(out, tmp))
+        stat_rows["n_docs"] += out.num_rows
+        stat_rows["total_tokens"] += int(
+            doc_stats["n_tokens"].to_numpy(zero_copy_only=False).sum())
+        ids_np = b["doc_id"].to_numpy(zero_copy_only=False)
+        if ids_np.size:
+            stat_rows["max_doc_id"] = max(stat_rows["max_doc_id"],
+                                          int(ids_np.max()))
+        stat_rows["acc"] ^= acc
+
+        # ---- slim triples keyed by (term, doc-range) -------------------
+        if triples.num_rows:
+            term_col = triples["term"]
+            if isinstance(term_col, pa.ChunkedArray):
+                term_col = term_col.combine_chunks()
+            d = term_col.dictionary_encode()
+            idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq = d.dictionary.to_pylist()
+            from onestools_eventlog_ray.functions.hashing import term_partition
+            doc_np = triples["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if shift is not None:
+                salt = (doc_np >> shift).astype(np.int64)
+                # gkey = hash(term) folded with the range, spread over G
+                gkey = ((term_partition(uniq, 1 << 30)[idx] + salt * 2654435761)
+                        % num_groups).astype(np.int32)
+            else:
+                gkey = (term_partition(uniq, num_groups)[idx]).astype(np.int32)
+            slim_parts.append(pa.table({
+                "term": d,
+                "doc_id": triples["doc_id"],
+                "tf": triples["tf"],
+                "dl": triples["dl"],
+                "gkey": pa.array(gkey, pa.int32()),
+            }))
+
+    stats_tbl = pa.table({
+        "n_docs": pa.array([stat_rows["n_docs"]], pa.int64()),
+        "total_tokens": pa.array([stat_rows["total_tokens"]], pa.int64()),
+        "max_doc_id": pa.array([stat_rows["max_doc_id"]], pa.int64()),
+        "sha_xor": pa.array([np.int64(stat_rows["acc"] - (1 << 63))], pa.int64()),
+    })
+    if slim_parts:
+        keyed = pa.concat_tables(slim_parts, promote_options="default")
+        parts = _split_by_key(keyed.combine_chunks(), "gkey", num_groups)
+        parts = [p.drop_columns(["gkey"]) for p in parts]
+    else:
+        empty = pa.table({
+            "term": pa.array([], pa.string()).dictionary_encode(),
+            "doc_id": pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int32()),
+            "dl": pa.array([], pa.int32()),
+        })
+        parts = [empty] * num_groups
+    return parts + [stats_tbl]
+
+
+@ray.remote
+def _encode_partition_ranged(avgdl: float, k1: float, b: float,
+                             block_size: int, num_partitions: int,
+                             salt_ranges: int, *parts: pa.Table) -> list[pa.Table]:
+    """Encode stage for the single-pass path: salt = doc-range bits
+    (recomputed from doc_id — never shipped)."""
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        empty = post_mod.RUN_SCHEMA.empty_table()
+        return [empty] * num_partitions
+    group = pa.concat_tables(parts, promote_options="default").combine_chunks()
+    term_col = group["term"]
+    if isinstance(term_col, pa.ChunkedArray):
+        term_col = term_col.combine_chunks()
+    term_plain = term_col.cast(pa.string()) \
+        if pa.types.is_dictionary(term_col.type) else term_col
+    d = term_plain.dictionary_encode()
+    idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    from onestools_eventlog_ray.functions.hashing import term_partition
+    pkey = term_partition(d.dictionary.to_pylist(), num_partitions)[idx]
+    doc_np = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if salt_ranges > 1:
+        shift = np.int64(63 - int(np.log2(salt_ranges)))
+        salt = (doc_np >> shift).astype(np.int32)
+    else:
+        salt = np.zeros(doc_np.size, dtype=np.int32)
+    full = pa.table({
+        "term": term_plain,
+        "doc_id": group["doc_id"],
+        "tf": group["tf"],
+        "dl": group["dl"],
+        "pkey": pa.array(pkey.astype(np.int32), pa.int32()),
+        "salt": pa.array(salt, pa.int32()),
+    })
+    runs = post_mod.make_encode_runs(avgdl, k1, b, block_size)(full)
+    return _split_by_key(runs, "pkey", num_partitions)
+
+
+def build_combined_exchange(corpus_ds, spec, cfg, index_dir: str,
+                            docstore_dir: str) -> tuple[list[dict], dict]:
+    """Single-pass full build: ONE corpus read produces the docstore,
+    the corpus stats AND the posting shards.  Returns (manifest rows,
+    folded stats).  Full builds only — resume takes the two-pass path
+    (done-partition filtering needs a validated fingerprint, which only
+    exists after stats fold)."""
+    from onestools_eventlog_ray.stages import stats as stats_mod
+
+    P = cfg.num_partitions
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    G = int(min(max(P, 2 * ncpu), 4 * P))
+    S = cfg.salt_ranges if cfg.salt_ranges > 1 else 1
+
+    # Bundle ~TARGET_ROWS docs per map task: the exchange's object count
+    # is (map tasks x (G+1)); too many small map tasks floods the driver
+    # with inline-object bookkeeping (measured: 1M docs at 2 blocks/task
+    # ran 32 CPUs no faster than 8).
+    TARGET_ROWS = 8_000
+    map_out = []
+    pending: list = []
+    pending_rows = 0
+
+    def _launch(blocks):
+        map_out.append(_map_combined.options(num_returns=G + 1).remote(
+            spec, cfg.token_split_pattern, P, G, S,
+            cfg.store_content, docstore_dir, *blocks))
+
+    for bundle in corpus_ds.iter_internal_ref_bundles():
+        for block_ref, meta in zip(bundle.block_refs, bundle.metadata):
+            pending.append(block_ref)
+            pending_rows += meta.num_rows or 0
+            if pending_rows >= TARGET_ROWS:
+                _launch(pending)
+                pending, pending_rows = [], 0
+    if pending:
+        _launch(pending)
+
+    # stats barrier: fold the (G+1)-th return of every map task
+    stats_rows = []
+    for m in map_out:
+        t = ray.get(m[G])
+        stats_rows.extend(t.to_pylist())
+    stats = stats_mod.fold_stats(stats_rows)
+
+    enc_out = [
+        _encode_partition_ranged.options(num_returns=P).remote(
+            stats["avgdl"], cfg.bm25.k1, cfg.bm25.b, cfg.block_size, P, S,
+            *[m[g] for m in map_out])
+        for g in range(G)
+    ]
+    merge_refs = [
+        _merge_partition.remote(
+            index_dir, stats["fingerprint"],
+            (stats["avgdl"], cfg.bm25.k1, cfg.bm25.b, cfg.block_size),
+            *[e[p] for e in enc_out])
+        for p in range(P)
+    ]
+    rows = [r for r in ray.get(merge_refs) if r]
+    return rows, stats
 
 
 def build_postings_exchange(corpus_ds, spec, cfg, stats: dict,
@@ -194,7 +392,7 @@ def build_postings_exchange(corpus_ds, spec, cfg, stats: dict,
         for g in range(G)
     ]
     merge_refs = [
-        _merge_partition.remote(index_dir, stats["fingerprint"],
+        _merge_partition.remote(index_dir, stats["fingerprint"], None,
                                 *[e[p] for e in enc_out])
         for p in range(P) if p not in done_pkeys
     ]

@@ -157,24 +157,32 @@ def make_encode_runs(avgdl: float, k1: float, b: float, block_size: int):
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], tidx.size)
 
-        out = {k: [] for k in ("pkey", "term", "salt", "df_run", "cf_run", "blob")}
-        for s, e in zip(starts, ends):
-            out["pkey"].append(int(pkeys[s]))
-            out["term"].append(terms[tidx[s]])
-            out["salt"].append(int(salts[s]))
-            out["df_run"].append(int(e - s))
-            out["cf_run"].append(int(tfs[s:e].sum()))
-            out["blob"].append(codec.encode_posting(
-                doc_ids[s:e], tfs[s:e], dls[s:e], avgdl, k1, b, block_size))
-        return pa.table(out, schema=RUN_SCHEMA)
+        blobs = codec.encode_run_group(starts, doc_ids, tfs, dls,
+                                       avgdl, k1, b, block_size)
+        return pa.table({
+            "pkey": pa.array(pkeys[starts].astype(np.int32), pa.int32()),
+            "term": pa.array([terms[i] for i in tidx[starts]], pa.string()),
+            "salt": pa.array(salts[starts].astype(np.int32), pa.int32()),
+            "df_run": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            "cf_run": pa.array(np.add.reduceat(tfs, starts).astype(np.int64),
+                               pa.int64()),
+            "blob": pa.array(blobs, pa.large_binary()),
+        }, schema=RUN_SCHEMA)
 
     return encode_runs
 
 
-def make_merge_and_write(index_dir: str, fingerprint: str):
+def make_merge_and_write(index_dir: str, fingerprint: str,
+                         reencode_params: tuple | None = None):
     """map_groups(fn) over ``pkey``: splice each term's salted runs into one
     posting, write the shard parquet atomically, emit the checkpoint
-    record (lineage + metrics) for the partition."""
+    record (lineage + metrics) for the partition.
+
+    ``reencode_params = (avgdl, k1, b, block_size)`` enables re-encoding
+    a term's runs into one fresh posting when the term is SMALL but
+    fragmented (metadata bloat from universal fixed-range salting:
+    min(df, S) runs each with their own block headers); large terms
+    still merge by zero-copy header splice."""
 
     def merge_and_write(group: pa.Table) -> pa.Table:
         t0 = time.monotonic()
@@ -198,14 +206,43 @@ def make_merge_and_write(index_dir: str, fingerprint: str):
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], tidx.size)
 
-        out_terms, out_df, out_cf, out_blob = [], [], [], []
+        out_terms, out_df, out_cf = [], [], []
+        out_blob: list[bytes | None] = []
+        re_idx: list[int] = []          # positions to fill from the batch re-encode
+        re_ids, re_tfs, re_dls, re_starts = [], [], [], []
+        re_pos = 0
         for s, e in zip(starts, ends):
             rows = order[s:e]
+            df_total = int(dfr[rows].sum())
             out_terms.append(terms[tidx[rows[0]]])
-            out_df.append(int(dfr[rows].sum()))
+            out_df.append(df_total)
             out_cf.append(int(cfr[rows].sum()))
-            # salts ascending == doc_id ranges ascending -> header splice
-            out_blob.append(codec.concat_postings([blobs[r] for r in rows]))
+            run_blobs = [blobs[r] for r in rows]
+            if (reencode_params is not None and len(run_blobs) > 1
+                    and df_total < 64 * reencode_params[3]):
+                # small fragmented posting (universal range salting):
+                # queue it for ONE batched vectorized re-encode below
+                ps = [codec.decode_posting(rb) for rb in run_blobs]
+                ids = np.concatenate([p.doc_ids for p in ps])
+                o = np.argsort(ids, kind="stable")
+                re_ids.append(ids[o])
+                re_tfs.append(np.concatenate([p.tfs for p in ps])[o])
+                re_dls.append(np.concatenate([p.dls for p in ps])[o])
+                re_starts.append(re_pos)
+                re_pos += ids.size
+                re_idx.append(len(out_blob))
+                out_blob.append(None)
+            else:
+                # salts ascending == doc_id ranges ascending -> header splice
+                out_blob.append(codec.concat_postings(run_blobs))
+        if re_idx:
+            avgdl, k1, b, bs = reencode_params
+            rebuilt = codec.encode_run_group(
+                np.asarray(re_starts, dtype=np.int64),
+                np.concatenate(re_ids), np.concatenate(re_tfs),
+                np.concatenate(re_dls), avgdl, k1, b, bs)
+            for pos, blob in zip(re_idx, rebuilt):
+                out_blob[pos] = blob
 
         torder = np.argsort(np.asarray(out_terms, dtype=object), kind="stable")
         shard = pa.table({

@@ -53,3 +53,25 @@ def test_exchange_resume(tmp_path, small_corpus_dir):
     r2 = build_index(small_corpus_dir, index_dir, cfg=cfg)
     assert r2["resumed_partitions"] == 6
     assert _load_all_postings(index_dir) == before
+
+
+def test_single_pass_combined_equivalent(tmp_path_factory, small_corpus_dir, small_corpus):
+    """The single-pass combined build (fixed-range salting, re-encoded
+    small postings) must produce postings EQUAL to the two-pass builds."""
+    d_combined = str(tmp_path_factory.mktemp("idx_combined"))
+    d_twopass = str(tmp_path_factory.mktemp("idx_twopass"))
+    build_index(small_corpus_dir, d_combined,
+                cfg=EngineConfig(num_partitions=8, single_pass=True,
+                                 salt_ranges=8))
+    build_index(small_corpus_dir, d_twopass,
+                cfg=EngineConfig(num_partitions=8, single_pass=False))
+    a = _load_all_postings(d_combined)
+    b = _load_all_postings(d_twopass)
+    assert a.keys() == b.keys()
+    for term in a:
+        assert a[term] == b[term], term
+    ea, eb = SearchEngine(d_combined), SearchEngine(d_twopass)
+    for q in synth.reference_queries(small_corpus, n_queries=20):
+        ra = ea.search(q["terms"], q["k"])
+        assert ra == eb.search(q["terms"], q["k"])
+        assert ra == ea.search_wand(q["terms"], q["k"])
