@@ -200,6 +200,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           ascending=[False, True, True]).head(20)
         return t.reset_index(drop=True)
 
+    def docs_filter_lang(sf_dir):
+        """Predicate filter (F1 analog): docs with lang='en' and
+        n_chars above threshold — vectorized mask inside map_batches."""
+        import pyarrow.compute as pc_
+
+        def filt(batch):
+            mask = pc_.and_(pc_.equal(batch["lang"], "en"),
+                            pc_.greater(batch["n_chars"], 200))
+            return batch.filter(mask).select(["doc_id", "lang", "n_chars"])
+
+        return _documents_ds(sf_dir).map_batches(filt, batch_format="pyarrow")
+
+    def events_label_counts(sf_dir):
+        import ray.data
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_type"])
+        return relational.events_label_decode_counts(ds)
+
+    def top_events_by_value(sf_dir):
+        import ray.data
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_id", "value"])
+        return relational.top_events_by_value(ds, k=10)
+
+    def search_with_docs(sf_dir):
+        """Search hits joined back to stored fields (rank, doc metadata)."""
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        eng = SearchEngine(_ensure_index(sf_dir))
+        t = eng.search_with_docs(_BM25_TERMS_SINGLE, k=5,
+                                 columns=["doc_id", "lang", "n_tokens"])
+        return t.select(["rank", "doc_id", "lang", "n_tokens"])
+
     def bm25_incremental(sf_dir):
         """Two-generation incremental index over a doc_id split of the
         documents table; must give the SAME ranking as the single-build
@@ -280,6 +312,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_topk": ngram_jaccard_topk,
         "bm25_incremental": bm25_incremental,
         "media_features": media_features,
+        "docs_filter_lang": docs_filter_lang,
+        "events_label_counts": events_label_counts,
+        "top_events_by_value": top_events_by_value,
+        "search_with_docs": search_with_docs,
         "language_id": language_id,
         "rolling_fingerprint": rolling_fingerprint,
         "minhash_lsh_groups": minhash_lsh_groups,
@@ -373,6 +409,54 @@ LIMIT 10""",
         # the incremental (two-generation) engine must reproduce the very
         # same single-build BM25 ranking
         "bm25_incremental": _bm25_sql(_BM25_TERMS),
+
+        "docs_filter_lang": """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE lang = 'en' AND n_chars > 200""",
+
+        "events_label_counts": """
+SELECT CASE event_type
+         WHEN 'click' THEN 'User click'
+         WHEN 'view' THEN 'Page view'
+         WHEN 'purchase' THEN 'Purchase completed'
+         WHEN 'signup' THEN 'Account created'
+         WHEN 'error' THEN 'Client error'
+         ELSE event_type END AS event_label,
+       count(*) AS n
+FROM events GROUP BY event_label""",
+
+        "top_events_by_value": """
+SELECT event_id, value FROM events
+ORDER BY value DESC, event_id ASC LIMIT 10""",
+
+        "search_with_docs": f"""
+WITH toks AS ({_TOKS}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tf AS (SELECT doc_id, count(*) AS tf FROM toks
+       WHERE term = '{_BM25_TERMS_SINGLE[0]}' GROUP BY doc_id),
+df AS (SELECT count(DISTINCT doc_id) AS df FROM toks
+       WHERE term = '{_BM25_TERMS_SINGLE[0]}'),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + ((SELECT n_docs FROM stats) - (SELECT df FROM df) + 0.5)
+              / ((SELECT df FROM df) + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+           AS score
+  FROM tf JOIN dl USING (doc_id)),
+ranked AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY CAST(floor(score * 1000000 + 0.5) AS BIGINT) DESC,
+                    doc_id ASC) AS BIGINT) AS rank, doc_id
+  FROM scored
+  ORDER BY CAST(floor(score * 1000000 + 0.5) AS BIGINT) DESC, doc_id ASC
+  LIMIT 5)
+SELECT r.rank, r.doc_id, d.lang, dl.dl AS n_tokens
+FROM ranked r JOIN documents d USING (doc_id) JOIN dl USING (doc_id)""",
 
         "exact_dedup": """
 SELECT md5(text) AS content_md5, min(doc_id) AS rep_doc_id,

@@ -88,6 +88,36 @@ class SearchEngine:
                     out[t] = found[t]
         return out
 
+    # ---- docstore fetch -------------------------------------------------
+
+    def fetch_docs(self, doc_ids: list[int],
+                   columns: list[str] | None = None) -> pa.Table:
+        """Fetch docstore rows for result doc_ids (parquet row filter over
+        the docstore part files — the stored-fields lookup ES does for
+        search hits).  Rows come back in the order requested."""
+        import glob
+        files = sorted(glob.glob(os.path.join(self.index_dir,
+                                              "docstore", "*.parquet")))
+        if not files or not doc_ids:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        tbl = pq.read_table(files, columns=columns,
+                            filters=[("doc_id", "in", list(doc_ids))])
+        order = {d: i for i, d in enumerate(doc_ids)}
+        idx = sorted(range(tbl.num_rows),
+                     key=lambda i: order.get(tbl["doc_id"][i].as_py(), 1 << 60))
+        return tbl.take(pa.array(idx))
+
+    def search_with_docs(self, terms: list[str], k: int = 10,
+                         columns: list[str] | None = None) -> pa.Table:
+        """search() + stored fields: one table (rank, score, doc columns)."""
+        hits = self.search(terms, k)
+        docs = self.fetch_docs([d for d, _ in hits], columns)
+        return docs.add_column(0, "rank",
+                               pa.array(range(1, docs.num_rows + 1), pa.int64())) \
+                   .add_column(1, "score",
+                               pa.array([s for _, s in hits][:docs.num_rows],
+                                        pa.float64()))
+
     # ---- exact TAAT scorer ----------------------------------------------
 
     def search(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:

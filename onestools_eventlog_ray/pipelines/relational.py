@@ -48,6 +48,46 @@ def lineitem_qty_by_flag(ds: ray.data.Dataset) -> ray.data.Dataset:
              .aggregate(Sum("qty", alias_name="sum_qty"), Count(alias_name="n"))
 
 
+EVENT_TYPE_LABELS = {
+    # static code->label decode, the M6-M9 pattern of the reference
+    # (4..70-entry enum maps, /root/reference/OneSTools.EventLog/LgpReader.cs:222-368)
+    "click": "User click",
+    "view": "Page view",
+    "purchase": "Purchase completed",
+    "signup": "Account created",
+    "error": "Client error",
+}
+
+
+def events_label_decode_counts(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Vectorized small-dictionary decode (pc.index_in + take — no Python
+    per row) then count per decoded label; unknown codes fall back to the
+    raw code (the reference's identity-fallback semantics)."""
+    import pyarrow.compute as pc
+    codes = pa.array(list(EVENT_TYPE_LABELS))
+    labels = pa.array(list(EVENT_TYPE_LABELS.values()))
+
+    def decode(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch["event_type"], value_set=codes)
+        decoded = pc.take(labels, idx)
+        decoded = pc.if_else(pc.is_null(decoded), batch["event_type"], decoded)
+        return pa.table({"event_label": decoded})
+
+    return ds.map_batches(decode, batch_format="pyarrow") \
+             .groupby("event_label").aggregate(Count(alias_name="n"))
+
+
+def top_events_by_value(ds: ray.data.Dataset, k: int = 10) -> pa.Table:
+    """Global top-k by (value desc, event_id asc) via ds.sort().limit()
+    — the K1/K2 recovery-query shape as a distributed sort."""
+    rows = ds.sort(["value", "event_id"], descending=[True, False]) \
+             .limit(k).take_all()
+    return pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "value": pa.array([r["value"] for r in rows], pa.float64()),
+    })
+
+
 def top1_recovery(ds: ray.data.Dataset, id_col: str = "doc_id") -> pa.Table:
     """Checkpoint-position recovery: (max_id, n_rows) as one row."""
     res = ds.aggregate(Max(id_col, alias_name="max_id"),
