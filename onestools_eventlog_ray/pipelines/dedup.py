@@ -121,7 +121,12 @@ def minhash_lsh_groups(ds: ray.data.Dataset,
                               num_perm=num_perm, bands=bands))
     buckets = sigs.groupby(["band_id", "band_hash"]).aggregate(
         Count(alias_name="n_docs"), Min("doc_id", alias_name="min_doc_id"))
-    return buckets.filter(lambda row: row["n_docs"] >= 2)
+
+    def only_collisions(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.greater_equal(t["n_docs"], 2))
+
+    return buckets.map_batches(only_collisions, batch_format="pyarrow")
 
 
 def minhash_dedup_pairs(ds: ray.data.Dataset,
