@@ -200,7 +200,8 @@ def _map_combined(spec, pattern: str, num_partitions: int, num_groups: int,
         out = pa.table(cols)
         atomic_write_bytes(
             f"{docstore_dir}/part-{out.num_rows:08d}-{acc:016x}.parquet",
-            lambda tmp: pq.write_table(out, tmp))
+            lambda tmp: pq.write_table(out, tmp, compression="zstd",
+                                       compression_level=1))
         stat_rows["n_docs"] += out.num_rows
         stat_rows["total_tokens"] += int(
             doc_stats["n_tokens"].to_numpy(zero_copy_only=False).sum())

@@ -117,7 +117,9 @@ class DocstoreSink(PrepareDocs):
         # ---- deterministic idempotent part file ------------------------
         fname = f"part-{n:08d}-{acc:016x}.parquet"
         atomic_write_bytes(f"{self.docstore_dir}/{fname}",
-                           lambda tmp: pq.write_table(out, tmp))
+                           lambda tmp: pq.write_table(out, tmp,
+                                                      compression="zstd",
+                                                      compression_level=1))
 
         # ---- hot-term candidates: top local-df terms of this batch -----
         # Sampled 1-in-8 batches (deterministic on the batch's content
