@@ -24,6 +24,15 @@ import subprocess
 import sys
 import time
 
+# Ray workers resolve the engine package through the DRIVER's cwd or
+# PYTHONPATH; exporting it before ray.init makes the bench runnable from
+# any cwd (a wrong cwd otherwise hangs every map task on import errors).
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = (_REPO + os.pathsep +
+                            os.environ.get("PYTHONPATH", "")).rstrip(os.pathsep)
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 DOCS_PER_SF = 5_000_000    # sf0.1 -> 500k synthetic source files

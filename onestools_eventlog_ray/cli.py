@@ -92,13 +92,15 @@ def main(argv: list[str] | None = None) -> int:
         from onestools_eventlog_ray.pipelines.incremental import \
             GenerationalSearchEngine
         from onestools_eventlog_ray.pipelines.query import SearchEngine
+        from onestools_eventlog_ray.functions.analyzer import tokenize_py
+        terms = tokenize_py(args.terms)     # analyze the query like the corpus
         if args.generational:
             eng = GenerationalSearchEngine(args.index)
-            hits = eng.search(args.terms.split(), args.k)
+            hits = eng.search(terms, args.k)
         else:
             eng = SearchEngine(args.index)
             fn = eng.search_wand if args.wand else eng.search
-            hits = fn(args.terms.split(), args.k)
+            hits = fn(terms, args.k)
         for rank, (doc_id, score) in enumerate(hits, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": score}))
         return 0

@@ -49,6 +49,10 @@ class SearchEngine:
         bm = stats["config"]["bm25"]
         self.k1, self.b = bm["k1"], bm["b"]
         self._cache: OrderedDict[str, tuple[int, bytes] | None] = OrderedDict()
+        # decoded (doc_ids, weights) per term: weights depend only on the
+        # index's fixed stats, so repeated queries on hot terms skip both
+        # the varint decode and the BM25 weight math entirely
+        self._w_cache: OrderedDict[str, tuple] = OrderedDict()
 
     # ---- posting access -------------------------------------------------
 
@@ -87,6 +91,12 @@ class SearchEngine:
                 if t in found:
                     out[t] = found[t]
         return out
+
+    def search_text(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Free-text query: run the SAME analyzer over the query string
+        (ES analyzes queries with the field's analyzer), then score."""
+        from onestools_eventlog_ray.functions.analyzer import tokenize_py
+        return self.search(tokenize_py(query), k)
 
     # ---- docstore fetch -------------------------------------------------
 
@@ -129,11 +139,20 @@ class SearchEngine:
             hit = loaded.get(t)
             if hit is None:
                 continue
+            cached = self._w_cache.get(t)
+            if cached is not None:
+                self._w_cache.move_to_end(t)
+                ids_parts.append(cached[0])
+                w_parts.append(cached[1])
+                continue
             df, blob = hit
             post = codec.decode_posting(blob)
             idf_t = idf_fn(self.N, df)
             w = idf_t * codec.bm25_impact(post.tfs, post.dls, self.avgdl,
                                           self.k1, self.b)
+            self._w_cache[t] = (post.doc_ids, w)
+            if len(self._w_cache) > 256:
+                self._w_cache.popitem(last=False)
             ids_parts.append(post.doc_ids)
             w_parts.append(w)
         if not ids_parts:
