@@ -115,6 +115,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def quality_scores(sf_dir):
         return text.quality_scores(_documents_ds(sf_dir), DOCUMENTS_SPEC)
 
+    def token_counts_bpe(sf_dir):
+        return text.token_counts_bpe(_documents_ds(sf_dir), DOCUMENTS_SPEC)
+
     def term_topk(sf_dir):
         t = text.term_stats(_documents_ds(sf_dir), DOCUMENTS_SPEC).to_pandas()
         t = t.sort_values(["cf", "term"], ascending=[False, True]).head(10)
@@ -298,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats": term_stats,
         "corpus_summary": corpus_summary,
         "quality_scores": quality_scores,
+        "token_counts_bpe": token_counts_bpe,
         "term_topk": term_topk,
         "bm25_topk": bm25_topk,
         "bm25_topk_single": bm25_topk_single,
@@ -396,6 +400,14 @@ SELECT d.doc_id,
             THEN CAST((a.char_sum * 1000000) // a.n_tokens AS BIGINT)
             ELSE 0 END AS mean_token_len_e6
 FROM documents d LEFT JOIN agg a USING (doc_id)""",
+
+        "token_counts_bpe": r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+       len(regexp_extract_all(text,
+           '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+         AS n_bpe_pretokens
+FROM documents""",
 
         "term_topk": f"""
 WITH toks AS ({_TOKS})

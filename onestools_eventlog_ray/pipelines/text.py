@@ -154,6 +154,34 @@ def language_id(ds: ray.data.Dataset,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+# GPT2-shaped pretokenizer (RE2-compatible subset: no lookahead), used for
+# token-budget estimation in training-data prep.  Both pyarrow and DuckDB
+# run RE2, so counts are oracle-exact.
+BPE_PRETOKEN_PATTERN = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def token_counts_bpe(ds: ray.data.Dataset,
+                     spec: CorpusSpec = DOCUMENTS_SPEC) -> ray.data.Dataset:
+    """Per-doc token counts under two tokenizers: whitespace words and a
+    BPE-ish pretokenizer regex — the 'how many LLM tokens is this corpus'
+    estimator.  -> (doc_id, n_ws_tokens, n_bpe_pretokens)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = add_doc_id(batch, spec)
+        content = b["content"]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        n_ws = pc.cast(pc.count_substring_regex(content, pattern=r"\S+"),
+                       pa.int64())
+        n_bpe = pc.cast(pc.count_substring_regex(
+            content, pattern=BPE_PRETOKEN_PATTERN), pa.int64())
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_ws_tokens": n_ws,
+                         "n_bpe_pretokens": n_bpe})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def rolling_fingerprint(ds: ray.data.Dataset,
                         spec: CorpusSpec = DOCUMENTS_SPEC,
                         window: int = 8, mod: int = 2**61 - 1) -> ray.data.Dataset:

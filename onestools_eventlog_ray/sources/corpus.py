@@ -55,8 +55,16 @@ DOCUMENTS_SPEC = CorpusSpec(      # /root/testdata/sf*/documents.parquet adapter
 
 def read_corpus(paths: str | list[str], spec: CorpusSpec = CODE_CORPUS_SPEC,
                 with_content: bool = True, with_meta: bool = True,
-                **read_kwargs) -> ray.data.Dataset:
-    """Column-pruned parquet read of a corpus table."""
-    return ray.data.read_parquet(paths,
-                                 columns=spec.read_cols(with_content, with_meta),
-                                 **read_kwargs)
+                fmt: str = "parquet", **read_kwargs) -> ray.data.Dataset:
+    """Column-pruned read of a corpus table (parquet or jsonl).
+
+    Parquet gets true column pruning at the reader; JSONL is read whole
+    and projected immediately after (the format has no column layout to
+    prune — prefer parquet for anything large)."""
+    cols = spec.read_cols(with_content, with_meta)
+    if fmt == "parquet":
+        return ray.data.read_parquet(paths, columns=cols, **read_kwargs)
+    if fmt in ("json", "jsonl"):
+        ds = ray.data.read_json(paths, **read_kwargs)
+        return ds.select_columns(cols)
+    raise ValueError(f"unsupported corpus format: {fmt!r}")

@@ -76,3 +76,32 @@ def test_search_text_analyzes_query(edge_index):
     assert eng.search_text("Def, FOO!", 10) == eng.search(["def", "foo"], 10)
     # accented query token splits just like content does
     assert eng.search_text("naïve", 10) == eng.search(["na", "ve"], 10)
+
+
+def test_jsonl_corpus_source(tmp_path):
+    """Corpus ingestion from JSONL (S1 source-format breadth)."""
+    import json as _json
+    import ray.data
+    from onestools_eventlog_ray.sources.corpus import (CODE_CORPUS_SPEC,
+                                                       read_corpus)
+    rows = [{"repo": "o/r", "path": f"f{i}.py", "commit": f"c{i}",
+             "lang": "py", "content": f"def f{i}(): return {i}"}
+            for i in range(20)]
+    p = tmp_path / "corpus.jsonl"
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    ds = read_corpus(str(p), CODE_CORPUS_SPEC, fmt="jsonl")
+    got = ds.take_all()
+    assert len(got) == 20
+    assert set(got[0]) == {"repo", "path", "commit", "lang", "content"}
+    # and it builds
+    idx = str(tmp_path / "idx")
+    from onestools_eventlog_ray.pipelines.build import build_index
+
+    # jsonl isn't the build reader default; convert through the dataset
+    import pyarrow.parquet as pq_
+    import pyarrow as pa_
+    pq_.write_table(pa_.Table.from_pylist(got), str(tmp_path / "c.parquet"))
+    rep = build_index(str(tmp_path / "c.parquet"), idx, cfg=CFG)
+    assert rep["n_docs"] == 20
