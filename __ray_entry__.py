@@ -129,6 +129,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def bm25_topk_single(sf_dir):
         return _bm25_table(sf_dir, _BM25_TERMS_SINGLE, k=10)
 
+    def bm25_topk_and(sf_dir):
+        """Conjunctive (all-terms-required) BM25 top-10."""
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        eng = SearchEngine(_ensure_index(sf_dir))
+        hits = eng.search_and(_BM25_TERMS, k=1_000_000)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
     def exact_dedup(sf_dir):
         return dedup.exact_dedup(_documents_ds(sf_dir), DOCUMENTS_SPEC)
 
@@ -305,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_topk": term_topk,
         "bm25_topk": bm25_topk,
         "bm25_topk_single": bm25_topk_single,
+        "bm25_topk_and": bm25_topk_and,
         "exact_dedup": exact_dedup,
         "top1_recovery": top1_recovery,
         "events_by_type": events_by_type,
@@ -363,6 +378,14 @@ ORDER BY score_e6 DESC, doc_id ASC
 LIMIT {k}"""
 
 
+
+def _bm25_and_sql(terms: list[str], k: int = 10) -> str:
+    base = _bm25_sql(terms, k)
+    return base.replace(
+        "  GROUP BY tf.doc_id)",
+        f"  GROUP BY tf.doc_id\n  HAVING count(DISTINCT tf.term) = {len(set(terms))})")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_token_stats": f"""
@@ -417,6 +440,7 @@ ORDER BY cf DESC, term ASC
 LIMIT 10""",
 
         "bm25_topk": _bm25_sql(_BM25_TERMS),
+        "bm25_topk_and": _bm25_and_sql(_BM25_TERMS),
         "bm25_topk_single": _bm25_sql(_BM25_TERMS_SINGLE),
         # the incremental (two-generation) engine must reproduce the very
         # same single-build BM25 ranking

@@ -92,6 +92,33 @@ class SearchEngine:
                     out[t] = found[t]
         return out
 
+    def search_and(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+        """Conjunctive BM25: only documents containing ALL query terms
+        (ES bool-must semantics); scores identical to :meth:`search` on
+        the surviving documents.  A term with no posting -> no results."""
+        uniq = sorted(set(terms))
+        loaded = self.load_terms(uniq)
+        if len(loaded) < len(uniq):
+            return []
+        ids_parts, w_parts = [], []
+        for t in uniq:
+            df, blob = loaded[t]
+            post = codec.decode_posting(blob)
+            idf_t = idf_fn(self.N, df)
+            w = idf_t * codec.bm25_impact(post.tfs, post.dls, self.avgdl,
+                                          self.k1, self.b)
+            ids_parts.append(post.doc_ids)
+            w_parts.append(w)
+        all_ids = np.concatenate(ids_parts)
+        all_w = np.concatenate(w_parts)
+        uids, inverse, counts = np.unique(all_ids, return_inverse=True,
+                                          return_counts=True)
+        scores = np.zeros(uids.size, dtype=np.float64)
+        np.add.at(scores, inverse, all_w)
+        keep = counts == len(uniq)          # present in every posting
+        idx = topk_order(scores[keep], uids[keep], k)
+        return [(int(uids[keep][i]), float(scores[keep][i])) for i in idx]
+
     def search_text(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Free-text query: run the SAME analyzer over the query string
         (ES analyzes queries with the field's analyzer), then score."""
