@@ -509,7 +509,7 @@ FROM events GROUP BY event_type""",
 
         "lineitem_qty_by_flag": """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty, count(*) AS n
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n
 FROM lineitem GROUP BY l_returnflag, l_linestatus""",
 
         "window_counts": """
