@@ -283,14 +283,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def media_features(sf_dir):
         """Multimodal plumbing demo: deterministic fake media payloads ->
-        actor-pool decode/feature stage (stubbed codec; no image libs in
-        this container)."""
+        actor-pool decode/feature stage (stubbed md5-based codec; no image
+        libs in this container).  Integer feature columns are
+        oracle-checked; the float feature vector stays engine-side."""
         import ray.data
         from onestools_eventlog_ray.stages.multimodal import (
             extract_media_features, synthesize_media_table)
-        n = max(60, int(200 * _sf_of(sf_dir) * 10))
-        ds = ray.data.from_arrow(synthesize_media_table(n, seed=42))
-        return extract_media_features(ds, batch_size=16, concurrency=(1, 2))
+        ds = ray.data.from_arrow(synthesize_media_table(60, seed=42))
+        feats = extract_media_features(ds, batch_size=16, concurrency=(1, 2))
+        return feats.select_columns(["media_id", "kind", "n_bytes",
+                                     "width", "height", "n_frames"])
 
     def language_id(sf_dir):
         return text.language_id(_documents_ds(sf_dir), DOCUMENTS_SPEC)
@@ -309,6 +311,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                    columns=["vec_id", "embedding"])
         return similarity.lsh_bucket(ds, dim=64, nbits=12)
+
+    def minhash_verified_pairs(sf_dir):
+        """LSH candidates verified by exact in-bucket Jaccard — fully
+        distributed (groupby(bucket).map_groups), no driver pair loop."""
+        return dedup.minhash_verified_pairs(_documents_ds(sf_dir),
+                                            DOCUMENTS_SPEC, min_jaccard=0.2)
+
+    def cosine_pairs_lsh(sf_dir):
+        """Bucketed near-dup pair mining: hyperplane-LSH candidates
+        verified by exact cosine inside each bucket's task (the scale
+        path replacing the full-matrix broadcast)."""
+        import ray.data
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                   columns=["vec_id", "embedding"])
+        return similarity.cosine_pairs_lsh(ds, dim=64, threshold=0.45,
+                                           nbits=4, tables=8)
+
+    def bm25_topk_wand(sf_dir):
+        """Same oracle as bm25_topk, computed via the DISTRIBUTED
+        actor-pool scorer with block-max WAND — driver-checks the
+        headline block-skip path, not just TAAT."""
+        from onestools_eventlog_ray.pipelines.query import score_queries
+        index_dir = _ensure_index(sf_dir)
+        rows = score_queries(index_dir,
+                             [{"query_id": 0, "terms": _BM25_TERMS,
+                               "k": 1_000_000}],
+                             use_wand=True).take_all()
+        ids = np.asarray([r["doc_id"] for r in rows], dtype=np.int64)
+        e6 = _score_e6(np.asarray([r["score"] for r in rows], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
+    def bm25_topk_filtered(sf_dir):
+        """BM25 restricted to docs with lang='en' (metadata filter
+        context: global stats, predicate gates results only)."""
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        eng = SearchEngine(_ensure_index(sf_dir))
+        hits = eng.search_filtered(_BM25_TERMS, {"lang": "en"}, k=1_000_000)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
 
     return {
         "doc_token_stats": doc_token_stats,
@@ -340,6 +392,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_groups": minhash_lsh_groups,
         "simhash_signatures": simhash_signatures,
         "lsh_buckets": lsh_buckets,
+        "minhash_verified_pairs": minhash_verified_pairs,
+        "cosine_pairs_lsh": cosine_pairs_lsh,
+        "bm25_topk_wand": bm25_topk_wand,
+        "bm25_topk_filtered": bm25_topk_filtered,
     }
 
 
@@ -384,6 +440,77 @@ def _bm25_and_sql(terms: list[str], k: int = 10) -> str:
     return base.replace(
         "  GROUP BY tf.doc_id)",
         f"  GROUP BY tf.doc_id\n  HAVING count(DISTINCT tf.term) = {len(set(terms))})")
+
+
+def _bm25_filtered_sql(terms: list[str], where_sql: str, k: int = 10) -> str:
+    """Filter context: scores from GLOBAL stats; the predicate only gates
+    which docs rank (mirrors SearchEngine.search_filtered)."""
+    base = _bm25_sql(terms, k)
+    return base.replace(
+        "FROM scored\nORDER BY",
+        f"FROM scored JOIN documents USING (doc_id)\nWHERE {where_sql}\n"
+        "ORDER BY")
+
+
+_P61 = (1 << 61) - 1
+
+
+def _minhash_cte(num_perm: int = 64, bands: int = 16, k: int = 5,
+                 seed: int = 42) -> str:
+    """WITH-chain computing the EXACT MinHash band table the engine
+    builds (md5 shingle hashes mod 2^61-1, (a*x+b) mod p minima in
+    HUGEINT, md5 band hashes of ','-joined minima) — see
+    onestools_eventlog_ray/pipelines/dedup.py."""
+    from onestools_eventlog_ray.pipelines.dedup import _minhash_params
+    a, b = _minhash_params(num_perm, seed)
+    rows = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})"
+                     for i in range(num_perm))
+    r = num_perm // bands
+    comp = " || chr(31) || ".join(f"t[i+{j}]" if j else "t[i]"
+                                  for j in range(k))
+    return f"""
+tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                             x -> x <> '') AS t
+  FROM documents),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(t) < {k} THEN [array_to_string(t, chr(31))]
+              ELSE [{comp} for i in range(1, len(t) - {k - 2})]
+         END AS shs
+  FROM tok),
+sh AS (SELECT doc_id, unnest(list_distinct(shs)) AS s FROM shl),
+shh AS (SELECT doc_id,
+               CAST(md5_number_lower(s) AS HUGEINT) % {_P61} AS h FROM sh),
+perm AS (SELECT * FROM (VALUES {rows}) AS p(perm_id, a, b)),
+mins AS (
+  SELECT doc_id, perm_id,
+         min(CAST((CAST(a AS HUGEINT) * h + b) % {_P61} AS BIGINT)) AS v
+  FROM shh CROSS JOIN perm GROUP BY doc_id, perm_id),
+bandh AS (
+  SELECT doc_id, CAST(perm_id // {r} AS BIGINT) AS band_id,
+         CAST(md5_number_lower(
+                string_agg(CAST(v AS VARCHAR), ',' ORDER BY perm_id)) >> 1
+              AS BIGINT) AS band_hash
+  FROM mins GROUP BY doc_id, perm_id // {r})"""
+
+
+def _planes_values(dim: int, nbits: int, seed: int, tables: int = 1) -> str:
+    """(t, j, i, w) literal rows of the seeded integer hyperplanes (i is
+    1-based to match generate_subscripts)."""
+    from onestools_eventlog_ray.pipelines.similarity import lsh_planes
+    w = lsh_planes(dim, nbits, seed, tables)
+    rows = []
+    for t in range(tables):
+        for j in range(nbits):
+            for i in range(dim):
+                rows.append(f"({t},{j},{i + 1},{int(w[t * nbits + j, i])})")
+    return ", ".join(rows)
+
+
+def _bits_values() -> str:
+    return ", ".join(f"({i}, CAST({1 << i} AS HUGEINT))" for i in range(64))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -445,6 +572,131 @@ LIMIT 10""",
         # the incremental (two-generation) engine must reproduce the very
         # same single-build BM25 ranking
         "bm25_incremental": _bm25_sql(_BM25_TERMS),
+        # the distributed actor-pool block-max WAND path must reproduce it too
+        "bm25_topk_wand": _bm25_sql(_BM25_TERMS),
+        "bm25_topk_filtered": _bm25_filtered_sql(_BM25_TERMS, "lang = 'en'"),
+
+        "minhash_lsh_groups": f"""
+WITH {_minhash_cte()}
+SELECT band_id, band_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM bandh GROUP BY band_id, band_hash HAVING count(*) >= 2""",
+
+        "minhash_verified_pairs": f"""
+WITH {_minhash_cte()},
+sets AS (SELECT doc_id, list_distinct(list(CAST(h AS BIGINT))) AS hs
+         FROM shh GROUP BY doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bandh a JOIN bandh b
+           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id),
+j AS (SELECT doc_a, doc_b,
+        CAST(floor(len(list_intersect(sa.hs, sb.hs)) * 1.0
+                   / len(list_distinct(sa.hs || sb.hs)) * 1000000 + 0.5)
+             AS BIGINT) AS jaccard_e6
+      FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
+                JOIN sets sb ON sb.doc_id = cand.doc_b)
+SELECT doc_a, doc_b, jaccard_e6 FROM j WHERE jaccard_e6 >= 200000""",
+
+        "simhash_signatures": f"""
+WITH toks AS ({_TOKS}),
+th AS (SELECT doc_id, md5_number_lower(term) AS h FROM toks),
+dl AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+bits AS (SELECT * FROM (VALUES {_bits_values()}) AS b(i, w)),
+bsum AS (SELECT doc_id, i, w,
+                sum(CAST((h >> CAST(i AS INTEGER)) & 1 AS BIGINT)) AS c
+         FROM th CROSS JOIN bits GROUP BY doc_id, i, w),
+sig AS (SELECT b.doc_id,
+               sum(CASE WHEN 2 * b.c >= d.n THEN b.w
+                        ELSE CAST(0 AS HUGEINT) END) AS s
+        FROM bsum b JOIN dl d USING (doc_id) GROUP BY b.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(CASE WHEN s.s >= 9223372036854775808
+                          THEN s.s - 18446744073709551616 ELSE s.s END, 0)
+            AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sig s USING (doc_id)""",
+
+        "rolling_fingerprint": f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                             x -> x <> '') AS t
+  FROM documents),
+hl AS (SELECT doc_id,
+              list_transform(t, x -> CAST(md5_number_lower(x) AS HUGEINT)
+                                     % {_P61}) AS hs
+       FROM tok)
+SELECT doc_id,
+       CASE WHEN len(hs) = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(list_reduce(hs, (acc, x) -> (acc * 1000003 + x)
+                                                  % {_P61}) AS BIGINT)
+       END AS fingerprint
+FROM hl""",
+
+        "lsh_buckets": f"""
+WITH planes AS (SELECT * FROM (VALUES {_planes_values(64, 12, 42)})
+                AS p(t, j, i, w)),
+e0 AS (SELECT vec_id, unnest(embedding) AS x,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+e AS (SELECT vec_id, i,
+             CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xe
+      FROM e0),
+dots AS (SELECT vec_id, p.j, sum(e.xe * p.w) AS dot
+         FROM e JOIN planes p USING (i) GROUP BY vec_id, p.j)
+SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN 1 << j ELSE 0 END) AS BIGINT)
+         AS bucket
+FROM dots GROUP BY vec_id""",
+
+        "cosine_pairs_lsh": f"""
+WITH planes AS (SELECT * FROM (VALUES {_planes_values(64, 4, 42, 8)})
+                AS p(t, j, i, w)),
+e0 AS (SELECT vec_id, unnest(embedding) AS x,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+e AS (SELECT vec_id, i,
+             CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xe
+      FROM e0),
+dots AS (SELECT vec_id, p.t, p.j, sum(e.xe * p.w) AS dot
+         FROM e JOIN planes p USING (i) GROUP BY vec_id, p.t, p.j),
+buck AS (SELECT vec_id, t,
+                sum(CASE WHEN dot > 0 THEN 1 << j ELSE 0 END) AS bucket
+         FROM dots GROUP BY vec_id, t),
+cand AS (SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+         FROM buck a JOIN buck b
+           ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings),
+p AS (SELECT vec_id_a, vec_id_b,
+             list_cosine_similarity(va.ve, vb.ve) AS cos
+      FROM cand JOIN v va ON va.vec_id = cand.vec_id_a
+                JOIN v vb ON vb.vec_id = cand.vec_id_b)
+SELECT vec_id_a, vec_id_b,
+       CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_e6
+FROM p WHERE cos >= 0.45""",
+
+        "media_features": """
+WITH ids AS (SELECT range AS i FROM range(60)),
+js AS (SELECT range AS j FROM range(256)),
+pay AS (SELECT i, string_agg(md5(concat('42:', i, ':', j)), '' ORDER BY j)
+             AS ph
+        FROM ids CROSS JOIN js GROUP BY i),
+h AS (SELECT i, md5_number_upper(ph) AS up, md5_number_lower(ph) AS lo
+      FROM pay),
+f AS (SELECT i AS media_id,
+             CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(up % 4294967296 AS BIGINT) AS r0,
+             CAST((up // 4294967296) % 4294967296 AS BIGINT) AS r1,
+             CAST(lo % 4294967296 AS BIGINT) AS r2
+      FROM h)
+SELECT media_id, kind, CAST(4096 AS BIGINT) AS n_bytes,
+       CAST(CASE kind WHEN 'image' THEN 16 + r0 % 4096
+                      WHEN 'video' THEN 16 + r0 % 1920
+                      ELSE -1 END AS BIGINT) AS width,
+       CAST(CASE kind WHEN 'image' THEN 16 + r1 % 4096
+                      WHEN 'video' THEN 16 + r1 % 1080
+                      ELSE -1 END AS BIGINT) AS height,
+       CAST(CASE kind WHEN 'image' THEN 1
+                      WHEN 'video' THEN 1 + r2 % 3000
+                      ELSE 1 + r2 % 10000 END AS BIGINT) AS n_frames
+FROM f""",
 
         "docs_filter_lang": """
 SELECT doc_id, lang, n_chars FROM documents

@@ -146,6 +146,18 @@ class Posting:
         return int(self.doc_ids.size)
 
 
+def _check_u32(*section_bytes: int) -> None:
+    """Posting section offsets are u32: refuse to build a posting whose
+    varint section exceeds 4 GiB instead of silently wrapping the header
+    offsets (plausible for df~1e9 hot terms at 100 TB scale — raising
+    here turns corruption into an explicit 'raise salt fan-out' signal)."""
+    for nb in section_bytes:
+        if nb > 0xFFFFFFFF:
+            raise ValueError(
+                f"posting varint section {nb} bytes exceeds the u32 header "
+                "limit; increase salt fan-out so runs stay under 4 GiB")
+
+
 def bm25_impact(tf: np.ndarray, dl: np.ndarray, avgdl: float,
                 k1: float, b: float) -> np.ndarray:
     tf = np.asarray(tf, dtype=np.float64)
@@ -180,6 +192,7 @@ def encode_posting(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     tf_b, tf_len = varint_encode_with_lengths(np.asarray(tfs, dtype=np.uint64))
     dl_b, dl_len = varint_encode_with_lengths(np.asarray(dls, dtype=np.uint64))
 
+    _check_u32(len(gap_b), len(tf_b), len(dl_b))
     headers = np.empty(n_blocks, dtype=_BLOCK_DT)
     headers["first_doc"] = u_ids[starts]
     headers["last_doc"] = u_ids[ends - 1]
@@ -256,6 +269,8 @@ def encode_run_group(run_starts: np.ndarray, doc_ids: np.ndarray,
         b1 = run_first_block[r + 1] if r + 1 < run_starts.size else bstarts.size
         h = headers[b0:b1].copy()
         s, e = run_starts[r], run_ends[r]
+        _check_u32(int(gap_cum[e] - gap_cum[s]), int(tf_cum[e] - tf_cum[s]),
+                   int(dl_cum[e] - dl_cum[s]))
         h["gap_end"] = (g_end[b0:b1] - gap_cum[s]).astype(np.uint32)
         h["tf_end"] = (t_end[b0:b1] - tf_cum[s]).astype(np.uint32)
         h["dl_end"] = (d_end[b0:b1] - dl_cum[s]).astype(np.uint32)
@@ -336,6 +351,7 @@ def concat_postings(blobs: list[bytes]) -> bytes:
         g_off += gap_s.size
         t_off += tf_s.size
         d_off += dl_s.size
+        _check_u32(g_off, t_off, d_off)
         gap_parts.append(gap_s)
         tf_parts.append(tf_s)
         dl_parts.append(dl_s)

@@ -84,6 +84,26 @@ def term_partition_one(term: str, num_partitions: int) -> int:
     return int.from_bytes(h, "big") % num_partitions
 
 
+GOLDEN64 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def rollup_acc(sha_hexes, doc_ids: np.ndarray) -> int:
+    """Order-independent content+identity rollup: XOR over rows of
+    ``sha256_prefix64(content) XOR (doc_id * golden-ratio-odd mod 2^64)``.
+
+    Folding the (unique) doc_id into each row's contribution makes
+    duplicate contents non-cancelling — two rows with equal content but
+    different ids no longer XOR to zero (round-1 ADVICE: duplicate-heavy
+    corpora could collide part names / resume fingerprints)."""
+    if isinstance(sha_hexes, (pa.Array, pa.ChunkedArray)):
+        sha_hexes = sha_hexes.to_pylist()
+    mix = (np.asarray(doc_ids, dtype=np.int64).astype(np.uint64) * GOLDEN64)
+    acc = 0
+    for h, m in zip(sha_hexes, mix):
+        acc ^= int(h[:16], 16) ^ int(m)
+    return acc
+
+
 def fingerprint_combine(hash_hexes: pa.Array | pa.ChunkedArray) -> tuple[int, int]:
     """Order-independent lineage rollup of per-row content hashes.
 

@@ -88,6 +88,20 @@ def build_index(corpus_paths, index_dir: str,
     # ONE corpus read produces docstore + stats + shards; skew handled by
     # prepass-free fixed-range salting (stages/exchange.py).  Resume and
     # non-exchange impls take the two-pass path below.
+    if not reuse_docstore:
+        # No (valid) docstore marker means this is a FULL (re)build of a
+        # new/changed corpus: any surviving shards/ + manifest/ belong to
+        # the previous corpus.  Wipe them, or partitions that are empty
+        # in the new build would leave stale shard files that
+        # SearchEngine.load_terms still reads (round-1 ADVICE, medium:
+        # queries returned doc_ids of deleted documents after an
+        # in-place rebuild).
+        import shutil
+        for sub in ("shards", ckpt.manifest_dir(index_dir)):
+            p = os.path.join(index_dir, sub) if sub == "shards" else sub
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+
     if (not reuse_docstore and cfg.single_pass
             and cfg.postings_impl == "exchange" and hot_terms is None):
         import shutil

@@ -174,7 +174,7 @@ def _map_combined(spec, pattern: str, num_partitions: int, num_groups: int,
     ``[G sub-tables..., stats_table]``."""
     import pyarrow.parquet as pq
     from onestools_eventlog_ray.functions.analyzer import doc_term_table
-    from onestools_eventlog_ray.functions.hashing import sha256_hex
+    from onestools_eventlog_ray.functions.hashing import rollup_acc, sha256_hex
     from onestools_eventlog_ray.state.checkpoint import atomic_write_bytes
     from onestools_eventlog_ray.stages.normalize import add_doc_id
 
@@ -187,9 +187,8 @@ def _map_combined(spec, pattern: str, num_partitions: int, num_groups: int,
 
         # ---- docstore part (tokenized exactly once, n_tokens from stats)
         sha = sha256_hex(b["content"])
-        acc = 0
-        for h in sha.to_pylist():
-            acc ^= int(h[:16], 16)
+        ids_np0 = b["doc_id"].to_numpy(zero_copy_only=False)
+        acc = rollup_acc(sha, ids_np0)
         cols = {"doc_id": b["doc_id"]}
         for c in spec.meta_cols:
             cols[c] = block[c]
@@ -198,10 +197,13 @@ def _map_combined(spec, pattern: str, num_partitions: int, num_groups: int,
         if store_content:
             cols["content"] = b["content"]
         out = pa.table(cols)
-        atomic_write_bytes(
-            f"{docstore_dir}/part-{out.num_rows:08d}-{acc:016x}.parquet",
-            lambda tmp: pq.write_table(out, tmp, compression="zstd",
-                                       compression_level=1))
+        if out.num_rows:
+            dmin, dmax = int(ids_np0.min()), int(ids_np0.max())
+            atomic_write_bytes(
+                f"{docstore_dir}/part-{out.num_rows:08d}"
+                f"-{dmin:016x}-{dmax:016x}-{acc:016x}.parquet",
+                lambda tmp: pq.write_table(out, tmp, compression="zstd",
+                                           compression_level=1))
         stat_rows["n_docs"] += out.num_rows
         stat_rows["total_tokens"] += int(
             doc_stats["n_tokens"].to_numpy(zero_copy_only=False).sum())

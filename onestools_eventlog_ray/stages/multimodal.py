@@ -38,9 +38,9 @@ FEATURE_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
     ("kind", pa.string()),
     ("n_bytes", pa.int64()),
-    ("width", pa.int32()),           # image/video: decoded dims; audio: -1
-    ("height", pa.int32()),
-    ("n_frames", pa.int32()),        # video frame count / audio chunk count
+    ("width", pa.int64()),           # image/video: decoded dims; audio: -1
+    ("height", pa.int64()),
+    ("n_frames", pa.int64()),        # video frame count / audio chunk count
     ("feature", pa.list_(pa.float32(), 8)),   # fixed-size feature vector
 ])
 
@@ -54,17 +54,22 @@ class Codec(Protocol):
 
 class FakeCodec:
     """Deterministic stand-in decoder: dims / frame counts / features are
-    derived from a blake2b of the payload, so tests are reproducible and
-    the pipeline shape matches a real decoder's."""
+    derived from md5 of the payload's lowercase hex, so they are exactly
+    reproducible by the DuckDB oracle (``md5_number_upper/lower``) — the
+    multimodal lane's correctness signal.  The uint32 lanes below are the
+    little-endian digest words, matching DuckDB's md5_number semantics.
+    """
 
     def decode(self, payload: bytes, kind: str) -> dict:
-        h = hashlib.blake2b(payload, digest_size=16).digest()
-        rng = np.frombuffer(h, dtype=np.uint32)
-        feature = (np.frombuffer(hashlib.blake2b(payload, digest_size=32,
-                                                 salt=b"feat").digest(),
-                                 dtype=np.uint64).astype(np.float64)
-                   / 2**64).astype(np.float32)[:4]
-        feature = np.concatenate([feature, feature[::-1]])
+        ph = payload.hex()                       # lowercase hex, like SQL hex
+        h = hashlib.md5(ph.encode()).digest()
+        rng = np.frombuffer(h, dtype="<u4")      # 4 LE uint32 words
+        f0 = np.frombuffer(hashlib.md5((ph + ":feat0").encode()).digest(),
+                           dtype="<u4")
+        f1 = np.frombuffer(hashlib.md5((ph + ":feat1").encode()).digest(),
+                           dtype="<u4")
+        feature = (np.concatenate([f0, f1]).astype(np.float64)
+                   / 2**32).astype(np.float32)
         if kind == "image":
             return {"width": 16 + int(rng[0] % 4096),
                     "height": 16 + int(rng[1] % 4096),
@@ -104,9 +109,9 @@ class MediaFeatureExtractor:
             "media_id": pa.array(cols["media_id"], pa.int64()),
             "kind": pa.array(cols["kind"], pa.string()),
             "n_bytes": pa.array(cols["n_bytes"], pa.int64()),
-            "width": pa.array(cols["width"], pa.int32()),
-            "height": pa.array(cols["height"], pa.int32()),
-            "n_frames": pa.array(cols["n_frames"], pa.int32()),
+            "width": pa.array(cols["width"], pa.int64()),
+            "height": pa.array(cols["height"], pa.int64()),
+            "n_frames": pa.array(cols["n_frames"], pa.int64()),
             "feature": pa.array([np.asarray(f, dtype=np.float32)
                                  for f in cols["feature"]],
                                 pa.list_(pa.float32(), 8)),
@@ -125,15 +130,16 @@ def extract_media_features(ds: ray.data.Dataset, batch_size: int = 64,
 
 def synthesize_media_table(n: int, seed: int = 42,
                            payload_bytes: int = 4096) -> pa.Table:
-    """Deterministic fake media table for tests/queries (binary payloads
-    derived from a seeded blake2b keystream)."""
+    """Deterministic fake media table for tests/queries: payload = md5
+    keystream ``md5(f"{seed}:{i}:{j}")`` — reproducible by the oracle's
+    ``string_agg(md5(...), '' ORDER BY j)`` (concatenated hex digests)."""
     kinds = ["image", "audio", "video"]
     ids, ks, payloads, paths = [], [], [], []
     for i in range(n):
         kind = kinds[i % 3]
         stream = b"".join(
-            hashlib.blake2b(f"{seed}:{i}:{j}".encode(), digest_size=64).digest()
-            for j in range((payload_bytes + 63) // 64))
+            hashlib.md5(f"{seed}:{i}:{j}".encode()).digest()
+            for j in range((payload_bytes + 15) // 16))
         ids.append(i)
         ks.append(kind)
         payloads.append(stream[:payload_bytes])

@@ -104,22 +104,26 @@ class DocstoreSink(PrepareDocs):
         import pyarrow.parquet as pq
         from onestools_eventlog_ray.state.checkpoint import atomic_write_bytes
 
+        from onestools_eventlog_ray.functions.hashing import rollup_acc
+
         out = self.prepare(batch)
 
         # ---- stats rollup (commutative, retry/ordering independent) ---
         n = out.num_rows
         n_tokens = out["n_tokens"].to_numpy(zero_copy_only=False)
         doc_ids = out["doc_id"].to_numpy(zero_copy_only=False)
-        acc = 0
-        for h in out["content_sha256"].to_pylist():
-            acc ^= int(h[:16], 16)
+        acc = rollup_acc(out["content_sha256"], doc_ids)
 
         # ---- deterministic idempotent part file ------------------------
-        fname = f"part-{n:08d}-{acc:016x}.parquet"
-        atomic_write_bytes(f"{self.docstore_dir}/{fname}",
-                           lambda tmp: pq.write_table(out, tmp,
-                                                      compression="zstd",
-                                                      compression_level=1))
+        # name carries the batch's doc_id [min, max] so stored-fields
+        # fetches can prune parts by range without opening them
+        if n:
+            dmin, dmax = int(doc_ids.min()), int(doc_ids.max())
+            fname = f"part-{n:08d}-{dmin:016x}-{dmax:016x}-{acc:016x}.parquet"
+            atomic_write_bytes(f"{self.docstore_dir}/{fname}",
+                               lambda tmp: pq.write_table(out, tmp,
+                                                          compression="zstd",
+                                                          compression_level=1))
 
         # ---- hot-term candidates: top local-df terms of this batch -----
         # Sampled 1-in-8 batches (deterministic on the batch's content
