@@ -7,14 +7,14 @@ and of the inverted index ElasticSearch builds for the analyzed ``text``
 fields (``ElasticSearchStorage.cs:217,227,231``) — here we build it
 ourselves.
 
-Layout v2 (little-endian)::
+Layout v3 (little-endian)::
 
-    [u8 version=2][u32 n_blocks][u64 n_docs_total]
+    [u8 version=3][u32 n_blocks][u64 n_docs_total]
     n_blocks * block header:
         u64 first_doc_id | u64 last_doc_id | u32 n_docs
         | u32 gap_end | u32 tf_end | u32 dl_end      (cumulative byte offsets
                                                       into each varint section)
-        | f64 max_impact
+        | u32 max_tf | u32 min_dl
     three COLUMNAR varint sections: all doc_id gaps | all tfs | all dls
     (each block's first gap is 0; ids are relative to its first_doc_id)
 
@@ -28,10 +28,13 @@ Key properties:
   two postings covering disjoint ascending doc_id ranges concatenate by
   splicing headers + payloads with NO re-encoding — this is what makes
   salted hot-term runs (salt = doc_id range bucket) cheap to merge.
-- **Per-block ``max_impact``** = max over the block of the BM25
-  term-frequency factor ``tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))``; the
-  block's score upper bound is ``idf * max_impact`` — the block-max WAND
-  skip bound.
+- **Per-block ``(max_tf, min_dl)``** give the BM25 score upper bound
+  ``idf * impact(max_tf, min_dl)`` at QUERY time (impact is monotone
+  increasing in tf and decreasing in dl) — the block-max WAND skip
+  bound.  Storing the raw extrema instead of a precomputed impact makes
+  encoding **independent of the corpus stats** (avgdl): encode tasks
+  need no stats barrier, and postings stay valid when avgdl drifts
+  across incremental generations.
 - Encode and decode are vectorized NumPy (no per-value Python loop).
 """
 
@@ -42,12 +45,12 @@ from dataclasses import dataclass
 
 import numpy as np
 
-_VERSION = 2
+_VERSION = 3
 _FIXED = struct.Struct("<BIQ")           # version, n_blocks, n_docs_total
 _BLOCK_DT = np.dtype([("first_doc", "<u8"), ("last_doc", "<u8"),
                       ("n_docs", "<u4"), ("gap_end", "<u4"),
                       ("tf_end", "<u4"), ("dl_end", "<u4"),
-                      ("max_impact", "<f8")])
+                      ("max_tf", "<u4"), ("min_dl", "<u4")])
 
 
 # --------------------------------------------------------------------------
@@ -166,17 +169,18 @@ def bm25_impact(tf: np.ndarray, dl: np.ndarray, avgdl: float,
 
 
 def encode_posting(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
-                   avgdl: float, k1: float, b: float,
                    block_size: int = 128) -> bytes:
     """Encode one term's (sorted-by-doc_id) posting — fully vectorized:
-    three varint passes over the whole posting, no per-block loop."""
+    three varint passes over the whole posting, no per-block loop.
+    Needs NO corpus stats (block bounds store raw (max_tf, min_dl))."""
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     n = doc_ids.size
     if n == 0:
         return _FIXED.pack(_VERSION, 0, 0)
     if n > 1 and not (np.diff(doc_ids) > 0).all():
         raise ValueError("doc_ids must be strictly increasing")
-    impacts = bm25_impact(tfs, dls, avgdl, k1, b)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
 
     n_blocks = (n + block_size - 1) // block_size
     starts = np.arange(n_blocks, dtype=np.int64) * block_size
@@ -200,15 +204,16 @@ def encode_posting(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     headers["gap_end"] = np.cumsum(gap_len)[ends - 1].astype(np.uint32)
     headers["tf_end"] = np.cumsum(tf_len)[ends - 1].astype(np.uint32)
     headers["dl_end"] = np.cumsum(dl_len)[ends - 1].astype(np.uint32)
-    headers["max_impact"] = np.maximum.reduceat(impacts, starts)
+    headers["max_tf"] = np.maximum.reduceat(tfs, starts).astype(np.uint32)
+    headers["min_dl"] = np.minimum.reduceat(dls, starts).astype(np.uint32)
 
     return (_FIXED.pack(_VERSION, n_blocks, n) + headers.tobytes()
             + gap_b + tf_b + dl_b)
 
 
 def encode_run_group(run_starts: np.ndarray, doc_ids: np.ndarray,
-                     tfs: np.ndarray, dls: np.ndarray, avgdl: float,
-                     k1: float, b: float, block_size: int = 128) -> list[bytes]:
+                     tfs: np.ndarray, dls: np.ndarray,
+                     block_size: int = 128) -> list[bytes]:
     """Encode MANY runs at once (one varint pass over the whole group).
 
     ``run_starts``: start index of each run in the (run-major,
@@ -223,7 +228,8 @@ def encode_run_group(run_starts: np.ndarray, doc_ids: np.ndarray,
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     run_starts = np.asarray(run_starts, dtype=np.int64)
     run_ends = np.append(run_starts[1:], n)
-    impacts = bm25_impact(tfs, dls, avgdl, k1, b)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
     u_ids = doc_ids.astype(np.uint64)
 
     # block starts: every block_size-th element within its run
@@ -254,7 +260,8 @@ def encode_run_group(run_starts: np.ndarray, doc_ids: np.ndarray,
     headers["first_doc"] = u_ids[bstarts]
     headers["last_doc"] = u_ids[bends - 1]
     headers["n_docs"] = (bends - bstarts).astype(np.uint32)
-    headers["max_impact"] = np.maximum.reduceat(impacts, bstarts)
+    headers["max_tf"] = np.maximum.reduceat(tfs, bstarts).astype(np.uint32)
+    headers["min_dl"] = np.minimum.reduceat(dls, bstarts).astype(np.uint32)
     # global byte ends per block (made run-local below)
     g_end = gap_cum[bends]
     t_end = tf_cum[bends]
@@ -361,10 +368,16 @@ def concat_postings(blobs: list[bytes]) -> bytes:
             + b"".join(p.tobytes() for p in gap_parts + tf_parts + dl_parts))
 
 
-def block_max_scores(blob: bytes, idf: float) -> np.ndarray:
-    """Per-block BM25 upper bounds (idf * max_impact) — WAND skip bounds."""
+def block_max_scores(blob: bytes, idf: float, avgdl: float,
+                     k1: float, b: float) -> np.ndarray:
+    """Per-block BM25 upper bounds ``idf * impact(max_tf, min_dl)`` —
+    WAND skip bounds, computed at query time from the CURRENT corpus
+    stats (impact is monotone in tf up / dl down, so this dominates
+    every posting in the block)."""
     headers, _, _ = read_header(blob)
-    return headers["max_impact"] * idf
+    return idf * bm25_impact(headers["max_tf"].astype(np.float64),
+                             headers["min_dl"].astype(np.float64),
+                             avgdl, k1, b)
 
 
 def decode_block(blob: bytes, block_idx: int) -> Posting:

@@ -223,8 +223,7 @@ def build_index(corpus_paths, index_dir: str,
                                             id_space_max=id_space_max,
                                             done_pkeys=frozenset(done)))
             runs = keyed.groupby("gkey").map_groups(
-                make_encode_runs(stats["avgdl"], cfg.bm25.k1, cfg.bm25.b,
-                                 cfg.block_size),
+                make_encode_runs(cfg.block_size),
                 batch_format="pyarrow")
             merged = runs.groupby("pkey").map_groups(
                 make_merge_and_write(index_dir, fingerprint),

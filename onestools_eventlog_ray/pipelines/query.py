@@ -344,7 +344,11 @@ class _PostingCursor:
         self.blob, self.idf, self.avgdl, self.k1, self.b = blob, idf_val, avgdl, k1, b
         headers, n_docs, _ = codec.read_header(blob)
         self.headers = headers
-        self.block_bounds = headers["max_impact"] * idf_val
+        # v3 bounds: idf * impact(max_tf, min_dl) with the engine's
+        # CURRENT stats — valid across incremental avgdl drift
+        self.block_bounds = idf_val * codec.bm25_impact(
+            headers["max_tf"].astype(np.float64),
+            headers["min_dl"].astype(np.float64), avgdl, k1, b)
         self.max_score = float(self.block_bounds.max()) if headers.size else 0.0
         self.n_blocks = headers.size
         self.bi = -1

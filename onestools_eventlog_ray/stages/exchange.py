@@ -108,7 +108,7 @@ def _map_partition(spec, pattern: str, hot: dict[str, int],
 
 
 @ray.remote
-def _encode_partition(avgdl: float, k1: float, b: float, block_size: int,
+def _encode_partition(block_size: int,
                       num_partitions: int, hot: dict[str, int],
                       id_space_max: int, *parts: pa.Table) -> list[pa.Table]:
     """all of one gkey's triples -> encoded (term, salt) runs -> P
@@ -142,13 +142,13 @@ def _encode_partition(avgdl: float, k1: float, b: float, block_size: int,
         "pkey": pa.array(pkey, pa.int32()),
         "salt": pa.array(salt, pa.int32()),
     })
-    runs = post_mod.make_encode_runs(avgdl, k1, b, block_size)(full)
+    runs = post_mod.make_encode_runs(block_size)(full)
     return _split_by_key(runs, "pkey", num_partitions)
 
 
 @ray.remote
 def _merge_partition(index_dir: str, fingerprint: str,
-                     reencode_params: tuple | None,
+                     reencode_block_size: int | None,
                      *parts: pa.Table) -> dict:
     """all of one pkey's runs -> spliced postings -> shard + checkpoint."""
     parts = [p for p in parts if p.num_rows]
@@ -156,7 +156,7 @@ def _merge_partition(index_dir: str, fingerprint: str,
         return {}
     group = pa.concat_tables(parts).combine_chunks()
     out = post_mod.make_merge_and_write(index_dir, fingerprint,
-                                        reencode_params)(group)
+                                        reencode_block_size)(group)
     return out.to_pylist()[0]
 
 
@@ -260,8 +260,7 @@ def _map_combined(spec, pattern: str, num_partitions: int, num_groups: int,
 
 
 @ray.remote
-def _encode_partition_ranged(avgdl: float, k1: float, b: float,
-                             block_size: int, num_partitions: int,
+def _encode_partition_ranged(block_size: int, num_partitions: int,
                              salt_ranges: int, *parts: pa.Table) -> list[pa.Table]:
     """Encode stage for the single-pass path: salt = doc-range bits
     (recomputed from doc_id — never shipped)."""
@@ -293,7 +292,7 @@ def _encode_partition_ranged(avgdl: float, k1: float, b: float,
         "pkey": pa.array(pkey.astype(np.int32), pa.int32()),
         "salt": pa.array(salt, pa.int32()),
     })
-    runs = post_mod.make_encode_runs(avgdl, k1, b, block_size)(full)
+    runs = post_mod.make_encode_runs(block_size)(full)
     return _split_by_key(runs, "pkey", num_partitions)
 
 
@@ -335,23 +334,24 @@ def build_combined_exchange(corpus_ds, spec, cfg, index_dir: str,
     if pending:
         _launch(pending)
 
-    # stats barrier: fold the (G+1)-th return of every map task
+    # Codec v3 needs no corpus stats at encode time: submit the encode
+    # wave IMMEDIATELY (each task starts the moment its inputs exist)
+    # and fold the stats partials on the driver WHILE encodes run — the
+    # round-1 stats barrier (every encode waiting on the driver's fold
+    # loop) is gone.
+    enc_out = [
+        _encode_partition_ranged.options(num_returns=P).remote(
+            cfg.block_size, P, S, *[m[g] for m in map_out])
+        for g in range(G)
+    ]
     stats_rows = []
     for m in map_out:
         t = ray.get(m[G])
         stats_rows.extend(t.to_pylist())
     stats = stats_mod.fold_stats(stats_rows)
-
-    enc_out = [
-        _encode_partition_ranged.options(num_returns=P).remote(
-            stats["avgdl"], cfg.bm25.k1, cfg.bm25.b, cfg.block_size, P, S,
-            *[m[g] for m in map_out])
-        for g in range(G)
-    ]
     merge_refs = [
         _merge_partition.remote(
-            index_dir, stats["fingerprint"],
-            (stats["avgdl"], cfg.bm25.k1, cfg.bm25.b, cfg.block_size),
+            index_dir, stats["fingerprint"], cfg.block_size,
             *[e[p] for e in enc_out])
         for p in range(P)
     ]
@@ -390,7 +390,7 @@ def build_postings_exchange(corpus_ds, spec, cfg, stats: dict,
     # transpose: encode task g consumes column g of the map outputs
     enc_out = [
         _encode_partition.options(num_returns=P).remote(
-            stats["avgdl"], cfg.bm25.k1, cfg.bm25.b, cfg.block_size, P,
+            cfg.block_size, P,
             hot, stats["max_doc_id"], *[m[g] for m in map_out])
         for g in range(G)
     ]

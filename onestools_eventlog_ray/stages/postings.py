@@ -128,8 +128,10 @@ def assign_shard(batch: pa.Table, *, hot_ref, num_partitions: int,
     return stage(batch)
 
 
-def make_encode_runs(avgdl: float, k1: float, b: float, block_size: int):
-    """map_groups(fn) over ``gkey``: encode every (term, salt) run in the group."""
+def make_encode_runs(block_size: int):
+    """map_groups(fn) over ``gkey``: encode every (term, salt) run in the
+    group.  Codec v3 stores (max_tf, min_dl) block bounds, so encoding
+    needs NO corpus stats — encode tasks never wait on the stats fold."""
 
     def encode_runs(group: pa.Table) -> pa.Table:
         n = group.num_rows
@@ -157,8 +159,7 @@ def make_encode_runs(avgdl: float, k1: float, b: float, block_size: int):
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], tidx.size)
 
-        blobs = codec.encode_run_group(starts, doc_ids, tfs, dls,
-                                       avgdl, k1, b, block_size)
+        blobs = codec.encode_run_group(starts, doc_ids, tfs, dls, block_size)
         return pa.table({
             "pkey": pa.array(pkeys[starts].astype(np.int32), pa.int32()),
             "term": pa.array([terms[i] for i in tidx[starts]], pa.string()),
@@ -173,16 +174,16 @@ def make_encode_runs(avgdl: float, k1: float, b: float, block_size: int):
 
 
 def make_merge_and_write(index_dir: str, fingerprint: str,
-                         reencode_params: tuple | None = None):
+                         reencode_block_size: int | None = None):
     """map_groups(fn) over ``pkey``: splice each term's salted runs into one
     posting, write the shard parquet atomically, emit the checkpoint
     record (lineage + metrics) for the partition.
 
-    ``reencode_params = (avgdl, k1, b, block_size)`` enables re-encoding
-    a term's runs into one fresh posting when the term is SMALL but
-    fragmented (metadata bloat from universal fixed-range salting:
-    min(df, S) runs each with their own block headers); large terms
-    still merge by zero-copy header splice."""
+    ``reencode_block_size`` enables re-encoding a term's runs into one
+    fresh posting when the term is SMALL but fragmented (metadata bloat
+    from universal fixed-range salting: min(df, S) runs each with their
+    own block headers); large terms still merge by zero-copy header
+    splice."""
 
     def merge_and_write(group: pa.Table) -> pa.Table:
         t0 = time.monotonic()
@@ -218,8 +219,8 @@ def make_merge_and_write(index_dir: str, fingerprint: str,
             out_df.append(df_total)
             out_cf.append(int(cfr[rows].sum()))
             run_blobs = [blobs[r] for r in rows]
-            if (reencode_params is not None and len(run_blobs) > 1
-                    and df_total < 64 * reencode_params[3]):
+            if (reencode_block_size is not None and len(run_blobs) > 1
+                    and df_total < 64 * reencode_block_size):
                 # small fragmented posting (universal range salting):
                 # queue it for ONE batched vectorized re-encode below
                 ps = [codec.decode_posting(rb) for rb in run_blobs]
@@ -236,11 +237,10 @@ def make_merge_and_write(index_dir: str, fingerprint: str,
                 # salts ascending == doc_id ranges ascending -> header splice
                 out_blob.append(codec.concat_postings(run_blobs))
         if re_idx:
-            avgdl, k1, b, bs = reencode_params
             rebuilt = codec.encode_run_group(
                 np.asarray(re_starts, dtype=np.int64),
                 np.concatenate(re_ids), np.concatenate(re_tfs),
-                np.concatenate(re_dls), avgdl, k1, b, bs)
+                np.concatenate(re_dls), reencode_block_size)
             for pos, blob in zip(re_idx, rebuilt):
                 out_blob[pos] = blob
 

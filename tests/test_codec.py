@@ -28,16 +28,14 @@ def test_posting_roundtrip_property(ids_set, block_size):
     rng = np.random.default_rng(0)
     tfs = rng.integers(1, 100, size=ids.size)
     dls = rng.integers(1, 3000, size=ids.size)
-    blob = codec.encode_posting(ids, tfs, dls, avgdl=250.0, k1=1.2, b=0.75,
-                                block_size=block_size)
+    blob = codec.encode_posting(ids, tfs, dls, block_size=block_size)
     p = codec.decode_posting(blob)
     assert (p.doc_ids == ids).all() and (p.tfs == tfs).all() and (p.dls == dls).all()
 
 
 def test_unsorted_rejected():
     with pytest.raises(ValueError):
-        codec.encode_posting(np.array([3, 1]), np.array([1, 1]), np.array([5, 5]),
-                             250.0, 1.2, 0.75)
+        codec.encode_posting(np.array([3, 1]), np.array([1, 1]), np.array([5, 5]))
 
 
 def test_decode_block_matches_full():
@@ -45,7 +43,7 @@ def test_decode_block_matches_full():
     ids = np.unique(rng.integers(0, 2**40, size=1000))
     tfs = rng.integers(1, 9, size=ids.size)
     dls = rng.integers(10, 500, size=ids.size)
-    blob = codec.encode_posting(ids, tfs, dls, 100.0, 1.2, 0.75, block_size=64)
+    blob = codec.encode_posting(ids, tfs, dls, block_size=64)
     full = codec.decode_posting(blob)
     headers, n, _ = codec.read_header(blob)
     off = 0
@@ -64,10 +62,9 @@ def test_concat_equals_single_encode():
     ids = np.unique(rng.integers(0, 2**50, size=2000))
     tfs = rng.integers(1, 20, size=ids.size)
     dls = rng.integers(5, 800, size=ids.size)
-    whole = codec.encode_posting(ids, tfs, dls, 300.0, 1.2, 0.75, block_size=128)
+    whole = codec.encode_posting(ids, tfs, dls, block_size=128)
     cuts = [0, 300, 301, 1500, ids.size]
-    parts = [codec.encode_posting(ids[a:b], tfs[a:b], dls[a:b],
-                                  300.0, 1.2, 0.75, block_size=128)
+    parts = [codec.encode_posting(ids[a:b], tfs[a:b], dls[a:b], block_size=128)
              for a, b in zip(cuts[:-1], cuts[1:])]
     spliced = codec.concat_postings(parts)
     w, s = codec.decode_posting(whole), codec.decode_posting(spliced)
@@ -77,9 +74,9 @@ def test_concat_equals_single_encode():
 
 def test_concat_rejects_overlap():
     a = codec.encode_posting(np.array([1, 5]), np.array([1, 1]),
-                             np.array([3, 3]), 10.0, 1.2, 0.75)
+                             np.array([3, 3]))
     b = codec.encode_posting(np.array([2, 9]), np.array([1, 1]),
-                             np.array([3, 3]), 10.0, 1.2, 0.75)
+                             np.array([3, 3]))
     with pytest.raises(ValueError):
         codec.concat_postings([a, b])
 
@@ -90,9 +87,9 @@ def test_block_max_is_upper_bound():
     tfs = rng.integers(1, 50, size=ids.size)
     dls = rng.integers(1, 2000, size=ids.size)
     avgdl, k1, b = 220.0, 1.2, 0.75
-    blob = codec.encode_posting(ids, tfs, dls, avgdl, k1, b, block_size=32)
+    blob = codec.encode_posting(ids, tfs, dls, block_size=32)
     idf = 2.5
-    bounds = codec.block_max_scores(blob, idf)
+    bounds = codec.block_max_scores(blob, idf, avgdl, k1, b)
     headers, _, _ = codec.read_header(blob)
     off = 0
     for bi in range(headers.size):

@@ -1,0 +1,272 @@
+"""Round-2 features: md5 fasthash kernels, exact-mod MinHash, bucketed
+pair verification, LSH cosine pairs, filtered search, docstore pruning,
+rebuild staleness, and stats-free codec-v3 WAND bounds."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from onestools_eventlog_ray.functions import codec
+from onestools_eventlog_ray.functions.fasthash import (MERSENNE61,
+                                                       md5_lower64,
+                                                       md5_lower64_one,
+                                                       mulmod_p61,
+                                                       poly_hash_p61)
+
+P61 = int(MERSENNE61)
+
+
+# ---------------------------------------------------------------------------
+# fasthash
+# ---------------------------------------------------------------------------
+
+def test_mulmod_exact():
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, P61, 5000).astype(np.uint64)
+    y = rng.integers(0, P61, 5000).astype(np.uint64)
+    got = mulmod_p61(x, y)
+    exp = np.array([(int(a) * int(b)) % P61 for a, b in zip(x, y)],
+                   dtype=np.uint64)
+    assert (got == exp).all()
+
+
+def test_md5_lower64_matches_duckdb_semantics():
+    import hashlib
+    strs = ["", "abc", "tok\x1fen", "x" * 1000]
+    got = md5_lower64(pa.array(strs))
+    for s, v in zip(strs, got):
+        d = hashlib.md5(s.encode()).digest()
+        assert int(v) == int.from_bytes(d[8:16], "little")
+        assert md5_lower64_one(s) == int(v)
+
+
+def test_poly_hash_matches_fold():
+    toks = [["a", "b", "c"], [], ["zz"] * 40, [f"t{i}" for i in range(17)]]
+    flat = [t for ts in toks for t in ts]
+    th = (md5_lower64(pa.array(flat)) % np.uint64(P61)
+          if flat else np.empty(0, np.uint64))
+    offs = np.cumsum([0] + [len(t) for t in toks]).astype(np.int64)
+    got = poly_hash_p61(th, offs, 1_000_003)
+    i = 0
+    for d, ts in enumerate(toks):
+        acc = 0
+        for _ in ts:
+            acc = (acc * 1_000_003 + int(th[i])) % P61
+            i += 1
+        assert acc == int(got[d])
+
+
+# ---------------------------------------------------------------------------
+# MinHash + bucketed verify
+# ---------------------------------------------------------------------------
+
+def _docs_table():
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest tonight").split()
+    texts = []
+    for i in range(30):
+        words = list(base)
+        if i % 3 == 1:
+            words[5] = f"w{i}"            # near-dup of the base doc
+        elif i % 3 == 2:
+            words = [f"u{i}_{j}" for j in range(20)]   # unrelated
+        texts.append(" ".join(words))
+    return pa.table({"doc_id": pa.array(range(30), pa.int64()),
+                     "text": pa.array(texts)})
+
+
+def _exact_jaccard(a: str, b: str, k: int = 5) -> float:
+    from onestools_eventlog_ray.functions.analyzer import tokenize_py
+    def sh(t):
+        ts = tokenize_py(t)
+        if not ts:
+            return set()
+        if len(ts) < k:
+            return {"\x1f".join(ts)}
+        return {"\x1f".join(ts[i:i + k]) for i in range(len(ts) - k + 1)}
+    sa, sb = sh(a), sh(b)
+    u = len(sa | sb)
+    return len(sa & sb) / u if u else 0.0
+
+
+def test_minhash_verified_pairs_distributed():
+    import ray.data
+    from onestools_eventlog_ray.pipelines import dedup
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    tbl = _docs_table()
+    ds = ray.data.from_arrow(tbl)
+    got = dedup.minhash_verified_pairs(ds, DOCUMENTS_SPEC,
+                                       min_jaccard=0.3).to_pandas()
+    texts = tbl["text"].to_pylist()
+    assert len(got) > 0
+    for _, r in got.iterrows():
+        a, b = int(r.doc_a), int(r.doc_b)
+        assert a < b
+        # hashed-shingle jaccard equals string jaccard w.h.p.; verify the
+        # e6 value against the exact string computation
+        exact = _exact_jaccard(texts[a], texts[b])
+        assert int(r.jaccard_e6) == int(np.floor(exact * 1e6 + 0.5))
+        assert exact >= 0.3
+    # pairs are unique
+    assert not got.duplicated(["doc_a", "doc_b"]).any()
+
+
+def test_minhash_identical_docs_share_all_bands():
+    from onestools_eventlog_ray.pipelines.dedup import MinHasher
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["alpha beta gamma delta epsilon zeta "
+                                    "eta theta"] * 2)})
+    out = MinHasher(DOCUMENTS_SPEC)(t)
+    df = out.to_pandas()
+    by_doc = {d: set(map(tuple, g[["band_id", "band_hash"]].values))
+              for d, g in df.groupby("doc_id")}
+    assert by_doc[1] == by_doc[2]
+    assert len(by_doc[1]) == 16
+
+
+def test_minhash_empty_docs_emit_nothing():
+    from onestools_eventlog_ray.pipelines.dedup import MinHasher
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    t = pa.table({"doc_id": pa.array([5], pa.int64()),
+                  "text": pa.array(["!!! ??? ..."])})
+    assert MinHasher(DOCUMENTS_SPEC)(t).num_rows == 0
+
+
+# ---------------------------------------------------------------------------
+# LSH cosine pairs
+# ---------------------------------------------------------------------------
+
+def test_cosine_pairs_lsh_subset_of_exact():
+    import ray.data
+    from onestools_eventlog_ray.pipelines import similarity
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((20, 16))
+    # make 5 noisy near-dup rows of the first 5
+    near = base[:5] + 0.05 * rng.standard_normal((5, 16))
+    mat = np.vstack([base, near]).astype(np.float32)
+    ids = np.arange(mat.shape[0], dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(list(mat), pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl)
+    got = similarity.cosine_pairs_lsh(ds, dim=16, threshold=0.9,
+                                      nbits=4, tables=8, seed=3).to_pandas()
+    m64 = mat.astype(np.float64)
+    mn = m64 / np.linalg.norm(m64, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    exact = {(i, j) for i in range(len(ids)) for j in range(i + 1, len(ids))
+             if sims[i, j] >= 0.9}
+    got_pairs = {(int(a), int(b)) for a, b in zip(got.vec_id_a, got.vec_id_b)}
+    assert got_pairs <= exact                 # no false positives
+    assert len(got_pairs) >= max(1, len(exact) // 2)   # decent recall
+    assert not got.duplicated(["vec_id_a", "vec_id_b"]).any()
+
+
+# ---------------------------------------------------------------------------
+# filtered search + docstore pruning + rebuild staleness
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def doc_index(tmp_path_factory):
+    import pyarrow.parquet as pq
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.build import build_index
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    d = tmp_path_factory.mktemp("docidx")
+    texts = [f"alpha beta doc{i} " + ("spark " * (i % 4)) for i in range(60)]
+    langs = ["en" if i % 2 == 0 else "de" for i in range(60)]
+    tbl = pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                    "text": pa.array(texts),
+                    "lang": pa.array(langs),
+                    "source": pa.array(["s"] * 60),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64())})
+    src = str(d / "documents.parquet")
+    pq.write_table(tbl, src)
+    idx = str(d / "index")
+    build_index(src, idx, spec=DOCUMENTS_SPEC,
+                cfg=EngineConfig(num_partitions=8))
+    return idx, tbl
+
+
+def test_search_filtered_subset_same_scores(doc_index):
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    idx, tbl = doc_index
+    eng = SearchEngine(idx)
+    full = dict(eng.search(["spark"], k=100))
+    filt = eng.search_filtered(["spark"], {"lang": "en"}, k=100)
+    langs = tbl["lang"].to_pylist()
+    assert filt, "filtered search returned nothing"
+    for doc_id, score in filt:
+        assert langs[doc_id] == "en"
+        assert score == full[doc_id]          # global stats: scores unchanged
+    # every allowed full-hit appears in the filtered result
+    allowed_full = {d for d in full if langs[d] == "en"}
+    assert {d for d, _ in filt} == allowed_full
+
+
+def test_fetch_docs_pruned_and_ordered(doc_index):
+    from onestools_eventlog_ray.pipelines.query import SearchEngine, _part_range
+    import glob
+    idx, tbl = doc_index
+    eng = SearchEngine(idx)
+    got = eng.fetch_docs([7, 3, 11], columns=["doc_id", "lang"])
+    assert got["doc_id"].to_pylist() == [7, 3, 11]
+    files = glob.glob(os.path.join(idx, "docstore", "*.parquet"))
+    assert files and all(_part_range(f) is not None for f in files)
+
+
+def test_rebuild_drops_stale_shards(tmp_path):
+    """ADVICE round-1 (medium): an in-place rebuild with a shrunk corpus
+    must not leave stale shard files serving deleted doc_ids."""
+    import pyarrow.parquet as pq
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.build import build_index
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+
+    def write(docs):
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["s"] * len(docs)),
+            "n_chars": pa.array([len(t) for t in docs], pa.int64())})
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    src = str(tmp_path / "documents.parquet")
+    idx = str(tmp_path / "index")
+    cfg = EngineConfig(num_partitions=8)
+    write(["zebra yak", "apple pie"])
+    build_index(src, idx, spec=DOCUMENTS_SPEC, cfg=cfg)
+    assert SearchEngine(idx).search(["zebra"], 5)
+    write(["apple pie"])                      # corpus shrinks, rebuild in place
+    build_index(src, idx, spec=DOCUMENTS_SPEC, cfg=cfg)
+    eng = SearchEngine(idx)
+    assert eng.search(["zebra"], 5) == []     # stale shard must be gone
+    assert eng.search(["apple"], 5)
+
+
+# ---------------------------------------------------------------------------
+# codec v3: stats-free bounds stay valid under avgdl drift
+# ---------------------------------------------------------------------------
+
+def test_block_bounds_valid_for_any_avgdl():
+    rng = np.random.default_rng(5)
+    ids = np.unique(rng.integers(0, 2**30, size=400))
+    tfs = rng.integers(1, 50, size=ids.size)
+    dls = rng.integers(1, 2000, size=ids.size)
+    blob = codec.encode_posting(ids, tfs, dls, block_size=32)
+    for avgdl in (20.0, 220.0, 1500.0):       # the incremental-drift case
+        bounds = codec.block_max_scores(blob, 2.5, avgdl, 1.2, 0.75)
+        headers, _, _ = codec.read_header(blob)
+        for bi in range(headers.size):
+            p = codec.decode_block(blob, bi)
+            w = 2.5 * codec.bm25_impact(p.tfs, p.dls, avgdl, 1.2, 0.75)
+            assert (w <= bounds[bi]).all()
+
+
+def test_u32_overflow_guard():
+    with pytest.raises(ValueError):
+        codec._check_u32(1 << 33)
