@@ -458,16 +458,24 @@ _P61 = (1 << 61) - 1
 def _minhash_cte(num_perm: int = 64, bands: int = 16, k: int = 5,
                  seed: int = 42) -> str:
     """WITH-chain computing the EXACT MinHash band table the engine
-    builds (md5 shingle hashes mod 2^61-1, (a*x+b) mod p minima in
-    HUGEINT, md5 band hashes of ','-joined minima) — see
+    builds (63-bit md5 shingle hashes, xor-multiply-shift minima mod
+    2^64, polynomial band fold) — see
     onestools_eventlog_ray/pipelines/dedup.py."""
-    from onestools_eventlog_ray.pipelines.dedup import _minhash_params
-    a, b = _minhash_params(num_perm, seed)
-    rows = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})"
+    from onestools_eventlog_ray.pipelines.dedup import (BAND_FOLD_C,
+                                                        _minhash_params)
+    r_, m_ = _minhash_params(num_perm, seed)
+    rows = ", ".join(f"({i}, {int(r_[i])}, {int(m_[i])})"
                      for i in range(num_perm))
-    r = num_perm // bands
+    rpb = num_perm // bands                       # rows (perms) per band
     comp = " || chr(31) || ".join(f"t[i+{j}]" if j else "t[i]"
                                   for j in range(k))
+    W = 1 << 64
+    C = int(BAND_FOLD_C)
+    # ((((v0*C + v1) % W) * C + v2) % W) ... — the engine's band fold
+    fold = f"CAST(max(CASE WHEN perm_id % {rpb} = 0 THEN v END) AS HUGEINT)"
+    for j in range(1, rpb):
+        fold = (f"(({fold}) * {C} "
+                f"+ max(CASE WHEN perm_id % {rpb} = {j} THEN v END)) % {W}")
     return f"""
 tok AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
@@ -481,19 +489,17 @@ shl AS (
          END AS shs
   FROM tok),
 sh AS (SELECT doc_id, unnest(list_distinct(shs)) AS s FROM shl),
-shh AS (SELECT doc_id,
-               CAST(md5_number_lower(s) AS HUGEINT) % {_P61} AS h FROM sh),
-perm AS (SELECT * FROM (VALUES {rows}) AS p(perm_id, a, b)),
+shh AS (SELECT doc_id, md5_number_lower(s) >> 1 AS h FROM sh),
+perm AS (SELECT * FROM (VALUES {rows}) AS p(perm_id, r, m)),
 mins AS (
   SELECT doc_id, perm_id,
-         min(CAST((CAST(a AS HUGEINT) * h + b) % {_P61} AS BIGINT)) AS v
+         min(CAST(CAST((CAST(xor(h, CAST(r AS UBIGINT)) AS HUGEINT) * m)
+                       % {W} AS UBIGINT) >> 3 AS BIGINT)) AS v
   FROM shh CROSS JOIN perm GROUP BY doc_id, perm_id),
 bandh AS (
-  SELECT doc_id, CAST(perm_id // {r} AS BIGINT) AS band_id,
-         CAST(md5_number_lower(
-                string_agg(CAST(v AS VARCHAR), ',' ORDER BY perm_id)) >> 1
-              AS BIGINT) AS band_hash
-  FROM mins GROUP BY doc_id, perm_id // {r})"""
+  SELECT doc_id, CAST(perm_id // {rpb} AS BIGINT) AS band_id,
+         CAST(CAST(({fold}) AS UBIGINT) >> 1 AS BIGINT) AS band_hash
+  FROM mins GROUP BY doc_id, perm_id // {rpb})"""
 
 
 def _planes_values(dim: int, nbits: int, seed: int, tables: int = 1) -> str:

@@ -37,10 +37,8 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min
 
 from onestools_eventlog_ray.functions.analyzer import tokenize_array
-from onestools_eventlog_ray.functions.fasthash import (MERSENNE61,
-                                                       md5_hex_fast,
-                                                       md5_lower64,
-                                                       mulmod_p61)
+from onestools_eventlog_ray.functions.fasthash import (md5_hex_fast,
+                                                       md5_lower64)
 from onestools_eventlog_ray.sources.corpus import CorpusSpec, DOCUMENTS_SPEC
 from onestools_eventlog_ray.stages.normalize import add_doc_id
 
@@ -129,38 +127,46 @@ def _unique_per_doc(parent: np.ndarray, values: np.ndarray
 # MinHash
 # ---------------------------------------------------------------------------
 
+#: band-fold mixing constant — odd, < 2^63 so the SQL oracle's HUGEINT
+#: products (acc < 2^64) never overflow 128 bits.
+BAND_FOLD_C = np.uint64(0x517CC1B727220A95)
+
+
 def _minhash_params(num_perm: int, seed: int = 42
                     ) -> tuple[np.ndarray, np.ndarray]:
-    """(a, b) of the universal family h(x) = (a*x + b) mod (2^61-1),
-    computed EXACTLY (128-bit via mulmod_p61) — matches DuckDB HUGEINT
-    arithmetic, fixing the round-1 uint64-wraparound defect."""
+    """(r, m) of the xor-multiply-shift family
+    ``h_j(x) = ((x XOR r_j) * m_j mod 2^64) >> 3`` (m_j odd < 2^63).
+
+    Exactly reproducible in SQL (DuckDB HUGEINT product < 2^127, then
+    ``% 2^64``) AND ~10x cheaper than an exact mod-(2^61-1) universal
+    family in NumPy: three vectorized passes (xor, wrap-multiply, shift)
+    instead of a limb-split mulmod.  Replaces the round-1 family whose
+    uint64 wraparound silently broke the mod-p semantics."""
     rng = np.random.default_rng(seed)
-    p = int(MERSENNE61)
-    a = rng.integers(1, p, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, p, size=num_perm, dtype=np.uint64)
-    return a, b
+    r = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+    m = rng.integers(1, 1 << 63, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    return r, m
 
 
 def _signatures(sh_parent: np.ndarray, sh_hash: np.ndarray, n_docs: int,
-                a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+                r: np.ndarray, m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(doc-sorted unique shingle hashes) -> (docs_present, sig matrix).
 
-    sig[i, j] = min over doc i's shingles of (a_j*sh + b_j) mod p —
-    vectorized: chunked outer mulmod + ``np.minimum.reduceat`` on doc
-    boundaries (no per-shingle Python)."""
+    sig[i, j] = min over doc i's shingles of ((sh ^ r_j) * m_j) >> 3 —
+    chunked outer broadcast + ``np.minimum.reduceat`` on doc boundaries
+    (no per-shingle Python)."""
     present = np.unique(sh_parent)
     if present.size == 0:
-        return present, np.empty((0, a.size), dtype=np.uint64)
+        return present, np.empty((0, r.size), dtype=np.uint64)
     starts = np.searchsorted(sh_parent, present)
-    sig = np.empty((present.size, a.size), dtype=np.uint64)
-    CHUNK_DOCS = 256
-    p = MERSENNE61
+    sig = np.empty((present.size, r.size), dtype=np.uint64)
+    CHUNK_DOCS = 1024
     for c0 in range(0, present.size, CHUNK_DOCS):
         c1 = min(c0 + CHUNK_DOCS, present.size)
         r0 = starts[c0]
         r1 = starts[c1] if c1 < present.size else sh_hash.size
         h = sh_hash[r0:r1]
-        vals = (mulmod_p61(h[:, None], a[None, :]) + b[None, :]) % p
+        vals = ((h[:, None] ^ r[None, :]) * m[None, :]) >> np.uint64(3)
         sig[c0:c1] = np.minimum.reduceat(vals, starts[c0:c1] - r0, axis=0)
     return present, sig
 
@@ -169,28 +175,26 @@ def _band_rows(doc_ids: np.ndarray, sig: np.ndarray, bands: int
                ) -> pa.Table:
     """(doc, signature) -> (band_id, band_hash, doc_id) rows.
 
-    band_hash = md5 lower 64 bits (>>1, int63) of the band's minhash
-    values joined by ',' in permutation order — the exact string DuckDB's
-    ``string_agg(v, ',' ORDER BY perm_id)`` produces."""
+    band_hash = polynomial fold of the band's minhash values in
+    permutation order, ``acc = acc*C + v mod 2^64``, then ``>> 1``
+    (int63) — order-sensitive, injective enough for 64-bit bucketing,
+    and exactly reproducible in SQL (no string building, no md5)."""
     n, num_perm = sig.shape
     rows = num_perm // bands
     if n == 0:
         return pa.table({"band_id": pa.array([], pa.int64()),
                          "band_hash": pa.array([], pa.int64()),
                          "doc_id": pa.array([], pa.int64())})
-    dec = sig.astype("U20")                     # decimal strings, vectorized
-    band_strs = []
+    hashes = np.empty((bands, n), dtype=np.uint64)
     for b_i in range(bands):
-        s = dec[:, b_i * rows]
-        for j in range(1, rows):
-            s = np.char.add(np.char.add(s, ","), dec[:, b_i * rows + j])
-        band_strs.append(s)
-    all_strs = pa.array(np.concatenate(band_strs))          # band-major
-    hashes = (md5_lower64(all_strs) >> np.uint64(1)).astype(np.int64)
+        acc = np.zeros(n, dtype=np.uint64)
+        for j in range(rows):
+            acc = acc * BAND_FOLD_C + sig[:, b_i * rows + j]
+        hashes[b_i] = acc >> np.uint64(1)
     return pa.table({
         "band_id": pa.array(np.repeat(np.arange(bands, dtype=np.int64), n),
                             pa.int64()),
-        "band_hash": pa.array(hashes, pa.int64()),
+        "band_hash": pa.array(hashes.reshape(-1).astype(np.int64), pa.int64()),
         "doc_id": pa.array(np.tile(doc_ids, bands), pa.int64()),
     })
 
@@ -210,7 +214,7 @@ class MinHasher:
         self.k = shingle_k
         self.num_perm = num_perm
         self.bands = bands
-        self.a, self.b = _minhash_params(num_perm, seed)
+        self.r, self.m = _minhash_params(num_perm, seed)
         self.with_shingles = with_shingles
         self.doc_filter = ray.get(doc_filter) if doc_filter is not None else None
         self.bucket_filter = ray.get(bucket_filter) \
@@ -225,14 +229,15 @@ class MinHasher:
             doc_ids = doc_ids[keep]
         toks = tokenize_array(b["content"])
         sh_str, sh_parent = _shingle_rows(toks, self.k)
-        sh_hash = md5_lower64(sh_str) % MERSENNE61
+        # 63-bit shingle hashes (>>1 keeps them BIGINT-safe in the oracle)
+        sh_hash = md5_lower64(sh_str) >> np.uint64(1)
         sh_parent, sh_hash = _unique_per_doc(sh_parent, sh_hash)
         return doc_ids, sh_parent, sh_hash
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids, sh_parent, sh_hash = self._doc_shingles(batch)
         present, sig = _signatures(sh_parent, sh_hash, doc_ids.size,
-                                   self.a, self.b)
+                                   self.r, self.m)
         out = _band_rows(doc_ids[present], sig, self.bands)
         if not self.with_shingles:
             if self.bucket_filter is not None:
@@ -259,6 +264,38 @@ class MinHasher:
         return out
 
 
+#: per-worker-process stage cache: stateless TASKS reuse prestarted Ray
+#: workers across stages, so a module-global instance gives the same
+#: build-once-per-worker behavior as an actor pool WITHOUT the pool's
+#: ~5 s spin-up (measured round 1; see also stages/postings.assign_shard).
+_STAGE_CACHE: dict = {}
+
+
+def minhash_batch(batch: pa.Table, *, spec: CorpusSpec, shingle_k: int = 5,
+                  num_perm: int = 64, bands: int = 16, seed: int = 42,
+                  with_shingles: bool = False, doc_filter=None,
+                  bucket_filter=None) -> pa.Table:
+    """Stateless-task form of :class:`MinHasher` (per-process cache)."""
+    key = ("minhash", spec, shingle_k, num_perm, bands, seed,
+           with_shingles, doc_filter, bucket_filter)
+    mh = _STAGE_CACHE.get(key)
+    if mh is None:
+        mh = MinHasher(spec, shingle_k, num_perm, bands, seed,
+                       with_shingles, doc_filter, bucket_filter)
+        _STAGE_CACHE[key] = mh
+    return mh(batch)
+
+
+def simhash_batch(batch: pa.Table, *, spec: CorpusSpec) -> pa.Table:
+    """Stateless-task form of :class:`SimHasher` (per-process cache)."""
+    key = ("simhash", spec)
+    sh = _STAGE_CACHE.get(key)
+    if sh is None:
+        sh = SimHasher(spec)
+        _STAGE_CACHE[key] = sh
+    return sh(batch)
+
+
 def _bucket_key(band_id: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
     """Collapse (band_id, band_hash[int63]) into one int64 key for cheap
     broadcast membership tests."""
@@ -272,9 +309,8 @@ def minhash_lsh_groups(ds: ray.data.Dataset,
                        bands: int = 16, concurrency=(1, 4)) -> ray.data.Dataset:
     """Near-dup candidate buckets: docs sharing any LSH band bucket.
     -> (band_id, band_hash, n_docs, min_doc_id) for buckets with >= 2 docs."""
-    sigs = ds.map_batches(MinHasher, batch_format="pyarrow",
-                          concurrency=concurrency,
-                          fn_constructor_kwargs=dict(
+    sigs = ds.map_batches(minhash_batch, batch_format="pyarrow",
+                          fn_kwargs=dict(
                               spec=spec, shingle_k=shingle_k,
                               num_perm=num_perm, bands=bands))
     buckets = sigs.groupby(["band_id", "band_hash"]).aggregate(
@@ -349,10 +385,9 @@ def minhash_verified_pairs(ds: ray.data.Dataset,
             "jaccard_e6": pa.array([], pa.int64())}))
     keys_ref = ray.put(np.unique(keys))
     # pass 2: shingle sets routed through ONLY the colliding buckets
-    cand = ds.map_batches(MinHasher, batch_format="pyarrow",
-                          concurrency=concurrency,
-                          fn_constructor_kwargs={**mh, "with_shingles": True,
-                                                 "bucket_filter": keys_ref})
+    cand = ds.map_batches(minhash_batch, batch_format="pyarrow",
+                          fn_kwargs={**mh, "with_shingles": True,
+                                     "bucket_filter": keys_ref})
     e6 = int(np.floor(min_jaccard * 1_000_000 + 0.5))
     pairs = cand.groupby(["band_id", "band_hash"]) \
         .map_groups(_verify_bucket_pairs(e6), batch_format="pyarrow")
@@ -456,7 +491,6 @@ class SimHasher:
 
 def simhash_signatures(ds: ray.data.Dataset,
                        spec: CorpusSpec = DOCUMENTS_SPEC,
-                       concurrency=(1, 4)) -> ray.data.Dataset:
-    return ds.map_batches(SimHasher, batch_format="pyarrow",
-                          concurrency=concurrency,
-                          fn_constructor_kwargs=dict(spec=spec))
+                       concurrency=None) -> ray.data.Dataset:
+    return ds.map_batches(simhash_batch, batch_format="pyarrow",
+                          fn_kwargs=dict(spec=spec))

@@ -16,8 +16,10 @@ and df, all of which are sums over generations; postings store raw
 (tf, dl) so per-doc weights are recomputed under the global stats —
 the merged engine is therefore rank-identical to a single full build
 (tests/test_incremental.py proves it against the brute-force oracle).
-Block-max WAND bounds are baked with per-generation avgdl, so the
-generational engine scores TAAT (exact) only.
+Codec v3 stores raw (max_tf, min_dl) block extrema, so block-max WAND
+bounds are computed at query time under the GLOBAL avgdl — the
+generational engine supports both TAAT and WAND (identical results),
+with no stale-bound hazard as avgdl drifts across generations.
 """
 
 from __future__ import annotations
@@ -123,3 +125,27 @@ class GenerationalSearchEngine:
         np.add.at(scores, inverse, all_w)
         idx = topk_order(scores, uids, k)
         return [(int(uids[i]), float(scores[i])) for i in idx]
+
+    def search_wand(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+        """Block-max WAND across generations: one cursor per
+        (term, generation) with idf from the GLOBAL df and bounds from
+        the v3 (max_tf, min_dl) extrema under the GLOBAL avgdl.
+        Generations hold disjoint doc_ids, so a doc appears in at most
+        one cursor per term and the accumulation order (terms major,
+        generations minor) matches :meth:`search` — results identical."""
+        from onestools_eventlog_ray.pipelines.query import (_PostingCursor,
+                                                            wand_topk)
+        uniq = sorted(set(terms))
+        per_gen = [e.load_terms(uniq) for e in self.engines]
+        iters = []
+        for t in uniq:
+            hits = [(g, per_gen[g][t]) for g in range(len(self.engines))
+                    if t in per_gen[g]]
+            if not hits:
+                continue
+            df_global = sum(df for (_, (df, _)) in hits)
+            idf_t = idf_fn(self.N, df_global)
+            for _g, (_df, blob) in hits:
+                iters.append(_PostingCursor(blob, idf_t, self.avgdl,
+                                            self.k1, self.b))
+        return wand_topk(iters, k)

@@ -281,55 +281,62 @@ class SearchEngine:
             df, blob = hit
             iters.append(_PostingCursor(blob, idf_fn(self.N, df),
                                         self.avgdl, self.k1, self.b))
-        if not iters:
-            return []
-        # max-heap of (score, -doc_id) as a min-heap keeps the k best;
-        # (score, -doc_id) ordering makes equal scores prefer smaller ids.
-        heap: list[tuple[float, int]] = []
-        while True:
-            live = [it for it in iters if not it.exhausted]
-            if not live:
+        return wand_topk(iters, k)
+
+
+def wand_topk(iters: list["_PostingCursor"], k: int) -> list[tuple[int, float]]:
+    """Block-max WAND over an arbitrary cursor set (one per term — or per
+    (term, generation) in the generational engine; a doc appears in at
+    most one cursor per term, so accumulation order matches TAAT)."""
+    if not iters:
+        return []
+    # max-heap of (score, -doc_id) as a min-heap keeps the k best;
+    # (score, -doc_id) ordering makes equal scores prefer smaller ids.
+    heap: list[tuple[float, int]] = []
+    while True:
+        live = [it for it in iters if not it.exhausted]
+        if not live:
+            break
+        live.sort(key=lambda it: it.cur_doc)
+        threshold = heap[0][0] if len(heap) == k else -np.inf
+        # WAND pivot: smallest prefix of doc-sorted cursors whose
+        # term-level upper-bound sum can reach the threshold.  Bounds
+        # are compared NON-strictly so equal-score candidates are
+        # still evaluated (tie-break safety).
+        ub_sum = 0.0
+        pivot = None
+        for i, it in enumerate(live):
+            ub_sum += it.max_score
+            if len(heap) < k or ub_sum >= threshold:
+                pivot = i
                 break
-            live.sort(key=lambda it: it.cur_doc)
-            threshold = heap[0][0] if len(heap) == k else -np.inf
-            # WAND pivot: smallest prefix of doc-sorted cursors whose
-            # term-level upper-bound sum can reach the threshold.  Bounds
-            # are compared NON-strictly so equal-score candidates are
-            # still evaluated (tie-break safety).
-            ub_sum = 0.0
-            pivot = None
-            for i, it in enumerate(live):
-                ub_sum += it.max_score
-                if len(heap) < k or ub_sum >= threshold:
-                    pivot = i
-                    break
-            if pivot is None:
-                break                         # no remaining doc can qualify
-            pivot_doc = live[pivot].cur_doc
-            if live[0].cur_doc == pivot_doc:
-                at_pivot = [it for it in iters
-                            if not it.exhausted and it.cur_doc == pivot_doc]
-                # block-max refinement: sum of the CURRENT blocks' bounds;
-                # skip full scoring when even that cannot reach the threshold
-                block_ub = sum(it.cur_block_bound() for it in at_pivot)
-                if len(heap) < k or block_ub >= threshold:
-                    # fully score pivot_doc (sorted term order == TAAT order,
-                    # so the float64 sum is bit-identical to search())
-                    score = 0.0
-                    for it in at_pivot:
-                        score += it.cur_weight()
-                    entry = (score, -pivot_doc)
-                    if len(heap) < k:
-                        heapq.heappush(heap, entry)
-                    elif entry > heap[0]:
-                        heapq.heapreplace(heap, entry)
+        if pivot is None:
+            break                         # no remaining doc can qualify
+        pivot_doc = live[pivot].cur_doc
+        if live[0].cur_doc == pivot_doc:
+            at_pivot = [it for it in iters
+                        if not it.exhausted and it.cur_doc == pivot_doc]
+            # block-max refinement: sum of the CURRENT blocks' bounds;
+            # skip full scoring when even that cannot reach the threshold
+            block_ub = sum(it.cur_block_bound() for it in at_pivot)
+            if len(heap) < k or block_ub >= threshold:
+                # fully score pivot_doc (sorted term order == TAAT order,
+                # so the float64 sum is bit-identical to search())
+                score = 0.0
                 for it in at_pivot:
-                    it.seek_geq(pivot_doc + 1)
-            else:
-                for i in range(pivot):
-                    live[i].seek_geq(pivot_doc)
-        out = sorted(heap, key=lambda e: (-e[0], -e[1]))
-        return [(-d, s) for (s, d) in out]
+                    score += it.cur_weight()
+                entry = (score, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif entry > heap[0]:
+                    heapq.heapreplace(heap, entry)
+            for it in at_pivot:
+                it.seek_geq(pivot_doc + 1)
+        else:
+            for i in range(pivot):
+                live[i].seek_geq(pivot_doc)
+    out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+    return [(-d, s) for (s, d) in out]
 
 
 class _PostingCursor:

@@ -80,17 +80,37 @@ class BruteForceCosine:
         })
 
 
+#: per-worker-process stage cache — stateless tasks reuse prestarted Ray
+#: workers, giving build-once-per-worker semantics without the measured
+#: ~5 s actor-pool spin-up per stage (see pipelines/dedup.py).
+_STAGE_CACHE: dict = {}
+
+
+def _cached(key, factory):
+    inst = _STAGE_CACHE.get(key)
+    if inst is None:
+        inst = factory()
+        _STAGE_CACHE[key] = inst
+    return inst
+
+
+def _bfc_batch(batch: pa.Table, *, query_ref, k, id_col, vec_col,
+               exclude_ids) -> pa.Table:
+    return _cached(("bfc", query_ref, k, id_col, vec_col, exclude_ids),
+                   lambda: BruteForceCosine(query_ref, k, id_col, vec_col,
+                                            exclude_ids))(batch)
+
+
 def knn_cosine(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10,
                id_col: str = "vec_id", vec_col: str = "embedding",
                exclude_ids: set[int] | None = None,
-               concurrency=(1, 4)) -> pa.Table:
+               concurrency=None) -> pa.Table:
     """Exact cosine top-k of each query row against the dataset.
     -> (query_idx, rank, vec_id, cosine), tie-break (cosine desc, vec_id asc)."""
     queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
     qref = ray.put(queries)
-    cand = ds.map_batches(BruteForceCosine, batch_format="pyarrow",
-                          concurrency=concurrency,
-                          fn_constructor_kwargs=dict(
+    cand = ds.map_batches(_bfc_batch, batch_format="pyarrow",
+                          fn_kwargs=dict(
                               query_ref=qref, k=k, id_col=id_col,
                               vec_col=vec_col,
                               exclude_ids=frozenset(exclude_ids)
@@ -151,17 +171,23 @@ class _PairFinder:
         })
 
 
+def _pair_batch(batch: pa.Table, *, mat_ref, ids_ref, threshold, id_col,
+                vec_col) -> pa.Table:
+    return _cached(("pair", mat_ref, ids_ref, threshold, id_col, vec_col),
+                   lambda: _PairFinder(mat_ref, ids_ref, threshold, id_col,
+                                       vec_col))(batch)
+
+
 def cosine_pairs(ds: ray.data.Dataset, all_ids: np.ndarray,
                  all_vectors: np.ndarray, threshold: float = 0.45,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 concurrency=(1, 4)) -> ray.data.Dataset:
+                 concurrency=None) -> ray.data.Dataset:
     """Embedding-cosine near-duplicate pairs above ``threshold`` —
     exact all-pairs baseline (small N; see :class:`_PairFinder`)."""
     mat_ref = ray.put(np.asarray(all_vectors, dtype=np.float64))
     ids_ref = ray.put(np.asarray(all_ids, dtype=np.int64))
-    return ds.map_batches(_PairFinder, batch_format="pyarrow",
-                          concurrency=concurrency,
-                          fn_constructor_kwargs=dict(
+    return ds.map_batches(_pair_batch, batch_format="pyarrow",
+                          fn_kwargs=dict(
                               mat_ref=mat_ref, ids_ref=ids_ref,
                               threshold=threshold, id_col=id_col,
                               vec_col=vec_col))
@@ -235,14 +261,21 @@ class HyperplaneLSH:
         return pa.table(cols)
 
 
+def _lsh_batch(batch: pa.Table, *, planes_ref, id_col, vec_col, nbits,
+               tables=1, emit_embedding=False) -> pa.Table:
+    return _cached(("lsh", planes_ref, id_col, vec_col, nbits, tables,
+                    emit_embedding),
+                   lambda: HyperplaneLSH(planes_ref, id_col, vec_col, nbits,
+                                         tables, emit_embedding))(batch)
+
+
 def lsh_bucket(ds: ray.data.Dataset, dim: int, nbits: int = 12, seed: int = 42,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               concurrency=(1, 4)) -> ray.data.Dataset:
+               concurrency=None) -> ray.data.Dataset:
     """Single-table bucketing: (vec_id, bucket)."""
     pref = ray.put(lsh_planes(dim, nbits, seed))
-    return ds.map_batches(HyperplaneLSH, batch_format="pyarrow",
-                          concurrency=concurrency,
-                          fn_constructor_kwargs=dict(
+    return ds.map_batches(_lsh_batch, batch_format="pyarrow",
+                          fn_kwargs=dict(
                               planes_ref=pref, id_col=id_col,
                               vec_col=vec_col, nbits=nbits))
 
@@ -251,7 +284,7 @@ def cosine_pairs_lsh(ds: ray.data.Dataset, dim: int,
                      threshold: float = 0.45, nbits: int = 4,
                      tables: int = 8, seed: int = 42,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     concurrency=(1, 4)) -> ray.data.Dataset:
+                     concurrency=None) -> ray.data.Dataset:
     """Bucketed near-dup pair mining: candidates = pairs sharing a bucket
     in ANY of ``tables`` hyperplane tables; each candidate bucket is
     verified by exact cosine INSIDE its ``map_groups`` task.
@@ -266,9 +299,8 @@ def cosine_pairs_lsh(ds: ray.data.Dataset, dim: int,
     so the operator is deterministically checkable despite being
     approximate."""
     pref = ray.put(lsh_planes(dim, nbits, seed, tables))
-    sigs = ds.map_batches(HyperplaneLSH, batch_format="pyarrow",
-                          concurrency=concurrency,
-                          fn_constructor_kwargs=dict(
+    sigs = ds.map_batches(_lsh_batch, batch_format="pyarrow",
+                          fn_kwargs=dict(
                               planes_ref=pref, id_col=id_col,
                               vec_col=vec_col, nbits=nbits, tables=tables,
                               emit_embedding=True))

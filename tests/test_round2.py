@@ -270,3 +270,35 @@ def test_block_bounds_valid_for_any_avgdl():
 def test_u32_overflow_guard():
     with pytest.raises(ValueError):
         codec._check_u32(1 << 33)
+
+
+def test_generational_wand_matches_taat(tmp_path):
+    """v3 bounds are valid under the GLOBAL avgdl even when generations
+    have very different document lengths (the stale-bound hazard)."""
+    import pyarrow.parquet as pq
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.incremental import (
+        GenerationalSearchEngine, add_generation)
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+
+    def gen_table(start, texts):
+        return pa.table({
+            "doc_id": pa.array(range(start, start + len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64())})
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(50)] + ["spark", "vector"]
+    short = [" ".join(rng.choice(vocab, 8)) for _ in range(40)]
+    long_ = [" ".join(rng.choice(vocab, 300)) for _ in range(40)]
+    root = str(tmp_path / "gens")
+    cfg = EngineConfig(num_partitions=8)
+    for gi, texts in enumerate([short, long_]):       # avgdl drifts 8 -> 154
+        src = str(tmp_path / f"gen{gi}.parquet")
+        pq.write_table(gen_table(gi * 1000, texts), src)
+        add_generation(src, root, spec=DOCUMENTS_SPEC, cfg=cfg)
+    eng = GenerationalSearchEngine(root)
+    for terms in (["spark"], ["spark", "vector"], ["w1", "w2", "w3"]):
+        assert eng.search_wand(terms, 10) == eng.search(terms, 10)
