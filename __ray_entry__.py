@@ -362,6 +362,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def knn_cosine_ivf(sf_dir):
+        """Bucketed (IVF-style) ANN: query reads ONLY its probe buckets'
+        files (hamming<=1 multi-probe) — the scale path consumer for the
+        LSH bucket layout.  Candidate rule is exact integer math, so the
+        oracle reproduces the same candidate set deterministically."""
+        import pyarrow.parquet as pq
+        import ray.data
+        from onestools_eventlog_ray.pipelines.ann import (AnnIndex,
+                                                          build_ann_index)
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        index_dir = _index_dir_for(sf_dir) + "_ann"
+        if not os.path.exists(os.path.join(index_dir, "ann", "_meta.json")):
+            ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+            build_ann_index(ds, index_dir, dim=64, nbits=6, seed=42)
+        emb = pq.read_table(path, columns=["vec_id", "embedding"])
+        i0 = emb["vec_id"].to_pylist().index(0)
+        qvec = np.asarray(emb["embedding"][i0].as_py(), dtype=np.float64)
+        hits = AnnIndex(index_dir).query(qvec, k=50, hamming=1,
+                                         exclude_ids={0})
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([c for _, c in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "cos_e6": pa.array(e6[order], pa.int64()),
+        })
+
+    def phrase_search(sf_dir):
+        """Exact phrase matching over the positional sidecar index
+        (doc_id, n_matches) — the ES match_phrase capability."""
+        from onestools_eventlog_ray.config import EngineConfig
+        from onestools_eventlog_ray.pipelines.phrase import (
+            PhraseEngine, build_position_index)
+        from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+        index_dir = _ensure_index(sf_dir)
+        if not os.path.isdir(os.path.join(index_dir, "positions")):
+            build_position_index(
+                os.path.join(sf_dir, "documents.parquet"), index_dir,
+                spec=DOCUMENTS_SPEC, cfg=EngineConfig(num_partitions=16))
+        hits = PhraseEngine(index_dir).search_phrase(["table", "hash"])
+        return pa.table({
+            "doc_id": pa.array([d for d, _ in hits], pa.int64()),
+            "n_matches": pa.array([n for _, n in hits], pa.int64()),
+        })
+
     return {
         "doc_token_stats": doc_token_stats,
         "term_stats": term_stats,
@@ -396,6 +442,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_pairs_lsh": cosine_pairs_lsh,
         "bm25_topk_wand": bm25_topk_wand,
         "bm25_topk_filtered": bm25_topk_filtered,
+        "phrase_search": phrase_search,
+        "knn_cosine_ivf": knn_cosine_ivf,
     }
 
 
@@ -677,6 +725,39 @@ SELECT vec_id_a, vec_id_b,
        CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_e6
 FROM p WHERE cos >= 0.45""",
 
+        "knn_cosine_ivf": f"""
+WITH planes AS (SELECT * FROM (VALUES {_planes_values(64, 6, 42)})
+                AS p(t, j, i, w)),
+e0 AS (SELECT vec_id, unnest(embedding) AS x,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+e AS (SELECT vec_id, i,
+             CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xe
+      FROM e0),
+dots AS (SELECT vec_id, p.j, sum(e.xe * p.w) AS dot
+         FROM e JOIN planes p USING (i) GROUP BY vec_id, p.j),
+buck AS (SELECT vec_id,
+                CAST(sum(CASE WHEN dot > 0 THEN 1 << j ELSE 0 END) AS BIGINT)
+                  AS bucket
+         FROM dots GROUP BY vec_id),
+qb AS (SELECT bucket FROM buck WHERE vec_id = 0),
+cand AS (SELECT b.vec_id FROM buck b, qb
+         WHERE b.vec_id <> 0
+           AND bit_count(xor(b.bucket, qb.bucket)) <= 1),
+q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e2.vec_id,
+             list_cosine_similarity(
+               list_transform(e2.embedding, x -> CAST(x AS DOUBLE)),
+               (SELECT v FROM q)) AS cos
+      FROM embeddings e2 JOIN cand USING (vec_id))
+SELECT CAST(row_number() OVER (
+         ORDER BY CAST(floor(cos * 1000000 + 0.5) AS BIGINT) DESC,
+                  vec_id ASC) AS BIGINT) AS rank,
+       vec_id,
+       CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_e6
+FROM s ORDER BY cos_e6 DESC, vec_id ASC
+LIMIT 10""",
+
         "media_features": """
 WITH ids AS (SELECT range AS i FROM range(60)),
 js AS (SELECT range AS j FROM range(256)),
@@ -703,6 +784,17 @@ SELECT media_id, kind, CAST(4096 AS BIGINT) AS n_bytes,
                       WHEN 'video' THEN 1 + r2 % 3000
                       ELSE 1 + r2 % 10000 END AS BIGINT) AS n_frames
 FROM f""",
+
+        "phrase_search": """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                             x -> x <> '') AS t
+  FROM documents),
+g AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                             for i in range(1, len(t))]) AS bg
+      FROM tok)
+SELECT doc_id, count(*) AS n_matches
+FROM g WHERE bg = 'table hash' GROUP BY doc_id""",
 
         "docs_filter_lang": """
 SELECT doc_id, lang, n_chars FROM documents

@@ -129,7 +129,9 @@ def run_aux() -> dict:
     q = entrymod.queries()
     out = {}
     for name in ("term_stats", "exact_dedup", "quality_scores",
-                 "minhash_lsh_groups", "knn_cosine"):
+                 "minhash_lsh_groups", "knn_cosine",
+                 "simhash_signatures", "rolling_fingerprint",
+                 "minhash_verified_pairs", "cosine_pairs_lsh"):
         t0 = time.monotonic()
         res = q[name](SF_DIR)
         if hasattr(res, "count"):
@@ -213,19 +215,23 @@ def run_scaling() -> dict:
     # fresh-process runs per level, each reporting its steady-state
     # (second) build — the host shows 20-40% run-to-run noise
     scaling_docs = str(int(os.environ.get("OEL_BENCH_DOCS", "0")) or 2 * N_DOCS)
-    for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   OEL_BENCH_DOCS=scaling_docs)
-        best = None
-        for _trial in range(2):
+    # INTERLEAVED trials (8,32,8,32,...) with best-of per level: this
+    # shared host shows 2x swings between consecutive identical runs
+    # (measured 37k vs 68k files/s back-to-back), so paired sampling +
+    # best-of is the only way a ratio of two runs means anything.
+    trials = int(os.environ.get("OEL_SCALING_TRIALS", "3"))
+    for _t in range(trials):
+        for ncpu in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       OEL_BENCH_DOCS=scaling_docs)
             out = subprocess.run([sys.executable, __file__, "--build-only"],
                                  env=env, capture_output=True, text=True,
                                  check=True,
                                  cwd=os.path.dirname(os.path.abspath(__file__)))
             r = json.loads(out.stdout.strip().splitlines()[-1])
+            best = results.get(ncpu)
             if best is None or r["files_per_sec"] > best["files_per_sec"]:
-                best = r
-        results[ncpu] = best
+                results[ncpu] = r
     fps8 = results[8]["files_per_sec"]
     fps32 = results[32]["files_per_sec"]
     eff = (fps32 / fps8) / (32 / 8)

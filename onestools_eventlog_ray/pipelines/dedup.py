@@ -276,6 +276,8 @@ def minhash_batch(batch: pa.Table, *, spec: CorpusSpec, shingle_k: int = 5,
                   with_shingles: bool = False, doc_filter=None,
                   bucket_filter=None) -> pa.Table:
     """Stateless-task form of :class:`MinHasher` (per-process cache)."""
+    from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+    pin_worker_threads()
     key = ("minhash", spec, shingle_k, num_perm, bands, seed,
            with_shingles, doc_filter, bucket_filter)
     mh = _STAGE_CACHE.get(key)
@@ -288,6 +290,8 @@ def minhash_batch(batch: pa.Table, *, spec: CorpusSpec, shingle_k: int = 5,
 
 def simhash_batch(batch: pa.Table, *, spec: CorpusSpec) -> pa.Table:
     """Stateless-task form of :class:`SimHasher` (per-process cache)."""
+    from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+    pin_worker_threads()
     key = ("simhash", spec)
     sh = _STAGE_CACHE.get(key)
     if sh is None:

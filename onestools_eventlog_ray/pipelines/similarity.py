@@ -87,6 +87,8 @@ _STAGE_CACHE: dict = {}
 
 
 def _cached(key, factory):
+    from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+    pin_worker_threads()
     inst = _STAGE_CACHE.get(key)
     if inst is None:
         inst = factory()

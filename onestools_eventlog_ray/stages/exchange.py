@@ -63,6 +63,8 @@ def _map_partition(spec, pattern: str, hot: dict[str, int],
     P: groups only need to (a) outnumber the CPUs and (b) bound group
     size; using ~2xCPUs instead of P cuts the exchange's small-object
     count (tasks x returns) at low CPU counts."""
+    from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+    pin_worker_threads()
     keyed_parts = []
     for block in blocks:
         triples = emit_triples(block, spec=spec, token_split_pattern=pattern)
@@ -116,6 +118,8 @@ def _encode_partition(block_size: int,
 
     Rebuilds the (pkey, salt) columns the run encoder expects from the
     slim exchange payload (term dictionary + doc_id)."""
+    from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+    pin_worker_threads()
     parts = [p for p in parts if p.num_rows]
     if not parts:
         empty = post_mod.RUN_SCHEMA.empty_table()
@@ -151,6 +155,8 @@ def _merge_partition(index_dir: str, fingerprint: str,
                      reencode_block_size: int | None,
                      *parts: pa.Table) -> dict:
     """all of one pkey's runs -> spliced postings -> shard + checkpoint."""
+    from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+    pin_worker_threads()
     parts = [p for p in parts if p.num_rows]
     if not parts:
         return {}
@@ -172,6 +178,8 @@ def _map_combined(spec, pattern: str, num_partitions: int, num_groups: int,
     ``salt_ranges`` build groups without knowing df — the fan-out the
     sampled hot map provides in the two-pass path.  Returns
     ``[G sub-tables..., stats_table]``."""
+    from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+    pin_worker_threads()
     import pyarrow.parquet as pq
     from onestools_eventlog_ray.functions.analyzer import doc_term_table
     from onestools_eventlog_ray.functions.hashing import rollup_acc, sha256_hex
@@ -264,6 +272,8 @@ def _encode_partition_ranged(block_size: int, num_partitions: int,
                              salt_ranges: int, *parts: pa.Table) -> list[pa.Table]:
     """Encode stage for the single-pass path: salt = doc-range bits
     (recomputed from doc_id — never shipped)."""
+    from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+    pin_worker_threads()
     parts = [p for p in parts if p.num_rows]
     if not parts:
         empty = post_mod.RUN_SCHEMA.empty_table()

@@ -167,5 +167,7 @@ def docstore_sink(batch: pa.Table, *, spec: CorpusSpec, token_split_pattern: str
     """Stateless-task form of :class:`DocstoreSink` (no heavy per-worker
     state; plain tasks reuse prestarted workers across stages instead of
     paying an actor-pool spin-up per stage)."""
+    from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+    pin_worker_threads()
     return DocstoreSink(spec, token_split_pattern, store_content,
                         docstore_dir)(batch)

@@ -134,6 +134,9 @@ def make_encode_runs(block_size: int):
     needs NO corpus stats — encode tasks never wait on the stats fold."""
 
     def encode_runs(group: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import \
+            pin_worker_threads
+        pin_worker_threads()
         n = group.num_rows
         if n == 0:
             return RUN_SCHEMA.empty_table()
@@ -186,6 +189,9 @@ def make_merge_and_write(index_dir: str, fingerprint: str,
     splice."""
 
     def merge_and_write(group: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import \
+            pin_worker_threads
+        pin_worker_threads()
         t0 = time.monotonic()
         pkey = int(group["pkey"][0].as_py())
         term_col = group["term"]

@@ -272,6 +272,71 @@ def test_u32_overflow_guard():
         codec._check_u32(1 << 33)
 
 
+def test_ann_ivf_recall_and_pruning(tmp_path):
+    """IVF bucket layout: pruned query candidates are consistent with a
+    brute-force computation of the same probe rule, and top hits for a
+    near-duplicate query are found despite pruning."""
+    import glob
+    import ray.data
+    from onestools_eventlog_ray.pipelines.ann import (AnnIndex, _bucket_of,
+                                                      build_ann_index,
+                                                      probe_buckets)
+    from onestools_eventlog_ray.pipelines.similarity import (lsh_planes,
+                                                             quantize_e6)
+    rng = np.random.default_rng(21)
+    mat = rng.standard_normal((300, 16)).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(range(300), pa.int64()),
+                    "embedding": pa.array(list(mat), pa.list_(pa.float32()))})
+    idx = str(tmp_path / "annidx")
+    meta = build_ann_index(ray.data.from_arrow(tbl), idx, dim=16, nbits=4,
+                           seed=7)
+    assert meta["n_vectors"] == 300
+    assert len(glob.glob(os.path.join(idx, "ann", "bucket-*.parquet"))) \
+        == meta["n_buckets"] <= 16
+    ann = AnnIndex(idx)
+    q = mat[5].astype(np.float64) + 0.01      # near-dup of vector 5
+    hits = ann.query(q, k=5, hamming=1)
+    assert hits and hits[0][0] == 5
+    # candidate rule parity with brute force
+    planes = lsh_planes(16, 4, 7)
+    buckets = _bucket_of(quantize_e6(mat.astype(np.float64)), planes)
+    qb = int(_bucket_of(quantize_e6(q[None, :]), planes)[0])
+    probes = set(probe_buckets(qb, 4, 1))
+    expected_cands = {i for i in range(300) if int(buckets[i]) in probes}
+    assert {h[0] for h in hits} <= expected_cands
+
+
+def test_phrase_search_counts(tmp_path):
+    import pyarrow.parquet as pq
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.phrase import (PhraseEngine,
+                                                         build_position_index)
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    texts = [
+        "big table hash join uses a table hash probe",    # 2x "table hash"
+        "hash table is not table hash",                   # 1x
+        "table of hash values",                           # 0x (not adjacent)
+        "a b a b a b a",                                  # overlapping "a b a"
+        "",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts),
+                    "lang": pa.array(["en"] * len(texts)),
+                    "source": pa.array(["s"] * len(texts)),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64())})
+    src = str(tmp_path / "documents.parquet")
+    pq.write_table(tbl, src)
+    idx = str(tmp_path / "idx")
+    rep = build_position_index(src, idx, spec=DOCUMENTS_SPEC,
+                               cfg=EngineConfig(num_partitions=8))
+    assert rep["n_rows"] > 0
+    eng = PhraseEngine(idx, num_partitions=8)
+    assert eng.search_phrase(["table", "hash"]) == [(0, 2), (1, 1)]
+    assert eng.search_phrase(["a", "b", "a"]) == [(3, 3)]   # overlapping hits
+    assert eng.search_phrase(["hash", "probe"]) == [(0, 1)]
+    assert eng.search_phrase(["nosuch", "phrase"]) == []
+
+
 def test_generational_wand_matches_taat(tmp_path):
     """v3 bounds are valid under the GLOBAL avgdl even when generations
     have very different document lengths (the stale-bound hazard)."""
