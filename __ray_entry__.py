@@ -362,6 +362,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def orders_by_nation(sf_dir):
+        """Broadcast equi-join over real TPC-H tables: customer->nation
+        shipped once via ray.put; orders (big side) never shuffles."""
+        import pyarrow.parquet as pq
+        import ray.data
+        cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                             columns=["c_custkey", "c_nationkey"])
+        nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                            columns=["n_nationkey", "n_name"])
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_totalprice"])
+        return relational.orders_by_nation(orders, cust, nat)
+
+    def topk_orders_per_cust(sf_dir):
+        import ray.data
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        return relational.topk_orders_per_cust(orders, k=3)
+
+    def median_value_by_type(sf_dir):
+        import ray.data
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_type", "value"])
+        return relational.median_value_by_type(ev)
+
     def knn_cosine_ivf(sf_dir):
         """Bucketed (IVF-style) ANN: query reads ONLY its probe buckets'
         files (hamming<=1 multi-probe) — the scale path consumer for the
@@ -444,6 +471,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": bm25_topk_filtered,
         "phrase_search": phrase_search,
         "knn_cosine_ivf": knn_cosine_ivf,
+        "orders_by_nation": orders_by_nation,
+        "topk_orders_per_cust": topk_orders_per_cust,
+        "median_value_by_type": median_value_by_type,
     }
 
 
@@ -856,6 +886,38 @@ SELECT max(doc_id) AS max_id, count(*) AS n_rows FROM documents""",
 SELECT event_type, count(*) AS n_events,
        min(value) AS min_value, max(value) AS max_value
 FROM events GROUP BY event_type""",
+
+        "orders_by_nation": """
+SELECT n.n_name,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name""",
+
+        "topk_orders_per_cust": """
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+                    o_orderkey ASC) AS rank
+  FROM orders)
+SELECT o_custkey, CAST(rank AS BIGINT) AS rank, o_orderkey, price_cents
+FROM r WHERE rank <= 3""",
+
+        "median_value_by_type": """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type, n,
+       CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS median_e6
+FROM r WHERE rn = (n - 1) // 2 + 1""",
 
         "lineitem_qty_by_flag": """
 SELECT l_returnflag, l_linestatus,

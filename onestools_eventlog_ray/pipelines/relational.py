@@ -94,3 +94,94 @@ def top1_recovery(ds: ray.data.Dataset, id_col: str = "doc_id") -> pa.Table:
                        Count(alias_name="n_rows"))
     return pa.table({"max_id": pa.array([res["max_id"]], pa.int64()),
                      "n_rows": pa.array([res["n_rows"]], pa.int64())})
+
+
+def orders_by_nation(orders: ray.data.Dataset, customer: pa.Table,
+                     nation: pa.Table) -> ray.data.Dataset:
+    """Broadcast equi-join (J1/J2): the small side (customer -> nation
+    name, ~N_cust rows) is shipped ONCE via ``ray.put`` and looked up
+    vectorized per batch (``pc.index_in`` + ``take``) — orders, the big
+    side, never shuffles for the join; only (nation, partial-agg) rows
+    enter the final small groupby.
+
+    -> (n_name, n_orders, total_cents); prices aggregated as exact
+    cents so the result is hash-stable vs the SQL oracle."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    nat_names = {int(k): v for k, v in zip(
+        nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())}
+    cust_nation = pa.table({
+        "custkey": customer["c_custkey"],
+        "n_name": pa.array([nat_names[int(k)] for k in
+                            customer["c_nationkey"].to_pylist()], pa.string()),
+    })
+    side_ref = ray.put(cust_nation)
+
+    def join_and_partial(batch: pa.Table) -> pa.Table:
+        side = ray.get(side_ref)
+        idx = pc.index_in(batch["o_custkey"], value_set=side["custkey"])
+        n_name = pc.take(side["n_name"].combine_chunks()
+                         if isinstance(side["n_name"], pa.ChunkedArray)
+                         else side["n_name"], idx)
+        cents = np.floor(batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                         .astype(np.float64) * 100 + 0.5).astype(np.int64)
+        part = pa.table({"n_name": n_name,
+                         "cents": pa.array(cents, pa.int64())}) \
+            .group_by("n_name").aggregate([("cents", "sum"),
+                                           ("cents", "count")])
+        return part.rename_columns(["n_name", "cents_p", "cnt_p"])
+
+    return orders.map_batches(join_and_partial, batch_format="pyarrow") \
+        .groupby("n_name") \
+        .aggregate(Sum("cnt_p", alias_name="n_orders"),
+                   Sum("cents_p", alias_name="total_cents"))
+
+
+def topk_orders_per_cust(orders: ray.data.Dataset, k: int = 3
+                         ) -> ray.data.Dataset:
+    """Windowed per-group top-k (row_number <= k per customer): the
+    grouped analog of the K1/K2 recovery sort, expressed as
+    ``groupby(custkey).map_groups`` with a vectorized in-group sort.
+    Ranked on exact CENTS so ordering is oracle-stable."""
+    import numpy as np
+
+    def topk(group: pa.Table) -> pa.Table:
+        cents = np.floor(group["o_totalprice"].to_numpy(zero_copy_only=False)
+                         .astype(np.float64) * 100 + 0.5).astype(np.int64)
+        keys = group["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, -cents))[:k]
+        return pa.table({
+            "o_custkey": pa.array(
+                group["o_custkey"].to_numpy(zero_copy_only=False)[order],
+                pa.int64()),
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "o_orderkey": pa.array(keys[order], pa.int64()),
+            "price_cents": pa.array(cents[order], pa.int64()),
+        })
+
+    return orders.groupby("o_custkey").map_groups(topk,
+                                                  batch_format="pyarrow")
+
+
+def median_value_by_type(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact lower-median of ``value`` per event_type (the deterministic
+    element at sorted position (n-1)//2) — an order-statistic aggregate
+    the Dataset API lacks, expressed as ``groupby.map_groups``.
+    -> (event_type, n, median_e6)."""
+    import numpy as np
+
+    def med(group: pa.Table) -> pa.Table:
+        v = np.sort(group["value"].to_numpy(zero_copy_only=False)
+                    .astype(np.float64))
+        m = v[(v.size - 1) // 2]
+        return pa.table({
+            "event_type": pa.array([group["event_type"][0].as_py()],
+                                   pa.string()),
+            "n": pa.array([v.size], pa.int64()),
+            "median_e6": pa.array(
+                [int(np.floor(m * 1_000_000 + 0.5))], pa.int64()),
+        })
+
+    return events.groupby("event_type").map_groups(med,
+                                                   batch_format="pyarrow")
