@@ -78,6 +78,17 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats", help="print an index's stats manifest")
     st.add_argument("--index", required=True)
 
+    pb = sub.add_parser("build-positions",
+                        help="build the positional (phrase) sidecar")
+    pb.add_argument("--corpus", required=True)
+    pb.add_argument("--index", required=True)
+    pb.add_argument("--config", default=None)
+    pb.add_argument("--spec", choices=sorted(SPECS), default="code")
+
+    ps = sub.add_parser("phrase", help="exact phrase query")
+    ps.add_argument("--index", required=True)
+    ps.add_argument("--phrase", required=True, help="the phrase text")
+
     args = p.parse_args(argv)
 
     if args.cmd == "stats":
@@ -105,6 +116,14 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": score}))
         return 0
 
+    if args.cmd == "phrase":
+        from onestools_eventlog_ray.functions.analyzer import tokenize_py
+        from onestools_eventlog_ray.pipelines.phrase import PhraseEngine
+        hits = PhraseEngine(args.index).search_phrase(tokenize_py(args.phrase))
+        for doc_id, n in hits:
+            print(json.dumps({"doc_id": doc_id, "n_matches": n}))
+        return 0
+
     import ray
     owns_session = not ray.is_initialized()   # embedded callers keep theirs
     _ray_up(args.num_cpus)
@@ -118,6 +137,13 @@ def main(argv: list[str] | None = None) -> int:
             from onestools_eventlog_ray.pipelines.incremental import add_generation
             rep = add_generation(args.corpus, args.index_root,
                                  spec=SPECS[args.spec], cfg=_load_cfg(args.config))
+            print(json.dumps(rep))
+        elif args.cmd == "build-positions":
+            from onestools_eventlog_ray.pipelines.phrase import \
+                build_position_index
+            rep = build_position_index(args.corpus, args.index,
+                                       spec=SPECS[args.spec],
+                                       cfg=_load_cfg(args.config))
             print(json.dumps(rep))
         elif args.cmd == "manager":
             from onestools_eventlog_ray.pipelines.manager import (sync_registry,

@@ -94,32 +94,40 @@ def build_position_index(corpus_paths, index_dir: str,
                          spec: CorpusSpec = CODE_CORPUS_SPEC,
                          cfg: EngineConfig = EngineConfig()) -> dict:
     """Build the positions sidecar under ``<index_dir>/positions``."""
+    import json
     ds = read_corpus(corpus_paths, spec, with_meta=False)
     rows = ds.map_batches(emit_positions, batch_format="pyarrow",
                           fn_kwargs=dict(spec=spec,
                                          num_partitions=cfg.num_partitions)) \
         .groupby("pkey").map_groups(_write_pos_shard(index_dir),
                                     batch_format="pyarrow").take_all()
-    return {"n_shards": len(rows),
+    meta = {"num_partitions": cfg.num_partitions, "n_shards": len(rows),
             "n_rows": int(sum(r["n_rows"] for r in rows))}
+    atomic_write_bytes(os.path.join(index_dir, "positions", "_meta.json"),
+                       lambda tmp: open(tmp, "w").write(json.dumps(meta)))
+    return meta
 
 
 class PhraseEngine:
     """Phrase matching over the positions sidecar (shard-pruned reads)."""
 
     def __init__(self, index_dir: str, num_partitions: int | None = None):
+        import glob
+        import json
         self.pos_dir = os.path.join(index_dir, "positions")
         if num_partitions is None:
-            import glob
-            shards = glob.glob(os.path.join(self.pos_dir, "pos-*.parquet"))
-            if not shards:
-                raise FileNotFoundError(f"no position shards in {self.pos_dir}")
-            # pkey space = the build's num_partitions; recover from stats
-            # if present, else assume the densest shard id + 1 is enough
-            from onestools_eventlog_ray.state import checkpoint as ckpt
-            try:
-                num_partitions = ckpt.read_stats(index_dir)["num_partitions"]
-            except Exception:
+            # the positions sidecar records ITS OWN partition count —
+            # it may differ from the BM25 index's
+            meta_path = os.path.join(self.pos_dir, "_meta.json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    num_partitions = json.load(f)["num_partitions"]
+            else:
+                shards = glob.glob(os.path.join(self.pos_dir,
+                                                "pos-*.parquet"))
+                if not shards:
+                    raise FileNotFoundError(
+                        f"no position shards in {self.pos_dir}")
                 num_partitions = max(int(os.path.basename(s)[4:9])
                                      for s in shards) + 1
         self.P = int(num_partitions)
