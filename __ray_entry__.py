@@ -39,7 +39,12 @@ def _documents_ds(sf_dir: str):
 
 
 def _index_dir_for(sf_dir: str) -> str:
-    h = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    # layout version in the name: derived state (generations root,
+    # positions sidecar, ANN buckets) is rebuilt from scratch whenever
+    # the on-disk layout/partitioning rules change
+    from onestools_eventlog_ray.pipelines.build import LAYOUT_VERSION
+    h = hashlib.blake2b(f"{sf_dir}:v{LAYOUT_VERSION}".encode(),
+                        digest_size=6).hexdigest()
     return f"/tmp/oel_ray_index/{h}"
 
 

@@ -61,27 +61,33 @@ def doc_id_from_keys(*key_cols: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pa.array(out, type=pa.int64())
 
 
+_TERMPART_SALT = "termpart:"
+
+
 def term_partition(terms: pa.Array | pa.ChunkedArray | list[str] | np.ndarray,
                    num_partitions: int) -> np.ndarray:
-    """Stable shard id per term: blake2b-based, identical across processes.
+    """Stable shard id per term: md5-based, identical across processes,
+    vectorized over the whole (unique-term) array via the fasthash
+    kernel (the previous per-term ``blake2b`` Python loop cost ~1.5 µs
+    x vocab per task).
 
     Python's builtin ``hash(str)`` is salted per process (PYTHONHASHSEED)
     and must never be used for partitioning.
     """
-    if isinstance(terms, (pa.Array, pa.ChunkedArray)):
-        terms = terms.to_pylist()
-    out = np.empty(len(terms), dtype=np.int64)
-    for i, t in enumerate(terms):
-        h = hashlib.blake2b(t.encode("utf-8"), digest_size=8,
-                            salt=b"termpart").digest()
-        out[i] = int.from_bytes(h, "big") % num_partitions
-    return out
+    import pyarrow.compute as pc
+    from onestools_eventlog_ray.functions.fasthash import md5_lower64
+    if isinstance(terms, (list, np.ndarray)):
+        terms = pa.array(list(terms), pa.string())
+    salted = pc.binary_join_element_wise(
+        pa.array([_TERMPART_SALT] * len(terms), pa.string()),
+        terms.cast(pa.string()) if isinstance(terms, pa.Array)
+        else terms.combine_chunks().cast(pa.string()), "")
+    return (md5_lower64(salted) % np.uint64(num_partitions)).astype(np.int64)
 
 
 def term_partition_one(term: str, num_partitions: int) -> int:
-    h = hashlib.blake2b(term.encode("utf-8"), digest_size=8,
-                        salt=b"termpart").digest()
-    return int.from_bytes(h, "big") % num_partitions
+    from onestools_eventlog_ray.functions.fasthash import md5_lower64_one
+    return md5_lower64_one(_TERMPART_SALT + term) % num_partitions
 
 
 GOLDEN64 = np.uint64(0x9E3779B97F4A7C15)

@@ -36,6 +36,13 @@ from onestools_eventlog_ray.stages import stats as stats_mod
 from onestools_eventlog_ray.state import checkpoint as ckpt
 
 
+#: bumped whenever the on-disk layout or any partitioning/codec rule
+#: changes (posting codec version, term->shard hash, part naming): a
+#: mismatch invalidates the docstore marker, forcing a full rebuild
+#: instead of silently querying shards laid out under the old rules.
+LAYOUT_VERSION = 3
+
+
 def _pool_size() -> int:
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     return max(2, ncpu - 1)
@@ -75,7 +82,8 @@ def build_index(corpus_paths, index_dir: str,
     # the marker makes a completed docstore pass skippable on resume,
     # like the reference skipping already-exported positions
     done_marker = os.path.join(dstore, "_DOCSTORE_DONE")
-    marker_text = (f"pattern={cfg.token_split_pattern} "
+    marker_text = (f"layout={LAYOUT_VERSION} "
+                   f"pattern={cfg.token_split_pattern} "
                    f"store_content={cfg.store_content} "
                    f"input={_input_signature(corpus_paths)}")
     reuse_docstore = (os.path.exists(done_marker)
