@@ -193,6 +193,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["user_id", "ts", "value"])
         return streaming.tumbling_window_counts(ds, window_s=3600)
 
+    def sliding_window_counts(sf_dir):
+        import ray.data
+        from onestools_eventlog_ray.pipelines import streaming
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["user_id", "ts"])
+        return streaming.sliding_window_counts(ds, window_s=3600,
+                                               slide_s=900)
+
     def sessionize(sf_dir):
         import ray.data
         from onestools_eventlog_ray.pipelines import streaming
@@ -456,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_qty_by_flag": lineitem_qty_by_flag,
         "knn_cosine": knn_cosine,
         "window_counts": window_counts,
+        "sliding_window_counts": sliding_window_counts,
         "sessionize": sessionize,
         "cosine_pairs": cosine_pairs,
         "ngram_jaccard_topk": ngram_jaccard_topk,
@@ -935,6 +944,15 @@ SELECT user_id,
        count(*) AS n_events,
        min(value) AS min_value, max(value) AS max_value
 FROM events GROUP BY user_id, window_start_us""",
+
+        "sliding_window_counts": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts FROM events),
+w AS (SELECT user_id,
+             unnest([ (ts // 900000000) * 900000000 - j * 900000000
+                      for j in range(0, 4) ]) AS window_start_us
+      FROM e)
+SELECT user_id, window_start_us, count(*) AS n_events
+FROM w GROUP BY user_id, window_start_us""",
 
         "sessionize": """
 WITH e AS (SELECT user_id, epoch_us(ts) AS ts FROM events),

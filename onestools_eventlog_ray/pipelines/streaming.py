@@ -48,6 +48,39 @@ def tumbling_window_counts(ds: ray.data.Dataset, window_s: int = 3600
                         Max("value", alias_name="max_value"))
 
 
+def sliding_window_counts(ds: ray.data.Dataset, window_s: int = 3600,
+                          slide_s: int = 900) -> ray.data.Dataset:
+    """Per (user_id, SLIDING window): event count.  Each event belongs
+    to ``window_s / slide_s`` overlapping windows; the assignment is a
+    vectorized fan-out (np.repeat/tile — one row per (event, window))
+    followed by the same small groupby as the tumbling case.  Integer
+    window keys -> oracle-exact.
+    -> (user_id, window_start_us, n_events)."""
+    assert window_s % slide_s == 0, "window must be a multiple of slide"
+    k = window_s // slide_s
+    s_us = slide_s * US
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (ts // s_us) * s_us
+        # windows starting at base, base - s, ..., base - (k-1)*s all
+        # contain ts (window length = k * s)
+        offs = (np.arange(k, dtype=np.int64) * s_us)
+        starts = (base[:, None] - offs[None, :]).reshape(-1)
+        uid = batch["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        take = pa.array(np.repeat(np.arange(len(ts), dtype=np.int64), k))
+        return pa.table({
+            "user_id": uid.take(take),
+            "window_start_us": pa.array(starts, pa.int64()),
+        })
+
+    return ds.map_batches(fan_out, batch_format="pyarrow") \
+             .groupby(["user_id", "window_start_us"]) \
+             .aggregate(Count(alias_name="n_events"))
+
+
 def sessionize(ds: ray.data.Dataset, gap_s: int = 1800) -> ray.data.Dataset:
     """Session windows per user: a session ends after ``gap_s`` of
     inactivity (the classic gaps-and-islands computation, done per user
