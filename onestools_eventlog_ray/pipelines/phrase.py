@@ -31,8 +31,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-import ray.data
-
 from onestools_eventlog_ray.config import EngineConfig
 from onestools_eventlog_ray.functions.analyzer import tokenize_array
 from onestools_eventlog_ray.functions.hashing import (term_partition,
