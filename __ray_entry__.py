@@ -396,6 +396,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["o_orderkey", "o_custkey", "o_totalprice"])
         return relational.topk_orders_per_cust(orders, k=3)
 
+    def distinct_users_by_type(sf_dir):
+        import ray.data
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_type", "user_id"])
+        return relational.distinct_users_by_type(ev)
+
+    def hll_term_registers(sf_dir):
+        """Mergeable HyperLogLog sketch of the distinct-term count:
+        per-batch partial registers -> 2^b-row max-merge groupby.  The
+        deterministic register table is the oracle-checked output; the
+        estimate itself is tested against the exact count in pytest."""
+        from onestools_eventlog_ray.pipelines import sketch
+        return sketch.hll_term_registers(_documents_ds(sf_dir),
+                                         DOCUMENTS_SPEC, b=10)
+
     def median_value_by_type(sf_dir):
         import ray.data
         ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
@@ -488,6 +503,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": orders_by_nation,
         "topk_orders_per_cust": topk_orders_per_cust,
         "median_value_by_type": median_value_by_type,
+        "distinct_users_by_type": distinct_users_by_type,
+        "hll_term_registers": hll_term_registers,
     }
 
 
@@ -922,6 +939,23 @@ WITH r AS (
   FROM orders)
 SELECT o_custkey, CAST(rank AS BIGINT) AS rank, o_orderkey, price_cents
 FROM r WHERE rank <= 3""",
+
+        "distinct_users_by_type": """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type""",
+
+        "hll_term_registers": f"""
+WITH toks AS ({_TOKS}),
+u AS (SELECT DISTINCT term FROM toks),
+h AS (SELECT md5_number_lower(term) AS h FROM u),
+v AS (SELECT CAST(h % 1024 AS BIGINT) AS bucket,
+             CAST(h >> 10 AS BIGINT) AS w FROM h),
+r AS (SELECT bucket,
+             CASE WHEN w = 0 THEN 55
+                  ELSE 1 + CAST(log2(CAST((w & -w) AS DOUBLE)) AS BIGINT)
+             END AS rho
+      FROM v)
+SELECT bucket, max(rho) AS max_rho FROM r GROUP BY bucket""",
 
         "median_value_by_type": """
 WITH r AS (

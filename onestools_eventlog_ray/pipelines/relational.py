@@ -164,6 +164,26 @@ def topk_orders_per_cust(orders: ray.data.Dataset, k: int = 3
                                                   batch_format="pyarrow")
 
 
+def distinct_users_by_type(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact COUNT(DISTINCT user_id) per event_type: per-batch local
+    dedupe (Acero group_by) -> composite-key dedupe shuffle -> tiny
+    per-type count.  Only unique (type, user) pairs ever shuffle."""
+
+    def local_pairs(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": batch["event_type"],
+                         "user_id": batch["user_id"]}) \
+            .group_by(["event_type", "user_id"]).aggregate([])
+
+    deduped = events.map_batches(local_pairs, batch_format="pyarrow") \
+        .groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_c"))
+
+    def drop(batch: pa.Table) -> pa.Table:
+        return batch.select(["event_type"])
+
+    return deduped.map_batches(drop, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+
 def median_value_by_type(events: ray.data.Dataset) -> ray.data.Dataset:
     """Exact lower-median of ``value`` per event_type (the deterministic
     element at sorted position (n-1)//2) — an order-statistic aggregate

@@ -1,0 +1,88 @@
+"""Mergeable sketches as distributed aggregates — HyperLogLog
+count-distinct over the term stream.
+
+The canonical "pre-aggregate inside map_batches, tiny groupby of
+partials" shape at its purest: a sketch is a SMALL mergeable state
+(here 2^b max-registers), so each batch folds its rows into a partial
+sketch locally and the shuffle moves only (bucket, rho) rows — never
+terms.  At 100 TB the exchange for a corpus-wide distinct-term count is
+O(2^b x n_batches) rows regardless of data size.
+
+md5-based and EXACTLY oracle-checkable (the registers, not just the
+estimate): bucket = md5_64(term) & (m-1); rho = 1 + count-trailing-
+zeros(h >> b) (55 if the suffix is zero) — both reproduced in SQL with
+``w & -w`` + exact ``log2`` of a power of two.  Estimation error is the
+standard ~1.04/sqrt(m); the driver check compares the deterministic
+register table, the pytest checks the estimate against the exact count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Max
+
+from onestools_eventlog_ray.functions.analyzer import tokenize_array
+from onestools_eventlog_ray.functions.fasthash import md5_lower64
+from onestools_eventlog_ray.sources.corpus import CorpusSpec, DOCUMENTS_SPEC
+
+
+def _registers_of(hashes: np.ndarray, b: int) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 hashes -> (bucket, rho) per value, vectorized."""
+    m = np.uint64((1 << b) - 1)
+    bucket = (hashes & m).astype(np.int64)
+    w = hashes >> np.uint64(b)
+    lsb = (w & (~w + np.uint64(1))).astype(np.float64)     # w & -w
+    rho = np.where(w == 0, np.int64(64 - b + 1),
+                   1 + np.log2(np.maximum(lsb, 1.0)).astype(np.int64))
+    return bucket, rho.astype(np.int64)
+
+
+def hll_term_registers(ds: ray.data.Dataset,
+                       spec: CorpusSpec = DOCUMENTS_SPEC,
+                       b: int = 10) -> ray.data.Dataset:
+    """Distinct-term HLL registers: -> (bucket, max_rho), only buckets
+    that received at least one term (sparse).  Per batch: hash the
+    UNIQUE terms (dictionary encode + md5 kernel), local max per
+    bucket; global merge is a 2^b-row groupby of partials."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+        pin_worker_threads()
+        toks = tokenize_array(batch[spec.content_col])
+        flat = toks.flatten()
+        if len(flat) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "rho_p": pa.array([], pa.int64())})
+        uniq = flat.dictionary_encode().dictionary
+        h = md5_lower64(uniq)
+        bucket, rho = _registers_of(h, b)
+        regs = np.zeros(1 << b, dtype=np.int64)
+        np.maximum.at(regs, bucket, rho)
+        nz = np.flatnonzero(regs)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "rho_p": pa.array(regs[nz], pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby("bucket").aggregate(Max("rho_p", alias_name="max_rho"))
+
+
+def hll_estimate(registers: dict[int, int] | pa.Table, b: int = 10) -> float:
+    """Standard HLL estimate (with the small-range linear-counting
+    correction) from a (bucket -> max_rho) register table."""
+    m = 1 << b
+    regs = np.zeros(m, dtype=np.int64)
+    if isinstance(registers, pa.Table):
+        regs[registers["bucket"].to_numpy(zero_copy_only=False)] = \
+            registers["max_rho"].to_numpy(zero_copy_only=False)
+    else:
+        for k, v in registers.items():
+            regs[k] = v
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)            # linear counting
+    return float(est)

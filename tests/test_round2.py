@@ -337,6 +337,37 @@ def test_phrase_search_counts(tmp_path):
     assert eng.search_phrase(["nosuch", "phrase"]) == []
 
 
+def test_hll_estimate_accuracy(small_corpus):
+    """Registers merge correctly across batches and the estimate lands
+    within the standard ~1.04/sqrt(m) error band of the exact count."""
+    import ray.data
+    from onestools_eventlog_ray.functions.analyzer import tokenize_py
+    from onestools_eventlog_ray.pipelines import sketch
+    from onestools_eventlog_ray.sources.corpus import CODE_CORPUS_SPEC
+    ds = ray.data.from_arrow(small_corpus)
+    regs = sketch.hll_term_registers(ds, CODE_CORPUS_SPEC, b=10)
+    tbl = pa.table(regs.to_pandas())
+    est = sketch.hll_estimate(tbl, b=10)
+    exact = len({t for c in small_corpus["content"].to_pylist()
+                 for t in tokenize_py(c)})
+    assert exact > 1000                        # meaningful vocabulary
+    assert abs(est - exact) / exact < 0.1      # ~3 sigma at m=1024
+    # register table is deterministic: recompute locally and compare
+    import numpy as np
+    from onestools_eventlog_ray.functions.fasthash import md5_lower64_one
+    local = {}
+    for t in {t for c in small_corpus["content"].to_pylist()
+              for t in tokenize_py(c)}:
+        h = md5_lower64_one(t)
+        bucket = h & 1023
+        w = h >> 10
+        rho = 55 if w == 0 else 1 + int(np.log2(np.float64(w & -w & ((1 << 64) - 1))))
+        local[bucket] = max(local.get(bucket, 0), rho)
+    got = {int(b): int(r) for b, r in zip(tbl["bucket"].to_pylist(),
+                                          tbl["max_rho"].to_pylist())}
+    assert got == local
+
+
 def test_generational_wand_matches_taat(tmp_path):
     """v3 bounds are valid under the GLOBAL avgdl even when generations
     have very different document lengths (the stale-bound hazard)."""
