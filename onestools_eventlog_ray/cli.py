@@ -74,6 +74,8 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--interval", type=float, default=30.0)
     m.add_argument("--config", default=None)
     m.add_argument("--spec", choices=sorted(SPECS), default="code")
+    m.add_argument("--max-parallel", type=int, default=1,
+                   help="concurrent corpus builds per sync round")
 
     st = sub.add_parser("stats", help="print an index's stats manifest")
     st.add_argument("--index", required=True)
@@ -149,12 +151,15 @@ def main(argv: list[str] | None = None) -> int:
             from onestools_eventlog_ray.pipelines.manager import (sync_registry,
                                                                   watch_registry)
             if args.once:
-                print(json.dumps(sync_registry(args.registry,
-                                               spec=SPECS[args.spec],
-                                               cfg=_load_cfg(args.config))))
+                print(json.dumps(sync_registry(
+                    args.registry, spec=SPECS[args.spec],
+                    cfg=_load_cfg(args.config),
+                    max_parallel=args.max_parallel)))
             else:
                 watch_registry(args.registry, interval_s=args.interval,
-                               spec=SPECS[args.spec], cfg=_load_cfg(args.config))
+                               spec=SPECS[args.spec],
+                               cfg=_load_cfg(args.config),
+                               max_parallel=args.max_parallel)
     finally:
         if owns_session and ray.is_initialized():
             ray.shutdown()

@@ -55,11 +55,48 @@ def read_state(registry_path: str) -> dict:
         return {"managed": {}}
 
 
+def _defuse_fsspec_http_import_race() -> None:
+    """Ray Data's path resolver lazily does ``from
+    fsspec.implementations.http import HTTPFileSystem`` and catches only
+    ``ModuleNotFoundError``.  With aiohttp absent, two driver threads
+    resolving paths simultaneously can race the module init: the loser
+    sees a half-initialized module and gets a plain ``ImportError``
+    that ESCAPES Ray's handler (observed in parallel manager builds).
+    Pre-register a minimal stand-in module so the import always
+    succeeds atomically; Ray's isinstance check then returns False —
+    the same outcome as the ModuleNotFoundError path."""
+    import sys
+    import types
+    name = "fsspec.implementations.http"
+    if name in sys.modules:
+        return
+    try:
+        __import__(name)
+    except Exception:
+        mod = types.ModuleType(name)
+
+        class HTTPFileSystem:          # sentinel; never instantiated
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules[name] = mod
+
+
 def sync_registry(registry_path: str,
                   spec: CorpusSpec = CODE_CORPUS_SPEC,
-                  cfg: EngineConfig = EngineConfig()) -> dict:
+                  cfg: EngineConfig = EngineConfig(),
+                  max_parallel: int = 1) -> dict:
     """One reconciliation round: registry ∖ state diff -> build new /
-    refresh changed / retire removed.  Returns the action report."""
+    refresh changed / retire removed.  Returns the action report.
+
+    ``max_parallel`` > 1 runs that many corpus builds CONCURRENTLY from
+    driver threads (the reference runs one exporter pipeline per tenant
+    in parallel, ``ExportersManager.cs:110-221``).  Builds share the
+    one Ray scheduler, which interleaves their tasks; each build's
+    state (index dir, manifest) is fully independent, and a failed
+    build leaves its own resumable manifest without affecting others.
+    Useful when corpora are small relative to the cluster — one big
+    build already saturates it alone."""
     reg = read_registry(registry_path)
     mask = re.compile(reg.get("mask", ".*"))
     state = read_state(registry_path)
@@ -73,14 +110,30 @@ def sync_registry(registry_path: str,
                   e["name"] for e in reg.get("corpora", [])
                   if not mask.search(e["name"])]}
 
+    todo: list[tuple[str, dict, str, dict | None]] = []
     for name, entry in wanted.items():
         sig = _input_signature(entry["corpus"])
         prior = managed.get(name)
         if prior and prior.get("input_signature") == sig:
             report["unchanged"].append(name)
             continue
+        todo.append((name, entry, sig, prior))
+
+    def run_one(item):
+        name, entry, sig, prior = item
         rep = build_index(entry["corpus"], entry["index_root"],
                           spec=spec, cfg=cfg)
+        return name, entry, sig, prior, rep
+
+    if max_parallel > 1 and len(todo) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        _defuse_fsspec_http_import_race()
+        with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+            results = list(pool.map(run_one, todo))
+    else:
+        results = [run_one(t) for t in todo]
+
+    for name, entry, sig, prior, rep in results:
         managed[name] = {
             "corpus": entry["corpus"],
             "index_root": entry["index_root"],

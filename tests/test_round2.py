@@ -337,6 +337,32 @@ def test_phrase_search_counts(tmp_path):
     assert eng.search_phrase(["nosuch", "phrase"]) == []
 
 
+def test_manager_parallel_builds(tmp_path):
+    """Two corpora built concurrently (max_parallel=2) produce the same
+    indexes as serial sync, queryable independently."""
+    import json
+    import pyarrow.parquet as pq
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.manager import sync_registry
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    from onestools_eventlog_ray import synth
+    entries = []
+    for i in range(2):
+        cdir = str(tmp_path / f"corpus{i}")
+        synth.write_corpus(cdir, n_docs=300, seed=100 + i)
+        entries.append({"name": f"c{i}", "corpus": cdir,
+                        "index_root": str(tmp_path / f"idx{i}")})
+    reg = str(tmp_path / "reg.json")
+    with open(reg, "w") as f:
+        json.dump({"corpora": entries}, f)
+    rep = sync_registry(reg, cfg=EngineConfig(num_partitions=8),
+                        max_parallel=2)
+    assert sorted(rep["built"]) == ["c0", "c1"]
+    for i in range(2):
+        hits = SearchEngine(str(tmp_path / f"idx{i}")).search(["def"], 5)
+        assert hits, f"index {i} not queryable"
+
+
 def test_hll_estimate_accuracy(small_corpus):
     """Registers merge correctly across batches and the estimate lands
     within the standard ~1.04/sqrt(m) error band of the exact count."""
