@@ -80,6 +80,12 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats", help="print an index's stats manifest")
     st.add_argument("--index", required=True)
 
+    cp = sub.add_parser("compact",
+                        help="merge all generations into one fresh index")
+    cp.add_argument("--index-root", required=True)
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--config", default=None)
+
     pb = sub.add_parser("build-positions",
                         help="build the positional (phrase) sidecar")
     pb.add_argument("--corpus", required=True)
@@ -139,6 +145,12 @@ def main(argv: list[str] | None = None) -> int:
             from onestools_eventlog_ray.pipelines.incremental import add_generation
             rep = add_generation(args.corpus, args.index_root,
                                  spec=SPECS[args.spec], cfg=_load_cfg(args.config))
+            print(json.dumps(rep))
+        elif args.cmd == "compact":
+            from onestools_eventlog_ray.pipelines.incremental import \
+                compact_generations
+            rep = compact_generations(args.index_root, args.out,
+                                      cfg=_load_cfg(args.config))
             print(json.dumps(rep))
         elif args.cmd == "build-positions":
             from onestools_eventlog_ray.pipelines.phrase import \

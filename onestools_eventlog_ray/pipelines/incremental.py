@@ -74,6 +74,29 @@ def add_generation(corpus_paths, index_root: str,
     return report
 
 
+def compact_generations(index_root: str, out_dir: str,
+                        cfg: EngineConfig = EngineConfig()) -> dict:
+    """Merge all generations into ONE fresh index (the ES force-merge
+    analog): the generations' docstores — which carry the full content —
+    ARE a valid corpus (``doc_id`` + ``content`` columns), so compaction
+    is simply ``build_index`` over their union.  The compacted index is
+    rank-identical to the generational engine (both equal a single full
+    build over the union of documents — proved in tests), with
+    single-index query cost (one shard probe per term instead of one
+    per generation)."""
+    import glob
+    gens = list_generations(index_root)
+    if not gens:
+        raise FileNotFoundError(f"no generations under {index_root}")
+    part_files = sorted(f for g in gens for f in
+                        glob.glob(os.path.join(g, "docstore", "*.parquet")))
+    spec = CorpusSpec(content_col="content", id_col="doc_id",
+                      key_cols=("doc_id",), meta_cols=())
+    report = build_index(part_files, out_dir, spec=spec, cfg=cfg)
+    report["n_generations"] = len(gens)
+    return report
+
+
 class GenerationalSearchEngine:
     """Exact BM25 over all generations combined (global N/avgdl/df)."""
 

@@ -424,3 +424,16 @@ def test_generational_wand_matches_taat(tmp_path):
     eng = GenerationalSearchEngine(root)
     for terms in (["spark"], ["spark", "vector"], ["w1", "w2", "w3"]):
         assert eng.search_wand(terms, 10) == eng.search(terms, 10)
+
+    # compaction (force-merge analog): one fresh index over the union of
+    # the generations' docstores, rank-identical to the generational view
+    from onestools_eventlog_ray.pipelines.incremental import \
+        compact_generations
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    out = str(tmp_path / "compacted")
+    rep = compact_generations(root, out, cfg=cfg)
+    assert rep["n_generations"] == 2 and rep["n_docs"] == 80
+    ceng = SearchEngine(out)
+    for terms in (["spark"], ["spark", "vector"], ["w1", "w2", "w3"]):
+        assert ceng.search(terms, 10) == eng.search(terms, 10)
+        assert ceng.search_wand(terms, 10) == ceng.search(terms, 10)
