@@ -294,6 +294,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def bm25_compacted(sf_dir):
+        """Force-merge proof: the two incremental generations compacted
+        into ONE fresh index must reproduce the single-build BM25
+        ranking (same oracle as bm25_topk)."""
+        from onestools_eventlog_ray.config import EngineConfig
+        from onestools_eventlog_ray.pipelines.incremental import (
+            compact_generations, list_generations)
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        root = _index_dir_for(sf_dir) + "_gens"
+        if len(list_generations(root)) < 2:
+            bm25_incremental(sf_dir)          # builds the two generations
+        out = root + "_compacted"
+        import glob
+        if not glob.glob(os.path.join(out, "shards", "*.parquet")):
+            compact_generations(root, out,
+                                cfg=EngineConfig(num_partitions=16))
+        eng = SearchEngine(out)
+        hits = eng.search(_BM25_TERMS, k=1_000_000)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
     def media_features(sf_dir):
         """Multimodal plumbing demo: deterministic fake media payloads ->
         actor-pool decode/feature stage (stubbed md5-based codec; no image
@@ -505,6 +532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_value_by_type": median_value_by_type,
         "distinct_users_by_type": distinct_users_by_type,
         "hll_term_registers": hll_term_registers,
+        "bm25_compacted": bm25_compacted,
     }
 
 
@@ -687,6 +715,8 @@ LIMIT 10""",
         # the incremental (two-generation) engine must reproduce the very
         # same single-build BM25 ranking
         "bm25_incremental": _bm25_sql(_BM25_TERMS),
+        # the compacted (force-merged) generations must reproduce it too
+        "bm25_compacted": _bm25_sql(_BM25_TERMS),
         # the distributed actor-pool block-max WAND path must reproduce it too
         "bm25_topk_wand": _bm25_sql(_BM25_TERMS),
         "bm25_topk_filtered": _bm25_filtered_sql(_BM25_TERMS, "lang = 'en'"),

@@ -139,6 +139,23 @@ def test_minhash_empty_docs_emit_nothing():
 # LSH cosine pairs
 # ---------------------------------------------------------------------------
 
+def test_knn_exclude_does_not_eat_candidate_slots():
+    """Round-1 ADVICE: excluded ids must be filtered BEFORE the local
+    top-k cut.  With k=1 and the best vector excluded, the runner-up
+    must still surface."""
+    import ray.data
+    from onestools_eventlog_ray.pipelines import similarity
+    q = np.array([1.0, 0.0, 0.0, 0.0])
+    mat = np.stack([q,                        # vec 0: identical (excluded)
+                    [0.9, 0.1, 0.0, 0.0],     # vec 1: runner-up
+                    [0.0, 1.0, 0.0, 0.0]]).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array([0, 1, 2], pa.int64()),
+                    "embedding": pa.array(list(mat), pa.list_(pa.float32()))})
+    res = similarity.knn_cosine(ray.data.from_arrow(tbl), q, k=1,
+                                exclude_ids={0})
+    assert res["vec_id"].to_pylist() == [1]
+
+
 def test_cosine_pairs_lsh_subset_of_exact():
     import ray.data
     from onestools_eventlog_ray.pipelines import similarity
