@@ -121,6 +121,7 @@ def run_headline() -> dict:
         "n_query_hits": n_hits,
         "build_detail": {k: round(report[k], 2) for k in
                          ("docstore_s", "stats_s", "hot_detect_s", "postings_s")},
+        "build_phases": report.get("phases", {}),
     }
 
 
@@ -207,6 +208,7 @@ def main_single(build_only: bool = False) -> dict:
         "n_docs": stages["n_docs"],
         "n_hot_terms": stages["n_hot_terms"],
         "build_detail": stages["build_detail"],
+        "build_phases": stages.get("build_phases", {}),
         "sf": SF,
         "num_cpus": NUM_CPUS,
     }

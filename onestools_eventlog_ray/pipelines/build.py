@@ -147,6 +147,7 @@ def build_index(corpus_paths, index_dir: str,
             "resumed_partitions": 0,
             "wall_s": wall, "docstore_s": 0.0, "stats_s": 0.0,
             "hot_detect_s": 0.0, "postings_s": wall,
+            "phases": stats.get("phase_wall_s", {}),
             "single_pass": True,
             "files_per_sec": n_docs / wall if wall > 0 else 0.0,
         }

@@ -349,6 +349,8 @@ def build_combined_exchange(corpus_ds, spec, cfg, index_dir: str,
     # and fold the stats partials on the driver WHILE encodes run — the
     # round-1 stats barrier (every encode waiting on the driver's fold
     # loop) is gone.
+    import time as _time
+    t_submit = _time.monotonic()
     enc_out = [
         _encode_partition_ranged.options(num_returns=P).remote(
             cfg.block_size, P, S, *[m[g] for m in map_out])
@@ -359,13 +361,26 @@ def build_combined_exchange(corpus_ds, spec, cfg, index_dir: str,
         t = ray.get(m[G])
         stats_rows.extend(t.to_pylist())
     stats = stats_mod.fold_stats(stats_rows)
+    t_maps_done = _time.monotonic()           # all map stats fetched
     merge_refs = [
         _merge_partition.remote(
             index_dir, stats["fingerprint"], cfg.block_size,
             *[e[p] for e in enc_out])
         for p in range(P)
     ]
+    # phase observability (the raw-Ray analog of ds.stats()): encode
+    # completion = all encode outputs exist; waiting on them does not
+    # delay the merges, which were already submitted above
+    ray.wait([e[p] for e in enc_out for p in range(0, P, max(1, P // 4))],
+             num_returns=G * len(range(0, P, max(1, P // 4))))
+    t_enc_done = _time.monotonic()
     rows = [r for r in ray.get(merge_refs) if r]
+    t_merge_done = _time.monotonic()
+    stats["phase_wall_s"] = {
+        "map_and_fold": round(t_maps_done - t_submit, 3),
+        "encode_after_fold": round(t_enc_done - t_maps_done, 3),
+        "merge_after_encode": round(t_merge_done - t_enc_done, 3),
+    }
     return rows, stats
 
 
