@@ -36,11 +36,10 @@ from onestools_eventlog_ray.stages import stats as stats_mod
 from onestools_eventlog_ray.state import checkpoint as ckpt
 
 
-#: bumped whenever the on-disk layout or any partitioning/codec rule
-#: changes (posting codec version, term->shard hash, part naming): a
-#: mismatch invalidates the docstore marker, forcing a full rebuild
-#: instead of silently querying shards laid out under the old rules.
-LAYOUT_VERSION = 3
+#: canonical definition lives in state/checkpoint.py (stamped into every
+#: stats manifest and validated by every reader); re-exported here for
+#: the docstore marker and external callers.
+LAYOUT_VERSION = ckpt.LAYOUT_VERSION
 
 
 def _pool_size() -> int:
@@ -104,9 +103,14 @@ def build_index(corpus_paths, index_dir: str,
         # SearchEngine.load_terms still reads (round-1 ADVICE, medium:
         # queries returned doc_ids of deleted documents after an
         # in-place rebuild).
+        # positions/ and ann/ sidecars hold doc_ids of the SAME previous
+        # corpus — wipe them too, or PhraseEngine/AnnIndex serve stale
+        # docs after an in-place rebuild (round-2 ADVICE, medium).
         import shutil
-        for sub in ("shards", ckpt.manifest_dir(index_dir)):
-            p = os.path.join(index_dir, sub) if sub == "shards" else sub
+        for p in (os.path.join(index_dir, "shards"),
+                  os.path.join(index_dir, "positions"),
+                  os.path.join(index_dir, "ann"),
+                  ckpt.manifest_dir(index_dir)):
             if os.path.isdir(p):
                 shutil.rmtree(p)
 

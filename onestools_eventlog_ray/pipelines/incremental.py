@@ -85,13 +85,26 @@ def compact_generations(index_root: str, out_dir: str,
     single-index query cost (one shard probe per term instead of one
     per generation)."""
     import glob
+    from onestools_eventlog_ray.state import checkpoint as ckpt
     gens = list_generations(index_root)
     if not gens:
         raise FileNotFoundError(f"no generations under {index_root}")
     part_files = sorted(f for g in gens for f in
                         glob.glob(os.path.join(g, "docstore", "*.parquet")))
+    # carry the generations' OWN spec through compaction: meta columns
+    # survive (search_filtered / fetch_docs keep working on the compacted
+    # index), and a content-less docstore fails EARLY instead of crashing
+    # mid-build (round-2 ADVICE, low)
+    gen_stats = ckpt.read_stats(gens[0])
+    gen_cfg = gen_stats.get("config", {})
+    if not gen_cfg.get("store_content", True):
+        raise ValueError(
+            f"generations under {index_root} were built with "
+            "store_content=False: their docstores carry no content column, "
+            "so they cannot be re-indexed by compaction")
+    meta_cols = tuple(gen_stats.get("spec", {}).get("meta_cols", ()))
     spec = CorpusSpec(content_col="content", id_col="doc_id",
-                      key_cols=("doc_id",), meta_cols=())
+                      key_cols=("doc_id",), meta_cols=meta_cols)
     report = build_index(part_files, out_dir, spec=spec, cfg=cfg)
     report["n_generations"] = len(gens)
     return report

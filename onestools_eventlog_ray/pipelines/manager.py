@@ -72,7 +72,15 @@ def _defuse_fsspec_http_import_race() -> None:
         return
     try:
         __import__(name)
-    except Exception:
+    except ImportError:
+        # ONLY the missing/racing-dependency case (ModuleNotFoundError is
+        # a subclass): any other exception is a genuine bug and must
+        # propagate instead of silently disabling HTTP filesystem support
+        # process-wide (round-2 ADVICE, low)
+        import logging
+        logging.getLogger(__name__).info(
+            "fsspec.implementations.http unavailable (aiohttp missing?): "
+            "installing inert stand-in module")
         mod = types.ModuleType(name)
 
         class HTTPFileSystem:          # sentinel; never instantiated

@@ -112,7 +112,12 @@ class PhraseEngine:
     def __init__(self, index_dir: str, num_partitions: int | None = None):
         import glob
         import json
+        from onestools_eventlog_ray.state import checkpoint as ckpt
         self.pos_dir = os.path.join(index_dir, "positions")
+        # when the sidecar lives next to a BM25 index, enforce the same
+        # layout-version gate as SearchEngine (round-2 ADVICE)
+        if os.path.exists(ckpt.stats_path(index_dir)):
+            ckpt.check_layout(ckpt.read_stats(index_dir), index_dir)
         if num_partitions is None:
             # the positions sidecar records ITS OWN partition count —
             # it may differ from the BM25 index's

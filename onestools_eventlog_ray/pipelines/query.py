@@ -56,6 +56,10 @@ class SearchEngine:
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
         stats = ckpt.read_stats(index_dir)
+        # refuse to serve an index laid out under different hashing/codec
+        # rules — a wrong-layout read probes the wrong shard and silently
+        # returns empty/partial results (round-2 ADVICE, medium)
+        ckpt.check_layout(stats, index_dir)
         self.N = stats["n_docs"]
         self.avgdl = stats["avgdl"]
         self.P = stats["num_partitions"]

@@ -17,6 +17,26 @@ import json
 import os
 from dataclasses import dataclass, asdict
 
+#: bumped whenever the on-disk layout or any partitioning/codec rule
+#: changes (posting codec version, term->shard hash, doc_id derivation,
+#: part naming).  v4: doc_id = md5_number_lower(keys) >> 1 (was blake2b).
+#: Stamped into every stats manifest by :func:`write_stats`; readers call
+#: :func:`check_layout` so an index laid out under different rules fails
+#: LOUDLY instead of probing the wrong shard and returning silent empties
+#: (round-2 ADVICE, medium).
+LAYOUT_VERSION = 4
+
+
+def check_layout(stats: dict, where: str) -> None:
+    """Raise when a stats manifest was written by a different layout
+    version (or predates version stamping)."""
+    got = stats.get("layout_version")
+    if got != LAYOUT_VERSION:
+        raise RuntimeError(
+            f"index at {where} has layout_version={got!r}, engine expects "
+            f"{LAYOUT_VERSION}: rebuild the index (term->shard hashing / "
+            f"doc_id rules changed; serving it would silently mis-probe)")
+
 
 @dataclass
 class PartitionRecord:
@@ -84,7 +104,9 @@ def stats_path(index_dir: str) -> str:
 
 
 def write_stats(index_dir: str, stats: dict) -> None:
-    atomic_write_text(stats_path(index_dir), json.dumps(stats, indent=1))
+    atomic_write_text(stats_path(index_dir),
+                      json.dumps({**stats, "layout_version": LAYOUT_VERSION},
+                                 indent=1))
 
 
 def read_stats(index_dir: str) -> dict:
