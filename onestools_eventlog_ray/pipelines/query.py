@@ -451,17 +451,55 @@ class QueryScorer:
         })
 
 
+#: per-worker-process engine cache for the stateless-task scorer path:
+#: plain tasks reuse prestarted Ray workers across stages, so a module
+#: global gives the same build-once-per-worker behavior as an actor pool
+#: WITHOUT the pool's measured ~1-5 s spin-up per map_batches call (the
+#: same pattern as pipelines/dedup._STAGE_CACHE).  The SearchEngine's
+#: shard/weight LRUs live per worker process either way.
+_ENGINE_CACHE: dict[str, "SearchEngine"] = {}
+
+
+def _engine_for(index_dir: str) -> "SearchEngine":
+    eng = _ENGINE_CACHE.get(index_dir)
+    if eng is None:
+        eng = SearchEngine(index_dir)
+        _ENGINE_CACHE[index_dir] = eng
+    return eng
+
+
+def _score_batch(batch: pa.Table, *, index_dir: str,
+                 use_wand: bool) -> pa.Table:
+    from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+    pin_worker_threads()
+    scorer = QueryScorer.__new__(QueryScorer)
+    scorer.engine = _engine_for(index_dir)
+    scorer.use_wand = use_wand
+    return scorer(batch)
+
+
 def score_queries(index_dir: str, queries, k: int = 10,
                   use_wand: bool = False, concurrency=(1, 8),
-                  batch_size: int = 8):
+                  batch_size: int = 8, impl: str = "actors"):
     """Queries (list[dict] or Dataset with query_id/terms[/k]) -> Dataset
     of (query_id, rank, doc_id, score).  Small ``batch_size`` spreads a
-    small query batch across the scorer actor pool."""
+    small query batch across the scorer pool.
+
+    ``impl="actors"`` is the classic stateful actor pool (ST1);
+    ``impl="tasks"`` serves from stateless tasks with a per-worker-process
+    engine cache — identical results, no pool spin-up inside the serving
+    window (prestarted workers are reused), the right default for steady
+    query streams."""
     import ray.data
     if not isinstance(queries, ray.data.Dataset):
         rows = [{"query_id": q["query_id"], "terms": list(q["terms"]),
                  "k": int(q.get("k", k))} for q in queries]
         queries = ray.data.from_items(rows)
+    if impl == "tasks":
+        return queries.map_batches(_score_batch, batch_format="pyarrow",
+                                   batch_size=batch_size,
+                                   fn_kwargs=dict(index_dir=index_dir,
+                                                  use_wand=use_wand))
     return queries.map_batches(QueryScorer, batch_format="pyarrow",
                                batch_size=batch_size, concurrency=concurrency,
                                fn_constructor_kwargs=dict(index_dir=index_dir,

@@ -107,6 +107,23 @@ def test_ray_batch_query_stage(built, small_corpus, oracle):
         assert [d for d, _ in got] == [d for d, _ in want]
 
 
+def test_ray_batch_query_stage_tasks_impl(built, small_corpus, oracle):
+    """Stateless-task scorer (per-worker engine cache) == actor pool."""
+    index_dir, _ = built
+    queries = synth.reference_queries(small_corpus, n_queries=12)
+    out = score_queries(index_dir, queries, impl="tasks").take_all()
+    by_q: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    eng = SearchEngine(index_dir)
+    for q in queries:
+        want = oracle.search(q["terms"], q["k"])
+        got = by_q.get(q["query_id"], [])
+        assert [d for d, _ in got] == [d for d, _ in want]
+        # bit-identical to the driver-side engine (same code path)
+        assert got == eng.search(q["terms"], q["k"])
+
+
 def test_zero_hit_query(built):
     index_dir, _ = built
     eng = SearchEngine(index_dir)
