@@ -472,6 +472,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "cos_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def bm25_after_delete(sf_dir):
+        """Tombstoned soft-deletes (the reference's deleted-input handling,
+        LgpReader.cs:62-79 / ES delete-by-id): docs with doc_id % 7 < 2
+        are deleted AFTER the build; BM25 stats stay global (ES
+        soft-delete semantics) while deleted docs vanish from results."""
+        import pyarrow.parquet as pq
+        from onestools_eventlog_ray.config import EngineConfig
+        from onestools_eventlog_ray.pipelines.build import build_index
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+        from onestools_eventlog_ray.state.tombstones import (delete_docs,
+                                                             load_tombstones)
+        src = os.path.join(sf_dir, "documents.parquet")
+        index_dir = _index_dir_for(sf_dir) + "_del"
+        build_index(src, index_dir, spec=DOCUMENTS_SPEC,
+                    cfg=EngineConfig(num_partitions=16))
+        if load_tombstones(index_dir).size == 0:
+            ids = pq.read_table(src, columns=["doc_id"])["doc_id"] \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            delete_docs(index_dir, ids[ids % 7 < 2])
+        eng = SearchEngine(index_dir)
+        hits = eng.search(_BM25_TERMS, k=1_000_000)
+        ids_ = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids_, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids_[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
     def phrase_search(sf_dir):
         """Exact phrase matching over the positional sidecar index
         (doc_id, n_matches) — the ES match_phrase capability."""
@@ -525,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_pairs_lsh": cosine_pairs_lsh,
         "bm25_topk_wand": bm25_topk_wand,
         "bm25_topk_filtered": bm25_topk_filtered,
+        "bm25_after_delete": bm25_after_delete,
         "phrase_search": phrase_search,
         "knn_cosine_ivf": knn_cosine_ivf,
         "orders_by_nation": orders_by_nation,
@@ -720,6 +752,9 @@ LIMIT 10""",
         # the distributed actor-pool block-max WAND path must reproduce it too
         "bm25_topk_wand": _bm25_sql(_BM25_TERMS),
         "bm25_topk_filtered": _bm25_filtered_sql(_BM25_TERMS, "lang = 'en'"),
+        # tombstoned deletes: global stats, deleted ids gated out of results
+        "bm25_after_delete": _bm25_filtered_sql(_BM25_TERMS,
+                                                "doc_id % 7 >= 2"),
 
         "minhash_lsh_groups": f"""
 WITH {_minhash_cte()}

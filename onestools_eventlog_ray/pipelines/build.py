@@ -71,10 +71,32 @@ def _input_signature(corpus_paths) -> str:
 def build_index(corpus_paths, index_dir: str,
                 spec: CorpusSpec = CODE_CORPUS_SPEC,
                 cfg: EngineConfig = EngineConfig(),
-                hot_terms: dict[str, int] | None = None) -> dict:
-    """Build (or resume) the full-text index. Returns a build report dict."""
+                hot_terms: dict[str, int] | None = None,
+                exclude_doc_ids=None) -> dict:
+    """Build (or resume) the full-text index. Returns a build report dict.
+
+    ``exclude_doc_ids``: optional id array dropped AT THE READ (parquet
+    filter pushdown) — the physical-delete path compaction uses to drop
+    tombstoned documents.  Requires ``spec.id_col`` (a pre-existing id
+    column the reader can filter on)."""
     t_start = time.monotonic()
     os.makedirs(index_dir, exist_ok=True)
+
+    read_kwargs: dict = {}
+    excl_sig = ""
+    if exclude_doc_ids is not None:
+        import numpy as np
+        excl = np.unique(np.asarray(list(exclude_doc_ids), dtype=np.int64))
+        if excl.size:
+            if not spec.id_col:
+                raise ValueError("exclude_doc_ids requires a CorpusSpec "
+                                 "with a pre-existing id column")
+            import pyarrow.dataset as pads
+            read_kwargs["filter"] = ~pads.field(spec.id_col).isin(
+                excl.tolist())
+            import hashlib
+            excl_sig = " excl=" + hashlib.blake2b(
+                excl.tobytes(), digest_size=8).hexdigest()
 
     # ---- pass A: docstore + per-row invariants --------------------------
     dstore = docstore_path(index_dir)
@@ -84,7 +106,7 @@ def build_index(corpus_paths, index_dir: str,
     marker_text = (f"layout={LAYOUT_VERSION} "
                    f"pattern={cfg.token_split_pattern} "
                    f"store_content={cfg.store_content} "
-                   f"input={_input_signature(corpus_paths)}")
+                   f"input={_input_signature(corpus_paths)}{excl_sig}")
     reuse_docstore = (os.path.exists(done_marker)
                       and open(done_marker).read() == marker_text)
     t0 = time.monotonic()
@@ -122,7 +144,7 @@ def build_index(corpus_paths, index_dir: str,
         if os.path.isdir(dstore):
             shutil.rmtree(dstore)
         os.makedirs(dstore, exist_ok=True)
-        ds = read_corpus(corpus_paths, spec)
+        ds = read_corpus(corpus_paths, spec, **read_kwargs)
         part_rows, stats = build_combined_exchange(ds, spec, cfg,
                                                    index_dir, dstore)
         fingerprint = stats["fingerprint"]
@@ -166,7 +188,7 @@ def build_index(corpus_paths, index_dir: str,
         if os.path.isdir(dstore):
             shutil.rmtree(dstore)
         os.makedirs(dstore, exist_ok=True)
-        ds = read_corpus(corpus_paths, spec)
+        ds = read_corpus(corpus_paths, spec, **read_kwargs)
         partials = ds.map_batches(docstore_sink, batch_format="pyarrow",
                                   batch_size=cfg.tokenize_batch_size,
                                   fn_kwargs=dict(
@@ -215,7 +237,7 @@ def build_index(corpus_paths, index_dir: str,
         # ---- pass B: triples -> salted shuffle -> shards ----------------
         t0 = time.monotonic()
         id_space_max = max(stats["max_doc_id"], 0)
-        ds = read_corpus(corpus_paths, spec, with_meta=False)
+        ds = read_corpus(corpus_paths, spec, with_meta=False, **read_kwargs)
         if cfg.postings_impl == "exchange":
             from onestools_eventlog_ray.stages.exchange import \
                 build_postings_exchange

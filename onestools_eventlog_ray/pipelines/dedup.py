@@ -396,7 +396,8 @@ def minhash_verified_pairs(ds: ray.data.Dataset,
                            spec: CorpusSpec = DOCUMENTS_SPEC,
                            shingle_k: int = 5, num_perm: int = 64,
                            bands: int = 16, min_jaccard: float = 0.5,
-                           concurrency=(1, 4)) -> ray.data.Dataset:
+                           concurrency=(1, 4),
+                           bucket_cap: int | None = None) -> ray.data.Dataset:
     """LSH-candidate near-dup pairs verified by exact shingle-set Jaccard,
     fully distributed (no driver-side pair loop, no corpus materialize).
 
@@ -423,7 +424,8 @@ def minhash_verified_pairs(ds: ray.data.Dataset,
                                      "bucket_filter": keys_ref})
     e6 = int(np.floor(min_jaccard * 1_000_000 + 0.5))
     pairs = cand.groupby(["band_id", "band_hash"]) \
-        .map_groups(_verify_bucket_pairs(e6), batch_format="pyarrow")
+        .map_groups(_verify_bucket_pairs(e6, bucket_cap or VERIFY_BUCKET_CAP),
+                    batch_format="pyarrow")
     # a pair found in several buckets has the same exact jaccard -> dedupe
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Max("jaccard_e6", alias_name="jaccard_e6"))

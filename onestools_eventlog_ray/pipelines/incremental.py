@@ -105,8 +105,16 @@ def compact_generations(index_root: str, out_dir: str,
     meta_cols = tuple(gen_stats.get("spec", {}).get("meta_cols", ()))
     spec = CorpusSpec(content_col="content", id_col="doc_id",
                       key_cols=("doc_id",), meta_cols=meta_cols)
-    report = build_index(part_files, out_dir, spec=spec, cfg=cfg)
+    # compaction PHYSICALLY drops tombstoned docs (the segment-merge
+    # analog of ES soft-deletes): root + per-generation tombstones are
+    # excluded at the read, and the compacted index carries none
+    from onestools_eventlog_ray.state.tombstones import load_tombstones
+    deleted = np.unique(np.concatenate(
+        [load_tombstones(index_root)] + [load_tombstones(g) for g in gens]))
+    report = build_index(part_files, out_dir, spec=spec, cfg=cfg,
+                         exclude_doc_ids=deleted if deleted.size else None)
     report["n_generations"] = len(gens)
+    report["n_deleted_dropped"] = int(deleted.size)
     return report
 
 
@@ -114,10 +122,18 @@ class GenerationalSearchEngine:
     """Exact BM25 over all generations combined (global N/avgdl/df)."""
 
     def __init__(self, index_root: str):
+        from onestools_eventlog_ray.state.tombstones import load_tombstones
         self.gen_dirs = list_generations(index_root)
         if not self.gen_dirs:
             raise FileNotFoundError(f"no generations under {index_root}")
         self.engines = [SearchEngine(d) for d in self.gen_dirs]
+        # root-level tombstones apply across ALL generations (a delete of
+        # a doc indexed in any generation), unioned with each generation's
+        # own tombstones (already loaded by its SearchEngine)
+        root_del = load_tombstones(index_root)
+        per_gen = [e.deleted for e in self.engines if e.deleted.size]
+        self.deleted = np.unique(np.concatenate([root_del] + per_gen)) \
+            if per_gen or root_del.size else root_del
         self.N = sum(e.N for e in self.engines)
         total_tokens = sum(e.avgdl * e.N for e in self.engines)
         self.avgdl = total_tokens / self.N if self.N else 0.0
@@ -159,6 +175,9 @@ class GenerationalSearchEngine:
         uids, inverse = np.unique(all_ids, return_inverse=True)
         scores = np.zeros(uids.size, dtype=np.float64)
         np.add.at(scores, inverse, all_w)
+        if self.deleted.size:
+            live = ~np.isin(uids, self.deleted)
+            uids, scores = uids[live], scores[live]
         idx = topk_order(scores, uids, k)
         return [(int(uids[i]), float(scores[i])) for i in idx]
 
@@ -184,4 +203,5 @@ class GenerationalSearchEngine:
             for _g, (_df, blob) in hits:
                 iters.append(_PostingCursor(blob, idf_t, self.avgdl,
                                             self.k1, self.b))
-        return wand_topk(iters, k)
+        return wand_topk(iters, k,
+                         deleted=self.deleted if self.deleted.size else None)

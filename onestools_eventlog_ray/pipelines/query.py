@@ -60,6 +60,10 @@ class SearchEngine:
         # rules — a wrong-layout read probes the wrong shard and silently
         # returns empty/partial results (round-2 ADVICE, medium)
         ckpt.check_layout(stats, index_dir)
+        # soft-deleted doc_ids (sorted): masked from every result path;
+        # stats stay those of the built index (ES soft-delete semantics)
+        from onestools_eventlog_ray.state.tombstones import load_tombstones
+        self.deleted = load_tombstones(index_dir)
         self.N = stats["n_docs"]
         self.avgdl = stats["avgdl"]
         self.P = stats["num_partitions"]
@@ -133,6 +137,8 @@ class SearchEngine:
         scores = np.zeros(uids.size, dtype=np.float64)
         np.add.at(scores, inverse, all_w)
         keep = counts == len(uniq)          # present in every posting
+        if self.deleted.size:
+            keep &= ~np.isin(uids, self.deleted)
         idx = topk_order(scores[keep], uids[keep], k)
         return [(int(uids[keep][i]), float(scores[keep][i])) for i in idx]
 
@@ -156,6 +162,9 @@ class SearchEngine:
         parts, not the whole docstore (round-1 judge item #7).  Files
         from the legacy naming (no range) are never pruned."""
         import glob
+        if self.deleted.size and doc_ids:
+            req = np.asarray(list(doc_ids), dtype=np.int64)
+            doc_ids = req[~np.isin(req, self.deleted)].tolist()
         files = sorted(glob.glob(os.path.join(self.index_dir,
                                               "docstore", "*.parquet")))
         if not files or not doc_ids:
@@ -197,8 +206,11 @@ class SearchEngine:
             return np.empty(0, dtype=np.int64)
         tbl = pq.read_table(files, columns=["doc_id"],
                             filters=[(c, "==", v) for c, v in where.items()])
-        return np.sort(tbl["doc_id"].to_numpy(zero_copy_only=False)
-                       .astype(np.int64))
+        ids = np.sort(tbl["doc_id"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        if self.deleted.size:
+            ids = ids[~np.isin(ids, self.deleted)]
+        return ids
 
     def search_filtered(self, terms: list[str], where: dict,
                         k: int = 10) -> list[tuple[int, float]]:
@@ -257,6 +269,9 @@ class SearchEngine:
         uids, inverse = np.unique(all_ids, return_inverse=True)
         scores = np.zeros(uids.size, dtype=np.float64)
         np.add.at(scores, inverse, all_w)   # adds in term order per doc
+        if self.deleted.size:
+            live = ~np.isin(uids, self.deleted)
+            uids, scores = uids[live], scores[live]
         if allowed is not None:
             keep = np.flatnonzero(
                 np.isin(uids, allowed, assume_unique=False))
@@ -285,15 +300,25 @@ class SearchEngine:
             df, blob = hit
             iters.append(_PostingCursor(blob, idf_fn(self.N, df),
                                         self.avgdl, self.k1, self.b))
-        return wand_topk(iters, k)
+        return wand_topk(iters, k,
+                         deleted=self.deleted if self.deleted.size else None)
 
 
-def wand_topk(iters: list["_PostingCursor"], k: int) -> list[tuple[int, float]]:
+def wand_topk(iters: list["_PostingCursor"], k: int,
+              deleted: np.ndarray | None = None) -> list[tuple[int, float]]:
     """Block-max WAND over an arbitrary cursor set (one per term — or per
     (term, generation) in the generational engine; a doc appears in at
-    most one cursor per term, so accumulation order matches TAAT)."""
+    most one cursor per term, so accumulation order matches TAAT).
+    ``deleted``: optional SORTED doc_id array of tombstoned docs — they
+    are skipped without scoring, so results equal TAAT-with-mask."""
     if not iters:
         return []
+
+    def _is_deleted(d: int) -> bool:
+        if deleted is None:
+            return False
+        i = int(np.searchsorted(deleted, d))
+        return i < deleted.size and deleted[i] == d
     # max-heap of (score, -doc_id) as a min-heap keeps the k best;
     # (score, -doc_id) ordering makes equal scores prefer smaller ids.
     heap: list[tuple[float, int]] = []
@@ -323,7 +348,9 @@ def wand_topk(iters: list["_PostingCursor"], k: int) -> list[tuple[int, float]]:
             # block-max refinement: sum of the CURRENT blocks' bounds;
             # skip full scoring when even that cannot reach the threshold
             block_ub = sum(it.cur_block_bound() for it in at_pivot)
-            if len(heap) < k or block_ub >= threshold:
+            if _is_deleted(pivot_doc):
+                pass                      # tombstoned: advance, never score
+            elif len(heap) < k or block_ub >= threshold:
                 # fully score pivot_doc (sorted term order == TAAT order,
                 # so the float64 sum is bit-identical to search())
                 score = 0.0

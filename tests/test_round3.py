@@ -1,0 +1,144 @@
+"""Round-3 regression tests: tombstoned deletes (single + generational +
+compaction), verify-bucket caps, and layout-version gating."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from onestools_eventlog_ray import synth
+from onestools_eventlog_ray.config import EngineConfig
+from onestools_eventlog_ray.functions.bm25 import BruteForceBM25
+from onestools_eventlog_ray.functions.hashing import doc_id_from_keys
+from onestools_eventlog_ray.pipelines.build import build_index
+from onestools_eventlog_ray.pipelines.query import SearchEngine
+from onestools_eventlog_ray.state.tombstones import (delete_docs,
+                                                     load_tombstones)
+
+CFG = EngineConfig(num_partitions=8, tokenize_batch_size=128)
+
+
+@pytest.fixture(scope="module")
+def del_index(tmp_path_factory, small_corpus_dir):
+    index_dir = str(tmp_path_factory.mktemp("del_index"))
+    build_index(small_corpus_dir, index_dir, cfg=CFG)
+    return index_dir
+
+
+def _ids_of(small_corpus):
+    return doc_id_from_keys(small_corpus["repo"], small_corpus["path"],
+                            small_corpus["commit"]).to_pylist()
+
+
+def test_delete_removes_from_results(del_index, small_corpus):
+    eng = SearchEngine(del_index)
+    before = eng.search(["def", "import"], 10)
+    assert before
+    victims = [before[0][0], before[2][0]]
+    assert delete_docs(del_index, victims) == 2
+    eng2 = SearchEngine(del_index)       # fresh engine picks up tombstones
+    after = eng2.search(["def", "import"], 10)
+    got_ids = [d for d, _ in after]
+    assert not set(victims) & set(got_ids)
+    # survivors keep their EXACT scores (stats unchanged — soft delete)
+    before_scores = dict(before)
+    for d, s in after:
+        if d in before_scores:
+            assert s == before_scores[d]
+    # WAND path masks them identically
+    assert eng2.search_wand(["def", "import"], 10) == after
+
+
+def test_delete_masks_fetch_and_filtered(del_index, small_corpus):
+    eng = SearchEngine(del_index)
+    deleted = load_tombstones(del_index)
+    assert deleted.size == 2
+    fetched = eng.fetch_docs(deleted.tolist() + [eng.search(["def"], 1)[0][0]])
+    assert not set(fetched["doc_id"].to_pylist()) & set(deleted.tolist())
+    allowed = eng.allowed_doc_ids({"lang": "py"})
+    assert allowed.size > 0
+    assert not set(allowed.tolist()) & set(deleted.tolist())
+    # filtered search never returns a tombstoned doc either
+    hits = eng.search_filtered(["def"], {"lang": "py"}, k=50)
+    assert not {d for d, _ in hits} & set(deleted.tolist())
+
+
+def test_delete_is_idempotent(del_index):
+    before = load_tombstones(del_index)
+    delete_docs(del_index, before.tolist())      # same set again
+    assert np.array_equal(load_tombstones(del_index), before)
+
+
+def test_generational_delete_and_compaction(tmp_path, small_corpus):
+    """Root tombstones mask docs across generations; compaction drops
+    them physically and matches the masked generational ranking."""
+    from onestools_eventlog_ray.pipelines.incremental import (
+        GenerationalSearchEngine, add_generation, compact_generations)
+    half = small_corpus.num_rows // 2
+    root = str(tmp_path / "gens")
+    for i, tbl in enumerate([small_corpus.slice(0, half),
+                             small_corpus.slice(half)]):
+        src = str(tmp_path / f"half{i}.parquet")
+        pq.write_table(tbl, src)
+        add_generation(src, root, cfg=CFG)
+
+    eng = GenerationalSearchEngine(root)
+    before = eng.search(["def", "the"], 10)
+    victims = [before[0][0], before[1][0]]
+    delete_docs(root, victims)
+
+    eng2 = GenerationalSearchEngine(root)
+    after = eng2.search(["def", "the"], 10)
+    assert not set(victims) & {d for d, _ in after}
+    assert eng2.search_wand(["def", "the"], 10) == after
+
+    # compaction drops the deleted docs: N shrinks, tombstones not carried
+    out = str(tmp_path / "compacted")
+    report = compact_generations(root, out, cfg=CFG)
+    assert report["n_deleted_dropped"] == 2
+    ceng = SearchEngine(out)
+    assert ceng.N == small_corpus.num_rows - 2
+    assert ceng.deleted.size == 0
+    # rank-identical to a brute-force oracle over the surviving docs
+    ids = _ids_of(small_corpus)
+    texts = small_corpus["content"].to_pylist()
+    keep = [(i, t) for i, t in zip(ids, texts) if i not in victims]
+    oracle = BruteForceBM25([i for i, _ in keep], [t for _, t in keep])
+    got = ceng.search(["def", "the"], 10)
+    want = oracle.search(["def", "the"], 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_verify_bucket_cap_bounds_giant_bucket():
+    """A degenerate corpus where hundreds of docs share every LSH bucket
+    must complete with chunk-bounded work, not O(n^2) on one task."""
+    import ray.data
+    from onestools_eventlog_ray.pipelines import dedup
+    from onestools_eventlog_ray.sources.corpus import CorpusSpec
+    n = 60
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "text": pa.array(["alpha beta gamma delta epsilon zeta"] * n),
+    })
+    spec = CorpusSpec(content_col="text", id_col="doc_id",
+                      key_cols=("doc_id",), meta_cols=())
+    res = dedup.minhash_verified_pairs(
+        ray.data.from_arrow(tbl), spec, min_jaccard=0.5,
+        bucket_cap=16).take_all()           # force the split path
+    # identical docs -> jaccard 1.0 pairs, but only within 16-doc chunks:
+    # 60 docs -> chunks of 16/16/16/12 -> 3*120 + 66 = 426 pairs max
+    assert 0 < len(res) <= 3 * 120 + 66
+    assert all(r["jaccard_e6"] == 1_000_000 for r in res)
+
+
+def test_layout_mismatch_raises(tmp_path, small_corpus_dir):
+    import json
+    index_dir = str(tmp_path / "idx")
+    build_index(small_corpus_dir, index_dir, cfg=CFG)
+    st = json.load(open(os.path.join(index_dir, "stats.json")))
+    st["layout_version"] = 999
+    json.dump(st, open(os.path.join(index_dir, "stats.json"), "w"))
+    with pytest.raises(RuntimeError, match="layout_version"):
+        SearchEngine(index_dir)
