@@ -503,6 +503,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def bm25_multifield(sf_dir):
+        """Per-field postings + boosts (the ES three-analyzed-fields
+        surface, ElasticSearchStorage.cs:217-231): score = sum_f boost_f
+        * BM25_f over independent per-field indexes (text x1, source x2)."""
+        from onestools_eventlog_ray.config import EngineConfig
+        from onestools_eventlog_ray.pipelines.multifield import (
+            MultiFieldEngine, build_multifield_index)
+        root = _index_dir_for(sf_dir) + "_mf"
+        build_multifield_index(os.path.join(sf_dir, "documents.parquet"),
+                               root, list(_MF_BOOSTS),
+                               cfg=EngineConfig(num_partitions=8))
+        eng = MultiFieldEngine(root, _MF_BOOSTS)
+        hits = eng.search(_MF_TERMS, k=1_000_000)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
     def phrase_search(sf_dir):
         """Exact phrase matching over the positional sidecar index
         (doc_id, n_matches) — the ES match_phrase capability."""
@@ -557,6 +579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_wand": bm25_topk_wand,
         "bm25_topk_filtered": bm25_topk_filtered,
         "bm25_after_delete": bm25_after_delete,
+        "bm25_multifield": bm25_multifield,
         "phrase_search": phrase_search,
         "knn_cosine_ivf": knn_cosine_ivf,
         "orders_by_nation": orders_by_nation,
@@ -619,6 +642,62 @@ def _bm25_filtered_sql(terms: list[str], where_sql: str, k: int = 10) -> str:
         "FROM scored\nORDER BY",
         f"FROM scored JOIN documents USING (doc_id)\nWHERE {where_sql}\n"
         "ORDER BY")
+
+
+_MF_TERMS = ["spark", "src1"]
+_MF_BOOSTS = {"text": 1.0, "source": 2.0}
+
+
+def _bm25_field_cte(field: str, terms: list[str]) -> str:
+    """Per-field BM25 CTE chain (suffix = field name): ES keeps one
+    inverted index per analyzed field with per-field df/avgdl."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    f = field
+    return f"""
+toks_{f} AS (SELECT doc_id, unnest(list_filter(string_split_regex(
+               lower({f}), '[^a-z0-9_]+'), x -> x <> '')) AS term
+             FROM documents),
+stats_{f} AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks_{f}) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+dl_{f} AS (SELECT doc_id, count(*) AS dl FROM toks_{f} GROUP BY doc_id),
+tf_{f} AS (SELECT doc_id, term, count(*) AS tf FROM toks_{f}
+           WHERE term IN ({in_list}) GROUP BY doc_id, term),
+df_{f} AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks_{f}
+           WHERE term IN ({in_list}) GROUP BY term),
+scored_{f} AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + ((SELECT n_docs FROM stats_{f}) - df.df + 0.5)
+                     / (df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                / (SELECT avgdl FROM stats_{f})))
+            ) AS score
+  FROM tf_{f} tf JOIN df_{f} df USING (term) JOIN dl_{f} dl USING (doc_id)
+  GROUP BY tf.doc_id)"""
+
+
+def _bm25_multifield_sql(terms: list[str], boosts: dict[str, float],
+                         k: int = 10) -> str:
+    fields = sorted(boosts)
+    ctes = ",".join(_bm25_field_cte(f, terms) for f in fields)
+    a, b = fields
+    return f"""
+WITH {ctes},
+comb AS (
+  SELECT coalesce(x.doc_id, y.doc_id) AS doc_id,
+         coalesce({boosts[a]} * x.score, 0)
+           + coalesce({boosts[b]} * y.score, 0) AS score
+  FROM scored_{a} x FULL JOIN scored_{b} y USING (doc_id))
+SELECT CAST(row_number() OVER (
+         ORDER BY CAST(floor(score * 1000000 + 0.5) AS BIGINT) DESC,
+                  doc_id ASC) AS BIGINT) AS rank,
+       doc_id,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6
+FROM comb
+ORDER BY score_e6 DESC, doc_id ASC
+LIMIT {k}"""
 
 
 _P61 = (1 << 61) - 1
@@ -755,6 +834,7 @@ LIMIT 10""",
         # tombstoned deletes: global stats, deleted ids gated out of results
         "bm25_after_delete": _bm25_filtered_sql(_BM25_TERMS,
                                                 "doc_id % 7 >= 2"),
+        "bm25_multifield": _bm25_multifield_sql(_MF_TERMS, _MF_BOOSTS),
 
         "minhash_lsh_groups": f"""
 WITH {_minhash_cte()}

@@ -133,6 +133,43 @@ def test_verify_bucket_cap_bounds_giant_bucket():
     assert all(r["jaccard_e6"] == 1_000_000 for r in res)
 
 
+def test_multifield_bm25(tmp_path):
+    """Per-field postings + boosts: combined score == boost-weighted sum
+    of per-field brute-force BM25; field-only matches still rank."""
+    import ray.data  # noqa: F401
+    from onestools_eventlog_ray.pipelines.multifield import (
+        MultiFieldEngine, build_multifield_index)
+    n = 120
+    rng = np.random.default_rng(3)
+    texts = [" ".join(rng.choice(["alpha", "beta", "gamma", "delta"],
+                                 size=rng.integers(3, 12)))
+             for _ in range(n)]
+    tags = [rng.choice(["red", "blue", "green"]) for _ in range(n)]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "body": pa.array(texts), "tag": pa.array(tags)}), src)
+    root = str(tmp_path / "mf")
+    build_multifield_index(src, root, ["body", "tag"],
+                           cfg=EngineConfig(num_partitions=4))
+    boosts = {"body": 1.0, "tag": 3.0}
+    eng = MultiFieldEngine(root, boosts)
+    got = eng.search(["alpha", "red"], k=n)
+    # brute-force per-field oracle with the same weighted sum
+    ids = list(range(n))
+    ob = BruteForceBM25(ids, texts)
+    ot = BruteForceBM25(ids, tags)
+    comb = {}
+    for d, s in ob.search(["alpha", "red"], n):
+        comb[d] = comb.get(d, 0.0) + boosts["body"] * s
+    for d, s in ot.search(["alpha", "red"], n):
+        comb[d] = comb.get(d, 0.0) + boosts["tag"] * s
+    want = sorted(comb.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-12
+
+
 def test_layout_mismatch_raises(tmp_path, small_corpus_dir):
     import json
     index_dir = str(tmp_path / "idx")
