@@ -461,10 +461,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = pq.read_table(path, columns=["vec_id", "embedding"])
         i0 = emb["vec_id"].to_pylist().index(0)
         qvec = np.asarray(emb["embedding"][i0].as_py(), dtype=np.float64)
-        hits = AnnIndex(index_dir).query(qvec, k=50, hamming=1,
-                                         exclude_ids={0})
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([c for _, c in hits], dtype=np.float64))
+        # served through the DISTRIBUTED map_batches ANN stage (per-worker
+        # index cache + hot-bucket LRU), not a driver-local object
+        from onestools_eventlog_ray.pipelines.ann import score_ann_queries
+        rows = score_ann_queries(
+            index_dir, [{"query_id": 0, "embedding": qvec.tolist(),
+                         "exclude_id": 0}], k=50, hamming=1).take_all()
+        ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+        e6 = _score_e6(np.asarray([r["cosine"] for r in rows],
+                                  dtype=np.float64))
         order = np.lexsort((ids, -e6))[:10]
         return pa.table({
             "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
@@ -537,10 +542,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             build_position_index(
                 os.path.join(sf_dir, "documents.parquet"), index_dir,
                 spec=DOCUMENTS_SPEC, cfg=EngineConfig(num_partitions=16))
-        hits = PhraseEngine(index_dir).search_phrase(["table", "hash"])
+        # served through the DISTRIBUTED map_batches phrase stage
+        from onestools_eventlog_ray.pipelines.phrase import \
+            score_phrase_queries
+        rows = score_phrase_queries(
+            index_dir, [{"query_id": 0, "terms": ["table", "hash"]}]) \
+            .take_all()
+        rows.sort(key=lambda r: (-r["n_matches"], r["doc_id"]))
         return pa.table({
-            "doc_id": pa.array([d for d, _ in hits], pa.int64()),
-            "n_matches": pa.array([n for _, n in hits], pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "n_matches": pa.array([r["n_matches"] for r in rows], pa.int64()),
         })
 
     return {

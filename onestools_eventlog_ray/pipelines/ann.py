@@ -96,6 +96,10 @@ def probe_buckets(bucket: int, nbits: int, hamming: int = 1) -> list[int]:
 class AnnIndex:
     """Pruned-read ANN queries over the bucket layout."""
 
+    #: decoded bucket files kept per engine (serving hot buckets skips
+    #: the parquet read entirely — the scorer-LRU analog for ANN)
+    _BUCKET_CACHE_MAX = 64
+
     def __init__(self, index_dir: str):
         import json
         self.ann_dir = os.path.join(index_dir, "ann")
@@ -103,6 +107,29 @@ class AnnIndex:
             self.meta = json.load(f)
         self.planes = lsh_planes(self.meta["dim"], self.meta["nbits"],
                                  self.meta["seed"])
+        from collections import OrderedDict
+        self._buckets: "OrderedDict[int, tuple]" = OrderedDict()
+
+    def _bucket_arrays(self, b: int, id_col: str, vec_col: str):
+        """(ids, normalized matrix) of one bucket, LRU-cached."""
+        hit = self._buckets.get(b)
+        if hit is not None:
+            self._buckets.move_to_end(b)
+            return hit
+        path = os.path.join(self.ann_dir, f"bucket-{b:04d}.parquet")
+        if not os.path.exists(path):
+            out = (np.empty(0, dtype=np.int64), np.empty((0, 0)))
+        else:
+            tbl = pq.read_table(path, columns=[id_col, vec_col])
+            ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _as_matrix(tbl[vec_col])
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            out = (ids, m / norms)
+        self._buckets[b] = out
+        if len(self._buckets) > self._BUCKET_CACHE_MAX:
+            self._buckets.popitem(last=False)
+        return out
 
     def query(self, qvec: np.ndarray, k: int = 10, hamming: int = 1,
               exclude_ids: set[int] | None = None,
@@ -113,22 +140,70 @@ class AnnIndex:
         q = np.asarray(qvec, dtype=np.float64)
         qb = int(_bucket_of(quantize_e6(q[None, :]), self.planes)[0])
         probes = probe_buckets(qb, self.meta["nbits"], hamming)
-        files = [os.path.join(self.ann_dir, f"bucket-{b:04d}.parquet")
-                 for b in probes]
-        files = [f for f in files if os.path.exists(f)]
-        if not files:
+        parts = [self._bucket_arrays(b, id_col, vec_col) for b in probes]
+        parts = [p for p in parts if p[0].size]
+        if not parts:
             return []
-        tbl = pq.read_table(files, columns=[id_col, vec_col])
-        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = _as_matrix(tbl[vec_col])
+        ids = np.concatenate([p[0] for p in parts])
+        mn = np.concatenate([p[1] for p in parts])
         if exclude_ids:
             keep = ~np.isin(ids, np.fromiter(exclude_ids, dtype=np.int64))
-            ids, m = ids[keep], m[keep]
+            ids, mn = ids[keep], mn[keep]
         if ids.size == 0:
             return []
         qn = q / (np.linalg.norm(q) or 1.0)
-        norms = np.linalg.norm(m, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        sims = (m / norms) @ qn
+        sims = mn @ qn
         order = np.lexsort((ids, -sims))[:k]
         return [(int(ids[i]), float(sims[i])) for i in order]
+
+
+# ---------------------------------------------------------------------------
+# distributed ANN serving (same pattern as query.score_queries)
+# ---------------------------------------------------------------------------
+
+#: per-worker-process index cache (planes + hot-bucket LRU live once per
+#: worker; stateless tasks avoid actor-pool spin-up — pipelines/query.py)
+_ANN_CACHE: dict[str, AnnIndex] = {}
+
+
+def _ann_batch(batch: pa.Table, *, index_dir: str, k: int,
+               hamming: int) -> pa.Table:
+    from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+    pin_worker_threads()
+    idx = _ANN_CACHE.get(index_dir)
+    if idx is None:
+        idx = AnnIndex(index_dir)
+        _ANN_CACHE[index_dir] = idx
+    qids, ranks, vids, coss = [], [], [], []
+    excl_col = batch["exclude_id"].to_pylist() \
+        if "exclude_id" in batch.column_names else [None] * batch.num_rows
+    for qid, emb, excl in zip(batch["query_id"].to_pylist(),
+                              batch["embedding"].to_pylist(), excl_col):
+        hits = idx.query(np.asarray(emb, dtype=np.float64), k=k,
+                         hamming=hamming,
+                         exclude_ids={int(excl)} if excl is not None else None)
+        for rank, (vid, cos) in enumerate(hits, 1):
+            qids.append(qid)
+            ranks.append(rank)
+            vids.append(vid)
+            coss.append(cos)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "vec_id": pa.array(vids, pa.int64()),
+        "cosine": pa.array(coss, pa.float64()),
+    })
+
+
+def score_ann_queries(index_dir: str, queries, k: int = 10,
+                      hamming: int = 1, batch_size: int = 8):
+    """ANN query batch served from a distributed map_batches stage:
+    queries = list[{"query_id", "embedding"[, "exclude_id"]}] or a
+    Dataset -> Dataset of (query_id, rank, vec_id, cosine)."""
+    import ray.data
+    if not isinstance(queries, ray.data.Dataset):
+        queries = ray.data.from_items([dict(q) for q in queries])
+    return queries.map_batches(_ann_batch, batch_format="pyarrow",
+                               batch_size=batch_size,
+                               fn_kwargs=dict(index_dir=index_dir, k=k,
+                                              hamming=hamming))
