@@ -97,6 +97,14 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--index", required=True)
     ps.add_argument("--phrase", required=True, help="the phrase text")
 
+    dl = sub.add_parser("delete",
+                        help="tombstone documents by id (soft delete; "
+                             "compaction drops them physically)")
+    dl.add_argument("--index", required=True,
+                    help="index dir (or generation root)")
+    dl.add_argument("--doc-ids", required=True,
+                    help="comma-separated doc_ids")
+
     args = p.parse_args(argv)
 
     if args.cmd == "stats":
@@ -122,6 +130,13 @@ def main(argv: list[str] | None = None) -> int:
             hits = fn(terms, args.k)
         for rank, (doc_id, score) in enumerate(hits, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": score}))
+        return 0
+
+    if args.cmd == "delete":
+        from onestools_eventlog_ray.state.tombstones import delete_docs
+        n = delete_docs(args.index,
+                        [int(x) for x in args.doc_ids.split(",") if x])
+        print(json.dumps({"deleted": n}))
         return 0
 
     if args.cmd == "phrase":

@@ -16,9 +16,7 @@ irrelevant).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Count, Max, Min
@@ -88,19 +86,30 @@ def sessionize(ds: ray.data.Dataset, gap_s: int = 1800) -> ray.data.Dataset:
     -> (user_id, session_start_us, session_end_us, n_events)."""
     gap_us = gap_s * US
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].astype("int64").to_numpy())
+    def sessions(g: pa.Table) -> pa.Table:
+        # Arrow/numpy end-to-end (round-2 verdict: this was the engine's
+        # only pandas stage).  reduceat on session boundaries replaces the
+        # per-group pandas groupby — one pass, no per-session Python.
+        ts = np.sort(g["ts"].to_numpy(zero_copy_only=False).astype(np.int64))
+        if ts.size == 0:
+            return pa.table({"user_id": g["user_id"].slice(0, 0),
+                             "session_start_us": pa.array([], pa.int64()),
+                             "session_end_us": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64())})
         new_session = np.empty(ts.size, dtype=bool)
         new_session[0] = True
         np.greater(np.diff(ts), gap_us, out=new_session[1:])
-        sid = np.cumsum(new_session)
-        out = pd.DataFrame({"sid": sid, "ts": ts}).groupby("sid")["ts"] \
-                .agg(["min", "max", "count"]).reset_index()
-        return pd.DataFrame({
-            "user_id": g["user_id"].iloc[0],
-            "session_start_us": out["min"].astype("int64"),
-            "session_end_us": out["max"].astype("int64"),
-            "n_events": out["count"].astype("int64"),
+        starts = np.flatnonzero(new_session)
+        ends = np.append(starts[1:], ts.size) - 1
+        uid = g["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        return pa.table({
+            "user_id": uid.take(pa.array(np.zeros(starts.size, np.int64))),
+            "session_start_us": pa.array(ts[starts], pa.int64()),
+            "session_end_us": pa.array(ts[ends], pa.int64()),
+            "n_events": pa.array((ends - starts + 1).astype(np.int64),
+                                 pa.int64()),
         })
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
