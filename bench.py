@@ -318,6 +318,12 @@ def run_scaling() -> dict:
         probe = {"error": str(e)[:200]}
 
     hw_cap = probe.get("hardware_efficiency_cap_8to32")
+    # full-build CPU decomposition from the recorded per-stage worker-CPU:
+    # identical work at both levels, so cpu32/cpu8 is the full build's own
+    # contention inflation (the probe measures the map phase only)
+    cpu8 = results[8].get("queries_cpu_s", {}).get("index_build")
+    cpu32 = results[32].get("queries_cpu_s", {}).get("index_build")
+    build_infl = round(cpu32 / cpu8, 3) if cpu8 and cpu32 else None
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -331,6 +337,13 @@ def run_scaling() -> dict:
         # hardware/software decomposition of the same 8->32 step
         "hardware_efficiency_cap_8to32": hw_cap,
         "software_only_efficiency": round(eff / hw_cap, 3) if hw_cap else None,
+        # same decomposition computed on the FULL build via the bench's
+        # own worker-CPU channel (best-trial CPU at each level)
+        "build_cpu_s_8": cpu8,
+        "build_cpu_s_32": cpu32,
+        "build_cpu_inflation_32v8": build_infl,
+        "build_software_only_efficiency":
+            round(eff * build_infl, 3) if build_infl else None,
         "probe": probe,
     }
 
