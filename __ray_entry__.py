@@ -429,6 +429,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["event_type", "user_id"])
         return relational.distinct_users_by_type(ev)
 
+    def asof_click_purchase(sf_dir):
+        """AS-OF join: each click attributed to the user's most recent
+        purchase at-or-before it — tagged-union co-group + vectorized
+        searchsorted per user (the point-in-time lookup family)."""
+        import ray.data
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "user_id", "event_type"])
+        return relational.asof_join_events(ds)
+
+    def cm_term_registers(sf_dir):
+        """Count-Min sketch of the term-frequency stream: mergeable
+        (depth x width) counters, nonzero register table oracle-checked
+        exactly (the heavy-hitter companion to the HLL sketch)."""
+        from onestools_eventlog_ray.pipelines import sketch
+        return sketch.cm_term_registers(_documents_ds(sf_dir),
+                                        DOCUMENTS_SPEC, depth=4, width=1024)
+
     def hll_term_registers(sf_dir):
         """Mergeable HyperLogLog sketch of the distinct-term count:
         per-batch partial registers -> 2^b-row max-merge groupby.  The
@@ -598,6 +616,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_value_by_type": median_value_by_type,
         "distinct_users_by_type": distinct_users_by_type,
         "hll_term_registers": hll_term_registers,
+        "asof_click_purchase": asof_click_purchase,
+        "cm_term_registers": cm_term_registers,
         "bm25_compacted": bm25_compacted,
     }
 
@@ -1099,6 +1119,26 @@ FROM r WHERE rank <= 3""",
         "distinct_users_by_type": """
 SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type""",
+
+        "asof_click_purchase": """
+WITH p AS (SELECT user_id, ts, max(event_id) AS r_event_id
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+       p.r_event_id, epoch_us(p.ts) AS r_ts_us
+FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""",
+
+        "cm_term_registers": f"""
+WITH toks AS ({_TOKS}),
+tc AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+r AS (SELECT range AS row_id FROM range(4)),
+h AS (SELECT row_id,
+             CAST(md5_number_lower(concat('cm', row_id, ':', term)) % 1024
+                  AS BIGINT) AS col_id,
+             cnt
+      FROM tc CROSS JOIN r)
+SELECT row_id, col_id, CAST(sum(cnt) AS BIGINT) AS n
+FROM h GROUP BY row_id, col_id""",
 
         "hll_term_registers": f"""
 WITH toks AS ({_TOKS}),

@@ -205,3 +205,77 @@ def median_value_by_type(events: ray.data.Dataset) -> ray.data.Dataset:
 
     return events.groupby("event_type").map_groups(med,
                                                    batch_format="pyarrow")
+
+
+def asof_join_events(events: ray.data.Dataset,
+                     left_type: str = "click",
+                     right_type: str = "purchase") -> ray.data.Dataset:
+    """AS-OF join — each ``left_type`` event joined to the most recent
+    ``right_type`` event of the SAME user with ``right.ts <= left.ts``
+    (the classic event-attribution / point-in-time lookup Ray Data has
+    no primitive for; custom-operator family of the build guidelines).
+
+    Implementation = tagged-union co-group: both sides project to
+    narrow (user_id, ts_us, event_id, side) rows, ONE shuffle on
+    user_id, and each group task runs a vectorized ``np.searchsorted``
+    of left timestamps into the sorted right timeline.  Partitioning
+    assumption: one user's rows fit one task (same as sessionize).
+
+    Right-side ties on (user, ts) resolve to the max event_id — the
+    right timeline is sorted by (ts, event_id) so searchsorted's
+    last-at-ts is deterministic (the oracle dedupes the same way).
+    -> (event_id, user_id, ts_us, r_event_id, r_ts_us), inner semantics
+    (lefts with no prior right are dropped).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64())
+        et = batch["event_type"]
+        side = pc.if_else(pc.equal(et, left_type), 0,
+                          pc.if_else(pc.equal(et, right_type), 1, -1))
+        out = pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": ts,
+            "event_id": batch["event_id"],
+            "side": pc.cast(side, pa.int8()),
+        })
+        return out.filter(pc.not_equal(out["side"], -1))
+
+    def join_group(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "ts_us": pa.array([], pa.int64()),
+            "r_event_id": pa.array([], pa.int64()),
+            "r_ts_us": pa.array([], pa.int64()),
+        })
+        side = g["side"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lmask = side == 0
+        rmask = side == 1
+        if not lmask.any() or not rmask.any():
+            return empty
+        rts, rid = ts[rmask], eid[rmask]
+        ro = np.lexsort((rid, rts))            # ties -> max event_id last
+        rts, rid = rts[ro], rid[ro]
+        lts, lid = ts[lmask], eid[lmask]
+        pos = np.searchsorted(rts, lts, side="right") - 1
+        keep = pos >= 0
+        if not keep.any():
+            return empty
+        uid = int(g["user_id"][0].as_py())
+        n = int(keep.sum())
+        return pa.table({
+            "event_id": pa.array(lid[keep], pa.int64()),
+            "user_id": pa.array(np.full(n, uid, dtype=np.int64), pa.int64()),
+            "ts_us": pa.array(lts[keep], pa.int64()),
+            "r_event_id": pa.array(rid[pos[keep]], pa.int64()),
+            "r_ts_us": pa.array(rts[pos[keep]], pa.int64()),
+        })
+
+    return events.map_batches(project, batch_format="pyarrow") \
+                 .groupby("user_id") \
+                 .map_groups(join_group, batch_format="pyarrow")

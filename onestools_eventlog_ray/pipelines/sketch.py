@@ -86,3 +86,76 @@ def hll_estimate(registers: dict[int, int] | pa.Table, b: int = 10) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)            # linear counting
     return float(est)
+
+
+def cm_term_registers(ds: ray.data.Dataset,
+                      spec: CorpusSpec = DOCUMENTS_SPEC,
+                      depth: int = 4, width: int = 1024
+                      ) -> ray.data.Dataset:
+    """Count-Min sketch of the TERM FREQUENCY stream (heavy-hitter /
+    point-frequency queries at any scale): depth x width counters,
+    row i counter ``md5_64("cm{i}:" + term) % width`` summed over every
+    token occurrence.
+
+    Same mergeable-sketch shape as HLL: each batch folds its whole
+    token stream into a local (depth x width) partial with one
+    ``np.add.at`` per row over the batch's UNIQUE terms, and the
+    shuffle moves only nonzero (row_id, col_id, n) entries — at most
+    depth*width per batch, regardless of batch size.  Registers are
+    md5-deterministic, so the full counter table is exactly
+    SQL-checkable; ``cm_estimate`` answers point queries (min over
+    rows, the standard CM upper-bound estimate)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import \
+            pin_worker_threads
+        pin_worker_threads()
+        from onestools_eventlog_ray.stages.normalize import add_doc_id
+        b = add_doc_id(batch, spec)
+        toks = tokenize_array(b["content"])
+        flat = toks.flatten()
+        rows_out = {"row_id": [], "col_id": [], "n": []}
+        if len(flat):
+            d = flat.dictionary_encode()
+            idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            tf = np.bincount(idx, minlength=len(d.dictionary)).astype(np.int64)
+            uniq = d.dictionary
+            import pyarrow.compute as pc
+            for i in range(depth):
+                salted = pc.binary_join_element_wise(
+                    pa.array([f"cm{i}:"] * len(uniq), pa.string()),
+                    uniq.cast(pa.string()), "")
+                col = (md5_lower64(salted) % np.uint64(width)).astype(np.int64)
+                counters = np.zeros(width, dtype=np.int64)
+                np.add.at(counters, col, tf)
+                nz = np.flatnonzero(counters)
+                rows_out["row_id"].extend([i] * nz.size)
+                rows_out["col_id"].extend(nz.tolist())
+                rows_out["n"].extend(counters[nz].tolist())
+        return pa.table({
+            "row_id": pa.array(rows_out["row_id"], pa.int64()),
+            "col_id": pa.array(rows_out["col_id"], pa.int64()),
+            "n": pa.array(rows_out["n"], pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby(["row_id", "col_id"]) \
+             .aggregate(Sum("n", alias_name="n"))
+
+
+def cm_estimate(registers: pa.Table, term: str, depth: int = 4,
+                width: int = 1024) -> int:
+    """Point-frequency upper bound for one term: min over rows of its
+    counter (the standard CM query)."""
+    from onestools_eventlog_ray.functions.fasthash import md5_lower64_one
+    rows = registers["row_id"].to_numpy(zero_copy_only=False)
+    cols = registers["col_id"].to_numpy(zero_copy_only=False)
+    ns = registers["n"].to_numpy(zero_copy_only=False)
+    est = None
+    for i in range(depth):
+        c = md5_lower64_one(f"cm{i}:{term}") % width
+        hit = ns[(rows == i) & (cols == c)]
+        v = int(hit[0]) if hit.size else 0
+        est = v if est is None else min(est, v)
+    return int(est or 0)

@@ -170,6 +170,64 @@ def test_multifield_bm25(tmp_path):
         assert abs(gs - ws) < 1e-12
 
 
+def test_asof_join_semantics():
+    """As-of join: latest right at-or-before each left, per user; ties
+    on right ts resolve to max event_id; lefts with no prior right drop."""
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import asof_join_events
+    rows = [
+        # user 1: purchase at 10 (ids 100,101 tie), clicks at 5, 10, 20
+        dict(event_id=1, ts=5, user_id=1, event_type="click"),
+        dict(event_id=2, ts=10, user_id=1, event_type="click"),
+        dict(event_id=3, ts=20, user_id=1, event_type="click"),
+        dict(event_id=100, ts=10, user_id=1, event_type="purchase"),
+        dict(event_id=101, ts=10, user_id=1, event_type="purchase"),
+        # user 2: click only -> dropped
+        dict(event_id=4, ts=7, user_id=2, event_type="click"),
+        # user 3: two purchases, click between them
+        dict(event_id=5, ts=15, user_id=3, event_type="click"),
+        dict(event_id=102, ts=10, user_id=3, event_type="purchase"),
+        dict(event_id=103, ts=20, user_id=3, event_type="purchase"),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "ts": pa.array([r["ts"] for r in rows], pa.int64()),
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "event_type": pa.array([r["event_type"] for r in rows]),
+    })
+    out = {r["event_id"]: (r["r_event_id"], r["r_ts_us"])
+           for r in asof_join_events(ray.data.from_arrow(tbl)).take_all()}
+    assert out == {2: (101, 10), 3: (101, 10), 5: (102, 10)}
+
+
+def test_count_min_estimates_bound_true_counts(small_corpus):
+    """CM point estimates are upper bounds and exact for hot terms at
+    this width; registers merge across batches."""
+    import collections
+    import ray.data
+    from onestools_eventlog_ray.functions.analyzer import tokenize_py
+    from onestools_eventlog_ray.pipelines.sketch import (cm_estimate,
+                                                         cm_term_registers)
+    from onestools_eventlog_ray.sources.corpus import CODE_CORPUS_SPEC
+    regs = cm_term_registers(
+        ray.data.from_arrow(small_corpus).map_batches(
+            lambda t: t, batch_size=64, batch_format="pyarrow"),
+        CODE_CORPUS_SPEC).take_all()
+    regs = pa.table({
+        "row_id": pa.array([r["row_id"] for r in regs], pa.int64()),
+        "col_id": pa.array([r["col_id"] for r in regs], pa.int64()),
+        "n": pa.array([r["n"] for r in regs], pa.int64()),
+    })
+    true = collections.Counter()
+    for text in small_corpus["content"].to_pylist():
+        true.update(tokenize_py(text))
+    for term, cnt in list(true.most_common(5)) + [("license", true["license"])]:
+        est = cm_estimate(regs, term)
+        assert est >= cnt
+        assert est <= cnt + sum(true.values()) // 256   # width slack
+    assert cm_estimate(regs, "zz_never_seen_zz") >= 0
+
+
 def test_layout_mismatch_raises(tmp_path, small_corpus_dir):
     import json
     index_dir = str(tmp_path / "idx")
