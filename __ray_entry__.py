@@ -572,6 +572,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "n_matches": pa.array([r["n_matches"] for r in rows], pa.int64()),
         })
 
+    def repetition_scores(sf_dir):
+        return text.repetition_scores(_documents_ds(sf_dir), DOCUMENTS_SPEC)
+
+    def tfidf_topk(sf_dir):
+        return text.tfidf_topk(_documents_ds(sf_dir), DOCUMENTS_SPEC, k=3)
+
+    def sample_by_hash(sf_dir):
+        import ray.data
+        from onestools_eventlog_ray.pipelines import sampling
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                   columns=["doc_id", "lang", "n_chars"])
+        return sampling.sample_by_hash(ds, "doc_id", pct=10, mod=100)
+
+    def stratified_sample(sf_dir):
+        import ray.data
+        from onestools_eventlog_ray.pipelines import sampling
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                   columns=["doc_id", "lang"])
+        return sampling.stratified_sample(ds, "lang", "doc_id", n=5)
+
+    def bloom_term_bits(sf_dir):
+        from onestools_eventlog_ray.pipelines import sketch
+        return sketch.bloom_term_bits(_documents_ds(sf_dir), DOCUMENTS_SPEC)
+
+    def label_centroids(sf_dir):
+        import ray.data
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                   columns=["label", "embedding"])
+        return similarity.label_centroids(ds)
+
+    def dedup_clusters(sf_dir):
+        """Connected components over the distributed verified-pair graph
+        (same pair pipeline as minhash_verified_pairs); union-find runs
+        over the pair list only — never the corpus."""
+        return dedup.dedup_clusters(_documents_ds(sf_dir), DOCUMENTS_SPEC,
+                                    min_jaccard=0.2)
+
     return {
         "doc_token_stats": doc_token_stats,
         "term_stats": term_stats,
@@ -619,6 +656,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_click_purchase": asof_click_purchase,
         "cm_term_registers": cm_term_registers,
         "bm25_compacted": bm25_compacted,
+        "repetition_scores": repetition_scores,
+        "tfidf_topk": tfidf_topk,
+        "sample_by_hash": sample_by_hash,
+        "stratified_sample": stratified_sample,
+        "bloom_term_bits": bloom_term_bits,
+        "label_centroids": label_centroids,
+        "dedup_clusters": dedup_clusters,
     }
 
 
@@ -1263,4 +1307,98 @@ SELECT CAST(row_number() OVER (
        CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_e6
 FROM s ORDER BY cos_e6 DESC, vec_id ASC
 LIMIT 10""",
+
+        "repetition_scores": """
+WITH tok AS (SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+       FROM documents),
+base AS (SELECT doc_id, len(t) AS n_tokens,
+                len(list_distinct(t)) AS n_distinct FROM tok),
+bg AS (SELECT doc_id, t[g] AS a, t[g+1] AS b2
+       FROM (SELECT doc_id, t,
+                    unnest(generate_series(1, len(t) - 1)) AS g FROM tok)),
+bgc AS (SELECT doc_id, a, b2, count(*) AS c FROM bg GROUP BY ALL),
+bgm AS (SELECT doc_id, max(c) AS topc FROM bgc GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       CASE WHEN b.n_tokens > 0
+            THEN CAST((b.n_tokens - b.n_distinct) * 1000000 // b.n_tokens
+                      AS BIGINT) ELSE 0 END AS dup_token_frac_e6,
+       CASE WHEN b.n_tokens >= 2
+            THEN CAST(coalesce(m.topc, 0) * 1000000 // (b.n_tokens - 1)
+                      AS BIGINT) ELSE 0 END AS top_bigram_frac_e6
+FROM base b LEFT JOIN bgm m USING (doc_id)""",
+
+        "tfidf_topk": f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY ALL),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+s AS (SELECT tf.doc_id, tf.term,
+             CAST(floor(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0))
+                        * 1000000 + 0.5) AS BIGINT) AS tfidf_e6
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf_e6 DESC, term) AS rk
+      FROM s)
+SELECT doc_id, term, tfidf_e6 FROM r WHERE rk <= 3""",
+
+        "sample_by_hash": """
+WITH h AS (SELECT doc_id, lang, n_chars,
+                  CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 100
+                       AS BIGINT) AS bucket
+           FROM documents)
+SELECT doc_id, lang, n_chars, bucket FROM h WHERE bucket < 10""",
+
+        "stratified_sample": """
+WITH h AS (SELECT lang, doc_id,
+                  CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) >> 1
+                       AS BIGINT) AS h
+           FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY h, doc_id) AS rk FROM h)
+SELECT lang, doc_id, h FROM r WHERE rk <= 5""",
+
+        "bloom_term_bits": f"""
+WITH toks AS ({_TOKS}),
+u AS (SELECT DISTINCT term FROM toks),
+i AS (SELECT range AS i FROM range(4)),
+b AS (SELECT CAST(md5_number_lower(concat('bf', i, ':', term)) % 16384
+                  AS BIGINT) AS bit_idx
+      FROM u CROSS JOIN i)
+SELECT DISTINCT bit_idx FROM b""",
+
+        "label_centroids": """
+WITH e0 AS (SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings),
+e AS (SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+             CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xe
+      FROM e0)
+SELECT label, dim, CAST(sum(xe) AS BIGINT) AS sum_e6, count(*) AS n
+FROM e GROUP BY label, dim""",
+
+        "dedup_clusters": f"""
+WITH RECURSIVE {_minhash_cte()},
+sets AS (SELECT doc_id, list_distinct(list(CAST(h AS BIGINT))) AS hs
+         FROM shh GROUP BY doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bandh a JOIN bandh b
+           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id),
+pairs AS (SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b,
+                   CAST(floor(len(list_intersect(sa.hs, sb.hs)) * 1.0
+                              / len(list_distinct(sa.hs || sb.hs))
+                              * 1000000 + 0.5) AS BIGINT) AS jaccard_e6
+            FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
+                      JOIN sets sb ON sb.doc_id = cand.doc_b)
+          WHERE jaccard_e6 >= 200000),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(n, r) AS (SELECT n, n FROM nodes
+                UNION
+                SELECT e.b, reach.r FROM reach
+                JOIN edges e ON e.a = reach.n)
+SELECT n AS doc_id, min(r) AS rep_id FROM reach GROUP BY n""",
     }

@@ -555,3 +555,50 @@ def simhash_signatures(ds: ray.data.Dataset,
                        concurrency=None) -> ray.data.Dataset:
     return ds.map_batches(simhash_batch, batch_format="pyarrow",
                           fn_kwargs=dict(spec=spec))
+
+
+def dedup_clusters(ds: ray.data.Dataset,
+                   spec: CorpusSpec = DOCUMENTS_SPEC,
+                   min_jaccard: float = 0.5,
+                   **minhash_kwargs) -> pa.Table:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    pair graph -> (doc_id, rep_id) for every doc in a component, where
+    ``rep_id`` is the component's min doc_id (the doc a dedup keep-list
+    retains; every other member is dropped).  This is the operator an
+    LLM-data pipeline actually ships — pairs are the intermediate,
+    clusters are the decision.
+
+    Scale shape: the expensive half (candidate mining + exact verify) is
+    the fully distributed :func:`minhash_verified_pairs`; the component
+    step runs union-find on the DRIVER over the pair list alone, which
+    is O(near-duplicate pairs) — orders of magnitude smaller than the
+    corpus (nodes are bounded by 2x pairs, never by N).  For a
+    pathological graph too big for one process, the same result is
+    reachable with O(diameter) iterative min-label groupby passes over
+    the edge Dataset; the pair table stays the only shuffled state."""
+    pairs = minhash_verified_pairs(ds, spec, min_jaccard=min_jaccard,
+                                   **minhash_kwargs).to_pandas()
+    a = pairs["doc_a"].to_numpy().astype(np.int64)
+    b = pairs["doc_b"].to_numpy().astype(np.int64)
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:          # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # union by min id keeps the representative deterministic
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+
+    nodes = sorted(parent)
+    reps = [find(x) for x in nodes]
+    return pa.table({"doc_id": pa.array(nodes, pa.int64()),
+                     "rep_id": pa.array(reps, pa.int64())})

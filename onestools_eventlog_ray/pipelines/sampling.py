@@ -1,0 +1,112 @@
+"""Deterministic sampling pipelines — the subsetting operators a
+training-data pipeline runs before expensive stages (dedup verify,
+model scoring, human eval).
+
+Sampling at 100 TB must be (a) deterministic (re-runs and resumed runs
+pick the SAME sample), (b) content/order independent (no RNG state, no
+``random_shuffle`` all-to-all), and (c) embarrassingly parallel.  Both
+operators here key off an md5 hash of the row's primary key, so they
+are pure per-batch filters — zero shuffle for the Bernoulli sample, and
+a per-group top-n (partial per batch, tiny groupby of survivors) for
+the stratified sample.  Mirrors the reference's deterministic
+file-ordering/succession guarantees (SURVEY.md §2.7 K3) applied to row
+selection.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from onestools_eventlog_ray.functions.fasthash import md5_lower64
+
+
+def _key_hash63(ids: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """int64 hash of the decimal string of an id column — the same
+    expression a SQL oracle writes as
+    ``md5_number_lower(CAST(id AS VARCHAR)) >> 1``."""
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    strs = pc.cast(ids, pa.string())
+    return (md5_lower64(strs) >> np.uint64(1)).astype(np.int64)
+
+
+def sample_by_hash(ds: ray.data.Dataset, id_col: str,
+                   pct: int = 10, mod: int = 100,
+                   columns: tuple[str, ...] = ()) -> ray.data.Dataset:
+    """Deterministic Bernoulli sample: keep rows whose key hash lands in
+    the first ``pct`` of ``mod`` buckets.  -> input columns + ``bucket``.
+
+    A pure vectorized filter — each batch is independent, nothing
+    shuffles, and the SAME rows survive on any cluster size, block
+    layout or retry (unlike ``Dataset.random_sample``)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+        pin_worker_threads()
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        bucket = (md5_lower64(pc.cast(ids, pa.string()))
+                  % np.uint64(mod)).astype(np.int64)
+        keep = bucket < pct
+        cols = list(columns) or [c for c in batch.column_names]
+        out = batch.select(cols).filter(pa.array(keep))
+        return out.append_column("bucket",
+                                 pa.array(bucket[keep], pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_sample(ds: ray.data.Dataset, group_col: str, id_col: str,
+                      n: int = 5) -> ray.data.Dataset:
+    """Deterministic per-group sample: the ``n`` rows of each group with
+    the smallest (key hash, id) — i.e. ``row_number() OVER (PARTITION BY
+    group ORDER BY h, id) <= n``.  -> (group, id, h).
+
+    Scale shape: each batch keeps at most ``n`` candidates per group it
+    sees (vectorized lexsort + run ranks), so the groupby that picks the
+    global winners moves O(n_groups * n * n_batches) tiny rows — never
+    the data."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+        pin_worker_threads()
+        h = _key_hash63(batch[id_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        grp = batch[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        codes = grp.dictionary_encode()
+        gi = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, h, gi))
+        sg = gi[order]
+        new_g = np.empty(sg.size, dtype=bool)
+        if sg.size:
+            new_g[0] = True
+            new_g[1:] = sg[1:] != sg[:-1]
+        rank = np.arange(sg.size) - np.maximum.accumulate(
+            np.where(new_g, np.arange(sg.size), 0))
+        keep = order[rank < n]
+        return pa.table({
+            group_col: pc.take(grp, pa.array(keep)),
+            id_col: pa.array(ids[keep], pa.int64()),
+            "h": pa.array(h[keep], pa.int64()),
+        })
+
+    def final(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("h", "ascending"), (id_col, "ascending")])
+        return t.slice(0, n)
+
+    # The partial output is bounded (<= n rows per group per batch), so
+    # coalescing it into one block before the final merge costs nothing
+    # and avoids empty sort partitions (groups < partitions emits
+    # schema-less empty blocks).  With a huge group count, drop the
+    # repartition and let the groupby shuffle normally.
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .repartition(1) \
+             .groupby(group_col) \
+             .map_groups(final, batch_format="pyarrow")

@@ -356,3 +356,50 @@ def cosine_pairs_lsh(ds: ray.data.Dataset, dim: int,
         .map_groups(verify, batch_format="pyarrow")
     return pairs.groupby(["vec_id_a", "vec_id_b"]).aggregate(
         Max("cos_e6", alias_name="cos_e6"))
+
+
+def label_centroids(ds: ray.data.Dataset, label_col: str = "label",
+                    vec_col: str = "embedding") -> ray.data.Dataset:
+    """Per-label centroid numerators in exact fixed-point:
+    (label, dim, sum_e6, n) — each coordinate quantized to e6 integers
+    BEFORE summing, so the result is bit-exact (no float summation-order
+    hazard), mergeable across shards, and SQL-oracle-checkable.  The
+    caller divides sum_e6 / n for the mean.
+
+    Scale shape: each batch folds its rows into one (labels x dim)
+    int64 partial via ``np.add.at`` and the shuffle moves only
+    O(n_labels * dim) rows per batch — the same partial-then-tiny-
+    groupby contract as the sketches (SURVEY.md §2.6 A3)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+        pin_worker_threads()
+        m = _as_matrix(batch[vec_col])
+        if not m.size:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "s_p": pa.array([], pa.int64()),
+                             "n_p": pa.array([], pa.int64())})
+        e6 = np.floor(m * 1_000_000 + 0.5).astype(np.int64)
+        labels = batch[label_col]
+        if isinstance(labels, pa.ChunkedArray):
+            labels = labels.combine_chunks()
+        lab = labels.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((uniq.size, e6.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, e6)
+        counts = np.bincount(inv, minlength=uniq.size).astype(np.int64)
+        d = e6.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), uniq.size),
+                            pa.int64()),
+            "s_p": pa.array(sums.ravel(), pa.int64()),
+            "n_p": pa.array(np.repeat(counts, d), pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby(["label", "dim"]) \
+             .aggregate(Sum("s_p", alias_name="sum_e6"),
+                        Sum("n_p", alias_name="n"))

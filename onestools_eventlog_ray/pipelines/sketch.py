@@ -144,6 +144,59 @@ def cm_term_registers(ds: ray.data.Dataset,
              .aggregate(Sum("n", alias_name="n"))
 
 
+def bloom_term_bits(ds: ray.data.Dataset,
+                    spec: CorpusSpec = DOCUMENTS_SPEC,
+                    m: int = 16384, k: int = 4) -> ray.data.Dataset:
+    """Bloom-filter membership sketch of the corpus's distinct-term set:
+    ``k`` md5 hash functions over ``m`` bits, returned as the sorted set
+    of SET bit indices -> (bit_idx,).
+
+    Third member of the mergeable-sketch family (HLL = distinct count,
+    CM = frequency, Bloom = membership): each batch folds its unique
+    terms into a local bit set (<= m rows regardless of batch size), and
+    the merge is a bit-set union — a groupby over at most m keys.  Two
+    corpora's sketches OR together, so a 100 TB run unions per-shard
+    sketches without touching terms again.  Registers are
+    md5-deterministic: bit ``i`` of term t = md5_64("bf{i}:" + t) % m,
+    exactly reproducible in SQL."""
+    from ray.data.aggregate import Count
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+        pin_worker_threads()
+        import pyarrow.compute as pc
+        toks = tokenize_array(batch[spec.content_col])
+        flat = toks.flatten()
+        if not len(flat):
+            return pa.table({"bit_idx": pa.array([], pa.int64())})
+        uniq = flat.dictionary_encode().dictionary
+        bits = []
+        for i in range(k):
+            salted = pc.binary_join_element_wise(
+                pa.array([f"bf{i}:"] * len(uniq), pa.string()),
+                uniq.cast(pa.string()), "")
+            bits.append((md5_lower64(salted) % np.uint64(m)).astype(np.int64))
+        out = np.unique(np.concatenate(bits))
+        return pa.table({"bit_idx": pa.array(out, pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby("bit_idx").aggregate(Count(alias_name="_n")) \
+             .select_columns(["bit_idx"])
+
+
+def bloom_might_contain(bits: pa.Table | np.ndarray, term: str,
+                        m: int = 16384, k: int = 4) -> bool:
+    """Standard Bloom membership probe: True iff ALL k bits of ``term``
+    are set (no false negatives; false-positive rate ~(1-e^{-kn/m})^k)."""
+    from onestools_eventlog_ray.functions.fasthash import md5_lower64_one
+    if isinstance(bits, pa.Table):
+        bits = bits["bit_idx"].to_numpy(zero_copy_only=False)
+    bitset = np.zeros(m, dtype=bool)
+    bitset[np.asarray(bits, dtype=np.int64)] = True
+    return all(bitset[md5_lower64_one(f"bf{i}:{term}") % m]
+               for i in range(k))
+
+
 def cm_estimate(registers: pa.Table, term: str, depth: int = 4,
                 width: int = 1024) -> int:
     """Point-frequency upper bound for one term: min over rows of its

@@ -182,6 +182,128 @@ def token_counts_bpe(ds: ray.data.Dataset,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def repetition_scores(ds: ray.data.Dataset,
+                      spec: CorpusSpec = DOCUMENTS_SPEC) -> ray.data.Dataset:
+    """Per-doc Gopher-style repetition signals for quality filtering:
+    (doc_id, n_tokens, dup_token_frac_e6, top_bigram_frac_e6).
+
+    - ``dup_token_frac`` = (n_tokens - n_distinct) / n_tokens — the
+      fraction of the doc that is repeated vocabulary.
+    - ``top_bigram_frac`` = count of the most frequent bigram divided by
+      the doc's bigram count — boilerplate/template detector.
+
+    Both are exact integers (floor(x * 1e6)), fully vectorized per
+    batch: dictionary-encoded tokens, run-length counting over a
+    lexsort of (doc, bigram) — no Python rows, no shuffle at all
+    (embarrassingly parallel per batch, docs never span batches)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+        pin_worker_threads()
+        b = add_doc_id(batch, spec)
+        toks = tokenize_array(b["content"])
+        n = len(toks)
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+               .astype(np.int64)
+        d = toks.flatten().dictionary_encode()
+        idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        parent = np.repeat(np.arange(n, dtype=np.int64), dl)
+
+        # distinct tokens per doc: unique (parent, token) pairs.
+        n_distinct = np.zeros(n, dtype=np.int64)
+        if idx.size:
+            key = parent * np.int64(len(d.dictionary)) + idx
+            uniq_parents = parent[np.unique(key, return_index=True)[1]]
+            np.add.at(n_distinct, uniq_parents, 1)
+
+        # most-frequent-bigram count per doc: sort (doc, a, b) windows
+        # that do not cross a doc boundary, then run-length count.
+        top = np.zeros(n, dtype=np.int64)
+        if idx.size >= 2:
+            same = parent[:-1] == parent[1:]
+            bp, ia, ib = parent[:-1][same], idx[:-1][same], idx[1:][same]
+            if bp.size:
+                order = np.lexsort((ib, ia, bp))
+                sb, sa, sp = ib[order], ia[order], bp[order]
+                new_run = np.empty(sp.size, dtype=bool)
+                new_run[0] = True
+                new_run[1:] = (sp[1:] != sp[:-1]) | (sa[1:] != sa[:-1]) \
+                              | (sb[1:] != sb[:-1])
+                starts = np.flatnonzero(new_run)
+                runlen = np.diff(np.append(starts, sp.size))
+                np.maximum.at(top, sp[starts], runlen)
+
+        dup_e6 = np.zeros(n, dtype=np.int64)
+        nz = dl > 0
+        dup_e6[nz] = ((dl[nz] - n_distinct[nz]) * 1_000_000) // dl[nz]
+        big_e6 = np.zeros(n, dtype=np.int64)
+        nb = dl >= 2
+        big_e6[nb] = (top[nb] * 1_000_000) // (dl[nb] - 1)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array(dl, pa.int64()),
+            "dup_token_frac_e6": pa.array(dup_e6, pa.int64()),
+            "top_bigram_frac_e6": pa.array(big_e6, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def tfidf_topk(ds: ray.data.Dataset,
+               spec: CorpusSpec = DOCUMENTS_SPEC,
+               k: int = 3) -> ray.data.Dataset:
+    """Per-doc top-k TF-IDF terms: (doc_id, term, tfidf_e6), ranked on
+    the ROUNDED integer score (ties broken by term asc) so the ranking
+    is bit-stable against a SQL oracle.
+
+    idf = ln((N + 1) / (df + 1)) comes from the ``term_stats``
+    partial-fold and is BROADCAST once via ``ray.put`` (vocab << corpus
+    — the standard small-side lookup; were the vocab itself huge, this
+    becomes a shuffle join on term).  The per-doc top-k is computed
+    inside each batch (docs never span batches): lexsort + run ranks,
+    no global sort."""
+    import ray
+
+    stats = term_stats(ds, spec).to_pandas()
+    n_docs = ds.count()
+    idf = np.log((n_docs + 1.0) / (stats["df"].to_numpy().astype(np.float64)
+                                   + 1.0))
+    lookup_ref = ray.put((pa.array(stats["term"].to_numpy(), pa.string()), idf))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.analyzer import doc_term_table
+        from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+        pin_worker_threads()
+        terms_arr, idf_arr = ray.get(lookup_ref)
+        b = add_doc_id(batch, spec)
+        triples, _ = doc_term_table(b["doc_id"], b["content"])
+        if not triples.num_rows:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tfidf_e6": pa.array([], pa.int64())})
+        pos = pc.index_in(triples["term"], value_set=terms_arr) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = triples["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        e6 = np.floor(tf * idf_arr[pos] * 1_000_000 + 0.5).astype(np.int64)
+        doc = triples["doc_id"].to_numpy(zero_copy_only=False)
+        terms_np = np.asarray(triples["term"].to_pylist(), dtype=np.str_)
+        order = np.lexsort((terms_np, -e6, doc))
+        sd = doc[order]
+        new_doc = np.empty(sd.size, dtype=bool)
+        new_doc[0] = True
+        new_doc[1:] = sd[1:] != sd[:-1]
+        rank = np.arange(sd.size) - np.maximum.accumulate(
+            np.where(new_doc, np.arange(sd.size), 0))
+        keep = order[rank < k]
+        return pa.table({
+            "doc_id": pa.array(doc[keep], pa.int64()),
+            "term": pa.array(terms_np[keep], pa.string()),
+            "tfidf_e6": pa.array(e6[keep], pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def rolling_fingerprint(ds: ray.data.Dataset,
                         spec: CorpusSpec = DOCUMENTS_SPEC,
                         base: int = 1_000_003) -> ray.data.Dataset:

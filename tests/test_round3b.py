@@ -1,0 +1,177 @@
+"""Round-3 session-2 operators: repetition signals, TF-IDF top-k,
+deterministic sampling, Bloom sketch, label centroids, dedup clusters.
+
+Each test checks the distributed pipeline against an independent
+brute-force (pure-Python/numpy) computation — the oracle-parity SQL
+check runs separately through tools/check_oracle.py and the driver."""
+
+import collections
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_tbl():
+    return pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    import ray.data
+    return ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def test_repetition_scores_bruteforce(docs_ds, docs_tbl):
+    from onestools_eventlog_ray.functions.analyzer import tokenize_py
+    from onestools_eventlog_ray.pipelines.text import repetition_scores
+    got = repetition_scores(docs_ds).to_pandas().set_index("doc_id")
+    assert len(got) == docs_tbl.num_rows
+    for doc_id, txt in list(zip(docs_tbl["doc_id"].to_pylist(),
+                                docs_tbl["text"].to_pylist()))[:40]:
+        toks = tokenize_py(txt)
+        n = len(toks)
+        dup = ((n - len(set(toks))) * 1_000_000) // n if n else 0
+        bigs = collections.Counter(zip(toks, toks[1:]))
+        top = (max(bigs.values()) * 1_000_000) // (n - 1) if n >= 2 else 0
+        row = got.loc[doc_id]
+        assert row["n_tokens"] == n
+        assert row["dup_token_frac_e6"] == dup
+        assert row["top_bigram_frac_e6"] == top
+
+
+def test_tfidf_topk_bruteforce(docs_ds, docs_tbl):
+    from onestools_eventlog_ray.functions.analyzer import tokenize_py
+    from onestools_eventlog_ray.pipelines.text import tfidf_topk
+    got = tfidf_topk(docs_ds, k=3).to_pandas()
+    texts = dict(zip(docs_tbl["doc_id"].to_pylist(),
+                     docs_tbl["text"].to_pylist()))
+    n_docs = len(texts)
+    df = collections.Counter()
+    tfs = {}
+    for d, txt in texts.items():
+        tf = collections.Counter(tokenize_py(txt))
+        tfs[d] = tf
+        df.update(tf.keys())
+    for d in list(texts)[:25]:
+        exp = sorted(
+            ((-(math.floor(tf * math.log((n_docs + 1.0) / (df[t] + 1.0))
+                           * 1_000_000 + 0.5)), t)
+             for t, tf in tfs[d].items()))[:3]
+        sub = got[got.doc_id == d].sort_values(["tfidf_e6", "term"],
+                                               ascending=[False, True])
+        assert [(-e6, t) for e6, t in
+                zip(sub.tfidf_e6, sub.term)] == exp, d
+
+
+def test_sample_by_hash_deterministic(docs_ds, docs_tbl):
+    from onestools_eventlog_ray.functions.fasthash import md5_lower64_one
+    from onestools_eventlog_ray.pipelines.sampling import sample_by_hash
+    got = sample_by_hash(docs_ds, "doc_id", pct=10, mod=100).to_pandas()
+    exp_ids = {d for d in docs_tbl["doc_id"].to_pylist()
+               if md5_lower64_one(str(d)) % 100 < 10}
+    assert set(got.doc_id) == exp_ids
+    assert (got.bucket < 10).all()
+    # re-run picks the IDENTICAL sample (determinism is the contract)
+    again = sample_by_hash(docs_ds, "doc_id", pct=10, mod=100).to_pandas()
+    assert set(again.doc_id) == exp_ids
+
+
+def test_stratified_sample_bruteforce(docs_ds, docs_tbl):
+    from onestools_eventlog_ray.functions.fasthash import md5_lower64_one
+    from onestools_eventlog_ray.pipelines.sampling import stratified_sample
+    got = stratified_sample(docs_ds, "lang", "doc_id", n=5).to_pandas()
+    by_lang = collections.defaultdict(list)
+    for d, lang in zip(docs_tbl["doc_id"].to_pylist(),
+                       docs_tbl["lang"].to_pylist()):
+        by_lang[lang].append((md5_lower64_one(str(d)) >> 1, d))
+    exp = {(lang, d) for lang, rows in by_lang.items()
+           for _, d in sorted(rows)[:5]}
+    assert set(zip(got.lang, got.doc_id)) == exp
+    assert got.groupby("lang").size().max() <= 5
+
+
+def test_bloom_membership(docs_ds, docs_tbl):
+    from onestools_eventlog_ray.functions.analyzer import tokenize_py
+    from onestools_eventlog_ray.pipelines.sketch import (bloom_might_contain,
+                                                         bloom_term_bits)
+    bits = bloom_term_bits(docs_ds).to_pandas()
+    bits_np = bits["bit_idx"].to_numpy()
+    assert (bits_np >= 0).all() and (bits_np < 16384).all()
+    vocab = set()
+    for txt in docs_tbl["text"].to_pylist():
+        vocab.update(tokenize_py(txt))
+    # no false negatives, ever
+    for t in sorted(vocab)[:50]:
+        assert bloom_might_contain(bits_np, t)
+    # tiny load factor -> absent probes come back negative
+    misses = sum(not bloom_might_contain(bits_np, f"zz_absent_{i}")
+                 for i in range(50))
+    assert misses >= 45
+
+
+def test_label_centroids_exact():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.similarity import label_centroids
+    emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                        columns=["label", "embedding"])
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"),
+                               columns=["label", "embedding"])
+    got = label_centroids(ds).to_pandas()
+    labels = np.asarray(emb["label"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    e6 = np.floor(mat * 1_000_000 + 0.5).astype(np.int64)
+    for lab in np.unique(labels):
+        sub = e6[labels == lab]
+        rows = got[got.label == lab].sort_values("dim")
+        assert (rows["sum_e6"].to_numpy() == sub.sum(axis=0)).all()
+        assert (rows["n"] == sub.shape[0]).all()
+    assert len(got) == np.unique(labels).size * mat.shape[1]
+
+
+def test_dedup_clusters_properties(docs_ds):
+    from onestools_eventlog_ray.pipelines.dedup import (dedup_clusters,
+                                                        minhash_verified_pairs)
+    pairs = minhash_verified_pairs(docs_ds, min_jaccard=0.2).to_pandas()
+    clusters = dedup_clusters(docs_ds, min_jaccard=0.2).to_pandas()
+    rep = dict(zip(clusters.doc_id, clusters.rep_id))
+    assert len(pairs) > 0 and len(clusters) > 0
+    # representative is the component min and is its own representative
+    for d, r in rep.items():
+        assert r <= d and rep[r] == r
+    # every verified pair collapses into one component
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        assert rep[a] == rep[b]
+    # nodes == exactly the docs that appear in some pair
+    assert set(rep) == set(pairs.doc_a) | set(pairs.doc_b)
+
+
+def test_dedup_clusters_transitive():
+    """A -> B -> C chain (A~B and B~C similar, A vs C less so) must
+    still land in ONE component via transitivity."""
+    import ray.data
+    from onestools_eventlog_ray.pipelines.dedup import dedup_clusters
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    doc_a = " ".join(base * 3)
+    doc_b = " ".join((base * 3)[:-6] + ["extra1 extra2 extra3".split()[i % 3]
+                                        for i in range(6)])
+    doc_c = " ".join((base * 3)[6:] + ["other1 other2 other3".split()[i % 3]
+                                       for i in range(6)])
+    filler = [f"unique{i} filler{i*7} word{i*13} token{i*3} item{i*11} "
+              f"thing{i} stuff{i*5} part{i*17} bit{i*19} bob{i*23}"
+              for i in range(30)]
+    tbl = pa.table({
+        "doc_id": pa.array(range(33), pa.int64()),
+        "text": pa.array([doc_a, doc_b, doc_c] + filler, pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    got = dedup_clusters(ds, min_jaccard=0.2).to_pandas()
+    rep = dict(zip(got.doc_id, got.rep_id))
+    assert rep.get(0) == 0 and rep.get(1) == 0 and rep.get(2) == 0
