@@ -609,6 +609,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.dedup_clusters(_documents_ds(sf_dir), DOCUMENTS_SPEC,
                                     min_jaccard=0.2)
 
+    def simhash_near_pairs(sf_dir):
+        """Banded-SimHash near-dup pairs verified by exact hamming
+        distance inside each bucket (complete recall for d <= bands-1)."""
+        return dedup.simhash_near_pairs(_documents_ds(sf_dir),
+                                        DOCUMENTS_SPEC, max_hamming=3)
+
+    def hashed_doc_vectors(sf_dir):
+        return text.hashed_doc_vectors(_documents_ds(sf_dir),
+                                       DOCUMENTS_SPEC, dim=64)
+
+    def value_histogram(sf_dir):
+        import ray.data
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_type", "value"])
+        return relational.value_histogram(ds, bin_width=5.0)
+
     return {
         "doc_token_stats": doc_token_stats,
         "term_stats": term_stats,
@@ -663,6 +679,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_term_bits": bloom_term_bits,
         "label_centroids": label_centroids,
         "dedup_clusters": dedup_clusters,
+        "simhash_near_pairs": simhash_near_pairs,
+        "hashed_doc_vectors": hashed_doc_vectors,
+        "value_histogram": value_histogram,
     }
 
 
@@ -1401,4 +1420,52 @@ reach(n, r) AS (SELECT n, n FROM nodes
                 SELECT e.b, reach.r FROM reach
                 JOIN edges e ON e.a = reach.n)
 SELECT n AS doc_id, min(r) AS rep_id FROM reach GROUP BY n""",
+
+        "simhash_near_pairs": f"""
+WITH toks AS ({_TOKS}),
+th AS (SELECT doc_id, md5_number_lower(term) AS h FROM toks),
+dl AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+bits AS (SELECT * FROM (VALUES {_bits_values()}) AS b(i, w)),
+bsum AS (SELECT doc_id, i, w,
+                sum(CAST((h >> CAST(i AS INTEGER)) & 1 AS BIGINT)) AS c
+         FROM th CROSS JOIN bits GROUP BY doc_id, i, w),
+sig AS (SELECT b.doc_id,
+               sum(CASE WHEN 2 * b.c >= d.n THEN b.w
+                        ELSE CAST(0 AS HUGEINT) END) AS s
+        FROM bsum b JOIN dl d USING (doc_id) GROUP BY b.doc_id),
+u AS (SELECT d.doc_id, coalesce(s.s, 0) AS u
+      FROM documents d LEFT JOIN sig s USING (doc_id)),
+bandt AS (SELECT range AS band_id FROM range(4)),
+b AS (SELECT doc_id, u,
+             CAST((u >> CAST(band_id * 16 AS INTEGER)) % 65536 AS BIGINT)
+               AS band_val,
+             band_id
+      FROM u CROSS JOIN bandt),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                a.u AS ua, b2.u AS ub
+         FROM b a JOIN b b2
+           ON a.band_id = b2.band_id AND a.band_val = b2.band_val
+          AND a.doc_id < b2.doc_id),
+h AS (SELECT doc_a, doc_b,
+             CAST(bit_count(xor(CAST(ua AS UBIGINT), CAST(ub AS UBIGINT)))
+                  AS BIGINT) AS hamming
+      FROM cand)
+SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3""",
+
+        "hashed_doc_vectors": f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY ALL),
+hh AS (SELECT doc_id, tf, md5_number_lower(concat('hv:', term)) AS h
+       FROM tf),
+c AS (SELECT doc_id,
+             CAST(h % 64 AS BIGINT) AS dim,
+             CASE WHEN (h >> 6) % 2 = 1 THEN tf ELSE -tf END AS contrib
+      FROM hh)
+SELECT doc_id, dim, CAST(sum(contrib) AS BIGINT) AS v
+FROM c GROUP BY doc_id, dim HAVING sum(contrib) <> 0""",
+
+        "value_histogram": """
+SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin,
+       count(*) AS n
+FROM events GROUP BY ALL""",
     }

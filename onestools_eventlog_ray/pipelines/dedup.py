@@ -602,3 +602,96 @@ def dedup_clusters(ds: ray.data.Dataset,
     reps = [find(x) for x in nodes]
     return pa.table({"doc_id": pa.array(nodes, pa.int64()),
                      "rep_id": pa.array(reps, pa.int64())})
+
+
+# byte -> popcount lookup table for vectorized pairwise hamming distance
+_POPCNT_LUT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                            axis=1).sum(axis=1).astype(np.int64)
+
+_HAM_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                         ("hamming", pa.int64())])
+
+
+def simhash_near_pairs(ds: ray.data.Dataset,
+                       spec: CorpusSpec = DOCUMENTS_SPEC,
+                       max_hamming: int = 3, bands: int = 4,
+                       bucket_cap: int | None = None) -> ray.data.Dataset:
+    """SimHash near-dup pair mining — the banded counterpart of the
+    MinHash path for when the similarity notion is weighted-token
+    cosine rather than shingle Jaccard: band the 64-bit signature into
+    ``bands`` equal slices, co-locate docs sharing a band value, verify
+    exact hamming distance inside each bucket.  By pigeonhole a pair
+    with hamming <= bands-1 differs in at most bands-1 slices, so it
+    shares at least one band — complete recall for
+    ``max_hamming <= bands - 1`` (enforced).
+
+    -> (doc_a < doc_b, hamming <= max_hamming), unique.
+
+    Scale shape mirrors :func:`minhash_verified_pairs`: only narrow
+    (band_id, band_val, doc_id, sig) int64 rows shuffle, verify tasks
+    see one bucket each (chunk-split above the cap), and the pairwise
+    hamming is one LUT-popcount over an xor matrix — no Python pairs."""
+    if max_hamming > bands - 1:
+        raise ValueError(f"max_hamming={max_hamming} breaks recall with "
+                         f"{bands} bands (needs <= {bands - 1})")
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    def band_rows(batch: pa.Table, *, spec) -> pa.Table:
+        t = simhash_batch(batch, spec=spec)
+        sig = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_band, out_val = [], []
+        for b in range(bands):
+            out_band.append(np.full(sig.size, b, dtype=np.int64))
+            out_val.append(((sig >> np.uint64(b * width)) & mask)
+                           .astype(np.int64))
+        return pa.table({
+            "band_id": pa.array(np.concatenate(out_band), pa.int64()),
+            "band_val": pa.array(np.concatenate(out_val), pa.int64()),
+            "doc_id": pa.array(np.tile(ids, bands), pa.int64()),
+            "sig": pa.array(np.tile(sig.view(np.int64), bands), pa.int64()),
+        })
+
+    cap = bucket_cap or VERIFY_BUCKET_CAP
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            return _HAM_SCHEMA.empty_table()
+        sigs = group["sig"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        uniq = order[np.concatenate(([True], np.diff(ids[order]) != 0))]
+        ids_u, sig_u = ids[uniq], sigs[uniq]
+        n = ids_u.size
+        if n > cap:
+            import logging
+            logging.getLogger(__name__).warning(
+                "simhash bucket of %d docs exceeds cap %d: chunk-split, "
+                "cross-chunk pairs skipped", n, cap)
+        da, db, hm = [], [], []
+        for c0 in range(0, n, cap):
+            c1 = min(c0 + cap, n)
+            s = sig_u[c0:c1]
+            x = (s[:, None] ^ s[None, :]).view(np.uint8) \
+                .reshape(c1 - c0, c1 - c0, 8)
+            ham = _POPCNT_LUT[x].sum(axis=2)
+            ii, jj = np.nonzero(np.triu(ham <= max_hamming, 1))
+            da.append(ids_u[c0 + ii])
+            db.append(ids_u[c0 + jj])
+            hm.append(ham[ii, jj])
+        return pa.table({
+            "doc_a": pa.array(np.concatenate(da), pa.int64()),
+            "doc_b": pa.array(np.concatenate(db), pa.int64()),
+            "hamming": pa.array(np.concatenate(hm).astype(np.int64),
+                                pa.int64()),
+        })
+
+    pairs = ds.map_batches(band_rows, batch_format="pyarrow",
+                           fn_kwargs=dict(spec=spec)) \
+        .groupby(["band_id", "band_val"]) \
+        .map_groups(verify, batch_format="pyarrow")
+    # a pair found in several bands has the same exact hamming -> dedupe
+    from ray.data.aggregate import Min
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))

@@ -279,3 +279,49 @@ def asof_join_events(events: ray.data.Dataset,
     return events.map_batches(project, batch_format="pyarrow") \
                  .groupby("user_id") \
                  .map_groups(join_group, batch_format="pyarrow")
+
+
+def value_histogram(events: ray.data.Dataset,
+                    bin_width: float = 5.0) -> ray.data.Dataset:
+    """Mergeable fixed-width histogram of ``value`` per event_type:
+    -> (event_type, bin, n) with bin = floor(value / bin_width).
+
+    The distribution-sketch member of the aggregate family (HLL =
+    distinct, CM = frequency, Bloom = membership, histogram =
+    quantiles): each batch folds its rows into local (type, bin)
+    counts via one Acero group_by, so the shuffle moves only
+    O(types x bins) partial rows per batch — approximate quantiles at
+    100 TB for the cost of a tiny groupby (``histogram_quantile``
+    answers them from the bins)."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        bins = np.floor(v / bin_width).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"],
+                      "bin": pa.array(bins, pa.int64())})
+        agg = t.group_by(["event_type", "bin"]).aggregate([("bin", "count")])
+        return agg.rename_columns(["event_type", "bin", "n_p"])
+
+    return events.map_batches(partial, batch_format="pyarrow") \
+                 .groupby(["event_type", "bin"]) \
+                 .aggregate(Sum("n_p", alias_name="n"))
+
+
+def histogram_quantile(hist: pa.Table, event_type: str, q: float,
+                       bin_width: float = 5.0) -> float:
+    """Approximate quantile from the histogram: the left edge of the
+    bin containing the value at sorted position floor(q * (n-1)) — the
+    same element an exact lower-quantile picks, so the error is
+    strictly < bin_width."""
+    import numpy as np
+    et = hist["event_type"].to_numpy(zero_copy_only=False)
+    sel = et == event_type
+    bins = hist["bin"].to_numpy(zero_copy_only=False)[sel]
+    ns = hist["n"].to_numpy(zero_copy_only=False)[sel]
+    order = np.argsort(bins)
+    bins, ns = bins[order], ns[order]
+    cum = np.cumsum(ns)
+    pos = int(q * (cum[-1] - 1))           # 0-based rank of the target
+    return float(bins[np.searchsorted(cum, pos, side="right")] * bin_width)

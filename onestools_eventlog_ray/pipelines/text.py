@@ -304,6 +304,57 @@ def tfidf_topk(ds: ray.data.Dataset,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def hashed_doc_vectors(ds: ray.data.Dataset,
+                       spec: CorpusSpec = DOCUMENTS_SPEC,
+                       dim: int = 64) -> ray.data.Dataset:
+    """Feature-hashing (hashing-trick) document vectors — the
+    fixed-width featurization a training pipeline uses when the vocab
+    is unbounded: every term contributes ``sign * tf`` to coordinate
+    ``md5_64('hv:' + term) % dim`` with sign drawn from the next hash
+    bit, so NO vocabulary table exists anywhere (unlike TF-IDF's
+    broadcast idf).  -> sparse nonzero (doc_id, dim, v) int64 rows.
+
+    Exact integers, embarrassingly parallel (docs never span batches),
+    zero shuffle; two shards' vectors add coordinate-wise, so the
+    operator is also the mergeable featurizer for streaming corpora."""
+    from onestools_eventlog_ray.functions.fasthash import md5_lower64
+    nbits = int(np.log2(dim))
+    assert (1 << nbits) == dim, "dim must be a power of two"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.analyzer import doc_term_table
+        from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+        pin_worker_threads()
+        b = add_doc_id(batch, spec)
+        triples, _ = doc_term_table(b["doc_id"], b["content"])
+        if not triples.num_rows:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        term = triples["term"]
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        salted = pc.binary_join_element_wise(
+            pa.array(["hv:"] * len(term), pa.string()), term, "")
+        h = md5_lower64(salted)
+        j = (h % np.uint64(dim)).astype(np.int64)
+        sign = (((h >> np.uint64(nbits)) & np.uint64(1)).astype(np.int64)
+                * 2 - 1)
+        tf = triples["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = triples["doc_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(doc, return_inverse=True)
+        acc = np.zeros((uniq.size, dim), dtype=np.int64)
+        np.add.at(acc, (inv, j), sign * tf)
+        di, dj = np.nonzero(acc)
+        return pa.table({
+            "doc_id": pa.array(uniq[di], pa.int64()),
+            "dim": pa.array(dj.astype(np.int64), pa.int64()),
+            "v": pa.array(acc[di, dj], pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def rolling_fingerprint(ds: ray.data.Dataset,
                         spec: CorpusSpec = DOCUMENTS_SPEC,
                         base: int = 1_000_003) -> ray.data.Dataset:

@@ -175,3 +175,72 @@ def test_dedup_clusters_transitive():
     got = dedup_clusters(ds, min_jaccard=0.2).to_pandas()
     rep = dict(zip(got.doc_id, got.rep_id))
     assert rep.get(0) == 0 and rep.get(1) == 0 and rep.get(2) == 0
+
+
+def test_simhash_near_pairs_complete_recall(docs_ds):
+    """Banding guarantees recall for hamming <= bands-1: engine pairs
+    must EQUAL brute-force all-pairs hamming over the signatures."""
+    from onestools_eventlog_ray.pipelines.dedup import (simhash_near_pairs,
+                                                        simhash_signatures)
+    sigs = simhash_signatures(docs_ds).to_pandas()
+    s = sigs["simhash"].to_numpy().view(np.uint64)
+    ids = sigs["doc_id"].to_numpy()
+    x = s[:, None] ^ s[None, :]
+    ham = np.unpackbits(x.view(np.uint8).reshape(len(s), len(s), 8),
+                        axis=2).sum(axis=2)
+    ii, jj = np.nonzero(np.triu(ham <= 3, 1))
+    lo = np.minimum(ids[ii], ids[jj])
+    hi = np.maximum(ids[ii], ids[jj])
+    expected = {(int(a), int(b), int(h))
+                for a, b, h in zip(lo, hi, ham[ii, jj])}
+    got = simhash_near_pairs(docs_ds, max_hamming=3).to_pandas()
+    assert {(a, b, h) for a, b, h in
+            zip(got.doc_a, got.doc_b, got.hamming)} == expected
+    assert len(expected) > 0
+
+
+def test_simhash_near_pairs_recall_guard(docs_ds):
+    with pytest.raises(ValueError):
+        from onestools_eventlog_ray.pipelines.dedup import simhash_near_pairs
+        simhash_near_pairs(docs_ds, max_hamming=5, bands=4).to_pandas()
+
+
+def test_hashed_doc_vectors_bruteforce(docs_ds, docs_tbl):
+    from onestools_eventlog_ray.functions.analyzer import tokenize_py
+    from onestools_eventlog_ray.functions.fasthash import md5_lower64_one
+    from onestools_eventlog_ray.pipelines.text import hashed_doc_vectors
+    got = hashed_doc_vectors(docs_ds, dim=64).to_pandas()
+    for doc_id, txt in list(zip(docs_tbl["doc_id"].to_pylist(),
+                                docs_tbl["text"].to_pylist()))[:15]:
+        acc = np.zeros(64, dtype=np.int64)
+        for t, tf in collections.Counter(tokenize_py(txt)).items():
+            h = md5_lower64_one(f"hv:{t}")
+            acc[h % 64] += tf if (h >> 6) % 2 == 1 else -tf
+        sub = got[got.doc_id == doc_id]
+        vec = np.zeros(64, dtype=np.int64)
+        vec[sub["dim"].to_numpy()] = sub["v"].to_numpy()
+        assert (vec == acc).all(), doc_id
+        assert (sub["v"] != 0).all()
+
+
+def test_value_histogram_and_quantile():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import (
+        histogram_quantile, value_histogram)
+    path = os.path.join(SF_DIR, "events.parquet")
+    ds = ray.data.read_parquet(path, columns=["event_type", "value"])
+    hist = value_histogram(ds, bin_width=5.0).to_pandas()
+    ev = pq.read_table(path, columns=["event_type", "value"]).to_pandas()
+    exp = ev.assign(bin=np.floor(ev.value / 5.0).astype(np.int64)) \
+        .groupby(["event_type", "bin"]).size()
+    for (et, b), n in exp.items():
+        row = hist[(hist.event_type == et) & (hist.bin == b)]
+        assert len(row) == 1 and row.n.iloc[0] == n
+    assert len(hist) == len(exp)
+    # histogram quantile is within one bin of the exact quantile
+    htbl = pa.Table.from_pandas(hist[["event_type", "bin", "n"]])
+    for et in ev.event_type.unique():
+        vals = np.sort(ev[ev.event_type == et].value.to_numpy())
+        exact = vals[int(0.95 * (vals.size - 1))]
+        approx = histogram_quantile(htbl, et, 0.95, bin_width=5.0)
+        assert abs(approx - exact) <= 5.0 + 1e-9
