@@ -625,6 +625,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["event_type", "value"])
         return relational.value_histogram(ds, bin_width=5.0)
 
+    def json_field_stats(sf_dir):
+        import ray.data
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_type", "props"])
+        return relational.json_field_stats(ds, field="k")
+
+    def events_by_localdate(sf_dir):
+        import ray.data
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_type", "ts"])
+        return relational.events_by_localdate(ds, tz_offset_s=3 * 3600)
+
     return {
         "doc_token_stats": doc_token_stats,
         "term_stats": term_stats,
@@ -682,6 +694,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_pairs": simhash_near_pairs,
         "hashed_doc_vectors": hashed_doc_vectors,
         "value_histogram": value_histogram,
+        "json_field_stats": json_field_stats,
+        "events_by_localdate": events_by_localdate,
     }
 
 
@@ -1466,6 +1480,24 @@ FROM c GROUP BY doc_id, dim HAVING sum(contrib) <> 0""",
 
         "value_histogram": """
 SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin,
+       count(*) AS n
+FROM events GROUP BY ALL""",
+
+        "json_field_stats": """
+WITH x AS (SELECT event_type,
+                  CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '')
+                       AS BIGINT) AS v
+           FROM events)
+SELECT event_type, count(v) AS n_with_field,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       min(v) AS min_v, max(v) AS max_v
+FROM x WHERE v IS NOT NULL GROUP BY event_type""",
+
+        "events_by_localdate": """
+SELECT event_type,
+       CAST(DATE '1970-01-01'
+            + CAST((epoch_us(ts) + 10800000000) // 86400000000 AS INTEGER)
+            AS VARCHAR) AS local_date,
        count(*) AS n
 FROM events GROUP BY ALL""",
     }

@@ -325,3 +325,75 @@ def histogram_quantile(hist: pa.Table, event_type: str, q: float,
     cum = np.cumsum(ns)
     pos = int(q * (cum[-1] - 1))           # 0-based rank of the target
     return float(bins[np.searchsorted(cum, pos, side="right")] * bin_width)
+
+
+def json_field_stats(events: ray.data.Dataset,
+                     field: str = "k") -> ray.data.Dataset:
+    """Semi-structured field extraction at scale — the reference's
+    nested free-text/property parse (SURVEY.md §2.2 M5: recursive
+    flatten of 1C's nested event properties) as a vectorized RE2
+    extraction over a JSON string column, then a per-type aggregate:
+    -> (event_type, n_with_field, sum_v, min_v, max_v).
+
+    ``pc.extract_regex`` runs the same RE2 pattern DuckDB's
+    ``regexp_extract`` runs, so the parse is oracle-exact without a
+    JSON library in the hot path (a real json decoder slots into the
+    same batch fn)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    pattern = f'"{field}": (?P<v>[0-9]+)'
+
+    def partial(batch: pa.Table) -> pa.Table:
+        props = batch["props"]
+        if isinstance(props, pa.ChunkedArray):
+            props = props.combine_chunks()
+        m = pc.extract_regex(props, pattern=pattern)
+        v = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "v": v}) \
+            .filter(pc.is_valid(v))
+        agg = t.group_by("event_type").aggregate(
+            [("v", "count"), ("v", "sum"), ("v", "min"), ("v", "max")])
+        return agg.rename_columns(["event_type", "n_p", "sum_p",
+                                   "min_p", "max_p"])
+
+    return events.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(Sum("n_p", alias_name="n_with_field"),
+                   Sum("sum_p", alias_name="sum_v"),
+                   Min("min_p", alias_name="min_v"),
+                   Max("max_p", alias_name="max_v"))
+
+
+def events_by_localdate(events: ray.data.Dataset,
+                        tz_offset_s: int = 3 * 3600) -> ray.data.Dataset:
+    """Per-type counts by LOCAL civil date — the reference's
+    date-parse + timezone surface (SURVEY.md §2.2 M3: 1C event times
+    are wall-clock shifted to a configured zone before bucketing):
+    shift epoch micros by a fixed zone offset, floor to the civil day,
+    render ISO 'YYYY-MM-DD'.  -> (event_type, local_date, n).
+
+    The day arithmetic is integer (no float), the date RENDERING goes
+    through numpy's proleptic-Gregorian datetime64 — bit-identical to
+    SQL's ``DATE '1970-01-01' + n days``."""
+    import numpy as np
+
+    US_PER_DAY = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = (us + tz_offset_s * 1_000_000) // US_PER_DAY
+        dates = np.datetime_as_string(
+            days.astype("datetime64[D]"), unit="D")
+        t = pa.table({"event_type": batch["event_type"],
+                      "local_date": pa.array(dates, pa.string())})
+        agg = t.group_by(["event_type", "local_date"]).aggregate(
+            [("local_date", "count")])
+        return agg.rename_columns(["event_type", "local_date", "n_p"])
+
+    return events.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "local_date"]) \
+        .aggregate(Sum("n_p", alias_name="n"))

@@ -244,3 +244,41 @@ def test_value_histogram_and_quantile():
         exact = vals[int(0.95 * (vals.size - 1))]
         approx = histogram_quantile(htbl, et, 0.95, bin_width=5.0)
         assert abs(approx - exact) <= 5.0 + 1e-9
+
+
+def test_json_field_stats_bruteforce():
+    import json
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import json_field_stats
+    path = os.path.join(SF_DIR, "events.parquet")
+    ds = ray.data.read_parquet(path, columns=["event_type", "props"])
+    got = json_field_stats(ds, field="k").to_pandas().set_index("event_type")
+    ev = pq.read_table(path, columns=["event_type", "props"]).to_pandas()
+    ks = ev.props.map(lambda p: json.loads(p).get("k"))
+    exp = ev.assign(k=ks).dropna(subset=["k"]).groupby("event_type").k \
+        .agg(["count", "sum", "min", "max"])
+    for et, row in exp.iterrows():
+        g = got.loc[et]
+        assert (g.n_with_field, g.sum_v, g.min_v, g.max_v) == \
+            (row["count"], row["sum"], row["min"], row["max"]), et
+    assert len(got) == len(exp)
+
+
+def test_events_by_localdate_tz_shift():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import events_by_localdate
+    path = os.path.join(SF_DIR, "events.parquet")
+    ds = ray.data.read_parquet(path, columns=["event_type", "ts"])
+    got = events_by_localdate(ds, tz_offset_s=3 * 3600).to_pandas()
+    ev = pq.read_table(path, columns=["event_type", "ts"]).to_pandas()
+    local = ev.ts + np.timedelta64(3, "h")
+    exp = ev.assign(local_date=local.dt.strftime("%Y-%m-%d")) \
+        .groupby(["event_type", "local_date"]).size()
+    assert len(got) == len(exp)
+    for (et, d), n in exp.items():
+        row = got[(got.event_type == et) & (got.local_date == d)]
+        assert len(row) == 1 and row.n.iloc[0] == n
+    # the shift matters: pre-midnight UTC events land on the NEXT local day
+    utc_dates = set(ev.ts.dt.strftime("%Y-%m-%d"))
+    assert set(got.local_date) - utc_dates or len(set(got.local_date)) \
+        >= len(utc_dates)
