@@ -637,6 +637,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["event_type", "ts"])
         return relational.events_by_localdate(ds, tz_offset_s=3 * 3600)
 
+    def kmeans_step(sf_dir):
+        """One exact-fixed-point Lloyd iteration seeded from the first 8
+        vectors (deterministic init -> bit-reproducible vs the oracle)."""
+        import pyarrow.parquet as pq
+        import ray.data
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        emb = pq.read_table(path, columns=["vec_id", "embedding"])
+        ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
+        sel = np.flatnonzero(ids < 8)
+        order = sel[np.argsort(ids[sel])]
+        init = np.floor(np.asarray(
+            [emb["embedding"][int(i)].as_py() for i in order],
+            dtype=np.float64) * 1_000_000 + 0.5).astype(np.int64)
+        ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        return similarity.kmeans_step(ds, init)
+
     return {
         "doc_token_stats": doc_token_stats,
         "term_stats": term_stats,
@@ -696,6 +712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": value_histogram,
         "json_field_stats": json_field_stats,
         "events_by_localdate": events_by_localdate,
+        "kmeans_step": kmeans_step,
     }
 
 
@@ -1500,4 +1517,22 @@ SELECT event_type,
             AS VARCHAR) AS local_date,
        count(*) AS n
 FROM events GROUP BY ALL""",
+
+        "kmeans_step": """
+WITH e0 AS (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings),
+e AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+             CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xe
+      FROM e0),
+c AS (SELECT vec_id AS k, dim, xe AS ce FROM e WHERE vec_id < 8),
+d AS (SELECT v.vec_id, c.k,
+             sum((v.xe - c.ce) * (v.xe - c.ce)) AS d2
+      FROM e v JOIN c USING (dim) GROUP BY v.vec_id, c.k),
+a AS (SELECT vec_id, k FROM (
+        SELECT vec_id, k,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, k) AS rn
+        FROM d) WHERE rn = 1)
+SELECT a.k, v.dim, CAST(sum(v.xe) AS BIGINT) AS sum_e6, count(*) AS n
+FROM a JOIN e v USING (vec_id) GROUP BY a.k, v.dim""",
     }

@@ -403,3 +403,56 @@ def label_centroids(ds: ray.data.Dataset, label_col: str = "label",
              .groupby(["label", "dim"]) \
              .aggregate(Sum("s_p", alias_name="sum_e6"),
                         Sum("n_p", alias_name="n"))
+
+
+def kmeans_step(ds: ray.data.Dataset, centroids_e6: np.ndarray,
+                label_col: str = "vec_id", vec_col: str = "embedding"
+                ) -> ray.data.Dataset:
+    """ONE Lloyd (k-means) iteration in exact fixed-point — the
+    iterative-ML primitive of a training-data pipeline (IVF coarse
+    quantizer training, corpus clustering) expressed as a single
+    broadcast + partial-fold pass: centroids (K x D e6 ints) ship once
+    via ``ray.put``; each batch assigns its vectors to the nearest
+    centroid by EXACT integer squared-L2 (ties -> lowest centroid id)
+    and folds per-(centroid, dim) coordinate sums locally; the shuffle
+    moves only O(K * D) rows per batch.  -> (k, dim, sum_e6, n); the
+    caller divides for the new centroids and iterates.
+
+    All arithmetic is int64 (quantize-then-compute), so every iteration
+    is bit-reproducible across cluster sizes, retries and the SQL
+    oracle — no float summation-order drift between steps."""
+    from ray.data.aggregate import Sum
+    cent_ref = ray.put(np.ascontiguousarray(centroids_e6, dtype=np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+        pin_worker_threads()
+        cents = ray.get(cent_ref)
+        m = _as_matrix(batch[vec_col])
+        if not m.size:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "s_p": pa.array([], pa.int64()),
+                             "n_p": pa.array([], pa.int64())})
+        x = np.floor(m * 1_000_000 + 0.5).astype(np.int64)
+        # exact ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2, all int64
+        d2 = (x * x).sum(axis=1)[:, None] \
+            - 2 * (x @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+        assign = np.argmin(d2, axis=1)            # first min = lowest k
+        uniq, inv = np.unique(assign, return_inverse=True)
+        sums = np.zeros((uniq.size, x.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, x)
+        counts = np.bincount(inv, minlength=uniq.size).astype(np.int64)
+        d = x.shape[1]
+        return pa.table({
+            "k": pa.array(np.repeat(uniq, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), uniq.size),
+                            pa.int64()),
+            "s_p": pa.array(sums.ravel(), pa.int64()),
+            "n_p": pa.array(np.repeat(counts, d), pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby(["k", "dim"]) \
+             .aggregate(Sum("s_p", alias_name="sum_e6"),
+                        Sum("n_p", alias_name="n"))

@@ -282,3 +282,72 @@ def test_events_by_localdate_tz_shift():
     utc_dates = set(ev.ts.dt.strftime("%Y-%m-%d"))
     assert set(got.local_date) - utc_dates or len(set(got.local_date)) \
         >= len(utc_dates)
+
+
+def test_dedup_then_delete_integration(tmp_path):
+    """The corpus-refresh flow the operators exist FOR: mine near-dup
+    clusters, tombstone every non-representative, and the search engine
+    immediately stops serving them (soft delete, scores of survivors
+    unchanged) — dedup decides, tombstones enforce."""
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.build import build_index
+    from onestools_eventlog_ray.pipelines.dedup import dedup_clusters
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    from onestools_eventlog_ray.state.tombstones import delete_docs
+    import ray.data
+
+    index_dir = str(tmp_path / "idx")
+    build_index(os.path.join(SF_DIR, "documents.parquet"), index_dir,
+                spec=DOCUMENTS_SPEC,
+                cfg=EngineConfig(num_partitions=8))
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    clusters = dedup_clusters(ds, DOCUMENTS_SPEC, min_jaccard=0.2) \
+        .to_pandas()
+    drop = [int(d) for d, r in zip(clusters.doc_id, clusters.rep_id)
+            if d != r]
+    assert drop, "corpus has near-dup clusters"
+
+    eng0 = SearchEngine(index_dir)
+    before = eng0.search(["spark", "vector", "window"], 500)
+    assert delete_docs(index_dir, drop) == len(drop)
+    eng1 = SearchEngine(index_dir)
+    after = eng1.search(["spark", "vector", "window"], 500)
+    got = dict(after)
+    assert not set(drop) & set(got)
+    for d, s in before:
+        if d not in set(drop):
+            assert got[d] == s          # survivors keep exact scores
+    # WAND agrees with TAAT under the same tombstones
+    assert eng1.search_wand(["spark", "vector", "window"], 10) == after[:10]
+
+
+def test_kmeans_step_exact():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.similarity import kmeans_step
+    path = os.path.join(SF_DIR, "embeddings.parquet")
+    emb = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    x = np.floor(mat * 1_000_000 + 0.5).astype(np.int64)
+    init = x[[int(np.flatnonzero(ids == j)[0]) for j in range(8)]]
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    got = kmeans_step(ds, init).to_pandas()
+    # brute-force assignment
+    d2 = ((x[:, None, :] - init[None, :, :]) ** 2).sum(axis=2)
+    assign = np.argmin(d2, axis=1)
+    for k in np.unique(assign):
+        sub = x[assign == k]
+        rows = got[got.k == k].sort_values("dim")
+        assert (rows.sum_e6.to_numpy() == sub.sum(axis=0)).all()
+        assert (rows.n == sub.shape[0]).all()
+    assert set(got.k) == set(np.unique(assign))
+    # one step strictly reduces (or keeps) total inertia — sanity that
+    # the new centroids are a real Lloyd update
+    new_cent = init.astype(np.float64).copy()
+    for k in np.unique(assign):
+        new_cent[k] = x[assign == k].mean(axis=0)
+    i0 = d2[np.arange(len(x)), assign].sum()
+    d2b = ((x[:, None, :].astype(np.float64) - new_cent[None, :, :]) ** 2) \
+        .sum(axis=2)
+    assert d2b.min(axis=1).sum() <= i0 + 1e-6
