@@ -653,6 +653,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
         return similarity.kmeans_step(ds, init)
 
+    def interval_join_counts(sf_dir):
+        import ray.data
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts", "event_type"])
+        return relational.interval_join_counts(ds, "purchase", "click",
+                                               window_s=1800)
+
+    def bigram_topk(sf_dir):
+        t = text.bigram_stats(_documents_ds(sf_dir), DOCUMENTS_SPEC) \
+            .to_pandas()
+        t = t.sort_values(["n", "bigram"], ascending=[False, True]).head(20)
+        return t[["bigram", "n"]].reset_index(drop=True)
+
     return {
         "doc_token_stats": doc_token_stats,
         "term_stats": term_stats,
@@ -713,6 +727,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_field_stats": json_field_stats,
         "events_by_localdate": events_by_localdate,
         "kmeans_step": kmeans_step,
+        "interval_join_counts": interval_join_counts,
+        "bigram_topk": bigram_topk,
     }
 
 
@@ -1535,4 +1551,24 @@ a AS (SELECT vec_id, k FROM (
         FROM d) WHERE rn = 1)
 SELECT a.k, v.dim, CAST(sum(v.xe) AS BIGINT) AS sum_e6, count(*) AS n
 FROM a JOIN e v USING (vec_id) GROUP BY a.k, v.dim""",
+        "interval_join_counts": """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, epoch_us(ts) AS cts
+      FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts_us, count(c.cts) AS n_right
+FROM p LEFT JOIN c ON c.user_id = p.user_id
+   AND c.cts > p.ts_us - 1800000000 AND c.cts <= p.ts_us
+GROUP BY p.event_id, p.user_id, p.ts_us""",
+
+        "bigram_topk": """
+WITH tok AS (SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+       FROM documents),
+bg AS (SELECT t[g] || ' ' || t[g+1] AS bigram
+       FROM (SELECT doc_id, t,
+                    unnest(generate_series(1, len(t) - 1)) AS g FROM tok))
+SELECT bigram, count(*) AS n FROM bg
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
     }

@@ -397,3 +397,63 @@ def events_by_localdate(events: ray.data.Dataset,
     return events.map_batches(partial, batch_format="pyarrow") \
         .groupby(["event_type", "local_date"]) \
         .aggregate(Sum("n_p", alias_name="n"))
+
+
+def interval_join_counts(events: ray.data.Dataset,
+                         left_type: str = "purchase",
+                         right_type: str = "click",
+                         window_s: int = 1800) -> ray.data.Dataset:
+    """INTERVAL join — for each ``left_type`` event, the number of
+    ``right_type`` events of the SAME user inside the trailing window
+    ``(ts - window, ts]`` (attribution counting; the sibling of
+    :func:`asof_join_events` where the predicate is a RANGE, another
+    join Ray Data has no primitive for).
+
+    Same tagged-union co-group shape: narrow projected rows, ONE
+    shuffle on user_id, then a vectorized two-``searchsorted`` count of
+    the window per group — left rows with zero matches are KEPT (left
+    semantics).  -> (event_id, user_id, ts_us, n_right)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    w_us = window_s * 1_000_000
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64())
+        et = batch["event_type"]
+        side = pc.if_else(pc.equal(et, left_type), 0,
+                          pc.if_else(pc.equal(et, right_type), 1, -1))
+        out = pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": ts,
+            "event_id": batch["event_id"],
+            "side": pc.cast(side, pa.int8()),
+        })
+        return out.filter(pc.not_equal(out["side"], -1))
+
+    def count_group(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lmask = side == 0
+        if not lmask.any():
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "ts_us": pa.array([], pa.int64()),
+                             "n_right": pa.array([], pa.int64())})
+        rts = np.sort(ts[side == 1])
+        lts, lid = ts[lmask], eid[lmask]
+        lo = np.searchsorted(rts, lts - w_us, side="right")
+        hi = np.searchsorted(rts, lts, side="right")
+        uid = int(g["user_id"][0].as_py())
+        return pa.table({
+            "event_id": pa.array(lid, pa.int64()),
+            "user_id": pa.array(np.full(lid.size, uid, dtype=np.int64),
+                                pa.int64()),
+            "ts_us": pa.array(lts, pa.int64()),
+            "n_right": pa.array((hi - lo).astype(np.int64), pa.int64()),
+        })
+
+    return events.map_batches(project, batch_format="pyarrow") \
+                 .groupby("user_id") \
+                 .map_groups(count_group, batch_format="pyarrow")

@@ -387,3 +387,39 @@ def rolling_fingerprint(ds: ray.data.Dataset,
                          "fingerprint": pa.array(fps, pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bigram_stats(ds: ray.data.Dataset,
+                 spec: CorpusSpec = DOCUMENTS_SPEC) -> ray.data.Dataset:
+    """Corpus-wide bigram counts -> (bigram, n) — the count table a
+    count-based language model / collocation miner starts from (term
+    unigram stats are :func:`term_stats`).
+
+    Partial-then-fold: each batch builds its local bigram counts with
+    ONE Arrow join kernel + Acero group_by (windows never cross doc
+    boundaries), so only unique (bigram, partial-count) rows shuffle —
+    at 100 TB the exchange is bounded by the bigram vocabulary per
+    batch, not the token stream."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+        pin_worker_threads()
+        toks = tokenize_array(batch[spec.content_col])
+        flat = toks.flatten()
+        n_flat = len(flat)
+        if n_flat < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n_p": pa.array([], pa.int64())})
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+               .astype(np.int64)
+        parent = np.repeat(np.arange(dl.size, dtype=np.int64), dl)
+        same = parent[:-1] == parent[1:]
+        w = n_flat - 1
+        joined = pc.binary_join_element_wise(flat.slice(0, w),
+                                            flat.slice(1, w), " ")
+        t = pa.table({"bigram": joined.filter(pa.array(same))})
+        agg = t.group_by("bigram").aggregate([("bigram", "count")])
+        return agg.rename_columns(["bigram", "n_p"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby("bigram").aggregate(Sum("n_p", alias_name="n"))

@@ -351,3 +351,39 @@ def test_kmeans_step_exact():
     d2b = ((x[:, None, :].astype(np.float64) - new_cent[None, :, :]) ** 2) \
         .sum(axis=2)
     assert d2b.min(axis=1).sum() <= i0 + 1e-6
+
+
+def test_interval_join_counts_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import \
+        interval_join_counts
+    path = os.path.join(SF_DIR, "events.parquet")
+    ds = ray.data.read_parquet(
+        path, columns=["event_id", "user_id", "ts", "event_type"])
+    got = interval_join_counts(ds, "purchase", "click", window_s=1800) \
+        .to_pandas().set_index("event_id")
+    ev = pq.read_table(path).to_pandas()
+    ev["ts_us"] = ev.ts.astype("int64")
+    p = ev[ev.event_type == "purchase"]
+    c = ev[ev.event_type == "click"]
+    assert len(got) == len(p)           # left semantics: every purchase kept
+    w = 1800 * 1_000_000
+    for _, row in p.head(200).iterrows():
+        cc = c[(c.user_id == row.user_id)
+               & (c.ts_us > row.ts_us - w) & (c.ts_us <= row.ts_us)]
+        assert got.loc[row.event_id, "n_right"] == len(cc)
+    assert (got.n_right > 0).any()
+
+
+def test_bigram_stats_bruteforce(docs_ds, docs_tbl):
+    from onestools_eventlog_ray.functions.analyzer import tokenize_py
+    from onestools_eventlog_ray.pipelines.text import bigram_stats
+    got = bigram_stats(docs_ds).to_pandas().set_index("bigram")["n"]
+    exp = collections.Counter()
+    for txt in docs_tbl["text"].to_pylist():
+        toks = tokenize_py(txt)
+        exp.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    assert len(got) == len(exp)
+    for bg, n in list(exp.items())[:100]:
+        assert got[bg] == n, bg
+    assert got.sum() == sum(exp.values())
