@@ -667,6 +667,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         t = t.sort_values(["n", "bigram"], ascending=[False, True]).head(20)
         return t[["bigram", "n"]].reset_index(drop=True)
 
+    def order_revenue_join(sf_dir):
+        """Big-big repartition join (lineitem ⋈ orders on orderkey via
+        tagged-union co-group — neither side broadcast) then a small
+        per-priority exact-fixed-point revenue aggregate."""
+        import ray.data
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount"])
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderpriority"])
+        return relational.order_revenue_join(li, orders)
+
+    def order_rank_window(sf_dir):
+        """SQL window functions (row_number / ntile / percent_rank) per
+        customer partition as a vectorized map_groups."""
+        import ray.data
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderkey", "o_totalprice"])
+        return relational.order_rank_window(orders, tiles=4)
+
+    def corr_value_k_by_type(sf_dir):
+        """Exact Pearson correlation between value-cents and the
+        RE2-extracted JSON property k, per event_type — single-pass
+        integer moment fold, bit-identical finalize vs the oracle."""
+        import ray.data
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value", "props"])
+        return relational.corr_value_k_by_type(ev)
+
+    def decontaminate(sf_dir):
+        """Benchmark decontamination: flag training docs sharing any
+        3-token shingle with the benchmark slice (doc_id % 20 == 0) —
+        broadcast benchmark n-gram hashes, streaming corpus membership
+        scan."""
+        return dedup.decontaminate(_documents_ds(sf_dir), DOCUMENTS_SPEC,
+                                   k=3, bench_mod=20)
+
     return {
         "doc_token_stats": doc_token_stats,
         "term_stats": term_stats,
@@ -729,6 +769,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_step": kmeans_step,
         "interval_join_counts": interval_join_counts,
         "bigram_topk": bigram_topk,
+        "order_revenue_join": order_revenue_join,
+        "order_rank_window": order_rank_window,
+        "corr_value_k_by_type": corr_value_k_by_type,
+        "decontaminate": decontaminate,
     }
 
 
@@ -1571,4 +1615,72 @@ bg AS (SELECT t[g] || ' ' || t[g+1] AS bigram
                     unnest(generate_series(1, len(t) - 1)) AS g FROM tok))
 SELECT bigram, count(*) AS n FROM bg
 GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
+
+        "order_revenue_join": """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue_e6
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority""",
+
+        "order_rank_window": """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS BIGINT) AS rnk,
+       CAST(ntile(4) OVER w AS BIGINT) AS ntile4,
+       CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT)
+         AS pct_rank_e6
+FROM (SELECT o_custkey, o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey ASC)""",
+
+        "corr_value_k_by_type": """
+WITH ext AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+         CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS y
+  FROM events
+  WHERE regexp_extract(props, '"k": ([0-9]+)', 1) <> ''),
+mom AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x*x) AS HUGEINT) AS sxx,
+         CAST(sum(x*y) AS HUGEINT) AS sxy,
+         CAST(sum(y*y) AS HUGEINT) AS syy
+  FROM ext GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(floor(
+         CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN 0.0
+              ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+                   / sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                   / sqrt(CAST(n*syy - sy*sy AS DOUBLE))
+         END * 1000000 + 0.5) AS BIGINT) AS corr_e6
+FROM mom""",
+
+        "decontaminate": """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                             x -> x <> '') AS t
+  FROM documents),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(t) < 3 THEN [array_to_string(t, chr(31))]
+              ELSE [t[i] || chr(31) || t[i+1] || chr(31) || t[i+2]
+                    for i in range(1, len(t) - 1)]
+         END AS shs
+  FROM tok),
+sh AS (SELECT doc_id, md5_number_lower(unnest(list_distinct(shs))) >> 1 AS h
+       FROM shl),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 20 = 0),
+hits AS (
+  SELECT doc_id,
+         CAST(count(DISTINCT h) AS BIGINT) AS n_tri,
+         CAST(count(DISTINCT CASE WHEN h IN (SELECT h FROM bench)
+                                  THEN h END) AS BIGINT) AS n_hit
+  FROM sh WHERE doc_id % 20 <> 0 GROUP BY doc_id)
+SELECT doc_id, n_tri, n_hit FROM hits WHERE n_hit > 0""",
     }

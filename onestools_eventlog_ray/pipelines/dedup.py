@@ -695,3 +695,78 @@ def simhash_near_pairs(ds: ray.data.Dataset,
     from ray.data.aggregate import Min
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Min("hamming", alias_name="hamming"))
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(ds: ray.data.Dataset,
+                  spec: CorpusSpec = DOCUMENTS_SPEC,
+                  k: int = 3,
+                  bench_mod: int = 20) -> ray.data.Dataset:
+    """Benchmark decontamination — flag training docs sharing any k-token
+    shingle with a benchmark/eval set (the n-gram-overlap filter every
+    LLM training pipeline runs before training; the reference's analog is
+    its id-based skip mask, SURVEY.md §2.4 F3,
+    ``/root/reference/OneSTools.EventLog.Exporter.Manager/ExportersManager.cs:101-111``).
+
+    Here the "benchmark" is the deterministic slice ``doc_id % bench_mod
+    == 0`` — a stand-in for a real eval set, which is tiny relative to
+    the corpus by construction.  Shape:
+
+      pass 1 (benchmark, ~corpus/bench_mod): tokenize -> k-shingle ->
+        per-batch DISTINCT 63-bit md5 shingle hashes -> one small
+        driver-side union -> ``ray.put`` broadcast (the eval set's n-gram
+        table is the classic broadcast small side; it is shipped ONCE,
+        not per batch).
+      pass 2 (full corpus, streaming): tokenize -> k-shingle -> per-doc
+        distinct hashes -> vectorized ``np.isin`` membership against the
+        broadcast sorted array -> per-doc (n_tri, n_hit) counts.
+
+    Only flagged docs (n_hit > 0) are emitted: (doc_id, n_tri, n_hit).
+    Benchmark docs themselves are excluded from the output (they are the
+    contamination source, not its victims).  Shingle construction and
+    hashing are byte-identical to the MinHash family, so the DuckDB
+    oracle reproduces the counts exactly (same md5_number_lower >> 1)."""
+
+    def bench_hashes(batch: pa.Table) -> pa.Table:
+        b = add_doc_id(batch, spec)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = b.filter(pa.array(ids % bench_mod == 0))
+        toks = tokenize_array(b["content"])
+        sh_str, _ = _shingle_rows(toks, k)
+        h = np.unique(md5_lower64(sh_str) >> np.uint64(1))
+        return pa.table({"h": pa.array(h.astype(np.int64), pa.int64())})
+
+    refs = ds.map_batches(bench_hashes,
+                          batch_format="pyarrow").to_arrow_refs()
+    parts = [t["h"].to_numpy(zero_copy_only=False)
+             for t in ray.get(refs) if t.num_rows]
+    bench = np.unique(np.concatenate(parts)) if parts \
+        else np.empty(0, dtype=np.int64)
+    bench_ref = ray.put(bench)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        b = add_doc_id(batch, spec)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % bench_mod != 0
+        b = b.filter(pa.array(keep))
+        ids = ids[keep]
+        toks = tokenize_array(b["content"])
+        sh_str, sh_parent = _shingle_rows(toks, k)
+        sh_hash = (md5_lower64(sh_str) >> np.uint64(1)).astype(np.int64)
+        sh_parent, sh_hash = _unique_per_doc(sh_parent, sh_hash)
+        n_tri = np.bincount(sh_parent, minlength=ids.size).astype(np.int64)
+        hit = np.isin(sh_hash, bset, assume_unique=False)
+        n_hit = np.bincount(sh_parent[hit],
+                            minlength=ids.size).astype(np.int64)
+        flagged = n_hit > 0
+        return pa.table({
+            "doc_id": pa.array(ids[flagged], pa.int64()),
+            "n_tri": pa.array(n_tri[flagged], pa.int64()),
+            "n_hit": pa.array(n_hit[flagged], pa.int64()),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")

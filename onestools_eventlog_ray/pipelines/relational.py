@@ -12,6 +12,7 @@ aggregates.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data
@@ -457,3 +458,227 @@ def interval_join_counts(events: ray.data.Dataset,
     return events.map_batches(project, batch_format="pyarrow") \
                  .groupby("user_id") \
                  .map_groups(count_group, batch_format="pyarrow")
+
+
+def equi_join(left: ray.data.Dataset, right: ray.data.Dataset,
+              left_key: str, right_key: str,
+              left_cols: list[str], right_cols: list[str],
+              key_alias: str = "key") -> ray.data.Dataset:
+    """Distributed big-big INNER equi-join — the general repartition join
+    (both sides too large to broadcast; completes the join family next to
+    the broadcast join ``orders_by_nation``, :func:`asof_join_events` and
+    :func:`interval_join_counts`).
+
+    Shape = tagged-union co-group, the same single-shuffle pattern as the
+    as-of join: each side projects to narrow (key, side, carried cols)
+    rows where the other side's columns are typed nulls, the union
+    shuffles ONCE on the key, and each group task emits the in-group
+    cross product vectorized (np.repeat × np.tile + pc.take).
+
+    Partitioning assumption: one key's rows fit one task (true for
+    orderkey-like keys with bounded fan-in; a pathological hot key needs
+    the salted-broadcast variant instead).  Carried columns stay as
+    narrow as the caller projects them — content-sized payloads should
+    join on ids and fetch payloads afterwards."""
+    import pyarrow.compute as pc
+
+    l_types = dict(zip(left.schema().names, left.schema().types))
+    r_types = dict(zip(right.schema().names, right.schema().types))
+    key_type = l_types[left_key]
+    out_cols = ([(c, l_types[c], 0) for c in left_cols]
+                + [(c, r_types[c], 1) for c in right_cols])
+
+    def project(side_id: int, key_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols: dict[str, pa.Array | pa.ChunkedArray] = {
+                key_alias: batch[key_col].cast(key_type),
+                "side": pa.array(np.full(n, side_id, np.int8), pa.int8()),
+            }
+            for name, typ, owner in out_cols:
+                cols[name] = (batch[name] if owner == side_id
+                              else pa.nulls(n, typ))
+            return pa.table(cols)
+        return fn
+
+    tagged = left.map_batches(project(0, left_key),
+                              batch_format="pyarrow") \
+        .union(right.map_batches(project(1, right_key),
+                                 batch_format="pyarrow"))
+
+    empty = pa.schema([pa.field(key_alias, key_type)]
+                      + [pa.field(n, t) for n, t, _ in out_cols])
+
+    def join_group(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(side == 0)
+        ri = np.flatnonzero(side == 1)
+        if li.size == 0 or ri.size == 0:
+            return empty.empty_table()
+        lrep = np.repeat(li, ri.size)
+        rtile = np.tile(ri, li.size)
+        cols = {key_alias: pc.take(g[key_alias], pa.array(lrep))}
+        for name, _, owner in out_cols:
+            idx = lrep if owner == 0 else rtile
+            cols[name] = pc.take(g[name], pa.array(idx))
+        return pa.table(cols)
+
+    return tagged.groupby(key_alias).map_groups(join_group,
+                                                batch_format="pyarrow")
+
+
+def order_revenue_join(lineitem: ray.data.Dataset,
+                       orders: ray.data.Dataset) -> ray.data.Dataset:
+    """Revenue per order priority via the big-big repartition join:
+    lineitem ⋈ orders on orderkey (NEITHER side broadcast), then a small
+    per-priority aggregate.  Revenue is exact fixed-point:
+    rev_e6 = price_cents * (10000 - discount_bp) — int64-safe to ~10^5
+    rows/order-priority-partition per 2^63 bound at TPC-H price ranges.
+    -> (o_orderpriority, n_items, revenue_e6)."""
+    import pyarrow.compute as pc
+
+    def narrow_line(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"] \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        disc = batch["l_discount"] \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(price * 100 + 0.5).astype(np.int64)
+        bp = np.floor(disc * 10_000 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "rev_e6": pa.array(cents * (10_000 - bp), pa.int64()),
+        })
+
+    def narrow_orders(batch: pa.Table) -> pa.Table:
+        return batch.select(["o_orderkey", "o_orderpriority"])
+
+    joined = equi_join(
+        lineitem.map_batches(narrow_line, batch_format="pyarrow"),
+        orders.map_batches(narrow_orders, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey", ["rev_e6"], ["o_orderpriority"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = pa.table({"o_orderpriority": batch["o_orderpriority"],
+                        "rev_e6": batch["rev_e6"]}) \
+            .group_by("o_orderpriority") \
+            .aggregate([("rev_e6", "sum"), ("rev_e6", "count")])
+        return agg.rename_columns(["o_orderpriority", "rev_p", "n_p"])
+
+    return joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_orderpriority") \
+        .aggregate(Sum("n_p", alias_name="n_items"),
+                   Sum("rev_p", alias_name="revenue_e6"))
+
+
+def order_rank_window(orders: ray.data.Dataset,
+                      tiles: int = 4) -> ray.data.Dataset:
+    """SQL window functions per group — row_number / ntile(k) /
+    percent_rank over (PARTITION BY custkey ORDER BY cents DESC,
+    orderkey ASC), the ranking family the Dataset API lacks, expressed
+    as ``groupby(custkey).map_groups`` with a fully vectorized in-group
+    computation (one lexsort, integer ntile arithmetic, one IEEE
+    division for percent_rank — both sides compute (rank-1)/(n-1) on the
+    same ints so the e6 fixed-point matches DuckDB bit-for-bit).
+
+    ntile reproduces the SQL semantics exactly: the first n % k buckets
+    get ceil(n/k) rows, the rest floor(n/k).
+    -> (o_custkey, o_orderkey, rnk, ntile{k}, pct_rank_e6)."""
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        cents = np.floor(g["o_totalprice"].to_numpy(zero_copy_only=False)
+                         .astype(np.float64) * 100 + 0.5).astype(np.int64)
+        keys = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, -cents))
+        n = order.size
+        i = np.arange(n, dtype=np.int64)
+        big, base = n % tiles, n // tiles
+        if base == 0:
+            tile = i
+        else:
+            cut = big * (base + 1)
+            tile = np.where(i < cut, i // (base + 1),
+                            big + (i - cut) // base)
+        pct = i.astype(np.float64) / (n - 1) if n > 1 \
+            else np.zeros(1, np.float64)
+        return pa.table({
+            "o_custkey": pa.array(
+                g["o_custkey"].to_numpy(zero_copy_only=False)[order],
+                pa.int64()),
+            "o_orderkey": pa.array(keys[order], pa.int64()),
+            "rnk": pa.array(i + 1, pa.int64()),
+            f"ntile{tiles}": pa.array(tile + 1, pa.int64()),
+            "pct_rank_e6": pa.array(
+                np.floor(pct * 1_000_000 + 0.5).astype(np.int64),
+                pa.int64()),
+        })
+
+    return orders.groupby("o_custkey").map_groups(rank_group,
+                                                  batch_format="pyarrow")
+
+
+def corr_value_k_by_type(events: ray.data.Dataset) -> pa.Table:
+    """Exact Pearson correlation per event_type between ``value`` (as
+    cents) and the JSON property ``k`` (RE2-extracted) — the two-pass-
+    free moment aggregate: each batch folds (n, Σx, Σy, Σxx, Σxy, Σyy)
+    locally (ints, exact), ONE tiny groupby merges partials, and the
+    final r is computed from arbitrary-precision Python ints cast to
+    float64 in the same op order DuckDB uses (HUGEINT -> DOUBLE ->
+    x/sqrt(da)/sqrt(db)), so corr_e6 matches the oracle bit-for-bit.
+    -> (event_type, n, corr_e6)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum as RSum
+
+    pattern = '"k": (?P<v>[0-9]+)'
+
+    def partial(batch: pa.Table) -> pa.Table:
+        props = batch["props"]
+        if isinstance(props, pa.ChunkedArray):
+            props = props.combine_chunks()
+        m = pc.extract_regex(props, pattern=pattern)
+        arr = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        yv = arr.fill_null(0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * 100 + 0.5).astype(np.int64)
+        x = np.where(valid, x, 0)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "one": pa.array(valid.astype(np.int64), pa.int64()),
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(yv, pa.int64()),
+            "xx": pa.array(np.where(valid, x * x, 0), pa.int64()),
+            "xy": pa.array(np.where(valid, x * yv, 0), pa.int64()),
+            "yy": pa.array(np.where(valid, yv * yv, 0), pa.int64()),
+        })
+        agg = t.group_by("event_type").aggregate(
+            [("one", "sum"), ("x", "sum"), ("y", "sum"),
+             ("xx", "sum"), ("xy", "sum"), ("yy", "sum")])
+        return agg.rename_columns(
+            ["event_type", "n_p", "sx_p", "sy_p", "sxx_p", "sxy_p",
+             "syy_p"])
+
+    folded = events.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(RSum("n_p", alias_name="n"),
+                   RSum("sx_p", alias_name="sx"),
+                   RSum("sy_p", alias_name="sy"),
+                   RSum("sxx_p", alias_name="sxx"),
+                   RSum("sxy_p", alias_name="sxy"),
+                   RSum("syy_p", alias_name="syy")) \
+        .take_all()                       # <= n_event_types rows
+
+    types, ns, corr = [], [], []
+    for row in sorted(folded, key=lambda r: r["event_type"]):
+        n, sx, sy = int(row["n"]), int(row["sx"]), int(row["sy"])
+        sxx, sxy, syy = int(row["sxx"]), int(row["sxy"]), int(row["syy"])
+        num = n * sxy - sx * sy           # exact Python ints (no overflow)
+        da, db = n * sxx - sx * sx, n * syy - sy * sy
+        r = 0.0 if da == 0 or db == 0 else \
+            float(num) / np.sqrt(float(da)) / np.sqrt(float(db))
+        types.append(row["event_type"])
+        ns.append(n)
+        corr.append(int(np.floor(r * 1_000_000 + 0.5)))
+    return pa.table({"event_type": pa.array(types, pa.string()),
+                     "n": pa.array(ns, pa.int64()),
+                     "corr_e6": pa.array(corr, pa.int64())})
