@@ -707,6 +707,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.decontaminate(_documents_ds(sf_dir), DOCUMENTS_SPEC,
                                    k=3, bench_mod=20)
 
+    def bm25_topk_not(sf_dir):
+        """Boolean must / must_not: BM25 over 'spark' excluding every
+        doc containing 'vector' (ES bool-must_not; exclusion set = union
+        of the negative terms' postings, shard-pruned reads)."""
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        eng = SearchEngine(_ensure_index(sf_dir))
+        hits = eng.search_not(["spark"], ["vector"], k=1_000_000)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
+    def mlt_search(sf_dir):
+        """ES more_like_this: top-5 tf×idf terms of the corpus' first
+        doc (idf from index stats, one shard-pruned df lookup) -> BM25
+        top-10 excluding the source doc."""
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        from ray.data.aggregate import Min as RMin
+        src = _documents_ds(sf_dir).aggregate(RMin("doc_id"))["min(doc_id)"]
+        eng = SearchEngine(_ensure_index(sf_dir))
+        _, hits = eng.more_like_this(int(src), n_terms=5, k=1_000_000)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
+    def prefix_term_stats(sf_dir):
+        """Wildcard/prefix query over the term dictionary: distributed
+        range-filtered scan of the shard files (posting blobs pruned at
+        the read)."""
+        from onestools_eventlog_ray.pipelines.query import (
+            prefix_term_stats as pts)
+        return pts(_ensure_index(sf_dir), "win")
+
+    def source_lang_rollup(sf_dir):
+        """GROUPING-SETS rollup: (source, lang) / (source) / grand total
+        in one small result, derived from a single distributed fold."""
+        return relational.source_lang_rollup(_documents_ds(sf_dir))
+
     return {
         "doc_token_stats": doc_token_stats,
         "term_stats": term_stats,
@@ -773,6 +820,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_rank_window": order_rank_window,
         "corr_value_k_by_type": corr_value_k_by_type,
         "decontaminate": decontaminate,
+        "bm25_topk_not": bm25_topk_not,
+        "mlt_search": mlt_search,
+        "prefix_term_stats": prefix_term_stats,
+        "source_lang_rollup": source_lang_rollup,
     }
 
 
@@ -1683,4 +1734,60 @@ hits AS (
                                   THEN h END) AS BIGINT) AS n_hit
   FROM sh WHERE doc_id % 20 <> 0 GROUP BY doc_id)
 SELECT doc_id, n_tri, n_hit FROM hits WHERE n_hit > 0""",
+
+        "bm25_topk_not": _bm25_sql(["spark"]).replace(
+            "FROM scored\nORDER BY",
+            "FROM scored\nWHERE doc_id NOT IN (SELECT DISTINCT doc_id "
+            "FROM toks WHERE term = 'vector')\nORDER BY"),
+
+        "mlt_search": f"""
+WITH toks AS ({_TOKS}),
+src AS (SELECT min(doc_id) AS d FROM documents),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+dtf AS (SELECT term, count(*) AS tf FROM toks
+        WHERE doc_id = (SELECT d FROM src) GROUP BY term),
+seldf AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+          WHERE term IN (SELECT term FROM dtf) GROUP BY term),
+sel AS (SELECT dtf.term FROM dtf JOIN seldf USING (term)
+        ORDER BY dtf.tf * ln(1 + ((SELECT n_docs FROM stats) - seldf.df
+                                  + 0.5) / (seldf.df + 0.5)) DESC,
+                 dtf.term ASC
+        LIMIT 5),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN (SELECT term FROM sel) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + ((SELECT n_docs FROM stats) - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+            ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+  WHERE tf.doc_id <> (SELECT d FROM src)
+  GROUP BY tf.doc_id)
+SELECT CAST(row_number() OVER (
+         ORDER BY CAST(floor(score * 1000000 + 0.5) AS BIGINT) DESC,
+                  doc_id ASC) AS BIGINT) AS rank,
+       doc_id,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6
+FROM scored
+ORDER BY score_e6 DESC, doc_id ASC
+LIMIT 10""",
+
+        "prefix_term_stats": f"""
+WITH toks AS ({_TOKS})
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM toks WHERE term >= 'win' AND term < 'wio' GROUP BY term""",
+
+        "source_lang_rollup": """
+SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY ROLLUP(source, lang)""",
     }

@@ -266,10 +266,12 @@ class SearchEngine:
     # ---- exact TAAT scorer ----------------------------------------------
 
     def search(self, terms: list[str], k: int = 10,
-               allowed: np.ndarray | None = None) -> list[tuple[int, float]]:
+               allowed: np.ndarray | None = None,
+               excluded: np.ndarray | None = None) -> list[tuple[int, float]]:
         """-> [(doc_id, score)], (score desc, doc_id asc), len <= k.
         ``allowed``: optional sorted doc_id whitelist applied BEFORE the
-        top-k cut (metadata filter context)."""
+        top-k cut (metadata filter context); ``excluded``: optional
+        doc_id blacklist (bool-must_not / MLT self-exclusion)."""
         uniq = sorted(set(terms))
         loaded = self.load_terms(uniq)
         ids_parts, w_parts = [], []
@@ -307,8 +309,49 @@ class SearchEngine:
             keep = np.flatnonzero(
                 np.isin(uids, allowed, assume_unique=False))
             uids, scores = uids[keep], scores[keep]
+        if excluded is not None and excluded.size:
+            keep = np.flatnonzero(
+                ~np.isin(uids, excluded, assume_unique=False))
+            uids, scores = uids[keep], scores[keep]
         idx = topk_order(scores, uids, k)
         return [(int(uids[i]), float(scores[i])) for i in idx]
+
+    def search_not(self, terms: list[str], exclude_terms: list[str],
+                   k: int = 10) -> list[tuple[int, float]]:
+        """Boolean must / must_not: BM25 over ``terms``, dropping every
+        document that contains ANY of ``exclude_terms`` (ES bool-must_not
+        semantics; scores are those of the positive terms only).  The
+        exclusion set is the union of the negative terms' postings —
+        read by the same shard-pruned term lookup, never a corpus scan."""
+        neg = self.load_terms(sorted(set(exclude_terms)))
+        parts = [codec.decode_posting(blob).doc_ids
+                 for _, blob in neg.values()]
+        excluded = np.unique(np.concatenate(parts)) if parts \
+            else np.empty(0, dtype=np.int64)
+        return self.search(terms, k, excluded=excluded)
+
+    def more_like_this(self, doc_id: int, n_terms: int = 5,
+                       k: int = 10) -> tuple[list[str],
+                                             list[tuple[int, float]]]:
+        """ES more_like_this: fetch the source doc's stored content,
+        re-analyze it, pick its top ``n_terms`` terms by tf×idf (idf from
+        the INDEX stats — one shard-pruned df lookup, no corpus pass),
+        then run a BM25 search on those terms excluding the source doc.
+        Tie-breaks (tfidf desc, term asc) are deterministic, so the
+        DuckDB oracle reproduces the exact term selection and ranking.
+        -> (selected_terms, hits)."""
+        from collections import Counter
+        from onestools_eventlog_ray.functions.analyzer import tokenize_py
+        doc = self.fetch_docs([doc_id], columns=["doc_id", "content"])
+        if doc.num_rows == 0:
+            return [], []
+        tf = Counter(tokenize_py(doc["content"][0].as_py()))
+        loaded = self.load_terms(sorted(tf))
+        scored = [(-(tf[t] * idf_fn(self.N, df)), t)
+                  for t, (df, _) in loaded.items()]
+        sel = [t for _, t in sorted(scored)[:n_terms]]
+        return sel, self.search(sel, k,
+                                excluded=np.asarray([doc_id], np.int64))
 
     # ---- block-max WAND -------------------------------------------------
 
@@ -562,3 +605,26 @@ def score_queries(index_dir: str, queries, k: int = 10,
                                batch_size=batch_size, concurrency=concurrency,
                                fn_constructor_kwargs=dict(index_dir=index_dir,
                                                           use_wand=use_wand))
+
+
+def prefix_term_stats(index_dir: str, prefix: str):
+    """Wildcard/prefix query support (ES ``prefix``/``wildcard``): scan
+    the index's term DICTIONARY for terms starting with ``prefix`` and
+    return (term, df, cf) — a distributed ``read_parquet`` over the
+    shard files with a range filter (``prefix <= term < prefix⁺``)
+    pushed to parquet row groups, never touching posting blobs
+    (``columns=["term","df","cf"]`` prunes them at the read).
+
+    Terms hash across shards, so a prefix scan must visit every shard —
+    the filter makes each visit a dictionary-page skim, and the scan is
+    one streaming Dataset (at 10^5 shards this is a normal fan-out
+    read, not a driver loop)."""
+    import pyarrow.dataset as pads
+    import ray.data
+    if not prefix:
+        raise ValueError("prefix must be non-empty")
+    upper = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+    expr = (pads.field("term") >= prefix) & (pads.field("term") < upper)
+    return ray.data.read_parquet(os.path.join(index_dir, "shards"),
+                                 columns=["term", "df", "cf"],
+                                 filter=expr)

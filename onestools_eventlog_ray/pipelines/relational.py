@@ -682,3 +682,52 @@ def corr_value_k_by_type(events: ray.data.Dataset) -> pa.Table:
     return pa.table({"event_type": pa.array(types, pa.string()),
                      "n": pa.array(ns, pa.int64()),
                      "corr_e6": pa.array(corr, pa.int64())})
+
+
+def source_lang_rollup(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """GROUPING-SETS / ROLLUP aggregate over documents metadata:
+    (source, lang), (source), and the grand total in ONE result, the
+    multi-level reporting aggregate SQL's ROLLUP produces.  Rolled-up
+    positions carry the sentinel 'ALL' (the oracle COALESCEs its NULLs
+    to the same sentinel).  -> (source, lang, n_docs, sum_chars).
+
+    Shape: one distributed partial fold to the FINEST level (only
+    (source, lang, partials) rows shuffle), then the coarser levels are
+    derived from the finest result inside one final task — the rollup
+    costs one small groupby, not three corpus passes."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = pa.table({"source": batch["source"], "lang": batch["lang"],
+                        "n_chars": batch["n_chars"]}) \
+            .group_by(["source", "lang"]) \
+            .aggregate([("n_chars", "count"), ("n_chars", "sum")])
+        return agg.rename_columns(["source", "lang", "n_p", "chars_p"])
+
+    finest = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "lang"]) \
+        .aggregate(Sum("n_p", alias_name="n_docs"),
+                   Sum("chars_p", alias_name="sum_chars"))
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        bysrc = batch.group_by("source").aggregate(
+            [("n_docs", "sum"), ("sum_chars", "sum")]) \
+            .rename_columns(["source", "n_docs", "sum_chars"])
+        n1 = bysrc.num_rows
+        lvl1 = pa.table({
+            "source": bysrc["source"], 
+            "lang": pa.array(["ALL"] * n1, pa.string()),
+            "n_docs": bysrc["n_docs"], "sum_chars": bysrc["sum_chars"]})
+        import pyarrow.compute as pc
+        lvl0 = pa.table({
+            "source": pa.array(["ALL"], pa.string()),
+            "lang": pa.array(["ALL"], pa.string()),
+            "n_docs": pa.array([pc.sum(batch["n_docs"]).as_py() or 0],
+                               pa.int64()),
+            "sum_chars": pa.array([pc.sum(batch["sum_chars"]).as_py() or 0],
+                                  pa.int64())})
+        lvl2 = batch.select(["source", "lang", "n_docs", "sum_chars"])
+        return pa.concat_tables([lvl2, lvl1, lvl0])
+
+    # repartition(1): the finest level is O(sources × langs) rows — one
+    # task derives the coarser levels (and kills empty-partition blocks)
+    return finest.repartition(1).map_batches(rollup, batch_format="pyarrow")
