@@ -754,6 +754,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         in one small result, derived from a single distributed fold."""
         return relational.source_lang_rollup(_documents_ds(sf_dir))
 
+    def fuzzy_term_stats(sf_dir):
+        """ES fuzzy query expansion (fuzziness=1): dictionary terms
+        within edit distance 1 of the typo 'past' — banded distributed
+        shard-dictionary scan + exact O(n) verify."""
+        from onestools_eventlog_ray.pipelines.query import fuzzy_expand
+        return fuzzy_expand(_ensure_index(sf_dir), "past")
+
+    def bm25_fuzzy(sf_dir):
+        """ES fuzzy search: BM25 over the distance-1 expansion of the
+        typo 'past' (matches 'fast' and 'part'), each expanded term
+        scored with its own idf — union semantics."""
+        from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                            fuzzy_expand)
+        idx = _ensure_index(sf_dir)
+        terms = sorted(r["term"] for r in fuzzy_expand(idx, "past").take_all())
+        eng = SearchEngine(idx)
+        hits = eng.search(terms, k=1_000_000)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
+    def search_facets(sf_dir):
+        """ES terms-aggregation inside a query: (lang, source) counts
+        over EVERY doc matching 'spark' — posting broadcast once, the
+        docstore streams through a semi-join + partial fold."""
+        from onestools_eventlog_ray.pipelines.query import facet_counts
+        return facet_counts(_ensure_index(sf_dir), "spark")
+
+    def redact_stats(sf_dir):
+        """C4-style denylist redaction: per doc (n_redacted, n_kept,
+        md5 of the scrubbed text) — vectorized mask + binary_join +
+        DuckDB md5 kernel, byte-auditable vs the oracle."""
+        return text.redact_terms(_documents_ds(sf_dir), DOCUMENTS_SPEC)
+
+    def lm_quality(sf_dir):
+        """Unigram-LM quality score (CCNet/KenLM-style filter, exact):
+        per-doc integer sum of e6-rounded token log-probabilities —
+        order-independent fixed-point, vocab broadcast once."""
+        return text.lm_scores(_documents_ds(sf_dir), DOCUMENTS_SPEC)
+
+    def significant_terms_de(sf_dir):
+        """ES significant_terms: terms over-represented in lang='de'
+        docs vs the corpus, exact-integer lift in e6, single corpus
+        pass (per-term partials + a sentinel doc-count row)."""
+        return text.significant_terms(_documents_ds(sf_dir), DOCUMENTS_SPEC,
+                                      fg_col="lang", fg_value="de")
+
     return {
         "doc_token_stats": doc_token_stats,
         "term_stats": term_stats,
@@ -824,6 +876,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mlt_search": mlt_search,
         "prefix_term_stats": prefix_term_stats,
         "source_lang_rollup": source_lang_rollup,
+        "fuzzy_term_stats": fuzzy_term_stats,
+        "bm25_fuzzy": bm25_fuzzy,
+        "search_facets": search_facets,
+        "redact_stats": redact_stats,
+        "lm_quality": lm_quality,
+        "significant_terms_de": significant_terms_de,
     }
 
 
@@ -1790,4 +1848,59 @@ SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY ROLLUP(source, lang)""",
+
+        "fuzzy_term_stats": f"""
+WITH toks AS ({_TOKS})
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM toks WHERE levenshtein(term, 'past') <= 1 GROUP BY term""",
+
+        "bm25_fuzzy": _bm25_sql(["past"]).replace(
+            "IN ('past')",
+            "IN (SELECT DISTINCT term FROM toks"
+            " WHERE levenshtein(term, 'past') <= 1)"),
+
+        "search_facets": f"""
+WITH toks AS ({_TOKS})
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+GROUP BY lang, source""",
+
+        "redact_stats": """
+WITH base AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS orig,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '' AND x NOT IN ('the','a','big')) AS keptl
+  FROM documents)
+SELECT doc_id, CAST(len(orig) - len(keptl) AS BIGINT) AS n_redacted,
+       CAST(len(keptl) AS BIGINT) AS n_kept,
+       md5(array_to_string(keptl, ' ')) AS scrubbed_md5
+FROM base""",
+
+        "lm_quality": f"""
+WITH toks AS ({_TOKS}),
+cf AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+tot AS (SELECT count(*) AS t FROM toks)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+       CAST(sum(CAST(floor(ln(cf.c * 1.0 / (SELECT t FROM tot)) * 1000000
+                           + 0.5) AS BIGINT)) AS BIGINT) AS sum_lp_e6
+FROM toks JOIN cf USING (term) GROUP BY doc_id""",
+
+        "significant_terms_de": f"""
+WITH toks AS ({_TOKS}),
+pt AS (SELECT term, doc_id FROM toks GROUP BY term, doc_id),
+n AS (SELECT count(*) AS nd FROM documents),
+nfg AS (SELECT count(*) AS nf FROM documents WHERE lang = 'de'),
+ag AS (SELECT pt.term, CAST(count(*) AS BIGINT) AS df,
+              CAST(sum(CASE WHEN d.lang = 'de' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS df_fg
+       FROM pt JOIN documents d USING (doc_id) GROUP BY pt.term)
+SELECT term, df_fg, df,
+       (2 * df_fg * (SELECT nd FROM n) * 1000000 + (SELECT nf FROM nfg) * df)
+         // (2 * (SELECT nf FROM nfg) * df) AS lift_e6
+FROM ag WHERE df_fg >= 5
+ORDER BY lift_e6 DESC, df_fg DESC, term ASC LIMIT 10""",
     }

@@ -628,3 +628,107 @@ def prefix_term_stats(index_dir: str, prefix: str):
     return ray.data.read_parquet(os.path.join(index_dir, "shards"),
                                  columns=["term", "df", "cf"],
                                  filter=expr)
+
+
+# ---- fuzzy (edit-distance-1) term expansion -----------------------------
+
+def _lev_le1(a: str, b: str) -> bool:
+    """Exact Levenshtein(a, b) <= 1 in one O(n) pass (no DP table)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) <= 1
+    if la > lb:
+        a, b, la = b, a, lb
+    # len(b) == len(a) + 1: b minus one char must equal a
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def fuzzy_expand(index_dir: str, query_term: str):
+    """ES ``fuzzy`` query expansion (fuzziness=1): every DICTIONARY term
+    within Levenshtein distance 1 of ``query_term`` -> (term, df, cf).
+
+    Distributed scan of the shard term dictionaries (posting blobs are
+    pruned at the read) with a complete-recall vectorized band
+    prefilter: a distance-<=1 match differs from the query by ONE edit,
+    so by pigeonhole it must keep either the query's first half as a
+    PREFIX or its second half as a SUFFIX intact (``starts_with`` /
+    ``ends_with`` RE2-free kernels + a length band).  Only the handful
+    of band survivors reach the exact O(n) verifier — the same
+    band-then-verify shape as the MinHash/SimHash pair pipelines."""
+    import ray.data
+    if not query_term:
+        raise ValueError("query_term must be non-empty")
+    q = query_term
+    h = len(q) // 2
+
+    def fn(batch: pa.Table) -> pa.Table:
+        term = batch["term"]
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        tl = pc.utf8_length(term)
+        band = pc.and_(
+            pc.and_(pc.greater_equal(tl, len(q) - 1),
+                    pc.less_equal(tl, len(q) + 1)),
+            pc.or_(pc.starts_with(term, pattern=q[:h]),
+                   pc.ends_with(term, pattern=q[h:])))
+        cand = batch.filter(band)
+        if not cand.num_rows:
+            return cand
+        keep = [_lev_le1(q, t) for t in cand["term"].to_pylist()]
+        return cand.filter(pa.array(keep, pa.bool_()))
+
+    return ray.data.read_parquet(os.path.join(index_dir, "shards"),
+                                 columns=["term", "df", "cf"]) \
+        .map_batches(fn, batch_format="pyarrow")
+
+
+# ---- facet aggregation over ALL matching docs ---------------------------
+
+def facet_counts(index_dir: str, term: str,
+                 by: tuple[str, ...] = ("lang", "source")):
+    """ES terms-aggregation inside a query: counts of ``by`` metadata
+    values over EVERY document matching ``term`` (not just the top-k
+    hits).  -> Dataset (by..., n_docs).
+
+    The match set is the term's posting (one shard-pruned read),
+    broadcast ONCE via ``ray.put``; the docstore streams through a
+    ``map_batches`` semi-join (sorted-side ``np.isin``) followed by the
+    partial-then-tiny-groupby fold — no all-to-all on the corpus, only
+    O(|by-cardinality|) rows shuffle.  Tombstoned docs are masked from
+    the match set before broadcast."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum as RSum
+
+    eng = SearchEngine(index_dir)
+    loaded = eng.load_terms([term])
+    if term in loaded:
+        ids = codec.decode_posting(loaded[term][1]).doc_ids
+        if eng.deleted.size:
+            ids = ids[~np.isin(ids, eng.deleted)]
+    else:
+        ids = np.empty(0, dtype=np.int64)
+    ids_ref = ray.put(np.sort(ids))
+    cols = list(by)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        allowed = ray.get(ids_ref)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(allowed, doc)
+        pos[pos == allowed.size] = 0
+        mask = allowed.size > 0
+        hit = (allowed[pos] == doc) if mask else np.zeros(doc.size, bool)
+        sub = batch.filter(pa.array(hit, pa.bool_()))
+        agg = sub.select(cols).group_by(cols).aggregate([([], "count_all")])
+        return agg.rename_columns(cols + ["n_p"])
+
+    return ray.data.read_parquet(
+        os.path.join(index_dir, "docstore"),
+        columns=["doc_id"] + cols) \
+        .map_batches(fn, batch_format="pyarrow") \
+        .groupby(cols).aggregate(RSum("n_p", alias_name="n_docs"))

@@ -423,3 +423,157 @@ def bigram_stats(ds: ray.data.Dataset,
 
     return ds.map_batches(partial, batch_format="pyarrow") \
              .groupby("bigram").aggregate(Sum("n_p", alias_name="n"))
+
+
+def redact_terms(ds: ray.data.Dataset,
+                 spec: CorpusSpec = DOCUMENTS_SPEC,
+                 deny: tuple[str, ...] = ("the", "a", "big")) -> ray.data.Dataset:
+    """Denylist redaction — the C4-style cleaning step (drop banned
+    terms, keep the rest in order): per doc (doc_id, n_redacted, n_kept,
+    scrubbed_md5) where scrubbed = kept tokens joined by ' '.
+
+    Fully vectorized, zero shuffle: tokenize (RE2), one ``is_in`` mask
+    against the deny set, offsets rebuilt by cumsum (no reduceat
+    zero-length hazard), ``binary_join`` reassembles the scrubbed text
+    and the md5 comes from the DuckDB kernel (``fasthash``) — no Python
+    per row.  The md5 makes the redaction auditable byte-for-byte
+    against the oracle without shipping the scrubbed corpus."""
+    deny_arr = pa.array(sorted(set(deny)), pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.fasthash import md5_hex_fast
+        b = add_doc_id(batch, spec)
+        toks = tokenize_array(b["content"])
+        flat = toks.flatten()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]          # rebase (sliced-input safety)
+        keep = pc.invert(pc.is_in(flat, value_set=deny_arr))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        cs = np.concatenate([[0], np.cumsum(keep_np, dtype=np.int64)])
+        kept_per_doc = cs[offsets[1:]] - cs[offsets[:-1]]
+        total_per_doc = np.diff(offsets)
+        new_offsets = np.concatenate([[0], np.cumsum(kept_per_doc)])
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(new_offsets, pa.int32()), flat.filter(keep))
+        scrubbed = pc.binary_join(kept_list, " ")
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_redacted": pa.array(total_per_doc - kept_per_doc, pa.int64()),
+            "n_kept": pa.array(kept_per_doc, pa.int64()),
+            "scrubbed_md5": md5_hex_fast(scrubbed),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def lm_scores(ds: ray.data.Dataset,
+              spec: CorpusSpec = DOCUMENTS_SPEC) -> ray.data.Dataset:
+    """Unigram language-model quality score (the CCNet/KenLM-style
+    perplexity filter, exact and model-free): per doc
+    (doc_id, dl, sum_lp_e6) where sum_lp_e6 = Σ_token
+    round(ln(cf_token / total_tokens) · 1e6) as an INTEGER sum — each
+    token's log-probability is rounded to e6 fixed-point FIRST, so the
+    per-doc sum is order-independent and bit-identical to the SQL
+    oracle (the float-summation-order hazard is designed out, same as
+    ``label_centroids``).
+
+    Two passes: the ``term_stats`` partial-fold (vocab-sized result)
+    broadcast once via ``ray.put``, then one streaming scoring pass
+    (``index_in`` + cumsum — no shuffle)."""
+    import ray
+
+    stats = term_stats(ds, spec).to_pandas()
+    total = int(stats["cf"].sum())
+    lp_e6 = np.floor(
+        np.log(stats["cf"].to_numpy().astype(np.float64) / total)
+        * 1_000_000 + 0.5).astype(np.int64)
+    lookup_ref = ray.put((pa.array(stats["term"], pa.string()), lp_e6))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        terms_arr, lp_arr = ray.get(lookup_ref)
+        b = add_doc_id(batch, spec)
+        toks = tokenize_array(b["content"])
+        flat = toks.flatten()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        pos = pc.index_in(flat, value_set=terms_arr) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_lp = lp_arr[pos]
+        cs = np.concatenate([[0], np.cumsum(tok_lp, dtype=np.int64)])
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "dl": pa.array(np.diff(offsets), pa.int64()),
+            "sum_lp_e6": pa.array(cs[offsets[1:]] - cs[offsets[:-1]],
+                                  pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def significant_terms(ds: ray.data.Dataset,
+                      spec: CorpusSpec = DOCUMENTS_SPEC,
+                      fg_col: str = "lang", fg_value: str = "de",
+                      min_df_fg: int = 5, k: int = 10) -> ray.data.Dataset:
+    """ES ``significant_terms`` aggregation: terms over-represented in a
+    FOREGROUND slice (``fg_col == fg_value``) vs the whole corpus,
+    scored by exact-integer lift
+    ``(df_fg / n_fg) / (df / n_docs)`` in e6 fixed-point (round-half-up
+    computed entirely in int64 — no float division anywhere, so the
+    ranking is bit-identical to the SQL oracle).
+
+    ONE corpus pass: each batch emits per-term partial (df, df_fg)
+    counts plus a sentinel row carrying the batch's (n_docs, n_fg);
+    only vocab-sized partials shuffle.  -> top-k
+    (term, df_fg, df, lift_e6) by (lift desc, df_fg desc, term asc)."""
+    _SENT = "\x00__docs__"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.analyzer import doc_term_table
+        b = add_doc_id(batch, spec)
+        triples, _ = doc_term_table(b["doc_id"], b["content"])
+        fg_mask = pc.equal(batch[fg_col], fg_value)
+        fg_ids = pa.table({"doc_id": batch[spec.id_col or "doc_id"]}) \
+            .filter(fg_mask)["doc_id"]
+        in_fg = pc.is_in(triples["doc_id"], value_set=fg_ids.combine_chunks())
+        agg = pa.table({
+            "term": triples["term"],
+            "one": pa.array(np.ones(triples.num_rows, np.int64)),
+            "fg": pc.cast(in_fg, pa.int64()),
+        }).group_by("term").aggregate([("one", "sum"), ("fg", "sum")])
+        agg = agg.rename_columns(["term", "df_p", "fg_p"])
+        sent = pa.table({
+            "term": pa.array([_SENT], pa.string()),
+            "df_p": pa.array([batch.num_rows], pa.int64()),
+            "fg_p": pa.array([int(pc.sum(pc.cast(fg_mask, pa.int64())).as_py()
+                                  or 0)], pa.int64()),
+        })
+        return pa.concat_tables([agg, sent])
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("term") \
+        .aggregate(Sum("df_p", alias_name="df"),
+                   Sum("fg_p", alias_name="df_fg"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        terms = np.asarray(batch["term"].to_pylist(), dtype=object)
+        df = batch["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dfg = batch["df_fg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sent = terms == _SENT
+        n_docs = int(df[sent][0])
+        n_fg = int(dfg[sent][0])
+        m = (~sent) & (dfg >= min_df_fg) & (df > 0)
+        terms, df, dfg = terms[m], df[m], dfg[m]
+        # round-half-up of (dfg*n_docs)/(n_fg*df) * 1e6, pure int64
+        num = 2 * dfg * n_docs * 1_000_000 + n_fg * df
+        lift = num // (2 * n_fg * df)
+        t_np = terms.astype(np.str_)
+        order = np.lexsort((t_np, -dfg, -lift))[:k]
+        return pa.table({
+            "term": pa.array(terms[order], pa.string()),
+            "df_fg": pa.array(dfg[order], pa.int64()),
+            "df": pa.array(df[order], pa.int64()),
+            "lift_e6": pa.array(lift[order], pa.int64()),
+        })
+
+    # the fold is vocab-sized: one final task ranks it
+    return folded.repartition(1).map_batches(finalize, batch_format="pyarrow")
