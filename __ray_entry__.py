@@ -799,6 +799,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         order-independent fixed-point, vocab broadcast once."""
         return text.lm_scores(_documents_ds(sf_dir), DOCUMENTS_SPEC)
 
+    def bm25_range_filtered(sf_dir):
+        """BM25 under an ES ``range`` filter (n_chars BETWEEN 100 AND
+        350): score-then-verify refill, range predicate vectorized in
+        the verify read."""
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        eng = SearchEngine(_ensure_index(sf_dir))
+        hits = eng.search_filtered(_BM25_TERMS, {"n_chars": (100, 350)},
+                                   k=1_000_000)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
+    def search_page2(sf_dir):
+        """ES search_after cursor pagination: page 1 (k=10) yields the
+        cursor; the returned table is page 2 = absolute ranks 11..20."""
+        from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                           search_page)
+        eng = SearchEngine(_ensure_index(sf_dir))
+        page1 = search_page(eng, _BM25_TERMS, after=None, k=10)
+        cursor = (page1[-1][2], page1[-1][1])        # (score_e6, doc_id)
+        rows = search_page(eng, _BM25_TERMS, after=cursor, k=10)
+        return pa.table({
+            "rank": pa.array([r for r, _, _ in rows], pa.int64()),
+            "doc_id": pa.array([d for _, d, _ in rows], pa.int64()),
+            "score_e6": pa.array([s for _, _, s in rows], pa.int64()),
+        })
+
+    def search_highlights(sf_dir):
+        """ES highlighting: top-5 BM25 hits + the 5-token snippet around
+        the first query-term occurrence (analyzer tokens)."""
+        from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                           highlight_snippets)
+        eng = SearchEngine(_ensure_index(sf_dir))
+        return highlight_snippets(eng, _BM25_TERMS, k=5, window=2)
+
+    def index_stats(sf_dir):
+        """_cat/indices-style summary: one distributed fold over the
+        shard term dictionaries (posting blobs pruned at the read)."""
+        from onestools_eventlog_ray.pipelines.query import index_summary
+        return index_summary(_ensure_index(sf_dir))
+
     def significant_terms_de(sf_dir):
         """ES significant_terms: terms over-represented in lang='de'
         docs vs the corpus, exact-integer lift in e6, single corpus
@@ -882,6 +928,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_stats": redact_stats,
         "lm_quality": lm_quality,
         "significant_terms_de": significant_terms_de,
+        "bm25_range_filtered": bm25_range_filtered,
+        "search_page2": search_page2,
+        "search_highlights": search_highlights,
+        "index_stats": index_stats,
     }
 
 
@@ -1903,4 +1953,31 @@ SELECT term, df_fg, df,
          // (2 * (SELECT nf FROM nfg) * df) AS lift_e6
 FROM ag WHERE df_fg >= 5
 ORDER BY lift_e6 DESC, df_fg DESC, term ASC LIMIT 10""",
+        "bm25_range_filtered": _bm25_filtered_sql(
+            _BM25_TERMS, "n_chars BETWEEN 100 AND 350"),
+        "search_page2": f"""
+SELECT * FROM ({_bm25_sql(_BM25_TERMS, 20)}) WHERE rank > 10
+ORDER BY rank""",
+        "search_highlights": f"""
+WITH topk AS ({_bm25_sql(_BM25_TERMS, 5)}),
+tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+            '[^a-z0-9_]+'), x -> x <> '') AS l
+        FROM documents WHERE doc_id IN (SELECT doc_id FROM topk)),
+pos AS (SELECT doc_id, l,
+        least({", ".join(f"coalesce(nullif(list_position(l, '{t}'), 0),"
+                         f" 1073741824)" for t in _BM25_TERMS)}) AS f
+        FROM tok)
+SELECT t.rank, t.doc_id,
+       CASE WHEN p.f >= 1073741824 THEN ''
+            ELSE array_to_string(list_slice(p.l, greatest(1, p.f - 2),
+                                            p.f + 2), ' ') END AS snippet
+FROM topk t JOIN pos p USING (doc_id)
+ORDER BY t.rank""",
+        "index_stats": f"""
+WITH toks AS ({_TOKS}),
+pt AS (SELECT doc_id, term FROM toks GROUP BY doc_id, term)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       (SELECT count(DISTINCT term) FROM toks) AS n_terms,
+       (SELECT count(*) FROM pt) AS n_postings,
+       (SELECT count(*) FROM toks) AS total_cf""",
     }

@@ -243,7 +243,13 @@ class SearchEngine:
             if tbl.num_rows:
                 mask = None
                 for c, v in where.items():
-                    m = pc.equal(tbl[c], v)
+                    # a (lo, hi) tuple is an inclusive range predicate
+                    # (ES ``range`` filter); any scalar is equality
+                    if isinstance(v, tuple):
+                        m = pc.and_(pc.greater_equal(tbl[c], v[0]),
+                                    pc.less_equal(tbl[c], v[1]))
+                    else:
+                        m = pc.equal(tbl[c], v)
                     mask = m if mask is None else pc.and_(mask, m)
                 ok = set(tbl.filter(mask)["doc_id"].to_pylist()) \
                     if mask is not None else set(tbl["doc_id"].to_pylist())
@@ -732,3 +738,92 @@ def facet_counts(index_dir: str, term: str,
         columns=["doc_id"] + cols) \
         .map_batches(fn, batch_format="pyarrow") \
         .groupby(cols).aggregate(RSum("n_p", alias_name="n_docs"))
+
+
+# ---- cursor pagination / highlighting / index stats ---------------------
+
+def search_page(eng: SearchEngine, terms: list[str],
+                after: tuple[int, int] | None = None,
+                k: int = 10) -> list[tuple[int, int, int]]:
+    """ES ``search_after`` cursor pagination: the page of up to ``k``
+    hits strictly AFTER cursor ``(score_e6, doc_id)`` in the canonical
+    (score_e6 desc, doc_id asc) order.  -> [(rank, doc_id, score_e6)]
+    with ABSOLUTE ranks (rank 11.. for page 2), deterministic across
+    processes because the sort key is the e6-rounded integer score —
+    two hits whose float scores differ below 1e-6 are deliberately
+    tied and broken by doc_id, exactly like the SQL oracle."""
+    hits = eng.search(terms, k=1 << 62)
+    ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+    e6 = np.floor(np.asarray([s for _, s in hits]) * 1_000_000
+                  + 0.5).astype(np.int64)
+    order = np.lexsort((ids, -e6))
+    ids, e6 = ids[order], e6[order]
+    if after is None:
+        start = 0
+    else:
+        a_e6, a_doc = after
+        # first position strictly after the cursor in (-e6, doc_id) order
+        after_key = np.flatnonzero((e6 < a_e6) |
+                                   ((e6 == a_e6) & (ids > a_doc)))
+        start = int(after_key[0]) if after_key.size else ids.size
+    sel = slice(start, start + k)
+    return [(start + i + 1, int(d), int(s))
+            for i, (d, s) in enumerate(zip(ids[sel], e6[sel]))]
+
+
+def highlight_snippets(eng: SearchEngine, terms: list[str],
+                       k: int = 10, window: int = 2) -> pa.Table:
+    """ES highlighting: for each top-k hit, the snippet of ``window``
+    tokens around the FIRST occurrence of any query term (analyzer
+    tokens, joined by ' ').  Fetches only the k result docs (stored
+    fields read) — highlighting is a cold post-processing step on k
+    rows, never a corpus operation.  -> (rank, doc_id, snippet).
+    The top-k cut ranks on the e6-rounded integer score (same tie rule
+    as the SQL oracle) so boundary ties cannot admit different docs."""
+    from onestools_eventlog_ray.functions.analyzer import tokenize_py
+    hits = eng.search(terms, k=1 << 62)
+    ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+    e6 = np.floor(np.asarray([s for _, s in hits]) * 1_000_000
+                  + 0.5).astype(np.int64)
+    order = np.lexsort((ids, -e6))[:k]
+    ids = ids[order]
+    docs = eng.fetch_docs(ids.tolist(), columns=["doc_id", "content"])
+    tset = set(terms)
+    snips = []
+    for content in docs["content"].to_pylist():
+        toks = tokenize_py(content)
+        first = next((i for i, t in enumerate(toks) if t in tset), None)
+        snips.append("" if first is None else
+                     " ".join(toks[max(0, first - window):first + window + 1]))
+    return pa.table({
+        "rank": pa.array(np.arange(1, ids.size + 1), pa.int64()),
+        "doc_id": pa.array(docs["doc_id"], pa.int64()),
+        "snippet": pa.array(snips, pa.string()),
+    })
+
+
+def index_summary(index_dir: str) -> pa.Table:
+    """_cat/indices-style index statistics: (n_docs, n_terms,
+    n_postings, total_cf) — one distributed fold over the shard
+    dictionaries (posting blobs pruned at the read) plus the stats
+    manifest for n_docs.  Mergeable partials: each shard contributes
+    (rows, Σdf, Σcf)."""
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "terms_p": pa.array([batch.num_rows], pa.int64()),
+            "df_p": pa.array([pc.sum(batch["df"]).as_py() or 0], pa.int64()),
+            "cf_p": pa.array([pc.sum(batch["cf"]).as_py() or 0], pa.int64()),
+        })
+
+    parts = ray.data.read_parquet(os.path.join(index_dir, "shards"),
+                                  columns=["df", "cf"]) \
+        .map_batches(partial, batch_format="pyarrow").take_all()
+    stats = ckpt.read_stats(index_dir)
+    return pa.table({
+        "n_docs": pa.array([stats["n_docs"]], pa.int64()),
+        "n_terms": pa.array([sum(p["terms_p"] for p in parts)], pa.int64()),
+        "n_postings": pa.array([sum(p["df_p"] for p in parts)], pa.int64()),
+        "total_cf": pa.array([sum(p["cf_p"] for p in parts)], pa.int64()),
+    })

@@ -1,0 +1,141 @@
+"""Round-3 session-5: cursor pagination (search_after), range filters,
+highlighting, and the index-summary fold.
+
+Brute-force parity checks only — oracle-SQL parity runs through
+tools/check_oracle.py and the driver gate."""
+
+import collections
+import os
+import re
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TERMS = ["spark", "vector", "window"]
+
+
+def _tok(text):
+    return [t for t in re.split(r"[^a-z0-9_]+", text.lower()) if t]
+
+
+@pytest.fixture(scope="module")
+def docs_tbl():
+    return pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def index_dir():
+    import __ray_entry__ as em
+    return em._ensure_index(SF_DIR)
+
+
+@pytest.fixture(scope="module")
+def full_ranking(index_dir):
+    """Canonical (score_e6 desc, doc_id asc) full ranking for TERMS."""
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    eng = SearchEngine(index_dir)
+    hits = eng.search(TERMS, k=1 << 62)
+    ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+    e6 = np.floor(np.asarray([s for _, s in hits]) * 1e6 + 0.5).astype(np.int64)
+    order = np.lexsort((ids, -e6))
+    return ids[order], e6[order]
+
+
+def test_search_page_first_page_is_topk(index_dir, full_ranking):
+    from onestools_eventlog_ray.pipelines.query import SearchEngine, search_page
+    eng = SearchEngine(index_dir)
+    ids, e6 = full_ranking
+    page = search_page(eng, TERMS, after=None, k=10)
+    assert [(r, d, s) for r, d, s in page] == \
+        [(i + 1, int(ids[i]), int(e6[i])) for i in range(10)]
+
+
+def test_search_page_cursor_resumes_exactly(index_dir, full_ranking):
+    """Pages chained by cursor reconstruct the full ranking with no
+    overlap and no gaps, regardless of score ties at page boundaries."""
+    from onestools_eventlog_ray.pipelines.query import SearchEngine, search_page
+    eng = SearchEngine(index_dir)
+    ids, e6 = full_ranking
+    seen, cursor = [], None
+    while True:
+        page = search_page(eng, TERMS, after=cursor, k=7)
+        if not page:
+            break
+        seen.extend(page)
+        cursor = (page[-1][2], page[-1][1])
+    assert [d for _, d, _ in seen] == ids.tolist()
+    assert [r for r, _, _ in seen] == list(range(1, ids.size + 1))
+
+
+def test_search_page_mid_tie_cursor(index_dir, full_ranking):
+    """A cursor placed ON a tied (score, doc) resumes at the next doc of
+    the same score (strictly-after semantics)."""
+    from onestools_eventlog_ray.pipelines.query import SearchEngine, search_page
+    eng = SearchEngine(index_dir)
+    ids, e6 = full_ranking
+    i = ids.size // 2
+    page = search_page(eng, TERMS, after=(int(e6[i]), int(ids[i])), k=3)
+    want = [(j + 1, int(ids[j]), int(e6[j]))
+            for j in range(i + 1, min(i + 4, ids.size))]
+    assert page == want
+
+
+def test_range_filter_bruteforce(index_dir, docs_tbl, full_ranking):
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    eng = SearchEngine(index_dir)
+    lo, hi = 100, 350
+    nchars = dict(zip(docs_tbl["doc_id"].to_pylist(),
+                      docs_tbl["n_chars"].to_pylist()))
+    hits = eng.search_filtered(TERMS, {"n_chars": (lo, hi)}, k=10)
+    ids, e6 = full_ranking
+    want = [int(d) for d in ids if lo <= nchars[int(d)] <= hi][:10]
+    assert [d for d, _ in hits] == want
+    assert all(lo <= nchars[d] <= hi for d, _ in hits)
+
+
+def test_range_filter_composes_with_equality(index_dir, docs_tbl, full_ranking):
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    eng = SearchEngine(index_dir)
+    meta = {int(d): (l, n) for d, l, n in
+            zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["lang"].to_pylist(),
+                docs_tbl["n_chars"].to_pylist())}
+    hits = eng.search_filtered(TERMS, {"lang": "en", "n_chars": (100, 350)}, k=5)
+    ids, _ = full_ranking
+    want = [int(d) for d in ids
+            if meta[int(d)][0] == "en" and 100 <= meta[int(d)][1] <= 350][:5]
+    assert [d for d, _ in hits] == want
+
+
+def test_highlight_snippets_bruteforce(index_dir, docs_tbl, full_ranking):
+    from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                       highlight_snippets)
+    eng = SearchEngine(index_dir)
+    out = highlight_snippets(eng, TERMS, k=5, window=2)
+    ids, _ = full_ranking
+    texts = dict(zip(docs_tbl["doc_id"].to_pylist(),
+                     docs_tbl["text"].to_pylist()))
+    assert out["doc_id"].to_pylist() == ids[:5].tolist()
+    tset = set(TERMS)
+    for d, snip in zip(out["doc_id"].to_pylist(), out["snippet"].to_pylist()):
+        toks = _tok(texts[d])
+        first = next(i for i, t in enumerate(toks) if t in tset)
+        assert snip == " ".join(toks[max(0, first - 2):first + 3])
+        assert tset & set(snip.split())
+
+
+def test_index_summary_bruteforce(index_dir, docs_tbl):
+    from onestools_eventlog_ray.pipelines.query import index_summary
+    out = index_summary(index_dir).to_pylist()[0]
+    postings = collections.Counter()
+    total_cf = 0
+    terms = set()
+    for text in docs_tbl["text"].to_pylist():
+        toks = _tok(text)
+        total_cf += len(toks)
+        terms.update(toks)
+        for t in set(toks):
+            postings[t] += 1
+    assert out == {"n_docs": docs_tbl.num_rows, "n_terms": len(terms),
+                   "n_postings": sum(postings.values()), "total_cf": total_cf}
