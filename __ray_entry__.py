@@ -799,6 +799,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         order-independent fixed-point, vocab broadcast once."""
         return text.lm_scores(_documents_ds(sf_dir), DOCUMENTS_SPEC)
 
+    def customer_event_counts(sf_dir):
+        """LEFT OUTER join (zeros kept): per customer, event count via
+        the single-shuffle tagged-union Max/Sum fold."""
+        import ray.data
+        cust = ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"])
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["user_id"])
+        return relational.customer_activity(cust, ev)
+
+    def segment_activity(sf_dir):
+        """Anti-join rollup: customers with NO events per segment."""
+        import ray.data
+        cust = ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"])
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["user_id"])
+        return relational.segment_activity(cust, ev)
+
+    def interarrival(sf_dir):
+        """Per-user LAG-gap statistics (n, sum, exact floor-div avg)."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines import streaming
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["user_id", "ts"])
+        return streaming.interarrival_stats(ev)
+
     def bm25_range_filtered(sf_dir):
         """BM25 under an ES ``range`` filter (n_chars BETWEEN 100 AND
         350): score-then-verify refill, range predicate vectorized in
@@ -928,6 +957,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_stats": redact_stats,
         "lm_quality": lm_quality,
         "significant_terms_de": significant_terms_de,
+        "customer_event_counts": customer_event_counts,
+        "segment_activity": segment_activity,
+        "interarrival": interarrival,
         "bm25_range_filtered": bm25_range_filtered,
         "search_page2": search_page2,
         "search_highlights": search_highlights,
@@ -1953,6 +1985,38 @@ SELECT term, df_fg, df,
          // (2 * (SELECT nf FROM nfg) * df) AS lift_e6
 FROM ag WHERE df_fg >= 5
 ORDER BY lift_e6 DESC, df_fg DESC, term ASC LIMIT 10""",
+        "customer_event_counts": """
+SELECT c_custkey, c_mktsegment,
+       CAST(coalesce(e.cnt, 0) AS BIGINT) AS n_events
+FROM customer LEFT JOIN
+     (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id) e
+     ON e.user_id = c_custkey
+ORDER BY c_custkey""",
+        "segment_activity": """
+WITH j AS (
+  SELECT c_mktsegment, coalesce(e.cnt, 0) AS n_events
+  FROM customer LEFT JOIN
+       (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id) e
+       ON e.user_id = c_custkey)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN n_events > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_active,
+       CAST(sum(CASE WHEN n_events = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_inactive
+FROM j GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        "interarrival": """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+       CAST(sum(gap) // count(*) AS BIGINT) AS avg_gap_us
+FROM g WHERE gap IS NOT NULL
+GROUP BY user_id ORDER BY user_id""",
         "bm25_range_filtered": _bm25_filtered_sql(
             _BM25_TERMS, "n_chars BETWEEN 100 AND 350"),
         "search_page2": f"""

@@ -731,3 +731,98 @@ def source_lang_rollup(docs: ray.data.Dataset) -> ray.data.Dataset:
     # repartition(1): the finest level is O(sources × langs) rows — one
     # task derives the coarser levels (and kills empty-partition blocks)
     return finest.repartition(1).map_batches(rollup, batch_format="pyarrow")
+
+
+def customer_activity(customer: ray.data.Dataset,
+                      events: ray.data.Dataset) -> ray.data.Dataset:
+    """LEFT OUTER join customer -> per-user event counts (zeros kept) —
+    the outer member of the join family (broadcast / as-of / interval /
+    inner repartition / left+anti).  Mirrors the reference's
+    tenant-activity view (``ExportersManager.cs`` decides per-tenant
+    work from a presence lookup).
+
+    Scale shape: NO per-key ``map_groups``.  Events pre-aggregate to
+    (user_id, n_p) per batch (combiner), customers project to
+    (key, seg, 0); the tagged union shuffles ONCE and a vectorized
+    sort-aggregate folds each key to ``Max(seg)`` (exactly one customer
+    row per key carries the segment; event rows carry null, which Max
+    skips) + ``Sum(n_p)``.  Event keys with no customer row surface with
+    seg=null and are dropped (left semantics).
+    -> (c_custkey, c_mktsegment, n_events) sorted by c_custkey."""
+    import pyarrow.compute as pc
+
+    def proj_cust(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch["c_custkey"].cast(pa.int64()),
+            "seg": batch["c_mktsegment"],
+            "n_p": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+        })
+
+    def proj_events(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, counts = np.unique(uid, return_counts=True)
+        return pa.table({
+            "key": pa.array(keys, pa.int64()),
+            "seg": pa.nulls(keys.size, pa.string()),
+            "n_p": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    tagged = customer.map_batches(proj_cust, batch_format="pyarrow") \
+        .union(events.map_batches(proj_events, batch_format="pyarrow"))
+    agg = tagged.groupby("key").aggregate(
+        Max("seg", alias_name="c_mktsegment"),
+        Sum("n_p", alias_name="n_events"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["c_mktsegment"]))
+        return pa.table({
+            "c_custkey": batch["key"],
+            "c_mktsegment": batch["c_mktsegment"],
+            "n_events": batch["n_events"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort("c_custkey")
+
+
+def segment_activity(customer: ray.data.Dataset,
+                     events: ray.data.Dataset) -> pa.Table:
+    """Anti-join rollup: per market segment, how many customers have
+    NO event activity (NOT EXISTS) vs some — the semi/anti-join pair
+    folded to a small table.  Reuses :func:`customer_activity`'s
+    single-shuffle left join, then one partial count fold on
+    (segment, active) — nothing corpus-sized reaches the driver.
+    -> (c_mktsegment, n_customers, n_active, n_inactive) by segment."""
+    import pyarrow.compute as pc
+    per_cust = customer_activity(customer, events)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        active = pc.greater(batch["n_events"], 0)
+        seg = batch["c_mktsegment"]
+        act = active.combine_chunks() if isinstance(active, pa.ChunkedArray) \
+            else active
+        t = pa.table({"seg": seg, "a": act})
+        g = t.group_by(["seg", "a"]).aggregate([([], "count_all")])
+        return pa.table({
+            "c_mktsegment": g["seg"],
+            "a": g["a"],
+            "n_p": g["count_all"].cast(pa.int64()),
+        })
+
+    folded = per_cust.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["c_mktsegment", "a"]) \
+        .aggregate(Sum("n_p", alias_name="n")).take_all()
+    segs = sorted({r["c_mktsegment"] for r in folded})
+    n_all = {s: 0 for s in segs}
+    n_act = {s: 0 for s in segs}
+    for r in folded:
+        n_all[r["c_mktsegment"]] += int(r["n"])
+        if r["a"]:
+            n_act[r["c_mktsegment"]] += int(r["n"])
+    return pa.table({
+        "c_mktsegment": pa.array(segs, pa.string()),
+        "n_customers": pa.array([n_all[s] for s in segs], pa.int64()),
+        "n_active": pa.array([n_act[s] for s in segs], pa.int64()),
+        "n_inactive": pa.array([n_all[s] - n_act[s] for s in segs],
+                               pa.int64()),
+    })

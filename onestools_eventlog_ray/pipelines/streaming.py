@@ -113,3 +113,36 @@ def sessionize(ds: ray.data.Dataset, gap_s: int = 1800) -> ray.data.Dataset:
         })
 
     return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+def interarrival_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-user inter-arrival statistics — the LAG/LEAD window-function
+    family member (gap = ts - lag(ts) over user-ordered events; the
+    reference's event streams are exactly such per-source time series).
+
+    Per-user group: sort timestamps, diff — the gap MULTISET (and so
+    every sum/count/mean over it) is invariant to how equal timestamps
+    tie-break, so no secondary sort key is needed and the SQL oracle may
+    order by ts alone.  avg is exact integer floor-division (both sides
+    compute sum_us // n).  -> (user_id, n_gaps, sum_gap_us, avg_gap_us)
+    for users with >= 2 events, one row per user."""
+
+    def gaps(g: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "n_gaps": pa.array([], pa.int64()),
+                          "sum_gap_us": pa.array([], pa.int64()),
+                          "avg_gap_us": pa.array([], pa.int64())})
+        ts = np.sort(g["ts"].to_numpy(zero_copy_only=False).astype(np.int64))
+        if ts.size < 2:
+            return empty
+        d = np.diff(ts)
+        uid = int(g["user_id"][0].as_py())
+        s = int(d.sum())
+        return pa.table({
+            "user_id": pa.array([uid], pa.int64()),
+            "n_gaps": pa.array([d.size], pa.int64()),
+            "sum_gap_us": pa.array([s], pa.int64()),
+            "avg_gap_us": pa.array([s // d.size], pa.int64()),
+        })
+
+    return ds.groupby("user_id").map_groups(gaps, batch_format="pyarrow")

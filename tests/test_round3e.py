@@ -139,3 +139,83 @@ def test_index_summary_bruteforce(index_dir, docs_tbl):
             postings[t] += 1
     assert out == {"n_docs": docs_tbl.num_rows, "n_terms": len(terms),
                    "n_postings": sum(postings.values()), "total_cf": total_cf}
+
+
+# ---- left/anti join + lag family ----------------------------------------
+
+@pytest.fixture(scope="module")
+def tpc_tables():
+    cust = pq.read_table(os.path.join(SF_DIR, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    ev = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                       columns=["user_id", "ts"])
+    return cust, ev
+
+
+def test_customer_activity_left_join_bruteforce(tpc_tables):
+    import ray.data
+    from onestools_eventlog_ray.pipelines import relational
+    cust, ev = tpc_tables
+    out = relational.customer_activity(
+        ray.data.from_arrow(cust), ray.data.from_arrow(ev)).take_all()
+    counts = collections.Counter(ev["user_id"].to_pylist())
+    want = sorted((int(k), s, counts.get(int(k), 0))
+                  for k, s in zip(cust["c_custkey"].to_pylist(),
+                                  cust["c_mktsegment"].to_pylist()))
+    assert [(r["c_custkey"], r["c_mktsegment"], r["n_events"])
+            for r in out] == want
+    # left semantics: zero-event customers ARE present
+    assert any(r["n_events"] == 0 for r in out)
+
+
+def test_customer_activity_drops_orphan_events(tpc_tables):
+    """Event user_ids with no customer row must not surface (left join,
+    not full outer)."""
+    import pyarrow as pa
+    import ray.data
+    from onestools_eventlog_ray.pipelines import relational
+    cust, _ = tpc_tables
+    ev = pa.table({"user_id": pa.array([10**9, 10**9 + 1], pa.int64()),
+                   "ts": pa.array([0, 1], pa.timestamp("us"))})
+    out = relational.customer_activity(
+        ray.data.from_arrow(cust), ray.data.from_arrow(ev)).take_all()
+    assert len(out) == cust.num_rows
+    assert all(r["n_events"] == 0 for r in out)
+
+
+def test_segment_activity_antijoin_bruteforce(tpc_tables):
+    import ray.data
+    from onestools_eventlog_ray.pipelines import relational
+    cust, ev = tpc_tables
+    out = relational.segment_activity(
+        ray.data.from_arrow(cust), ray.data.from_arrow(ev)).to_pylist()
+    active = set(ev["user_id"].to_pylist())
+    per_seg = collections.Counter(cust["c_mktsegment"].to_pylist())
+    act_seg = collections.Counter(
+        s for k, s in zip(cust["c_custkey"].to_pylist(),
+                          cust["c_mktsegment"].to_pylist()) if int(k) in active)
+    assert out == [{"c_mktsegment": s, "n_customers": per_seg[s],
+                    "n_active": act_seg.get(s, 0),
+                    "n_inactive": per_seg[s] - act_seg.get(s, 0)}
+                   for s in sorted(per_seg)]
+    assert sum(r["n_inactive"] for r in out) > 0
+
+
+def test_interarrival_bruteforce(tpc_tables):
+    import ray.data
+    from onestools_eventlog_ray.pipelines import streaming
+    _, ev = tpc_tables
+    out = {r["user_id"]: r for r in streaming.interarrival_stats(
+        ray.data.from_arrow(ev)).take_all()}
+    per_user = collections.defaultdict(list)
+    for u, t in zip(ev["user_id"].to_pylist(), ev["ts"].to_pylist()):
+        per_user[int(u)].append(t)
+    for u, tss in per_user.items():
+        gaps = np.diff(np.sort(np.asarray(
+            [int(t.timestamp() * 1e6) for t in tss], dtype=np.int64)))
+        if gaps.size < 1:
+            assert u not in out
+            continue
+        r = out[u]
+        assert (r["n_gaps"], r["sum_gap_us"], r["avg_gap_us"]) == \
+            (gaps.size, int(gaps.sum()), int(gaps.sum()) // gaps.size)
