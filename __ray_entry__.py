@@ -31,6 +31,7 @@ _STOP_SQL = "('a','the','and','of','to','in','is','it')"
 
 _BM25_TERMS = ["spark", "vector", "window"]
 _BM25_TERMS_SINGLE = ["spark"]
+_BOOSTS = {"spark": 2.0, "vector": 1.0, "window": 0.5}
 
 
 def _documents_ds(sf_dir: str):
@@ -799,6 +800,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         order-independent fixed-point, vocab broadcast once."""
         return text.lm_scores(_documents_ds(sf_dir), DOCUMENTS_SPEC)
 
+    def _dsl_table(sf_dir, **kw):
+        from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                           search_dsl)
+        eng = SearchEngine(_ensure_index(sf_dir))
+        hits = search_dsl(eng, _BM25_TERMS, k=1_000_000, **kw)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
+    def bm25_msm2(sf_dir):
+        """minimum_should_match=2: docs matching >= 2 of the 3 terms."""
+        return _dsl_table(sf_dir, minimum_should_match=2)
+
+    def bm25_boosted(sf_dir):
+        """Query-time per-term boosts (spark^2.0, vector^1.0, window^0.5)."""
+        return _dsl_table(sf_dir, boosts=_BOOSTS)
+
+    def bm25_dismax(sf_dir):
+        """dis_max with tie_breaker=0.3: best-field score plus 0.3x the
+        rest (single-field analog over query terms)."""
+        return _dsl_table(sf_dir, mode="max", tie_breaker=0.3)
+
+    def collapse_by_lang(sf_dir):
+        """ES field collapsing: top-2 hits per lang value."""
+        from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                           search_collapse)
+        eng = SearchEngine(_ensure_index(sf_dir))
+        return search_collapse(eng, _BM25_TERMS, "lang", per_group=2)
+
     def customer_event_counts(sf_dir):
         """LEFT OUTER join (zeros kept): per customer, event count via
         the single-shuffle tagged-union Max/Sum fold."""
@@ -957,6 +992,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_stats": redact_stats,
         "lm_quality": lm_quality,
         "significant_terms_de": significant_terms_de,
+        "bm25_msm2": bm25_msm2,
+        "bm25_boosted": bm25_boosted,
+        "bm25_dismax": bm25_dismax,
+        "collapse_by_lang": collapse_by_lang,
         "customer_event_counts": customer_event_counts,
         "segment_activity": segment_activity,
         "interarrival": interarrival,
@@ -1001,6 +1040,42 @@ FROM scored
 ORDER BY score_e6 DESC, doc_id ASC
 LIMIT {k}"""
 
+
+
+_W_EXPR = ("ln(1 + ((SELECT n_docs FROM stats) - df.df + 0.5) / (df.df + 0.5))"
+           " * tf.tf * 2.2"
+           " / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl"
+           " / (SELECT avgdl FROM stats)))")
+
+
+def _bm25_dsl_sql(terms: list[str], score_expr: str, having: str = "",
+                  k: int = 10) -> str:
+    """BM25 oracle with a custom per-doc aggregate over the per-term
+    weight rows (boosts / dis_max / minimum_should_match)."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS ({_TOKS}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({in_list}) GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ({in_list}) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, {score_expr} AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id{having})
+SELECT CAST(row_number() OVER (
+         ORDER BY CAST(floor(score * 1000000 + 0.5) AS BIGINT) DESC,
+                  doc_id ASC) AS BIGINT) AS rank,
+       doc_id,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6
+FROM scored
+ORDER BY score_e6 DESC, doc_id ASC
+LIMIT {k}"""
 
 
 def _bm25_and_sql(terms: list[str], k: int = 10) -> str:
@@ -1985,6 +2060,26 @@ SELECT term, df_fg, df,
          // (2 * (SELECT nf FROM nfg) * df) AS lift_e6
 FROM ag WHERE df_fg >= 5
 ORDER BY lift_e6 DESC, df_fg DESC, term ASC LIMIT 10""",
+        "bm25_msm2": _bm25_dsl_sql(
+            _BM25_TERMS, f"sum({_W_EXPR})",
+            having="\n  HAVING count(DISTINCT tf.term) >= 2"),
+        "bm25_boosted": _bm25_dsl_sql(
+            _BM25_TERMS,
+            f"sum(({_W_EXPR}) * CASE tf.term WHEN 'spark' THEN 2.0 "
+            f"WHEN 'vector' THEN 1.0 ELSE 0.5 END)"),
+        "bm25_dismax": _bm25_dsl_sql(
+            _BM25_TERMS,
+            f"max({_W_EXPR}) + 0.3 * (sum({_W_EXPR}) - max({_W_EXPR}))"),
+        "collapse_by_lang": f"""
+WITH base AS ({_bm25_sql(_BM25_TERMS, 1_000_000_000)})
+SELECT d.lang,
+       CAST(row_number() OVER (PARTITION BY d.lang
+            ORDER BY b.score_e6 DESC, b.doc_id ASC) AS BIGINT)
+         AS rank_in_group,
+       b.doc_id, b.score_e6
+FROM base b JOIN documents d USING (doc_id)
+QUALIFY rank_in_group <= 2
+ORDER BY d.lang, rank_in_group""",
         "customer_event_counts": """
 SELECT c_custkey, c_mktsegment,
        CAST(coalesce(e.cnt, 0) AS BIGINT) AS n_events

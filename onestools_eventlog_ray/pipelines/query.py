@@ -827,3 +827,108 @@ def index_summary(index_dir: str) -> pa.Table:
         "n_postings": pa.array([sum(p["df_p"] for p in parts)], pa.int64()),
         "total_cf": pa.array([sum(p["cf_p"] for p in parts)], pa.int64()),
     })
+
+
+# ---- ES query-DSL scoring refinements -----------------------------------
+
+def search_dsl(eng: SearchEngine, terms: list[str], k: int = 10,
+               boosts: dict[str, float] | None = None,
+               minimum_should_match: int = 1,
+               mode: str = "sum", tie_breaker: float = 0.0
+               ) -> list[tuple[int, float]]:
+    """Generalized bool-should scoring over one TAAT pass — the ES
+    query-DSL knobs the plain :meth:`SearchEngine.search` lacks:
+
+    * ``boosts``: query-time per-term boost (``{"spark": 2.0}``) — each
+      term's impact is scaled BEFORE accumulation (ES ``term^2.0``).
+    * ``minimum_should_match``: a doc must match at least m distinct
+      query terms to rank.
+    * ``mode="max"`` + ``tie_breaker``: dis_max —
+      ``score = max_t w_t + tie_breaker * (sum_t w_t - max_t w_t)``.
+
+    One posting read per term (shard-pruned, weight-LRU'd via the
+    engine's cache path); per-doc accumulation is np.add.at /
+    np.maximum.at in sorted-unique-term order, so float64 sums are
+    reproducible and the e6-ranked SQL oracle matches exactly."""
+    uniq = sorted(set(terms))
+    loaded = eng.load_terms(uniq)
+    ids_parts, w_parts = [], []
+    for t in uniq:
+        hit = loaded.get(t)
+        if hit is None:
+            continue
+        df, blob = hit
+        post = codec.decode_posting(blob)
+        w = idf_fn(eng.N, df) * codec.bm25_impact(
+            post.tfs, post.dls, eng.avgdl, eng.k1, eng.b)
+        if boosts is not None:
+            w = w * float(boosts.get(t, 1.0))
+        ids_parts.append(post.doc_ids)
+        w_parts.append(w)
+    if not ids_parts:
+        return []
+    all_ids = np.concatenate(ids_parts)
+    all_w = np.concatenate(w_parts)
+    uids, inverse = np.unique(all_ids, return_inverse=True)
+    sums = np.zeros(uids.size, dtype=np.float64)
+    np.add.at(sums, inverse, all_w)
+    nmatch = np.zeros(uids.size, dtype=np.int64)
+    np.add.at(nmatch, inverse, 1)
+    if mode == "max":
+        maxs = np.full(uids.size, -np.inf, dtype=np.float64)
+        np.maximum.at(maxs, inverse, all_w)
+        scores = maxs + tie_breaker * (sums - maxs)
+    else:
+        scores = sums
+    keep = nmatch >= minimum_should_match
+    if eng.deleted.size:
+        keep &= ~np.isin(uids, eng.deleted)
+    uids, scores = uids[keep], scores[keep]
+    idx = topk_order(scores, uids, k)
+    return [(int(uids[i]), float(scores[i])) for i in idx]
+
+
+def search_collapse(eng: SearchEngine, terms: list[str], group_col: str,
+                    per_group: int = 2) -> pa.Table:
+    """ES field collapsing: the top ``per_group`` hits for EVERY value
+    of a doc-metadata field, ranked inside each group on the canonical
+    (score_e6 desc, doc_id asc) order.  Group values come from chunked
+    range-pruned docstore reads of (doc_id, group_col) for the matched
+    docs only — the candidate set is df-bounded, never the corpus.
+    -> (group, rank_in_group, doc_id, score_e6) by (group, rank)."""
+    hits = eng.search(terms, k=1 << 62)
+    if not hits:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "rank_in_group": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score_e6": pa.array([], pa.int64())})
+    ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+    e6 = np.floor(np.asarray([s for _, s in hits]) * 1_000_000
+                  + 0.5).astype(np.int64)
+    order = np.lexsort((ids, -e6))
+    ids, e6 = ids[order], e6[order]
+    groups = np.empty(ids.size, dtype=object)
+    for c0 in range(0, ids.size, 65536):
+        chunk = ids[c0:c0 + 65536]
+        tbl = eng.fetch_docs(chunk.tolist(), columns=["doc_id", group_col])
+        groups[c0:c0 + chunk.size] = tbl[group_col].to_numpy(
+            zero_copy_only=False)
+    # stable rank-order scan: position within group = running count
+    out_g, out_r, out_d, out_s = [], [], [], []
+    seen: dict = {}
+    for i in range(ids.size):
+        g = groups[i]
+        n = seen.get(g, 0) + 1
+        seen[g] = n
+        if n <= per_group:
+            out_g.append(g)
+            out_r.append(n)
+            out_d.append(int(ids[i]))
+            out_s.append(int(e6[i]))
+    order2 = sorted(range(len(out_g)), key=lambda i: (out_g[i], out_r[i]))
+    return pa.table({
+        group_col: pa.array([out_g[i] for i in order2], pa.string()),
+        "rank_in_group": pa.array([out_r[i] for i in order2], pa.int64()),
+        "doc_id": pa.array([out_d[i] for i in order2], pa.int64()),
+        "score_e6": pa.array([out_s[i] for i in order2], pa.int64()),
+    })

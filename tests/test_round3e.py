@@ -219,3 +219,94 @@ def test_interarrival_bruteforce(tpc_tables):
         r = out[u]
         assert (r["n_gaps"], r["sum_gap_us"], r["avg_gap_us"]) == \
             (gaps.size, int(gaps.sum()), int(gaps.sum()) // gaps.size)
+
+
+# ---- query-DSL scoring refinements --------------------------------------
+
+def _bm25_bruteforce(docs_tbl, terms, boosts=None):
+    """Per-doc {term: w} weight map via the scoring formula."""
+    import math
+    tok_docs = [(int(d), _tok(t)) for d, t in
+                zip(docs_tbl["doc_id"].to_pylist(),
+                    docs_tbl["text"].to_pylist())]
+    N = len(tok_docs)
+    avgdl = sum(len(t) for _, t in tok_docs) / N
+    df = {t: sum(1 for _, toks in tok_docs if t in toks) for t in terms}
+    out = {}
+    for d, toks in tok_docs:
+        ws = {}
+        for t in sorted(set(terms)):
+            tf = toks.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log(1 + (N - df[t] + 0.5) / (df[t] + 0.5))
+            w = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(toks) / avgdl))
+            ws[t] = w * (boosts.get(t, 1.0) if boosts else 1.0)
+        if ws:
+            out[d] = ws
+    return out
+
+
+def test_search_dsl_min_should_match(index_dir, docs_tbl):
+    from onestools_eventlog_ray.pipelines.query import SearchEngine, search_dsl
+    eng = SearchEngine(index_dir)
+    w = _bm25_bruteforce(docs_tbl, TERMS)
+    for m in (1, 2, 3):
+        hits = search_dsl(eng, TERMS, k=1 << 62, minimum_should_match=m)
+        want = sorted(((d, sum(ws.values())) for d, ws in w.items()
+                       if len(ws) >= m), key=lambda x: (-x[1], x[0]))
+        assert [d for d, _ in hits] == [d for d, _ in want]
+        assert np.allclose([s for _, s in hits], [s for _, s in want])
+
+
+def test_search_dsl_boosts(index_dir, docs_tbl):
+    from onestools_eventlog_ray.pipelines.query import SearchEngine, search_dsl
+    eng = SearchEngine(index_dir)
+    boosts = {"spark": 2.0, "vector": 1.0, "window": 0.5}
+    w = _bm25_bruteforce(docs_tbl, TERMS, boosts)
+    hits = search_dsl(eng, TERMS, k=5, boosts=boosts)
+    want = sorted(((d, sum(ws.values())) for d, ws in w.items()),
+                  key=lambda x: (-x[1], x[0]))[:5]
+    assert [d for d, _ in hits] == [d for d, _ in want]
+    assert np.allclose([s for _, s in hits], [s for _, s in want])
+
+
+def test_search_dsl_dismax(index_dir, docs_tbl):
+    from onestools_eventlog_ray.pipelines.query import SearchEngine, search_dsl
+    eng = SearchEngine(index_dir)
+    w = _bm25_bruteforce(docs_tbl, TERMS)
+    hits = search_dsl(eng, TERMS, k=5, mode="max", tie_breaker=0.3)
+    scored = [(d, max(ws.values()) + 0.3 * (sum(ws.values()) - max(ws.values())))
+              for d, ws in w.items()]
+    want = sorted(scored, key=lambda x: (-x[1], x[0]))[:5]
+    assert [d for d, _ in hits] == [d for d, _ in want]
+    assert np.allclose([s for _, s in hits], [s for _, s in want])
+
+
+def test_search_dsl_plain_sum_equals_search(index_dir):
+    from onestools_eventlog_ray.pipelines.query import SearchEngine, search_dsl
+    eng = SearchEngine(index_dir)
+    assert search_dsl(eng, TERMS, k=20) == eng.search(TERMS, k=20)
+
+
+def test_search_collapse_bruteforce(index_dir, docs_tbl, full_ranking):
+    from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                       search_collapse)
+    eng = SearchEngine(index_dir)
+    out = search_collapse(eng, TERMS, "lang", per_group=2)
+    ids, e6 = full_ranking
+    langs = dict(zip(docs_tbl["doc_id"].to_pylist(),
+                     docs_tbl["lang"].to_pylist()))
+    want = []
+    seen = collections.Counter()
+    for d, s in zip(ids.tolist(), e6.tolist()):
+        g = langs[d]
+        seen[g] += 1
+        if seen[g] <= 2:
+            want.append((g, seen[g], d, s))
+    want.sort()
+    got = list(zip(out["lang"].to_pylist(), out["rank_in_group"].to_pylist(),
+                   out["doc_id"].to_pylist(), out["score_e6"].to_pylist()))
+    assert got == want
+    assert len({g for g, _, _, _ in got}) == len(set(langs.values()) &
+                                                 {g for g, _, _, _ in want})
