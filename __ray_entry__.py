@@ -814,6 +814,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def balanced_sample(sf_dir):
+        """Domain-balancing downsample: ~40 docs per source via the
+        exact integer test md5(doc_id) mod n_source < 8."""
+        from onestools_eventlog_ray.pipelines import sampling
+        import ray.data
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                   columns=["doc_id", "source"])
+        out = sampling.balanced_sample(ds, "source", "doc_id", target=8)
+        return out.sort("doc_id")
+
+    def doclen_histogram(sf_dir):
+        """Token-length histogram, bin width 32 (empty docs in bin 0)."""
+        return text.doclen_histogram(_documents_ds(sf_dir), DOCUMENTS_SPEC,
+                                     bin_width=32)
+
+    def knn_batch(sf_dir):
+        """Batched multi-query exact kNN: 3 query vectors scored against
+        the corpus in ONE pass (per-batch matmul vs the broadcast query
+        matrix), top-5 each."""
+        import pyarrow.parquet as pq
+        import ray.data
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        emb = pq.read_table(path, columns=["vec_id", "embedding"])
+        vid = emb["vec_id"].to_pylist()
+        qs = np.asarray([emb["embedding"][vid.index(i)].as_py()
+                         for i in (0, 1, 2)], dtype=np.float64)
+        ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        res = similarity.knn_cosine(ds, qs, k=50, exclude_ids={0, 1, 2})
+        qi = res["query_idx"].to_numpy(zero_copy_only=False)
+        ids = res["vec_id"].to_numpy(zero_copy_only=False)
+        e6 = _score_e6(res["cosine"].to_numpy(zero_copy_only=False))
+        rows = []
+        for q in (0, 1, 2):
+            m = qi == q
+            order = np.lexsort((ids[m], -e6[m]))[:5]
+            rows += [(q, r + 1, int(ids[m][i]), int(e6[m][i]))
+                     for r, i in enumerate(order)]
+        return pa.table({
+            "query_idx": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[2] for r in rows], pa.int64()),
+            "cos_e6": pa.array([r[3] for r in rows], pa.int64()),
+        })
+
     def bm25_msm2(sf_dir):
         """minimum_should_match=2: docs matching >= 2 of the 3 terms."""
         return _dsl_table(sf_dir, minimum_should_match=2)
@@ -992,6 +1036,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_stats": redact_stats,
         "lm_quality": lm_quality,
         "significant_terms_de": significant_terms_de,
+        "balanced_sample": balanced_sample,
+        "doclen_histogram": doclen_histogram,
+        "knn_batch": knn_batch,
         "bm25_msm2": bm25_msm2,
         "bm25_boosted": bm25_boosted,
         "bm25_dismax": bm25_dismax,
@@ -2060,6 +2107,39 @@ SELECT term, df_fg, df,
          // (2 * (SELECT nf FROM nfg) * df) AS lift_e6
 FROM ag WHERE df_fg >= 5
 ORDER BY lift_e6 DESC, df_fg DESC, term ASC LIMIT 10""",
+        "balanced_sample": """
+WITH n AS (SELECT source, count(*) AS ns FROM documents GROUP BY source)
+SELECT d.doc_id, d.source
+FROM documents d JOIN n USING (source)
+WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR))
+        % CAST(ns AS UBIGINT) < 8
+ORDER BY d.doc_id""",
+        "doclen_histogram": f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT d.doc_id, count(t.term) AS dl
+       FROM documents d LEFT JOIN toks t USING (doc_id)
+       GROUP BY d.doc_id)
+SELECT CAST((dl // 32) * 32 AS BIGINT) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM dl GROUP BY 1 ORDER BY 1""",
+        "knn_batch": """
+WITH q AS (SELECT vec_id AS qid, CAST(vec_id AS BIGINT) AS query_idx,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+s AS (SELECT q.query_idx, e.vec_id,
+             list_cosine_similarity(
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.v)
+               AS cos
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id NOT IN (0, 1, 2)),
+r AS (SELECT query_idx, vec_id,
+             CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_e6 FROM s)
+SELECT query_idx,
+       CAST(row_number() OVER (PARTITION BY query_idx
+            ORDER BY cos_e6 DESC, vec_id ASC) AS BIGINT) AS rank,
+       vec_id, cos_e6
+FROM r
+QUALIFY rank <= 5
+ORDER BY query_idx, rank""",
         "bm25_msm2": _bm25_dsl_sql(
             _BM25_TERMS, f"sum({_W_EXPR})",
             having="\n  HAVING count(DISTINCT tf.term) >= 2"),

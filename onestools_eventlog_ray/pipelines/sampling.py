@@ -110,3 +110,57 @@ def stratified_sample(ds: ray.data.Dataset, group_col: str, id_col: str,
              .repartition(1) \
              .groupby(group_col) \
              .map_groups(final, batch_format="pyarrow")
+
+
+def balanced_sample(ds: ray.data.Dataset, group_col: str, id_col: str,
+                    target: int = 40) -> ray.data.Dataset:
+    """Deterministic DOMAIN-BALANCING downsample: keep each row with
+    probability ``target / n_group`` via the exact integer test
+    ``key_hash mod n_group < target`` — the source-equalization step a
+    training-data mix runs so one huge domain cannot drown the others
+    (every group lands at ~``target`` rows in expectation; groups already
+    at or under ``target`` keep everything, since hash mod n < n).
+
+    Scale shape: pass 1 folds per-batch group counts to a tiny
+    (group, n) table (one small groupby — group cardinality is domain
+    count, not corpus size); pass 2 broadcasts that dict into a pure
+    vectorized per-batch filter.  No corpus shuffle; exact integers only
+    (no float rate), so the DuckDB oracle reproduces row membership
+    bit-for-bit.  -> input columns, filtered."""
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        t = pa.table({"g": g})
+        gc = t.group_by("g").aggregate([([], "count_all")])
+        return pa.table({group_col: gc["g"],
+                         "n_p": gc["count_all"].cast(pa.int64())})
+
+    counts = ds.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby(group_col).aggregate(Sum("n_p", alias_name="n")).take_all()
+    n_by_group = {r[group_col]: int(r["n"]) for r in counts}
+    import ray
+    ref = ray.put(n_by_group)
+
+    def filt(batch: pa.Table, *, counts_ref=ref, tgt=target) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+        pin_worker_threads()
+        nbg = ray.get(counts_ref)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h = md5_lower64(pc.cast(ids, pa.string()))        # uint64
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        codes = g.dictionary_encode()
+        dict_vals = codes.dictionary.to_pylist()
+        mods = np.asarray([max(nbg.get(v, 1), 1) for v in dict_vals],
+                          dtype=np.uint64)
+        gi = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (h % mods[gi]) < np.uint64(tgt)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(filt, batch_format="pyarrow")

@@ -577,3 +577,33 @@ def significant_terms(ds: ray.data.Dataset,
 
     # the fold is vocab-sized: one final task ranks it
     return folded.repartition(1).map_batches(finalize, batch_format="pyarrow")
+
+
+def doclen_histogram(ds: ray.data.Dataset,
+                     spec: CorpusSpec = DOCUMENTS_SPEC,
+                     bin_width: int = 32) -> ray.data.Dataset:
+    """Document token-length histogram: (bin_lo, n_docs) with
+    ``bin_lo = (n_tokens // bin_width) * bin_width`` — the length-
+    distribution profile every corpus-curation pass starts from (and the
+    input to length-based quality cuts).  Empty docs land in bin 0.
+
+    Mergeable by construction: per-batch (bin, count) partials (one
+    np.unique over integer bins) then a tiny groupby-sum over
+    ~n_bins * n_batches rows — the corpus never shuffles."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.analyzer import doc_term_table
+        from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+        pin_worker_threads()
+        b = add_doc_id(batch, spec)
+        _, stats = doc_term_table(b["doc_id"], b["content"])
+        dl = stats["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bins, counts = np.unique((dl // bin_width) * bin_width,
+                                 return_counts=True)
+        return pa.table({"bin_lo": pa.array(bins, pa.int64()),
+                         "n_p": pa.array(counts.astype(np.int64), pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bin_lo").aggregate(Sum("n_p", alias_name="n_docs")) \
+        .sort("bin_lo")

@@ -310,3 +310,72 @@ def test_search_collapse_bruteforce(index_dir, docs_tbl, full_ranking):
     assert got == want
     assert len({g for g, _, _, _ in got}) == len(set(langs.values()) &
                                                  {g for g, _, _, _ in want})
+
+
+# ---- training-data ops: balancing, histogram, batched kNN ----------------
+
+def test_balanced_sample_bruteforce(docs_tbl):
+    import hashlib
+    import ray.data
+    from onestools_eventlog_ray.pipelines import sampling
+    ds = ray.data.from_arrow(docs_tbl.select(["doc_id", "source"]))
+    out = sampling.balanced_sample(ds, "source", "doc_id", target=8) \
+        .take_all()
+    n_by_src = collections.Counter(docs_tbl["source"].to_pylist())
+
+    def h(doc_id):
+        dig = hashlib.md5(str(doc_id).encode()).digest()
+        return int.from_bytes(dig[8:16], "little")
+
+    want = sorted(int(d) for d, s in zip(docs_tbl["doc_id"].to_pylist(),
+                                         docs_tbl["source"].to_pylist())
+                  if h(int(d)) % n_by_src[s] < 8)
+    assert sorted(r["doc_id"] for r in out) == want
+    # balancing really trims: fewer rows than input, >0 kept
+    assert 0 < len(out) < docs_tbl.num_rows
+
+
+def test_balanced_sample_small_group_keeps_all():
+    """A group already at/under target keeps every row (h mod n < n)."""
+    import pyarrow as pa
+    import ray.data
+    from onestools_eventlog_ray.pipelines import sampling
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "source": pa.array(["tiny"] * 5)})
+    out = sampling.balanced_sample(ray.data.from_arrow(t), "source",
+                                   "doc_id", target=8).take_all()
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 2, 3, 4]
+
+
+def test_doclen_histogram_bruteforce(docs_tbl):
+    import ray.data
+    from onestools_eventlog_ray.pipelines import text
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    out = text.doclen_histogram(ray.data.from_arrow(docs_tbl),
+                                DOCUMENTS_SPEC, bin_width=32).take_all()
+    hist = collections.Counter(
+        (len(_tok(t)) // 32) * 32 for t in docs_tbl["text"].to_pylist())
+    assert [(r["bin_lo"], r["n_docs"]) for r in out] == \
+        sorted(hist.items())
+
+
+def test_knn_batch_matches_per_query(docs_tbl):
+    """Multi-query kNN in one pass == three single-query runs."""
+    import ray.data
+    from onestools_eventlog_ray.pipelines import similarity
+    emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    vid = emb["vec_id"].to_pylist()
+    qs = np.asarray([emb["embedding"][vid.index(i)].as_py()
+                     for i in (0, 1, 2)], dtype=np.float64)
+    batch = similarity.knn_cosine(ray.data.from_arrow(emb), qs, k=7,
+                                  exclude_ids={0, 1, 2})
+    for q in (0, 1, 2):
+        single = similarity.knn_cosine(ray.data.from_arrow(emb), qs[q], k=7,
+                                       exclude_ids={0, 1, 2})
+        got = batch.filter(
+            __import__("pyarrow.compute", fromlist=["pc"]).equal(
+                batch["query_idx"], q))
+        assert got["vec_id"].to_pylist() == single["vec_id"].to_pylist()
+        assert np.allclose(got["cosine"].to_numpy(zero_copy_only=False),
+                           single["cosine"].to_numpy(zero_copy_only=False))
