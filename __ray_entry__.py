@@ -814,6 +814,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def regexp_terms(sf_dir):
+        """ES regexp query: dictionary terms matching ^s.*[wk]$ (six-term class) with
+        df/cf (vectorized RE2 over the shard dictionaries)."""
+        from onestools_eventlog_ray.pipelines.query import regexp_term_stats
+        ds = regexp_term_stats(_ensure_index(sf_dir), r"^s.*[wk]$")
+        return ds.sort("term")
+
+    def date_histogram(sf_dir):
+        """ES date_histogram, calendar days, min_doc_count=0 zero-fill."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines import streaming
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["ts"])
+        return streaming.date_histogram_filled(ev)
+
+    def price_percentiles(sf_dir):
+        """Exact percentile_disc p25/p50/p75/p90 per returnflag."""
+        import ray.data
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_extendedprice"])
+        return relational.price_percentiles(li)
+
     def balanced_sample(sf_dir):
         """Domain-balancing downsample: ~40 docs per source via the
         exact integer test md5(doc_id) mod n_source < 8."""
@@ -1036,6 +1059,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_stats": redact_stats,
         "lm_quality": lm_quality,
         "significant_terms_de": significant_terms_de,
+        "regexp_terms": regexp_terms,
+        "date_histogram": date_histogram,
+        "price_percentiles": price_percentiles,
         "balanced_sample": balanced_sample,
         "doclen_histogram": doclen_histogram,
         "knn_batch": knn_batch,
@@ -2107,6 +2133,36 @@ SELECT term, df_fg, df,
          // (2 * (SELECT nf FROM nfg) * df) AS lift_e6
 FROM ag WHERE df_fg >= 5
 ORDER BY lift_e6 DESC, df_fg DESC, term ASC LIMIT 10""",
+        "regexp_terms": f"""
+WITH toks AS ({_TOKS})
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM toks WHERE regexp_matches(term, '^s.*[wk]$')
+GROUP BY term ORDER BY term""",
+        "date_histogram": """
+WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,
+                  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1)
+SELECT s.epoch_day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
+FROM (SELECT unnest(generate_series((SELECT min(epoch_day) FROM d),
+                                    (SELECT max(epoch_day) FROM d)))
+        AS epoch_day) s
+LEFT JOIN d USING (epoch_day)
+ORDER BY s.epoch_day""",
+        "price_percentiles": """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(floor(percentile_disc(0.25)
+         WITHIN GROUP (ORDER BY l_extendedprice) * 1000000 + 0.5)
+         AS BIGINT) AS p25_e6,
+       CAST(floor(percentile_disc(0.50)
+         WITHIN GROUP (ORDER BY l_extendedprice) * 1000000 + 0.5)
+         AS BIGINT) AS p50_e6,
+       CAST(floor(percentile_disc(0.75)
+         WITHIN GROUP (ORDER BY l_extendedprice) * 1000000 + 0.5)
+         AS BIGINT) AS p75_e6,
+       CAST(floor(percentile_disc(0.90)
+         WITHIN GROUP (ORDER BY l_extendedprice) * 1000000 + 0.5)
+         AS BIGINT) AS p90_e6
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
         "balanced_sample": """
 WITH n AS (SELECT source, count(*) AS ns FROM documents GROUP BY source)
 SELECT d.doc_id, d.source

@@ -932,3 +932,21 @@ def search_collapse(eng: SearchEngine, terms: list[str], group_col: str,
         "doc_id": pa.array([out_d[i] for i in order2], pa.int64()),
         "score_e6": pa.array([out_s[i] for i in order2], pa.int64()),
     })
+
+
+def regexp_term_stats(index_dir: str, pattern: str):
+    """ES ``regexp`` query over the term dictionary: every indexed term
+    matching ``pattern`` -> (term, df, cf).  Same distributed
+    dictionary-scan shape as :func:`prefix_term_stats`, but a regex
+    cannot become a parquet range filter, so the filter is a vectorized
+    RE2 kernel per batch (posting blobs still pruned by the column
+    projection — each shard visit reads dictionary pages only)."""
+    import ray.data
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.match_substring_regex(batch["term"],
+                                                     pattern))
+
+    return ray.data.read_parquet(os.path.join(index_dir, "shards"),
+                                 columns=["term", "df", "cf"]) \
+        .map_batches(fn, batch_format="pyarrow")

@@ -826,3 +826,33 @@ def segment_activity(customer: ray.data.Dataset,
         "n_inactive": pa.array([n_all[s] - n_act[s] for s in segs],
                                pa.int64()),
     })
+
+
+def price_percentiles(lineitem: ray.data.Dataset,
+                      pcts: tuple[int, ...] = (25, 50, 75, 90)
+                      ) -> ray.data.Dataset:
+    """Exact per-group percentile_disc (the ES ``percentiles`` agg, but
+    exact instead of t-digest): for each l_returnflag, the discrete
+    p25/p50/p75/p90 of l_extendedprice.  percentile_disc picks an
+    EXISTING value — index ``ceil(q*n) - 1`` over the sorted group,
+    computed in exact integers (``(p*n + 99) // 100 - 1``) so the SQL
+    oracle agrees bit-for-bit with no float-boundary risk.
+    -> (l_returnflag, n, p25_e6, p50_e6, p75_e6, p90_e6)."""
+
+    def pct(group: pa.Table) -> pa.Table:
+        v = np.sort(group["l_extendedprice"]
+                    .to_numpy(zero_copy_only=False).astype(np.float64))
+        n = v.size
+        cols = {
+            "l_returnflag": pa.array([group["l_returnflag"][0].as_py()],
+                                     pa.string()),
+            "n": pa.array([n], pa.int64()),
+        }
+        for p in pcts:
+            idx = (p * n + 99) // 100 - 1
+            cols[f"p{p}_e6"] = pa.array(
+                [int(np.floor(v[idx] * 1_000_000 + 0.5))], pa.int64())
+        return pa.table(cols)
+
+    return lineitem.groupby("l_returnflag").map_groups(
+        pct, batch_format="pyarrow")

@@ -146,3 +146,38 @@ def interarrival_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
         })
 
     return ds.groupby("user_id").map_groups(gaps, batch_format="pyarrow")
+
+
+def date_histogram_filled(ds: ray.data.Dataset) -> pa.Table:
+    """ES ``date_histogram`` with calendar-day buckets and
+    ``min_doc_count=0`` zero-fill between the first and last bucket
+    (ES emits EMPTY buckets inside the extended bounds — a plain
+    groupby cannot).  -> (epoch_day, n_events), contiguous days.
+
+    Scale shape: per-batch integer-day partial counts fold through one
+    tiny groupby (bucket count = day span, not event count); the
+    zero-fill runs on the folded result, which is bounded by the time
+    span — never by the data."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days, counts = np.unique(us // (86_400 * US), return_counts=True)
+        return pa.table({"epoch_day": pa.array(days, pa.int64()),
+                         "n_p": pa.array(counts.astype(np.int64),
+                                         pa.int64())})
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("epoch_day").aggregate(Sum("n_p", alias_name="n")) \
+        .take_all()
+    if not folded:
+        return pa.table({"epoch_day": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64())})
+    by_day = {int(r["epoch_day"]): int(r["n"]) for r in folded}
+    lo, hi = min(by_day), max(by_day)
+    days = np.arange(lo, hi + 1, dtype=np.int64)
+    return pa.table({
+        "epoch_day": pa.array(days, pa.int64()),
+        "n_events": pa.array([by_day.get(int(d), 0) for d in days],
+                             pa.int64()),
+    })

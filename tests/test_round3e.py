@@ -379,3 +379,70 @@ def test_knn_batch_matches_per_query(docs_tbl):
         assert got["vec_id"].to_pylist() == single["vec_id"].to_pylist()
         assert np.allclose(got["cosine"].to_numpy(zero_copy_only=False),
                            single["cosine"].to_numpy(zero_copy_only=False))
+
+
+# ---- regexp dictionary scan, date histogram, percentiles -----------------
+
+def test_regexp_term_stats_bruteforce(index_dir, docs_tbl):
+    from onestools_eventlog_ray.pipelines.query import regexp_term_stats
+    out = {r["term"]: (r["df"], r["cf"]) for r in
+           regexp_term_stats(index_dir, r"^s.*[wk]$").take_all()}
+    df = collections.Counter()
+    cf = collections.Counter()
+    for text in docs_tbl["text"].to_pylist():
+        toks = _tok(text)
+        m = [t for t in toks if re.match(r"^s.*[wk]$", t)]
+        cf.update(m)
+        df.update(set(m))
+    assert out == {t: (df[t], cf[t]) for t in df}
+    assert out  # pattern actually matches something
+
+
+def test_date_histogram_zero_fill():
+    import pyarrow as pa
+    import ray.data
+    from onestools_eventlog_ray.pipelines import streaming
+    day = 86_400 * 1_000_000
+    # days 10, 10, 13 -> buckets 10..13 with zeros at 11, 12
+    ts = pa.array([10 * day, 10 * day + 5, 13 * day], pa.timestamp("us"))
+    out = streaming.date_histogram_filled(
+        ray.data.from_arrow(pa.table({"ts": ts})))
+    assert out["epoch_day"].to_pylist() == [10, 11, 12, 13]
+    assert out["n_events"].to_pylist() == [2, 0, 0, 1]
+
+
+def test_date_histogram_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines import streaming
+    ev = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                       columns=["ts"])
+    out = streaming.date_histogram_filled(ray.data.from_arrow(ev))
+    days = [int(t.timestamp() * 1e6) // (86_400 * 1_000_000)
+            for t in ev["ts"].to_pylist()]
+    hist = collections.Counter(days)
+    lo, hi = min(days), max(days)
+    assert out["epoch_day"].to_pylist() == list(range(lo, hi + 1))
+    assert out["n_events"].to_pylist() == [hist.get(d, 0)
+                                           for d in range(lo, hi + 1)]
+    assert sum(out["n_events"].to_pylist()) == ev.num_rows
+
+
+def test_price_percentiles_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines import relational
+    li = pq.read_table(os.path.join(SF_DIR, "lineitem.parquet"),
+                       columns=["l_returnflag", "l_extendedprice"])
+    out = {r["l_returnflag"]: r for r in relational.price_percentiles(
+        ray.data.from_arrow(li)).take_all()}
+    per_flag = collections.defaultdict(list)
+    for f, p in zip(li["l_returnflag"].to_pylist(),
+                    li["l_extendedprice"].to_pylist()):
+        per_flag[f].append(p)
+    for f, vals in per_flag.items():
+        v = sorted(vals)
+        n = len(v)
+        r = out[f]
+        assert r["n"] == n
+        for p in (25, 50, 75, 90):
+            idx = (p * n + 99) // 100 - 1
+            assert r[f"p{p}_e6"] == int(np.floor(v[idx] * 1e6 + 0.5))
