@@ -814,6 +814,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def q3_top_revenue(sf_dir):
+        """TPC-H-Q3-shaped 3-way join: BUILDING customers x pre-cutoff
+        orders x post-cutoff lineitems, exact e4 revenue, top-10."""
+        import ray.data
+        cutoff_us = 896_659_200_000_000        # 1998-06-01 UTC
+        cust = ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"])
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"])
+        return relational.q3_top_revenue(cust, orders, li,
+                                         segment="BUILDING",
+                                         cutoff_us=cutoff_us, k=10)
+
+    def phrase_prefix(sf_dir):
+        """ES match_phrase_prefix: 'batch s*' — exact token followed by
+        any dictionary term with the prefix."""
+        from onestools_eventlog_ray.config import EngineConfig
+        from onestools_eventlog_ray.pipelines.phrase import (
+            PhraseEngine, build_position_index, search_phrase_prefix)
+        from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+        index_dir = _ensure_index(sf_dir)
+        if not os.path.isdir(os.path.join(index_dir, "positions")):
+            build_position_index(
+                os.path.join(sf_dir, "documents.parquet"), index_dir,
+                spec=DOCUMENTS_SPEC, cfg=EngineConfig(num_partitions=16))
+        eng = PhraseEngine(index_dir)
+        hits = search_phrase_prefix(eng, index_dir, ["batch"], "s")
+        return pa.table({
+            "doc_id": pa.array([d for d, _ in hits], pa.int64()),
+            "n_matches": pa.array([n for _, n in hits], pa.int64()),
+        })
+
+    def facet_avg_nchars(sf_dir):
+        """Terms aggregation with an avg sub-aggregation over all docs
+        matching 'spark' (exact integer avg from folded sums)."""
+        from onestools_eventlog_ray.pipelines.query import facet_stats
+        return facet_stats(_ensure_index(sf_dir), "spark", by="lang",
+                           metric_col="n_chars")
+
     def regexp_terms(sf_dir):
         """ES regexp query: dictionary terms matching ^s.*[wk]$ (six-term class) with
         df/cf (vectorized RE2 over the shard dictionaries)."""
@@ -1059,6 +1104,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_stats": redact_stats,
         "lm_quality": lm_quality,
         "significant_terms_de": significant_terms_de,
+        "q3_top_revenue": q3_top_revenue,
+        "phrase_prefix": phrase_prefix,
+        "facet_avg_nchars": facet_avg_nchars,
         "regexp_terms": regexp_terms,
         "date_histogram": date_histogram,
         "price_percentiles": price_percentiles,
@@ -2133,6 +2181,37 @@ SELECT term, df_fg, df,
          // (2 * (SELECT nf FROM nfg) * df) AS lift_e6
 FROM ag WHERE df_fg >= 5
 ORDER BY lift_e6 DESC, df_fg DESC, term ASC LIMIT 10""",
+        "q3_top_revenue": """
+SELECT l_orderkey AS o_orderkey,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_e4,
+       CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_e4 DESC, o_orderkey ASC
+LIMIT 10""",
+        "phrase_prefix": """
+WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9_]+'), x -> x <> '') AS l FROM documents),
+p AS (SELECT doc_id, unnest(generate_series(1, len(l) - 1)) AS g, l
+      FROM tok WHERE len(l) > 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM p WHERE l[g] = 'batch' AND l[g + 1] LIKE 's%'
+GROUP BY doc_id ORDER BY n_matches DESC, doc_id ASC""",
+        "facet_avg_nchars": f"""
+WITH toks AS ({_TOKS}),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.n_chars) * 1000000 // count(*) AS BIGINT)
+         AS avg_n_chars_e6
+FROM documents d JOIN m USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang""",
         "regexp_terms": f"""
 WITH toks AS ({_TOKS})
 SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,

@@ -244,3 +244,73 @@ def score_phrase_queries(index_dir: str, queries, batch_size: int = 8):
     return queries.map_batches(_phrase_batch, batch_format="pyarrow",
                                batch_size=batch_size,
                                fn_kwargs=dict(index_dir=index_dir))
+
+
+def expand_prefix(pos_dir_index: str, prefix: str,
+                  max_expansions: int = 50) -> list[str]:
+    """Dictionary terms of the POSITIONS sidecar starting with
+    ``prefix`` (sorted, capped at ``max_expansions`` — ES
+    match_phrase_prefix semantics).  Range filter pushed to the parquet
+    read; position lists pruned by the column projection."""
+    import glob
+    if not prefix:
+        return []
+    upper = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+    found: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(pos_dir_index, "positions",
+                                              "pos-*.parquet"))):
+        tbl = pq.read_table(path, columns=["term"],
+                            filters=[("term", ">=", prefix),
+                                     ("term", "<", upper)])
+        found.update(tbl["term"].to_pylist())
+    return sorted(found)[:max_expansions]
+
+
+def search_phrase_prefix(eng: PhraseEngine, index_dir: str,
+                         phrase_terms: list[str], prefix: str,
+                         max_expansions: int = 50) -> list[tuple[int, int]]:
+    """ES ``match_phrase_prefix``: the exact token sequence
+    ``phrase_terms`` immediately followed by ANY dictionary term starting
+    with ``prefix``.  -> [(doc_id, n_matches)], (n desc, doc_id asc).
+
+    Same vectorized key-intersection as :meth:`PhraseEngine.search_phrase`
+    for the fixed slots; the prefix slot contributes the UNION of its
+    expansions' (doc, pos) keys (np.unique over the concatenation —
+    overlapping expansions can't double-count a position)."""
+    if not phrase_terms:
+        return []
+    expansions = expand_prefix(index_dir, prefix, max_expansions)
+    if not expansions:
+        return []
+    loaded = eng._load_flat(list(phrase_terms) + expansions)
+    d0 = np.unique(loaded[phrase_terms[0]][0])
+    if d0.size == 0:
+        return []
+    C = np.int64(1) << np.int64(32)
+    keys: np.ndarray | None = None
+    for j, t in enumerate(phrase_terms):
+        docs, pos = loaded[t]
+        didx = np.searchsorted(d0, docs)
+        np.clip(didx, 0, d0.size - 1, out=didx)
+        valid = (d0[didx] == docs) & (pos >= j)
+        kj = didx[valid] * C + (pos[valid] - j)
+        keys = kj if keys is None \
+            else np.intersect1d(keys, kj, assume_unique=True)
+        if keys.size == 0:
+            return []
+    j = len(phrase_terms)
+    parts = []
+    for t in expansions:
+        docs, pos = loaded[t]
+        didx = np.searchsorted(d0, docs)
+        np.clip(didx, 0, d0.size - 1, out=didx)
+        valid = (d0[didx] == docs) & (pos >= j)
+        parts.append(didx[valid] * C + (pos[valid] - j))
+    last = np.unique(np.concatenate(parts)) if parts \
+        else np.empty(0, dtype=np.int64)
+    keys = np.intersect1d(keys, last, assume_unique=True)
+    if keys.size == 0:
+        return []
+    uidx, counts = np.unique(keys // C, return_counts=True)
+    order = np.lexsort((d0[uidx], -counts))
+    return [(int(d0[uidx[i]]), int(counts[i])) for i in order]

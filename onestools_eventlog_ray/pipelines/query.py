@@ -950,3 +950,61 @@ def regexp_term_stats(index_dir: str, pattern: str):
     return ray.data.read_parquet(os.path.join(index_dir, "shards"),
                                  columns=["term", "df", "cf"]) \
         .map_batches(fn, batch_format="pyarrow")
+
+
+def facet_stats(index_dir: str, term: str, by: str = "lang",
+                metric_col: str = "n_chars"):
+    """ES terms-aggregation WITH a metric sub-aggregation: for every
+    value of ``by`` over the documents matching ``term``, the doc count
+    and the exact integer average of ``metric_col``
+    (``avg_e6 = sum * 1e6 // n`` — both sides floor-divide, so the SQL
+    oracle matches bit-for-bit).  Same broadcast posting semi-join +
+    partial-fold shape as :func:`facet_counts`; partials carry
+    (n_p, sum_p) so the average is computed ONCE from exact sums.
+    -> (by, n_docs, avg_<metric>_e6)."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum as RSum
+
+    eng = SearchEngine(index_dir)
+    loaded = eng.load_terms([term])
+    if term in loaded:
+        ids = codec.decode_posting(loaded[term][1]).doc_ids
+        if eng.deleted.size:
+            ids = ids[~np.isin(ids, eng.deleted)]
+    else:
+        ids = np.empty(0, dtype=np.int64)
+    ids_ref = ray.put(np.sort(ids))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        allowed = ray.get(ids_ref)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(allowed, doc)
+        pos[pos == allowed.size] = 0
+        hit = (allowed[pos] == doc) if allowed.size \
+            else np.zeros(doc.size, bool)
+        sub = batch.filter(pa.array(hit, pa.bool_()))
+        agg = sub.select([by, metric_col]).group_by(by) \
+            .aggregate([([], "count_all"), (metric_col, "sum")])
+        return agg.rename_columns([by, "n_p", "sum_p"])
+
+    folded = ray.data.read_parquet(
+        os.path.join(index_dir, "docstore"),
+        columns=["doc_id", by, metric_col]) \
+        .map_batches(fn, batch_format="pyarrow") \
+        .groupby(by).aggregate(RSum("n_p", alias_name="n_docs"),
+                               RSum("sum_p", alias_name="sum_m"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["sum_m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        avg = np.zeros(n.size, dtype=np.int64)
+        nz = n > 0
+        avg[nz] = (s[nz] * 1_000_000) // n[nz]
+        return pa.table({
+            by: batch[by],
+            "n_docs": pa.array(n, pa.int64()),
+            f"avg_{metric_col}_e6": pa.array(avg, pa.int64()),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow").sort(by)

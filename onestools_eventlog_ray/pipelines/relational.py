@@ -856,3 +856,107 @@ def price_percentiles(lineitem: ray.data.Dataset,
 
     return lineitem.groupby("l_returnflag").map_groups(
         pct, batch_format="pyarrow")
+
+
+def q3_top_revenue(customer: ray.data.Dataset, orders: ray.data.Dataset,
+                   lineitem: ray.data.Dataset, segment: str = "BUILDING",
+                   cutoff_us: int = 0, k: int = 10) -> pa.Table:
+    """TPC-H-Q3-shaped three-way join composition: customers of one
+    market segment x orders placed before the cutoff x lineitems shipped
+    after it, revenue per order, top-k.  Exercises the engine's whole
+    join toolbox in ONE pipeline: broadcast semi-filter (customer keys
+    -> orders), per-batch partial aggregation (lineitem revenue folds
+    BEFORE the shuffle), and the tagged-union co-group (orders +
+    revenue partials meet in one key shuffle; inner semantics fall out
+    of null/zero drops).
+
+    Revenue is EXACT: price and discount are 2-decimal values, so
+    ``round(price*100) * round((1-disc)*100)`` is an integer e4 amount —
+    sums are order-free and bit-identical to the SQL oracle.
+    -> (o_orderkey, revenue_e4, o_orderdate_us) top-k by
+    (revenue desc, orderkey asc)."""
+    import pyarrow.compute as pc
+    import ray
+
+    # broadcast semi-filter: segment custkeys ship once (at 100 TB with
+    # ~1/5 of all customers in a segment, swap for the tagged co-group —
+    # same downstream shape; this is the J1/J2 small-side path)
+    ckeys = np.sort(np.concatenate([
+        b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for b in customer.filter(
+            expr=f"c_mktsegment == '{segment}'")
+        .select_columns(["c_custkey"])
+        .iter_batches(batch_format="pyarrow", batch_size=None)] or
+        [np.empty(0, np.int64)]))
+    ckeys_ref = ray.put(ckeys)
+
+    def proj_orders(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ckeys_ref)
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ckey = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        odate = batch["o_orderdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        m = (odate < cutoff_us) & np.isin(ckey, keys)
+        return pa.table({
+            "key": pa.array(okey[m], pa.int64()),
+            "odate": pa.array(odate[m], pa.int64()),
+            "rev_p": pa.array(np.zeros(int(m.sum()), np.int64), pa.int64()),
+        })
+
+    def proj_line(batch: pa.Table) -> pa.Table:
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ship = batch["l_shipdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        m = ship > cutoff_us
+        rev = (np.floor(price[m] * 100 + 0.5).astype(np.int64)
+               * np.floor((1.0 - disc[m]) * 100 + 0.5).astype(np.int64))
+        keys, inv = np.unique(okey[m], return_inverse=True)
+        part = np.zeros(keys.size, dtype=np.int64)
+        np.add.at(part, inv, rev)
+        return pa.table({
+            "key": pa.array(keys, pa.int64()),
+            "odate": pa.nulls(keys.size, pa.int64()),
+            "rev_p": pa.array(part, pa.int64()),
+        })
+
+    tagged = orders.map_batches(proj_orders, batch_format="pyarrow") \
+        .union(lineitem.map_batches(proj_line, batch_format="pyarrow"))
+    agg = tagged.groupby("key").aggregate(
+        Max("odate", alias_name="o_orderdate_us"),
+        Sum("rev_p", alias_name="revenue_e4"))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        # inner semantics: need BOTH an order row (odate non-null) and
+        # revenue > 0 (at least one qualifying lineitem)
+        m = pc.and_(pc.is_valid(batch["o_orderdate_us"]),
+                    pc.greater(batch["revenue_e4"], 0))
+        t = batch.filter(m)
+        rev = t["revenue_e4"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((keys, -rev))[:k]
+        return pa.table({
+            "o_orderkey": pa.array(keys[order], pa.int64()),
+            "revenue_e4": pa.array(rev[order], pa.int64()),
+            "o_orderdate_us": pa.array(
+                t["o_orderdate_us"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)[order], pa.int64()),
+        })
+
+    cand = agg.map_batches(local_topk, batch_format="pyarrow").take_all()
+    rev = np.asarray([r["revenue_e4"] for r in cand], dtype=np.int64)
+    keys = np.asarray([r["o_orderkey"] for r in cand], dtype=np.int64)
+    order = np.lexsort((keys, -rev))[:k]
+    return pa.table({
+        "o_orderkey": pa.array(keys[order], pa.int64()),
+        "revenue_e4": pa.array(rev[order], pa.int64()),
+        "o_orderdate_us": pa.array(
+            np.asarray([r["o_orderdate_us"] for r in cand],
+                       dtype=np.int64)[order], pa.int64()),
+    })

@@ -446,3 +446,92 @@ def test_price_percentiles_bruteforce():
         for p in (25, 50, 75, 90):
             idx = (p * n + 99) // 100 - 1
             assert r[f"p{p}_e6"] == int(np.floor(v[idx] * 1e6 + 0.5))
+
+
+# ---- Q3 join composition, phrase prefix, facet sub-agg -------------------
+
+def test_q3_top_revenue_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines import relational
+    cutoff = 896_659_200_000_000
+    cust = pq.read_table(os.path.join(SF_DIR, "customer.parquet"))
+    orders = pq.read_table(os.path.join(SF_DIR, "orders.parquet"))
+    li = pq.read_table(os.path.join(SF_DIR, "lineitem.parquet"))
+    out = relational.q3_top_revenue(
+        ray.data.from_arrow(cust), ray.data.from_arrow(orders),
+        ray.data.from_arrow(li), segment="BUILDING",
+        cutoff_us=cutoff, k=10)
+    bkeys = {int(k) for k, s in zip(cust["c_custkey"].to_pylist(),
+                                    cust["c_mktsegment"].to_pylist())
+             if s == "BUILDING"}
+    odate = {}
+    for ok, ck, od in zip(orders["o_orderkey"].to_pylist(),
+                          orders["o_custkey"].to_pylist(),
+                          orders["o_orderdate"].to_pylist()):
+        us = int(od.timestamp() * 1e6)
+        if int(ck) in bkeys and us < cutoff:
+            odate[int(ok)] = us
+    rev = collections.Counter()
+    for ok, sd, p, d in zip(li["l_orderkey"].to_pylist(),
+                            li["l_shipdate"].to_pylist(),
+                            li["l_extendedprice"].to_pylist(),
+                            li["l_discount"].to_pylist()):
+        if int(ok) in odate and int(sd.timestamp() * 1e6) > cutoff:
+            rev[int(ok)] += (int(np.floor(p * 100 + 0.5))
+                             * int(np.floor((1 - d) * 100 + 0.5)))
+    want = sorted(((k, v, odate[k]) for k, v in rev.items() if v > 0),
+                  key=lambda x: (-x[1], x[0]))[:10]
+    got = list(zip(out["o_orderkey"].to_pylist(),
+                   out["revenue_e4"].to_pylist(),
+                   out["o_orderdate_us"].to_pylist()))
+    assert got == want
+    assert len(got) == 10
+
+
+def test_phrase_prefix_bruteforce(index_dir, docs_tbl):
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.phrase import (
+        PhraseEngine, build_position_index, search_phrase_prefix)
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    if not os.path.isdir(os.path.join(index_dir, "positions")):
+        build_position_index(os.path.join(SF_DIR, "documents.parquet"),
+                             index_dir, spec=DOCUMENTS_SPEC,
+                             cfg=EngineConfig(num_partitions=16))
+    eng = PhraseEngine(index_dir)
+    got = search_phrase_prefix(eng, index_dir, ["batch"], "s")
+    want = collections.Counter()
+    for d, text in zip(docs_tbl["doc_id"].to_pylist(),
+                       docs_tbl["text"].to_pylist()):
+        toks = _tok(text)
+        n = sum(1 for i in range(len(toks) - 1)
+                if toks[i] == "batch" and toks[i + 1].startswith("s"))
+        if n:
+            want[int(d)] = n
+    assert got == sorted(((d, n) for d, n in want.items()),
+                         key=lambda x: (-x[1], x[0]))
+    assert got
+
+
+def test_phrase_prefix_no_expansion_is_empty(index_dir):
+    from onestools_eventlog_ray.pipelines.phrase import (PhraseEngine,
+                                                        search_phrase_prefix)
+    eng = PhraseEngine(index_dir)
+    assert search_phrase_prefix(eng, index_dir, ["batch"], "zzz") == []
+
+
+def test_facet_stats_bruteforce(index_dir, docs_tbl):
+    from onestools_eventlog_ray.pipelines.query import facet_stats
+    out = facet_stats(index_dir, "spark", by="lang",
+                      metric_col="n_chars").take_all()
+    n = collections.Counter()
+    s = collections.Counter()
+    for d, text, lang, nc in zip(docs_tbl["doc_id"].to_pylist(),
+                                 docs_tbl["text"].to_pylist(),
+                                 docs_tbl["lang"].to_pylist(),
+                                 docs_tbl["n_chars"].to_pylist()):
+        if "spark" in _tok(text):
+            n[lang] += 1
+            s[lang] += int(nc)
+    assert [(r["lang"], r["n_docs"], r["avg_n_chars_e6"]) for r in out] == \
+        [(lang, n[lang], (s[lang] * 1_000_000) // n[lang])
+         for lang in sorted(n)]
