@@ -814,6 +814,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def bm25_reindexed(sf_dir):
+        """ES _reindex with a query: rebuild the index over lang='en'
+        docs only (predicate pushed to the docstore read), then BM25
+        top-10 under the SUBSET's own stats — unlike
+        bm25_topk_filtered, scores here use the reindexed corpus's
+        N/avgdl/df, exactly like querying a real reindexed-smaller ES
+        index."""
+        from onestools_eventlog_ray.config import EngineConfig
+        from onestools_eventlog_ray.pipelines.incremental import reindex
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        src = _ensure_index(sf_dir)
+        dst = src + "-reidx-en"
+        reindex(src, dst, where={"lang": "en"},
+                cfg=EngineConfig(num_partitions=8))
+        eng = SearchEngine(dst)
+        hits = eng.search(_BM25_TERMS, k=1_000_000)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
     def q3_top_revenue(sf_dir):
         """TPC-H-Q3-shaped 3-way join: BUILDING customers x pre-cutoff
         orders x post-cutoff lineitems, exact e4 revenue, top-10."""
@@ -1104,6 +1129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_stats": redact_stats,
         "lm_quality": lm_quality,
         "significant_terms_de": significant_terms_de,
+        "bm25_reindexed": bm25_reindexed,
         "q3_top_revenue": q3_top_revenue,
         "phrase_prefix": phrase_prefix,
         "facet_avg_nchars": facet_avg_nchars,
@@ -2181,6 +2207,11 @@ SELECT term, df_fg, df,
          // (2 * (SELECT nf FROM nfg) * df) AS lift_e6
 FROM ag WHERE df_fg >= 5
 ORDER BY lift_e6 DESC, df_fg DESC, term ASC LIMIT 10""",
+        "bm25_reindexed": (
+            "WITH docs_f AS (SELECT * FROM documents WHERE lang = 'en'),"
+            + _bm25_sql(_BM25_TERMS, 10)
+            .replace("FROM documents", "FROM docs_f")
+            .split("WITH", 1)[1]),
         "q3_top_revenue": """
 SELECT l_orderkey AS o_orderkey,
        CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)

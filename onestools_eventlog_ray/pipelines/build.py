@@ -72,18 +72,30 @@ def build_index(corpus_paths, index_dir: str,
                 spec: CorpusSpec = CODE_CORPUS_SPEC,
                 cfg: EngineConfig = EngineConfig(),
                 hot_terms: dict[str, int] | None = None,
-                exclude_doc_ids=None) -> dict:
+                exclude_doc_ids=None,
+                row_filter=None, row_filter_sig: str = "") -> dict:
     """Build (or resume) the full-text index. Returns a build report dict.
 
     ``exclude_doc_ids``: optional id array dropped AT THE READ (parquet
     filter pushdown) — the physical-delete path compaction uses to drop
     tombstoned documents.  Requires ``spec.id_col`` (a pre-existing id
-    column the reader can filter on)."""
+    column the reader can filter on).
+
+    ``row_filter``: optional ``pyarrow.dataset`` Expression pushed to the
+    corpus read (the ES ``_reindex``-with-query path); callers MUST pass
+    a stable ``row_filter_sig`` describing it, since Expressions have no
+    canonical serialization — the signature keys the resume marker so a
+    rebuilt filter invalidates stale docstores."""
     t_start = time.monotonic()
     os.makedirs(index_dir, exist_ok=True)
 
     read_kwargs: dict = {}
     excl_sig = ""
+    if row_filter is not None:
+        if not row_filter_sig:
+            raise ValueError("row_filter requires row_filter_sig")
+        read_kwargs["filter"] = row_filter
+        excl_sig = f" flt={row_filter_sig}"
     if exclude_doc_ids is not None:
         import numpy as np
         excl = np.unique(np.asarray(list(exclude_doc_ids), dtype=np.int64))
@@ -92,10 +104,12 @@ def build_index(corpus_paths, index_dir: str,
                 raise ValueError("exclude_doc_ids requires a CorpusSpec "
                                  "with a pre-existing id column")
             import pyarrow.dataset as pads
-            read_kwargs["filter"] = ~pads.field(spec.id_col).isin(
-                excl.tolist())
+            not_deleted = ~pads.field(spec.id_col).isin(excl.tolist())
+            read_kwargs["filter"] = (read_kwargs["filter"] & not_deleted
+                                     if "filter" in read_kwargs
+                                     else not_deleted)
             import hashlib
-            excl_sig = " excl=" + hashlib.blake2b(
+            excl_sig += " excl=" + hashlib.blake2b(
                 excl.tobytes(), digest_size=8).hexdigest()
 
     # ---- pass A: docstore + per-row invariants --------------------------

@@ -535,3 +535,64 @@ def test_facet_stats_bruteforce(index_dir, docs_tbl):
     assert [(r["lang"], r["n_docs"], r["avg_n_chars_e6"]) for r in out] == \
         [(lang, n[lang], (s[lang] * 1_000_000) // n[lang])
          for lang in sorted(n)]
+
+
+# ---- reindex (ES _reindex with query) ------------------------------------
+
+def test_reindex_subset_stats_and_ranking(index_dir, docs_tbl, tmp_path):
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.incremental import reindex
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    dst = str(tmp_path / "reidx")
+    rep = reindex(index_dir, dst, where={"lang": "en"},
+                  cfg=EngineConfig(num_partitions=4))
+    en_docs = [(int(d), _tok(t)) for d, t, lang in
+               zip(docs_tbl["doc_id"].to_pylist(),
+                   docs_tbl["text"].to_pylist(),
+                   docs_tbl["lang"].to_pylist()) if lang == "en"]
+    eng = SearchEngine(dst)
+    assert rep["n_docs"] == eng.N == len(en_docs)
+    # subset stats: avgdl is the EN-subset average, not the corpus's
+    assert abs(eng.avgdl - sum(len(t) for _, t in en_docs)
+               / len(en_docs)) < 1e-9
+    # ranking matches brute force over the subset (subset df/avgdl/N)
+    import math
+    N = len(en_docs)
+    avgdl = sum(len(t) for _, t in en_docs) / N
+    df = {t: sum(1 for _, toks in en_docs if t in toks) for t in TERMS}
+    scored = []
+    for d, toks in en_docs:
+        s = 0.0
+        for t in sorted(set(TERMS)):
+            tf = toks.count(t)
+            if tf and df[t]:
+                idf = math.log(1 + (N - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * tf * 2.2 / (tf + 1.2 * (0.25
+                                                   + 0.75 * len(toks) / avgdl))
+        if s > 0:
+            scored.append((d, s))
+    want = sorted(scored, key=lambda x: (-x[1], x[0]))[:10]
+    hits = eng.search(TERMS, k=10)
+    assert [d for d, _ in hits] == [d for d, _ in want]
+    assert np.allclose([s for _, s in hits], [s for _, s in want])
+    # every hit is an EN doc
+    en_ids = {d for d, _ in en_docs}
+    assert all(d in en_ids for d, _ in hits)
+
+
+def test_reindex_range_predicate(index_dir, docs_tbl, tmp_path):
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.incremental import reindex
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    dst = str(tmp_path / "reidx_rng")
+    reindex(index_dir, dst, where={"n_chars": (100, 350)},
+            cfg=EngineConfig(num_partitions=4))
+    want = sum(1 for n in docs_tbl["n_chars"].to_pylist()
+               if 100 <= n <= 350)
+    assert SearchEngine(dst).N == want
+
+
+def test_reindex_rejects_unknown_predicate_column(index_dir, tmp_path):
+    from onestools_eventlog_ray.pipelines.incremental import reindex
+    with pytest.raises(KeyError):
+        reindex(index_dir, str(tmp_path / "x"), where={"nope": 1})
