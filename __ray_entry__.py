@@ -814,6 +814,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def media_frames(sf_dir):
+        """Video frame-sampling plumbing: every 4th 256-byte frame
+        window fingerprinted in an actor-pool stage (payloads never
+        leave the stage)."""
+        import ray.data
+        from onestools_eventlog_ray.stages.multimodal import (
+            sample_media_frames, synthesize_media_table)
+        ds = ray.data.from_arrow(synthesize_media_table(60, seed=42))
+        return sample_media_frames(ds, frame_bytes=256, stride=4,
+                                   batch_size=16, concurrency=(1, 2)) \
+            .sort(["media_id", "frame_idx"])
+
+    def chunk_assignments(sf_dir):
+        """Concat-and-chunk sequence packing: distributed ordered
+        prefix sum over doc_id order, 2048-token chunks."""
+        return text.chunk_assignments(_documents_ds(sf_dir),
+                                      DOCUMENTS_SPEC, budget=2048) \
+            .sort("doc_id")
+
+    def quality_filter_counts(sf_dir):
+        """CCNet-style cut: keep docs at/above the exact p75 of the
+        unigram-LM mean log-prob, count survivors per lang."""
+        return text.quality_filter_counts(_documents_ds(sf_dir),
+                                          DOCUMENTS_SPEC, by="lang",
+                                          pct=75)
+
+    def bigram_coherence(sf_dir):
+        """Bigram-LM transition coherence per doc (add-one smoothing,
+        exact e6 integers)."""
+        return text.bigram_coherence(_documents_ds(sf_dir),
+                                     DOCUMENTS_SPEC).sort("doc_id")
+
     def bm25_reindexed(sf_dir):
         """ES _reindex with a query: rebuild the index over lang='en'
         docs only (predicate pushed to the docstore read), then BM25
@@ -1129,6 +1161,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_stats": redact_stats,
         "lm_quality": lm_quality,
         "significant_terms_de": significant_terms_de,
+        "media_frames": media_frames,
+        "chunk_assignments": chunk_assignments,
+        "quality_filter_counts": quality_filter_counts,
+        "bigram_coherence": bigram_coherence,
         "bm25_reindexed": bm25_reindexed,
         "q3_top_revenue": q3_top_revenue,
         "phrase_prefix": phrase_prefix,
@@ -2207,6 +2243,63 @@ SELECT term, df_fg, df,
          // (2 * (SELECT nf FROM nfg) * df) AS lift_e6
 FROM ag WHERE df_fg >= 5
 ORDER BY lift_e6 DESC, df_fg DESC, term ASC LIMIT 10""",
+        "media_frames": """
+WITH ids AS (SELECT range AS i FROM range(60)),
+js AS (SELECT range AS j FROM range(256)),
+pay AS (SELECT i, string_agg(md5(concat('42:', i, ':', j)), '' ORDER BY j)
+             AS ph
+        FROM ids CROSS JOIN js GROUP BY i),
+v AS (SELECT i FROM ids WHERE CAST(i % 3 AS INTEGER) = 2),
+k AS (SELECT unnest(generate_series(0, 12, 4)) AS fi)
+SELECT p.i AS media_id, CAST(k.fi AS BIGINT) AS frame_idx,
+       CAST(md5_number_lower(substr(p.ph, k.fi * 512 + 1, 512)) >> 1
+            AS BIGINT) AS frame_sig
+FROM pay p JOIN v ON v.i = p.i CROSS JOIN k
+ORDER BY media_id, frame_idx""",
+        "chunk_assignments": f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT d.doc_id, count(t.term) AS n
+       FROM documents d LEFT JOIN toks t USING (doc_id)
+       GROUP BY d.doc_id),
+c AS (SELECT doc_id,
+             coalesce(sum(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum
+      FROM dl)
+SELECT doc_id, CAST(cum // 2048 AS BIGINT) AS chunk_id
+FROM c ORDER BY doc_id""",
+        "quality_filter_counts": f"""
+WITH toks AS ({_TOKS}),
+cf AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+tot AS (SELECT count(*) AS t FROM toks),
+lm AS (SELECT doc_id, count(*) AS dl,
+              sum(CAST(floor(ln(cf.c * 1.0 / (SELECT t FROM tot)) * 1000000
+                             + 0.5) AS BIGINT)) AS slp
+       FROM toks JOIN cf USING (term) GROUP BY doc_id),
+q AS (SELECT doc_id, slp // dl AS q FROM lm WHERE dl > 0),
+thr AS (SELECT percentile_disc(0.75) WITHIN GROUP (ORDER BY q) AS t FROM q)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+FROM q JOIN documents d USING (doc_id)
+WHERE q.q >= (SELECT t FROM thr)
+GROUP BY d.lang ORDER BY d.lang""",
+        "bigram_coherence": """
+WITH toksq AS (SELECT doc_id, unnest(list_filter(string_split_regex(
+                   lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS term
+               FROM documents),
+uni AS (SELECT term, count(*) AS c FROM toksq GROUP BY term),
+v AS (SELECT count(*) AS vs FROM uni),
+tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+            '[^a-z0-9_]+'), x -> x <> '') AS l FROM documents),
+bg AS (SELECT doc_id, l[g] AS a, l[g + 1] AS b
+       FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS g
+             FROM tok WHERE len(l) >= 2)),
+bgc AS (SELECT a, b, count(*) AS c FROM bg GROUP BY a, b),
+p AS (SELECT bg.doc_id,
+             ((bgc.c + 1) * 1000000) // (uni.c + (SELECT vs FROM v)) AS p_e6
+      FROM bg JOIN bgc USING (a, b) JOIN uni ON uni.term = bg.a)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(p_e6) // count(*) AS BIGINT) AS coherence_e6
+FROM p GROUP BY doc_id ORDER BY doc_id""",
         "bm25_reindexed": (
             "WITH docs_f AS (SELECT * FROM documents WHERE lang = 'en'),"
             + _bm25_sql(_BM25_TERMS, 10)

@@ -467,7 +467,8 @@ def redact_terms(ds: ray.data.Dataset,
 
 
 def lm_scores(ds: ray.data.Dataset,
-              spec: CorpusSpec = DOCUMENTS_SPEC) -> ray.data.Dataset:
+              spec: CorpusSpec = DOCUMENTS_SPEC,
+              extra_cols: tuple[str, ...] = ()) -> ray.data.Dataset:
     """Unigram language-model quality score (the CCNet/KenLM-style
     perplexity filter, exact and model-free): per doc
     (doc_id, dl, sum_lp_e6) where sum_lp_e6 = Σ_token
@@ -500,12 +501,15 @@ def lm_scores(ds: ray.data.Dataset,
             .to_numpy(zero_copy_only=False).astype(np.int64)
         tok_lp = lp_arr[pos]
         cs = np.concatenate([[0], np.cumsum(tok_lp, dtype=np.int64)])
-        return pa.table({
+        cols = {
             "doc_id": b["doc_id"],
             "dl": pa.array(np.diff(offsets), pa.int64()),
             "sum_lp_e6": pa.array(cs[offsets[1:]] - cs[offsets[:-1]],
                                   pa.int64()),
-        })
+        }
+        for c in extra_cols:
+            cols[c] = batch[c]      # carried from the RAW batch (meta col)
+        return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -607,3 +611,220 @@ def doclen_histogram(ds: ray.data.Dataset,
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("bin_lo").aggregate(Sum("n_p", alias_name="n_docs")) \
         .sort("bin_lo")
+
+
+def chunk_assignments(ds: ray.data.Dataset,
+                      spec: CorpusSpec = DOCUMENTS_SPEC,
+                      budget: int = 2048, range_bits: int = 6
+                      ) -> ray.data.Dataset:
+    """GPT-style concat-and-chunk sequence packing: documents are laid
+    end-to-end in doc_id order and cut every ``budget`` tokens; each doc
+    is assigned the chunk its FIRST token lands in
+    (``chunk_id = exclusive_prefix_sum(n_tokens) // budget``) — the
+    sequence-packing step of a pretraining data pipeline.
+
+    This is a distributed ORDERED PREFIX SUM (scan), a primitive the
+    Dataset API lacks: doc_ids are uniform 63-bit hashes, so their top
+    ``range_bits`` bits split the id space into equal ranges that are
+    also CONTIGUOUS in the global order.  Pass 1 folds per-range token
+    totals (tiny — 2^range_bits rows); the driver exclusive-scans those
+    into per-range offsets and broadcasts them; pass 2 sorts each range
+    locally and adds its offset.  One corpus tokenize (materialized
+    narrow (doc_id, n) rows), one tiny fold, one bounded-group shuffle.
+    -> (doc_id, chunk_id) — bit-identical to the SQL window
+    ``sum(n) OVER (ORDER BY doc_id ROWS ... 1 PRECEDING) // budget``."""
+    import ray
+    shift = 63 - range_bits
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.analyzer import doc_term_table
+        b = add_doc_id(batch, spec)
+        _, stats = doc_term_table(b["doc_id"], b["content"])
+        doc = stats["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": stats["doc_id"],
+            "n": stats["n_tokens"].cast(pa.int64()),
+            "r": pa.array(doc >> shift, pa.int64()),
+        })
+
+    narrow = ds.map_batches(per_doc, batch_format="pyarrow").materialize()
+
+    def range_partial(batch: pa.Table) -> pa.Table:
+        r = batch["r"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, inv = np.unique(r, return_inverse=True)
+        tot = np.zeros(keys.size, dtype=np.int64)
+        np.add.at(tot, inv, n)
+        return pa.table({"r": pa.array(keys, pa.int64()),
+                         "tot_p": pa.array(tot, pa.int64())})
+
+    from ray.data.aggregate import Sum
+    folded = narrow.map_batches(range_partial, batch_format="pyarrow") \
+        .groupby("r").aggregate(Sum("tot_p", alias_name="tot")).take_all()
+    by_r = dict(sorted((int(x["r"]), int(x["tot"])) for x in folded))
+    offsets, acc = {}, 0
+    for r, tot in by_r.items():
+        offsets[r] = acc
+        acc += tot
+    off_ref = ray.put(offsets)
+
+    def assign(group: pa.Table) -> pa.Table:
+        offs = ray.get(off_ref)
+        doc = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = group["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(doc, kind="stable")
+        cum = np.concatenate([[0], np.cumsum(n[order], dtype=np.int64)[:-1]])
+        cum += offs.get(int(doc[order[0]]) >> shift, 0) if doc.size else 0
+        chunk = cum // budget
+        inv = np.empty_like(order)
+        inv[order] = np.arange(order.size)
+        return pa.table({
+            "doc_id": group["doc_id"],
+            "chunk_id": pa.array(chunk[inv], pa.int64()),
+        })
+
+    return narrow.groupby("r").map_groups(assign, batch_format="pyarrow")
+
+
+def _trunc_div(a: np.ndarray, b: np.ndarray | int) -> np.ndarray:
+    """Integer division truncating toward zero — DuckDB ``//`` semantics
+    (``-9 // 2 = -4`` there, while numpy/Python floor to -5)."""
+    a = np.asarray(a, dtype=np.int64)
+    return np.where(a >= 0, a // b, -((-a) // b)).astype(np.int64)
+
+
+def quality_filter_counts(ds: ray.data.Dataset,
+                          spec: CorpusSpec = DOCUMENTS_SPEC,
+                          by: str = "lang", pct: int = 75) -> pa.Table:
+    """Two-stage dependent pipeline: keep only docs whose unigram-LM
+    quality (mean token log-prob, e6 fixed point, trunc-div) is at or
+    above the corpus's EXACT ``pct``-th percentile, then count the
+    survivors per ``by`` — the CCNet-style 'keep the head of the
+    perplexity distribution' cut.
+
+    The threshold is the exact order statistic, computed WITHOUT a
+    global sort: per-batch (score, count) partials fold to a
+    distinct-value table (bounded by score cardinality; at 10^12 docs
+    swap in the mergeable histogram sketch for an approximate cut —
+    same pipeline shape), the driver walks the cumulative counts to the
+    percentile_disc index, and the broadcast threshold gates a final
+    streaming count.  -> (by, n_kept) sorted."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    lm = lm_scores(ds, spec, extra_cols=(by,)).materialize()
+
+    def qscore(batch: pa.Table) -> pa.Table:
+        dl = batch["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = dl > 0
+        s = batch["sum_lp_e6"].to_numpy(zero_copy_only=False)[keep]
+        q = _trunc_div(s, dl[keep])
+        return pa.table({by: batch[by].filter(pa.array(keep)),
+                         "q": pa.array(q, pa.int64())})
+
+    scored = lm.map_batches(qscore, batch_format="pyarrow").materialize()
+
+    def val_partial(batch: pa.Table) -> pa.Table:
+        vals, counts = np.unique(
+            batch["q"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"q": pa.array(vals, pa.int64()),
+                         "c_p": pa.array(counts.astype(np.int64),
+                                         pa.int64())})
+
+    folded = scored.map_batches(val_partial, batch_format="pyarrow") \
+        .groupby("q").aggregate(Sum("c_p", alias_name="c")).take_all()
+    pairs = sorted((int(r["q"]), int(r["c"])) for r in folded)
+    n = sum(c for _, c in pairs)
+    k = (pct * n + 99) // 100            # 1-based percentile_disc index
+    acc = 0
+    thr = pairs[-1][0] if pairs else 0
+    for v, c in pairs:
+        acc += c
+        if acc >= k:
+            thr = v
+            break
+
+    def count_kept(batch: pa.Table) -> pa.Table:
+        keep = batch["q"].to_numpy(zero_copy_only=False) >= thr
+        sub = batch.filter(pa.array(keep)).select([by])
+        g = sub.group_by(by).aggregate([([], "count_all")])
+        return pa.table({by: g[by],
+                         "n_p": g["count_all"].cast(pa.int64())})
+
+    return scored.map_batches(count_kept, batch_format="pyarrow") \
+        .groupby(by).aggregate(Sum("n_p", alias_name="n_kept")).sort(by)
+
+
+def bigram_coherence(ds: ray.data.Dataset,
+                     spec: CorpusSpec = DOCUMENTS_SPEC) -> ray.data.Dataset:
+    """Count-based bigram LM scoring (the KenLM-shaped quality signal
+    one tier above :func:`lm_scores`'s unigram model): per doc the mean
+    add-one-smoothed conditional probability of its token transitions,
+
+        p(b|a) = (c(ab) + 1) / (c(a) + V)
+
+    in EXACT e6 fixed point (each transition's probability is an
+    integer ``(c_ab+1)*1e6 // (c_a+V)`` before summing, so the per-doc
+    mean is order-free and bit-identical to the SQL oracle).
+
+    Two passes: the bigram + unigram count fold (vocabulary-sized
+    result) broadcast once via ``ray.put`` — bounded-vocab corpora
+    (code, logs) fit comfortably; an open-vocabulary web corpus swaps
+    the broadcast for a hash-partitioned join of the SAME partials —
+    then one streaming scoring pass (two ``index_in`` lookups + segment
+    sums, no shuffle).  -> (doc_id, n_bigrams, coherence_e6), dl>=2
+    docs only."""
+    import ray
+
+    big = bigram_stats(ds, spec).to_pandas()
+    uni = term_stats(ds, spec).to_pandas()
+    V = len(uni)
+    lookup_ref = ray.put((
+        pa.array(big["bigram"], pa.string()),
+        big["n"].to_numpy().astype(np.int64),
+        pa.array(uni["term"], pa.string()),
+        uni["cf"].to_numpy().astype(np.int64),
+    ))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+        pin_worker_threads()
+        bg_arr, bg_n, t_arr, t_cf = ray.get(lookup_ref)
+        b = add_doc_id(batch, spec)
+        toks = tokenize_array(b["content"])
+        flat = toks.flatten()
+        n_flat = len(flat)
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+               .astype(np.int64)
+        keep_doc = dl >= 2
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_bigrams": pa.array([], pa.int64()),
+                          "coherence_e6": pa.array([], pa.int64())})
+        if n_flat < 2 or not keep_doc.any():
+            return empty
+        parent = np.repeat(np.arange(dl.size, dtype=np.int64), dl)
+        same = parent[:-1] == parent[1:]
+        w = n_flat - 1
+        joined = pc.binary_join_element_wise(flat.slice(0, w),
+                                            flat.slice(1, w), " ")
+        bsel = pa.array(same)
+        bigrams = joined.filter(bsel)
+        firsts = flat.slice(0, w).filter(bsel)
+        bparent = parent[:-1][same]
+        c_ab = bg_n[pc.index_in(bigrams, value_set=bg_arr)
+                    .to_numpy(zero_copy_only=False).astype(np.int64)]
+        c_a = t_cf[pc.index_in(firsts, value_set=t_arr)
+                   .to_numpy(zero_copy_only=False).astype(np.int64)]
+        p_e6 = ((c_ab + 1) * 1_000_000) // (c_a + V)
+        sums = np.zeros(dl.size, dtype=np.int64)
+        np.add.at(sums, bparent, p_e6)
+        nb = dl - 1
+        doc = b["doc_id"].to_numpy(zero_copy_only=False)[keep_doc]
+        return pa.table({
+            "doc_id": pa.array(doc, pa.int64()),
+            "n_bigrams": pa.array(nb[keep_doc], pa.int64()),
+            "coherence_e6": pa.array(sums[keep_doc] // nb[keep_doc],
+                                     pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -150,3 +150,50 @@ def synthesize_media_table(n: int, seed: int = 42,
         "payload": pa.array(payloads, pa.large_binary()),
         "source_path": pa.array(paths, pa.string()),
     })
+
+
+class FrameSampler:
+    """Actor-pool stage: video FRAME SAMPLING plumbing — every
+    ``stride``-th fixed-size frame window of the payload, fingerprinted.
+    A real decoder (ffmpeg keyframe extraction) slots into ``__init__``
+    exactly like :class:`MediaFeatureExtractor`'s codec; the stub
+    fingerprints each frame's lowercase hex with md5 so the DuckDB
+    oracle (``substr(hex, k*2*frame_bytes+1, ...)``) reproduces every
+    output row.  Non-video rows are dropped; payloads never leave the
+    stage.  -> (media_id, frame_idx, frame_sig)."""
+
+    def __init__(self, frame_bytes: int = 256, stride: int = 4):
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, sigs = [], [], []
+        for mid, kind, payload in zip(batch["media_id"].to_pylist(),
+                                      batch["kind"].to_pylist(),
+                                      batch["payload"].to_pylist()):
+            if kind != "video":
+                continue
+            n_frames = len(payload) // self.frame_bytes
+            for k in range(0, n_frames, self.stride):
+                frame_hex = payload[k * self.frame_bytes:
+                                    (k + 1) * self.frame_bytes].hex()
+                dig = hashlib.md5(frame_hex.encode()).digest()
+                ids.append(mid)
+                idxs.append(k)
+                sigs.append(int.from_bytes(dig[8:16], "little") >> 1)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(idxs, pa.int64()),
+            "frame_sig": pa.array(sigs, pa.int64()),
+        })
+
+
+def sample_media_frames(ds: ray.data.Dataset, frame_bytes: int = 256,
+                        stride: int = 4, batch_size: int = 16,
+                        concurrency=(1, 4)) -> ray.data.Dataset:
+    """Frame-sample every video payload — small batches (payloads are
+    large), actor pool, only (id, idx, sig) rows leave the stage."""
+    return ds.map_batches(FrameSampler, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs=dict(
+                              frame_bytes=frame_bytes, stride=stride))

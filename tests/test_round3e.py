@@ -596,3 +596,118 @@ def test_reindex_rejects_unknown_predicate_column(index_dir, tmp_path):
     from onestools_eventlog_ray.pipelines.incremental import reindex
     with pytest.raises(KeyError):
         reindex(index_dir, str(tmp_path / "x"), where={"nope": 1})
+
+
+# ---- frame sampling, packing scan, quality cut, bigram LM ----------------
+
+def test_media_frames_bruteforce():
+    import hashlib
+    import ray.data
+    from onestools_eventlog_ray.stages.multimodal import (
+        sample_media_frames, synthesize_media_table)
+    tbl = synthesize_media_table(12, seed=7)
+    out = sample_media_frames(ray.data.from_arrow(tbl), frame_bytes=256,
+                              stride=4).take_all()
+    want = []
+    for mid, kind, payload in zip(tbl["media_id"].to_pylist(),
+                                  tbl["kind"].to_pylist(),
+                                  tbl["payload"].to_pylist()):
+        if kind != "video":
+            continue
+        for k in range(0, len(payload) // 256, 4):
+            dig = hashlib.md5(payload[k * 256:(k + 1) * 256].hex()
+                              .encode()).digest()
+            want.append((mid, k, int.from_bytes(dig[8:16], "little") >> 1))
+    assert sorted((r["media_id"], r["frame_idx"], r["frame_sig"])
+                  for r in out) == sorted(want)
+    assert want  # videos exist
+
+
+def test_chunk_assignments_bruteforce(docs_tbl):
+    import ray.data
+    from onestools_eventlog_ray.pipelines import text
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    budget = 100      # small budget -> many chunks
+    out = {r["doc_id"]: r["chunk_id"] for r in text.chunk_assignments(
+        ray.data.from_arrow(docs_tbl), DOCUMENTS_SPEC,
+        budget=budget).take_all()}
+    docs = sorted((int(d), len(_tok(t))) for d, t in
+                  zip(docs_tbl["doc_id"].to_pylist(),
+                      docs_tbl["text"].to_pylist()))
+    cum = 0
+    want = {}
+    for d, n in docs:
+        want[d] = cum // budget
+        cum += n
+    assert out == want
+    assert max(out.values()) > 1  # the scan actually crossed chunks
+
+
+def test_chunk_assignments_crosses_ranges(docs_tbl):
+    """With 2 ranges the offsets must chain: chunk ids are globally
+    monotone in doc_id order."""
+    import ray.data
+    from onestools_eventlog_ray.pipelines import text
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    out = text.chunk_assignments(ray.data.from_arrow(docs_tbl),
+                                 DOCUMENTS_SPEC, budget=50,
+                                 range_bits=1).take_all()
+    rows = sorted((r["doc_id"], r["chunk_id"]) for r in out)
+    chunks = [c for _, c in rows]
+    assert chunks == sorted(chunks)
+
+
+def test_quality_filter_counts_bruteforce(docs_tbl):
+    import math
+    import ray.data
+    from onestools_eventlog_ray.pipelines import text
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    out = text.quality_filter_counts(ray.data.from_arrow(docs_tbl),
+                                     DOCUMENTS_SPEC, by="lang",
+                                     pct=75).take_all()
+    tok_docs = [(int(d), _tok(t), lang) for d, t, lang in
+                zip(docs_tbl["doc_id"].to_pylist(),
+                    docs_tbl["text"].to_pylist(),
+                    docs_tbl["lang"].to_pylist())]
+    cf = collections.Counter(t for _, toks, _ in tok_docs for t in toks)
+    tot = sum(cf.values())
+
+    def trunc_div(a, b):
+        return a // b if a >= 0 else -((-a) // b)
+
+    qs = []
+    for d, toks, lang in tok_docs:
+        if not toks:
+            continue
+        s = sum(int(np.floor(math.log(cf[t] / tot) * 1e6 + 0.5))
+                for t in toks)
+        qs.append((trunc_div(s, len(toks)), lang))
+    vals = sorted(q for q, _ in qs)
+    thr = vals[(75 * len(vals) + 99) // 100 - 1]
+    want = collections.Counter(lang for q, lang in qs if q >= thr)
+    assert {r["lang"]: r["n_kept"] for r in out} == dict(want)
+    assert sum(want.values()) < len(qs)   # the cut removed something
+
+
+def test_bigram_coherence_bruteforce(docs_tbl):
+    import ray.data
+    from onestools_eventlog_ray.pipelines import text
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    out = {r["doc_id"]: r for r in text.bigram_coherence(
+        ray.data.from_arrow(docs_tbl), DOCUMENTS_SPEC).take_all()}
+    tok_docs = [(int(d), _tok(t)) for d, t in
+                zip(docs_tbl["doc_id"].to_pylist(),
+                    docs_tbl["text"].to_pylist())]
+    uni = collections.Counter(t for _, toks in tok_docs for t in toks)
+    big = collections.Counter((toks[i], toks[i + 1]) for _, toks in tok_docs
+                              for i in range(len(toks) - 1))
+    V = len(uni)
+    for d, toks in tok_docs:
+        if len(toks) < 2:
+            assert d not in out
+            continue
+        ps = [((big[(toks[i], toks[i + 1])] + 1) * 1_000_000)
+              // (uni[toks[i]] + V) for i in range(len(toks) - 1)]
+        r = out[d]
+        assert (r["n_bigrams"], r["coherence_e6"]) == \
+            (len(ps), sum(ps) // len(ps))
