@@ -814,6 +814,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def search_sorted_by_len(sf_dir):
+        """ES sort clause: matching docs ordered by n_chars desc (no
+        _score), top-10."""
+        from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                           search_sorted_by)
+        eng = SearchEngine(_ensure_index(sf_dir))
+        return search_sorted_by(eng, _BM25_TERMS, "n_chars", k=10)
+
+    def date_histogram_pipeline(sf_dir):
+        """ES pipeline aggs (cumulative_sum + derivative) over the
+        zero-filled date_histogram."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines import streaming
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["ts"])
+        return streaming.date_histogram_cumulative(ev)
+
+    def winnowed_fps(sf_dir):
+        """MOSS winnowing: distinct w-window minima of k-gram rolling
+        hashes per doc (k=4, w=5), summarized exactly."""
+        return text.winnowed_fingerprints(_documents_ds(sf_dir),
+                                          DOCUMENTS_SPEC, k=4, w=5) \
+            .sort("doc_id")
+
     def media_frames(sf_dir):
         """Video frame-sampling plumbing: every 4th 256-byte frame
         window fingerprinted in an actor-pool stage (payloads never
@@ -1161,6 +1185,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_stats": redact_stats,
         "lm_quality": lm_quality,
         "significant_terms_de": significant_terms_de,
+        "search_sorted_by_len": search_sorted_by_len,
+        "date_histogram_pipeline": date_histogram_pipeline,
+        "winnowed_fps": winnowed_fps,
         "media_frames": media_frames,
         "chunk_assignments": chunk_assignments,
         "quality_filter_counts": quality_filter_counts,
@@ -2243,6 +2270,54 @@ SELECT term, df_fg, df,
          // (2 * (SELECT nf FROM nfg) * df) AS lift_e6
 FROM ag WHERE df_fg >= 5
 ORDER BY lift_e6 DESC, df_fg DESC, term ASC LIMIT 10""",
+        "search_sorted_by_len": f"""
+WITH toks AS ({_TOKS}),
+m AS (SELECT DISTINCT doc_id FROM toks
+      WHERE term IN ('spark', 'vector', 'window'))
+SELECT CAST(row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id ASC)
+            AS BIGINT) AS rank,
+       d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM m JOIN documents d USING (doc_id)
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10""",
+        "date_histogram_pipeline": """
+WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,
+                  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+f AS (SELECT s.epoch_day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
+      FROM (SELECT unnest(generate_series((SELECT min(epoch_day) FROM d),
+                                          (SELECT max(epoch_day) FROM d)))
+              AS epoch_day) s
+      LEFT JOIN d USING (epoch_day))
+SELECT epoch_day, n_events,
+       CAST(sum(n_events) OVER (ORDER BY epoch_day) AS BIGINT)
+         AS cum_events,
+       CAST(n_events - lag(n_events) OVER (ORDER BY epoch_day) AS BIGINT)
+         AS delta_events
+FROM f ORDER BY epoch_day""",
+        "winnowed_fps": f"""
+WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9_]+'), x -> x <> '') AS t FROM documents),
+hl AS (SELECT doc_id,
+              list_transform(t, x -> CAST(md5_number_lower(x) AS HUGEINT)
+                                     % {_P61}) AS hs,
+              len(t) AS n
+       FROM tok WHERE len(t) >= 4),
+g AS (SELECT doc_id, n - 3 AS ng,
+             unnest(generate_series(1, n - 3)) AS gi, hs FROM hl),
+kh AS (SELECT doc_id, ng, gi,
+              ((((((hs[gi] * 1000003 + hs[gi + 1]) % {_P61}) * 1000003
+                  + hs[gi + 2]) % {_P61}) * 1000003
+                + hs[gi + 3]) % {_P61}) AS h
+       FROM g),
+wm AS (SELECT doc_id, ng, gi,
+              min(h) OVER (PARTITION BY doc_id ORDER BY gi
+                ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin
+       FROM kh),
+sel AS (SELECT DISTINCT doc_id, ng, wmin FROM wm
+        WHERE gi <= greatest(1, ng - 4))
+SELECT doc_id, CAST(max(ng) AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_selected,
+       CAST(sum(wmin) % {_P61} AS BIGINT) AS sel_sum
+FROM sel GROUP BY doc_id ORDER BY doc_id""",
         "media_frames": """
 WITH ids AS (SELECT range AS i FROM range(60)),
 js AS (SELECT range AS j FROM range(256)),

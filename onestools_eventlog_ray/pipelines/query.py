@@ -1008,3 +1008,32 @@ def facet_stats(index_dir: str, term: str, by: str = "lang",
         })
 
     return folded.map_batches(finish, batch_format="pyarrow").sort(by)
+
+
+def search_sorted_by(eng: SearchEngine, terms: list[str], sort_col: str,
+                     k: int = 10, descending: bool = True) -> pa.Table:
+    """ES ``sort`` clause: hits matching ANY query term, ordered by a
+    stored FIELD instead of _score (ES leaves _score null when a sort
+    clause is present).  The candidate set is the union of the terms'
+    postings (df-bounded, shard-pruned reads); sort keys come from
+    chunked range-pruned docstore fetches of (doc_id, sort_col) only.
+    -> (rank, doc_id, <sort_col>), ties broken by doc_id asc."""
+    loaded = eng.load_terms(sorted(set(terms)))
+    parts = [codec.decode_posting(blob).doc_ids
+             for _, blob in loaded.values()]
+    ids = np.unique(np.concatenate(parts)) if parts \
+        else np.empty(0, dtype=np.int64)
+    if eng.deleted.size and ids.size:
+        ids = ids[~np.isin(ids, eng.deleted)]
+    vals = np.empty(ids.size, dtype=np.int64)
+    for c0 in range(0, ids.size, 65536):
+        chunk = ids[c0:c0 + 65536]
+        tbl = eng.fetch_docs(chunk.tolist(), columns=["doc_id", sort_col])
+        vals[c0:c0 + chunk.size] = tbl[sort_col].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, -vals if descending else vals))[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+        "doc_id": pa.array(ids[order], pa.int64()),
+        sort_col: pa.array(vals[order], pa.int64()),
+    })

@@ -181,3 +181,25 @@ def date_histogram_filled(ds: ray.data.Dataset) -> pa.Table:
         "n_events": pa.array([by_day.get(int(d), 0) for d in days],
                              pa.int64()),
     })
+
+
+def date_histogram_cumulative(ds: ray.data.Dataset) -> pa.Table:
+    """ES PIPELINE aggregations over the date_histogram:
+    ``cumulative_sum`` and ``derivative`` computed on the (tiny,
+    span-bounded) folded bucket table — exactly where ES computes them:
+    on the reduced agg result, never on the raw stream.  The first
+    bucket's derivative is null (ES emits none for it).
+    -> (epoch_day, n_events, cum_events, delta_events)."""
+    base = date_histogram_filled(ds)
+    n = base["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cum = np.cumsum(n, dtype=np.int64)
+    delta = np.empty(n.size, dtype=object)
+    delta[1:] = (n[1:] - n[:-1]).tolist()
+    if n.size:
+        delta[0] = None
+    return pa.table({
+        "epoch_day": base["epoch_day"],
+        "n_events": base["n_events"],
+        "cum_events": pa.array(cum, pa.int64()),
+        "delta_events": pa.array(delta.tolist(), pa.int64()),
+    })

@@ -828,3 +828,105 @@ def bigram_coherence(ds: ray.data.Dataset,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def winnowed_fingerprints(ds: ray.data.Dataset,
+                          spec: CorpusSpec = DOCUMENTS_SPEC,
+                          k: int = 4, w: int = 5,
+                          base: int = 1_000_003) -> ray.data.Dataset:
+    """Winnowing (the MOSS robust-fingerprint scheme): per doc, the
+    DISTINCT minima of every ``w``-window over the doc's ``k``-gram
+    rolling hashes — the guarantee-bearing subset of
+    :func:`rolling_fingerprint`'s single whole-doc hash (any shared
+    substring of length >= w+k-1 yields a shared selected fingerprint).
+    Docs with fewer than ``w`` k-grams select their single global min;
+    docs with < ``k`` tokens emit nothing.
+
+    Vectorized end-to-end: exact mod-(2^61-1) k-gram hashes from k
+    shifted views (k-1 ``mulmod`` passes), sliding-window minima from
+    ``sliding_window_view`` with cross-doc windows masked, per-doc
+    distinct via one (parent, value) unique.  No shuffle; the summary
+    ``(n_grams, n_selected, sel_sum = Σ distinct minima mod p)`` keeps
+    the output narrow while staying bit-checkable against the SQL
+    window-function oracle.  -> (doc_id, n_grams, n_selected, sel_sum).
+    """
+    from onestools_eventlog_ray.functions.fasthash import (MERSENNE61,
+                                                           md5_lower64,
+                                                           mulmod_p61)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+        pin_worker_threads()
+        b = add_doc_id(batch, spec)
+        toks = tokenize_array(b["content"])
+        offsets = np.asarray(toks.offsets.to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+        offsets = offsets - offsets[0]
+        dl = np.diff(offsets)
+        doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_grams": pa.array([], pa.int64()),
+                          "n_selected": pa.array([], pa.int64()),
+                          "sel_sum": pa.array([], pa.int64())})
+        flat = toks.flatten()
+        if len(flat) < k or not (dl >= k).any():
+            return empty
+        d = flat.dictionary_encode()
+        uh = md5_lower64(d.dictionary) % MERSENNE61
+        idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        th = uh[idx]                                   # token hashes < p
+        n_flat = th.size
+        # k-gram hash at flat position g: poly fold of th[g..g+k-1]
+        ng_flat = n_flat - k + 1
+        hg = th[:ng_flat].copy()
+        for j in range(1, k):
+            hg = (mulmod_p61(hg, base) + th[j:j + ng_flat]) % MERSENNE61
+        parent = np.repeat(np.arange(dl.size, dtype=np.int64), dl)
+        gram_ok = parent[:ng_flat] == parent[k - 1:k - 1 + ng_flat]
+        # full w-windows entirely inside one doc
+        sel_parent_parts, sel_val_parts = [], []
+        if ng_flat >= w:
+            win = np.lib.stride_tricks.sliding_window_view(hg, w)
+            full = (parent[:win.shape[0]]
+                    == parent[w + k - 2:w + k - 2 + win.shape[0]])
+            if full.any():
+                sel_val_parts.append(win[full].min(axis=1))
+                sel_parent_parts.append(parent[:win.shape[0]][full])
+        # small docs (k <= dl < w + k - 1): single global-min window
+        n_grams_doc = np.maximum(dl - k + 1, 0)
+        small = (n_grams_doc >= 1) & (n_grams_doc < w)
+        if small.any():
+            gram_parent = parent[:ng_flat][gram_ok]
+            gram_vals = hg[gram_ok]
+            # grams are already parent-ordered (flat token order); one
+            # reduceat over per-parent run starts = per-doc global min
+            upar, first = np.unique(gram_parent, return_index=True)
+            if upar.size:
+                mins_all = np.minimum.reduceat(gram_vals, first)
+                m = small[upar]
+                sel_val_parts.append(mins_all[m])
+                sel_parent_parts.append(upar[m])
+        if not sel_val_parts:
+            return empty
+        sp = np.concatenate(sel_parent_parts).astype(np.int64)
+        # mulmod works in uint64; values are < 2^61 so int64 is lossless
+        # (mixing dtypes in np.stack would promote to float64 and corrupt)
+        sv = np.concatenate(sel_val_parts).astype(np.int64)
+        pairs = np.unique(np.stack([sp, sv], axis=1), axis=0)
+        up, counts = np.unique(pairs[:, 0], return_counts=True)
+        cuts = np.concatenate([[0], np.cumsum(counts)])
+        vals = pairs[:, 1]
+        # int(MERSENNE61): a Python-int % np.uint64 silently promotes to
+        # float64 and corrupts the low bits of 61-bit sums
+        p_int = int(MERSENNE61)
+        sel_sum = np.asarray(
+            [int(np.sum(vals[cuts[i]:cuts[i + 1]], dtype=object)) % p_int
+             for i in range(up.size)], dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc_ids[up], pa.int64()),
+            "n_grams": pa.array(n_grams_doc[up], pa.int64()),
+            "n_selected": pa.array(counts.astype(np.int64), pa.int64()),
+            "sel_sum": pa.array(sel_sum, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -711,3 +711,116 @@ def test_bigram_coherence_bruteforce(docs_tbl):
         r = out[d]
         assert (r["n_bigrams"], r["coherence_e6"]) == \
             (len(ps), sum(ps) // len(ps))
+
+
+# ---- sort clause, pipeline aggs, winnowing -------------------------------
+
+def test_search_sorted_by_bruteforce(index_dir, docs_tbl):
+    from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                       search_sorted_by)
+    eng = SearchEngine(index_dir)
+    out = search_sorted_by(eng, TERMS, "n_chars", k=10)
+    meta = {int(d): int(n) for d, n in zip(docs_tbl["doc_id"].to_pylist(),
+                                           docs_tbl["n_chars"].to_pylist())}
+    match = [int(d) for d, t in zip(docs_tbl["doc_id"].to_pylist(),
+                                    docs_tbl["text"].to_pylist())
+             if set(_tok(t)) & set(TERMS)]
+    want = sorted(match, key=lambda d: (-meta[d], d))[:10]
+    assert out["doc_id"].to_pylist() == want
+    assert out["n_chars"].to_pylist() == [meta[d] for d in want]
+
+
+def test_date_histogram_pipeline_aggs():
+    import pyarrow as pa
+    import ray.data
+    from onestools_eventlog_ray.pipelines import streaming
+    day = 86_400 * 1_000_000
+    ts = pa.array([10 * day, 10 * day + 1, 12 * day, 12 * day + 2,
+                   12 * day + 3], pa.timestamp("us"))
+    out = streaming.date_histogram_cumulative(
+        ray.data.from_arrow(pa.table({"ts": ts})))
+    assert out["epoch_day"].to_pylist() == [10, 11, 12]
+    assert out["n_events"].to_pylist() == [2, 0, 3]
+    assert out["cum_events"].to_pylist() == [2, 2, 5]
+    assert out["delta_events"].to_pylist() == [None, -2, 3]
+
+
+def test_winnowing_bruteforce(docs_tbl):
+    import hashlib
+    import ray.data
+    from onestools_eventlog_ray.functions.fasthash import MERSENNE61
+    from onestools_eventlog_ray.pipelines import text
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    P, B, k, w = int(MERSENNE61), 1_000_003, 4, 5
+    out = {r["doc_id"]: r for r in text.winnowed_fingerprints(
+        ray.data.from_arrow(docs_tbl), DOCUMENTS_SPEC, k=k, w=w).take_all()}
+
+    def th(t):
+        return int.from_bytes(hashlib.md5(t.encode()).digest()[8:16],
+                              "little") % P
+
+    n_checked = 0
+    for d, txt in zip(docs_tbl["doc_id"].to_pylist(),
+                      docs_tbl["text"].to_pylist()):
+        hs = [th(t) for t in _tok(txt)]
+        ng = len(hs) - k + 1
+        if ng < 1:
+            assert d not in out
+            continue
+        grams = []
+        for g in range(ng):
+            acc = 0
+            for j in range(k):
+                acc = (acc * B + hs[g + j]) % P
+            grams.append(acc)
+        sel = {min(grams)} if ng < w else \
+            {min(grams[s:s + w]) for s in range(ng - w + 1)}
+        r = out[int(d)]
+        assert (r["n_grams"], r["n_selected"], r["sel_sum"]) == \
+            (ng, len(sel), sum(sel) % P)
+        n_checked += 1
+    assert n_checked > 100
+
+
+def test_winnowing_shared_substring_guarantee():
+    """Two docs sharing a >= w+k-1 token run MUST share a fingerprint."""
+    import pyarrow as pa
+    import ray.data
+    from onestools_eventlog_ray.pipelines import text
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    shared = "alpha beta gamma delta epsilon zeta eta theta"   # 8 tokens
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([f"one two {shared} three",
+                          f"nine {shared} ten eleven twelve"]),
+        "lang": pa.array(["en", "en"]),
+        "source": pa.array(["s", "s"]),
+        "n_chars": pa.array([1, 1], pa.int64()),
+    })
+    # engine summary can't expose the sets, so recompute via brute force
+    # with the same params to assert intersection is non-empty
+    import hashlib
+    from onestools_eventlog_ray.functions.fasthash import MERSENNE61
+    P, B, k, w = int(MERSENNE61), 1_000_003, 4, 5
+
+    def sel_set(txt):
+        hs = [int.from_bytes(hashlib.md5(x.encode()).digest()[8:16],
+                             "little") % P for x in _tok(txt)]
+        ng = len(hs) - k + 1
+        grams = []
+        for g in range(ng):
+            acc = 0
+            for j in range(k):
+                acc = (acc * B + hs[g + j]) % P
+            grams.append(acc)
+        return {min(grams)} if ng < w else \
+            {min(grams[s:s + w]) for s in range(ng - w + 1)}
+
+    s1, s2 = sel_set(t["text"][0].as_py()), sel_set(t["text"][1].as_py())
+    assert s1 & s2
+    out = {r["doc_id"]: r for r in text.winnowed_fingerprints(
+        ray.data.from_arrow(t), DOCUMENTS_SPEC, k=k, w=w).take_all()}
+    assert out[1]["n_selected"] == len(s1)
+    assert out[2]["n_selected"] == len(s2)
+    assert out[1]["sel_sum"] == sum(s1) % P
+    assert out[2]["sel_sum"] == sum(s2) % P
