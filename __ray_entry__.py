@@ -814,6 +814,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def substring_grep(sf_dir):
+        """Cross-token-boundary substring scan ('table sc') — the
+        leading-wildcard/infix query an inverted index cannot serve."""
+        return text.substring_scan(_documents_ds(sf_dir), "table sc",
+                                   DOCUMENTS_SPEC).sort("doc_id")
+
+    def bigram_lift(sf_dir):
+        """Collocation mining: top-20 bigrams by exact-integer lift
+        (PMI-monotone), min count 5."""
+        return text.bigram_lift_topk(_documents_ds(sf_dir),
+                                     DOCUMENTS_SPEC, min_count=5, k=20)
+
+    def funnel(sf_dir):
+        """click -> purchase-within-1h conversion funnel."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines import streaming
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["user_id", "ts", "event_type"])
+        return streaming.funnel_counts(ev, "click", "purchase",
+                                       within_s=3600)
+
+    def retention_d7(sf_dir):
+        """D7 cohort retention over the event stream."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines import streaming
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["user_id", "ts"])
+        return streaming.retention_cohorts(ev, horizon_days=7)
+
     def search_sorted_by_len(sf_dir):
         """ES sort clause: matching docs ordered by n_chars desc (no
         _score), top-10."""
@@ -1185,6 +1214,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_stats": redact_stats,
         "lm_quality": lm_quality,
         "significant_terms_de": significant_terms_de,
+        "substring_grep": substring_grep,
+        "bigram_lift": bigram_lift,
+        "funnel": funnel,
+        "retention_d7": retention_d7,
         "search_sorted_by_len": search_sorted_by_len,
         "date_histogram_pipeline": date_histogram_pipeline,
         "winnowed_fps": winnowed_fps,
@@ -2270,6 +2303,55 @@ SELECT term, df_fg, df,
          // (2 * (SELECT nf FROM nfg) * df) AS lift_e6
 FROM ag WHERE df_fg >= 5
 ORDER BY lift_e6 DESC, df_fg DESC, term ASC LIMIT 10""",
+        "substring_grep": """
+SELECT doc_id,
+       CAST((length(text) - length(replace(text, 'table sc', '')))
+            // length('table sc') AS BIGINT) AS n_occurrences
+FROM documents
+WHERE text LIKE '%table sc%'
+ORDER BY doc_id""",
+        "bigram_lift": f"""
+WITH toksq AS ({_TOKS.replace('AS term', 'AS term')}),
+uni AS (SELECT term, count(*) AS c FROM toksq GROUP BY term),
+tot AS (SELECT count(*) AS t FROM toksq),
+tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+            '[^a-z0-9_]+'), x -> x <> '') AS l FROM documents),
+bg AS (SELECT l[g] AS a, l[g + 1] AS b
+       FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS g
+             FROM tok WHERE len(l) >= 2)),
+bgc AS (SELECT a, b, count(*) AS n FROM bg GROUP BY a, b),
+lift AS (SELECT concat(a, ' ', b) AS bigram, CAST(n AS BIGINT) AS n,
+                CAST((n * (SELECT t FROM tot) * 1000000)
+                     // (ua.c * ub.c) AS BIGINT) AS lift_e6
+         FROM bgc JOIN uni ua ON ua.term = bgc.a
+                  JOIN uni ub ON ub.term = bgc.b
+         WHERE n >= 5)
+SELECT bigram, n, lift_e6 FROM lift
+ORDER BY lift_e6 DESC, n DESC, bigram ASC LIMIT 20""",
+        "funnel": """
+WITH f AS (SELECT user_id, min(ts) AS t0 FROM events
+           WHERE event_type = 'click' GROUP BY user_id),
+c AS (SELECT f.user_id FROM f WHERE EXISTS (
+        SELECT 1 FROM events e
+        WHERE e.user_id = f.user_id AND e.event_type = 'purchase'
+          AND e.ts > f.t0
+          AND epoch_us(e.ts) <= epoch_us(f.t0) + 3600000000))
+SELECT CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT)
+         AS n_users,
+       CAST((SELECT count(*) FROM f) AS BIGINT) AS n_first,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_converted""",
+        "retention_d7": """
+WITH d AS (SELECT DISTINCT user_id,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+           FROM events),
+c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id),
+r AS (SELECT c.user_id, c.cohort,
+             EXISTS (SELECT 1 FROM d WHERE d.user_id = c.user_id
+                     AND d.day = c.cohort + 7) AS ret
+      FROM c)
+SELECT cohort AS cohort_day, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN ret THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+FROM r GROUP BY cohort ORDER BY cohort""",
         "search_sorted_by_len": f"""
 WITH toks AS ({_TOKS}),
 m AS (SELECT DISTINCT doc_id FROM toks

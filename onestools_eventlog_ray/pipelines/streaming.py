@@ -203,3 +203,75 @@ def date_histogram_cumulative(ds: ray.data.Dataset) -> pa.Table:
         "cum_events": pa.array(cum, pa.int64()),
         "delta_events": pa.array(delta.tolist(), pa.int64()),
     })
+
+
+def funnel_counts(ds: ray.data.Dataset, first: str = "click",
+                  second: str = "purchase",
+                  within_s: int = 3600) -> pa.Table:
+    """Two-step FUNNEL: of the users whose stream contains ``first``,
+    how many performed ``second`` within ``within_s`` after their FIRST
+    ``first`` — the conversion query every event-analytics store ships
+    (and a per-source stateful pass over exactly the reference's event
+    streams).  One groupby(user) pass; each group folds to three bits,
+    so the reduce moves O(n_users) tiny rows.
+    -> one row (n_users, n_first, n_converted)."""
+    from ray.data.aggregate import Sum
+    w_us = within_s * US
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        first_ts = ts[et == first]
+        has_first = first_ts.size > 0
+        conv = False
+        if has_first:
+            t0 = int(first_ts.min())
+            sec = ts[et == second]
+            conv = bool(((sec > t0) & (sec <= t0 + w_us)).any())
+        return pa.table({
+            "u_p": pa.array([1], pa.int64()),
+            "f_p": pa.array([int(has_first)], pa.int64()),
+            "c_p": pa.array([int(conv)], pa.int64()),
+        })
+
+    agg = ds.groupby("user_id").map_groups(per_user,
+                                           batch_format="pyarrow") \
+        .aggregate(Sum("u_p", alias_name="n_users"),
+                   Sum("f_p", alias_name="n_first"),
+                   Sum("c_p", alias_name="n_converted"))
+    return pa.table({
+        "n_users": pa.array([int(agg["n_users"] or 0)], pa.int64()),
+        "n_first": pa.array([int(agg["n_first"] or 0)], pa.int64()),
+        "n_converted": pa.array([int(agg["n_converted"] or 0)], pa.int64()),
+    })
+
+
+def retention_cohorts(ds: ray.data.Dataset,
+                      horizon_days: int = 7) -> ray.data.Dataset:
+    """COHORT RETENTION: group users by their first-activity day, count
+    how many were active again exactly ``horizon_days`` later (classic
+    D7 retention).  Per-user fold to (cohort_day, retained) — one bit
+    per user — then a tiny per-cohort sum.
+    -> (cohort_day, n_users, n_retained) by cohort_day."""
+    from ray.data.aggregate import Sum
+    day_us = 86_400 * US
+
+    def per_user(g: pa.Table) -> pa.Table:
+        days = np.unique(g["ts"].cast(pa.int64())
+                         .to_numpy(zero_copy_only=False) // day_us)
+        cohort = int(days[0])
+        ret = int(np.searchsorted(days, cohort + horizon_days) < days.size
+                  and days[np.searchsorted(days, cohort + horizon_days)]
+                  == cohort + horizon_days)
+        return pa.table({
+            "cohort_day": pa.array([cohort], pa.int64()),
+            "n_p": pa.array([1], pa.int64()),
+            "r_p": pa.array([ret], pa.int64()),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow") \
+        .groupby("cohort_day") \
+        .aggregate(Sum("n_p", alias_name="n_users"),
+                   Sum("r_p", alias_name="n_retained")) \
+        .sort("cohort_day")

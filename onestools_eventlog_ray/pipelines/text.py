@@ -930,3 +930,60 @@ def winnowed_fingerprints(ds: ray.data.Dataset,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def substring_scan(ds: ray.data.Dataset, needle: str,
+                   spec: CorpusSpec = DOCUMENTS_SPEC) -> ray.data.Dataset:
+    """Raw SUBSTRING search over document bodies (ES ``wildcard`` /
+    ``*infix*`` on an unanalyzed field — matches ACROSS token
+    boundaries, which no inverted-index query can): a streaming
+    full-scan filter with a vectorized Arrow kernel per batch, counting
+    occurrences per matching doc.  ES executes exactly this shape (a
+    doc-values scan) for leading-wildcard queries; at 100 TB it is an
+    honest column-pruned corpus scan with no shuffle at all.
+    -> (doc_id, n_occurrences) for docs with >= 1 match."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = add_doc_id(batch, spec)
+        content = b["content"]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        n = pc.cast(pc.count_substring(content, pattern=needle), pa.int64())
+        keep = pc.greater(n, 0)
+        return pa.table({
+            "doc_id": b["doc_id"].filter(keep),
+            "n_occurrences": n.filter(keep),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bigram_lift_topk(ds: ray.data.Dataset,
+                     spec: CorpusSpec = DOCUMENTS_SPEC,
+                     min_count: int = 5, k: int = 20) -> pa.Table:
+    """Collocation mining by exact-integer LIFT (the PMI ranking without
+    the float log): for bigrams with count >= ``min_count``,
+
+        lift_e6 = (c(ab) * total_unigrams * 1e6) // (c(a) * c(b))
+
+    — monotone in PMI, computed entirely in integers so the ranking is
+    bit-identical to the SQL oracle.  Reuses the bigram/unigram partial
+    folds (vocabulary-sized); the top-k cut runs on the folded table.
+    -> (bigram, n, lift_e6) by (lift desc, n desc, bigram asc)."""
+    big = bigram_stats(ds, spec).to_pandas()
+    uni = term_stats(ds, spec).to_pandas()
+    total = int(uni["cf"].sum())
+    cf = dict(zip(uni["term"], uni["cf"].astype(int)))
+    big = big[big["n"] >= min_count]
+    rows = []
+    for bg, n in zip(big["bigram"], big["n"].astype(int)):
+        a, b = bg.split(" ", 1)
+        lift = (n * total * 1_000_000) // (cf[a] * cf[b])
+        rows.append((bg, n, lift))
+    rows.sort(key=lambda r: (-r[2], -r[1], r[0]))
+    rows = rows[:k]
+    return pa.table({
+        "bigram": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "lift_e6": pa.array([r[2] for r in rows], pa.int64()),
+    })

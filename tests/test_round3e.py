@@ -824,3 +824,87 @@ def test_winnowing_shared_substring_guarantee():
     assert out[2]["n_selected"] == len(s2)
     assert out[1]["sel_sum"] == sum(s1) % P
     assert out[2]["sel_sum"] == sum(s2) % P
+
+
+# ---- grep scan, lift, funnel, retention ----------------------------------
+
+def test_substring_scan_bruteforce(docs_tbl):
+    import ray.data
+    from onestools_eventlog_ray.pipelines import text
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    out = {r["doc_id"]: r["n_occurrences"] for r in text.substring_scan(
+        ray.data.from_arrow(docs_tbl), "table sc",
+        DOCUMENTS_SPEC).take_all()}
+    want = {}
+    for d, t in zip(docs_tbl["doc_id"].to_pylist(),
+                    docs_tbl["text"].to_pylist()):
+        n = t.count("table sc")
+        if n:
+            want[int(d)] = n
+    assert out == want and out
+
+
+def test_bigram_lift_bruteforce(docs_tbl):
+    import ray.data
+    from onestools_eventlog_ray.pipelines import text
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    out = text.bigram_lift_topk(ray.data.from_arrow(docs_tbl),
+                                DOCUMENTS_SPEC, min_count=5, k=20)
+    uni = collections.Counter()
+    big = collections.Counter()
+    for t in docs_tbl["text"].to_pylist():
+        toks = _tok(t)
+        uni.update(toks)
+        big.update(f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1))
+    tot = sum(uni.values())
+    rows = [(bg, n, (n * tot * 1_000_000)
+             // (uni[bg.split(" ")[0]] * uni[bg.split(" ")[1]]))
+            for bg, n in big.items() if n >= 5]
+    rows.sort(key=lambda r: (-r[2], -r[1], r[0]))
+    assert list(zip(out["bigram"].to_pylist(), out["n"].to_pylist(),
+                    out["lift_e6"].to_pylist())) == rows[:20]
+
+
+def test_funnel_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines import streaming
+    ev = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                       columns=["user_id", "ts", "event_type"])
+    out = streaming.funnel_counts(
+        ray.data.from_arrow(ev), "click", "purchase",
+        within_s=3600).to_pylist()[0]
+    per_user = collections.defaultdict(list)
+    for u, t, e in zip(ev["user_id"].to_pylist(), ev["ts"].to_pylist(),
+                       ev["event_type"].to_pylist()):
+        per_user[int(u)].append((int(t.timestamp() * 1e6), e))
+    n_first = n_conv = 0
+    for evs in per_user.values():
+        clicks = [t for t, e in evs if e == "click"]
+        if not clicks:
+            continue
+        n_first += 1
+        t0 = min(clicks)
+        if any(e == "purchase" and t0 < t <= t0 + 3600_000_000
+               for t, e in evs):
+            n_conv += 1
+    assert out == {"n_users": len(per_user), "n_first": n_first,
+                   "n_converted": n_conv}
+
+
+def test_retention_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines import streaming
+    ev = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                       columns=["user_id", "ts"])
+    out = [(r["cohort_day"], r["n_users"], r["n_retained"]) for r in
+           streaming.retention_cohorts(ray.data.from_arrow(ev),
+                                       horizon_days=7).take_all()]
+    per_user = collections.defaultdict(set)
+    for u, t in zip(ev["user_id"].to_pylist(), ev["ts"].to_pylist()):
+        per_user[int(u)].add(int(t.timestamp() * 1e6) // 86_400_000_000)
+    agg = collections.defaultdict(lambda: [0, 0])
+    for days in per_user.values():
+        cohort = min(days)
+        agg[cohort][0] += 1
+        agg[cohort][1] += int(cohort + 7 in days)
+    assert out == [(c, n, r) for c, (n, r) in sorted(agg.items())]
