@@ -43,6 +43,14 @@ def _ray_up(num_cpus: int | None):
         ray.init(**kw)
 
 
+def _coerce(v: str):
+    """CLI predicate value: int if it parses, else the raw string."""
+    try:
+        return int(v)
+    except ValueError:
+        return v
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="onestools_eventlog_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -96,6 +104,16 @@ def main(argv: list[str] | None = None) -> int:
     ps = sub.add_parser("phrase", help="exact phrase query")
     ps.add_argument("--index", required=True)
     ps.add_argument("--phrase", required=True, help="the phrase text")
+
+    ri = sub.add_parser("reindex",
+                        help="rebuild an index from a source index's "
+                             "docstore, optionally filtered (ES _reindex)")
+    ri.add_argument("--src", required=True, help="source index dir")
+    ri.add_argument("--out", required=True, help="output index dir")
+    ri.add_argument("--where", default="",
+                    help="comma-separated predicates: col=value or "
+                         "col=lo..hi (inclusive range)")
+    ri.add_argument("--config", default=None)
 
     dl = sub.add_parser("delete",
                         help="tombstone documents by id (soft delete; "
@@ -166,6 +184,19 @@ def main(argv: list[str] | None = None) -> int:
                 compact_generations
             rep = compact_generations(args.index_root, args.out,
                                       cfg=_load_cfg(args.config))
+            print(json.dumps(rep))
+        elif args.cmd == "reindex":
+            from onestools_eventlog_ray.pipelines.incremental import reindex
+            where: dict = {}
+            for part in filter(None, args.where.split(",")):
+                c, v = part.split("=", 1)
+                if ".." in v:
+                    lo, hi = v.split("..", 1)
+                    where[c] = (_coerce(lo), _coerce(hi))
+                else:
+                    where[c] = _coerce(v)
+            rep = reindex(args.src, args.out, where=where or None,
+                          cfg=_load_cfg(args.config))
             print(json.dumps(rep))
         elif args.cmd == "build-positions":
             from onestools_eventlog_ray.pipelines.phrase import \
