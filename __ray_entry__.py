@@ -814,6 +814,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def span_near_sv(sf_dir):
+        """ES span_near: 'spark' within 3 positions of 'vector',
+        min distance per doc, over the positions sidecar."""
+        from onestools_eventlog_ray.config import EngineConfig
+        from onestools_eventlog_ray.pipelines.phrase import (
+            PhraseEngine, build_position_index, span_near)
+        from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+        index_dir = _ensure_index(sf_dir)
+        if not os.path.isdir(os.path.join(index_dir, "positions")):
+            build_position_index(
+                os.path.join(sf_dir, "documents.parquet"), index_dir,
+                spec=DOCUMENTS_SPEC, cfg=EngineConfig(num_partitions=16))
+        hits = span_near(PhraseEngine(index_dir), "spark", "vector",
+                         slop=3)
+        return pa.table({
+            "doc_id": pa.array([d for d, _ in hits], pa.int64()),
+            "min_dist": pa.array([m for _, m in hits], pa.int64()),
+        })
+
+    def rare_terms_q(sf_dir):
+        """ES rare_terms agg: dictionary terms with df <= 100
+        (the long tail below the common-vocabulary band)."""
+        from onestools_eventlog_ray.pipelines.query import rare_terms
+        return rare_terms(_ensure_index(sf_dir), max_df=100).sort("term")
+
+    def term_adjacency(sf_dir):
+        """ES adjacency_matrix agg over the three headline terms."""
+        from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                           adjacency_matrix)
+        eng = SearchEngine(_ensure_index(sf_dir))
+        return adjacency_matrix(eng, _BM25_TERMS)
+
     def substring_grep(sf_dir):
         """Cross-token-boundary substring scan ('table sc') — the
         leading-wildcard/infix query an inverted index cannot serve."""
@@ -1214,6 +1246,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_stats": redact_stats,
         "lm_quality": lm_quality,
         "significant_terms_de": significant_terms_de,
+        "span_near_sv": span_near_sv,
+        "rare_terms_q": rare_terms_q,
+        "term_adjacency": term_adjacency,
         "substring_grep": substring_grep,
         "bigram_lift": bigram_lift,
         "funnel": funnel,
@@ -2303,6 +2338,31 @@ SELECT term, df_fg, df,
          // (2 * (SELECT nf FROM nfg) * df) AS lift_e6
 FROM ag WHERE df_fg >= 5
 ORDER BY lift_e6 DESC, df_fg DESC, term ASC LIMIT 10""",
+        "span_near_sv": """
+WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9_]+'), x -> x <> '') AS l FROM documents),
+p AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS g, l
+      FROM tok WHERE len(l) > 0),
+a AS (SELECT doc_id, g FROM p WHERE l[g] = 'spark'),
+b AS (SELECT doc_id, g FROM p WHERE l[g] = 'vector'),
+m AS (SELECT a.doc_id, min(abs(a.g - b.g)) AS min_dist
+      FROM a JOIN b USING (doc_id) GROUP BY a.doc_id)
+SELECT doc_id, CAST(min_dist AS BIGINT) AS min_dist
+FROM m WHERE min_dist <= 3
+ORDER BY min_dist, doc_id""",
+        "rare_terms_q": f"""
+WITH toks AS ({_TOKS})
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM toks GROUP BY term HAVING count(DISTINCT doc_id) <= 100
+ORDER BY term""",
+        "term_adjacency": f"""
+WITH toks AS ({_TOKS}),
+pt AS (SELECT DISTINCT doc_id, term FROM toks
+       WHERE term IN ('spark', 'vector', 'window'))
+SELECT a.term AS key_a, b.term AS key_b,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM pt a JOIN pt b ON a.doc_id = b.doc_id AND a.term <= b.term
+GROUP BY 1, 2 ORDER BY key_a, key_b""",
         "substring_grep": """
 SELECT doc_id,
        CAST((length(text) - length(replace(text, 'table sc', '')))

@@ -314,3 +314,41 @@ def search_phrase_prefix(eng: PhraseEngine, index_dir: str,
     uidx, counts = np.unique(keys // C, return_counts=True)
     order = np.lexsort((d0[uidx], -counts))
     return [(int(d0[uidx[i]]), int(counts[i])) for i in order]
+
+
+def span_near(eng: PhraseEngine, term_a: str, term_b: str,
+              slop: int = 3) -> list[tuple[int, int]]:
+    """ES ``span_near`` (unordered, two clauses): documents where
+    ``term_a`` and ``term_b`` occur within ``slop`` token positions of
+    each other, with the doc's MINIMUM distance — proximity ranking
+    over the same positions sidecar as exact phrase, no corpus scan.
+
+    Vectorized per term pair: both (doc, pos) streams are already
+    doc-major; for each doc present in both, the min |pa - pb| comes
+    from one ``searchsorted`` of a's positions into b's (nearest
+    neighbor under merge order) — no per-position Python.
+    -> [(doc_id, min_dist)] with min_dist <= slop, (dist asc, doc asc)."""
+    loaded = eng._load_flat([term_a, term_b])
+    da, pa_ = loaded[term_a]
+    db, pb_ = loaded[term_b]
+    if da.size == 0 or db.size == 0:
+        return []
+    C = np.int64(1) << np.int64(32)
+    ka = np.sort(da * C + pa_)
+    kb = np.sort(db * C + pb_)
+    # for each a-key, nearest b-key by insertion point; distance is valid
+    # only when the neighbor belongs to the SAME doc
+    idx = np.searchsorted(kb, ka)
+    best = np.full(ka.size, np.int64(1) << 40, dtype=np.int64)
+    for nb in (np.clip(idx - 1, 0, kb.size - 1),
+               np.clip(idx, 0, kb.size - 1)):
+        same = (kb[nb] // C) == (ka // C)
+        d = np.abs(kb[nb] - ka)
+        np.minimum(best, np.where(same, d, np.int64(1) << 40), out=best)
+    docs = ka // C
+    order = np.argsort(docs, kind="stable")
+    ud, first = np.unique(docs[order], return_index=True)
+    mins = np.minimum.reduceat(best[order], first)
+    keep = mins <= slop
+    out = sorted(zip(mins[keep].tolist(), ud[keep].tolist()))
+    return [(int(d), int(m)) for m, d in out]

@@ -1037,3 +1037,45 @@ def search_sorted_by(eng: SearchEngine, terms: list[str], sort_col: str,
         "doc_id": pa.array(ids[order], pa.int64()),
         sort_col: pa.array(vals[order], pa.int64()),
     })
+
+
+def rare_terms(index_dir: str, max_df: int = 3):
+    """ES ``rare_terms`` aggregation: dictionary terms with df <=
+    ``max_df`` — the long-tail bucket terms agg deliberately excludes.
+    Distributed shard-dictionary scan with the df predicate pushed to
+    the parquet read (row-group stats prune); posting blobs never read.
+    -> (term, df) Dataset."""
+    import pyarrow.dataset as pads
+    import ray.data
+    return ray.data.read_parquet(os.path.join(index_dir, "shards"),
+                                 columns=["term", "df"],
+                                 filter=pads.field("df") <= max_df)
+
+
+def adjacency_matrix(eng: SearchEngine, terms: list[str]) -> pa.Table:
+    """ES ``adjacency_matrix`` aggregation: for every pair of term
+    filters, the count of documents matching BOTH (plus the diagonal).
+    Posting-set intersections — |terms| shard-pruned reads, pairwise
+    ``np.intersect1d`` on sorted doc_id arrays, nothing corpus-sized.
+    -> (key_a, key_b, n_docs), key_a <= key_b, sorted."""
+    uniq = sorted(set(terms))
+    loaded = eng.load_terms(uniq)
+    posts = {}
+    for t in uniq:
+        hit = loaded.get(t)
+        ids = codec.decode_posting(hit[1]).doc_ids if hit \
+            else np.empty(0, dtype=np.int64)
+        if eng.deleted.size and ids.size:
+            ids = ids[~np.isin(ids, eng.deleted)]
+        posts[t] = ids
+    rows = []
+    for i, a in enumerate(uniq):
+        for b in uniq[i:]:
+            n = posts[a].size if a == b else \
+                np.intersect1d(posts[a], posts[b], assume_unique=True).size
+            rows.append((a, b, int(n)))
+    return pa.table({
+        "key_a": pa.array([r[0] for r in rows], pa.string()),
+        "key_b": pa.array([r[1] for r in rows], pa.string()),
+        "n_docs": pa.array([r[2] for r in rows], pa.int64()),
+    })

@@ -908,3 +908,60 @@ def test_retention_bruteforce():
         agg[cohort][0] += 1
         agg[cohort][1] += int(cohort + 7 in days)
     assert out == [(c, n, r) for c, (n, r) in sorted(agg.items())]
+
+
+# ---- span_near, rare_terms, adjacency ------------------------------------
+
+def test_span_near_bruteforce(index_dir, docs_tbl):
+    from onestools_eventlog_ray.pipelines.phrase import PhraseEngine, span_near
+    got = span_near(PhraseEngine(index_dir), "spark", "vector", slop=3)
+    want = {}
+    for d, t in zip(docs_tbl["doc_id"].to_pylist(),
+                    docs_tbl["text"].to_pylist()):
+        toks = _tok(t)
+        pa_ = [i for i, x in enumerate(toks) if x == "spark"]
+        pb = [i for i, x in enumerate(toks) if x == "vector"]
+        if pa_ and pb:
+            m = min(abs(i - j) for i in pa_ for j in pb)
+            if m <= 3:
+                want[int(d)] = m
+    assert got == sorted(((d, m) for d, m in want.items()),
+                         key=lambda x: (x[1], x[0]))
+    assert got
+
+
+def test_span_near_slop_zero_empty(index_dir):
+    """Distance 0 is impossible for two distinct terms."""
+    from onestools_eventlog_ray.pipelines.phrase import PhraseEngine, span_near
+    assert span_near(PhraseEngine(index_dir), "spark", "vector",
+                     slop=0) == []
+
+
+def test_adjacency_matrix_bruteforce(index_dir, docs_tbl):
+    from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                       adjacency_matrix)
+    out = adjacency_matrix(SearchEngine(index_dir), TERMS)
+    sets = {t: set() for t in TERMS}
+    for d, txt in zip(docs_tbl["doc_id"].to_pylist(),
+                      docs_tbl["text"].to_pylist()):
+        toks = set(_tok(txt))
+        for t in TERMS:
+            if t in toks:
+                sets[t].add(int(d))
+    got = {(a, b): n for a, b, n in zip(out["key_a"].to_pylist(),
+                                        out["key_b"].to_pylist(),
+                                        out["n_docs"].to_pylist())}
+    u = sorted(set(TERMS))
+    assert got == {(a, b): len(sets[a] & sets[b])
+                   for i, a in enumerate(u) for b in u[i:]}
+
+
+def test_rare_terms_threshold(index_dir, docs_tbl):
+    from onestools_eventlog_ray.pipelines.query import rare_terms
+    out = {r["term"]: r["df"] for r in
+           rare_terms(index_dir, max_df=100).take_all()}
+    df = collections.Counter()
+    for t in docs_tbl["text"].to_pylist():
+        df.update(set(_tok(t)))
+    assert out == {t: n for t, n in df.items() if n <= 100}
+    assert out
