@@ -543,9 +543,35 @@ class QueryScorer:
         terms_col = batch["terms"].to_pylist()
         k_col = batch["k"].to_pylist() if "k" in batch.column_names \
             else [10] * batch.num_rows
-        for qid, terms, k in zip(batch["query_id"].to_pylist(), terms_col, k_col):
-            fn = self.engine.search_wand if self.use_wand else self.engine.search
-            for rank, (doc_id, score) in enumerate(fn(list(terms), int(k)), 1):
+        # optional per-query DSL columns route through search_dsl (the
+        # distributed serving path covers the whole scoring surface, not
+        # just plain BM25): "msm" (minimum_should_match), "mode"
+        # ("sum"/"max"), "tie_breaker", "boosts" (JSON term->boost map)
+        msm_col = batch["msm"].to_pylist() if "msm" in batch.column_names \
+            else [None] * batch.num_rows
+        mode_col = batch["mode"].to_pylist() \
+            if "mode" in batch.column_names else [None] * batch.num_rows
+        tb_col = batch["tie_breaker"].to_pylist() \
+            if "tie_breaker" in batch.column_names \
+            else [None] * batch.num_rows
+        boosts_col = batch["boosts"].to_pylist() \
+            if "boosts" in batch.column_names else [None] * batch.num_rows
+        for qid, terms, k, msm, mode, tb, boosts in zip(
+                batch["query_id"].to_pylist(), terms_col, k_col,
+                msm_col, mode_col, tb_col, boosts_col):
+            if msm is not None or mode is not None or boosts is not None:
+                import json as _json
+                hits = search_dsl(
+                    self.engine, list(terms), int(k),
+                    boosts=_json.loads(boosts) if boosts else None,
+                    minimum_should_match=int(msm) if msm is not None else 1,
+                    mode=mode or "sum",
+                    tie_breaker=float(tb) if tb is not None else 0.0)
+            else:
+                fn = self.engine.search_wand if self.use_wand \
+                    else self.engine.search
+                hits = fn(list(terms), int(k))
+            for rank, (doc_id, score) in enumerate(hits, 1):
                 qids.append(qid)
                 ranks.append(rank)
                 doc_ids.append(doc_id)
@@ -599,8 +625,22 @@ def score_queries(index_dir: str, queries, k: int = 10,
     query streams."""
     import ray.data
     if not isinstance(queries, ray.data.Dataset):
-        rows = [{"query_id": q["query_id"], "terms": list(q["terms"]),
-                 "k": int(q.get("k", k))} for q in queries]
+        rows = []
+        for q in queries:
+            row = {"query_id": q["query_id"], "terms": list(q["terms"]),
+                   "k": int(q.get("k", k))}
+            # optional DSL knobs ride along (see QueryScorer.__call__)
+            for opt in ("msm", "mode", "tie_breaker", "boosts"):
+                if q.get(opt) is not None:
+                    row[opt] = q[opt]
+            rows.append(row)
+        # uniform keys per block: if ANY query carries a DSL knob, give
+        # every row the column (None elsewhere) so Arrow sees one schema
+        opts_used = {o for r in rows for o in
+                     ("msm", "mode", "tie_breaker", "boosts") if o in r}
+        for r in rows:
+            for o in opts_used:
+                r.setdefault(o, None)
         queries = ray.data.from_items(rows)
     if impl == "tasks":
         return queries.map_batches(_score_batch, batch_format="pyarrow",

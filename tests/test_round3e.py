@@ -965,3 +965,54 @@ def test_rare_terms_threshold(index_dir, docs_tbl):
         df.update(set(_tok(t)))
     assert out == {t: n for t, n in df.items() if n <= 100}
     assert out
+
+
+# ---- distributed DSL serving + reindex/tombstone integration -------------
+
+def test_score_queries_dsl_columns(index_dir):
+    """The distributed scorer routes per-query DSL knobs through
+    search_dsl — results equal the driver-side calls."""
+    import json
+    from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                       score_queries,
+                                                       search_dsl)
+    eng = SearchEngine(index_dir)
+    queries = [
+        {"query_id": 0, "terms": TERMS, "k": 5, "msm": 2,
+         "mode": None, "tie_breaker": None, "boosts": None},
+        {"query_id": 1, "terms": TERMS, "k": 5, "msm": None,
+         "mode": "max", "tie_breaker": 0.3, "boosts": None},
+        {"query_id": 2, "terms": TERMS, "k": 5, "msm": None,
+         "mode": None, "tie_breaker": None,
+         "boosts": json.dumps({"spark": 2.0})},
+    ]
+    rows = score_queries(index_dir, queries).take_all()
+    by_q = collections.defaultdict(list)
+    for r in rows:
+        by_q[r["query_id"]].append((r["rank"], r["doc_id"], r["score"]))
+    want = {
+        0: search_dsl(eng, TERMS, 5, minimum_should_match=2),
+        1: search_dsl(eng, TERMS, 5, mode="max", tie_breaker=0.3),
+        2: search_dsl(eng, TERMS, 5, boosts={"spark": 2.0}),
+    }
+    for q, hits in want.items():
+        assert [(d, s) for _, d, s in sorted(by_q[q])] == hits
+
+
+def test_reindex_excludes_tombstones(index_dir, docs_tbl, tmp_path):
+    """Reindex honors the source's soft deletes: tombstoned docs are
+    physically absent from the new index."""
+    import shutil
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.incremental import reindex
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    from onestools_eventlog_ray.state.tombstones import delete_docs
+    src = str(tmp_path / "src")
+    shutil.copytree(index_dir, src)
+    victims = docs_tbl["doc_id"].to_pylist()[:3]
+    delete_docs(src, [int(v) for v in victims])
+    dst = str(tmp_path / "dst")
+    reindex(src, dst, cfg=EngineConfig(num_partitions=4))
+    eng = SearchEngine(dst)
+    assert eng.N == docs_tbl.num_rows - 3
+    assert eng.fetch_docs([int(victims[0])]).num_rows == 0
