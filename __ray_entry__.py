@@ -814,6 +814,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def bm25_best_fields(sf_dir):
+        """ES multi_match type=best_fields: dis_max ACROSS fields with
+        tie_breaker=0.2 over the per-field indexes."""
+        from onestools_eventlog_ray.config import EngineConfig
+        from onestools_eventlog_ray.pipelines.multifield import (
+            MultiFieldEngine, build_multifield_index, search_best_fields)
+        root = _index_dir_for(sf_dir) + "_mf"
+        build_multifield_index(os.path.join(sf_dir, "documents.parquet"),
+                               root, list(_MF_BOOSTS),
+                               cfg=EngineConfig(num_partitions=8))
+        eng = MultiFieldEngine(root, _MF_BOOSTS)
+        hits = search_best_fields(eng, _MF_TERMS, k=1_000_000,
+                                  tie_breaker=0.2)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
+    def composite_page2(sf_dir):
+        """ES composite agg pagination: page 2 (size 8) of the
+        (source, lang) bucket stream via the after-key cursor."""
+        page1 = relational.composite_agg(_documents_ds(sf_dir),
+                                         ["source", "lang"], size=8)
+        cursor = (page1["source"][-1].as_py(), page1["lang"][-1].as_py())
+        return relational.composite_agg(_documents_ds(sf_dir),
+                                        ["source", "lang"],
+                                        after=cursor, size=8)
+
+    def percolate_matches(sf_dir):
+        """ES percolator: which stored bool-must queries does each doc
+        trigger (4 alert rules, broadcast; corpus streams once)."""
+        rules = {
+            "spark_vec": ["spark", "vector"],
+            "win_sort": ["window", "sort"],
+            "triple": ["table", "scan", "join"],
+            "rare": ["dup"],
+        }
+        return text.percolate(_documents_ds(sf_dir), rules,
+                              DOCUMENTS_SPEC) \
+            .sort(["doc_id", "query_name"])
+
     def span_near_sv(sf_dir):
         """ES span_near: 'spark' within 3 positions of 'vector',
         min distance per doc, over the positions sidecar."""
@@ -1246,6 +1291,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_stats": redact_stats,
         "lm_quality": lm_quality,
         "significant_terms_de": significant_terms_de,
+        "bm25_best_fields": bm25_best_fields,
+        "composite_page2": composite_page2,
+        "percolate_matches": percolate_matches,
         "span_near_sv": span_near_sv,
         "rare_terms_q": rare_terms_q,
         "term_adjacency": term_adjacency,
@@ -1418,6 +1466,35 @@ comb AS (
   SELECT coalesce(x.doc_id, y.doc_id) AS doc_id,
          coalesce({boosts[a]} * x.score, 0)
            + coalesce({boosts[b]} * y.score, 0) AS score
+  FROM scored_{a} x FULL JOIN scored_{b} y USING (doc_id))
+SELECT CAST(row_number() OVER (
+         ORDER BY CAST(floor(score * 1000000 + 0.5) AS BIGINT) DESC,
+                  doc_id ASC) AS BIGINT) AS rank,
+       doc_id,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6
+FROM comb
+ORDER BY score_e6 DESC, doc_id ASC
+LIMIT {k}"""
+
+
+def _bm25_best_fields_sql(terms: list[str], boosts: dict[str, float],
+                          tie_breaker: float, k: int = 10) -> str:
+    """best_fields multi_match oracle: dis_max across the per-field BM25
+    scores (greatest ignores the NULL of an unmatched field, exactly
+    like the engine's max over present fields)."""
+    fields = sorted(boosts)
+    ctes = ",".join(_bm25_field_cte(f, terms) for f in fields)
+    a, b = fields
+    ba, bb = boosts[a], boosts[b]
+    return f"""
+WITH {ctes},
+comb AS (
+  SELECT coalesce(x.doc_id, y.doc_id) AS doc_id,
+         greatest({ba} * x.score, {bb} * y.score)
+           + {tie_breaker} * ((coalesce({ba} * x.score, 0)
+                               + coalesce({bb} * y.score, 0))
+                              - greatest({ba} * x.score, {bb} * y.score))
+           AS score
   FROM scored_{a} x FULL JOIN scored_{b} y USING (doc_id))
 SELECT CAST(row_number() OVER (
          ORDER BY CAST(floor(score * 1000000 + 0.5) AS BIGINT) DESC,
@@ -2338,6 +2415,23 @@ SELECT term, df_fg, df,
          // (2 * (SELECT nf FROM nfg) * df) AS lift_e6
 FROM ag WHERE df_fg >= 5
 ORDER BY lift_e6 DESC, df_fg DESC, term ASC LIMIT 10""",
+        "bm25_best_fields": _bm25_best_fields_sql(_MF_TERMS, _MF_BOOSTS,
+                                                  0.2),
+        "composite_page2": """
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_rows
+FROM documents GROUP BY source, lang
+ORDER BY source, lang LIMIT 8 OFFSET 8""",
+        "percolate_matches": """
+WITH q(query_name, terms) AS (VALUES
+  ('spark_vec', ['spark', 'vector']),
+  ('win_sort', ['window', 'sort']),
+  ('triple', ['table', 'scan', 'join']),
+  ('rare', ['dup'])),
+tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+            '[^a-z0-9_]+'), x -> x <> '') AS l FROM documents)
+SELECT doc_id, query_name
+FROM tok CROSS JOIN q WHERE list_has_all(l, terms)
+ORDER BY doc_id, query_name""",
         "span_near_sv": """
 WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
                  '[^a-z0-9_]+'), x -> x <> '') AS l FROM documents),

@@ -82,3 +82,40 @@ class MultiFieldEngine:
         np.add.at(scores, inverse, all_w)
         idx = topk_order(scores, uids, k)
         return [(int(uids[i]), float(scores[i])) for i in idx]
+
+
+def search_best_fields(eng: MultiFieldEngine, terms: list[str],
+                       k: int = 10,
+                       tie_breaker: float = 0.0) -> list[tuple[int, float]]:
+    """ES ``multi_match`` type=best_fields: per doc,
+
+        score = max_f (boost_f * bm25_f)
+              + tie_breaker * (sum_f boost_f * bm25_f - max_f ...)
+
+    — dis_max ACROSS FIELDS (the cross-field sibling of
+    :func:`onestools_eventlog_ray.pipelines.query.search_dsl`'s
+    per-term dis_max).  Same per-field posting reads as
+    :meth:`MultiFieldEngine.search`; the max/sum fold is one
+    np.maximum.at / np.add.at pass.  Deterministic field order keeps
+    float sums oracle-reproducible."""
+    ids_parts, w_parts = [], []
+    for f in sorted(eng.engines):
+        hits = eng.engines[f].search(terms, k=1 << 62)
+        if hits:
+            ids_parts.append(np.asarray([d for d, _ in hits],
+                                        dtype=np.int64))
+            w_parts.append(eng.boosts[f] *
+                           np.asarray([s for _, s in hits],
+                                      dtype=np.float64))
+    if not ids_parts:
+        return []
+    all_ids = np.concatenate(ids_parts)
+    all_w = np.concatenate(w_parts)
+    uids, inverse = np.unique(all_ids, return_inverse=True)
+    sums = np.zeros(uids.size, dtype=np.float64)
+    np.add.at(sums, inverse, all_w)
+    maxs = np.full(uids.size, -np.inf, dtype=np.float64)
+    np.maximum.at(maxs, inverse, all_w)
+    scores = maxs + tie_breaker * (sums - maxs)
+    idx = topk_order(scores, uids, k)
+    return [(int(uids[i]), float(scores[i])) for i in idx]

@@ -960,3 +960,35 @@ def q3_top_revenue(customer: ray.data.Dataset, orders: ray.data.Dataset,
             np.asarray([r["o_orderdate_us"] for r in cand],
                        dtype=np.int64)[order], pa.int64()),
     })
+
+
+def composite_agg(ds: ray.data.Dataset, keys: list[str],
+                  after: tuple | None = None, size: int = 10) -> pa.Table:
+    """ES ``composite`` aggregation: deterministic key-ordered buckets
+    with ``after``-key cursor pagination — the agg-side sibling of
+    search_after (resumable full exports of a grouped result).  Buckets
+    strictly AFTER the cursor tuple in lexicographic key order.
+
+    Shape: per-batch partial counts (combiner) -> one groupby over
+    bucket-cardinality rows -> ordered cursor cut.  The folded bucket
+    table is cardinality-sized; a truly unbounded key space would page
+    the FOLD itself by key range (same cursor, pushed into the read
+    predicate).  -> (keys..., n_rows) page of ``size``."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
+        return g.rename_columns(keys + ["n_p"])
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(keys).aggregate(Sum("n_p", alias_name="n_rows")) \
+        .take_all()
+    rows = sorted(((tuple(r[c] for c in keys), int(r["n_rows"]))
+                   for r in folded))
+    if after is not None:
+        rows = [r for r in rows if r[0] > tuple(after)]
+    rows = rows[:size]
+    cols = {c: pa.array([r[0][i] for r in rows])
+            for i, c in enumerate(keys)}
+    cols["n_rows"] = pa.array([r[1] for r in rows], pa.int64())
+    return pa.table(cols)

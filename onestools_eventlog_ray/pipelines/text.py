@@ -987,3 +987,53 @@ def bigram_lift_topk(ds: ray.data.Dataset,
         "n": pa.array([r[1] for r in rows], pa.int64()),
         "lift_e6": pa.array([r[2] for r in rows], pa.int64()),
     })
+
+
+def percolate(ds: ray.data.Dataset, queries: dict[str, list[str]],
+              spec: CorpusSpec = DOCUMENTS_SPEC) -> ray.data.Dataset:
+    """ES PERCOLATOR (reverse search): the stored QUERIES are the index,
+    each incoming document is matched against all of them — the alerting
+    / routing primitive (which saved searches does this doc trigger?).
+    A doc matches a query when it contains ALL the query's terms
+    (bool-must).
+
+    The query set is small by construction (alert rules): broadcast
+    once; per batch, ONE ``is_in`` mask per distinct query term and an
+    integer per-(doc, query) hit-count fold — vectorized, no shuffle,
+    corpus streams through once.  -> (doc_id, query_name) match pairs.
+    """
+    import ray
+    qnames = sorted(queries)
+    qterms = {q: sorted(set(queries[q])) for q in qnames}
+    ref = ray.put(qterms)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        qt = ray.get(ref)
+        b = add_doc_id(batch, spec)
+        toks = tokenize_array(b["content"])
+        flat = toks.flatten()
+        parents = pc.list_parent_indices(toks) \
+            .to_numpy(zero_copy_only=False)
+        n = len(toks)
+        doc = b["doc_id"].to_numpy(zero_copy_only=False)
+        out_d, out_q = [], []
+        for qname in sorted(qt):
+            terms = qt[qname]
+            hit = np.zeros(n, dtype=np.int64)
+            for t in terms:
+                m = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+                if parents.size:
+                    # count each term at most once per doc
+                    seen = np.zeros(n, dtype=bool)
+                    np.logical_or.at(seen, parents, m)
+                    hit += seen
+            matched = hit == len(terms)
+            out_d.append(doc[matched])
+            out_q.extend([qname] * int(matched.sum()))
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_d) if out_d
+                               else np.empty(0, np.int64), pa.int64()),
+            "query_name": pa.array(out_q, pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1016,3 +1016,71 @@ def test_reindex_excludes_tombstones(index_dir, docs_tbl, tmp_path):
     eng = SearchEngine(dst)
     assert eng.N == docs_tbl.num_rows - 3
     assert eng.fetch_docs([int(victims[0])]).num_rows == 0
+
+
+# ---- best_fields, composite paging, percolator ---------------------------
+
+def test_best_fields_bruteforce(docs_tbl):
+    """best_fields == max + tb*(sum-max) over the per-field engines'
+    own scores (checked against MultiFieldEngine.search components)."""
+    import __ray_entry__ as em
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.multifield import (
+        MultiFieldEngine, build_multifield_index, search_best_fields)
+    root = em._index_dir_for(SF_DIR) + "_mf"
+    build_multifield_index(os.path.join(SF_DIR, "documents.parquet"),
+                           root, list(em._MF_BOOSTS),
+                           cfg=EngineConfig(num_partitions=8))
+    eng = MultiFieldEngine(root, em._MF_BOOSTS)
+    per_field = {}
+    for f, e in eng.engines.items():
+        per_field[f] = {d: em._MF_BOOSTS[f] * s
+                        for d, s in e.search(em._MF_TERMS, k=1 << 62)}
+    docs = set().union(*[set(v) for v in per_field.values()])
+    want = []
+    for d in docs:
+        vals = [per_field[f][d] for f in per_field if d in per_field[f]]
+        want.append((d, max(vals) + 0.2 * (sum(vals) - max(vals))))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    got = search_best_fields(eng, em._MF_TERMS, k=20, tie_breaker=0.2)
+    assert [d for d, _ in got] == [d for d, _ in want[:20]]
+    assert np.allclose([s for _, s in got], [s for _, s in want[:20]])
+
+
+def test_composite_agg_cursor_pages_cover_all(docs_tbl):
+    import ray.data
+    from onestools_eventlog_ray.pipelines import relational
+    ds = ray.data.from_arrow(docs_tbl.select(["source", "lang"]))
+    pages, after = [], None
+    while True:
+        page = relational.composite_agg(ds, ["source", "lang"],
+                                        after=after, size=7)
+        if page.num_rows == 0:
+            break
+        rows = list(zip(page["source"].to_pylist(),
+                        page["lang"].to_pylist(),
+                        page["n_rows"].to_pylist()))
+        pages.extend(rows)
+        after = (rows[-1][0], rows[-1][1])
+    want = sorted(collections.Counter(
+        zip(docs_tbl["source"].to_pylist(),
+            docs_tbl["lang"].to_pylist())).items())
+    assert pages == [(s, l, n) for (s, l), n in want]
+    assert len({(s, l) for s, l, _ in pages}) == len(pages)  # no overlap
+
+
+def test_percolate_bruteforce(docs_tbl):
+    import ray.data
+    from onestools_eventlog_ray.pipelines import text
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    rules = {"a": ["spark", "vector"], "b": ["dup"]}
+    out = {(r["doc_id"], r["query_name"]) for r in text.percolate(
+        ray.data.from_arrow(docs_tbl), rules, DOCUMENTS_SPEC).take_all()}
+    want = set()
+    for d, t in zip(docs_tbl["doc_id"].to_pylist(),
+                    docs_tbl["text"].to_pylist()):
+        toks = set(_tok(t))
+        for name, terms in rules.items():
+            if all(x in toks for x in terms):
+                want.add((int(d), name))
+    assert out == want and out
