@@ -814,6 +814,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def source_lang_cube(sf_dir):
+        """GROUP BY CUBE: all four grouping sets from one fold."""
+        return relational.source_lang_cube(_documents_ds(sf_dir))
+
+    def user_paths(sf_dir):
+        """Ordered string_agg per user: event-type path in (ts, id)
+        order."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines import streaming
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["user_id", "ts", "event_id",
+                                            "event_type"])
+        return streaming.user_event_paths(ev)
+
+    def event_transitions(sf_dir):
+        """First-order Markov transition counts over user streams."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines import streaming
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["user_id", "ts", "event_id",
+                                            "event_type"])
+        return streaming.event_transitions(ev)
+
     def bm25_best_fields(sf_dir):
         """ES multi_match type=best_fields: dis_max ACROSS fields with
         tie_breaker=0.2 over the per-field indexes."""
@@ -1291,6 +1314,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_stats": redact_stats,
         "lm_quality": lm_quality,
         "significant_terms_de": significant_terms_de,
+        "source_lang_cube": source_lang_cube,
+        "user_paths": user_paths,
+        "event_transitions": event_transitions,
         "bm25_best_fields": bm25_best_fields,
         "composite_page2": composite_page2,
         "percolate_matches": percolate_matches,
@@ -2415,6 +2441,25 @@ SELECT term, df_fg, df,
          // (2 * (SELECT nf FROM nfg) * df) AS lift_e6
 FROM ag WHERE df_fg >= 5
 ORDER BY lift_e6 DESC, df_fg DESC, term ASC LIMIT 10""",
+        "source_lang_cube": """
+SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY CUBE(source, lang)
+ORDER BY source, lang""",
+        "user_paths": """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+FROM events GROUP BY user_id ORDER BY user_id""",
+        "event_transitions": """
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS nxt
+           FROM events)
+SELECT event_type AS prev_type, nxt AS next_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE nxt IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2""",
         "bm25_best_fields": _bm25_best_fields_sql(_MF_TERMS, _MF_BOOSTS,
                                                   0.2),
         "composite_page2": """

@@ -992,3 +992,54 @@ def composite_agg(ds: ray.data.Dataset, keys: list[str],
             for i, c in enumerate(keys)}
     cols["n_rows"] = pa.array([r[1] for r in rows], pa.int64())
     return pa.table(cols)
+
+
+def source_lang_cube(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """GROUP BY CUBE(source, lang): all FOUR grouping sets —
+    (source, lang), (source), (lang), () — derived from ONE distributed
+    finest-level fold (the ROLLUP's missing (lang) level costs one more
+    tiny local group_by, never another corpus pass).  Sentinel 'ALL' in
+    rolled-up positions.  -> (source, lang, n_docs, sum_chars)."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = pa.table({"source": batch["source"], "lang": batch["lang"],
+                        "n_chars": batch["n_chars"]}) \
+            .group_by(["source", "lang"]) \
+            .aggregate([("n_chars", "count"), ("n_chars", "sum")])
+        return agg.rename_columns(["source", "lang", "n_p", "chars_p"])
+
+    finest = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "lang"]) \
+        .aggregate(Sum("n_p", alias_name="n_docs"),
+                   Sum("chars_p", alias_name="sum_chars"))
+
+    def cube(batch: pa.Table) -> pa.Table:
+        def lvl(keys: list[str]) -> pa.Table:
+            if keys:
+                g = batch.group_by(keys).aggregate(
+                    [("n_docs", "sum"), ("sum_chars", "sum")]) \
+                    .rename_columns(keys + ["n_docs", "sum_chars"])
+            else:
+                g = pa.table({
+                    "n_docs": pa.array(
+                        [pc.sum(batch["n_docs"]).as_py() or 0], pa.int64()),
+                    "sum_chars": pa.array(
+                        [pc.sum(batch["sum_chars"]).as_py() or 0],
+                        pa.int64())})
+            n = g.num_rows
+            cols = {
+                "source": g["source"] if "source" in keys
+                else pa.array(["ALL"] * n, pa.string()),
+                "lang": g["lang"] if "lang" in keys
+                else pa.array(["ALL"] * n, pa.string()),
+                "n_docs": g["n_docs"].cast(pa.int64()),
+                "sum_chars": g["sum_chars"].cast(pa.int64()),
+            }
+            return pa.table(cols)
+
+        return pa.concat_tables([lvl(["source", "lang"]), lvl(["source"]),
+                                 lvl(["lang"]), lvl([])])
+
+    return finest.repartition(1).map_batches(cube, batch_format="pyarrow") \
+        .sort(["source", "lang"])

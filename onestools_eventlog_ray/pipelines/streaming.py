@@ -275,3 +275,59 @@ def retention_cohorts(ds: ray.data.Dataset,
         .aggregate(Sum("n_p", alias_name="n_users"),
                    Sum("r_p", alias_name="n_retained")) \
         .sort("cohort_day")
+
+
+def user_event_paths(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Ordered STRING_AGG per user: the user's event-type sequence
+    joined by '>' in (ts, event_id) order — the path-analysis export
+    (and SQL's ``string_agg(... ORDER BY ...)``, an ordered aggregate
+    the Dataset API lacks).  -> (user_id, n_events, path)."""
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        return pa.table({
+            "user_id": pa.array([int(g["user_id"][0].as_py())], pa.int64()),
+            "n_events": pa.array([ts.size], pa.int64()),
+            "path": pa.array([">".join(et[order])], pa.string()),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow") \
+        .sort("user_id")
+
+
+def event_transitions(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """First-order Markov transition counts: consecutive event-type
+    pairs per user in (ts, event_id) order, folded globally — the
+    behavioral path-mining table (and the event-stream sibling of the
+    corpus bigram fold).  Per-user group sorts locally and emits its
+    (a, b, n) partials; a tiny groupby sums them.
+    -> (prev_type, next_type, n) sorted."""
+    from ray.data.aggregate import Sum
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        if ts.size < 2:
+            return pa.table({"prev_type": pa.array([], pa.string()),
+                             "next_type": pa.array([], pa.string()),
+                             "n_p": pa.array([], pa.int64())})
+        order = np.lexsort((eid, ts))
+        seq = et[order]
+        t = pa.table({"prev_type": pa.array(seq[:-1]),
+                      "next_type": pa.array(seq[1:])})
+        g2 = t.group_by(["prev_type", "next_type"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"prev_type": g2["prev_type"],
+                         "next_type": g2["next_type"],
+                         "n_p": g2["count_all"].cast(pa.int64())})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow") \
+        .groupby(["prev_type", "next_type"]) \
+        .aggregate(Sum("n_p", alias_name="n")) \
+        .sort(["prev_type", "next_type"])

@@ -1084,3 +1084,63 @@ def test_percolate_bruteforce(docs_tbl):
             if all(x in toks for x in terms):
                 want.add((int(d), name))
     assert out == want and out
+
+
+# ---- cube, ordered string_agg, transitions -------------------------------
+
+def test_cube_grouping_sets(docs_tbl):
+    import ray.data
+    from onestools_eventlog_ray.pipelines import relational
+    out = relational.source_lang_cube(
+        ray.data.from_arrow(docs_tbl)).take_all()
+    rows = {(r["source"], r["lang"]): (r["n_docs"], r["sum_chars"])
+            for r in out}
+    fine = collections.defaultdict(lambda: [0, 0])
+    for s, l, n in zip(docs_tbl["source"].to_pylist(),
+                       docs_tbl["lang"].to_pylist(),
+                       docs_tbl["n_chars"].to_pylist()):
+        for key in ((s, l), (s, "ALL"), ("ALL", l), ("ALL", "ALL")):
+            fine[key][0] += 1
+            fine[key][1] += int(n)
+    assert rows == {k: tuple(v) for k, v in fine.items()}
+    # all four grouping sets present
+    assert ("ALL", "ALL") in rows and any(k[0] == "ALL" and k[1] != "ALL"
+                                          for k in rows)
+
+
+def test_user_paths_ordered(tpc_tables):
+    import ray.data
+    from onestools_eventlog_ray.pipelines import streaming
+    ev = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                       columns=["user_id", "ts", "event_id", "event_type"])
+    out = {r["user_id"]: r for r in streaming.user_event_paths(
+        ray.data.from_arrow(ev)).take_all()}
+    per_user = collections.defaultdict(list)
+    for u, t, i, e in zip(ev["user_id"].to_pylist(), ev["ts"].to_pylist(),
+                          ev["event_id"].to_pylist(),
+                          ev["event_type"].to_pylist()):
+        per_user[int(u)].append((int(t.timestamp() * 1e6), int(i), e))
+    for u, evs in per_user.items():
+        evs.sort()
+        assert out[u]["path"] == ">".join(e for _, _, e in evs)
+        assert out[u]["n_events"] == len(evs)
+
+
+def test_event_transitions_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines import streaming
+    ev = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                       columns=["user_id", "ts", "event_id", "event_type"])
+    out = {(r["prev_type"], r["next_type"]): r["n"] for r in
+           streaming.event_transitions(ray.data.from_arrow(ev)).take_all()}
+    per_user = collections.defaultdict(list)
+    for u, t, i, e in zip(ev["user_id"].to_pylist(), ev["ts"].to_pylist(),
+                          ev["event_id"].to_pylist(),
+                          ev["event_type"].to_pylist()):
+        per_user[int(u)].append((int(t.timestamp() * 1e6), int(i), e))
+    want = collections.Counter()
+    for evs in per_user.values():
+        evs.sort()
+        seq = [e for _, _, e in evs]
+        want.update(zip(seq[:-1], seq[1:]))
+    assert out == dict(want)
