@@ -814,6 +814,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def bm25_topk_jsonl(sf_dir):
+        """Source-format independence: the SAME corpus served from
+        JSONL (no columnar layout) builds to an index whose BM25
+        ranking is identical — one oracle covers both sources."""
+        import pyarrow.parquet as pq
+        from onestools_eventlog_ray.config import EngineConfig
+        from onestools_eventlog_ray.pipelines.build import build_index
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+        jdir = _index_dir_for(sf_dir) + "_jsonl_src"
+        jpath = os.path.join(jdir, "documents.jsonl")
+        if not os.path.exists(jpath):
+            os.makedirs(jdir, exist_ok=True)
+            tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+            tmp = jpath + ".tmp"
+            tbl.to_pandas().to_json(tmp, orient="records", lines=True)
+            os.replace(tmp, jpath)
+        index_dir = _index_dir_for(sf_dir) + "_jsonl_idx"
+        build_index(jpath, index_dir, spec=DOCUMENTS_SPEC,
+                    cfg=EngineConfig(num_partitions=8),
+                    corpus_fmt="jsonl")
+        eng = SearchEngine(index_dir)
+        hits = eng.search(_BM25_TERMS, k=1_000_000)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
     def source_lang_cube(sf_dir):
         """GROUP BY CUBE: all four grouping sets from one fold."""
         return relational.source_lang_cube(_documents_ds(sf_dir))
@@ -1314,6 +1346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_stats": redact_stats,
         "lm_quality": lm_quality,
         "significant_terms_de": significant_terms_de,
+        "bm25_topk_jsonl": bm25_topk_jsonl,
         "source_lang_cube": source_lang_cube,
         "user_paths": user_paths,
         "event_transitions": event_transitions,
@@ -2441,6 +2474,7 @@ SELECT term, df_fg, df,
          // (2 * (SELECT nf FROM nfg) * df) AS lift_e6
 FROM ag WHERE df_fg >= 5
 ORDER BY lift_e6 DESC, df_fg DESC, term ASC LIMIT 10""",
+        "bm25_topk_jsonl": _bm25_sql(_BM25_TERMS),
         "source_lang_cube": """
 SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
        CAST(count(*) AS BIGINT) AS n_docs,

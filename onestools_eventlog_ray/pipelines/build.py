@@ -73,7 +73,8 @@ def build_index(corpus_paths, index_dir: str,
                 cfg: EngineConfig = EngineConfig(),
                 hot_terms: dict[str, int] | None = None,
                 exclude_doc_ids=None,
-                row_filter=None, row_filter_sig: str = "") -> dict:
+                row_filter=None, row_filter_sig: str = "",
+                corpus_fmt: str = "parquet") -> dict:
     """Build (or resume) the full-text index. Returns a build report dict.
 
     ``exclude_doc_ids``: optional id array dropped AT THE READ (parquet
@@ -91,6 +92,13 @@ def build_index(corpus_paths, index_dir: str,
 
     read_kwargs: dict = {}
     excl_sig = ""
+    if corpus_fmt != "parquet":
+        # jsonl etc. have no pushdown layer; filters require parquet
+        if row_filter is not None or exclude_doc_ids is not None:
+            raise ValueError("row_filter/exclude_doc_ids require a "
+                             "parquet corpus (pushdown)")
+        read_kwargs["fmt"] = corpus_fmt
+        excl_sig = f" fmt={corpus_fmt}"
     if row_filter is not None:
         if not row_filter_sig:
             raise ValueError("row_filter requires row_filter_sig")

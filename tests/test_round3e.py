@@ -1144,3 +1144,30 @@ def test_event_transitions_bruteforce():
         seq = [e for _, _, e in evs]
         want.update(zip(seq[:-1], seq[1:]))
     assert out == dict(want)
+
+
+# ---- source-format independence ------------------------------------------
+
+def test_jsonl_build_matches_parquet_build(index_dir, docs_tbl, tmp_path):
+    """The SAME docs from JSONL build to an index with identical stats
+    and identical BM25 ranking (source-format independence)."""
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.build import build_index
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    jpath = str(tmp_path / "docs.jsonl")
+    docs_tbl.to_pandas().to_json(jpath, orient="records", lines=True)
+    jidx = str(tmp_path / "jidx")
+    build_index(jpath, jidx, spec=DOCUMENTS_SPEC,
+                cfg=EngineConfig(num_partitions=4), corpus_fmt="jsonl")
+    a, b = SearchEngine(index_dir), SearchEngine(jidx)
+    assert (a.N, a.avgdl) == (b.N, b.avgdl)
+    assert a.search(TERMS, 20) == b.search(TERMS, 20)
+
+
+def test_jsonl_rejects_pushdown_filters(tmp_path):
+    from onestools_eventlog_ray.pipelines.build import build_index
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    with pytest.raises(ValueError):
+        build_index("x.jsonl", str(tmp_path / "i"), spec=DOCUMENTS_SPEC,
+                    corpus_fmt="jsonl", exclude_doc_ids=[1])
