@@ -814,6 +814,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def export_events_by_type(sf_dir):
+        """Resumable partitioned export: events written one directory
+        per event_type with per-partition _SUCCESS markers (re-runs
+        skip complete partitions); returns the manifest counts."""
+        import shutil
+        import ray.data
+        from onestools_eventlog_ray.pipelines.export import \
+            export_partitioned
+        out = _index_dir_for(sf_dir) + "_export"
+        shutil.rmtree(out, ignore_errors=True)     # fresh manifest
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_id", "event_type",
+                                            "user_id", "value"])
+        man = export_partitioned(ev, out, "event_type")
+        return man.select(["partition", "n_rows"]) \
+            .rename_columns(["event_type", "n_rows"])
+
     def bm25_topk_jsonl(sf_dir):
         """Source-format independence: the SAME corpus served from
         JSONL (no columnar layout) builds to an index whose BM25
@@ -1346,6 +1363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_stats": redact_stats,
         "lm_quality": lm_quality,
         "significant_terms_de": significant_terms_de,
+        "export_events_by_type": export_events_by_type,
         "bm25_topk_jsonl": bm25_topk_jsonl,
         "source_lang_cube": source_lang_cube,
         "user_paths": user_paths,
@@ -2474,6 +2492,9 @@ SELECT term, df_fg, df,
          // (2 * (SELECT nf FROM nfg) * df) AS lift_e6
 FROM ag WHERE df_fg >= 5
 ORDER BY lift_e6 DESC, df_fg DESC, term ASC LIMIT 10""",
+        "export_events_by_type": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+FROM events GROUP BY event_type ORDER BY event_type""",
         "bm25_topk_jsonl": _bm25_sql(_BM25_TERMS),
         "source_lang_cube": """
 SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,

@@ -1171,3 +1171,37 @@ def test_jsonl_rejects_pushdown_filters(tmp_path):
     with pytest.raises(ValueError):
         build_index("x.jsonl", str(tmp_path / "i"), spec=DOCUMENTS_SPEC,
                     corpus_fmt="jsonl", exclude_doc_ids=[1])
+
+
+# ---- resumable partitioned export ----------------------------------------
+
+def test_export_partitioned_resume(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+    import ray.data
+    import shutil
+    from onestools_eventlog_ray.pipelines.export import export_partitioned
+    ev = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                       columns=["event_id", "event_type", "value"])
+    out = str(tmp_path / "exp")
+    man1 = export_partitioned(ray.data.from_arrow(ev), out, "event_type")
+    counts = collections.Counter(ev["event_type"].to_pylist())
+    assert dict(zip(man1["partition"].to_pylist(),
+                    man1["n_rows"].to_pylist())) == dict(counts)
+    assert not any(man1["skipped"].to_pylist())
+    # files actually contain the rows
+    total = 0
+    for p in sorted(os.listdir(out)):
+        t = pq2.read_table(os.path.join(out, p, "part-0.parquet"))
+        total += t.num_rows
+        assert os.path.exists(os.path.join(out, p, "_SUCCESS"))
+    assert total == ev.num_rows
+    # delete ONE partition -> only it rebuilds
+    victim = sorted(os.listdir(out))[0]
+    shutil.rmtree(os.path.join(out, victim))
+    man2 = export_partitioned(ray.data.from_arrow(ev), out, "event_type")
+    skipped = dict(zip(man2["partition"].to_pylist(),
+                       man2["skipped"].to_pylist()))
+    assert sum(1 for v in skipped.values() if not v) == 1
+    assert dict(zip(man2["partition"].to_pylist(),
+                    man2["n_rows"].to_pylist())) == dict(counts)
