@@ -814,6 +814,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def pagerank_near_dups(sf_dir):
+        """One exact-e12 PageRank power iteration over the verified
+        near-dup pair graph (canonical-hub signal for keep-lists)."""
+        return dedup.pagerank_step(_documents_ds(sf_dir), DOCUMENTS_SPEC,
+                                   min_jaccard=0.2)
+
+    def top_terms_per_lang(sf_dir):
+        """Per-lang top-5 terms by occurrence (grouped heavy hitters)."""
+        return text.top_terms_per_lang(_documents_ds(sf_dir),
+                                       DOCUMENTS_SPEC, k=5)
+
     def export_events_by_type(sf_dir):
         """Resumable partitioned export: events written one directory
         per event_type with per-partition _SUCCESS markers (re-runs
@@ -1363,6 +1374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_stats": redact_stats,
         "lm_quality": lm_quality,
         "significant_terms_de": significant_terms_de,
+        "pagerank_near_dups": pagerank_near_dups,
+        "top_terms_per_lang": top_terms_per_lang,
         "export_events_by_type": export_events_by_type,
         "bm25_topk_jsonl": bm25_topk_jsonl,
         "source_lang_cube": source_lang_cube,
@@ -2492,6 +2505,45 @@ SELECT term, df_fg, df,
          // (2 * (SELECT nf FROM nfg) * df) AS lift_e6
 FROM ag WHERE df_fg >= 5
 ORDER BY lift_e6 DESC, df_fg DESC, term ASC LIMIT 10""",
+        "pagerank_near_dups": f"""
+WITH {_minhash_cte()},
+sets AS (SELECT doc_id, list_distinct(list(CAST(h AS BIGINT))) AS hs
+         FROM shh GROUP BY doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bandh a JOIN bandh b
+           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id),
+pairs AS (SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b,
+                   CAST(floor(len(list_intersect(sa.hs, sb.hs)) * 1.0
+                              / len(list_distinct(sa.hs || sb.hs))
+                              * 1000000 + 0.5) AS BIGINT) AS jaccard_e6
+            FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
+                      JOIN sets sb ON sb.doc_id = cand.doc_b)
+          WHERE jaccard_e6 >= 200000),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM deg),
+base AS (SELECT 1000000000000 // n AS b FROM nn),
+contrib AS (SELECT e.dst AS doc_id,
+                   (85 * ((SELECT b FROM base) // dg.d)) // 100 AS c
+            FROM edges e JOIN deg dg ON dg.src = e.src)
+SELECT doc_id,
+       CAST((15 * (SELECT b FROM base)) // 100 + sum(c) AS BIGINT)
+         AS rank_e12
+FROM contrib GROUP BY doc_id ORDER BY doc_id""",
+        "top_terms_per_lang": f"""
+WITH toks AS ({_TOKS}),
+c AS (SELECT d.lang, t.term, count(*) AS n
+      FROM toks t JOIN documents d USING (doc_id)
+      GROUP BY d.lang, t.term),
+r AS (SELECT lang, term, CAST(n AS BIGINT) AS n,
+             CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY n DESC, term ASC) AS BIGINT) AS rank
+      FROM c)
+SELECT lang, rank, term, n FROM r WHERE rank <= 5
+ORDER BY lang, rank""",
         "export_events_by_type": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
 FROM events GROUP BY event_type ORDER BY event_type""",

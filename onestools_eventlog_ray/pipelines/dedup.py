@@ -770,3 +770,79 @@ def decontaminate(ds: ray.data.Dataset,
         })
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def pagerank_step(ds: ray.data.Dataset,
+                  spec: CorpusSpec = DOCUMENTS_SPEC,
+                  min_jaccard: float = 0.2,
+                  **minhash_kwargs) -> ray.data.Dataset:
+    """One PageRank power iteration over the verified near-dup pair
+    graph (undirected; uniform start) — the graph-analytics primitive
+    next to :func:`dedup_clusters`'s union-find (rank centrality tells a
+    dedup keep-list WHICH member is the canonical hub, not just the min
+    id).  Exact e12 fixed point: with ``base = 10^12 // n_nodes``,
+
+        rank(v) = (15 * base) // 100
+                + Σ_{u ~ v} (85 * (base // deg(u))) // 100
+
+    — every division floors BEFORE the order-free integer sum, so the
+    result is bit-identical across cluster sizes and to the SQL oracle
+    (same discipline as ``kmeans_step``/``label_centroids``).
+
+    Scale shape: pairs come from the fully distributed
+    :func:`minhash_verified_pairs`; degrees fold from the (narrow) edge
+    list and broadcast (the near-dup node set is the SMALL output of
+    dedup — nothing corpus-sized); the rank sum is a per-batch partial
+    fold + tiny groupby.  -> (doc_id, rank_e12)."""
+    import ray
+    from ray.data.aggregate import Sum as RSum
+
+    pairs = minhash_verified_pairs(ds, spec, min_jaccard=min_jaccard,
+                                   **minhash_kwargs).materialize()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(np.concatenate([a, b]), pa.int64()),
+                         "dst": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    edge_ds = pairs.map_batches(edges, batch_format="pyarrow").materialize()
+    deg: dict[int, int] = {}
+    for r in edge_ds.groupby("src").count().take_all():
+        deg[int(r["src"])] = int(r["count()"])
+    n_nodes = len(deg)
+    if n_nodes == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "rank_e12": pa.array([], pa.int64())}))
+    base = 10**12 // n_nodes
+    # each node's PER-EDGE out-contribution is a constant — precompute
+    # once, broadcast as two parallel sorted arrays (vectorized lookup)
+    nodes = np.asarray(sorted(deg), dtype=np.int64)
+    node_contrib = np.asarray(
+        [(85 * (base // deg[int(u)])) // 100 for u in nodes],
+        dtype=np.int64)
+    lut_ref = ray.put((nodes, node_contrib))
+
+    def contribs(batch: pa.Table) -> pa.Table:
+        lut_nodes, lut_c = ray.get(lut_ref)
+        src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = lut_c[np.searchsorted(lut_nodes, src)]
+        keys, inv = np.unique(dst, return_inverse=True)
+        part = np.zeros(keys.size, dtype=np.int64)
+        np.add.at(part, inv, c)
+        return pa.table({"doc_id": pa.array(keys, pa.int64()),
+                         "c_p": pa.array(part, pa.int64())})
+
+    folded = edge_ds.map_batches(contribs, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(RSum("c_p", alias_name="c"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "rank_e12": pa.array((15 * base) // 100 + c, pa.int64()),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow").sort("doc_id")

@@ -1037,3 +1037,45 @@ def percolate(ds: ray.data.Dataset, queries: dict[str, list[str]],
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def top_terms_per_lang(ds: ray.data.Dataset,
+                       spec: CorpusSpec = DOCUMENTS_SPEC,
+                       k: int = 5) -> ray.data.Dataset:
+    """Grouped heavy-hitters: the top ``k`` terms by occurrence count
+    WITHIN each lang (the per-domain vocabulary profile a corpus-mix
+    report shows).  Two-level fold: per-batch (lang, term, n) partials
+    (Acero group_by — only the batch vocabulary shuffles), a tiny
+    groupby sum, then a per-lang top-k cut.
+    -> (lang, rank, term, n) by (lang, rank)."""
+    from ray.data.aggregate import Sum as RSum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = tokenize_array(batch[spec.content_col])
+        flat = toks.flatten()
+        parents = pc.list_parent_indices(toks)
+        lang = batch["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        t = pa.table({"lang": lang.take(parents), "term": flat})
+        g = t.group_by(["lang", "term"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g["lang"], "term": g["term"],
+                         "n_p": g["count_all"].cast(pa.int64())})
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["lang", "term"]).aggregate(RSum("n_p", alias_name="n"))
+
+    def topk(g: pa.Table) -> pa.Table:
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = g["term"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms, -n))[:k]
+        return pa.table({
+            "lang": pa.array([g["lang"][0].as_py()] * order.size,
+                             pa.string()),
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "term": pa.array(terms[order], pa.string()),
+            "n": pa.array(n[order], pa.int64()),
+        })
+
+    return folded.groupby("lang").map_groups(topk, batch_format="pyarrow") \
+        .sort(["lang", "rank"])

@@ -1205,3 +1205,48 @@ def test_export_partitioned_resume(tmp_path):
     assert sum(1 for v in skipped.values() if not v) == 1
     assert dict(zip(man2["partition"].to_pylist(),
                     man2["n_rows"].to_pylist())) == dict(counts)
+
+
+# ---- pagerank step + grouped heavy hitters -------------------------------
+
+def test_pagerank_step_bruteforce(docs_tbl):
+    import ray.data
+    from onestools_eventlog_ray.pipelines import dedup
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    out = {r["doc_id"]: r["rank_e12"] for r in dedup.pagerank_step(
+        ray.data.from_arrow(docs_tbl), DOCUMENTS_SPEC,
+        min_jaccard=0.2).take_all()}
+    pairs = [(r["doc_a"], r["doc_b"]) for r in dedup.minhash_verified_pairs(
+        ray.data.from_arrow(docs_tbl), DOCUMENTS_SPEC,
+        min_jaccard=0.2).take_all()]
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    n = len(adj)
+    base = 10**12 // n
+    want = {}
+    for v, nbrs in adj.items():
+        want[v] = (15 * base) // 100 + sum(
+            (85 * (base // len(adj[u]))) // 100 for u in nbrs)
+    assert out == want and out
+    # ranks sum to ~1 (floor losses only)
+    assert 0 < sum(out.values()) <= 10**12
+
+
+def test_top_terms_per_lang_bruteforce(docs_tbl):
+    import ray.data
+    from onestools_eventlog_ray.pipelines import text
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    out = [(r["lang"], r["rank"], r["term"], r["n"]) for r in
+           text.top_terms_per_lang(ray.data.from_arrow(docs_tbl),
+                                   DOCUMENTS_SPEC, k=5).take_all()]
+    counts = collections.defaultdict(collections.Counter)
+    for t, lang in zip(docs_tbl["text"].to_pylist(),
+                       docs_tbl["lang"].to_pylist()):
+        counts[lang].update(_tok(t))
+    want = []
+    for lang in sorted(counts):
+        rows = sorted(counts[lang].items(), key=lambda x: (-x[1], x[0]))[:5]
+        want += [(lang, i + 1, t, n) for i, (t, n) in enumerate(rows)]
+    assert out == want
