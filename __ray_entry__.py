@@ -814,6 +814,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def profile_events(sf_dir):
+        """Data-quality profile of the events table: per column n /
+        nulls / exact distinct / numeric e6 min-max in one streaming
+        pass + a distinct-hash fold."""
+        import ray.data
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_type", "user_id",
+                                            "value"])
+        return relational.profile_table(
+            ev, ["event_type", "user_id", "value"],
+            numeric_cols=("user_id", "value"))
+
     def pagerank_near_dups(sf_dir):
         """One exact-e12 PageRank power iteration over the verified
         near-dup pair graph (canonical-hub signal for keep-lists)."""
@@ -1374,6 +1386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_stats": redact_stats,
         "lm_quality": lm_quality,
         "significant_terms_de": significant_terms_de,
+        "profile_events": profile_events,
         "pagerank_near_dups": pagerank_near_dups,
         "top_terms_per_lang": top_terms_per_lang,
         "export_events_by_type": export_events_by_type,
@@ -2505,6 +2518,27 @@ SELECT term, df_fg, df,
          // (2 * (SELECT nf FROM nfg) * df) AS lift_e6
 FROM ag WHERE df_fg >= 5
 ORDER BY lift_e6 DESC, df_fg DESC, term ASC LIMIT 10""",
+        "profile_events": """
+SELECT 'event_type' AS "column", CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) - count(event_type) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct,
+       CAST(NULL AS BIGINT) AS min_e6, CAST(NULL AS BIGINT) AS max_e6
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(user_id) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT),
+       CAST(floor(min(user_id) * 1000000 + 0.5) AS BIGINT),
+       CAST(floor(max(user_id) * 1000000 + 0.5) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'value', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(value) AS BIGINT),
+       CAST(count(DISTINCT value) AS BIGINT),
+       CAST(floor(min(value) * 1000000 + 0.5) AS BIGINT),
+       CAST(floor(max(value) * 1000000 + 0.5) AS BIGINT)
+FROM events
+ORDER BY "column" """,
         "pagerank_near_dups": f"""
 WITH {_minhash_cte()},
 sets AS (SELECT doc_id, list_distinct(list(CAST(h AS BIGINT))) AS hs

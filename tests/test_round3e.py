@@ -1250,3 +1250,39 @@ def test_top_terms_per_lang_bruteforce(docs_tbl):
         rows = sorted(counts[lang].items(), key=lambda x: (-x[1], x[0]))[:5]
         want += [(lang, i + 1, t, n) for i, (t, n) in enumerate(rows)]
     assert out == want
+
+
+# ---- table profiling -----------------------------------------------------
+
+def test_profile_table_bruteforce():
+    import pyarrow as pa
+    import ray.data
+    from onestools_eventlog_ray.pipelines import relational
+    t = pa.table({
+        "s": pa.array(["a", "b", None, "a", "c"]),
+        "x": pa.array([1.5, None, 2.5, 1.5, -3.0], pa.float64()),
+    })
+    out = {r["column"]: r for r in relational.profile_table(
+        ray.data.from_arrow(t), ["s", "x"],
+        numeric_cols=("x",)).to_pylist()}
+    assert out["s"] == {"column": "s", "n": 5, "n_nulls": 1,
+                        "n_distinct": 3, "min_e6": None, "max_e6": None}
+    assert out["x"] == {"column": "x", "n": 5, "n_nulls": 1,
+                        "n_distinct": 3, "min_e6": -3_000_000,
+                        "max_e6": 2_500_000}
+
+
+def test_profile_events_counts():
+    import ray.data
+    from onestools_eventlog_ray.pipelines import relational
+    ev = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                       columns=["event_type", "user_id", "value"])
+    out = {r["column"]: r for r in relational.profile_table(
+        ray.data.from_arrow(ev), ["event_type", "user_id", "value"],
+        numeric_cols=("user_id", "value")).to_pylist()}
+    assert out["event_type"]["n_distinct"] == \
+        len(set(ev["event_type"].to_pylist()))
+    assert out["user_id"]["n_distinct"] == \
+        len(set(ev["user_id"].to_pylist()))
+    assert out["value"]["n_distinct"] == len(set(ev["value"].to_pylist()))
+    assert all(r["n"] == ev.num_rows for r in out.values())
