@@ -1032,6 +1032,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["ts"])
         return streaming.date_histogram_cumulative(ev)
 
+    def extended_stats_lang(sf_dir):
+        """ES extended_stats agg per lang over n_chars: count/sum/min/
+        max/sum_of_squares plus exact-integer avg_e6 and population
+        var_e6 (second-moment identity in Python bigints)."""
+        return relational.extended_stats_by_group(
+            _documents_ds(sf_dir), key="lang", col="n_chars")
+
+    def date_histogram_ma(sf_dir):
+        """ES moving_avg pipeline agg: trailing 3-day average over the
+        zero-filled date_histogram (partial windows at the head)."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines import streaming
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["ts"])
+        return streaming.date_histogram_moving_avg(ev, window=3)
+
+    def suggest_win(sf_dir):
+        """ES completion suggester: top-8 dictionary terms with prefix
+        's' ranked by df desc then term asc (local top-k per shard
+        batch, tiny final fold)."""
+        from onestools_eventlog_ray.pipelines.query import suggest_terms
+        return suggest_terms(_ensure_index(sf_dir), "s", k=5)
+
     def winnowed_fps(sf_dir):
         """MOSS winnowing: distinct w-window minima of k-gram rolling
         hashes per doc (k=4, w=5), summarized exactly."""
@@ -1432,6 +1455,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_page2": search_page2,
         "search_highlights": search_highlights,
         "index_stats": index_stats,
+        "extended_stats_lang": extended_stats_lang,
+        "date_histogram_ma": date_histogram_ma,
+        "suggest_win": suggest_win,
     }
 
 
@@ -2975,4 +3001,38 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
        (SELECT count(DISTINCT term) FROM toks) AS n_terms,
        (SELECT count(*) FROM pt) AS n_postings,
        (SELECT count(*) FROM toks) AS total_cf""",
+        "extended_stats_lang": """
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_v,
+       CAST(min(n_chars) AS BIGINT) AS min_v,
+       CAST(max(n_chars) AS BIGINT) AS max_v,
+       CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_sq,
+       CAST(sum(n_chars) * 1000000 // count(*) AS BIGINT) AS avg_e6,
+       CAST((count(*) * sum(n_chars * n_chars)
+             - sum(n_chars) * sum(n_chars)) * 1000000
+            // (count(*) * count(*)) AS BIGINT) AS var_e6
+FROM documents GROUP BY lang ORDER BY lang""",
+        "date_histogram_ma": """
+WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,
+                  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+f AS (SELECT s.epoch_day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
+      FROM (SELECT unnest(generate_series((SELECT min(epoch_day) FROM d),
+                                          (SELECT max(epoch_day) FROM d)))
+              AS epoch_day) s
+      LEFT JOIN d USING (epoch_day))
+SELECT epoch_day, n_events,
+       CAST(sum(n_events) OVER w * 1000000 // count(*) OVER w AS BIGINT)
+         AS ma_e6
+FROM f
+WINDOW w AS (ORDER BY epoch_day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY epoch_day""",
+        "suggest_win": f"""
+WITH toks AS ({_TOKS}),
+d AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks WHERE term LIKE 's%' GROUP BY term),
+r AS (SELECT term, df,
+             row_number() OVER (ORDER BY df DESC, term ASC) AS rank
+      FROM d)
+SELECT CAST(rank AS BIGINT) AS rank, term, df
+FROM r WHERE rank <= 5 ORDER BY rank""",
     }

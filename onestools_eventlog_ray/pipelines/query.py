@@ -1119,3 +1119,36 @@ def adjacency_matrix(eng: SearchEngine, terms: list[str]) -> pa.Table:
         "key_b": pa.array([r[1] for r in rows], pa.string()),
         "n_docs": pa.array([r[2] for r in rows], pa.int64()),
     })
+
+
+def suggest_terms(index_dir: str, prefix: str, k: int = 8) -> pa.Table:
+    """ES completion suggester: the top-``k`` dictionary terms with the
+    given ``prefix``, ranked by popularity (df desc, term asc — ES
+    breaks suggestion ties lexically).  Rides the same distributed
+    range-filtered dictionary scan as :func:`prefix_term_stats`; each
+    shard batch contributes a LOCAL top-k partial (a k-row table, never
+    the full expansion), and the final cut runs over the tiny
+    shard-count x k fold — at a 10^9-term dictionary the driver sees
+    O(shards * k) rows, not the prefix expansion."""
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return batch.select(["term", "df"])
+        df = batch["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = np.asarray(batch["term"].to_pylist(), dtype=object)
+        order = np.lexsort((terms, -df))[:k]
+        return pa.table({"term": pa.array(terms[order].tolist(),
+                                          pa.string()),
+                         "df": pa.array(df[order], pa.int64())})
+
+    parts = prefix_term_stats(index_dir, prefix) \
+        .map_batches(local_topk, batch_format="pyarrow").take_all()
+    terms = np.asarray([r["term"] for r in parts], dtype=object)
+    df = np.asarray([int(r["df"]) for r in parts], dtype=np.int64)
+    order = np.lexsort((terms, -df))[:k] if terms.size else []
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        "term": pa.array(terms[order].tolist() if len(order) else [],
+                         pa.string()),
+        "df": pa.array(df[order] if len(order) else [], pa.int64()),
+    })

@@ -1134,3 +1134,58 @@ def profile_table(ds: ray.data.Dataset, columns: list[str],
         "max_e6": pa.array([by_col[c]["max_e6"] for c in columns],
                            pa.int64()),
     })
+
+
+def extended_stats_by_group(ds: ray.data.Dataset, key: str = "lang",
+                            col: str = "n_chars") -> pa.Table:
+    """ES ``extended_stats`` aggregation (count / sum / min / max /
+    sum_of_squares / avg / variance) per ``key`` over an integer metric
+    column — the metric bundle the reference's dashboards read off the
+    ES index in one agg request
+    (``/root/reference/OneSTools.EventLog.Exporter.Core/ElasticSearch/ElasticSearchStorage.cs:200-236``
+    serves the same surface).
+
+    Exactness: every partial is an int64 sum (per-batch Acero group_by),
+    the fold is order-free integer addition, and avg/variance finalize
+    in arbitrary-precision Python ints on the group-count-sized result:
+    ``avg_e6   = sum * 1e6 // n``
+    ``var_e6   = (n * sum_sq - sum**2) * 1e6 // n**2``  (population
+    variance; numerator is the integer second moment identity, so no
+    float cancellation at any scale).  Scale shape: the corpus never
+    shuffles — only one tiny partial row per (batch, group)."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        v = batch[col].cast(pa.int64())
+        t = pa.table({key: batch[key], "v": v,
+                      "v2": pc.multiply_checked(v, v)})
+        agg = t.group_by(key).aggregate(
+            [("v", "count"), ("v", "sum"), ("v2", "sum"),
+             ("v", "min"), ("v", "max")])
+        return agg.rename_columns(
+            [key, "n_p", "sum_p", "sumsq_p", "min_p", "max_p"])
+
+    folded = ds.map_batches(partials, batch_format="pyarrow") \
+        .groupby(key) \
+        .aggregate(Sum("n_p", alias_name="n"),
+                   Sum("sum_p", alias_name="sum_v"),
+                   Sum("sumsq_p", alias_name="sum_sq"),
+                   Min("min_p", alias_name="min_v"),
+                   Max("max_p", alias_name="max_v")).take_all()
+    folded.sort(key=lambda r: r[key])
+    E6 = 1_000_000
+    avg, var = [], []
+    for r in folded:
+        n, s, s2 = int(r["n"]), int(r["sum_v"]), int(r["sum_sq"])
+        avg.append(s * E6 // n)
+        var.append((n * s2 - s * s) * E6 // (n * n))
+    return pa.table({
+        key: pa.array([r[key] for r in folded], pa.string()),
+        "n": pa.array([int(r["n"]) for r in folded], pa.int64()),
+        "sum_v": pa.array([int(r["sum_v"]) for r in folded], pa.int64()),
+        "min_v": pa.array([int(r["min_v"]) for r in folded], pa.int64()),
+        "max_v": pa.array([int(r["max_v"]) for r in folded], pa.int64()),
+        "sum_sq": pa.array([int(r["sum_sq"]) for r in folded], pa.int64()),
+        "avg_e6": pa.array(avg, pa.int64()),
+        "var_e6": pa.array(var, pa.int64()),
+    })

@@ -331,3 +331,30 @@ def event_transitions(ds: ray.data.Dataset) -> ray.data.Dataset:
         .groupby(["prev_type", "next_type"]) \
         .aggregate(Sum("n_p", alias_name="n")) \
         .sort(["prev_type", "next_type"])
+
+
+def date_histogram_moving_avg(ds: ray.data.Dataset,
+                              window: int = 3) -> pa.Table:
+    """ES ``moving_avg`` / ``moving_fn`` pipeline aggregation: a
+    trailing ``window``-bucket average over the zero-filled
+    date_histogram.  Like every ES pipeline agg it runs on the REDUCED
+    bucket table (span-bounded), never on the raw stream — the heavy
+    fold is :func:`date_histogram_filled`.
+
+    Exact integer semantics so the oracle hashes match:
+    ``ma_e6 = floor(window_sum * 1e6 / window_count)`` with
+    ``window_count = min(i + 1, window)`` (ES emits partial windows at
+    the head).  -> (epoch_day, n_events, ma_e6)."""
+    base = date_histogram_filled(ds)
+    n = base["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(n, dtype=np.int64)])
+    i = np.arange(n.size, dtype=np.int64)
+    lo = np.maximum(i + 1 - window, 0)
+    wsum = cum[i + 1] - cum[lo]
+    wcnt = i + 1 - lo
+    ma = wsum * 1_000_000 // np.maximum(wcnt, 1)
+    return pa.table({
+        "epoch_day": base["epoch_day"],
+        "n_events": base["n_events"],
+        "ma_e6": pa.array(ma, pa.int64()),
+    })

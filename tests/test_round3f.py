@@ -1,0 +1,102 @@
+"""Round-3 session-6 brute-force tests: extended_stats, moving_avg
+pipeline agg, completion suggester (and later session-6 operators)."""
+import os
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _tok(text):
+    return [t for t in re.split(r"[^a-z0-9_]+", text.lower()) if t]
+
+
+@pytest.fixture(scope="module")
+def docs_tbl():
+    return pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def index_dir():
+    import __ray_entry__ as em
+    return em._ensure_index(SF_DIR)
+
+
+def test_extended_stats_bruteforce(docs_tbl):
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import (
+        extended_stats_by_group)
+    out = extended_stats_by_group(
+        ray.data.from_arrow(docs_tbl), key="lang", col="n_chars")
+    rows = {r["lang"]: r for r in out.to_pylist()}
+    langs = docs_tbl["lang"].to_pylist()
+    nchars = docs_tbl["n_chars"].to_pylist()
+    by_lang = {}
+    for la, v in zip(langs, nchars):
+        by_lang.setdefault(la, []).append(v)
+    assert set(rows) == set(by_lang)
+    for la, vals in by_lang.items():
+        r = rows[la]
+        n, s, s2 = len(vals), sum(vals), sum(v * v for v in vals)
+        assert (r["n"], r["sum_v"], r["min_v"], r["max_v"], r["sum_sq"]) \
+            == (n, s, min(vals), max(vals), s2)
+        assert r["avg_e6"] == s * 10**6 // n
+        assert r["var_e6"] == (n * s2 - s * s) * 10**6 // (n * n)
+    # order: lang asc
+    assert out["lang"].to_pylist() == sorted(by_lang)
+
+
+def test_moving_avg_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.streaming import (
+        date_histogram_filled, date_histogram_moving_avg)
+    ev = ray.data.read_parquet(os.path.join(SF_DIR, "events.parquet"),
+                               columns=["ts"])
+    base = date_histogram_filled(ev)
+    out = date_histogram_moving_avg(ev, window=3)
+    n = base["n_events"].to_pylist()
+    ma = out["ma_e6"].to_pylist()
+    assert out["n_events"].to_pylist() == n
+    for i in range(len(n)):
+        w = n[max(0, i - 2):i + 1]
+        assert ma[i] == sum(w) * 10**6 // len(w), i
+
+
+def test_moving_avg_partial_head_window():
+    """First bucket's MA is its own value; second averages two."""
+    import ray.data
+    from onestools_eventlog_ray.pipelines.streaming import (
+        date_histogram_moving_avg)
+    US_DAY = 86_400 * 1_000_000
+    ts = ([0] * 4) + [US_DAY] * 2 + [3 * US_DAY]  # day 2 empty (zero-fill)
+    tbl = pa.table({"ts": pa.array(ts, pa.timestamp("us"))})
+    out = date_histogram_moving_avg(ray.data.from_arrow(tbl), window=3)
+    assert out["epoch_day"].to_pylist() == [0, 1, 2, 3]
+    assert out["n_events"].to_pylist() == [4, 2, 0, 1]
+    assert out["ma_e6"].to_pylist() == [
+        4_000_000, 3_000_000, 2_000_000, 1_000_000]
+
+
+def test_suggest_terms_bruteforce(index_dir, docs_tbl):
+    from onestools_eventlog_ray.pipelines.query import suggest_terms
+    out = suggest_terms(index_dir, "s", k=5)
+    df = Counter()
+    for text in docs_tbl["text"].to_pylist():
+        for t in set(_tok(text)):
+            if t.startswith("s"):
+                df[t] += 1
+    want = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = list(zip(out["term"].to_pylist(), out["df"].to_pylist()))
+    assert got == want
+    assert out["rank"].to_pylist() == list(range(1, len(want) + 1))
+
+
+def test_suggest_terms_no_match(index_dir):
+    from onestools_eventlog_ray.pipelines.query import suggest_terms
+    out = suggest_terms(index_dir, "zzz", k=5)
+    assert out.num_rows == 0
