@@ -724,6 +724,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def bm25_boosting(sf_dir):
+        """ES boosting query: BM25 over spark/window; docs containing
+        'vector' are demoted by negative_boost=0.5 (soft must_not) —
+        demotion applied before the top-k cut."""
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        eng = SearchEngine(_ensure_index(sf_dir))
+        hits = eng.search_boosting(["spark", "window"], ["vector"],
+                                   negative_boost=0.5, k=1_000_000)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
+    def bm25_field_factor(sf_dir):
+        """ES function_score field_value_factor (modifier none): score =
+        BM25(join, merge) x n_chars, the factor fetched only for
+        matching docs via the range-pruned docstore read."""
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        eng = SearchEngine(_ensure_index(sf_dir))
+        hits = eng.search_function_score(["join", "merge"],
+                                         field="n_chars", k=1_000_000)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
     def mlt_search(sf_dir):
         """ES more_like_this: top-5 tf×idf terms of the corpus' first
         doc (idf from index stats, one shard-pruned df lookup) -> BM25
@@ -1458,6 +1492,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extended_stats_lang": extended_stats_lang,
         "date_histogram_ma": date_histogram_ma,
         "suggest_win": suggest_win,
+        "bm25_boosting": bm25_boosting,
+        "bm25_field_factor": bm25_field_factor,
     }
 
 
@@ -1531,6 +1567,19 @@ SELECT CAST(row_number() OVER (
 FROM scored
 ORDER BY score_e6 DESC, doc_id ASC
 LIMIT {k}"""
+
+
+def _bm25_adjusted_sql(terms: list[str], score_sub: str,
+                       extra_cte: str = "", k: int = 10) -> str:
+    """BM25 oracle with a POST-aggregation score adjustment: the raw
+    per-doc BM25 becomes CTE ``scored0``; ``score_sub`` is a SELECT
+    producing (doc_id, score) from it (boosting demotion,
+    function_score field factor)."""
+    base = _bm25_sql(terms, k)
+    head = f"{extra_cte},\nscored0 AS (" if extra_cte else "scored0 AS ("
+    return base.replace("scored AS (", head).replace(
+        "  GROUP BY tf.doc_id)",
+        f"  GROUP BY tf.doc_id),\nscored AS ({score_sub})")
 
 
 def _bm25_and_sql(terms: list[str], k: int = 10) -> str:
@@ -3035,4 +3084,15 @@ r AS (SELECT term, df,
       FROM d)
 SELECT CAST(rank AS BIGINT) AS rank, term, df
 FROM r WHERE rank <= 5 ORDER BY rank""",
+        "bm25_boosting": _bm25_adjusted_sql(
+            ["spark", "window"],
+            "SELECT s.doc_id, s.score * CASE WHEN n.doc_id IS NOT NULL"
+            " THEN 0.5 ELSE 1.0 END AS score"
+            " FROM scored0 s LEFT JOIN neg n USING (doc_id)",
+            extra_cte="neg AS (SELECT DISTINCT doc_id FROM toks"
+                      " WHERE term IN ('vector'))"),
+        "bm25_field_factor": _bm25_adjusted_sql(
+            ["join", "merge"],
+            "SELECT s.doc_id, s.score * d.n_chars AS score"
+            " FROM scored0 s JOIN documents d USING (doc_id)"),
     }

@@ -336,6 +336,55 @@ class SearchEngine:
             else np.empty(0, dtype=np.int64)
         return self.search(terms, k, excluded=excluded)
 
+    def search_boosting(self, terms: list[str], negative_terms: list[str],
+                        negative_boost: float = 0.5,
+                        k: int = 10) -> list[tuple[int, float]]:
+        """ES ``boosting`` query: positive BM25, but documents matching
+        ANY negative term are DEMOTED (score x ``negative_boost``), not
+        excluded — the soft counterpart of :meth:`search_not`.  The
+        demotion set is the union of the negative terms' postings
+        (shard-pruned lookups); because demotion can reorder the tail,
+        the cut happens after the multiply.  ``negative_boost`` should
+        be a dyadic rational (0.5, 0.25) so the float product is exact
+        and the e6-ranked oracle matches bit-for-bit."""
+        neg = self.load_terms(sorted(set(negative_terms)))
+        parts = [codec.decode_posting(blob).doc_ids
+                 for _, blob in neg.values()]
+        neg_ids = np.unique(np.concatenate(parts)) if parts \
+            else np.empty(0, dtype=np.int64)
+        hits = self.search(terms, k=1 << 62)
+        if not hits:
+            return []
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        scores = np.asarray([s for _, s in hits], dtype=np.float64)
+        if neg_ids.size:
+            scores = np.where(np.isin(ids, neg_ids),
+                              scores * negative_boost, scores)
+        idx = topk_order(scores, ids, k)
+        return [(int(ids[i]), float(scores[i])) for i in idx]
+
+    def search_function_score(self, terms: list[str],
+                              field: str = "n_chars",
+                              k: int = 10) -> list[tuple[int, float]]:
+        """ES ``function_score`` with ``field_value_factor`` (modifier
+        ``none``): score = BM25 x doc[``field``].  The factor column
+        comes from the docstore via the range-pruned stored-fields read
+        (:meth:`fetch_docs`, requested order preserved), only for the
+        MATCHING docs — never a corpus scan.  int64 field x float64
+        score is one IEEE multiply, deterministic on both engine and
+        oracle sides."""
+        hits = self.search(terms, k=1 << 62)
+        if not hits:
+            return []
+        ids = [d for d, _ in hits]
+        vals_tbl = self.fetch_docs(ids, ["doc_id", field])
+        vals = vals_tbl[field].cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        ids_np = np.asarray(ids, dtype=np.int64)
+        scores = np.asarray([s for _, s in hits], dtype=np.float64) * vals
+        idx = topk_order(scores, ids_np, k)
+        return [(int(ids_np[i]), float(scores[i])) for i in idx]
+
     def more_like_this(self, doc_id: int, n_terms: int = 5,
                        k: int = 10) -> tuple[list[str],
                                              list[tuple[int, float]]]:

@@ -100,3 +100,40 @@ def test_suggest_terms_no_match(index_dir):
     from onestools_eventlog_ray.pipelines.query import suggest_terms
     out = suggest_terms(index_dir, "zzz", k=5)
     assert out.num_rows == 0
+
+
+def _bm25_scores(docs_tbl, terms):
+    from onestools_eventlog_ray.functions.bm25 import BruteForceBM25
+    bf = BruteForceBM25(docs_tbl["doc_id"].to_pylist(),
+                        docs_tbl["text"].to_pylist())
+    return dict(bf.search(terms, k=10**9))
+
+
+def test_boosting_demotes_not_excludes(index_dir, docs_tbl):
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    eng = SearchEngine(index_dir)
+    base = _bm25_scores(docs_tbl, ["spark", "window"])
+    neg_docs = {d for d, txt in zip(docs_tbl["doc_id"].to_pylist(),
+                                    docs_tbl["text"].to_pylist())
+                if "vector" in _tok(txt)}
+    want = {d: s * 0.5 if d in neg_docs else s for d, s in base.items()}
+    got = eng.search_boosting(["spark", "window"], ["vector"],
+                              negative_boost=0.5, k=10**9)
+    assert {d: s for d, s in got} == pytest.approx(want)
+    # demoted docs are present (soft), unlike search_not (hard)
+    hard = {d for d, _ in eng.search_not(["spark", "window"], ["vector"],
+                                         k=10**9)}
+    assert neg_docs & {d for d, _ in got}
+    assert not (neg_docs & hard)
+
+
+def test_function_score_field_factor(index_dir, docs_tbl):
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    eng = SearchEngine(index_dir)
+    base = _bm25_scores(docs_tbl, ["join", "merge"])
+    nch = dict(zip(docs_tbl["doc_id"].to_pylist(),
+                   docs_tbl["n_chars"].to_pylist()))
+    want = {d: s * nch[d] for d, s in base.items()}
+    got = dict(eng.search_function_score(["join", "merge"],
+                                         field="n_chars", k=10**9))
+    assert got == pytest.approx(want)
