@@ -724,6 +724,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def training_mix_report(sf_dir):
+        """Flagship end-to-end training-data funnel: language filter ->
+        length cut -> exact dedup -> benchmark decontamination, with
+        per-stage surviving doc + token counts (the composition of four
+        oracle-checked primitives a real corpus-prep run chains)."""
+        from onestools_eventlog_ray.pipelines.mix import (
+            training_mix_report as tmr)
+        return tmr(_documents_ds(sf_dir), DOCUMENTS_SPEC,
+                   langs=("en", "de"), min_chars=120, k=3, bench_mod=20)
+
     def bm25_boosting(sf_dir):
         """ES boosting query: BM25 over spark/window; docs containing
         'vector' are demoted by negative_boost=0.5 (soft must_not) —
@@ -1494,6 +1504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_win": suggest_win,
         "bm25_boosting": bm25_boosting,
         "bm25_field_factor": bm25_field_factor,
+        "training_mix_report": training_mix_report,
     }
 
 
@@ -3095,4 +3106,51 @@ FROM r WHERE rank <= 5 ORDER BY rank""",
             ["join", "merge"],
             "SELECT s.doc_id, s.score * d.n_chars AS score"
             " FROM scored0 s JOIN documents d USING (doc_id)"),
+
+        "training_mix_report": """
+WITH tok AS (
+  SELECT doc_id, lang, n_chars, text,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                         x -> x <> '')) AS n_tok
+  FROM documents),
+s2 AS (SELECT * FROM tok WHERE lang IN ('en', 'de') AND n_chars >= 120),
+ded AS (SELECT min(doc_id) AS doc_id, min(n_tok) AS n_tok
+        FROM s2 GROUP BY text),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(t) < 3 THEN [array_to_string(t, chr(31))]
+              ELSE [t[i] || chr(31) || t[i+1] || chr(31) || t[i+2]
+                    for i in range(1, len(t) - 1)]
+         END AS shs
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                           x -> x <> '') AS t
+        FROM documents)),
+sh AS (SELECT doc_id, md5_number_lower(unnest(list_distinct(shs))) >> 1 AS h
+       FROM shl),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 20 = 0),
+flagged AS (SELECT DISTINCT doc_id FROM sh
+            WHERE doc_id % 20 <> 0 AND h IN (SELECT h FROM bench)),
+s4 AS (SELECT * FROM ded
+       WHERE doc_id % 20 <> 0
+         AND doc_id NOT IN (SELECT doc_id FROM flagged))
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS stage_id, 'all' AS stage,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens FROM tok
+  UNION ALL
+  SELECT 1, 'lang', CAST(count(*) AS BIGINT),
+         CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+  FROM tok WHERE lang IN ('en', 'de')
+  UNION ALL
+  SELECT 2, 'length', CAST(count(*) AS BIGINT),
+         CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'exact_dedup', CAST(count(*) AS BIGINT),
+         CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM ded
+  UNION ALL
+  SELECT 4, 'decontaminated', CAST(count(*) AS BIGINT),
+         CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s4
+) ORDER BY stage_id""",
     }

@@ -1,0 +1,151 @@
+"""End-to-end training-data preparation funnel.
+
+``training_mix_report`` chains the canonical LLM-corpus cleaning stages
+— language filter, length/quality cut, exact dedup, benchmark
+decontamination — over ONE corpus and reports per-stage surviving
+document and token counts: the go/no-go dashboard every large-scale
+data pipeline runs before training.  It is the composition proof for
+this engine: each stage is the already-oracle-checked primitive
+(``docs_filter_lang`` / ``exact_dedup`` / ``decontaminate``) wired
+end-to-end the way a real user would wire them.
+
+Scale shape (per 100 TB contract):
+- stage counts are per-batch integer partials folded to ONE row each —
+  the corpus never leaves the scan stage for s0–s2;
+- exact dedup shuffles only (md5, doc_id, n_tok) narrow rows for the
+  docs that SURVIVE the cheap filters (filter-before-shuffle ordering);
+- decontamination broadcasts the benchmark n-gram set once via
+  ``ray.put`` and re-flags only non-benchmark docs (two streaming
+  passes, same as :func:`..dedup.decontaminate`);
+- the contaminated-id set crossing back to the survivor filter is
+  bounded by the contamination rate, not the corpus (documented
+  broadcast assumption, like every small-side join in this repo).
+
+The reference's analog is its skip-mask + dedup-on-key ingestion chain
+(``/root/reference/OneSTools.EventLog.Exporter.Manager/ExportersManager.cs:101-111``,
+``ElasticSearchStorage.cs:293-320``) — here generalized to the
+content-level hygiene a training corpus needs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Min
+
+from onestools_eventlog_ray.functions.analyzer import tokenize_array
+from onestools_eventlog_ray.functions.fasthash import md5_hex_fast
+from onestools_eventlog_ray.pipelines.dedup import decontaminate
+from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC, CorpusSpec
+
+
+def _n_tokens(content: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    toks = tokenize_array(content)
+    offs = np.asarray(toks.offsets.to_numpy(zero_copy_only=False),
+                      dtype=np.int64)
+    if offs.size and offs[0]:
+        offs = offs - offs[0]
+    return np.diff(offs)
+
+
+def training_mix_report(ds: ray.data.Dataset,
+                        spec: CorpusSpec = DOCUMENTS_SPEC,
+                        langs: tuple[str, ...] = ("en", "de"),
+                        min_chars: int = 120,
+                        k: int = 3,
+                        bench_mod: int = 20) -> pa.Table:
+    """-> (stage_id, stage, n_docs, n_tokens), one row per funnel stage:
+
+    0 ``all``            every document
+    1 ``lang``           lang in ``langs``
+    2 ``length``         + n_chars >= ``min_chars``
+    3 ``exact_dedup``    + smallest doc_id per identical content
+    4 ``decontaminated`` + not in the benchmark slice (doc_id %
+                           ``bench_mod`` == 0) and sharing NO k-token
+                           shingle with it
+
+    Token counts use the canonical analyzer; duplicates share content,
+    so the survivor's n_tokens is the group Min (constant per group)."""
+
+    lang_set = pa.array(list(langs), pa.string())
+
+    def stage_partials(batch: pa.Table) -> pa.Table:
+        n_tok = _n_tokens(batch[spec.content_col])
+        ok1 = pc.is_in(batch["lang"], value_set=lang_set) \
+            .to_numpy(zero_copy_only=False)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False)
+        ok2 = ok1 & (nch >= min_chars)
+        return pa.table({
+            "n0": pa.array([batch.num_rows], pa.int64()),
+            "t0": pa.array([int(n_tok.sum())], pa.int64()),
+            "n1": pa.array([int(ok1.sum())], pa.int64()),
+            "t1": pa.array([int(n_tok[ok1].sum())], pa.int64()),
+            "n2": pa.array([int(ok2.sum())], pa.int64()),
+            "t2": pa.array([int(n_tok[ok2].sum())], pa.int64()),
+        })
+
+    def survivors_in(batch: pa.Table) -> pa.Table:
+        n_tok = _n_tokens(batch[spec.content_col])
+        ok = pc.and_(
+            pc.is_in(batch["lang"], value_set=lang_set),
+            pc.greater_equal(batch["n_chars"], min_chars))
+        kept = batch.filter(ok)
+        mask = ok.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "h": md5_hex_fast(kept[spec.content_col]),
+            "doc_id": pc.cast(kept[spec.id_col], pa.int64()),
+            "n_tok": pa.array(n_tok[mask], pa.int64()),
+        })
+
+    # s0-s2: one streaming scan, one tiny fold
+    parts = ds.map_batches(stage_partials, batch_format="pyarrow") \
+        .sum(["n0", "t0", "n1", "t1", "n2", "t2"])
+    c = {k_: int(v) for k_, v in parts.items()}
+
+    # s3: filter-before-shuffle exact dedup over the survivors
+    survivors = ds.map_batches(survivors_in, batch_format="pyarrow") \
+        .groupby("h") \
+        .aggregate(Min("doc_id", alias_name="doc_id"),
+                   Min("n_tok", alias_name="n_tok"))
+
+    # s4: drop the benchmark slice + contaminated docs.  s3 and s4
+    # counts fold in the SAME pass so the dedup shuffle runs once.
+    flagged = decontaminate(ds, spec, k=k, bench_mod=bench_mod)
+    flagged_ids = np.sort(np.asarray(
+        [r["doc_id"] for r in flagged.select_columns(["doc_id"])
+         .take_all()], dtype=np.int64))
+    flagged_ref = ray.put(flagged_ids)
+
+    def s34_partials(batch: pa.Table) -> pa.Table:
+        bad = ray.get(flagged_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n_tok = batch["n_tok"].to_numpy(zero_copy_only=False)
+        keep = (ids % bench_mod != 0) & ~np.isin(ids, bad)
+        return pa.table({
+            "n3": pa.array([ids.size], pa.int64()),
+            "t3": pa.array([int(n_tok.sum())], pa.int64()),
+            "n4": pa.array([int(keep.sum())], pa.int64()),
+            "t4": pa.array([int(n_tok[keep].sum())], pa.int64()),
+        })
+
+    s34 = survivors.map_batches(s34_partials, batch_format="pyarrow") \
+        .sum(["n3", "t3", "n4", "t4"]) or {}
+
+    def g(d, key):
+        return int(d.get(key, 0)) if isinstance(d, dict) else 0
+
+    return pa.table({
+        "stage_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "stage": pa.array(["all", "lang", "length", "exact_dedup",
+                           "decontaminated"], pa.string()),
+        "n_docs": pa.array([c["sum(n0)"], c["sum(n1)"], c["sum(n2)"],
+                            g(s34, "sum(n3)"), g(s34, "sum(n4)")],
+                           pa.int64()),
+        "n_tokens": pa.array([c["sum(t0)"], c["sum(t1)"], c["sum(t2)"],
+                              g(s34, "sum(t3)"), g(s34, "sum(t4)")],
+                             pa.int64()),
+    })

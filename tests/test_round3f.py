@@ -137,3 +137,55 @@ def test_function_score_field_factor(index_dir, docs_tbl):
     got = dict(eng.search_function_score(["join", "merge"],
                                          field="n_chars", k=10**9))
     assert got == pytest.approx(want)
+
+
+def test_training_mix_report_bruteforce(docs_tbl):
+    import ray.data
+    from onestools_eventlog_ray.pipelines.mix import training_mix_report
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+
+    out = training_mix_report(ray.data.from_arrow(docs_tbl),
+                              DOCUMENTS_SPEC, langs=("en", "de"),
+                              min_chars=120, k=3, bench_mod=20)
+    rows = {r["stage"]: (r["n_docs"], r["n_tokens"])
+            for r in out.to_pylist()}
+    assert out["stage_id"].to_pylist() == [0, 1, 2, 3, 4]
+
+    ids = docs_tbl["doc_id"].to_pylist()
+    texts = docs_tbl["text"].to_pylist()
+    langs = docs_tbl["lang"].to_pylist()
+    nch = docs_tbl["n_chars"].to_pylist()
+    ntok = {d: len(_tok(t)) for d, t in zip(ids, texts)}
+
+    assert rows["all"] == (len(ids), sum(ntok.values()))
+    s1 = [d for d, la in zip(ids, langs) if la in ("en", "de")]
+    assert rows["lang"] == (len(s1), sum(ntok[d] for d in s1))
+    s2 = [d for d, la, n in zip(ids, langs, nch)
+          if la in ("en", "de") and n >= 120]
+    assert rows["length"] == (len(s2), sum(ntok[d] for d in s2))
+
+    # exact dedup: min doc_id per identical text among survivors
+    text_of = dict(zip(ids, texts))
+    best = {}
+    for d in s2:
+        t = text_of[d]
+        if t not in best or d < best[t]:
+            best[t] = d
+    s3 = sorted(best.values())
+    assert rows["exact_dedup"] == (len(s3), sum(ntok[d] for d in s3))
+
+    # decontamination: benchmark slice doc_id%20==0; flag any doc
+    # sharing a 3-shingle with it
+    def shingles(toks, k=3):
+        if not toks:
+            return set()
+        if len(toks) < k:
+            return {"\x1f".join(toks)}
+        return {"\x1f".join(toks[i:i + k])
+                for i in range(len(toks) - k + 1)}
+
+    sh = {d: shingles(_tok(text_of[d])) for d in ids}
+    bench = set().union(*(sh[d] for d in ids if d % 20 == 0)) \
+        if any(d % 20 == 0 for d in ids) else set()
+    s4 = [d for d in s3 if d % 20 != 0 and not (sh[d] & bench)]
+    assert rows["decontaminated"] == (len(s4), sum(ntok[d] for d in s4))
