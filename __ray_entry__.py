@@ -768,6 +768,156 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def bm25_after_delete_query(sf_dir):
+        """ES _delete_by_query: tombstone every doc containing 'merge'
+        (matching ids come from the postings — df-bounded, no corpus
+        scan), then BM25(table, join) over the survivors; stats stay
+        global (soft-delete semantics), so the oracle is full-corpus
+        BM25 minus the 'merge' postings union."""
+        from onestools_eventlog_ray.config import EngineConfig
+        from onestools_eventlog_ray.pipelines.build import build_index
+        from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                            delete_by_query)
+        from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+        from onestools_eventlog_ray.state.tombstones import load_tombstones
+        src = os.path.join(sf_dir, "documents.parquet")
+        index_dir = _index_dir_for(sf_dir) + "_delq"
+        build_index(src, index_dir, spec=DOCUMENTS_SPEC,
+                    cfg=EngineConfig(num_partitions=16))
+        if load_tombstones(index_dir).size == 0:
+            delete_by_query(index_dir, ["merge"])
+        eng = SearchEngine(index_dir)
+        hits = eng.search(["table", "join"], k=1_000_000)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
+    def bm25_explain(sf_dir):
+        """ES _explain: the per-term BM25 breakdown (tf, df, dl, idf,
+        contribution) for the top-1 doc of the reference query —
+        sum(contrib) equals the search score bit-for-bit."""
+        from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                            explain_score)
+        eng = SearchEngine(_ensure_index(sf_dir))
+        top = _bm25_table(sf_dir, _BM25_TERMS, k=1)
+        doc = int(top["doc_id"][0].as_py())
+        tbl = explain_score(eng, _BM25_TERMS, doc)
+        return tbl.add_column(0, "doc_id",
+                              pa.array([doc] * tbl.num_rows, pa.int64()))
+
+    def bm25_rescore(sf_dir):
+        """ES rescore: top-30 window by BM25(spark, window), rescored
+        as 1.0*primary + 2.0*BM25(vector) evaluated only over the
+        window, top-10 of the combined score."""
+        from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                            search_rescore)
+        eng = SearchEngine(_ensure_index(sf_dir))
+        hits = search_rescore(eng, ["spark", "window"], ["vector"],
+                              window=30, query_weight=1.0,
+                              rescore_weight=2.0, k=1_000_000)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
+    def duplicate_ngrams(sf_dir):
+        """Boilerplate detection: top-10 most-duplicated 8-token
+        sequences (n_docs desc, n_occ desc, gram asc)."""
+        return dedup.duplicate_ngrams(_documents_ds(sf_dir),
+                                      DOCUMENTS_SPEC, k=8, top=10)
+
+    def mix_weights(sf_dir):
+        """Domain-mixing table: per source, docs/tokens/share and the
+        uniform-target resampling weight (exact integer math)."""
+        from onestools_eventlog_ray.pipelines.mix import mix_weights as mw
+        return mw(_documents_ds(sf_dir), DOCUMENTS_SPEC, by="source")
+
+    def knn_filtered(sf_dir):
+        """Filtered kNN (ES knn with a filter clause): cosine top-10 of
+        vec 0 restricted to label == 1 vectors."""
+        import pyarrow.parquet as pq
+        import ray.data
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        emb = pq.read_table(path, columns=["vec_id", "embedding"])
+        i0 = emb["vec_id"].to_pylist().index(0)
+        qvec = np.asarray(emb["embedding"][i0].as_py(), dtype=np.float64)
+        ds = ray.data.read_parquet(path) \
+            .filter(expr="label == 1") \
+            .select_columns(["vec_id", "embedding"])
+        res = similarity.knn_cosine(ds, qvec, k=50, exclude_ids={0})
+        cos = res["cosine"].to_numpy(zero_copy_only=False)
+        ids = res["vec_id"].to_numpy(zero_copy_only=False)
+        e6 = _score_e6(cos)
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "cos_e6": pa.array(e6[order], pa.int64()),
+        })
+
+    def vector_range(sf_dir):
+        """Radius search: every vector with cosine >= 0.2 to vec 0 —
+        streaming filter, match-bounded output."""
+        import pyarrow.parquet as pq
+        import ray.data
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        emb = pq.read_table(path, columns=["vec_id", "embedding"])
+        i0 = emb["vec_id"].to_pylist().index(0)
+        qvec = np.asarray(emb["embedding"][i0].as_py(), dtype=np.float64)
+        ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        return similarity.cosine_range_search(ds, qvec, 200_000,
+                                              exclude_ids={0})
+
+    def embedding_dim_stats(sf_dir):
+        """Per-dimension embedding profile: n / mean_e6 / var_e12 via
+        exact integer second moments."""
+        import ray.data
+        ds = ray.data.read_parquet(os.path.join(sf_dir,
+                                                "embeddings.parquet"),
+                                   columns=["embedding"])
+        return similarity.embedding_dim_stats(ds)
+
+    def q6_revenue(sf_dir):
+        """TPC-H-Q6-shaped predicate-pushdown aggregate: exact e4
+        revenue over a date/discount/quantity band, one streaming pass."""
+        import pandas as pd
+        import ray.data
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_shipdate", "l_discount", "l_quantity",
+                     "l_extendedprice"])
+        lo = pd.Timestamp("1996-01-01").value // 1000
+        hi = pd.Timestamp("1998-01-01").value // 1000
+        return relational.q6_revenue(li, date_lo_us=lo, date_hi_us=hi)
+
+    def running_revenue(sf_dir):
+        """Cumulative window function: per-customer running order total
+        (PARTITION BY custkey ORDER BY date, key), exact e2 ints."""
+        import ray.data
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderkey", "o_orderdate",
+                     "o_totalprice"])
+        return relational.running_revenue(orders)
+
+    def weighted_avg_price(sf_dir):
+        """ES weighted_avg agg: quantity-weighted average price per
+        return flag, exact integer fold."""
+        import ray.data
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+        return relational.weighted_avg_price(li)
+
     def mlt_search(sf_dir):
         """ES more_like_this: top-5 tf×idf terms of the corpus' first
         doc (idf from index stats, one shard-pruned df lookup) -> BM25
@@ -1505,6 +1655,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boosting": bm25_boosting,
         "bm25_field_factor": bm25_field_factor,
         "training_mix_report": training_mix_report,
+        "bm25_after_delete_query": bm25_after_delete_query,
+        "bm25_explain": bm25_explain,
+        "bm25_rescore": bm25_rescore,
+        "duplicate_ngrams": duplicate_ngrams,
+        "mix_weights": mix_weights,
+        "knn_filtered": knn_filtered,
+        "vector_range": vector_range,
+        "embedding_dim_stats": embedding_dim_stats,
+        "q6_revenue": q6_revenue,
+        "running_revenue": running_revenue,
+        "weighted_avg_price": weighted_avg_price,
     }
 
 
@@ -3153,4 +3314,210 @@ SELECT * FROM (
   SELECT 4, 'decontaminated', CAST(count(*) AS BIGINT),
          CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s4
 ) ORDER BY stage_id""",
+
+        "bm25_after_delete_query": _bm25_sql(["table", "join"]).replace(
+            "FROM scored\nORDER BY",
+            "FROM scored\nWHERE doc_id NOT IN (SELECT DISTINCT doc_id "
+            "FROM toks WHERE term = 'merge')\nORDER BY"),
+
+        "bm25_explain": f"""
+WITH toks AS ({_TOKS}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark', 'vector', 'window') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('spark', 'vector', 'window') GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + ((SELECT n_docs FROM stats) - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+            ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id),
+top1 AS (SELECT doc_id FROM scored
+         ORDER BY CAST(floor(score * 1000000 + 0.5) AS BIGINT) DESC,
+                  doc_id ASC LIMIT 1)
+SELECT tf.doc_id AS doc_id, tf.term AS term,
+       CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+       CAST(dl.dl AS BIGINT) AS dl,
+       CAST(floor(ln(1 + ((SELECT n_docs FROM stats) - df.df + 0.5)
+                         / (df.df + 0.5)) * 1000000 + 0.5) AS BIGINT)
+         AS idf_e6,
+       CAST(floor(ln(1 + ((SELECT n_docs FROM stats) - df.df + 0.5)
+                         / (df.df + 0.5))
+                  * ((tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                       / (SELECT avgdl FROM stats))))
+                  * 1000000 + 0.5) AS BIGINT) AS contrib_e6
+FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+WHERE tf.doc_id = (SELECT doc_id FROM top1)
+ORDER BY term""",
+
+        "bm25_rescore": f"""
+WITH toks AS ({_TOKS}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tf1 AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ('spark', 'window') GROUP BY doc_id, term),
+df1 AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE term IN ('spark', 'window') GROUP BY term),
+s1 AS (
+  SELECT tf1.doc_id,
+         sum( ln(1 + ((SELECT n_docs FROM stats) - df1.df + 0.5) / (df1.df + 0.5))
+              * tf1.tf * 2.2
+              / (tf1.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+            ) AS score
+  FROM tf1 JOIN df1 USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf1.doc_id),
+win AS (SELECT doc_id, score FROM s1
+        ORDER BY score DESC, doc_id ASC LIMIT 30),
+tf2 AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ('vector') GROUP BY doc_id, term),
+df2 AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE term IN ('vector') GROUP BY term),
+s2 AS (
+  SELECT tf2.doc_id,
+         sum( ln(1 + ((SELECT n_docs FROM stats) - df2.df + 0.5) / (df2.df + 0.5))
+              * tf2.tf * 2.2
+              / (tf2.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+            ) AS score
+  FROM tf2 JOIN df2 USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf2.doc_id),
+comb AS (
+  SELECT w.doc_id, w.score + 2.0 * coalesce(s2.score, 0) AS score
+  FROM win w LEFT JOIN s2 ON w.doc_id = s2.doc_id)
+SELECT CAST(row_number() OVER (
+         ORDER BY CAST(floor(score * 1000000 + 0.5) AS BIGINT) DESC,
+                  doc_id ASC) AS BIGINT) AS rank,
+       doc_id,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6
+FROM comb ORDER BY score_e6 DESC, doc_id ASC LIMIT 10""",
+
+        "duplicate_ngrams": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+              ELSE [array_to_string(t[i:i+7], ' ')
+                    for i in range(1, len(t) - 6)]
+         END AS shs
+  FROM tok),
+sh AS (SELECT doc_id, unnest(shs) AS gram FROM shl),
+g AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_occ,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM sh GROUP BY gram)
+SELECT CAST(row_number() OVER (
+         ORDER BY n_docs DESC, n_occ DESC, gram ASC) AS BIGINT) AS rank,
+       gram, n_docs, n_occ
+FROM g WHERE n_docs >= 2
+ORDER BY n_docs DESC, n_occ DESC, gram ASC LIMIT 10""",
+
+        "mix_weights": """
+WITH t AS (
+  SELECT source,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                         x -> x <> '')) AS nt
+  FROM documents),
+g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS ng FROM g)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens * 1000000 // greatest((SELECT total FROM tot), 1)
+            AS BIGINT) AS share_e6,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+                 ELSE (SELECT total FROM tot) * 1000000
+                      // ((SELECT ng FROM tot) * n_tokens) END
+            AS BIGINT) AS weight_e6
+FROM g ORDER BY source""",
+
+        "knn_filtered": """
+WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id,
+             list_cosine_similarity(
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+               (SELECT v FROM q)) AS cos
+      FROM embeddings e WHERE e.vec_id <> 0 AND e.label = 1)
+SELECT CAST(row_number() OVER (
+         ORDER BY CAST(floor(cos * 1000000 + 0.5) AS BIGINT) DESC,
+                  vec_id ASC) AS BIGINT) AS rank,
+       vec_id,
+       CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_e6
+FROM s ORDER BY cos_e6 DESC, vec_id ASC
+LIMIT 10""",
+
+        "vector_range": """
+WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id,
+             CAST(floor(list_cosine_similarity(
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+               (SELECT v FROM q)) * 1000000 + 0.5) AS BIGINT) AS cos_e6
+      FROM embeddings e WHERE e.vec_id <> 0)
+SELECT vec_id, cos_e6 FROM s WHERE cos_e6 >= 200000""",
+
+        "embedding_dim_stats": """
+WITH x AS (
+  SELECT unnest(list_transform(embedding,
+           v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))
+           AS qv,
+         unnest(range(1, len(embedding) + 1)) AS dim
+  FROM embeddings),
+g AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(qv) AS HUGEINT) AS s,
+             CAST(sum(qv * qv) AS HUGEINT) AS s2
+      FROM x GROUP BY dim)
+SELECT CAST(dim AS BIGINT) AS dim, n,
+       CAST(s // n AS BIGINT) AS mean_e6,
+       CAST((n * s2 - s * s) // (n * n) AS BIGINT) AS var_e12
+FROM g ORDER BY dim""",
+
+        "q6_revenue": """
+SELECT CAST(coalesce(sum(
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+         * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)), 0) AS BIGINT)
+         AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24""",
+
+        "running_revenue": """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         AS BIGINT) AS cum_price_e2
+FROM orders""",
+
+        "weighted_avg_price": """
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pe2,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qe2
+  FROM lineitem),
+g AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pe2 * qe2) AS HUGEINT) AS pq,
+             CAST(sum(qe2) AS HUGEINT) AS q
+      FROM t GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       CAST(CASE WHEN q = 0 THEN 0
+                 ELSE (10000 * pq) // q END AS BIGINT) AS wavg_e6
+FROM g ORDER BY l_returnflag""",
     }

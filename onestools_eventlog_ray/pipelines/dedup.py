@@ -846,3 +846,74 @@ def pagerank_step(ds: ray.data.Dataset,
         })
 
     return folded.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def duplicate_ngrams(ds: ray.data.Dataset,
+                     spec: CorpusSpec = DOCUMENTS_SPEC,
+                     k: int = 8, top: int = 10,
+                     min_docs: int = 2) -> pa.Table:
+    """Boilerplate n-gram detection: the ``top`` most-duplicated
+    ``k``-token sequences across the corpus, with how many distinct
+    documents and total occurrences each appears in — the repeated-
+    boilerplate report (license headers, nav bars, generated stubs) a
+    training-data pipeline runs before stripping them (C4-style
+    boilerplate removal; the reference's repeated-event collapse is the
+    same idea over log rows, ``ExportersManager.cs:101-111``).
+
+    Shape: per-batch two-level Acero fold — (gram, doc) occurrence
+    counts, then per-batch (gram, n_occ, n_docs) partials, so only the
+    batch's n-gram VOCABULARY shuffles, never one row per occurrence;
+    ``n_docs`` partials sum exactly because every doc lives in exactly
+    one batch.  Global ``groupby(gram)`` sum, per-block local top-k,
+    tiny driver merge.  -> (rank, gram, n_docs, n_occ) ranked by
+    (n_docs desc, n_occ desc, gram asc)."""
+    from ray.data.aggregate import Sum as RSum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = tokenize_array(batch[spec.content_col])
+        sh, parent = _shingle_rows(toks, k)
+        if not len(sh):
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "n_occ_p": pa.array([], pa.int64()),
+                             "n_docs_p": pa.array([], pa.int64())})
+        gram = pc.replace_substring(sh, pattern=SHINGLE_SEP,
+                                    replacement=" ")
+        g = pa.table({"gram": gram,
+                      "p": pa.array(parent, pa.int64())}) \
+            .group_by(["gram", "p"]).aggregate([([], "count_all")])
+        g2 = pa.table({"gram": g["gram"],
+                       "occ": g["count_all"].cast(pa.int64())}) \
+            .group_by("gram").aggregate([("occ", "sum"),
+                                         ([], "count_all")])
+        return pa.table({"gram": g2["gram"],
+                         "n_occ_p": g2["occ_sum"].cast(pa.int64()),
+                         "n_docs_p": g2["count_all"].cast(pa.int64())})
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("gram").aggregate(RSum("n_occ_p", alias_name="n_occ"),
+                                   RSum("n_docs_p", alias_name="n_docs"))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch["n_docs"], min_docs))
+        nd = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        no = t["n_occ"].to_numpy(zero_copy_only=False).astype(np.int64)
+        grams = np.asarray(t["gram"].to_pylist(), dtype=object)
+        order = np.lexsort((grams, -no, -nd))[:top]
+        return pa.table({"gram": pa.array(grams[order].tolist(),
+                                          pa.string()),
+                         "n_docs": pa.array(nd[order], pa.int64()),
+                         "n_occ": pa.array(no[order], pa.int64())})
+
+    cand = folded.map_batches(local_topk, batch_format="pyarrow") \
+        .take_all()
+    grams = np.asarray([r["gram"] for r in cand], dtype=object)
+    nd = np.asarray([r["n_docs"] for r in cand], dtype=np.int64)
+    no = np.asarray([r["n_occ"] for r in cand], dtype=np.int64)
+    order = np.lexsort((grams, -no, -nd))[:top] if grams.size else []
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        "gram": pa.array(grams[order].tolist() if len(order) else [],
+                         pa.string()),
+        "n_docs": pa.array(nd[order] if len(order) else [], pa.int64()),
+        "n_occ": pa.array(no[order] if len(order) else [], pa.int64()),
+    })

@@ -149,3 +149,54 @@ def training_mix_report(ds: ray.data.Dataset,
                               g(s34, "sum(t3)"), g(s34, "sum(t4)")],
                              pa.int64()),
     })
+
+
+def mix_weights(ds: ray.data.Dataset,
+                spec: CorpusSpec = DOCUMENTS_SPEC,
+                by: str = "source") -> pa.Table:
+    """Domain-mixing weights: per ``by`` group (source/domain), doc and
+    token counts, the group's token share, and the per-doc sampling
+    weight that would rebalance the mix to UNIFORM token share across
+    groups (``weight > 1`` = upsample, ``< 1`` = downsample) — the
+    mixture table a training run feeds its sampler (DoReMi/The-Pile
+    style domain reweighting, with uniform as the target here so the
+    whole computation stays exact integer math).
+
+    One streaming pass: per-batch Acero (group, n_docs, n_tokens)
+    partials -> tiny ``groupby`` fold (group count is the number of
+    DOMAINS, never corpus-sized).  ``share_e6 = tokens*1e6 // total``;
+    ``weight_e6 = total*1e6 // (n_groups * tokens)`` — floor both
+    sides, 0 for an empty group.  -> (by, n_docs, n_tokens, share_e6,
+    weight_e6) sorted by group."""
+    from ray.data.aggregate import Sum as RSum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_tok = _n_tokens(batch[spec.content_col])
+        g = pa.table({by: batch[by],
+                      "nt": pa.array(n_tok, pa.int64())}) \
+            .group_by(by).aggregate([("nt", "sum"), ([], "count_all")])
+        return pa.table({by: g[by],
+                         "n_docs_p": g["count_all"].cast(pa.int64()),
+                         "n_tokens_p": g["nt_sum"].cast(pa.int64())})
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(by).aggregate(RSum("n_docs_p", alias_name="n_docs"),
+                               RSum("n_tokens_p", alias_name="n_tokens")) \
+        .take_all()
+    folded.sort(key=lambda r: r[by])
+    groups = [r[by] for r in folded]
+    nd = np.asarray([r["n_docs"] for r in folded], dtype=np.int64)
+    nt = np.asarray([r["n_tokens"] for r in folded], dtype=np.int64)
+    total = int(nt.sum())
+    ng = len(groups)
+    share = nt * 1_000_000 // max(total, 1)
+    weight = np.zeros(ng, dtype=np.int64)
+    nz = nt > 0
+    weight[nz] = total * 1_000_000 // (ng * nt[nz])
+    return pa.table({
+        by: pa.array(groups, pa.string()),
+        "n_docs": pa.array(nd, pa.int64()),
+        "n_tokens": pa.array(nt, pa.int64()),
+        "share_e6": pa.array(share, pa.int64()),
+        "weight_e6": pa.array(weight, pa.int64()),
+    })

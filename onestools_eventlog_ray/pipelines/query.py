@@ -1201,3 +1201,91 @@ def suggest_terms(index_dir: str, prefix: str, k: int = 8) -> pa.Table:
                          pa.string()),
         "df": pa.array(df[order] if len(order) else [], pa.int64()),
     })
+
+
+def delete_by_query(index_dir: str, terms: list[str]) -> int:
+    """ES ``_delete_by_query`` with a term-disjunction query: tombstone
+    every LIVE document containing ANY of ``terms``.  The matching
+    doc_ids come from the postings themselves (the same shard-pruned
+    ``term IN`` lookup every query uses — never a corpus scan), so the
+    cost is df-bounded; deletes are soft per-index tombstones exactly
+    like delete-by-id (``state/tombstones.py``), honored by every
+    result path and dropped physically at compaction.  The reference's
+    analog is its deleted-input handling feeding ES deletes
+    (``/root/reference/OneSTools.EventLog/LgpReader.cs:62-79``).
+    Returns the number of docs newly tombstoned."""
+    from onestools_eventlog_ray.state.tombstones import delete_docs
+    eng = SearchEngine(index_dir)
+    loaded = eng.load_terms(sorted(set(terms)))
+    parts = [codec.decode_posting(blob).doc_ids
+             for _, blob in loaded.values()]
+    ids = np.unique(np.concatenate(parts)) if parts \
+        else np.empty(0, dtype=np.int64)
+    if eng.deleted.size:
+        ids = ids[~np.isin(ids, eng.deleted)]
+    if not ids.size:
+        return 0
+    return delete_docs(index_dir, ids)
+
+
+def explain_score(eng: SearchEngine, terms: list[str],
+                  doc_id: int) -> pa.Table:
+    """ES ``_explain``: the per-term BM25 score breakdown for ONE
+    document — (term, tf, df, dl, idf_e6, contrib_e6), terms sorted,
+    only terms present in the doc.  Reads exactly the query terms'
+    postings (shard-pruned); the per-doc probe is a binary search in
+    the doc_id-sorted posting.  The contribution uses the SAME
+    ``codec.bm25_impact`` kernel as the scorer, so
+    ``sum(contrib) == search()``'s score bit-for-bit."""
+    out_t, out_tf, out_df, out_dl, out_idf, out_c = [], [], [], [], [], []
+    loaded = eng.load_terms(sorted(set(terms)))
+    for t in sorted(loaded):
+        df, blob = loaded[t]
+        post = codec.decode_posting(blob)
+        i = int(np.searchsorted(post.doc_ids, doc_id))
+        if i >= post.doc_ids.size or post.doc_ids[i] != doc_id:
+            continue
+        idf_t = idf_fn(eng.N, df)
+        contrib = float(idf_t * codec.bm25_impact(
+            post.tfs[i:i + 1], post.dls[i:i + 1], eng.avgdl,
+            eng.k1, eng.b)[0])
+        out_t.append(t)
+        out_tf.append(int(post.tfs[i]))
+        out_df.append(int(df))
+        out_dl.append(int(post.dls[i]))
+        out_idf.append(int(np.floor(idf_t * 1_000_000 + 0.5)))
+        out_c.append(int(np.floor(contrib * 1_000_000 + 0.5)))
+    return pa.table({
+        "term": pa.array(out_t, pa.string()),
+        "tf": pa.array(out_tf, pa.int64()),
+        "df": pa.array(out_df, pa.int64()),
+        "dl": pa.array(out_dl, pa.int64()),
+        "idf_e6": pa.array(out_idf, pa.int64()),
+        "contrib_e6": pa.array(out_c, pa.int64()),
+    })
+
+
+def search_rescore(eng: SearchEngine, terms: list[str],
+                   rescore_terms: list[str], window: int = 50,
+                   query_weight: float = 1.0,
+                   rescore_weight: float = 2.0,
+                   k: int = 10) -> list[tuple[int, float]]:
+    """ES ``rescore``: rank the top ``window`` hits of the primary
+    query again with ``query_weight * primary + rescore_weight *
+    secondary`` where the secondary BM25 query is evaluated ONLY over
+    the window (docs outside the window never pay the secondary cost —
+    the two-phase retrieval every production engine runs).  The
+    secondary pass reuses :meth:`SearchEngine.search` with the window
+    as an ``allowed`` whitelist, so its posting reads stay df-bounded
+    and the window cut is the canonical (score desc, doc_id asc)."""
+    initial = eng.search(terms, k=window)
+    if not initial:
+        return []
+    win = np.asarray(sorted(d for d, _ in initial), dtype=np.int64)
+    second = dict(eng.search(rescore_terms, k=1 << 62, allowed=win))
+    combined = [(d, query_weight * s + rescore_weight * second.get(d, 0.0))
+                for d, s in initial]
+    ids = np.asarray([d for d, _ in combined], dtype=np.int64)
+    sc = np.asarray([s for _, s in combined], dtype=np.float64)
+    idx = topk_order(sc, ids, k)
+    return [(int(ids[i]), float(sc[i])) for i in idx]

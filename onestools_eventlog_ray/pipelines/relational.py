@@ -1189,3 +1189,126 @@ def extended_stats_by_group(ds: ray.data.Dataset, key: str = "lang",
         "avg_e6": pa.array(avg, pa.int64()),
         "var_e6": pa.array(var, pa.int64()),
     })
+
+
+def q6_revenue(lineitem: ray.data.Dataset,
+               date_lo_us: int = 0, date_hi_us: int = 0,
+               disc_lo_e2: int = 5, disc_hi_e2: int = 7,
+               max_qty: float = 24.0) -> pa.Table:
+    """TPC-H-Q6-shaped forecast-revenue scan: one streaming pass over
+    lineitem with a date-range + discount-band + quantity predicate,
+    folding ``sum(price * discount)`` as EXACT e4 integers
+    (``floor(price*100+.5) * floor(disc*100+.5)`` — 2-decimal money, so
+    the sum is order-free and bit-identical to the SQL oracle).  The
+    canonical predicate-pushdown aggregate: no shuffle, no groupby,
+    per-batch partials fold to one row.  -> (revenue_e4, n_rows)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        de2 = np.floor(disc * 100 + 0.5).astype(np.int64)
+        m = ((ship >= date_lo_us) & (ship < date_hi_us)
+             & (de2 >= disc_lo_e2) & (de2 <= disc_hi_e2)
+             & (qty < max_qty))
+        pe2 = np.floor(price[m] * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "rev_p": pa.array([int((pe2 * de2[m]).sum())], pa.int64()),
+            "n_p": pa.array([int(m.sum())], pa.int64()),
+        })
+
+    agg = lineitem.map_batches(partial, batch_format="pyarrow") \
+        .sum(["rev_p", "n_p"])
+    return pa.table({
+        "revenue_e4": pa.array([int(agg["sum(rev_p)"])], pa.int64()),
+        "n_rows": pa.array([int(agg["sum(n_p)"])], pa.int64()),
+    })
+
+
+def running_revenue(orders: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-customer running order total (cumulative window function):
+    for every order, the sum of that customer's order prices up to and
+    including it, ordered by (o_orderdate, o_orderkey).  The partition
+    key is the customer, so ``groupby(custkey).map_groups`` gives each
+    task one customer's orders to sort + prefix-sum locally — the
+    standard distributed PARTITION BY window shape (a single mega-key
+    is the documented skew limit, same as sessionize).  Prices fold as
+    exact e2 integers.  -> (o_custkey, o_orderkey, cum_price_e2)."""
+
+    def proj(batch: pa.Table) -> pa.Table:
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "o_custkey": batch["o_custkey"].cast(pa.int64()),
+            "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "odate": batch["o_orderdate"].cast(pa.int64()),
+            "pe2": pa.array(np.floor(price * 100 + 0.5).astype(np.int64),
+                            pa.int64()),
+        })
+
+    def cum(g: pa.Table) -> pa.Table:
+        okey = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        odate = g["odate"].to_numpy(zero_copy_only=False)
+        pe2 = g["pe2"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, odate))
+        return pa.table({
+            "o_custkey": g["o_custkey"].take(pa.array(order)),
+            "o_orderkey": pa.array(okey[order], pa.int64()),
+            "cum_price_e2": pa.array(np.cumsum(pe2[order]), pa.int64()),
+        })
+
+    return orders.map_batches(proj, batch_format="pyarrow") \
+        .groupby("o_custkey").map_groups(cum, batch_format="pyarrow")
+
+
+def weighted_avg_price(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """ES ``weighted_avg`` aggregation shape: per return flag, the
+    quantity-weighted average extended price.  Per-batch Acero partials
+    (sum(price_e2 * qty_e2), sum(qty_e2)) -> flag-keyed fold ->
+    ``wavg_e6 = 1e4 * sum(p*q) // sum(q)`` — all integers, floor both
+    sides.  -> (l_returnflag, n, wavg_e6) sorted by flag."""
+    from ray.data.aggregate import Sum as RSum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        pe2 = np.floor(price * 100 + 0.5).astype(np.int64)
+        qe2 = np.floor(qty * 100 + 0.5).astype(np.int64)
+        g = pa.table({"l_returnflag": batch["l_returnflag"],
+                      "pq": pa.array(pe2 * qe2, pa.int64()),
+                      "q": pa.array(qe2, pa.int64())}) \
+            .group_by("l_returnflag") \
+            .aggregate([("pq", "sum"), ("q", "sum"), ([], "count_all")])
+        return pa.table({"l_returnflag": g["l_returnflag"],
+                         "pq_p": g["pq_sum"].cast(pa.int64()),
+                         "q_p": g["q_sum"].cast(pa.int64()),
+                         "n_row": g["count_all"].cast(pa.int64())})
+
+    folded = lineitem.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_returnflag") \
+        .aggregate(RSum("pq_p", alias_name="pq"),
+                   RSum("q_p", alias_name="q"),
+                   RSum("n_row", alias_name="n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        pq = batch["pq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = batch["q"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # unbounded Python ints: 1e4 * sum(p*q) overflows int64 at scale
+        # (group count is tiny here, the loop is over GROUPS not rows)
+        wavg = np.asarray([10_000 * int(a) // int(b) if b else 0
+                           for a, b in zip(pq, q)], dtype=np.int64)
+        return pa.table({"l_returnflag": batch["l_returnflag"],
+                         "n": batch["n"].cast(pa.int64()),
+                         "wavg_e6": pa.array(wavg, pa.int64())})
+
+    # repartition(1): the fold is a handful of flag groups; one block in
+    # the final sort avoids empty-partition schema warnings
+    return folded.map_batches(finish, batch_format="pyarrow") \
+        .repartition(1).sort("l_returnflag")

@@ -456,3 +456,97 @@ def kmeans_step(ds: ray.data.Dataset, centroids_e6: np.ndarray,
              .groupby(["k", "dim"]) \
              .aggregate(Sum("s_p", alias_name="sum_e6"),
                         Sum("n_p", alias_name="n"))
+
+
+def _range_batch(batch: pa.Table, *, query_ref, threshold_e6, id_col,
+                 vec_col, exclude_ids) -> pa.Table:
+    # per-worker-process query cache: fetched once, reused across batches
+    qn = _cached(("rngq", query_ref), lambda: ray.get(query_ref))
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = _as_matrix(batch[vec_col])
+    if exclude_ids and ids.size:
+        keep = ~np.isin(ids, np.fromiter(exclude_ids, dtype=np.int64))
+        ids, m = ids[keep], m[keep]
+    if not ids.size:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "cos_e6": pa.array([], pa.int64())})
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cos = (m / norms) @ qn
+    e6 = np.floor(cos * 1_000_000 + 0.5).astype(np.int64)
+    keep = e6 >= threshold_e6
+    return pa.table({id_col: pa.array(ids[keep], pa.int64()),
+                     "cos_e6": pa.array(e6[keep], pa.int64())})
+
+
+def cosine_range_search(ds: ray.data.Dataset, query: np.ndarray,
+                        threshold_e6: int,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        exclude_ids: set[int] | None = None
+                        ) -> ray.data.Dataset:
+    """Radius search: every vector with cosine similarity >=
+    ``threshold_e6/1e6`` to the query (the range-query counterpart of
+    top-k kNN — near-duplicate retrieval, recall-oriented retrieval
+    augmentation).  Pure streaming filter: the normalized query ships
+    once via ``ray.put``, each batch emits only its matches — output is
+    match-bounded, nothing corpus-sized materializes anywhere.
+    -> Dataset(vec_id, cos_e6), unordered (radius results have no
+    canonical rank; consumers sort or stream)."""
+    q = np.asarray(query, dtype=np.float64).reshape(-1)
+    n = np.linalg.norm(q)
+    qref = ray.put(q / n if n else q)
+    return ds.map_batches(_range_batch, batch_format="pyarrow",
+                          fn_kwargs=dict(query_ref=qref,
+                                         threshold_e6=int(threshold_e6),
+                                         id_col=id_col, vec_col=vec_col,
+                                         exclude_ids=frozenset(exclude_ids)
+                                         if exclude_ids else None))
+
+
+def embedding_dim_stats(ds: ray.data.Dataset,
+                        vec_col: str = "embedding") -> pa.Table:
+    """Per-dimension profile of an embedding column: n, mean and
+    variance of each coordinate (quantized to e6) — the feature-drift /
+    dead-dimension check run before training on an embedding table.
+    Exact integer second-moment fold: per-batch (dim, n, sum, sumsq)
+    partials over e6-quantized values -> ``groupby(dim)`` sum (d rows,
+    never corpus-sized) -> closed-form finalize.  ``mean_e6`` uses
+    truncating division (DuckDB ``//`` semantics, sums may be
+    negative); ``var_e12 = (n*s2 - s*s) // n**2`` is non-negative.
+    -> (dim, n, mean_e6, var_e12), dim 1-based ascending."""
+    from ray.data.aggregate import Sum as RSum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch[vec_col])
+        if not m.size:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "n_p": pa.array([], pa.int64()),
+                             "s_p": pa.array([], pa.int64()),
+                             "s2_p": pa.array([], pa.int64())})
+        q = np.floor(m * 1_000_000 + 0.5).astype(np.int64)
+        return pa.table({
+            "dim": pa.array(np.arange(1, m.shape[1] + 1), pa.int64()),
+            "n_p": pa.array(np.full(m.shape[1], m.shape[0]), pa.int64()),
+            "s_p": pa.array(q.sum(axis=0), pa.int64()),
+            "s2_p": pa.array((q * q).sum(axis=0), pa.int64()),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("dim").aggregate(RSum("n_p", alias_name="n"),
+                                  RSum("s_p", alias_name="s"),
+                                  RSum("s2_p", alias_name="s2")) \
+        .take_all()
+    rows.sort(key=lambda r: r["dim"])
+    dim = np.asarray([r["dim"] for r in rows], dtype=np.int64)
+    n = np.asarray([r["n"] for r in rows], dtype=np.int64)
+    s = np.asarray([r["s"] for r in rows], dtype=np.int64)
+    s2 = np.asarray([r["s2"] for r in rows], dtype=np.int64)
+    mean = np.sign(s) * (np.abs(s) // n)            # trunc toward zero
+    var = (n * s2 - s * s) // (n * n)
+    return pa.table({
+        "dim": pa.array(dim, pa.int64()),
+        "n": pa.array(n, pa.int64()),
+        "mean_e6": pa.array(mean, pa.int64()),
+        "var_e12": pa.array(var, pa.int64()),
+    })

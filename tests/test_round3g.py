@@ -1,0 +1,240 @@
+"""Round-3 session-6 brute-force tests: delete_by_query, explain,
+rescore, duplicate n-grams, mix weights, cosine range search,
+embedding dim stats, and the Q6 / running-total / weighted-avg
+relational operators."""
+import os
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from onestools_eventlog_ray.config import EngineConfig
+from onestools_eventlog_ray.pipelines.build import build_index
+from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                    delete_by_query,
+                                                    explain_score,
+                                                    search_rescore)
+
+SF_DIR = "/root/testdata/sf0.001"
+CFG = EngineConfig(num_partitions=8, tokenize_batch_size=128)
+
+
+def _tok(text):
+    return [t for t in re.split(r"[^a-z0-9_]+", text.lower()) if t]
+
+
+@pytest.fixture(scope="module")
+def docs_tbl():
+    return pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def g_index(tmp_path_factory, small_corpus_dir):
+    index_dir = str(tmp_path_factory.mktemp("g_index"))
+    build_index(small_corpus_dir, index_dir, cfg=CFG)
+    return index_dir
+
+
+def test_delete_by_query(g_index, small_corpus):
+    eng = SearchEngine(g_index)
+    before = eng.search(["def", "import"], 1_000_000)
+    assert before
+    # docs containing 'class' (per the same engine's postings)
+    victims = {d for d, _ in eng.search(["class"], 1_000_000)}
+    assert victims
+    n = delete_by_query(g_index, ["class"])
+    assert n == len(victims)
+    eng2 = SearchEngine(g_index)
+    after = eng2.search(["def", "import"], 1_000_000)
+    exp = [(d, s) for d, s in before if d not in victims]
+    assert after == exp                      # scores unchanged, soft delete
+    # idempotent: everything matching is already tombstoned
+    assert delete_by_query(g_index, ["class"]) == 0
+
+
+def test_explain_matches_search(g_index):
+    eng = SearchEngine(g_index)
+    terms = ["def", "import", "class"]
+    hits = eng.search(terms, 5)
+    for doc, score in hits:
+        tbl = explain_score(eng, terms, doc)
+        assert tbl.num_rows >= 1
+        # exact contribution identity: per-term contribs sum to the score
+        contribs = []
+        for t in sorted(set(terms)):
+            hit = eng.load_terms([t]).get(t)
+            if hit is None:
+                continue
+            from onestools_eventlog_ray.functions import codec
+            from onestools_eventlog_ray.functions.bm25 import idf
+            post = codec.decode_posting(hit[1])
+            i = int(np.searchsorted(post.doc_ids, doc))
+            if i < post.doc_ids.size and post.doc_ids[i] == doc:
+                contribs.append(idf(eng.N, hit[0]) * codec.bm25_impact(
+                    post.tfs[i:i + 1], post.dls[i:i + 1], eng.avgdl,
+                    eng.k1, eng.b)[0])
+        assert score == pytest.approx(sum(contribs), rel=1e-12)
+        got_e6 = tbl["contrib_e6"].to_pylist()
+        exp_e6 = [int(np.floor(c * 1e6 + 0.5)) for c in contribs]
+        assert got_e6 == exp_e6
+        assert tbl["term"].to_pylist() == sorted(tbl["term"].to_pylist())
+
+
+def test_rescore_bruteforce(g_index):
+    eng = SearchEngine(g_index)
+    terms, rterms, window = ["def", "import"], ["class"], 20
+    got = search_rescore(eng, terms, rterms, window=window,
+                         query_weight=1.0, rescore_weight=2.0, k=10)
+    initial = eng.search(terms, k=window)
+    second = dict(eng.search(rterms, k=1 << 62))
+    comb = [(d, s + 2.0 * second.get(d, 0.0)) for d, s in initial]
+    comb.sort(key=lambda x: (-x[1], x[0]))
+    assert got == comb[:10]
+    # docs outside the window never appear, even if the rescore term
+    # alone would rank them
+    win_ids = {d for d, _ in initial}
+    assert all(d in win_ids for d, _ in got)
+
+
+def test_duplicate_ngrams_bruteforce(docs_tbl):
+    import ray.data
+    from onestools_eventlog_ray.pipelines.dedup import duplicate_ngrams
+    k = 8
+    out = duplicate_ngrams(ray.data.from_arrow(docs_tbl), k=k, top=10)
+    occ, docs = Counter(), Counter()
+    for d, t in zip(docs_tbl["doc_id"].to_pylist(),
+                    docs_tbl["text"].to_pylist()):
+        toks = _tok(t)
+        if not toks:
+            continue
+        grams = [" ".join(toks[i:i + k])
+                 for i in range(len(toks) - k + 1)] \
+            if len(toks) >= k else [" ".join(toks)]
+        occ.update(grams)
+        docs.update(set(grams))
+    cand = [(g, docs[g], occ[g]) for g in occ if docs[g] >= 2]
+    cand.sort(key=lambda x: (-x[1], -x[2], x[0]))
+    exp = cand[:10]
+    got = list(zip(out["gram"].to_pylist(), out["n_docs"].to_pylist(),
+                   out["n_occ"].to_pylist()))
+    assert got == exp
+    assert out["rank"].to_pylist() == list(range(1, len(exp) + 1))
+
+
+def test_mix_weights_bruteforce(docs_tbl):
+    import ray.data
+    from onestools_eventlog_ray.pipelines.mix import mix_weights
+    out = mix_weights(ray.data.from_arrow(docs_tbl), by="source")
+    nt, nd = Counter(), Counter()
+    for s, t in zip(docs_tbl["source"].to_pylist(),
+                    docs_tbl["text"].to_pylist()):
+        nt[s] += len(_tok(t))
+        nd[s] += 1
+    total, ng = sum(nt.values()), len(nt)
+    rows = {r["source"]: r for r in out.to_pylist()}
+    assert set(rows) == set(nt)
+    for s in nt:
+        r = rows[s]
+        assert (r["n_docs"], r["n_tokens"]) == (nd[s], nt[s])
+        assert r["share_e6"] == nt[s] * 10**6 // total
+        assert r["weight_e6"] == (total * 10**6 // (ng * nt[s])
+                                  if nt[s] else 0)
+    assert out["source"].to_pylist() == sorted(nt)
+
+
+@pytest.fixture(scope="module")
+def emb_tbl():
+    return pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+def test_cosine_range_bruteforce(emb_tbl):
+    import ray.data
+    from onestools_eventlog_ray.pipelines.similarity import (
+        cosine_range_search)
+    ids = emb_tbl["vec_id"].to_pylist()
+    m = np.asarray(emb_tbl["embedding"].to_pylist(), dtype=np.float64)
+    q = m[ids.index(0)]
+    out = cosine_range_search(ray.data.from_arrow(emb_tbl), q, 150_000,
+                              exclude_ids={0}).take_all()
+    got = {(r["vec_id"], r["cos_e6"]) for r in out}
+    qn = q / np.linalg.norm(q)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    cos = (m / norms[:, None]) @ qn
+    e6 = np.floor(cos * 1e6 + 0.5).astype(np.int64)
+    exp = {(i, int(e)) for i, e in zip(ids, e6)
+           if e >= 150_000 and i != 0}
+    assert got == exp
+
+
+def test_embedding_dim_stats_bruteforce(emb_tbl):
+    import ray.data
+    from onestools_eventlog_ray.pipelines.similarity import (
+        embedding_dim_stats)
+    out = embedding_dim_stats(ray.data.from_arrow(emb_tbl))
+    m = np.asarray(emb_tbl["embedding"].to_pylist(), dtype=np.float64)
+    q = np.floor(m * 1e6 + 0.5).astype(object)   # unbounded ints
+    n = m.shape[0]
+    assert out["dim"].to_pylist() == list(range(1, m.shape[1] + 1))
+    assert out["n"].to_pylist() == [n] * m.shape[1]
+    for j, (mean, var) in enumerate(zip(out["mean_e6"].to_pylist(),
+                                        out["var_e12"].to_pylist())):
+        s = int(sum(q[:, j]))
+        s2 = int(sum(v * v for v in q[:, j]))
+        exp_mean = abs(s) // n * (1 if s >= 0 else -1)
+        assert mean == exp_mean
+        assert var == (n * s2 - s * s) // (n * n)
+
+
+def test_q6_and_wavg_and_running_bruteforce():
+    import duckdb
+    import pandas as pd
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import (
+        q6_revenue, running_revenue, weighted_avg_price)
+    li_path = os.path.join(SF_DIR, "lineitem.parquet")
+    ord_path = os.path.join(SF_DIR, "orders.parquet")
+    con = duckdb.connect()
+
+    lo = pd.Timestamp("1996-01-01").value // 1000
+    hi = pd.Timestamp("1998-01-01").value // 1000
+    got = q6_revenue(ray.data.read_parquet(li_path),
+                     date_lo_us=lo, date_hi_us=hi)
+    exp = con.execute(f"""
+        SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+                 * CAST(floor(l_discount*100+0.5) AS BIGINT)), 0) AS BIGINT),
+               count(*) FROM '{li_path}'
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND CAST(floor(l_discount*100+0.5) AS BIGINT) BETWEEN 5 AND 7
+          AND l_quantity < 24""").fetchone()
+    assert (got["revenue_e4"][0].as_py(), got["n_rows"][0].as_py()) \
+        == (exp[0], exp[1])
+
+    got = weighted_avg_price(ray.data.read_parquet(li_path)).take_all()
+    exp = con.execute(f"""
+        WITH t AS (SELECT l_returnflag,
+                     CAST(floor(l_extendedprice*100+0.5) AS BIGINT) pe2,
+                     CAST(floor(l_quantity*100+0.5) AS BIGINT) qe2
+                   FROM '{li_path}')
+        SELECT l_returnflag, count(*),
+               CAST((10000 * CAST(sum(pe2*qe2) AS HUGEINT))
+                    // CAST(sum(qe2) AS HUGEINT) AS BIGINT)
+        FROM t GROUP BY 1 ORDER BY 1""").fetchall()
+    assert [(r["l_returnflag"], r["n"], r["wavg_e6"]) for r in got] \
+        == [tuple(r) for r in exp]
+
+    got = sorted(
+        ((r["o_custkey"], r["o_orderkey"], r["cum_price_e2"])
+         for r in running_revenue(
+             ray.data.read_parquet(ord_path)).take_all()))
+    exp = sorted(map(tuple, con.execute(f"""
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                 AS BIGINT)
+        FROM '{ord_path}'""").fetchall()))
+    assert got == exp
