@@ -918,6 +918,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["l_returnflag", "l_extendedprice", "l_quantity"])
         return relational.weighted_avg_price(li)
 
+    def split_by_group(sf_dir):
+        """Leakage-free 80/10/10 corpus split: whole sources assigned
+        to train/val/test by group-key hash; per-split group/doc/token
+        counts."""
+        from onestools_eventlog_ray.pipelines.mix import (
+            split_by_group as sbg)
+        return sbg(_documents_ds(sf_dir), DOCUMENTS_SPEC, by="source")
+
+    def outlier_events(sf_dir):
+        """Data-quality anomaly gate: per-type z>3 outliers via exact
+        integer second moments + a float comparison mirrored verbatim
+        by the oracle."""
+        import ray.data
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_id", "event_type",
+                                            "value"])
+        return relational.outlier_events(ev, z=3.0)
+
+    def drift_histogram(sf_dir):
+        """Distribution drift between click and view values: fixed-bin
+        histograms + per-bin share deltas, exact ints."""
+        import ray.data
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_type", "value"])
+        return relational.drift_histogram(ev, "click", "view")
+
+    def q5_region_revenue(sf_dir):
+        """TPC-H-Q5-shaped five-way join: same-nation customer/supplier
+        revenue per ASIA nation; pivoted co-group, exact e4."""
+        import pyarrow.parquet as pq
+        import ray.data
+        return relational.q5_region_revenue(
+            ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                  columns=["c_custkey", "c_nationkey"]),
+            ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                  columns=["o_orderkey", "o_custkey"]),
+            ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                                  columns=["l_orderkey", "l_suppkey",
+                                           "l_extendedprice",
+                                           "l_discount"]),
+            pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                          columns=["s_suppkey", "s_nationkey"]),
+            pq.read_table(os.path.join(sf_dir, "nation.parquet")),
+            pq.read_table(os.path.join(sf_dir, "region.parquet")),
+            region_name="ASIA")
+
+    def term_vectors_doc(sf_dir):
+        """ES _termvectors for the corpus' first doc: (term, tf, df)
+        from one pruned docstore fetch + dictionary probes."""
+        from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                            term_vectors)
+        from ray.data.aggregate import Min as RMin
+        src = _documents_ds(sf_dir).aggregate(RMin("doc_id"))["min(doc_id)"]
+        eng = SearchEngine(_ensure_index(sf_dir))
+        return term_vectors(eng, int(src), content_col="content")
+
     def mlt_search(sf_dir):
         """ES more_like_this: top-5 tf×idf terms of the corpus' first
         doc (idf from index stats, one shard-pruned df lookup) -> BM25
@@ -1666,6 +1722,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_revenue": q6_revenue,
         "running_revenue": running_revenue,
         "weighted_avg_price": weighted_avg_price,
+        "split_by_group": split_by_group,
+        "outlier_events": outlier_events,
+        "drift_histogram": drift_histogram,
+        "q5_region_revenue": q5_region_revenue,
+        "term_vectors_doc": term_vectors_doc,
     }
 
 
@@ -3520,4 +3581,81 @@ SELECT l_returnflag, n,
        CAST(CASE WHEN q = 0 THEN 0
                  ELSE (10000 * pq) // q END AS BIGINT) AS wavg_e6
 FROM g ORDER BY l_returnflag""",
+
+        "split_by_group": """
+WITH t AS (
+  SELECT source,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                         x -> x <> '')) AS nt
+  FROM documents),
+g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source),
+a AS (SELECT *, (md5_number_lower(source) >> 1) % 10 AS h FROM g),
+b AS (SELECT CASE WHEN h < 8 THEN 'train'
+                  WHEN h = 8 THEN 'val' ELSE 'test' END AS split,
+             n_docs, n_tokens FROM a)
+SELECT split, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM b GROUP BY split ORDER BY split""",
+
+        "outlier_events": """
+WITH e AS (SELECT event_id, event_type,
+                  CAST(floor(value * 1000 + 0.5) AS BIGINT) AS ve3
+           FROM events),
+st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(ve3) AS BIGINT) AS s,
+              CAST(sum(ve3 * ve3) AS BIGINT) AS s2
+       FROM e GROUP BY event_type)
+SELECT event_id, event_type, ve3 AS value_e3
+FROM e JOIN st USING (event_type)
+WHERE CAST(n * ve3 - s AS DOUBLE) * CAST(n * ve3 - s AS DOUBLE)
+      > 9.0 * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))""",
+
+        "drift_histogram": """
+WITH e AS (SELECT event_type,
+                  least(CAST(floor(value * 1000 + 0.5) AS BIGINT)
+                        // 40000, 9) AS bin
+           FROM events),
+bins AS (SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS bin),
+ga AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM e
+       WHERE event_type = 'click' GROUP BY bin),
+gb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM e
+       WHERE event_type = 'view' GROUP BY bin),
+j AS (SELECT bins.bin, coalesce(ga.n, 0) AS n_a, coalesce(gb.n, 0) AS n_b
+      FROM bins LEFT JOIN ga USING (bin) LEFT JOIN gb USING (bin)),
+tot AS (SELECT greatest(sum(n_a), 1) AS ta,
+               greatest(sum(n_b), 1) AS tb FROM j)
+SELECT bin, n_a, n_b,
+       CAST(n_a * 1000000 // (SELECT ta FROM tot) AS BIGINT) AS pa_e6,
+       CAST(n_b * 1000000 // (SELECT tb FROM tot) AS BIGINT) AS pb_e6,
+       CAST(abs(n_a * 1000000 // (SELECT ta FROM tot)
+                - n_b * 1000000 // (SELECT tb FROM tot)) AS BIGINT) AS d_e6
+FROM j ORDER BY bin""",
+
+        "q5_region_revenue": """
+WITH rev AS (
+  SELECT n.n_name,
+         CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+         * CAST(floor((1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS r
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region rg ON n.n_regionkey = rg.r_regionkey
+  WHERE c.c_nationkey = s.s_nationkey AND rg.r_name = 'ASIA')
+SELECT n_name, CAST(sum(r) AS BIGINT) AS revenue_e4
+FROM rev GROUP BY n_name ORDER BY revenue_e4 DESC, n_name""",
+
+        "term_vectors_doc": f"""
+WITH toks AS ({_TOKS}),
+src AS (SELECT min(doc_id) AS d FROM documents),
+tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM toks
+       WHERE doc_id = (SELECT d FROM src) GROUP BY term),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM toks WHERE term IN (SELECT term FROM tf) GROUP BY term)
+SELECT term, tf, df FROM tf JOIN df USING (term) ORDER BY term""",
     }

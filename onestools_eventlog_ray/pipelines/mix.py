@@ -200,3 +200,49 @@ def mix_weights(ds: ray.data.Dataset,
         "share_e6": pa.array(share, pa.int64()),
         "weight_e6": pa.array(weight, pa.int64()),
     })
+
+
+def split_by_group(ds: ray.data.Dataset,
+                   spec: CorpusSpec = DOCUMENTS_SPEC,
+                   by: str = "source") -> pa.Table:
+    """Leakage-free train/val/test split: every GROUP (source/domain)
+    lands wholly in one split, assigned by a deterministic hash of the
+    group key — ``(md5_lower64(key) >> 1) % 10`` -> 0-7 train, 8 val,
+    9 test (the 80/10/10 split a training pipeline cuts WITHOUT
+    letting near-identical in-domain docs straddle train and eval).
+    Same streaming per-group fold as :func:`mix_weights`; the split
+    assignment happens on the tiny group table.
+    -> (split, n_groups, n_docs, n_tokens) by split name."""
+    from ray.data.aggregate import Sum as RSum
+    from onestools_eventlog_ray.functions.fasthash import md5_lower64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_tok = _n_tokens(batch[spec.content_col])
+        g = pa.table({by: batch[by],
+                      "nt": pa.array(n_tok, pa.int64())}) \
+            .group_by(by).aggregate([("nt", "sum"), ([], "count_all")])
+        return pa.table({by: g[by],
+                         "n_docs_p": g["count_all"].cast(pa.int64()),
+                         "n_tokens_p": g["nt_sum"].cast(pa.int64())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(by).aggregate(RSum("n_docs_p", alias_name="n_docs"),
+                               RSum("n_tokens_p", alias_name="n_tokens")) \
+        .take_all()
+    keys = pa.array([r[by] for r in rows], pa.string())
+    h10 = ((md5_lower64(keys) >> np.uint64(1))
+           % np.uint64(10)).astype(np.int64)
+    split = np.where(h10 < 8, "train", np.where(h10 == 8, "val", "test"))
+    out: dict[str, list[int]] = {}
+    for i, r in enumerate(rows):
+        acc = out.setdefault(str(split[i]), [0, 0, 0])
+        acc[0] += 1
+        acc[1] += int(r["n_docs"])
+        acc[2] += int(r["n_tokens"])
+    names = sorted(out)
+    return pa.table({
+        "split": pa.array(names, pa.string()),
+        "n_groups": pa.array([out[s][0] for s in names], pa.int64()),
+        "n_docs": pa.array([out[s][1] for s in names], pa.int64()),
+        "n_tokens": pa.array([out[s][2] for s in names], pa.int64()),
+    })

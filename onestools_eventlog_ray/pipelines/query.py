@@ -1289,3 +1289,30 @@ def search_rescore(eng: SearchEngine, terms: list[str],
     sc = np.asarray([s for _, s in combined], dtype=np.float64)
     idx = topk_order(sc, ids, k)
     return [(int(ids[i]), float(sc[i])) for i in idx]
+
+
+def term_vectors(eng: SearchEngine, doc_id: int,
+                 content_col: str = "content") -> pa.Table:
+    """ES ``_termvectors``: the per-term statistics of ONE stored
+    document — (term, tf, df), term-sorted.  tf comes from re-analyzing
+    the stored content (the same analyzer as indexing, exactly how ES
+    computes term vectors on the fly); df from the shard-pruned term
+    dictionary lookups.  Cost: one range-pruned docstore fetch (only
+    ``content_col``) + one posting-dictionary probe per distinct term."""
+    from onestools_eventlog_ray.functions.analyzer import tokenize_py
+    tbl = eng.fetch_docs([doc_id], columns=["doc_id", content_col])
+    if not tbl.num_rows or content_col not in tbl.column_names:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64()),
+                         "df": pa.array([], pa.int64())})
+    toks = tokenize_py(tbl[content_col][0].as_py())
+    terms, tf = np.unique(np.asarray(toks, dtype=object),
+                          return_counts=True)
+    loaded = eng.load_terms([str(t) for t in terms])
+    df = np.asarray([loaded[str(t)][0] if str(t) in loaded else 0
+                     for t in terms], dtype=np.int64)
+    return pa.table({
+        "term": pa.array(terms.tolist(), pa.string()),
+        "tf": pa.array(tf.astype(np.int64), pa.int64()),
+        "df": pa.array(df, pa.int64()),
+    })

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
@@ -1312,3 +1313,243 @@ def weighted_avg_price(lineitem: ray.data.Dataset) -> ray.data.Dataset:
     # the final sort avoids empty-partition schema warnings
     return folded.map_batches(finish, batch_format="pyarrow") \
         .repartition(1).sort("l_returnflag")
+
+
+def q5_region_revenue(customer: ray.data.Dataset, orders: ray.data.Dataset,
+                      lineitem: ray.data.Dataset, supplier: pa.Table,
+                      nation: pa.Table, region: pa.Table,
+                      region_name: str = "ASIA") -> pa.Table:
+    """TPC-H-Q5-shaped five-way join: revenue per nation from lineitems
+    whose SUPPLIER sits in the same nation as the ordering CUSTOMER,
+    customers restricted to one region.  Join plan (the multi-join
+    toolbox in one pipeline):
+
+    - region x nation x supplier are broadcast lookups (tiny dims);
+      the customer->nationkey map is broadcast too (documented
+      small-side assumption — at 10^9 customers swap for a key-salted
+      co-group, downstream shape unchanged);
+    - orders stream -> (orderkey, c_nat) rows for in-region customers;
+      lineitem stream -> per-(orderkey) revenue partials PIVOTED into
+      one column per nation (25 fixed TPC-H nations), so the
+      same-nation match after the single orderkey shuffle is a
+      vectorized column-take, never a per-group Python loop;
+    - one tagged-union ``groupby(orderkey)`` co-group, then a tiny
+      per-nation fold.
+
+    Revenue is exact e4: ``floor(price*100+.5) * floor((1-disc)*100+.5)``.
+    -> (n_name, revenue_e4) by (revenue desc, name asc)."""
+    import pyarrow.compute as pc
+    import ray
+
+    n_nat = nation.num_rows
+    rkeys = {r["r_regionkey"]: r["r_name"] for r in region.to_pylist()}
+    nat_name = {int(r["n_nationkey"]): r["n_name"]
+                for r in nation.to_pylist()}
+    in_region = {int(r["n_nationkey"]) for r in nation.to_pylist()
+                 if rkeys[r["n_regionkey"]] == region_name}
+    supp_nat = np.full(
+        int(max(r["s_suppkey"] for r in supplier.to_pylist())) + 1, -1,
+        dtype=np.int64)
+    for r in supplier.to_pylist():
+        supp_nat[int(r["s_suppkey"])] = int(r["s_nationkey"])
+
+    cust_nat: dict[int, int] = {}
+    for b in customer.select_columns(["c_custkey", "c_nationkey"]) \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.isin(nk, np.asarray(sorted(in_region), dtype=np.int64))
+        cust_nat.update(zip(ck[m].tolist(), nk[m].tolist()))
+    cust_keys = np.asarray(sorted(cust_nat), dtype=np.int64)
+    cust_vals = np.asarray([cust_nat[k] for k in cust_keys], dtype=np.int64)
+    cref = ray.put((cust_keys, cust_vals))
+    sref = ray.put(supp_nat)
+
+    rev_cols = [f"rev_{j}" for j in range(n_nat)]
+
+    def proj_orders(batch: pa.Table) -> pa.Table:
+        keys, vals = ray.get(cref)
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ckey = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if keys.size:
+            pos = np.searchsorted(keys, ckey)
+            pos[pos >= keys.size] = 0
+            m = keys[pos] == ckey
+        else:
+            pos = np.zeros(ckey.size, dtype=np.int64)
+            m = np.zeros(ckey.size, dtype=bool)
+        cols = {"key": pa.array(okey[m], pa.int64()),
+                "c_nat": pa.array(vals[pos[m]], pa.int64())}
+        for c in rev_cols:
+            cols[c] = pa.array(np.zeros(int(m.sum()), np.int64), pa.int64())
+        return pa.table(cols)
+
+    def proj_line(batch: pa.Table) -> pa.Table:
+        snat = ray.get(sref)
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        skey = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        rev = (np.floor(price * 100 + 0.5).astype(np.int64)
+               * np.floor((1.0 - disc) * 100 + 0.5).astype(np.int64))
+        sn = snat[skey]
+        keys, inv = np.unique(okey, return_inverse=True)
+        pivot = np.zeros((keys.size, n_nat), dtype=np.int64)
+        np.add.at(pivot, (inv, sn), rev)
+        cols = {"key": pa.array(keys, pa.int64()),
+                "c_nat": pa.nulls(keys.size, pa.int64())}
+        for j, c in enumerate(rev_cols):
+            cols[c] = pa.array(pivot[:, j], pa.int64())
+        return pa.table(cols)
+
+    tagged = orders.map_batches(proj_orders, batch_format="pyarrow") \
+        .union(lineitem.map_batches(proj_line, batch_format="pyarrow"))
+    agg = tagged.groupby("key").aggregate(
+        Max("c_nat", alias_name="c_nat"),
+        *[Sum(c, alias_name=c) for c in rev_cols])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        m = pc.is_valid(batch["c_nat"])
+        t = batch.filter(m)
+        if not t.num_rows:
+            return pa.table({"c_nat": pa.array([], pa.int64()),
+                             "rev_p": pa.array([], pa.int64())})
+        cn = t["c_nat"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pivot = np.stack([t[c].to_numpy(zero_copy_only=False)
+                          .astype(np.int64) for c in rev_cols], axis=1)
+        rev = pivot[np.arange(cn.size), cn]       # same-nation match
+        keys, inv = np.unique(cn, return_inverse=True)
+        part = np.zeros(keys.size, dtype=np.int64)
+        np.add.at(part, inv, rev)
+        nz = part > 0
+        return pa.table({"c_nat": pa.array(keys[nz], pa.int64()),
+                         "rev_p": pa.array(part[nz], pa.int64())})
+
+    parts = agg.map_batches(finish, batch_format="pyarrow").take_all()
+    acc: dict[int, int] = {}
+    for r in parts:
+        acc[int(r["c_nat"])] = acc.get(int(r["c_nat"]), 0) + int(r["rev_p"])
+    rows = sorted(((nat_name[k], v) for k, v in acc.items()),
+                  key=lambda x: (-x[1], x[0]))
+    return pa.table({
+        "n_name": pa.array([r[0] for r in rows], pa.string()),
+        "revenue_e4": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
+def outlier_events(events: ray.data.Dataset,
+                   z: float = 3.0) -> ray.data.Dataset:
+    """Per-type z-score outliers (the anomaly gate of a data-quality
+    pipeline): events whose value is more than ``z`` population
+    standard deviations from their type's mean.  Two streaming passes:
+    exact integer (n, sum, sumsq) per type over e3-quantized values ->
+    tiny broadcast -> vectorized flag.  The comparison squares both
+    sides — ``(n*v - s)^2 > z^2 * (n*s2 - s*s)`` — with the float ops
+    mirrored EXACTLY by the SQL oracle (each side is a single product
+    of exactly-cast integers, no summation-order hazard).
+    -> (event_id, event_type, value_e3)."""
+    import ray
+    from ray.data.aggregate import Sum as RSum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ve3 = np.floor(v * 1000 + 0.5).astype(np.int64)
+        g = pa.table({"event_type": batch["event_type"],
+                      "s": pa.array(ve3, pa.int64()),
+                      "s2": pa.array(ve3 * ve3, pa.int64())}) \
+            .group_by("event_type") \
+            .aggregate([("s", "sum"), ("s2", "sum"), ([], "count_all")])
+        return pa.table({"event_type": g["event_type"],
+                         "n_p": g["count_all"].cast(pa.int64()),
+                         "s_p": g["s_sum"].cast(pa.int64()),
+                         "s2_p": g["s2_sum"].cast(pa.int64())})
+
+    stats = events.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(RSum("n_p", alias_name="n"),
+                   RSum("s_p", alias_name="s"),
+                   RSum("s2_p", alias_name="s2")).take_all()
+    smap = {r["event_type"]: (int(r["n"]), int(r["s"]), int(r["s2"]))
+            for r in stats}
+    sref = ray.put(smap)
+    z2 = float(z) * float(z)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        sm = ray.get(sref)
+        types = sorted(sm)
+        n_t = np.asarray([sm[t][0] for t in types], dtype=np.int64)
+        s_t = np.asarray([sm[t][1] for t in types], dtype=np.int64)
+        s2_t = np.asarray([sm[t][2] for t in types], dtype=np.int64)
+        idx = pc.index_in(batch["event_type"],
+                          value_set=pa.array(types, pa.string())) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["value"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ve3 = np.floor(v * 1000 + 0.5).astype(np.int64)
+        n, s, s2 = n_t[idx], s_t[idx], s2_t[idx]
+        a = (n * ve3 - s).astype(np.float64)
+        rhs = z2 * (n.astype(np.float64) * s2.astype(np.float64)
+                    - s.astype(np.float64) * s.astype(np.float64))
+        keep = pa.array(a * a > rhs)
+        return pa.table({
+            "event_id": batch["event_id"].filter(keep),
+            "event_type": batch["event_type"].filter(keep),
+            "value_e3": pa.array(ve3[keep.to_numpy(
+                zero_copy_only=False)], pa.int64()),
+        })
+
+    return events.map_batches(flag, batch_format="pyarrow")
+
+
+def drift_histogram(events: ray.data.Dataset, type_a: str = "click",
+                    type_b: str = "view", bin_width_e3: int = 40_000,
+                    n_bins: int = 10) -> pa.Table:
+    """Distribution-drift report between two event types: fixed-width
+    value histograms side by side with per-bin share deltas (the L1 /
+    total-variation drift check run between data snapshots).  One
+    streaming pass of fixed-size integer partials; everything exact
+    ints (shares are ``count*1e6 // total``).
+    -> (bin, n_a, n_b, pa_e6, pb_e6, d_e6), all ``n_bins`` rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        v = batch["value"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ve3 = np.floor(v * 1000 + 0.5).astype(np.int64)
+        bins = np.minimum(ve3 // bin_width_e3, n_bins - 1)
+        out = {}
+        for name, t in (("a", type_a), ("b", type_b)):
+            m = pc.equal(et, t).to_numpy(zero_copy_only=False)
+            out[f"n_{name}"] = np.bincount(bins[m], minlength=n_bins) \
+                .astype(np.int64)
+        return pa.table({
+            "bin": pa.array(np.arange(n_bins), pa.int64()),
+            "na_p": pa.array(out["n_a"], pa.int64()),
+            "nb_p": pa.array(out["n_b"], pa.int64()),
+        })
+
+    rows = events.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bin").aggregate(Sum("na_p", alias_name="n_a"),
+                                  Sum("nb_p", alias_name="n_b")) \
+        .take_all()
+    rows.sort(key=lambda r: r["bin"])
+    na = np.asarray([r["n_a"] for r in rows], dtype=np.int64)
+    nb = np.asarray([r["n_b"] for r in rows], dtype=np.int64)
+    ta, tb = max(int(na.sum()), 1), max(int(nb.sum()), 1)
+    pa_ = na * 1_000_000 // ta
+    pb_ = nb * 1_000_000 // tb
+    return pa.table({
+        "bin": pa.array(np.arange(n_bins), pa.int64()),
+        "n_a": pa.array(na, pa.int64()),
+        "n_b": pa.array(nb, pa.int64()),
+        "pa_e6": pa.array(pa_, pa.int64()),
+        "pb_e6": pa.array(pb_, pa.int64()),
+        "d_e6": pa.array(np.abs(pa_ - pb_), pa.int64()),
+    })

@@ -238,3 +238,125 @@ def test_q6_and_wavg_and_running_bruteforce():
                  AS BIGINT)
         FROM '{ord_path}'""").fetchall()))
     assert got == exp
+
+
+def test_split_by_group_bruteforce(docs_tbl):
+    import ray.data
+    from onestools_eventlog_ray.functions.fasthash import md5_lower64_one
+    from onestools_eventlog_ray.pipelines.mix import split_by_group
+    out = split_by_group(ray.data.from_arrow(docs_tbl), by="source")
+    per = {}
+    for s, t in zip(docs_tbl["source"].to_pylist(),
+                    docs_tbl["text"].to_pylist()):
+        d = per.setdefault(s, [0, 0])
+        d[0] += 1
+        d[1] += len(_tok(t))
+    exp = {}
+    for s, (nd, nt) in per.items():
+        h = (md5_lower64_one(s) >> 1) % 10
+        sp = "train" if h < 8 else "val" if h == 8 else "test"
+        e = exp.setdefault(sp, [0, 0, 0])
+        e[0] += 1
+        e[1] += nd
+        e[2] += nt
+    got = {r["split"]: (r["n_groups"], r["n_docs"], r["n_tokens"])
+           for r in out.to_pylist()}
+    assert got == {k: tuple(v) for k, v in exp.items()}
+    # leakage check: a group never straddles splits (functional by
+    # construction, assert the split count is sane)
+    assert sum(v[0] for v in exp.values()) == len(per)
+
+
+def test_outlier_events_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import outlier_events
+    tbl = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
+    got = {(r["event_id"], r["value_e3"]) for r in outlier_events(
+        ray.data.from_arrow(tbl)).take_all()}
+    by_t = {}
+    for t, v in zip(tbl["event_type"].to_pylist(),
+                    tbl["value"].to_pylist()):
+        by_t.setdefault(t, []).append(int(np.floor(v * 1000 + 0.5)))
+    exp = set()
+    for eid, t, v in zip(tbl["event_id"].to_pylist(),
+                         tbl["event_type"].to_pylist(),
+                         tbl["value"].to_pylist()):
+        vals = by_t[t]
+        n, s, s2 = len(vals), sum(vals), sum(x * x for x in vals)
+        ve3 = int(np.floor(v * 1000 + 0.5))
+        a = float(n * ve3 - s)
+        rhs = 9.0 * (float(n) * float(s2) - float(s) * float(s))
+        if a * a > rhs:
+            exp.add((eid, ve3))
+    assert got == exp and got
+
+
+def test_drift_histogram_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import drift_histogram
+    tbl = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
+    out = drift_histogram(ray.data.from_arrow(tbl), "click", "view")
+    na, nb = Counter(), Counter()
+    for t, v in zip(tbl["event_type"].to_pylist(),
+                    tbl["value"].to_pylist()):
+        b = min(int(np.floor(v * 1000 + 0.5)) // 40_000, 9)
+        if t == "click":
+            na[b] += 1
+        elif t == "view":
+            nb[b] += 1
+    ta, tb = sum(na.values()), sum(nb.values())
+    assert out["bin"].to_pylist() == list(range(10))
+    for r in out.to_pylist():
+        b = r["bin"]
+        assert (r["n_a"], r["n_b"]) == (na[b], nb[b])
+        assert r["pa_e6"] == na[b] * 10**6 // ta
+        assert r["pb_e6"] == nb[b] * 10**6 // tb
+        assert r["d_e6"] == abs(r["pa_e6"] - r["pb_e6"])
+
+
+def test_q5_bruteforce():
+    import duckdb
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import q5_region_revenue
+    got = q5_region_revenue(
+        ray.data.read_parquet(os.path.join(SF_DIR, "customer.parquet")),
+        ray.data.read_parquet(os.path.join(SF_DIR, "orders.parquet")),
+        ray.data.read_parquet(os.path.join(SF_DIR, "lineitem.parquet")),
+        pq.read_table(os.path.join(SF_DIR, "supplier.parquet")),
+        pq.read_table(os.path.join(SF_DIR, "nation.parquet")),
+        pq.read_table(os.path.join(SF_DIR, "region.parquet")),
+        region_name="EUROPE")
+    exp = duckdb.connect().execute(f"""
+        WITH rev AS (
+          SELECT n.n_name,
+                 CAST(floor(l.l_extendedprice*100+0.5) AS BIGINT)
+                 * CAST(floor((1-l.l_discount)*100+0.5) AS BIGINT) AS r
+          FROM '{SF_DIR}/customer.parquet' c
+          JOIN '{SF_DIR}/orders.parquet' o ON c_custkey = o_custkey
+          JOIN '{SF_DIR}/lineitem.parquet' l ON o_orderkey = l_orderkey
+          JOIN '{SF_DIR}/supplier.parquet' s ON l_suppkey = s_suppkey
+          JOIN '{SF_DIR}/nation.parquet' n ON c_nationkey = n_nationkey
+          JOIN '{SF_DIR}/region.parquet' rg ON n_regionkey = r_regionkey
+          WHERE c_nationkey = s_nationkey AND rg.r_name = 'EUROPE')
+        SELECT n_name, CAST(sum(r) AS BIGINT) FROM rev
+        GROUP BY n_name ORDER BY 2 DESC, 1""").fetchall()
+    assert [(r["n_name"], r["revenue_e4"]) for r in got.to_pylist()] \
+        == [tuple(r) for r in exp]
+
+
+def test_term_vectors_bruteforce(g_index, small_corpus):
+    from onestools_eventlog_ray.functions.hashing import doc_id_from_keys
+    from onestools_eventlog_ray.pipelines.query import term_vectors
+    eng = SearchEngine(g_index)
+    ids = doc_id_from_keys(small_corpus["repo"], small_corpus["path"],
+                           small_corpus["commit"]).to_pylist()
+    i = ids.index(min(ids))
+    out = term_vectors(eng, ids[i], content_col="content")
+    toks = _tok(small_corpus["content"][i].as_py())
+    tf = Counter(toks)
+    df = Counter()
+    for c in small_corpus["content"].to_pylist():
+        df.update(set(_tok(c)))
+    assert out["term"].to_pylist() == sorted(tf)
+    for r in out.to_pylist():
+        assert (r["tf"], r["df"]) == (tf[r["term"]], df[r["term"]])
