@@ -974,6 +974,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         eng = SearchEngine(_ensure_index(sf_dir))
         return term_vectors(eng, int(src), content_col="content")
 
+    def contamination_matrix(sf_dir):
+        """Cross-domain leakage matrix: distinct 3-shingles shared per
+        source pair via globally-deduped (shingle, group) rows folded to
+        per-shingle presence bitmasks — nothing corpus-sized anywhere."""
+        return dedup.contamination_matrix(_documents_ds(sf_dir),
+                                          DOCUMENTS_SPEC, by="source",
+                                          k=3, top=15)
+
+    def oov_stats(sf_dir):
+        """Tokenizer-vocab coverage: per-lang OOV rate against the
+        top-10-by-cf vocabulary (deterministic tokenizer stand-in)."""
+        return text.oov_stats(_documents_ds(sf_dir), DOCUMENTS_SPEC,
+                              vocab_size=10, by="lang")
+
+    def percentile_ranks(sf_dir):
+        """ES percentile_ranks agg: per-type share of events <= each
+        probe value, exact integer partials."""
+        import ray.data
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_type", "value"])
+        return relational.percentile_ranks(ev)
+
     def mlt_search(sf_dir):
         """ES more_like_this: top-5 tf×idf terms of the corpus' first
         doc (idf from index stats, one shard-pruned df lookup) -> BM25
@@ -1727,6 +1749,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_histogram": drift_histogram,
         "q5_region_revenue": q5_region_revenue,
         "term_vectors_doc": term_vectors_doc,
+        "contamination_matrix": contamination_matrix,
+        "oov_stats": oov_stats,
+        "percentile_ranks": percentile_ranks,
     }
 
 
@@ -3658,4 +3683,54 @@ tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM toks
 df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
        FROM toks WHERE term IN (SELECT term FROM tf) GROUP BY term)
 SELECT term, tf, df FROM tf JOIN df USING (term) ORDER BY term""",
+
+        "contamination_matrix": """
+WITH tok AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+shl AS (
+  SELECT source,
+         CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(t) < 3 THEN [array_to_string(t, chr(31))]
+              ELSE [t[i] || chr(31) || t[i+1] || chr(31) || t[i+2]
+                    for i in range(1, len(t) - 1)]
+         END AS shs
+  FROM tok),
+sh AS (SELECT DISTINCT source, h FROM
+        (SELECT source, md5_number_lower(unnest(shs)) >> 1 AS h FROM shl)),
+p AS (SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS n
+      FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+      GROUP BY sa, sb)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, sa, sb) AS BIGINT) AS rank,
+       sa AS group_a, sb AS group_b, n AS n_shared
+FROM p WHERE n > 0 ORDER BY n DESC, sa, sb LIMIT 15""",
+
+        "oov_stats": f"""
+WITH toks AS ({_TOKS}),
+cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term),
+v AS (SELECT term FROM cf ORDER BY cf DESC, term ASC LIMIT 10),
+j AS (SELECT d.lang AS lang, t.term FROM toks t
+      JOIN documents d USING (doc_id)),
+g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(*) FILTER (term NOT IN (SELECT term FROM v))
+                  AS BIGINT) AS n_oov
+      FROM j GROUP BY lang)
+SELECT lang, n_tokens, n_oov,
+       CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_e6
+FROM g ORDER BY lang""",
+
+        "percentile_ranks": """
+WITH e AS (SELECT event_type,
+                  CAST(floor(value * 1000 + 0.5) AS BIGINT) AS ve3
+           FROM events),
+p AS (SELECT unnest([50000, 100000, 200000]) AS pv),
+g AS (SELECT event_type, pv,
+             CAST(count(*) FILTER (ve3 <= pv) AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e CROSS JOIN p GROUP BY event_type, pv)
+SELECT event_type, CAST(pv AS BIGINT) AS value_e3,
+       CAST(c * 1000000 // n AS BIGINT) AS rank_e6
+FROM g ORDER BY event_type, value_e3""",
     }

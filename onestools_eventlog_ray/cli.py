@@ -123,6 +123,17 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("--doc-ids", required=True,
                     help="comma-separated doc_ids")
 
+    sn = sub.add_parser("snapshot",
+                        help="snapshot a complete index (ES _snapshot; "
+                             "hardlinks when same-fs, marker-gated)")
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--out", required=True, help="snapshot dir")
+
+    rs = sub.add_parser("restore",
+                        help="restore a snapshot and validate layout")
+    rs.add_argument("--snapshot", required=True)
+    rs.add_argument("--out", required=True, help="restored index dir")
+
     args = p.parse_args(argv)
 
     if args.cmd == "stats":
@@ -148,6 +159,16 @@ def main(argv: list[str] | None = None) -> int:
             hits = fn(terms, args.k)
         for rank, (doc_id, score) in enumerate(hits, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": score}))
+        return 0
+
+    if args.cmd == "snapshot":
+        from onestools_eventlog_ray.state.snapshot import snapshot_index
+        print(json.dumps(snapshot_index(args.index, args.out)))
+        return 0
+
+    if args.cmd == "restore":
+        from onestools_eventlog_ray.state.snapshot import restore_index
+        print(json.dumps(restore_index(args.snapshot, args.out)))
         return 0
 
     if args.cmd == "delete":

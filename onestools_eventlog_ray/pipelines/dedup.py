@@ -917,3 +917,93 @@ def duplicate_ngrams(ds: ray.data.Dataset,
         "n_docs": pa.array(nd[order] if len(order) else [], pa.int64()),
         "n_occ": pa.array(no[order] if len(order) else [], pa.int64()),
     })
+
+
+def contamination_matrix(ds: ray.data.Dataset,
+                         spec: CorpusSpec = DOCUMENTS_SPEC,
+                         by: str = "source", k: int = 3,
+                         top: int = 15) -> pa.Table:
+    """Cross-domain leakage matrix: for every pair of ``by`` groups
+    (sources/domains), how many DISTINCT k-token shingles the two share
+    — the report that catches eval material duplicated into a training
+    domain or two crawls overlapping.  Groups are assumed few (domains,
+    not documents — <= 62 here, one bit each); shingle space is
+    corpus-sized.
+
+    Exact distributed shape, nothing corpus-sized on the driver:
+      1. per-batch DISTINCT (shingle-hash, group) pairs;
+      2. ``groupby(h, grp)`` makes them GLOBALLY distinct (narrow rows);
+      3. per-batch fold to (h, OR-mask partial) via ``1 << grp`` sums —
+         exact because step 2 guarantees each (h, grp) contributes once;
+      4. ``groupby(h).sum`` -> one presence bitmask per shingle;
+      5. per-batch pair-count partials (a loop over group PAIRS with
+         vectorized mask tests inside — 62 groups = 1.9k pairs max),
+         tiny driver fold.
+    -> (rank, group_a, group_b, n_shared) by (n desc, a, b), top rows."""
+    from ray.data.aggregate import Sum as RSum
+
+    groups = sorted(set(
+        v for b in ds.select_columns([by])
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+        for v in b[by].to_pylist()))
+    if len(groups) > 62:
+        raise ValueError("contamination_matrix: > 62 groups; aggregate "
+                         "domains first (one bit per group)")
+    gid = {g: i for i, g in enumerate(groups)}
+
+    def pairs_distinct(batch: pa.Table) -> pa.Table:
+        toks = tokenize_array(batch[spec.content_col])
+        sh, parent = _shingle_rows(toks, k)
+        if not len(sh):
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "grp": pa.array([], pa.int64())})
+        h = (md5_lower64(sh) >> np.uint64(1)).astype(np.int64)
+        g = np.asarray([gid[v] for v in batch[by].to_pylist()],
+                       dtype=np.int64)[parent]
+        u = np.unique(np.stack([h, g], axis=1), axis=0)
+        return pa.table({"h": pa.array(u[:, 0], pa.int64()),
+                         "grp": pa.array(u[:, 1], pa.int64())})
+
+    uniq = ds.map_batches(pairs_distinct, batch_format="pyarrow") \
+        .groupby(["h", "grp"]).aggregate(Count(alias_name="c"))
+
+    def mask_partial(batch: pa.Table) -> pa.Table:
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        g = batch["grp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"h": pa.array(h, pa.int64()),
+                      "m": pa.array(np.int64(1) << g, pa.int64())}) \
+            .group_by("h").aggregate([("m", "sum")])
+        return pa.table({"h": t["h"], "m_p": t["m_sum"].cast(pa.int64())})
+
+    masks = uniq.map_batches(mask_partial, batch_format="pyarrow") \
+        .groupby("h").aggregate(RSum("m_p", alias_name="mask"))
+
+    n_g = len(groups)
+    pair_list = [(a, b) for a in range(n_g) for b in range(a + 1, n_g)]
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        m = batch["mask"].to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.asarray(
+            [int((((m >> a) & 1) & ((m >> b) & 1)).sum())
+             for a, b in pair_list], dtype=np.int64)
+        return pa.table({
+            "pair": pa.array(np.arange(len(pair_list)), pa.int64()),
+            "n_p": pa.array(counts, pa.int64()),
+        })
+
+    parts = masks.map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby("pair").aggregate(RSum("n_p", alias_name="n")).take_all()
+    acc = np.zeros(len(pair_list), dtype=np.int64)
+    for r in parts:
+        acc[int(r["pair"])] = int(r["n"])
+    order = sorted(range(len(pair_list)),
+                   key=lambda i: (-acc[i], pair_list[i]))
+    order = [i for i in order if acc[i] > 0][:top]
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        "group_a": pa.array([groups[pair_list[i][0]] for i in order],
+                            pa.string()),
+        "group_b": pa.array([groups[pair_list[i][1]] for i in order],
+                            pa.string()),
+        "n_shared": pa.array(acc[order], pa.int64()),
+    })

@@ -1553,3 +1553,53 @@ def drift_histogram(events: ray.data.Dataset, type_a: str = "click",
         "pb_e6": pa.array(pb_, pa.int64()),
         "d_e6": pa.array(np.abs(pa_ - pb_), pa.int64()),
     })
+
+
+def percentile_ranks(events: ray.data.Dataset,
+                     values_e3: tuple[int, ...] = (50_000, 100_000,
+                                                   200_000)) -> pa.Table:
+    """ES ``percentile_ranks`` aggregation: for each probe value, the
+    share of events (per type) with value <= probe.  One streaming pass
+    of fixed-width integer partials (types x probes counts), exact
+    floor shares.  -> (event_type, value_e3, rank_e6) by (type, value)."""
+    from ray.data.aggregate import Sum as RSum
+
+    probes = np.asarray(sorted(values_e3), dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ve3 = np.floor(v * 1000 + 0.5).astype(np.int64)
+        cols = {"event_type": batch["event_type"],
+                "one": pa.array(np.ones(ve3.size, np.int64), pa.int64())}
+        for j, p in enumerate(probes):
+            cols[f"le_{j}"] = pa.array((ve3 <= p).astype(np.int64),
+                                       pa.int64())
+        aggs = [("one", "sum")] + [(f"le_{j}", "sum")
+                                   for j in range(probes.size)]
+        t = pa.table(cols).group_by("event_type").aggregate(aggs)
+        out = {"event_type": t["event_type"],
+               "n_p": t["one_sum"].cast(pa.int64())}
+        for j in range(probes.size):
+            out[f"c{j}_p"] = t[f"le_{j}_sum"].cast(pa.int64())
+        return pa.table(out)
+
+    rows = events.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(RSum("n_p", alias_name="n"),
+                   *[RSum(f"c{j}_p", alias_name=f"c{j}")
+                     for j in range(probes.size)]) \
+        .take_all()
+    rows.sort(key=lambda r: r["event_type"])
+    out_t, out_v, out_r = [], [], []
+    for r in rows:
+        n = max(int(r["n"]), 1)
+        for j, p in enumerate(probes):
+            out_t.append(r["event_type"])
+            out_v.append(int(p))
+            out_r.append(int(r[f"c{j}"]) * 1_000_000 // n)
+    return pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "value_e3": pa.array(out_v, pa.int64()),
+        "rank_e6": pa.array(out_r, pa.int64()),
+    })

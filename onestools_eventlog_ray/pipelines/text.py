@@ -1079,3 +1079,61 @@ def top_terms_per_lang(ds: ray.data.Dataset,
 
     return folded.groupby("lang").map_groups(topk, batch_format="pyarrow") \
         .sort(["lang", "rank"])
+
+
+def oov_stats(ds: ray.data.Dataset,
+              spec: CorpusSpec = DOCUMENTS_SPEC,
+              vocab_size: int = 10,
+              by: str = "lang") -> pa.Table:
+    """Tokenizer-vocabulary coverage: fix the vocabulary to the top
+    ``vocab_size`` terms by collection frequency (ties cf desc, term
+    asc — the deterministic stand-in for a trained tokenizer's vocab),
+    then report per-``by``-group token counts, out-of-vocabulary token
+    counts and the OOV rate — the coverage check run before committing
+    a tokenizer to a corpus mix.
+
+    Two streaming passes: the :func:`term_stats` fold (vocabulary-sized
+    shuffle) -> tiny top-V cut -> ``ray.put`` broadcast -> per-batch
+    vectorized ``pc.is_in`` + Acero group partials -> group-count fold.
+    ``oov_e6 = n_oov * 1e6 // n_tokens``.
+    -> (by, n_tokens, n_oov, oov_e6) sorted by group."""
+    import ray
+    from ray.data.aggregate import Sum as RSum
+
+    ts = term_stats(ds, spec).take_all()
+    ts.sort(key=lambda r: (-int(r["cf"]), r["term"]))
+    vocab = pa.array([r["term"] for r in ts[:vocab_size]], pa.string())
+    vref = ray.put(vocab)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = ray.get(vref)
+        toks = tokenize_array(batch[spec.content_col])
+        flat = toks.flatten()
+        parents = pc.list_parent_indices(toks)
+        grp = batch[by]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        oov = pc.invert(pc.is_in(flat, value_set=v))
+        t = pa.table({
+            by: grp.take(parents),
+            "one": pa.array(np.ones(len(flat), np.int64), pa.int64()),
+            "oov": pa.array(oov.to_numpy(zero_copy_only=False)
+                            .astype(np.int64), pa.int64()),
+        }).group_by(by).aggregate([("one", "sum"), ("oov", "sum")])
+        return pa.table({by: t[by],
+                         "nt_p": t["one_sum"].cast(pa.int64()),
+                         "no_p": t["oov_sum"].cast(pa.int64())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(by).aggregate(RSum("nt_p", alias_name="n_tokens"),
+                               RSum("no_p", alias_name="n_oov")) \
+        .take_all()
+    rows.sort(key=lambda r: r[by])
+    nt = np.asarray([r["n_tokens"] for r in rows], dtype=np.int64)
+    no = np.asarray([r["n_oov"] for r in rows], dtype=np.int64)
+    return pa.table({
+        by: pa.array([r[by] for r in rows], pa.string()),
+        "n_tokens": pa.array(nt, pa.int64()),
+        "n_oov": pa.array(no, pa.int64()),
+        "oov_e6": pa.array(no * 1_000_000 // np.maximum(nt, 1), pa.int64()),
+    })

@@ -360,3 +360,107 @@ def test_term_vectors_bruteforce(g_index, small_corpus):
     assert out["term"].to_pylist() == sorted(tf)
     for r in out.to_pylist():
         assert (r["tf"], r["df"]) == (tf[r["term"]], df[r["term"]])
+
+
+def test_contamination_matrix_bruteforce(docs_tbl):
+    import ray.data
+    from onestools_eventlog_ray.pipelines.dedup import contamination_matrix
+    out = contamination_matrix(ray.data.from_arrow(docs_tbl),
+                               by="source", k=3, top=15)
+    sh_by_src = {}
+    for s, t in zip(docs_tbl["source"].to_pylist(),
+                    docs_tbl["text"].to_pylist()):
+        toks = _tok(t)
+        if not toks:
+            continue
+        grams = {"\x1f".join(toks[i:i + 3])
+                 for i in range(len(toks) - 2)} \
+            if len(toks) >= 3 else {"\x1f".join(toks)}
+        sh_by_src.setdefault(s, set()).update(grams)
+    srcs = sorted(sh_by_src)
+    exp = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            n = len(sh_by_src[a] & sh_by_src[b])
+            if n:
+                exp.append((a, b, n))
+    exp.sort(key=lambda x: (-x[2], x[0], x[1]))
+    got = list(zip(out["group_a"].to_pylist(), out["group_b"].to_pylist(),
+                   out["n_shared"].to_pylist()))
+    assert got == [(a, b, n) for a, b, n in exp[:15]]
+
+
+def test_oov_stats_bruteforce(docs_tbl):
+    import ray.data
+    from onestools_eventlog_ray.pipelines.text import oov_stats
+    out = oov_stats(ray.data.from_arrow(docs_tbl), vocab_size=10,
+                    by="lang")
+    cf = Counter()
+    for t in docs_tbl["text"].to_pylist():
+        cf.update(_tok(t))
+    vocab = {t for t, _ in sorted(cf.items(),
+                                  key=lambda x: (-x[1], x[0]))[:10]}
+    nt, no = Counter(), Counter()
+    for la, t in zip(docs_tbl["lang"].to_pylist(),
+                     docs_tbl["text"].to_pylist()):
+        toks = _tok(t)
+        nt[la] += len(toks)
+        no[la] += sum(1 for x in toks if x not in vocab)
+    assert out["lang"].to_pylist() == sorted(nt)
+    for r in out.to_pylist():
+        la = r["lang"]
+        assert (r["n_tokens"], r["n_oov"]) == (nt[la], no[la])
+        assert r["oov_e6"] == no[la] * 10**6 // max(nt[la], 1)
+    assert any(v > 0 for v in out["n_oov"].to_pylist())
+
+
+def test_percentile_ranks_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import percentile_ranks
+    tbl = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
+    out = percentile_ranks(ray.data.from_arrow(tbl))
+    by_t = {}
+    for t, v in zip(tbl["event_type"].to_pylist(),
+                    tbl["value"].to_pylist()):
+        by_t.setdefault(t, []).append(int(np.floor(v * 1000 + 0.5)))
+    exp = []
+    for t in sorted(by_t):
+        vals = by_t[t]
+        for p in (50_000, 100_000, 200_000):
+            c = sum(1 for x in vals if x <= p)
+            exp.append((t, p, c * 10**6 // len(vals)))
+    got = list(zip(out["event_type"].to_pylist(),
+                   out["value_e3"].to_pylist(),
+                   out["rank_e6"].to_pylist()))
+    assert got == exp
+
+
+def test_snapshot_restore(g_index, tmp_path):
+    from onestools_eventlog_ray.state.snapshot import (restore_index,
+                                                       snapshot_index)
+    snap = str(tmp_path / "snap")
+    dest = str(tmp_path / "restored")
+    info = snapshot_index(g_index, snap)
+    assert info["n_files"] > 0 and "shards" in info["subdirs"]
+    # idempotent: second call reads the marker, copies nothing new
+    assert snapshot_index(g_index, snap) == info
+    info2 = restore_index(snap, dest)
+    assert info2 == info
+    a = SearchEngine(g_index)
+    b = SearchEngine(dest)
+    for q in (["def", "import"], ["class"], ["nosuchterm"]):
+        assert a.search(q, 10) == b.search(q, 10)
+        assert a.search_wand(q, 10) == b.search_wand(q, 10)
+    # tombstones travel with the snapshot (g_index had delete_by_query)
+    assert (a.deleted == b.deleted).all()
+
+
+def test_restore_refuses_incomplete(g_index, tmp_path):
+    import shutil
+    from onestools_eventlog_ray.state.snapshot import (restore_index,
+                                                       snapshot_index)
+    snap = str(tmp_path / "snap2")
+    snapshot_index(g_index, snap)
+    os.unlink(os.path.join(snap, "_SNAPSHOT_DONE"))
+    with pytest.raises(FileNotFoundError):
+        restore_index(snap, str(tmp_path / "r2"))
