@@ -996,6 +996,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["event_type", "value"])
         return relational.percentile_ranks(ev)
 
+    def lineitem_matrix_stats(sf_dir):
+        """ES matrix_stats agg: exact n/mean/covariance for every pair
+        of lineitem measure fields — hi/lo-limb integer partials, one
+        #pairs-row shuffle."""
+        import ray.data
+        li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                                   columns=["l_quantity", "l_extendedprice",
+                                            "l_discount"])
+        return relational.matrix_stats(li)
+
+    def mad_value_by_type(sf_dir):
+        """ES median_absolute_deviation agg, exact (lower-median on the
+        quantized value histogram; shuffle bounded by the value range,
+        not the row count)."""
+        import ray.data
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_type", "value"])
+        return relational.mad_value_by_type(ev).sort("event_type")
+
+    def bm25_count(sf_dir):
+        """ES _count API: live-doc hit counts for the reference query
+        under OR ('any') and AND ('all') semantics — df-bounded posting
+        reads, no scoring."""
+        from onestools_eventlog_ray.pipelines.query import count_matches
+        return count_matches(_ensure_index(sf_dir), _BM25_TERMS)
+
+    def suggest_correction(sf_dir):
+        """ES term suggester: distance-1 dictionary corrections per
+        misspelled input, df-ranked top-3 (banded distributed shard
+        -dictionary scans)."""
+        from onestools_eventlog_ray.pipelines.query import suggest_terms
+        return suggest_terms(_ensure_index(sf_dir),
+                             ["past", "windoe", "vecto"], k=3)
+
     def mlt_search(sf_dir):
         """ES more_like_this: top-5 tf×idf terms of the corpus' first
         doc (idf from index stats, one shard-pruned df lookup) -> BM25
@@ -1752,6 +1786,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_matrix": contamination_matrix,
         "oov_stats": oov_stats,
         "percentile_ranks": percentile_ranks,
+        "lineitem_matrix_stats": lineitem_matrix_stats,
+        "mad_value_by_type": mad_value_by_type,
+        "bm25_count": bm25_count,
+        "suggest_correction": suggest_correction,
     }
 
 
@@ -3733,4 +3771,62 @@ g AS (SELECT event_type, pv,
 SELECT event_type, CAST(pv AS BIGINT) AS value_e3,
        CAST(c * 1000000 // n AS BIGINT) AS rank_e6
 FROM g ORDER BY event_type, value_e3""",
+
+        "lineitem_matrix_stats": """
+WITH v AS (SELECT CAST(l_quantity AS HUGEINT) AS q,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS p,
+                  CAST(floor(l_discount * 100 + 0.5) AS HUGEINT) AS d
+           FROM lineitem),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(q) AS sq, sum(p) AS sp, sum(d) AS sd,
+             sum(q*q) AS qq, sum(q*p) AS qp, sum(q*d) AS qd,
+             sum(p*p) AS pp, sum(p*d) AS pd, sum(d*d) AS dd
+      FROM v),
+r AS (
+  SELECT 'l_quantity' AS field_a, 'l_quantity' AS field_b,
+         n, sq AS sa, sq AS sb, qq AS dot FROM s
+  UNION ALL SELECT 'l_quantity', 'l_extendedprice', n, sq, sp, qp FROM s
+  UNION ALL SELECT 'l_quantity', 'l_discount', n, sq, sd, qd FROM s
+  UNION ALL SELECT 'l_extendedprice', 'l_extendedprice', n, sp, sp, pp FROM s
+  UNION ALL SELECT 'l_extendedprice', 'l_discount', n, sp, sd, pd FROM s
+  UNION ALL SELECT 'l_discount', 'l_discount', n, sd, sd, dd FROM s)
+SELECT field_a, field_b, CAST(n AS BIGINT) AS n,
+       CAST(sa * 1000000 // n AS BIGINT) AS mean_a_e6,
+       CAST(sb * 1000000 // n AS BIGINT) AS mean_b_e6,
+       CAST((n * dot - sa * sb) * 1000000 // (n * n) AS BIGINT) AS cov_e6
+FROM r ORDER BY field_a, field_b""",
+
+        "mad_value_by_type": """
+WITH e AS (SELECT event_type,
+                  CAST(floor(value * 1000 + 0.5) AS BIGINT) AS ve3
+           FROM events),
+m AS (SELECT event_type,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY ve3) AS med3
+      FROM e GROUP BY event_type)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(any_value(med3) AS BIGINT) AS median_e3,
+       CAST(percentile_disc(0.5)
+            WITHIN GROUP (ORDER BY abs(ve3 - med3)) AS BIGINT) AS mad_e3
+FROM e JOIN m USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type""",
+
+        "bm25_count": f"""
+WITH toks AS ({_TOKS}),
+m AS (SELECT doc_id, count(DISTINCT term) AS nt FROM toks
+      WHERE term IN ('spark', 'vector', 'window') GROUP BY doc_id)
+SELECT 'all' AS mode,
+       CAST(count(*) FILTER (nt = 3) AS BIGINT) AS n_docs FROM m
+UNION ALL SELECT 'any', CAST(count(*) AS BIGINT) FROM m
+ORDER BY mode""",
+
+        "suggest_correction": f"""
+WITH toks AS ({_TOKS}),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+c AS (SELECT i.input, term, df,
+             row_number() OVER (PARTITION BY i.input
+                                ORDER BY df DESC, term ASC) AS rk
+      FROM (SELECT unnest(['past', 'windoe', 'vecto']) AS input) i
+      JOIN dft ON levenshtein(term, i.input) = 1 AND term <> i.input)
+SELECT input, CAST(rk AS BIGINT) AS rank, term, CAST(df AS BIGINT) AS df
+FROM c WHERE rk <= 3 ORDER BY input, rank""",
     }

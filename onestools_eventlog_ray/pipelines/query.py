@@ -1316,3 +1316,64 @@ def term_vectors(eng: SearchEngine, doc_id: int,
         "tf": pa.array(tf.astype(np.int64), pa.int64()),
         "df": pa.array(df, pa.int64()),
     })
+
+
+def count_matches(index_dir: str, terms: list[str]) -> pa.Table:
+    """ES ``_count`` API: how many (live) documents match the query,
+    under both OR semantics (any term) and AND semantics (all terms) —
+    the hit-count a paging UI shows without fetching hits.
+
+    df-bounded: only the query terms' postings are decoded (shard-pruned
+    reads); the union / intersection runs on sorted id arrays.  No
+    scoring, no docstore access.  -> (mode, n_docs), modes 'all'/'any'."""
+    eng = SearchEngine(index_dir)
+    loaded = eng.load_terms(terms)
+    sets = []
+    for t in terms:
+        if t in loaded:
+            ids = codec.decode_posting(loaded[t][1]).doc_ids
+            if eng.deleted.size:
+                ids = ids[~np.isin(ids, eng.deleted)]
+            sets.append(ids)
+        else:
+            sets.append(np.empty(0, dtype=np.int64))
+    if sets:
+        n_any = int(np.unique(np.concatenate(sets)).size)
+        inter = sets[0]
+        for s in sets[1:]:
+            inter = inter[np.isin(inter, s)]
+        n_all = int(inter.size)
+    else:
+        n_any = n_all = 0
+    return pa.table({"mode": pa.array(["all", "any"], pa.string()),
+                     "n_docs": pa.array([n_all, n_any], pa.int64())})
+
+
+def suggest_terms(index_dir: str, inputs: list[str],
+                  k: int = 3) -> pa.Table:
+    """ES term suggester ("did you mean"): for each (assumed
+    misspelled) input, dictionary terms at Levenshtein distance EXACTLY
+    1, ranked by df desc then term asc, top ``k`` per input — the
+    reference's ES sink exposes the same suggester over its analyzed
+    fields.
+
+    Candidate mining is :func:`fuzzy_expand`'s distributed banded shard
+    -dictionary scan per input (posting blobs pruned at the read);
+    only the handful of verified candidates reaches the driver.
+    -> (input, rank, term, df) sorted by (input, rank)."""
+    out = {"input": [], "rank": [], "term": [], "df": []}
+    for q in inputs:
+        cand = [r for r in fuzzy_expand(index_dir, q).take_all()
+                if r["term"] != q]
+        cand.sort(key=lambda r: (-int(r["df"]), r["term"]))
+        for rk, r in enumerate(cand[:k], 1):
+            out["input"].append(q)
+            out["rank"].append(rk)
+            out["term"].append(r["term"])
+            out["df"].append(int(r["df"]))
+    return pa.table({
+        "input": pa.array(out["input"], pa.string()),
+        "rank": pa.array(out["rank"], pa.int64()),
+        "term": pa.array(out["term"], pa.string()),
+        "df": pa.array(out["df"], pa.int64()),
+    })

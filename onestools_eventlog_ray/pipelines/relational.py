@@ -1603,3 +1603,153 @@ def percentile_ranks(events: ray.data.Dataset,
         "value_e3": pa.array(out_v, pa.int64()),
         "rank_e6": pa.array(out_r, pa.int64()),
     })
+
+
+def _trunc_div(num: int, den: int) -> int:
+    """Integer division truncating toward zero — DuckDB's `//` on
+    integers (Python's `//` floors, which differs for negatives)."""
+    q = abs(num) // abs(den)
+    return -q if (num < 0) != (den < 0) else q
+
+
+#: (column, fixed-point scale) of the lineitem measure fields the
+#: covariance matrix runs over — e2 for the 2-decimal money columns.
+MATRIX_FIELDS = (("l_quantity", 1), ("l_extendedprice", 100),
+                 ("l_discount", 100))
+
+
+def matrix_stats(lineitem: ray.data.Dataset,
+                 fields=MATRIX_FIELDS) -> pa.Table:
+    """ES ``matrix_stats`` aggregation: exact n / mean / covariance for
+    every (unordered) pair of numeric fields, diagonal included (the
+    diagonal's covariance IS the variance).  One streaming pass of
+    per-batch integer partials; the only shuffle is a
+    #pairs-row groupby.
+
+    Exactness at any scale: per-element products fit int64 (price_e2
+    <= ~1.05e7, square <= ~1.1e14), but their SUM does not at 10^8+
+    rows — so each batch splits its dot product into (hi, lo) base-1e9
+    limbs that are folded independently (hi < 1.1e5/row, lo < 1e9/row;
+    both sums stay safely inside int64 past 10^12 rows) and recombined
+    into arbitrary-precision Python ints only at the tiny finalize.
+    ``cov = (n*dot - sa*sb) / n^2`` in e6 fixed point, truncated toward
+    zero exactly like the DuckDB oracle's HUGEINT division.
+    -> (field_a, field_b, n, mean_a_e6, mean_b_e6, cov_e6)."""
+    from ray.data.aggregate import Sum as RSum
+
+    cols = [c for c, _ in fields]
+    pairs = [(i, j) for i in range(len(fields))
+             for j in range(i, len(fields))]
+    LIMB = np.int64(1_000_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = []
+        for c, scale in fields:
+            v = batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            vals.append(np.floor(v * scale + 0.5).astype(np.int64))
+        n = len(batch)
+        rows = {"pair": [], "n_p": [], "sa_p": [], "sb_p": [],
+                "hi_p": [], "lo_p": []}
+        for p, (i, j) in enumerate(pairs):
+            prod = vals[i] * vals[j]
+            rows["pair"].append(p)
+            rows["n_p"].append(n)
+            rows["sa_p"].append(int(vals[i].sum()))
+            rows["sb_p"].append(int(vals[j].sum()))
+            rows["hi_p"].append(int((prod // LIMB).sum()))
+            rows["lo_p"].append(int((prod % LIMB).sum()))
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in rows.items()})
+
+    folded = lineitem.select_columns(cols) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("pair").aggregate(
+            RSum("n_p", alias_name="n"), RSum("sa_p", alias_name="sa"),
+            RSum("sb_p", alias_name="sb"), RSum("hi_p", alias_name="hi"),
+            RSum("lo_p", alias_name="lo")).take_all()
+    by_pair = {int(r["pair"]): r for r in folded}
+    out = {"field_a": [], "field_b": [], "n": [], "mean_a_e6": [],
+           "mean_b_e6": [], "cov_e6": []}
+    for p, (i, j) in enumerate(pairs):
+        r = by_pair[p]
+        n = int(r["n"])
+        sa, sb = int(r["sa"]), int(r["sb"])
+        dot = int(r["hi"]) * int(LIMB) + int(r["lo"])
+        out["field_a"].append(cols[i])
+        out["field_b"].append(cols[j])
+        out["n"].append(n)
+        out["mean_a_e6"].append(_trunc_div(sa * 10**6, n))
+        out["mean_b_e6"].append(_trunc_div(sb * 10**6, n))
+        out["cov_e6"].append(_trunc_div((n * dot - sa * sb) * 10**6,
+                                        n * n))
+    return pa.table({
+        "field_a": pa.array(out["field_a"], pa.string()),
+        "field_b": pa.array(out["field_b"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "mean_a_e6": pa.array(out["mean_a_e6"], pa.int64()),
+        "mean_b_e6": pa.array(out["mean_b_e6"], pa.int64()),
+        "cov_e6": pa.array(out["cov_e6"], pa.int64()),
+    })
+
+
+def mad_value_by_type(events: ray.data.Dataset) -> ray.data.Dataset:
+    """ES ``median_absolute_deviation`` aggregation, EXACT (ES ships an
+    approximate TDigest; a digest's merge order is nondeterministic
+    across cluster sizes, so the exact histogram fold is both stronger
+    and the only bit-reproducible choice).  Median convention = lower
+    median (the element at sorted position ceil(n/2), 1-indexed) —
+    DuckDB's ``percentile_disc(0.5)``, same as
+    :func:`median_value_by_type`.
+
+    Scale shape: values quantize to e3 ints, so the corpus folds to a
+    per-(type, value_e3) count histogram — the shuffle carries distinct
+    quantized values, bounded by the value RANGE (fixed), not the row
+    count.  Each type's median and MAD then come from one vectorized
+    weighted-order-statistic pass over its histogram.
+    -> (event_type, n, median_e3, mad_e3)."""
+
+    def pre(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "ve3": pa.array(np.floor(v * 1000 + 0.5).astype(np.int64),
+                            pa.int64()),
+        }).group_by(["event_type", "ve3"]).aggregate([([], "count_all")]) \
+            .rename_columns(["event_type", "ve3", "c_p"])
+
+    hist = events.select_columns(["event_type", "value"]) \
+        .map_batches(pre, batch_format="pyarrow") \
+        .groupby(["event_type", "ve3"]).aggregate(Sum("c_p", alias_name="c"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        ve3 = group["ve3"].to_numpy(zero_copy_only=False)
+        c = group["c"].to_numpy(zero_copy_only=False)
+        o = np.argsort(ve3, kind="stable")
+        ve3, c = ve3[o], c[o]
+        n = int(c.sum())
+
+        def lower_median(vals: np.ndarray, cnts: np.ndarray) -> int:
+            cum = np.cumsum(cnts)
+            k = (n - 1) // 2 + 1                 # 1-indexed rank ceil(n/2)
+            return int(vals[np.searchsorted(cum, k)])
+
+        med = lower_median(ve3, c)
+        dev = np.abs(ve3 - med)
+        od = np.argsort(dev, kind="stable")
+        dev, dc = dev[od], c[od]
+        # merge duplicate deviations (a value below and above the median
+        # can be equidistant) so searchsorted sees a proper histogram
+        uq, inv = np.unique(dev, return_inverse=True)
+        dcm = np.zeros(uq.size, dtype=np.int64)
+        np.add.at(dcm, inv, dc)
+        mad = lower_median(uq, dcm)
+        return pa.table({
+            "event_type": pa.array([group["event_type"][0].as_py()],
+                                   pa.string()),
+            "n": pa.array([n], pa.int64()),
+            "median_e3": pa.array([med], pa.int64()),
+            "mad_e3": pa.array([mad], pa.int64()),
+        })
+
+    return hist.groupby("event_type").map_groups(finalize,
+                                                 batch_format="pyarrow")

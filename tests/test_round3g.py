@@ -464,3 +464,105 @@ def test_restore_refuses_incomplete(g_index, tmp_path):
     os.unlink(os.path.join(snap, "_SNAPSHOT_DONE"))
     with pytest.raises(FileNotFoundError):
         restore_index(snap, str(tmp_path / "r2"))
+
+
+def test_matrix_stats_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import matrix_stats
+    tbl = pq.read_table(os.path.join(SF_DIR, "lineitem.parquet"),
+                        columns=["l_quantity", "l_extendedprice",
+                                 "l_discount"])
+    out = matrix_stats(ray.data.from_arrow(tbl))
+    fields = [("l_quantity", 1), ("l_extendedprice", 100),
+              ("l_discount", 100)]
+    vals = {c: [int(np.floor(float(x) * s + 0.5))
+                for x in tbl[c].to_pylist()]
+            for c, s in fields}
+    n = tbl.num_rows
+
+    def trunc(a, b):
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    got = {(r["field_a"], r["field_b"]): r for r in out.to_pylist()}
+    assert len(got) == 6
+    for i, (ca, _) in enumerate(fields):
+        for cb, _s in fields[i:]:
+            a, b = vals[ca], vals[cb]
+            sa, sb = sum(a), sum(b)
+            dot = sum(x * y for x, y in zip(a, b))
+            r = got[(ca, cb)]
+            assert r["n"] == n
+            assert r["mean_a_e6"] == trunc(sa * 10**6, n)
+            assert r["cov_e6"] == trunc((n * dot - sa * sb) * 10**6,
+                                        n * n)
+
+
+def test_mad_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import \
+        mad_value_by_type
+    tbl = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                        columns=["event_type", "value"])
+    out = mad_value_by_type(ray.data.from_arrow(tbl)) \
+        .sort("event_type").take_all()
+    by_t = {}
+    for t, v in zip(tbl["event_type"].to_pylist(),
+                    tbl["value"].to_pylist()):
+        by_t.setdefault(t, []).append(int(np.floor(v * 1000 + 0.5)))
+    for r in out:
+        vals = sorted(by_t[r["event_type"]])
+        med = vals[(len(vals) - 1) // 2]
+        devs = sorted(abs(v - med) for v in vals)
+        assert (r["n"], r["median_e3"], r["mad_e3"]) == \
+            (len(vals), med, devs[(len(devs) - 1) // 2])
+
+
+def test_count_matches_bruteforce(g_index, small_corpus):
+    from onestools_eventlog_ray.pipelines.query import count_matches
+    from onestools_eventlog_ray.functions.hashing import doc_id_from_keys
+    eng = SearchEngine(g_index)
+    deleted = set(eng.deleted.tolist())
+    ids = doc_id_from_keys(small_corpus["repo"], small_corpus["path"],
+                           small_corpus["commit"]).to_pylist()
+    terms = ["def", "import"]
+    sets = []
+    for t in terms:
+        s = {d for d, txt in zip(ids, small_corpus["content"].to_pylist())
+             if t in _tok(txt) and d not in deleted}
+        sets.append(s)
+    out = {r["mode"]: r["n_docs"]
+           for r in count_matches(g_index, terms).to_pylist()}
+    assert out == {"all": len(sets[0] & sets[1]),
+                   "any": len(sets[0] | sets[1])}
+    # absent term: AND empties, OR unaffected
+    out2 = {r["mode"]: r["n_docs"]
+            for r in count_matches(g_index,
+                                   terms + ["zzznope"]).to_pylist()}
+    assert out2["all"] == 0 and out2["any"] == len(sets[0] | sets[1])
+
+
+def test_suggest_terms_bruteforce(g_index, small_corpus):
+    from onestools_eventlog_ray.pipelines.query import suggest_terms
+
+    def lev1(a, b):
+        if abs(len(a) - len(b)) > 1:
+            return False
+        if len(a) == len(b):
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if len(a) > len(b):
+            a, b = b, a
+        for i in range(len(b)):
+            if b[:i] + b[i + 1:] == a:
+                return True
+        return False
+
+    dfc = Counter()
+    for txt in small_corpus["content"].to_pylist():
+        dfc.update(set(_tok(txt)))
+    q = "impart"
+    out = suggest_terms(g_index, [q], k=3).to_pylist()
+    exp = sorted(((t, c) for t, c in dfc.items() if lev1(q, t)),
+                 key=lambda x: (-x[1], x[0]))[:3]
+    assert [(r["term"], r["df"]) for r in out] == exp
+    assert [r["rank"] for r in out] == list(range(1, len(exp) + 1))
