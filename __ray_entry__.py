@@ -1030,6 +1030,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return suggest_terms(_ensure_index(sf_dir),
                              ["past", "windoe", "vecto"], k=3)
 
+    def semdedup_keep(sf_dir):
+        """SemDeDup: deterministic-centroid embedding clustering +
+        in-cluster exact-integer cosine duplicate marking (keep = not
+        near-identical to any earlier vector in the cluster)."""
+        import ray.data
+        emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                    columns=["vec_id", "embedding"])
+        return similarity.semdedup(emb).sort("vec_id")
+
+    def pq_encode(sf_dir):
+        """Product-quantization encode: 4 subspaces x 8 deterministic
+        centroids, exact integer argmin + reconstruction error."""
+        import ray.data
+        emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                    columns=["vec_id", "embedding"])
+        return similarity.pq_codes(emb).sort(["vec_id", "sub"])
+
+    def dsir_doc_weights(sf_dir):
+        """DSIR importance weights: hashed-unigram target-vs-raw
+        log-ratio LUT (e6-rounded, order-free int sums) per doc."""
+        return text.dsir_weights(_documents_ds(sf_dir)).sort("doc_id")
+
     def mlt_search(sf_dir):
         """ES more_like_this: top-5 tf×idf terms of the corpus' first
         doc (idf from index stats, one shard-pruned df lookup) -> BM25
@@ -1790,6 +1812,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_value_by_type": mad_value_by_type,
         "bm25_count": bm25_count,
         "suggest_correction": suggest_correction,
+        "semdedup_keep": semdedup_keep,
+        "pq_encode": pq_encode,
+        "dsir_doc_weights": dsir_doc_weights,
     }
 
 
@@ -3829,4 +3854,76 @@ c AS (SELECT i.input, term, df,
       JOIN dft ON levenshtein(term, i.input) = 1 AND term <> i.input)
 SELECT input, CAST(rk AS BIGINT) AS rank, term, CAST(df AS BIGINT) AS df
 FROM c WHERE rk <= 3 ORDER BY input, rank""",
+
+        "semdedup_keep": """
+WITH q AS (SELECT vec_id,
+                  list_transform(embedding,
+                                 x -> CAST(floor(CAST(x AS DOUBLE) * 10000
+                                                 + 0.5) AS BIGINT)) AS v
+           FROM embeddings),
+d AS (SELECT vec_id, i, v[i] AS x FROM q, generate_series(1, 64) t(i)),
+n2 AS (SELECT vec_id, sum(x * x) AS nn FROM d GROUP BY vec_id),
+cent AS (SELECT vec_id AS ck FROM embeddings ORDER BY vec_id LIMIT 8),
+cd AS (SELECT d.vec_id AS ck, i, x FROM d JOIN cent ON d.vec_id = cent.ck),
+dist AS (SELECT d.vec_id, cd.ck, sum((d.x - cd.x) * (d.x - cd.x)) AS d2
+         FROM d JOIN cd USING (i) GROUP BY d.vec_id, cd.ck),
+asg AS (SELECT vec_id, ck AS cluster FROM
+          (SELECT vec_id, ck, row_number() OVER (
+               PARTITION BY vec_id ORDER BY d2 ASC, ck ASC) AS rn
+           FROM dist) WHERE rn = 1),
+pr AS (SELECT b.vec_id AS i_, a.vec_id AS j FROM asg a
+       JOIN asg b ON a.cluster = b.cluster AND b.vec_id < a.vec_id),
+dots AS (SELECT pr.j, pr.i_, sum(da.x * db.x) AS dot
+         FROM pr JOIN d da ON da.vec_id = pr.j
+                 JOIN d db ON db.vec_id = pr.i_ AND db.i = da.i
+         GROUP BY pr.j, pr.i_),
+dup AS (SELECT DISTINCT dots.j FROM dots
+        JOIN n2 na ON na.vec_id = dots.j
+        JOIN n2 nb ON nb.vec_id = dots.i_
+        WHERE dot > 0
+          AND CAST(dot AS HUGEINT) * dot * 100000000
+              >= CAST(9500 AS HUGEINT) * 9500 * na.nn * nb.nn)
+SELECT a.vec_id, a.cluster,
+       CAST(CASE WHEN dup.j IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM asg a LEFT JOIN dup ON a.vec_id = dup.j
+ORDER BY a.vec_id""",
+
+        "pq_encode": """
+WITH q AS (SELECT vec_id,
+                  list_transform(embedding,
+                                 x -> CAST(floor(CAST(x AS DOUBLE) * 10000
+                                                 + 0.5) AS BIGINT)) AS v
+           FROM embeddings),
+d AS (SELECT vec_id, i, v[i] AS x FROM q, generate_series(1, 64) t(i)),
+cent AS (SELECT vec_id AS ck FROM embeddings ORDER BY vec_id LIMIT 8),
+cd AS (SELECT d.vec_id AS ck, i, x FROM d JOIN cent ON d.vec_id = cent.ck),
+dist AS (SELECT d.vec_id, (d.i - 1) // 16 AS sub, cd.ck,
+                sum((d.x - cd.x) * (d.x - cd.x)) AS d2
+         FROM d JOIN cd USING (i) GROUP BY 1, 2, 3)
+SELECT vec_id, CAST(sub AS BIGINT) AS sub, ck AS code,
+       CAST(d2 AS BIGINT) AS d2
+FROM (SELECT vec_id, sub, ck, d2, row_number() OVER (
+          PARTITION BY vec_id, sub ORDER BY d2 ASC, ck ASC) AS rn
+      FROM dist) WHERE rn = 1
+ORDER BY vec_id, sub""",
+
+        "dsir_doc_weights": f"""
+WITH toks AS ({_TOKS}),
+tb AS (SELECT doc_id, CAST(md5_number_lower(term) % 1024 AS BIGINT) AS b
+       FROM toks),
+tgtb AS (SELECT tb.b, count(*) AS c FROM tb
+         JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY tb.b),
+rawb AS (SELECT b, count(*) AS c FROM tb GROUP BY b),
+tot AS (SELECT (SELECT sum(c) FROM rawb) AS r_,
+               (SELECT coalesce(sum(c), 0) FROM tgtb) AS t_),
+lr AS (SELECT rawb.b,
+              CAST(floor(ln(CAST((coalesce(tgtb.c, 0) + 1) * (tot.r_ + 1024)
+                                 AS DOUBLE)
+                            / CAST((tot.t_ + 1024) * (rawb.c + 1) AS DOUBLE))
+                         * 1000000 + 0.5) AS BIGINT) AS lr6
+       FROM rawb LEFT JOIN tgtb ON rawb.b = tgtb.b, tot)
+SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS dl,
+       CAST(sum(lr.lr6) AS BIGINT) AS weight_e6
+FROM tb JOIN lr USING (b)
+GROUP BY tb.doc_id ORDER BY tb.doc_id""",
     }

@@ -550,3 +550,165 @@ def embedding_dim_stats(ds: ray.data.Dataset,
         "mean_e6": pa.array(mean, pa.int64()),
         "var_e12": pa.array(var, pa.int64()),
     })
+
+
+# ---- SemDeDup: embedding-cluster near-duplicate removal ------------------
+
+def semdedup(ds: ray.data.Dataset, k: int = 8, tau_e4: int = 9500,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             scale: int = 10_000) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication of an
+    embedding table — cluster with a deterministic coarse quantizer,
+    then inside each cluster mark every vector that is near-cosine-
+    identical to an EARLIER (lower-id) vector as a duplicate.  The
+    kept set is what a training-data pipeline feeds downstream.
+
+    Determinism/exactness: vectors quantize to e4 ints, centroids are
+    the ``k`` lowest-id vectors (found by a per-batch local-k fold, no
+    sort/shuffle), assignment is exact integer squared-L2 (ties ->
+    lowest centroid id), and the cosine test
+    ``cos >= tau_e4/1e4`` is evaluated as the exact integer predicate
+    ``dot > 0 and dot^2 * 1e8 >= tau_e4^2 * |a|^2 * |b|^2`` (python
+    bigints at the final compare — dot^2*1e8 can reach ~1e24), so the
+    keep/drop decision is bit-identical to the SQL oracle.
+
+    Scale shape: one broadcast (k x d centroid ints via ``ray.put``),
+    one assignment pass, then ``groupby(cluster).map_groups`` — the
+    shuffle carries (id, cluster, e4 vector) rows, and the in-cluster
+    Gram matrix is one int64 matmul.  Cluster size is the scale knob:
+    at 10^9+ vectors raise ``k`` so clusters stay bounded (the paper
+    uses sqrt(N) clusters); a degenerate cluster goes O(g^2) in one
+    task, same cap consideration as the MinHash pair verify.
+
+    -> (vec_id, cluster, keep) where ``cluster`` is the centroid's
+    vec_id and ``keep`` is int64 0/1."""
+    import ray
+
+    def lowest(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")[:k]
+        return batch.take(pa.array(order))
+
+    cand = ds.select_columns([id_col, vec_col]) \
+        .map_batches(lowest, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: r[id_col])
+    cand = cand[:k]
+    cent_ids = np.asarray([r[id_col] for r in cand], dtype=np.int64)
+    cents = np.floor(np.asarray([r[vec_col] for r in cand],
+                                dtype=np.float64) * scale + 0.5).astype(np.int64)
+    cent_ref = ray.put((cent_ids, cents))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+        pin_worker_threads()
+        cids, c = ray.get(cent_ref)
+        m = _as_matrix(batch[vec_col])
+        x = np.floor(m * scale + 0.5).astype(np.int64)
+        d2 = (x * x).sum(axis=1)[:, None] - 2 * (x @ c.T) \
+            + (c * c).sum(axis=1)[None, :]
+        cl = cids[np.argmin(d2, axis=1)]
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": pa.array(cl, pa.int64()),
+            "x": pa.FixedSizeListArray.from_arrays(
+                pa.array(x.ravel(), pa.int64()), x.shape[1]),
+        })
+
+    tau2 = int(tau_e4) ** 2
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(ids, kind="stable")
+        ids = ids[o]
+        xs = group["x"]
+        if isinstance(xs, pa.ChunkedArray):
+            xs = xs.combine_chunks()
+        x = xs.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.int64).reshape(len(ids), -1)[o]
+        g = len(ids)
+        keep = np.ones(g, dtype=np.int64)
+        if g > 1:
+            gram = x @ x.T
+            n2 = np.diag(gram).astype(object)
+            iu, ju = np.triu_indices(g, 1)      # i earlier than j
+            dots = gram[iu, ju]
+            pos = dots > 0
+            if pos.any():
+                lhs = dots[pos].astype(object) ** 2 * 10 ** 8
+                rhs = n2[iu[pos]] * n2[ju[pos]] * tau2
+                dup = np.unique(ju[pos][lhs >= rhs])
+                keep[dup] = 0
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "cluster": group["cluster"].take(pa.array(o)),
+            "keep": pa.array(keep, pa.int64()),
+        })
+
+    return ds.select_columns([id_col, vec_col]) \
+        .map_batches(assign, batch_format="pyarrow") \
+        .groupby("cluster").map_groups(verify, batch_format="pyarrow")
+
+
+# ---- Product quantization encode -----------------------------------------
+
+def pq_codes(ds: ray.data.Dataset, m: int = 4, ksub: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             scale: int = 10_000) -> ray.data.Dataset:
+    """Product-quantization encoding (Jégou et al. 2011): split each
+    d-dim vector into ``m`` contiguous subvectors and snap each to the
+    nearest of ``ksub`` per-subspace centroids — the 64x-compression
+    step an ANN index applies before storing 10^12 vectors.
+
+    Deterministic codebook: subspace centroids are the subvectors of
+    the ``ksub`` lowest-id vectors (same local-k fold as
+    :func:`semdedup`, no training loop); assignment is exact integer
+    squared-L2 on e4-quantized values, ties -> lowest centroid id.
+    One broadcast + one streaming pass, no shuffle.
+
+    -> (vec_id, sub, code, d2) tidy rows: ``code`` is the chosen
+    centroid's vec_id and ``d2`` the exact e4^2-units squared
+    reconstruction error of that subspace."""
+    import ray
+
+    def lowest(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")[:ksub]
+        return batch.take(pa.array(order))
+
+    cand = ds.select_columns([id_col, vec_col]) \
+        .map_batches(lowest, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: r[id_col])
+    cand = cand[:ksub]
+    code_ids = np.asarray([r[id_col] for r in cand], dtype=np.int64)
+    cmat = np.floor(np.asarray([r[vec_col] for r in cand],
+                               dtype=np.float64) * scale + 0.5).astype(np.int64)
+    cent_ref = ray.put((code_ids, cmat))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import pin_worker_threads
+        pin_worker_threads()
+        cids, c = ray.get(cent_ref)
+        x = np.floor(_as_matrix(batch[vec_col]) * scale + 0.5).astype(np.int64)
+        n, d = x.shape
+        dsub = d // m
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_id, out_sub, out_code, out_d2 = [], [], [], []
+        for s in range(m):
+            xs = x[:, s * dsub:(s + 1) * dsub]
+            cs = c[:, s * dsub:(s + 1) * dsub]
+            d2 = (xs * xs).sum(axis=1)[:, None] - 2 * (xs @ cs.T) \
+                + (cs * cs).sum(axis=1)[None, :]
+            a = np.argmin(d2, axis=1)
+            out_id.append(ids)
+            out_sub.append(np.full(n, s, dtype=np.int64))
+            out_code.append(cids[a])
+            out_d2.append(d2[np.arange(n), a])
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "sub": pa.array(np.concatenate(out_sub), pa.int64()),
+            "code": pa.array(np.concatenate(out_code), pa.int64()),
+            "d2": pa.array(np.concatenate(out_d2), pa.int64()),
+        })
+
+    return ds.select_columns([id_col, vec_col]) \
+        .map_batches(encode, batch_format="pyarrow")

@@ -1137,3 +1137,86 @@ def oov_stats(ds: ray.data.Dataset,
         "n_oov": pa.array(no, pa.int64()),
         "oov_e6": pa.array(no * 1_000_000 // np.maximum(nt, 1), pa.int64()),
     })
+
+
+def dsir_weights(ds: ray.data.Dataset,
+                 spec: CorpusSpec = DOCUMENTS_SPEC,
+                 target_col: str = "lang", target_value: str = "en",
+                 n_buckets: int = 1024) -> ray.data.Dataset:
+    """DSIR importance weights (Xie et al. 2023): score every document
+    by how much its hashed-unigram profile looks like a TARGET slice
+    (``target_col == target_value``) relative to the raw corpus — the
+    importance-resampling selector a training-data pipeline uses to
+    up-sample in-domain text.
+
+    Feature space: token -> ``md5_lower64(token) % n_buckets`` (the
+    same DuckDB-mirrorable md5 family as the sketches).  Bucket
+    distributions use add-one smoothing; each bucket's log ratio
+    ``ln((tgt_b+1)(R+B) / ((T+B)(raw_b+1)))`` is rounded to e6 FIRST,
+    so the per-doc integer sum is order-free and bit-identical to the
+    SQL oracle (same design as ``lm_scores``).  Exactness bound: the
+    smoothed products must stay < 2^53 for the int->double cast to be
+    exact — holds to ~10^15 tokens.
+
+    Scale shape: pass 1 folds per-batch bucket-count partials
+    (``n_buckets`` rows per batch) through one tiny groupby; the e6
+    log-ratio LUT broadcasts via ``ray.put``; pass 2 streams the
+    corpus once (no shuffle).  Zero-token docs are dropped (mirrors
+    the oracle's join semantics).
+    -> (doc_id, dl, weight_e6)."""
+    import ray
+    from onestools_eventlog_ray.functions.fasthash import md5_lower64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = add_doc_id(batch, spec)
+        toks = tokenize_array(b["content"])
+        flat = toks.flatten()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        bk = (md5_lower64(flat) % np.uint64(n_buckets)).astype(np.int64)
+        doc_tgt = pc.equal(batch[target_col], pa.scalar(target_value)) \
+            .to_numpy(zero_copy_only=False)
+        tok_tgt = np.repeat(doc_tgt, np.diff(offsets))
+        raw = np.bincount(bk, minlength=n_buckets)
+        tgt = np.bincount(bk[tok_tgt], minlength=n_buckets)
+        return pa.table({
+            "bucket": pa.array(np.arange(n_buckets, dtype=np.int64)),
+            "raw_p": pa.array(raw.astype(np.int64), pa.int64()),
+            "tgt_p": pa.array(tgt.astype(np.int64), pa.int64()),
+        })
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Sum("raw_p", alias_name="raw"),
+                                     Sum("tgt_p", alias_name="tgt")) \
+        .take_all()
+    raw = np.zeros(n_buckets, dtype=np.int64)
+    tgt = np.zeros(n_buckets, dtype=np.int64)
+    for r in folded:
+        raw[int(r["bucket"])] = int(r["raw"])
+        tgt[int(r["bucket"])] = int(r["tgt"])
+    R, T = int(raw.sum()), int(tgt.sum())
+    num = (tgt + 1) * (R + n_buckets)
+    den = (T + n_buckets) * (raw + 1)
+    lr_e6 = np.floor(np.log(num.astype(np.float64) / den.astype(np.float64))
+                     * 1_000_000 + 0.5).astype(np.int64)
+    lut_ref = ray.put(lr_e6)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        b = add_doc_id(batch, spec)
+        toks = tokenize_array(b["content"])
+        flat = toks.flatten()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        bk = (md5_lower64(flat) % np.uint64(n_buckets)).astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(lut[bk], dtype=np.int64)])
+        dl = np.diff(offsets)
+        out = pa.table({
+            "doc_id": b["doc_id"],
+            "dl": pa.array(dl, pa.int64()),
+            "weight_e6": pa.array(cs[offsets[1:]] - cs[offsets[:-1]],
+                                  pa.int64()),
+        })
+        return out.filter(pa.array(dl > 0, pa.bool_()))
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1,0 +1,164 @@
+"""Round-3 session-7 brute-force tests: SemDeDup, product
+quantization, and DSIR importance weights."""
+import hashlib
+import os
+import re
+from collections import Counter
+from math import floor, log
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _tok(text):
+    return [t for t in re.split(r"[^a-z0-9_]+", text.lower()) if t]
+
+
+def _q(v, scale=10_000):
+    return [int(floor(float(x) * scale + 0.5)) for x in v]
+
+
+@pytest.fixture(scope="module")
+def emb_small():
+    """12 deterministic unit-ish vectors, dim 8, with planted near-dups:
+    vec 10 = vec 2 exactly, vec 11 = slightly-perturbed vec 3."""
+    rng = np.random.default_rng(7)
+    m = rng.normal(size=(12, 8)).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    m[10] = m[2]
+    m[11] = m[3] + 0.001 * m[0]
+    m[11] /= np.linalg.norm(m[11])
+    return pa.table({
+        "vec_id": pa.array(np.arange(12, dtype=np.int64)),
+        "embedding": pa.array([list(r) for r in m.astype(np.float32)],
+                              pa.list_(pa.float32())),
+    })
+
+
+def _brute_semdedup(tbl, k, tau_e4):
+    ids = tbl["vec_id"].to_pylist()
+    vecs = {i: _q(v) for i, v in zip(ids, tbl["embedding"].to_pylist())}
+    cent_ids = sorted(ids)[:k]
+    assign = {}
+    for i in ids:
+        best = None
+        for ck in cent_ids:
+            d2 = sum((a - b) ** 2 for a, b in zip(vecs[i], vecs[ck]))
+            if best is None or (d2, ck) < best:
+                best = (d2, ck)
+        assign[i] = best[1]
+    keep = {}
+    for j in sorted(ids):
+        dup = False
+        nb = sum(x * x for x in vecs[j])
+        for i in sorted(ids):
+            if i >= j or assign[i] != assign[j]:
+                continue
+            dot = sum(a * b for a, b in zip(vecs[i], vecs[j]))
+            na = sum(x * x for x in vecs[i])
+            if dot > 0 and dot * dot * 10 ** 8 >= tau_e4 ** 2 * na * nb:
+                dup = True
+                break
+        keep[j] = 0 if dup else 1
+    return assign, keep
+
+
+def test_semdedup_bruteforce(emb_small):
+    import ray.data
+    from onestools_eventlog_ray.pipelines.similarity import semdedup
+    out = semdedup(ray.data.from_arrow(emb_small), k=3, tau_e4=9500) \
+        .take_all()
+    assign, keep = _brute_semdedup(emb_small, k=3, tau_e4=9500)
+    assert len(out) == 12
+    for r in out:
+        assert r["cluster"] == assign[r["vec_id"]]
+        assert r["keep"] == keep[r["vec_id"]]
+    # the planted exact dup (10=2) and near-dup (11~3) must be dropped
+    got = {r["vec_id"]: r["keep"] for r in out}
+    assert got[10] == 0
+    assert got[11] == 0
+    assert got[2] == 1 and got[3] == 1
+
+
+def test_semdedup_sf0001():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.similarity import semdedup
+    emb = ray.data.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
+    out = semdedup(emb).take_all()
+    tbl = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    assign, keep = _brute_semdedup(tbl, k=8, tau_e4=9500)
+    assert len(out) == tbl.num_rows
+    for r in out:
+        assert (r["cluster"], r["keep"]) == \
+            (assign[r["vec_id"]], keep[r["vec_id"]])
+
+
+def test_pq_codes_bruteforce(emb_small):
+    import ray.data
+    from onestools_eventlog_ray.pipelines.similarity import pq_codes
+    out = pq_codes(ray.data.from_arrow(emb_small), m=2, ksub=4).take_all()
+    ids = emb_small["vec_id"].to_pylist()
+    vecs = {i: _q(v) for i, v in
+            zip(ids, emb_small["embedding"].to_pylist())}
+    cent_ids = sorted(ids)[:4]
+    got = {(r["vec_id"], r["sub"]): (r["code"], r["d2"]) for r in out}
+    assert len(got) == 12 * 2
+    for i in ids:
+        for s in range(2):
+            best = None
+            for ck in cent_ids:
+                d2 = sum((a - b) ** 2 for a, b in
+                         zip(vecs[i][s * 4:(s + 1) * 4],
+                             vecs[ck][s * 4:(s + 1) * 4]))
+                if best is None or (d2, ck) < best:
+                    best = (d2, ck)
+            assert got[(i, s)] == (best[1], best[0])
+    # a centroid's own subvector encodes to itself with zero error
+    for ck in cent_ids:
+        for s in range(2):
+            assert got[(ck, s)] == (ck, 0)
+
+
+def test_dsir_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.text import dsir_weights
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    out = dsir_weights(ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"))).take_all()
+
+    B = 1024
+
+    def bucket(term):
+        return int.from_bytes(hashlib.md5(term.encode()).digest()[8:16],
+                              "little") % B
+
+    raw = Counter()
+    tgt = Counter()
+    doc_toks = {}
+    for d, txt, lang in zip(tbl["doc_id"].to_pylist(),
+                            tbl["text"].to_pylist(),
+                            tbl["lang"].to_pylist()):
+        bks = [bucket(t) for t in _tok(txt)]
+        doc_toks[d] = bks
+        raw.update(bks)
+        if lang == "en":
+            tgt.update(bks)
+    R, T = sum(raw.values()), sum(tgt.values())
+    lr = {b: int(floor(log((tgt[b] + 1) * (R + B)
+                           / ((T + B) * (raw[b] + 1))) * 1e6 + 0.5))
+          for b in raw}
+    got = {r["doc_id"]: (r["dl"], r["weight_e6"]) for r in out}
+    want = {d: (len(bks), sum(lr[b] for b in bks))
+            for d, bks in doc_toks.items() if bks}
+    assert got == want
+    # target-language docs should on average score higher
+    langs = dict(zip(tbl["doc_id"].to_pylist(), tbl["lang"].to_pylist()))
+    en = [w for d, (_, w) in got.items() if langs[d] == "en"]
+    other = [w for d, (_, w) in got.items() if langs[d] != "en"]
+    assert np.mean(en) > np.mean(other)
