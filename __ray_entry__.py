@@ -1052,6 +1052,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         log-ratio LUT (e6-rounded, order-free int sums) per doc."""
         return text.dsir_weights(_documents_ds(sf_dir)).sort("doc_id")
 
+    def bpe_pairs(sf_dir):
+        """First BPE merge step: corpus-wide adjacent-char-pair counts
+        inside tokens, top-20 (alphabet^2-bounded fold)."""
+        return text.bpe_pair_counts(_documents_ds(sf_dir))
+
+    def scroll_export(sf_dir):
+        """ES scroll/PIT bulk export: chained search_after cursors over
+        the COMPLETE hit set — pages proven disjoint + complete."""
+        from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                            scroll_all)
+        eng = SearchEngine(_ensure_index(sf_dir))
+        return scroll_all(eng, _BM25_TERMS, k=10)
+
+    def q10_returned(sf_dir):
+        """TPC-H Q10: per-customer returned-item revenue, top-20, with
+        key-pruned customer/nation dimension fetch."""
+        import ray.data
+        sf = lambda t: ray.data.read_parquet(
+            os.path.join(sf_dir, f"{t}.parquet"))
+        return relational.q10_returned_revenue(sf("customer"), sf("orders"),
+                                               sf("lineitem"), sf("nation"))
+
     def mlt_search(sf_dir):
         """ES more_like_this: top-5 tf×idf terms of the corpus' first
         doc (idf from index stats, one shard-pruned df lookup) -> BM25
@@ -1815,6 +1837,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_keep": semdedup_keep,
         "pq_encode": pq_encode,
         "dsir_doc_weights": dsir_doc_weights,
+        "bpe_pairs": bpe_pairs,
+        "scroll_export": scroll_export,
+        "q10_returned": q10_returned,
     }
 
 
@@ -3926,4 +3951,31 @@ SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS dl,
        CAST(sum(lr.lr6) AS BIGINT) AS weight_e6
 FROM tb JOIN lr USING (b)
 GROUP BY tb.doc_id ORDER BY tb.doc_id""",
+
+        "bpe_pairs": f"""
+WITH toks AS ({_TOKS}),
+pairs AS (SELECT substr(term, CAST(i AS INTEGER), 2) AS pair
+          FROM toks, generate_series(1, 256) t(i)
+          WHERE i <= len(term) - 1),
+c AS (SELECT pair, count(*) AS n FROM pairs GROUP BY pair)
+SELECT pair, CAST(n AS BIGINT) AS n FROM c
+ORDER BY n DESC, pair ASC LIMIT 20""",
+
+        "scroll_export": f"""
+WITH base AS ({_bm25_sql(_BM25_TERMS, k=1_000_000_000)})
+SELECT CAST((rank - 1) // 10 + 1 AS BIGINT) AS page, rank, doc_id, score_e6
+FROM base ORDER BY rank""",
+
+        "q10_returned": """
+WITH l AS (SELECT l_orderkey,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)
+                  AS rev
+           FROM lineitem WHERE l_returnflag = 'R'),
+r AS (SELECT o_custkey, sum(rev) AS revenue
+      FROM l JOIN orders ON l_orderkey = o_orderkey GROUP BY o_custkey)
+SELECT c_custkey, c_name, n_name, CAST(revenue AS BIGINT) AS revenue_e4
+FROM r JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue_e4 DESC, c_custkey ASC LIMIT 20""",
     }

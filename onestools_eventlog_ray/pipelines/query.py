@@ -1377,3 +1377,39 @@ def suggest_terms(index_dir: str, inputs: list[str],
         "term": pa.array(out["term"], pa.string()),
         "df": pa.array(out["df"], pa.int64()),
     })
+
+
+def scroll_all(eng: SearchEngine, terms: list[str], k: int = 10,
+               max_pages: int = 10_000) -> pa.Table:
+    """ES ``scroll`` / point-in-time export: walk the ENTIRE hit set in
+    ``k``-sized pages by chaining :func:`search_page` cursors until a
+    short page — the bulk-export path a reindex-to-elsewhere job uses.
+    Our index is immutable between generations, so repeated cursor
+    queries see a consistent snapshot for free (ES needs an explicit
+    PIT for the same guarantee).
+
+    The page chain is provably disjoint and complete: each cursor is
+    the last (score_e6, doc_id) of the previous page and the order is
+    a total order, so concatenated pages ARE the full ranked hit list
+    (the oracle checks exactly that, page numbers included).
+    -> (page, rank, doc_id, score_e6)."""
+    out_p, out_r, out_d, out_s = [], [], [], []
+    after = None
+    for page in range(1, max_pages + 1):
+        rows = search_page(eng, terms, after=after, k=k)
+        if not rows:
+            break
+        for rank, doc_id, e6 in rows:
+            out_p.append(page)
+            out_r.append(rank)
+            out_d.append(doc_id)
+            out_s.append(e6)
+        if len(rows) < k:
+            break
+        after = (rows[-1][2], rows[-1][1])
+    return pa.table({
+        "page": pa.array(out_p, pa.int64()),
+        "rank": pa.array(out_r, pa.int64()),
+        "doc_id": pa.array(out_d, pa.int64()),
+        "score_e6": pa.array(out_s, pa.int64()),
+    })

@@ -1753,3 +1753,102 @@ def mad_value_by_type(events: ray.data.Dataset) -> ray.data.Dataset:
 
     return hist.groupby("event_type").map_groups(finalize,
                                                  batch_format="pyarrow")
+
+
+def q10_returned_revenue(customer: ray.data.Dataset,
+                         orders: ray.data.Dataset,
+                         lineitem: ray.data.Dataset,
+                         nation: ray.data.Dataset,
+                         k: int = 20) -> pa.Table:
+    """TPC-H-Q10-shaped returned-item report: revenue lost to returns
+    per customer, top-``k``, with customer + nation dimensions.  The
+    join chain is the mirror of Q3: lineitem revenue partials fold
+    per ORDER before the first shuffle, the orderkey co-group attaches
+    o_custkey, a second custkey fold produces per-customer totals, and
+    the two dimension tables are fetched only for the k winners
+    (key-pruned read — never a corpus-sized dim shuffle).
+
+    Revenue is exact e4 ints (``round(price*100) * round((1-d)*100)``),
+    so every fold is order-free and bit-identical to the SQL oracle.
+    -> (c_custkey, c_name, n_name, revenue_e4) by (revenue desc,
+    custkey asc)."""
+    import pyarrow.compute as pc
+
+    def proj_line(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["l_returnflag"], "R")
+        t = batch.filter(m)
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        rev = (np.floor(price * 100 + 0.5).astype(np.int64)
+               * np.floor((1.0 - disc) * 100 + 0.5).astype(np.int64))
+        keys, inv = np.unique(okey, return_inverse=True)
+        part = np.zeros(keys.size, dtype=np.int64)
+        np.add.at(part, inv, rev)
+        return pa.table({
+            "key": pa.array(keys, pa.int64()),
+            "ckey": pa.nulls(keys.size, pa.int64()),
+            "rev_p": pa.array(part, pa.int64()),
+        })
+
+    def proj_orders(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch["o_orderkey"].cast(pa.int64()),
+            "ckey": batch["o_custkey"].cast(pa.int64()),
+            "rev_p": pa.array(np.zeros(batch.num_rows, np.int64),
+                              pa.int64()),
+        })
+
+    tagged = lineitem.select_columns(
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]) \
+        .map_batches(proj_line, batch_format="pyarrow") \
+        .union(orders.select_columns(["o_orderkey", "o_custkey"])
+               .map_batches(proj_orders, batch_format="pyarrow"))
+    per_order = tagged.groupby("key").aggregate(
+        Max("ckey", alias_name="ckey"),
+        Sum("rev_p", alias_name="rev"))
+
+    def proj_cust(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch["ckey"]),
+                    pc.greater(batch["rev"], 0))
+        t = batch.filter(m)
+        return pa.table({"ckey": t["ckey"].cast(pa.int64()),
+                         "rev_p": t["rev"].cast(pa.int64())})
+
+    per_cust = per_order.map_batches(proj_cust, batch_format="pyarrow") \
+        .groupby("ckey").aggregate(Sum("rev_p", alias_name="revenue_e4"))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        rev = batch["revenue_e4"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keys = batch["ckey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((keys, -rev))[:k]
+        return pa.table({"ckey": pa.array(keys[order], pa.int64()),
+                         "revenue_e4": pa.array(rev[order], pa.int64())})
+
+    cand = per_cust.map_batches(local_topk, batch_format="pyarrow") \
+        .take_all()
+    rev = np.asarray([r["revenue_e4"] for r in cand], dtype=np.int64)
+    keys = np.asarray([r["ckey"] for r in cand], dtype=np.int64)
+    order = np.lexsort((keys, -rev))[:k]
+    keys, rev = keys[order], rev[order]
+
+    # dimension fetch for the k winners only
+    kl = ", ".join(str(int(x)) for x in keys) or "-1"
+    cust = customer.filter(expr=f"c_custkey in [{kl}]") \
+        .select_columns(["c_custkey", "c_name", "c_nationkey"]).take_all()
+    cmeta = {int(r["c_custkey"]): (r["c_name"], int(r["c_nationkey"]))
+             for r in cust}
+    nmap = {int(r["n_nationkey"]): r["n_name"]
+            for r in nation.select_columns(["n_nationkey", "n_name"])
+            .take_all()}
+    return pa.table({
+        "c_custkey": pa.array(keys, pa.int64()),
+        "c_name": pa.array([cmeta[int(c)][0] for c in keys], pa.string()),
+        "n_name": pa.array([nmap[cmeta[int(c)][1]] for c in keys],
+                           pa.string()),
+        "revenue_e4": pa.array(rev, pa.int64()),
+    })

@@ -1220,3 +1220,51 @@ def dsir_weights(ds: ray.data.Dataset,
         return out.filter(pa.array(dl > 0, pa.bool_()))
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bpe_pair_counts(ds: ray.data.Dataset,
+                    spec: CorpusSpec = DOCUMENTS_SPEC,
+                    k: int = 20) -> ray.data.Dataset:
+    """The first BPE merge-learning step (Sennrich et al. 2016):
+    corpus-wide counts of adjacent CHARACTER pairs inside analyzer
+    tokens, top-``k`` by (count desc, pair asc) — iterating this (count
+    pairs -> merge the argmax -> recount) trains a tokenizer; one step
+    is the distributed primitive.
+
+    Vectorized: each batch joins its tokens with a ``\\n`` sentinel
+    (one C-level ``binary_join`` + one join), takes adjacent byte
+    pairs from the flat uint8 view, masks pairs touching the sentinel,
+    and folds to a <= 65536-bucket count vector — only (pair, count)
+    rows shuffle, the groupby is alphabet^2-sized regardless of corpus
+    size.  Tokens are single-byte ``[a-z0-9_]`` by analyzer
+    construction."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = add_doc_id(batch, spec)
+        toks = tokenize_array(b["content"])
+        per_doc = pc.binary_join(toks, "\n")
+        s = "\n".join(per_doc.to_pylist())
+        buf = np.frombuffer(s.encode("utf-8"), np.uint8)
+        if buf.size < 2:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "n_p": pa.array([], pa.int64())})
+        a, c = buf[:-1], buf[1:]
+        m = (a != 0x0A) & (c != 0x0A)
+        codes = a[m].astype(np.int64) * 256 + c[m]
+        counts = np.bincount(codes, minlength=65536)
+        nz = np.flatnonzero(counts)
+        pairs = [chr(int(p) >> 8) + chr(int(p) & 0xFF) for p in nz]
+        return pa.table({"pair": pa.array(pairs, pa.string()),
+                         "n_p": pa.array(counts[nz], pa.int64())})
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("pair").aggregate(Sum("n_p", alias_name="n"))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pairs = np.asarray(batch["pair"].to_pylist(), dtype=np.str_)
+        order = np.lexsort((pairs, -n))[:k]
+        return pa.table({"pair": pa.array(pairs[order], pa.string()),
+                         "n": pa.array(n[order], pa.int64())})
+
+    return folded.repartition(1).map_batches(topk, batch_format="pyarrow")

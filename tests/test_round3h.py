@@ -162,3 +162,89 @@ def test_dsir_bruteforce():
     en = [w for d, (_, w) in got.items() if langs[d] == "en"]
     other = [w for d, (_, w) in got.items() if langs[d] != "en"]
     assert np.mean(en) > np.mean(other)
+
+
+@pytest.fixture(scope="module")
+def h_index(tmp_path_factory, small_corpus_dir):
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.build import build_index
+    index_dir = str(tmp_path_factory.mktemp("h_index"))
+    build_index(small_corpus_dir, index_dir,
+                cfg=EngineConfig(num_partitions=8, tokenize_batch_size=128))
+    return index_dir
+
+
+def test_bpe_pairs_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.text import bpe_pair_counts
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    want = Counter()
+    for txt in tbl["text"].to_pylist():
+        for t in _tok(txt):
+            for i in range(len(t) - 1):
+                want[t[i:i + 2]] += 1
+    exp = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    out = bpe_pair_counts(ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"))).take_all()
+    assert [(r["pair"], r["n"]) for r in out] == exp
+
+
+def test_scroll_all_complete(h_index):
+    from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                        scroll_all)
+    eng = SearchEngine(h_index)
+    full = eng.search(["def", "import"], k=1 << 62)
+    ids = np.asarray([d for d, _ in full], dtype=np.int64)
+    e6 = np.floor(np.asarray([s for _, s in full]) * 1e6 + 0.5) \
+        .astype(np.int64)
+    order = np.lexsort((ids, -e6))
+    out = scroll_all(eng, ["def", "import"], k=7).to_pylist()
+    # complete, absolute-ranked, disjoint, right page numbers
+    assert len(out) == ids.size
+    for i, r in enumerate(out):
+        assert r["rank"] == i + 1
+        assert r["page"] == i // 7 + 1
+        assert r["doc_id"] == int(ids[order][i])
+        assert r["score_e6"] == int(e6[order][i])
+    # zero-hit query -> empty table with schema
+    empty = scroll_all(eng, ["zzznope"], k=5)
+    assert empty.num_rows == 0
+    assert empty.column_names == ["page", "rank", "doc_id", "score_e6"]
+
+
+def test_q10_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import \
+        q10_returned_revenue
+    sf = lambda t: os.path.join(SF_DIR, f"{t}.parquet")
+    li = pq.read_table(sf("lineitem"))
+    orders = pq.read_table(sf("orders"))
+    cust = pq.read_table(sf("customer"))
+    nat = pq.read_table(sf("nation"))
+    o2c = dict(zip(orders["o_orderkey"].to_pylist(),
+                   orders["o_custkey"].to_pylist()))
+    rev = Counter()
+    for ok, rf, p, d in zip(li["l_orderkey"].to_pylist(),
+                            li["l_returnflag"].to_pylist(),
+                            li["l_extendedprice"].to_pylist(),
+                            li["l_discount"].to_pylist()):
+        if rf == "R":
+            rev[o2c[ok]] += int(np.floor(p * 100 + 0.5)) \
+                * int(np.floor((1 - d) * 100 + 0.5))
+    top = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    cmeta = {c: (n, nk) for c, n, nk in zip(cust["c_custkey"].to_pylist(),
+                                            cust["c_name"].to_pylist(),
+                                            cust["c_nationkey"].to_pylist())}
+    nmap = dict(zip(nat["n_nationkey"].to_pylist(),
+                    nat["n_name"].to_pylist()))
+    out = q10_returned_revenue(
+        ray.data.read_parquet(sf("customer")),
+        ray.data.read_parquet(sf("orders")),
+        ray.data.read_parquet(sf("lineitem")),
+        ray.data.read_parquet(sf("nation"))).to_pylist()
+    assert len(out) == 20
+    for r, (ck, rv) in zip(out, top):
+        assert r["c_custkey"] == ck
+        assert r["revenue_e4"] == rv
+        assert r["c_name"] == cmeta[ck][0]
+        assert r["n_name"] == nmap[cmeta[ck][1]]
