@@ -1026,9 +1026,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """ES term suggester: distance-1 dictionary corrections per
         misspelled input, df-ranked top-3 (banded distributed shard
         -dictionary scans)."""
-        from onestools_eventlog_ray.pipelines.query import suggest_terms
-        return suggest_terms(_ensure_index(sf_dir),
-                             ["past", "windoe", "vecto"], k=3)
+        from onestools_eventlog_ray.pipelines.query import \
+            suggest_corrections
+        return suggest_corrections(_ensure_index(sf_dir),
+                                   ["past", "windoe", "vecto"], k=3)
 
     def semdedup_keep(sf_dir):
         """SemDeDup: deterministic-centroid embedding clustering +
@@ -1073,6 +1074,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(sf_dir, f"{t}.parquet"))
         return relational.q10_returned_revenue(sf("customer"), sf("orders"),
                                                sf("lineitem"), sf("nation"))
+
+    def proximity_top10(sf_dir):
+        """Two-phase proximity rerank: BM25 top-50 reranked by minimum
+        token window covering all query terms (positions sidecar)."""
+        from onestools_eventlog_ray.config import EngineConfig
+        from onestools_eventlog_ray.pipelines.phrase import (
+            PhraseEngine, build_position_index, proximity_rerank)
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        index_dir = _ensure_index(sf_dir)
+        if not os.path.isdir(os.path.join(index_dir, "positions")):
+            build_position_index(
+                os.path.join(sf_dir, "documents.parquet"), index_dir,
+                spec=DOCUMENTS_SPEC, cfg=EngineConfig(num_partitions=16))
+        return proximity_rerank(SearchEngine(index_dir),
+                                PhraseEngine(index_dir), _BM25_TERMS)
+
+    def phrase_suggest(sf_dir):
+        """ES phrase suggester: distance<=1 candidates per word, ranked
+        by exact corpus bigram evidence (broadcast-filtered fold)."""
+        from onestools_eventlog_ray.pipelines.query import suggest_phrase
+        return suggest_phrase(_ensure_index(sf_dir), _documents_ds(sf_dir),
+                              ("vector", "windoe"))
+
+    def dedup_savings_report(sf_dir):
+        """Dedup survivorship: tokens saved per near-dup cluster (the
+        budget number of a dedup pass)."""
+        return dedup.dedup_savings(_documents_ds(sf_dir), DOCUMENTS_SPEC,
+                                   min_jaccard=0.2)
 
     def mlt_search(sf_dir):
         """ES more_like_this: top-5 tf×idf terms of the corpus' first
@@ -1840,6 +1869,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": bpe_pairs,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
+        "proximity_top10": proximity_top10,
+        "phrase_suggest": phrase_suggest,
+        "dedup_savings_report": dedup_savings_report,
     }
 
 
@@ -3978,4 +4010,75 @@ SELECT c_custkey, c_name, n_name, CAST(revenue AS BIGINT) AS revenue_e4
 FROM r JOIN customer ON o_custkey = c_custkey
        JOIN nation ON c_nationkey = n_nationkey
 ORDER BY revenue_e4 DESC, c_custkey ASC LIMIT 20""",
+
+        "proximity_top10": f"""
+WITH base AS ({_bm25_sql(_BM25_TERMS, k=50)}),
+tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+            '[^a-z0-9_]+'), x -> x <> '') AS l FROM documents),
+p AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS g, l
+      FROM tok WHERE len(l) > 0),
+pa_ AS (SELECT doc_id, g FROM p WHERE l[g] = 'spark'),
+pb AS (SELECT doc_id, g FROM p WHERE l[g] = 'vector'),
+pw AS (SELECT doc_id, g FROM p WHERE l[g] = 'window'),
+w AS (SELECT pa_.doc_id,
+             min(greatest(pa_.g, pb.g, pw.g)
+                 - least(pa_.g, pb.g, pw.g) + 1) AS win
+      FROM pa_ JOIN pb USING (doc_id) JOIN pw USING (doc_id)
+      GROUP BY pa_.doc_id)
+SELECT CAST(row_number() OVER (
+         ORDER BY (w.win IS NULL) ASC, w.win ASC,
+                  base.score_e6 DESC, base.doc_id ASC) AS BIGINT) AS rank,
+       base.doc_id, CAST(w.win AS BIGINT) AS win_len, base.score_e6
+FROM base LEFT JOIN w ON base.doc_id = w.doc_id
+ORDER BY rank LIMIT 10""",
+
+        "phrase_suggest": f"""
+WITH toks AS ({_TOKS}),
+dict AS (SELECT DISTINCT term FROM toks),
+c1 AS (SELECT term FROM dict WHERE levenshtein(term, 'vector') <= 1),
+c2 AS (SELECT term FROM dict WHERE levenshtein(term, 'windoe') <= 1),
+tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+            '[^a-z0-9_]+'), x -> x <> '') AS l FROM documents),
+bg AS (SELECT l[g] AS a, l[g + 1] AS b
+       FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS g
+             FROM tok WHERE len(l) >= 2)),
+cnt AS (SELECT a, b, count(*) AS n FROM bg
+        JOIN c1 ON bg.a = c1.term JOIN c2 ON bg.b = c2.term
+        GROUP BY a, b)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, a, b) AS BIGINT) AS rank,
+       a AS term1, b AS term2, CAST(n AS BIGINT) AS n
+FROM cnt ORDER BY rank LIMIT 3""",
+
+        "dedup_savings_report": f"""
+WITH RECURSIVE {_minhash_cte()},
+sets AS (SELECT doc_id, list_distinct(list(CAST(h AS BIGINT))) AS hs
+         FROM shh GROUP BY doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bandh a JOIN bandh b
+           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id),
+pairs AS (SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b,
+                   CAST(floor(len(list_intersect(sa.hs, sb.hs)) * 1.0
+                              / len(list_distinct(sa.hs || sb.hs))
+                              * 1000000 + 0.5) AS BIGINT) AS jaccard_e6
+            FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
+                      JOIN sets sb ON sb.doc_id = cand.doc_b)
+          WHERE jaccard_e6 >= 200000),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(n, r) AS (SELECT n, n FROM nodes
+                UNION
+                SELECT e.b, reach.r FROM reach
+                JOIN edges e ON e.a = reach.n),
+clu AS (SELECT n AS doc_id, min(r) AS rep_id FROM reach GROUP BY n),
+dl AS (SELECT doc_id, len(t) AS n_tokens FROM tok),
+g AS (SELECT c.rep_id, CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(dl.n_tokens) AS BIGINT) AS tokens_total
+      FROM clu c JOIN dl USING (doc_id) GROUP BY c.rep_id)
+SELECT g.rep_id, g.n_members, g.tokens_total,
+       CAST(g.tokens_total - dr.n_tokens AS BIGINT) AS tokens_saved
+FROM g JOIN dl dr ON dr.doc_id = g.rep_id
+ORDER BY tokens_saved DESC, g.rep_id""",
     }

@@ -1007,3 +1007,63 @@ def contamination_matrix(ds: ray.data.Dataset,
                             pa.string()),
         "n_shared": pa.array(acc[order], pa.int64()),
     })
+
+
+def dedup_savings(ds: ray.data.Dataset,
+                  spec: CorpusSpec = DOCUMENTS_SPEC,
+                  min_jaccard: float = 0.5,
+                  **minhash_kwargs) -> pa.Table:
+    """Dedup survivorship report: for every near-duplicate cluster
+    (connected component of the verified pair graph,
+    :func:`dedup_clusters`), how many docs it folds away and how many
+    TOKENS the dedup pass saves — the number a training-data budget
+    actually tracks (docs removed is vanity, tokens removed is cost).
+
+    The cluster table is pair-bounded (tiny); member token lengths come
+    from ONE extra streaming corpus pass restricted to member docs by a
+    broadcast ``is_in`` mask — the corpus is never shuffled and the
+    driver only folds cluster-count rows.
+    -> (rep_id, n_members, tokens_total, tokens_saved) by
+    (tokens_saved desc, rep_id asc)."""
+    import ray
+
+    clusters = dedup_clusters(ds, spec, min_jaccard=min_jaccard,
+                              **minhash_kwargs)
+    rep_of = dict(zip(clusters["doc_id"].to_pylist(),
+                      clusters["rep_id"].to_pylist()))
+    if not rep_of:
+        return pa.table({"rep_id": pa.array([], pa.int64()),
+                         "n_members": pa.array([], pa.int64()),
+                         "tokens_total": pa.array([], pa.int64()),
+                         "tokens_saved": pa.array([], pa.int64())})
+    ids_ref = ray.put(pa.array(sorted(rep_of), pa.int64()))
+
+    def dl_batch(batch: pa.Table) -> pa.Table:
+        b = add_doc_id(batch, spec)
+        m = pc.is_in(b["doc_id"], value_set=ray.get(ids_ref))
+        t = b.filter(m)
+        if not t.num_rows:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("n_tokens", pa.int64())]).empty_table()
+        toks = tokenize_array(t["content"])
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pc.list_value_length(toks).cast(pa.int64()),
+        })
+
+    rows = ds.map_batches(dl_batch, batch_format="pyarrow").take_all()
+    dl = {int(r["doc_id"]): int(r["n_tokens"]) for r in rows}
+    agg: dict[int, list[int]] = {}
+    for d, rep in rep_of.items():
+        a = agg.setdefault(int(rep), [0, 0])
+        a[0] += 1
+        a[1] += dl[int(d)]
+    out = sorted(((rep, n, tot, tot - dl[rep])
+                  for rep, (n, tot) in agg.items()),
+                 key=lambda x: (-x[3], x[0]))
+    return pa.table({
+        "rep_id": pa.array([r[0] for r in out], pa.int64()),
+        "n_members": pa.array([r[1] for r in out], pa.int64()),
+        "tokens_total": pa.array([r[2] for r in out], pa.int64()),
+        "tokens_saved": pa.array([r[3] for r in out], pa.int64()),
+    })

@@ -352,3 +352,65 @@ def span_near(eng: PhraseEngine, term_a: str, term_b: str,
     keep = mins <= slop
     out = sorted(zip(mins[keep].tolist(), ud[keep].tolist()))
     return [(int(d), int(m)) for m, d in out]
+
+
+def proximity_rerank(eng, peng: "PhraseEngine", terms: list[str],
+                     window_k: int = 50, k: int = 10) -> pa.Table:
+    """Proximity reranking — the classic two-phase IR pattern ES
+    expresses as a rescore-with-span query: BM25 retrieves the top
+    ``window_k`` candidates, then the positional sidecar reranks them
+    by the MINIMUM token window containing all query terms (docs
+    missing a term keep their BM25 order after every complete match).
+
+    Cost shape: phase 1 is the normal df-bounded scorer; phase 2 reads
+    positions for |terms| terms (shard-pruned) and restricts them to
+    the window_k candidate docs BEFORE any per-doc work, so the
+    min-window scan touches O(window_k · tf) positions, never the
+    corpus.  -> (rank, doc_id, win_len nullable, score_e6) top-k by
+    (win_len asc NULLS LAST, score_e6 desc, doc_id asc)."""
+    hits = eng.search(terms, k=1 << 62)
+    ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+    e6 = np.floor(np.asarray([s for _, s in hits], dtype=np.float64)
+                  * 1_000_000 + 0.5).astype(np.int64)
+    order = np.lexsort((ids, -e6))[:window_k]
+    ids, e6 = ids[order], e6[order]
+
+    loaded = peng._load_flat(list(dict.fromkeys(terms)))
+    # per candidate doc: merged (position, term_type) lists
+    per_doc: dict[int, list[tuple[int, int]]] = {int(d): [] for d in ids}
+    n_types = len(set(terms))
+    for ti, t in enumerate(dict.fromkeys(terms)):
+        docs, pos = loaded[t]
+        m = np.isin(docs, ids)
+        for d, p in zip(docs[m].tolist(), pos[m].tolist()):
+            per_doc[d].append((p, ti))
+
+    def min_window(evts: list[tuple[int, int]]) -> int | None:
+        evts.sort()
+        need = n_types
+        have: dict[int, int] = {}
+        best = None
+        lo = 0
+        for hi, (p, t) in enumerate(evts):
+            have[t] = have.get(t, 0) + 1
+            while len(have) == need:
+                w = p - evts[lo][0] + 1
+                best = w if best is None else min(best, w)
+                tl = evts[lo][1]
+                have[tl] -= 1
+                if not have[tl]:
+                    del have[tl]
+                lo += 1
+        return best
+
+    wins = [min_window(per_doc[int(d)]) for d in ids]
+    key = sorted(range(ids.size),
+                 key=lambda i: (wins[i] is None,
+                                wins[i] if wins[i] is not None else 0,
+                                -int(e6[i]), int(ids[i])))[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(key) + 1), pa.int64()),
+        "doc_id": pa.array([int(ids[i]) for i in key], pa.int64()),
+        "win_len": pa.array([wins[i] for i in key], pa.int64()),
+        "score_e6": pa.array([int(e6[i]) for i in key], pa.int64()),
+    })

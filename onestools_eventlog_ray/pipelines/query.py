@@ -1349,7 +1349,7 @@ def count_matches(index_dir: str, terms: list[str]) -> pa.Table:
                      "n_docs": pa.array([n_all, n_any], pa.int64())})
 
 
-def suggest_terms(index_dir: str, inputs: list[str],
+def suggest_corrections(index_dir: str, inputs: list[str],
                   k: int = 3) -> pa.Table:
     """ES term suggester ("did you mean"): for each (assumed
     misspelled) input, dictionary terms at Levenshtein distance EXACTLY
@@ -1412,4 +1412,81 @@ def scroll_all(eng: SearchEngine, terms: list[str], k: int = 10,
         "rank": pa.array(out_r, pa.int64()),
         "doc_id": pa.array(out_d, pa.int64()),
         "score_e6": pa.array(out_s, pa.int64()),
+    })
+
+
+def suggest_phrase(index_dir: str, ds, phrase: tuple[str, str],
+                   k: int = 3, content_col: str = "text") -> pa.Table:
+    """ES phrase suggester ("did you mean" for a two-word query):
+    candidate corrections are dictionary terms within Levenshtein
+    distance 1 of each input word (distance 0 included — a correct
+    word can stay), ranked by how often the corrected BIGRAM actually
+    occurs in the corpus — the bigram-LM evidence ES's phrase
+    suggester uses, exact instead of smoothed.
+
+    Scale shape: candidate mining is two :func:`fuzzy_expand`
+    distributed dictionary scans (a handful of terms); the candidate
+    pair set broadcasts via ``ray.put`` and each batch counts ONLY
+    matching bigrams (`is_in` prefilter before the Acero fold), so the
+    shuffle carries at most |c1| x |c2| rows.  Pairs never observed in
+    the corpus are not suggested (count 0 both sides).
+    -> (rank, term1, term2, n) top-k by (n desc, term1, term2)."""
+    import ray
+    import ray.data
+    from onestools_eventlog_ray.functions.analyzer import tokenize_array
+    from ray.data.aggregate import Sum as RSum
+
+    cand_sets = []
+    for w in phrase:
+        cand_sets.append(sorted({r["term"] for r in
+                                 fuzzy_expand(index_dir, w).take_all()}))
+    pairs = [f"{a} {b}" for a in cand_sets[0] for b in cand_sets[1]]
+    empty = pa.table({"rank": pa.array([], pa.int64()),
+                      "term1": pa.array([], pa.string()),
+                      "term2": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    if not pairs:
+        return empty
+    pair_ref = ray.put(pa.array(pairs, pa.string()))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import \
+            pin_worker_threads
+        pin_worker_threads()
+        toks = tokenize_array(batch[content_col])
+        flat = toks.flatten()
+        n_flat = len(flat)
+        out_schema = pa.schema([("bigram", pa.string()),
+                                ("n_p", pa.int64())])
+        if n_flat < 2:
+            return out_schema.empty_table()
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        parent = np.repeat(np.arange(dl.size, dtype=np.int64), dl)
+        same = pa.array(parent[:-1] == parent[1:])
+        w = n_flat - 1
+        joined = pc.binary_join_element_wise(
+            flat.slice(0, w), flat.slice(1, w),
+            pa.scalar(" ", flat.type))   # sep type must match (large_)string
+        joined = joined.filter(same)
+        keep = pc.is_in(joined, value_set=ray.get(pair_ref))
+        t = pa.table({"bigram": joined.filter(keep)})
+        if not t.num_rows:
+            return out_schema.empty_table()
+        return t.group_by("bigram").aggregate([("bigram", "count")]) \
+            .rename_columns(["bigram", "n_p"])
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bigram").aggregate(RSum("n_p", alias_name="n")) \
+        .take_all()
+    rows = sorted(((int(r["n"]), str(r["bigram"])) for r in folded),
+                  key=lambda x: (-x[0], x[1]))[:k]
+    if not rows:
+        return empty
+    t1, t2 = zip(*(b.split(" ", 1) for _, b in rows))
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(rows) + 1), pa.int64()),
+        "term1": pa.array(list(t1), pa.string()),
+        "term2": pa.array(list(t2), pa.string()),
+        "n": pa.array([n for n, _ in rows], pa.int64()),
     })

@@ -415,8 +415,9 @@ def bigram_stats(ds: ray.data.Dataset,
         parent = np.repeat(np.arange(dl.size, dtype=np.int64), dl)
         same = parent[:-1] == parent[1:]
         w = n_flat - 1
-        joined = pc.binary_join_element_wise(flat.slice(0, w),
-                                            flat.slice(1, w), " ")
+        joined = pc.binary_join_element_wise(
+            flat.slice(0, w), flat.slice(1, w),
+            pa.scalar(" ", flat.type))   # sep type must match (large_)string
         t = pa.table({"bigram": joined.filter(pa.array(same))})
         agg = t.group_by("bigram").aggregate([("bigram", "count")])
         return agg.rename_columns(["bigram", "n_p"])
@@ -805,8 +806,9 @@ def bigram_coherence(ds: ray.data.Dataset,
         parent = np.repeat(np.arange(dl.size, dtype=np.int64), dl)
         same = parent[:-1] == parent[1:]
         w = n_flat - 1
-        joined = pc.binary_join_element_wise(flat.slice(0, w),
-                                            flat.slice(1, w), " ")
+        joined = pc.binary_join_element_wise(
+            flat.slice(0, w), flat.slice(1, w),
+            pa.scalar(" ", flat.type))   # sep type must match (large_)string
         bsel = pa.array(same)
         bigrams = joined.filter(bsel)
         firsts = flat.slice(0, w).filter(bsel)

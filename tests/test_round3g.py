@@ -543,7 +543,7 @@ def test_count_matches_bruteforce(g_index, small_corpus):
 
 
 def test_suggest_terms_bruteforce(g_index, small_corpus):
-    from onestools_eventlog_ray.pipelines.query import suggest_terms
+    from onestools_eventlog_ray.pipelines.query import suggest_corrections
 
     def lev1(a, b):
         if abs(len(a) - len(b)) > 1:
@@ -561,7 +561,7 @@ def test_suggest_terms_bruteforce(g_index, small_corpus):
     for txt in small_corpus["content"].to_pylist():
         dfc.update(set(_tok(txt)))
     q = "impart"
-    out = suggest_terms(g_index, [q], k=3).to_pylist()
+    out = suggest_corrections(g_index, [q], k=3).to_pylist()
     exp = sorted(((t, c) for t, c in dfc.items() if lev1(q, t)),
                  key=lambda x: (-x[1], x[0]))[:3]
     assert [(r["term"], r["df"]) for r in out] == exp

@@ -248,3 +248,111 @@ def test_q10_bruteforce():
         assert r["revenue_e4"] == rv
         assert r["c_name"] == cmeta[ck][0]
         assert r["n_name"] == nmap[cmeta[ck][1]]
+
+
+def test_proximity_rerank_bruteforce(h_index, small_corpus_dir):
+    import ray  # noqa: F401
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.phrase import (
+        PhraseEngine, build_position_index, proximity_rerank)
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    build_position_index(small_corpus_dir, h_index,
+                         cfg=EngineConfig(num_partitions=8))
+    eng = SearchEngine(h_index)
+    peng = PhraseEngine(h_index)
+    terms = ["def", "import"]
+    out = proximity_rerank(eng, peng, terms, window_k=30, k=10).to_pylist()
+    # brute-force: same top-30 cut, min window per doc from raw text
+    corpus = pq.read_table(os.path.join(small_corpus_dir))
+    from onestools_eventlog_ray.functions.hashing import doc_id_from_keys
+    ids = doc_id_from_keys(corpus["repo"], corpus["path"],
+                           corpus["commit"]).to_pylist()
+    toks = {d: _tok(t) for d, t in zip(ids, corpus["content"].to_pylist())}
+    hits = eng.search(terms, k=1 << 62)
+    hid = np.asarray([d for d, _ in hits], dtype=np.int64)
+    he6 = np.floor(np.asarray([s for _, s in hits]) * 1e6 + 0.5) \
+        .astype(np.int64)
+    order = np.lexsort((hid, -he6))[:30]
+    cand = hid[order]
+
+    def brute_win(d):
+        tk = toks[d]
+        best = None
+        for i, t in enumerate(tk):
+            if t != terms[0]:
+                continue
+            for j, u in enumerate(tk):
+                if u != terms[1]:
+                    continue
+                w = abs(i - j) + 1
+                best = w if best is None else min(best, w)
+        return best
+
+    wins = {int(d): brute_win(int(d)) for d in cand}
+    exp = sorted(
+        ((int(d), int(s)) for d, s in zip(cand, he6[order])),
+        key=lambda x: (wins[x[0]] is None,
+                       wins[x[0]] if wins[x[0]] is not None else 0,
+                       -x[1], x[0]))[:10]
+    assert [(r["doc_id"], r["win_len"], r["score_e6"]) for r in out] == \
+        [(d, wins[d], s) for d, s in exp]
+
+
+def test_suggest_phrase_synthetic(tmp_path):
+    import ray.data
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.build import build_index
+    from onestools_eventlog_ray.pipelines.query import suggest_phrase
+    from onestools_eventlog_ray.sources.corpus import CorpusSpec
+    docs = pa.table({
+        "repo": pa.array(["r"] * 4), "path": pa.array(["a", "b", "c", "d"]),
+        "commit": pa.array(["c"] * 4), "lang": pa.array(["py"] * 4),
+        "content": pa.array([
+            "cat hat mat cat hat",       # 'cat hat' x2
+            "cat hat bat mat rat",       # 'cat hat' again
+            "bat mat bat hat",           # 'bat mat', 'bat hat'
+            "car hat car mat",           # 'car hat', 'car mat'
+        ]),
+    })
+    src = str(tmp_path / "corpus.parquet")
+    pq.write_table(docs, src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, cfg=EngineConfig(num_partitions=4))
+    out = suggest_phrase(idx, ray.data.read_parquet(src), ("cet", "hat"),
+                         k=5, content_col="content").to_pylist()
+    # candidates for 'cet': cat, car(no: lev2? c-e-t vs c-a-r = 2) -> cat
+    # actually: cat (1 sub), bat? b+at vs c+et = 2 subs -> no
+    # candidates for 'hat': hat, bat, mat, rat, cat
+    # observed bigrams: cat hat(3), bat hat(1), car hat(2)... but term1
+    # must be lev<=1 of 'cet' -> only 'cat': pairs (cat,hat)=3,(cat,?)..
+    want = [(1, "cat", "hat", 3)]
+    assert [(r["rank"], r["term1"], r["term2"], r["n"]) for r in out] == want
+
+
+def test_dedup_savings_consistent():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.dedup import (dedup_clusters,
+                                                        dedup_savings)
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    clusters = dedup_clusters(ds, DOCUMENTS_SPEC, min_jaccard=0.2)
+    out = dedup_savings(ds, DOCUMENTS_SPEC, min_jaccard=0.2).to_pylist()
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    dl = {d: len(_tok(t)) for d, t in zip(tbl["doc_id"].to_pylist(),
+                                          tbl["text"].to_pylist())}
+    want = {}
+    for d, rep in zip(clusters["doc_id"].to_pylist(),
+                      clusters["rep_id"].to_pylist()):
+        a = want.setdefault(rep, [0, 0])
+        a[0] += 1
+        a[1] += dl[d]
+    assert len(out) == len(want)
+    saved = None
+    for r in out:
+        n, tot = want[r["rep_id"]]
+        assert (r["n_members"], r["tokens_total"]) == (n, tot)
+        assert r["tokens_saved"] == tot - dl[r["rep_id"]]
+        assert r["n_members"] >= 2            # clusters come from pairs
+        if saved is not None:                  # output ordering contract
+            assert (-r["tokens_saved"], r["rep_id"]) >= saved
+        saved = (-r["tokens_saved"], r["rep_id"])
