@@ -1103,6 +1103,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.dedup_savings(_documents_ds(sf_dir), DOCUMENTS_SPEC,
                                    min_jaccard=0.2)
 
+    def ann_recall(sf_dir):
+        """ANN self-eval: recall@10 of the bucketed IVF index vs exact
+        brute force, per query — both sides distributed engine paths."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines.ann import (ann_recall_report,
+                                                          build_ann_index)
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        index_dir = _index_dir_for(sf_dir) + "_ann"
+        if not os.path.exists(os.path.join(index_dir, "ann", "_meta.json")):
+            build_ann_index(ray.data.read_parquet(
+                path, columns=["vec_id", "embedding"]),
+                index_dir, dim=64, nbits=6, seed=42)
+        ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        return ann_recall_report(index_dir, ds, [0, 1, 2, 3, 4])
+
+    def kmeans3(sf_dir):
+        """Three chained Lloyd iterations (deterministic init, exact e6
+        integer updates, empty clusters keep their centroid)."""
+        import ray.data
+        emb = ray.data.read_parquet(os.path.join(sf_dir,
+                                                 "embeddings.parquet"),
+                                    columns=["vec_id", "embedding"])
+        return similarity.kmeans_train(emb, k=8, iters=3)
+
     def mlt_search(sf_dir):
         """ES more_like_this: top-5 tf×idf terms of the corpus' first
         doc (idf from index stats, one shard-pruned df lookup) -> BM25
@@ -1869,6 +1893,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": bpe_pairs,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
+        "ann_recall": ann_recall,
+        "kmeans3": kmeans3,
         "proximity_top10": proximity_top10,
         "phrase_suggest": phrase_suggest,
         "dedup_savings_report": dedup_savings_report,
@@ -4081,4 +4107,93 @@ SELECT g.rep_id, g.n_members, g.tokens_total,
        CAST(g.tokens_total - dr.n_tokens AS BIGINT) AS tokens_saved
 FROM g JOIN dl dr ON dr.doc_id = g.rep_id
 ORDER BY tokens_saved DESC, g.rep_id""",
+
+        "ann_recall": f"""
+WITH planes AS (SELECT * FROM (VALUES {_planes_values(64, 6, 42)})
+                AS p(t, j, i, w)),
+e0 AS (SELECT vec_id, unnest(embedding) AS x,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+e AS (SELECT vec_id, i,
+             CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xe
+      FROM e0),
+dots AS (SELECT vec_id, p.j, sum(e.xe * p.w) AS dot
+         FROM e JOIN planes p USING (i) GROUP BY vec_id, p.j),
+buck AS (SELECT vec_id,
+                CAST(sum(CASE WHEN dot > 0 THEN 1 << j ELSE 0 END) AS BIGINT)
+                  AS bucket
+         FROM dots GROUP BY vec_id),
+qs AS (SELECT unnest([0, 1, 2, 3, 4]) AS qid),
+qb AS (SELECT qs.qid, b.bucket FROM qs JOIN buck b ON b.vec_id = qs.qid),
+cand AS (SELECT qb.qid, b.vec_id FROM buck b
+         JOIN qb ON b.vec_id <> qb.qid
+                AND bit_count(xor(b.bucket, qb.bucket)) <= 1),
+qv AS (SELECT qs.qid,
+              list_transform(e2.embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM qs JOIN embeddings e2 ON e2.vec_id = qs.qid),
+allcos AS (SELECT qv.qid, e2.vec_id,
+                  CAST(floor(list_cosine_similarity(
+                      list_transform(e2.embedding, x -> CAST(x AS DOUBLE)),
+                      qv.v) * 1000000 + 0.5) AS BIGINT) AS c6
+           FROM embeddings e2 CROSS JOIN qv WHERE e2.vec_id <> qv.qid),
+exactk AS (SELECT qid, vec_id FROM
+             (SELECT qid, vec_id, row_number() OVER (
+                  PARTITION BY qid ORDER BY c6 DESC, vec_id ASC) AS rn
+              FROM allcos) WHERE rn <= 10),
+annk AS (SELECT qid, vec_id FROM
+           (SELECT a.qid, a.vec_id, row_number() OVER (
+                PARTITION BY a.qid ORDER BY a.c6 DESC, a.vec_id ASC) AS rn
+            FROM allcos a JOIN cand USING (qid, vec_id)) WHERE rn <= 10),
+hits AS (SELECT e.qid, count(*) AS h FROM exactk e
+         JOIN annk USING (qid, vec_id) GROUP BY e.qid)
+SELECT CAST(qs.qid AS BIGINT) AS query_id,
+       CAST(coalesce(h, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h, 0) * 1000000 // 10 AS BIGINT) AS recall_e6
+FROM qs LEFT JOIN hits ON hits.qid = qs.qid
+ORDER BY query_id""",
+
+        "kmeans3": """
+WITH e0 AS (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings),
+e AS (SELECT vec_id, i,
+             CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xe
+      FROM e0),
+ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS ck
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+c0 AS (SELECT ids.ck, e.i, e.xe AS ce FROM ids JOIN e USING (vec_id)),
+d1 AS (SELECT e.vec_id, c.ck, sum((e.xe - c.ce) * (e.xe - c.ce)) AS d2
+       FROM e JOIN c0 c USING (i) GROUP BY e.vec_id, c.ck),
+a1 AS (SELECT vec_id, ck FROM
+         (SELECT vec_id, ck, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d2 ASC, ck ASC) AS rn FROM d1)
+       WHERE rn = 1),
+s1 AS (SELECT a1.ck, e.i, sum(e.xe) AS s, count(*) AS n
+       FROM a1 JOIN e USING (vec_id) GROUP BY a1.ck, e.i),
+c1 AS (SELECT c0.ck, c0.i,
+              coalesce(CAST(s1.s // s1.n AS BIGINT), c0.ce) AS ce
+       FROM c0 LEFT JOIN s1 ON s1.ck = c0.ck AND s1.i = c0.i),
+d2_ AS (SELECT e.vec_id, c.ck, sum((e.xe - c.ce) * (e.xe - c.ce)) AS d2
+        FROM e JOIN c1 c USING (i) GROUP BY e.vec_id, c.ck),
+a2 AS (SELECT vec_id, ck FROM
+         (SELECT vec_id, ck, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d2 ASC, ck ASC) AS rn FROM d2_)
+       WHERE rn = 1),
+s2 AS (SELECT a2.ck, e.i, sum(e.xe) AS s, count(*) AS n
+       FROM a2 JOIN e USING (vec_id) GROUP BY a2.ck, e.i),
+c2 AS (SELECT c1.ck, c1.i,
+              coalesce(CAST(s2.s // s2.n AS BIGINT), c1.ce) AS ce
+       FROM c1 LEFT JOIN s2 ON s2.ck = c1.ck AND s2.i = c1.i),
+d3 AS (SELECT e.vec_id, c.ck, sum((e.xe - c.ce) * (e.xe - c.ce)) AS d2
+       FROM e JOIN c2 c USING (i) GROUP BY e.vec_id, c.ck),
+a3 AS (SELECT vec_id, ck FROM
+         (SELECT vec_id, ck, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d2 ASC, ck ASC) AS rn FROM d3)
+       WHERE rn = 1),
+s3 AS (SELECT a3.ck, e.i, sum(e.xe) AS s, count(*) AS n
+       FROM a3 JOIN e USING (vec_id) GROUP BY a3.ck, e.i),
+c3 AS (SELECT c2.ck, c2.i,
+              coalesce(CAST(s3.s // s3.n AS BIGINT), c2.ce) AS ce
+       FROM c2 LEFT JOIN s3 ON s3.ck = c2.ck AND s3.i = c2.i)
+SELECT CAST(ck AS BIGINT) AS ck, CAST(i - 1 AS BIGINT) AS dim,
+       CAST(ce AS BIGINT) AS c_e6
+FROM c3 ORDER BY ck, dim""",
     }

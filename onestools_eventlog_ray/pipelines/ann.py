@@ -207,3 +207,57 @@ def score_ann_queries(index_dir: str, queries, k: int = 10,
                                batch_size=batch_size,
                                fn_kwargs=dict(index_dir=index_dir, k=k,
                                               hamming=hamming))
+
+
+def ann_recall_report(index_dir: str, ds, query_ids: list[int],
+                      k: int = 10, hamming: int = 1,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> pa.Table:
+    """ANN self-evaluation — recall@k of the bucketed (IVF-style) index
+    against exact brute force, per query: the measure-don't-guess
+    number that decides whether ``nbits``/``hamming`` are good enough
+    before a 10^12-vector deployment.
+
+    Both sides are the engine's own distributed paths: exact top-k via
+    :func:`~onestools_eventlog_ray.pipelines.similarity.knn_cosine`
+    (broadcast query matrix, per-batch local top-k) and ANN top-k via
+    :func:`score_ann_queries` (pruned probe-bucket reads); the driver
+    only intersects two k-sized id lists per query.
+    -> (query_id, n_hits, recall_e6) ordered by query_id."""
+    import ray.data
+    from onestools_eventlog_ray.pipelines.similarity import knn_cosine
+
+    qids = [int(q) for q in query_ids]
+    idl = ", ".join(str(q) for q in qids) or "-1"
+    rows = ds.filter(expr=f"{id_col} in [{idl}]") \
+        .select_columns([id_col, vec_col]).take_all()
+    vec_of = {int(r[id_col]): np.asarray(r[vec_col], dtype=np.float64)
+              for r in rows}
+    qmat = np.stack([vec_of[q] for q in qids])
+
+    # exact: top-(k+1) then drop self (self is always cosine 1.0)
+    exact = knn_cosine(ds, qmat, k=k + 1, id_col=id_col, vec_col=vec_col)
+    exact_ids: dict[int, set] = {q: set() for q in qids}
+    for qi, vid in zip(exact["query_idx"].to_pylist(),
+                       exact["vec_id"].to_pylist()):
+        q = qids[int(qi)]
+        s = exact_ids[q]
+        if int(vid) != q and len(s) < k:
+            s.add(int(vid))
+
+    ann = score_ann_queries(
+        index_dir,
+        [{"query_id": q, "embedding": vec_of[q].tolist(), "exclude_id": q}
+         for q in qids], k=k, hamming=hamming).take_all()
+    ann_ids: dict[int, set] = {q: set() for q in qids}
+    for r in ann:
+        ann_ids[int(r["query_id"])].add(int(r["vec_id"]))
+
+    hits = [len(exact_ids[q] & ann_ids[q]) for q in qids]
+    order = np.argsort(np.asarray(qids, dtype=np.int64), kind="stable")
+    return pa.table({
+        "query_id": pa.array([qids[i] for i in order], pa.int64()),
+        "n_hits": pa.array([hits[i] for i in order], pa.int64()),
+        "recall_e6": pa.array([hits[i] * 10 ** 6 // k for i in order],
+                              pa.int64()),
+    })

@@ -712,3 +712,45 @@ def pq_codes(ds: ray.data.Dataset, m: int = 4, ksub: int = 8,
 
     return ds.select_columns([id_col, vec_col]) \
         .map_batches(encode, batch_format="pyarrow")
+
+
+def kmeans_train(ds: ray.data.Dataset, k: int = 8, iters: int = 3,
+                 id_col: str = "vec_id", vec_col: str = "embedding"
+                 ) -> pa.Table:
+    """Multi-iteration Lloyd k-means — the iterative-training loop a
+    coarse quantizer (IVF) or corpus clusterer actually runs, built by
+    chaining :func:`kmeans_step`: deterministic init (the ``k``
+    lowest-id vectors, same local-k fold as :func:`semdedup`), then
+    ``iters`` rounds of broadcast-assign + partial-fold + driver-side
+    centroid update.  Per round the cluster traffic is O(k x d) rows
+    per batch; the corpus streams, never shuffles.
+
+    Exactness: centroids stay e6 ints; the update is
+    ``trunc(sum_e6 / n)`` (toward zero, matching DuckDB ``//``), and
+    empty clusters keep their previous centroid — every iteration is
+    bit-reproducible across cluster sizes and identical to the SQL
+    oracle's unrolled iterations.  -> (ck, dim, c_e6)."""
+    def lowest(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")[:k]
+        return batch.take(pa.array(order))
+
+    cand = ds.select_columns([id_col, vec_col]) \
+        .map_batches(lowest, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: r[id_col])
+    cents = quantize_e6(np.asarray([r[vec_col] for r in cand[:k]],
+                                   dtype=np.float64))
+    for _ in range(iters):
+        folded = kmeans_step(ds, cents, vec_col=vec_col).take_all()
+        new = cents.copy()
+        for r in folded:
+            s, n = int(r["sum_e6"]), int(r["n"])
+            q = abs(s) // n
+            new[int(r["k"]), int(r["dim"])] = -q if s < 0 else q
+        cents = new
+    kk, dd = cents.shape
+    return pa.table({
+        "ck": pa.array(np.repeat(np.arange(kk, dtype=np.int64), dd)),
+        "dim": pa.array(np.tile(np.arange(dd, dtype=np.int64), kk)),
+        "c_e6": pa.array(cents.ravel(), pa.int64()),
+    })

@@ -356,3 +356,70 @@ def test_dedup_savings_consistent():
         if saved is not None:                  # output ordering contract
             assert (-r["tokens_saved"], r["rep_id"]) >= saved
         saved = (-r["tokens_saved"], r["rep_id"])
+
+
+def test_ann_recall_bruteforce(tmp_path):
+    import ray.data
+    from onestools_eventlog_ray.pipelines.ann import (ann_recall_report,
+                                                      build_ann_index,
+                                                      probe_buckets)
+    from onestools_eventlog_ray.pipelines.similarity import (lsh_planes,
+                                                             quantize_e6)
+    src = os.path.join(SF_DIR, "embeddings.parquet")
+    idx = str(tmp_path / "ann_idx")
+    ds = ray.data.read_parquet(src, columns=["vec_id", "embedding"])
+    build_ann_index(ds, idx, dim=64, nbits=6, seed=42)
+    out = ann_recall_report(idx, ds, [3, 1, 4], k=10).to_pylist()
+
+    tbl = pq.read_table(src, columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    planes = lsh_planes(64, 6, 42)
+    signs = (quantize_e6(m) @ planes.T) > 0
+    bucket = (signs * (1 << np.arange(6))).sum(axis=1)
+
+    assert [r["query_id"] for r in out] == [1, 3, 4]
+    for r in out:
+        q = r["query_id"]
+        qi = int(np.flatnonzero(ids == q)[0])
+        cos = mn @ mn[qi]
+        e6 = np.floor(cos * 1e6 + 0.5).astype(np.int64)
+        mask = ids != q
+        order = np.lexsort((ids[mask], -e6[mask]))[:10]
+        exact = set(ids[mask][order].tolist())
+        probes = set(probe_buckets(int(bucket[qi]), 6, 1))
+        cmask = mask & np.isin(bucket, list(probes))
+        corder = np.lexsort((ids[cmask], -e6[cmask]))[:10]
+        ann = set(ids[cmask][corder].tolist())
+        hits = len(exact & ann)
+        assert r["n_hits"] == hits
+        assert r["recall_e6"] == hits * 10 ** 6 // 10
+
+
+def test_kmeans_train_bruteforce(emb_small):
+    import ray.data
+    from onestools_eventlog_ray.pipelines.similarity import kmeans_train
+    out = kmeans_train(ray.data.from_arrow(emb_small), k=3, iters=2) \
+        .to_pylist()
+    ids = emb_small["vec_id"].to_pylist()
+    x = np.asarray([[int(floor(float(v) * 1e6 + 0.5)) for v in row]
+                    for row in emb_small["embedding"].to_pylist()],
+                   dtype=np.int64)
+    cents = x[np.argsort(ids)[:3]].copy()
+    for _ in range(2):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        new = cents.copy()
+        for c in range(3):
+            pts = x[a == c]
+            if len(pts):
+                s = pts.sum(axis=0)
+                q = np.abs(s) // len(pts)
+                new[c] = np.where(s < 0, -q, q)
+        cents = new
+    got = {(r["ck"], r["dim"]): r["c_e6"] for r in out}
+    assert len(got) == 3 * x.shape[1]
+    for c in range(3):
+        for d in range(x.shape[1]):
+            assert got[(c, d)] == int(cents[c, d])
