@@ -1127,6 +1127,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     columns=["vec_id", "embedding"])
         return similarity.kmeans_train(emb, k=8, iters=3)
 
+    def hybrid_search(sf_dir):
+        """ES 8.x RRF retriever: BM25 top-50 + cosine-kNN top-50 fused
+        by integer-floored reciprocal ranks."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines.hybrid import hybrid_rrf
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        eng = SearchEngine(_ensure_index(sf_dir))
+        emb = ray.data.read_parquet(os.path.join(sf_dir,
+                                                 "embeddings.parquet"),
+                                    columns=["vec_id", "embedding"])
+        return hybrid_rrf(eng, emb, _BM25_TERMS, query_vec_id=0)
+
+    def related_terms(sf_dir):
+        """Related searches: significant_terms with the foreground set
+        = docs matching 'spark' (df-bounded posting read, broadcast)."""
+        from onestools_eventlog_ray.functions import codec
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        eng = SearchEngine(_ensure_index(sf_dir))
+        loaded = eng.load_terms(["spark"])
+        fg = codec.decode_posting(loaded["spark"][1]).doc_ids \
+            if "spark" in loaded else []
+        return text.significant_terms(_documents_ds(sf_dir),
+                                      DOCUMENTS_SPEC, min_df_fg=5, k=10,
+                                      fg_doc_ids=fg)
+
     def mlt_search(sf_dir):
         """ES more_like_this: top-5 tf×idf terms of the corpus' first
         doc (idf from index stats, one shard-pruned df lookup) -> BM25
@@ -1893,6 +1918,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": bpe_pairs,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
+        "hybrid_search": hybrid_search,
+        "related_terms": related_terms,
         "ann_recall": ann_recall,
         "kmeans3": kmeans3,
         "proximity_top10": proximity_top10,
@@ -4196,4 +4223,47 @@ c3 AS (SELECT c2.ck, c2.i,
 SELECT CAST(ck AS BIGINT) AS ck, CAST(i - 1 AS BIGINT) AS dim,
        CAST(ce AS BIGINT) AS c_e6
 FROM c3 ORDER BY ck, dim""",
+
+        "hybrid_search": f"""
+WITH base AS ({_bm25_sql(_BM25_TERMS, k=50)}),
+qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings WHERE vec_id = 0),
+cosr AS (SELECT vec_id AS doc_id,
+                CAST(row_number() OVER (ORDER BY c6 DESC, vec_id ASC)
+                     AS BIGINT) AS rank
+         FROM (SELECT e2.vec_id,
+                      CAST(floor(list_cosine_similarity(
+                          list_transform(e2.embedding,
+                                         x -> CAST(x AS DOUBLE)),
+                          (SELECT v FROM qv)) * 1000000 + 0.5) AS BIGINT)
+                        AS c6
+               FROM embeddings e2 WHERE e2.vec_id <> 0)),
+knn AS (SELECT doc_id, rank FROM cosr WHERE rank <= 50),
+fused AS (SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+                 coalesce(1000000000 // (60 + b.rank), 0)
+                 + coalesce(1000000000 // (60 + c.rank), 0) AS rrf_e9,
+                 b.rank AS bm25_rank, c.rank AS knn_rank
+          FROM base b FULL OUTER JOIN knn c ON b.doc_id = c.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY rrf_e9 DESC, doc_id ASC)
+            AS BIGINT) AS rank,
+       doc_id, CAST(rrf_e9 AS BIGINT) AS rrf_e9,
+       CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(knn_rank AS BIGINT) AS knn_rank
+FROM fused ORDER BY rrf_e9 DESC, doc_id ASC LIMIT 10""",
+
+        "related_terms": f"""
+WITH toks AS ({_TOKS}),
+pt AS (SELECT term, doc_id FROM toks GROUP BY term, doc_id),
+fg AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+n AS (SELECT count(*) AS nd FROM documents),
+nfg AS (SELECT count(*) AS nf FROM fg),
+ag AS (SELECT pt.term, CAST(count(*) AS BIGINT) AS df,
+              CAST(sum(CASE WHEN fg.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS df_fg
+       FROM pt LEFT JOIN fg ON pt.doc_id = fg.doc_id GROUP BY pt.term)
+SELECT term, df_fg, df,
+       (2 * df_fg * (SELECT nd FROM n) * 1000000 + (SELECT nf FROM nfg) * df)
+         // (2 * (SELECT nf FROM nfg) * df) AS lift_e6
+FROM ag WHERE df_fg >= 5
+ORDER BY lift_e6 DESC, df_fg DESC, term ASC LIMIT 10""",
     }

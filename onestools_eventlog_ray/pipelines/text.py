@@ -518,7 +518,8 @@ def lm_scores(ds: ray.data.Dataset,
 def significant_terms(ds: ray.data.Dataset,
                       spec: CorpusSpec = DOCUMENTS_SPEC,
                       fg_col: str = "lang", fg_value: str = "de",
-                      min_df_fg: int = 5, k: int = 10) -> ray.data.Dataset:
+                      min_df_fg: int = 5, k: int = 10,
+                      fg_doc_ids=None) -> ray.data.Dataset:
     """ES ``significant_terms`` aggregation: terms over-represented in a
     FOREGROUND slice (``fg_col == fg_value``) vs the whole corpus,
     scored by exact-integer lift
@@ -529,14 +530,25 @@ def significant_terms(ds: ray.data.Dataset,
     ONE corpus pass: each batch emits per-term partial (df, df_fg)
     counts plus a sentinel row carrying the batch's (n_docs, n_fg);
     only vocab-sized partials shuffle.  -> top-k
-    (term, df_fg, df, lift_e6) by (lift desc, df_fg desc, term asc)."""
+    (term, df_fg, df, lift_e6) by (lift desc, df_fg desc, term asc).
+
+    ``fg_doc_ids`` (an int64 id array) replaces the column predicate
+    with an explicit foreground doc set — e.g. the docs matching a
+    query term (the "related searches" use: postings give the
+    df-bounded foreground, broadcast once via ``ray.put``)."""
+    import ray
     _SENT = "\x00__docs__"
+    fg_ref = ray.put(pa.array(fg_doc_ids, pa.int64())) \
+        if fg_doc_ids is not None else None
 
     def partial(batch: pa.Table) -> pa.Table:
         from onestools_eventlog_ray.functions.analyzer import doc_term_table
         b = add_doc_id(batch, spec)
         triples, _ = doc_term_table(b["doc_id"], b["content"])
-        fg_mask = pc.equal(batch[fg_col], fg_value)
+        if fg_ref is not None:
+            fg_mask = pc.is_in(b["doc_id"], value_set=ray.get(fg_ref))
+        else:
+            fg_mask = pc.equal(batch[fg_col], fg_value)
         fg_ids = pa.table({"doc_id": batch[spec.id_col or "doc_id"]}) \
             .filter(fg_mask)["doc_id"]
         in_fg = pc.is_in(triples["doc_id"], value_set=fg_ids.combine_chunks())

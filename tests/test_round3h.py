@@ -423,3 +423,78 @@ def test_kmeans_train_bruteforce(emb_small):
     for c in range(3):
         for d in range(x.shape[1]):
             assert got[(c, d)] == int(cents[c, d])
+
+
+def test_hybrid_rrf_bruteforce(h_index, small_corpus):
+    import ray.data
+    from onestools_eventlog_ray.pipelines.hybrid import hybrid_rrf
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    # synthetic embedding table sharing the BM25 doc_id space
+    from onestools_eventlog_ray.functions.hashing import doc_id_from_keys
+    ids = doc_id_from_keys(small_corpus["repo"], small_corpus["path"],
+                           small_corpus["commit"]).to_pylist()[:40]
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(40, 16))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    emb = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array([list(r) for r in
+                                           m.astype(np.float32)],
+                                          pa.list_(pa.float32()))})
+    eng = SearchEngine(h_index)
+    out = hybrid_rrf(eng, ray.data.from_arrow(emb), ["def", "import"],
+                     query_vec_id=ids[0], k=8, window=10).to_pylist()
+    # brute force both components
+    hits = eng.search(["def", "import"], k=1 << 62)
+    hid = np.asarray([d for d, _ in hits], dtype=np.int64)
+    he6 = np.floor(np.asarray([s for _, s in hits]) * 1e6 + 0.5) \
+        .astype(np.int64)
+    order = np.lexsort((hid, -he6))[:10]
+    br = {int(hid[i]): r for r, i in enumerate(order, 1)}
+    q = np.asarray(emb["embedding"][0].as_py(), dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    mm = np.asarray([list(map(float, v)) for v in
+                     emb["embedding"].to_pylist()], dtype=np.float64)
+    mm /= np.linalg.norm(mm, axis=1, keepdims=True)
+    cos = mm @ qn
+    vid = np.asarray(ids, dtype=np.int64)
+    mask = vid != ids[0]
+    o2 = np.lexsort((vid[mask], -cos[mask]))[:10]
+    kr = {int(vid[mask][i]): r for r, i in enumerate(o2, 1)}
+    fused = sorted((( (10**9 // (60 + br[d]) if d in br else 0)
+                    + (10**9 // (60 + kr[d]) if d in kr else 0), -d)
+                    for d in set(br) | set(kr)), reverse=True)[:8]
+    assert [(r["rrf_e9"], -r["doc_id"]) for r in out] == fused
+    # every fused row carries its component ranks
+    for r in out:
+        assert r["bm25_rank"] == br.get(r["doc_id"])
+        assert r["knn_rank"] == kr.get(r["doc_id"])
+
+
+def test_significant_terms_fg_ids():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.text import significant_terms
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    fg_ids = [d for d, t in zip(tbl["doc_id"].to_pylist(),
+                                tbl["text"].to_pylist())
+              if "spark" in _tok(t)]
+    out = significant_terms(
+        ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet")),
+        min_df_fg=5, k=10, fg_doc_ids=fg_ids).take_all()
+    # brute force the lift ranking
+    n_docs = tbl.num_rows
+    n_fg = len(fg_ids)
+    fg = set(fg_ids)
+    df = Counter()
+    dfg = Counter()
+    for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        for term in set(_tok(t)):
+            df[term] += 1
+            if d in fg:
+                dfg[term] += 1
+    rows = [(t, dfg[t], df[t],
+             (2 * dfg[t] * n_docs * 10**6 + n_fg * df[t])
+             // (2 * n_fg * df[t]))
+            for t in df if dfg[t] >= 5]
+    rows.sort(key=lambda x: (-x[3], -x[1], x[0]))
+    assert [(r["term"], r["df_fg"], r["df"], r["lift_e6"])
+            for r in out] == rows[:10]
