@@ -1152,6 +1152,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                       DOCUMENTS_SPEC, min_df_fg=5, k=10,
                                       fg_doc_ids=fg)
 
+    def rag_chunk_table(sf_dir):
+        """RAG corpus prep: sliding 32-token windows (stride 16) per
+        doc, md5-fingerprinted — vectorized per chunk INDEX."""
+        return text.rag_chunks(_documents_ds(sf_dir)) \
+            .sort(["doc_id", "chunk_id"])
+
+    def langid_eval(sf_dir):
+        """Trained char-trigram language ID: per-lang top-20 trigram
+        profiles from the doc_id%5!=0 split, holdout docs classified by
+        distinct-trigram overlap (all langs scored, exact ints)."""
+        return text.langid_trained(_documents_ds(sf_dir)).sort("doc_id")
+
+    def containment_pairs(sf_dir):
+        """Near-subset detection: MinHash candidates verified by exact
+        shingle CONTAINMENT |A∩B|/min(|A|,|B|) — catches quote/wrapper
+        duplication symmetric Jaccard misses."""
+        return dedup.minhash_verified_pairs(
+            _documents_ds(sf_dir), DOCUMENTS_SPEC, min_jaccard=0.5,
+            metric="containment").sort(["doc_a", "doc_b"])
+
     def mlt_search(sf_dir):
         """ES more_like_this: top-5 tf×idf terms of the corpus' first
         doc (idf from index stats, one shard-pruned df lookup) -> BM25
@@ -1918,6 +1938,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": bpe_pairs,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
+        "rag_chunk_table": rag_chunk_table,
+        "langid_eval": langid_eval,
+        "containment_pairs": containment_pairs,
         "hybrid_search": hybrid_search,
         "related_terms": related_terms,
         "ann_recall": ann_recall,
@@ -4266,4 +4289,62 @@ SELECT term, df_fg, df,
          // (2 * (SELECT nf FROM nfg) * df) AS lift_e6
 FROM ag WHERE df_fg >= 5
 ORDER BY lift_e6 DESC, df_fg DESC, term ASC LIMIT 10""",
+
+        "rag_chunk_table": """
+WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9_]+'), x -> x <> '') AS l FROM documents),
+c AS (SELECT doc_id, l, g AS chunk_id
+      FROM tok, generate_series(0, 63) t(g) WHERE g * 16 < len(l))
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(least(32, len(l) - chunk_id * 16) AS BIGINT) AS n_tokens,
+       CAST(md5_number_lower(array_to_string(
+           l[CAST(chunk_id * 16 + 1 AS BIGINT):
+             CAST(chunk_id * 16 + 32 AS BIGINT)], ' ')) >> 1
+            AS BIGINT) AS chunk_h
+FROM c ORDER BY doc_id, chunk_id""",
+
+        "langid_eval": f"""
+WITH toks AS ({_TOKS}),
+tri AS (SELECT t.doc_id, substr(term, CAST(i AS INTEGER), 3) AS tri
+        FROM toks t, generate_series(1, 256) s(i)
+        WHERE i <= len(term) - 2),
+train AS (SELECT tri.tri, d.lang, count(*) AS n
+          FROM tri JOIN documents d USING (doc_id)
+          WHERE d.doc_id % 5 <> 0 GROUP BY tri.tri, d.lang),
+prof AS (SELECT lang, tri FROM
+           (SELECT lang, tri, row_number() OVER (
+                PARTITION BY lang ORDER BY n DESC, tri ASC) AS rn
+            FROM train) WHERE rn <= 20),
+langs AS (SELECT DISTINCT lang FROM train),
+hold AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+dtri AS (SELECT DISTINCT tri.doc_id, tri.tri FROM tri
+         JOIN hold USING (doc_id)),
+overl AS (SELECT dt.doc_id, p.lang, count(*) AS score
+          FROM dtri dt JOIN prof p ON dt.tri = p.tri
+          GROUP BY dt.doc_id, p.lang),
+sc AS (SELECT h.doc_id, l.lang, coalesce(o.score, 0) AS score
+       FROM hold h CROSS JOIN langs l
+       LEFT JOIN overl o ON o.doc_id = h.doc_id AND o.lang = l.lang)
+SELECT doc_id, lang AS pred_lang, CAST(score AS BIGINT) AS score
+FROM (SELECT doc_id, lang, score, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+      FROM sc)
+WHERE rn = 1 ORDER BY doc_id""",
+
+        "containment_pairs": f"""
+WITH {_minhash_cte()},
+sets AS (SELECT doc_id, list_distinct(list(CAST(h AS BIGINT))) AS hs
+         FROM shh GROUP BY doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bandh a JOIN bandh b
+           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id),
+j AS (SELECT doc_a, doc_b,
+        CAST(floor(len(list_intersect(sa.hs, sb.hs)) * 1.0
+                   / least(len(sa.hs), len(sb.hs)) * 1000000 + 0.5)
+             AS BIGINT) AS containment_e6
+      FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
+                JOIN sets sb ON sb.doc_id = cand.doc_b)
+SELECT doc_a, doc_b, containment_e6 FROM j
+WHERE containment_e6 >= 500000 ORDER BY doc_a, doc_b""",
     }

@@ -343,16 +343,27 @@ _PAIRS_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
 
 
 def _verify_bucket_pairs(min_jaccard_e6: int,
-                         bucket_cap: int = VERIFY_BUCKET_CAP):
+                         bucket_cap: int = VERIFY_BUCKET_CAP,
+                         metric: str = "jaccard"):
     """map_groups fn: one LSH bucket's (doc_id, shingle set) rows ->
-    in-bucket exact-Jaccard pairs >= threshold.  Each task sees ONLY its
-    bucket; buckets above ``bucket_cap`` docs are chunk-split (see
-    :data:`VERIFY_BUCKET_CAP`)."""
+    in-bucket exact-similarity pairs >= threshold.  Each task sees ONLY
+    its bucket; buckets above ``bucket_cap`` docs are chunk-split (see
+    :data:`VERIFY_BUCKET_CAP`).
+
+    ``metric``: ``jaccard`` = |A∩B| / |A∪B| (symmetric near-dup);
+    ``containment`` = |A∩B| / min(|A|, |B|) — detects when one doc is a
+    near-SUBSET of another (quotes, boilerplate wrappers), which
+    Jaccard misses whenever the sizes differ a lot."""
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
+    col = f"{metric}_e6"
+    schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                        (col, pa.int64())])
 
     def fn(group: pa.Table) -> pa.Table:
         ids = group["doc_id"].to_numpy(zero_copy_only=False)
         if ids.size == 0:
-            return _PAIRS_SCHEMA.empty_table()
+            return schema.empty_table()
         order = np.argsort(ids, kind="stable")
         # a doc can appear once per band row; shingle sets identical
         uniq_idx = order[np.concatenate(([True], np.diff(ids[order]) != 0))] \
@@ -377,17 +388,20 @@ def _verify_bucket_pairs(min_jaccard_e6: int,
             c1 = min(c0 + bucket_cap, n)
             for i in range(c0, c1):
                 for j in range(i + 1, c1):
-                    union = len(sets[i] | sets[j])
                     inter = len(sets[i] & sets[j])
-                    e6 = int(np.floor(inter / union * 1_000_000 + 0.5)) \
-                        if union else 0
+                    if metric == "jaccard":
+                        denom = len(sets[i] | sets[j])
+                    else:
+                        denom = min(len(sets[i]), len(sets[j]))
+                    e6 = int(np.floor(inter / denom * 1_000_000 + 0.5)) \
+                        if denom else 0
                     if e6 >= min_jaccard_e6:
                         da.append(int(ids_u[i]))
                         db.append(int(ids_u[j]))
                         je6.append(e6)
         return pa.table({"doc_a": pa.array(da, pa.int64()),
                          "doc_b": pa.array(db, pa.int64()),
-                         "jaccard_e6": pa.array(je6, pa.int64())})
+                         col: pa.array(je6, pa.int64())})
 
     return fn
 
@@ -397,11 +411,17 @@ def minhash_verified_pairs(ds: ray.data.Dataset,
                            shingle_k: int = 5, num_perm: int = 64,
                            bands: int = 16, min_jaccard: float = 0.5,
                            concurrency=(1, 4),
-                           bucket_cap: int | None = None) -> ray.data.Dataset:
-    """LSH-candidate near-dup pairs verified by exact shingle-set Jaccard,
-    fully distributed (no driver-side pair loop, no corpus materialize).
+                           bucket_cap: int | None = None,
+                           metric: str = "jaccard") -> ray.data.Dataset:
+    """LSH-candidate near-dup pairs verified by exact shingle-set
+    similarity, fully distributed (no driver-side pair loop, no corpus
+    materialize).  ``metric='containment'`` swaps the in-bucket
+    predicate for |A∩B| / min(|A|,|B|) — near-subset detection (recall
+    caveat: candidates still come from Jaccard-tuned MinHash bands, so
+    a tiny doc inside a huge one may not collide; raise ``bands`` /
+    lower rows-per-band for containment workloads).
 
-    -> (doc_a < doc_b, jaccard_e6) with jaccard >= min_jaccard, unique.
+    -> (doc_a < doc_b, <metric>_e6) >= min_jaccard threshold, unique.
     """
     mh = dict(spec=spec, shingle_k=shingle_k, num_perm=num_perm, bands=bands)
     # pass 1: band rows, MATERIALIZED (narrow int64 triples) so the
@@ -423,7 +443,9 @@ def minhash_verified_pairs(ds: ray.data.Dataset,
         np.asarray([r["band_id"] for r in key_tbl], dtype=np.int64),
         np.asarray([r["band_hash"] for r in key_tbl], dtype=np.int64))
     if keys.size == 0:
-        return ray.data.from_arrow(_PAIRS_SCHEMA.empty_table())
+        return ray.data.from_arrow(pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+             (f"{metric}_e6", pa.int64())]).empty_table())
     keys_ref = ray.put(np.unique(keys))
 
     # candidate docs = docs appearing in ANY colliding bucket (projected
@@ -449,12 +471,14 @@ def minhash_verified_pairs(ds: ray.data.Dataset,
                                      "doc_filter": cand_ref,
                                      "bucket_filter": keys_ref})
     e6 = int(np.floor(min_jaccard * 1_000_000 + 0.5))
+    col = f"{metric}_e6"
     pairs = cand.groupby(["band_id", "band_hash"]) \
-        .map_groups(_verify_bucket_pairs(e6, bucket_cap or VERIFY_BUCKET_CAP),
+        .map_groups(_verify_bucket_pairs(e6, bucket_cap or VERIFY_BUCKET_CAP,
+                                         metric=metric),
                     batch_format="pyarrow")
-    # a pair found in several buckets has the same exact jaccard -> dedupe
+    # a pair found in several buckets has the same exact similarity -> dedupe
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("jaccard_e6", alias_name="jaccard_e6"))
+        Max(col, alias_name=col))
 
 
 def ngram_jaccard_pairs(ds: ray.data.Dataset,

@@ -1282,3 +1282,161 @@ def bpe_pair_counts(ds: ray.data.Dataset,
                          "n": pa.array(n[order], pa.int64())})
 
     return folded.repartition(1).map_batches(topk, batch_format="pyarrow")
+
+
+def rag_chunks(ds: ray.data.Dataset,
+               spec: CorpusSpec = DOCUMENTS_SPEC,
+               size: int = 32, stride: int = 16,
+               max_chunks: int = 64) -> ray.data.Dataset:
+    """Sliding-window token chunking — the retrieval-corpus prep step
+    (RAG / passage indexing): split every document into ``size``-token
+    windows advancing by ``stride`` (the final short window is kept),
+    fingerprinting each chunk so downstream dedup/indexing can key on
+    it without re-shipping text.
+
+    Vectorized per chunk INDEX, not per chunk: iteration ``c`` slices
+    all docs at once (``pc.list_slice`` + ``binary_join``) and drops
+    docs already exhausted, so the batch does ``O(max chunks/doc)``
+    Arrow kernel calls regardless of row count.  One streaming pass, no
+    shuffle.  -> (doc_id, chunk_id, n_tokens, chunk_h) where chunk_h =
+    ``md5_lower64(tokens joined by ' ') >> 1``."""
+    from onestools_eventlog_ray.functions.fasthash import md5_lower64
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = add_doc_id(batch, spec)
+        toks = tokenize_array(b["content"])
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sep = pa.scalar(" ", toks.type.value_type)
+        parts = []
+        for c in range(max_chunks):
+            start = c * stride
+            alive = dl > start
+            if not alive.any():
+                break
+            sl = pc.list_slice(toks, start, start + size)
+            joined = pc.binary_join(sl, sep)
+            keep = pa.array(alive)
+            h = (md5_lower64(joined.filter(keep))
+                 >> np.uint64(1)).astype(np.int64)
+            parts.append(pa.table({
+                "doc_id": b["doc_id"].filter(keep),
+                "chunk_id": pa.array(
+                    np.full(int(alive.sum()), c, dtype=np.int64)),
+                "n_tokens": pa.array(
+                    np.minimum(size, dl[alive] - start), pa.int64()),
+                "chunk_h": pa.array(h, pa.int64()),
+            }))
+        if not parts:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("chunk_id", pa.int64()),
+                              ("n_tokens", pa.int64()),
+                              ("chunk_h", pa.int64())]).empty_table()
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def langid_trained(ds: ray.data.Dataset,
+                   spec: CorpusSpec = DOCUMENTS_SPEC,
+                   label_col: str = "lang", holdout_mod: int = 5,
+                   profile_k: int = 20) -> pa.Table:
+    """TRAINED language identification — the train/infer loop of a
+    fastText-style classifier, model-free and exact: learn per-language
+    character-trigram profiles from a deterministic training split
+    (``doc_id % holdout_mod != 0``), then classify the held-out docs by
+    distinct-trigram overlap with each profile.
+
+    Pass 1 folds per-batch (lang, trigram, n) partials (alphabet^3-
+    bounded); the driver cuts top-``profile_k`` trigrams per language
+    (count desc, trigram asc — ascii code order == lexicographic) and
+    broadcasts the tiny profile matrix.  Pass 2 streams the holdout
+    docs, scoring all languages per doc with one ``isin`` + bincount —
+    no shuffle.  Prediction tie-break: (overlap desc, lang asc), all
+    languages scored (zero overlap included), bit-identical to the SQL
+    oracle.  -> (doc_id, pred_lang, score)."""
+    import ray
+    from ray.data.aggregate import Sum as RSum
+
+    def tri_codes(batch: pa.Table):
+        """-> (doc_idx int64[], codes int64[]) trigram codes per doc."""
+        toks = tokenize_array(batch[spec.content_col])
+        per_doc = pc.binary_join(toks, pa.scalar("\n",
+                                                 toks.type.value_type))
+        lens = pc.binary_length(per_doc).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = "\n".join(per_doc.to_pylist())
+        buf = np.frombuffer(s.encode("utf-8"), np.uint8)
+        # byte -> owning doc (docs joined by one extra \n each)
+        doc_of = np.repeat(np.arange(lens.size, dtype=np.int64), lens + 1)
+        doc_of = doc_of[:buf.size]
+        if buf.size < 3:
+            return (np.empty(0, np.int64), np.empty(0, np.int64))
+        a, b2, c = buf[:-2], buf[1:-1], buf[2:]
+        m = (a != 0x0A) & (b2 != 0x0A) & (c != 0x0A)
+        codes = (a[m].astype(np.int64) << 16) | (b2[m].astype(np.int64)
+                                                 << 8) | c[m]
+        return doc_of[:-2][m], codes
+
+    def train_partial(batch: pa.Table) -> pa.Table:
+        b = add_doc_id(batch, spec)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        train = ids % holdout_mod != 0
+        t = batch.filter(pa.array(train))
+        if not t.num_rows:
+            return pa.schema([("lang", pa.string()), ("tri", pa.int64()),
+                              ("n_p", pa.int64())]).empty_table()
+        doc_of, codes = tri_codes(t)
+        langs = np.asarray(t[label_col].to_pylist(), dtype=object)
+        uq, inv = np.unique(langs, return_inverse=True)
+        key = inv[doc_of] * (1 << 24) + codes
+        ku, kc = np.unique(key, return_counts=True)
+        return pa.table({
+            "lang": pa.array(uq[(ku >> 24)], pa.string()),
+            "tri": pa.array((ku & ((1 << 24) - 1)).astype(np.int64)),
+            "n_p": pa.array(kc.astype(np.int64), pa.int64()),
+        })
+
+    folded = ds.map_batches(train_partial, batch_format="pyarrow") \
+        .groupby(["lang", "tri"]).aggregate(RSum("n_p", alias_name="n")) \
+        .take_all()
+    by_lang: dict[str, list] = {}
+    for r in folded:
+        by_lang.setdefault(str(r["lang"]), []).append(
+            (-int(r["n"]), int(r["tri"])))
+    langs = sorted(by_lang)
+    profiles = {}
+    for lg in langs:
+        rows = sorted(by_lang[lg])[:profile_k]
+        profiles[lg] = np.asarray(sorted(t for _, t in rows),
+                                  dtype=np.int64)
+    prof_ref = ray.put((langs, profiles))
+
+    def infer(batch: pa.Table) -> pa.Table:
+        lgs, prof = ray.get(prof_ref)
+        b = add_doc_id(batch, spec)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hold = ids % holdout_mod == 0
+        t = batch.filter(pa.array(hold))
+        hid = ids[hold]
+        n = hid.size
+        if not n:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("pred_lang", pa.string()),
+                              ("score", pa.int64())]).empty_table()
+        doc_of, codes = tri_codes(t)
+        dk = np.unique(doc_of * (1 << 24) + codes)
+        ddoc = (dk >> 24).astype(np.int64)
+        dcode = (dk & ((1 << 24) - 1)).astype(np.int64)
+        scores = np.zeros((n, len(lgs)), dtype=np.int64)
+        for li, lg in enumerate(lgs):
+            hit = np.isin(dcode, prof[lg])
+            np.add.at(scores[:, li], ddoc[hit], 1)
+        best = np.argmax(scores, axis=1)        # first max = lang asc
+        return pa.table({
+            "doc_id": pa.array(hid, pa.int64()),
+            "pred_lang": pa.array([lgs[i] for i in best], pa.string()),
+            "score": pa.array(scores[np.arange(n), best], pa.int64()),
+        })
+
+    return ds.map_batches(infer, batch_format="pyarrow")

@@ -498,3 +498,94 @@ def test_significant_terms_fg_ids():
     rows.sort(key=lambda x: (-x[3], -x[1], x[0]))
     assert [(r["term"], r["df_fg"], r["df"], r["lift_e6"])
             for r in out] == rows[:10]
+
+
+def test_rag_chunks_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.text import rag_chunks
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    out = rag_chunks(ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet")),
+        size=32, stride=16).take_all()
+    want = []
+    for d, txt in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        tk = _tok(txt)
+        c = 0
+        while c * 16 < len(tk):
+            chunk = tk[c * 16:c * 16 + 32]
+            h = int.from_bytes(
+                hashlib.md5(" ".join(chunk).encode()).digest()[8:16],
+                "little") >> 1
+            want.append((d, c, len(chunk), h))
+            c += 1
+    got = sorted((r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_h"])
+                 for r in out)
+    assert got == sorted(want)
+    # overlap invariant: consecutive chunks share stride..size tokens
+    assert all(n <= 32 for _, _, n, _ in got)
+
+
+def test_langid_trained_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.text import langid_trained
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    out = langid_trained(ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"))).take_all()
+
+    def tris(txt):
+        for t in _tok(txt):
+            for i in range(len(t) - 2):
+                yield t[i:i + 3]
+
+    train = Counter()
+    for d, txt, lg in zip(tbl["doc_id"].to_pylist(),
+                          tbl["text"].to_pylist(),
+                          tbl["lang"].to_pylist()):
+        if d % 5 != 0:
+            for tr in tris(txt):
+                train[(lg, tr)] += 1
+    langs = sorted({lg for lg, _ in train})
+    prof = {}
+    for lg in langs:
+        rows = sorted(((-n, tr) for (l2, tr), n in train.items()
+                       if l2 == lg))[:20]
+        prof[lg] = {tr for _, tr in rows}
+    got = {r["doc_id"]: (r["pred_lang"], r["score"]) for r in out}
+    n_checked = 0
+    for d, txt in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        if d % 5 != 0:
+            assert d not in got
+            continue
+        dt = set(tris(txt))
+        scores = sorted(((-len(dt & prof[lg]), lg) for lg in langs))
+        assert got[d] == (scores[0][1], -scores[0][0])
+        n_checked += 1
+    assert n_checked == len(got) > 0
+
+
+def test_containment_vs_jaccard(tmp_path):
+    import ray.data
+    from onestools_eventlog_ray.pipelines.dedup import \
+        minhash_verified_pairs
+    # doc B is a strict prefix-subset of doc A: containment must be
+    # ~1.0 while jaccard is well below it
+    # jaccard = 46/56 ~ 0.82 (bands collide), containment exactly 1.0
+    base = " ".join(f"tok{i}" for i in range(60))
+    sub = " ".join(f"tok{i}" for i in range(50))
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([base, sub]),
+        "lang": pa.array(["en", "en"]),
+        "source": pa.array(["s", "s"]),
+        "n_chars": pa.array([len(base), len(sub)], pa.int64()),
+    })
+    ds = ray.data.from_arrow(docs)
+    cont = minhash_verified_pairs(ds, min_jaccard=0.9,
+                                  metric="containment").take_all()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["containment_e6"] == 1_000_000      # exact subset
+    jac = minhash_verified_pairs(ds, min_jaccard=0.9,
+                                 metric="jaccard").take_all()
+    assert jac == []                              # jaccard ~ 46/56 < 0.9
