@@ -1152,6 +1152,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                       DOCUMENTS_SPEC, min_df_fg=5, k=10,
                                       fg_doc_ids=fg)
 
+    def prf_expanded(sf_dir):
+        """RM3 pseudo-relevance feedback: top-10 hits feed tf×idf term
+        mining, the 5 best expansion terms rescore the query."""
+        from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                            prf_search)
+        return prf_search(SearchEngine(_ensure_index(sf_dir)), _BM25_TERMS)
+
+    def shared_chunks(sf_dir):
+        """Passage-level duplicate pairs: docs sharing >=1 distinct
+        32-token window fingerprint (rag_chunks + bucketed pair fold)."""
+        return text.shared_chunk_pairs(_documents_ds(sf_dir)) \
+            .sort(["doc_a", "doc_b"])
+
+    def frequent_pairs(sf_dir):
+        """Level-2 frequent itemsets: term pairs co-occurring in >=100
+        docs via one doc-by-vocab matmul per batch."""
+        return text.frequent_term_pairs(_documents_ds(sf_dir),
+                                        min_support=100) \
+            .sort(["term_a", "term_b"])
+
     def rag_chunk_table(sf_dir):
         """RAG corpus prep: sliding 32-token windows (stride 16) per
         doc, md5-fingerprinted — vectorized per chunk INDEX."""
@@ -1938,6 +1958,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": bpe_pairs,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
+        "prf_expanded": prf_expanded,
+        "shared_chunks": shared_chunks,
+        "frequent_pairs": frequent_pairs,
         "rag_chunk_table": rag_chunk_table,
         "langid_eval": langid_eval,
         "containment_pairs": containment_pairs,
@@ -4347,4 +4370,68 @@ j AS (SELECT doc_a, doc_b,
                 JOIN sets sb ON sb.doc_id = cand.doc_b)
 SELECT doc_a, doc_b, containment_e6 FROM j
 WHERE containment_e6 >= 500000 ORDER BY doc_a, doc_b""",
+
+        "prf_expanded": f"""
+WITH toks AS ({_TOKS}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tf0 AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ('spark', 'vector', 'window') GROUP BY doc_id, term),
+df0 AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE term IN ('spark', 'vector', 'window') GROUP BY term),
+scored0 AS (SELECT tf0.doc_id, sum(ln(1 + ((SELECT n_docs FROM stats) - df0.df + 0.5) / (df0.df + 0.5)) * tf0.tf * 2.2 / (tf0.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))) AS score
+            FROM tf0 JOIN df0 USING (term) JOIN dl USING (doc_id)
+            GROUP BY tf0.doc_id),
+base0 AS (SELECT doc_id FROM scored0
+          ORDER BY CAST(floor(score * 1000000 + 0.5) AS BIGINT) DESC,
+                   doc_id ASC LIMIT 10),
+dtf AS (SELECT term, count(*) AS tf FROM toks
+        WHERE doc_id IN (SELECT doc_id FROM base0)
+          AND term NOT IN ('spark', 'vector', 'window') GROUP BY term),
+seldf AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+          WHERE term IN (SELECT term FROM dtf) GROUP BY term),
+sel AS (SELECT dtf.term FROM dtf JOIN seldf USING (term)
+        ORDER BY dtf.tf * ln(1 + ((SELECT n_docs FROM stats) - seldf.df
+                                  + 0.5) / (seldf.df + 0.5)) DESC,
+                 dtf.term ASC LIMIT 5),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark', 'vector', 'window') OR term IN (SELECT term FROM sel)
+       GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('spark', 'vector', 'window') OR term IN (SELECT term FROM sel)
+       GROUP BY term),
+scored AS (SELECT tf.doc_id, sum(ln(1 + ((SELECT n_docs FROM stats) - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))) AS score
+           FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+           GROUP BY tf.doc_id)
+SELECT CAST(row_number() OVER (
+         ORDER BY CAST(floor(score * 1000000 + 0.5) AS BIGINT) DESC,
+                  doc_id ASC) AS BIGINT) AS rank,
+       doc_id,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6
+FROM scored ORDER BY score_e6 DESC, doc_id ASC LIMIT 10""",
+
+        "shared_chunks": """
+WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9_]+'), x -> x <> '') AS l FROM documents),
+c AS (SELECT DISTINCT doc_id,
+             CAST(md5_number_lower(array_to_string(
+                 l[CAST(g * 16 + 1 AS BIGINT):
+                   CAST(g * 16 + 32 AS BIGINT)], ' ')) >> 1
+                  AS BIGINT) AS h
+      FROM tok, generate_series(0, 63) t(g) WHERE g * 16 < len(l))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM c a JOIN c b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
+
+        "frequent_pairs": f"""
+WITH toks AS ({_TOKS}),
+pt AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT a.term AS term_a, b.term AS term_b,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM pt a JOIN pt b ON a.doc_id = b.doc_id AND a.term < b.term
+GROUP BY 1, 2 HAVING count(*) >= 100 ORDER BY term_a, term_b""",
     }

@@ -1490,3 +1490,52 @@ def suggest_phrase(index_dir: str, ds, phrase: tuple[str, str],
         "term2": pa.array(list(t2), pa.string()),
         "n": pa.array([n for n, _ in rows], pa.int64()),
     })
+
+
+def prf_search(eng: SearchEngine, terms: list[str], fb_docs: int = 10,
+               fb_terms: int = 5, k: int = 10) -> pa.Table:
+    """Pseudo-relevance feedback (RM3-style query expansion): run the
+    original BM25 query, treat its top ``fb_docs`` hits as relevant,
+    mine their highest tf×idf terms (originals excluded, idf from the
+    index stats — one shard-pruned df lookup), append the top
+    ``fb_terms`` to the query and rescore.  The classic recall-boosting
+    second pass ES exposes via significant-terms-driven expansion.
+
+    Cost shape: two df-bounded scorer passes + one ``fetch_docs`` of
+    fb_docs stored rows — never a corpus pass.  Term selection ties
+    break (tfidf desc, term asc), so the expansion set and the final
+    ranking are deterministic and oracle-exact.
+    -> (rank, doc_id, score_e6) top-k."""
+    from collections import Counter
+
+    from onestools_eventlog_ray.functions.analyzer import tokenize_py
+
+    hits = eng.search(terms, k=1 << 62)
+    ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+    e6 = np.floor(np.asarray([s for _, s in hits], dtype=np.float64)
+                  * 1_000_000 + 0.5).astype(np.int64)
+    order = np.lexsort((ids, -e6))[:fb_docs]
+    fb = ids[order]
+
+    tf: Counter = Counter()
+    if fb.size:
+        docs = eng.fetch_docs(fb.tolist(), columns=["doc_id", "content"])
+        for c in docs["content"].to_pylist():
+            tf.update(tokenize_py(c))
+    for t in terms:
+        tf.pop(t, None)
+    loaded = eng.load_terms(sorted(tf))
+    scored = [(-(tf[t] * idf_fn(eng.N, df)), t)
+              for t, (df, _) in loaded.items()]
+    expansion = [t for _, t in sorted(scored)[:fb_terms]]
+
+    hits2 = eng.search(list(terms) + expansion, k=1 << 62)
+    ids2 = np.asarray([d for d, _ in hits2], dtype=np.int64)
+    e62 = np.floor(np.asarray([s for _, s in hits2], dtype=np.float64)
+                   * 1_000_000 + 0.5).astype(np.int64)
+    o2 = np.lexsort((ids2, -e62))[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(1, o2.size + 1), pa.int64()),
+        "doc_id": pa.array(ids2[o2], pa.int64()),
+        "score_e6": pa.array(e62[o2], pa.int64()),
+    })

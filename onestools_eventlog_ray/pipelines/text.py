@@ -1440,3 +1440,110 @@ def langid_trained(ds: ray.data.Dataset,
         })
 
     return ds.map_batches(infer, batch_format="pyarrow")
+
+
+def shared_chunk_pairs(ds: ray.data.Dataset,
+                       spec: CorpusSpec = DOCUMENTS_SPEC,
+                       size: int = 32, stride: int = 16,
+                       min_shared: int = 1,
+                       bucket_cap: int = 512) -> ray.data.Dataset:
+    """Passage-level duplicate detection (the C4/RefinedWeb span-dedup
+    shape): doc pairs sharing at least ``min_shared`` DISTINCT
+    ``size``-token window fingerprints.  Catches copied passages that
+    whole-doc MinHash dilutes away.
+
+    Composition of :func:`rag_chunks` + the bucketed-pair pattern: only
+    (chunk_h, doc_id) rows shuffle; each ``groupby(chunk_h)`` task
+    emits its in-bucket doc pairs (chunk-split above ``bucket_cap``,
+    same cap rule as the MinHash verify); a final pair-keyed fold
+    counts distinct shared fingerprints.
+    -> (doc_a < doc_b, n_shared)."""
+
+    chunks = rag_chunks(ds, spec, size=size, stride=stride)
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+        n = ids.size
+        if n < 2:
+            return pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                              ("n_p", pa.int64())]).empty_table()
+        da, db = [], []
+        for c0 in range(0, n, bucket_cap):
+            c1 = min(c0 + bucket_cap, n)
+            iu, ju = np.triu_indices(c1 - c0, 1)
+            da.append(ids[c0:c1][iu])
+            db.append(ids[c0:c1][ju])
+        a = np.concatenate(da)
+        b = np.concatenate(db)
+        return pa.table({"doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(b, pa.int64()),
+                         "n_p": pa.array(np.ones(a.size, np.int64))})
+
+    folded = chunks.groupby("chunk_h") \
+        .map_groups(pairs_in_bucket, batch_format="pyarrow") \
+        .groupby(["doc_a", "doc_b"]).aggregate(Sum("n_p",
+                                                   alias_name="n_shared"))
+
+    def support(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["n_shared"],
+                                             min_shared))
+
+    return folded.map_batches(support, batch_format="pyarrow")
+
+
+def frequent_term_pairs(ds: ray.data.Dataset,
+                        spec: CorpusSpec = DOCUMENTS_SPEC,
+                        min_support: int = 100) -> ray.data.Dataset:
+    """Frequent-itemset mining at level 2 (market-basket over documents):
+    every unordered TERM pair co-occurring in >= ``min_support`` docs.
+
+    Each batch builds its boolean doc×vocab incidence matrix once and
+    gets ALL pair counts from a single ``M.T @ M`` integer matmul — no
+    per-doc pair loop; only nonzero (term_a < term_b, count) partials
+    shuffle.  Assumes the per-batch vocabulary fits memory (true for
+    code/token corpora); at open-web vocabulary scale, apriori-prune
+    first (count singles, keep terms with df >= min_support) — the
+    filter composes as one extra :func:`term_stats` broadcast."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.analyzer import doc_term_table
+        b = add_doc_id(batch, spec)
+        triples, _ = doc_term_table(b["doc_id"], b["content"])
+        schema = pa.schema([("term_a", pa.string()),
+                            ("term_b", pa.string()),
+                            ("n_p", pa.int64())])
+        if not triples.num_rows:
+            return schema.empty_table()
+        terms = triples["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        enc = terms.dictionary_encode()
+        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        tcode = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vorder = np.argsort(vocab.astype(np.str_), kind="stable")
+        rank_of = np.empty(vorder.size, dtype=np.int64)
+        rank_of[vorder] = np.arange(vorder.size)
+        tcode = rank_of[tcode]                       # lexicographic codes
+        vocab = vocab[vorder]
+        docs = triples["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        _, dcode = np.unique(docs, return_inverse=True)
+        m = np.zeros((int(dcode.max()) + 1, vocab.size), dtype=np.int64)
+        m[dcode, tcode] = 1
+        co = m.T @ m
+        iu, ju = np.nonzero(np.triu(co, 1))
+        return pa.table({
+            "term_a": pa.array(vocab[iu], pa.string()),
+            "term_b": pa.array(vocab[ju], pa.string()),
+            "n_p": pa.array(co[iu, ju], pa.int64()),
+        })
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["term_a", "term_b"]) \
+        .aggregate(Sum("n_p", alias_name="n_docs"))
+
+    def support(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["n_docs"], min_support))
+
+    return folded.map_batches(support, batch_format="pyarrow")

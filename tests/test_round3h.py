@@ -589,3 +589,86 @@ def test_containment_vs_jaccard(tmp_path):
     jac = minhash_verified_pairs(ds, min_jaccard=0.9,
                                  metric="jaccard").take_all()
     assert jac == []                              # jaccard ~ 46/56 < 0.9
+
+
+def test_prf_search_expansion(h_index, small_corpus):
+    from collections import Counter as C2
+    from onestools_eventlog_ray.functions.bm25 import idf as idf_fn
+    from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                        prf_search)
+    eng = SearchEngine(h_index)
+    terms = ["def", "import"]
+    out = prf_search(eng, terms, fb_docs=5, fb_terms=3, k=10).to_pylist()
+    # brute-force the expansion selection, then verify the final
+    # ranking equals a plain search on originals + expansion
+    hits = eng.search(terms, k=1 << 62)
+    ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+    e6 = np.floor(np.asarray([s for _, s in hits]) * 1e6 + 0.5) \
+        .astype(np.int64)
+    fb = ids[np.lexsort((ids, -e6))[:5]]
+    docs = eng.fetch_docs(fb.tolist(), columns=["doc_id", "content"])
+    tf = C2()
+    for c in docs["content"].to_pylist():
+        tf.update(_tok(c))
+    for t in terms:
+        tf.pop(t, None)
+    loaded = eng.load_terms(sorted(tf))
+    exp = [t for _, t in sorted(
+        (-(tf[t] * idf_fn(eng.N, df)), t)
+        for t, (df, _) in loaded.items())[:3]]
+    hits2 = eng.search(terms + exp, k=1 << 62)
+    ids2 = np.asarray([d for d, _ in hits2], dtype=np.int64)
+    e62 = np.floor(np.asarray([s for _, s in hits2]) * 1e6 + 0.5) \
+        .astype(np.int64)
+    o2 = np.lexsort((ids2, -e62))[:10]
+    assert [(r["doc_id"], r["score_e6"]) for r in out] == \
+        [(int(d), int(s)) for d, s in zip(ids2[o2], e62[o2])]
+    assert len(exp) == 3 and not set(exp) & set(terms)
+
+
+def test_shared_chunk_pairs_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.text import shared_chunk_pairs
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    chunks = {}
+    for d, txt in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        tk = _tok(txt)
+        hs = set()
+        c = 0
+        while c * 16 < len(tk):
+            hs.add(" ".join(tk[c * 16:c * 16 + 32]))
+            c += 1
+        chunks[d] = hs
+    want = {}
+    docs = sorted(chunks)
+    inv = {}
+    for d, hs in chunks.items():
+        for h in hs:
+            inv.setdefault(h, []).append(d)
+    for h, ds_ in inv.items():
+        ds_ = sorted(set(ds_))
+        for i in range(len(ds_)):
+            for j in range(i + 1, len(ds_)):
+                want[(ds_[i], ds_[j])] = want.get((ds_[i], ds_[j]), 0) + 1
+    out = shared_chunk_pairs(ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"))).take_all()
+    got = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in out}
+    assert got == want
+
+
+def test_frequent_term_pairs_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.text import frequent_term_pairs
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    cnt = Counter()
+    for txt in tbl["text"].to_pylist():
+        ts = sorted(set(_tok(txt)))
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                cnt[(ts[i], ts[j])] += 1
+    want = {p: n for p, n in cnt.items() if n >= 50}
+    out = frequent_term_pairs(ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet")),
+        min_support=50).take_all()
+    got = {(r["term_a"], r["term_b"]): r["n_docs"] for r in out}
+    assert got == want and len(got) > 0
