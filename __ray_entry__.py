@@ -1172,6 +1172,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         min_support=100) \
             .sort(["term_a", "term_b"])
 
+    def weak_label_table(sf_dir):
+        """Snorkel-style weak supervision: keyword labeling functions
+        vote by presence, majority labels, ties abstain."""
+        return text.weak_labels(_documents_ds(sf_dir)).sort("doc_id")
+
+    def curriculum(sf_dir):
+        """Curriculum phases: per-doc mean token rarity (exact integer
+        idf average) cut into 3 equal-count phases by exact rank
+        statistics."""
+        return text.curriculum_phases(_documents_ds(sf_dir))
+
+    def langid_confusion(sf_dir):
+        """Heuristic-vs-label agreement: full confusion matrix of the
+        stopword language ID against the lang column + exact-integer
+        Cohen's kappa sentinel row."""
+        return text.langid_agreement(_documents_ds(sf_dir))
+
     def rag_chunk_table(sf_dir):
         """RAG corpus prep: sliding 32-token windows (stride 16) per
         doc, md5-fingerprinted — vectorized per chunk INDEX."""
@@ -1958,6 +1975,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": bpe_pairs,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
+        "weak_label_table": weak_label_table,
+        "curriculum": curriculum,
+        "langid_confusion": langid_confusion,
         "prf_expanded": prf_expanded,
         "shared_chunks": shared_chunks,
         "frequent_pairs": frequent_pairs,
@@ -4434,4 +4454,75 @@ SELECT a.term AS term_a, b.term AS term_b,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM pt a JOIN pt b ON a.doc_id = b.doc_id AND a.term < b.term
 GROUP BY 1, 2 HAVING count(*) >= 100 ORDER BY term_a, term_b""",
+
+        "weak_label_table": f"""
+WITH toks AS ({_TOKS}),
+pt AS (SELECT DISTINCT doc_id, term FROM toks),
+v AS (SELECT doc_id,
+             count(*) FILTER (WHERE term IN ('fast', 'small')) AS np_,
+             count(*) FILTER (WHERE term IN ('slow', 'dup')) AS nn_
+      FROM pt GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(np_, 0) AS BIGINT) AS n_pos,
+       CAST(coalesce(nn_, 0) AS BIGINT) AS n_neg,
+       CASE WHEN coalesce(np_, 0) > coalesce(nn_, 0) THEN 'pos'
+            WHEN coalesce(nn_, 0) > coalesce(np_, 0) THEN 'neg'
+            ELSE 'abstain' END AS label
+FROM documents d LEFT JOIN v USING (doc_id) ORDER BY doc_id""",
+
+        "curriculum": f"""
+WITH toks AS ({_TOKS}),
+nd AS (SELECT count(*) AS n FROM documents),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+idf AS (SELECT term,
+               CAST(floor(ln(1 + ((SELECT n FROM nd) - df + 0.5)
+                             / (df + 0.5)) * 1000000 + 0.5) AS BIGINT)
+                 AS idf6
+        FROM dfs),
+sc AS (SELECT doc_id, sum(idf6) // count(*) AS diff
+       FROM toks JOIN idf USING (term) GROUP BY doc_id),
+r AS (SELECT diff, row_number() OVER (ORDER BY diff) AS rn,
+             count(*) OVER () AS n FROM sc),
+thr AS (SELECT max(CASE WHEN rn = (n + 2) // 3 THEN diff END) AS t1,
+               max(CASE WHEN rn = (2 * n + 2) // 3 THEN diff END) AS t2
+        FROM r)
+SELECT sc.doc_id, CAST(diff AS BIGINT) AS difficulty_e6,
+       CAST((CASE WHEN diff > thr.t1 THEN 1 ELSE 0 END)
+            + (CASE WHEN diff > thr.t2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS phase
+FROM sc, thr ORDER BY doc_id""",
+
+        "langid_confusion": f"""
+WITH toks AS ({_TOKS}),
+hits AS (SELECT doc_id,
+    count(*) FILTER (WHERE term IN ('der','die','das','und','ist','nicht','mit','ein','zu','den')) AS h_de,
+    count(*) FILTER (WHERE term IN ('the','and','of','to','a','in','is','it','for','with')) AS h_en,
+    count(*) FILTER (WHERE term IN ('el','la','los','y','es','un','una','de','en','para')) AS h_es,
+    count(*) FILTER (WHERE term IN ('le','la','les','et','est','un','une','des','dans','pour')) AS h_fr
+  FROM toks GROUP BY doc_id),
+pred AS (SELECT d.doc_id, d.lang AS true_lang,
+  CASE WHEN coalesce(greatest(h_de, h_en, h_es, h_fr), 0) = 0 THEN 'und'
+       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+       WHEN h_es >= h_fr THEN 'es'
+       ELSE 'fr' END AS pred_lang
+  FROM documents d LEFT JOIN hits USING (doc_id)),
+conf AS (SELECT pred_lang, true_lang, count(*) AS n FROM pred
+         GROUP BY 1, 2),
+labels AS (SELECT pred_lang AS lb FROM conf
+           UNION SELECT true_lang FROM conf),
+rs AS (SELECT pred_lang AS lb, sum(n) AS r FROM conf GROUP BY 1),
+cs AS (SELECT true_lang AS lb, sum(n) AS c FROM conf GROUP BY 1),
+pe AS (SELECT sum(coalesce(r, 0) * coalesce(c, 0)) AS pn FROM labels
+       LEFT JOIN rs USING (lb) LEFT JOIN cs USING (lb)),
+tot AS (SELECT sum(n) AS nn,
+               coalesce(sum(n) FILTER (WHERE pred_lang = true_lang), 0)
+                 AS ag
+        FROM conf),
+kap AS (SELECT CAST((nn * ag - pn) * 1000000 // (nn * nn - pn)
+                    AS BIGINT) AS k FROM tot, pe)
+SELECT * FROM (
+  SELECT pred_lang, true_lang, CAST(n AS BIGINT) AS n_docs FROM conf
+  UNION ALL
+  SELECT '__kappa__', '__kappa__', (SELECT k FROM kap))
+ORDER BY pred_lang, true_lang""",
     }

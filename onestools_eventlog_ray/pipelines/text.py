@@ -1547,3 +1547,190 @@ def frequent_term_pairs(ds: ray.data.Dataset,
         return batch.filter(pc.greater_equal(batch["n_docs"], min_support))
 
     return folded.map_batches(support, batch_format="pyarrow")
+
+
+#: default weak-supervision rule sets: presence-voting keyword labeling
+#: functions (the Snorkel pattern, deterministic and model-free).
+WEAK_POS_TERMS = ("fast", "small")
+WEAK_NEG_TERMS = ("slow", "dup")
+
+
+def weak_labels(ds: ray.data.Dataset,
+                spec: CorpusSpec = DOCUMENTS_SPEC,
+                pos_terms: tuple[str, ...] = WEAK_POS_TERMS,
+                neg_terms: tuple[str, ...] = WEAK_NEG_TERMS
+                ) -> ray.data.Dataset:
+    """Programmatic weak supervision (the Snorkel labeling-function
+    pattern): each rule term votes by PRESENCE in the doc; majority of
+    positive vs negative votes labels the doc, ties (including 0-0)
+    abstain.  The cheap label pass that bootstraps a classifier's
+    training set over an unlabeled corpus.
+
+    One streaming pass, all set-membership kernels; no shuffle.
+    -> (doc_id, n_pos, n_neg, label in {'pos','neg','abstain'})."""
+    pos = pa.array(sorted(set(pos_terms)))
+    neg = pa.array(sorted(set(neg_terms)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.analyzer import doc_term_table
+        b = add_doc_id(batch, spec)
+        triples, _ = doc_term_table(b["doc_id"], b["content"])
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tdoc = triples["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        row_of = {int(d): i for i, d in enumerate(ids)}
+        rows = np.asarray([row_of[int(d)] for d in tdoc], dtype=np.int64)
+        n = ids.size
+        npos = np.zeros(n, dtype=np.int64)
+        nneg = np.zeros(n, dtype=np.int64)
+        terms = triples["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        mp = pc.is_in(terms, value_set=pos).to_numpy(zero_copy_only=False)
+        mn = pc.is_in(terms, value_set=neg).to_numpy(zero_copy_only=False)
+        if rows.size:
+            np.add.at(npos, rows, mp.astype(np.int64))
+            np.add.at(nneg, rows, mn.astype(np.int64))
+        label = np.where(npos > nneg, "pos",
+                         np.where(nneg > npos, "neg", "abstain"))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_pos": pa.array(npos, pa.int64()),
+            "n_neg": pa.array(nneg, pa.int64()),
+            "label": pa.array(label.astype(object), pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def curriculum_phases(ds: ray.data.Dataset,
+                      spec: CorpusSpec = DOCUMENTS_SPEC,
+                      n_phases: int = 3) -> pa.Table:
+    """Curriculum ordering for training: score each doc's difficulty as
+    its mean token rarity (``Σ idf_e6(token) // n_tokens`` — exact
+    ints, occurrences weighted) and cut the corpus into ``n_phases``
+    equal-count phases by exact order statistics (phase 0 = easiest /
+    most common vocabulary).  Zero-token docs are excluded.
+
+    Two streaming passes around a vocab-sized broadcast (same shape as
+    ``lm_scores``); the phase thresholds are exact rank statistics over
+    the per-doc score list (one int64 per doc on the driver — at
+    10^12 docs swap for the histogram-quantile cut, same convention as
+    ``value_histogram``).  -> (doc_id, difficulty_e6, phase)."""
+    import ray
+
+    stats = term_stats(ds, spec).to_pandas()
+    n_docs_total = ds.count()
+    df = stats["df"].to_numpy().astype(np.float64)
+    idf_e6 = np.floor(np.log(1 + (n_docs_total - df + 0.5) / (df + 0.5))
+                      * 1_000_000 + 0.5).astype(np.int64)
+    lut_ref = ray.put((pa.array(stats["term"], pa.string()), idf_e6))
+
+    def score(batch: pa.Table) -> pa.Table:
+        terms_arr, lut = ray.get(lut_ref)
+        b = add_doc_id(batch, spec)
+        toks = tokenize_array(b["content"])
+        flat = toks.flatten()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        offsets = offsets - offsets[0]
+        pos = pc.index_in(flat, value_set=terms_arr) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(lut[pos], dtype=np.int64)])
+        dl = np.diff(offsets)
+        tot = cs[offsets[1:]] - cs[offsets[:-1]]
+        keep = dl > 0
+        return pa.table({
+            "doc_id": b["doc_id"].filter(pa.array(keep)),
+            "difficulty_e6": pa.array(tot[keep] // dl[keep], pa.int64()),
+        })
+
+    scored = ds.map_batches(score, batch_format="pyarrow").take_all()
+    ids = np.asarray([r["doc_id"] for r in scored], dtype=np.int64)
+    diff = np.asarray([r["difficulty_e6"] for r in scored],
+                      dtype=np.int64)
+    s = np.sort(diff)
+    n = s.size
+    # threshold p = value at 1-indexed rank ceil(p*n/n_phases)
+    thresholds = [int(s[-(-(p + 1) * n // n_phases) - 1])
+                  for p in range(n_phases - 1)]
+    phase = np.zeros(n, dtype=np.int64)
+    for t in thresholds:
+        phase += (diff > t).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    return pa.table({
+        "doc_id": pa.array(ids[order], pa.int64()),
+        "difficulty_e6": pa.array(diff[order], pa.int64()),
+        "phase": pa.array(phase[order], pa.int64()),
+    })
+
+
+def langid_agreement(ds: ray.data.Dataset,
+                     spec: CorpusSpec = DOCUMENTS_SPEC,
+                     label_col: str = "lang") -> pa.Table:
+    """Annotator-agreement report between the stopword language-ID
+    heuristic (:func:`language_id`) and the labeled ``lang`` column:
+    the full confusion matrix plus Cohen's kappa — the number that says
+    whether a cheap labeling heuristic is usable for filtering.
+
+    kappa is computed EXACTLY in integers over the confusion counts:
+    ``kappa_e6 = trunc((n·agree − Σ row·col) · 1e6 / (n² − Σ row·col))``
+    (trunc toward zero = DuckDB ``//``).  The confusion fold is
+    label-cardinality-sized; one corpus pass.
+    -> (pred_lang, true_lang, n_docs) rows plus a sentinel row
+    ('__kappa__', '__kappa__', kappa_e6)."""
+    from ray.data.aggregate import Sum as RSum
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "pred_lang": language_id_batch(batch, spec),
+            "true_lang": batch[label_col],
+            "n_p": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+
+    folded = ds.map_batches(fn, batch_format="pyarrow") \
+        .groupby(["pred_lang", "true_lang"]) \
+        .aggregate(RSum("n_p", alias_name="n_docs")).take_all()
+    rows = sorted(((str(r["pred_lang"]), str(r["true_lang"]),
+                    int(r["n_docs"])) for r in folded))
+    n = sum(c for _, _, c in rows)
+    agree = sum(c for p, t, c in rows if p == t)
+    labels = sorted({p for p, _, _ in rows} | {t for _, t, _ in rows})
+    rsum = {lb: sum(c for p, _, c in rows if p == lb) for lb in labels}
+    csum = {lb: sum(c for _, t, c in rows if t == lb) for lb in labels}
+    pe_num = sum(rsum[lb] * csum[lb] for lb in labels)
+    num = (n * agree - pe_num) * 10 ** 6
+    den = n * n - pe_num
+    q = abs(num) // den if den else 0
+    kappa = -q if num < 0 else q
+    rows.append(("__kappa__", "__kappa__", int(kappa)))
+    return pa.table({
+        "pred_lang": pa.array([r[0] for r in rows], pa.string()),
+        "true_lang": pa.array([r[1] for r in rows], pa.string()),
+        "n_docs": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+def language_id_batch(batch: pa.Table,
+                      spec: CorpusSpec = DOCUMENTS_SPEC) -> pa.Array:
+    """Batch-local form of :func:`language_id`'s prediction (shared by
+    the agreement report so both stay in lock-step)."""
+    profiles = {k: pa.array(sorted(v)) for k, v in LANG_PROFILES.items()
+                if v}
+    b = add_doc_id(batch, spec)
+    toks = tokenize_array(b["content"])
+    flat = toks.flatten()
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    n = len(toks)
+    langs = sorted(profiles)
+    hits = np.zeros((n, len(langs)), dtype=np.int64)
+    for j, lang in enumerate(langs):
+        m = pc.is_in(flat, value_set=profiles[lang]) \
+            .to_numpy(zero_copy_only=False)
+        if parents.size:
+            np.add.at(hits[:, j], parents, m.astype(np.int64))
+    best = np.argmax(hits, axis=1)
+    best_hits = hits[np.arange(n), best]
+    pred = np.where(best_hits > 0,
+                    np.asarray(langs, dtype=object)[best], "und")
+    return pa.array(pred.astype(object), pa.string())

@@ -672,3 +672,86 @@ def test_frequent_term_pairs_bruteforce():
         min_support=50).take_all()
     got = {(r["term_a"], r["term_b"]): r["n_docs"] for r in out}
     assert got == want and len(got) > 0
+
+
+def test_weak_labels_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.text import weak_labels
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    out = {r["doc_id"]: (r["n_pos"], r["n_neg"], r["label"])
+           for r in weak_labels(ray.data.read_parquet(
+               os.path.join(SF_DIR, "documents.parquet"))).take_all()}
+    assert len(out) == tbl.num_rows
+    pos, neg = {"fast", "small"}, {"slow", "dup"}
+    for d, txt in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        ts = set(_tok(txt))
+        np_, nn_ = len(ts & pos), len(ts & neg)
+        lab = "pos" if np_ > nn_ else ("neg" if nn_ > np_ else "abstain")
+        assert out[d] == (np_, nn_, lab)
+
+
+def test_curriculum_bruteforce():
+    import ray.data
+    from math import ceil
+    from onestools_eventlog_ray.pipelines.text import curriculum_phases
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    n_docs = tbl.num_rows
+    df = Counter()
+    toks = {}
+    for d, txt in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        toks[d] = _tok(txt)
+        for t in set(toks[d]):
+            df[t] += 1
+    idf6 = {t: int(floor(log(1 + (n_docs - c + 0.5) / (c + 0.5)) * 1e6
+                         + 0.5)) for t, c in df.items()}
+    diff = {d: sum(idf6[t] for t in tk) // len(tk)
+            for d, tk in toks.items() if tk}
+    s = sorted(diff.values())
+    n = len(s)
+    t1 = s[ceil(n / 3) - 1]
+    t2 = s[ceil(2 * n / 3) - 1]
+    out = curriculum_phases(ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"))).to_pylist()
+    assert len(out) == n
+    for r in out:
+        d = r["doc_id"]
+        assert r["difficulty_e6"] == diff[d]
+        want = (1 if diff[d] > t1 else 0) + (1 if diff[d] > t2 else 0)
+        assert r["phase"] == want
+    # phases are balanced within 1 rounding step
+    from collections import Counter as C3
+    ph = C3(r["phase"] for r in out)
+    assert set(ph) <= {0, 1, 2}
+    assert max(ph.values()) - min(ph.values()) <= n // 3 + 2
+
+
+def test_langid_agreement_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.text import (LANG_PROFILES,
+                                                       langid_agreement)
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    profs = {k: v for k, v in LANG_PROFILES.items() if v}
+    langs = sorted(profs)
+    conf = Counter()
+    for txt, true in zip(tbl["text"].to_pylist(),
+                         tbl["lang"].to_pylist()):
+        tk = _tok(txt)
+        hits = [sum(1 for t in tk if t in profs[lg]) for lg in langs]
+        best = max(range(len(langs)), key=lambda i: (hits[i], -i))
+        pred = langs[best] if hits[best] > 0 else "und"
+        conf[(pred, true)] += 1
+    out = langid_agreement(ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"))).to_pylist()
+    got = {(r["pred_lang"], r["true_lang"]): r["n_docs"] for r in out}
+    kappa = got.pop(("__kappa__", "__kappa__"))
+    assert got == dict(conf)
+    n = sum(conf.values())
+    agree = sum(c for (p, t), c in conf.items() if p == t)
+    labels = {p for p, _ in conf} | {t for _, t in conf}
+    pe = sum(sum(c for (p, _), c in conf.items() if p == lb)
+             * sum(c for (_, t), c in conf.items() if t == lb)
+             for lb in labels)
+    num = (n * agree - pe) * 10 ** 6
+    den = n * n - pe
+    q = abs(num) // den
+    assert kappa == (-q if num < 0 else q)
