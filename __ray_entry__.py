@@ -1172,6 +1172,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         min_support=100) \
             .sort(["term_a", "term_b"])
 
+    def bool_count(sf_dir):
+        """ES bool query in filter context: ((spark AND vector) OR
+        (window AND NOT merge)) evaluated as df-bounded sorted-set
+        algebra on the postings."""
+        from onestools_eventlog_ray.pipelines.query import count_bool
+        tree = {"or": [{"and": ["spark", "vector"]},
+                       {"and": ["window", {"not": "merge"}]}]}
+        return count_bool(_ensure_index(sf_dir), tree)
+
+    def ann_recall_curve(sf_dir):
+        """Multi-probe tuning curve: ANN recall@10 at hamming radii
+        0/1/2 (exact side computed once) — monotone in the radius."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines.ann import (ann_recall_sweep,
+                                                          build_ann_index)
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        index_dir = _index_dir_for(sf_dir) + "_ann"
+        if not os.path.exists(os.path.join(index_dir, "ann", "_meta.json")):
+            build_ann_index(ray.data.read_parquet(
+                path, columns=["vec_id", "embedding"]),
+                index_dir, dim=64, nbits=6, seed=42)
+        ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        return ann_recall_sweep(index_dir, ds, [0, 1, 2, 3, 4])
+
+    def reindex_diff(sf_dir):
+        """Snapshot-diff audit of the lang='en' reindex: per-doc
+        removed/same status from a docstore tagged-union co-group."""
+        from onestools_eventlog_ray.config import EngineConfig
+        from onestools_eventlog_ray.pipelines.incremental import (index_diff,
+                                                                  reindex)
+        src = _ensure_index(sf_dir)
+        dst = src + "-reidx-en"
+        reindex(src, dst, where={"lang": "en"},
+                cfg=EngineConfig(num_partitions=8))
+        return index_diff(src, dst).sort("doc_id")
+
     def weak_label_table(sf_dir):
         """Snorkel-style weak supervision: keyword labeling functions
         vote by presence, majority labels, ties abstain."""
@@ -1975,6 +2011,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": bpe_pairs,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
+        "bool_count": bool_count,
+        "ann_recall_curve": ann_recall_curve,
+        "reindex_diff": reindex_diff,
         "weak_label_table": weak_label_table,
         "curriculum": curriculum,
         "langid_confusion": langid_confusion,
@@ -4525,4 +4564,67 @@ SELECT * FROM (
   UNION ALL
   SELECT '__kappa__', '__kappa__', (SELECT k FROM kap))
 ORDER BY pred_lang, true_lang""",
+
+        "bool_count": f"""
+WITH toks AS ({_TOKS}),
+pt AS (SELECT DISTINCT doc_id, term FROM toks),
+a AS (SELECT doc_id FROM pt WHERE term = 'spark'
+      INTERSECT SELECT doc_id FROM pt WHERE term = 'vector'),
+b AS (SELECT doc_id FROM pt WHERE term = 'window'
+      EXCEPT SELECT doc_id FROM pt WHERE term = 'merge')
+SELECT CAST(count(*) AS BIGINT) AS n_docs
+FROM (SELECT doc_id FROM a UNION SELECT doc_id FROM b)""",
+
+        "ann_recall_curve": f"""
+WITH planes AS (SELECT * FROM (VALUES {_planes_values(64, 6, 42)})
+                AS p(t, j, i, w)),
+e0 AS (SELECT vec_id, unnest(embedding) AS x,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+e AS (SELECT vec_id, i,
+             CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xe
+      FROM e0),
+dots AS (SELECT vec_id, p.j, sum(e.xe * p.w) AS dot
+         FROM e JOIN planes p USING (i) GROUP BY vec_id, p.j),
+buck AS (SELECT vec_id,
+                CAST(sum(CASE WHEN dot > 0 THEN 1 << j ELSE 0 END) AS BIGINT)
+                  AS bucket
+         FROM dots GROUP BY vec_id),
+qs AS (SELECT unnest([0, 1, 2, 3, 4]) AS qid),
+lv AS (SELECT unnest([0, 1, 2]) AS h),
+qb AS (SELECT qs.qid, b.bucket FROM qs JOIN buck b ON b.vec_id = qs.qid),
+cand AS (SELECT lv.h, qb.qid, b.vec_id FROM buck b
+         JOIN qb ON b.vec_id <> qb.qid CROSS JOIN lv
+         WHERE bit_count(xor(b.bucket, qb.bucket)) <= lv.h),
+qv AS (SELECT qs.qid,
+              list_transform(e2.embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM qs JOIN embeddings e2 ON e2.vec_id = qs.qid),
+allcos AS (SELECT qv.qid, e2.vec_id,
+                  CAST(floor(list_cosine_similarity(
+                      list_transform(e2.embedding,
+                                     x -> CAST(x AS DOUBLE)),
+                      qv.v) * 1000000 + 0.5) AS BIGINT) AS c6
+           FROM embeddings e2 CROSS JOIN qv WHERE e2.vec_id <> qv.qid),
+exactk AS (SELECT qid, vec_id FROM
+             (SELECT qid, vec_id, row_number() OVER (
+                  PARTITION BY qid ORDER BY c6 DESC, vec_id ASC) AS rn
+              FROM allcos) WHERE rn <= 10),
+annk AS (SELECT h, qid, vec_id FROM
+           (SELECT c.h, a.qid, a.vec_id, row_number() OVER (
+                PARTITION BY c.h, a.qid
+                ORDER BY a.c6 DESC, a.vec_id ASC) AS rn
+            FROM allcos a JOIN cand c USING (qid, vec_id))
+         WHERE rn <= 10),
+hits AS (SELECT a.h, a.qid, count(*) AS hh FROM exactk e
+         JOIN annk a USING (qid, vec_id) GROUP BY a.h, a.qid)
+SELECT CAST(lv.h AS BIGINT) AS hamming, CAST(qs.qid AS BIGINT) AS query_id,
+       CAST(coalesce(hh, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(hh, 0) * 1000000 // 10 AS BIGINT) AS recall_e6
+FROM lv CROSS JOIN qs
+LEFT JOIN hits ON hits.h = lv.h AND hits.qid = qs.qid
+ORDER BY hamming, query_id""",
+
+        "reindex_diff": """
+SELECT doc_id,
+       CASE WHEN lang = 'en' THEN 'same' ELSE 'removed' END AS status
+FROM documents ORDER BY doc_id""",
     }

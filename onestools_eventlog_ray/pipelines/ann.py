@@ -261,3 +261,50 @@ def ann_recall_report(index_dir: str, ds, query_ids: list[int],
         "recall_e6": pa.array([hits[i] * 10 ** 6 // k for i in order],
                               pa.int64()),
     })
+
+
+def ann_recall_sweep(index_dir: str, ds, query_ids: list[int],
+                     k: int = 10, hamming_levels: tuple[int, ...] = (0, 1, 2),
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> pa.Table:
+    """Multi-probe tuning sweep: :func:`ann_recall_report`'s recall@k
+    at several ``hamming`` probe radii in one report — the curve that
+    picks the latency/recall trade-off (radius h probes
+    ``sum_i<=h C(nbits, i)`` buckets; recall must be monotone in h).
+    Exact brute-force side computed ONCE and reused across levels.
+    -> (hamming, query_id, n_hits, recall_e6) by (hamming, query_id)."""
+    import ray.data
+    from onestools_eventlog_ray.pipelines.similarity import knn_cosine
+
+    qids = [int(q) for q in query_ids]
+    idl = ", ".join(str(q) for q in qids) or "-1"
+    rows = ds.filter(expr=f"{id_col} in [{idl}]") \
+        .select_columns([id_col, vec_col]).take_all()
+    vec_of = {int(r[id_col]): np.asarray(r[vec_col], dtype=np.float64)
+              for r in rows}
+    qmat = np.stack([vec_of[q] for q in qids])
+    exact = knn_cosine(ds, qmat, k=k + 1, id_col=id_col, vec_col=vec_col)
+    exact_ids: dict[int, set] = {q: set() for q in qids}
+    for qi, vid in zip(exact["query_idx"].to_pylist(),
+                       exact["vec_id"].to_pylist()):
+        q = qids[int(qi)]
+        s = exact_ids[q]
+        if int(vid) != q and len(s) < k:
+            s.add(int(vid))
+
+    out = {"hamming": [], "query_id": [], "n_hits": [], "recall_e6": []}
+    for h in hamming_levels:
+        ann = score_ann_queries(
+            index_dir,
+            [{"query_id": q, "embedding": vec_of[q].tolist(),
+              "exclude_id": q} for q in qids], k=k, hamming=h).take_all()
+        ann_ids: dict[int, set] = {q: set() for q in qids}
+        for r in ann:
+            ann_ids[int(r["query_id"])].add(int(r["vec_id"]))
+        for q in sorted(qids):
+            hits = len(exact_ids[q] & ann_ids[q])
+            out["hamming"].append(int(h))
+            out["query_id"].append(q)
+            out["n_hits"].append(hits)
+            out["recall_e6"].append(hits * 10 ** 6 // k)
+    return pa.table({kk: pa.array(v, pa.int64()) for kk, v in out.items()})

@@ -104,6 +104,18 @@ def build_index(corpus_paths, index_dir: str,
             raise ValueError("row_filter requires row_filter_sig")
         read_kwargs["filter"] = row_filter
         excl_sig = f" flt={row_filter_sig}"
+        # fail loudly on an all-filtered corpus: Ray yields SCHEMA-LESS
+        # empty blocks for fully-pruned reads, which would crash deep in
+        # the map pass with an opaque KeyError; an empty index is also
+        # semantically broken (avgdl/idf undefined)
+        import ray.data as _rd
+        probe = _rd.read_parquet(corpus_paths,
+                                 columns=spec.read_cols(with_content=False),
+                                 filter=row_filter).limit(1).take_all()
+        if not probe:
+            raise ValueError(
+                f"row_filter {row_filter_sig!r} matches no documents; "
+                "refusing to build an empty index")
     if exclude_doc_ids is not None:
         import numpy as np
         excl = np.unique(np.asarray(list(exclude_doc_ids), dtype=np.int64))

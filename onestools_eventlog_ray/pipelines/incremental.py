@@ -253,3 +253,54 @@ def reindex(src_index: str, out_dir: str, where: dict | None = None,
                          row_filter_sig=";".join(sig_parts) or "all")
     report["src_index"] = src_index
     return report
+
+
+def index_diff(index_a: str, index_b: str) -> ray.data.Dataset:
+    """Docstore reconciliation between two indexes (ES snapshot-diff /
+    reindex audit): for every doc_id in either index, whether it was
+    ``removed`` (A only), ``added`` (B only), ``changed`` (both,
+    content sha differs) or ``same``.  The audit a reindex-with-query
+    or compaction run publishes.
+
+    Distributed tagged-union co-group over the two docstores — only
+    (doc_id, sha) rows shuffle, content stays columnar in the scans.
+    -> (doc_id, status)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Max
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            sha = batch["content_sha256"]
+            null = pa.nulls(batch.num_rows, pa.string())
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "sha_a": sha if side == "a" else null,
+                "sha_b": sha if side == "b" else null,
+            })
+        return fn
+
+    a = ray.data.read_parquet(os.path.join(index_a, "docstore"),
+                              columns=["doc_id", "content_sha256"]) \
+        .map_batches(tag("a"), batch_format="pyarrow")
+    b = ray.data.read_parquet(os.path.join(index_b, "docstore"),
+                              columns=["doc_id", "content_sha256"]) \
+        .map_batches(tag("b"), batch_format="pyarrow")
+    folded = a.union(b).groupby("doc_id").aggregate(
+        Max("sha_a", alias_name="sha_a"), Max("sha_b", alias_name="sha_b"))
+
+    def status(batch: pa.Table) -> pa.Table:
+        ha = batch["sha_a"].to_numpy(zero_copy_only=False)
+        hb = batch["sha_b"].to_numpy(zero_copy_only=False)
+        st = np.where(pc.is_null(batch["sha_b"]).to_numpy(
+                          zero_copy_only=False), "removed",
+             np.where(pc.is_null(batch["sha_a"]).to_numpy(
+                          zero_copy_only=False), "added",
+             np.where(ha == hb, "same", "changed")))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "status": pa.array(st.astype(object),
+                                            pa.string())})
+
+    return folded.map_batches(status, batch_format="pyarrow")

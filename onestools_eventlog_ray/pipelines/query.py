@@ -1539,3 +1539,69 @@ def prf_search(eng: SearchEngine, terms: list[str], fb_docs: int = 10,
         "doc_id": pa.array(ids2[o2], pa.int64()),
         "score_e6": pa.array(e62[o2], pa.int64()),
     })
+
+
+def count_bool(index_dir: str, tree) -> pa.Table:
+    """Arbitrary nested boolean query tree over the postings — the ES
+    ``bool`` query in filter context (AND = ``must``/``filter``, OR =
+    ``should``, NOT = ``must_not``), evaluated as set algebra on sorted
+    doc-id arrays.  Grammar: a node is a term string, ``{"and": [...]}``,
+    ``{"or": [...]}``, or ``{"not": node}`` (allowed only inside an
+    ``and``, ES's filter-context rule — a bare NOT would need the full
+    live universe).
+
+    Cost is df-bounded: one shard-pruned posting read per distinct leaf
+    term; every operator is a sorted intersect/union/difference.
+    Tombstoned docs are dropped at the leaves.  -> one row (n_docs)."""
+
+    def leaves(node, acc):
+        if isinstance(node, str):
+            acc.add(node)
+        elif isinstance(node, dict):
+            (op, val), = node.items()
+            if op == "not":
+                leaves(val, acc)
+            else:
+                for ch in val:
+                    leaves(ch, acc)
+        else:
+            raise ValueError(f"bad node {node!r}")
+        return acc
+
+    eng = SearchEngine(index_dir)
+    terms = sorted(leaves(tree, set()))
+    loaded = eng.load_terms(terms)
+    ids_of: dict[str, np.ndarray] = {}
+    for t in terms:
+        if t in loaded:
+            ids = codec.decode_posting(loaded[t][1]).doc_ids
+            if eng.deleted.size:
+                ids = ids[~np.isin(ids, eng.deleted)]
+            ids_of[t] = ids
+        else:
+            ids_of[t] = np.empty(0, dtype=np.int64)
+
+    def ev(node) -> np.ndarray:
+        if isinstance(node, str):
+            return ids_of[node]
+        (op, val), = node.items()
+        if op == "or":
+            parts = [ev(ch) for ch in val]
+            return np.unique(np.concatenate(parts)) if parts \
+                else np.empty(0, np.int64)
+        if op == "and":
+            pos = [ch for ch in val
+                   if not (isinstance(ch, dict) and "not" in ch)]
+            neg = [ch["not"] for ch in val
+                   if isinstance(ch, dict) and "not" in ch]
+            if not pos:
+                raise ValueError("pure-NOT 'and' needs >= 1 positive leg")
+            acc = ev(pos[0])
+            for ch in pos[1:]:
+                acc = acc[np.isin(acc, ev(ch))]
+            for ch in neg:
+                acc = acc[~np.isin(acc, ev(ch))]
+            return acc
+        raise ValueError(f"'not' only allowed inside 'and' (got {op})")
+
+    return pa.table({"n_docs": pa.array([int(ev(tree).size)], pa.int64())})

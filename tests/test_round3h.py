@@ -755,3 +755,79 @@ def test_langid_agreement_bruteforce():
     den = n * n - pe
     q = abs(num) // den
     assert kappa == (-q if num < 0 else q)
+
+
+def test_count_bool_bruteforce(h_index, small_corpus):
+    from onestools_eventlog_ray.pipelines.query import count_bool
+    from onestools_eventlog_ray.functions.hashing import doc_id_from_keys
+    ids = doc_id_from_keys(small_corpus["repo"], small_corpus["path"],
+                           small_corpus["commit"]).to_pylist()
+    docs = {d: set(_tok(t)) for d, t in
+            zip(ids, small_corpus["content"].to_pylist())}
+    tree = {"or": [{"and": ["def", "class"]},
+                   {"and": ["import", {"not": "return"}]}]}
+    want = sum(1 for ts in docs.values()
+               if ("def" in ts and "class" in ts)
+               or ("import" in ts and "return" not in ts))
+    out = count_bool(h_index, tree).to_pylist()
+    assert out == [{"n_docs": want}]
+    # nested depth-3 tree + missing term
+    tree2 = {"and": ["def", {"or": ["zzznope",
+                                    {"and": ["class", {"not": "def"}]}]}]}
+    assert count_bool(h_index, tree2).to_pylist() == [{"n_docs": 0}]
+    with pytest.raises(ValueError):
+        count_bool(h_index, {"and": [{"not": "def"}]})
+
+
+def test_ann_recall_sweep_monotone(tmp_path):
+    import ray.data
+    from onestools_eventlog_ray.pipelines.ann import (ann_recall_sweep,
+                                                      build_ann_index)
+    src = os.path.join(SF_DIR, "embeddings.parquet")
+    idx = str(tmp_path / "sweep_idx")
+    ds = ray.data.read_parquet(src, columns=["vec_id", "embedding"])
+    build_ann_index(ds, idx, dim=64, nbits=6, seed=42)
+    out = ann_recall_sweep(idx, ds, [2, 7], k=10,
+                           hamming_levels=(0, 1, 2)).to_pylist()
+    assert len(out) == 6
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["hamming"],
+                                                   r["recall_e6"]))
+    for q, rows in by_q.items():
+        rows.sort()
+        recalls = [r for _, r in rows]
+        assert recalls == sorted(recalls)      # monotone in radius
+
+
+def test_index_diff(tmp_path, small_corpus_dir):
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.build import build_index
+    from onestools_eventlog_ray.pipelines.incremental import (index_diff,
+                                                              reindex)
+    src = str(tmp_path / "src")
+    build_index(small_corpus_dir, src, cfg=EngineConfig(num_partitions=8))
+    dst = str(tmp_path / "dst")
+    reindex(src, dst, where={"lang": "py"},
+            cfg=EngineConfig(num_partitions=8))
+    out = index_diff(src, dst).take_all()
+    corpus = pq.read_table(small_corpus_dir)
+    from onestools_eventlog_ray.functions.hashing import doc_id_from_keys
+    ids = doc_id_from_keys(corpus["repo"], corpus["path"],
+                           corpus["commit"]).to_pylist()
+    langs = dict(zip(ids, corpus["lang"].to_pylist()))
+    assert len(out) == len(set(ids))
+    for r in out:
+        want = "same" if langs[r["doc_id"]] == "py" else "removed"
+        assert r["status"] == want
+
+
+def test_reindex_empty_filter_refused(tmp_path, small_corpus_dir):
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.build import build_index
+    from onestools_eventlog_ray.pipelines.incremental import reindex
+    src = str(tmp_path / "src2")
+    build_index(small_corpus_dir, src, cfg=EngineConfig(num_partitions=8))
+    with pytest.raises(ValueError, match="matches no documents"):
+        reindex(src, str(tmp_path / "dst2"), where={"lang": "nosuchlang"},
+                cfg=EngineConfig(num_partitions=8))
