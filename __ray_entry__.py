@@ -1172,6 +1172,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         min_support=100) \
             .sort(["term_a", "term_b"])
 
+    def event_3paths(sf_dir):
+        """Sequential pattern mining: per-user ordered event-type
+        trigrams, global top-20 (type^3-bounded fold)."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines.streaming import \
+            event_trigrams
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["user_id", "ts", "event_id",
+                                            "event_type"])
+        return event_trigrams(ev)
+
+    def bm25_quality(sf_dir):
+        """IR regression metrics: MRR + binary nDCG@10 of the BM25
+        ranking against the all-terms conjunctive relevance rule."""
+        from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                            bm25_eval)
+        return bm25_eval(SearchEngine(_ensure_index(sf_dir)), _BM25_TERMS)
+
+    def dup_triangles(sf_dir):
+        """Near-dup graph cohesion: triangle count + degree stats over
+        the verified pair graph (template-family detector)."""
+        return dedup.dup_graph_triangles(_documents_ds(sf_dir),
+                                         DOCUMENTS_SPEC, min_jaccard=0.2)
+
     def bool_count(sf_dir):
         """ES bool query in filter context: ((spark AND vector) OR
         (window AND NOT merge)) evaluated as df-bounded sorted-set
@@ -2011,6 +2035,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": bpe_pairs,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
+        "event_3paths": event_3paths,
+        "bm25_quality": bm25_quality,
+        "dup_triangles": dup_triangles,
         "bool_count": bool_count,
         "ann_recall_curve": ann_recall_curve,
         "reindex_diff": reindex_diff,
@@ -4627,4 +4654,65 @@ ORDER BY hamming, query_id""",
 SELECT doc_id,
        CASE WHEN lang = 'en' THEN 'same' ELSE 'removed' END AS status
 FROM documents ORDER BY doc_id""",
+
+        "event_3paths": """
+WITH e AS (SELECT event_type AS t1,
+                  lead(event_type, 1) OVER w AS t2,
+                  lead(event_type, 2) OVER w AS t3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+FROM e WHERE t3 IS NOT NULL GROUP BY t1, t2, t3
+ORDER BY n DESC, t1, t2, t3 LIMIT 20""",
+
+        "bm25_quality": f"""
+WITH toks AS ({_TOKS}),
+m AS (SELECT doc_id, count(DISTINCT term) AS c FROM toks
+      WHERE term IN ('spark', 'vector', 'window') GROUP BY doc_id),
+rel AS (SELECT doc_id FROM m WHERE c = 3),
+base AS ({_bm25_sql(_BM25_TERMS, k=10)}),
+g AS (SELECT base.rank,
+             CAST(floor(1000000.0 / log2(base.rank + 1) + 0.5) AS BIGINT)
+               AS d6,
+             (rel.doc_id IS NOT NULL) AS isrel
+      FROM base LEFT JOIN rel USING (doc_id)),
+nrel AS (SELECT count(*) AS nr FROM rel),
+dcg AS (SELECT coalesce(sum(d6) FILTER (isrel), 0) AS v FROM g),
+idcg AS (SELECT coalesce(sum(d6), 0) AS v FROM g
+         WHERE rank <= least((SELECT nr FROM nrel), 10)),
+fst AS (SELECT coalesce(min(rank), 0) AS fr FROM g WHERE isrel)
+SELECT CAST((SELECT nr FROM nrel) AS BIGINT) AS n_relevant,
+       CAST((SELECT fr FROM fst) AS BIGINT) AS first_rel_rank,
+       CAST(CASE WHEN (SELECT fr FROM fst) > 0
+                 THEN 1000000 // (SELECT fr FROM fst) ELSE 0 END
+            AS BIGINT) AS mrr_e6,
+       CAST(CASE WHEN (SELECT v FROM idcg) > 0
+                 THEN (SELECT v FROM dcg) * 1000000 // (SELECT v FROM idcg)
+                 ELSE 0 END AS BIGINT) AS ndcg_e6""",
+
+        "dup_triangles": f"""
+WITH {_minhash_cte()},
+sets AS (SELECT doc_id, list_distinct(list(CAST(h AS BIGINT))) AS hs
+         FROM shh GROUP BY doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bandh a JOIN bandh b
+           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id),
+pairs AS (SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b,
+                   CAST(floor(len(list_intersect(sa.hs, sb.hs)) * 1.0
+                              / len(list_distinct(sa.hs || sb.hs))
+                              * 1000000 + 0.5) AS BIGINT) AS jaccard_e6
+            FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
+                      JOIN sets sb ON sb.doc_id = cand.doc_b)
+          WHERE jaccard_e6 >= 200000),
+ends AS (SELECT doc_a AS x FROM pairs UNION ALL SELECT doc_b FROM pairs),
+deg AS (SELECT x, count(*) AS d FROM ends GROUP BY x),
+tri AS (SELECT count(*) AS t FROM pairs p
+        JOIN pairs q ON q.doc_a = p.doc_a AND q.doc_b > p.doc_b
+        JOIN pairs r ON r.doc_a = p.doc_b AND r.doc_b = q.doc_b)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+       CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+       CAST((SELECT coalesce(max(d), 0) FROM deg) AS BIGINT) AS max_degree""",
     }

@@ -1091,3 +1091,40 @@ def dedup_savings(ds: ray.data.Dataset,
         "tokens_total": pa.array([r[2] for r in out], pa.int64()),
         "tokens_saved": pa.array([r[3] for r in out], pa.int64()),
     })
+
+
+def dup_graph_triangles(ds: ray.data.Dataset,
+                        spec: CorpusSpec = DOCUMENTS_SPEC,
+                        min_jaccard: float = 0.2,
+                        **minhash_kwargs) -> pa.Table:
+    """Near-duplicate graph cohesion: triangle count and per-node
+    degree over the verified pair graph — high triangle density means
+    whole duplicated FAMILIES (template farms), not chance pairs; the
+    shape signal that decides representative-only vs drop-all dedup.
+
+    The expensive half is the distributed pair mining
+    (:func:`minhash_verified_pairs`); the triangle join runs on the
+    pair-bounded edge list (like :func:`dedup_clusters`'s union-find —
+    edges, never the corpus).  -> one row
+    (n_nodes, n_edges, n_triangles, max_degree)."""
+    pairs = minhash_verified_pairs(ds, spec, min_jaccard=min_jaccard,
+                                   **minhash_kwargs).to_pandas()
+    a = pairs["doc_a"].to_numpy().astype(np.int64)
+    b = pairs["doc_b"].to_numpy().astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    n = nodes.size
+    deg = np.bincount(inv, minlength=n)
+    adj = {i: set() for i in range(n)}
+    ia, ib = inv[:a.size], inv[a.size:]
+    for x, y in zip(ia.tolist(), ib.tolist()):
+        adj[x].add(y)
+        adj[y].add(x)
+    tri = 0
+    for x, y in zip(ia.tolist(), ib.tolist()):
+        tri += len(adj[x] & adj[y])
+    return pa.table({
+        "n_nodes": pa.array([n], pa.int64()),
+        "n_edges": pa.array([int(a.size)], pa.int64()),
+        "n_triangles": pa.array([tri // 3], pa.int64()),
+        "max_degree": pa.array([int(deg.max()) if n else 0], pa.int64()),
+    })

@@ -1605,3 +1605,47 @@ def count_bool(index_dir: str, tree) -> pa.Table:
         raise ValueError(f"'not' only allowed inside 'and' (got {op})")
 
     return pa.table({"n_docs": pa.array([int(ev(tree).size)], pa.int64())})
+
+
+def bm25_eval(eng: SearchEngine, terms: list[str], k: int = 10) -> pa.Table:
+    """Retrieval-quality evaluation of the BM25 ranking against the
+    deterministic relevance rule "a doc is relevant iff it contains ALL
+    query terms" (the conjunctive upper bound): MRR and binary nDCG at
+    ``k`` — the numbers an IR regression suite tracks per release.
+
+    Exact integers: per-rank discount ``floor(1e6 / log2(r + 1))`` is
+    rounded FIRST, so DCG/IDCG are order-free int sums;
+    ``ndcg_e6 = dcg * 1e6 // idcg``, ``mrr_e6 = 1e6 // first_rel_rank``.
+    The relevant set is the postings intersection (df-bounded).
+    -> one row (n_relevant, first_rel_rank, mrr_e6, ndcg_e6)."""
+    loaded = eng.load_terms(terms)
+    rel = None
+    for t in terms:
+        ids = codec.decode_posting(loaded[t][1]).doc_ids \
+            if t in loaded else np.empty(0, np.int64)
+        rel = ids if rel is None else rel[np.isin(rel, ids)]
+    rel = rel if rel is not None else np.empty(0, np.int64)
+    if eng.deleted.size:
+        rel = rel[~np.isin(rel, eng.deleted)]
+
+    hits = eng.search(terms, k=1 << 62)
+    ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+    e6 = np.floor(np.asarray([s for _, s in hits], dtype=np.float64)
+                  * 1_000_000 + 0.5).astype(np.int64)
+    order = np.lexsort((ids, -e6))[:k]
+    top = ids[order]
+    is_rel = np.isin(top, rel)
+    disc = (10 ** 6 / np.log2(np.arange(1, top.size + 1) + 1))
+    disc_e6 = np.floor(disc + 0.5).astype(np.int64)
+    dcg = int(disc_e6[is_rel].sum())
+    n_ideal = min(int(rel.size), k)
+    idcg = int(disc_e6[:n_ideal].sum())
+    ndcg = dcg * 10 ** 6 // idcg if idcg else 0
+    first = int(np.flatnonzero(is_rel)[0]) + 1 if is_rel.any() else 0
+    mrr = 10 ** 6 // first if first else 0
+    return pa.table({
+        "n_relevant": pa.array([int(rel.size)], pa.int64()),
+        "first_rel_rank": pa.array([first], pa.int64()),
+        "mrr_e6": pa.array([mrr], pa.int64()),
+        "ndcg_e6": pa.array([ndcg], pa.int64()),
+    })

@@ -358,3 +358,44 @@ def date_histogram_moving_avg(ds: ray.data.Dataset,
         "n_events": base["n_events"],
         "ma_e6": pa.array(ma, pa.int64()),
     })
+
+
+def event_trigrams(ds: ray.data.Dataset, k: int = 20) -> pa.Table:
+    """Sequential-pattern mining one level past the Markov table:
+    per-user ordered event-type TRIGRAMS, folded globally, top-``k`` by
+    (count desc, types asc) — the 3-step behavioral paths a funnel
+    designer mines for.  Same shape as :func:`event_transitions`: each
+    user group sorts locally in (ts, event_id) order and emits its
+    trigram partials; the global fold is type-cardinality^3-bounded.
+    -> (t1, t2, t3, n)."""
+    from ray.data.aggregate import Sum
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        if ts.size < 3:
+            return pa.schema([("t1", pa.string()), ("t2", pa.string()),
+                              ("t3", pa.string()),
+                              ("n_p", pa.int64())]).empty_table()
+        order = np.lexsort((eid, ts))
+        seq = et[order]
+        t = pa.table({"t1": pa.array(seq[:-2]),
+                      "t2": pa.array(seq[1:-1]),
+                      "t3": pa.array(seq[2:])})
+        g2 = t.group_by(["t1", "t2", "t3"]).aggregate([([], "count_all")])
+        return pa.table({"t1": g2["t1"], "t2": g2["t2"], "t3": g2["t3"],
+                         "n_p": g2["count_all"].cast(pa.int64())})
+
+    folded = ds.groupby("user_id").map_groups(per_user,
+                                              batch_format="pyarrow") \
+        .groupby(["t1", "t2", "t3"]).aggregate(Sum("n_p", alias_name="n")) \
+        .take_all()
+    rows = sorted(((-int(r["n"]), str(r["t1"]), str(r["t2"]),
+                    str(r["t3"])) for r in folded))[:k]
+    return pa.table({
+        "t1": pa.array([r[1] for r in rows], pa.string()),
+        "t2": pa.array([r[2] for r in rows], pa.string()),
+        "t3": pa.array([r[3] for r in rows], pa.string()),
+        "n": pa.array([-r[0] for r in rows], pa.int64()),
+    })

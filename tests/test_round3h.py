@@ -831,3 +831,73 @@ def test_reindex_empty_filter_refused(tmp_path, small_corpus_dir):
     with pytest.raises(ValueError, match="matches no documents"):
         reindex(src, str(tmp_path / "dst2"), where={"lang": "nosuchlang"},
                 cfg=EngineConfig(num_partitions=8))
+
+
+def test_event_trigrams_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.streaming import event_trigrams
+    tbl = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                        columns=["user_id", "ts", "event_id",
+                                 "event_type"])
+    seqs = {}
+    rows = sorted(zip(tbl["user_id"].to_pylist(),
+                      [t.timestamp() for t in tbl["ts"].to_pylist()],
+                      tbl["event_id"].to_pylist(),
+                      tbl["event_type"].to_pylist()))
+    for u, _, _, et in rows:
+        seqs.setdefault(u, []).append(et)
+    cnt = Counter()
+    for seq in seqs.values():
+        for i in range(len(seq) - 2):
+            cnt[tuple(seq[i:i + 3])] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    out = event_trigrams(ray.data.read_parquet(
+        os.path.join(SF_DIR, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"])).to_pylist()
+    assert [((r["t1"], r["t2"], r["t3"]), r["n"]) for r in out] == want
+
+
+def test_bm25_eval_bruteforce(h_index, small_corpus):
+    from onestools_eventlog_ray.pipelines.query import SearchEngine, \
+        bm25_eval
+    from onestools_eventlog_ray.functions.hashing import doc_id_from_keys
+    eng = SearchEngine(h_index)
+    terms = ["def", "import"]
+    out = bm25_eval(eng, terms, k=10).to_pylist()[0]
+    ids = doc_id_from_keys(small_corpus["repo"], small_corpus["path"],
+                           small_corpus["commit"]).to_pylist()
+    rel = {d for d, t in zip(ids, small_corpus["content"].to_pylist())
+           if set(terms) <= set(_tok(t))}
+    hits = eng.search(terms, k=1 << 62)
+    hid = np.asarray([d for d, _ in hits], dtype=np.int64)
+    he6 = np.floor(np.asarray([s for _, s in hits]) * 1e6 + 0.5) \
+        .astype(np.int64)
+    top = hid[np.lexsort((hid, -he6))[:10]]
+    d6 = [int(floor(1e6 / np.log2(r + 1) + 0.5)) for r in range(1, 11)]
+    dcg = sum(d for d, doc in zip(d6, top) if int(doc) in rel)
+    idcg = sum(d6[:min(len(rel), 10)])
+    first = next((i + 1 for i, doc in enumerate(top)
+                  if int(doc) in rel), 0)
+    assert out["n_relevant"] == len(rel)
+    assert out["first_rel_rank"] == first
+    assert out["mrr_e6"] == (10**6 // first if first else 0)
+    assert out["ndcg_e6"] == (dcg * 10**6 // idcg if idcg else 0)
+
+
+def test_dup_triangles_planted():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.dedup import dup_graph_triangles
+    # three near-identical docs (a triangle) + one unrelated
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([base, base + " x1", base + " x2",
+                          " ".join(f"z{i}" for i in range(40))]),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([1, 1, 1, 1], pa.int64()),
+    })
+    out = dup_graph_triangles(ray.data.from_arrow(docs),
+                              min_jaccard=0.5).to_pylist()[0]
+    assert out == {"n_nodes": 3, "n_edges": 3, "n_triangles": 1,
+                   "max_degree": 2}
