@@ -1172,6 +1172,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         min_support=100) \
             .sort(["term_a", "term_b"])
 
+    def mix_temperature(sf_dir):
+        """Gopher-style T=2 temperature mixture: target domain share
+        proportional to sqrt(raw token share), e6-rounded-first sums,
+        bigint finalize."""
+        from onestools_eventlog_ray.pipelines.mix import \
+            mix_weights_temperature
+        return mix_weights_temperature(_documents_ds(sf_dir))
+
+    def source_diversity(sf_dir):
+        """Per-domain vocabulary diversity: Shannon entropy of the term
+        distribution (e9-rounded-first order-free int sums) + counts."""
+        from onestools_eventlog_ray.pipelines.mix import source_entropy
+        return source_entropy(_documents_ds(sf_dir)).sort("source")
+
+    def zipf_coverage(sf_dir):
+        """Tokenizer-budget diagnostic: fraction of the token stream
+        covered by the top-k terms for k in 1/10/100/1000."""
+        return text.vocab_coverage(_documents_ds(sf_dir))
+
     def event_3paths(sf_dir):
         """Sequential pattern mining: per-user ordered event-type
         trigrams, global top-20 (type^3-bounded fold)."""
@@ -2035,6 +2054,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": bpe_pairs,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
+        "mix_temperature": mix_temperature,
+        "source_diversity": source_diversity,
+        "zipf_coverage": zipf_coverage,
         "event_3paths": event_3paths,
         "bm25_quality": bm25_quality,
         "dup_triangles": dup_triangles,
@@ -4715,4 +4737,57 @@ SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
        CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
        CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
        CAST((SELECT coalesce(max(d), 0) FROM deg) AS BIGINT) AS max_degree""",
+
+        "mix_temperature": f"""
+WITH toks AS ({_TOKS}),
+src AS (SELECT DISTINCT source FROM documents),
+cnt AS (SELECT d.source, count(*) AS c FROM toks t
+        JOIN documents d USING (doc_id) GROUP BY d.source),
+tl AS (SELECT src.source, coalesce(c, 0) AS nt
+       FROM src LEFT JOIN cnt USING (source)),
+s AS (SELECT source, nt,
+             CAST(floor(sqrt(CAST(nt AS DOUBLE)) * 1000000 + 0.5)
+                  AS HUGEINT) AS sq
+      FROM tl),
+tot AS (SELECT sum(nt) AS total, sum(sq) AS ssum FROM s)
+SELECT source, CAST(nt AS BIGINT) AS n_tokens,
+       CAST(sq AS BIGINT) AS sqrt_e6,
+       CAST(sq * 1000000 // (SELECT ssum FROM tot) AS BIGINT)
+         AS target_share_e6,
+       CAST(CASE WHEN nt > 0
+                 THEN sq * (SELECT total FROM tot) * 1000000
+                      // ((SELECT ssum FROM tot) * nt)
+                 ELSE 0 END AS BIGINT) AS weight_e6
+FROM s ORDER BY source""",
+
+        "source_diversity": f"""
+WITH toks AS ({_TOKS}),
+st AS (SELECT d.source, t.term, count(*) AS n FROM toks t
+       JOIN documents d USING (doc_id) GROUP BY d.source, t.term),
+tot AS (SELECT source, sum(n) AS nn, count(*) AS nterms
+        FROM st GROUP BY source),
+c AS (SELECT st.source,
+             CAST(floor((-1000000000.0 * (st.n * 1.0 / tot.nn))
+                        * log2(st.n * 1.0 / tot.nn) + 0.5) AS BIGINT)
+               AS e9
+      FROM st JOIN tot USING (source)),
+e AS (SELECT source, sum(e9) AS ent FROM c GROUP BY source)
+SELECT t.source, CAST(nn AS BIGINT) AS n_tokens,
+       CAST(nterms AS BIGINT) AS n_terms,
+       CAST(ent AS BIGINT) AS entropy_e9
+FROM tot t JOIN e USING (source) ORDER BY source""",
+
+        "zipf_coverage": f"""
+WITH toks AS ({_TOKS}),
+cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term),
+tot AS (SELECT sum(cf) AS total FROM cf),
+r AS (SELECT cf, row_number() OVER (ORDER BY cf DESC, term ASC) AS rn
+      FROM cf),
+ks AS (SELECT unnest([1, 10, 100, 1000]) AS k)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(coalesce((SELECT sum(cf) FROM r WHERE rn <= k), 0) AS BIGINT)
+         AS covered_cf,
+       CAST(coalesce((SELECT sum(cf) FROM r WHERE rn <= k), 0) * 1000000
+            // (SELECT total FROM tot) AS BIGINT) AS coverage_e6
+FROM ks ORDER BY k""",
     }

@@ -246,3 +246,96 @@ def split_by_group(ds: ray.data.Dataset,
         "n_docs": pa.array([out[s][1] for s in names], pa.int64()),
         "n_tokens": pa.array([out[s][2] for s in names], pa.int64()),
     })
+
+
+def mix_weights_temperature(ds: ray.data.Dataset,
+                            spec: CorpusSpec = DOCUMENTS_SPEC,
+                            by: str = "source") -> pa.Table:
+    """Temperature-scaled domain mixture (T=2, the Gopher/mT5 sampling
+    rule): target share ∝ sqrt(raw token share), which upsamples small
+    domains less aggressively than the uniform target of
+    :func:`mix_weights`.  Exactness: each group's ``sqrt(n_tokens)`` is
+    a correctly-rounded IEEE double of an exact int, e6-rounded FIRST
+    (``s = floor(sqrt(nt)*1e6+0.5)``), so the cross-group sums are
+    order-free ints; the final ratios use arbitrary-precision ints
+    (they overflow int64 by design — HUGEINT on the oracle side).
+
+    Same one-pass group fold as :func:`mix_weights`.
+    -> (by, n_tokens, sqrt_e6, target_share_e6, weight_e6)."""
+    from ray.data.aggregate import Sum as RSum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_tok = _n_tokens(batch[spec.content_col])
+        g = pa.table({by: batch[by],
+                      "nt": pa.array(n_tok, pa.int64())}) \
+            .group_by(by).aggregate([("nt", "sum")])
+        return pa.table({by: g[by],
+                         "n_tokens_p": g["nt_sum"].cast(pa.int64())})
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(by).aggregate(RSum("n_tokens_p", alias_name="n_tokens")) \
+        .take_all()
+    folded.sort(key=lambda r: r[by])
+    groups = [r[by] for r in folded]
+    nt = [int(r["n_tokens"]) for r in folded]
+    total = sum(nt)
+    s = [int(np.floor(np.sqrt(np.float64(x)) * 1_000_000 + 0.5))
+         for x in nt]
+    ssum = sum(s)
+    target = [x * 10 ** 6 // ssum if ssum else 0 for x in s]
+    weight = [(x * total * 10 ** 6) // (ssum * n) if n else 0
+              for x, n in zip(s, nt)]
+    return pa.table({
+        by: pa.array(groups, pa.string()),
+        "n_tokens": pa.array(nt, pa.int64()),
+        "sqrt_e6": pa.array(s, pa.int64()),
+        "target_share_e6": pa.array(target, pa.int64()),
+        "weight_e6": pa.array(weight, pa.int64()),
+    })
+
+
+def source_entropy(ds: ray.data.Dataset,
+                   spec: CorpusSpec = DOCUMENTS_SPEC,
+                   by: str = "source") -> ray.data.Dataset:
+    """Vocabulary-diversity report: per domain, Shannon entropy of its
+    term distribution (plus token/term counts) — low entropy flags
+    template/boilerplate domains a mixture should downweight.
+
+    Exactness: each term's contribution ``-p·log2(p)`` is e9-rounded
+    FIRST, so the per-domain sum is an order-free integer (the same
+    round-then-sum rule as ``lm_scores``).  Shuffle carries
+    (domain, term, n) rows — vocabulary x domains, never the token
+    stream.  -> (by, n_tokens, n_terms, entropy_e9)."""
+    from ray.data.aggregate import Sum as RSum
+    from onestools_eventlog_ray.functions.analyzer import tokenize_array
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = tokenize_array(batch[spec.content_col])
+        flat = toks.flatten()
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        src = np.repeat(np.asarray(batch[by].to_pylist(), dtype=object),
+                        dl)
+        t = pa.table({by: pa.array(src, pa.string()),
+                      "term": flat.cast(pa.string())})
+        g = t.group_by([by, "term"]).aggregate([([], "count_all")])
+        return pa.table({by: g[by], "term": g["term"],
+                         "n_p": g["count_all"].cast(pa.int64())})
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([by, "term"]).aggregate(RSum("n_p", alias_name="n"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        n = group["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(n.sum())
+        p = n.astype(np.float64) / np.float64(total)
+        contrib = np.floor((-1_000_000_000.0 * p) * np.log2(p) + 0.5) \
+            .astype(np.int64)
+        return pa.table({
+            by: pa.array([group[by][0].as_py()], pa.string()),
+            "n_tokens": pa.array([total], pa.int64()),
+            "n_terms": pa.array([int(n.size)], pa.int64()),
+            "entropy_e9": pa.array([int(contrib.sum())], pa.int64()),
+        })
+
+    return folded.groupby(by).map_groups(finalize, batch_format="pyarrow")

@@ -1734,3 +1734,35 @@ def language_id_batch(batch: pa.Table,
     pred = np.where(best_hits > 0,
                     np.asarray(langs, dtype=object)[best], "und")
     return pa.array(pred.astype(object), pa.string())
+
+
+def vocab_coverage(ds: ray.data.Dataset,
+                   spec: CorpusSpec = DOCUMENTS_SPEC,
+                   ks: tuple[int, ...] = (1, 10, 100, 1000)
+                   ) -> pa.Table:
+    """Zipf head coverage: the fraction of the token stream covered by
+    the top-``k`` most frequent terms, for several ``k`` — the
+    tokenizer-budget diagnostic (how much of the corpus a k-entry
+    vocabulary explains).  Terms rank by (cf desc, term asc).
+
+    One :func:`term_stats` fold; the rank cut runs on the vocab-sized
+    table (at open-web vocabulary scale use the distributed two-level
+    top-k of ``term_topk`` for the same cut).
+    -> (k, covered_cf, coverage_e6)."""
+    stats = term_stats(ds, spec).take_all()
+    cf = np.asarray([int(r["cf"]) for r in stats], dtype=np.int64)
+    terms = np.asarray([str(r["term"]) for r in stats], dtype=np.str_)
+    total = int(cf.sum())
+    order = np.lexsort((terms, -cf))
+    csum = np.concatenate([[0], np.cumsum(cf[order], dtype=np.int64)])
+    out_k, out_c, out_e = [], [], []
+    for k in ks:
+        c = int(csum[min(k, cf.size)])
+        out_k.append(int(k))
+        out_c.append(c)
+        out_e.append(c * 10 ** 6 // total if total else 0)
+    return pa.table({
+        "k": pa.array(out_k, pa.int64()),
+        "covered_cf": pa.array(out_c, pa.int64()),
+        "coverage_e6": pa.array(out_e, pa.int64()),
+    })

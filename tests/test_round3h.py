@@ -901,3 +901,70 @@ def test_dup_triangles_planted():
                               min_jaccard=0.5).to_pylist()[0]
     assert out == {"n_nodes": 3, "n_edges": 3, "n_triangles": 1,
                    "max_degree": 2}
+
+
+def test_mix_temperature_bruteforce():
+    import ray.data
+    from math import sqrt
+    from onestools_eventlog_ray.pipelines.mix import mix_weights_temperature
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    nt = Counter()
+    for s, txt in zip(tbl["source"].to_pylist(), tbl["text"].to_pylist()):
+        nt[s] += len(_tok(txt))
+    total = sum(nt.values())
+    s6 = {s: int(floor(sqrt(float(n)) * 1e6 + 0.5)) for s, n in nt.items()}
+    ssum = sum(s6.values())
+    out = mix_weights_temperature(ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"))).to_pylist()
+    assert len(out) == len(nt)
+    for r in out:
+        s = r["source"]
+        assert r["n_tokens"] == nt[s]
+        assert r["sqrt_e6"] == s6[s]
+        assert r["target_share_e6"] == s6[s] * 10**6 // ssum
+        assert r["weight_e6"] == s6[s] * total * 10**6 // (ssum * nt[s])
+    # temperature flattens: small domains get weight < uniform weight
+    tgt = sorted(r["target_share_e6"] for r in out)
+    assert tgt[-1] - tgt[0] >= 0
+
+
+def test_source_entropy_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.mix import source_entropy
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    per_src = {}
+    for s, txt in zip(tbl["source"].to_pylist(), tbl["text"].to_pylist()):
+        per_src.setdefault(s, Counter()).update(_tok(txt))
+    out = source_entropy(ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"))).take_all()
+    assert len(out) == len(per_src)
+    for r in out:
+        cnt = per_src[r["source"]]
+        total = sum(cnt.values())
+        ent = 0
+        for n in cnt.values():
+            p = n / total
+            ent += int(np.floor((-1e9 * p) * np.log2(p) + 0.5))
+        assert (r["n_tokens"], r["n_terms"], r["entropy_e9"]) == \
+            (total, len(cnt), ent)
+        # sanity: entropy within [0, log2(n_terms)]
+        assert 0 <= r["entropy_e9"] <= np.log2(len(cnt)) * 1e9 + 1e6
+
+
+def test_vocab_coverage_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.text import vocab_coverage
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    cf = Counter()
+    for txt in tbl["text"].to_pylist():
+        cf.update(_tok(txt))
+    total = sum(cf.values())
+    ranked = sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))
+    out = vocab_coverage(ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet")),
+        ks=(1, 5, 10**6)).to_pylist()
+    for r, k in zip(out, (1, 5, 10**6)):
+        c = sum(n for _, n in ranked[:k])
+        assert (r["k"], r["covered_cf"], r["coverage_e6"]) == \
+            (k, c, c * 10**6 // total)
+    assert out[-1]["coverage_e6"] == 10**6     # full vocab covers all
