@@ -1172,6 +1172,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         min_support=100) \
             .sort(["term_a", "term_b"])
 
+    def binary_search_knn(sf_dir):
+        """Binary (sign-bit) embedding retrieval: 1-bit/dim signatures,
+        exact popcount hamming ranking — the 32x-compressed first-stage
+        retriever."""
+        import ray.data
+        emb = ray.data.read_parquet(os.path.join(sf_dir,
+                                                 "embeddings.parquet"),
+                                    columns=["vec_id", "embedding"])
+        return similarity.binary_knn(emb, query_id=0)
+
+    def minhash_confusion(sf_dir):
+        """Estimator calibration: MinHash register-agreement estimate vs
+        exact Jaccard over all LSH candidates, confusion per threshold."""
+        return dedup.minhash_calibration(_documents_ds(sf_dir))
+
     def mix_temperature(sf_dir):
         """Gopher-style T=2 temperature mixture: target domain share
         proportional to sqrt(raw token share), e6-rounded-first sums,
@@ -2054,6 +2069,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": bpe_pairs,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
+        "binary_search_knn": binary_search_knn,
+        "minhash_confusion": minhash_confusion,
         "mix_temperature": mix_temperature,
         "source_diversity": source_diversity,
         "zipf_coverage": zipf_coverage,
@@ -4790,4 +4807,52 @@ SELECT CAST(k AS BIGINT) AS k,
        CAST(coalesce((SELECT sum(cf) FROM r WHERE rn <= k), 0) * 1000000
             // (SELECT total FROM tot) AS BIGINT) AS coverage_e6
 FROM ks ORDER BY k""",
+
+        "binary_search_knn": """
+WITH bits AS (SELECT * FROM (VALUES (1, 1), (2, 2), (3, 4), (4, 8), (5, 16), (6, 32), (7, 64), (8, 128), (9, 256), (10, 512), (11, 1024), (12, 2048), (13, 4096), (14, 8192), (15, 16384), (16, 32768), (17, 65536), (18, 131072), (19, 262144), (20, 524288), (21, 1048576), (22, 2097152), (23, 4194304), (24, 8388608), (25, 16777216), (26, 33554432), (27, 67108864), (28, 134217728), (29, 268435456), (30, 536870912), (31, 1073741824), (32, 2147483648), (33, 4294967296), (34, 8589934592), (35, 17179869184), (36, 34359738368), (37, 68719476736), (38, 137438953472), (39, 274877906944), (40, 549755813888), (41, 1099511627776), (42, 2199023255552), (43, 4398046511104), (44, 8796093022208), (45, 17592186044416), (46, 35184372088832), (47, 70368744177664), (48, 140737488355328), (49, 281474976710656), (50, 562949953421312), (51, 1125899906842624), (52, 2251799813685248), (53, 4503599627370496), (54, 9007199254740992), (55, 18014398509481984), (56, 36028797018963968), (57, 72057594037927936), (58, 144115188075855872), (59, 288230376151711744), (60, 576460752303423488), (61, 1152921504606846976), (62, 2305843009213693952), (63, 4611686018427387904), (64, 9223372036854775808)) AS b(i, w)),
+e0 AS (SELECT vec_id, unnest(embedding) AS x,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+sig AS (SELECT vec_id,
+               sum(CASE WHEN x > 0 THEN CAST(w AS HUGEINT)
+                        ELSE CAST(0 AS HUGEINT) END) AS s
+        FROM e0 JOIN bits USING (i) GROUP BY vec_id),
+q AS (SELECT s FROM sig WHERE vec_id = 0),
+h AS (SELECT vec_id,
+             CAST(bit_count(xor(CAST(s AS UBIGINT),
+                                CAST((SELECT s FROM q) AS UBIGINT)))
+                  AS BIGINT) AS hamming
+      FROM sig WHERE vec_id <> 0)
+SELECT CAST(row_number() OVER (ORDER BY hamming ASC, vec_id ASC)
+            AS BIGINT) AS rank, vec_id, hamming
+FROM h ORDER BY hamming ASC, vec_id ASC LIMIT 10""",
+
+        "minhash_confusion": f"""
+WITH {_minhash_cte()},
+sets AS (SELECT doc_id, list_distinct(list(CAST(h AS BIGINT))) AS hs
+         FROM shh GROUP BY doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bandh a JOIN bandh b
+           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id),
+ex AS (SELECT doc_a, doc_b,
+              CAST(floor(len(list_intersect(sa.hs, sb.hs)) * 1.0
+                         / len(list_distinct(sa.hs || sb.hs))
+                         * 1000000 + 0.5) AS BIGINT) AS exj
+       FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
+                 JOIN sets sb ON sb.doc_id = cand.doc_b),
+est AS (SELECT c.doc_a, c.doc_b,
+               CAST(count(*) FILTER (ma.v = mb.v) * 1000000 // 64
+                    AS BIGINT) AS est
+        FROM cand c JOIN mins ma ON ma.doc_id = c.doc_a
+                    JOIN mins mb ON mb.doc_id = c.doc_b
+                                AND mb.perm_id = ma.perm_id
+        GROUP BY c.doc_a, c.doc_b),
+j AS (SELECT ex.exj, est.est FROM ex JOIN est USING (doc_a, doc_b)),
+th AS (SELECT unnest([300000, 500000, 700000]) AS t)
+SELECT CAST(t AS BIGINT) AS threshold_e6,
+       CAST(count(*) FILTER (est >= t AND exj >= t) AS BIGINT) AS tp,
+       CAST(count(*) FILTER (est >= t AND exj < t) AS BIGINT) AS fp,
+       CAST(count(*) FILTER (est < t AND exj >= t) AS BIGINT) AS fn,
+       CAST(count(*) FILTER (est < t AND exj < t) AS BIGINT) AS tn
+FROM th LEFT JOIN j ON true GROUP BY t ORDER BY t""",
     }

@@ -1128,3 +1128,74 @@ def dup_graph_triangles(ds: ray.data.Dataset,
         "n_triangles": pa.array([tri // 3], pa.int64()),
         "max_degree": pa.array([int(deg.max()) if n else 0], pa.int64()),
     })
+
+
+def minhash_calibration(ds: ray.data.Dataset,
+                        spec: CorpusSpec = DOCUMENTS_SPEC,
+                        shingle_k: int = 5, num_perm: int = 64,
+                        bands: int = 16,
+                        thresholds: tuple[int, ...] = (300000, 500000,
+                                                       700000)) -> pa.Table:
+    """Estimator calibration: over every LSH CANDIDATE pair, compare the
+    MinHash similarity ESTIMATE (fraction of equal registers) against
+    the exact shingle Jaccard, as a confusion matrix per decision
+    threshold — the report that tells you whether ``num_perm`` is
+    enough before trusting the estimator at 10^12 docs.
+
+    Both halves are the engine's own distributed paths: exact values
+    from the bucketed verify (threshold 0 keeps all candidates),
+    register signatures from one candidate-filtered corpus pass; only
+    pair-bounded state reaches the driver (the ``dedup_clusters``
+    convention).  -> (threshold_e6, tp, fp, fn, tn) — pred =
+    est >= t, truth = exact >= t."""
+    pairs = minhash_verified_pairs(ds, spec, shingle_k=shingle_k,
+                                   num_perm=num_perm, bands=bands,
+                                   min_jaccard=0.0).take_all()
+    exact = {(int(r["doc_a"]), int(r["doc_b"])): int(r["jaccard_e6"])
+             for r in pairs}
+    cand = sorted({d for p in exact for d in p})
+    if not cand:
+        return pa.table({"threshold_e6": pa.array(list(thresholds),
+                                                  pa.int64()),
+                         "tp": pa.array([0] * len(thresholds), pa.int64()),
+                         "fp": pa.array([0] * len(thresholds), pa.int64()),
+                         "fn": pa.array([0] * len(thresholds), pa.int64()),
+                         "tn": pa.array([0] * len(thresholds), pa.int64())})
+    ids_ref = ray.put(np.asarray(cand, dtype=np.int64))
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import \
+            pin_worker_threads
+        pin_worker_threads()
+        mh = MinHasher(spec, shingle_k, num_perm, bands,
+                       doc_filter=ids_ref)
+        doc_ids, sh_parent, sh_hash = mh._doc_shingles(batch)
+        present, sig = _signatures(sh_parent, sh_hash, doc_ids.size,
+                                   mh.r, mh.m)
+        n = present.size
+        return pa.table({
+            "doc_id": pa.array(doc_ids[present], pa.int64()),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig.astype(np.int64).ravel(), pa.int64()),
+                num_perm) if n else
+            pa.array([], pa.list_(pa.int64(), num_perm)),
+        })
+
+    rows = ds.map_batches(sig_batch, batch_format="pyarrow").take_all()
+    sig_of = {int(r["doc_id"]): np.asarray(r["sig"], dtype=np.int64)
+              for r in rows}
+    out = {t: [0, 0, 0, 0] for t in thresholds}
+    for (a, b), ex in exact.items():
+        est = int((sig_of[a] == sig_of[b]).sum()) * 10 ** 6 // num_perm
+        for t in thresholds:
+            i = (0 if ex >= t else 1) + (0 if est >= t else 2)
+            # i: 0=tp, 1=fp, 2=fn, 3=tn
+            out[t][i] += 1
+    ts = sorted(thresholds)
+    return pa.table({
+        "threshold_e6": pa.array(ts, pa.int64()),
+        "tp": pa.array([out[t][0] for t in ts], pa.int64()),
+        "fp": pa.array([out[t][1] for t in ts], pa.int64()),
+        "fn": pa.array([out[t][2] for t in ts], pa.int64()),
+        "tn": pa.array([out[t][3] for t in ts], pa.int64()),
+    })

@@ -754,3 +754,53 @@ def kmeans_train(ds: ray.data.Dataset, k: int = 8, iters: int = 3,
         "dim": pa.array(np.tile(np.arange(dd, dtype=np.int64), kk)),
         "c_e6": pa.array(cents.ravel(), pa.int64()),
     })
+
+
+def binary_knn(ds: ray.data.Dataset, query_id: int = 0, k: int = 10,
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> pa.Table:
+    """Binary-embedding search (sign-bit quantization, 32x smaller than
+    float32): each vector compresses to one bit per dimension
+    (``bit_i = x_i > 0``) and candidates rank by hamming distance to
+    the query's signature — the memory-bound regime's first-stage
+    retriever (rerank the survivors with full floats).
+
+    Everything is exact integers (sign tests + popcounts), so the
+    ranking is bit-identical to the SQL oracle.  One streaming pass
+    with per-batch local top-k + tiny driver merge (the kNN shape).
+    -> (rank, vec_id, hamming) top-k by (hamming asc, vec_id asc)."""
+    qrow = ds.filter(expr=f"{id_col} == {int(query_id)}") \
+        .select_columns([vec_col]).take_all()
+    qv = np.asarray(qrow[0][vec_col], dtype=np.float64)
+    dim = qv.size
+    weights = np.left_shift(np.uint64(1), np.arange(dim, dtype=np.uint64))
+    qsig = np.uint64(((qv > 0).astype(np.uint64) * weights).sum())
+    q_ref = ray.put((qsig, weights))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        qs, w = ray.get(q_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _as_matrix(batch[vec_col])
+        keep = ids != int(query_id)
+        ids, m = ids[keep], m[keep]
+        if not ids.size:
+            return pa.schema([("vec_id", pa.int64()),
+                              ("hamming", pa.int64())]).empty_table()
+        sig = ((m > 0).astype(np.uint64) * w[None, :]).sum(axis=1,
+                                                           dtype=np.uint64)
+        x = (sig ^ qs).view(np.uint8).reshape(-1, 8)
+        from onestools_eventlog_ray.pipelines.dedup import _POPCNT_LUT
+        ham = _POPCNT_LUT[x].sum(axis=1)
+        order = np.lexsort((ids, ham))[:k]
+        return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
+                         "hamming": pa.array(ham[order], pa.int64())})
+
+    cand = ds.map_batches(fn, batch_format="pyarrow").take_all()
+    ids = np.asarray([r["vec_id"] for r in cand], dtype=np.int64)
+    ham = np.asarray([r["hamming"] for r in cand], dtype=np.int64)
+    order = np.lexsort((ids, ham))[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+        "vec_id": pa.array(ids[order], pa.int64()),
+        "hamming": pa.array(ham[order], pa.int64()),
+    })

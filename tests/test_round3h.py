@@ -968,3 +968,53 @@ def test_vocab_coverage_bruteforce():
         assert (r["k"], r["covered_cf"], r["coverage_e6"]) == \
             (k, c, c * 10**6 // total)
     assert out[-1]["coverage_e6"] == 10**6     # full vocab covers all
+
+
+def test_binary_knn_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.similarity import binary_knn
+    tbl = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_pylist()
+    m = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    qi = ids.index(3)
+    sigs = [(row > 0) for row in m]
+    want = sorted(((int((sigs[i] ^ sigs[qi]).sum()), ids[i])
+                   for i in range(len(ids)) if ids[i] != 3))[:7]
+    out = binary_knn(ray.data.read_parquet(
+        os.path.join(SF_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"]), query_id=3, k=7).to_pylist()
+    assert [(r["hamming"], r["vec_id"]) for r in out] == want
+    assert [r["rank"] for r in out] == list(range(1, 8))
+
+
+def test_minhash_calibration_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.dedup import (
+        minhash_calibration, minhash_verified_pairs, MinHasher,
+        _signatures)
+    from onestools_eventlog_ray.stages.normalize import add_doc_id
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    out = {r["threshold_e6"]: (r["tp"], r["fp"], r["fn"], r["tn"])
+           for r in minhash_calibration(ds).to_pylist()}
+    # recompute both estimator and exact per candidate pair in-process
+    pairs = minhash_verified_pairs(ds, DOCUMENTS_SPEC,
+                                   min_jaccard=0.0).take_all()
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    mh = MinHasher(DOCUMENTS_SPEC)
+    doc_ids, shp, shh = mh._doc_shingles(tbl)
+    present, sig = _signatures(shp, shh, doc_ids.size, mh.r, mh.m)
+    sig_of = {int(doc_ids[p]): sig[i] for i, p in enumerate(present)}
+    cm = {t: [0, 0, 0, 0] for t in (300000, 500000, 700000)}
+    assert len(pairs) > 0
+    for r in pairs:
+        a, b, ex = int(r["doc_a"]), int(r["doc_b"]), int(r["jaccard_e6"])
+        est = int((sig_of[a] == sig_of[b]).sum()) * 10**6 // 64
+        for t in cm:
+            cm[t][(0 if ex >= t else 1) + (0 if est >= t else 2)] += 1
+    for t, counts in cm.items():
+        assert out[t] == tuple(counts)
+    # confusion totals are the candidate-pair count at every threshold
+    for t in out:
+        assert sum(out[t]) == len(pairs)
