@@ -1172,6 +1172,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         min_support=100) \
             .sort(["term_a", "term_b"])
 
+    def basket_parts(sf_dir):
+        """Market-basket mining: part pairs bought together in the same
+        order, top-20 (order co-group -> pair-vocabulary fold)."""
+        import ray.data
+        li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                                   columns=["l_orderkey", "l_partkey"])
+        return relational.part_cooccurrence(li)
+
+    def supplier_nation_share(sf_dir):
+        """Percent-of-total window: top-3 suppliers per nation with
+        exact revenue and e6 share of the nation total."""
+        import ray.data
+        sf = lambda t: ray.data.read_parquet(
+            os.path.join(sf_dir, f"{t}.parquet"))
+        return relational.supplier_share(sf("lineitem"), sf("supplier"),
+                                         sf("nation"))
+
+    def sorted_events_head(sf_dir):
+        """Distributed global Dataset.sort capability check: top-20
+        events by (value desc, id asc) from a full range-partitioned
+        sort."""
+        import ray.data
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_id", "value"])
+        return relational.sorted_head(ev)
+
     def binary_search_knn(sf_dir):
         """Binary (sign-bit) embedding retrieval: 1-bit/dim signatures,
         exact popcount hamming ranking — the 32x-compressed first-stage
@@ -2069,6 +2095,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": bpe_pairs,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
+        "basket_parts": basket_parts,
+        "supplier_nation_share": supplier_nation_share,
+        "sorted_events_head": sorted_events_head,
         "binary_search_knn": binary_search_knn,
         "minhash_confusion": minhash_confusion,
         "mix_temperature": mix_temperature,
@@ -4855,4 +4884,36 @@ SELECT CAST(t AS BIGINT) AS threshold_e6,
        CAST(count(*) FILTER (est < t AND exj >= t) AS BIGINT) AS fn,
        CAST(count(*) FILTER (est < t AND exj < t) AS BIGINT) AS tn
 FROM th LEFT JOIN j ON true GROUP BY t ORDER BY t""",
+
+        "basket_parts": """
+WITH pt AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS n
+FROM pt a JOIN pt b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 ORDER BY n DESC, part_a, part_b LIMIT 20""",
+
+        "supplier_nation_share": """
+WITH r AS (SELECT l_suppkey,
+                  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * CAST(floor((1 - l_discount) * 100 + 0.5)
+                             AS BIGINT)) AS rev
+           FROM lineitem GROUP BY l_suppkey),
+j AS (SELECT n_name, s_suppkey, rev,
+             sum(rev) OVER (PARTITION BY n_name) AS tot,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY rev DESC, s_suppkey ASC) AS rk
+      FROM r JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey)
+SELECT n_name, CAST(rk AS BIGINT) AS rank, s_suppkey,
+       CAST(rev AS BIGINT) AS revenue_e4,
+       CAST(rev * 1000000 // tot AS BIGINT) AS share_e6
+FROM j WHERE rk <= 3 ORDER BY n_name, rank""",
+
+        "sorted_events_head": """
+SELECT CAST(row_number() OVER (
+         ORDER BY CAST(floor(value * 1000 + 0.5) AS BIGINT) DESC,
+                  event_id ASC) AS BIGINT) AS rank,
+       event_id, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS value_e3
+FROM events ORDER BY value_e3 DESC, event_id ASC LIMIT 20""",
     }

@@ -1852,3 +1852,165 @@ def q10_returned_revenue(customer: ray.data.Dataset,
                            pa.string()),
         "revenue_e4": pa.array(rev, pa.int64()),
     })
+
+
+def part_cooccurrence(lineitem: ray.data.Dataset, k: int = 20) -> pa.Table:
+    """Market-basket mining on the fact table (collaborative-filtering
+    prep): part pairs most often bought together in the SAME order,
+    top-``k`` by (count desc, part_a asc, part_b asc).
+
+    Per-batch the (order, part) incidence folds locally to distinct
+    pairs per order; only (part_a, part_b, n) partials shuffle —
+    bounded by the co-occurring pair vocabulary, never the line count.
+    A degenerate mega-order would need the same cap treatment as the
+    LSH buckets (orders are small by schema: few lines each)."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pkey = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # distinct (order, part), sorted by order then part
+        key = np.unique(okey * (np.int64(1) << 32) + pkey)
+        o = (key >> 32).astype(np.int64)
+        p = (key & ((np.int64(1) << 32) - 1)).astype(np.int64)
+        # all intra-order pairs (parts sorted asc within an order)
+        da, db = [], []
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(o)) + 1,
+                                 [o.size]])
+        for s0, s1 in zip(starts[:-1], starts[1:]):
+            g = p[s0:s1]
+            if g.size > 1:
+                iu, ju = np.triu_indices(g.size, 1)
+                da.append(g[iu])
+                db.append(g[ju])
+        if not da:
+            return pa.schema([("part_a", pa.int64()),
+                              ("part_b", pa.int64()),
+                              ("n_p", pa.int64())]).empty_table()
+        t = pa.table({"part_a": pa.array(np.concatenate(da), pa.int64()),
+                      "part_b": pa.array(np.concatenate(db), pa.int64())})
+        g2 = t.group_by(["part_a", "part_b"]).aggregate([([], "count_all")])
+        return pa.table({"part_a": g2["part_a"], "part_b": g2["part_b"],
+                         "n_p": g2["count_all"].cast(pa.int64())})
+
+    # co-group lines by ORDER first so intra-order pairs are complete
+    # even when an order's lines span input blocks
+    def per_order(group: pa.Table) -> pa.Table:
+        return partial(group)
+
+    folded = lineitem.select_columns(["l_orderkey", "l_partkey"]) \
+        .groupby("l_orderkey").map_groups(per_order,
+                                          batch_format="pyarrow") \
+        .groupby(["part_a", "part_b"]).aggregate(Sum("n_p",
+                                                     alias_name="n")) \
+        .take_all()
+    rows = sorted(((-int(r["n"]), int(r["part_a"]), int(r["part_b"])))
+                  for r in folded)[:k]
+    return pa.table({
+        "part_a": pa.array([r[1] for r in rows], pa.int64()),
+        "part_b": pa.array([r[2] for r in rows], pa.int64()),
+        "n": pa.array([-r[0] for r in rows], pa.int64()),
+    })
+
+
+def supplier_share(lineitem: ray.data.Dataset,
+                   supplier: ray.data.Dataset,
+                   nation: ray.data.Dataset, k: int = 3) -> pa.Table:
+    """Window-share report: per nation, each supplier's exact revenue,
+    its e6 share of the nation total, and its rank — the
+    percent-of-total window function over a broadcast-dimension join.
+    Top-``k`` suppliers per nation by (revenue desc, suppkey asc).
+
+    Revenue folds per supplier inside each batch (exact e4 ints)
+    BEFORE the supplier-count-sized shuffle; nation names attach from a
+    broadcast dict.  -> (n_name, rank, s_suppkey, revenue_e4,
+    share_e6)."""
+    import pyarrow.compute as pc
+    import ray
+
+    smeta = {int(r["s_suppkey"]): int(r["s_nationkey"])
+             for r in supplier.select_columns(
+                 ["s_suppkey", "s_nationkey"]).take_all()}
+    nname = {int(r["n_nationkey"]): str(r["n_name"])
+             for r in nation.select_columns(
+                 ["n_nationkey", "n_name"]).take_all()}
+    sref = ray.put(smeta)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        rev = (np.floor(price * 100 + 0.5).astype(np.int64)
+               * np.floor((1.0 - disc) * 100 + 0.5).astype(np.int64))
+        keys, inv = np.unique(sk, return_inverse=True)
+        part = np.zeros(keys.size, dtype=np.int64)
+        np.add.at(part, inv, rev)
+        return pa.table({"s_suppkey": pa.array(keys, pa.int64()),
+                         "rev_p": pa.array(part, pa.int64())})
+
+    folded = lineitem.select_columns(
+        ["l_suppkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("s_suppkey").aggregate(Sum("rev_p",
+                                            alias_name="revenue_e4")) \
+        .take_all()
+    by_nation: dict[int, list] = {}
+    for r in folded:
+        s = int(r["s_suppkey"])
+        by_nation.setdefault(smeta[s], []).append((s,
+                                                   int(r["revenue_e4"])))
+    out = {"n_name": [], "rank": [], "s_suppkey": [], "revenue_e4": [],
+           "share_e6": []}
+    for nk in sorted(by_nation, key=lambda x: nname[x]):
+        rows = by_nation[nk]
+        total = sum(rv for _, rv in rows)
+        rows.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (s, rv) in enumerate(rows[:k], 1):
+            out["n_name"].append(nname[nk])
+            out["rank"].append(rank)
+            out["s_suppkey"].append(s)
+            out["revenue_e4"].append(rv)
+            out["share_e6"].append(rv * 10 ** 6 // total if total else 0)
+    return pa.table({
+        "n_name": pa.array(out["n_name"], pa.string()),
+        "rank": pa.array(out["rank"], pa.int64()),
+        "s_suppkey": pa.array(out["s_suppkey"], pa.int64()),
+        "revenue_e4": pa.array(out["revenue_e4"], pa.int64()),
+        "share_e6": pa.array(out["share_e6"], pa.int64()),
+    })
+
+
+def sorted_head(events: ray.data.Dataset, k: int = 20) -> pa.Table:
+    """Distributed global sort capability check: the top-``k`` events by
+    (value_e3 desc, event_id asc) taken from a FULL ``Dataset.sort``
+    (range-partitioned shuffle), not a local top-k — proving the
+    engine's wide sort produces a true global order (the per-block
+    boundaries are verified by tests; the oracle checks the head).
+
+    Values quantize to e3 ints before sorting so ordering is exact.
+    -> (rank, event_id, value_e3)."""
+    import pyarrow.compute as pc
+
+    def quant(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "neg_value_e3": pa.array(
+                -np.floor(v * 1000 + 0.5).astype(np.int64), pa.int64()),
+        })
+
+    head = events.select_columns(["event_id", "value"]) \
+        .map_batches(quant, batch_format="pyarrow") \
+        .sort(["neg_value_e3", "event_id"]).limit(k).take_all()
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(head) + 1), pa.int64()),
+        "event_id": pa.array([r["event_id"] for r in head], pa.int64()),
+        "value_e3": pa.array([-r["neg_value_e3"] for r in head],
+                             pa.int64()),
+    })

@@ -1018,3 +1018,78 @@ def test_minhash_calibration_bruteforce():
     # confusion totals are the candidate-pair count at every threshold
     for t in out:
         assert sum(out[t]) == len(pairs)
+
+
+def test_part_cooccurrence_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import \
+        part_cooccurrence
+    tbl = pq.read_table(os.path.join(SF_DIR, "lineitem.parquet"),
+                        columns=["l_orderkey", "l_partkey"])
+    per_order = {}
+    for o, p in zip(tbl["l_orderkey"].to_pylist(),
+                    tbl["l_partkey"].to_pylist()):
+        per_order.setdefault(o, set()).add(p)
+    cnt = Counter()
+    for parts in per_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                cnt[(ps[i], ps[j])] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    out = part_cooccurrence(ray.data.read_parquet(
+        os.path.join(SF_DIR, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"])).to_pylist()
+    assert [((r["part_a"], r["part_b"]), r["n"]) for r in out] == want
+
+
+def test_supplier_share_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import supplier_share
+    sf = lambda t: os.path.join(SF_DIR, f"{t}.parquet")
+    li = pq.read_table(sf("lineitem"))
+    sup = pq.read_table(sf("supplier"))
+    nat = pq.read_table(sf("nation"))
+    rev = Counter()
+    for s, p, d in zip(li["l_suppkey"].to_pylist(),
+                       li["l_extendedprice"].to_pylist(),
+                       li["l_discount"].to_pylist()):
+        rev[s] += int(np.floor(p * 100 + 0.5)) \
+            * int(np.floor((1 - d) * 100 + 0.5))
+    s2n = dict(zip(sup["s_suppkey"].to_pylist(),
+                   sup["s_nationkey"].to_pylist()))
+    nname = dict(zip(nat["n_nationkey"].to_pylist(),
+                     nat["n_name"].to_pylist()))
+    by_n = {}
+    for s, rv in rev.items():
+        by_n.setdefault(nname[s2n[s]], []).append((s, rv))
+    want = []
+    for nm in sorted(by_n):
+        rows = sorted(by_n[nm], key=lambda x: (-x[1], x[0]))
+        tot = sum(rv for _, rv in by_n[nm])
+        for rk, (s, rv) in enumerate(rows[:3], 1):
+            want.append((nm, rk, s, rv, rv * 10**6 // tot))
+    out = supplier_share(
+        ray.data.read_parquet(sf("lineitem")),
+        ray.data.read_parquet(sf("supplier")),
+        ray.data.read_parquet(sf("nation"))).to_pylist()
+    assert [(r["n_name"], r["rank"], r["s_suppkey"], r["revenue_e4"],
+             r["share_e6"]) for r in out] == want
+    # shares within a nation are <= 1e6 and the rank-1 share largest
+    for r in out:
+        assert 0 < r["share_e6"] <= 10**6
+
+
+def test_sorted_head_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import sorted_head
+    tbl = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                        columns=["event_id", "value"])
+    rows = sorted(zip([-int(np.floor(v * 1000 + 0.5))
+                       for v in tbl["value"].to_pylist()],
+                      tbl["event_id"].to_pylist()))[:20]
+    out = sorted_head(ray.data.read_parquet(
+        os.path.join(SF_DIR, "events.parquet"),
+        columns=["event_id", "value"])).to_pylist()
+    assert [(r["event_id"], r["value_e3"]) for r in out] == \
+        [(e, -nv) for nv, e in rows]
