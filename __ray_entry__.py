@@ -1172,6 +1172,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         min_support=100) \
             .sort(["term_a", "term_b"])
 
+    def df_histogram(sf_dir):
+        """Index disk-usage analytics: term-dictionary df distribution
+        in exact log2 buckets from a pruned shard scan."""
+        from onestools_eventlog_ray.pipelines.query import \
+            posting_size_histogram
+        return posting_size_histogram(_ensure_index(sf_dir))
+
+    def term_skew(sf_dir):
+        """Shuffle-skew diagnosis: top-10 hottest terms with exact
+        token-share and hot/mean skew ratio — the salting justification."""
+        return text.shuffle_skew_report(_documents_ds(sf_dir))
+
+    def jl_distortion(sf_dir):
+        """Johnson-Lindenstrauss report: exact squared distances before
+        and after a seeded integer random projection (64 -> 16 dims)."""
+        import ray.data
+        emb = ray.data.read_parquet(os.path.join(sf_dir,
+                                                 "embeddings.parquet"),
+                                    columns=["vec_id", "embedding"])
+        return similarity.rp_distortion(emb)
+
     def basket_parts(sf_dir):
         """Market-basket mining: part pairs bought together in the same
         order, top-20 (order co-group -> pair-vocabulary fold)."""
@@ -2095,6 +2116,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": bpe_pairs,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
+        "df_histogram": df_histogram,
+        "term_skew": term_skew,
+        "jl_distortion": jl_distortion,
         "basket_parts": basket_parts,
         "supplier_nation_share": supplier_nation_share,
         "sorted_events_head": sorted_events_head,
@@ -4916,4 +4940,51 @@ SELECT CAST(row_number() OVER (
                   event_id ASC) AS BIGINT) AS rank,
        event_id, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS value_e3
 FROM events ORDER BY value_e3 DESC, event_id ASC LIMIT 20""",
+
+        "df_histogram": f"""
+WITH toks AS ({_TOKS}),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+b AS (SELECT length(format('{{:b}}', df)) - 1 AS bucket, df FROM dfs)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(df) AS BIGINT) AS sum_df
+FROM b GROUP BY bucket ORDER BY bucket""",
+
+        "term_skew": f"""
+WITH toks AS ({_TOKS}),
+cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term),
+tot AS (SELECT sum(cf) AS total, count(*) AS nt FROM cf),
+r AS (SELECT term, cf,
+             row_number() OVER (ORDER BY cf DESC, term ASC) AS rk
+      FROM cf)
+SELECT CAST(rk AS BIGINT) AS rank, term, CAST(cf AS BIGINT) AS cf,
+       CAST(cf * 1000000 // (SELECT total FROM tot) AS BIGINT)
+         AS share_e6,
+       CAST(cf * (SELECT nt FROM tot) * 1000000
+            // (SELECT total FROM tot) AS BIGINT) AS skew_e6
+FROM r WHERE rk <= 10 ORDER BY rank""",
+
+        "jl_distortion": """
+WITH q AS (SELECT vec_id,
+                  list_transform(embedding,
+                                 x -> CAST(floor(CAST(x AS DOUBLE) * 10000
+                                                 + 0.5) AS BIGINT)) AS v
+           FROM embeddings),
+ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM embeddings),
+sel AS (SELECT vec_id, rn FROM ids WHERE rn <= 21),
+pr AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM sel a
+       JOIN sel b ON b.rn = a.rn + 1),
+d AS (SELECT pr.va, pr.vb, g.i, qa.v[g.i] - qb.v[g.i] AS dd
+      FROM pr JOIN q qa ON qa.vec_id = pr.va
+              JOIN q qb ON qb.vec_id = pr.vb,
+           generate_series(1, 64) g(i)),
+o AS (SELECT va, vb, sum(dd * dd) AS d2o FROM d GROUP BY va, vb),
+w AS (SELECT * FROM (VALUES (1,1,890), (1,2,250), (1,3,369), (1,4,795), (1,5,157), (1,6,552), (1,7,668), (1,8,-550), (1,9,-889), (1,10,-400), (1,11,-430), (1,12,747), (1,13,826), (1,14,-990), (1,15,0), (1,16,643), (1,17,-737), (1,18,594), (1,19,-762), (1,20,-64), (1,21,633), (1,22,-394), (1,23,-317), (1,24,-443), (1,25,439), (1,26,-491), (1,27,981), (1,28,-110), (1,29,-44), (1,30,9), (1,31,165), (1,32,107), (1,33,19), (1,34,991), (1,35,616), (1,36,586), (1,37,401), (1,38,244), (1,39,-318), (1,40,978), (1,41,-68), (1,42,-570), (1,43,691), (1,44,-680), (1,45,715), (1,46,225), (1,47,-771), (1,48,-913), (1,49,-111), (1,50,-929), (1,51,-717), (1,52,30), (1,53,941), (1,54,-68), (1,55,617), (1,56,835), (1,57,647), (1,58,259), (1,59,-117), (1,60,28), (1,61,-468), (1,62,-6), (1,63,-241), (1,64,-505), (2,1,987), (2,2,-977), (2,3,-806), (2,4,-616), (2,5,939), (2,6,384), (2,7,764), (2,8,-599), (2,9,442), (2,10,-261), (2,11,-22), (2,12,-993), (2,13,235), (2,14,660), (2,15,328), (2,16,-691), (2,17,68), (2,18,-465), (2,19,930), (2,20,761), (2,21,-628), (2,22,20), (2,23,880), (2,24,695), (2,25,416), (2,26,280), (2,27,-916), (2,28,484), (2,29,-53), (2,30,-817), (2,31,-511), (2,32,82), (2,33,454), (2,34,16), (2,35,226), (2,36,743), (2,37,372), (2,38,-278), (2,39,287), (2,40,196), (2,41,-784), (2,42,-882), (2,43,320), (2,44,-225), (2,45,197), (2,46,-354), (2,47,-549), (2,48,-700), (2,49,-237), (2,50,633), (2,51,-198), (2,52,-241), (2,53,151), (2,54,958), (2,55,-216), (2,56,180), (2,57,-121), (2,58,210), (2,59,-109), (2,60,276), (2,61,94), (2,62,353), (2,63,914), (2,64,-699), (3,1,123), (3,2,-119), (3,3,-284), (3,4,-521), (3,5,-896), (3,6,-195), (3,7,653), (3,8,-807), (3,9,-188), (3,10,936), (3,11,903), (3,12,-570), (3,13,-985), (3,14,344), (3,15,-972), (3,16,-399), (3,17,-6), (3,18,749), (3,19,-815), (3,20,325), (3,21,66), (3,22,-737), (3,23,692), (3,24,690), (3,25,-35), (3,26,890), (3,27,214), (3,28,808), (3,29,922), (3,30,140), (3,31,-439), (3,32,-709), (3,33,126), (3,34,-615), (3,35,501), (3,36,856), (3,37,-509), (3,38,105), (3,39,-902), (3,40,-639), (3,41,-246), (3,42,768), (3,43,939), (3,44,283), (3,45,167), (3,46,139), (3,47,-879), (3,48,-248), (3,49,967), (3,50,-178), (3,51,-574), (3,52,-521), (3,53,427), (3,54,-924), (3,55,939), (3,56,753), (3,57,135), (3,58,-65), (3,59,523), (3,60,95), (3,61,-46), (3,62,-356), (3,63,-107), (3,64,503), (4,1,-890), (4,2,-950), (4,3,441), (4,4,-256), (4,5,608), (4,6,-940), (4,7,815), (4,8,-755), (4,9,-168), (4,10,935), (4,11,-783), (4,12,316), (4,13,456), (4,14,-144), (4,15,-842), (4,16,48), (4,17,-133), (4,18,746), (4,19,365), (4,20,-312), (4,21,-884), (4,22,181), (4,23,-441), (4,24,368), (4,25,728), (4,26,-289), (4,27,807), (4,28,38), (4,29,62), (4,30,531), (4,31,579), (4,32,819), (4,33,999), (4,34,-698), (4,35,-175), (4,36,867), (4,37,-385), (4,38,-990), (4,39,152), (4,40,506), (4,41,486), (4,42,621), (4,43,288), (4,44,-727), (4,45,695), (4,46,-162), (4,47,695), (4,48,631), (4,49,941), (4,50,-972), (4,51,733), (4,52,257), (4,53,-29), (4,54,586), (4,55,905), (4,56,26), (4,57,-825), (4,58,452), (4,59,-539), (4,60,-547), (4,61,-614), (4,62,-603), (4,63,820), (4,64,-274), (5,1,-788), (5,2,-642), (5,3,-211), (5,4,-308), (5,5,-380), (5,6,897), (5,7,734), (5,8,147), (5,9,973), (5,10,-320), (5,11,-725), (5,12,-457), (5,13,-822), (5,14,905), (5,15,-562), (5,16,-111), (5,17,-596), (5,18,961), (5,19,-684), (5,20,31), (5,21,902), (5,22,42), (5,23,798), (5,24,793), (5,25,536), (5,26,486), (5,27,153), (5,28,161), (5,29,663), (5,30,-147), (5,31,892), (5,32,757), (5,33,-251), (5,34,-177), (5,35,429), (5,36,846), (5,37,-807), (5,38,-863), (5,39,-504), (5,40,-140), (5,41,-675), (5,42,39), (5,43,83), (5,44,902), (5,45,492), (5,46,-498), (5,47,573), (5,48,612), (5,49,360), (5,50,353), (5,51,-380), (5,52,434), (5,53,-731), (5,54,259), (5,55,843), (5,56,944), (5,57,-404), (5,58,-335), (5,59,238), (5,60,-204), (5,61,462), (5,62,-594), (5,63,-662), (5,64,-899), (6,1,-61), (6,2,-574), (6,3,-401), (6,4,831), (6,5,629), (6,6,681), (6,7,187), (6,8,-776), (6,9,494), (6,10,208), (6,11,818), (6,12,-42), (6,13,-654), (6,14,189), (6,15,-88), (6,16,319), (6,17,-249), (6,18,-387), (6,19,-750), (6,20,923), (6,21,510), (6,22,-68), (6,23,-531), (6,24,256), (6,25,-176), (6,26,271), (6,27,-820), (6,28,-633), (6,29,470), (6,30,-877), (6,31,355), (6,32,-177), (6,33,-994), (6,34,528), (6,35,400), (6,36,631), (6,37,791), (6,38,460), (6,39,682), (6,40,-774), (6,41,837), (6,42,827), (6,43,388), (6,44,604), (6,45,483), (6,46,756), (6,47,779), (6,48,47), (6,49,633), (6,50,832), (6,51,-406), (6,52,-907), (6,53,-660), (6,54,-940), (6,55,-131), (6,56,-960), (6,57,-482), (6,58,-495), (6,59,414), (6,60,-503), (6,61,900), (6,62,-625), (6,63,944), (6,64,134), (7,1,-512), (7,2,-922), (7,3,-388), (7,4,181), (7,5,-782), (7,6,-668), (7,7,-771), (7,8,356), (7,9,-824), (7,10,-958), (7,11,-89), (7,12,-379), (7,13,140), (7,14,877), (7,15,715), (7,16,77), (7,17,286), (7,18,623), (7,19,-125), (7,20,316), (7,21,-567), (7,22,222), (7,23,-526), (7,24,-618), (7,25,523), (7,26,149), (7,27,-247), (7,28,-921), (7,29,-526), (7,30,604), (7,31,-64), (7,32,921), (7,33,802), (7,34,708), (7,35,-969), (7,36,-899), (7,37,157), (7,38,-323), (7,39,684), (7,40,-364), (7,41,-694), (7,42,-775), (7,43,-398), (7,44,253), (7,45,-748), (7,46,595), (7,47,-395), (7,48,-373), (7,49,326), (7,50,726), (7,51,-129), (7,52,595), (7,53,-390), (7,54,-742), (7,55,657), (7,56,534), (7,57,502), (7,58,766), (7,59,-4), (7,60,-606), (7,61,170), (7,62,147), (7,63,-228), (7,64,278), (8,1,-474), (8,2,219), (8,3,588), (8,4,-808), (8,5,-93), (8,6,323), (8,7,-898), (8,8,264), (8,9,826), (8,10,648), (8,11,371), (8,12,607), (8,13,-277), (8,14,-346), (8,15,-833), (8,16,444), (8,17,-371), (8,18,735), (8,19,-68), (8,20,786), (8,21,-724), (8,22,-677), (8,23,-306), (8,24,-947), (8,25,-16), (8,26,302), (8,27,323), (8,28,-571), (8,29,-672), (8,30,127), (8,31,266), (8,32,890), (8,33,792), (8,34,-241), (8,35,-677), (8,36,-495), (8,37,763), (8,38,-87), (8,39,986), (8,40,315), (8,41,190), (8,42,-798), (8,43,182), (8,44,-239), (8,45,688), (8,46,-733), (8,47,-616), (8,48,325), (8,49,361), (8,50,661), (8,51,49), (8,52,-246), (8,53,-388), (8,54,-257), (8,55,326), (8,56,79), (8,57,-408), (8,58,-570), (8,59,422), (8,60,-505), (8,61,-582), (8,62,-340), (8,63,708), (8,64,-85), (9,1,189), (9,2,-837), (9,3,-311), (9,4,506), (9,5,546), (9,6,158), (9,7,753), (9,8,-401), (9,9,-671), (9,10,-845), (9,11,-601), (9,12,527), (9,13,808), (9,14,-738), (9,15,4), (9,16,-734), (9,17,690), (9,18,-739), (9,19,281), (9,20,-838), (9,21,477), (9,22,813), (9,23,464), (9,24,-462), (9,25,684), (9,26,-387), (9,27,508), (9,28,666), (9,29,-29), (9,30,240), (9,31,711), (9,32,-626), (9,33,-961), (9,34,-130), (9,35,-638), (9,36,768), (9,37,734), (9,38,-249), (9,39,-383), (9,40,422), (9,41,-93), (9,42,-807), (9,43,325), (9,44,455), (9,45,-860), (9,46,553), (9,47,68), (9,48,652), (9,49,700), (9,50,349), (9,51,-333), (9,52,-259), (9,53,449), (9,54,-872), (9,55,-538), (9,56,38), (9,57,886), (9,58,515), (9,59,631), (9,60,-619), (9,61,-440), (9,62,-468), (9,63,499), (9,64,72), (10,1,-578), (10,2,497), (10,3,277), (10,4,794), (10,5,117), (10,6,-749), (10,7,778), (10,8,-632), (10,9,-891), (10,10,599), (10,11,-99), (10,12,289), (10,13,-741), (10,14,442), (10,15,-189), (10,16,994), (10,17,272), (10,18,879), (10,19,586), (10,20,686), (10,21,-824), (10,22,555), (10,23,207), (10,24,-210), (10,25,-376), (10,26,283), (10,27,-605), (10,28,-631), (10,29,749), (10,30,519), (10,31,182), (10,32,516), (10,33,-355), (10,34,443), (10,35,-589), (10,36,-110), (10,37,-706), (10,38,-244), (10,39,-320), (10,40,-161), (10,41,-47), (10,42,-934), (10,43,-316), (10,44,689), (10,45,-134), (10,46,85), (10,47,-795), (10,48,-225), (10,49,940), (10,50,96), (10,51,-960), (10,52,444), (10,53,540), (10,54,-237), (10,55,-937), (10,56,662), (10,57,-496), (10,58,839), (10,59,-273), (10,60,-225), (10,61,587), (10,62,-725), (10,63,-941), (10,64,521), (11,1,852), (11,2,986), (11,3,-743), (11,4,-704), (11,5,-323), (11,6,426), (11,7,825), (11,8,651), (11,9,-251), (11,10,842), (11,11,-487), (11,12,-754), (11,13,-131), (11,14,-817), (11,15,357), (11,16,976), (11,17,-786), (11,18,-767), (11,19,-643), (11,20,-647), (11,21,70), (11,22,150), (11,23,902), (11,24,-108), (11,25,854), (11,26,501), (11,27,710), (11,28,-619), (11,29,-91), (11,30,829), (11,31,503), (11,32,-566), (11,33,692), (11,34,538), (11,35,-708), (11,36,-865), (11,37,-483), (11,38,-53), (11,39,-693), (11,40,-935), (11,41,-780), (11,42,-373), (11,43,-221), (11,44,-376), (11,45,-106), (11,46,440), (11,47,-505), (11,48,-90), (11,49,458), (11,50,-887), (11,51,880), (11,52,991), (11,53,-420), (11,54,778), (11,55,-495), (11,56,833), (11,57,320), (11,58,-507), (11,59,-877), (11,60,-212), (11,61,489), (11,62,-546), (11,63,30), (11,64,-751), (12,1,-150), (12,2,-934), (12,3,973), (12,4,7), (12,5,684), (12,6,-754), (12,7,-664), (12,8,-648), (12,9,138), (12,10,721), (12,11,215), (12,12,-32), (12,13,884), (12,14,-633), (12,15,-671), (12,16,340), (12,17,709), (12,18,-469), (12,19,-479), (12,20,54), (12,21,557), (12,22,-434), (12,23,648), (12,24,32), (12,25,410), (12,26,257), (12,27,-39), (12,28,72), (12,29,990), (12,30,-209), (12,31,890), (12,32,582), (12,33,-636), (12,34,747), (12,35,-234), (12,36,-642), (12,37,-494), (12,38,-728), (12,39,-321), (12,40,-774), (12,41,88), (12,42,960), (12,43,929), (12,44,884), (12,45,-513), (12,46,-539), (12,47,356), (12,48,940), (12,49,652), (12,50,-585), (12,51,473), (12,52,13), (12,53,-115), (12,54,-5), (12,55,91), (12,56,830), (12,57,585), (12,58,-919), (12,59,526), (12,60,-369), (12,61,-325), (12,62,200), (12,63,969), (12,64,-868), (13,1,28), (13,2,-527), (13,3,828), (13,4,-70), (13,5,711), (13,6,762), (13,7,-800), (13,8,522), (13,9,581), (13,10,658), (13,11,976), (13,12,522), (13,13,667), (13,14,416), (13,15,-409), (13,16,700), (13,17,401), (13,18,363), (13,19,947), (13,20,472), (13,21,-322), (13,22,-397), (13,23,-344), (13,24,-665), (13,25,-838), (13,26,513), (13,27,567), (13,28,-669), (13,29,-212), (13,30,839), (13,31,675), (13,32,193), (13,33,943), (13,34,-341), (13,35,688), (13,36,874), (13,37,185), (13,38,-690), (13,39,-412), (13,40,29), (13,41,-442), (13,42,-817), (13,43,-659), (13,44,931), (13,45,-236), (13,46,151), (13,47,-122), (13,48,608), (13,49,-798), (13,50,-436), (13,51,169), (13,52,604), (13,53,-77), (13,54,406), (13,55,602), (13,56,288), (13,57,639), (13,58,902), (13,59,-564), (13,60,-133), (13,61,-548), (13,62,-170), (13,63,-996), (13,64,384), (14,1,-529), (14,2,670), (14,3,438), (14,4,-330), (14,5,-92), (14,6,339), (14,7,-166), (14,8,-582), (14,9,-914), (14,10,103), (14,11,65), (14,12,539), (14,13,-741), (14,14,-870), (14,15,473), (14,16,456), (14,17,598), (14,18,-970), (14,19,311), (14,20,917), (14,21,527), (14,22,-63), (14,23,-50), (14,24,-182), (14,25,-890), (14,26,441), (14,27,76), (14,28,47), (14,29,865), (14,30,462), (14,31,919), (14,32,-831), (14,33,904), (14,34,126), (14,35,-196), (14,36,116), (14,37,-927), (14,38,865), (14,39,260), (14,40,-921), (14,41,828), (14,42,-94), (14,43,-763), (14,44,262), (14,45,-863), (14,46,102), (14,47,523), (14,48,-852), (14,49,582), (14,50,187), (14,51,-352), (14,52,-556), (14,53,-978), (14,54,-609), (14,55,-431), (14,56,758), (14,57,27), (14,58,-605), (14,59,486), (14,60,-91), (14,61,671), (14,62,501), (14,63,867), (14,64,415), (15,1,-783), (15,2,107), (15,3,-151), (15,4,614), (15,5,-692), (15,6,-68), (15,7,652), (15,8,241), (15,9,-924), (15,10,638), (15,11,-267), (15,12,356), (15,13,307), (15,14,284), (15,15,-166), (15,16,-188), (15,17,-799), (15,18,117), (15,19,-418), (15,20,-208), (15,21,-666), (15,22,489), (15,23,846), (15,24,-239), (15,25,-153), (15,26,-67), (15,27,-856), (15,28,511), (15,29,762), (15,30,7), (15,31,-877), (15,32,-324), (15,33,-685), (15,34,654), (15,35,601), (15,36,-238), (15,37,-247), (15,38,690), (15,39,-823), (15,40,571), (15,41,925), (15,42,-105), (15,43,509), (15,44,426), (15,45,794), (15,46,-932), (15,47,411), (15,48,-221), (15,49,719), (15,50,721), (15,51,-428), (15,52,159), (15,53,-13), (15,54,116), (15,55,664), (15,56,330), (15,57,513), (15,58,356), (15,59,-500), (15,60,167), (15,61,-242), (15,62,-159), (15,63,-777), (15,64,-633), (16,1,-313), (16,2,-415), (16,3,273), (16,4,-414), (16,5,-505), (16,6,-139), (16,7,137), (16,8,999), (16,9,20), (16,10,-295), (16,11,-357), (16,12,-105), (16,13,854), (16,14,-257), (16,15,-507), (16,16,163), (16,17,547), (16,18,896), (16,19,-438), (16,20,779), (16,21,711), (16,22,-246), (16,23,-330), (16,24,-466), (16,25,-366), (16,26,769), (16,27,-379), (16,28,-12), (16,29,870), (16,30,371), (16,31,-739), (16,32,-854), (16,33,-553), (16,34,733), (16,35,-546), (16,36,-374), (16,37,80), (16,38,-11), (16,39,-850), (16,40,-604), (16,41,989), (16,42,-160), (16,43,-444), (16,44,656), (16,45,-68), (16,46,655), (16,47,-682), (16,48,-53), (16,49,621), (16,50,536), (16,51,354), (16,52,-84), (16,53,648), (16,54,-253), (16,55,320), (16,56,92), (16,57,-397), (16,58,-598), (16,59,64), (16,60,-367), (16,61,34), (16,62,413), (16,63,605), (16,64,541)) AS w(o, i, wv)),
+pj AS (SELECT d.va, d.vb, w.o, sum(w.wv * d.dd) AS pd
+       FROM d JOIN w USING (i) GROUP BY d.va, d.vb, w.o),
+p2 AS (SELECT va, vb, sum(pd * pd) AS d2p FROM pj GROUP BY va, vb)
+SELECT o.va AS vec_a, o.vb AS vec_b, CAST(d2o AS BIGINT) AS d2_orig,
+       CAST(d2p AS BIGINT) AS d2_proj
+FROM o JOIN p2 USING (va, vb) ORDER BY vec_a""",
     }

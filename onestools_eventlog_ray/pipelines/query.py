@@ -1649,3 +1649,38 @@ def bm25_eval(eng: SearchEngine, terms: list[str], k: int = 10) -> pa.Table:
         "mrr_e6": pa.array([mrr], pa.int64()),
         "ndcg_e6": pa.array([ndcg], pa.int64()),
     })
+
+
+def posting_size_histogram(index_dir: str) -> pa.Table:
+    """Index analytics: the df distribution of the term dictionary in
+    log2 buckets — (bucket = floor(log2(df)), n_terms, sum_df).  The
+    segment-statistics view that sizes posting caches and picks the
+    block-max block length; ES exposes the same via _disk_usage.
+
+    One distributed column-pruned scan of the shard dictionaries
+    (posting blobs never read); 64-bucket partials fold in one tiny
+    groupby.  log2 buckets are exact int math (bit_length - 1)."""
+    import ray.data
+    from ray.data.aggregate import Sum as RSum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # floor(log2(df)) == bit_length(df) - 1: exact integer math,
+        # no float-log edge cases at powers of two
+        b = (np.frompyfunc(int.bit_length, 1, 1)(df).astype(np.int64)
+             - 1)
+        t = pa.table({"bucket": pa.array(b, pa.int64()),
+                      "df": pa.array(df, pa.int64())})
+        g = t.group_by("bucket").aggregate([("df", "sum"),
+                                            ([], "count_all")])
+        return pa.table({"bucket": g["bucket"],
+                         "n_terms_p": g["count_all"].cast(pa.int64()),
+                         "sum_df_p": g["df_sum"].cast(pa.int64())})
+
+    return ray.data.read_parquet(os.path.join(index_dir, "shards"),
+                                 columns=["df"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket") \
+        .aggregate(RSum("n_terms_p", alias_name="n_terms"),
+                   RSum("sum_df_p", alias_name="sum_df")) \
+        .sort("bucket")

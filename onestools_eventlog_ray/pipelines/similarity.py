@@ -804,3 +804,45 @@ def binary_knn(ds: ray.data.Dataset, query_id: int = 0, k: int = 10,
         "vec_id": pa.array(ids[order], pa.int64()),
         "hamming": pa.array(ham[order], pa.int64()),
     })
+
+
+def rp_distortion(ds: ray.data.Dataset, out_dim: int = 16,
+                  n_pairs: int = 20, seed: int = 7,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  scale: int = 10_000) -> pa.Table:
+    """Johnson-Lindenstrauss sanity report: project e4-quantized
+    vectors through a seeded INTEGER random matrix (entries in
+    [-1000, 1000], the LSH-planes convention) down to ``out_dim`` dims
+    and report, for the first ``n_pairs`` consecutive-id pairs, the
+    exact squared distance before and after — the distortion evidence
+    that justifies running kNN/dedup in the cheaper projected space.
+
+    All arithmetic is int64-exact (quantize-then-compute), so the
+    report is bit-identical to the SQL oracle.  One broadcast + one
+    streaming pass restricted to the sampled ids.
+    -> (vec_a, vec_b, d2_orig, d2_proj)."""
+    import ray
+
+    ids_all = sorted(r[id_col] for r in
+                     ds.select_columns([id_col]).take_all())
+    wanted = ids_all[:n_pairs + 1]
+    idl = ", ".join(str(int(x)) for x in wanted) or "-1"
+    rows = ds.filter(expr=f"{id_col} in [{idl}]") \
+        .select_columns([id_col, vec_col]).take_all()
+    vec_of = {int(r[id_col]): np.asarray(r[vec_col], dtype=np.float64)
+              for r in rows}
+    dim = next(iter(vec_of.values())).size
+    rng = np.random.default_rng(seed)
+    w = rng.integers(-1000, 1001, size=(out_dim, dim)).astype(np.int64)
+
+    out = {"vec_a": [], "vec_b": [], "d2_orig": [], "d2_proj": []}
+    for a, b in zip(wanted[:-1], wanted[1:]):
+        xa = np.floor(vec_of[int(a)] * scale + 0.5).astype(np.int64)
+        xb = np.floor(vec_of[int(b)] * scale + 0.5).astype(np.int64)
+        d = xa - xb
+        pd = w @ d
+        out["vec_a"].append(int(a))
+        out["vec_b"].append(int(b))
+        out["d2_orig"].append(int((d * d).sum()))
+        out["d2_proj"].append(int((pd * pd).sum()))
+    return pa.table({kk: pa.array(v, pa.int64()) for kk, v in out.items()})

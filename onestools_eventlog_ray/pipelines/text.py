@@ -1766,3 +1766,31 @@ def vocab_coverage(ds: ray.data.Dataset,
         "covered_cf": pa.array(out_c, pa.int64()),
         "coverage_e6": pa.array(out_e, pa.int64()),
     })
+
+
+def shuffle_skew_report(ds: ray.data.Dataset,
+                        spec: CorpusSpec = DOCUMENTS_SPEC,
+                        k: int = 10) -> pa.Table:
+    """Key-skew diagnosis for the posting-build shuffle: the top-``k``
+    heaviest terms by cf, each with its exact e6 share of the token
+    stream and the hot/mean ratio ``skew_e6 = cf * n_terms * 1e6 //
+    total`` (1e6 = perfectly uniform) — the number that justifies (or
+    retires) the salted exchange for a given corpus.
+
+    One ``term_stats`` fold; the report cut is vocab-sized.
+    -> (rank, term, cf, share_e6, skew_e6)."""
+    stats = term_stats(ds, spec).take_all()
+    cf = np.asarray([int(r["cf"]) for r in stats], dtype=np.int64)
+    terms = np.asarray([str(r["term"]) for r in stats], dtype=np.str_)
+    total = int(cf.sum())
+    nt = cf.size
+    order = np.lexsort((terms, -cf))[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+        "term": pa.array(terms[order], pa.string()),
+        "cf": pa.array(cf[order], pa.int64()),
+        "share_e6": pa.array(cf[order] * 10 ** 6 // max(total, 1),
+                             pa.int64()),
+        "skew_e6": pa.array(cf[order] * nt * 10 ** 6 // max(total, 1),
+                            pa.int64()),
+    })

@@ -1093,3 +1093,68 @@ def test_sorted_head_bruteforce():
         columns=["event_id", "value"])).to_pylist()
     assert [(r["event_id"], r["value_e3"]) for r in out] == \
         [(e, -nv) for nv, e in rows]
+
+
+def test_posting_size_histogram_bruteforce(h_index, small_corpus):
+    from onestools_eventlog_ray.pipelines.query import \
+        posting_size_histogram
+    dfc = Counter()
+    for txt in small_corpus["content"].to_pylist():
+        for t in set(_tok(txt)):
+            dfc[t] += 1
+    want = Counter()
+    sums = Counter()
+    for df in dfc.values():
+        b = df.bit_length() - 1
+        want[b] += 1
+        sums[b] += df
+    out = posting_size_histogram(h_index).take_all()
+    assert {(r["bucket"], r["n_terms"], r["sum_df"]) for r in out} == \
+        {(b, want[b], sums[b]) for b in want}
+
+
+def test_shuffle_skew_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.text import shuffle_skew_report
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    cf = Counter()
+    for txt in tbl["text"].to_pylist():
+        cf.update(_tok(txt))
+    total = sum(cf.values())
+    nt = len(cf)
+    ranked = sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    out = shuffle_skew_report(ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"))).to_pylist()
+    for r, (t, c) in zip(out, ranked):
+        assert (r["term"], r["cf"]) == (t, c)
+        assert r["share_e6"] == c * 10**6 // total
+        assert r["skew_e6"] == c * nt * 10**6 // total
+
+
+def test_rp_distortion_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.similarity import rp_distortion
+    tbl = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    out = rp_distortion(ray.data.read_parquet(
+        os.path.join(SF_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"]), n_pairs=5).to_pylist()
+    vec = {i: np.asarray(v, dtype=np.float64)
+           for i, v in zip(tbl["vec_id"].to_pylist(),
+                           tbl["embedding"].to_pylist())}
+    ids = sorted(vec)[:6]
+    rng = np.random.default_rng(7)
+    w = rng.integers(-1000, 1001, size=(16, 64)).astype(np.int64)
+    assert len(out) == 5
+    for r, (a, b) in zip(out, zip(ids[:-1], ids[1:])):
+        xa = np.floor(vec[a] * 1e4 + 0.5).astype(np.int64)
+        xb = np.floor(vec[b] * 1e4 + 0.5).astype(np.int64)
+        d = xa - xb
+        pd = w @ d
+        assert (r["vec_a"], r["vec_b"]) == (a, b)
+        assert r["d2_orig"] == int((d * d).sum())
+        assert r["d2_proj"] == int((pd * pd).sum())
+        # JL: projected scale ~ E[w^2]*dim_out/dim_in of original; just
+        # sanity-check it is positive when the originals differ
+        if r["d2_orig"]:
+            assert r["d2_proj"] > 0
