@@ -1172,6 +1172,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         min_support=100) \
             .sort(["term_a", "term_b"])
 
+    def cm_error(sf_dir):
+        """Count-Min calibration: exact cf vs CM point estimate for the
+        top-10 terms — overcount >= 0 proven, width adequacy measured."""
+        from onestools_eventlog_ray.pipelines.sketch import cm_error_report
+        return cm_error_report(_documents_ds(sf_dir))
+
     def df_histogram(sf_dir):
         """Index disk-usage analytics: term-dictionary df distribution
         in exact log2 buckets from a pruned shard scan."""
@@ -2116,6 +2122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": bpe_pairs,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
+        "cm_error": cm_error,
         "df_histogram": df_histogram,
         "term_skew": term_skew,
         "jl_distortion": jl_distortion,
@@ -4987,4 +4994,30 @@ p2 AS (SELECT va, vb, sum(pd * pd) AS d2p FROM pj GROUP BY va, vb)
 SELECT o.va AS vec_a, o.vb AS vec_b, CAST(d2o AS BIGINT) AS d2_orig,
        CAST(d2p AS BIGINT) AS d2_proj
 FROM o JOIN p2 USING (va, vb) ORDER BY vec_a""",
+
+        "cm_error": f"""
+WITH toks AS ({_TOKS}),
+tc AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+r AS (SELECT range AS row_id FROM range(4)),
+h AS (SELECT row_id,
+             CAST(md5_number_lower(concat('cm', row_id, ':', term)) % 1024
+                  AS BIGINT) AS col_id, cnt
+      FROM tc CROSS JOIN r),
+reg AS (SELECT row_id, col_id, sum(cnt) AS n FROM h
+        GROUP BY row_id, col_id),
+sel AS (SELECT term, cnt,
+               row_number() OVER (ORDER BY cnt DESC, term ASC) AS rk
+        FROM tc),
+top AS (SELECT term, cnt FROM sel WHERE rk <= 10),
+est AS (SELECT t.term, min(reg.n) AS est FROM top t CROSS JOIN r
+        JOIN reg ON reg.row_id = r.row_id
+                AND reg.col_id = CAST(md5_number_lower(
+                        concat('cm', r.row_id, ':', t.term)) % 1024
+                        AS BIGINT)
+        GROUP BY t.term)
+SELECT t.term, CAST(t.cnt AS BIGINT) AS cf_exact,
+       CAST(est.est AS BIGINT) AS cf_est,
+       CAST(est.est - t.cnt AS BIGINT) AS overcount
+FROM top t JOIN est USING (term)
+ORDER BY cf_exact DESC, term ASC""",
     }

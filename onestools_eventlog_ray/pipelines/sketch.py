@@ -212,3 +212,38 @@ def cm_estimate(registers: pa.Table, term: str, depth: int = 4,
         v = int(hit[0]) if hit.size else 0
         est = v if est is None else min(est, v)
     return int(est or 0)
+
+
+def cm_error_report(ds: ray.data.Dataset,
+                    spec: CorpusSpec = DOCUMENTS_SPEC,
+                    depth: int = 4, width: int = 1024,
+                    k: int = 10) -> pa.Table:
+    """Sketch calibration (the Count-Min sibling of the MinHash
+    confusion report): for the top-``k`` terms by exact cf, the CM
+    point estimate next to the truth and the overcount — the
+    depth/width adequacy check before trusting the sketch at stream
+    scale (CM never undercounts, so ``overcount >= 0`` by
+    construction and the report proves it).
+
+    Both halves are distributed folds (registers + term_stats); the
+    comparison runs on k rows.  -> (term, cf_exact, cf_est, overcount)
+    by (cf_exact desc, term asc)."""
+    from onestools_eventlog_ray.pipelines.text import term_stats
+
+    registers = pa.Table.from_pylist(
+        cm_term_registers(ds, spec, depth=depth, width=width).take_all())
+    stats = term_stats(ds, spec).take_all()
+    ranked = sorted(((-int(r["cf"]), str(r["term"])) for r in stats))[:k]
+    out = {"term": [], "cf_exact": [], "cf_est": [], "overcount": []}
+    for ncf, t in ranked:
+        est = cm_estimate(registers, t, depth=depth, width=width)
+        out["term"].append(t)
+        out["cf_exact"].append(-ncf)
+        out["cf_est"].append(est)
+        out["overcount"].append(est + ncf)
+    return pa.table({
+        "term": pa.array(out["term"], pa.string()),
+        "cf_exact": pa.array(out["cf_exact"], pa.int64()),
+        "cf_est": pa.array(out["cf_est"], pa.int64()),
+        "overcount": pa.array(out["overcount"], pa.int64()),
+    })

@@ -1158,3 +1158,29 @@ def test_rp_distortion_bruteforce():
         # sanity-check it is positive when the originals differ
         if r["d2_orig"]:
             assert r["d2_proj"] > 0
+
+
+def test_cm_error_report_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.sketch import cm_error_report
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    cf = Counter()
+    for txt in tbl["text"].to_pylist():
+        cf.update(_tok(txt))
+    # recompute the sketch counters exactly
+    reg = {}
+    for t, n in cf.items():
+        for i in range(4):
+            c = int.from_bytes(
+                hashlib.md5(f"cm{i}:{t}".encode()).digest()[8:16],
+                "little") % 1024
+            reg[(i, c)] = reg.get((i, c), 0) + n
+    ranked = sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    out = cm_error_report(ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"))).to_pylist()
+    for r, (t, n) in zip(out, ranked):
+        est = min(reg[(i, int.from_bytes(
+            hashlib.md5(f"cm{i}:{t}".encode()).digest()[8:16],
+            "little") % 1024)] for i in range(4))
+        assert (r["term"], r["cf_exact"], r["cf_est"]) == (t, n, est)
+        assert r["overcount"] == est - n >= 0
