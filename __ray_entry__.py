@@ -1172,6 +1172,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         min_support=100) \
             .sort(["term_a", "term_b"])
 
+    def knn_label_eval(sf_dir):
+        """Embedding-quality probe: 3-NN majority-vote classification of
+        the vec_id%5 holdout against the train split."""
+        import ray.data
+        emb = ray.data.read_parquet(os.path.join(sf_dir,
+                                                 "embeddings.parquet"))
+        return similarity.knn_classify(emb)
+
+    def twa_by_type(sf_dir):
+        """Time-weighted average per event type (value holds until the
+        next event; exact bigint v*dt sums)."""
+        import ray.data
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_type", "ts", "event_id",
+                                            "value"])
+        return relational.time_weighted_avg(ev).sort("event_type")
+
+    def trimmed_mean(sf_dir):
+        """Robust 10%-trimmed mean per event type on the quantized value
+        histogram (shuffle bounded by the value range)."""
+        import ray.data
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_type", "value"])
+        return relational.trimmed_mean_by_type(ev).sort("event_type")
+
     def cm_error(sf_dir):
         """Count-Min calibration: exact cf vs CM point estimate for the
         top-10 terms — overcount >= 0 proven, width adequacy measured."""
@@ -2122,6 +2147,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": bpe_pairs,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
+        "knn_label_eval": knn_label_eval,
+        "twa_by_type": twa_by_type,
+        "trimmed_mean": trimmed_mean,
         "cm_error": cm_error,
         "df_histogram": df_histogram,
         "term_skew": term_skew,
@@ -5020,4 +5048,60 @@ SELECT t.term, CAST(t.cnt AS BIGINT) AS cf_exact,
        CAST(est.est - t.cnt AS BIGINT) AS overcount
 FROM top t JOIN est USING (term)
 ORDER BY cf_exact DESC, term ASC""",
+
+        "knn_label_eval": """
+WITH hold AS (SELECT vec_id, embedding, label FROM embeddings
+              WHERE vec_id % 5 = 0),
+train AS (SELECT vec_id, embedding, label FROM embeddings
+          WHERE vec_id % 5 <> 0),
+cos AS (SELECT h.vec_id AS q, t.vec_id AS c, t.label,
+               CAST(floor(list_cosine_similarity(
+                   list_transform(t.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(h.embedding, x -> CAST(x AS DOUBLE)))
+                   * 1000000 + 0.5) AS BIGINT) AS c6
+        FROM hold h CROSS JOIN train t),
+top3 AS (SELECT q, label FROM
+           (SELECT q, label, row_number() OVER (
+                PARTITION BY q ORDER BY c6 DESC, c ASC) AS rn FROM cos)
+         WHERE rn <= 3),
+v AS (SELECT q, label, count(*) AS n FROM top3 GROUP BY q, label),
+p AS (SELECT q, label, n FROM
+        (SELECT q, label, n, row_number() OVER (
+             PARTITION BY q ORDER BY n DESC, label ASC) AS rk FROM v)
+      WHERE rk = 1)
+SELECT h.vec_id, CAST(p.label AS BIGINT) AS pred_label,
+       CAST(h.label AS BIGINT) AS true_label, CAST(p.n AS BIGINT) AS n_votes
+FROM hold h JOIN p ON p.q = h.vec_id ORDER BY h.vec_id""",
+
+        "twa_by_type": """
+WITH e AS (SELECT event_type, epoch_us(ts) AS t, event_id,
+                  CAST(floor(value * 1000 + 0.5) AS BIGINT) AS ve3
+           FROM events),
+w AS (SELECT event_type, ve3,
+             lead(t) OVER (PARTITION BY event_type
+                           ORDER BY t, event_id) - t AS dt
+      FROM e),
+g AS (SELECT event_type, count(dt) AS ni,
+             sum(CAST(ve3 AS HUGEINT) * dt) AS num, sum(dt) AS den
+      FROM w WHERE dt IS NOT NULL GROUP BY event_type),
+ty AS (SELECT DISTINCT event_type FROM events)
+SELECT ty.event_type, CAST(coalesce(ni, 0) AS BIGINT) AS n_intervals,
+       CAST(coalesce(num // den, 0) AS BIGINT) AS twa_e3
+FROM ty LEFT JOIN g USING (event_type) ORDER BY ty.event_type""",
+
+        "trimmed_mean": """
+WITH e AS (SELECT event_type,
+                  CAST(floor(value * 1000 + 0.5) AS BIGINT) AS ve3
+           FROM events),
+r AS (SELECT event_type, ve3,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ve3) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n FROM e),
+k AS (SELECT event_type, ve3, n, n * 10 // 100 AS t FROM r
+      WHERE rn > n * 10 // 100 AND rn <= n - n * 10 // 100)
+SELECT event_type, CAST(any_value(n) AS BIGINT) AS n,
+       CAST(any_value(t) AS BIGINT) AS n_trimmed_each,
+       CAST(sum(CAST(ve3 AS HUGEINT))
+            // (any_value(n) - 2 * any_value(t)) AS BIGINT) AS tmean_e3
+FROM k GROUP BY event_type ORDER BY event_type""",
     }

@@ -2014,3 +2014,99 @@ def sorted_head(events: ray.data.Dataset, k: int = 20) -> pa.Table:
         "value_e3": pa.array([-r["neg_value_e3"] for r in head],
                              pa.int64()),
     })
+
+
+def time_weighted_avg(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Time-weighted average per event type — each event's value holds
+    until the type's NEXT event, weighted by that interval (the metric
+    a gauge/telemetry pipeline reports; a plain mean over-weights
+    bursts).  The last event of a type carries no interval.
+
+    Exact integers end to end: values quantize to e3, intervals are
+    microsecond deltas, the per-type fold sums ``v_e3 * dt_us`` in
+    python bigints (the product exceeds int64 by design).  Per-type
+    ``map_groups`` sorts locally in (ts, event_id) order.
+    -> (event_type, n_intervals, twa_e3 = Σv·dt // Σdt)."""
+
+    def per_type(g: pa.Table) -> pa.Table:
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        v = g["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((eid, ts))
+        ts, v = ts[order], v[order]
+        ve3 = np.floor(v * 1000 + 0.5).astype(np.int64)
+        et = g["event_type"][0].as_py()
+        if ts.size < 2:
+            return pa.table({"event_type": pa.array([et], pa.string()),
+                             "n_intervals": pa.array([0], pa.int64()),
+                             "twa_e3": pa.array([0], pa.int64())})
+        dt = np.diff(ts)
+        num = sum(int(a) * int(b) for a, b in zip(ve3[:-1], dt))
+        den = int(dt.sum())
+        return pa.table({
+            "event_type": pa.array([et], pa.string()),
+            "n_intervals": pa.array([int(dt.size)], pa.int64()),
+            "twa_e3": pa.array([num // den if den else 0], pa.int64()),
+        })
+
+    return events.select_columns(["event_type", "ts", "event_id",
+                                  "value"]) \
+        .groupby("event_type").map_groups(per_type,
+                                          batch_format="pyarrow")
+
+
+def trimmed_mean_by_type(events: ray.data.Dataset,
+                         trim_pct: int = 10) -> ray.data.Dataset:
+    """Robust mean: per event type, the mean of values after dropping
+    the lowest and highest ``trim_pct`` percent (count =
+    ``n * trim_pct // 100`` from each side) — the outlier-immune
+    aggregate a metrics pipeline prefers over the raw mean.
+
+    Same scale shape as the exact MAD: values quantize to e3 and fold
+    to a per-(type, value) count histogram (shuffle bounded by the
+    value range); the trim + mean run on each type's histogram with
+    one weighted pass.  -> (event_type, n, n_trimmed_each,
+    tmean_e3 = Σkept // n_kept)."""
+    from ray.data.aggregate import Sum as RSum
+    import pyarrow.compute as pc
+
+    def pre(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "ve3": pa.array(np.floor(v * 1000 + 0.5).astype(np.int64),
+                            pa.int64()),
+        }).group_by(["event_type", "ve3"]).aggregate([([], "count_all")]) \
+            .rename_columns(["event_type", "ve3", "c_p"])
+
+    hist = events.select_columns(["event_type", "value"]) \
+        .map_batches(pre, batch_format="pyarrow") \
+        .groupby(["event_type", "ve3"]).aggregate(RSum("c_p",
+                                                       alias_name="c"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        ve3 = group["ve3"].to_numpy(zero_copy_only=False)
+        c = group["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(ve3, kind="stable")
+        ve3, c = ve3[o], c[o]
+        n = int(c.sum())
+        t = n * trim_pct // 100
+        # drop t from each side of the weighted sorted multiset
+        cum = np.cumsum(c)
+        lo_keep = np.maximum(cum - t, 0)            # kept count up to i
+        kept = np.minimum(lo_keep, n - 2 * t) \
+            - np.maximum(np.concatenate([[0], cum[:-1]]) - t, 0)
+        kept = np.clip(kept, 0, None)
+        s = sum(int(a) * int(b) for a, b in zip(ve3, kept))
+        nk = n - 2 * t
+        return pa.table({
+            "event_type": pa.array([group["event_type"][0].as_py()],
+                                   pa.string()),
+            "n": pa.array([n], pa.int64()),
+            "n_trimmed_each": pa.array([t], pa.int64()),
+            "tmean_e3": pa.array([s // nk if nk > 0 else 0], pa.int64()),
+        })
+
+    return hist.groupby("event_type").map_groups(finalize,
+                                                 batch_format="pyarrow")

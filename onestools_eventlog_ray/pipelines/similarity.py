@@ -846,3 +846,51 @@ def rp_distortion(ds: ray.data.Dataset, out_dim: int = 16,
         out["d2_orig"].append(int((d * d).sum()))
         out["d2_proj"].append(int((pd * pd).sum()))
     return pa.table({kk: pa.array(v, pa.int64()) for kk, v in out.items()})
+
+
+def knn_classify(ds: ray.data.Dataset, k: int = 3, holdout_mod: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 label_col: str = "label") -> pa.Table:
+    """Embedding-quality evaluation by k-NN classification: every
+    holdout vector (``id % holdout_mod == 0``) is labeled by majority
+    vote of its ``k`` nearest TRAIN vectors (exact cosine; vote ties ->
+    smaller label, rank ties -> smaller id) — the standard probe for
+    "do these embeddings cluster by label".
+
+    Distributed shape: the holdout queries broadcast once as the query
+    matrix of :func:`knn_cosine` restricted to train rows (one
+    streaming pass, per-batch local top-k); the vote runs on k rows per
+    query.  -> (vec_id, pred_label, true_label, n_votes) ordered by
+    vec_id."""
+    rows = ds.select_columns([id_col, vec_col, label_col]).take_all()
+    rows.sort(key=lambda r: r[id_col])
+    hold = [(int(r[id_col]), np.asarray(r[vec_col], dtype=np.float64),
+             int(r[label_col])) for r in rows
+            if int(r[id_col]) % holdout_mod == 0]
+    train_ids = {int(r[id_col]) for r in rows
+                 if int(r[id_col]) % holdout_mod != 0}
+    label_of = {int(r[id_col]): int(r[label_col]) for r in rows}
+    if not hold:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "pred_label": pa.array([], pa.int64()),
+                         "true_label": pa.array([], pa.int64()),
+                         "n_votes": pa.array([], pa.int64())})
+    qmat = np.stack([v for _, v, _ in hold])
+    exclude = {int(r[id_col]) for r in rows} - train_ids
+    nn = knn_cosine(ds, qmat, k=k, id_col=id_col, vec_col=vec_col,
+                    exclude_ids=exclude)
+    votes: dict[int, list[int]] = {i: [] for i in range(len(hold))}
+    for qi, vid in zip(nn["query_idx"].to_pylist(),
+                       nn["vec_id"].to_pylist()):
+        votes[int(qi)].append(label_of[int(vid)])
+    out = {"vec_id": [], "pred_label": [], "true_label": [],
+           "n_votes": []}
+    for i, (vid, _, true) in enumerate(hold):
+        from collections import Counter
+        c = Counter(votes[i])
+        best = sorted(((-n, lb) for lb, n in c.items()))[0]
+        out["vec_id"].append(vid)
+        out["pred_label"].append(best[1])
+        out["true_label"].append(true)
+        out["n_votes"].append(-best[0])
+    return pa.table({kk: pa.array(v, pa.int64()) for kk, v in out.items()})

@@ -1184,3 +1184,78 @@ def test_cm_error_report_bruteforce():
             "little") % 1024)] for i in range(4))
         assert (r["term"], r["cf_exact"], r["cf_est"]) == (t, n, est)
         assert r["overcount"] == est - n >= 0
+
+
+def test_knn_classify_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.similarity import knn_classify
+    tbl = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    ids = tbl["vec_id"].to_pylist()
+    m = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    labels = dict(zip(ids, tbl["label"].to_pylist()))
+    out = knn_classify(ray.data.read_parquet(
+        os.path.join(SF_DIR, "embeddings.parquet"))).to_pylist()
+    hold = [i for i in sorted(ids) if i % 5 == 0]
+    assert [r["vec_id"] for r in out] == hold
+    idx_of = {v: i for i, v in enumerate(ids)}
+    train = np.asarray([i for i in ids if i % 5 != 0], dtype=np.int64)
+    tmat = mn[[idx_of[int(i)] for i in train]]
+    for r in out:
+        q = mn[idx_of[r["vec_id"]]]
+        cos = tmat @ q
+        top = train[np.lexsort((train, -cos))[:3]]
+        votes = Counter(labels[int(t)] for t in top)
+        pred = sorted(((-n, lb) for lb, n in votes.items()))[0]
+        assert (r["pred_label"], r["n_votes"]) == (pred[1], -pred[0])
+        assert r["true_label"] == labels[r["vec_id"]]
+
+
+def test_time_weighted_avg_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import \
+        time_weighted_avg
+    tbl = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
+    per_t = {}
+    for et, ts, eid, v in zip(tbl["event_type"].to_pylist(),
+                              tbl["ts"].to_pylist(),
+                              tbl["event_id"].to_pylist(),
+                              tbl["value"].to_pylist()):
+        us = int(ts.timestamp() * 1e6 + 0.5)
+        per_t.setdefault(et, []).append((us, eid,
+                                         int(np.floor(v * 1000 + 0.5))))
+    out = time_weighted_avg(ray.data.read_parquet(
+        os.path.join(SF_DIR, "events.parquet"),
+        columns=["event_type", "ts", "event_id", "value"])).take_all()
+    got = {r["event_type"]: (r["n_intervals"], r["twa_e3"]) for r in out}
+    for et, rows in per_t.items():
+        rows.sort()
+        num = den = 0
+        for (t0, _, v0), (t1, _, _) in zip(rows[:-1], rows[1:]):
+            num += v0 * (t1 - t0)
+            den += t1 - t0
+        want = (len(rows) - 1, num // den if den else 0)
+        assert got[et] == want
+
+
+def test_trimmed_mean_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import \
+        trimmed_mean_by_type
+    tbl = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                        columns=["event_type", "value"])
+    per_t = {}
+    for et, v in zip(tbl["event_type"].to_pylist(),
+                     tbl["value"].to_pylist()):
+        per_t.setdefault(et, []).append(int(np.floor(v * 1000 + 0.5)))
+    out = trimmed_mean_by_type(ray.data.read_parquet(
+        os.path.join(SF_DIR, "events.parquet"),
+        columns=["event_type", "value"])).take_all()
+    got = {r["event_type"]: (r["n"], r["n_trimmed_each"], r["tmean_e3"])
+           for r in out}
+    for et, vals in per_t.items():
+        vals.sort()
+        n = len(vals)
+        t = n * 10 // 100
+        kept = vals[t:n - t]
+        assert got[et] == (n, t, sum(kept) // len(kept))
