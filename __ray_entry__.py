@@ -1172,6 +1172,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         min_support=100) \
             .sort(["term_a", "term_b"])
 
+    def q14_promo(sf_dir):
+        """TPC-H Q14: promotion revenue share via a broadcast part
+        dimension + conditional e4-exact fact fold."""
+        import ray.data
+        sf = lambda t: ray.data.read_parquet(
+            os.path.join(sf_dir, f"{t}.parquet"))
+        return relational.q14_promo_share(sf("lineitem"), sf("part"))
+
+    def q18_volume(sf_dir):
+        """TPC-H Q18: orders with total quantity > 150 and their
+        customers, top-20 (HAVING on the orderkey co-group)."""
+        import ray.data
+        sf = lambda t: ray.data.read_parquet(
+            os.path.join(sf_dir, f"{t}.parquet"))
+        return relational.q18_volume_customers(sf("lineitem"),
+                                               sf("orders"))
+
+    def heaps_curve(sf_dir):
+        """Heaps-law vocabulary growth: distinct vocab size after the
+        first N docs, from one (term -> first doc) fold."""
+        return text.vocab_growth(_documents_ds(sf_dir))
+
     def knn_label_eval(sf_dir):
         """Embedding-quality probe: 3-NN majority-vote classification of
         the vec_id%5 holdout against the train split."""
@@ -2147,6 +2169,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": bpe_pairs,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
+        "q14_promo": q14_promo,
+        "q18_volume": q18_volume,
+        "heaps_curve": heaps_curve,
         "knn_label_eval": knn_label_eval,
         "twa_by_type": twa_by_type,
         "trimmed_mean": trimmed_mean,
@@ -5104,4 +5129,39 @@ SELECT event_type, CAST(any_value(n) AS BIGINT) AS n,
        CAST(sum(CAST(ve3 AS HUGEINT))
             // (any_value(n) - 2 * any_value(t)) AS BIGINT) AS tmean_e3
 FROM k GROUP BY event_type ORDER BY event_type""",
+
+        "q14_promo": """
+WITH l AS (SELECT l_partkey,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)
+                  AS rev
+           FROM lineitem),
+j AS (SELECT rev, coalesce(starts_with(p_type, 'PROMO'), false) AS pr
+      FROM l LEFT JOIN part ON l_partkey = p_partkey)
+SELECT CAST(coalesce(sum(rev) FILTER (pr), 0) AS BIGINT) AS promo_rev_e4,
+       CAST(sum(rev) AS BIGINT) AS total_rev_e4,
+       CAST(coalesce(sum(rev) FILTER (pr), 0) * 1000000 // sum(rev)
+            AS BIGINT) AS promo_share_e6
+FROM j""",
+
+        "q18_volume": """
+WITH q AS (SELECT l_orderkey,
+                  sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS tq
+           FROM lineitem GROUP BY l_orderkey)
+SELECT o_orderkey, o_custkey, CAST(tq AS BIGINT) AS total_qty
+FROM q JOIN orders ON l_orderkey = o_orderkey WHERE tq > 150
+ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20""",
+
+        "heaps_curve": f"""
+WITH toks AS ({_TOKS}),
+fd AS (SELECT term, min(doc_id) AS first_doc FROM toks GROUP BY term),
+ids AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+        FROM documents),
+cuts AS (SELECT unnest([50, 100, 200, 400]) AS n),
+thr AS (SELECT cuts.n, ids.doc_id AS thr FROM cuts
+        JOIN ids ON ids.rn = cuts.n)
+SELECT CAST(t.n AS BIGINT) AS n_docs,
+       CAST((SELECT count(*) FROM fd WHERE first_doc <= t.thr)
+            AS BIGINT) AS vocab_size
+FROM thr t ORDER BY n_docs""",
     }

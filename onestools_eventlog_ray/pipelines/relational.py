@@ -2110,3 +2110,116 @@ def trimmed_mean_by_type(events: ray.data.Dataset,
 
     return hist.groupby("event_type").map_groups(finalize,
                                                  batch_format="pyarrow")
+
+
+def q14_promo_share(lineitem: ray.data.Dataset,
+                    part: ray.data.Dataset,
+                    promo_prefix: str = "PROMO") -> pa.Table:
+    """TPC-H-Q14-shaped promotion share: the fraction of total revenue
+    from parts whose ``p_type`` starts with ``promo_prefix`` — the
+    broadcast-dimension fact scan with a conditional aggregate.
+
+    The part dimension ships once via ``ray.put`` as a sorted key array
+    + boolean flag (J1 broadcast, never a fact-sized shuffle); each
+    batch folds (promo_rev, total_rev) exact-e4 partials; the driver
+    adds two numbers.  -> one row (promo_rev_e4, total_rev_e4,
+    promo_share_e6 = promo * 1e6 // total)."""
+    import pyarrow.compute as pc
+    import ray
+
+    rows = part.select_columns(["p_partkey", "p_type"]).take_all()
+    keys = np.asarray([int(r["p_partkey"]) for r in rows], dtype=np.int64)
+    promo = np.asarray([str(r["p_type"]).startswith(promo_prefix)
+                        for r in rows], dtype=bool)
+    order = np.argsort(keys)
+    bref = ray.put((keys[order], promo[order]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk, fl = ray.get(bref)
+        part_k = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        rev = (np.floor(price * 100 + 0.5).astype(np.int64)
+               * np.floor((1.0 - disc) * 100 + 0.5).astype(np.int64))
+        pos = np.searchsorted(pk, part_k)
+        np.clip(pos, 0, pk.size - 1, out=pos)
+        is_promo = (pk[pos] == part_k) & fl[pos]
+        return pa.table({
+            "promo_p": pa.array([int(rev[is_promo].sum())], pa.int64()),
+            "total_p": pa.array([int(rev.sum())], pa.int64()),
+        })
+
+    agg = lineitem.select_columns(
+        ["l_partkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow").take_all()
+    promo_rev = sum(int(r["promo_p"]) for r in agg)
+    total_rev = sum(int(r["total_p"]) for r in agg)
+    return pa.table({
+        "promo_rev_e4": pa.array([promo_rev], pa.int64()),
+        "total_rev_e4": pa.array([total_rev], pa.int64()),
+        "promo_share_e6": pa.array(
+            [promo_rev * 10 ** 6 // total_rev if total_rev else 0],
+            pa.int64()),
+    })
+
+
+def q18_volume_customers(lineitem: ray.data.Dataset,
+                         orders: ray.data.Dataset,
+                         min_qty: int = 150, k: int = 20) -> pa.Table:
+    """TPC-H-Q18-shaped large-volume-order report: orders whose total
+    quantity exceeds ``min_qty``, with their customer, top-``k`` by
+    (total_qty desc, orderkey asc) — the HAVING-on-a-fact-fold join.
+
+    Lineitem quantity folds per order inside each batch before the
+    orderkey co-group (tagged union with the orders projection, same
+    shape as Q3/Q10); only qualifying orders reach the driver.
+    -> (o_orderkey, o_custkey, total_qty)."""
+    import pyarrow.compute as pc
+
+    def proj_line(batch: pa.Table) -> pa.Table:
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        q = np.floor(qty + 0.5).astype(np.int64)
+        keys, inv = np.unique(okey, return_inverse=True)
+        part = np.zeros(keys.size, dtype=np.int64)
+        np.add.at(part, inv, q)
+        return pa.table({
+            "key": pa.array(keys, pa.int64()),
+            "ckey": pa.nulls(keys.size, pa.int64()),
+            "qty_p": pa.array(part, pa.int64()),
+        })
+
+    def proj_orders(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch["o_orderkey"].cast(pa.int64()),
+            "ckey": batch["o_custkey"].cast(pa.int64()),
+            "qty_p": pa.array(np.zeros(batch.num_rows, np.int64),
+                              pa.int64()),
+        })
+
+    tagged = lineitem.select_columns(["l_orderkey", "l_quantity"]) \
+        .map_batches(proj_line, batch_format="pyarrow") \
+        .union(orders.select_columns(["o_orderkey", "o_custkey"])
+               .map_batches(proj_orders, batch_format="pyarrow"))
+    agg = tagged.groupby("key").aggregate(
+        Max("ckey", alias_name="ckey"),
+        Sum("qty_p", alias_name="total_qty"))
+
+    def qualify(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch["ckey"]),
+                    pc.greater(batch["total_qty"], min_qty))
+        return batch.filter(m)
+
+    cand = agg.map_batches(qualify, batch_format="pyarrow").take_all()
+    rows = sorted(((-int(r["total_qty"]), int(r["key"]), int(r["ckey"]))
+                   for r in cand))[:k]
+    return pa.table({
+        "o_orderkey": pa.array([r[1] for r in rows], pa.int64()),
+        "o_custkey": pa.array([r[2] for r in rows], pa.int64()),
+        "total_qty": pa.array([-r[0] for r in rows], pa.int64()),
+    })

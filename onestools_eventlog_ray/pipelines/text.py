@@ -1794,3 +1794,48 @@ def shuffle_skew_report(ds: ray.data.Dataset,
         "skew_e6": pa.array(cf[order] * nt * 10 ** 6 // max(total, 1),
                             pa.int64()),
     })
+
+
+def vocab_growth(ds: ray.data.Dataset,
+                 spec: CorpusSpec = DOCUMENTS_SPEC,
+                 cutoffs: tuple[int, ...] = (50, 100, 200, 400)
+                 ) -> pa.Table:
+    """Heaps-law vocabulary-growth curve: distinct vocabulary size
+    after ingesting the first N docs (in doc_id order), for several N —
+    the diagnostic that predicts dictionary memory at 10^12 files.
+
+    One pass + one vocab-sized fold: each term's FIRST document
+    (min doc_id) is a distributed ``Min`` aggregate; the curve is then
+    a cumulative count over the tiny (term, first_doc) table — the
+    stream never replays per cutoff.  Cutoffs are doc-id thresholds
+    (the first N docs = doc_id < Nth-smallest id; with dense ids they
+    coincide).  -> (n_docs, vocab_size)."""
+    from ray.data.aggregate import Min as RMin
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.analyzer import doc_term_table
+        b = add_doc_id(batch, spec)
+        triples, _ = doc_term_table(b["doc_id"], b["content"])
+        g = triples.select(["term", "doc_id"]).group_by("term") \
+            .aggregate([("doc_id", "min")])
+        return g.rename_columns(["term", "fd_p"])
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(RMin("fd_p", alias_name="first_doc")) \
+        .take_all()
+    first = np.sort(np.asarray([int(r["first_doc"]) for r in folded],
+                               dtype=np.int64))
+    # Nth-smallest doc id = the id threshold for "first N docs"
+    all_ids = np.sort(np.asarray(
+        [r["doc_id"] for r in
+         ds.select_columns([spec.id_col or "doc_id"]).take_all()],
+        dtype=np.int64))
+    out_n, out_v = [], []
+    for n in cutoffs:
+        if n <= 0 or n > all_ids.size:
+            continue
+        thr = int(all_ids[n - 1])
+        out_n.append(int(n))
+        out_v.append(int(np.searchsorted(first, thr, side="right")))
+    return pa.table({"n_docs": pa.array(out_n, pa.int64()),
+                     "vocab_size": pa.array(out_v, pa.int64())})

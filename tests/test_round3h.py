@@ -1259,3 +1259,70 @@ def test_trimmed_mean_bruteforce():
         t = n * 10 // 100
         kept = vals[t:n - t]
         assert got[et] == (n, t, sum(kept) // len(kept))
+
+
+def test_q14_promo_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import q14_promo_share
+    sf = lambda t: os.path.join(SF_DIR, f"{t}.parquet")
+    li = pq.read_table(sf("lineitem"))
+    part = pq.read_table(sf("part"), columns=["p_partkey", "p_type"])
+    promo = {k for k, t in zip(part["p_partkey"].to_pylist(),
+                               part["p_type"].to_pylist())
+             if t.startswith("PROMO")}
+    pr = tot = 0
+    for k, p, d in zip(li["l_partkey"].to_pylist(),
+                       li["l_extendedprice"].to_pylist(),
+                       li["l_discount"].to_pylist()):
+        rev = int(np.floor(p * 100 + 0.5)) \
+            * int(np.floor((1 - d) * 100 + 0.5))
+        tot += rev
+        if k in promo:
+            pr += rev
+    out = q14_promo_share(ray.data.read_parquet(sf("lineitem")),
+                          ray.data.read_parquet(sf("part"))).to_pylist()
+    assert out == [{"promo_rev_e4": pr, "total_rev_e4": tot,
+                    "promo_share_e6": pr * 10**6 // tot}]
+
+
+def test_q18_volume_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import \
+        q18_volume_customers
+    sf = lambda t: os.path.join(SF_DIR, f"{t}.parquet")
+    li = pq.read_table(sf("lineitem"))
+    orders = pq.read_table(sf("orders"))
+    qty = Counter()
+    for o, q in zip(li["l_orderkey"].to_pylist(),
+                    li["l_quantity"].to_pylist()):
+        qty[o] += int(np.floor(q + 0.5))
+    o2c = dict(zip(orders["o_orderkey"].to_pylist(),
+                   orders["o_custkey"].to_pylist()))
+    want = sorted(((-t, o, o2c[o]) for o, t in qty.items() if t > 150))[:20]
+    out = q18_volume_customers(ray.data.read_parquet(sf("lineitem")),
+                               ray.data.read_parquet(sf("orders"))) \
+        .to_pylist()
+    assert [(-r["total_qty"], r["o_orderkey"], r["o_custkey"])
+            for r in out] == want
+    assert all(r["total_qty"] > 150 for r in out)
+
+
+def test_vocab_growth_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.text import vocab_growth
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    rows = sorted(zip(tbl["doc_id"].to_pylist(),
+                      tbl["text"].to_pylist()))
+    out = vocab_growth(ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet")),
+        cutoffs=(10, 50, 400, 10**6)).to_pylist()
+    seen = set()
+    sizes = {}
+    for i, (_, txt) in enumerate(rows, 1):
+        seen.update(_tok(txt))
+        sizes[i] = len(seen)
+    want = [(n, sizes[n]) for n in (10, 50, 400) if n <= len(rows)]
+    assert [(r["n_docs"], r["vocab_size"]) for r in out] == want
+    # monotone non-decreasing
+    vs = [r["vocab_size"] for r in out]
+    assert vs == sorted(vs)
