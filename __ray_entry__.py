@@ -1172,6 +1172,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         min_support=100) \
             .sort(["term_a", "term_b"])
 
+    def len_vocab_covariance(sf_dir):
+        """Corpus shape: exact covariance of doc length vs distinct
+        vocabulary (hi/lo-limb integer partials, one-row shuffle)."""
+        return text.len_vocab_corr(_documents_ds(sf_dir))
+
+    def stopword_density(sf_dir):
+        """Quality-filter calibration: per-lang stopword token share
+        (en-profile stopwords misfire off-language — measured)."""
+        return text.stopword_share_by_lang(_documents_ds(sf_dir))
+
+    def q1_pricing(sf_dir):
+        """The full TPC-H Q1 pricing summary — every aggregate column
+        in exact fixed point (charge via hi/lo limb partials)."""
+        import ray.data
+        li = ray.data.read_parquet(os.path.join(sf_dir,
+                                                "lineitem.parquet"))
+        return relational.q1_pricing_summary(li)
+
+    def funnel_window(sf_dir):
+        """Attribution-window funnel: click -> purchase within 1 hour
+        (per-user searchsorted, three-counter fold)."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines.streaming import funnel_timed
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["user_id", "ts", "event_type"])
+        return funnel_timed(ev)
+
     def q14_promo(sf_dir):
         """TPC-H Q14: promotion revenue share via a broadcast part
         dimension + conditional e4-exact fact fold."""
@@ -2169,6 +2196,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": bpe_pairs,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
+        "len_vocab_covariance": len_vocab_covariance,
+        "stopword_density": stopword_density,
+        "q1_pricing": q1_pricing,
+        "funnel_window": funnel_window,
         "q14_promo": q14_promo,
         "q18_volume": q18_volume,
         "heaps_curve": heaps_curve,
@@ -5164,4 +5195,71 @@ SELECT CAST(t.n AS BIGINT) AS n_docs,
        CAST((SELECT count(*) FROM fd WHERE first_doc <= t.thr)
             AS BIGINT) AS vocab_size
 FROM thr t ORDER BY n_docs""",
+
+        "q1_pricing": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_base_e2,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS sum_disc_e4,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS sum_charge_e6,
+       CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) * 1000000
+            // count(*) AS BIGINT) AS avg_qty_e6,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            * 10000 // count(*) AS BIGINT) AS avg_price_e6,
+       CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) * 10000
+            // count(*) AS BIGINT) AS avg_disc_e6,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+
+        "funnel_window": """
+WITH f AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+           WHERE event_type = 'click' GROUP BY user_id),
+c AS (SELECT f.user_id FROM f WHERE EXISTS (
+        SELECT 1 FROM events e
+        WHERE e.user_id = f.user_id AND e.event_type = 'purchase'
+          AND epoch_us(e.ts) > f.t0
+          AND epoch_us(e.ts) <= f.t0 + 3600000000))
+SELECT CAST((SELECT count(*) FROM f) AS BIGINT) AS n_users_first,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_converted,
+       CAST((SELECT count(*) FROM c) * 1000000
+            // (SELECT count(*) FROM f) AS BIGINT) AS conv_e6""",
+
+        "len_vocab_covariance": f"""
+WITH toks AS ({_TOKS}),
+d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+             CAST(count(DISTINCT term) AS BIGINT) AS dt
+      FROM toks GROUP BY doc_id),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(dl) AS sx, sum(dt) AS sy,
+             sum(CAST(dl AS HUGEINT) * dt) AS xy,
+             sum(CAST(dl AS HUGEINT) * dl) AS xx,
+             sum(CAST(dt AS HUGEINT) * dt) AS yy
+      FROM d)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(sx * 1000000 // n AS BIGINT) AS mean_dl_e6,
+       CAST(sy * 1000000 // n AS BIGINT) AS mean_dt_e6,
+       CAST((n * xy - sx * sy) * 1000000 // (n * n) AS BIGINT) AS cov_e6,
+       CAST((n * xx - sx * sx) * 1000000 // (n * n) AS BIGINT)
+         AS var_dl_e6,
+       CAST((n * yy - sy * sy) * 1000000 // (n * n) AS BIGINT)
+         AS var_dt_e6
+FROM s""",
+
+        "stopword_density": f"""
+WITH toks AS ({_TOKS}),
+j AS (SELECT d.lang, t.term FROM toks t JOIN documents d USING (doc_id)),
+g AS (SELECT lang, count(*) AS n_tokens,
+             count(*) FILTER (term IN {_STOP_SQL}) AS n_stop
+      FROM j GROUP BY lang)
+SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_stop AS BIGINT) AS n_stop,
+       CAST(n_stop * 1000000 // n_tokens AS BIGINT) AS stop_share_e6
+FROM g ORDER BY lang""",
     }

@@ -2223,3 +2223,94 @@ def q18_volume_customers(lineitem: ray.data.Dataset,
         "o_custkey": pa.array([r[2] for r in rows], pa.int64()),
         "total_qty": pa.array([-r[0] for r in rows], pa.int64()),
     })
+
+
+def q1_pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """The full TPC-H Q1 pricing summary (the canonical scan-heavy
+    aggregate): per (returnflag, linestatus) — sum_qty, sum base /
+    discounted / charged price, the three averages and the row count,
+    all in exact fixed-point integers so every value is bit-identical
+    to the oracle (qty e0, price e2, disc_price e4, charge e6;
+    averages = trunc(sum * 1e6 / n)).
+
+    One streaming pass of per-batch Acero partials; the shuffle carries
+    flag-cardinality rows.  -> (l_returnflag, l_linestatus, sum_qty,
+    sum_base_e2, sum_disc_e4, sum_charge_e6, avg_qty_e6, avg_price_e6,
+    avg_disc_e6, n_rows)."""
+    from ray.data.aggregate import Sum as RSum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = np.floor(batch["l_quantity"].to_numpy(zero_copy_only=False)
+                       .astype(np.float64) + 0.5).astype(np.int64)
+        p2 = np.floor(batch["l_extendedprice"]
+                      .to_numpy(zero_copy_only=False).astype(np.float64)
+                      * 100 + 0.5).astype(np.int64)
+        d2 = np.floor(batch["l_discount"].to_numpy(zero_copy_only=False)
+                      .astype(np.float64) * 100 + 0.5).astype(np.int64)
+        t2 = np.floor(batch["l_tax"].to_numpy(zero_copy_only=False)
+                      .astype(np.float64) * 100 + 0.5).astype(np.int64)
+        disc4 = p2 * (100 - d2)                      # e4, < 1.1e11
+        # charge e6 = p2 * (100-d2) * (100+t2); split into base-1e9
+        # limbs so the SUM stays int64-safe at any row count
+        charge6 = disc4 * (100 + t2)
+        LIMB = np.int64(1_000_000_000)
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "q": pa.array(qty, pa.int64()),
+            "b2": pa.array(p2, pa.int64()),
+            "d4_hi": pa.array(disc4 // LIMB, pa.int64()),
+            "d4_lo": pa.array(disc4 % LIMB, pa.int64()),
+            "c6_hi": pa.array(charge6 // LIMB, pa.int64()),
+            "c6_lo": pa.array(charge6 % LIMB, pa.int64()),
+            "dd": pa.array(d2, pa.int64()),
+            "one": pa.array(np.ones(len(qty), np.int64)),
+        })
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("q", "sum"), ("b2", "sum"), ("d4_hi", "sum"),
+             ("d4_lo", "sum"), ("c6_hi", "sum"), ("c6_lo", "sum"),
+             ("dd", "sum"), ("one", "sum")]) \
+            .rename_columns(["l_returnflag", "l_linestatus", "q_p", "b_p",
+                             "dh_p", "dl_p", "ch_p", "cl_p", "dd_p",
+                             "n_p"])
+
+    folded = lineitem.select_columns(
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_tax"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            RSum("q_p", alias_name="q"), RSum("b_p", alias_name="b"),
+            RSum("dh_p", alias_name="dh"), RSum("dl_p", alias_name="dl"),
+            RSum("ch_p", alias_name="ch"), RSum("cl_p", alias_name="cl"),
+            RSum("dd_p", alias_name="dd"), RSum("n_p", alias_name="n"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        LIMB = 10 ** 9
+        out = {"l_returnflag": [], "l_linestatus": [], "sum_qty": [],
+               "sum_base_e2": [], "sum_disc_e4": [], "sum_charge_e6": [],
+               "avg_qty_e6": [], "avg_price_e6": [], "avg_disc_e6": [],
+               "n_rows": []}
+        for r in batch.to_pylist():
+            n = int(r["n"])
+            d4 = int(r["dh"]) * LIMB + int(r["dl"])
+            c6 = int(r["ch"]) * LIMB + int(r["cl"])
+            out["l_returnflag"].append(r["l_returnflag"])
+            out["l_linestatus"].append(r["l_linestatus"])
+            out["sum_qty"].append(int(r["q"]))
+            out["sum_base_e2"].append(int(r["b"]))
+            out["sum_disc_e4"].append(d4)
+            out["sum_charge_e6"].append(c6)
+            out["avg_qty_e6"].append(int(r["q"]) * 10 ** 6 // n)
+            out["avg_price_e6"].append(int(r["b"]) * 10 ** 4 // n)
+            out["avg_disc_e6"].append(int(r["dd"]) * 10 ** 4 // n)
+            out["n_rows"].append(n)
+        return pa.table({
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "l_linestatus": pa.array(out["l_linestatus"], pa.string()),
+            **{k: pa.array(out[k], pa.int64()) for k in
+               ("sum_qty", "sum_base_e2", "sum_disc_e4", "sum_charge_e6",
+                "avg_qty_e6", "avg_price_e6", "avg_disc_e6", "n_rows")},
+        })
+
+    return folded.map_batches(finalize, batch_format="pyarrow") \
+        .sort(["l_returnflag", "l_linestatus"])

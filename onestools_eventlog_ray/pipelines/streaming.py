@@ -399,3 +399,44 @@ def event_trigrams(ds: ray.data.Dataset, k: int = 20) -> pa.Table:
         "t3": pa.array([r[3] for r in rows], pa.string()),
         "n": pa.array([-r[0] for r in rows], pa.int64()),
     })
+
+
+def funnel_timed(ds: ray.data.Dataset, first: str = "click",
+                 second: str = "purchase",
+                 window_us: int = 3_600_000_000) -> pa.Table:
+    """Time-bounded conversion funnel: users whose FIRST ``first`` event
+    is followed by a ``second`` event within ``window_us`` — the
+    attribution-window refinement of the plain funnel (a purchase a
+    week later doesn't convert the click).
+
+    Per-user ``map_groups``: one searchsorted from the first trigger
+    into the sorted ``second`` timestamps; the fold is three counters.
+    -> one row (n_users_first, n_converted, conv_e6)."""
+    from ray.data.aggregate import Sum
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        t1 = ts[et == first]
+        has_first = int(t1.size > 0)
+        conv = 0
+        if has_first:
+            t0 = int(t1.min())
+            t2 = np.sort(ts[et == second])
+            j = np.searchsorted(t2, t0, side="right")
+            conv = int(j < t2.size and t2[j] <= t0 + window_us)
+        return pa.table({"f_p": pa.array([has_first], pa.int64()),
+                         "c_p": pa.array([conv], pa.int64())})
+
+    agg = ds.select_columns(["user_id", "ts", "event_type"]) \
+        .groupby("user_id").map_groups(per_user, batch_format="pyarrow") \
+        .aggregate(Sum("f_p", alias_name="nf"),
+                   Sum("c_p", alias_name="nc"))
+    nf = int(agg["sum(f_p)"] if "sum(f_p)" in agg else agg["nf"])
+    nc = int(agg["sum(c_p)"] if "sum(c_p)" in agg else agg["nc"])
+    return pa.table({
+        "n_users_first": pa.array([nf], pa.int64()),
+        "n_converted": pa.array([nc], pa.int64()),
+        "conv_e6": pa.array([nc * 10 ** 6 // nf if nf else 0],
+                            pa.int64()),
+    })

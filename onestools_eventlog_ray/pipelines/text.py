@@ -1839,3 +1839,107 @@ def vocab_growth(ds: ray.data.Dataset,
         out_v.append(int(np.searchsorted(first, thr, side="right")))
     return pa.table({"n_docs": pa.array(out_n, pa.int64()),
                      "vocab_size": pa.array(out_v, pa.int64())})
+
+
+def len_vocab_corr(ds: ray.data.Dataset,
+                   spec: CorpusSpec = DOCUMENTS_SPEC) -> pa.Table:
+    """Corpus-shape diagnostic: the exact covariance between document
+    LENGTH (tokens) and VOCABULARY (distinct terms) — near-linear means
+    natural text, saturating means templated/repetitive docs (the
+    Heaps exponent's per-doc cousin).
+
+    Same hi/lo-limb integer-partial fold as ``matrix_stats`` (products
+    fit int64 per row; limb sums stay safe past 10^12 docs); one
+    streaming pass, one 1-row shuffle.  -> (n_docs, mean_dl_e6,
+    mean_dt_e6, cov_e6, var_dl_e6, var_dt_e6); cov/var use the
+    population formula trunc((n·Σxy − ΣxΣy) / n²)."""
+    from ray.data.aggregate import Sum as RSum
+    LIMB = np.int64(1_000_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.analyzer import doc_term_table
+        b = add_doc_id(batch, spec)
+        _, stats = doc_term_table(b["doc_id"], b["content"])
+        dl = stats["n_tokens"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dt = stats["n_distinct_terms"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        prods = {"xy": dl * dt, "xx": dl * dl, "yy": dt * dt}
+        cols = {"n_p": pa.array([len(dl)], pa.int64()),
+                "sx_p": pa.array([int(dl.sum())], pa.int64()),
+                "sy_p": pa.array([int(dt.sum())], pa.int64())}
+        for k, v in prods.items():
+            cols[f"{k}h_p"] = pa.array([int((v // LIMB).sum())], pa.int64())
+            cols[f"{k}l_p"] = pa.array([int((v % LIMB).sum())], pa.int64())
+        return pa.table(cols)
+
+    names = ["n", "sx", "sy", "xyh", "xyl", "xxh", "xxl", "yyh", "yyl"]
+    folded = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        *[RSum(f"{nm}_p", alias_name=nm) for nm in names])
+    n = int(folded["n"])
+    sx, sy = int(folded["sx"]), int(folded["sy"])
+    L = int(LIMB)
+    xy = int(folded["xyh"]) * L + int(folded["xyl"])
+    xx = int(folded["xxh"]) * L + int(folded["xxl"])
+    yy = int(folded["yyh"]) * L + int(folded["yyl"])
+
+    def trunc(a: int, b: int) -> int:
+        q = abs(a) // b
+        return -q if a < 0 else q
+
+    return pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "mean_dl_e6": pa.array([trunc(sx * 10 ** 6, n)], pa.int64()),
+        "mean_dt_e6": pa.array([trunc(sy * 10 ** 6, n)], pa.int64()),
+        "cov_e6": pa.array([trunc((n * xy - sx * sy) * 10 ** 6, n * n)],
+                           pa.int64()),
+        "var_dl_e6": pa.array([trunc((n * xx - sx * sx) * 10 ** 6, n * n)],
+                              pa.int64()),
+        "var_dt_e6": pa.array([trunc((n * yy - sy * sy) * 10 ** 6, n * n)],
+                              pa.int64()),
+    })
+
+
+def stopword_share_by_lang(ds: ray.data.Dataset,
+                           spec: CorpusSpec = DOCUMENTS_SPEC) -> pa.Table:
+    """Per-language stopword density: the e6 share of tokens that are
+    (English-profile) stopwords, by labeled lang — the quality-filter
+    calibration view (a stopword-ratio threshold tuned on 'en' will
+    misfire on other languages; this table shows by how much).
+
+    One streaming pass of (lang, n_stop, n_tokens) partials; fold is
+    language-cardinality-sized.  -> (lang, n_tokens, n_stop,
+    stop_share_e6) by lang."""
+    from ray.data.aggregate import Sum as RSum
+    stop = pa.array(sorted(STOPWORDS))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = tokenize_array(batch[spec.content_col])
+        flat = toks.flatten()
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lang = np.repeat(np.asarray(batch["lang"].to_pylist(),
+                                    dtype=object), dl)
+        isstop = pc.is_in(flat, value_set=stop) \
+            .to_numpy(zero_copy_only=False)
+        t = pa.table({"lang": pa.array(lang, pa.string()),
+                      "s": pa.array(isstop.astype(np.int64), pa.int64()),
+                      "one": pa.array(np.ones(lang.size, np.int64))})
+        g = t.group_by("lang").aggregate([("s", "sum"), ("one", "sum")])
+        return g.rename_columns(["lang", "s_p", "n_p"])
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(RSum("s_p", alias_name="n_stop"),
+                                   RSum("n_p", alias_name="n_tokens")) \
+        .take_all()
+    folded.sort(key=lambda r: r["lang"])
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in folded], pa.string()),
+        "n_tokens": pa.array([int(r["n_tokens"]) for r in folded],
+                             pa.int64()),
+        "n_stop": pa.array([int(r["n_stop"]) for r in folded],
+                           pa.int64()),
+        "stop_share_e6": pa.array(
+            [int(r["n_stop"]) * 10 ** 6 // int(r["n_tokens"])
+             if int(r["n_tokens"]) else 0 for r in folded], pa.int64()),
+    })

@@ -1326,3 +1326,110 @@ def test_vocab_growth_bruteforce():
     # monotone non-decreasing
     vs = [r["vocab_size"] for r in out]
     assert vs == sorted(vs)
+
+
+def test_q1_pricing_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import \
+        q1_pricing_summary
+    li = pq.read_table(os.path.join(SF_DIR, "lineitem.parquet"))
+    agg = {}
+    for rf, ls, q, p, d, tx in zip(li["l_returnflag"].to_pylist(),
+                                   li["l_linestatus"].to_pylist(),
+                                   li["l_quantity"].to_pylist(),
+                                   li["l_extendedprice"].to_pylist(),
+                                   li["l_discount"].to_pylist(),
+                                   li["l_tax"].to_pylist()):
+        a = agg.setdefault((rf, ls), [0, 0, 0, 0, 0, 0])
+        qi = int(np.floor(q + 0.5))
+        p2 = int(np.floor(p * 100 + 0.5))
+        d2 = int(np.floor(d * 100 + 0.5))
+        t2 = int(np.floor(tx * 100 + 0.5))
+        a[0] += qi
+        a[1] += p2
+        a[2] += p2 * (100 - d2)
+        a[3] += p2 * (100 - d2) * (100 + t2)
+        a[4] += d2
+        a[5] += 1
+    out = q1_pricing_summary(ray.data.read_parquet(
+        os.path.join(SF_DIR, "lineitem.parquet"))).take_all()
+    assert len(out) == len(agg)
+    for r in out:
+        a = agg[(r["l_returnflag"], r["l_linestatus"])]
+        assert (r["sum_qty"], r["sum_base_e2"], r["sum_disc_e4"],
+                r["sum_charge_e6"], r["n_rows"]) == \
+            (a[0], a[1], a[2], a[3], a[5])
+        assert r["avg_qty_e6"] == a[0] * 10**6 // a[5]
+        assert r["avg_price_e6"] == a[1] * 10**4 // a[5]
+        assert r["avg_disc_e6"] == a[4] * 10**4 // a[5]
+
+
+def test_funnel_timed_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.streaming import funnel_timed
+    tbl = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                        columns=["user_id", "ts", "event_type"])
+    per_u = {}
+    for u, ts, et in zip(tbl["user_id"].to_pylist(),
+                         tbl["ts"].to_pylist(),
+                         tbl["event_type"].to_pylist()):
+        per_u.setdefault(u, []).append((int(ts.timestamp() * 1e6 + 0.5),
+                                        et))
+    nf = nc = 0
+    W = 3_600_000_000
+    for evs in per_u.values():
+        firsts = [t for t, e in evs if e == "click"]
+        if not firsts:
+            continue
+        nf += 1
+        t0 = min(firsts)
+        if any(e == "purchase" and t0 < t <= t0 + W for t, e in evs):
+            nc += 1
+    out = funnel_timed(ray.data.read_parquet(
+        os.path.join(SF_DIR, "events.parquet"),
+        columns=["user_id", "ts", "event_type"])).to_pylist()
+    assert out == [{"n_users_first": nf, "n_converted": nc,
+                    "conv_e6": nc * 10**6 // nf}]
+
+
+def test_len_vocab_corr_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.text import len_vocab_corr
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    dls, dts = [], []
+    for txt in tbl["text"].to_pylist():
+        tk = _tok(txt)
+        dls.append(len(tk))
+        dts.append(len(set(tk)))
+    n = len(dls)
+    sx, sy = sum(dls), sum(dts)
+    xy = sum(a * b for a, b in zip(dls, dts))
+    xx = sum(a * a for a in dls)
+    out = len_vocab_corr(ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"))).to_pylist()[0]
+    assert out["n_docs"] == n
+    assert out["mean_dl_e6"] == sx * 10**6 // n
+    assert out["cov_e6"] == (n * xy - sx * sy) * 10**6 // (n * n)
+    assert out["var_dl_e6"] == (n * xx - sx * sx) * 10**6 // (n * n)
+
+
+def test_stopword_share_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.functions.analyzer import STOPWORDS
+    from onestools_eventlog_ray.pipelines.text import \
+        stopword_share_by_lang
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    per_l = {}
+    for lg, txt in zip(tbl["lang"].to_pylist(), tbl["text"].to_pylist()):
+        a = per_l.setdefault(lg, [0, 0])
+        for t in _tok(txt):
+            a[1] += 1
+            if t in STOPWORDS:
+                a[0] += 1
+    out = stopword_share_by_lang(ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"))).to_pylist()
+    assert [r["lang"] for r in out] == sorted(per_l)
+    for r in out:
+        s, n = per_l[r["lang"]]
+        assert (r["n_stop"], r["n_tokens"]) == (s, n)
+        assert r["stop_share_e6"] == s * 10**6 // n
