@@ -1172,6 +1172,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         min_support=100) \
             .sort(["term_a", "term_b"])
 
+    def corpus_fingerprint(sf_dir):
+        """Corpus integrity digest: order-free XOR of doc_id-keyed
+        sha256 prefixes — the transfer-audit rollup of the per-row
+        content_sha256 invariant."""
+        return text.corpus_digest(_documents_ds(sf_dir))
+
+    def debounced_events(sf_dir):
+        """Stream hygiene: per-type kept/dropped counts under a 1-hour
+        trailing debounce per (user, type)."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines.streaming import \
+            event_debounce
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["user_id", "event_type", "ts"])
+        return event_debounce(ev)
+
+    def value_trend(sf_dir):
+        """Drift detection: exact-integer least-squares slope of value
+        vs epoch day, per event type."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines.streaming import \
+            value_trend_by_type
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_type", "ts", "value"])
+        return value_trend_by_type(ev)
+
     def len_vocab_covariance(sf_dir):
         """Corpus shape: exact covariance of doc length vs distinct
         vocabulary (hi/lo-limb integer partials, one-row shuffle)."""
@@ -2196,6 +2222,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": bpe_pairs,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
+        "corpus_fingerprint": corpus_fingerprint,
+        "debounced_events": debounced_events,
+        "value_trend": value_trend,
         "len_vocab_covariance": len_vocab_covariance,
         "stopword_density": stopword_density,
         "q1_pricing": q1_pricing,
@@ -5262,4 +5291,46 @@ SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(n_stop AS BIGINT) AS n_stop,
        CAST(n_stop * 1000000 // n_tokens AS BIGINT) AS stop_share_e6
 FROM g ORDER BY lang""",
+
+        "corpus_fingerprint": """
+WITH h AS (SELECT CAST(concat('0x', substr(sha256(text), 1, 16))
+                       AS UBIGINT) AS hp,
+                  CAST(doc_id AS UBIGINT) AS du
+           FROM documents),
+d AS (SELECT bit_xor(xor(hp, du)) AS dg, count(*) AS n FROM h)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(dg >> 32 AS BIGINT) AS digest_hi32,
+       CAST(dg & 4294967295 AS BIGINT) AS digest_lo32
+FROM d""",
+
+        "debounced_events": """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+d AS (SELECT event_type,
+             t - lag(t) OVER (PARTITION BY user_id, event_type
+                              ORDER BY t) AS gap
+      FROM e),
+k AS (SELECT event_type, count(*) AS n_events,
+             count(*) FILTER (gap IS NULL OR gap >= 3600000000)
+               AS n_kept
+      FROM d GROUP BY event_type)
+SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(n_events - n_kept AS BIGINT) AS n_dropped
+FROM k ORDER BY event_type""",
+
+        "value_trend": """
+WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS td,
+                  CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+           FROM events),
+s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             sum(td) AS st, sum(v) AS sy,
+             sum(CAST(td AS HUGEINT) * v) AS sty,
+             sum(CAST(td AS HUGEINT) * td) AS stt
+      FROM e GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN n * stt - st * st = 0 THEN 0
+                 ELSE (n * sty - st * sy) * 1000000
+                      // (n * stt - st * st) END AS BIGINT)
+         AS slope_e6_per_day
+FROM s ORDER BY event_type""",
     }

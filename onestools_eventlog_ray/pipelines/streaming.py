@@ -440,3 +440,111 @@ def funnel_timed(ds: ray.data.Dataset, first: str = "click",
         "conv_e6": pa.array([nc * 10 ** 6 // nf if nf else 0],
                             pa.int64()),
     })
+
+
+def event_debounce(ds: ray.data.Dataset,
+                   gap_us: int = 3_600_000_000) -> ray.data.Dataset:
+    """Trailing-debounce dedup of an event stream: per (user, type), an
+    event is a DUPLICATE if it follows the previous event of that key
+    by less than ``gap_us`` (repeated clicks, retry storms) — the
+    stream-hygiene pass before funnel/retention math.
+
+    Per-key ``map_groups`` sorts locally and diffs timestamps; the fold
+    is key-cardinality-sized.  -> (event_type, n_events, n_kept,
+    n_dropped) aggregated per type across users."""
+    from ray.data.aggregate import Sum
+
+    def per_key(g: pa.Table) -> pa.Table:
+        ts = np.sort(g["ts"].cast(pa.int64())
+                     .to_numpy(zero_copy_only=False))
+        n = ts.size
+        kept = 1 + int((np.diff(ts) >= gap_us).sum()) if n else 0
+        return pa.table({
+            "event_type": pa.array([g["event_type"][0].as_py()],
+                                   pa.string()),
+            "n_p": pa.array([n], pa.int64()),
+            "k_p": pa.array([kept], pa.int64()),
+        })
+
+    def add_dropped(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.schema([("event_type", pa.string()),
+                              ("n_events", pa.int64()),
+                              ("n_kept", pa.int64()),
+                              ("n_dropped", pa.int64())]).empty_table()
+        ne = t["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = t["n_kept"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_events": pa.array(ne, pa.int64()),
+            "n_kept": pa.array(nk, pa.int64()),
+            "n_dropped": pa.array(ne - nk, pa.int64()),
+        })
+
+    return ds.select_columns(["user_id", "event_type", "ts"]) \
+        .groupby(["user_id", "event_type"]) \
+        .map_groups(per_key, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(Sum("n_p", alias_name="n_events"),
+                   Sum("k_p", alias_name="n_kept")) \
+        .map_batches(add_dropped, batch_format="pyarrow") \
+        .sort("event_type")
+
+
+def value_trend_by_type(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-type linear trend (exact integer least squares): the slope
+    of value vs time in e3-value-units per DAY — the drift detector a
+    metrics pipeline alerts on.  Time quantizes to epoch days and
+    values to e3, so all second-moment sums fit int64 and the slope
+    ``(nΣty − ΣtΣy) * 1e6 // (nΣtt − (Σt)²)`` is bit-exact (bigint
+    finalize; trunc toward zero like the oracle).
+
+    One streaming pass of per-type Acero partials; type-cardinality
+    shuffle.  -> (event_type, n, slope_e6_per_day)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        td = (ts // 86_400_000_000).astype(np.int64)
+        v = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * 1000 + 0.5).astype(np.int64)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "one": pa.array(np.ones(td.size, np.int64)),
+            "st": pa.array(td, pa.int64()),
+            "sy": pa.array(v, pa.int64()),
+            "sty": pa.array(td * v, pa.int64()),
+            "stt": pa.array(td * td, pa.int64()),
+        }).group_by("event_type").aggregate(
+            [("one", "sum"), ("st", "sum"), ("sy", "sum"),
+             ("sty", "sum"), ("stt", "sum")])
+        return t.rename_columns(["event_type", "n_p", "st_p", "sy_p",
+                                 "sty_p", "stt_p"])
+
+    folded = events.select_columns(["event_type", "ts", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("n_p", alias_name="n"), Sum("st_p", alias_name="st"),
+            Sum("sy_p", alias_name="sy"), Sum("sty_p", alias_name="sty"),
+            Sum("stt_p", alias_name="stt"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        out = {"event_type": [], "n": [], "slope_e6_per_day": []}
+        for r in batch.to_pylist():
+            n, st, sy = int(r["n"]), int(r["st"]), int(r["sy"])
+            sty, stt = int(r["sty"]), int(r["stt"])
+            num = (n * sty - st * sy) * 10 ** 6
+            den = n * stt - st * st
+            q = abs(num) // den if den else 0
+            out["event_type"].append(r["event_type"])
+            out["n"].append(n)
+            out["slope_e6_per_day"].append(-q if num < 0 and den else q)
+        return pa.table({
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "slope_e6_per_day": pa.array(out["slope_e6_per_day"],
+                                         pa.int64()),
+        })
+
+    return folded.map_batches(finalize, batch_format="pyarrow") \
+        .sort("event_type")

@@ -1943,3 +1943,49 @@ def stopword_share_by_lang(ds: ray.data.Dataset,
             [int(r["n_stop"]) * 10 ** 6 // int(r["n_tokens"])
              if int(r["n_tokens"]) else 0 for r in folded], pa.int64()),
     })
+
+
+def corpus_digest(ds: ray.data.Dataset,
+                  spec: CorpusSpec = DOCUMENTS_SPEC) -> pa.Table:
+    """Whole-corpus integrity fingerprint: XOR of every document's
+    64-bit sha256 prefix, keyed with its doc_id so duplicate contents
+    cannot cancel — the one-number audit that two sites compare after
+    a transfer (the corpus-level rollup of the per-row
+    ``content_sha256`` invariant the docstore stores).
+
+    XOR is commutative/associative, so per-batch partials fold
+    order-free across any cluster size or retry; the shuffle is one
+    row per batch.  -> (n_docs, digest_hi32, digest_lo32) — the 64-bit
+    XOR split into two int32-safe halves (signed-int64 columns)."""
+    from onestools_eventlog_ray.functions.fasthash import sha256_hex_fast
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = add_doc_id(batch, spec)
+        hexes = sha256_hex_fast(b["content"])
+        pre = pc.utf8_slice_codeunits(hexes, 0, 16)
+        h = np.array([int(x, 16) for x in pre.to_pylist()],
+                     dtype=np.uint64)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(np.uint64)
+        mixed = h ^ ids
+        acc = np.uint64(0)
+        for v in mixed:
+            acc ^= v
+        return pa.table({
+            "n_p": pa.array([batch.num_rows], pa.int64()),
+            "hi_p": pa.array([int(acc >> np.uint64(32))], pa.int64()),
+            "lo_p": pa.array([int(acc & np.uint64(0xFFFFFFFF))],
+                             pa.int64()),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(int(r["n_p"]) for r in rows)
+    hi = lo = 0
+    for r in rows:
+        hi ^= int(r["hi_p"])
+        lo ^= int(r["lo_p"])
+    return pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "digest_hi32": pa.array([hi], pa.int64()),
+        "digest_lo32": pa.array([lo], pa.int64()),
+    })

@@ -1433,3 +1433,85 @@ def test_stopword_share_bruteforce():
         s, n = per_l[r["lang"]]
         assert (r["n_stop"], r["n_tokens"]) == (s, n)
         assert r["stop_share_e6"] == s * 10**6 // n
+
+
+def test_corpus_digest_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.text import corpus_digest
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    acc = 0
+    for d, txt in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        hp = int(hashlib.sha256(txt.encode()).hexdigest()[:16], 16)
+        acc ^= hp ^ (d & 0xFFFFFFFFFFFFFFFF)
+    out = corpus_digest(ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"))).to_pylist()[0]
+    assert out["n_docs"] == tbl.num_rows
+    assert out["digest_hi32"] == acc >> 32
+    assert out["digest_lo32"] == acc & 0xFFFFFFFF
+    # duplicate contents with different ids do NOT cancel
+    dup = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["same text", "same text"]),
+        "lang": pa.array(["en", "en"]),
+        "source": pa.array(["s", "s"]),
+        "n_chars": pa.array([9, 9], pa.int64()),
+    })
+    out2 = corpus_digest(ray.data.from_arrow(dup)).to_pylist()[0]
+    assert (out2["digest_hi32"], out2["digest_lo32"]) != (0, 0)
+
+
+def test_event_debounce_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.streaming import event_debounce
+    tbl = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                        columns=["user_id", "event_type", "ts"])
+    per_key = {}
+    for u, et, ts in zip(tbl["user_id"].to_pylist(),
+                         tbl["event_type"].to_pylist(),
+                         tbl["ts"].to_pylist()):
+        per_key.setdefault((u, et), []).append(
+            int(ts.timestamp() * 1e6 + 0.5))
+    want = {}
+    G = 3_600_000_000
+    for (u, et), ts in per_key.items():
+        ts.sort()
+        kept = 1 + sum(1 for a, b in zip(ts[:-1], ts[1:]) if b - a >= G)
+        a = want.setdefault(et, [0, 0])
+        a[0] += len(ts)
+        a[1] += kept
+    out = event_debounce(ray.data.read_parquet(
+        os.path.join(SF_DIR, "events.parquet"),
+        columns=["user_id", "event_type", "ts"])).take_all()
+    for r in out:
+        n, k = want[r["event_type"]]
+        assert (r["n_events"], r["n_kept"], r["n_dropped"]) == \
+            (n, k, n - k)
+
+
+def test_value_trend_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.streaming import \
+        value_trend_by_type
+    tbl = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                        columns=["event_type", "ts", "value"])
+    per_t = {}
+    for et, ts, v in zip(tbl["event_type"].to_pylist(),
+                         tbl["ts"].to_pylist(),
+                         tbl["value"].to_pylist()):
+        td = int(ts.timestamp() * 1e6 + 0.5) // 86_400_000_000
+        per_t.setdefault(et, []).append((td, int(np.floor(v * 1000
+                                                          + 0.5))))
+    out = {r["event_type"]: (r["n"], r["slope_e6_per_day"])
+           for r in value_trend_by_type(ray.data.read_parquet(
+               os.path.join(SF_DIR, "events.parquet"),
+               columns=["event_type", "ts", "value"])).take_all()}
+    for et, rows in per_t.items():
+        n = len(rows)
+        st = sum(t for t, _ in rows)
+        sy = sum(y for _, y in rows)
+        sty = sum(t * y for t, y in rows)
+        stt = sum(t * t for t, _ in rows)
+        num = (n * sty - st * sy) * 10**6
+        den = n * stt - st * st
+        q = abs(num) // den if den else 0
+        assert out[et] == (n, -q if (num < 0 and den) else q)
