@@ -1172,6 +1172,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         min_support=100) \
             .sort(["term_a", "term_b"])
 
+    def label_affinity_matrix(sf_dir):
+        """Class-separability view: cosine between every pair of label
+        centroids (sum-vector identity, exact integer folds)."""
+        import ray.data
+        emb = ray.data.read_parquet(os.path.join(sf_dir,
+                                                 "embeddings.parquet"))
+        return similarity.label_affinity(emb)
+
+    def user_growth_curve(sf_dir):
+        """Cumulative adoption: first-seen-day Min fold per user ->
+        new/cumulative users per day without stream replay."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines.streaming import user_growth
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["user_id", "ts"])
+        return user_growth(ev)
+
     def corpus_fingerprint(sf_dir):
         """Corpus integrity digest: order-free XOR of doc_id-keyed
         sha256 prefixes — the transfer-audit rollup of the per-row
@@ -2222,6 +2239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": bpe_pairs,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
+        "label_affinity_matrix": label_affinity_matrix,
+        "user_growth_curve": user_growth_curve,
         "corpus_fingerprint": corpus_fingerprint,
         "debounced_events": debounced_events,
         "value_trend": value_trend,
@@ -5333,4 +5352,35 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
                       // (n * stt - st * st) END AS BIGINT)
          AS slope_e6_per_day
 FROM s ORDER BY event_type""",
+
+        "label_affinity_matrix": """
+WITH e0 AS (SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings),
+s AS (SELECT label, i,
+             sum(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                      AS BIGINT)) AS sv
+      FROM e0 GROUP BY label, i),
+d AS (SELECT a.label AS la, b.label AS lb,
+             sum(CAST(a.sv AS HUGEINT) * b.sv) AS dot
+      FROM s a JOIN s b ON a.i = b.i AND a.label < b.label
+      GROUP BY a.label, b.label),
+n2 AS (SELECT label, sum(CAST(sv AS HUGEINT) * sv) AS nn
+       FROM s GROUP BY label)
+SELECT CAST(d.la AS BIGINT) AS label_a, CAST(d.lb AS BIGINT) AS label_b,
+       CAST(floor(CAST(dot AS DOUBLE)
+                  / (sqrt(CAST(na.nn AS DOUBLE))
+                     * sqrt(CAST(nb.nn AS DOUBLE))) * 1000000 + 0.5)
+            AS BIGINT) AS cos_e6
+FROM d JOIN n2 na ON na.label = d.la JOIN n2 nb ON nb.label = d.lb
+ORDER BY label_a, label_b""",
+
+        "user_growth_curve": """
+WITH f AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS fd
+           FROM events GROUP BY user_id),
+g AS (SELECT fd AS epoch_day, count(*) AS n_new FROM f GROUP BY fd)
+SELECT CAST(epoch_day AS BIGINT) AS epoch_day,
+       CAST(n_new AS BIGINT) AS n_new_users,
+       CAST(sum(n_new) OVER (ORDER BY epoch_day) AS BIGINT) AS cum_users
+FROM g ORDER BY epoch_day""",
     }

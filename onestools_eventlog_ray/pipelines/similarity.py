@@ -894,3 +894,65 @@ def knn_classify(ds: ray.data.Dataset, k: int = 3, holdout_mod: int = 5,
         out["true_label"].append(true)
         out["n_votes"].append(-best[0])
     return pa.table({kk: pa.array(v, pa.int64()) for kk, v in out.items()})
+
+
+def label_affinity(ds: ray.data.Dataset, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   label_col: str = "label") -> pa.Table:
+    """Label-centroid affinity matrix: cosine between every pair of
+    label centroids — the embedding-space class-separability view
+    (high off-diagonal affinity = labels a classifier will confuse).
+
+    Key identity: the cosine between MEAN vectors equals the cosine
+    between SUM vectors (the 1/n scalars cancel), so the whole matrix
+    derives from the exact per-label e6 integer sums of one streaming
+    fold (labels x dims rows).  The final division converts the exact
+    integer dot/norms to float64 (both sides round the same integer
+    the same way) and e6-rounds.  -> (label_a < label_b, cos_e6)."""
+    from ray.data.aggregate import Sum as RSum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch[vec_col])
+        x = quantize_e6(m)
+        lab = batch[label_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((uq.size, x.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, x)
+        d = x.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(uq, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    uq.size), pa.int64()),
+            "s_p": pa.array(sums.ravel(), pa.int64()),
+        })
+
+    folded = ds.select_columns([vec_col, label_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["label", "dim"]).aggregate(RSum("s_p",
+                                                  alias_name="s")) \
+        .take_all()
+    by_label: dict[int, dict[int, int]] = {}
+    for r in folded:
+        by_label.setdefault(int(r["label"]), {})[int(r["dim"])] = \
+            int(r["s"])
+    labels = sorted(by_label)
+    dims = sorted(next(iter(by_label.values())))
+    vecs = {lb: [by_label[lb].get(d, 0) for d in dims] for lb in labels}
+    out = {"label_a": [], "label_b": [], "cos_e6": []}
+    for i, a in enumerate(labels):
+        for b in labels[i + 1:]:
+            va, vb = vecs[a], vecs[b]
+            dot = sum(x * y for x, y in zip(va, vb))
+            na = sum(x * x for x in va)
+            nb = sum(x * x for x in vb)
+            cos = float(dot) / (np.sqrt(float(na)) * np.sqrt(float(nb))) \
+                if na and nb else 0.0
+            out["label_a"].append(a)
+            out["label_b"].append(b)
+            out["cos_e6"].append(int(np.floor(cos * 1_000_000 + 0.5)))
+    return pa.table({
+        "label_a": pa.array(out["label_a"], pa.int64()),
+        "label_b": pa.array(out["label_b"], pa.int64()),
+        "cos_e6": pa.array(out["cos_e6"], pa.int64()),
+    })

@@ -548,3 +548,37 @@ def value_trend_by_type(events: ray.data.Dataset) -> ray.data.Dataset:
 
     return folded.map_batches(finalize, batch_format="pyarrow") \
         .sort("event_type")
+
+
+def user_growth(ds: ray.data.Dataset) -> pa.Table:
+    """Cumulative-adoption curve: per epoch day, how many users were
+    seen for the FIRST time and the running total — the growth chart
+    every product dashboard opens with, computed without replaying the
+    stream per day (the event-stream sibling of the Heaps-law fold).
+
+    One distributed Min fold (user -> first day, user-cardinality
+    rows); the cumulative sum runs over the tiny day table.
+    -> (epoch_day, n_new_users, cum_users)."""
+    from ray.data.aggregate import Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        td = (ts // 86_400_000_000).astype(np.int64)
+        t = pa.table({"user_id": batch["user_id"],
+                      "d": pa.array(td, pa.int64())})
+        g = t.group_by("user_id").aggregate([("d", "min")])
+        return g.rename_columns(["user_id", "fd_p"])
+
+    folded = ds.select_columns(["user_id", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Min("fd_p", alias_name="first_day")) \
+        .take_all()
+    days = np.sort(np.asarray([int(r["first_day"]) for r in folded],
+                              dtype=np.int64))
+    uq, counts = np.unique(days, return_counts=True)
+    cum = np.cumsum(counts, dtype=np.int64)
+    return pa.table({
+        "epoch_day": pa.array(uq, pa.int64()),
+        "n_new_users": pa.array(counts.astype(np.int64), pa.int64()),
+        "cum_users": pa.array(cum, pa.int64()),
+    })

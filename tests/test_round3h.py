@@ -1515,3 +1515,51 @@ def test_value_trend_bruteforce():
         den = n * stt - st * st
         q = abs(num) // den if den else 0
         assert out[et] == (n, -q if (num < 0 and den) else q)
+
+
+def test_label_affinity_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.similarity import label_affinity
+    tbl = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    sums = {}
+    for lb, v in zip(tbl["label"].to_pylist(),
+                     tbl["embedding"].to_pylist()):
+        q = [int(floor(float(x) * 1e6 + 0.5)) for x in v]
+        s = sums.setdefault(lb, [0] * len(q))
+        for i, x in enumerate(q):
+            s[i] += x
+    out = label_affinity(ray.data.read_parquet(
+        os.path.join(SF_DIR, "embeddings.parquet"))).to_pylist()
+    labels = sorted(sums)
+    want = []
+    for i, a in enumerate(labels):
+        for b in labels[i + 1:]:
+            dot = sum(x * y for x, y in zip(sums[a], sums[b]))
+            na = sum(x * x for x in sums[a])
+            nb = sum(x * x for x in sums[b])
+            cos = float(dot) / (np.sqrt(float(na)) * np.sqrt(float(nb)))
+            want.append((a, b, int(floor(cos * 1e6 + 0.5))))
+    assert [(r["label_a"], r["label_b"], r["cos_e6"]) for r in out] == want
+    assert len(out) == len(labels) * (len(labels) - 1) // 2
+
+
+def test_user_growth_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.streaming import user_growth
+    tbl = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                        columns=["user_id", "ts"])
+    first = {}
+    for u, ts in zip(tbl["user_id"].to_pylist(), tbl["ts"].to_pylist()):
+        d = int(ts.timestamp() * 1e6 + 0.5) // 86_400_000_000
+        first[u] = min(first.get(u, d), d)
+    cnt = Counter(first.values())
+    out = user_growth(ray.data.read_parquet(
+        os.path.join(SF_DIR, "events.parquet"),
+        columns=["user_id", "ts"])).to_pylist()
+    cum = 0
+    assert [r["epoch_day"] for r in out] == sorted(cnt)
+    for r in out:
+        cum += cnt[r["epoch_day"]]
+        assert r["n_new_users"] == cnt[r["epoch_day"]]
+        assert r["cum_users"] == cum
+    assert out[-1]["cum_users"] == len(first)
