@@ -1172,6 +1172,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         min_support=100) \
             .sort(["term_a", "term_b"])
 
+    def dup_rate_sources(sf_dir):
+        """Crawl-feed audit: exact-duplicate rate per source (grouped
+        exact_dedup; content never shuffles)."""
+        return dedup.dup_rate_by_source(_documents_ds(sf_dir))
+
+    def bm25_score_histogram(sf_dir):
+        """Ranking-shape analytics: e6-binned BM25 score distribution
+        over all matching docs (one df-bounded TAAT pass)."""
+        from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                            score_histogram)
+        return score_histogram(SearchEngine(_ensure_index(sf_dir)),
+                               _BM25_TERMS)
+
     def label_affinity_matrix(sf_dir):
         """Class-separability view: cosine between every pair of label
         centroids (sum-vector identity, exact integer folds)."""
@@ -2239,6 +2252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": bpe_pairs,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
+        "dup_rate_sources": dup_rate_sources,
+        "bm25_score_histogram": bm25_score_histogram,
         "label_affinity_matrix": label_affinity_matrix,
         "user_growth_curve": user_growth_curve,
         "corpus_fingerprint": corpus_fingerprint,
@@ -5383,4 +5398,21 @@ SELECT CAST(epoch_day AS BIGINT) AS epoch_day,
        CAST(n_new AS BIGINT) AS n_new_users,
        CAST(sum(n_new) OVER (ORDER BY epoch_day) AS BIGINT) AS cum_users
 FROM g ORDER BY epoch_day""",
+
+        "dup_rate_sources": """
+WITH h AS (SELECT source, md5(text) AS m FROM documents),
+g AS (SELECT source, count(*) AS n_docs,
+             count(DISTINCT m) AS n_unique
+      FROM h GROUP BY source)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_unique AS BIGINT) AS n_unique,
+       CAST((n_docs - n_unique) * 1000000 // n_docs AS BIGINT)
+         AS dup_rate_e6
+FROM g ORDER BY source""",
+
+        "bm25_score_histogram": f"""
+WITH base AS ({_bm25_sql(_BM25_TERMS, k=1_000_000_000)})
+SELECT CAST(score_e6 // 500000 * 500000 AS BIGINT) AS bin_lo_e6,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM base GROUP BY 1 ORDER BY bin_lo_e6""",
     }

@@ -1199,3 +1199,42 @@ def minhash_calibration(ds: ray.data.Dataset,
         "fn": pa.array([out[t][2] for t in ts], pa.int64()),
         "tn": pa.array([out[t][3] for t in ts], pa.int64()),
     })
+
+
+def dup_rate_by_source(ds: ray.data.Dataset,
+                       spec: CorpusSpec = DOCUMENTS_SPEC,
+                       by: str = "source") -> pa.Table:
+    """Per-domain exact-duplicate rate: docs vs distinct contents per
+    ``by`` group — the table that tells a crawl operator WHICH feed is
+    spraying copies (the grouped view of :func:`exact_dedup`).
+
+    Narrow (group, md5, doc-count) partials fold per batch; the global
+    distinct count is a (group, md5)-keyed fold — content never
+    shuffles.  -> (by, n_docs, n_unique, dup_rate_e6 =
+    (n_docs - n_unique) * 1e6 // n_docs)."""
+    from ray.data.aggregate import Sum as RSum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = add_doc_id(batch, spec)
+        t = pa.table({by: batch[by],
+                      "md5": md5_hex_fast(b["content"])})
+        g = t.group_by([by, "md5"]).aggregate([([], "count_all")])
+        return g.rename_columns([by, "md5", "n_p"])
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([by, "md5"]).aggregate(RSum("n_p", alias_name="n")) \
+        .take_all()
+    agg: dict[str, list[int]] = {}
+    for r in folded:
+        a = agg.setdefault(str(r[by]), [0, 0])
+        a[0] += int(r["n"])
+        a[1] += 1
+    keys = sorted(agg)
+    return pa.table({
+        by: pa.array(keys, pa.string()),
+        "n_docs": pa.array([agg[k][0] for k in keys], pa.int64()),
+        "n_unique": pa.array([agg[k][1] for k in keys], pa.int64()),
+        "dup_rate_e6": pa.array(
+            [(agg[k][0] - agg[k][1]) * 10 ** 6 // agg[k][0]
+             for k in keys], pa.int64()),
+    })

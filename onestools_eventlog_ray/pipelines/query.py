@@ -1684,3 +1684,24 @@ def posting_size_histogram(index_dir: str) -> pa.Table:
         .aggregate(RSum("n_terms_p", alias_name="n_terms"),
                    RSum("sum_df_p", alias_name="sum_df")) \
         .sort("bucket")
+
+
+def score_histogram(eng: SearchEngine, terms: list[str],
+                    bin_e6: int = 500_000) -> pa.Table:
+    """Ranking-shape analytics: the distribution of BM25 scores over
+    ALL docs matching the query, in fixed e6-score bins — flat
+    histograms mean the query barely discriminates (add terms or
+    boosts); long tails mean a crisp head.  The relevance-tuning view
+    ES exposes via a histogram agg on ``_score``.
+
+    One df-bounded TAAT pass; the histogram is bin-count-sized.
+    -> (bin_lo_e6, n_docs) ascending."""
+    hits = eng.search(terms, k=1 << 62)
+    e6 = np.floor(np.asarray([s for _, s in hits], dtype=np.float64)
+                  * 1_000_000 + 0.5).astype(np.int64)
+    bins = (e6 // bin_e6) * bin_e6
+    uq, counts = np.unique(bins, return_counts=True)
+    return pa.table({
+        "bin_lo_e6": pa.array(uq, pa.int64()),
+        "n_docs": pa.array(counts.astype(np.int64), pa.int64()),
+    })

@@ -1563,3 +1563,35 @@ def test_user_growth_bruteforce():
         assert r["n_new_users"] == cnt[r["epoch_day"]]
         assert r["cum_users"] == cum
     assert out[-1]["cum_users"] == len(first)
+
+
+def test_dup_rate_by_source_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.dedup import dup_rate_by_source
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    per_s = {}
+    for s, txt in zip(tbl["source"].to_pylist(), tbl["text"].to_pylist()):
+        a = per_s.setdefault(s, [0, set()])
+        a[0] += 1
+        a[1].add(hashlib.md5(txt.encode()).hexdigest())
+    out = dup_rate_by_source(ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"))).to_pylist()
+    assert [r["source"] for r in out] == sorted(per_s)
+    for r in out:
+        n, uniq = per_s[r["source"]][0], len(per_s[r["source"]][1])
+        assert (r["n_docs"], r["n_unique"]) == (n, uniq)
+        assert r["dup_rate_e6"] == (n - uniq) * 10**6 // n
+
+
+def test_score_histogram_bruteforce(h_index):
+    from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                        score_histogram)
+    eng = SearchEngine(h_index)
+    terms = ["def", "import"]
+    hits = eng.search(terms, k=1 << 62)
+    e6 = np.floor(np.asarray([s for _, s in hits]) * 1e6 + 0.5) \
+        .astype(np.int64)
+    want = Counter((int(x) // 500_000) * 500_000 for x in e6)
+    out = score_histogram(eng, terms).to_pylist()
+    assert {r["bin_lo_e6"]: r["n_docs"] for r in out} == dict(want)
+    assert sum(r["n_docs"] for r in out) == len(hits)
