@@ -1172,6 +1172,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         min_support=100) \
             .sort(["term_a", "term_b"])
 
+    def weekly_profile(sf_dir):
+        """BI pivot: per-type event counts by day of week, one wide row
+        per type (exact calendar math, type x 7 fold)."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines.streaming import dow_pivot
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_type", "ts"])
+        return dow_pivot(ev)
+
+    def peak_hours(sf_dir):
+        """Capacity planning: argmax hour-of-day per event type (ties ->
+        earliest hour; type x 24 fold)."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines.streaming import \
+            peak_hour_by_type
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_type", "ts"])
+        return peak_hour_by_type(ev)
+
     def dup_rate_sources(sf_dir):
         """Crawl-feed audit: exact-duplicate rate per source (grouped
         exact_dedup; content never shuffles)."""
@@ -2252,6 +2271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": bpe_pairs,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
+        "weekly_profile": weekly_profile,
+        "peak_hours": peak_hours,
         "dup_rate_sources": dup_rate_sources,
         "bm25_score_histogram": bm25_score_histogram,
         "label_affinity_matrix": label_affinity_matrix,
@@ -5415,4 +5436,33 @@ WITH base AS ({_bm25_sql(_BM25_TERMS, k=1_000_000_000)})
 SELECT CAST(score_e6 // 500000 * 500000 AS BIGINT) AS bin_lo_e6,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM base GROUP BY 1 ORDER BY bin_lo_e6""",
+
+        "weekly_profile": """
+WITH e AS (SELECT event_type,
+                  CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS BIGINT)
+                    AS dow
+           FROM events),
+g AS (SELECT event_type, dow, count(*) AS n FROM e GROUP BY 1, 2)
+SELECT event_type,
+       CAST(coalesce(sum(n) FILTER (dow = 0), 0) AS BIGINT) AS dow_0,
+       CAST(coalesce(sum(n) FILTER (dow = 1), 0) AS BIGINT) AS dow_1,
+       CAST(coalesce(sum(n) FILTER (dow = 2), 0) AS BIGINT) AS dow_2,
+       CAST(coalesce(sum(n) FILTER (dow = 3), 0) AS BIGINT) AS dow_3,
+       CAST(coalesce(sum(n) FILTER (dow = 4), 0) AS BIGINT) AS dow_4,
+       CAST(coalesce(sum(n) FILTER (dow = 5), 0) AS BIGINT) AS dow_5,
+       CAST(coalesce(sum(n) FILTER (dow = 6), 0) AS BIGINT) AS dow_6
+FROM g GROUP BY event_type ORDER BY event_type""",
+
+        "peak_hours": """
+WITH e AS (SELECT event_type,
+                  CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT)
+                    AS hour
+           FROM events),
+g AS (SELECT event_type, hour, count(*) AS n FROM e GROUP BY 1, 2),
+p AS (SELECT event_type, hour, n, row_number() OVER (
+          PARTITION BY event_type ORDER BY n DESC, hour ASC) AS rk
+      FROM g)
+SELECT event_type, CAST(hour AS BIGINT) AS peak_hour,
+       CAST(n AS BIGINT) AS n_events
+FROM p WHERE rk = 1 ORDER BY event_type""",
     }

@@ -582,3 +582,72 @@ def user_growth(ds: ray.data.Dataset) -> pa.Table:
         "n_new_users": pa.array(counts.astype(np.int64), pa.int64()),
         "cum_users": pa.array(cum, pa.int64()),
     })
+
+
+def dow_pivot(ds: ray.data.Dataset) -> pa.Table:
+    """Pivoted weekly profile: event counts per (type, day-of-week) as
+    ONE WIDE ROW per type (dow_0=Monday .. dow_6=Sunday) — the pivot
+    shape a BI layer consumes directly.  Day-of-week is exact integer
+    calendar math on epoch days ((d + 3) % 7 maps 1970-01-01/Thursday
+    to 3).  The fold is (type x 7)-sized; the pivot runs on that tiny
+    table.  -> (event_type, dow_0..dow_6)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((ts // 86_400_000_000 + 3) % 7).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"],
+                      "dow": pa.array(dow, pa.int64())})
+        g = t.group_by(["event_type", "dow"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "dow", "n_p"])
+
+    folded = ds.select_columns(["event_type", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "dow"]).aggregate(Sum("n_p",
+                                                      alias_name="n")) \
+        .take_all()
+    grid: dict[str, list[int]] = {}
+    for r in folded:
+        grid.setdefault(str(r["event_type"]), [0] * 7)[int(r["dow"])] = \
+            int(r["n"])
+    types = sorted(grid)
+    cols = {"event_type": pa.array(types, pa.string())}
+    for d in range(7):
+        cols[f"dow_{d}"] = pa.array([grid[t][d] for t in types],
+                                    pa.int64())
+    return pa.table(cols)
+
+
+def peak_hour_by_type(ds: ray.data.Dataset) -> pa.Table:
+    """Peak-load detection: for each event type, the hour-of-day with the
+    most events (ties -> earliest hour) — the capacity-planning number.
+    Hour is exact integer math; the fold is (type x 24)-sized.
+    -> (event_type, peak_hour, n_events)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hr = ((ts // 3_600_000_000) % 24).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"],
+                      "hour": pa.array(hr, pa.int64())})
+        g = t.group_by(["event_type", "hour"]).aggregate([([],
+                                                           "count_all")])
+        return g.rename_columns(["event_type", "hour", "n_p"])
+
+    folded = ds.select_columns(["event_type", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "hour"]).aggregate(Sum("n_p",
+                                                       alias_name="n")) \
+        .take_all()
+    best: dict[str, tuple[int, int]] = {}
+    for r in folded:
+        et = str(r["event_type"])
+        cand = (-int(r["n"]), int(r["hour"]))
+        if et not in best or cand < best[et]:
+            best[et] = cand
+    types = sorted(best)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "peak_hour": pa.array([best[t][1] for t in types], pa.int64()),
+        "n_events": pa.array([-best[t][0] for t in types], pa.int64()),
+    })

@@ -1595,3 +1595,43 @@ def test_score_histogram_bruteforce(h_index):
     out = score_histogram(eng, terms).to_pylist()
     assert {r["bin_lo_e6"]: r["n_docs"] for r in out} == dict(want)
     assert sum(r["n_docs"] for r in out) == len(hits)
+
+
+def test_dow_pivot_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.streaming import dow_pivot
+    tbl = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                        columns=["event_type", "ts"])
+    grid = {}
+    for et, ts in zip(tbl["event_type"].to_pylist(),
+                      tbl["ts"].to_pylist()):
+        d = (int(ts.timestamp() * 1e6 + 0.5) // 86_400_000_000 + 3) % 7
+        grid.setdefault(et, [0] * 7)[d] += 1
+    out = dow_pivot(ray.data.read_parquet(
+        os.path.join(SF_DIR, "events.parquet"),
+        columns=["event_type", "ts"])).to_pylist()
+    assert [r["event_type"] for r in out] == sorted(grid)
+    for r in out:
+        assert [r[f"dow_{d}"] for d in range(7)] == grid[r["event_type"]]
+        assert sum(r[f"dow_{d}"] for d in range(7)) == \
+            sum(grid[r["event_type"]])
+
+
+def test_peak_hour_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.streaming import \
+        peak_hour_by_type
+    tbl = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                        columns=["event_type", "ts"])
+    cnt = {}
+    for et, ts in zip(tbl["event_type"].to_pylist(),
+                      tbl["ts"].to_pylist()):
+        h = (int(ts.timestamp() * 1e6 + 0.5) // 3_600_000_000) % 24
+        cnt.setdefault(et, Counter())[h] += 1
+    out = peak_hour_by_type(ray.data.read_parquet(
+        os.path.join(SF_DIR, "events.parquet"),
+        columns=["event_type", "ts"])).to_pylist()
+    for r in out:
+        c = cnt[r["event_type"]]
+        best = sorted(((-n, h) for h, n in c.items()))[0]
+        assert (r["peak_hour"], r["n_events"]) == (best[1], -best[0])
