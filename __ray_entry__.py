@@ -1172,6 +1172,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         min_support=100) \
             .sort(["term_a", "term_b"])
 
+    def term_lengths(sf_dir):
+        """Tokenizer diagnostics: term-length distribution over the
+        dictionary and the cf-weighted token stream."""
+        return text.term_len_histogram(_documents_ds(sf_dir))
+
+    def value_mode(sf_dir):
+        """Exact per-type MODE on the value histogram (ties -> smallest
+        value) — the aggregate approximate engines sketch."""
+        import ray.data
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_type", "value"])
+        return relational.value_mode_by_type(ev).sort("event_type")
+
+    def value_autocov(sf_dir):
+        """Lag-1 autocovariance per type (exact integer pair sums) —
+        the stationarity probe next to value_trend."""
+        import ray.data
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_type", "ts", "event_id",
+                                            "value"])
+        return relational.value_lag1_cov(ev).sort("event_type")
+
     def weekly_profile(sf_dir):
         """BI pivot: per-type event counts by day of week, one wide row
         per type (exact calendar math, type x 7 fold)."""
@@ -2271,6 +2293,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": bpe_pairs,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
+        "term_lengths": term_lengths,
+        "value_mode": value_mode,
+        "value_autocov": value_autocov,
         "weekly_profile": weekly_profile,
         "peak_hours": peak_hours,
         "dup_rate_sources": dup_rate_sources,
@@ -5465,4 +5490,41 @@ p AS (SELECT event_type, hour, n, row_number() OVER (
 SELECT event_type, CAST(hour AS BIGINT) AS peak_hour,
        CAST(n AS BIGINT) AS n_events
 FROM p WHERE rk = 1 ORDER BY event_type""",
+
+        "term_lengths": f"""
+WITH toks AS ({_TOKS}),
+cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term)
+SELECT CAST(len(term) AS BIGINT) AS term_len,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(cf) AS BIGINT) AS total_cf
+FROM cf GROUP BY len(term) ORDER BY term_len""",
+
+        "value_mode": """
+WITH e AS (SELECT event_type,
+                  CAST(floor(value * 1000 + 0.5) AS BIGINT) AS ve3
+           FROM events),
+g AS (SELECT event_type, ve3, count(*) AS n FROM e GROUP BY 1, 2),
+p AS (SELECT event_type, ve3, n, row_number() OVER (
+          PARTITION BY event_type ORDER BY n DESC, ve3 ASC) AS rk
+      FROM g)
+SELECT event_type, CAST(ve3 AS BIGINT) AS mode_e3,
+       CAST(n AS BIGINT) AS n_occurrences
+FROM p WHERE rk = 1 ORDER BY event_type""",
+
+        "value_autocov": """
+WITH e AS (SELECT event_type, epoch_us(ts) AS t, event_id,
+                  CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+           FROM events),
+w AS (SELECT event_type, v,
+             lead(v) OVER (PARTITION BY event_type
+                           ORDER BY t, event_id) AS nv
+      FROM e),
+s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS m,
+             sum(v) AS sa, sum(nv) AS sb,
+             sum(CAST(v AS HUGEINT) * nv) AS sab
+      FROM w WHERE nv IS NOT NULL GROUP BY event_type)
+SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
+       CAST((m * sab - sa * sb) * 1000000 // (m * m) AS BIGINT)
+         AS lag1_cov_e6
+FROM s ORDER BY event_type""",
     }

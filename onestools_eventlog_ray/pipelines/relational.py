@@ -2314,3 +2314,84 @@ def q1_pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:
 
     return folded.map_batches(finalize, batch_format="pyarrow") \
         .sort(["l_returnflag", "l_linestatus"])
+
+
+def value_mode_by_type(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact MODE per event type (most frequent e3-quantized value,
+    ties -> smallest value) — the aggregate SQL calls ``mode()`` and
+    approximate engines sketch; here it falls out of the same
+    value-range-bounded histogram fold as the exact median/MAD.
+    -> (event_type, mode_e3, n_occurrences)."""
+    from ray.data.aggregate import Sum as RSum
+    import pyarrow.compute as pc
+
+    def pre(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "ve3": pa.array(np.floor(v * 1000 + 0.5).astype(np.int64),
+                            pa.int64()),
+        }).group_by(["event_type", "ve3"]).aggregate([([], "count_all")]) \
+            .rename_columns(["event_type", "ve3", "c_p"])
+
+    hist = events.select_columns(["event_type", "value"]) \
+        .map_batches(pre, batch_format="pyarrow") \
+        .groupby(["event_type", "ve3"]).aggregate(RSum("c_p",
+                                                       alias_name="c"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        ve3 = group["ve3"].to_numpy(zero_copy_only=False)
+        c = group["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.lexsort((ve3, -c))[0]
+        return pa.table({
+            "event_type": pa.array([group["event_type"][0].as_py()],
+                                   pa.string()),
+            "mode_e3": pa.array([int(ve3[i])], pa.int64()),
+            "n_occurrences": pa.array([int(c[i])], pa.int64()),
+        })
+
+    return hist.groupby("event_type").map_groups(finalize,
+                                                 batch_format="pyarrow")
+
+
+def value_lag1_cov(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Lag-1 autocovariance of the value series per event type (in
+    (ts, event_id) order): bursty/sticky metrics show positive lag-1
+    covariance, alternating ones negative — the stationarity probe
+    before alerting on :func:`value_trend_by_type`'s slope.
+
+    Exact integers: consecutive e3-value pairs fold to Σa, Σb, Σab
+    (python bigints at the finalize); cov = trunc((mΣab − ΣaΣb)/m²)
+    over the m = n-1 pairs.  Per-type ``map_groups`` local sort.
+    -> (event_type, n_pairs, lag1_cov_e6)."""
+
+    def per_type(g: pa.Table) -> pa.Table:
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        v = np.floor(g["value"].to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * 1000 + 0.5).astype(np.int64)
+        et = g["event_type"][0].as_py()
+        order = np.lexsort((eid, ts))
+        v = v[order]
+        if v.size < 2:
+            return pa.table({"event_type": pa.array([et], pa.string()),
+                             "n_pairs": pa.array([0], pa.int64()),
+                             "lag1_cov_e6": pa.array([0], pa.int64())})
+        a, b = v[:-1], v[1:]
+        m = int(a.size)
+        sa, sb = int(a.sum()), int(b.sum())
+        sab = sum(int(x) * int(y) for x, y in zip(a, b))
+        num = (m * sab - sa * sb) * 10 ** 6
+        den = m * m
+        q = abs(num) // den
+        return pa.table({
+            "event_type": pa.array([et], pa.string()),
+            "n_pairs": pa.array([m], pa.int64()),
+            "lag1_cov_e6": pa.array([-q if num < 0 else q], pa.int64()),
+        })
+
+    return events.select_columns(["event_type", "ts", "event_id",
+                                  "value"]) \
+        .groupby("event_type").map_groups(per_type,
+                                          batch_format="pyarrow")

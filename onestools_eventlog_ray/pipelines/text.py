@@ -1989,3 +1989,28 @@ def corpus_digest(ds: ray.data.Dataset,
         "digest_hi32": pa.array([hi], pa.int64()),
         "digest_lo32": pa.array([lo], pa.int64()),
     })
+
+
+def term_len_histogram(ds: ray.data.Dataset,
+                       spec: CorpusSpec = DOCUMENTS_SPEC) -> pa.Table:
+    """Tokenizer diagnostics: distribution of TERM LENGTHS over the
+    dictionary (distinct terms) and over the token stream (weighted by
+    cf) — short-heavy streams mean the analyzer is splitting too
+    aggressively; the input to vocabulary-budget decisions together
+    with :func:`vocab_coverage`.
+
+    One ``term_stats`` fold; the histogram cut is vocab-sized.
+    -> (term_len, n_terms, total_cf) ascending."""
+    stats = term_stats(ds, spec).take_all()
+    out: dict[int, list[int]] = {}
+    for r in stats:
+        k = len(str(r["term"]))
+        a = out.setdefault(k, [0, 0])
+        a[0] += 1
+        a[1] += int(r["cf"])
+    keys = sorted(out)
+    return pa.table({
+        "term_len": pa.array(keys, pa.int64()),
+        "n_terms": pa.array([out[k][0] for k in keys], pa.int64()),
+        "total_cf": pa.array([out[k][1] for k in keys], pa.int64()),
+    })

@@ -1635,3 +1635,71 @@ def test_peak_hour_bruteforce():
         c = cnt[r["event_type"]]
         best = sorted(((-n, h) for h, n in c.items()))[0]
         assert (r["peak_hour"], r["n_events"]) == (best[1], -best[0])
+
+
+def test_term_len_histogram_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.text import term_len_histogram
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    cf = Counter()
+    for txt in tbl["text"].to_pylist():
+        cf.update(_tok(txt))
+    want = {}
+    for t, n in cf.items():
+        a = want.setdefault(len(t), [0, 0])
+        a[0] += 1
+        a[1] += n
+    out = term_len_histogram(ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"))).to_pylist()
+    assert [r["term_len"] for r in out] == sorted(want)
+    for r in out:
+        assert [r["n_terms"], r["total_cf"]] == want[r["term_len"]]
+
+
+def test_value_mode_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import \
+        value_mode_by_type
+    tbl = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                        columns=["event_type", "value"])
+    per_t = {}
+    for et, v in zip(tbl["event_type"].to_pylist(),
+                     tbl["value"].to_pylist()):
+        per_t.setdefault(et, Counter())[int(np.floor(v * 1000
+                                                     + 0.5))] += 1
+    out = value_mode_by_type(ray.data.read_parquet(
+        os.path.join(SF_DIR, "events.parquet"),
+        columns=["event_type", "value"])).take_all()
+    for r in out:
+        c = per_t[r["event_type"]]
+        best = sorted(((-n, v) for v, n in c.items()))[0]
+        assert (r["mode_e3"], r["n_occurrences"]) == (best[1], -best[0])
+
+
+def test_value_lag1_cov_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import value_lag1_cov
+    tbl = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
+    per_t = {}
+    for et, ts, eid, v in zip(tbl["event_type"].to_pylist(),
+                              tbl["ts"].to_pylist(),
+                              tbl["event_id"].to_pylist(),
+                              tbl["value"].to_pylist()):
+        per_t.setdefault(et, []).append(
+            (int(ts.timestamp() * 1e6 + 0.5), eid,
+             int(np.floor(v * 1000 + 0.5))))
+    out = {r["event_type"]: (r["n_pairs"], r["lag1_cov_e6"])
+           for r in value_lag1_cov(ray.data.read_parquet(
+               os.path.join(SF_DIR, "events.parquet"),
+               columns=["event_type", "ts", "event_id",
+                        "value"])).take_all()}
+    for et, rows in per_t.items():
+        rows.sort()
+        v = [x for _, _, x in rows]
+        a, b = v[:-1], v[1:]
+        m = len(a)
+        sa, sb = sum(a), sum(b)
+        sab = sum(x * y for x, y in zip(a, b))
+        num = (m * sab - sa * sb) * 10**6
+        q = abs(num) // (m * m)
+        assert out[et] == (m, -q if num < 0 else q)
