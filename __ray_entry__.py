@@ -1172,6 +1172,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         min_support=100) \
             .sort(["term_a", "term_b"])
 
+    def source_vocab_overlap(sf_dir):
+        """Domain cartography: vocabulary Jaccard between every source
+        pair — the mirror/syndication detector."""
+        return text.source_overlap(_documents_ds(sf_dir),
+                                   min_jaccard_e6=1)
+
     def term_lengths(sf_dir):
         """Tokenizer diagnostics: term-length distribution over the
         dictionary and the cf-weighted token stream."""
@@ -2293,6 +2299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": bpe_pairs,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
+        "source_vocab_overlap": source_vocab_overlap,
         "term_lengths": term_lengths,
         "value_mode": value_mode,
         "value_autocov": value_autocov,
@@ -5527,4 +5534,20 @@ SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
        CAST((m * sab - sa * sb) * 1000000 // (m * m) AS BIGINT)
          AS lag1_cov_e6
 FROM s ORDER BY event_type""",
+
+        "source_vocab_overlap": f"""
+WITH toks AS ({_TOKS}),
+st AS (SELECT DISTINCT d.source, t.term FROM toks t
+       JOIN documents d USING (doc_id)),
+sz AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+iv AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+       FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+       GROUP BY a.source, b.source)
+SELECT iv.src_a, iv.src_b, CAST(inter AS BIGINT) AS n_common,
+       CAST(inter * 1000000 // (na.n + nb.n - inter) AS BIGINT)
+         AS jaccard_e6
+FROM iv JOIN sz na ON na.source = iv.src_a
+        JOIN sz nb ON nb.source = iv.src_b
+WHERE inter * 1000000 // (na.n + nb.n - inter) >= 1
+ORDER BY src_a, src_b""",
     }

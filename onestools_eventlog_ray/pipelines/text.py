@@ -2014,3 +2014,57 @@ def term_len_histogram(ds: ray.data.Dataset,
         "n_terms": pa.array([out[k][0] for k in keys], pa.int64()),
         "total_cf": pa.array([out[k][1] for k in keys], pa.int64()),
     })
+
+
+def source_overlap(ds: ray.data.Dataset,
+                   spec: CorpusSpec = DOCUMENTS_SPEC,
+                   by: str = "source", min_jaccard_e6: int = 0
+                   ) -> pa.Table:
+    """Domain cartography: vocabulary Jaccard between every pair of
+    ``by`` groups — near-identical vocabularies flag mirror/syndicated
+    feeds before any content-level dedup runs.
+
+    One (group, term)-distinct fold (vocabulary x groups rows); the
+    pairwise overlap runs on the folded per-group term sets via one
+    sorted-id intersection per pair (groups are few; at open-web
+    vocabulary scale swap the exact sets for per-group MinHash
+    signatures — same downstream shape).
+    -> (src_a < src_b, n_common, jaccard_e6)."""
+    from ray.data.aggregate import Count as RCount
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = tokenize_array(batch[spec.content_col])
+        flat = toks.flatten()
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        src = np.repeat(np.asarray(batch[by].to_pylist(), dtype=object),
+                        dl)
+        t = pa.table({by: pa.array(src, pa.string()),
+                      "term": flat.cast(pa.string())})
+        return t.group_by([by, "term"]) \
+            .aggregate([([], "count_all")]).select([by, "term"])
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([by, "term"]).aggregate(RCount(alias_name="c")) \
+        .take_all()
+    sets: dict[str, set] = {}
+    for r in folded:
+        sets.setdefault(str(r[by]), set()).add(str(r["term"]))
+    keys = sorted(sets)
+    out = {"src_a": [], "src_b": [], "n_common": [], "jaccard_e6": []}
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            j = inter * 10 ** 6 // union if union else 0
+            if j >= min_jaccard_e6:
+                out["src_a"].append(a)
+                out["src_b"].append(b)
+                out["n_common"].append(inter)
+                out["jaccard_e6"].append(j)
+    return pa.table({
+        "src_a": pa.array(out["src_a"], pa.string()),
+        "src_b": pa.array(out["src_b"], pa.string()),
+        "n_common": pa.array(out["n_common"], pa.int64()),
+        "jaccard_e6": pa.array(out["jaccard_e6"], pa.int64()),
+    })

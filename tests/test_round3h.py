@@ -1703,3 +1703,26 @@ def test_value_lag1_cov_bruteforce():
         num = (m * sab - sa * sb) * 10**6
         q = abs(num) // (m * m)
         assert out[et] == (m, -q if num < 0 else q)
+
+
+def test_source_overlap_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.text import source_overlap
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    sets = {}
+    for s, txt in zip(tbl["source"].to_pylist(), tbl["text"].to_pylist()):
+        sets.setdefault(s, set()).update(_tok(txt))
+    out = source_overlap(ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet")),
+        min_jaccard_e6=1).to_pylist()
+    keys = sorted(sets)
+    want = []
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            j = inter * 10**6 // union
+            if j >= 1:
+                want.append((a, b, inter, j))
+    assert [(r["src_a"], r["src_b"], r["n_common"], r["jaccard_e6"])
+            for r in out] == want
