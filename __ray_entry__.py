@@ -1172,6 +1172,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         min_support=100) \
             .sort(["term_a", "term_b"])
 
+    def user_activity_pcts(sf_dir):
+        """Activity-skew view: exact p50/p90/p99 of events per user from
+        the count-of-counts histogram."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines.streaming import \
+            user_activity_percentiles
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["user_id"])
+        return user_activity_percentiles(ev)
+
     def source_vocab_overlap(sf_dir):
         """Domain cartography: vocabulary Jaccard between every source
         pair — the mirror/syndication detector."""
@@ -2299,6 +2309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": bpe_pairs,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
+        "user_activity_pcts": user_activity_pcts,
         "source_vocab_overlap": source_vocab_overlap,
         "term_lengths": term_lengths,
         "value_mode": value_mode,
@@ -5550,4 +5561,18 @@ FROM iv JOIN sz na ON na.source = iv.src_a
         JOIN sz nb ON nb.source = iv.src_b
 WHERE inter * 1000000 // (na.n + nb.n - inter) >= 1
 ORDER BY src_a, src_b""",
+
+        "user_activity_pcts": """
+WITH u AS (SELECT user_id, count(*) AS n_ev FROM events
+           GROUP BY user_id)
+SELECT CAST(50 AS BIGINT) AS pct,
+       CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY n_ev)
+            AS BIGINT) AS events_per_user FROM u
+UNION ALL
+SELECT 90, CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY n_ev)
+                AS BIGINT) FROM u
+UNION ALL
+SELECT 99, CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_ev)
+                AS BIGINT) FROM u
+ORDER BY pct""",
     }

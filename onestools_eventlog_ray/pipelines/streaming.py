@@ -651,3 +651,45 @@ def peak_hour_by_type(ds: ray.data.Dataset) -> pa.Table:
         "peak_hour": pa.array([best[t][1] for t in types], pa.int64()),
         "n_events": pa.array([-best[t][0] for t in types], pa.int64()),
     })
+
+
+def user_activity_percentiles(ds: ray.data.Dataset,
+                              pcts: tuple[int, ...] = (50, 90, 99)
+                              ) -> pa.Table:
+    """Events-per-user distribution percentiles (exact, discrete): the
+    activity-skew view that decides per-user group sizing (a p99 user
+    1000x the median is the mega-group a sessionize cap must handle).
+
+    Per-user counts fold distributed; the percentile cut runs on the
+    count-of-counts histogram (bounded by the distinct activity
+    levels, not the user count).  Rank convention =
+    ``percentile_disc``: value at 1-indexed rank ``ceil(p*n/100)``.
+    -> (pct, events_per_user)."""
+    from ray.data.aggregate import Count as RCount, Sum as RSum
+
+    per_user = ds.select_columns(["user_id"]) \
+        .groupby("user_id").aggregate(RCount(alias_name="n_ev"))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        n = batch["n_ev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uq, c = np.unique(n, return_counts=True)
+        return pa.table({"n_ev": pa.array(uq, pa.int64()),
+                         "c_p": pa.array(c.astype(np.int64), pa.int64())})
+
+    folded = per_user.map_batches(hist, batch_format="pyarrow") \
+        .groupby("n_ev").aggregate(RSum("c_p", alias_name="c")) \
+        .take_all()
+    folded.sort(key=lambda r: int(r["n_ev"]))
+    vals = np.asarray([int(r["n_ev"]) for r in folded], dtype=np.int64)
+    cnt = np.asarray([int(r["c"]) for r in folded], dtype=np.int64)
+    cum = np.cumsum(cnt)
+    n_users = int(cum[-1]) if cum.size else 0
+    out_p, out_v = [], []
+    for p in pcts:
+        if not n_users:
+            continue
+        rank = -(-p * n_users // 100)          # ceil(p*n/100), 1-indexed
+        out_p.append(int(p))
+        out_v.append(int(vals[np.searchsorted(cum, rank)]))
+    return pa.table({"pct": pa.array(out_p, pa.int64()),
+                     "events_per_user": pa.array(out_v, pa.int64())})

@@ -1726,3 +1726,21 @@ def test_source_overlap_bruteforce():
                 want.append((a, b, inter, j))
     assert [(r["src_a"], r["src_b"], r["n_common"], r["jaccard_e6"])
             for r in out] == want
+
+
+def test_user_activity_percentiles_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.streaming import \
+        user_activity_percentiles
+    tbl = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                        columns=["user_id"])
+    cnt = Counter(tbl["user_id"].to_pylist())
+    vals = sorted(cnt.values())
+    n = len(vals)
+    out = user_activity_percentiles(ray.data.read_parquet(
+        os.path.join(SF_DIR, "events.parquet"),
+        columns=["user_id"]), pcts=(50, 90, 99, 100)).to_pylist()
+    for r in out:
+        rank = -(-r["pct"] * n // 100)
+        assert r["events_per_user"] == vals[rank - 1]
+    assert out[-1]["events_per_user"] == vals[-1]    # p100 = max
