@@ -22,6 +22,9 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 
+from onestools_eventlog_ray.sources.corpus import \
+    read_parquet_clean as _read_pq
+
 # Canonical tokenizer expression — MUST stay in lock-step with
 # onestools_eventlog_ray.functions.analyzer (same RE2 pattern).
 _TOKS = ("SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),"
@@ -36,7 +39,7 @@ _BOOSTS = {"spark": 2.0, "vector": 1.0, "window": 0.5}
 
 def _documents_ds(sf_dir: str):
     import ray.data
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _read_pq(os.path.join(sf_dir, "documents.parquet"))
 
 
 def _index_dir_for(sf_dir: str) -> str:
@@ -157,13 +160,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def events_by_type(sf_dir):
         import ray.data
-        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ds = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["event_type", "value"])
         return relational.events_by_type(ds)
 
     def lineitem_qty_by_flag(sf_dir):
         import ray.data
-        ds = ray.data.read_parquet(
+        ds = _read_pq(
             os.path.join(sf_dir, "lineitem.parquet"),
             columns=["l_returnflag", "l_linestatus", "l_quantity"])
         return relational.lineitem_qty_by_flag(ds)
@@ -175,7 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = pq.read_table(path, columns=["vec_id", "embedding"])
         i0 = emb["vec_id"].to_pylist().index(0)
         qvec = np.asarray(emb["embedding"][i0].as_py(), dtype=np.float64)
-        ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        ds = _read_pq(path, columns=["vec_id", "embedding"])
         res = similarity.knn_cosine(ds, qvec, k=50, exclude_ids={0})
         cos = res["cosine"].to_numpy(zero_copy_only=False)
         ids = res["vec_id"].to_numpy(zero_copy_only=False)
@@ -190,14 +193,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def window_counts(sf_dir):
         import ray.data
         from onestools_eventlog_ray.pipelines import streaming
-        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ds = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["user_id", "ts", "value"])
         return streaming.tumbling_window_counts(ds, window_s=3600)
 
     def sliding_window_counts(sf_dir):
         import ray.data
         from onestools_eventlog_ray.pipelines import streaming
-        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ds = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["user_id", "ts"])
         return streaming.sliding_window_counts(ds, window_s=3600,
                                                slide_s=900)
@@ -205,7 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def sessionize(sf_dir):
         import ray.data
         from onestools_eventlog_ray.pipelines import streaming
-        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ds = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["user_id", "ts"])
         return streaming.sessionize(ds, gap_s=1800)
 
@@ -216,7 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = pq.read_table(path, columns=["vec_id", "embedding"])
         all_ids = emb["vec_id"].to_numpy(zero_copy_only=False)
         mat = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
-        ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        ds = _read_pq(path, columns=["vec_id", "embedding"])
         res = similarity.cosine_pairs(ds, all_ids, mat, threshold=0.45)
         t = res.to_pandas()
         t["cos_e6"] = np.floor(t.pop("cosine") * 1_000_000 + 0.5).astype("int64")
@@ -245,13 +248,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def events_label_counts(sf_dir):
         import ray.data
-        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ds = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["event_type"])
         return relational.events_label_decode_counts(ds)
 
     def top_events_by_value(sf_dir):
         import ray.data
-        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ds = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["event_id", "value"])
         return relational.top_events_by_value(ds, k=10)
 
@@ -349,7 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def lsh_buckets(sf_dir):
         import ray.data
-        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+        ds = _read_pq(os.path.join(sf_dir, "embeddings.parquet"),
                                    columns=["vec_id", "embedding"])
         return similarity.lsh_bucket(ds, dim=64, nbits=12)
 
@@ -364,7 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         verified by exact cosine inside each bucket's task (the scale
         path replacing the full-matrix broadcast)."""
         import ray.data
-        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+        ds = _read_pq(os.path.join(sf_dir, "embeddings.parquet"),
                                    columns=["vec_id", "embedding"])
         return similarity.cosine_pairs_lsh(ds, dim=64, threshold=0.45,
                                            nbits=4, tables=8)
@@ -412,21 +415,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["c_custkey", "c_nationkey"])
         nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
                             columns=["n_nationkey", "n_name"])
-        orders = ray.data.read_parquet(
+        orders = _read_pq(
             os.path.join(sf_dir, "orders.parquet"),
             columns=["o_custkey", "o_totalprice"])
         return relational.orders_by_nation(orders, cust, nat)
 
     def topk_orders_per_cust(sf_dir):
         import ray.data
-        orders = ray.data.read_parquet(
+        orders = _read_pq(
             os.path.join(sf_dir, "orders.parquet"),
             columns=["o_orderkey", "o_custkey", "o_totalprice"])
         return relational.topk_orders_per_cust(orders, k=3)
 
     def distinct_users_by_type(sf_dir):
         import ray.data
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["event_type", "user_id"])
         return relational.distinct_users_by_type(ev)
 
@@ -435,7 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         purchase at-or-before it — tagged-union co-group + vectorized
         searchsorted per user (the point-in-time lookup family)."""
         import ray.data
-        ds = ray.data.read_parquet(
+        ds = _read_pq(
             os.path.join(sf_dir, "events.parquet"),
             columns=["event_id", "ts", "user_id", "event_type"])
         return relational.asof_join_events(ds)
@@ -459,7 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def median_value_by_type(sf_dir):
         import ray.data
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["event_type", "value"])
         return relational.median_value_by_type(ev)
 
@@ -475,7 +478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         path = os.path.join(sf_dir, "embeddings.parquet")
         index_dir = _index_dir_for(sf_dir) + "_ann"
         if not os.path.exists(os.path.join(index_dir, "ann", "_meta.json")):
-            ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+            ds = _read_pq(path, columns=["vec_id", "embedding"])
             build_ann_index(ds, index_dir, dim=64, nbits=6, seed=42)
         emb = pq.read_table(path, columns=["vec_id", "embedding"])
         i0 = emb["vec_id"].to_pylist().index(0)
@@ -582,14 +585,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def sample_by_hash(sf_dir):
         import ray.data
         from onestools_eventlog_ray.pipelines import sampling
-        ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+        ds = _read_pq(os.path.join(sf_dir, "documents.parquet"),
                                    columns=["doc_id", "lang", "n_chars"])
         return sampling.sample_by_hash(ds, "doc_id", pct=10, mod=100)
 
     def stratified_sample(sf_dir):
         import ray.data
         from onestools_eventlog_ray.pipelines import sampling
-        ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+        ds = _read_pq(os.path.join(sf_dir, "documents.parquet"),
                                    columns=["doc_id", "lang"])
         return sampling.stratified_sample(ds, "lang", "doc_id", n=5)
 
@@ -599,7 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def label_centroids(sf_dir):
         import ray.data
-        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+        ds = _read_pq(os.path.join(sf_dir, "embeddings.parquet"),
                                    columns=["label", "embedding"])
         return similarity.label_centroids(ds)
 
@@ -622,19 +625,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def value_histogram(sf_dir):
         import ray.data
-        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ds = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["event_type", "value"])
         return relational.value_histogram(ds, bin_width=5.0)
 
     def json_field_stats(sf_dir):
         import ray.data
-        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ds = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["event_type", "props"])
         return relational.json_field_stats(ds, field="k")
 
     def events_by_localdate(sf_dir):
         import ray.data
-        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ds = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["event_type", "ts"])
         return relational.events_by_localdate(ds, tz_offset_s=3 * 3600)
 
@@ -651,12 +654,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         init = np.floor(np.asarray(
             [emb["embedding"][int(i)].as_py() for i in order],
             dtype=np.float64) * 1_000_000 + 0.5).astype(np.int64)
-        ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        ds = _read_pq(path, columns=["vec_id", "embedding"])
         return similarity.kmeans_step(ds, init)
 
     def interval_join_counts(sf_dir):
         import ray.data
-        ds = ray.data.read_parquet(
+        ds = _read_pq(
             os.path.join(sf_dir, "events.parquet"),
             columns=["event_id", "user_id", "ts", "event_type"])
         return relational.interval_join_counts(ds, "purchase", "click",
@@ -673,10 +676,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tagged-union co-group — neither side broadcast) then a small
         per-priority exact-fixed-point revenue aggregate."""
         import ray.data
-        li = ray.data.read_parquet(
+        li = _read_pq(
             os.path.join(sf_dir, "lineitem.parquet"),
             columns=["l_orderkey", "l_extendedprice", "l_discount"])
-        orders = ray.data.read_parquet(
+        orders = _read_pq(
             os.path.join(sf_dir, "orders.parquet"),
             columns=["o_orderkey", "o_orderpriority"])
         return relational.order_revenue_join(li, orders)
@@ -685,7 +688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """SQL window functions (row_number / ntile / percent_rank) per
         customer partition as a vectorized map_groups."""
         import ray.data
-        orders = ray.data.read_parquet(
+        orders = _read_pq(
             os.path.join(sf_dir, "orders.parquet"),
             columns=["o_custkey", "o_orderkey", "o_totalprice"])
         return relational.order_rank_window(orders, tiles=4)
@@ -695,7 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         RE2-extracted JSON property k, per event_type — single-pass
         integer moment fold, bit-identical finalize vs the oracle."""
         import ray.data
-        ev = ray.data.read_parquet(
+        ev = _read_pq(
             os.path.join(sf_dir, "events.parquet"),
             columns=["event_type", "value", "props"])
         return relational.corr_value_k_by_type(ev)
@@ -850,7 +853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = pq.read_table(path, columns=["vec_id", "embedding"])
         i0 = emb["vec_id"].to_pylist().index(0)
         qvec = np.asarray(emb["embedding"][i0].as_py(), dtype=np.float64)
-        ds = ray.data.read_parquet(path) \
+        ds = _read_pq(path) \
             .filter(expr="label == 1") \
             .select_columns(["vec_id", "embedding"])
         res = similarity.knn_cosine(ds, qvec, k=50, exclude_ids={0})
@@ -873,7 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = pq.read_table(path, columns=["vec_id", "embedding"])
         i0 = emb["vec_id"].to_pylist().index(0)
         qvec = np.asarray(emb["embedding"][i0].as_py(), dtype=np.float64)
-        ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        ds = _read_pq(path, columns=["vec_id", "embedding"])
         return similarity.cosine_range_search(ds, qvec, 200_000,
                                               exclude_ids={0})
 
@@ -881,7 +884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Per-dimension embedding profile: n / mean_e6 / var_e12 via
         exact integer second moments."""
         import ray.data
-        ds = ray.data.read_parquet(os.path.join(sf_dir,
+        ds = _read_pq(os.path.join(sf_dir,
                                                 "embeddings.parquet"),
                                    columns=["embedding"])
         return similarity.embedding_dim_stats(ds)
@@ -891,7 +894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         revenue over a date/discount/quantity band, one streaming pass."""
         import pandas as pd
         import ray.data
-        li = ray.data.read_parquet(
+        li = _read_pq(
             os.path.join(sf_dir, "lineitem.parquet"),
             columns=["l_shipdate", "l_discount", "l_quantity",
                      "l_extendedprice"])
@@ -903,7 +906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Cumulative window function: per-customer running order total
         (PARTITION BY custkey ORDER BY date, key), exact e2 ints."""
         import ray.data
-        orders = ray.data.read_parquet(
+        orders = _read_pq(
             os.path.join(sf_dir, "orders.parquet"),
             columns=["o_custkey", "o_orderkey", "o_orderdate",
                      "o_totalprice"])
@@ -913,7 +916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """ES weighted_avg agg: quantity-weighted average price per
         return flag, exact integer fold."""
         import ray.data
-        li = ray.data.read_parquet(
+        li = _read_pq(
             os.path.join(sf_dir, "lineitem.parquet"),
             columns=["l_returnflag", "l_extendedprice", "l_quantity"])
         return relational.weighted_avg_price(li)
@@ -931,7 +934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         integer second moments + a float comparison mirrored verbatim
         by the oracle."""
         import ray.data
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["event_id", "event_type",
                                             "value"])
         return relational.outlier_events(ev, z=3.0)
@@ -940,7 +943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Distribution drift between click and view values: fixed-bin
         histograms + per-bin share deltas, exact ints."""
         import ray.data
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["event_type", "value"])
         return relational.drift_histogram(ev, "click", "view")
 
@@ -950,11 +953,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow.parquet as pq
         import ray.data
         return relational.q5_region_revenue(
-            ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+            _read_pq(os.path.join(sf_dir, "customer.parquet"),
                                   columns=["c_custkey", "c_nationkey"]),
-            ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+            _read_pq(os.path.join(sf_dir, "orders.parquet"),
                                   columns=["o_orderkey", "o_custkey"]),
-            ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+            _read_pq(os.path.join(sf_dir, "lineitem.parquet"),
                                   columns=["l_orderkey", "l_suppkey",
                                            "l_extendedprice",
                                            "l_discount"]),
@@ -992,7 +995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """ES percentile_ranks agg: per-type share of events <= each
         probe value, exact integer partials."""
         import ray.data
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["event_type", "value"])
         return relational.percentile_ranks(ev)
 
@@ -1001,7 +1004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         of lineitem measure fields — hi/lo-limb integer partials, one
         #pairs-row shuffle."""
         import ray.data
-        li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+        li = _read_pq(os.path.join(sf_dir, "lineitem.parquet"),
                                    columns=["l_quantity", "l_extendedprice",
                                             "l_discount"])
         return relational.matrix_stats(li)
@@ -1011,7 +1014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         quantized value histogram; shuffle bounded by the value range,
         not the row count)."""
         import ray.data
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["event_type", "value"])
         return relational.mad_value_by_type(ev).sort("event_type")
 
@@ -1036,7 +1039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         in-cluster exact-integer cosine duplicate marking (keep = not
         near-identical to any earlier vector in the cluster)."""
         import ray.data
-        emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+        emb = _read_pq(os.path.join(sf_dir, "embeddings.parquet"),
                                     columns=["vec_id", "embedding"])
         return similarity.semdedup(emb).sort("vec_id")
 
@@ -1044,7 +1047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Product-quantization encode: 4 subspaces x 8 deterministic
         centroids, exact integer argmin + reconstruction error."""
         import ray.data
-        emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+        emb = _read_pq(os.path.join(sf_dir, "embeddings.parquet"),
                                     columns=["vec_id", "embedding"])
         return similarity.pq_codes(emb).sort(["vec_id", "sub"])
 
@@ -1070,7 +1073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """TPC-H Q10: per-customer returned-item revenue, top-20, with
         key-pruned customer/nation dimension fetch."""
         import ray.data
-        sf = lambda t: ray.data.read_parquet(
+        sf = lambda t: _read_pq(
             os.path.join(sf_dir, f"{t}.parquet"))
         return relational.q10_returned_revenue(sf("customer"), sf("orders"),
                                                sf("lineitem"), sf("nation"))
@@ -1112,17 +1115,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         path = os.path.join(sf_dir, "embeddings.parquet")
         index_dir = _index_dir_for(sf_dir) + "_ann"
         if not os.path.exists(os.path.join(index_dir, "ann", "_meta.json")):
-            build_ann_index(ray.data.read_parquet(
+            build_ann_index(_read_pq(
                 path, columns=["vec_id", "embedding"]),
                 index_dir, dim=64, nbits=6, seed=42)
-        ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        ds = _read_pq(path, columns=["vec_id", "embedding"])
         return ann_recall_report(index_dir, ds, [0, 1, 2, 3, 4])
 
     def kmeans3(sf_dir):
         """Three chained Lloyd iterations (deterministic init, exact e6
         integer updates, empty clusters keep their centroid)."""
         import ray.data
-        emb = ray.data.read_parquet(os.path.join(sf_dir,
+        emb = _read_pq(os.path.join(sf_dir,
                                                  "embeddings.parquet"),
                                     columns=["vec_id", "embedding"])
         return similarity.kmeans_train(emb, k=8, iters=3)
@@ -1134,7 +1137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from onestools_eventlog_ray.pipelines.hybrid import hybrid_rrf
         from onestools_eventlog_ray.pipelines.query import SearchEngine
         eng = SearchEngine(_ensure_index(sf_dir))
-        emb = ray.data.read_parquet(os.path.join(sf_dir,
+        emb = _read_pq(os.path.join(sf_dir,
                                                  "embeddings.parquet"),
                                     columns=["vec_id", "embedding"])
         return hybrid_rrf(eng, emb, _BM25_TERMS, query_vec_id=0)
@@ -1178,7 +1181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
         from onestools_eventlog_ray.pipelines.streaming import \
             user_activity_percentiles
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["user_id"])
         return user_activity_percentiles(ev)
 
@@ -1197,7 +1200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Exact per-type MODE on the value histogram (ties -> smallest
         value) — the aggregate approximate engines sketch."""
         import ray.data
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["event_type", "value"])
         return relational.value_mode_by_type(ev).sort("event_type")
 
@@ -1205,7 +1208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Lag-1 autocovariance per type (exact integer pair sums) —
         the stationarity probe next to value_trend."""
         import ray.data
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["event_type", "ts", "event_id",
                                             "value"])
         return relational.value_lag1_cov(ev).sort("event_type")
@@ -1215,7 +1218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         per type (exact calendar math, type x 7 fold)."""
         import ray.data
         from onestools_eventlog_ray.pipelines.streaming import dow_pivot
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["event_type", "ts"])
         return dow_pivot(ev)
 
@@ -1225,7 +1228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
         from onestools_eventlog_ray.pipelines.streaming import \
             peak_hour_by_type
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["event_type", "ts"])
         return peak_hour_by_type(ev)
 
@@ -1246,7 +1249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Class-separability view: cosine between every pair of label
         centroids (sum-vector identity, exact integer folds)."""
         import ray.data
-        emb = ray.data.read_parquet(os.path.join(sf_dir,
+        emb = _read_pq(os.path.join(sf_dir,
                                                  "embeddings.parquet"))
         return similarity.label_affinity(emb)
 
@@ -1255,7 +1258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         new/cumulative users per day without stream replay."""
         import ray.data
         from onestools_eventlog_ray.pipelines.streaming import user_growth
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["user_id", "ts"])
         return user_growth(ev)
 
@@ -1271,7 +1274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
         from onestools_eventlog_ray.pipelines.streaming import \
             event_debounce
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["user_id", "event_type", "ts"])
         return event_debounce(ev)
 
@@ -1281,7 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
         from onestools_eventlog_ray.pipelines.streaming import \
             value_trend_by_type
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["event_type", "ts", "value"])
         return value_trend_by_type(ev)
 
@@ -1299,7 +1302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """The full TPC-H Q1 pricing summary — every aggregate column
         in exact fixed point (charge via hi/lo limb partials)."""
         import ray.data
-        li = ray.data.read_parquet(os.path.join(sf_dir,
+        li = _read_pq(os.path.join(sf_dir,
                                                 "lineitem.parquet"))
         return relational.q1_pricing_summary(li)
 
@@ -1308,7 +1311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (per-user searchsorted, three-counter fold)."""
         import ray.data
         from onestools_eventlog_ray.pipelines.streaming import funnel_timed
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["user_id", "ts", "event_type"])
         return funnel_timed(ev)
 
@@ -1316,7 +1319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """TPC-H Q14: promotion revenue share via a broadcast part
         dimension + conditional e4-exact fact fold."""
         import ray.data
-        sf = lambda t: ray.data.read_parquet(
+        sf = lambda t: _read_pq(
             os.path.join(sf_dir, f"{t}.parquet"))
         return relational.q14_promo_share(sf("lineitem"), sf("part"))
 
@@ -1324,7 +1327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """TPC-H Q18: orders with total quantity > 150 and their
         customers, top-20 (HAVING on the orderkey co-group)."""
         import ray.data
-        sf = lambda t: ray.data.read_parquet(
+        sf = lambda t: _read_pq(
             os.path.join(sf_dir, f"{t}.parquet"))
         return relational.q18_volume_customers(sf("lineitem"),
                                                sf("orders"))
@@ -1338,7 +1341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Embedding-quality probe: 3-NN majority-vote classification of
         the vec_id%5 holdout against the train split."""
         import ray.data
-        emb = ray.data.read_parquet(os.path.join(sf_dir,
+        emb = _read_pq(os.path.join(sf_dir,
                                                  "embeddings.parquet"))
         return similarity.knn_classify(emb)
 
@@ -1346,7 +1349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Time-weighted average per event type (value holds until the
         next event; exact bigint v*dt sums)."""
         import ray.data
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["event_type", "ts", "event_id",
                                             "value"])
         return relational.time_weighted_avg(ev).sort("event_type")
@@ -1355,7 +1358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Robust 10%-trimmed mean per event type on the quantized value
         histogram (shuffle bounded by the value range)."""
         import ray.data
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["event_type", "value"])
         return relational.trimmed_mean_by_type(ev).sort("event_type")
 
@@ -1381,7 +1384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Johnson-Lindenstrauss report: exact squared distances before
         and after a seeded integer random projection (64 -> 16 dims)."""
         import ray.data
-        emb = ray.data.read_parquet(os.path.join(sf_dir,
+        emb = _read_pq(os.path.join(sf_dir,
                                                  "embeddings.parquet"),
                                     columns=["vec_id", "embedding"])
         return similarity.rp_distortion(emb)
@@ -1390,7 +1393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Market-basket mining: part pairs bought together in the same
         order, top-20 (order co-group -> pair-vocabulary fold)."""
         import ray.data
-        li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+        li = _read_pq(os.path.join(sf_dir, "lineitem.parquet"),
                                    columns=["l_orderkey", "l_partkey"])
         return relational.part_cooccurrence(li)
 
@@ -1398,7 +1401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Percent-of-total window: top-3 suppliers per nation with
         exact revenue and e6 share of the nation total."""
         import ray.data
-        sf = lambda t: ray.data.read_parquet(
+        sf = lambda t: _read_pq(
             os.path.join(sf_dir, f"{t}.parquet"))
         return relational.supplier_share(sf("lineitem"), sf("supplier"),
                                          sf("nation"))
@@ -1408,7 +1411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         events by (value desc, id asc) from a full range-partitioned
         sort."""
         import ray.data
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["event_id", "value"])
         return relational.sorted_head(ev)
 
@@ -1417,7 +1420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         exact popcount hamming ranking — the 32x-compressed first-stage
         retriever."""
         import ray.data
-        emb = ray.data.read_parquet(os.path.join(sf_dir,
+        emb = _read_pq(os.path.join(sf_dir,
                                                  "embeddings.parquet"),
                                     columns=["vec_id", "embedding"])
         return similarity.binary_knn(emb, query_id=0)
@@ -1452,7 +1455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
         from onestools_eventlog_ray.pipelines.streaming import \
             event_trigrams
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["user_id", "ts", "event_id",
                                             "event_type"])
         return event_trigrams(ev)
@@ -1488,10 +1491,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         path = os.path.join(sf_dir, "embeddings.parquet")
         index_dir = _index_dir_for(sf_dir) + "_ann"
         if not os.path.exists(os.path.join(index_dir, "ann", "_meta.json")):
-            build_ann_index(ray.data.read_parquet(
+            build_ann_index(_read_pq(
                 path, columns=["vec_id", "embedding"]),
                 index_dir, dim=64, nbits=6, seed=42)
-        ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        ds = _read_pq(path, columns=["vec_id", "embedding"])
         return ann_recall_sweep(index_dir, ds, [0, 1, 2, 3, 4])
 
     def reindex_diff(sf_dir):
@@ -1638,7 +1641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         nulls / exact distinct / numeric e6 min-max in one streaming
         pass + a distinct-hash fold."""
         import ray.data
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["event_type", "user_id",
                                             "value"])
         return relational.profile_table(
@@ -1666,7 +1669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             export_partitioned
         out = _index_dir_for(sf_dir) + "_export"
         shutil.rmtree(out, ignore_errors=True)     # fresh manifest
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["event_id", "event_type",
                                             "user_id", "value"])
         man = export_partitioned(ev, out, "event_type")
@@ -1714,7 +1717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         order."""
         import ray.data
         from onestools_eventlog_ray.pipelines import streaming
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["user_id", "ts", "event_id",
                                             "event_type"])
         return streaming.user_event_paths(ev)
@@ -1723,7 +1726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """First-order Markov transition counts over user streams."""
         import ray.data
         from onestools_eventlog_ray.pipelines import streaming
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["user_id", "ts", "event_id",
                                             "event_type"])
         return streaming.event_transitions(ev)
@@ -1821,7 +1824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """click -> purchase-within-1h conversion funnel."""
         import ray.data
         from onestools_eventlog_ray.pipelines import streaming
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["user_id", "ts", "event_type"])
         return streaming.funnel_counts(ev, "click", "purchase",
                                        within_s=3600)
@@ -1830,7 +1833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """D7 cohort retention over the event stream."""
         import ray.data
         from onestools_eventlog_ray.pipelines import streaming
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["user_id", "ts"])
         return streaming.retention_cohorts(ev, horizon_days=7)
 
@@ -1847,7 +1850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         zero-filled date_histogram."""
         import ray.data
         from onestools_eventlog_ray.pipelines import streaming
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["ts"])
         return streaming.date_histogram_cumulative(ev)
 
@@ -1863,7 +1866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         zero-filled date_histogram (partial windows at the head)."""
         import ray.data
         from onestools_eventlog_ray.pipelines import streaming
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["ts"])
         return streaming.date_histogram_moving_avg(ev, window=3)
 
@@ -1943,13 +1946,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         orders x post-cutoff lineitems, exact e4 revenue, top-10."""
         import ray.data
         cutoff_us = 896_659_200_000_000        # 1998-06-01 UTC
-        cust = ray.data.read_parquet(
+        cust = _read_pq(
             os.path.join(sf_dir, "customer.parquet"),
             columns=["c_custkey", "c_mktsegment"])
-        orders = ray.data.read_parquet(
+        orders = _read_pq(
             os.path.join(sf_dir, "orders.parquet"),
             columns=["o_orderkey", "o_custkey", "o_orderdate"])
-        li = ray.data.read_parquet(
+        li = _read_pq(
             os.path.join(sf_dir, "lineitem.parquet"),
             columns=["l_orderkey", "l_shipdate", "l_extendedprice",
                      "l_discount"])
@@ -1994,14 +1997,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """ES date_histogram, calendar days, min_doc_count=0 zero-fill."""
         import ray.data
         from onestools_eventlog_ray.pipelines import streaming
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["ts"])
         return streaming.date_histogram_filled(ev)
 
     def price_percentiles(sf_dir):
         """Exact percentile_disc p25/p50/p75/p90 per returnflag."""
         import ray.data
-        li = ray.data.read_parquet(
+        li = _read_pq(
             os.path.join(sf_dir, "lineitem.parquet"),
             columns=["l_returnflag", "l_extendedprice"])
         return relational.price_percentiles(li)
@@ -2011,7 +2014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         exact integer test md5(doc_id) mod n_source < 8."""
         from onestools_eventlog_ray.pipelines import sampling
         import ray.data
-        ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+        ds = _read_pq(os.path.join(sf_dir, "documents.parquet"),
                                    columns=["doc_id", "source"])
         out = sampling.balanced_sample(ds, "source", "doc_id", target=8)
         return out.sort("doc_id")
@@ -2032,7 +2035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         vid = emb["vec_id"].to_pylist()
         qs = np.asarray([emb["embedding"][vid.index(i)].as_py()
                          for i in (0, 1, 2)], dtype=np.float64)
-        ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        ds = _read_pq(path, columns=["vec_id", "embedding"])
         res = similarity.knn_cosine(ds, qs, k=50, exclude_ids={0, 1, 2})
         qi = res["query_idx"].to_numpy(zero_copy_only=False)
         ids = res["vec_id"].to_numpy(zero_copy_only=False)
@@ -2074,20 +2077,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """LEFT OUTER join (zeros kept): per customer, event count via
         the single-shuffle tagged-union Max/Sum fold."""
         import ray.data
-        cust = ray.data.read_parquet(
+        cust = _read_pq(
             os.path.join(sf_dir, "customer.parquet"),
             columns=["c_custkey", "c_mktsegment"])
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["user_id"])
         return relational.customer_activity(cust, ev)
 
     def segment_activity(sf_dir):
         """Anti-join rollup: customers with NO events per segment."""
         import ray.data
-        cust = ray.data.read_parquet(
+        cust = _read_pq(
             os.path.join(sf_dir, "customer.parquet"),
             columns=["c_custkey", "c_mktsegment"])
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["user_id"])
         return relational.segment_activity(cust, ev)
 
@@ -2095,7 +2098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Per-user LAG-gap statistics (n, sum, exact floor-div avg)."""
         import ray.data
         from onestools_eventlog_ray.pipelines import streaming
-        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["user_id", "ts"])
         return streaming.interarrival_stats(ev)
 

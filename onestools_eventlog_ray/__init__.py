@@ -23,5 +23,13 @@ by Ray Data's streaming executor.
 
 from onestools_eventlog_ray.config import EngineConfig
 
+# Ray 2.49 emits a spurious schema-divergence warning for the zero-row
+# zero-column bundles its own sort shuffle builds for empty partitions;
+# adopt the operator's established schema for those instead (see
+# functions/raycompat.py — real divergence still warns).
+from onestools_eventlog_ray.functions import raycompat as _raycompat
+
+_raycompat.install()
+
 __all__ = ["EngineConfig"]
 __version__ = "0.1.0"

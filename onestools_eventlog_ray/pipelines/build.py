@@ -68,6 +68,36 @@ def _input_signature(corpus_paths) -> str:
     return h.hexdigest()
 
 
+def _estimate_corpus_rows(corpus_paths, max_footers: int = 256) -> int | None:
+    """Metadata-only row estimate for salt-fan-out sizing: sample up to
+    ``max_footers`` parquet footers evenly and extrapolate by file count.
+    Never reads data pages; returns None when the corpus isn't local
+    parquet files (jsonl, globs we can't enumerate).  Only used to pick
+    the salt fan-out, where a 2x error is harmless (any fan-out is
+    correct — tests/test_salt_equivalence)."""
+    import pyarrow.parquet as pq
+    paths = [corpus_paths] if isinstance(corpus_paths, str) else list(corpus_paths)
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            for name in sorted(os.listdir(p)):
+                if name.endswith((".parquet", ".pq")):
+                    files.append(os.path.join(p, name))
+        elif os.path.isfile(p) and p.endswith((".parquet", ".pq")):
+            files.append(p)
+        else:
+            return None
+    if not files:
+        return None
+    step = max(1, len(files) // max_footers)
+    sample = files[::step][:max_footers]
+    try:
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in sample)
+    except Exception:
+        return None
+    return int(rows * (len(files) / len(sample)))
+
+
 def build_index(corpus_paths, index_dir: str,
                 spec: CorpusSpec = CODE_CORPUS_SPEC,
                 cfg: EngineConfig = EngineConfig(),
@@ -179,8 +209,11 @@ def build_index(corpus_paths, index_dir: str,
             shutil.rmtree(dstore)
         os.makedirs(dstore, exist_ok=True)
         ds = read_corpus(corpus_paths, spec, **read_kwargs)
+        n_est = (_estimate_corpus_rows(corpus_paths)
+                 if corpus_fmt == "parquet" else None)
         part_rows, stats = build_combined_exchange(ds, spec, cfg,
-                                                   index_dir, dstore)
+                                                   index_dir, dstore,
+                                                   n_docs_est=n_est)
         fingerprint = stats["fingerprint"]
         built = {int(r["partition_id"]) for r in part_rows}
         for pid in range(P):
@@ -192,7 +225,7 @@ def build_index(corpus_paths, index_dir: str,
         ckpt.write_stats(index_dir, {
             **stats, "num_partitions": P, "config": cfg.to_dict(),
             "df_est_hot_candidates": {}, "hot_terms": {},
-            "salting": f"fixed-range:{cfg.salt_ranges}",
+            "salting": f"fixed-range:{stats.get('salt_ranges_used', cfg.salt_ranges)}",
             "spec": {"content_col": spec.content_col, "id_col": spec.id_col,
                      "key_cols": list(spec.key_cols),
                      "meta_cols": list(spec.meta_cols)},
@@ -209,6 +242,7 @@ def build_index(corpus_paths, index_dir: str,
             "hot_detect_s": 0.0, "postings_s": wall,
             "phases": stats.get("phase_wall_s", {}),
             "single_pass": True,
+            "salt_ranges": stats.get("salt_ranges_used", cfg.salt_ranges),
             "files_per_sec": n_docs / wall if wall > 0 else 0.0,
         }
 
@@ -245,8 +279,16 @@ def build_index(corpus_paths, index_dir: str,
             df_est = prior.get("df_est_hot_candidates", {})
         except (FileNotFoundError, KeyError):
             # docstore exists but stats manifest lost: recompute the
-            # rollup from the docstore's narrow columns
+            # rollup from the docstore's narrow columns (same doc_id-mixed
+            # rollup as the build sinks, so the fingerprint — and therefore
+            # partition-record resume — survives the manifest loss), then
+            # re-persist it so the next run reads instead of recomputing.
             stats = stats_mod.corpus_stats_from_docstore(dstore)
+            df_est = {}
+            ckpt.write_stats(index_dir, {
+                **stats, "df_est_hot_candidates": df_est,
+                "num_partitions": cfg.num_partitions,
+                "config": cfg.to_dict()})
     fingerprint = stats["fingerprint"]
     t_docstore = time.monotonic() - t0
     t_stats = 0.0

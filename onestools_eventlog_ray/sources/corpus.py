@@ -43,6 +43,37 @@ class CorpusSpec:
         return cols
 
 
+def read_parquet_clean(paths, columns: list[str] | None = None,
+                       **read_kwargs) -> ray.data.Dataset:
+    """``ray.data.read_parquet`` with the file schema's key-value metadata
+    stripped.
+
+    Parquet written from pandas carries a ``b'pandas'`` metadata blob that
+    makes ``pa.Schema`` UNHASHABLE (``hash(schema)`` raises on the dict
+    inside) — every sort/aggregate reduce task downstream then logs
+    "Failed to hash the schemas (for deduplication)" and falls back to the
+    expensive unify path.  Passing an explicit metadata-free ``schema=`` to
+    the reader is free (no extra stage) and makes every downstream shuffle's
+    schema comparison a cheap hash hit."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    first = paths if isinstance(paths, str) else paths[0]
+    if _os.path.isdir(first):
+        cands = sorted(_glob.glob(_os.path.join(first, "*.parquet")))
+        first = cands[0] if cands else None
+    try:
+        full = pq.read_schema(first).remove_metadata()
+        schema = pa.schema([full.field(c) for c in columns]) if columns else full
+    except Exception:
+        return ray.data.read_parquet(paths, columns=columns, **read_kwargs)
+    return ray.data.read_parquet(paths, columns=columns, schema=schema,
+                                 **read_kwargs)
+
+
 CODE_CORPUS_SPEC = CorpusSpec()   # the input_hint shape
 
 DOCUMENTS_SPEC = CorpusSpec(      # /root/testdata/sf*/documents.parquet adapter
@@ -63,7 +94,7 @@ def read_corpus(paths: str | list[str], spec: CorpusSpec = CODE_CORPUS_SPEC,
     prune — prefer parquet for anything large)."""
     cols = spec.read_cols(with_content, with_meta)
     if fmt == "parquet":
-        return ray.data.read_parquet(paths, columns=cols, **read_kwargs)
+        return read_parquet_clean(paths, columns=cols, **read_kwargs)
     if fmt in ("json", "jsonl"):
         ds = ray.data.read_json(paths, **read_kwargs)
         return ds.select_columns(cols)

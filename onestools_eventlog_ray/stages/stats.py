@@ -17,13 +17,19 @@ import ray.data
 
 
 def partial_stats(batch: pa.Table) -> pa.Table:
-    """docstore batch -> one partial row (count, tokens, max id, sha xor)."""
+    """docstore batch -> one partial row (count, tokens, max id, sha xor).
+
+    Uses the SAME vectorized doc_id-mixed rollup (``hashing.rollup_acc``)
+    as the build-time sinks (``stages/normalize.py`` / ``stages/exchange.py``)
+    so a fingerprint recomputed from the docstore after a lost stats
+    manifest matches the one the build recorded — resume stays valid.
+    """
+    from onestools_eventlog_ray.functions.hashing import rollup_acc
+
     n = batch.num_rows
     n_tokens = batch["n_tokens"].to_numpy(zero_copy_only=False)
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    acc = 0
-    for h in batch["content_sha256"].to_pylist():
-        acc ^= int(h[:16], 16)
+    acc = rollup_acc(batch["content_sha256"], doc_ids)
     return pa.table({
         "n_docs": pa.array([n], pa.int64()),
         "total_tokens": pa.array([int(n_tokens.sum())], pa.int64()),

@@ -74,6 +74,21 @@ def test_changed_corpus_invalidates(tmp_path):
     assert r2["resumed_partitions"] == 0
 
 
+def test_lost_stats_manifest_recovers_same_fingerprint(tmp_path, small_corpus_dir):
+    """Losing stats.json (but keeping the docstore) must recompute the SAME
+    doc_id-mixed rollup fingerprint the build recorded — so the partition
+    records stay valid and nothing is rebuilt — and re-persist the manifest."""
+    index_dir = str(tmp_path / "idx")
+    r1 = build_index(small_corpus_dir, index_dir, cfg=CFG)
+    os.remove(ckpt.stats_path(index_dir))
+
+    r2 = build_index(small_corpus_dir, index_dir, cfg=CFG)
+    assert r2["fingerprint"] == r1["fingerprint"]
+    assert r2["resumed_partitions"] == CFG.num_partitions
+    # manifest was re-persisted by the recovery path
+    assert ckpt.read_stats(index_dir)["fingerprint"] == r1["fingerprint"]
+
+
 def test_interrupted_docstore_pass_leaves_no_duplicates(tmp_path, small_corpus_dir):
     """A crash mid-pass-A leaves part files but no _DOCSTORE_DONE marker;
     the rerun must wipe them (else the docstore holds duplicate docs and

@@ -1,0 +1,122 @@
+"""Round-4 additions: Bloom semi-join (driver-memory-bounded verified
+pairs), adaptive salt ranges, stats-fold vectorization."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray
+import ray.data
+
+from onestools_eventlog_ray.functions.bloom import (Bloom, bloom_from_dataset,
+                                                    membership_mask)
+from onestools_eventlog_ray.pipelines import dedup as dedup_mod
+from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+
+
+# ---------------------------------------------------------------------------
+# Bloom primitive
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_low_fp():
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 1 << 62, size=20_000, dtype=np.int64)
+    b = Bloom.sized_for(keys.size)
+    b.add(keys)
+    assert b.contains(keys).all()                       # no false negatives
+    probe = rng.integers(0, 1 << 62, size=50_000, dtype=np.int64)
+    probe = probe[~np.isin(probe, keys)]
+    fp = b.contains(probe).mean()
+    assert fp < 0.01, fp                                # 16 bits/key, k=8
+
+    # membership_mask dispatches on type
+    assert membership_mask(b, keys[:5]).all()
+    assert membership_mask(np.sort(keys), keys[:5]).all()
+
+
+def test_bloom_from_dataset_matches_direct_add(ray_session):
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 1 << 62, size=5_000, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": keys})).repartition(8)
+    b = bloom_from_dataset(ds, "k", keys.size)
+    direct = Bloom.empty(b.m_bits, b.k)
+    direct.add(keys)
+    assert np.array_equal(b.words, direct.words)
+    assert b.contains(keys).all()
+
+
+# ---------------------------------------------------------------------------
+# verified pairs: nothing O(candidates) crosses the driver
+# ---------------------------------------------------------------------------
+
+def _dup_corpus(tmp_path, n_docs: int, name: str) -> str:
+    """Corpus where every doc has an exact duplicate -> every doc is an
+    LSH candidate (worst case for driver candidate materialization)."""
+    base = [f"alpha beta gamma delta epsilon zeta eta theta doc{i} "
+            f"iota kappa lambda mu nu xi omicron pi rho sigma"
+            for i in range(n_docs // 2)]
+    texts = base + base
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    p = str(tmp_path / f"{name}.parquet")
+    pq.write_table(t, p)
+    return p
+
+
+def test_verified_pairs_driver_broadcast_is_fixed_size(
+        ray_session, tmp_path, monkeypatch):
+    put_objs = []
+    real_put = ray.put
+
+    def recording_put(obj, *a, **kw):
+        put_objs.append(obj)
+        return real_put(obj, *a, **kw)
+
+    monkeypatch.setattr(dedup_mod.ray, "put", recording_put)
+
+    sizes = {}
+    for n in (80, 240):
+        put_objs.clear()
+        path = _dup_corpus(tmp_path, n, f"c{n}")
+        ds = ray.data.read_parquet(path)
+        pairs = dedup_mod.minhash_verified_pairs(
+            ds, DOCUMENTS_SPEC, min_jaccard=0.9).to_pandas()
+        # every base doc pairs with its duplicate at jaccard 1.0
+        assert len(pairs) >= n // 2
+        blooms = [o for o in put_objs if isinstance(o, Bloom)]
+        assert len(blooms) == 2, [type(o) for o in put_objs]
+        # NO raw id arrays broadcast, only the two Bloom summaries
+        assert not any(isinstance(o, np.ndarray) for o in put_objs)
+        sizes[n] = sum(b.nbytes for b in blooms)
+    # 16 bits/key until the hard cap — 4x below a raw int64 broadcast
+    # here, O(1) asymptotically (sized_for caps at MAX_BITS)
+    from onestools_eventlog_ray.functions.bloom import MAX_BITS
+    assert all(s <= 2 * MAX_BITS // 8 for s in sizes.values()), sizes
+    assert sizes[240] <= 2 * sizes[80], sizes       # sublinear in corpus
+    assert Bloom.sized_for(10**12).m_bits == MAX_BITS   # bounded forever
+
+
+def test_verified_pairs_values_exact_on_known_dups(ray_session, tmp_path):
+    """3x duplicated doc -> all 3 pairs at jaccard_e6 == 1_000_000."""
+    texts = ["one two three four five six seven eight nine ten"] * 3 + \
+            ["completely different words here about another topic entirely"]
+    t = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    p = str(tmp_path / "tri.parquet")
+    pq.write_table(t, p)
+    pairs = dedup_mod.minhash_verified_pairs(
+        ray.data.read_parquet(p), DOCUMENTS_SPEC, min_jaccard=0.5).to_pandas()
+    got = {(a, b): j for a, b, j in
+           zip(pairs["doc_a"], pairs["doc_b"], pairs["jaccard_e6"])}
+    assert got == {(0, 1): 1_000_000, (0, 2): 1_000_000, (1, 2): 1_000_000}

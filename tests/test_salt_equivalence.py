@@ -51,6 +51,29 @@ def test_salted_postings_identical(two_builds):
         assert pp[term] == sp[term], term
 
 
+def test_pick_salt_ranges_floor_scale_cap():
+    from onestools_eventlog_ray.stages.exchange import pick_salt_ranges
+    cfg = EngineConfig()   # salt_ranges=4 floor, salt_target_run=100k, max 64
+    assert pick_salt_ranges(cfg, None) == cfg.salt_ranges
+    assert pick_salt_ranges(cfg, 10_000) == cfg.salt_ranges       # floor
+    assert pick_salt_ranges(cfg, 500_000) == 8                    # ceil(5)->8
+    assert pick_salt_ranges(cfg, 3_000_000) == 32
+    assert pick_salt_ranges(cfg, 100_000_000) == 64               # cap
+    assert pick_salt_ranges(EngineConfig(salt_ranges=1), 10**9) == 1  # disabled
+
+
+def test_auto_salt_ranges_single_pass_equivalent(tmp_path, small_corpus_dir):
+    """Single-pass build with a widened auto fan-out (tiny salt_target_run
+    forces S up to max_salts on the 400-doc corpus) must produce
+    byte-identical postings to the default-S build."""
+    base_dir, auto_dir = str(tmp_path / "base"), str(tmp_path / "auto")
+    build_index(small_corpus_dir, base_dir, cfg=CFG)
+    cfg2 = EngineConfig(num_partitions=8, salt_target_run=20, max_salts=16)
+    r = build_index(small_corpus_dir, auto_dir, cfg=cfg2)
+    assert r["single_pass"] and r["salt_ranges"] == 16
+    assert _load_all_postings(base_dir) == _load_all_postings(auto_dir)
+
+
 def test_salted_query_results_identical(two_builds, small_corpus):
     plain, salted = two_builds
     ep, es = SearchEngine(plain), SearchEngine(salted)
