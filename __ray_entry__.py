@@ -641,6 +641,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["event_type", "ts"])
         return relational.events_by_localdate(ds, tz_offset_s=3 * 3600)
 
+    def events_by_localdate_dst(sf_dir):
+        """DST-correct local-date bucketing for a real IANA zone: the
+        zone's transition table is the broadcast small side, one
+        searchsorted per batch picks each row's offset
+        (relational.events_by_localdate_tz)."""
+        import ray.data
+        ds = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_type", "ts"])
+        return relational.events_by_localdate_tz(ds, zone="America/New_York")
+
     def kmeans_step(sf_dir):
         """One exact-fixed-point Lloyd iteration seeded from the first 8
         vectors (deterministic init -> bit-reproducible vs the oracle)."""
@@ -2214,6 +2224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": value_histogram,
         "json_field_stats": json_field_stats,
         "events_by_localdate": events_by_localdate,
+        "events_by_localdate_dst": events_by_localdate_dst,
         "kmeans_step": kmeans_step,
         "interval_join_counts": interval_join_counts,
         "bigram_topk": bigram_topk,
@@ -3250,6 +3261,13 @@ SELECT event_type,
        CAST(DATE '1970-01-01'
             + CAST((epoch_us(ts) + 10800000000) // 86400000000 AS INTEGER)
             AS VARCHAR) AS local_date,
+       count(*) AS n
+FROM events GROUP BY ALL""",
+
+        "events_by_localdate_dst": """
+SELECT event_type,
+       CAST(CAST(((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York')
+                 AS DATE) AS VARCHAR) AS local_date,
        count(*) AS n
 FROM events GROUP BY ALL""",
 

@@ -599,9 +599,129 @@ def simhash_signatures(ds: ray.data.Dataset,
                           fn_kwargs=dict(spec=spec))
 
 
+#: above this many verified pairs the component step switches from
+#: driver union-find (O(pairs) driver memory) to the distributed
+#: min-label propagation below.
+DRIVER_UNION_FIND_MAX_PAIRS = 2_000_000
+
+
+def _components_distributed(edges: ray.data.Dataset,
+                            max_rounds: int = 64) -> pa.Table:
+    """Connected components over an edge Dataset (``doc_a``/``doc_b``)
+    by iterative min-label propagation — the documented scale path of
+    :func:`dedup_clusters` for pair graphs too big for one process.
+
+    Each round shuffles only narrow (node, label) int64 rows:
+
+        msgs  = co-group(edges ∪ labels on endpoint):
+                every edge endpoint receives its neighbor's current label
+        label = groupby(node).min(label, msgs)
+
+    Labels are initialized to the node id and only ever DECREASE, so
+    ``sum(labels)`` is a monotone convergence witness: a round that
+    leaves the sum unchanged changed nothing (one driver scalar per
+    round, never the labels themselves).  Converges in O(diameter)
+    rounds; near-dup components are overwhelmingly dense (dup families),
+    so the practical round count is 2-4.  Returns (doc_id, rep_id).
+    """
+    edges = edges.select_columns(["doc_a", "doc_b"]).materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        n = np.unique(np.concatenate([
+            t["doc_a"].to_numpy(zero_copy_only=False),
+            t["doc_b"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"node": pa.array(n, pa.int64()),
+                         "label": pa.array(n, pa.int64())})
+
+    labels = edges.map_batches(init_labels, batch_format="pyarrow") \
+        .groupby("node").aggregate(Min("label", alias_name="label")) \
+        .materialize()
+
+    def half_edges(t: pa.Table, *, src: str, dst: str) -> pa.Table:
+        # tag 0: edge rows keyed by src endpoint, carrying the dst node
+        return pa.table({"key": t[src], "other": t[dst],
+                         "label": pa.nulls(t.num_rows, pa.int64())})
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        # tag 1: label rows keyed by node (other = null)
+        return pa.table({"key": t["node"],
+                         "other": pa.nulls(t.num_rows, pa.int64()),
+                         "label": t["label"]})
+
+    def propagate(group: pa.Table) -> pa.Table:
+        lab = group["label"].drop_null()
+        if len(lab) == 0:        # defensive: endpoint missing a label row
+            return pa.schema([("node", pa.int64()),
+                              ("label", pa.int64())]).empty_table()
+        lab_v = pc.min(lab).as_py()
+        others = group["other"].drop_null()
+        key = group["key"][:1]
+        nodes = pa.concat_arrays([others.combine_chunks(),
+                                  key.combine_chunks()])
+        return pa.table({
+            "node": nodes,
+            "label": pa.array(np.full(len(nodes), lab_v, dtype=np.int64)),
+        })
+
+    def witness_partial(t: pa.Table) -> pa.Table:
+        # labels only DECREASE, so an unchanged label multiset between
+        # rounds means convergence.  doc_ids are 63-bit, so a single
+        # int64 sum wraps — use a dual witness (wrapping xor-mix +
+        # float64 sum + count); a change escaping BOTH is ~2^-64.
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        node = t["node"].to_numpy(zero_copy_only=False)
+        # mix the NODE into each contribution: without it, an even number
+        # of nodes making the same L1->L2 move xor-cancels (structured,
+        # realistic inside one component); with it, cancellation needs an
+        # xor of distinct hashed 64-bit values to hit zero (~2^-64)
+        mixed = (lab.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 ^ node.view(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+        mixed ^= mixed >> np.uint64(29)
+        mixed *= np.uint64(0xBF58476D1CE4E5B9)
+        return pa.table({
+            "x": pa.array([np.int64(np.bitwise_xor.reduce(mixed)
+                                    .view(np.int64)) if lab.size else 0],
+                          pa.int64()),
+            "f": pa.array([float(lab.astype(np.float64).sum())], pa.float64()),
+            "n": pa.array([lab.size], pa.int64()),
+        })
+
+    def witness(lbl_ds) -> tuple:
+        rows = lbl_ds.map_batches(witness_partial,
+                                  batch_format="pyarrow").take_all()
+        x = 0
+        for r in rows:
+            x ^= int(r["x"])
+        return (x, sum(float(r["f"]) for r in rows),
+                sum(int(r["n"]) for r in rows))
+
+    prev = None
+    for _ in range(max_rounds):
+        tagged = edges.map_batches(half_edges, batch_format="pyarrow",
+                                   fn_kwargs=dict(src="doc_a", dst="doc_b")) \
+            .union(edges.map_batches(half_edges, batch_format="pyarrow",
+                                     fn_kwargs=dict(src="doc_b", dst="doc_a"))) \
+            .union(labels.map_batches(label_rows, batch_format="pyarrow"))
+        labels = tagged.groupby("key") \
+            .map_groups(propagate, batch_format="pyarrow") \
+            .groupby("node").aggregate(Min("label", alias_name="label")) \
+            .materialize()
+        w = witness(labels)
+        if w == prev:
+            break
+        prev = w
+    else:
+        raise RuntimeError(f"components did not converge in {max_rounds} rounds")
+    parts = [t for t in ray.get(labels.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables(parts).select(["node", "label"])
+    tbl = tbl.rename_columns(["doc_id", "rep_id"])
+    return tbl.sort_by("doc_id")
+
+
 def dedup_clusters(ds: ray.data.Dataset,
                    spec: CorpusSpec = DOCUMENTS_SPEC,
                    min_jaccard: float = 0.5,
+                   impl: str = "auto",
                    **minhash_kwargs) -> pa.Table:
     """Near-duplicate CLUSTERS: connected components over the verified
     pair graph -> (doc_id, rep_id) for every doc in a component, where
@@ -612,14 +732,22 @@ def dedup_clusters(ds: ray.data.Dataset,
 
     Scale shape: the expensive half (candidate mining + exact verify) is
     the fully distributed :func:`minhash_verified_pairs`; the component
-    step runs union-find on the DRIVER over the pair list alone, which
-    is O(near-duplicate pairs) — orders of magnitude smaller than the
-    corpus (nodes are bounded by 2x pairs, never by N).  For a
-    pathological graph too big for one process, the same result is
-    reachable with O(diameter) iterative min-label groupby passes over
-    the edge Dataset; the pair table stays the only shuffled state."""
-    pairs = minhash_verified_pairs(ds, spec, min_jaccard=min_jaccard,
-                                   **minhash_kwargs).to_pandas()
+    step picks its engine by pair count (``impl='auto'``): below
+    :data:`DRIVER_UNION_FIND_MAX_PAIRS` it runs union-find on the DRIVER
+    over the pair list alone — O(near-duplicate pairs), orders of
+    magnitude smaller than the corpus — and above it it switches to
+    :func:`_components_distributed`, O(diameter) min-label groupby
+    passes over the edge Dataset where only narrow (node, label) rows
+    ever shuffle.  ``impl='driver'``/``'distributed'`` force a path
+    (equivalence asserted in tests/test_round4.py)."""
+    pairs_ds = minhash_verified_pairs(ds, spec, min_jaccard=min_jaccard,
+                                      **minhash_kwargs).materialize()
+    if impl not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown impl {impl!r}")
+    if impl == "distributed" or (impl == "auto" and
+                                 pairs_ds.count() > DRIVER_UNION_FIND_MAX_PAIRS):
+        return _components_distributed(pairs_ds)
+    pairs = pairs_ds.to_pandas()
     a = pairs["doc_a"].to_numpy().astype(np.int64)
     b = pairs["doc_b"].to_numpy().astype(np.int64)
 

@@ -102,6 +102,112 @@ def test_verified_pairs_driver_broadcast_is_fixed_size(
     assert Bloom.sized_for(10**12).m_bits == MAX_BITS   # bounded forever
 
 
+# ---------------------------------------------------------------------------
+# distributed connected components == driver union-find
+# ---------------------------------------------------------------------------
+
+def test_components_distributed_matches_union_find(ray_session):
+    """Planted graph: a 7-node chain (stresses O(diameter) rounds), a
+    5-node star, one isolated pair, with big 63-bit-ish node ids."""
+    B = 1 << 60
+    chain = [(B + i, B + i + 1) for i in range(6)]
+    star = [(7 * B, 7 * B + j) for j in (3, 9, 27, 81)]
+    pair = [(5 * B + 123, 5 * B + 7)]
+    edges = chain + star + pair
+    t = pa.table({"doc_a": pa.array([a for a, _ in edges], pa.int64()),
+                  "doc_b": pa.array([b for _, b in edges], pa.int64())})
+    got = dedup_mod._components_distributed(
+        ray.data.from_arrow(t)).to_pandas()
+
+    # reference: driver union-find semantics (rep = component min)
+    comp = {}
+    for a, b in edges:
+        ca = comp.get(a, {a})
+        cb = comp.get(b, {b})
+        merged = ca | cb
+        for x in merged:
+            comp[x] = merged
+    want = sorted((x, min(c)) for x, c in comp.items())
+    assert list(map(tuple, got[["doc_id", "rep_id"]].itertuples(index=False))) \
+        == want
+
+
+def test_dedup_clusters_impls_agree(ray_session, tmp_path):
+    path = _dup_corpus(tmp_path, 60, "cc")
+    ds = ray.data.read_parquet(path)
+    drv = dedup_mod.dedup_clusters(ds, DOCUMENTS_SPEC, impl="driver").to_pandas()
+    ds2 = ray.data.read_parquet(path)
+    dist = dedup_mod.dedup_clusters(ds2, DOCUMENTS_SPEC,
+                                    impl="distributed").to_pandas()
+    assert drv.sort_values("doc_id").reset_index(drop=True).equals(
+        dist.sort_values("doc_id").reset_index(drop=True))
+    assert len(drv) == 60          # every doc has a duplicate
+
+
+# ---------------------------------------------------------------------------
+# DST-correct local dates
+# ---------------------------------------------------------------------------
+
+def test_events_by_localdate_tz_across_dst_boundary(ray_session):
+    """Planted instants straddling the 2024 US spring-forward and
+    fall-back: the DST-aware bucketing must match DuckDB AT TIME ZONE
+    exactly, and must DIFFER from any fixed-offset variant."""
+    import duckdb
+    from onestools_eventlog_ray.pipelines import relational
+
+    iso = ["2024-03-10 06:59:59", "2024-03-10 07:00:00",   # spring forward
+           "2024-11-03 05:59:59", "2024-11-03 06:00:00",   # fall back
+           "2024-03-10 04:30:00", "2024-07-01 04:30:00",
+           "2024-01-15 04:59:00"]
+    ts = pa.array([np.datetime64(s.replace(" ", "T"), "us") for s in iso],
+                  pa.timestamp("us"))
+    t = pa.table({"event_type": pa.array(["e"] * len(iso)), "ts": ts})
+
+    got = relational.events_by_localdate_tz(
+        ray.data.from_arrow(t), zone="America/New_York").to_pandas()
+    got = got.sort_values(["event_type", "local_date"]).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.sql("""
+        SELECT event_type,
+               CAST(CAST(((ts AT TIME ZONE 'UTC')
+                          AT TIME ZONE 'America/New_York') AS DATE)
+                    AS VARCHAR) AS local_date,
+               count(*) AS n
+        FROM events GROUP BY ALL ORDER BY event_type, local_date""").df()
+    assert got.equals(want), (got, want)
+
+    # no single fixed offset reproduces this (-5h flips the 2024-07-01
+    # 04:30 UTC row to June 30; -4h flips the 2024-01-15 04:59 UTC row
+    # to Jan 15)
+    for off in (-5 * 3600, -4 * 3600):
+        fixed = relational.events_by_localdate(
+            ray.data.from_arrow(t), tz_offset_s=off).to_pandas()
+        fixed = fixed.sort_values(["event_type", "local_date"]) \
+                     .reset_index(drop=True)
+        assert not fixed.equals(want), off
+
+
+def test_zone_transitions_match_zoneinfo_pointwise():
+    from datetime import datetime, timezone
+    from zoneinfo import ZoneInfo
+    from onestools_eventlog_ray.pipelines.relational import zone_transitions
+
+    trans = zone_transitions("Europe/Berlin", 2020, 2026)
+    trans_us = np.asarray([t for t, _ in trans], dtype=np.int64)
+    offs = np.asarray([o for _, o in trans], dtype=np.int64)
+    tz = ZoneInfo("Europe/Berlin")
+    rng = np.random.default_rng(3)
+    secs = rng.integers(int(datetime(2020, 6, 1, tzinfo=timezone.utc).timestamp()),
+                        int(datetime(2025, 6, 1, tzinfo=timezone.utc).timestamp()),
+                        size=500)
+    for s in secs.tolist():
+        i = np.searchsorted(trans_us, s * 1_000_000, side="right") - 1
+        want = int(datetime.fromtimestamp(s, tz).utcoffset().total_seconds())
+        assert offs[i] == want, s
+
+
 def test_verified_pairs_values_exact_on_known_dups(ray_session, tmp_path):
     """3x duplicated doc -> all 3 pairs at jaccard_e6 == 1_000_000."""
     texts = ["one two three four five six seven eight nine ten"] * 3 + \
