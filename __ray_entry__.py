@@ -641,6 +641,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["event_type", "ts"])
         return relational.events_by_localdate(ds, tz_offset_s=3 * 3600)
 
+    def json_flatten_paths(sf_dir):
+        """Recursive JSON flatten (relational.json_flatten) over a nested
+        document DERIVED from event columns (the testdata props are flat;
+        the derived doc nests an object inside an array inside an object,
+        depth 4).  Aggregated per JSONPath; the oracle re-flattens with a
+        recursive CTE over json_keys/json_extract."""
+        import pyarrow.compute as pc
+        import ray.data
+        ds = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                      columns=["event_id", "user_id", "event_type", "props"])
+
+        def nest(batch):
+            k = pc.struct_field(
+                pc.extract_regex(batch["props"], r'"k": (?P<k>[0-9]+)'), "k")
+            u = pc.cast(batch["user_id"], pa.string())
+            u7 = pc.cast(pc.subtract(
+                batch["user_id"],
+                pc.multiply(pc.divide(batch["user_id"], 7), 7)), pa.string())
+            j = pc.binary_join_element_wise(
+                '{"u": ', u, ', "m": {"k": ', k, ', "arr": [', u7,
+                ', {"deep": "', batch["event_type"],
+                '"}]}, "t": null}', "")
+            return pa.table({"event_id": batch["event_id"], "doc": j})
+
+        from ray.data.aggregate import Count, Max, Min, Sum
+        flat = relational.json_flatten(
+            ds.map_batches(nest, batch_format="pyarrow"),
+            col="doc", id_col="event_id")
+        per_val = flat.groupby(["path", "value"]).aggregate(
+            Count(alias_name="c"))
+        return per_val.groupby("path").aggregate(
+            Sum("c", alias_name="n"),
+            Count(alias_name="n_distinct"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"))
+
     def events_by_localdate_dst(sf_dir):
         """DST-correct local-date bucketing for a real IANA zone: the
         zone's transition table is the broadcast small side, one
@@ -2225,6 +2261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_field_stats": json_field_stats,
         "events_by_localdate": events_by_localdate,
         "events_by_localdate_dst": events_by_localdate_dst,
+        "json_flatten_paths": json_flatten_paths,
         "kmeans_step": kmeans_step,
         "interval_join_counts": interval_join_counts,
         "bigram_topk": bigram_topk,
@@ -3263,6 +3300,35 @@ SELECT event_type,
             AS VARCHAR) AS local_date,
        count(*) AS n
 FROM events GROUP BY ALL""",
+
+        "json_flatten_paths": """
+WITH RECURSIVE
+docs AS (
+  SELECT event_id,
+         '{"u": ' || user_id || ', "m": {"k": '
+         || regexp_extract(props, '"k": ([0-9]+)', 1)
+         || ', "arr": [' || (user_id - (user_id // 7) * 7)
+         || ', {"deep": "' || event_type || '"}]}, "t": null}' AS doc
+  FROM events),
+walk(event_id, path, j) AS (
+  SELECT event_id, '$', doc::JSON FROM docs
+  UNION ALL
+  (
+    SELECT event_id, path || '.' || key, json_extract(j, '$.' || key)
+    FROM (SELECT event_id, path, j, unnest(json_keys(j)) AS key FROM walk
+          WHERE json_type(j) = 'OBJECT')
+    UNION ALL
+    SELECT w.event_id, w.path || '[' || i || ']',
+           json_extract(w.j, '$[' || i || ']')
+    FROM walk w, range(0, 64) r(i)
+    WHERE json_type(w.j) = 'ARRAY' AND i < json_array_length(w.j)
+  )
+)
+SELECT path, count(*) AS n, count(DISTINCT CAST(j AS VARCHAR)) AS n_distinct,
+       min(CAST(j AS VARCHAR)) AS min_value,
+       max(CAST(j AS VARCHAR)) AS max_value
+FROM walk WHERE json_type(j) NOT IN ('OBJECT','ARRAY')
+GROUP BY path""",
 
         "events_by_localdate_dst": """
 SELECT event_type,

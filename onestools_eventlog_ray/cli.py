@@ -85,6 +85,16 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--max-parallel", type=int, default=1,
                    help="concurrent corpus builds per sync round")
 
+    wt = sub.add_parser("watch", help="watch a corpus dir, auto-index new "
+                                      "parquet files as generations")
+    wt.add_argument("--corpus", required=True, help="corpus directory")
+    wt.add_argument("--index-root", required=True)
+    wt.add_argument("--once", action="store_true")
+    wt.add_argument("--interval", type=float, default=5.0)
+    wt.add_argument("--rounds", type=int, default=None)
+    wt.add_argument("--config", default=None)
+    wt.add_argument("--spec", choices=sorted(SPECS), default="code")
+
     st = sub.add_parser("stats", help="print an index's stats manifest")
     st.add_argument("--index", required=True)
 
@@ -200,6 +210,18 @@ def main(argv: list[str] | None = None) -> int:
             rep = add_generation(args.corpus, args.index_root,
                                  spec=SPECS[args.spec], cfg=_load_cfg(args.config))
             print(json.dumps(rep))
+        elif args.cmd == "watch":
+            from onestools_eventlog_ray.pipelines.incremental import \
+                CorpusWatcher
+            w = CorpusWatcher(args.corpus, args.index_root,
+                              spec=SPECS[args.spec],
+                              cfg=_load_cfg(args.config))
+            if args.once:
+                print(json.dumps(w.sync()))
+            else:
+                for rep in w.watch(interval_s=args.interval,
+                                   max_rounds=args.rounds):
+                    print(json.dumps(rep))
         elif args.cmd == "compact":
             from onestools_eventlog_ray.pipelines.incremental import \
                 compact_generations

@@ -74,6 +74,112 @@ def add_generation(corpus_paths, index_root: str,
     return report
 
 
+class CorpusWatcher:
+    """Event-driven continuous ingestion — closes the reference's live
+    tailing surface (SURVEY.md §2.10 W1,
+    ``/root/reference/OneSTools.EventLog/EventLogReader.cs:156-173``: a
+    FileSystemWatcher wakes the reader when new LGP files appear).  The
+    engine's analog watches a corpus DIRECTORY and indexes every new
+    parquet partition file as the next generation automatically:
+
+        w = CorpusWatcher(corpus_dir, index_root)
+        w.sync()              # one round: new files -> add_generation
+        w.watch(interval_s=5) # poll loop (the wakeup signal)
+
+    Exactly-once per file: the per-file signature set (name, size,
+    mtime) is persisted ATOMICALLY to ``<index_root>/watch_state.json``
+    only AFTER a generation build succeeds, so a crash mid-build leaves
+    the files pending and the next sync resumes the same (incomplete)
+    generation via its partition manifest (:func:`add_generation`'s
+    resume rule).  Partition files are append-only by contract — a file
+    whose size/mtime CHANGES after being indexed would silently
+    duplicate its old documents, so it raises by default
+    (``on_modified='error'``); ``'ignore'`` skips it with a report note.
+    """
+
+    def __init__(self, corpus_dir: str, index_root: str,
+                 spec: CorpusSpec = CODE_CORPUS_SPEC,
+                 cfg: EngineConfig = EngineConfig(),
+                 on_modified: str = "error"):
+        if on_modified not in ("error", "ignore"):
+            raise ValueError(f"unknown on_modified {on_modified!r}")
+        self.corpus_dir = corpus_dir
+        self.index_root = index_root
+        self.spec = spec
+        self.cfg = cfg
+        self.on_modified = on_modified
+        self._state_path = os.path.join(index_root, "watch_state.json")
+
+    # -- state ------------------------------------------------------------
+    def _read_state(self) -> dict:
+        import json
+        try:
+            with open(self._state_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"files": {}}
+
+    def _file_sig(self, path: str) -> str:
+        st = os.stat(path)
+        return f"{st.st_size}:{st.st_mtime_ns}"
+
+    def pending(self) -> tuple[list[str], list[str]]:
+        """-> (new files to index, already-indexed files that changed)."""
+        state = self._read_state()["files"]
+        new, modified = [], []
+        for name in sorted(os.listdir(self.corpus_dir)):
+            if not name.endswith((".parquet", ".pq")):
+                continue
+            p = os.path.join(self.corpus_dir, name)
+            sig = self._file_sig(p)
+            if name not in state:
+                new.append(p)
+            elif state[name] != sig:
+                modified.append(p)
+        return new, modified
+
+    # -- rounds -----------------------------------------------------------
+    def sync(self) -> dict:
+        """One reconciliation round; builds at most one new generation."""
+        import json
+        from onestools_eventlog_ray.state.checkpoint import atomic_write_text
+        new, modified = self.pending()
+        if modified and self.on_modified == "error":
+            raise ValueError(
+                f"already-indexed corpus files changed in place: "
+                f"{[os.path.basename(p) for p in modified]} — partition "
+                "files are append-only; write new files instead")
+        if not new:
+            return {"generation_dir": None, "indexed_files": [],
+                    "modified_ignored": [os.path.basename(p)
+                                         for p in modified]}
+        rep = add_generation(new, self.index_root,
+                             spec=self.spec, cfg=self.cfg)
+        state = self._read_state()
+        for p in new:
+            state["files"][os.path.basename(p)] = self._file_sig(p)
+        atomic_write_text(self._state_path, json.dumps(state, indent=1))
+        return {**rep,
+                "indexed_files": [os.path.basename(p) for p in new],
+                "modified_ignored": [os.path.basename(p)
+                                     for p in modified]}
+
+    def watch(self, interval_s: float = 5.0,
+              max_rounds: int | None = None) -> list[dict]:
+        """Poll loop (the wakeup signal); returns the non-noop reports."""
+        import time
+        out = []
+        n = 0
+        while max_rounds is None or n < max_rounds:
+            rep = self.sync()
+            if rep.get("indexed_files"):
+                out.append(rep)
+            n += 1
+            if max_rounds is None or n < max_rounds:
+                time.sleep(interval_s)
+        return out
+
+
 def compact_generations(index_root: str, out_dir: str,
                         cfg: EngineConfig = EngineConfig()) -> dict:
     """Merge all generations into ONE fresh index (the ES force-merge

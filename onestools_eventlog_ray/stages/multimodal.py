@@ -1,12 +1,17 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
 Images / audio / video are carried as ``binary`` columns with a typed
-metadata struct, processed by actor-pool ``map_batches`` stages.  The
-pixel/sample DECODERS ARE STUBBED (no image/audio libraries exist in
-this container): ``FakeCodec`` produces a deterministic payload-derived
-"decode" so the Ray-side plumbing — schema, batch sizing, actor
-signature, output layout — is real and tested end-to-end; swapping in
-Pillow/torchaudio is a one-class change (``Codec`` protocol below).
+metadata struct, processed by actor-pool ``map_batches`` stages.  Two
+decoders ship behind the ``Codec`` protocol:
+
+- :class:`StructCodec` — a REAL pure-Python decoder (uncompressed
+  24-bit BMP images, 16-bit PCM WAV audio: full header parse +
+  pixel/sample decode), proving the seam with actual binary formats;
+- :class:`FakeCodec` — a deterministic payload-derived stand-in for
+  formats that need external libraries (JPEG/MP4/...; none exist in
+  this container), exactly reproducible by the DuckDB oracle.
+
+Swapping in Pillow/ffmpeg/torchaudio is a one-class change.
 
 Scale notes (the reason this is its own stage family):
 - binary payloads are LARGE; the stages run with explicit small
@@ -80,6 +85,122 @@ class FakeCodec:
                     "n_frames": 1 + int(rng[2] % 3000), "feature": feature}
         return {"width": -1, "height": -1,
                 "n_frames": 1 + int(rng[2] % 10_000), "feature": feature}
+
+
+class StructCodec:
+    """REAL pure-Python decoder proving the :class:`Codec` seam with
+    actual binary formats (no external libs needed): uncompressed
+    24-bit BMP for ``kind='image'`` and 16-bit PCM WAV for
+    ``kind='audio'`` — full header parse + pixel/sample decode into the
+    same FEATURE_SCHEMA the stub emits.  ``video`` has no pure-Python
+    container format in this environment and raises
+    ``NotImplementedError`` (use :class:`FakeCodec` for the video
+    plumbing lane).  Feature vector (8 x float32):
+
+        image: [mean_B, mean_G, mean_R, std_all, min_all, max_all,
+                width/4096, height/4096]           (channel means /255)
+        audio: [mean, rms, min, max, std, zero-cross rate,
+                n_samples/1e6, sample_rate/1e5]     (amplitudes /32768)
+    """
+
+    def decode(self, payload: bytes, kind: str) -> dict:
+        if kind == "image":
+            return self._decode_bmp(payload)
+        if kind == "audio":
+            return self._decode_wav(payload)
+        raise NotImplementedError(
+            "StructCodec decodes BMP images and PCM WAV audio only; "
+            f"kind={kind!r} needs a real media library")
+
+    @staticmethod
+    def _decode_bmp(b: bytes) -> dict:
+        import struct
+        if b[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        pix_off = struct.unpack_from("<I", b, 10)[0]
+        hdr_sz, w, h = struct.unpack_from("<Iii", b, 14)
+        planes, bpp = struct.unpack_from("<HH", b, 26)
+        comp = struct.unpack_from("<I", b, 30)[0]
+        if hdr_sz < 40 or bpp != 24 or comp != 0:
+            raise ValueError(f"unsupported BMP (bpp={bpp}, comp={comp})")
+        top_down = h < 0
+        h_abs = abs(h)
+        stride = (w * 3 + 3) & ~3            # rows padded to 4 bytes
+        rows = np.frombuffer(b, dtype=np.uint8, count=stride * h_abs,
+                             offset=pix_off).reshape(h_abs, stride)
+        px = rows[:, :w * 3].reshape(h_abs, w, 3)      # B, G, R
+        if not top_down:
+            px = px[::-1]
+        f = px.astype(np.float32) / np.float32(255.0)
+        feature = np.array([
+            f[..., 0].mean(), f[..., 1].mean(), f[..., 2].mean(),
+            f.std(), f.min(), f.max(), w / 4096.0, h_abs / 4096.0,
+        ], dtype=np.float32)
+        return {"width": int(w), "height": int(h_abs), "n_frames": 1,
+                "feature": feature, "pixels": px}
+
+    @staticmethod
+    def _decode_wav(b: bytes) -> dict:
+        import struct
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            raise ValueError("not a WAV payload")
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(b):
+            cid, sz = b[pos:pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+            if cid == b"fmt ":
+                fmt = struct.unpack_from("<HHIIHH", b, pos + 8)
+            elif cid == b"data":
+                data = b[pos + 8:pos + 8 + sz]
+            pos += 8 + sz + (sz & 1)         # chunks are word-aligned
+        if fmt is None or data is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        audio_fmt, n_ch, rate, _, _, bits = fmt
+        if audio_fmt != 1 or bits != 16:
+            raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+        samples = np.frombuffer(data, dtype="<i2")
+        n_frames = samples.size // n_ch
+        s = samples.astype(np.float32) / np.float32(32768.0)
+        zc = float(np.mean(np.signbit(s[1:]) != np.signbit(s[:-1]))) \
+            if s.size > 1 else 0.0
+        feature = np.array([
+            s.mean(), np.sqrt(np.mean(s * s)), s.min(), s.max(), s.std(),
+            zc, n_frames / 1e6, rate / 1e5,
+        ], dtype=np.float32)
+        return {"width": -1, "height": -1, "n_frames": int(n_frames),
+                "feature": feature, "samples": samples,
+                "sample_rate": int(rate), "n_channels": int(n_ch)}
+
+
+def make_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit BMP
+    (bottom-up, rows padded to 4 bytes) — the planted-payload writer for
+    the StructCodec tests; also a handy deterministic media synthesizer."""
+    import struct
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    bgr = pixels[::-1, :, ::-1]              # bottom-up, RGB -> BGR
+    pad = b"\x00" * (stride - w * 3)
+    for r in range(h):
+        body += bgr[r].tobytes() + pad
+    off = 14 + 40
+    hdr = (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                         2835, 2835, 0, 0))
+    return bytes(hdr + body)
+
+
+def make_wav(samples: np.ndarray, rate: int = 16_000,
+             n_channels: int = 1) -> bytes:
+    """Encode int16 samples as a PCM WAV container (StructCodec's test
+    counterpart for audio)."""
+    import struct
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_channels, rate,
+                      rate * n_channels * 2, n_channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
 
 
 class MediaFeatureExtractor:

@@ -208,6 +208,162 @@ def test_zone_transitions_match_zoneinfo_pointwise():
         assert offs[i] == want, s
 
 
+# ---------------------------------------------------------------------------
+# event-driven continuous ingestion (CorpusWatcher)
+# ---------------------------------------------------------------------------
+
+def test_corpus_watcher_end_to_end(ray_session, tmp_path, small_corpus):
+    """Drop a new parquet file -> next sync indexes it as a generation ->
+    search returns its docs -> compaction preserves rank identity."""
+    import pyarrow.parquet as pq
+    from onestools_eventlog_ray import synth
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.functions.hashing import doc_id_from_keys
+    from onestools_eventlog_ray.pipelines.build import build_index
+    from onestools_eventlog_ray.pipelines.incremental import (
+        CorpusWatcher, GenerationalSearchEngine, compact_generations,
+        list_generations)
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+
+    cfg = EngineConfig(num_partitions=8)
+    corpus_dir = tmp_path / "corpus"
+    corpus_dir.mkdir()
+    half = small_corpus.num_rows // 2
+    pq.write_table(small_corpus.slice(0, half), str(corpus_dir / "p0.parquet"))
+
+    w = CorpusWatcher(str(corpus_dir), str(tmp_path / "idx"), cfg=cfg)
+    r1 = w.sync()
+    assert r1["indexed_files"] == ["p0.parquet"]
+    assert len(list_generations(str(tmp_path / "idx"))) == 1
+    assert w.sync()["indexed_files"] == []          # noop round
+
+    # drop a new partition file -> next sync picks it up automatically
+    pq.write_table(small_corpus.slice(half), str(corpus_dir / "p1.parquet"))
+    r2 = w.sync()
+    assert r2["indexed_files"] == ["p1.parquet"]
+    assert r2["generation_dir"].endswith("gen-0001")
+
+    eng = GenerationalSearchEngine(str(tmp_path / "idx"))
+    new_ids = set(doc_id_from_keys(
+        small_corpus.slice(half)["repo"], small_corpus.slice(half)["path"],
+        small_corpus.slice(half)["commit"]).to_pylist())
+    hits = {d for d, _ in eng.search(["def", "import"], 50)}
+    assert hits & new_ids                           # new docs searchable
+
+    # modifying an indexed file in place is refused (append-only contract)
+    pq.write_table(small_corpus.slice(0, half + 3),
+                   str(corpus_dir / "p0.parquet"))
+    with pytest.raises(ValueError, match="append-only"):
+        w.sync()
+    pq.write_table(small_corpus.slice(0, half), str(corpus_dir / "p0.parquet"))
+
+    # compaction: rank identity with the generational engine
+    comp = compact_generations(str(tmp_path / "idx"),
+                               str(tmp_path / "compact"), cfg=cfg)
+    assert comp["n_generations"] == 2
+    ce = SearchEngine(str(tmp_path / "compact"))
+    for q in synth.reference_queries(small_corpus, n_queries=12):
+        assert [d for d, _ in ce.search(q["terms"], q["k"])] \
+            == [d for d, _ in eng.search(q["terms"], q["k"])], q
+
+
+# ---------------------------------------------------------------------------
+# recursive JSON flatten
+# ---------------------------------------------------------------------------
+
+def test_json_flatten_recursive_paths(ray_session):
+    from onestools_eventlog_ray.pipelines.relational import json_flatten
+    docs = [
+        '{"a": 1, "b": {"c": [2, {"d": "x"}, [3, 4]], "e": true}, "n": null}',
+        '"bare"',                       # scalar root
+        '{"empty_obj": {}, "empty_arr": []}',
+        'not json at all',              # malformed -> no rows
+        None,                           # NULL -> no rows
+        '[10, [20, [30]]]',             # array root, deep nesting
+    ]
+    t = pa.table({"event_id": pa.array(range(len(docs)), pa.int64()),
+                  "props": pa.array(docs, pa.string())})
+    out = json_flatten(ray.data.from_arrow(t)).to_pandas()
+    got = sorted(map(tuple, out.itertuples(index=False)))
+    assert got == sorted([
+        (0, "$.a", "1"), (0, "$.b.c[0]", "2"), (0, "$.b.c[1].d", '"x"'),
+        (0, "$.b.c[2][0]", "3"), (0, "$.b.c[2][1]", "4"),
+        (0, "$.b.e", "true"),
+        (1, "$", '"bare"'),
+        (5, "$[0]", "10"), (5, "$[1][0]", "20"), (5, "$[1][1][0]", "30"),
+    ])
+
+
+# ---------------------------------------------------------------------------
+# real multimodal decoders (BMP / WAV) behind the Codec protocol
+# ---------------------------------------------------------------------------
+
+def test_struct_codec_bmp_hand_computed():
+    from onestools_eventlog_ray.stages.multimodal import StructCodec, make_bmp
+    # 3x2 RGB: known pixels, width 3 not divisible by 4 -> row padding
+    px = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   [[0, 0, 0], [255, 255, 255], [128, 128, 128]]],
+                  dtype=np.uint8)
+    d = StructCodec().decode(make_bmp(px), "image")
+    assert (d["width"], d["height"], d["n_frames"]) == (3, 2, 1)
+    # decoded pixels round-trip exactly (BGR order, top-down)
+    assert np.array_equal(d["pixels"][..., ::-1], px)
+    f = d["feature"]
+    want_b = (0 + 0 + 255 + 0 + 255 + 128) / 6 / 255   # blue channel mean
+    assert abs(float(f[0]) - want_b) < 1e-6
+    assert float(f[4]) == 0.0 and float(f[5]) == 1.0
+
+
+def test_struct_codec_wav_hand_computed():
+    from onestools_eventlog_ray.stages.multimodal import StructCodec, make_wav
+    samples = np.array([0, 16384, -16384, 32767, -32768, 0, 8192, -8192],
+                       dtype=np.int16)
+    d = StructCodec().decode(make_wav(samples, rate=8000), "audio")
+    assert (d["width"], d["height"]) == (-1, -1)
+    assert d["n_frames"] == 8 and d["sample_rate"] == 8000
+    assert np.array_equal(d["samples"], samples)
+    f = d["feature"]
+    s = samples.astype(np.float64) / 32768.0
+    assert abs(float(f[1]) - np.sqrt((s * s).mean())) < 1e-6
+    assert abs(float(f[7]) - 0.08) < 1e-7                 # rate/1e5 (f32)
+
+    with pytest.raises(NotImplementedError):
+        StructCodec().decode(b"????", "video")
+
+
+def test_media_pipeline_with_real_codec(ray_session):
+    """media_features plumbing over planted BMP/WAV payloads with the
+    REAL decoder — dims/frames come from actual header+body parses."""
+    from onestools_eventlog_ray.stages.multimodal import (
+        StructCodec, extract_media_features, make_bmp, make_wav)
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(6):
+        if i % 2 == 0:
+            w, h = 5 + i, 3 + i
+            payload = make_bmp(rng.integers(0, 256, size=(h, w, 3),
+                                            dtype=np.uint8))
+            rows.append((i, "image", payload, w, h, 1))
+        else:
+            n = 100 + 7 * i
+            payload = make_wav(rng.integers(-3000, 3000, size=n,
+                                            dtype=np.int16))
+            rows.append((i, "audio", payload, -1, -1, n))
+    t = pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "kind": pa.array([r[1] for r in rows]),
+        "payload": pa.array([r[2] for r in rows], pa.large_binary()),
+        "source_path": pa.array([f"m/{r[0]}" for r in rows]),
+    })
+    out = extract_media_features(ray.data.from_arrow(t), batch_size=2,
+                                 codec_factory=StructCodec).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert list(out["width"]) == [r[3] for r in rows]
+    assert list(out["height"]) == [r[4] for r in rows]
+    assert list(out["n_frames"]) == [r[5] for r in rows]
+    assert "payload" not in out.columns            # dropped at the boundary
+
+
 def test_verified_pairs_values_exact_on_known_dups(ray_session, tmp_path):
     """3x duplicated doc -> all 3 pairs at jaccard_e6 == 1_000_000."""
     texts = ["one two three four five six seven eight nine ten"] * 3 + \
