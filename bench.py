@@ -281,8 +281,16 @@ def run_scaling() -> dict:
     # (measured 37k vs 68k files/s back-to-back), so paired sampling +
     # best-of is the only way a ratio of two runs means anything.
     trials = int(os.environ.get("OEL_SCALING_TRIALS", "3"))
+    # Level pair: default 8->32; OEL_SCALING_LEVELS="2,8" etc. measures
+    # any N-vs-4N pair (the north rule's criterion).  On this ONE shared
+    # box the memory system saturates above ~8-16 co-located workers
+    # (probe: per-doc CPU inflates up to 2.2x at 32), so low pairs
+    # (2->8, 4->16) are the truer proxy for N-node vs 4N-node clusters,
+    # where every node brings its own memory bus.
+    lo, hi = (int(x) for x in
+              os.environ.get("OEL_SCALING_LEVELS", "8,32").split(","))
     for _t in range(trials):
-        for ncpu in (8, 32):
+        for ncpu in (lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        OEL_BENCH_DOCS=scaling_docs)
             out = subprocess.run([sys.executable, __file__, "--build-only"],
@@ -293,9 +301,9 @@ def run_scaling() -> dict:
             best = results.get(ncpu)
             if best is None or r["files_per_sec"] > best["files_per_sec"]:
                 results[ncpu] = r
-    fps8 = results[8]["files_per_sec"]
-    fps32 = results[32]["files_per_sec"]
-    eff = (fps32 / fps8) / (32 / 8)
+    fps8 = results[lo]["files_per_sec"]
+    fps32 = results[hi]["files_per_sec"]
+    eff = (fps32 / fps8) / (hi / lo)
 
     # decomposition probe (tools/scaling_probe.py): separates the shared
     # host's memory-system contention (per-doc CPU inflation when 32
@@ -317,31 +325,33 @@ def run_scaling() -> dict:
     except Exception as e:                      # probe is evidence, not a gate
         probe = {"error": str(e)[:200]}
 
-    hw_cap = probe.get("hardware_efficiency_cap_8to32")
+    hw_cap = probe.get("hardware_efficiency_cap") \
+        or probe.get("hardware_efficiency_cap_8to32")
     # full-build CPU decomposition from the recorded per-stage worker-CPU:
-    # identical work at both levels, so cpu32/cpu8 is the full build's own
-    # contention inflation (the probe measures the map phase only)
-    cpu8 = results[8].get("queries_cpu_s", {}).get("index_build")
-    cpu32 = results[32].get("queries_cpu_s", {}).get("index_build")
+    # identical work at both levels, so cpu_hi/cpu_lo is the full build's
+    # own contention inflation (the probe measures the map phase only)
+    cpu8 = results[lo].get("queries_cpu_s", {}).get("index_build")
+    cpu32 = results[hi].get("queries_cpu_s", {}).get("index_build")
     build_infl = round(cpu32 / cpu8, 3) if cpu8 and cpu32 else None
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "files_per_sec_8": fps8,
-        "files_per_sec_32": fps32,
-        "build_sec_8": results[8]["queries"]["index_build"],
-        "build_sec_32": results[32]["queries"]["index_build"],
-        "n_docs": results[8]["n_docs"],
+        "levels": [lo, hi],
+        f"files_per_sec_{lo}": fps8,
+        f"files_per_sec_{hi}": fps32,
+        f"build_sec_{lo}": results[lo]["queries"]["index_build"],
+        f"build_sec_{hi}": results[hi]["queries"]["index_build"],
+        "n_docs": results[lo]["n_docs"],
         "sf": SF,
-        # hardware/software decomposition of the same 8->32 step
-        "hardware_efficiency_cap_8to32": hw_cap,
+        # hardware/software decomposition of the same lo->hi step
+        "hardware_efficiency_cap": hw_cap,
         "software_only_efficiency": round(eff / hw_cap, 3) if hw_cap else None,
         # same decomposition computed on the FULL build via the bench's
         # own worker-CPU channel (best-trial CPU at each level)
-        "build_cpu_s_8": cpu8,
-        "build_cpu_s_32": cpu32,
-        "build_cpu_inflation_32v8": build_infl,
+        f"build_cpu_s_{lo}": cpu8,
+        f"build_cpu_s_{hi}": cpu32,
+        "build_cpu_inflation": build_infl,
         "build_software_only_efficiency":
             round(eff * build_infl, 3) if build_infl else None,
         "probe": probe,

@@ -103,8 +103,10 @@ def main():
         return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     trials = int(os.environ.get("OEL_PROBE_TRIALS", "3"))
+    lo, hi = (int(x) for x in
+              os.environ.get("OEL_SCALING_LEVELS", "8,32").split(","))
     best: dict[int, dict] = {}
-    levels = (1, 8, 32)
+    levels = (1, lo, hi)
     for _t in range(trials):
         for k in levels:
             # per-doc CPU is scale-free: the (slow) solo level uses a
@@ -117,20 +119,23 @@ def main():
             r = json.loads(out.stdout.strip().splitlines()[-1])
             if k not in best or r["wall_s"] < best[k]["wall_s"]:
                 best[k] = r
-    infl = best[32]["per_doc_cpu_us"] / best[8]["per_doc_cpu_us"]
-    raw_eff = (best[8]["wall_s"] / best[32]["wall_s"]) / 4
+    infl = best[hi]["per_doc_cpu_us"] / best[lo]["per_doc_cpu_us"]
+    raw_eff = (best[lo]["wall_s"] / best[hi]["wall_s"]) / (hi / lo)
     print(json.dumps({
         "metric": "map_phase_scaling_decomposition",
         "n_docs": n_docs,
         "levels": {str(k): best[k] for k in levels},
+        "level_pair": [lo, hi],
         # per-doc CPU inflation = pure memory-system contention (the
         # kernels are single-threaded: CPU/wall ratio 1.0 measured solo)
-        "cpu_inflation_8v1": round(best[8]["per_doc_cpu_us"]
-                                   / best[1]["per_doc_cpu_us"], 3),
-        "cpu_inflation_32v8": round(infl, 3),
+        "cpu_inflation_lo_v1": round(best[lo]["per_doc_cpu_us"]
+                                     / best[1]["per_doc_cpu_us"], 3),
+        f"cpu_inflation_{hi}v{lo}": round(infl, 3),
         # even PERFECT software cannot beat this on one box: the same
-        # work costs infl x more CPU when 32 cores share the memory bus
-        "hardware_efficiency_cap_8to32": round(1.0 / infl, 3),
+        # work costs infl x more CPU when `hi` cores share the memory bus
+        "hardware_efficiency_cap": round(1.0 / infl, 3),
+        "hardware_efficiency_cap_8to32": round(1.0 / infl, 3)
+            if (lo, hi) == (8, 32) else None,       # legacy alias
         "raw_map_efficiency": round(raw_eff, 3),
         "sw_map_efficiency": round(raw_eff * infl, 3),
     }))
