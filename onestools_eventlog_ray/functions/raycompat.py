@@ -16,12 +16,17 @@ inside Ray's shuffle reduce tasks, out of any UDF's reach — at small
 scale (few groups, many partitions) every low-cardinality aggregate in
 the repo triggered it (round-2/round-3 judge item).
 
+A second producer of spurious warnings: fused ``Filter->Project``
+tasks pass FULLY-FILTERED (zero-row) blocks through with the
+un-projected schema, so `read -> filter(expr) -> select_columns`
+pipelines warn whenever any block filters to nothing.
+
 The shim wraps ``dedupe_schemas_with_validation`` with ONE extra rule:
-a ZERO-ROW bundle whose schema is empty adopts the operator's
-established schema silently (it carries no schema information to
-diverge with).  Genuine divergence — a non-empty bundle, or an empty
-bundle with a *conflicting* schema — still warns exactly as before;
-``tests/test_raycompat.py`` asserts both directions.
+a ZERO-ROW bundle adopts the operator's established schema silently (a
+bundle with no rows carries no data for its schema to describe — the
+behavior of later Ray releases).  Genuine divergence between non-empty
+bundles still warns exactly as before; ``tests/test_raycompat.py``
+asserts both directions.
 """
 
 from __future__ import annotations
@@ -42,8 +47,12 @@ def install() -> None:
 
     def dedupe_schemas_with_validation(old_schema, bundle, warn=True,
                                        enforce_schemas=False):
+        # A ZERO-ROW bundle carries no data: adopt the operator's
+        # established schema instead of flagging divergence.  Covers both
+        # Ray 2.49 sort-shuffle empties (zero-column blocks) and fused
+        # Filter->Project tasks that pass fully-filtered blocks through
+        # un-projected.  Divergence between NON-empty bundles still warns.
         if (not _is_empty_schema(old_schema)
-                and _is_empty_schema(bundle.schema)
                 and bundle.num_rows() == 0):
             return (
                 RefBundle(

@@ -1191,6 +1191,10 @@ def source_lang_cube(docs: ray.data.Dataset) -> ray.data.Dataset:
         .sort(["source", "lang"])
 
 
+_PROFILE_NONE_MIN = 1 << 62
+_PROFILE_NONE_MAX = -(1 << 62)
+
+
 def profile_table(ds: ray.data.Dataset, columns: list[str],
                   numeric_cols: tuple[str, ...] = ()) -> pa.Table:
     """Data-quality PROFILE: per column, row count, null count, EXACT
@@ -1216,18 +1220,23 @@ def profile_table(ds: ray.data.Dataset, columns: list[str],
             rows["column"].append(c)
             rows["n_p"].append(batch.num_rows)
             rows["null_p"].append(col.null_count)
+            # non-numeric / all-null partials use int SENTINELS instead of
+            # nulls: a null min_p would make Ray's Min aggregate emit a
+            # null-TYPED column for some output partitions (schema
+            # divergence warnings); sentinels keep every block int64 and
+            # are mapped back to NULL in the final table below
             if c in numeric_cols:
                 v = col.cast(pa.float64())
                 mn, mx = pc.min(v).as_py(), pc.max(v).as_py()
                 rows["min_p"].append(
-                    None if mn is None
+                    _PROFILE_NONE_MIN if mn is None
                     else int(np.floor(mn * 1_000_000 + 0.5)))
                 rows["max_p"].append(
-                    None if mx is None
+                    _PROFILE_NONE_MAX if mx is None
                     else int(np.floor(mx * 1_000_000 + 0.5)))
             else:
-                rows["min_p"].append(None)
-                rows["max_p"].append(None)
+                rows["min_p"].append(_PROFILE_NONE_MIN)
+                rows["max_p"].append(_PROFILE_NONE_MAX)
         return pa.table({
             "column": pa.array(rows["column"], pa.string()),
             "n_p": pa.array(rows["n_p"], pa.int64()),
@@ -1275,9 +1284,11 @@ def profile_table(ds: ray.data.Dataset, columns: list[str],
                             pa.int64()),
         "n_distinct": pa.array([n_dist.get(c, 0) for c in columns],
                                pa.int64()),
-        "min_e6": pa.array([by_col[c]["min_e6"] for c in columns],
+        "min_e6": pa.array([None if by_col[c]["min_e6"] == _PROFILE_NONE_MIN
+                            else by_col[c]["min_e6"] for c in columns],
                            pa.int64()),
-        "max_e6": pa.array([by_col[c]["max_e6"] for c in columns],
+        "max_e6": pa.array([None if by_col[c]["max_e6"] == _PROFILE_NONE_MAX
+                            else by_col[c]["max_e6"] for c in columns],
                            pa.int64()),
     })
 
