@@ -677,6 +677,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             Min("value", alias_name="min_value"),
             Max("value", alias_name="max_value"))
 
+    def pii_scrub_report(sf_dir):
+        """PII redaction audit (text.pii_scrub / pii_scrub_report):
+        per-source doc count, per-kind match totals, and an order-free
+        doc_id-keyed sha256 XOR digest of the SCRUBBED text — the oracle
+        nests the same RE2 replaces in the same order, so the redacted
+        BYTES are verified, not just the counts."""
+        return text.pii_scrub_report(_documents_ds(sf_dir))
+
     def events_by_localdate_dst(sf_dir):
         """DST-correct local-date bucketing for a real IANA zone: the
         zone's transition table is the broadcast small side, one
@@ -2261,6 +2269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_field_stats": json_field_stats,
         "events_by_localdate": events_by_localdate,
         "events_by_localdate_dst": events_by_localdate_dst,
+        "pii_scrub_report": pii_scrub_report,
         "json_flatten_paths": json_flatten_paths,
         "kmeans_step": kmeans_step,
         "interval_join_counts": interval_join_counts,
@@ -3329,6 +3338,28 @@ SELECT path, count(*) AS n, count(DISTINCT CAST(j AS VARCHAR)) AS n_distinct,
        max(CAST(j AS VARCHAR)) AS max_value
 FROM walk WHERE json_type(j) NOT IN ('OBJECT','ARRAY')
 GROUP BY path""",
+
+
+        "pii_scrub_report": """
+WITH s1 AS (SELECT doc_id, source,
+        len(regexp_extract_all(text, '[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}')) AS n_email,
+        regexp_replace(text, '[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS t FROM documents),
+s2 AS (SELECT doc_id, source, n_email,
+        len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
+        regexp_replace(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, source, n_email, n_ipv4,
+        len(regexp_extract_all(t, '\+[0-9][0-9 ()\-]{6,14}[0-9]')) AS n_phone,
+        regexp_replace(t, '\+[0-9][0-9 ()\-]{6,14}[0-9]', '<PHONE>', 'g') AS t FROM s2),
+h AS (SELECT source, n_email, n_ipv4, n_phone,
+        xor(CAST(concat('0x', substr(sha256(t), 1, 16)) AS UBIGINT),
+            CAST(doc_id AS UBIGINT)) AS hp FROM s3)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_email) AS BIGINT) AS n_email,
+       CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+       CAST(sum(n_phone) AS BIGINT) AS n_phone,
+       CAST(bit_xor(hp) >> 32 AS BIGINT) AS digest_hi32,
+       CAST(bit_xor(hp) & 4294967295 AS BIGINT) AS digest_lo32
+FROM h GROUP BY source""",
 
         "events_by_localdate_dst": """
 SELECT event_type,

@@ -1945,6 +1945,126 @@ def stopword_share_by_lang(ds: ray.data.Dataset,
     })
 
 
+#: (kind, RE2 pattern, replacement) — applied IN ORDER (email first so
+#: its digits can't be re-matched by the phone pattern; both pyarrow and
+#: DuckDB use RE2, so the oracle replicates the scrub byte-for-byte).
+DEFAULT_PII_PATTERNS = (
+    ("email", r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9 ()\-]{6,14}[0-9]", "<PHONE>"),
+)
+
+
+def pii_scrub(ds: ray.data.Dataset,
+              spec: CorpusSpec = DOCUMENTS_SPEC,
+              patterns=DEFAULT_PII_PATTERNS,
+              keep_cols: tuple[str, ...] = ()) -> ray.data.Dataset:
+    """PII redaction — the compliance pass every LLM training-data
+    pipeline runs before text leaves the ingest boundary.  Each pattern
+    is counted then replaced SEQUENTIALLY on the running text (so later
+    patterns see earlier redactions; the oracle nests ``regexp_replace``
+    in the same order).  Fully vectorized: one RE2 count + one RE2
+    replace kernel per pattern per batch, zero shuffles, content never
+    leaves its scan task.
+
+    -> (doc_id, *keep_cols, n_<kind>... per-doc match counts, text
+    [scrubbed]).  Swap ``patterns`` for an org's ruleset; a model-based
+    NER scrubber slots in as an actor-pool stage like
+    ``stages/multimodal.MediaFeatureExtractor``."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        b = add_doc_id(batch, spec)
+        txt = b["content"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        cols: dict = {"doc_id": b["doc_id"]}
+        for c in keep_cols:
+            cols[c] = batch[c]     # add_doc_id projects to (doc_id, content)
+        for kind, pat, rep in patterns:
+            cols[f"n_{kind}"] = pc.cast(
+                pc.count_substring_regex(txt, pat), pa.int64())
+            txt = pc.replace_substring_regex(txt, pat, rep)
+        cols["text"] = txt
+        return pa.table(cols)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def pii_scrub_report(ds: ray.data.Dataset,
+                     spec: CorpusSpec = DOCUMENTS_SPEC,
+                     patterns=DEFAULT_PII_PATTERNS,
+                     by: str = "source") -> ray.data.Dataset:
+    """Per-``by``-group scrub audit: doc count, per-kind match totals,
+    and an order-free XOR digest of the SCRUBBED text (doc_id-keyed
+    sha256 prefixes, the :func:`corpus_digest` rollup) — proving to the
+    oracle that the redacted bytes, not just the counts, are identical.
+    -> (source, n_docs, n_<kind>..., digest_hi32, digest_lo32)."""
+    from onestools_eventlog_ray.functions.fasthash import sha256_hex_fast
+    from onestools_eventlog_ray.functions.hashing import hex_prefix64
+
+    scrubbed = pii_scrub(ds, spec, patterns, keep_cols=(by,))
+    kinds = [k for k, _, _ in patterns]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = hex_prefix64(sha256_hex_fast(batch["text"]))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(np.uint64)
+        t = pa.table({
+            by: batch[by],
+            "n_docs_p": pa.array(np.ones(batch.num_rows, np.int64)),
+            **{f"n_{k}_p": batch[f"n_{k}"] for k in kinds},
+            "dg": pa.array((h ^ ids).view(np.int64), pa.int64()),
+        })
+        # per-batch combine: sum counts, xor digests per group
+        out: dict = {by: [], "n_docs_p": []}
+        for k in kinds:
+            out[f"n_{k}_p"] = []
+        out["dg_p"] = []
+        tt = t.sort_by(by)
+        keys = tt[by].to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.concatenate(
+            ([True], keys[1:] != keys[:-1], [True])))
+        dgs = tt["dg"].to_numpy(zero_copy_only=False).view(np.uint64)
+        for i in range(bounds.size - 1):
+            s, e = bounds[i], bounds[i + 1]
+            out[by].append(keys[s])
+            out["n_docs_p"].append(int(e - s))
+            for k in kinds:
+                out[f"n_{k}_p"].append(int(
+                    tt[f"n_{k}_p"].to_numpy(zero_copy_only=False)[s:e].sum()))
+            out["dg_p"].append(np.int64(
+                np.bitwise_xor.reduce(dgs[s:e]).view(np.int64)))
+        return pa.table({by: pa.array(out[by]),
+                         "n_docs_p": pa.array(out["n_docs_p"], pa.int64()),
+                         **{f"n_{k}_p": pa.array(out[f"n_{k}_p"], pa.int64())
+                            for k in kinds},
+                         "dg_p": pa.array(out["dg_p"], pa.int64())})
+
+    partials = scrubbed.map_batches(partial, batch_format="pyarrow")
+    rows = partials.take_all()
+    agg: dict[str, dict] = {}
+    for r in rows:
+        g = agg.setdefault(r[by], {"n_docs": 0, "dg": np.uint64(0),
+                                   **{f"n_{k}": 0 for k in kinds}})
+        g["n_docs"] += r["n_docs_p"]
+        for k in kinds:
+            g[f"n_{k}"] += r[f"n_{k}_p"]
+        g["dg"] ^= np.int64(r["dg_p"]).view(np.uint64)
+    keys = sorted(agg)
+    tbl = pa.table({
+        by: pa.array(keys, pa.string()),
+        "n_docs": pa.array([agg[k]["n_docs"] for k in keys], pa.int64()),
+        **{f"n_{kind}": pa.array([agg[k][f"n_{kind}"] for k in keys],
+                                 pa.int64()) for kind in kinds},
+        "digest_hi32": pa.array([int(agg[k]["dg"] >> np.uint64(32))
+                                 for k in keys], pa.int64()),
+        "digest_lo32": pa.array([int(agg[k]["dg"] & np.uint64(0xFFFFFFFF))
+                                 for k in keys], pa.int64()),
+    })
+    return ray.data.from_arrow(tbl)
+
+
 def corpus_digest(ds: ray.data.Dataset,
                   spec: CorpusSpec = DOCUMENTS_SPEC) -> pa.Table:
     """Whole-corpus integrity fingerprint: XOR of every document's

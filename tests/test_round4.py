@@ -268,6 +268,39 @@ def test_corpus_watcher_end_to_end(ray_session, tmp_path, small_corpus):
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+def test_pii_scrub_planted(ray_session):
+    from onestools_eventlog_ray.pipelines.text import pii_scrub
+
+    docs = [
+        "contact bob.smith+x@corp.example.com or call +1 (415) 555-0123",
+        "server at 10.0.0.1 and 192.168.100.254; no mail",
+        "two mails a@b.co c@d.io and ip 8.8.8.8",
+        "nothing sensitive here",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(docs),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+    })
+    out = pii_scrub(ray.data.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["text"]) == [
+        "contact <EMAIL> or call <PHONE>",
+        "server at <IP> and <IP>; no mail",
+        "two mails <EMAIL> <EMAIL> and ip <IP>",
+        "nothing sensitive here",
+    ]
+    assert list(out["n_email"]) == [1, 0, 2, 0]
+    assert list(out["n_ipv4"]) == [0, 2, 1, 0]
+    assert list(out["n_phone"]) == [1, 0, 0, 0]
+
+
+# ---------------------------------------------------------------------------
 # recursive JSON flatten
 # ---------------------------------------------------------------------------
 
