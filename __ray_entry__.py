@@ -613,6 +613,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.dedup_clusters(_documents_ds(sf_dir), DOCUMENTS_SPEC,
                                     min_jaccard=0.2)
 
+    def dedup_clusters_dist(sf_dir):
+        """Same clusters via the DISTRIBUTED engine: O(diameter)
+        min-label propagation over the edge Dataset (only narrow
+        (node,label) rows shuffle) — oracle-identical to the driver
+        union-find path by construction."""
+        return dedup.dedup_clusters(_documents_ds(sf_dir), DOCUMENTS_SPEC,
+                                    min_jaccard=0.2, impl="distributed")
+
+    def lang_fertility(sf_dir):
+        """Tokenizer fertility (chars per token, e6) by language — the
+        per-language cost metric that sizes tokenizer efficiency before
+        a pretraining run; partial-per-batch, zero shuffles."""
+        return text.lang_fertility(_documents_ds(sf_dir))
+
     def simhash_near_pairs(sf_dir):
         """Banded-SimHash near-dup pairs verified by exact hamming
         distance inside each bucket (complete recall for d <= bands-1)."""
@@ -2263,6 +2277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_term_bits": bloom_term_bits,
         "label_centroids": label_centroids,
         "dedup_clusters": dedup_clusters,
+        "dedup_clusters_dist": dedup_clusters_dist,
+        "lang_fertility": lang_fertility,
         "simhash_near_pairs": simhash_near_pairs,
         "hashed_doc_vectors": hashed_doc_vectors,
         "value_histogram": value_histogram,
@@ -3219,7 +3235,45 @@ e AS (SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
 SELECT label, dim, CAST(sum(xe) AS BIGINT) AS sum_e6, count(*) AS n
 FROM e GROUP BY label, dim""",
 
+
+        "lang_fertility": f"""
+WITH toks AS (SELECT doc_id, count(*) AS n_tokens FROM ({_TOKS}) GROUP BY doc_id),
+d AS (SELECT d.lang, d.n_chars, coalesce(t.n_tokens, 0) AS n_tokens
+      FROM documents d LEFT JOIN toks t USING (doc_id))
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CASE WHEN sum(n_tokens) > 0
+            THEN CAST(sum(n_chars) * 1000000 // sum(n_tokens) AS BIGINT)
+            ELSE NULL END AS fertility_e6
+FROM d GROUP BY lang""",
+
         "dedup_clusters": f"""
+WITH RECURSIVE {_minhash_cte()},
+sets AS (SELECT doc_id, list_distinct(list(CAST(h AS BIGINT))) AS hs
+         FROM shh GROUP BY doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bandh a JOIN bandh b
+           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id),
+pairs AS (SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b,
+                   CAST(floor(len(list_intersect(sa.hs, sb.hs)) * 1.0
+                              / len(list_distinct(sa.hs || sb.hs))
+                              * 1000000 + 0.5) AS BIGINT) AS jaccard_e6
+            FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
+                      JOIN sets sb ON sb.doc_id = cand.doc_b)
+          WHERE jaccard_e6 >= 200000),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(n, r) AS (SELECT n, n FROM nodes
+                UNION
+                SELECT e.b, reach.r FROM reach
+                JOIN edges e ON e.a = reach.n)
+SELECT n AS doc_id, min(r) AS rep_id FROM reach GROUP BY n""",
+
+        "dedup_clusters_dist": f"""
 WITH RECURSIVE {_minhash_cte()},
 sets AS (SELECT doc_id, list_distinct(list(CAST(h AS BIGINT))) AS hs
          FROM shh GROUP BY doc_id),

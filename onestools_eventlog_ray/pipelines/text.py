@@ -1945,6 +1945,50 @@ def stopword_share_by_lang(ds: ray.data.Dataset,
     })
 
 
+def lang_fertility(ds: ray.data.Dataset,
+                   spec: CorpusSpec = DOCUMENTS_SPEC,
+                   lang_col: str = "lang",
+                   chars_col: str = "n_chars") -> pa.Table:
+    """Tokenizer fertility by language: characters per token, the metric
+    that sizes a tokenizer's efficiency across languages before a
+    pretraining run (high fertility = the language pays more sequence
+    positions per unit of text).  One partial-per-batch pass (lang,
+    sum_chars, sum_tokens) + a tiny driver fold — zero shuffles.
+    -> (lang, n_docs, sum_chars, sum_tokens, fertility_e6) with
+    fertility_e6 = trunc(sum_chars * 1e6 / sum_tokens)."""
+    from onestools_eventlog_ray.functions.analyzer import doc_term_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = add_doc_id(batch, spec)
+        _, stats = doc_term_table(b["doc_id"], b["content"])
+        t = pa.table({
+            "lang": batch[lang_col],
+            "chars": pc.cast(batch[chars_col], pa.int64()),
+            "toks": stats["n_tokens"],
+        })
+        agg = t.group_by("lang").aggregate(
+            [("chars", "sum"), ("toks", "sum"), ("lang", "count")])
+        return agg.rename_columns(["lang", "chars_p", "toks_p", "n_p"])
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    agg: dict[str, list[int]] = {}
+    for r in rows:
+        g = agg.setdefault(r["lang"], [0, 0, 0])
+        g[0] += int(r["n_p"])
+        g[1] += int(r["chars_p"])
+        g[2] += int(r["toks_p"])
+    keys = sorted(agg)
+    return pa.table({
+        "lang": pa.array(keys, pa.string()),
+        "n_docs": pa.array([agg[k][0] for k in keys], pa.int64()),
+        "sum_chars": pa.array([agg[k][1] for k in keys], pa.int64()),
+        "sum_tokens": pa.array([agg[k][2] for k in keys], pa.int64()),
+        "fertility_e6": pa.array(
+            [agg[k][1] * 1_000_000 // agg[k][2] if agg[k][2] else None
+             for k in keys], pa.int64()),
+    })
+
+
 #: (kind, RE2 pattern, replacement) — applied IN ORDER (email first so
 #: its digits can't be re-matched by the phone pattern; both pyarrow and
 #: DuckDB use RE2, so the oracle replicates the scrub byte-for-byte).
