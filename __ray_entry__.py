@@ -613,6 +613,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.dedup_clusters(_documents_ds(sf_dir), DOCUMENTS_SPEC,
                                     min_jaccard=0.2)
 
+    def leakage_safe_split(sf_dir):
+        """Cluster-level 80/10/10 split: verified near-dup clusters land
+        wholly in one split (rep_id hash), singletons hash their own
+        doc_id — the leakage guard that keeps a doc's near-twin out of
+        eval (mix.leakage_safe_split)."""
+        from onestools_eventlog_ray.pipelines.mix import (
+            leakage_safe_split as lss)
+        return lss(_documents_ds(sf_dir), DOCUMENTS_SPEC, min_jaccard=0.2)
+
     def dedup_clusters_dist(sf_dir):
         """Same clusters via the DISTRIBUTED engine: O(diameter)
         min-label propagation over the edge Dataset (only narrow
@@ -2278,6 +2287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": label_centroids,
         "dedup_clusters": dedup_clusters,
         "dedup_clusters_dist": dedup_clusters_dist,
+        "leakage_safe_split": leakage_safe_split,
         "lang_fertility": lang_fertility,
         "simhash_near_pairs": simhash_near_pairs,
         "hashed_doc_vectors": hashed_doc_vectors,
@@ -3247,6 +3257,47 @@ SELECT lang, count(*) AS n_docs,
             THEN CAST(sum(n_chars) * 1000000 // sum(n_tokens) AS BIGINT)
             ELSE NULL END AS fertility_e6
 FROM d GROUP BY lang""",
+
+        "leakage_safe_split": f"""
+WITH RECURSIVE {_minhash_cte()},
+sets AS (SELECT doc_id, list_distinct(list(CAST(h AS BIGINT))) AS hs
+         FROM shh GROUP BY doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bandh a JOIN bandh b
+           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id),
+pairs AS (SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b,
+                   CAST(floor(len(list_intersect(sa.hs, sb.hs)) * 1.0
+                              / len(list_distinct(sa.hs || sb.hs))
+                              * 1000000 + 0.5) AS BIGINT) AS jaccard_e6
+            FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
+                      JOIN sets sb ON sb.doc_id = cand.doc_b)
+          WHERE jaccard_e6 >= 200000),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(n, r) AS (SELECT n, n FROM nodes
+                UNION
+                SELECT e.b, reach.r FROM reach
+                JOIN edges e ON e.a = reach.n),
+clusters AS (SELECT n AS doc_id, min(r) AS rep_id FROM reach GROUP BY n),
+toks AS (SELECT doc_id, count(*) AS n_tokens FROM ({_TOKS}) GROUP BY doc_id),
+k AS (SELECT d.doc_id,
+             coalesce(c.rep_id, d.doc_id) AS key,
+             CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS clustered,
+             coalesce(t.n_tokens, 0) AS n_tokens
+      FROM documents d LEFT JOIN clusters c USING (doc_id)
+                       LEFT JOIN toks t USING (doc_id)),
+s AS (SELECT clustered, n_tokens,
+             (md5_number_lower(CAST(key AS VARCHAR)) >> 1) % 10 AS h
+      FROM k)
+SELECT CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(clustered) AS BIGINT) AS n_clustered_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM s GROUP BY split""",
 
         "dedup_clusters": f"""
 WITH RECURSIVE {_minhash_cte()},

@@ -248,6 +248,75 @@ def split_by_group(ds: ray.data.Dataset,
     })
 
 
+def leakage_safe_split(ds: ray.data.Dataset,
+                       spec: CorpusSpec = DOCUMENTS_SPEC,
+                       min_jaccard: float = 0.2,
+                       **minhash_kwargs) -> pa.Table:
+    """CLUSTER-level leakage guard — the split a pretraining pipeline
+    actually needs: :func:`split_by_group` keeps whole *domains*
+    together, but near-duplicate documents CROSS domains (mirrors,
+    forks, quotes), and any one landing in train while its twin lands
+    in eval silently inflates benchmark scores.  Here every verified
+    near-dup cluster (``dedup.dedup_clusters``) is assigned to one
+    split by the hash of its representative id; singleton docs hash
+    their own doc_id.  Same deterministic 80/10/10 rule as
+    ``split_by_group``: ``(md5_lower64(str(key)) >> 1) % 10``.
+
+    Scale shape: the expensive part is the distributed verified-pairs
+    pipeline; the cluster map that broadcasts is O(clustered docs) —
+    the near-dup subset, orders of magnitude under the corpus.
+    -> (split, n_docs, n_clustered_docs, n_tokens)."""
+    from onestools_eventlog_ray.functions.fasthash import md5_lower64
+    from onestools_eventlog_ray.pipelines.dedup import dedup_clusters
+
+    clusters = dedup_clusters(ds, spec, min_jaccard=min_jaccard,
+                              **minhash_kwargs)
+    cl_ids = clusters["doc_id"].to_numpy(zero_copy_only=False)
+    cl_rep = clusters["rep_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(cl_ids)
+    cmap_ref = ray.put((cl_ids[order], cl_rep[order]))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.stages.normalize import add_doc_id
+        b = add_doc_id(batch, spec)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        cids, creps = ray.get(cmap_ref)
+        pos = np.searchsorted(cids, ids)
+        pos_c = np.clip(pos, 0, max(cids.size - 1, 0))
+        in_cluster = (cids.size > 0) & (cids[pos_c] == ids)
+        key = np.where(in_cluster, creps[pos_c] if cids.size else ids, ids)
+        key_str = pc.cast(pa.array(key.astype(np.int64)), pa.string())
+        h10 = ((md5_lower64(key_str) >> np.uint64(1))
+               % np.uint64(10)).astype(np.int64)
+        split = np.where(h10 < 8, "train",
+                         np.where(h10 == 8, "val", "test"))
+        n_tok = _n_tokens(b["content"])
+        t = pa.table({"split": pa.array(split, pa.string()),
+                      "clustered": pa.array(in_cluster.astype(np.int64)),
+                      "nt": pa.array(n_tok, pa.int64())})
+        g = t.group_by("split").aggregate(
+            [("clustered", "sum"), ("nt", "sum"), ([], "count_all")])
+        return pa.table({"split": g["split"],
+                         "n_docs_p": g["count_all"].cast(pa.int64()),
+                         "n_clustered_p": g["clustered_sum"].cast(pa.int64()),
+                         "n_tokens_p": g["nt_sum"].cast(pa.int64())})
+
+    rows = ds.map_batches(assign, batch_format="pyarrow").take_all()
+    out: dict[str, list[int]] = {}
+    for r in rows:
+        acc = out.setdefault(r["split"], [0, 0, 0])
+        acc[0] += int(r["n_docs_p"])
+        acc[1] += int(r["n_clustered_p"])
+        acc[2] += int(r["n_tokens_p"])
+    names = sorted(out)
+    return pa.table({
+        "split": pa.array(names, pa.string()),
+        "n_docs": pa.array([out[s][0] for s in names], pa.int64()),
+        "n_clustered_docs": pa.array([out[s][1] for s in names], pa.int64()),
+        "n_tokens": pa.array([out[s][2] for s in names], pa.int64()),
+    })
+
+
 def mix_weights_temperature(ds: ray.data.Dataset,
                             spec: CorpusSpec = DOCUMENTS_SPEC,
                             by: str = "source") -> pa.Table:

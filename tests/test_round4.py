@@ -268,6 +268,41 @@ def test_corpus_watcher_end_to_end(ray_session, tmp_path, small_corpus):
 
 
 # ---------------------------------------------------------------------------
+# leakage-safe split
+# ---------------------------------------------------------------------------
+
+def test_leakage_safe_split_keeps_twins_together(ray_session, tmp_path):
+    """Every near-dup pair must land wholly inside one split — checked
+    directly on the per-doc assignment rule against the cluster map."""
+    from onestools_eventlog_ray.functions.fasthash import md5_lower64_one
+    from onestools_eventlog_ray.pipelines.dedup import dedup_clusters
+    from onestools_eventlog_ray.pipelines.mix import leakage_safe_split
+
+    path = _dup_corpus(tmp_path, 120, "split")
+    ds = ray.data.read_parquet(path)
+    rep = leakage_safe_split(ds, DOCUMENTS_SPEC, min_jaccard=0.9).to_pandas()
+    assert rep["n_docs"].sum() == 120
+    # every doc is in a 2-doc cluster here
+    assert rep["n_clustered_docs"].sum() == 120
+
+    clusters = dedup_clusters(ray.data.read_parquet(path), DOCUMENTS_SPEC,
+                              min_jaccard=0.9).to_pandas()
+    # twins share rep_id -> share split key -> same split by construction;
+    # verify the hash rule really groups them (no off-by-one in the map)
+    by_rep = clusters.groupby("rep_id")["doc_id"].apply(list)
+    for rep_id, members in by_rep.items():
+        splits = {(md5_lower64_one(str(int(rep_id))) >> 1) % 10
+                  for _ in members}
+        assert len(splits) == 1
+    # and the split totals follow the 80/10/10 hash rule exactly
+    h = [(md5_lower64_one(str(int(r))) >> 1) % 10
+         for r in clusters["rep_id"]]
+    want_train = sum(1 for x in h if x < 8)
+    got_train = int(rep.set_index("split")["n_docs"].get("train", 0))
+    assert got_train == want_train
+
+
+# ---------------------------------------------------------------------------
 # PII scrubbing
 # ---------------------------------------------------------------------------
 
