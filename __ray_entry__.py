@@ -1024,6 +1024,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["event_type", "value"])
         return relational.drift_histogram(ev, "click", "view")
 
+    def ks_drift(sf_dir):
+        """Exact two-sample Kolmogorov-Smirnov distance between click
+        and view value distributions (e6-quantized both sides, integer
+        math end-to-end) — the binning-free drift test next to
+        drift_histogram."""
+        import ray.data
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_type", "value"])
+        return relational.ks_drift(ev, "click", "view")
+
+    def value_ntile_by_type(sf_dir):
+        """Distributed NTILE(4) per event type (ORDER BY value,
+        event_id) — windowed quantile-bucket assignment with exact SQL
+        NTILE semantics."""
+        import ray.data
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_id", "event_type",
+                                            "value"])
+        return relational.value_ntile_by_type(ev, n_tiles=4)
+
+    def hll_users_by_type(sf_dir):
+        """Grouped HyperLogLog: distinct-user registers PER event type
+        (sketch-per-group — shuffle moves registers, never user ids);
+        register table oracle-exact."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines import sketch
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_type", "user_id"])
+        return sketch.hll_users_by_type(ev, b=8)
+
     def q5_region_revenue(sf_dir):
         """TPC-H-Q5-shaped five-way join: same-nation customer/supplier
         revenue per ASIA nation; pivoted co-group, exact e4."""
@@ -2380,6 +2410,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_by_group": split_by_group,
         "outlier_events": outlier_events,
         "drift_histogram": drift_histogram,
+        "ks_drift": ks_drift,
+        "value_ntile_by_type": value_ntile_by_type,
+        "hll_users_by_type": hll_users_by_type,
         "q5_region_revenue": q5_region_revenue,
         "term_vectors_doc": term_vectors_doc,
         "contamination_matrix": contamination_matrix,
@@ -4497,6 +4530,45 @@ SELECT bin, n_a, n_b,
        CAST(abs(n_a * 1000000 // (SELECT ta FROM tot)
                 - n_b * 1000000 // (SELECT tb FROM tot)) AS BIGINT) AS d_e6
 FROM j ORDER BY bin""",
+
+        "ks_drift": """
+WITH p AS (SELECT CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+                  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+           FROM events WHERE event_type IN ('click', 'view')),
+g AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+             CAST(sum(b) AS BIGINT) AS cb
+      FROM p GROUP BY v),
+c AS (SELECT CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+             CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+      FROM g),
+t AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+             CAST(sum(b) AS BIGINT) AS nb FROM p)
+SELECT t.na AS n_a, t.nb AS n_b,
+       CAST(max(abs(c.cum_a * t.nb - c.cum_b * t.na)) AS BIGINT) AS d_num,
+       CAST(max(abs(c.cum_a * t.nb - c.cum_b * t.na)) * 1000000
+            // (t.na * t.nb) AS BIGINT) AS d_e6
+FROM c, t GROUP BY t.na, t.nb""",
+
+        "value_ntile_by_type": """
+SELECT event_id, event_type,
+       CAST(NTILE(4) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS BIGINT) AS tile
+FROM events""",
+
+        "hll_users_by_type": """
+WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (SELECT event_type,
+             md5_number_lower(CAST(user_id AS VARCHAR)) AS h FROM u),
+v AS (SELECT event_type, CAST(h % 256 AS BIGINT) AS bucket,
+             CAST(h >> 8 AS BIGINT) AS w FROM h),
+r AS (SELECT event_type, bucket,
+             CASE WHEN w = 0 THEN 57
+                  ELSE 1 + CAST(log2(CAST((w & -w) AS DOUBLE)) AS BIGINT)
+             END AS rho
+      FROM v)
+SELECT event_type, bucket, max(rho) AS max_rho
+FROM r GROUP BY event_type, bucket""",
 
         "q5_region_revenue": """
 WITH rev AS (

@@ -1711,6 +1711,110 @@ def drift_histogram(events: ray.data.Dataset, type_a: str = "click",
     })
 
 
+def ks_drift(events: ray.data.Dataset, type_a: str = "click",
+             type_b: str = "view") -> pa.Table:
+    """Exact two-sample Kolmogorov-Smirnov distance between the value
+    distributions of two event types — the principled upgrade of
+    ``drift_histogram``'s per-bin L1 (KS is binning-free and is the
+    standard snapshot-drift test).  Both sides compare the SAME
+    e6-quantized variable, so the statistic is exact integer math
+    end-to-end: D = d_num / (n_a * n_b) with
+    ``d_num = max_x |cumA(x) * n_b - cumB(x) * n_a|``.
+
+    Shape: per-batch (v_e6, side-count) partials -> groupby(v_e6) sum
+    (the shuffle is bounded by DISTINCT quantized values, same bound as
+    ``value_histogram``); the distinct-value table folds on the driver
+    with one cumulative pass.  For an open-ended value domain at the
+    100-TB target, swap the driver fold for the range-offset prefix
+    pass of ``text.chunk_assignments`` (top value bits -> contiguous
+    ranges) — the statistic is a max over prefix sums, which that
+    two-pass scan computes without materializing the value table.
+    -> one row (n_a, n_b, d_num, d_e6)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ve6 = np.floor(v * 1_000_000 + 0.5).astype(np.int64)
+        out = []
+        for side, t in (("a", type_a), ("b", type_b)):
+            m = pc.equal(et, t).to_numpy(zero_copy_only=False)
+            u, c = np.unique(ve6[m], return_counts=True)
+            out.append((u, c))
+        (ua, ca), (ub, cb) = out
+        v_all = np.union1d(ua, ub)
+        ca_full = np.zeros(v_all.size, dtype=np.int64)
+        cb_full = np.zeros(v_all.size, dtype=np.int64)
+        ca_full[np.searchsorted(v_all, ua)] = ca
+        cb_full[np.searchsorted(v_all, ub)] = cb
+        return pa.table({"v": pa.array(v_all, pa.int64()),
+                         "ca_p": pa.array(ca_full, pa.int64()),
+                         "cb_p": pa.array(cb_full, pa.int64())})
+
+    rows = events.map_batches(partial, batch_format="pyarrow") \
+        .groupby("v").aggregate(Sum("ca_p", alias_name="ca"),
+                                Sum("cb_p", alias_name="cb")) \
+        .take_all()
+    rows.sort(key=lambda r: r["v"])
+    ca = np.asarray([r["ca"] for r in rows], dtype=np.int64)
+    cb = np.asarray([r["cb"] for r in rows], dtype=np.int64)
+    n_a, n_b = int(ca.sum()), int(cb.sum())
+    if n_a == 0 or n_b == 0:
+        d_num = 0
+    else:
+        d_num = int(np.max(np.abs(np.cumsum(ca) * n_b
+                                  - np.cumsum(cb) * n_a)))
+    d_e6 = d_num * 1_000_000 // (n_a * n_b) if n_a and n_b else 0
+    return pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "d_num": pa.array([d_num], pa.int64()),
+        "d_e6": pa.array([d_e6], pa.int64()),
+    })
+
+
+def value_ntile_by_type(events: ray.data.Dataset, n_tiles: int = 4
+                        ) -> ray.data.Dataset:
+    """Distributed ``NTILE(k) OVER (PARTITION BY event_type ORDER BY
+    value, event_id)`` — the windowed quartile/decile assignment the
+    Dataset API lacks (completes the window family next to
+    ``order_rank_window`` / ``running_revenue``).  SQL NTILE semantics
+    exactly: the first ``n % k`` tiles hold ``ceil(n/k)`` rows.
+
+    ONE shuffle on event_type, each group ranked by a vectorized
+    lexsort.  Partitioning assumption (same as ``median_value_by_type``
+    / ``sessionize``): event_type is a bounded enum so one type fits a
+    task; for a high-cardinality partition key at the 100-TB target,
+    range-partition each type by value and fold per-range row counts
+    into rank offsets (the ``chunk_assignments`` two-pass scan) instead
+    of one task per type.  Tie-break on event_id keeps the assignment
+    deterministic.  -> (event_id, event_type, tile), tile in 1..k."""
+    k = n_tiles
+
+    def tiles(group: pa.Table) -> pa.Table:
+        v = group["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = v.size
+        order = np.lexsort((eid, v))
+        ranks = np.empty(n, dtype=np.int64)
+        ranks[order] = np.arange(n, dtype=np.int64)
+        base, rem = divmod(n, k)
+        big = rem * (base + 1)
+        if base == 0:                       # n < k: one row per tile
+            tile = ranks
+        else:
+            tile = np.where(ranks < big, ranks // (base + 1),
+                            rem + (ranks - big) // base)
+        return pa.table({
+            "event_id": group["event_id"],
+            "event_type": group["event_type"],
+            "tile": pa.array(tile + 1, pa.int64()),
+        })
+
+    return events.groupby("event_type").map_groups(
+        tiles, batch_format="pyarrow")
+
+
 def percentile_ranks(events: ray.data.Dataset,
                      values_e3: tuple[int, ...] = (50_000, 100_000,
                                                    200_000)) -> pa.Table:

@@ -1,0 +1,136 @@
+"""Round-4b additions: exact two-sample KS drift, distributed NTILE,
+grouped (per-key) HyperLogLog."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from onestools_eventlog_ray.functions.fasthash import md5_lower64_one
+from onestools_eventlog_ray.pipelines import relational, sketch
+
+
+def _events_table(seed: int = 3, n: int = 4000) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    types = np.array(["click", "view", "purchase"])
+    et = types[rng.integers(0, 3, size=n)]
+    # click ~ N(50, 10), view ~ N(55, 12): a real (detectable) drift
+    v = np.where(et == "click", rng.normal(50, 10, n),
+                 rng.normal(55, 12, n))
+    v = np.round(np.abs(v), 2)
+    return pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "event_type": pa.array(et),
+        "user_id": pa.array(rng.integers(0, 97, size=n), pa.int64()),
+        "value": pa.array(v, pa.float64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# ks_drift
+# ---------------------------------------------------------------------------
+
+def _ks_brute(v_a: np.ndarray, v_b: np.ndarray) -> tuple[int, int, int]:
+    qa = np.floor(v_a * 1_000_000 + 0.5).astype(np.int64)
+    qb = np.floor(v_b * 1_000_000 + 0.5).astype(np.int64)
+    xs = np.unique(np.concatenate([qa, qb]))
+    cum_a = np.searchsorted(np.sort(qa), xs, side="right")
+    cum_b = np.searchsorted(np.sort(qb), xs, side="right")
+    d = int(np.max(np.abs(cum_a * qb.size - cum_b * qa.size)))
+    return qa.size, qb.size, d
+
+
+def test_ks_drift_exact_bruteforce(ray_session):
+    t = _events_table()
+    out = relational.ks_drift(
+        ray.data.from_arrow(t), "click", "view").to_pydict()
+    et = t["event_type"].to_numpy(zero_copy_only=False)
+    v = t["value"].to_numpy(zero_copy_only=False)
+    n_a, n_b, d_num = _ks_brute(v[et == "click"], v[et == "view"])
+    assert out["n_a"] == [n_a] and out["n_b"] == [n_b]
+    assert out["d_num"] == [d_num]
+    assert out["d_e6"] == [d_num * 1_000_000 // (n_a * n_b)]
+    assert d_num > 0          # the planted drift is detectable
+
+
+def test_ks_drift_zero_on_identical_samples(ray_session):
+    v = np.array([1.0, 2.5, 2.5, 7.25, 9.0] * 3)
+    t = pa.table({
+        "event_type": pa.array(["click"] * v.size + ["view"] * v.size),
+        "value": pa.array(np.concatenate([v, v]), pa.float64()),
+    })
+    out = relational.ks_drift(
+        ray.data.from_arrow(t), "click", "view").to_pydict()
+    assert out["d_num"] == [0] and out["d_e6"] == [0]
+
+
+# ---------------------------------------------------------------------------
+# value_ntile_by_type
+# ---------------------------------------------------------------------------
+
+def _ntile_brute(v: np.ndarray, eid: np.ndarray, k: int) -> np.ndarray:
+    """SQL NTILE: first n%k tiles get ceil(n/k) rows, ORDER BY (v, eid)."""
+    n = v.size
+    order = np.lexsort((eid, v))
+    base, rem = divmod(n, k)
+    sizes = [base + 1] * rem + [base] * (k - rem)
+    tile_sorted = np.repeat(np.arange(1, k + 1), sizes)[:n]
+    out = np.empty(n, dtype=np.int64)
+    out[order] = tile_sorted
+    return out
+
+
+@pytest.mark.parametrize("k,n", [(4, 4000), (3, 10), (7, 5)])
+def test_value_ntile_matches_sql_semantics(ray_session, k, n):
+    t = _events_table(seed=k, n=n)
+    got = relational.value_ntile_by_type(
+        ray.data.from_arrow(t), n_tiles=k).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    eid = t["event_id"].to_numpy(zero_copy_only=False)
+    et = t["event_type"].to_numpy(zero_copy_only=False)
+    v = t["value"].to_numpy(zero_copy_only=False)
+    want = np.empty(eid.size, dtype=np.int64)
+    for ty in np.unique(et):
+        m = et == ty
+        want[m] = _ntile_brute(v[m], eid[m], k)
+    got_by_eid = got.set_index("event_id")["tile"]
+    assert np.array_equal(got_by_eid.loc[eid].to_numpy(), want)
+
+
+# ---------------------------------------------------------------------------
+# hll_users_by_type
+# ---------------------------------------------------------------------------
+
+def test_hll_users_by_type_registers_exact_and_estimate(ray_session):
+    t = _events_table(seed=9, n=3000)
+    b = 8
+    out = sketch.hll_users_by_type(
+        ray.data.from_arrow(t), b=b).to_pandas()
+
+    # brute-force registers per (type, bucket)
+    et = t["event_type"].to_numpy(zero_copy_only=False)
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    want: dict[tuple[str, int], int] = {}
+    exact: dict[str, int] = {}
+    for ty in np.unique(et):
+        users = np.unique(uid[et == ty])
+        exact[ty] = users.size
+        for u in users:
+            h = md5_lower64_one(str(int(u)))
+            bucket = h & ((1 << b) - 1)
+            w = h >> b
+            rho = 64 - b + 1 if w == 0 else 1 + (w & -w).bit_length() - 1
+            key = (str(ty), int(bucket))
+            want[key] = max(want.get(key, 0), rho)
+    got = {(r.event_type, int(r.bucket)): int(r.max_rho)
+           for r in out.itertuples()}
+    assert got == want
+
+    # the estimate from one type's registers lands near the exact count
+    for ty, n_exact in exact.items():
+        regs = out[out["event_type"] == ty][["bucket", "max_rho"]]
+        est = sketch.hll_estimate(
+            pa.Table.from_pandas(regs, preserve_index=False), b=b)
+        assert abs(est - n_exact) / n_exact < 0.25, (ty, est, n_exact)
