@@ -890,6 +890,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return tbl.add_column(0, "doc_id",
                               pa.array([doc] * tbl.num_rows, pa.int64()))
 
+    def ltr_features(sf_dir):
+        """Learning-to-rank feature extraction for the reference query:
+        per matching doc (n_matched, sum_tf, dl, bm25_e6) from ONE
+        df-bounded postings pass — the first-stage feature table of a
+        ranking pipeline."""
+        from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                            ltr_features)
+        eng = SearchEngine(_ensure_index(sf_dir))
+        return ltr_features(eng, _BM25_TERMS)
+
+    def lang_source_chi2(sf_dir):
+        """Pearson chi-square contingency between lang and source —
+        integer per-cell terms (o*T - r*c)^2*1e6 // (r*c*T), exact both
+        sides; shuffle moves only bounded (lang, source) cells."""
+        import ray.data
+        docs = _read_pq(os.path.join(sf_dir, "documents.parquet"),
+                                     columns=["lang", "source"])
+        return relational.lang_source_chi2(docs)
+
     def bm25_rescore(sf_dir):
         """ES rescore: top-30 window by BM25(spark, window), rescored
         as 1.0*primary + 2.0*BM25(vector) evaluated only over the
@@ -2411,6 +2430,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlier_events": outlier_events,
         "drift_histogram": drift_histogram,
         "ks_drift": ks_drift,
+        "ltr_features": ltr_features,
+        "lang_source_chi2": lang_source_chi2,
         "value_ntile_by_type": value_ntile_by_type,
         "hll_users_by_type": hll_users_by_type,
         "q5_region_revenue": q5_region_revenue,
@@ -4530,6 +4551,45 @@ SELECT bin, n_a, n_b,
        CAST(abs(n_a * 1000000 // (SELECT ta FROM tot)
                 - n_b * 1000000 // (SELECT tb FROM tot)) AS BIGINT) AS d_e6
 FROM j ORDER BY bin""",
+
+        "ltr_features": f"""
+WITH toks AS ({_TOKS}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark', 'vector', 'window') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('spark', 'vector', 'window') GROUP BY term)
+SELECT tf.doc_id,
+       CAST(count(*) AS BIGINT) AS n_matched,
+       CAST(sum(tf.tf) AS BIGINT) AS sum_tf,
+       CAST(max(dl.dl) AS BIGINT) AS dl,
+       CAST(floor(
+         sum( ln(1 + ((SELECT n_docs FROM stats) - df.df + 0.5)
+                 / (df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                / (SELECT avgdl FROM stats)))
+            ) * 1000000 + 0.5) AS BIGINT) AS bm25_e6
+FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+GROUP BY tf.doc_id""",
+
+        "lang_source_chi2": """
+WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+           FROM documents GROUP BY lang, source),
+t AS (SELECT CAST(sum(o) AS HUGEINT) AS T FROM c),
+r AS (SELECT lang, CAST(sum(o) AS HUGEINT) AS rt FROM c GROUP BY lang),
+s AS (SELECT source, CAST(sum(o) AS HUGEINT) AS ct
+      FROM c GROUP BY source)
+SELECT c.lang, c.source, c.o,
+       CAST(((CAST(c.o AS HUGEINT) * t.T - r.rt * s.ct)
+             * (CAST(c.o AS HUGEINT) * t.T - r.rt * s.ct) * 1000000)
+            // (r.rt * s.ct * t.T) AS BIGINT) AS chi2_term_e6
+FROM c JOIN r ON c.lang = r.lang JOIN s ON c.source = s.source
+CROSS JOIN t""",
 
         "ks_drift": """
 WITH p AS (SELECT CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,

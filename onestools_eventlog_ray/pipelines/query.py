@@ -1265,6 +1265,64 @@ def explain_score(eng: SearchEngine, terms: list[str],
     })
 
 
+def ltr_features(eng: SearchEngine, terms: list[str]) -> pa.Table:
+    """Learning-to-rank feature extraction: for every document matching
+    at least one query term, the standard first-stage LTR feature
+    vector — (doc_id, n_matched, sum_tf, dl, bm25_e6).  This is the
+    training-data side of a ranking pipeline (the judged-pairs join
+    happens downstream); df-bounded like every query path: ONE postings
+    pass over the query terms' shard-pruned postings, no corpus scan.
+    Scores use the SAME ``codec.bm25_impact`` kernel as ``search()``,
+    so ``bm25_e6`` equals the scorer's output exactly."""
+    uniq = sorted(set(terms))
+    loaded = eng.load_terms(uniq)
+    ids_parts, w_parts, tf_parts, dl_parts = [], [], [], []
+    for t in uniq:
+        if t not in loaded:
+            continue
+        df, blob = loaded[t]
+        post = codec.decode_posting(blob)
+        idf_t = idf_fn(eng.N, df)
+        w = idf_t * codec.bm25_impact(post.tfs, post.dls, eng.avgdl,
+                                      eng.k1, eng.b)
+        ids_parts.append(post.doc_ids)
+        w_parts.append(w)
+        tf_parts.append(post.tfs)
+        dl_parts.append(post.dls)
+    if not ids_parts:
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_matched": pa.array([], pa.int64()),
+            "sum_tf": pa.array([], pa.int64()),
+            "dl": pa.array([], pa.int64()),
+            "bm25_e6": pa.array([], pa.int64()),
+        })
+    all_ids = np.concatenate(ids_parts)
+    all_w = np.concatenate(w_parts)
+    all_tf = np.concatenate(tf_parts).astype(np.int64)
+    all_dl = np.concatenate(dl_parts).astype(np.int64)
+    uids, inverse, counts = np.unique(all_ids, return_inverse=True,
+                                      return_counts=True)
+    score = np.zeros(uids.size, dtype=np.float64)
+    np.add.at(score, inverse, all_w)
+    sum_tf = np.zeros(uids.size, dtype=np.int64)
+    np.add.at(sum_tf, inverse, all_tf)
+    dl = np.zeros(uids.size, dtype=np.int64)
+    dl[inverse] = all_dl                      # identical for one doc
+    keep = np.ones(uids.size, dtype=bool)
+    if eng.deleted.size:
+        keep = ~np.isin(uids, eng.deleted)
+    return pa.table({
+        "doc_id": pa.array(uids[keep], pa.int64()),
+        "n_matched": pa.array(counts[keep].astype(np.int64), pa.int64()),
+        "sum_tf": pa.array(sum_tf[keep], pa.int64()),
+        "dl": pa.array(dl[keep], pa.int64()),
+        "bm25_e6": pa.array(
+            np.floor(score[keep] * 1_000_000 + 0.5).astype(np.int64),
+            pa.int64()),
+    })
+
+
 def search_rescore(eng: SearchEngine, terms: list[str],
                    rescore_terms: list[str], window: int = 50,
                    query_weight: float = 1.0,

@@ -1772,6 +1772,58 @@ def ks_drift(events: ray.data.Dataset, type_a: str = "click",
     })
 
 
+def lang_source_chi2(docs: ray.data.Dataset) -> pa.Table:
+    """Pearson chi-square contingency table between ``lang`` and
+    ``source`` — "is language independent of feed?", the categorical
+    counterpart of ``ks_drift`` in the statistical-test family.  All
+    integer math: with o = observed cell count, r/c = row/col totals,
+    T = grand total, each cell contributes
+    ``(o*T - r*c)^2 / (r*c*T)`` to the statistic; both engine and
+    oracle emit the e6-floored per-cell term, so the comparison is
+    exact (Python ints on the driver side are arbitrary-precision; the
+    oracle uses HUGEINT).  The shuffle moves only (lang, source, n)
+    partials — cells are the product of two bounded enums, so the
+    driver fold is O(cells) at any corpus size.
+    -> (lang, source, o, chi2_term_e6) per observed cell."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        la = batch["lang"].combine_chunks().dictionary_encode()
+        so = batch["source"].combine_chunks().dictionary_encode()
+        lc = la.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = so.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = max(len(so.dictionary), 1)
+        u, c = np.unique(lc * ns + sc, return_counts=True)
+        return pa.table({
+            "lang": la.dictionary.take(pa.array(u // ns, pa.int64())),
+            "source": so.dictionary.take(pa.array(u % ns, pa.int64())),
+            "n_p": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    rows = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["lang", "source"]) \
+        .aggregate(Sum("n_p", alias_name="o")).take_all()
+    rows.sort(key=lambda r: (r["lang"], r["source"]))
+    r_tot: dict[str, int] = {}
+    c_tot: dict[str, int] = {}
+    total = 0
+    for r in rows:
+        o = int(r["o"])
+        r_tot[r["lang"]] = r_tot.get(r["lang"], 0) + o
+        c_tot[r["source"]] = c_tot.get(r["source"], 0) + o
+        total += o
+    terms = []
+    for r in rows:
+        o, rt, ct = int(r["o"]), r_tot[r["lang"]], c_tot[r["source"]]
+        num = (o * total - rt * ct) ** 2 * 1_000_000     # python bigint
+        terms.append(num // (rt * ct * total))
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        "o": pa.array([int(r["o"]) for r in rows], pa.int64()),
+        "chi2_term_e6": pa.array(terms, pa.int64()),
+    })
+
+
 def value_ntile_by_type(events: ray.data.Dataset, n_tiles: int = 4
                         ) -> ray.data.Dataset:
     """Distributed ``NTILE(k) OVER (PARTITION BY event_type ORDER BY

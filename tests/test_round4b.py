@@ -100,6 +100,74 @@ def test_value_ntile_matches_sql_semantics(ray_session, k, n):
 
 
 # ---------------------------------------------------------------------------
+# lang_source_chi2
+# ---------------------------------------------------------------------------
+
+def test_lang_source_chi2_bruteforce(ray_session):
+    rng = np.random.default_rng(17)
+    langs = np.array(["en", "de", "fr"])[rng.integers(0, 3, 900)]
+    # plant dependence: source skews with lang
+    srcs = np.where((langs == "en") & (rng.random(900) < 0.7), "s0",
+                    np.array(["s0", "s1"])[rng.integers(0, 2, 900)])
+    t = pa.table({"lang": pa.array(langs), "source": pa.array(srcs)})
+    out = relational.lang_source_chi2(ray.data.from_arrow(t)).to_pandas()
+
+    import collections
+    o = collections.Counter(zip(langs, srcs))
+    rt = collections.Counter(langs)
+    ct = collections.Counter(srcs)
+    T = 900
+    for row in out.itertuples():
+        obs = o[(row.lang, row.source)]
+        assert row.o == obs
+        num = (obs * T - rt[row.lang] * ct[row.source]) ** 2 * 1_000_000
+        assert row.chi2_term_e6 == num // (rt[row.lang] * ct[row.source] * T)
+    assert len(out) == len(o)
+    # the planted dependence is detectable: chi2 >> cells
+    chi2 = out["chi2_term_e6"].sum() / 1e6
+    assert chi2 > 20, chi2
+
+
+# ---------------------------------------------------------------------------
+# ltr_features
+# ---------------------------------------------------------------------------
+
+def test_ltr_features_consistent_with_engine(ray_session, tmp_path_factory,
+                                             small_corpus_dir):
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.build import build_index
+    from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                        explain_score,
+                                                        ltr_features)
+    index_dir = str(tmp_path_factory.mktemp("ltr_index"))
+    build_index(small_corpus_dir, index_dir,
+                cfg=EngineConfig(num_partitions=8, tokenize_batch_size=128))
+    eng = SearchEngine(index_dir)
+    terms = ["def", "import", "class"]
+    feats = ltr_features(eng, terms).to_pandas().set_index("doc_id")
+
+    # identity 1: bm25_e6 == the scorer's full ranking, same doc set
+    hits = dict(eng.search(terms, 1_000_000))
+    assert set(feats.index) == set(hits)
+    for d, s in hits.items():
+        assert feats.loc[d, "bm25_e6"] == int(np.floor(s * 1e6 + 0.5))
+
+    # identity 2: n_matched / sum_tf / dl == the _explain breakdown
+    sample = sorted(hits)[:10]
+    for d in sample:
+        ex = explain_score(eng, terms, d)
+        assert feats.loc[d, "n_matched"] == ex.num_rows
+        assert feats.loc[d, "sum_tf"] == sum(ex["tf"].to_pylist())
+        assert feats.loc[d, "dl"] == ex["dl"][0].as_py()
+
+    # no-match terms -> empty table with the full schema
+    empty = ltr_features(eng, ["zzzznope"])
+    assert empty.num_rows == 0
+    assert empty.column_names == ["doc_id", "n_matched", "sum_tf", "dl",
+                                  "bm25_e6"]
+
+
+# ---------------------------------------------------------------------------
 # hll_users_by_type
 # ---------------------------------------------------------------------------
 
