@@ -909,6 +909,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      columns=["lang", "source"])
         return relational.lang_source_chi2(docs)
 
+    def k_anonymity(sf_dir):
+        """k-anonymity audit over the (lang, source) quasi-identifier:
+        cells smaller than k and the rows sitting in them — the
+        re-identification-risk gate next to pii_scrub."""
+        import ray.data
+        docs = _read_pq(os.path.join(sf_dir, "documents.parquet"),
+                                     columns=["lang", "source"])
+        return relational.k_anonymity_report(docs, k=10)
+
+    def hardest_examples(sf_dir):
+        """Per-language bottom-5 docs by mean unigram log-prob (trunc
+        division, doc_id ties) — the curriculum/audit argmin selection;
+        two-stage bottom-k so the shuffle moves k rows per batch-lang."""
+        return text.hardest_examples(_documents_ds(sf_dir),
+                                     DOCUMENTS_SPEC, k=5)
+
     def bm25_rescore(sf_dir):
         """ES rescore: top-30 window by BM25(spark, window), rescored
         as 1.0*primary + 2.0*BM25(vector) evaluated only over the
@@ -2432,6 +2448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_drift": ks_drift,
         "ltr_features": ltr_features,
         "lang_source_chi2": lang_source_chi2,
+        "k_anonymity": k_anonymity,
+        "hardest_examples": hardest_examples,
         "value_ntile_by_type": value_ntile_by_type,
         "hll_users_by_type": hll_users_by_type,
         "q5_region_revenue": q5_region_revenue,
@@ -4576,6 +4594,36 @@ SELECT tf.doc_id,
             ) * 1000000 + 0.5) AS BIGINT) AS bm25_e6
 FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
 GROUP BY tf.doc_id""",
+
+        "k_anonymity": """
+WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+           FROM documents GROUP BY lang, source)
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(CASE WHEN o < 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_cells,
+       CAST(coalesce(sum(CASE WHEN o < 10 THEN o ELSE 0 END), 0)
+            AS BIGINT) AS rows_at_risk
+FROM c""",
+
+        "hardest_examples": f"""
+WITH toks AS ({_TOKS}),
+cf AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+tot AS (SELECT count(*) AS t FROM toks),
+lm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+              CAST(sum(CAST(floor(ln(cf.c * 1.0 / (SELECT t FROM tot))
+                                  * 1000000 + 0.5) AS BIGINT))
+                   AS BIGINT) AS sum_lp_e6
+       FROM toks JOIN cf USING (term) GROUP BY doc_id),
+m AS (SELECT d.lang, lm.doc_id, lm.dl, lm.sum_lp_e6,
+             CAST(lm.sum_lp_e6 // lm.dl AS BIGINT) AS mean_lp_e6
+      FROM lm JOIN documents d USING (doc_id)),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY mean_lp_e6 ASC, doc_id ASC)
+             AS rnk FROM m)
+SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, dl, sum_lp_e6,
+       mean_lp_e6
+FROM r WHERE rnk <= 5""",
 
         "lang_source_chi2": """
 WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o

@@ -1772,6 +1772,52 @@ def ks_drift(events: ray.data.Dataset, type_a: str = "click",
     })
 
 
+def _cell_counts(docs: ray.data.Dataset, col_a: str = "lang",
+                 col_b: str = "source") -> list[dict]:
+    """Exact (col_a, col_b) contingency cells: per-batch dictionary-
+    encoded integer-key partials, one bounded groupby — the shuffle
+    moves cells, never rows.  Shared by ``lang_source_chi2`` and
+    ``k_anonymity_report``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        la = batch[col_a].combine_chunks().dictionary_encode()
+        so = batch[col_b].combine_chunks().dictionary_encode()
+        lc = la.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = so.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = max(len(so.dictionary), 1)
+        u, c = np.unique(lc * ns + sc, return_counts=True)
+        return pa.table({
+            col_a: la.dictionary.take(pa.array(u // ns, pa.int64())),
+            col_b: so.dictionary.take(pa.array(u % ns, pa.int64())),
+            "n_p": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    rows = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby([col_a, col_b]) \
+        .aggregate(Sum("n_p", alias_name="o")).take_all()
+    rows.sort(key=lambda r: (r[col_a], r[col_b]))
+    return rows
+
+
+def k_anonymity_report(docs: ray.data.Dataset, k: int = 10,
+                       col_a: str = "lang", col_b: str = "source"
+                       ) -> pa.Table:
+    """k-anonymity audit over the (lang, source) quasi-identifier pair —
+    the governance gate next to ``pii_scrub``: how many equivalence
+    classes (cells) are smaller than k, and how many rows sit in them
+    (re-identification risk before the corpus ships).  Exact cell
+    counts, O(cells) driver fold.
+    -> one row (k, n_cells, n_small_cells, rows_at_risk)."""
+    rows = _cell_counts(docs, col_a, col_b)
+    small = [int(r["o"]) for r in rows if int(r["o"]) < k]
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "n_cells": pa.array([len(rows)], pa.int64()),
+        "n_small_cells": pa.array([len(small)], pa.int64()),
+        "rows_at_risk": pa.array([sum(small)], pa.int64()),
+    })
+
+
 def lang_source_chi2(docs: ray.data.Dataset) -> pa.Table:
     """Pearson chi-square contingency table between ``lang`` and
     ``source`` — "is language independent of feed?", the categorical
@@ -1785,24 +1831,7 @@ def lang_source_chi2(docs: ray.data.Dataset) -> pa.Table:
     partials — cells are the product of two bounded enums, so the
     driver fold is O(cells) at any corpus size.
     -> (lang, source, o, chi2_term_e6) per observed cell."""
-
-    def partial(batch: pa.Table) -> pa.Table:
-        la = batch["lang"].combine_chunks().dictionary_encode()
-        so = batch["source"].combine_chunks().dictionary_encode()
-        lc = la.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        sc = so.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        ns = max(len(so.dictionary), 1)
-        u, c = np.unique(lc * ns + sc, return_counts=True)
-        return pa.table({
-            "lang": la.dictionary.take(pa.array(u // ns, pa.int64())),
-            "source": so.dictionary.take(pa.array(u % ns, pa.int64())),
-            "n_p": pa.array(c.astype(np.int64), pa.int64()),
-        })
-
-    rows = docs.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["lang", "source"]) \
-        .aggregate(Sum("n_p", alias_name="o")).take_all()
-    rows.sort(key=lambda r: (r["lang"], r["source"]))
+    rows = _cell_counts(docs, "lang", "source")
     r_tot: dict[str, int] = {}
     c_tot: dict[str, int] = {}
     total = 0

@@ -515,6 +515,66 @@ def lm_scores(ds: ray.data.Dataset,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def hardest_examples(ds: ray.data.Dataset,
+                     spec: CorpusSpec = DOCUMENTS_SPEC,
+                     k: int = 5) -> ray.data.Dataset:
+    """Per-language bottom-k documents by mean unigram log-probability —
+    the "hardest / most-surprising examples" selection of a curriculum
+    or quality-audit loop (the doc-level argmin companion of
+    ``curriculum``'s 3-way difficulty cut).  Exactness: the per-doc mean
+    is ``trunc_div(sum_lp_e6, dl)`` (DuckDB ``//`` truncates toward zero
+    on negatives — floor division would diverge on every doc), ties
+    break on doc_id.
+
+    Scale shape: TWO-stage selection — each batch keeps only its local
+    bottom-k per language, so the shuffle moves O(n_batches x langs x k)
+    rows into the final per-language merge, never the corpus.
+    -> (lang, rnk, doc_id, dl, sum_lp_e6, mean_lp_e6), k rows per lang."""
+    scores = lm_scores(ds, spec, extra_cols=("lang",))
+
+    def local_bottomk(batch: pa.Table) -> pa.Table:
+        dl = batch["dl"].to_numpy(zero_copy_only=False)
+        keep = dl > 0
+        t = batch.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "dl": pa.array([], pa.int64()),
+                             "sum_lp_e6": pa.array([], pa.int64()),
+                             "mean_lp_e6": pa.array([], pa.int64())})
+        mean = _trunc_div(
+            t["sum_lp_e6"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["dl"].to_numpy(zero_copy_only=False).astype(np.int64))
+        t = t.append_column("mean_lp_e6", pa.array(mean, pa.int64()))
+        la = t["lang"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        parts = []
+        for lang in np.unique(la):
+            m = np.flatnonzero(la == lang)
+            order = np.lexsort((doc[m], mean[m]))[:k]
+            parts.append(t.take(pa.array(m[order], pa.int64())))
+        out = pa.concat_tables(parts)
+        return out.select(["lang", "doc_id", "dl", "sum_lp_e6",
+                           "mean_lp_e6"])
+
+    def final(group: pa.Table) -> pa.Table:
+        mean = group["mean_lp_e6"].to_numpy(zero_copy_only=False)
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, mean))[:k]
+        g = group.take(pa.array(order, pa.int64()))
+        return pa.table({
+            "lang": g["lang"],
+            "rnk": pa.array(np.arange(1, g.num_rows + 1), pa.int64()),
+            "doc_id": g["doc_id"],
+            "dl": g["dl"],
+            "sum_lp_e6": g["sum_lp_e6"],
+            "mean_lp_e6": g["mean_lp_e6"],
+        })
+
+    return scores.map_batches(local_bottomk, batch_format="pyarrow") \
+        .groupby("lang").map_groups(final, batch_format="pyarrow")
+
+
 def significant_terms(ds: ray.data.Dataset,
                       spec: CorpusSpec = DOCUMENTS_SPEC,
                       fg_col: str = "lang", fg_value: str = "de",

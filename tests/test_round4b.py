@@ -129,6 +129,86 @@ def test_lang_source_chi2_bruteforce(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# k_anonymity_report
+# ---------------------------------------------------------------------------
+
+def test_k_anonymity_bruteforce(ray_session):
+    rng = np.random.default_rng(23)
+    langs = np.array(["en", "de", "fr", "zz"])[
+        rng.choice(4, 500, p=[0.6, 0.3, 0.08, 0.02])]
+    srcs = np.array(["s0", "s1", "s2"])[rng.integers(0, 3, 500)]
+    t = pa.table({"lang": pa.array(langs), "source": pa.array(srcs)})
+    out = relational.k_anonymity_report(
+        ray.data.from_arrow(t), k=10).to_pydict()
+
+    import collections
+    cells = collections.Counter(zip(langs, srcs))
+    small = [v for v in cells.values() if v < 10]
+    assert out["n_cells"] == [len(cells)]
+    assert out["n_small_cells"] == [len(small)]
+    assert out["rows_at_risk"] == [sum(small)]
+    assert len(small) > 0          # the planted 'zz' tail is at risk
+
+
+# ---------------------------------------------------------------------------
+# hardest_examples
+# ---------------------------------------------------------------------------
+
+def test_hardest_examples_bruteforce(ray_session):
+    """Planted rare-token docs must surface as the hardest of their
+    language; exact trunc-division mean check against a full recompute."""
+    import re
+    from onestools_eventlog_ray.pipelines import text as text_mod
+
+    rng = np.random.default_rng(31)
+    common = ["the", "a", "data", "table", "row", "scan"]
+    texts, langs = [], []
+    for i in range(120):
+        words = list(rng.choice(common, size=20))
+        if i % 40 == 0:
+            words = [f"rareword{i}"] * 20       # all-rare doc: hardest
+        texts.append(" ".join(words))
+        langs.append("en" if i % 2 == 0 else "de")
+    t = pa.table({
+        "doc_id": pa.array(range(120), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(langs),
+        "source": pa.array(["s"] * 120),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    out = text_mod.hardest_examples(
+        ray.data.from_arrow(t), k=3).to_pandas()
+
+    # brute force: global unigram LM, e6-rounded per-token lp, trunc mean
+    toks = [re.findall(r"[a-z0-9_]+", s.lower()) for s in texts]
+    import collections
+    cf = collections.Counter(w for ws in toks for w in ws)
+    total = sum(cf.values())
+    lp = {w: int(np.floor(np.log(c / total) * 1e6 + 0.5))
+          for w, c in cf.items()}
+    rows = []
+    for i, ws in enumerate(toks):
+        s = sum(lp[w] for w in ws)
+        rows.append((langs[i], i, len(ws), s, int(np.trunc(s / len(ws)))
+                     if s >= 0 else -((-s) // len(ws))))
+    want = {}
+    for lang in ("en", "de"):
+        lr = sorted([r for r in rows if r[0] == lang],
+                    key=lambda r: (r[4], r[1]))[:3]
+        want[lang] = [(rk + 1, r[1], r[2], r[3], r[4])
+                      for rk, r in enumerate(lr)]
+    got = {}
+    for r in out.itertuples():
+        got.setdefault(r.lang, []).append(
+            (int(r.rnk), int(r.doc_id), int(r.dl), int(r.sum_lp_e6),
+             int(r.mean_lp_e6)))
+    for lang in want:
+        assert sorted(got[lang]) == want[lang], lang
+    # the planted all-rare docs are rank-1 of their language
+    assert got["en"][0][1] in (0, 40, 80)
+
+
+# ---------------------------------------------------------------------------
 # ltr_features
 # ---------------------------------------------------------------------------
 
