@@ -606,6 +606,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["label", "embedding"])
         return similarity.label_centroids(ds)
 
+    def embedding_outliers(sf_dir):
+        """Per-label top-3 farthest vectors from their own (trunc-mean)
+        centroid — the mislabel / embedding-quality outlier report;
+        exact integer d2, two-stage local-top-k selection."""
+        import ray.data
+        ds = _read_pq(os.path.join(sf_dir, "embeddings.parquet"),
+                                   columns=["vec_id", "label", "embedding"])
+        return similarity.embedding_outliers(ds, k=3)
+
     def dedup_clusters(sf_dir):
         """Connected components over the distributed verified-pair graph
         (same pair pipeline as minhash_verified_pairs); union-find runs
@@ -2450,6 +2459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_chi2": lang_source_chi2,
         "k_anonymity": k_anonymity,
         "hardest_examples": hardest_examples,
+        "embedding_outliers": embedding_outliers,
         "value_ntile_by_type": value_ntile_by_type,
         "hll_users_by_type": hll_users_by_type,
         "q5_region_revenue": q5_region_revenue,
@@ -3317,6 +3327,26 @@ e AS (SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
 SELECT label, dim, CAST(sum(xe) AS BIGINT) AS sum_e6, count(*) AS n
 FROM e GROUP BY label, dim""",
 
+
+        "embedding_outliers": """
+WITH e0 AS (SELECT vec_id, label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings),
+e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+             CAST(i - 1 AS BIGINT) AS dim,
+             CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xe
+      FROM e0),
+c AS (SELECT label, dim, CAST(sum(xe) AS BIGINT) AS s, count(*) AS n
+      FROM e GROUP BY label, dim),
+m AS (SELECT label, dim, CAST(s // n AS BIGINT) AS mu FROM c),
+d AS (SELECT e.vec_id, e.label,
+             CAST(sum((e.xe - m.mu) * (e.xe - m.mu)) AS BIGINT) AS d2
+      FROM e JOIN m ON e.label = m.label AND e.dim = m.dim
+      GROUP BY e.vec_id, e.label),
+r AS (SELECT *, row_number() OVER (PARTITION BY label
+                                   ORDER BY d2 DESC, vec_id ASC) AS rnk
+      FROM d)
+SELECT label, CAST(rnk AS BIGINT) AS rnk, vec_id, d2
+FROM r WHERE rnk <= 3""",
 
         "lang_fertility": f"""
 WITH toks AS (SELECT doc_id, count(*) AS n_tokens FROM ({_TOKS}) GROUP BY doc_id),

@@ -405,6 +405,82 @@ def label_centroids(ds: ray.data.Dataset, label_col: str = "label",
                         Sum("n_p", alias_name="n"))
 
 
+def embedding_outliers(ds: ray.data.Dataset, k: int = 3,
+                       label_col: str = "label",
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> ray.data.Dataset:
+    """Per-label top-k FARTHEST vectors from their own label centroid —
+    the mislabel / embedding-quality outlier report (the argmax
+    companion of ``label_centroids``; SemDeDup keeps the closest, this
+    surfaces the suspicious tail).  Exactness: the centroid is the
+    TRUNC-divided e6 mean (DuckDB ``//`` semantics, same as
+    ``hardest_examples``) and the metric is the integer
+    ``d2 = sum_dim (x_e6 - mu_e6)^2`` — per-dim squares are <= ~4e12, so
+    64 dims stay far inside int64 at ANY group size.  Ties break on id.
+
+    Scale shape: pass 1 is the ``label_centroids`` partial fold (tiny,
+    labels x dims); the mean table broadcasts once via ``ray.put``;
+    pass 2 keeps a LOCAL top-k per label in every batch, so the final
+    per-label merge shuffles O(batches x labels x k) rows.
+    -> (label, rnk, vec_id, d2), k rows per label."""
+    from onestools_eventlog_ray.pipelines.text import _trunc_div
+
+    cents = label_centroids(ds, label_col, vec_col).to_pandas()
+    mu: dict[int, np.ndarray] = {}
+    for lab, sub in cents.groupby("label"):
+        sub = sub.sort_values("dim")
+        mu[int(lab)] = _trunc_div(
+            sub["sum_e6"].to_numpy().astype(np.int64),
+            sub["n"].to_numpy().astype(np.int64))
+    mu_ref = ray.put(mu)
+
+    empty = pa.table({"label": pa.array([], pa.int64()),
+                      id_col: pa.array([], pa.int64()),
+                      "d2": pa.array([], pa.int64())})
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import \
+            pin_worker_threads
+        pin_worker_threads()
+        m = _as_matrix(batch[vec_col])
+        if not m.size:
+            return empty
+        mus = ray.get(mu_ref)
+        e6 = np.floor(m * 1_000_000 + 0.5).astype(np.int64)
+        labels = batch[label_col]
+        if isinstance(labels, pa.ChunkedArray):
+            labels = labels.combine_chunks()
+        lab = labels.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = []
+        for l in np.unique(lab):
+            sel = np.flatnonzero(lab == l)
+            diff = e6[sel] - mus[int(l)][None, :]
+            d2 = np.einsum("ij,ij->i", diff, diff)
+            order = np.lexsort((ids[sel], -d2))[:k]
+            parts.append(pa.table({
+                "label": pa.array(np.full(order.size, l), pa.int64()),
+                id_col: pa.array(ids[sel][order], pa.int64()),
+                "d2": pa.array(d2[order], pa.int64()),
+            }))
+        return pa.concat_tables(parts) if parts else empty
+
+    def final(group: pa.Table) -> pa.Table:
+        d2 = group["d2"].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -d2))[:k]
+        g = group.take(pa.array(order, pa.int64()))
+        return pa.table({
+            "label": g["label"],
+            "rnk": pa.array(np.arange(1, g.num_rows + 1), pa.int64()),
+            id_col: g[id_col],
+            "d2": g["d2"],
+        })
+
+    return ds.map_batches(local_topk, batch_format="pyarrow") \
+        .groupby("label").map_groups(final, batch_format="pyarrow")
+
+
 def kmeans_step(ds: ray.data.Dataset, centroids_e6: np.ndarray,
                 label_col: str = "vec_id", vec_col: str = "embedding"
                 ) -> ray.data.Dataset:

@@ -248,6 +248,45 @@ def test_ltr_features_consistent_with_engine(ray_session, tmp_path_factory,
 
 
 # ---------------------------------------------------------------------------
+# embedding_outliers
+# ---------------------------------------------------------------------------
+
+def test_embedding_outliers_planted(ray_session):
+    """A vector shoved far from its label's cluster must be rank-1, and
+    d2 must equal the brute-force trunc-mean distance exactly."""
+    from onestools_eventlog_ray.pipelines import similarity
+    from onestools_eventlog_ray.pipelines.text import _trunc_div
+
+    rng = np.random.default_rng(41)
+    dim = 8
+    vecs = rng.normal(0, 0.05, size=(60, dim))
+    labels = np.arange(60) % 2
+    vecs[labels == 0] += 1.0
+    vecs[7] = 9.0                      # planted outlier in label 1
+    t = pa.table({
+        "vec_id": pa.array(np.arange(60), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    out = similarity.embedding_outliers(
+        ray.data.from_arrow(t), k=2).to_pandas()
+
+    e6 = np.floor(vecs.astype(np.float32).astype(np.float64)
+                  * 1e6 + 0.5).astype(np.int64)
+    for lab in (0, 1):
+        sel = np.flatnonzero(labels == lab)
+        mu = _trunc_div(e6[sel].sum(axis=0), sel.size)
+        d2 = ((e6[sel] - mu) ** 2).sum(axis=1)
+        order = np.lexsort((sel, -d2))[:2]
+        want = [(int(sel[i]), int(d2[i])) for i in order]
+        got = out[out["label"] == lab].sort_values("rnk")
+        assert list(zip(got["vec_id"], got["d2"])) == want, lab
+    assert out[(out["label"] == 1) & (out["rnk"] == 1)]["vec_id"] \
+        .iloc[0] == 7
+
+
+# ---------------------------------------------------------------------------
 # hll_users_by_type
 # ---------------------------------------------------------------------------
 
