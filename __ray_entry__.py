@@ -499,6 +499,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "cos_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def ann_incremental(sf_dir):
+        """Generational vector indexing: base IVF index over HALF the
+        embeddings + add_ann_generation over the rest, queried through
+        the merged (last-wins) view — rank-identical to the full-corpus
+        build (ann.py parity), so the oracle is knn_cosine_ivf's SQL."""
+        import pyarrow.parquet as pq
+        import ray.data
+        from onestools_eventlog_ray.pipelines.ann import (
+            AnnIndex, add_ann_generation, build_ann_index)
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        index_dir = _index_dir_for(sf_dir) + "_ann_inc"
+        meta_p = os.path.join(index_dir, "ann", "_meta.json")
+        if not os.path.exists(meta_p):
+            import pyarrow.compute as pc
+
+            def _parity(p):
+                def fn(batch):
+                    return batch.filter(pc.equal(
+                        pc.bit_wise_and(batch["vec_id"], 1), p))
+                return fn
+            base = _read_pq(path, columns=["vec_id", "embedding"]) \
+                .map_batches(_parity(0), batch_format="pyarrow")
+            build_ann_index(base, index_dir, dim=64, nbits=6, seed=42)
+            delta = _read_pq(path, columns=["vec_id", "embedding"]) \
+                .map_batches(_parity(1), batch_format="pyarrow")
+            add_ann_generation(delta, index_dir)
+        emb = pq.read_table(path, columns=["vec_id", "embedding"])
+        i0 = emb["vec_id"].to_pylist().index(0)
+        qvec = np.asarray(emb["embedding"][i0].as_py(), dtype=np.float64)
+        eng = AnnIndex(index_dir)
+        hits = eng.query(qvec, k=10, hamming=1, exclude_ids={0})
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        return pa.table({
+            "rank": pa.array(np.arange(1, ids.size + 1), pa.int64()),
+            "vec_id": pa.array(ids, pa.int64()),
+            "cos_e6": pa.array(e6, pa.int64()),
+        })
+
     def bm25_after_delete(sf_dir):
         """Tombstoned soft-deletes (the reference's deleted-input handling,
         LgpReader.cs:62-79 / ES delete-by-id): docs with doc_id % 7 < 2
@@ -2460,6 +2499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": k_anonymity,
         "hardest_examples": hardest_examples,
         "embedding_outliers": embedding_outliers,
+        "ann_incremental": ann_incremental,
         "value_ntile_by_type": value_ntile_by_type,
         "hll_users_by_type": hll_users_by_type,
         "q5_region_revenue": q5_region_revenue,
@@ -2793,6 +2833,15 @@ def _bits_values() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_dict()
+    # incremental ANN is rank-identical to the full-corpus build by the
+    # generational-merge parity (tests/test_round4b.py), so its oracle
+    # IS the knn_cosine_ivf SQL over the union table.
+    d["ann_incremental"] = d["knn_cosine_ivf"]
+    return d
+
+
+def _oracle_sql_dict() -> dict[str, str]:
     return {
         "doc_token_stats": f"""
 WITH toks AS ({_TOKS}),

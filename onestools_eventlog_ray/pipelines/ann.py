@@ -79,6 +79,166 @@ def build_ann_index(ds: ray.data.Dataset, index_dir: str, dim: int,
     return meta
 
 
+def add_ann_generation(ds: ray.data.Dataset, index_dir: str,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> dict:
+    """Incremental vector indexing — the ANN analog of the text index's
+    ``add_generation`` (pipelines/incremental.py): new vectors are
+    bucketed with the SAME stored hyperplanes and land in per-generation
+    sidecar files
+
+        ann/bucket-{b:04d}.g{g:03d}.parquet
+
+    so ingestion never rewrites existing buckets (object-store append
+    pattern).  Queries merge base + generations per probed bucket with
+    LAST-generation-wins id semantics: each generation also records its
+    id set (``gen-{g:03d}_ids/``, the tombstone analog), and the merged
+    view drops any OLDER row whose id reappears later — correct even
+    when the updated vector hashes to a DIFFERENT bucket (the stale row
+    is suppressed cross-bucket, exactly like the text index's
+    tombstones, state/tombstones.py).  ``compact_ann`` folds everything
+    back into base files; query results are bit-identical
+    before/after compaction AND to a from-scratch rebuild over the
+    union (tests assert all three)."""
+    import json
+    ann_dir = os.path.join(index_dir, "ann")
+    with open(os.path.join(ann_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    gen = int(meta.get("n_generations", 0)) + 1
+    planes_ref = ray.put(lsh_planes(meta["dim"], meta["nbits"],
+                                    meta["seed"]))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        w = ray.get(planes_ref)
+        m = quantize_e6(_as_matrix(batch[vec_col]))
+        return batch.append_column(
+            "bucket", pa.array(_bucket_of(m, w), pa.int64()))
+
+    def write_bucket(group: pa.Table) -> pa.Table:
+        b = int(group["bucket"][0].as_py())
+        path = os.path.join(ann_dir, f"bucket-{b:04d}.g{gen:03d}.parquet")
+        atomic_write_bytes(path, lambda tmp: pq.write_table(
+            group.drop_columns(["bucket"]).sort_by(id_col), tmp))
+        return pa.table({"bucket": pa.array([b], pa.int64()),
+                         "n_vectors": pa.array([group.num_rows],
+                                               pa.int64())})
+
+    tagged = ds.map_batches(assign, batch_format="pyarrow").materialize()
+    rows = tagged.groupby("bucket") \
+        .map_groups(write_bucket, batch_format="pyarrow").take_all()
+    # the generation's id set (narrow column, written distributed) — the
+    # cross-bucket suppression record for last-wins update semantics
+    tagged.select_columns([id_col]).write_parquet(
+        os.path.join(ann_dir, f"gen-{gen:03d}_ids"))
+    meta["n_generations"] = gen
+    meta["n_vectors"] = int(meta["n_vectors"]
+                            + sum(r["n_vectors"] for r in rows))
+    atomic_write_bytes(os.path.join(ann_dir, "_meta.json"),
+                       lambda tmp: open(tmp, "w").write(json.dumps(meta)))
+    return {"generation": gen, "n_buckets_touched": len(rows),
+            "n_vectors_added": int(sum(r["n_vectors"] for r in rows))}
+
+
+def _gen_id_sets(ann_dir: str, n_generations: int,
+                 id_col: str) -> list[np.ndarray]:
+    """Per-generation added-id arrays (sorted), g=1..N."""
+    import glob as _glob
+    out = []
+    for g in range(1, n_generations + 1):
+        parts = sorted(_glob.glob(
+            os.path.join(ann_dir, f"gen-{g:03d}_ids", "*.parquet")))
+        if parts:
+            ids = np.concatenate([
+                pq.read_table(p, columns=[id_col])[id_col]
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+                for p in parts])
+            out.append(np.unique(ids))
+        else:
+            out.append(np.empty(0, dtype=np.int64))
+    return out
+
+
+def _merged_bucket_table(ann_dir: str, b: int, n_generations: int,
+                         id_col: str, vec_col: str,
+                         gen_ids: list[np.ndarray] | None = None
+                         ) -> pa.Table | None:
+    """Base + generation files of one bucket, with every OLDER row whose
+    id reappears in a LATER generation suppressed (cross-bucket
+    last-wins via the generation id sets), deduped within the result and
+    sorted by id — the canonical merged view (identical to what a
+    from-scratch rebuild over the surviving rows writes)."""
+    if gen_ids is None:
+        gen_ids = _gen_id_sets(ann_dir, n_generations, id_col)
+    paths = [(0, os.path.join(ann_dir, f"bucket-{b:04d}.parquet"))] + \
+        [(g, os.path.join(ann_dir, f"bucket-{b:04d}.g{g:03d}.parquet"))
+         for g in range(1, n_generations + 1)]
+    tbls = []
+    for g, p in paths:
+        if not os.path.exists(p):
+            continue
+        t = pq.read_table(p, columns=[id_col, vec_col])
+        later = [gi for gi in gen_ids[g:] if gi.size]
+        if later:
+            ids = t[id_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            keep = ~np.isin(ids, np.concatenate(later))
+            if not keep.all():
+                t = t.filter(pa.array(keep))
+        if t.num_rows:
+            tbls.append(t)
+    if not tbls:
+        return None
+    t = pa.concat_tables(tbls)
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    _, first_rev = np.unique(ids[::-1], return_index=True)
+    keep = np.sort(ids.size - 1 - first_rev)       # last occurrence per id
+    if keep.size != ids.size:
+        t = t.take(pa.array(keep, pa.int64()))
+    return t.sort_by(id_col)
+
+
+def compact_ann(index_dir: str, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> dict:
+    """Fold every bucket's generation sidecars back into its base file
+    (last-wins), drop the sidecars, reset the generation counter —
+    rank-identity preserved (the merged view IS what queries read)."""
+    import glob as _glob
+    import json
+    ann_dir = os.path.join(index_dir, "ann")
+    with open(os.path.join(ann_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    n_gen = int(meta.get("n_generations", 0))
+    gen_ids = _gen_id_sets(ann_dir, n_gen, id_col)
+    buckets = sorted({int(os.path.basename(p)[7:11]) for p in
+                      _glob.glob(os.path.join(ann_dir, "bucket-*.parquet"))})
+    total = 0
+    for b in buckets:
+        t = _merged_bucket_table(ann_dir, b, n_gen, id_col, vec_col,
+                                 gen_ids=gen_ids)
+        base = os.path.join(ann_dir, f"bucket-{b:04d}.parquet")
+        if t is None:
+            if os.path.exists(base):
+                os.remove(base)
+        else:
+            atomic_write_bytes(base, lambda tmp: pq.write_table(t, tmp))
+            total += t.num_rows
+        for g in range(1, n_gen + 1):
+            p = os.path.join(ann_dir, f"bucket-{b:04d}.g{g:03d}.parquet")
+            if os.path.exists(p):
+                os.remove(p)
+    import shutil as _shutil
+    for g in range(1, n_gen + 1):
+        d = os.path.join(ann_dir, f"gen-{g:03d}_ids")
+        if os.path.isdir(d):
+            _shutil.rmtree(d)
+    meta["n_generations"] = 0
+    meta["n_vectors"] = total
+    meta["n_buckets"] = len(buckets)
+    atomic_write_bytes(os.path.join(ann_dir, "_meta.json"),
+                       lambda tmp: open(tmp, "w").write(json.dumps(meta)))
+    return {"n_buckets": len(buckets), "n_vectors": total}
+
+
 def probe_buckets(bucket: int, nbits: int, hamming: int = 1) -> list[int]:
     """The query bucket plus every bucket within ``hamming`` bit flips,
     ascending (deterministic probe order)."""
@@ -109,6 +269,7 @@ class AnnIndex:
                                  self.meta["seed"])
         from collections import OrderedDict
         self._buckets: "OrderedDict[int, tuple]" = OrderedDict()
+        self._gids: list[np.ndarray] | None = None   # lazy gen id sets
 
     def _bucket_arrays(self, b: int, id_col: str, vec_col: str):
         """(ids, normalized matrix) of one bucket, LRU-cached."""
@@ -116,11 +277,20 @@ class AnnIndex:
         if hit is not None:
             self._buckets.move_to_end(b)
             return hit
-        path = os.path.join(self.ann_dir, f"bucket-{b:04d}.parquet")
-        if not os.path.exists(path):
+        n_gen = int(self.meta.get("n_generations", 0))
+        if n_gen == 0:
+            path = os.path.join(self.ann_dir, f"bucket-{b:04d}.parquet")
+            tbl = pq.read_table(path, columns=[id_col, vec_col]) \
+                if os.path.exists(path) else None
+        else:
+            if self._gids is None:
+                self._gids = _gen_id_sets(self.ann_dir, n_gen, id_col)
+            tbl = _merged_bucket_table(self.ann_dir, b, n_gen,
+                                       id_col, vec_col,
+                                       gen_ids=self._gids)
+        if tbl is None:
             out = (np.empty(0, dtype=np.int64), np.empty((0, 0)))
         else:
-            tbl = pq.read_table(path, columns=[id_col, vec_col])
             ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             m = _as_matrix(tbl[vec_col])
             norms = np.linalg.norm(m, axis=1, keepdims=True)

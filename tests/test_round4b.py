@@ -248,6 +248,79 @@ def test_ltr_features_consistent_with_engine(ray_session, tmp_path_factory,
 
 
 # ---------------------------------------------------------------------------
+# incremental ANN (add_ann_generation / compact_ann)
+# ---------------------------------------------------------------------------
+
+def _emb_table(ids, vecs):
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+
+
+def test_ann_incremental_parity_and_update(ray_session, tmp_path):
+    """Incremental == full rebuild == compacted, bit-for-bit; re-added
+    ids take the LAST generation's vector."""
+    from onestools_eventlog_ray.pipelines.ann import (AnnIndex,
+                                                      add_ann_generation,
+                                                      build_ann_index,
+                                                      compact_ann)
+    rng = np.random.default_rng(47)
+    dim = 16
+    vecs = rng.normal(0, 1, size=(300, dim))
+    base, gen1 = _emb_table(range(200), vecs[:200]), \
+        _emb_table(range(200, 300), vecs[200:])
+
+    full_dir = str(tmp_path / "full")
+    build_ann_index(ray.data.from_arrow(_emb_table(range(300), vecs)),
+                    full_dir, dim=dim, nbits=4, seed=7)
+    inc_dir = str(tmp_path / "inc")
+    build_ann_index(ray.data.from_arrow(base), inc_dir, dim=dim,
+                    nbits=4, seed=7)
+    rep = add_ann_generation(ray.data.from_arrow(gen1), inc_dir)
+    assert rep["generation"] == 1 and rep["n_vectors_added"] == 100
+
+    queries = rng.normal(0, 1, size=(8, dim))
+    full, inc = AnnIndex(full_dir), AnnIndex(inc_dir)
+    for q in queries:
+        assert inc.query(q, k=10, hamming=1) == full.query(q, k=10,
+                                                           hamming=1)
+
+    # update semantics: re-add id 5 pointing at a brand-new direction
+    # (it hashes to a DIFFERENT bucket — the stale row must be
+    # suppressed cross-bucket via the generation id set)
+    newv = rng.normal(0, 1, size=dim) * 3
+    add_ann_generation(ray.data.from_arrow(_emb_table([5], [newv])),
+                       inc_dir)
+    inc2 = AnnIndex(inc_dir)
+    hits = dict(inc2.query(newv, k=5, hamming=1))
+    assert 5 in hits and hits[5] > 0.999          # now its own neighbor
+
+    # gold parity: incremental-with-update == full rebuild over the
+    # union with vec 5 REPLACED
+    vecs2 = vecs.copy()
+    vecs2[5] = newv
+    full2_dir = str(tmp_path / "full2")
+    build_ann_index(ray.data.from_arrow(_emb_table(range(300), vecs2)),
+                    full2_dir, dim=dim, nbits=4, seed=7)
+    full2 = AnnIndex(full2_dir)
+    for q in list(queries) + [vecs[5], newv]:
+        assert inc2.query(q, k=10, hamming=1) == full2.query(q, k=10,
+                                                             hamming=1)
+
+    # compaction: sidecars folded away, results identical
+    before = [inc2.query(q, k=10, hamming=1) for q in queries]
+    rep2 = compact_ann(inc_dir)
+    assert rep2["n_vectors"] == 300               # 5 deduped last-wins
+    import glob as _glob
+    assert not _glob.glob(str(tmp_path / "inc" / "ann" / "*.g0*.parquet"))
+    inc3 = AnnIndex(inc_dir)
+    after = [inc3.query(q, k=10, hamming=1) for q in queries]
+    assert after == before
+
+
+# ---------------------------------------------------------------------------
 # embedding_outliers
 # ---------------------------------------------------------------------------
 
