@@ -538,6 +538,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "cos_e6": pa.array(e6, pa.int64()),
         })
 
+    def ann_after_delete(sf_dir):
+        """ANN tombstones (the vector-side bm25_after_delete): vecs with
+        vec_id % 7 == 3 deleted after the build; every read path masks
+        them, rank/scores of survivors untouched."""
+        import pyarrow.parquet as pq
+        import ray.data
+        from onestools_eventlog_ray.pipelines.ann import (AnnIndex,
+                                                          build_ann_index,
+                                                          delete_ann_vecs)
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        index_dir = _index_dir_for(sf_dir) + "_ann_del"
+        if not os.path.exists(os.path.join(index_dir, "ann",
+                                           "_meta.json")):
+            ds = _read_pq(path, columns=["vec_id", "embedding"])
+            build_ann_index(ds, index_dir, dim=64, nbits=6, seed=42)
+        eng = AnnIndex(index_dir)
+        if eng.deleted.size == 0:
+            ids = pq.read_table(path, columns=["vec_id"])["vec_id"] \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            delete_ann_vecs(index_dir, ids[ids % 7 == 3])
+            eng = AnnIndex(index_dir)
+        emb = pq.read_table(path, columns=["vec_id", "embedding"])
+        i0 = emb["vec_id"].to_pylist().index(0)
+        qvec = np.asarray(emb["embedding"][i0].as_py(), dtype=np.float64)
+        hits = eng.query(qvec, k=10, hamming=1, exclude_ids={0})
+        ids_ = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        return pa.table({
+            "rank": pa.array(np.arange(1, ids_.size + 1), pa.int64()),
+            "vec_id": pa.array(ids_, pa.int64()),
+            "cos_e6": pa.array(e6, pa.int64()),
+        })
+
     def bm25_after_delete(sf_dir):
         """Tombstoned soft-deletes (the reference's deleted-input handling,
         LgpReader.cs:62-79 / ES delete-by-id): docs with doc_id % 7 < 2
@@ -2500,6 +2533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hardest_examples": hardest_examples,
         "embedding_outliers": embedding_outliers,
         "ann_incremental": ann_incremental,
+        "ann_after_delete": ann_after_delete,
         "value_ntile_by_type": value_ntile_by_type,
         "hll_users_by_type": hll_users_by_type,
         "q5_region_revenue": q5_region_revenue,
@@ -2838,6 +2872,11 @@ def oracle_sql() -> dict[str, str]:
     # generational-merge parity (tests/test_round4b.py), so its oracle
     # IS the knn_cosine_ivf SQL over the union table.
     d["ann_incremental"] = d["knn_cosine_ivf"]
+    # ANN tombstones: identical pipeline with the deleted ids
+    # (vec_id % 7 == 3) masked out of the candidate set.
+    d["ann_after_delete"] = d["knn_cosine_ivf"].replace(
+        "WHERE b.vec_id <> 0",
+        "WHERE b.vec_id <> 0 AND b.vec_id % 7 <> 3")
     return d
 
 

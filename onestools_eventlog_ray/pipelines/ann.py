@@ -139,6 +139,31 @@ def add_ann_generation(ds: ray.data.Dataset, index_dir: str,
             "n_vectors_added": int(sum(r["n_vectors"] for r in rows))}
 
 
+def delete_ann_vecs(index_dir: str, ids) -> int:
+    """ANN tombstones — the vector-side mirror of
+    ``state/tombstones.delete_docs``: ids land in ``ann/_deleted.parquet``
+    (sorted, unique, merged with any existing set) and every read path
+    masks them; ``compact_ann`` drops the rows physically and clears the
+    set.  Returns the number of NEWLY deleted ids."""
+    ann_dir = os.path.join(index_dir, "ann")
+    new = np.unique(np.asarray(list(ids), dtype=np.int64))
+    old = _deleted_ids(ann_dir)
+    merged = np.union1d(old, new)
+    atomic_write_bytes(
+        os.path.join(ann_dir, "_deleted.parquet"),
+        lambda tmp: pq.write_table(
+            pa.table({"vec_id": pa.array(merged, pa.int64())}), tmp))
+    return int(merged.size - old.size)
+
+
+def _deleted_ids(ann_dir: str) -> np.ndarray:
+    p = os.path.join(ann_dir, "_deleted.parquet")
+    if not os.path.exists(p):
+        return np.empty(0, dtype=np.int64)
+    return pq.read_table(p)["vec_id"].to_numpy(
+        zero_copy_only=False).astype(np.int64)
+
+
 def _gen_id_sets(ann_dir: str, n_generations: int,
                  id_col: str) -> list[np.ndarray]:
     """Per-generation added-id arrays (sorted), g=1..N."""
@@ -209,12 +234,20 @@ def compact_ann(index_dir: str, id_col: str = "vec_id",
         meta = json.load(f)
     n_gen = int(meta.get("n_generations", 0))
     gen_ids = _gen_id_sets(ann_dir, n_gen, id_col)
+    deleted = _deleted_ids(ann_dir)
     buckets = sorted({int(os.path.basename(p)[7:11]) for p in
                       _glob.glob(os.path.join(ann_dir, "bucket-*.parquet"))})
     total = 0
     for b in buckets:
         t = _merged_bucket_table(ann_dir, b, n_gen, id_col, vec_col,
                                  gen_ids=gen_ids)
+        if t is not None and deleted.size:
+            ids = t[id_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            keep = ~np.isin(ids, deleted)
+            t = t.filter(pa.array(keep)) if not keep.all() else t
+            if t.num_rows == 0:
+                t = None
         base = os.path.join(ann_dir, f"bucket-{b:04d}.parquet")
         if t is None:
             if os.path.exists(base):
@@ -231,6 +264,9 @@ def compact_ann(index_dir: str, id_col: str = "vec_id",
         d = os.path.join(ann_dir, f"gen-{g:03d}_ids")
         if os.path.isdir(d):
             _shutil.rmtree(d)
+    dp = os.path.join(ann_dir, "_deleted.parquet")
+    if os.path.exists(dp):
+        os.remove(dp)                 # rows dropped physically above
     meta["n_generations"] = 0
     meta["n_vectors"] = total
     meta["n_buckets"] = len(buckets)
@@ -270,6 +306,9 @@ class AnnIndex:
         from collections import OrderedDict
         self._buckets: "OrderedDict[int, tuple]" = OrderedDict()
         self._gids: list[np.ndarray] | None = None   # lazy gen id sets
+        #: tombstoned vec_ids, masked at bucket load (like
+        #: SearchEngine.deleted); loaded once per engine instance
+        self.deleted = _deleted_ids(self.ann_dir)
 
     def _bucket_arrays(self, b: int, id_col: str, vec_col: str):
         """(ids, normalized matrix) of one bucket, LRU-cached."""
@@ -293,6 +332,9 @@ class AnnIndex:
         else:
             ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             m = _as_matrix(tbl[vec_col])
+            if self.deleted.size:
+                keep = ~np.isin(ids, self.deleted)
+                ids, m = ids[keep], m[keep]
             norms = np.linalg.norm(m, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             out = (ids, m / norms)

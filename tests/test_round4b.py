@@ -320,6 +320,35 @@ def test_ann_incremental_parity_and_update(ray_session, tmp_path):
     assert after == before
 
 
+def test_ann_delete_tombstones(ray_session, tmp_path):
+    """Deleted ids vanish from results (others' scores untouched);
+    compaction drops the rows physically and clears the tombstone set."""
+    from onestools_eventlog_ray.pipelines.ann import (AnnIndex,
+                                                      build_ann_index,
+                                                      compact_ann,
+                                                      delete_ann_vecs)
+    rng = np.random.default_rng(53)
+    vecs = rng.normal(0, 1, size=(150, 12))
+    d = str(tmp_path / "annd")
+    build_ann_index(ray.data.from_arrow(_emb_table(range(150), vecs)),
+                    d, dim=12, nbits=4, seed=11)
+    q = vecs[0]
+    before = AnnIndex(d).query(q, k=20, hamming=1)
+    victims = {before[0][0], before[3][0]}
+    assert delete_ann_vecs(d, victims) == 2
+    assert delete_ann_vecs(d, victims) == 0          # idempotent
+    after = AnnIndex(d).query(q, k=20, hamming=1)
+    assert [h for h in after if h[0] in victims] == []
+    surviving = [h for h in before if h[0] not in victims]
+    assert after[:len(surviving)] == surviving       # order/scores intact
+    rep = compact_ann(d)
+    assert rep["n_vectors"] == 148
+    import os as _os
+    assert not _os.path.exists(
+        str(tmp_path / "annd" / "ann" / "_deleted.parquet"))
+    assert AnnIndex(d).query(q, k=20, hamming=1) == after
+
+
 # ---------------------------------------------------------------------------
 # embedding_outliers
 # ---------------------------------------------------------------------------
