@@ -538,6 +538,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "cos_e6": pa.array(e6, pa.int64()),
         })
 
+    def ks_weekend_drift(sf_dir):
+        """KS between weekday and weekend purchase values — the
+        calendar-composed drift test (shares the ks_drift fold)."""
+        import ray.data
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_type", "ts", "value"])
+        return relational.ks_weekend_drift(ev, "purchase")
+
+    def ann_bucket_stats(sf_dir):
+        """IVF bucket-balance diagnostics: per-bucket counts + e6 corpus
+        share from one streaming bincount pass — the rebalance /
+        nbits-sizing report."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines.ann import ann_bucket_stats
+        ds = _read_pq(os.path.join(sf_dir, "embeddings.parquet"),
+                                   columns=["embedding"])
+        return ann_bucket_stats(ds, dim=64, nbits=6, seed=42)
+
     def ann_after_delete(sf_dir):
         """ANN tombstones (the vector-side bm25_after_delete): vecs with
         vec_id % 7 == 3 deleted after the build; every read path masks
@@ -2534,6 +2552,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_outliers": embedding_outliers,
         "ann_incremental": ann_incremental,
         "ann_after_delete": ann_after_delete,
+        "ann_bucket_stats": ann_bucket_stats,
+        "ks_weekend_drift": ks_weekend_drift,
         "value_ntile_by_type": value_ntile_by_type,
         "hll_users_by_type": hll_users_by_type,
         "q5_region_revenue": q5_region_revenue,
@@ -4756,6 +4776,46 @@ SELECT c.lang, c.source, c.o,
             // (r.rt * s.ct * t.T) AS BIGINT) AS chi2_term_e6
 FROM c JOIN r ON c.lang = r.lang JOIN s ON c.source = s.source
 CROSS JOIN t""",
+
+        "ks_weekend_drift": """
+WITH p AS (SELECT CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
+                  CASE WHEN (epoch_us(ts) // 86400000000 + 3) % 7 < 5
+                       THEN 1 ELSE 0 END AS a,
+                  CASE WHEN (epoch_us(ts) // 86400000000 + 3) % 7 >= 5
+                       THEN 1 ELSE 0 END AS b
+           FROM events WHERE event_type = 'purchase'),
+g AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+             CAST(sum(b) AS BIGINT) AS cb
+      FROM p GROUP BY v),
+c AS (SELECT CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+             CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+      FROM g),
+t AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+             CAST(sum(b) AS BIGINT) AS nb FROM p)
+SELECT t.na AS n_a, t.nb AS n_b,
+       CAST(max(abs(c.cum_a * t.nb - c.cum_b * t.na)) AS BIGINT) AS d_num,
+       CAST(max(abs(c.cum_a * t.nb - c.cum_b * t.na)) * 1000000
+            // (t.na * t.nb) AS BIGINT) AS d_e6
+FROM c, t GROUP BY t.na, t.nb""",
+
+        "ann_bucket_stats": f"""
+WITH planes AS (SELECT * FROM (VALUES {_planes_values(64, 6, 42)})
+                AS p(t, j, i, w)),
+e0 AS (SELECT vec_id, unnest(embedding) AS x,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+e AS (SELECT vec_id, i,
+             CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xe
+      FROM e0),
+dots AS (SELECT vec_id, p.j, sum(e.xe * p.w) AS dot
+         FROM e JOIN planes p USING (i) GROUP BY vec_id, p.j),
+buck AS (SELECT vec_id,
+                CAST(sum(CASE WHEN dot > 0 THEN 1 << j ELSE 0 END)
+                     AS BIGINT) AS bucket
+         FROM dots GROUP BY vec_id)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(*) * 1000000 // (SELECT count(*) FROM buck)
+            AS BIGINT) AS share_e6
+FROM buck GROUP BY bucket""",
 
         "ks_drift": """
 WITH p AS (SELECT CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,

@@ -139,6 +139,41 @@ def add_ann_generation(ds: ray.data.Dataset, index_dir: str,
             "n_vectors_added": int(sum(r["n_vectors"] for r in rows))}
 
 
+def ann_bucket_stats(ds: ray.data.Dataset, dim: int, nbits: int = 6,
+                     seed: int = 42,
+                     vec_col: str = "embedding") -> pa.Table:
+    """IVF bucket-balance diagnostics — the ANN mirror of the text
+    index's shuffle-skew report: per-bucket vector counts + e6 share of
+    the corpus, from one streaming pass of 2^nbits-sized bincount
+    partials (the skewed-bucket list is what an IVF rebalance / nbits
+    bump decision reads).  -> (bucket, n_vectors, share_e6)."""
+    from ray.data.aggregate import Sum
+    planes_ref = ray.put(lsh_planes(dim, nbits, seed))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = ray.get(planes_ref)
+        m = quantize_e6(_as_matrix(batch[vec_col]))
+        if not m.size:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n_p": pa.array([], pa.int64())})
+        counts = np.bincount(_bucket_of(m, w), minlength=1 << nbits)
+        nz = np.flatnonzero(counts)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "n_p": pa.array(counts[nz], pa.int64())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Sum("n_p", alias_name="n")) \
+        .take_all()
+    rows.sort(key=lambda r: r["bucket"])
+    n = np.asarray([r["n"] for r in rows], dtype=np.int64)
+    total = max(int(n.sum()), 1)
+    return pa.table({
+        "bucket": pa.array([r["bucket"] for r in rows], pa.int64()),
+        "n_vectors": pa.array(n, pa.int64()),
+        "share_e6": pa.array(n * 1_000_000 // total, pa.int64()),
+    })
+
+
 def delete_ann_vecs(index_dir: str, ids) -> int:
     """ANN tombstones — the vector-side mirror of
     ``state/tombstones.delete_docs``: ids land in ``ann/_deleted.parquet``

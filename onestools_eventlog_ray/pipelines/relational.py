@@ -1750,9 +1750,15 @@ def ks_drift(events: ray.data.Dataset, type_a: str = "click",
                          "ca_p": pa.array(ca_full, pa.int64()),
                          "cb_p": pa.array(cb_full, pa.int64())})
 
-    rows = events.map_batches(partial, batch_format="pyarrow") \
-        .groupby("v").aggregate(Sum("ca_p", alias_name="ca"),
-                                Sum("cb_p", alias_name="cb")) \
+    return _ks_finalize(events.map_batches(partial,
+                                           batch_format="pyarrow"))
+
+
+def _ks_finalize(parts: ray.data.Dataset) -> pa.Table:
+    """(v, ca_p, cb_p) partials -> the one-row KS report (shared by
+    every two-sample split of the drift family)."""
+    rows = parts.groupby("v").aggregate(Sum("ca_p", alias_name="ca"),
+                                        Sum("cb_p", alias_name="cb")) \
         .take_all()
     rows.sort(key=lambda r: r["v"])
     ca = np.asarray([r["ca"] for r in rows], dtype=np.int64)
@@ -1770,6 +1776,42 @@ def ks_drift(events: ray.data.Dataset, type_a: str = "click",
         "d_num": pa.array([d_num], pa.int64()),
         "d_e6": pa.array([d_e6], pa.int64()),
     })
+
+
+def ks_weekend_drift(events: ray.data.Dataset,
+                     event_type: str = "purchase") -> pa.Table:
+    """Two-sample KS between WEEKDAY and WEEKEND value distributions of
+    one event type — the calendar-composed member of the drift family
+    (does behavior shift on weekends?).  Side assignment is the exact
+    epoch-day math of ``dow_pivot`` ((d + 3) % 7, 0 = Monday; weekend =
+    5,6); the fold and the statistic are shared with ``ks_drift``
+    (e6-quantized, exact integers end-to-end)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["event_type"], event_type) \
+            .to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ve6 = np.floor(v * 1_000_000 + 0.5).astype(np.int64)
+        dow = ((ts // 86_400_000_000 + 3) % 7).astype(np.int64)
+        wkend = dow >= 5
+        out = []
+        for side_mask in (m & ~wkend, m & wkend):       # a=weekday
+            u, c = np.unique(ve6[side_mask], return_counts=True)
+            out.append((u, c))
+        (ua, ca), (ub, cb) = out
+        v_all = np.union1d(ua, ub)
+        ca_full = np.zeros(v_all.size, dtype=np.int64)
+        cb_full = np.zeros(v_all.size, dtype=np.int64)
+        ca_full[np.searchsorted(v_all, ua)] = ca
+        cb_full[np.searchsorted(v_all, ub)] = cb
+        return pa.table({"v": pa.array(v_all, pa.int64()),
+                         "ca_p": pa.array(ca_full, pa.int64()),
+                         "cb_p": pa.array(cb_full, pa.int64())})
+
+    return _ks_finalize(events.map_batches(partial,
+                                           batch_format="pyarrow"))
 
 
 def _cell_counts(docs: ray.data.Dataset, col_a: str = "lang",

@@ -55,6 +55,47 @@ def test_ks_drift_exact_bruteforce(ray_session):
     assert d_num > 0          # the planted drift is detectable
 
 
+def test_ks_weekend_drift_bruteforce(ray_session):
+    rng = np.random.default_rng(61)
+    n = 3000
+    ts = rng.integers(0, 86_400_000_000 * 28, size=n)       # 4 weeks
+    dow = (ts // 86_400_000_000 + 3) % 7
+    v = np.where(dow >= 5, rng.normal(80, 5, n), rng.normal(60, 5, n))
+    v = np.round(np.abs(v), 2)
+    t = pa.table({
+        "event_type": pa.array(["purchase"] * (n - 5) + ["click"] * 5),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "value": pa.array(v, pa.float64()),
+    })
+    out = relational.ks_weekend_drift(
+        ray.data.from_arrow(t), "purchase").to_pydict()
+    m = np.arange(n) < n - 5                   # purchase rows only
+    n_a, n_b, d_num = _ks_brute(v[m & (dow < 5)], v[m & (dow >= 5)])
+    assert out["n_a"] == [n_a] and out["n_b"] == [n_b]
+    assert out["d_num"] == [d_num]
+    assert out["d_e6"][0] > 500_000            # the planted shift is huge
+
+
+def test_ann_bucket_stats_bruteforce(ray_session):
+    from onestools_eventlog_ray.pipelines.ann import (_bucket_of,
+                                                      ann_bucket_stats)
+    from onestools_eventlog_ray.pipelines.similarity import (lsh_planes,
+                                                             quantize_e6)
+    rng = np.random.default_rng(67)
+    vecs = rng.normal(0, 1, size=(400, 16))
+    t = _emb_table(range(400), vecs)
+    out = ann_bucket_stats(ray.data.from_arrow(t), dim=16, nbits=4,
+                           seed=13).to_pandas()
+    planes = lsh_planes(16, 4, 13)
+    e6 = quantize_e6(vecs.astype(np.float32).astype(np.float64))
+    want = np.bincount(_bucket_of(e6, planes), minlength=16)
+    got = dict(zip(out["bucket"], out["n_vectors"]))
+    for b in range(16):
+        assert got.get(b, 0) == want[b]
+    assert int(out["n_vectors"].sum()) == 400
+    assert (out["share_e6"] == out["n_vectors"] * 1_000_000 // 400).all()
+
+
 def test_ks_drift_zero_on_identical_samples(ray_session):
     v = np.array([1.0, 2.5, 2.5, 7.25, 9.0] * 3)
     t = pa.table({
