@@ -538,6 +538,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "cos_e6": pa.array(e6, pa.int64()),
         })
 
+    def rate_spikes(sf_dir):
+        """Hourly rate-spike alarm over the zero-filled grid: one-sided
+        z-sigma test cross-multiplied into exact integers (Python
+        bigints vs HUGEINT)."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines.streaming import rate_spikes
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["ts"])
+        return rate_spikes(ev, z=3)
+
     def ks_weekend_drift(sf_dir):
         """KS between weekday and weekend purchase values — the
         calendar-composed drift test (shares the ks_drift fold)."""
@@ -2554,6 +2564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_after_delete": ann_after_delete,
         "ann_bucket_stats": ann_bucket_stats,
         "ks_weekend_drift": ks_weekend_drift,
+        "rate_spikes": rate_spikes,
         "value_ntile_by_type": value_ntile_by_type,
         "hll_users_by_type": hll_users_by_type,
         "q5_region_revenue": q5_region_revenue,
@@ -4776,6 +4787,24 @@ SELECT c.lang, c.source, c.o,
             // (r.rt * s.ct * t.T) AS BIGINT) AS chi2_term_e6
 FROM c JOIN r ON c.lang = r.lang JOIN s ON c.source = s.source
 CROSS JOIN t""",
+
+        "rate_spikes": """
+WITH d AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+                  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+g AS (SELECT s.h, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+      FROM (SELECT unnest(generate_series((SELECT min(h) FROM d),
+                                           (SELECT max(h) FROM d)))
+              AS h) s
+      LEFT JOIN d USING (h)),
+t AS (SELECT CAST(count(*) AS HUGEINT) AS hh,
+             CAST(sum(n) AS HUGEINT) AS s,
+             CAST(sum(n * n) AS HUGEINT) AS q FROM g)
+SELECT g.h * 3600000000 AS window_start_us, g.n AS n_events,
+       CAST(CASE WHEN t.hh * g.n > t.s
+                  AND (t.hh * g.n - t.s) * (t.hh * g.n - t.s)
+                      > 9 * (t.hh * t.q - t.s * t.s)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+FROM g, t ORDER BY g.h""",
 
         "ks_weekend_drift": """
 WITH p AS (SELECT CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,

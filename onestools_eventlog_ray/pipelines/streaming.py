@@ -24,6 +24,51 @@ from ray.data.aggregate import Count, Max, Min
 US = 1_000_000
 
 
+def rate_spikes(ds: ray.data.Dataset, window_us: int = 3_600_000_000,
+                z: int = 3) -> pa.Table:
+    """Event-rate spike detection over the ZERO-FILLED hourly grid —
+    the monitoring alarm next to ``date_histogram`` (which hours ran
+    z-sigma hot?).  Exact integers throughout: with H grid hours,
+    S = sum counts, Q = sum counts^2, hour h spikes iff
+
+        H*c_h > S  AND  (H*c_h - S)^2 > z^2 * (H*Q - S^2)
+
+    (the one-sided z-score test cross-multiplied free of division;
+    driver math in Python bigints, oracle in HUGEINT).  The fold is
+    (hour, n) partials -> bounded groupby; the grid fill is O(hours)
+    on the driver.  -> (window_start_us, n_events, is_spike) per grid
+    hour."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h, c = np.unique(ts // window_us, return_counts=True)
+        return pa.table({"h": pa.array(h, pa.int64()),
+                         "n_p": pa.array(c.astype(np.int64), pa.int64())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("h").aggregate(Sum("n_p", alias_name="n")).take_all()
+    if not rows:
+        return pa.table({"window_start_us": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64()),
+                         "is_spike": pa.array([], pa.int64())})
+    by_h = {int(r["h"]): int(r["n"]) for r in rows}
+    lo, hi = min(by_h), max(by_h)
+    hours = list(range(lo, hi + 1))
+    n = [by_h.get(h, 0) for h in hours]
+    H, S, Q = len(hours), sum(n), sum(c * c for c in n)
+    var_num = H * Q - S * S                       # H^2 * variance
+    spike = [1 if (H * c > S and
+                   (H * c - S) ** 2 > z * z * var_num) else 0
+             for c in n]
+    return pa.table({
+        "window_start_us": pa.array([h * window_us for h in hours],
+                                    pa.int64()),
+        "n_events": pa.array(n, pa.int64()),
+        "is_spike": pa.array(spike, pa.int64()),
+    })
+
+
 def tumbling_window_counts(ds: ray.data.Dataset, window_s: int = 3600
                            ) -> ray.data.Dataset:
     """Per (user_id, tumbling window): event count + exact min/max value.

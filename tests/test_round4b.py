@@ -96,6 +96,35 @@ def test_ann_bucket_stats_bruteforce(ray_session):
     assert (out["share_e6"] == out["n_vectors"] * 1_000_000 // 400).all()
 
 
+def test_rate_spikes_planted(ray_session):
+    """Flat 10-events/hour background + one 200-event hour: exactly that
+    hour flags, zero-filled gap hours appear with n=0."""
+    from onestools_eventlog_ray.pipelines.streaming import rate_spikes
+    hour = 3_600_000_000
+    ts = []
+    for h in range(48):
+        if h == 20:
+            ts += [h * hour + i * 1000 for i in range(200)]
+        elif h == 30:
+            continue                                  # a silent hour
+        else:
+            ts += [h * hour + i * 1000 for i in range(10)]
+    t = pa.table({"ts": pa.array(np.array(ts, dtype="datetime64[us]"))})
+    out = rate_spikes(ray.data.from_arrow(t), z=3).to_pandas()
+    assert len(out) == 48                             # zero-filled grid
+    assert out.loc[out["window_start_us"] == 30 * hour,
+                   "n_events"].iloc[0] == 0
+    spikes = out[out["is_spike"] == 1]
+    assert list(spikes["window_start_us"]) == [20 * hour]
+    # brute-force the integer test on the same grid
+    n = out["n_events"].to_numpy().astype(object)
+    H, S, Q = len(n), int(sum(n)), int(sum(int(c) * int(c) for c in n))
+    for c, flag in zip(n, out["is_spike"]):
+        want = 1 if (H * int(c) > S and
+                     (H * int(c) - S) ** 2 > 9 * (H * Q - S * S)) else 0
+        assert flag == want
+
+
 def test_ks_drift_zero_on_identical_samples(ray_session):
     v = np.array([1.0, 2.5, 2.5, 7.25, 9.0] * 3)
     t = pa.table({
