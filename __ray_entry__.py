@@ -538,6 +538,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "cos_e6": pa.array(e6, pa.int64()),
         })
 
+    def ab_test_report(sf_dir):
+        """A/B readout: variant = user_id % 2, conversion = any
+        purchase event; distinct users / converted / exact e6 rate per
+        variant — one user_id shuffle + 2-row fold."""
+        import ray.data
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["user_id", "event_type"])
+        return relational.ab_test_report(ev, "purchase")
+
+    def embedding_cov(sf_dir):
+        """Exact embedding covariance matrix (upper triangle) — PCA /
+        whitening prep: one int64 Gram matmul per batch, d^2-row
+        shuffle, Python-bigint finalize."""
+        import ray.data
+        ds = _read_pq(os.path.join(sf_dir, "embeddings.parquet"),
+                                   columns=["embedding"])
+        return similarity.embedding_cov(ds)
+
+    def dedup_keep_policy(sf_dir):
+        """Survivorship-policy dedup: per content group keep the copy
+        from the most trusted source (src1 > src0 > rest), doc_id
+        ties — the canonical-source selection of a feed-merge
+        pipeline."""
+        return dedup.dedup_keep_policy(_documents_ds(sf_dir),
+                                       DOCUMENTS_SPEC,
+                                       priority={"src1": 0, "src0": 1})
+
     def rate_spikes(sf_dir):
         """Hourly rate-spike alarm over the zero-filled grid: one-sided
         z-sigma test cross-multiplied into exact integers (Python
@@ -2565,6 +2592,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_bucket_stats": ann_bucket_stats,
         "ks_weekend_drift": ks_weekend_drift,
         "rate_spikes": rate_spikes,
+        "dedup_keep_policy": dedup_keep_policy,
+        "embedding_cov": embedding_cov,
+        "ab_test_report": ab_test_report,
         "value_ntile_by_type": value_ntile_by_type,
         "hll_users_by_type": hll_users_by_type,
         "q5_region_revenue": q5_region_revenue,
@@ -4787,6 +4817,48 @@ SELECT c.lang, c.source, c.o,
             // (r.rt * s.ct * t.T) AS BIGINT) AS chi2_term_e6
 FROM c JOIN r ON c.lang = r.lang JOIN s ON c.source = s.source
 CROSS JOIN t""",
+
+        "ab_test_report": """
+WITH u AS (SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS conv
+           FROM events GROUP BY user_id)
+SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(conv) AS BIGINT) AS n_converted,
+       CAST(sum(conv) * 1000000 // count(*) AS BIGINT) AS conv_e6
+FROM u GROUP BY variant""",
+
+        "embedding_cov": """
+WITH e0 AS (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings),
+e AS (SELECT vec_id, CAST(i AS BIGINT) AS i,
+             CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xe
+      FROM e0),
+p AS (SELECT a.i AS i, b.i AS j,
+             CAST(sum(a.xe * b.xe) AS HUGEINT) AS sxy,
+             CAST(sum(a.xe) AS HUGEINT) AS si,
+             CAST(sum(b.xe) AS HUGEINT) AS sj,
+             CAST(count(*) AS HUGEINT) AS n
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i)
+SELECT i, j, CAST(n AS BIGINT) AS n, CAST(sxy AS BIGINT) AS sxy,
+       CAST((n * sxy - si * sj) // (n * n) AS BIGINT) AS cov_e12
+FROM p""",
+
+        "dedup_keep_policy": """
+WITH p AS (SELECT doc_id, source, md5(text) AS content_md5,
+                  CASE source WHEN 'src1' THEN 0 WHEN 'src0' THEN 1
+                       ELSE 2 END AS pr
+           FROM documents),
+r AS (SELECT *,
+             row_number() OVER (PARTITION BY content_md5
+                                ORDER BY pr, doc_id) AS rn,
+             count(*) OVER (PARTITION BY content_md5) AS nd
+      FROM p)
+SELECT content_md5, doc_id AS keep_doc_id, source AS keep_source,
+       CAST(nd AS BIGINT) AS n_dups
+FROM r WHERE rn = 1""",
 
         "rate_spikes": """
 WITH d AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,

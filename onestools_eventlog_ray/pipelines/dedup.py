@@ -67,6 +67,60 @@ def exact_dedup(ds: ray.data.Dataset,
                         Count(alias_name="n_dups"))
 
 
+def dedup_keep_policy(ds: ray.data.Dataset,
+                      spec: CorpusSpec = DOCUMENTS_SPEC,
+                      priority: dict[str, int] | None = None
+                      ) -> ray.data.Dataset:
+    """Survivorship-POLICY exact dedup — ``exact_dedup`` keeps the
+    smallest doc_id; real pipelines keep the copy from the most trusted
+    FEED (canonical-source survivorship: prefer the publisher mirror
+    over the crawler, the newer feed over the archive).  Per content
+    group the representative is argmin of ``(priority[source],
+    doc_id)``; unlisted sources rank after every listed one.
+
+    Same scale shape as ``exact_dedup``: only (md5, doc_id,
+    priority-code, source) rows shuffle, grouped by content hash (dup
+    groups are small by construction, so the per-group pick is a tiny
+    vectorized lexsort).  -> (content_md5, keep_doc_id, keep_source,
+    n_dups)."""
+    import ray
+    pr = dict(priority or {})
+    default = (max(pr.values()) + 1) if pr else 0
+    pr_ref = ray.put((pr, default))
+
+    def sig(batch: pa.Table) -> pa.Table:
+        prm, dflt = ray.get(pr_ref)
+        b = add_doc_id(batch, spec)
+        src = batch["source"]                 # meta col, not in the spec
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        dict_pr = np.array([prm.get(s, dflt)
+                            for s in enc.dictionary.to_pylist()],
+                           dtype=np.int64)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "content_md5": md5_hex_fast(b["content"]),
+            "doc_id": b["doc_id"],
+            "source": src,
+            "pr": pa.array(dict_pr[codes], pa.int64()),
+        })
+
+    def pick(group: pa.Table) -> pa.Table:
+        p = group["pr"].to_numpy(zero_copy_only=False)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        i = int(np.lexsort((d, p))[0])
+        return pa.table({
+            "content_md5": group["content_md5"][i:i + 1],
+            "keep_doc_id": group["doc_id"][i:i + 1],
+            "keep_source": group["source"][i:i + 1],
+            "n_dups": pa.array([group.num_rows], pa.int64()),
+        })
+
+    return ds.map_batches(sig, batch_format="pyarrow") \
+        .groupby("content_md5").map_groups(pick, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # shingles (vectorized)
 # ---------------------------------------------------------------------------

@@ -1778,6 +1778,53 @@ def _ks_finalize(parts: ray.data.Dataset) -> pa.Table:
     })
 
 
+def ab_test_report(events: ray.data.Dataset,
+                   convert_type: str = "purchase") -> ray.data.Dataset:
+    """A/B experiment readout with hash-based assignment — variant =
+    ``user_id % 2`` (the deterministic bucketing an experimentation
+    layer uses), conversion = "user produced >= 1 ``convert_type``
+    event".  Per variant: distinct users, converted users and the exact
+    e6 conversion rate.  ONE shuffle on user_id (narrow (user, flag)
+    rows — the per-user dedup), then a 2-row variant fold; pair with
+    ``lang_source_chi2``'s integer test for significance.
+    -> (variant, n_users, n_converted, conv_e6)."""
+    from ray.data.aggregate import Max as RMax
+
+    def project(batch: pa.Table) -> pa.Table:
+        conv = pc.cast(pc.equal(batch["event_type"], convert_type),
+                       pa.int64())
+        return pa.table({"user_id": batch["user_id"], "conv": conv})
+
+    per_user = events.map_batches(project, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(RMax("conv", alias_name="converted"))
+
+    def variant_partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        conv = batch["converted"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        out = {"variant": [], "users_p": [], "conv_p": []}
+        for v in (0, 1):
+            m = (uid % 2) == v
+            out["variant"].append(v)
+            out["users_p"].append(int(m.sum()))
+            out["conv_p"].append(int(conv[m].sum()))
+        return pa.table({k: pa.array(vv, pa.int64())
+                         for k, vv in out.items()})
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        nu = batch["n_users"].to_numpy(zero_copy_only=False)
+        nc = batch["n_converted"].to_numpy(zero_copy_only=False)
+        e6 = np.where(nu > 0, nc * 1_000_000 // np.maximum(nu, 1), 0)
+        return batch.append_column("conv_e6", pa.array(e6, pa.int64()))
+
+    return per_user.map_batches(variant_partial, batch_format="pyarrow") \
+        .groupby("variant").aggregate(Sum("users_p", alias_name="n_users"),
+                                      Sum("conv_p",
+                                          alias_name="n_converted")) \
+        .map_batches(finalize, batch_format="pyarrow")
+
+
 def ks_weekend_drift(events: ray.data.Dataset,
                      event_type: str = "purchase") -> pa.Table:
     """Two-sample KS between WEEKDAY and WEEKEND value distributions of

@@ -580,6 +580,64 @@ def cosine_range_search(ds: ray.data.Dataset, query: np.ndarray,
                                          if exclude_ids else None))
 
 
+def embedding_cov(ds: ray.data.Dataset,
+                  vec_col: str = "embedding") -> pa.Table:
+    """Exact covariance matrix of the embedding dimensions (upper
+    triangle) — the PCA / whitening prep ``embedding_dim_stats`` can't
+    give (it lacks the CROSS-moments).  Per batch ONE int64 Gram matmul
+    over e6-quantized coordinates (``e6.T @ e6``, d x d) plus the dim
+    sums; the shuffle moves d*(d+1)/2-row partials, never vectors; the
+    finalize is Python-bigint ``cov_e12 = trunc((n*sxy - si*sj) /
+    n^2)`` (trunc matches DuckDB ``//`` on negatives).  int64 partials
+    hold to ~10^6-row batches x e6^2; for 10^9-row corpora swap the
+    Sum fold to the hi/lo-limb pattern of ``lineitem_matrix_stats``.
+    -> (i, j, n, sxy, cov_e12), 1-based dims, i <= j."""
+    from ray.data.aggregate import Sum as RSum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import \
+            pin_worker_threads
+        pin_worker_threads()
+        m = _as_matrix(batch[vec_col])
+        if not m.size:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("i", "j", "sxy_p", "si_p",
+                                       "sj_p", "n_p")})
+        e6 = np.floor(m * 1_000_000 + 0.5).astype(np.int64)
+        g = e6.T @ e6
+        s = e6.sum(axis=0)
+        iu = np.triu_indices(e6.shape[1])
+        return pa.table({
+            "i": pa.array(iu[0] + 1, pa.int64()),
+            "j": pa.array(iu[1] + 1, pa.int64()),
+            "sxy_p": pa.array(g[iu], pa.int64()),
+            "si_p": pa.array(s[iu[0]], pa.int64()),
+            "sj_p": pa.array(s[iu[1]], pa.int64()),
+            "n_p": pa.array(np.full(iu[0].size, e6.shape[0]), pa.int64()),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["i", "j"]) \
+        .aggregate(RSum("sxy_p", alias_name="sxy"),
+                   RSum("si_p", alias_name="si"),
+                   RSum("sj_p", alias_name="sj"),
+                   RSum("n_p", alias_name="n")).take_all()
+    rows.sort(key=lambda r: (r["i"], r["j"]))
+
+    def tdiv(a: int, b: int) -> int:
+        return abs(a) // b * (1 if a >= 0 else -1)
+
+    cov = [tdiv(int(r["n"]) * int(r["sxy"]) - int(r["si"]) * int(r["sj"]),
+                int(r["n"]) ** 2) for r in rows]
+    return pa.table({
+        "i": pa.array([r["i"] for r in rows], pa.int64()),
+        "j": pa.array([r["j"] for r in rows], pa.int64()),
+        "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+        "sxy": pa.array([int(r["sxy"]) for r in rows], pa.int64()),
+        "cov_e12": pa.array(cov, pa.int64()),
+    })
+
+
 def embedding_dim_stats(ds: ray.data.Dataset,
                         vec_col: str = "embedding") -> pa.Table:
     """Per-dimension profile of an embedding column: n, mean and

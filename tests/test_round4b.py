@@ -96,6 +96,48 @@ def test_ann_bucket_stats_bruteforce(ray_session):
     assert (out["share_e6"] == out["n_vectors"] * 1_000_000 // 400).all()
 
 
+def test_ab_test_report_bruteforce(ray_session):
+    t = _events_table(seed=79, n=5000)
+    out = relational.ab_test_report(
+        ray.data.from_arrow(t), "purchase").to_pandas() \
+        .set_index("variant").sort_index()
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    et = t["event_type"].to_numpy(zero_copy_only=False)
+    for v in (0, 1):
+        users = np.unique(uid[uid % 2 == v])
+        conv = np.unique(uid[(uid % 2 == v) & (et == "purchase")])
+        assert out.loc[v, "n_users"] == users.size
+        assert out.loc[v, "n_converted"] == conv.size
+        assert out.loc[v, "conv_e6"] == conv.size * 1_000_000 // users.size
+
+
+def test_dedup_keep_policy_planted(ray_session):
+    """The same content in three sources keeps the highest-priority
+    copy, NOT the smallest doc_id; unlisted sources rank last."""
+    from onestools_eventlog_ray.pipelines import dedup as dedup_mod
+    texts = ["same content here"] * 3 + ["unique one"] + ["other dup"] * 2
+    srcs = ["crawl", "mirror", "crawl", "crawl", "archive", "crawl"]
+    t = pa.table({
+        "doc_id": pa.array([10, 20, 5, 7, 30, 2], pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 6),
+        "source": pa.array(srcs),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    out = dedup_mod.dedup_keep_policy(
+        ray.data.from_arrow(t),
+        priority={"mirror": 0, "crawl": 1}).to_pandas() \
+        .set_index("keep_doc_id")
+    # group A (3 copies): mirror wins despite doc_id 20 > 5,10
+    assert out.loc[20, "n_dups"] == 3
+    assert out.loc[20, "keep_source"] == "mirror"
+    # group B (unique): itself
+    assert out.loc[7, "n_dups"] == 1
+    # group C: archive is UNLISTED -> crawl (pr 1) beats archive (pr 2)
+    assert out.loc[2, "n_dups"] == 2
+    assert out.loc[2, "keep_source"] == "crawl"
+
+
 def test_rate_spikes_planted(ray_session):
     """Flat 10-events/hour background + one 200-event hour: exactly that
     hour flags, zero-filled gap hours appear with n=0."""
@@ -422,6 +464,29 @@ def test_ann_delete_tombstones(ray_session, tmp_path):
 # ---------------------------------------------------------------------------
 # embedding_outliers
 # ---------------------------------------------------------------------------
+
+def test_embedding_cov_bruteforce(ray_session):
+    """Exact integer identity per cell + closeness to numpy's float
+    population covariance."""
+    from onestools_eventlog_ray.pipelines import similarity
+    rng = np.random.default_rng(71)
+    vecs = rng.normal(0, 1, size=(250, 6))
+    t = _emb_table(range(250), vecs)
+    out = similarity.embedding_cov(ray.data.from_arrow(t)).to_pandas()
+    assert len(out) == 6 * 7 // 2
+    e6 = np.floor(vecs.astype(np.float32).astype(np.float64)
+                  * 1e6 + 0.5).astype(np.int64)
+    n = 250
+    for r in out.itertuples():
+        a, b = e6[:, r.i - 1], e6[:, r.j - 1]
+        sxy, si, sj = int(a @ b), int(a.sum()), int(b.sum())
+        assert r.sxy == sxy
+        num = n * sxy - si * sj
+        assert r.cov_e12 == abs(num) // n ** 2 * (1 if num >= 0 else -1)
+        # sanity: matches float population covariance to quantization
+        f = np.mean(a / 1e6 * (b / 1e6)) - np.mean(a / 1e6) * np.mean(b / 1e6)
+        assert abs(r.cov_e12 / 1e12 - f) < 1e-5
+
 
 def test_embedding_outliers_planted(ray_session):
     """A vector shoved far from its label's cluster must be rank-1, and
