@@ -164,6 +164,35 @@ class CorpusWatcher:
                 "modified_ignored": [os.path.basename(p)
                                      for p in modified]}
 
+    def sync_with_alerts(self, rules: dict[str, list[str]]) -> dict:
+        """ES WATCHER analog — one reconciliation round PLUS saved-search
+        alerting over ONLY the newly ingested partition files: which
+        alert rules (bool-must term sets, the ``text.percolate``
+        contract) did the new documents trigger?  The percolation
+        streams just the new files once with the rules broadcast — cost
+        is independent of index size, the shape an alerting hook needs
+        at any scale.  Returns the ``sync()`` report plus ``alerts``
+        (a (doc_id, query_name) pyarrow table, sorted)."""
+        import pyarrow as pa
+        from onestools_eventlog_ray.pipelines.text import percolate
+        from onestools_eventlog_ray.sources.corpus import \
+            read_parquet_clean
+        rep = self.sync()
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "query_name": pa.array([], pa.string())})
+        if not rep.get("indexed_files") or not rules:
+            return {**rep, "alerts": empty}
+        paths = [os.path.join(self.corpus_dir, n)
+                 for n in rep["indexed_files"]]
+        ds = read_parquet_clean(paths)
+        alerts = percolate(ds, rules, self.spec).to_pandas()
+        if len(alerts) == 0:
+            return {**rep, "alerts": empty}
+        alerts = alerts.sort_values(["query_name", "doc_id"]) \
+            .reset_index(drop=True)
+        return {**rep, "alerts": pa.Table.from_pandas(
+            alerts, preserve_index=False)}
+
     def watch(self, interval_s: float = 5.0,
               max_rounds: int | None = None) -> list[dict]:
         """Poll loop (the wakeup signal); returns the non-noop reports."""

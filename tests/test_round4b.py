@@ -96,6 +96,53 @@ def test_ann_bucket_stats_bruteforce(ray_session):
     assert (out["share_e6"] == out["n_vectors"] * 1_000_000 // 400).all()
 
 
+def test_sync_with_alerts_on_ingest(ray_session, tmp_path):
+    """ES-Watcher flow: drop a partition with a doc matching a saved
+    search -> sync_with_alerts indexes it AND returns the alert rows for
+    ONLY the new file; a noop round returns no alerts."""
+    import pyarrow.parquet as pq
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.functions.hashing import doc_id_from_keys
+    from onestools_eventlog_ray.pipelines.incremental import CorpusWatcher
+
+    def corpus(rows):
+        return pa.table({
+            "repo": pa.array([r[0] for r in rows]),
+            "path": pa.array([r[1] for r in rows]),
+            "commit": pa.array(["c0"] * len(rows)),
+            "lang": pa.array(["py"] * len(rows)),
+            "content": pa.array([r[2] for r in rows]),
+        })
+
+    corpus_dir = tmp_path / "corpus"
+    corpus_dir.mkdir()
+    base = corpus([("r", f"a{i}.py", "import os\ndef f(): pass")
+                   for i in range(20)])
+    pq.write_table(base, str(corpus_dir / "p0.parquet"))
+    w = CorpusWatcher(str(corpus_dir), str(tmp_path / "idx"),
+                      cfg=EngineConfig(num_partitions=4))
+    rules = {"sev0_leak": ["password", "secret"],
+             "gpu_jobs": ["cuda"]}
+    r1 = w.sync_with_alerts(rules)
+    assert r1["indexed_files"] == ["p0.parquet"]
+    assert r1["alerts"].num_rows == 0               # nothing matches
+
+    hot = corpus([("r", "bad.py", "secret password = 'hunter2'"),
+                  ("r", "gpu.py", "import cuda\ncuda.launch()"),
+                  ("r", "ok.py", "plain file")])
+    pq.write_table(hot, str(corpus_dir / "p1.parquet"))
+    r2 = w.sync_with_alerts(rules)
+    assert r2["indexed_files"] == ["p1.parquet"]
+    got = {(r["query_name"], r["doc_id"])
+           for r in r2["alerts"].to_pylist()}
+    ids = doc_id_from_keys(hot["repo"], hot["path"],
+                           hot["commit"]).to_pylist()
+    assert got == {("sev0_leak", ids[0]), ("gpu_jobs", ids[1])}
+
+    r3 = w.sync_with_alerts(rules)                  # noop round
+    assert r3["indexed_files"] == [] and r3["alerts"].num_rows == 0
+
+
 def test_ab_test_report_bruteforce(ray_session):
     t = _events_table(seed=79, n=5000)
     out = relational.ab_test_report(
