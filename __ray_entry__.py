@@ -538,6 +538,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "cos_e6": pa.array(e6, pa.int64()),
         })
 
+    def dedup_cluster_sizes(sf_dir):
+        """Duplication profile: cluster-size histogram of the near-dup
+        graph (2-clusters, 3-clusters, ...) — the crawl-audit view that
+        sizes dedup aggressiveness."""
+        return dedup.dedup_cluster_sizes(_documents_ds(sf_dir),
+                                         DOCUMENTS_SPEC, min_jaccard=0.2)
+
     def ab_test_report(sf_dir):
         """A/B readout: variant = user_id % 2, conversion = any
         purchase event; distinct users / converted / exact e6 rate per
@@ -2595,6 +2602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_policy": dedup_keep_policy,
         "embedding_cov": embedding_cov,
         "ab_test_report": ab_test_report,
+        "dedup_cluster_sizes": dedup_cluster_sizes,
         "value_ntile_by_type": value_ntile_by_type,
         "hll_users_by_type": hll_users_by_type,
         "q5_region_revenue": q5_region_revenue,
@@ -2932,6 +2940,16 @@ def oracle_sql() -> dict[str, str]:
     # incremental ANN is rank-identical to the full-corpus build by the
     # generational-merge parity (tests/test_round4b.py), so its oracle
     # IS the knn_cosine_ivf SQL over the union table.
+    # cluster-size histogram = two more folds appended to the
+    # dedup_clusters recursive-CTE oracle
+    d["dedup_cluster_sizes"] = d["dedup_clusters"].replace(
+        "SELECT n AS doc_id, min(r) AS rep_id FROM reach GROUP BY n",
+        """, clusters AS (SELECT n AS doc_id, min(r) AS rep_id
+               FROM reach GROUP BY n),
+sizes AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM clusters GROUP BY rep_id)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size""")
     d["ann_incremental"] = d["knn_cosine_ivf"]
     # ANN tombstones: identical pipeline with the deleted ids
     # (vec_id % 7 == 3) masked out of the candidate set.

@@ -772,6 +772,28 @@ def _components_distributed(edges: ray.data.Dataset,
     return tbl.sort_by("doc_id")
 
 
+def dedup_cluster_sizes(ds: ray.data.Dataset,
+                        spec: CorpusSpec = DOCUMENTS_SPEC,
+                        min_jaccard: float = 0.5,
+                        **kwargs) -> pa.Table:
+    """Duplication PROFILE of the corpus: the cluster-size histogram of
+    the near-dup graph (how many 2-clusters, 3-clusters, ... — the
+    template/mirror fingerprint a crawl audit reads before choosing
+    dedup aggressiveness).  Built from :func:`dedup_clusters`' (doc_id,
+    rep_id) output with two tiny integer folds; singleton docs (no
+    near-dup edge) are not part of the graph and are excluded by
+    construction.  -> (cluster_size, n_clusters), size >= 2."""
+    import collections
+    clusters = dedup_clusters(ds, spec, min_jaccard=min_jaccard, **kwargs)
+    sz = collections.Counter(clusters["rep_id"].to_pylist())
+    hist = collections.Counter(sz.values())
+    sizes = sorted(hist)
+    return pa.table({
+        "cluster_size": pa.array(sizes, pa.int64()),
+        "n_clusters": pa.array([hist[s] for s in sizes], pa.int64()),
+    })
+
+
 def dedup_clusters(ds: ray.data.Dataset,
                    spec: CorpusSpec = DOCUMENTS_SPEC,
                    min_jaccard: float = 0.5,

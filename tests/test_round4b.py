@@ -143,6 +143,27 @@ def test_sync_with_alerts_on_ingest(ray_session, tmp_path):
     assert r3["indexed_files"] == [] and r3["alerts"].num_rows == 0
 
 
+def test_dedup_cluster_sizes_planted(ray_session):
+    """3 copies of A + 2 copies of B + 2 singletons -> {3: 1, 2: 1}."""
+    from onestools_eventlog_ray.pipelines import dedup as dedup_mod
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "one two three four five six seven eight nine ten eleven"
+    texts = [a, a, a, b, b,
+             "completely different words in this document here now",
+             "another unrelated text about nothing similar at all ok"]
+    t = pa.table({
+        "doc_id": pa.array(range(7), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 7),
+        "source": pa.array(["s"] * 7),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    out = dedup_mod.dedup_cluster_sizes(
+        ray.data.from_arrow(t), min_jaccard=0.5).to_pydict()
+    assert dict(zip(out["cluster_size"], out["n_clusters"])) == {2: 1,
+                                                                 3: 1}
+
+
 def test_ab_test_report_bruteforce(ray_session):
     t = _events_table(seed=79, n=5000)
     out = relational.ab_test_report(
