@@ -372,6 +372,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return similarity.cosine_pairs_lsh(ds, dim=64, threshold=0.45,
                                            nbits=4, tables=8)
 
+    def cosine_lsh_recall(sf_dir):
+        """Calibration gate for cosine_pairs_lsh (completes the
+        estimator-calibration family next to minhash_confusion /
+        cm_error / ann_recall): verified LSH pairs are true by
+        construction, so the one number that matters is RECALL vs the
+        exact all-pairs baseline at the same threshold — the
+        nbits/tables adequacy check."""
+        n_exact = len(cosine_pairs(sf_dir))
+        n_found = cosine_pairs_lsh(sf_dir).count()
+        return pa.table({
+            "n_exact": pa.array([n_exact], pa.int64()),
+            "n_found": pa.array([n_found], pa.int64()),
+            "recall_e6": pa.array(
+                [n_found * 1_000_000 // max(n_exact, 1)], pa.int64()),
+        })
+
     def bm25_topk_wand(sf_dir):
         """Same oracle as bm25_topk, computed via the DISTRIBUTED
         actor-pool scorer with block-max WAND — driver-checks the
@@ -2603,6 +2619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cov": embedding_cov,
         "ab_test_report": ab_test_report,
         "dedup_cluster_sizes": dedup_cluster_sizes,
+        "cosine_lsh_recall": cosine_lsh_recall,
         "value_ntile_by_type": value_ntile_by_type,
         "hll_users_by_type": hll_users_by_type,
         "q5_region_revenue": q5_region_revenue,
@@ -2950,6 +2967,16 @@ sizes AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size
           FROM clusters GROUP BY rep_id)
 SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
 FROM sizes GROUP BY cluster_size""")
+    # LSH-recall calibration: both sides wrapped as CTE subqueries of
+    # their existing oracles (nested WITH inside a derived table is fine)
+    d["cosine_lsh_recall"] = f"""
+WITH ex AS ({d['cosine_pairs']}),
+fo AS ({d['cosine_pairs_lsh']})
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
+       (SELECT CAST(count(*) AS BIGINT) FROM fo) AS n_found,
+       CAST((SELECT count(*) FROM fo) * 1000000
+            // greatest((SELECT count(*) FROM ex), 1) AS BIGINT)
+         AS recall_e6"""
     d["ann_incremental"] = d["knn_cosine_ivf"]
     # ANN tombstones: identical pipeline with the deleted ids
     # (vec_id % 7 == 3) masked out of the candidate set.

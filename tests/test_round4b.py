@@ -143,6 +143,20 @@ def test_sync_with_alerts_on_ingest(ray_session, tmp_path):
     assert r3["indexed_files"] == [] and r3["alerts"].num_rows == 0
 
 
+def test_cosine_lsh_recall_bounds(ray_session):
+    """The calibration row is internally consistent: found <= exact,
+    recall_e6 = found*1e6//exact, and the sf0.001 table yields a sane
+    non-trivial reading."""
+    import __ray_entry__ as entrymod
+    out = entrymod.queries()["cosine_lsh_recall"](
+        "/root/testdata/sf0.001").to_pydict()
+    n_exact, n_found = out["n_exact"][0], out["n_found"][0]
+    assert 0 <= n_found <= n_exact
+    assert out["recall_e6"][0] == n_found * 1_000_000 // max(n_exact, 1)
+    if n_exact:
+        assert out["recall_e6"][0] > 0      # 8 tables find SOMETHING
+
+
 def test_dedup_cluster_sizes_planted(ray_session):
     """3 copies of A + 2 copies of B + 2 singletons -> {3: 1, 2: 1}."""
     from onestools_eventlog_ray.pipelines import dedup as dedup_mod
