@@ -372,6 +372,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return similarity.cosine_pairs_lsh(ds, dim=64, threshold=0.45,
                                            nbits=4, tables=8)
 
+    def hard_negatives(sf_dir):
+        """Contrastive-training data prep: per vector, the most-similar
+        vector of a DIFFERENT label (e6-floored cosine, smallest-id
+        ties) — exact-baseline matmul with the IVF swap documented."""
+        import pyarrow.parquet as pq
+        import ray.data
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        emb = pq.read_table(path, columns=["vec_id", "embedding", "label"])
+        ds = _read_pq(path, columns=["vec_id", "embedding", "label"])
+        return similarity.hard_negatives(
+            ds,
+            emb["vec_id"].to_numpy(zero_copy_only=False),
+            np.asarray(emb["embedding"].to_pylist(), dtype=np.float64),
+            emb["label"].to_numpy(zero_copy_only=False))
+
     def cosine_lsh_recall(sf_dir):
         """Calibration gate for cosine_pairs_lsh (completes the
         estimator-calibration family next to minhash_confusion /
@@ -2620,6 +2635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_test_report": ab_test_report,
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "cosine_lsh_recall": cosine_lsh_recall,
+        "hard_negatives": hard_negatives,
         "value_ntile_by_type": value_ntile_by_type,
         "hll_users_by_type": hll_users_by_type,
         "q5_region_revenue": q5_region_revenue,
@@ -4862,6 +4878,20 @@ SELECT c.lang, c.source, c.o,
             // (r.rt * s.ct * t.T) AS BIGINT) AS chi2_term_e6
 FROM c JOIN r ON c.lang = r.lang JOIN s ON c.source = s.source
 CROSS JOIN t""",
+
+        "hard_negatives": """
+WITH s AS (
+  SELECT a.vec_id AS vec_id, CAST(a.label AS BIGINT) AS label,
+         b.vec_id AS neg_id, CAST(b.label AS BIGINT) AS neg_label,
+         CAST(floor(list_cosine_similarity(
+                list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+              * 1000000 + 0.5) AS BIGINT) AS cos_e6
+  FROM embeddings a JOIN embeddings b ON a.label <> b.label),
+r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_e6 DESC, neg_id ASC)
+             AS rn FROM s)
+SELECT vec_id, label, neg_id, neg_label, cos_e6 FROM r WHERE rn = 1""",
 
         "ab_test_report": """
 WITH u AS (SELECT user_id,

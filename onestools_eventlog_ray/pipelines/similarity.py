@@ -182,6 +182,65 @@ def _pair_batch(batch: pa.Table, *, mat_ref, ids_ref, threshold, id_col,
                                        vec_col))(batch)
 
 
+def hard_negatives(ds: ray.data.Dataset, all_ids: np.ndarray,
+                   all_vectors: np.ndarray, all_labels: np.ndarray,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label") -> ray.data.Dataset:
+    """HARD-NEGATIVE mining for contrastive / retrieval training: for
+    every vector, the single most-similar vector of a DIFFERENT label
+    (the pair a triplet-loss or InfoNCE batch builder needs).  Exact
+    and deterministic: similarity compares on the e6-floored cosine and
+    ties break to the smallest candidate id, so the oracle reproduces
+    the pick exactly.
+
+    EXACT-BASELINE shape (same contract as :func:`cosine_pairs`): the
+    normalized matrix broadcasts once, each batch does one matmul +
+    masked integer argmax — O(N x batch) work.  At open-web scale swap
+    the candidate set for the IVF probe buckets (``pipelines.ann``),
+    keeping the same masked-argmax verify.
+    -> (vec_id, label, neg_id, neg_label, cos_e6)."""
+    mat = np.asarray(all_vectors, dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    state_ref = ray.put((mat / norms,
+                         np.asarray(all_ids, dtype=np.int64),
+                         np.asarray(all_labels, dtype=np.int64)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import \
+            pin_worker_threads
+        pin_worker_threads()
+        mn, aids, alabs = ray.get(state_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        labs = batch[label_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = _as_matrix(batch[vec_col])
+        bn = np.linalg.norm(m, axis=1, keepdims=True)
+        bn[bn == 0] = 1.0
+        sims = (m / bn) @ mn.T
+        e6 = np.floor(sims * 1_000_000 + 0.5).astype(np.int64)
+        invalid = labs[:, None] == alabs[None, :]
+        e6[invalid] = np.iinfo(np.int64).min
+        best = e6.max(axis=1)
+        # among ties at the max: the smallest candidate id
+        cand = np.where(e6 == best[:, None], aids[None, :],
+                        np.iinfo(np.int64).max)
+        neg = cand.min(axis=1)
+        ok = best > np.iinfo(np.int64).min        # some other label exists
+        id_to_lab = dict(zip(aids.tolist(), alabs.tolist()))
+        neg_lab = np.array([id_to_lab[i] for i in neg[ok].tolist()],
+                           dtype=np.int64)
+        return pa.table({
+            "vec_id": pa.array(ids[ok], pa.int64()),
+            "label": pa.array(labs[ok], pa.int64()),
+            "neg_id": pa.array(neg[ok], pa.int64()),
+            "neg_label": pa.array(neg_lab, pa.int64()),
+            "cos_e6": pa.array(best[ok], pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def cosine_pairs(ds: ray.data.Dataset, all_ids: np.ndarray,
                  all_vectors: np.ndarray, threshold: float = 0.45,
                  id_col: str = "vec_id", vec_col: str = "embedding",

@@ -143,6 +143,39 @@ def test_sync_with_alerts_on_ingest(ray_session, tmp_path):
     assert r3["indexed_files"] == [] and r3["alerts"].num_rows == 0
 
 
+def test_hard_negatives_planted(ray_session):
+    """A cross-label near-twin must be the mined hard negative; the
+    whole table equals a brute-force argmax on e6 cosine."""
+    from onestools_eventlog_ray.pipelines import similarity
+    rng = np.random.default_rng(89)
+    dim = 8
+    vecs = rng.normal(0, 1, size=(40, dim))
+    labels = (np.arange(40) % 2).astype(np.int64)
+    vecs[1] = vecs[0] + rng.normal(0, 0.01, dim)      # labels 0 vs 1 twins
+    t = pa.table({
+        "vec_id": pa.array(np.arange(40), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    out = similarity.hard_negatives(
+        ray.data.from_arrow(t), np.arange(40),
+        np.asarray(t["embedding"].to_pylist(), dtype=np.float64),
+        labels).to_pandas().set_index("vec_id").sort_index()
+    assert out.loc[0, "neg_id"] == 1 and out.loc[1, "neg_id"] == 0
+
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    e6 = np.floor(mn @ mn.T * 1e6 + 0.5).astype(np.int64)
+    for i in range(40):
+        cand = np.flatnonzero(labels != labels[i])
+        best = e6[i, cand].max()
+        want = cand[e6[i, cand] == best].min()
+        assert out.loc[i, "neg_id"] == want
+        assert out.loc[i, "cos_e6"] == best
+        assert out.loc[i, "neg_label"] == labels[want]
+
+
 def test_cosine_lsh_recall_bounds(ray_session):
     """The calibration row is internally consistent: found <= exact,
     recall_e6 = found*1e6//exact, and the sf0.001 table yields a sane
@@ -512,6 +545,40 @@ def test_ann_incremental_parity_and_update(ray_session, tmp_path):
     inc3 = AnnIndex(inc_dir)
     after = [inc3.query(q, k=10, hamming=1) for q in queries]
     assert after == before
+
+
+def test_ann_generation_crash_resume_idempotent(ray_session, tmp_path):
+    """A crash between the sidecar writes and the meta bump leaves
+    n_generations unbumped; re-running add_ann_generation must rewrite
+    generation 1 in place (deterministic content, unique ids after the
+    id-set fold) and end bit-identical to the clean path."""
+    import json
+    from onestools_eventlog_ray.pipelines.ann import (AnnIndex,
+                                                      add_ann_generation,
+                                                      build_ann_index)
+    rng = np.random.default_rng(83)
+    vecs = rng.normal(0, 1, size=(160, 8))
+    d = str(tmp_path / "annr")
+    build_ann_index(ray.data.from_arrow(_emb_table(range(100), vecs[:100])),
+                    d, dim=8, nbits=3, seed=3)
+    gen = ray.data.from_arrow(_emb_table(range(100, 160), vecs[100:]))
+    add_ann_generation(gen, d)
+
+    meta_p = tmp_path / "annr" / "ann" / "_meta.json"
+    m = json.loads(meta_p.read_text())
+    m["n_generations"] = 0                       # simulate pre-bump crash
+    m["n_vectors"] -= 60
+    meta_p.write_text(json.dumps(m))
+
+    rep = add_ann_generation(gen, d)             # resume: same gen slot
+    assert rep["generation"] == 1
+    full_dir = str(tmp_path / "full")
+    build_ann_index(ray.data.from_arrow(_emb_table(range(160), vecs)),
+                    full_dir, dim=8, nbits=3, seed=3)
+    full, inc = AnnIndex(full_dir), AnnIndex(d)
+    for q in rng.normal(0, 1, size=(6, 8)):
+        assert inc.query(q, k=10, hamming=1) == full.query(q, k=10,
+                                                           hamming=1)
 
 
 def test_ann_delete_tombstones(ray_session, tmp_path):
