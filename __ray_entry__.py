@@ -569,6 +569,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "cos_e6": pa.array(e6, pa.int64()),
         })
 
+    def dedup_incremental(sf_dir):
+        """Incremental near-dup detection: docs with doc_id % 5 == 0 are
+        the 'new' increment deduped against the signature store of the
+        rest — only new-touching buckets verify, the settled corpus is
+        never re-signed.  Oracle = the full-union pair SQL restricted to
+        pairs with >= 1 new endpoint."""
+        import ray.data
+
+        def part(newside):
+            def fn(batch):
+                mod0 = (batch["doc_id"].to_numpy(zero_copy_only=False)
+                        % 5) == 0
+                return batch.filter(pa.array(mod0 if newside else ~mod0))
+            return fn
+        new_ds = _documents_ds(sf_dir).map_batches(
+            part(True), batch_format="pyarrow")
+        old_ds = _documents_ds(sf_dir).map_batches(
+            part(False), batch_format="pyarrow")
+        store = _index_dir_for(sf_dir) + "_sigstore"
+        if not os.path.isdir(store) or not os.listdir(store):
+            dedup.write_signature_store(old_ds, store, DOCUMENTS_SPEC)
+        return dedup.dedup_incremental(new_ds, old_ds, store,
+                                       DOCUMENTS_SPEC, min_jaccard=0.2)
+
     def dedup_cluster_sizes(sf_dir):
         """Duplication profile: cluster-size histogram of the near-dup
         graph (2-clusters, 3-clusters, ...) — the crawl-audit view that
@@ -2634,6 +2658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cov": embedding_cov,
         "ab_test_report": ab_test_report,
         "dedup_cluster_sizes": dedup_cluster_sizes,
+        "dedup_incremental": dedup_incremental,
         "cosine_lsh_recall": cosine_lsh_recall,
         "hard_negatives": hard_negatives,
         "value_ntile_by_type": value_ntile_by_type,
@@ -2983,6 +3008,12 @@ sizes AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size
           FROM clusters GROUP BY rep_id)
 SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
 FROM sizes GROUP BY cluster_size""")
+    # incremental dedup = the full-union pair SQL restricted to pairs
+    # with at least one endpoint in the increment (doc_id % 5 == 0)
+    d["dedup_incremental"] = d["minhash_verified_pairs"].replace(
+        "SELECT doc_a, doc_b, jaccard_e6 FROM j WHERE jaccard_e6 >= 200000",
+        "SELECT doc_a, doc_b, jaccard_e6 FROM j WHERE jaccard_e6 >= 200000"
+        " AND (doc_a % 5 = 0 OR doc_b % 5 = 0)")
     # LSH-recall calibration: both sides wrapped as CTE subqueries of
     # their existing oracles (nested WITH inside a derived table is fine)
     d["cosine_lsh_recall"] = f"""

@@ -488,11 +488,42 @@ def minhash_verified_pairs(ds: ray.data.Dataset,
     # in pass 2 — judge item: "halve minhash_verified_pairs")
     sigs = ds.map_batches(minhash_batch, batch_format="pyarrow",
                           fn_kwargs=mh).materialize()
-    buckets = sigs.groupby(["band_id", "band_hash"]).aggregate(
-        Count(alias_name="n_docs"))
+    return _pairs_from_sigs(sigs, ds, mh, min_jaccard,
+                            bucket_cap or VERIFY_BUCKET_CAP, metric)
+
+
+def _pairs_from_sigs(sigs: ray.data.Dataset, corpus_ds: ray.data.Dataset,
+                     mh: dict, min_jaccard: float, bucket_cap: int,
+                     metric: str,
+                     new_ids: np.ndarray | None = None) -> ray.data.Dataset:
+    """Bucket/semi-join/verify flow over materialized band rows (shared
+    by :func:`minhash_verified_pairs` and :func:`dedup_incremental`).
+    With ``new_ids`` set, only buckets containing at least one NEW doc
+    are verified and only pairs touching a new doc are returned — the
+    increment never re-verifies the settled corpus."""
+    import ray
+    if new_ids is not None:
+        new_sorted = np.sort(np.asarray(new_ids, dtype=np.int64))
+        new_ref = ray.put(new_sorted)
+
+        def tag(t: pa.Table) -> pa.Table:
+            nid = ray.get(new_ref)
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            isn = membership_mask(nid, d).astype(np.int64)
+            return t.append_column("is_new", pa.array(isn, pa.int64()))
+
+        sigs = sigs.map_batches(tag, batch_format="pyarrow").materialize()
+        buckets = sigs.groupby(["band_id", "band_hash"]).aggregate(
+            Count(alias_name="n_docs"), RSum("is_new", alias_name="n_new"))
+    else:
+        buckets = sigs.groupby(["band_id", "band_hash"]).aggregate(
+            Count(alias_name="n_docs"))
 
     def only_collisions(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t["n_docs"], 2))
+        keep = pc.greater_equal(t["n_docs"], 2)
+        if new_ids is not None:
+            keep = pc.and_(keep, pc.greater_equal(t["n_new"], 1))
+        return t.filter(keep)
 
     colliding = buckets.map_batches(only_collisions,
                                     batch_format="pyarrow").materialize()
@@ -538,19 +569,83 @@ def minhash_verified_pairs(ds: ray.data.Dataset,
         cand_ds, "doc_id", int(scal["n_cand_ub"] or 0)))
     # pass 2: shingle sets recomputed for CANDIDATE DOCS ONLY (doc_filter
     # applies before tokenization), routed through the colliding buckets
-    cand = ds.map_batches(minhash_batch, batch_format="pyarrow",
-                          fn_kwargs={**mh, "with_shingles": True,
-                                     "doc_filter": cand_ref,
-                                     "bucket_filter": keys_ref})
+    cand = corpus_ds.map_batches(minhash_batch, batch_format="pyarrow",
+                                 fn_kwargs={**mh, "with_shingles": True,
+                                            "doc_filter": cand_ref,
+                                            "bucket_filter": keys_ref})
     e6 = int(np.floor(min_jaccard * 1_000_000 + 0.5))
     col = f"{metric}_e6"
     pairs = cand.groupby(["band_id", "band_hash"]) \
-        .map_groups(_verify_bucket_pairs(e6, bucket_cap or VERIFY_BUCKET_CAP,
-                                         metric=metric),
+        .map_groups(_verify_bucket_pairs(e6, bucket_cap, metric=metric),
                     batch_format="pyarrow")
+    if new_ids is not None:
+        def touch_new(t: pa.Table) -> pa.Table:
+            nid = ray.get(new_ref)
+            a = t["doc_a"].to_numpy(zero_copy_only=False)
+            b = t["doc_b"].to_numpy(zero_copy_only=False)
+            keep = membership_mask(nid, a) | membership_mask(nid, b)
+            return t.filter(pa.array(keep))
+        pairs = pairs.map_batches(touch_new, batch_format="pyarrow")
     # a pair found in several buckets has the same exact similarity -> dedupe
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Max(col, alias_name=col))
+
+
+def write_signature_store(ds: ray.data.Dataset, store_dir: str,
+                          spec: CorpusSpec = DOCUMENTS_SPEC,
+                          shingle_k: int = 5, num_perm: int = 64,
+                          bands: int = 16) -> dict:
+    """Persist the corpus's MinHash BAND ROWS (doc_id, band_id,
+    band_hash — narrow int64 triples, ~``bands`` rows/doc) as the
+    signature store for :func:`dedup_incremental`: future increments
+    dedup against the settled corpus WITHOUT re-tokenizing it.  Written
+    distributed (one parquet file per block)."""
+    mh = dict(spec=spec, shingle_k=shingle_k, num_perm=num_perm,
+              bands=bands)
+    sigs = ds.map_batches(minhash_batch, batch_format="pyarrow",
+                          fn_kwargs=mh)
+    sigs.write_parquet(store_dir)
+    return {"store_dir": store_dir, "params": {k: v for k, v in mh.items()
+                                               if k != "spec"}}
+
+
+def dedup_incremental(new_ds: ray.data.Dataset, old_ds: ray.data.Dataset,
+                      store_dir: str,
+                      spec: CorpusSpec = DOCUMENTS_SPEC,
+                      shingle_k: int = 5, num_perm: int = 64,
+                      bands: int = 16, min_jaccard: float = 0.5,
+                      bucket_cap: int | None = None,
+                      metric: str = "jaccard",
+                      new_ids: np.ndarray | None = None
+                      ) -> ray.data.Dataset:
+    """INCREMENTAL near-dup detection — the daily-ingest shape of
+    :func:`minhash_verified_pairs`: the increment's band rows join the
+    persisted signature store (``write_signature_store``), only buckets
+    containing >= 1 NEW doc are verified, and only pairs touching a new
+    doc are returned.  The settled corpus is never re-signed and never
+    re-verified against itself; old docs are re-read ONLY when they are
+    candidates colliding with a new doc (``doc_filter`` prunes before
+    tokenization).  Output equals ``minhash_verified_pairs`` over the
+    union, restricted to pairs with >= 1 new endpoint (tested).
+    -> (doc_a < doc_b, <metric>_e6)."""
+    mh = dict(spec=spec, shingle_k=shingle_k, num_perm=num_perm,
+              bands=bands)
+    sigs_new = new_ds.map_batches(minhash_batch, batch_format="pyarrow",
+                                  fn_kwargs=mh).materialize()
+    if new_ids is None:
+        # the increment is bounded by construction; its id list is the
+        # one driver-side array this operator holds
+        new_ids = np.unique(np.concatenate(
+            [b["doc_id"].to_numpy(zero_copy_only=False)
+             for b in sigs_new.iter_batches(batch_format="pyarrow",
+                                            batch_size=None)]
+            or [np.empty(0, dtype=np.int64)]).astype(np.int64))
+    from onestools_eventlog_ray.sources.corpus import read_parquet_clean
+    sigs = sigs_new.union(read_parquet_clean(store_dir)).materialize()
+    corpus = old_ds.union(new_ds)
+    return _pairs_from_sigs(sigs, corpus, mh, min_jaccard,
+                            bucket_cap or VERIFY_BUCKET_CAP, metric,
+                            new_ids=new_ids)
 
 
 def ngram_jaccard_pairs(ds: ray.data.Dataset,

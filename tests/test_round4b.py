@@ -190,6 +190,49 @@ def test_cosine_lsh_recall_bounds(ray_session):
         assert out["recall_e6"][0] > 0      # 8 tables find SOMETHING
 
 
+def test_dedup_incremental_equivalence(ray_session, tmp_path):
+    """Incremental (store + new batch) == full-corpus verified pairs
+    restricted to new-touching pairs: the old-old dup pair is NOT
+    re-reported, the old-new and new-new pairs are, similarities
+    bit-identical."""
+    from onestools_eventlog_ray.pipelines import dedup as dedup_mod
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "one two three four five six seven eight nine ten eleven"
+    old_rows = [(0, a), (1, a),                     # old-old dup pair
+                (2, b),
+                (3, "plain old unique text with several filler words here")]
+    new_rows = [(10, b),                            # old-new dup (with 2)
+                (11, "fresh unique increment text nothing like the rest"),
+                (12, b)]                            # new-new dup (with 10)
+
+    def tbl(rows):
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array(["s"] * len(rows)),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        })
+
+    old_ds = ray.data.from_arrow(tbl(old_rows))
+    new_ds = ray.data.from_arrow(tbl(new_rows))
+    store = str(tmp_path / "sigstore")
+    dedup_mod.write_signature_store(old_ds, store)
+    inc = dedup_mod.dedup_incremental(new_ds, old_ds, store,
+                                      min_jaccard=0.5).to_pandas()
+    got = {(r.doc_a, r.doc_b): r.jaccard_e6 for r in inc.itertuples()}
+
+    full = dedup_mod.minhash_verified_pairs(
+        ray.data.from_arrow(tbl(old_rows + new_rows)),
+        min_jaccard=0.5).to_pandas()
+    new_set = {10, 11, 12}
+    want = {(r.doc_a, r.doc_b): r.jaccard_e6 for r in full.itertuples()
+            if r.doc_a in new_set or r.doc_b in new_set}
+    assert got == want
+    assert (2, 10) in got and (10, 12) in got       # old-new and new-new
+    assert (0, 1) not in got                        # old-old suppressed
+
+
 def test_dedup_cluster_sizes_planted(ray_session):
     """3 copies of A + 2 copies of B + 2 singletons -> {3: 1, 2: 1}."""
     from onestools_eventlog_ray.pipelines import dedup as dedup_mod
