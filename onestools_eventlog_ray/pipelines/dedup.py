@@ -616,8 +616,8 @@ def dedup_incremental(new_ds: ray.data.Dataset, old_ds: ray.data.Dataset,
                       bands: int = 16, min_jaccard: float = 0.5,
                       bucket_cap: int | None = None,
                       metric: str = "jaccard",
-                      new_ids: np.ndarray | None = None
-                      ) -> ray.data.Dataset:
+                      new_ids: np.ndarray | None = None,
+                      update_store: bool = False) -> ray.data.Dataset:
     """INCREMENTAL near-dup detection — the daily-ingest shape of
     :func:`minhash_verified_pairs`: the increment's band rows join the
     persisted signature store (``write_signature_store``), only buckets
@@ -627,6 +627,8 @@ def dedup_incremental(new_ds: ray.data.Dataset, old_ds: ray.data.Dataset,
     candidates colliding with a new doc (``doc_filter`` prunes before
     tokenization).  Output equals ``minhash_verified_pairs`` over the
     union, restricted to pairs with >= 1 new endpoint (tested).
+    ``update_store=True`` appends the increment's band rows to the
+    store so the NEXT increment dedups against old + this one.
     -> (doc_a < doc_b, <metric>_e6)."""
     mh = dict(spec=spec, shingle_k=shingle_k, num_perm=num_perm,
               bands=bands)
@@ -643,6 +645,8 @@ def dedup_incremental(new_ds: ray.data.Dataset, old_ds: ray.data.Dataset,
     from onestools_eventlog_ray.sources.corpus import read_parquet_clean
     sigs = sigs_new.union(read_parquet_clean(store_dir)).materialize()
     corpus = old_ds.union(new_ds)
+    if update_store:
+        sigs_new.write_parquet(store_dir)     # append: new files per block
     return _pairs_from_sigs(sigs, corpus, mh, min_jaccard,
                             bucket_cap or VERIFY_BUCKET_CAP, metric,
                             new_ids=new_ids)

@@ -233,6 +233,41 @@ def test_dedup_incremental_equivalence(ray_session, tmp_path):
     assert (0, 1) not in got                        # old-old suppressed
 
 
+def test_dedup_incremental_two_increments(ray_session, tmp_path):
+    """update_store=True: increment 2 catches its dup against a doc that
+    arrived in increment 1 (which was never part of the base store)."""
+    from onestools_eventlog_ray.pipelines import dedup as dedup_mod
+    c = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+
+    def tbl(rows):
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array(["s"] * len(rows)),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        })
+
+    base = [(0, "base corpus document with totally ordinary words inside")]
+    inc1 = [(10, c)]
+    inc2 = [(20, c)]
+    store = str(tmp_path / "store2")
+    base_ds = ray.data.from_arrow(tbl(base))
+    dedup_mod.write_signature_store(base_ds, store)
+
+    p1 = dedup_mod.dedup_incremental(
+        ray.data.from_arrow(tbl(inc1)), base_ds, store,
+        min_jaccard=0.5, update_store=True).to_pandas()
+    assert len(p1) == 0                       # nothing similar yet
+
+    union01 = ray.data.from_arrow(tbl(base + inc1))
+    p2 = dedup_mod.dedup_incremental(
+        ray.data.from_arrow(tbl(inc2)), union01, store,
+        min_jaccard=0.5).to_pandas()
+    assert [(r.doc_a, r.doc_b, r.jaccard_e6) for r in p2.itertuples()] \
+        == [(10, 20, 1_000_000)]              # caught across increments
+
+
 def test_dedup_cluster_sizes_planted(ray_session):
     """3 copies of A + 2 copies of B + 2 singletons -> {3: 1, 2: 1}."""
     from onestools_eventlog_ray.pipelines import dedup as dedup_mod
