@@ -1770,6 +1770,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         exact Jaccard over all LSH candidates, confusion per threshold."""
         return dedup.minhash_calibration(_documents_ds(sf_dir))
 
+    def simhash_confusion(sf_dir):
+        """SimHash calibration: exact all-pairs hamming census vs the
+        band-collision candidate rule — the pigeonhole recall guarantee
+        measured (recall_e6 == 1e6 for max_hamming <= bands-1) plus the
+        candidate precision the theorem doesn't give."""
+        return dedup.simhash_calibration(_documents_ds(sf_dir),
+                                         DOCUMENTS_SPEC,
+                                         max_hamming=3, bands=4)
+
     def mix_temperature(sf_dir):
         """Gopher-style T=2 temperature mixture: target domain share
         proportional to sqrt(raw token share), e6-rounded-first sums,
@@ -2659,6 +2668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_test_report": ab_test_report,
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "dedup_incremental": dedup_incremental,
+        "simhash_confusion": simhash_confusion,
         "cosine_lsh_recall": cosine_lsh_recall,
         "hard_negatives": hard_negatives,
         "value_ntile_by_type": value_ntile_by_type,
@@ -3008,6 +3018,35 @@ sizes AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size
           FROM clusters GROUP BY rep_id)
 SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
 FROM sizes GROUP BY cluster_size""")
+    # simhash calibration: exact census + band-candidate rule over the
+    # simhash_signatures oracle as a subquery (signed -> unsigned fixup)
+    d["simhash_confusion"] = f"""
+WITH s0 AS ({d['simhash_signatures']}),
+s AS (SELECT doc_id,
+             CAST(CASE WHEN simhash < 0
+                  THEN CAST(simhash AS HUGEINT) + 18446744073709551616
+                  ELSE CAST(simhash AS HUGEINT) END AS UBIGINT) AS u
+      FROM s0),
+h AS (SELECT CAST(bit_count(xor(a.u, b.u)) AS BIGINT) AS d,
+             CASE WHEN (a.u >> 0) % 65536 = (b.u >> 0) % 65536
+                    OR (a.u >> 16) % 65536 = (b.u >> 16) % 65536
+                    OR (a.u >> 32) % 65536 = (b.u >> 32) % 65536
+                    OR (a.u >> 48) % 65536 = (b.u >> 48) % 65536
+                  THEN 1 ELSE 0 END AS cand
+      FROM s a JOIN s b ON a.doc_id < b.doc_id),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN d <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact,
+             CAST(sum(cand) AS BIGINT) AS n_cand,
+             CAST(sum(CASE WHEN cand = 1 AND d <= 3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_found
+      FROM h)
+SELECT n_pairs, n_exact, n_cand, n_found,
+       CAST(n_found * 1000000 // greatest(n_exact, 1) AS BIGINT)
+         AS recall_e6,
+       CAST(n_found * 1000000 // greatest(n_cand, 1) AS BIGINT)
+         AS precision_e6
+FROM t"""
     # incremental dedup = the full-union pair SQL restricted to pairs
     # with at least one endpoint in the increment (doc_id % 5 == 0)
     d["dedup_incremental"] = d["minhash_verified_pairs"].replace(

@@ -752,6 +752,80 @@ def simhash_signatures(ds: ray.data.Dataset,
                           fn_kwargs=dict(spec=spec))
 
 
+_POPCOUNT_LUT = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1).astype(np.int64)
+
+
+def simhash_calibration(ds: ray.data.Dataset,
+                        spec: CorpusSpec = DOCUMENTS_SPEC,
+                        max_hamming: int = 3,
+                        bands: int = 4) -> pa.Table:
+    """Calibration gate for :func:`simhash_near_pairs` — the pigeonhole
+    recall guarantee (hamming <= bands-1 pairs MUST share a band),
+    MEASURED instead of trusted, plus the candidate precision the
+    theorem says nothing about: exact all-pairs hamming census vs the
+    band-collision candidate rule.
+
+    The signature vector broadcasts once (8 bytes/doc — calibration is
+    run on a sample at open-web scale, same convention as
+    ``minhash_calibration``); each batch folds its block x all pairs
+    with one LUT popcount over the xor matrix into a single partial
+    row.  -> one row (n_pairs, n_exact, n_cand, n_found, recall_e6,
+    precision_e6); recall_e6 == 1_000_000 whenever
+    ``max_hamming <= bands - 1``."""
+    import ray
+    sigs = simhash_signatures(ds, spec)
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+    full = sigs.to_pandas()
+    all_ids = full["doc_id"].to_numpy().astype(np.int64)
+    all_sig = full["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+    ref = ray.put((all_ids, all_sig))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import \
+            pin_worker_threads
+        pin_worker_threads()
+        aids, asig = ray.get(ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sig = batch["simhash"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(np.uint64)
+        x = sig[:, None] ^ asig[None, :]
+        d = _POPCOUNT_LUT[(x[:, :, None] >> (np.arange(8, dtype=np.uint64)
+                                             * np.uint64(8))
+                           & np.uint64(0xFF)).astype(np.uint8)].sum(2)
+        lt = ids[:, None] < aids[None, :]
+        cand = np.zeros_like(lt)
+        for b in range(bands):
+            sh = np.uint64(b * width)
+            cand |= ((sig[:, None] >> sh) & mask) \
+                == ((asig[None, :] >> sh) & mask)
+        ex = d <= max_hamming
+        return pa.table({
+            "n_pairs_p": pa.array([int(lt.sum())], pa.int64()),
+            "n_exact_p": pa.array([int((lt & ex).sum())], pa.int64()),
+            "n_cand_p": pa.array([int((lt & cand).sum())], pa.int64()),
+            "n_found_p": pa.array([int((lt & cand & ex).sum())],
+                                  pa.int64()),
+        })
+
+    rows = sigs.map_batches(partial, batch_format="pyarrow").take_all()
+    tot = {k: sum(int(r[k]) for r in rows)
+           for k in ("n_pairs_p", "n_exact_p", "n_cand_p", "n_found_p")}
+    n_ex, n_ca, n_fo = tot["n_exact_p"], tot["n_cand_p"], tot["n_found_p"]
+    return pa.table({
+        "n_pairs": pa.array([tot["n_pairs_p"]], pa.int64()),
+        "n_exact": pa.array([n_ex], pa.int64()),
+        "n_cand": pa.array([n_ca], pa.int64()),
+        "n_found": pa.array([n_fo], pa.int64()),
+        "recall_e6": pa.array([n_fo * 1_000_000 // max(n_ex, 1)],
+                              pa.int64()),
+        "precision_e6": pa.array([n_fo * 1_000_000 // max(n_ca, 1)],
+                                 pa.int64()),
+    })
+
+
 #: above this many verified pairs the component step switches from
 #: driver union-find (O(pairs) driver memory) to the distributed
 #: min-label propagation below.

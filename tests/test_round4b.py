@@ -233,6 +233,47 @@ def test_dedup_incremental_equivalence(ray_session, tmp_path):
     assert (0, 1) not in got                        # old-old suppressed
 
 
+def test_simhash_calibration_guarantee(ray_session):
+    """recall_e6 == 1e6 whenever max_hamming <= bands-1 (pigeonhole),
+    and every count matches a numpy brute force."""
+    from onestools_eventlog_ray.pipelines import dedup as dedup_mod
+    rng = np.random.default_rng(97)
+    words = [f"w{i}" for i in range(300)]
+    texts = []
+    for i in range(60):
+        base = list(rng.choice(words, size=30))
+        texts.append(" ".join(base))
+        if i % 10 == 0:                      # a near-twin: 1 word swapped
+            tw = list(base)
+            tw[0] = "zzz%d" % i
+            texts.append(" ".join(tw))
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    out = dedup_mod.simhash_calibration(
+        ray.data.from_arrow(t), max_hamming=3, bands=4).to_pydict()
+    n = len(texts)
+    assert out["n_pairs"] == [n * (n - 1) // 2]
+    assert out["recall_e6"] == [1_000_000]   # the pigeonhole guarantee
+    assert out["n_found"][0] <= out["n_cand"][0]
+
+    sigs = dedup_mod.simhash_signatures(
+        ray.data.from_arrow(t)).to_pandas().sort_values("doc_id")
+    u = sigs["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+    d = np.array([[bin(int(a ^ b)).count("1") for b in u] for a in u])
+    iu = np.triu_indices(n, 1)
+    assert out["n_exact"] == [int((d[iu] <= 3).sum())]
+    cand = np.zeros((n, n), dtype=bool)
+    for b in range(4):
+        s = (u >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+        cand |= s[:, None] == s[None, :]
+    assert out["n_cand"] == [int(cand[iu].sum())]
+
+
 def test_dedup_incremental_two_increments(ray_session, tmp_path):
     """update_store=True: increment 2 catches its dup against a doc that
     arrived in increment 1 (which was never part of the base store)."""
