@@ -1770,6 +1770,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         exact Jaccard over all LSH candidates, confusion per threshold."""
         return dedup.minhash_calibration(_documents_ds(sf_dir))
 
+    def pq_search_recall(sf_dir):
+        """PQ retrieval gate: ADC top-10 overlap vs exact e4 squared-L2
+        top-10 for vec 0 — the compression-adequacy number next to
+        pq_encode (completes the calibration family on the PQ lane)."""
+        import pyarrow.parquet as pq
+        import ray.data
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        emb = pq.read_table(path, columns=["vec_id", "embedding"])
+        i0 = emb["vec_id"].to_pylist().index(0)
+        qvec = np.asarray(emb["embedding"][i0].as_py(), dtype=np.float64)
+        ds = _read_pq(path, columns=["vec_id", "embedding"])
+        return similarity.pq_search_recall(ds, qvec, query_id=0, k=10)
+
     def simhash_confusion(sf_dir):
         """SimHash calibration: exact all-pairs hamming census vs the
         band-collision candidate rule — the pigeonhole recall guarantee
@@ -2669,6 +2682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "dedup_incremental": dedup_incremental,
         "simhash_confusion": simhash_confusion,
+        "pq_search_recall": pq_search_recall,
         "cosine_lsh_recall": cosine_lsh_recall,
         "hard_negatives": hard_negatives,
         "value_ntile_by_type": value_ntile_by_type,
@@ -5285,6 +5299,39 @@ FROM (SELECT vec_id, sub, ck, d2, row_number() OVER (
           PARTITION BY vec_id, sub ORDER BY d2 ASC, ck ASC) AS rn
       FROM dist) WHERE rn = 1
 ORDER BY vec_id, sub""",
+
+        "pq_search_recall": """
+WITH q AS (SELECT vec_id,
+                  list_transform(embedding,
+                                 x -> CAST(floor(CAST(x AS DOUBLE) * 10000
+                                                 + 0.5) AS BIGINT)) AS v
+           FROM embeddings),
+d AS (SELECT vec_id, i, v[i] AS x FROM q, generate_series(1, 64) t(i)),
+cent AS (SELECT vec_id AS ck FROM embeddings ORDER BY vec_id LIMIT 8),
+cd AS (SELECT d.vec_id AS ck, i, x FROM d JOIN cent ON d.vec_id = cent.ck),
+dist AS (SELECT d.vec_id, (d.i - 1) // 16 AS sub, cd.ck,
+                sum((d.x - cd.x) * (d.x - cd.x)) AS d2
+         FROM d JOIN cd USING (i) GROUP BY 1, 2, 3),
+codes AS (SELECT vec_id, sub, ck FROM (
+            SELECT vec_id, sub, ck, row_number() OVER (
+                PARTITION BY vec_id, sub ORDER BY d2 ASC, ck ASC) AS rn
+            FROM dist) WHERE rn = 1),
+qv AS (SELECT i, x FROM d WHERE vec_id = 0),
+qd AS (SELECT (cd.i - 1) // 16 AS sub, cd.ck,
+              sum((qv.x - cd.x) * (qv.x - cd.x)) AS qd2
+       FROM qv JOIN cd USING (i) GROUP BY 1, 2),
+adc AS (SELECT codes.vec_id, sum(qd.qd2) AS adc2
+        FROM codes JOIN qd ON qd.sub = codes.sub AND qd.ck = codes.ck
+        WHERE codes.vec_id <> 0 GROUP BY codes.vec_id),
+appr AS (SELECT vec_id FROM adc ORDER BY adc2 ASC, vec_id ASC LIMIT 10),
+exct AS (SELECT d.vec_id, sum((d.x - qv.x) * (d.x - qv.x)) AS l2
+         FROM d JOIN qv USING (i) WHERE d.vec_id <> 0 GROUP BY d.vec_id),
+ext AS (SELECT vec_id FROM exct ORDER BY l2 ASC, vec_id ASC LIMIT 10)
+SELECT CAST(10 AS BIGINT) AS k,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM appr JOIN ext USING (vec_id)) AS n_hit,
+       CAST((SELECT count(*) FROM appr JOIN ext USING (vec_id))
+            * 1000000 // 10 AS BIGINT) AS recall_e6""",
 
         "dsir_doc_weights": f"""
 WITH toks AS ({_TOKS}),

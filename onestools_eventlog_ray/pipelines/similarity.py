@@ -907,6 +907,96 @@ def pq_codes(ds: ray.data.Dataset, m: int = 4, ksub: int = 8,
         .map_batches(encode, batch_format="pyarrow")
 
 
+def pq_search_recall(ds: ray.data.Dataset, qvec: np.ndarray,
+                     query_id: int, k: int = 10, m: int = 4,
+                     ksub: int = 8, scale: int = 10_000,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> pa.Table:
+    """Retrieval-quality gate for :func:`pq_codes` — the PQ analog of
+    ``ann_recall_report``: rank the corpus by ASYMMETRIC distance (ADC:
+    per-subspace query-to-centroid table, summed along each doc's
+    codes) and measure top-k overlap against the exact e4 squared-L2
+    ranking.  All integer math on the e4 grid, ties to the smaller id,
+    so the oracle reproduces both rankings exactly.
+
+    Shapes: the (m x ksub) ADC table broadcasts (tiny); the approx side
+    is a Sum-groupby over the tidy code rows; the exact side folds a
+    local top-k per batch.  -> one row (k, n_hit, recall_e6)."""
+    import ray
+    q = np.floor(np.asarray(qvec, dtype=np.float64) * scale + 0.5) \
+        .astype(np.int64)
+    codes = pq_codes(ds, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col,
+                     scale=scale)
+
+    # the same deterministic codebook as pq_codes (lowest-ksub ids)
+    def lowest(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")[:ksub]
+        return batch.take(pa.array(order))
+
+    cand = ds.select_columns([id_col, vec_col]) \
+        .map_batches(lowest, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: r[id_col])
+    cand = cand[:ksub]
+    code_ids = np.asarray([r[id_col] for r in cand], dtype=np.int64)
+    cmat = np.floor(np.asarray([r[vec_col] for r in cand],
+                               dtype=np.float64) * scale + 0.5) \
+        .astype(np.int64)
+    dsub = q.size // m
+    qd2 = {}                                   # (sub, code_id) -> int
+    for s in range(m):
+        qs = q[s * dsub:(s + 1) * dsub]
+        cs = cmat[:, s * dsub:(s + 1) * dsub]
+        dd = ((cs - qs[None, :]) ** 2).sum(axis=1)
+        for ci, v in zip(code_ids, dd):
+            qd2[(s, int(ci))] = int(v)
+    qd2_ref = ray.put(qd2)
+
+    def adc_partial(batch: pa.Table) -> pa.Table:
+        table = ray.get(qd2_ref)
+        sub = batch["sub"].to_numpy(zero_copy_only=False)
+        code = batch["code"].to_numpy(zero_copy_only=False)
+        vals = np.fromiter((table[(int(s), int(c))]
+                            for s, c in zip(sub, code)),
+                           dtype=np.int64, count=sub.size)
+        return pa.table({id_col: batch[id_col],
+                         "adc_p": pa.array(vals, pa.int64())})
+
+    from ray.data.aggregate import Sum as RSum
+    adc = codes.map_batches(adc_partial, batch_format="pyarrow") \
+        .groupby(id_col).aggregate(RSum("adc_p", alias_name="adc2")) \
+        .take_all()
+    adc = [(int(r["adc2"]), int(r[id_col])) for r in adc
+           if int(r[id_col]) != query_id]
+    approx = {i for _, i in sorted(adc)[:k]}
+
+    q_ref = ray.put(q)
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        qq = ray.get(q_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x = np.floor(_as_matrix(batch[vec_col]) * scale + 0.5) \
+            .astype(np.int64)
+        l2 = ((x - qq[None, :]) ** 2).sum(axis=1)
+        keep = ids != query_id
+        order = np.lexsort((ids[keep], l2[keep]))[:k]
+        sel = np.flatnonzero(keep)[order]
+        return pa.table({id_col: pa.array(ids[sel], pa.int64()),
+                         "l2": pa.array(l2[sel], pa.int64())})
+
+    ex_rows = ds.select_columns([id_col, vec_col]) \
+        .map_batches(exact_partial, batch_format="pyarrow").take_all()
+    ex = sorted((int(r["l2"]), int(r[id_col])) for r in ex_rows)[:k]
+    exact = {i for _, i in ex}
+    n_hit = len(approx & exact)
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "n_hit": pa.array([n_hit], pa.int64()),
+        "recall_e6": pa.array([n_hit * 1_000_000 // k], pa.int64()),
+    })
+
+
 def kmeans_train(ds: ray.data.Dataset, k: int = 8, iters: int = 3,
                  id_col: str = "vec_id", vec_col: str = "embedding"
                  ) -> pa.Table:

@@ -233,6 +233,41 @@ def test_dedup_incremental_equivalence(ray_session, tmp_path):
     assert (0, 1) not in got                        # old-old suppressed
 
 
+def test_pq_search_recall_bruteforce(ray_session):
+    """n_hit equals a numpy reproduction of the ADC vs exact-L2 top-k
+    comparison with the same deterministic codebook."""
+    from onestools_eventlog_ray.pipelines import similarity
+    rng = np.random.default_rng(101)
+    dim, n, ksub, m, k = 16, 80, 8, 4, 10
+    vecs = rng.normal(0, 1, size=(n, dim))
+    t = _emb_table(range(n), vecs)
+    q = np.asarray(t["embedding"][5].as_py(), dtype=np.float64)
+    out = similarity.pq_search_recall(
+        ray.data.from_arrow(t), q, query_id=5, k=k, m=m, ksub=ksub
+    ).to_pydict()
+
+    e4 = np.floor(np.asarray([r for r in t["embedding"].to_pylist()],
+                             dtype=np.float64) * 10_000 + 0.5) \
+        .astype(np.int64)
+    qe = np.floor(q * 10_000 + 0.5).astype(np.int64)
+    cmat, dsub = e4[:ksub], dim // m
+    adc = np.zeros(n, dtype=np.int64)
+    for s in range(m):
+        xs = e4[:, s * dsub:(s + 1) * dsub]
+        cs = cmat[:, s * dsub:(s + 1) * dsub]
+        d2 = ((xs[:, None, :] - cs[None, :, :]) ** 2).sum(2)
+        code = np.argmin(d2, axis=1)          # ties -> lowest id = argmin
+        qd = ((cs - qe[s * dsub:(s + 1) * dsub][None, :]) ** 2).sum(1)
+        adc += qd[code]
+    ids = np.arange(n)
+    mask = ids != 5
+    approx = set(ids[mask][np.lexsort((ids[mask], adc[mask]))[:k]])
+    l2 = ((e4 - qe[None, :]) ** 2).sum(1)
+    exact = set(ids[mask][np.lexsort((ids[mask], l2[mask]))[:k]])
+    assert out["n_hit"] == [len(approx & exact)]
+    assert out["recall_e6"] == [len(approx & exact) * 1_000_000 // k]
+
+
 def test_simhash_calibration_guarantee(ray_session):
     """recall_e6 == 1e6 whenever max_hamming <= bands-1 (pigeonhole),
     and every count matches a numpy brute force."""
