@@ -417,9 +417,19 @@ def _ann_batch(batch: pa.Table, *, index_dir: str, k: int,
                hamming: int) -> pa.Table:
     from onestools_eventlog_ray.functions.runtime import pin_worker_threads
     pin_worker_threads()
+    # staleness guard: generations/compaction/deletes all rewrite
+    # _meta.json (and delete_ann_vecs touches _deleted.parquet), so the
+    # cache key carries both mtimes — a long-lived serving worker picks
+    # up index mutations on its next batch instead of answering from a
+    # stale snapshot (the text side solves this with LAYOUT_VERSION)
+    ann_dir = os.path.join(index_dir, "ann")
+    dp = os.path.join(ann_dir, "_deleted.parquet")
+    ver = (os.path.getmtime(os.path.join(ann_dir, "_meta.json")),
+           os.path.getmtime(dp) if os.path.exists(dp) else 0.0)
     idx = _ANN_CACHE.get(index_dir)
-    if idx is None:
+    if idx is None or getattr(idx, "_cache_ver", None) != ver:
         idx = AnnIndex(index_dir)
+        idx._cache_ver = ver
         _ANN_CACHE[index_dir] = idx
     qids, ranks, vids, coss = [], [], [], []
     excl_col = batch["exclude_id"].to_pylist() \

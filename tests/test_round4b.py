@@ -735,6 +735,30 @@ def test_ann_generation_crash_resume_idempotent(ray_session, tmp_path):
                                                            hamming=1)
 
 
+def test_ann_serving_cache_sees_mutations(ray_session, tmp_path):
+    """score_ann_queries workers cache AnnIndex per process; a delete
+    between calls must be visible on the next batch (mtime-keyed
+    cache), not answered from the stale snapshot."""
+    from onestools_eventlog_ray.pipelines.ann import (build_ann_index,
+                                                      delete_ann_vecs,
+                                                      score_ann_queries)
+    rng = np.random.default_rng(103)
+    vecs = rng.normal(0, 1, size=(120, 8))
+    d = str(tmp_path / "annsrv")
+    build_ann_index(ray.data.from_arrow(_emb_table(range(120), vecs)),
+                    d, dim=8, nbits=3, seed=5)
+    q = [{"query_id": 0, "embedding": vecs[7].tolist(), "exclude_id": 7}]
+    r1 = score_ann_queries(d, q, k=5, hamming=1).take_all()
+    top = int(r1[0]["vec_id"])
+    delete_ann_vecs(d, {top})
+    import time
+    time.sleep(0.05)                  # distinct mtime granularity
+    r2 = score_ann_queries(d, q, k=5, hamming=1).take_all()
+    assert top not in {int(r["vec_id"]) for r in r2}
+    survivors = [int(r["vec_id"]) for r in r1 if int(r["vec_id"]) != top]
+    assert [int(r["vec_id"]) for r in r2][:len(survivors)] == survivors
+
+
 def test_ann_delete_tombstones(ray_session, tmp_path):
     """Deleted ids vanish from results (others' scores untouched);
     compaction drops the rows physically and clears the tombstone set."""
