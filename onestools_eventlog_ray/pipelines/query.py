@@ -643,9 +643,19 @@ _ENGINE_CACHE: dict[str, "SearchEngine"] = {}
 
 
 def _engine_for(index_dir: str) -> "SearchEngine":
+    # staleness guard (mirror of ann._ann_batch's): tombstones append
+    # part files and rebuild/compaction rewrites stats.json, so the
+    # cache key carries both signatures — a long-lived serving worker
+    # sees deletes/rebuilds on its next batch instead of answering from
+    # a stale snapshot.  One listdir + one stat per BATCH of queries.
+    from onestools_eventlog_ray.state.tombstones import tombstone_dir
+    td = tombstone_dir(index_dir)
+    ver = (os.path.getmtime(os.path.join(index_dir, "stats.json")),
+           tuple(sorted(os.listdir(td))) if os.path.isdir(td) else ())
     eng = _ENGINE_CACHE.get(index_dir)
-    if eng is None:
+    if eng is None or getattr(eng, "_cache_ver", None) != ver:
         eng = SearchEngine(index_dir)
+        eng._cache_ver = ver
         _ENGINE_CACHE[index_dir] = eng
     return eng
 

@@ -759,6 +759,27 @@ def test_ann_serving_cache_sees_mutations(ray_session, tmp_path):
     assert [int(r["vec_id"]) for r in r2][:len(survivors)] == survivors
 
 
+def test_text_serving_cache_sees_deletes(ray_session, tmp_path_factory,
+                                         small_corpus_dir):
+    """score_queries workers cache SearchEngine per process; a tombstone
+    added between calls must mask the doc on the next batch."""
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.build import build_index
+    from onestools_eventlog_ray.pipelines.query import score_queries
+    from onestools_eventlog_ray.state.tombstones import delete_docs
+    index_dir = str(tmp_path_factory.mktemp("srv_idx"))
+    build_index(small_corpus_dir, index_dir,
+                cfg=EngineConfig(num_partitions=8))
+    q = [{"query_id": 0, "terms": ["def", "import"], "k": 5}]
+    r1 = score_queries(index_dir, q).take_all()
+    top = int(r1[0]["doc_id"])
+    delete_docs(index_dir, [top])
+    r2 = score_queries(index_dir, q).take_all()
+    assert top not in {int(r["doc_id"]) for r in r2}
+    survivors = [int(r["doc_id"]) for r in r1 if int(r["doc_id"]) != top]
+    assert [int(r["doc_id"]) for r in r2][:len(survivors)] == survivors
+
+
 def test_ann_delete_tombstones(ray_session, tmp_path):
     """Deleted ids vanish from results (others' scores untouched);
     compaction drops the rows physically and clears the tombstone set."""
