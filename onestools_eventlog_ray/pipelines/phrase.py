@@ -214,9 +214,15 @@ _PHRASE_CACHE: dict[str, "PhraseEngine"] = {}
 def _phrase_batch(batch: pa.Table, *, index_dir: str) -> pa.Table:
     from onestools_eventlog_ray.functions.runtime import pin_worker_threads
     pin_worker_threads()
+    # staleness guard (mirror of query._engine_for): an in-place sidecar
+    # rebuild rewrites the positions dir, so key on its listing
+    pos_dir = os.path.join(index_dir, "positions")
+    ver = tuple(sorted(os.listdir(pos_dir))) \
+        if os.path.isdir(pos_dir) else ()
     eng = _PHRASE_CACHE.get(index_dir)
-    if eng is None:
+    if eng is None or getattr(eng, "_cache_ver", None) != ver:
         eng = PhraseEngine(index_dir)
+        eng._cache_ver = ver
         _PHRASE_CACHE[index_dir] = eng
     qids, docs, matches = [], [], []
     for qid, terms in zip(batch["query_id"].to_pylist(),
