@@ -1277,6 +1277,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                             "value"])
         return relational.value_ntile_by_type(ev, n_tiles=4)
 
+    def value_cume_dist(sf_dir):
+        """Tie-aware CUME_DIST per event type (every tied row gets the
+        same share) — e6-floored on integer counts, exact both sides."""
+        import ray.data
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_id", "event_type",
+                                            "value"])
+        return relational.value_cume_dist_by_type(ev)
+
     def hll_users_by_type(sf_dir):
         """Grouped HyperLogLog: distinct-user registers PER event type
         (sketch-per-group — shuffle moves registers, never user ids);
@@ -2686,6 +2695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_lsh_recall": cosine_lsh_recall,
         "hard_negatives": hard_negatives,
         "value_ntile_by_type": value_ntile_by_type,
+        "value_cume_dist": value_cume_dist,
         "hll_users_by_type": hll_users_by_type,
         "q5_region_revenue": q5_region_revenue,
         "term_vectors_doc": term_vectors_doc,
@@ -5101,6 +5111,18 @@ SELECT event_id, event_type,
        CAST(NTILE(4) OVER (PARTITION BY event_type
                            ORDER BY value, event_id) AS BIGINT) AS tile
 FROM events""",
+
+        "value_cume_dist": """
+WITH r AS (SELECT event_id, event_type,
+                  count(*) OVER (PARTITION BY event_type
+                                 ORDER BY value
+                                 RANGE BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS le,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+SELECT event_id, event_type,
+       CAST(le * 1000000 // n AS BIGINT) AS cume_e6
+FROM r""",
 
         "hll_users_by_type": """
 WITH u AS (SELECT DISTINCT event_type, user_id FROM events),

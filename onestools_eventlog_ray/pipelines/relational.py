@@ -1985,6 +1985,33 @@ def value_ntile_by_type(events: ray.data.Dataset, n_tiles: int = 4
         tiles, batch_format="pyarrow")
 
 
+def value_cume_dist_by_type(events: ray.data.Dataset
+                            ) -> ray.data.Dataset:
+    """Distributed ``CUME_DIST() OVER (PARTITION BY event_type ORDER BY
+    value)`` — the tie-aware companion of ``value_ntile_by_type``
+    (NTILE splits ties arbitrarily by the tie-break; CUME_DIST gives
+    every tied row the SAME share: #rows with value <= mine / n).
+    Exact: e6-floored on integer counts; one shuffle on event_type,
+    vectorized searchsorted per group (same bounded-enum partitioning
+    assumption as ``median_value_by_type``).
+    -> (event_id, event_type, cume_e6)."""
+
+    def cume(group: pa.Table) -> pa.Table:
+        v = group["value"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = v.size
+        sv = np.sort(v)
+        le = np.searchsorted(sv, v, side="right").astype(np.int64)
+        return pa.table({
+            "event_id": group["event_id"],
+            "event_type": group["event_type"],
+            "cume_e6": pa.array(le * 1_000_000 // n, pa.int64()),
+        })
+
+    return events.groupby("event_type").map_groups(
+        cume, batch_format="pyarrow")
+
+
 def percentile_ranks(events: ray.data.Dataset,
                      values_e3: tuple[int, ...] = (50_000, 100_000,
                                                    200_000)) -> pa.Table:

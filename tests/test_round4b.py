@@ -480,6 +480,23 @@ def test_value_ntile_matches_sql_semantics(ray_session, k, n):
     assert np.array_equal(got_by_eid.loc[eid].to_numpy(), want)
 
 
+def test_value_cume_dist_ties(ray_session):
+    """Tied values share the same cume share (RANGE semantics), exact
+    against a brute force."""
+    v = np.array([1.0, 2.0, 2.0, 2.0, 5.0, 7.0])
+    t = pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "event_type": pa.array(["x"] * 6),
+        "value": pa.array(v, pa.float64()),
+    })
+    out = relational.value_cume_dist_by_type(
+        ray.data.from_arrow(t)).to_pandas().sort_values("event_id")
+    want = [np.sum(v <= x) * 1_000_000 // 6 for x in v]
+    assert list(out["cume_e6"]) == want
+    assert out["cume_e6"].iloc[1] == out["cume_e6"].iloc[2] \
+        == out["cume_e6"].iloc[3]
+
+
 # ---------------------------------------------------------------------------
 # lang_source_chi2
 # ---------------------------------------------------------------------------
