@@ -94,6 +94,12 @@ def main(argv: list[str] | None = None) -> int:
     wt.add_argument("--rounds", type=int, default=None)
     wt.add_argument("--config", default=None)
     wt.add_argument("--spec", choices=sorted(SPECS), default="code")
+    wt.add_argument("--alerts", default=None,
+                    help="JSON file of saved-search alert rules "
+                         '({"name": ["term", ...], ...}); each sync '
+                         "round also percolates the NEW files and "
+                         "prints the triggered (doc_id, query_name) "
+                         "alerts")
 
     st = sub.add_parser("stats", help="print an index's stats manifest")
     st.add_argument("--index", required=True)
@@ -216,12 +222,30 @@ def main(argv: list[str] | None = None) -> int:
             w = CorpusWatcher(args.corpus, args.index_root,
                               spec=SPECS[args.spec],
                               cfg=_load_cfg(args.config))
+            rules = None
+            if args.alerts:
+                with open(args.alerts) as f:
+                    rules = json.load(f)
+
+            def _round():
+                if rules is None:
+                    return w.sync()
+                rep = w.sync_with_alerts(rules)
+                rep["alerts"] = rep["alerts"].to_pylist()
+                return rep
+
             if args.once:
-                print(json.dumps(w.sync()))
+                print(json.dumps(_round()))
             else:
-                for rep in w.watch(interval_s=args.interval,
-                                   max_rounds=args.rounds):
-                    print(json.dumps(rep))
+                import time as _time
+                n = 0
+                while args.rounds is None or n < args.rounds:
+                    rep = _round()
+                    if rep.get("indexed_files"):
+                        print(json.dumps(rep), flush=True)
+                    n += 1
+                    if args.rounds is None or n < args.rounds:
+                        _time.sleep(args.interval)
         elif args.cmd == "compact":
             from onestools_eventlog_ray.pipelines.incremental import \
                 compact_generations

@@ -365,6 +365,30 @@ def test_dedup_cluster_sizes_planted(ray_session):
                                                                  3: 1}
 
 
+def test_cli_watch_alerts(ray_session, tmp_path, capsys):
+    """`watch --once --alerts rules.json` indexes the partition AND
+    prints the triggered saved-search alerts."""
+    import json
+    import pyarrow.parquet as pq
+    from onestools_eventlog_ray.cli import main
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    pq.write_table(pa.table({
+        "repo": pa.array(["r"]), "path": pa.array(["z.py"]),
+        "commit": pa.array(["c"]), "lang": pa.array(["py"]),
+        "content": pa.array(["token secret password inline"]),
+    }), str(corpus / "p0.parquet"))
+    rules = tmp_path / "rules.json"
+    rules.write_text(json.dumps({"leak": ["password", "secret"],
+                                 "gpu": ["cuda"]}))
+    assert main(["watch", "--corpus", str(corpus),
+                 "--index-root", str(tmp_path / "idx"),
+                 "--once", "--alerts", str(rules)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["indexed_files"] == ["p0.parquet"]
+    assert [a["query_name"] for a in rep["alerts"]] == ["leak"]
+
+
 def test_ab_test_report_bruteforce(ray_session):
     t = _events_table(seed=79, n=5000)
     out = relational.ab_test_report(
