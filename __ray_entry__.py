@@ -600,6 +600,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.dedup_cluster_sizes(_documents_ds(sf_dir),
                                          DOCUMENTS_SPEC, min_jaccard=0.2)
 
+    def q19_revenue(sf_dir):
+        """TPC-H-Q19-shaped complex-predicate revenue: disjunction of
+        brand/size/quantity clauses, part dim broadcast as a per-clause
+        bitmask, exact-e4 fact fold."""
+        import ray.data
+        li = _read_pq(os.path.join(sf_dir, "lineitem.parquet"),
+                      columns=["l_partkey", "l_quantity",
+                               "l_extendedprice", "l_discount"])
+        pt = _read_pq(os.path.join(sf_dir, "part.parquet"),
+                      columns=["p_partkey", "p_brand", "p_size"])
+        return relational.q19_revenue(li, pt)
+
     def ab_test_report(sf_dir):
         """A/B readout: variant = user_id % 2, conversion = any
         purchase event; distinct users / converted / exact e6 rate per
@@ -2688,6 +2700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_policy": dedup_keep_policy,
         "embedding_cov": embedding_cov,
         "ab_test_report": ab_test_report,
+        "q19_revenue": q19_revenue,
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "dedup_incremental": dedup_incremental,
         "simhash_confusion": simhash_confusion,
@@ -4986,6 +4999,21 @@ r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                                    ORDER BY cos_e6 DESC, neg_id ASC)
              AS rn FROM s)
 SELECT vec_id, label, neg_id, neg_label, cos_e6 FROM r WHERE rn = 1""",
+
+        "q19_revenue": """
+WITH j AS (
+  SELECT CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+         * CAST(floor((1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+         AND l.l_quantity BETWEEN 1 AND 11)
+     OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+         AND l.l_quantity BETWEEN 10 AND 20)
+     OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+         AND l.l_quantity BETWEEN 20 AND 30))
+SELECT CAST(count(*) AS BIGINT) AS n_matched,
+       CAST(coalesce(sum(rev), 0) AS BIGINT) AS revenue_e4
+FROM j""",
 
         "ab_test_report": """
 WITH u AS (SELECT user_id,

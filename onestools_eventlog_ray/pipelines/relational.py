@@ -2569,6 +2569,71 @@ def trimmed_mean_by_type(events: ray.data.Dataset,
                                                  batch_format="pyarrow")
 
 
+def q19_revenue(lineitem: ray.data.Dataset, part: ray.data.Dataset,
+                clauses: tuple = (("Brand#12", 1, 5, 1, 11),
+                                  ("Brand#23", 1, 10, 10, 20),
+                                  ("Brand#34", 1, 15, 20, 30))
+                ) -> pa.Table:
+    """TPC-H-Q19-shaped discounted revenue under a DISJUNCTION of
+    brand/size/quantity clauses — the complex-predicate fact scan
+    (reference ``TPC-H Q19``; adapted to this schema's columns: brand +
+    size ranges on the part side, quantity ranges on the fact side).
+
+    Same J1 broadcast shape as :func:`q14_promo_share`: the part
+    dimension ships once as sorted keys + a per-clause eligibility
+    BITMASK (clauses are one byte per part), each fact batch folds one
+    exact-e4 revenue partial, the driver adds the partials.
+    -> one row (n_matched, revenue_e4)."""
+    import ray
+
+    rows = part.select_columns(["p_partkey", "p_brand", "p_size"]) \
+        .take_all()
+    keys = np.asarray([int(r["p_partkey"]) for r in rows], dtype=np.int64)
+    brand = np.asarray([str(r["p_brand"]) for r in rows])
+    size = np.asarray([int(r["p_size"]) for r in rows], dtype=np.int64)
+    elig = np.zeros(keys.size, dtype=np.int64)
+    for ci, (b, slo, shi, _, _) in enumerate(clauses):
+        elig |= ((brand == b) & (size >= slo) & (size <= shi)) << ci
+    order = np.argsort(keys)
+    bref = ray.put((keys[order], elig[order],
+                    tuple((qlo, qhi) for _, _, _, qlo, qhi in clauses)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk, el, qr = ray.get(bref)
+        part_k = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        pos = np.searchsorted(pk, part_k)
+        np.clip(pos, 0, pk.size - 1, out=pos)
+        found = pk[pos] == part_k
+        e = np.where(found, el[pos], 0)
+        hit = np.zeros(part_k.size, dtype=bool)
+        for ci, (qlo, qhi) in enumerate(qr):
+            hit |= ((e >> ci) & 1).astype(bool) \
+                & (qty >= qlo) & (qty <= qhi)
+        rev = (np.floor(price * 100 + 0.5).astype(np.int64)
+               * np.floor((1.0 - disc) * 100 + 0.5).astype(np.int64))
+        return pa.table({
+            "n_p": pa.array([int(hit.sum())], pa.int64()),
+            "rev_p": pa.array([int(rev[hit].sum())], pa.int64()),
+        })
+
+    rows2 = lineitem.select_columns(
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow").take_all()
+    return pa.table({
+        "n_matched": pa.array([sum(int(r["n_p"]) for r in rows2)],
+                              pa.int64()),
+        "revenue_e4": pa.array([sum(int(r["rev_p"]) for r in rows2)],
+                               pa.int64()),
+    })
+
+
 def q14_promo_share(lineitem: ray.data.Dataset,
                     part: ray.data.Dataset,
                     promo_prefix: str = "PROMO") -> pa.Table:

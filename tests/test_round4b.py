@@ -504,6 +504,21 @@ def test_value_ntile_matches_sql_semantics(ray_session, k, n):
     assert np.array_equal(got_by_eid.loc[eid].to_numpy(), want)
 
 
+def test_q19_revenue_bruteforce(ray_session):
+    import duckdb
+    import __ray_entry__ as entrymod
+    sf = "/root/testdata/sf0.001"
+    out = entrymod.queries()["q19_revenue"](sf).to_pydict()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{sf}/lineitem.parquet')")
+    con.sql(f"CREATE VIEW part AS SELECT * FROM "
+            f"read_parquet('{sf}/part.parquet')")
+    want = con.sql(entrymod.oracle_sql()["q19_revenue"]).fetchone()
+    assert (out["n_matched"][0], out["revenue_e4"][0]) == want
+    assert out["n_matched"][0] > 0           # clauses actually select
+
+
 def test_value_cume_dist_ties(ray_session):
     """Tied values share the same cume share (RANGE semantics), exact
     against a brute force."""
