@@ -507,7 +507,7 @@ def test_value_ntile_matches_sql_semantics(ray_session, k, n):
 def test_q19_revenue_bruteforce(ray_session):
     import duckdb
     import __ray_entry__ as entrymod
-    sf = "/root/testdata/sf0.001"
+    sf = "/root/testdata/sf0.01"      # sf0.001 selects zero rows
     out = entrymod.queries()["q19_revenue"](sf).to_pydict()
     con = duckdb.connect()
     con.sql(f"CREATE VIEW lineitem AS SELECT * FROM "
