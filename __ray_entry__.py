@@ -600,6 +600,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.dedup_cluster_sizes(_documents_ds(sf_dir),
                                          DOCUMENTS_SPEC, min_jaccard=0.2)
 
+    def props_schema(sf_dir):
+        """Semi-structured schema inference: per generalized JSONPath
+        (array indices -> [*]) and leaf type, occurrence + distinct
+        counts over the nested synthetic doc (the json_flatten corpus);
+        distinct counting via a dedup-first groupby, never the driver."""
+        import pyarrow.compute as pc
+        import ray.data
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                      columns=["event_id", "user_id", "event_type",
+                               "props"])
+
+        def synth(batch):
+            uid = batch["user_id"].to_numpy(zero_copy_only=False)
+            k = pc.extract_regex(batch["props"], r'"k": (?P<k>[0-9]+)')
+            kv = pc.struct_field(k, "k").to_pylist()
+            et = batch["event_type"].to_pylist()
+            doc = ['{"u": %d, "m": {"k": %s, "arr": [%d, {"deep": "%s"}]},'
+                   ' "t": null}' % (u, kk, u % 7, e)
+                   for u, kk, e in zip(uid, kv, et)]
+            return pa.table({"event_id": batch["event_id"],
+                             "doc": pa.array(doc, pa.string())})
+
+        ds = ev.map_batches(synth, batch_format="pyarrow")
+        return relational.props_schema_profile(ds, col="doc",
+                                               id_col="event_id")
+
     def q19_revenue(sf_dir):
         """TPC-H-Q19-shaped complex-predicate revenue: disjunction of
         brand/size/quantity clauses, part dim broadcast as a per-clause
@@ -2701,6 +2727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cov": embedding_cov,
         "ab_test_report": ab_test_report,
         "q19_revenue": q19_revenue,
+        "props_schema": props_schema,
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "dedup_incremental": dedup_incremental,
         "simhash_confusion": simhash_confusion,
@@ -3055,6 +3082,22 @@ sizes AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size
           FROM clusters GROUP BY rep_id)
 SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
 FROM sizes GROUP BY cluster_size""")
+    # schema inference = the json_flatten recursive walk with array
+    # indices generalized and leaves typed/grouped
+    d["props_schema"] = d["json_flatten_paths"].replace(
+        """SELECT path, count(*) AS n, count(DISTINCT CAST(j AS VARCHAR)) AS n_distinct,
+       min(CAST(j AS VARCHAR)) AS min_value,
+       max(CAST(j AS VARCHAR)) AS max_value
+FROM walk WHERE json_type(j) NOT IN ('OBJECT','ARRAY')
+GROUP BY path""",
+        """SELECT regexp_replace(path, '\\[\\d+\\]', '[*]', 'g') AS path,
+       CASE WHEN CAST(j AS VARCHAR) LIKE '"%' THEN 'string'
+            WHEN CAST(j AS VARCHAR) IN ('true', 'false') THEN 'bool'
+            ELSE 'number' END AS vtype,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT CAST(j AS VARCHAR)) AS BIGINT) AS n_distinct
+FROM walk WHERE json_type(j) NOT IN ('OBJECT','ARRAY')
+GROUP BY 1, 2""")
     # simhash calibration: exact census + band-candidate rule over the
     # simhash_signatures oracle as a subquery (signed -> unsigned fixup)
     d["simhash_confusion"] = f"""

@@ -463,6 +463,53 @@ def json_flatten(ds: ray.data.Dataset, col: str = "props",
     return ds.map_batches(flatten, batch_format="pyarrow")
 
 
+def props_schema_profile(ds: ray.data.Dataset, col: str = "props",
+                         id_col: str = "event_id") -> pa.Table:
+    """Semi-structured SCHEMA INFERENCE over a JSON column — the
+    profiling pass a lakehouse runs before promoting JSON blobs to
+    typed columns: per generalized JSONPath (array indices collapsed to
+    ``[*]``) and leaf type, occurrence and distinct-value counts.
+    Built on :func:`json_flatten`'s (id, path, value) rows: one
+    type-classify transform, then two narrow folds (occurrences; and a
+    distinct-first dedup groupby so distinct counting never ships
+    values to the driver).  -> (path, vtype, n, n_distinct) sorted."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    def classify(batch: pa.Table) -> pa.Table:
+        gpath = pc.replace_substring_regex(batch["path"], r"\[\d+\]",
+                                           "[*]")
+        v = batch["value"]
+        is_str = pc.starts_with(v, '"')
+        is_bool = pc.is_in(v, value_set=pa.array(["true", "false"]))
+        vtype = pc.if_else(is_str, "string",
+                           pc.if_else(is_bool, "bool", "number"))
+        return pa.table({"path": gpath, "vtype": vtype, "value": v})
+
+    rows = json_flatten(ds, col, id_col).map_batches(
+        classify, batch_format="pyarrow").materialize()
+    totals = rows.groupby(["path", "vtype"]) \
+        .aggregate(Count(alias_name="n")).take_all()
+    dedup1 = rows.groupby(["path", "vtype", "value"]) \
+        .aggregate(Count(alias_name="_c"))
+
+    def drop_val(batch: pa.Table) -> pa.Table:
+        return batch.select(["path", "vtype"])
+
+    dcounts = dedup1.map_batches(drop_val, batch_format="pyarrow") \
+        .groupby(["path", "vtype"]) \
+        .aggregate(Count(alias_name="n_distinct")).take_all()
+    nd = {(r["path"], r["vtype"]): int(r["n_distinct"]) for r in dcounts}
+    out = sorted(((r["path"], r["vtype"], int(r["n"]),
+                   nd[(r["path"], r["vtype"])]) for r in totals))
+    return pa.table({
+        "path": pa.array([r[0] for r in out], pa.string()),
+        "vtype": pa.array([r[1] for r in out], pa.string()),
+        "n": pa.array([r[2] for r in out], pa.int64()),
+        "n_distinct": pa.array([r[3] for r in out], pa.int64()),
+    })
+
+
 def zone_transitions(zone: str, start_year: int = 1970,
                      end_year: int = 2036) -> list[tuple[int, int]]:
     """UTC-offset transition table for a named IANA zone:

@@ -504,6 +504,26 @@ def test_value_ntile_matches_sql_semantics(ray_session, k, n):
     assert np.array_equal(got_by_eid.loc[eid].to_numpy(), want)
 
 
+def test_props_schema_profile_planted(ray_session):
+    """Nested docs -> generalized paths + types + distinct counts."""
+    docs = ['{"a": 1, "b": [1, 2, {"c": "x"}], "n": null}',
+            '{"a": 2, "b": [9], "f": true}',
+            'not json at all',
+            None]
+    t = pa.table({"event_id": pa.array(range(4), pa.int64()),
+                  "doc": pa.array(docs, pa.string())})
+    out = relational.props_schema_profile(
+        ray.data.from_arrow(t), col="doc").to_pandas()
+    got = {(r.path, r.vtype): (r.n, r.n_distinct)
+           for r in out.itertuples()}
+    assert got == {
+        ("$.a", "number"): (2, 2),
+        ("$.b[*]", "number"): (3, 3),        # 1, 2, 9
+        ("$.b[*].c", "string"): (1, 1),
+        ("$.f", "bool"): (1, 1),
+    }                                        # null leaf + bad rows dropped
+
+
 def test_q19_revenue_bruteforce(ray_session):
     import duckdb
     import __ray_entry__ as entrymod
