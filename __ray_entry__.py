@@ -600,6 +600,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.dedup_cluster_sizes(_documents_ds(sf_dir),
                                          DOCUMENTS_SPEC, min_jaccard=0.2)
 
+    def cohort_retention(sf_dir):
+        """Cohort retention matrix: users by first-seen week, counted in
+        every week they return — one user_id shuffle, bounded
+        (cohort x age) fold."""
+        import ray.data
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                      columns=["user_id", "ts"])
+        return relational.cohort_retention(ev)
+
     def props_schema(sf_dir):
         """Semi-structured schema inference: per generalized JSONPath
         (array indices -> [*]) and leaf type, occurrence + distinct
@@ -2728,6 +2737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_test_report": ab_test_report,
         "q19_revenue": q19_revenue,
         "props_schema": props_schema,
+        "cohort_retention": cohort_retention,
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "dedup_incremental": dedup_incremental,
         "simhash_confusion": simhash_confusion,
@@ -5042,6 +5052,17 @@ r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                                    ORDER BY cos_e6 DESC, neg_id ASC)
              AS rn FROM s)
 SELECT vec_id, label, neg_id, neg_label, cos_e6 FROM r WHERE rn = 1""",
+
+        "cohort_retention": """
+WITH w AS (SELECT user_id,
+                  CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+           FROM events),
+f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id),
+c AS (SELECT DISTINCT w.user_id, f.cohort_week,
+                      w.week - f.cohort_week AS age_weeks
+      FROM w JOIN f USING (user_id))
+SELECT cohort_week, age_weeks, CAST(count(*) AS BIGINT) AS n_users
+FROM c GROUP BY cohort_week, age_weeks""",
 
         "q19_revenue": """
 WITH j AS (

@@ -463,6 +463,36 @@ def json_flatten(ds: ray.data.Dataset, col: str = "props",
     return ds.map_batches(flatten, batch_format="pyarrow")
 
 
+def cohort_retention(events: ray.data.Dataset,
+                     week_us: int = 7 * 86_400_000_000) -> ray.data.Dataset:
+    """Cohort retention MATRIX — the full BI view ``retention_d7`` is
+    one cell of: users grouped by first-seen week (cohort), counted in
+    every later week they return (age = activity week - cohort week).
+    ONE shuffle on user_id; each user's group folds to its distinct
+    (cohort, age) cells, then a bounded (cohorts x ages) count fold.
+    -> (cohort_week, age_weeks, n_users)."""
+    from ray.data.aggregate import Sum as RSum
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": batch["user_id"],
+                         "week": pa.array(ts // week_us, pa.int64())})
+
+    def per_user(group: pa.Table) -> pa.Table:
+        w = np.unique(group["week"].to_numpy(zero_copy_only=False))
+        cohort = int(w[0])
+        return pa.table({
+            "cohort_week": pa.array(np.full(w.size, cohort), pa.int64()),
+            "age_weeks": pa.array(w - cohort, pa.int64()),
+            "n_p": pa.array(np.ones(w.size, dtype=np.int64), pa.int64()),
+        })
+
+    return events.map_batches(project, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(per_user, batch_format="pyarrow") \
+        .groupby(["cohort_week", "age_weeks"]) \
+        .aggregate(RSum("n_p", alias_name="n_users"))
+
+
 def props_schema_profile(ds: ray.data.Dataset, col: str = "props",
                          id_col: str = "event_id") -> pa.Table:
     """Semi-structured SCHEMA INFERENCE over a JSON column — the

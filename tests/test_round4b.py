@@ -504,6 +504,24 @@ def test_value_ntile_matches_sql_semantics(ray_session, k, n):
     assert np.array_equal(got_by_eid.loc[eid].to_numpy(), want)
 
 
+def test_cohort_retention_planted(ray_session):
+    """Hand-built two-cohort stream -> exact matrix."""
+    week = 7 * 86_400_000_000
+    rows = [  # (user, week)
+        (1, 0), (1, 0), (1, 1), (1, 3),     # cohort 0: ages 0,1,3
+        (2, 0), (2, 1),                     # cohort 0: ages 0,1
+        (3, 1), (3, 3),                     # cohort 1: ages 0,2
+    ]
+    ts = np.array([w * week + 5_000_000 for _, w in rows],
+                  dtype="datetime64[us]")
+    t = pa.table({"user_id": pa.array([u for u, _ in rows], pa.int64()),
+                  "ts": pa.array(ts)})
+    out = relational.cohort_retention(ray.data.from_arrow(t)).to_pandas()
+    got = {(r.cohort_week, r.age_weeks): r.n_users
+           for r in out.itertuples()}
+    assert got == {(0, 0): 2, (0, 1): 2, (0, 3): 1, (1, 0): 1, (1, 2): 1}
+
+
 def test_props_schema_profile_planted(ray_session):
     """Nested docs -> generalized paths + types + distinct counts."""
     docs = ['{"a": 1, "b": [1, 2, {"c": "x"}], "n": null}',
