@@ -600,6 +600,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.dedup_cluster_sizes(_documents_ds(sf_dir),
                                          DOCUMENTS_SPEC, min_jaccard=0.2)
 
+    def conversion_lag(sf_dir):
+        """Time-to-convert histogram: purchase as-of its user's latest
+        prior click, lag in 10-minute bins — the funnel-latency curve."""
+        import ray.data
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                      columns=["event_id", "ts", "user_id", "event_type"])
+        return relational.conversion_lag_histogram(ev)
+
     def cohort_retention(sf_dir):
         """Cohort retention matrix: users by first-seen week, counted in
         every week they return — one user_id shuffle, bounded
@@ -2738,6 +2746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_revenue": q19_revenue,
         "props_schema": props_schema,
         "cohort_retention": cohort_retention,
+        "conversion_lag": conversion_lag,
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "dedup_incremental": dedup_incremental,
         "simhash_confusion": simhash_confusion,
@@ -5052,6 +5061,17 @@ r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                                    ORDER BY cos_e6 DESC, neg_id ASC)
              AS rn FROM s)
 SELECT vec_id, label, neg_id, neg_label, cos_e6 FROM r WHERE rn = 1""",
+
+        "conversion_lag": """
+WITH p AS (SELECT user_id, ts, max(event_id) AS r
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+c AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'),
+j AS (SELECT epoch_us(c.ts) - epoch_us(p.ts) AS lag
+      FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts)
+SELECT CAST(lag // 600000000 AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM j GROUP BY bin""",
 
         "cohort_retention": """
 WITH w AS (SELECT user_id,

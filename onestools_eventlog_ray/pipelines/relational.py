@@ -463,6 +463,31 @@ def json_flatten(ds: ray.data.Dataset, col: str = "props",
     return ds.map_batches(flatten, batch_format="pyarrow")
 
 
+def conversion_lag_histogram(events: ray.data.Dataset,
+                             bucket_us: int = 600_000_000
+                             ) -> ray.data.Dataset:
+    """Time-to-convert distribution: each PURCHASE as-of-joined to the
+    user's most recent CLICK, the lag bucketed into 10-minute bins —
+    the funnel-latency view next to ``funnel_window`` (which only
+    counts a fixed window; this shows the whole curve).  Rides the
+    :func:`asof_join_events` co-group; the histogram fold is bounded by
+    the lag range.  -> (bin, n) where bin = lag // bucket_us."""
+    from ray.data.aggregate import Sum as RSum
+
+    j = asof_join_events(events, left_type="purchase",
+                         right_type="click")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lag = (batch["ts_us"].to_numpy(zero_copy_only=False)
+               - batch["r_ts_us"].to_numpy(zero_copy_only=False))
+        b, c = np.unique(lag // bucket_us, return_counts=True)
+        return pa.table({"bin": pa.array(b, pa.int64()),
+                         "n_p": pa.array(c.astype(np.int64), pa.int64())})
+
+    return j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bin").aggregate(RSum("n_p", alias_name="n"))
+
+
 def cohort_retention(events: ray.data.Dataset,
                      week_us: int = 7 * 86_400_000_000) -> ray.data.Dataset:
     """Cohort retention MATRIX — the full BI view ``retention_d7`` is

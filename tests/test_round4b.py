@@ -504,6 +504,25 @@ def test_value_ntile_matches_sql_semantics(ray_session, k, n):
     assert np.array_equal(got_by_eid.loc[eid].to_numpy(), want)
 
 
+def test_conversion_lag_planted(ray_session):
+    """click at t=0, purchases at +5min and +25min -> bins 0 and 2;
+    purchase with no prior click dropped (inner as-of)."""
+    m = 60_000_000
+    rows = [(1, 0, "click"), (1, 5 * m, "purchase"),
+            (1, 25 * m, "purchase"),
+            (2, 10 * m, "purchase")]            # no prior click -> drop
+    t = pa.table({
+        "event_id": pa.array(range(4), pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+    })
+    out = relational.conversion_lag_histogram(
+        ray.data.from_arrow(t)).to_pandas()
+    assert dict(zip(out["bin"], out["n"])) == {0: 1, 2: 1}
+
+
 def test_cohort_retention_planted(ray_session):
     """Hand-built two-cohort stream -> exact matrix."""
     week = 7 * 86_400_000_000
