@@ -600,6 +600,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.dedup_cluster_sizes(_documents_ds(sf_dir),
                                          DOCUMENTS_SPEC, min_jaccard=0.2)
 
+    def term_burstiness(sf_dir):
+        """Church-Gale burstiness (cf/df): top-20 most document-clustered
+        terms with df >= 5 — the template/topicality diagnostic."""
+        return text.term_burstiness(_documents_ds(sf_dir),
+                                    DOCUMENTS_SPEC, min_df=5, k=20)
+
     def conversion_lag(sf_dir):
         """Time-to-convert histogram: purchase as-of its user's latest
         prior click, lag in 10-minute bins — the funnel-latency curve."""
@@ -2747,6 +2753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_schema": props_schema,
         "cohort_retention": cohort_retention,
         "conversion_lag": conversion_lag,
+        "term_burstiness": term_burstiness,
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "dedup_incremental": dedup_incremental,
         "simhash_confusion": simhash_confusion,
@@ -5061,6 +5068,15 @@ r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                                    ORDER BY cos_e6 DESC, neg_id ASC)
              AS rn FROM s)
 SELECT vec_id, label, neg_id, neg_label, cos_e6 FROM r WHERE rn = 1""",
+
+        "term_burstiness": f"""
+WITH toks AS ({_TOKS}),
+s AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+             CAST(count(*) AS BIGINT) AS cf
+      FROM toks GROUP BY term)
+SELECT term, df, cf, CAST(cf * 1000000 // df AS BIGINT) AS burst_e6
+FROM s WHERE df >= 5
+ORDER BY burst_e6 DESC, term ASC LIMIT 20""",
 
         "conversion_lag": """
 WITH p AS (SELECT user_id, ts, max(event_id) AS r

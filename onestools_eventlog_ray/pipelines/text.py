@@ -515,6 +515,29 @@ def lm_scores(ds: ray.data.Dataset,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def term_burstiness(ds: ray.data.Dataset,
+                    spec: CorpusSpec = DOCUMENTS_SPEC,
+                    min_df: int = 5, k: int = 20) -> pa.Table:
+    """Church-Gale burstiness: cf/df per term — terms that cluster
+    inside few documents (burst >> 1) are topical/templated, terms near
+    1 are function words; the corpus-linguistics diagnostic next to
+    ``term_skew`` and ``zipf_coverage``.  One ``term_stats`` fold
+    (vocab-bounded), exact ``burst_e6 = cf*1e6 // df``, top-k by
+    (burst desc, term asc).  -> (term, df, cf, burst_e6)."""
+    rows = term_stats(ds, spec).to_pandas()
+    rows = rows[rows["df"] >= min_df].copy()
+    rows["burst_e6"] = rows["cf"].astype("int64") * 1_000_000 \
+        // rows["df"].astype("int64")
+    rows = rows.sort_values(["burst_e6", "term"],
+                            ascending=[False, True]).head(k)
+    return pa.table({
+        "term": pa.array(rows["term"].tolist(), pa.string()),
+        "df": pa.array(rows["df"].astype("int64").tolist(), pa.int64()),
+        "cf": pa.array(rows["cf"].astype("int64").tolist(), pa.int64()),
+        "burst_e6": pa.array(rows["burst_e6"].tolist(), pa.int64()),
+    })
+
+
 def hardest_examples(ds: ray.data.Dataset,
                      spec: CorpusSpec = DOCUMENTS_SPEC,
                      k: int = 5) -> ray.data.Dataset:

@@ -504,6 +504,28 @@ def test_value_ntile_matches_sql_semantics(ray_session, k, n):
     assert np.array_equal(got_by_eid.loc[eid].to_numpy(), want)
 
 
+def test_term_burstiness_planted(ray_session):
+    """A word repeated 10x inside each of 5 docs bursts at 10.0; a word
+    appearing once per doc across all docs reads 1.0."""
+    from onestools_eventlog_ray.pipelines import text as text_mod
+    texts = [("bursty " * 10) + "common" for _ in range(5)] \
+        + ["common plain words here"] * 5
+    t = pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 10),
+        "source": pa.array(["s"] * 10),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    out = text_mod.term_burstiness(
+        ray.data.from_arrow(t), min_df=5, k=5).to_pandas() \
+        .set_index("term")
+    assert out.loc["bursty", "burst_e6"] == 10_000_000
+    assert out.loc["bursty", "df"] == 5 and out.loc["bursty", "cf"] == 50
+    assert out.loc["common", "burst_e6"] == 1_000_000
+    assert out.index[0] == "bursty"            # top of the ranking
+
+
 def test_conversion_lag_planted(ray_session):
     """click at t=0, purchases at +5min and +25min -> bins 0 and 2;
     purchase with no prior click dropped (inner as-of)."""
