@@ -600,6 +600,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.dedup_cluster_sizes(_documents_ds(sf_dir),
                                          DOCUMENTS_SPEC, min_jaccard=0.2)
 
+    def doclen_pcts_by_lang(sf_dir):
+        """Per-language token-count percentiles (exact percentile_disc)
+        — length-filter calibration per language."""
+        return text.doclen_pcts_by_lang(_documents_ds(sf_dir),
+                                        DOCUMENTS_SPEC)
+
     def term_burstiness(sf_dir):
         """Church-Gale burstiness (cf/df): top-20 most document-clustered
         terms with df >= 5 — the template/topicality diagnostic."""
@@ -2754,6 +2760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": cohort_retention,
         "conversion_lag": conversion_lag,
         "term_burstiness": term_burstiness,
+        "doclen_pcts_by_lang": doclen_pcts_by_lang,
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "dedup_incremental": dedup_incremental,
         "simhash_confusion": simhash_confusion,
@@ -5068,6 +5075,22 @@ r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                                    ORDER BY cos_e6 DESC, neg_id ASC)
              AS rn FROM s)
 SELECT vec_id, label, neg_id, neg_label, cos_e6 FROM r WHERE rn = 1""",
+
+        "doclen_pcts_by_lang": f"""
+WITH dl AS (SELECT d.lang, d.doc_id, coalesce(t.n, 0) AS n
+            FROM documents d LEFT JOIN (
+              SELECT doc_id, count(*) AS n FROM ({_TOKS}) GROUP BY doc_id
+            ) t USING (doc_id))
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n) AS BIGINT)
+         AS p25,
+       CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY n) AS BIGINT)
+         AS p50,
+       CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n) AS BIGINT)
+         AS p75,
+       CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY n) AS BIGINT)
+         AS p90
+FROM dl GROUP BY lang""",
 
         "term_burstiness": f"""
 WITH toks AS ({_TOKS}),

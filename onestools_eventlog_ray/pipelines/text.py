@@ -515,6 +515,41 @@ def lm_scores(ds: ray.data.Dataset,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def doclen_pcts_by_lang(ds: ray.data.Dataset,
+                        spec: CorpusSpec = DOCUMENTS_SPEC,
+                        pcts: tuple[int, ...] = (25, 50, 75, 90)
+                        ) -> ray.data.Dataset:
+    """Per-language document-length percentiles (exact
+    ``percentile_disc`` over token counts) — the length-filter
+    calibration a per-language quality gate reads (one global threshold
+    over-filters verbose languages).  Narrow (lang, dl) rows shuffle
+    once on lang; the per-group pick is the integer index
+    ``(p*n + 99) // 100 - 1`` of ``price_percentiles``.
+    -> (lang, n_docs, p25, p50, p75, p90)."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        toks = tokenize_array(batch[spec.content_col])
+        import pyarrow.compute as pc
+        return pa.table({
+            "lang": batch["lang"],
+            "dl": pc.list_value_length(toks).cast(pa.int64()),
+        })
+
+    def pct(group: pa.Table) -> pa.Table:
+        v = np.sort(group["dl"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+        n = v.size
+        cols = {"lang": pa.array([group["lang"][0].as_py()], pa.string()),
+                "n_docs": pa.array([n], pa.int64())}
+        for p in pcts:
+            cols[f"p{p}"] = pa.array(
+                [int(v[(p * n + 99) // 100 - 1])], pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow") \
+        .groupby("lang").map_groups(pct, batch_format="pyarrow")
+
+
 def term_burstiness(ds: ray.data.Dataset,
                     spec: CorpusSpec = DOCUMENTS_SPEC,
                     min_df: int = 5, k: int = 20) -> pa.Table:
