@@ -600,6 +600,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.dedup_cluster_sizes(_documents_ds(sf_dir),
                                          DOCUMENTS_SPEC, min_jaccard=0.2)
 
+    def training_data_card(sf_dir):
+        """One-row data card: docs / tokens / vocab / langs / sources /
+        exact-dup rate / mean length — the datasheet a corpus release
+        publishes, composed from the engine's own folds."""
+        return text.training_data_card(_documents_ds(sf_dir),
+                                       DOCUMENTS_SPEC)
+
     def doclen_pcts_by_lang(sf_dir):
         """Per-language token-count percentiles (exact percentile_disc)
         — length-filter calibration per language."""
@@ -2761,6 +2768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_lag": conversion_lag,
         "term_burstiness": term_burstiness,
         "doclen_pcts_by_lang": doclen_pcts_by_lang,
+        "training_data_card": training_data_card,
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "dedup_incremental": dedup_incremental,
         "simhash_confusion": simhash_confusion,
@@ -5075,6 +5083,22 @@ r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                                    ORDER BY cos_e6 DESC, neg_id ASC)
              AS rn FROM s)
 SELECT vec_id, label, neg_id, neg_label, cos_e6 FROM r WHERE rn = 1""",
+
+        "training_data_card": f"""
+WITH toks AS ({_TOKS}),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total_tokens,
+             CAST(count(DISTINCT term) AS BIGINT) AS vocab FROM toks),
+d AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_groups
+      FROM documents)
+SELECT d.n_docs, t.total_tokens, t.vocab, d.n_langs, d.n_sources,
+       CAST((d.n_docs - d.n_groups) * 1000000
+            // greatest(d.n_docs, 1) AS BIGINT) AS dup_rate_e6,
+       CAST(t.total_tokens * 1000000
+            // greatest(d.n_docs, 1) AS BIGINT) AS mean_dl_e6
+FROM d, t""",
 
         "doclen_pcts_by_lang": f"""
 WITH dl AS (SELECT d.lang, d.doc_id, coalesce(t.n, 0) AS n

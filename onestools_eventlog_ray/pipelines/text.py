@@ -515,6 +515,41 @@ def lm_scores(ds: ray.data.Dataset,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def training_data_card(ds: ray.data.Dataset,
+                       spec: CorpusSpec = DOCUMENTS_SPEC) -> pa.Table:
+    """One-row DATA CARD ("datasheet for datasets"): the headline facts
+    a training-data release publishes — docs, tokens, vocabulary size,
+    language/source counts, exact-duplicate rate and mean document
+    length, all exact integers.  Composes the engine's own folds: one
+    tokenize pass for tokens/vocab (vocab-bounded partials), one
+    md5 fold for the dup rate, tiny distinct folds for the enums.
+    -> (n_docs, total_tokens, vocab, n_langs, n_sources,
+        dup_rate_e6, mean_dl_e6)."""
+    from ray.data.aggregate import Count
+    from onestools_eventlog_ray.pipelines.dedup import exact_dedup
+
+    ts = term_stats(ds, spec).to_pandas()          # vocab-bounded
+    vocab = len(ts)
+    total_tokens = int(ts["cf"].sum())
+    n_groups = exact_dedup(ds, spec).count()
+    n_docs = ds.count()
+    n_langs = ds.select_columns(["lang"]).groupby("lang") \
+        .aggregate(Count(alias_name="_c")).count()
+    n_sources = ds.select_columns(["source"]).groupby("source") \
+        .aggregate(Count(alias_name="_c")).count()
+    dup_rate = (n_docs - n_groups) * 1_000_000 // max(n_docs, 1)
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "total_tokens": pa.array([total_tokens], pa.int64()),
+        "vocab": pa.array([vocab], pa.int64()),
+        "n_langs": pa.array([n_langs], pa.int64()),
+        "n_sources": pa.array([n_sources], pa.int64()),
+        "dup_rate_e6": pa.array([dup_rate], pa.int64()),
+        "mean_dl_e6": pa.array([total_tokens * 1_000_000
+                                // max(n_docs, 1)], pa.int64()),
+    })
+
+
 def doclen_pcts_by_lang(ds: ray.data.Dataset,
                         spec: CorpusSpec = DOCUMENTS_SPEC,
                         pcts: tuple[int, ...] = (25, 50, 75, 90)

@@ -504,6 +504,26 @@ def test_value_ntile_matches_sql_semantics(ray_session, k, n):
     assert np.array_equal(got_by_eid.loc[eid].to_numpy(), want)
 
 
+def test_training_data_card_planted(ray_session):
+    from onestools_eventlog_ray.pipelines import text as text_mod
+    texts = ["a b c", "a b c", "d e", "f g h i"]
+    t = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en", "en", "de", "fr"]),
+        "source": pa.array(["s0", "s1", "s0", "s0"]),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    out = text_mod.training_data_card(
+        ray.data.from_arrow(t)).to_pydict()
+    assert out["n_docs"] == [4]
+    assert out["total_tokens"] == [12]
+    assert out["vocab"] == [9]               # a..i
+    assert out["n_langs"] == [3] and out["n_sources"] == [2]
+    assert out["dup_rate_e6"] == [250_000]   # 1 dup of 4
+    assert out["mean_dl_e6"] == [3_000_000]
+
+
 def test_term_burstiness_planted(ray_session):
     """A word repeated 10x inside each of 5 docs bursts at 10.0; a word
     appearing once per doc across all docs reads 1.0."""
