@@ -600,6 +600,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.dedup_cluster_sizes(_documents_ds(sf_dir),
                                          DOCUMENTS_SPEC, min_jaccard=0.2)
 
+    def source_dup_matrix(sf_dir):
+        """Inter-feed syndication map over the verified near-dup pair
+        graph: per source pair, crossing pairs (diagonal = intra-feed
+        templating)."""
+        return dedup.source_dup_matrix(_documents_ds(sf_dir),
+                                       DOCUMENTS_SPEC, min_jaccard=0.2)
+
     def training_data_card(sf_dir):
         """One-row data card: docs / tokens / vocab / langs / sources /
         exact-dup rate / mean length — the datasheet a corpus release
@@ -2769,6 +2776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_burstiness": term_burstiness,
         "doclen_pcts_by_lang": doclen_pcts_by_lang,
         "training_data_card": training_data_card,
+        "source_dup_matrix": source_dup_matrix,
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "dedup_incremental": dedup_incremental,
         "simhash_confusion": simhash_confusion,
@@ -3168,6 +3176,16 @@ SELECT n_pairs, n_exact, n_cand, n_found,
        CAST(n_found * 1000000 // greatest(n_cand, 1) AS BIGINT)
          AS precision_e6
 FROM t"""
+    # syndication matrix = the verified-pair SQL joined to sources,
+    # grouped on the unordered source pair
+    d["source_dup_matrix"] = f"""
+WITH pr AS ({d['minhash_verified_pairs']})
+SELECT least(da.source, db.source) AS src_a,
+       greatest(da.source, db.source) AS src_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pr JOIN documents da ON pr.doc_a = da.doc_id
+        JOIN documents db ON pr.doc_b = db.doc_id
+GROUP BY 1, 2"""
     # incremental dedup = the full-union pair SQL restricted to pairs
     # with at least one endpoint in the increment (doc_id % 5 == 0)
     d["dedup_incremental"] = d["minhash_verified_pairs"].replace(

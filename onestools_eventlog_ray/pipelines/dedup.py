@@ -125,6 +125,59 @@ def dedup_keep_policy(ds: ray.data.Dataset,
 # shingles (vectorized)
 # ---------------------------------------------------------------------------
 
+def source_dup_matrix(ds: ray.data.Dataset,
+                      spec: CorpusSpec = DOCUMENTS_SPEC,
+                      min_jaccard: float = 0.5,
+                      **minhash_kwargs) -> pa.Table:
+    """Inter-feed SYNDICATION map over the verified NEAR-dup pair graph:
+    per (unordered) source pair, how many pairs cross them — the
+    who-copies-whom matrix (``dup_rate_by_source`` is the per-feed
+    marginal; the diagonal here is intra-feed templating).  The pair
+    list is pair-bounded driver state (the ``dedup_clusters``
+    convention); sources for ONLY the paired docs come from one
+    membership-masked corpus projection.
+    -> (src_a <= src_b, n_pairs), sorted."""
+    import collections
+    import ray
+    pairs = minhash_verified_pairs(ds, spec, min_jaccard=min_jaccard,
+                                   **minhash_kwargs).take_all()
+    empty = pa.table({"src_a": pa.array([], pa.string()),
+                      "src_b": pa.array([], pa.string()),
+                      "n_pairs": pa.array([], pa.int64())})
+    if not pairs:
+        return empty
+    ids = np.unique(np.asarray(
+        [d for r in pairs for d in (int(r["doc_a"]), int(r["doc_b"]))],
+        dtype=np.int64))
+    ids_ref = ray.put(ids)
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        b = add_doc_id(batch, spec)
+        doc = b["doc_id"].to_numpy(zero_copy_only=False)
+        keep = membership_mask(want, doc)
+        return pa.table({"doc_id": pa.array(doc[keep], pa.int64()),
+                         "source": batch["source"].combine_chunks()
+                         .take(pa.array(np.flatnonzero(keep), pa.int64()))
+                         if isinstance(batch["source"], pa.ChunkedArray)
+                         else batch["source"].take(
+                             pa.array(np.flatnonzero(keep), pa.int64()))})
+
+    smap = {int(r["doc_id"]): str(r["source"])
+            for r in ds.map_batches(lookup,
+                                    batch_format="pyarrow").take_all()}
+    counts: collections.Counter = collections.Counter()
+    for r in pairs:
+        sa, sb = sorted((smap[int(r["doc_a"])], smap[int(r["doc_b"])]))
+        counts[(sa, sb)] += 1
+    keys = sorted(counts)
+    return pa.table({
+        "src_a": pa.array([k[0] for k in keys], pa.string()),
+        "src_b": pa.array([k[1] for k in keys], pa.string()),
+        "n_pairs": pa.array([counts[k] for k in keys], pa.int64()),
+    })
+
+
 def _list_offsets(toks) -> np.ndarray:
     """int64 offsets array of a (Large)ListArray, REBASED to start at 0
     so it always pairs with ``toks.flatten()`` (a sliced/offset ListArray

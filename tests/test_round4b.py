@@ -504,6 +504,28 @@ def test_value_ntile_matches_sql_semantics(ray_session, k, n):
     assert np.array_equal(got_by_eid.loc[eid].to_numpy(), want)
 
 
+def test_source_dup_matrix_planted(ray_session):
+    """Twins across feeds A/B plus an intra-A pair -> matrix cells
+    (A,A):1 and (A,B):1."""
+    from onestools_eventlog_ray.pipelines import dedup as dedup_mod
+    c1 = "shared syndicated article text with many common words here"
+    c2 = "another duplicated template reused within the same feed twice"
+    texts = [c1, c1, c2, c2, "unique words completely different content"]
+    srcs = ["A", "B", "A", "A", "B"]
+    t = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 5),
+        "source": pa.array(srcs),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    out = dedup_mod.source_dup_matrix(
+        ray.data.from_arrow(t), min_jaccard=0.5).to_pydict()
+    got = {(a, b): n for a, b, n in zip(out["src_a"], out["src_b"],
+                                        out["n_pairs"])}
+    assert got == {("A", "A"): 1, ("A", "B"): 1}
+
+
 def test_training_data_card_planted(ray_session):
     from onestools_eventlog_ray.pipelines import text as text_mod
     texts = ["a b c", "a b c", "d e", "f g h i"]
