@@ -1204,6 +1204,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return text.hardest_examples(_documents_ds(sf_dir),
                                      DOCUMENTS_SPEC, k=5)
 
+    def bm25_param_sensitivity(sf_dir):
+        """Ranking stability under k1/b drift: per variant, top-10
+        overlap and top-1 agreement vs the configured baseline."""
+        from onestools_eventlog_ray.pipelines.query import \
+            bm25_param_sensitivity
+        return bm25_param_sensitivity(_ensure_index(sf_dir), _BM25_TERMS)
+
     def bm25_rescore(sf_dir):
         """ES rescore: top-30 window by BM25(spark, window), rescored
         as 1.0*primary + 2.0*BM25(vector) evaluated only over the
@@ -2777,6 +2784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_pcts_by_lang": doclen_pcts_by_lang,
         "training_data_card": training_data_card,
         "source_dup_matrix": source_dup_matrix,
+        "bm25_param_sensitivity": bm25_param_sensitivity,
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "dedup_incremental": dedup_incremental,
         "simhash_confusion": simhash_confusion,
@@ -3176,6 +3184,47 @@ SELECT n_pairs, n_exact, n_cand, n_found,
        CAST(n_found * 1000000 // greatest(n_cand, 1) AS BIGINT)
          AS precision_e6
 FROM t"""
+    # bm25 parameter sensitivity: one statement with a ranked CTE per
+    # (k1, b) variant, each compared to the configured-baseline top-k
+    def _var(alias: str, k1: float, b: float) -> str:
+        w = (f"ln(1 + ((SELECT n_docs FROM stats) - df.df + 0.5)"
+             f" / (df.df + 0.5)) * tf.tf * {k1 + 1}"
+             f" / (tf.tf + {k1} * ({1 - b} + {b} * dl.dl"
+             f" / (SELECT avgdl FROM stats)))")
+        return (f"{alias} AS (SELECT tf.doc_id, sum({w}) AS score"
+                f" FROM tf JOIN df USING (term) JOIN dl USING (doc_id)"
+                f" GROUP BY tf.doc_id),"
+                f" {alias}_t AS (SELECT doc_id, row_number() OVER ("
+                f"ORDER BY CAST(floor(score * 1000000 + 0.5) AS BIGINT)"
+                f" DESC, doc_id ASC) AS rnk FROM {alias})")
+
+    _sens_variants = ((0.9, 0.4), (1.2, 0.25), (2.0, 0.75))
+    _in_list = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    _sens_rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({int(round(k1 * 100))} AS BIGINT) AS k1_e2,"
+        f" CAST({int(round(b * 100))} AS BIGINT) AS b_e2,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM v{i}_t a"
+        f"  JOIN base_t bb USING (doc_id)"
+        f"  WHERE a.rnk <= 10 AND bb.rnk <= 10) AS overlap,"
+        f" CAST(CASE WHEN (SELECT doc_id FROM v{i}_t WHERE rnk = 1)"
+        f"          = (SELECT doc_id FROM base_t WHERE rnk = 1)"
+        f"      THEN 1 ELSE 0 END AS BIGINT) AS same_top1"
+        for i, (k1, b) in enumerate(_sens_variants))
+    d["bm25_param_sensitivity"] = f"""
+WITH toks AS ({_TOKS}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({_in_list}) GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ({_in_list}) GROUP BY term),
+{_var('base', 1.2, 0.75)},
+{','.join(_var(f'v{i}', k1, b)
+          for i, (k1, b) in enumerate(_sens_variants))}
+SELECT * FROM ({_sens_rows}) ORDER BY k1_e2, b_e2"""
     # syndication matrix = the verified-pair SQL joined to sources,
     # grouped on the unordered source pair
     d["source_dup_matrix"] = f"""

@@ -1333,6 +1333,37 @@ def ltr_features(eng: SearchEngine, terms: list[str]) -> pa.Table:
     })
 
 
+def bm25_param_sensitivity(index_dir: str, terms: list[str],
+                           variants: tuple = ((0.9, 0.4), (2.0, 0.75),
+                                              (1.2, 0.25)),
+                           k: int = 10) -> pa.Table:
+    """Ranking STABILITY under BM25 parameter drift — the tuning report
+    that says whether k1/b choice matters on this corpus before anyone
+    sweeps them: top-k overlap and top-1 agreement of each (k1, b)
+    variant against the index's configured baseline.  One fresh engine
+    per variant (term-weight caches are per-engine, so parameters are
+    immutable after first use).  -> (k1_e2, b_e2, overlap, same_top1)
+    per variant."""
+    base = SearchEngine(index_dir)
+    base_top = [d for d, _ in base.search(terms, k)]
+    rows = []
+    for k1, b in variants:
+        eng = SearchEngine(index_dir)
+        eng.k1, eng.b = float(k1), float(b)
+        top = [d for d, _ in eng.search(terms, k)]
+        rows.append((int(round(k1 * 100)), int(round(b * 100)),
+                     len(set(top) & set(base_top)),
+                     1 if (top and base_top and top[0] == base_top[0])
+                     else 0))
+    rows.sort()
+    return pa.table({
+        "k1_e2": pa.array([r[0] for r in rows], pa.int64()),
+        "b_e2": pa.array([r[1] for r in rows], pa.int64()),
+        "overlap": pa.array([r[2] for r in rows], pa.int64()),
+        "same_top1": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
 def search_rescore(eng: SearchEngine, terms: list[str],
                    rescore_terms: list[str], window: int = 50,
                    query_weight: float = 1.0,

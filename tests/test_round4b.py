@@ -504,6 +504,25 @@ def test_value_ntile_matches_sql_semantics(ray_session, k, n):
     assert np.array_equal(got_by_eid.loc[eid].to_numpy(), want)
 
 
+def test_bm25_param_sensitivity_identity(ray_session, tmp_path_factory,
+                                          small_corpus_dir):
+    """The baseline (k1, b) as a 'variant' must read overlap == k and
+    same_top1 == 1; extreme variants stay within bounds."""
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.build import build_index
+    from onestools_eventlog_ray.pipelines.query import \
+        bm25_param_sensitivity
+    d = str(tmp_path_factory.mktemp("sens_idx"))
+    build_index(small_corpus_dir, d, cfg=EngineConfig(num_partitions=8))
+    out = bm25_param_sensitivity(
+        d, ["def", "import"],
+        variants=((1.2, 0.75), (5.0, 0.99))).to_pandas() \
+        .set_index(["k1_e2", "b_e2"])
+    assert out.loc[(120, 75), "overlap"] == 10
+    assert out.loc[(120, 75), "same_top1"] == 1
+    assert 0 <= out.loc[(500, 99), "overlap"] <= 10
+
+
 def test_source_dup_matrix_planted(ray_session):
     """Twins across feeds A/B plus an intra-A pair -> matrix cells
     (A,A):1 and (A,B):1."""
