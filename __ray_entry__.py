@@ -708,6 +708,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        DOCUMENTS_SPEC,
                                        priority={"src1": 0, "src0": 1})
 
+    def top_sessions(sf_dir):
+        """Whale sessions: top-10 sessions by exact e6 value sum —
+        gaps-and-islands windows, two-stage local-top-k selection."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines.streaming import \
+            top_sessions
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                      columns=["user_id", "ts", "value"])
+        return top_sessions(ev, gap_s=1800, k=10)
+
     def rate_spikes(sf_dir):
         """Hourly rate-spike alarm over the zero-filled grid: one-sided
         z-sigma test cross-multiplied into exact integers (Python
@@ -2785,6 +2795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_data_card": training_data_card,
         "source_dup_matrix": source_dup_matrix,
         "bm25_param_sensitivity": bm25_param_sensitivity,
+        "top_sessions": top_sessions,
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "dedup_incremental": dedup_incremental,
         "simhash_confusion": simhash_confusion,
@@ -3659,6 +3670,27 @@ s AS (SELECT user_id, ts,
 SELECT user_id, min(ts) AS session_start_us, max(ts) AS session_end_us,
        count(*) AS n_events
 FROM s GROUP BY user_id, sid""",
+
+        "top_sessions": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts,
+                  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+           FROM events),
+m AS (SELECT user_id, ts, v,
+        CASE WHEN lag(ts) OVER w IS NULL
+             OR ts - lag(ts) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, ts, v,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+g AS (SELECT user_id, min(ts) AS session_start_us,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(v) AS BIGINT) AS value_e6
+      FROM s GROUP BY user_id, sid)
+SELECT CAST(row_number() OVER (ORDER BY value_e6 DESC, user_id ASC,
+                               session_start_us ASC) AS BIGINT) AS rnk,
+       user_id, session_start_us, n_events, value_e6
+FROM g ORDER BY rnk LIMIT 10""",
 
         "cosine_pairs": """
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -160,6 +160,62 @@ def sessionize(ds: ray.data.Dataset, gap_s: int = 1800) -> ray.data.Dataset:
     return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
 
 
+def top_sessions(ds: ray.data.Dataset, gap_s: int = 1800,
+                 k: int = 10) -> pa.Table:
+    """Highest-VALUE sessions corpus-wide — the "whale session" view a
+    revenue dashboard leads with: :func:`sessionize`'s gaps-and-islands
+    windows carrying exact e6 value sums, ranked globally.  Two-stage
+    selection: each user's group emits only its local top-k sessions,
+    so the driver merge sees O(users x k) rows, never every session.
+    Value sums use reduceat over ts-sorted e6 ints (tie order within a
+    timestamp can't change session membership or sums).
+    -> (rnk, user_id, session_start_us, n_events, value_e6), top-k by
+    (value desc, user asc, start asc)."""
+    gap_us = gap_s * US
+
+    def sessions(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.floor(g["value"].to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * 1_000_000 + 0.5) \
+            .astype(np.int64)
+        order = np.argsort(ts, kind="stable")
+        ts, v = ts[order], v[order]
+        if ts.size == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "session_start_us": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "value_e6": pa.array([], pa.int64())})
+        new_session = np.empty(ts.size, dtype=bool)
+        new_session[0] = True
+        np.greater(np.diff(ts), gap_us, out=new_session[1:])
+        starts = np.flatnonzero(new_session)
+        ends = np.append(starts[1:], ts.size) - 1
+        val = np.add.reduceat(v, starts)
+        n = (ends - starts + 1).astype(np.int64)
+        top = np.lexsort((ts[starts], -val))[:k]     # local top-k
+        uid = int(g["user_id"][0].as_py())
+        return pa.table({
+            "user_id": pa.array(np.full(top.size, uid), pa.int64()),
+            "session_start_us": pa.array(ts[starts][top], pa.int64()),
+            "n_events": pa.array(n[top], pa.int64()),
+            "value_e6": pa.array(val[top], pa.int64()),
+        })
+
+    rows = ds.groupby("user_id").map_groups(
+        sessions, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (-int(r["value_e6"]), int(r["user_id"]),
+                             int(r["session_start_us"])))
+    rows = rows[:k]
+    return pa.table({
+        "rnk": pa.array(range(1, len(rows) + 1), pa.int64()),
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "session_start_us": pa.array([r["session_start_us"]
+                                      for r in rows], pa.int64()),
+        "n_events": pa.array([r["n_events"] for r in rows], pa.int64()),
+        "value_e6": pa.array([r["value_e6"] for r in rows], pa.int64()),
+    })
+
+
 def interarrival_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Per-user inter-arrival statistics — the LAG/LEAD window-function
     family member (gap = ts - lag(ts) over user-ordered events; the

@@ -504,6 +504,30 @@ def test_value_ntile_matches_sql_semantics(ray_session, k, n):
     assert np.array_equal(got_by_eid.loc[eid].to_numpy(), want)
 
 
+def test_top_sessions_planted(ray_session):
+    """Two sessions per user (30-min gap rule); the high-value one
+    ranks first; sums and counts exact."""
+    from onestools_eventlog_ray.pipelines.streaming import top_sessions
+    h = 3_600_000_000
+    rows = [  # (user, ts, value)
+        (1, 0, 10.5), (1, 60_000_000, 20.25),            # session A: 30.75
+        (1, 3 * h, 1.0),                                 # session B: 1.0
+        (2, 0, 100.0), (2, 10 * h, 2.0),                 # C: 100, D: 2
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows],
+                                dtype="datetime64[us]")),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    out = top_sessions(ray.data.from_arrow(t), gap_s=1800, k=3) \
+        .to_pydict()
+    assert out["rnk"] == [1, 2, 3]
+    assert out["value_e6"] == [100_000_000, 30_750_000, 2_000_000]
+    assert out["user_id"] == [2, 1, 2]
+    assert out["n_events"] == [1, 2, 1]
+
+
 def test_bm25_param_sensitivity_identity(ray_session, tmp_path_factory,
                                           small_corpus_dir):
     """The baseline (k1, b) as a 'variant' must read overlap == k and
