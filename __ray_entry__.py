@@ -634,6 +634,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                       columns=["event_id", "ts", "user_id", "event_type"])
         return relational.conversion_lag_histogram(ev)
 
+    def revenue_pareto(sf_dir):
+        """Whale-customer concentration: exact revenue share of the top
+        1/5/10/20% of customers (Pareto curve), e2 revenue ints."""
+        import ray.data
+        od = _read_pq(os.path.join(sf_dir, "orders.parquet"),
+                      columns=["o_custkey", "o_totalprice"])
+        return relational.revenue_pareto(od)
+
     def cohort_retention(sf_dir):
         """Cohort retention matrix: users by first-seen week, counted in
         every week they return — one user_id shuffle, bounded
@@ -2796,6 +2804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_dup_matrix": source_dup_matrix,
         "bm25_param_sensitivity": bm25_param_sensitivity,
         "top_sessions": top_sessions,
+        "revenue_pareto": revenue_pareto,
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "dedup_incremental": dedup_incremental,
         "simhash_confusion": simhash_confusion,
@@ -5234,6 +5243,22 @@ j AS (SELECT epoch_us(c.ts) - epoch_us(p.ts) AS lag
 SELECT CAST(lag // 600000000 AS BIGINT) AS bin,
        CAST(count(*) AS BIGINT) AS n
 FROM j GROUP BY bin""",
+
+        "revenue_pareto": """
+WITH c AS (SELECT o_custkey,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                AS BIGINT)) AS BIGINT) AS rev
+           FROM orders GROUP BY o_custkey),
+r AS (SELECT rev, row_number() OVER (ORDER BY rev DESC,
+                                     o_custkey ASC) AS rn FROM c),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rev) AS BIGINT) AS tot FROM c),
+p AS (SELECT CAST(unnest([1, 5, 10, 20]) AS BIGINT) AS pct)
+SELECT p.pct, CAST((p.pct * t.n + 99) // 100 AS BIGINT) AS n_top,
+       CAST((SELECT sum(rev) FROM r
+             WHERE rn <= (p.pct * t.n + 99) // 100) * 1000000
+            // greatest(t.tot, 1) AS BIGINT) AS share_e6
+FROM p, t ORDER BY p.pct""",
 
         "cohort_retention": """
 WITH w AS (SELECT user_id,

@@ -488,6 +488,47 @@ def conversion_lag_histogram(events: ray.data.Dataset,
         .groupby("bin").aggregate(RSum("n_p", alias_name="n"))
 
 
+def revenue_pareto(orders: ray.data.Dataset,
+                   pcts: tuple[int, ...] = (1, 5, 10, 20)) -> pa.Table:
+    """Customer revenue CONCENTRATION (the Pareto / whale curve): the
+    exact share of total revenue held by the top p% of customers, for
+    several p.  One groupby fold to per-customer e2 revenue (narrow —
+    customers are orders-of-magnitude fewer than orders; the same
+    bounded-aggregate convention as ``user_activity_pcts``), ranked by
+    (revenue desc, custkey asc), top-``ceil(p*n/100)`` summed.
+    -> (pct, n_top, share_e6)."""
+    from ray.data.aggregate import Sum as RSum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        e2 = np.floor(price * 100 + 0.5).astype(np.int64)
+        return pa.table({"o_custkey": batch["o_custkey"],
+                         "r_p": pa.array(e2, pa.int64())})
+
+    rows = orders.select_columns(["o_custkey", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(RSum("r_p", alias_name="rev")) \
+        .take_all()
+    rev = np.asarray(sorted((int(r["rev"]), -int(r["o_custkey"]))
+                            for r in rows))[::-1]
+    vals = rev[:, 0] if rev.size else np.empty(0, dtype=np.int64)
+    total = max(int(vals.sum()), 1)
+    n = vals.size
+    cum = np.concatenate([[0], np.cumsum(vals, dtype=np.int64)])
+    out_p, out_n, out_s = [], [], []
+    for p in pcts:
+        n_top = (p * n + 99) // 100
+        out_p.append(p)
+        out_n.append(n_top)
+        out_s.append(int(cum[n_top]) * 1_000_000 // total)
+    return pa.table({
+        "pct": pa.array(out_p, pa.int64()),
+        "n_top": pa.array(out_n, pa.int64()),
+        "share_e6": pa.array(out_s, pa.int64()),
+    })
+
+
 def cohort_retention(events: ray.data.Dataset,
                      week_us: int = 7 * 86_400_000_000) -> ray.data.Dataset:
     """Cohort retention MATRIX — the full BI view ``retention_d7`` is

@@ -504,6 +504,23 @@ def test_value_ntile_matches_sql_semantics(ray_session, k, n):
     assert np.array_equal(got_by_eid.loc[eid].to_numpy(), want)
 
 
+def test_revenue_pareto_planted(ray_session):
+    """10 customers, one whale with half the revenue: top-10% share is
+    exactly the whale's."""
+    rev = [900.0] + [100.0] * 9                       # total 1800
+    t = pa.table({
+        "o_custkey": pa.array(range(10), pa.int64()),
+        "o_totalprice": pa.array(rev, pa.float64()),
+    })
+    out = relational.revenue_pareto(
+        ray.data.from_arrow(t), pcts=(10, 50)).to_pandas() \
+        .set_index("pct")
+    assert out.loc[10, "n_top"] == 1
+    assert out.loc[10, "share_e6"] == 90_000 * 1_000_000 // 180_000
+    assert out.loc[50, "n_top"] == 5
+    assert out.loc[50, "share_e6"] == 130_000 * 1_000_000 // 180_000
+
+
 def test_top_sessions_planted(ray_session):
     """Two sessions per user (30-min gap rule); the high-value one
     ranks first; sums and counts exact."""
