@@ -1800,6 +1800,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                  "embeddings.parquet"))
         return similarity.knn_classify(emb)
 
+    def knn_k_sweep(sf_dir):
+        """k-NN hyperparameter calibration: holdout accuracy at
+        k = 1/3/5/7 in one report."""
+        import ray.data
+        emb = _read_pq(os.path.join(sf_dir, "embeddings.parquet"))
+        return similarity.knn_k_sweep(emb, ks=(1, 3, 5, 7))
+
     def twa_by_type(sf_dir):
         """Time-weighted average per event type (value holds until the
         next event; exact bigint v*dt sums)."""
@@ -2805,6 +2812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_param_sensitivity": bm25_param_sensitivity,
         "top_sessions": top_sessions,
         "revenue_pareto": revenue_pareto,
+        "knn_k_sweep": knn_k_sweep,
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "dedup_incremental": dedup_incremental,
         "simhash_confusion": simhash_confusion,
@@ -3204,6 +3212,36 @@ SELECT n_pairs, n_exact, n_cand, n_found,
        CAST(n_found * 1000000 // greatest(n_cand, 1) AS BIGINT)
          AS precision_e6
 FROM t"""
+    # knn k-sweep: shared cos CTE, one vote pipeline per k
+    _sweep_rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({k} AS BIGINT) AS k,
+       (SELECT CAST(count(*) AS BIGINT) FROM hold) AS n_holdout,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM (SELECT q, label FROM
+                (SELECT q, label, n, row_number() OVER (
+                     PARTITION BY q ORDER BY n DESC, label ASC) AS rk
+                 FROM (SELECT q, label, count(*) AS n FROM
+                         (SELECT q, label FROM rk_all WHERE rn <= {k})
+                       GROUP BY q, label)) WHERE rk = 1) p
+        JOIN hold h ON p.q = h.vec_id AND p.label = h.label)
+         AS n_correct""" for k in (1, 3, 5, 7))
+    d["knn_k_sweep"] = f"""
+WITH hold AS (SELECT vec_id, embedding, label FROM embeddings
+              WHERE vec_id % 5 = 0),
+train AS (SELECT vec_id, embedding, label FROM embeddings
+          WHERE vec_id % 5 <> 0),
+cos AS (SELECT h.vec_id AS q, t.vec_id AS c, t.label,
+               CAST(floor(list_cosine_similarity(
+                   list_transform(t.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(h.embedding, x -> CAST(x AS DOUBLE)))
+                   * 1000000 + 0.5) AS BIGINT) AS c6
+        FROM hold h CROSS JOIN train t),
+rk_all AS (SELECT q, label, row_number() OVER (
+               PARTITION BY q ORDER BY c6 DESC, c ASC) AS rn FROM cos)
+SELECT k, n_holdout, n_correct,
+       CAST(n_correct * 1000000 // greatest(n_holdout, 1) AS BIGINT)
+         AS acc_e6
+FROM ({_sweep_rows}) ORDER BY k"""
     # bm25 parameter sensitivity: one statement with a ranked CTE per
     # (k1, b) variant, each compared to the configured-baseline top-k
     def _var(alias: str, k1: float, b: float) -> str:

@@ -1179,6 +1179,35 @@ def knn_classify(ds: ray.data.Dataset, k: int = 3, holdout_mod: int = 5,
     return pa.table({kk: pa.array(v, pa.int64()) for kk, v in out.items()})
 
 
+def knn_k_sweep(ds: ray.data.Dataset, ks: tuple[int, ...] = (1, 3, 5, 7),
+                holdout_mod: int = 5) -> pa.Table:
+    """Hyperparameter calibration for the k-NN label probe: holdout
+    accuracy at several k in one report — the "which k" answer read
+    before trusting :func:`knn_classify`'s single setting (completes
+    the calibration convention on the classification lane).  Runs the
+    proven classify path per k; at scale, compute the max-k neighbor
+    list once and subset votes per k.  -> (k, n_holdout, n_correct,
+    acc_e6)."""
+    import pyarrow.compute as pc
+    out_k, out_n, out_c, out_a = [], [], [], []
+    for k in ks:
+        t = knn_classify(ds, k=k, holdout_mod=holdout_mod)
+        n = t.num_rows
+        correct = int(pc.sum(pc.cast(pc.equal(t["pred_label"],
+                                              t["true_label"]),
+                                     pa.int64())).as_py() or 0)
+        out_k.append(int(k))
+        out_n.append(n)
+        out_c.append(correct)
+        out_a.append(correct * 1_000_000 // max(n, 1))
+    return pa.table({
+        "k": pa.array(out_k, pa.int64()),
+        "n_holdout": pa.array(out_n, pa.int64()),
+        "n_correct": pa.array(out_c, pa.int64()),
+        "acc_e6": pa.array(out_a, pa.int64()),
+    })
+
+
 def label_affinity(ds: ray.data.Dataset, id_col: str = "vec_id",
                    vec_col: str = "embedding",
                    label_col: str = "label") -> pa.Table:
