@@ -716,6 +716,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        DOCUMENTS_SPEC,
                                        priority={"src1": 0, "src0": 1})
 
+    def window_distinct_users(sf_dir):
+        """Distinct users per 6h tumbling window (the DAU-style actor
+        cardinality next to window_counts' event counts) — exact
+        composite-key dedup fold."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines.streaming import \
+            window_distinct_users
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                      columns=["user_id", "ts"])
+        return window_distinct_users(ev, window_s=21600)
+
     def top_sessions(sf_dir):
         """Whale sessions: top-10 sessions by exact e6 value sum —
         gaps-and-islands windows, two-stage local-top-k selection."""
@@ -2813,6 +2824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_sessions": top_sessions,
         "revenue_pareto": revenue_pareto,
         "knn_k_sweep": knn_k_sweep,
+        "window_distinct_users": window_distinct_users,
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "dedup_incremental": dedup_incremental,
         "simhash_confusion": simhash_confusion,
@@ -3717,6 +3729,11 @@ s AS (SELECT user_id, ts,
 SELECT user_id, min(ts) AS session_start_us, max(ts) AS session_end_us,
        count(*) AS n_events
 FROM s GROUP BY user_id, sid""",
+
+        "window_distinct_users": """
+SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start_us,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY window_start_us""",
 
         "top_sessions": """
 WITH e AS (SELECT user_id, epoch_us(ts) AS ts,

@@ -160,6 +160,38 @@ def sessionize(ds: ray.data.Dataset, gap_s: int = 1800) -> ray.data.Dataset:
     return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
 
 
+def window_distinct_users(ds: ray.data.Dataset, window_s: int = 21600
+                          ) -> ray.data.Dataset:
+    """Distinct users per tumbling window — the DAU/HAU-style
+    cardinality companion of ``tumbling_window_counts`` (which counts
+    events; unique actors is the metric dashboards actually chart).
+    Exact: per-batch (window, user) dedup partials, one groupby on the
+    composite key dedups globally, then a bounded per-window count —
+    the ``hll_users_by_type`` registers are the sketch swap when exact
+    windows get too wide.  -> (window_start_us, n_users)."""
+    from ray.data.aggregate import Count
+    w_us = window_s * US
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        w = (ts // w_us) * w_us
+        u = np.unique(np.stack([w, uid], axis=1), axis=0)
+        return pa.table({"window_start_us": pa.array(u[:, 0], pa.int64()),
+                         "user_id": pa.array(u[:, 1], pa.int64())})
+
+    dedup = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["window_start_us", "user_id"]) \
+        .aggregate(Count(alias_name="_c"))
+
+    def drop(batch: pa.Table) -> pa.Table:
+        return batch.select(["window_start_us"])
+
+    return dedup.map_batches(drop, batch_format="pyarrow") \
+        .groupby("window_start_us").aggregate(Count(alias_name="n_users"))
+
+
 def top_sessions(ds: ray.data.Dataset, gap_s: int = 1800,
                  k: int = 10) -> pa.Table:
     """Highest-VALUE sessions corpus-wide — the "whale session" view a
