@@ -1233,6 +1233,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return text.hardest_examples(_documents_ds(sf_dir),
                                      DOCUMENTS_SPEC, k=5)
 
+    def query_cost_report(sf_dir):
+        """Query-planner introspection: per reference term, the df the
+        INDEX stores and the shard it hashes to — the read-cost estimate
+        a serving planner consults (and the df index-vs-corpus
+        invariant, oracle-checked)."""
+        from onestools_eventlog_ray.functions.hashing import \
+            term_partition_one
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        eng = SearchEngine(_ensure_index(sf_dir))
+        loaded = eng.load_terms(sorted(set(_BM25_TERMS)))
+        terms = sorted(loaded)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array([int(loaded[t][0]) for t in terms], pa.int64()),
+            "shard": pa.array([term_partition_one(t, eng.P)
+                               for t in terms], pa.int64()),
+        })
+
+    def bm25_topk_langshare(sf_dir):
+        """Result-page diversity: language distribution of the reference
+        query's top-10 (facet over the hit page, not the corpus)."""
+        top = _bm25_table(sf_dir, _BM25_TERMS, k=10)
+        import pyarrow.parquet as pq
+        docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "lang"])
+        lang_of = dict(zip(docs["doc_id"].to_pylist(),
+                           docs["lang"].to_pylist()))
+        import collections
+        c = collections.Counter(lang_of[d]
+                                for d in top["doc_id"].to_pylist())
+        langs = sorted(c)
+        return pa.table({
+            "lang": pa.array(langs, pa.string()),
+            "n": pa.array([c[x] for x in langs], pa.int64()),
+        })
+
     def bm25_param_sensitivity(sf_dir):
         """Ranking stability under k1/b drift: per variant, top-10
         overlap and top-1 agreement vs the configured baseline."""
@@ -2825,6 +2861,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_pareto": revenue_pareto,
         "knn_k_sweep": knn_k_sweep,
         "window_distinct_users": window_distinct_users,
+        "query_cost_report": query_cost_report,
+        "bm25_topk_langshare": bm25_topk_langshare,
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "dedup_incremental": dedup_incremental,
         "simhash_confusion": simhash_confusion,
@@ -3224,6 +3262,20 @@ SELECT n_pairs, n_exact, n_cand, n_found,
        CAST(n_found * 1000000 // greatest(n_cand, 1) AS BIGINT)
          AS precision_e6
 FROM t"""
+    # planner introspection: index df == corpus df; shard = salted md5
+    d["query_cost_report"] = f"""
+WITH toks AS ({_TOKS})
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(md5_number_lower(concat('termpart:', term)) % 16
+            AS BIGINT) AS shard
+FROM toks WHERE term IN ('spark', 'vector', 'window')
+GROUP BY term ORDER BY term"""
+    # result-page language facet: the bm25 top-10 joined to lang
+    d["bm25_topk_langshare"] = f"""
+WITH top AS ({_bm25_sql(_BM25_TERMS, k=10)})
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n
+FROM top JOIN documents d USING (doc_id)
+GROUP BY d.lang"""
     # knn k-sweep: shared cos CTE, one vote pipeline per k
     _sweep_rows = "\nUNION ALL\n".join(
         f"""SELECT CAST({k} AS BIGINT) AS k,
