@@ -634,6 +634,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                       columns=["event_id", "ts", "user_id", "event_type"])
         return relational.conversion_lag_histogram(ev)
 
+    def user_ltv_pcts(sf_dir):
+        """Lifetime-value percentiles over per-user purchase totals —
+        the monetization-skew readout next to revenue_pareto."""
+        import ray.data
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                      columns=["user_id", "event_type", "value"])
+        return relational.user_ltv_pcts(ev)
+
     def revenue_pareto(sf_dir):
         """Whale-customer concentration: exact revenue share of the top
         1/5/10/20% of customers (Pareto curve), e2 revenue ints."""
@@ -2863,6 +2871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct_users": window_distinct_users,
         "query_cost_report": query_cost_report,
         "bm25_topk_langshare": bm25_topk_langshare,
+        "user_ltv_pcts": user_ltv_pcts,
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "dedup_incremental": dedup_incremental,
         "simhash_confusion": simhash_confusion,
@@ -5350,6 +5359,29 @@ j AS (SELECT epoch_us(c.ts) - epoch_us(p.ts) AS lag
 SELECT CAST(lag // 600000000 AS BIGINT) AS bin,
        CAST(count(*) AS BIGINT) AS n
 FROM j GROUP BY bin""",
+
+        "user_ltv_pcts": """
+WITH u AS (SELECT user_id,
+                  CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                       AS BIGINT) AS ltv
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM u)
+SELECT CAST(25 AS BIGINT) AS pct, n.n_users,
+       (SELECT CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY ltv)
+               AS BIGINT) FROM u) AS ltv_e6 FROM n
+UNION ALL SELECT 50, n.n_users,
+       (SELECT CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY ltv)
+               AS BIGINT) FROM u) FROM n
+UNION ALL SELECT 75, n.n_users,
+       (SELECT CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY ltv)
+               AS BIGINT) FROM u) FROM n
+UNION ALL SELECT 90, n.n_users,
+       (SELECT CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY ltv)
+               AS BIGINT) FROM u) FROM n
+UNION ALL SELECT 99, n.n_users,
+       (SELECT CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY ltv)
+               AS BIGINT) FROM u) FROM n
+ORDER BY pct""",
 
         "revenue_pareto": """
 WITH c AS (SELECT o_custkey,

@@ -488,6 +488,41 @@ def conversion_lag_histogram(events: ray.data.Dataset,
         .groupby("bin").aggregate(RSum("n_p", alias_name="n"))
 
 
+def user_ltv_pcts(events: ray.data.Dataset,
+                  pcts: tuple[int, ...] = (25, 50, 75, 90, 99),
+                  convert_type: str = "purchase") -> pa.Table:
+    """Lifetime-value distribution: exact percentiles of per-user
+    purchase-value totals (users with >= 1 purchase) — the monetization
+    skew readout next to ``revenue_pareto``'s concentration curve.
+    One narrow per-user e6 fold (bounded by user count, the
+    ``user_activity_pcts`` convention), percentile_disc index math of
+    ``price_percentiles``.  -> (pct, ltv_e6) plus the user count."""
+    from ray.data.aggregate import Sum as RSum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["event_type"], convert_type) \
+            .to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        e6 = np.floor(v * 1_000_000 + 0.5).astype(np.int64)
+        t = pa.table({"user_id": batch["user_id"],
+                      "v_p": pa.array(e6, pa.int64())})
+        return t.filter(pa.array(m))
+
+    rows = events.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(RSum("v_p", alias_name="ltv")) \
+        .take_all()
+    ltv = np.sort(np.asarray([int(r["ltv"]) for r in rows],
+                             dtype=np.int64))
+    n = ltv.size
+    return pa.table({
+        "pct": pa.array(list(pcts), pa.int64()),
+        "n_users": pa.array([n] * len(pcts), pa.int64()),
+        "ltv_e6": pa.array([int(ltv[(p * n + 99) // 100 - 1])
+                            if n else 0 for p in pcts], pa.int64()),
+    })
+
+
 def revenue_pareto(orders: ray.data.Dataset,
                    pcts: tuple[int, ...] = (1, 5, 10, 20)) -> pa.Table:
     """Customer revenue CONCENTRATION (the Pareto / whale curve): the
