@@ -634,6 +634,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                       columns=["event_id", "ts", "user_id", "event_type"])
         return relational.conversion_lag_histogram(ev)
 
+    def monthly_revenue(sf_dir):
+        """Calendar revenue series (exact e2) — the TPC-H lane's date
+        series; months-since-epoch buckets."""
+        import ray.data
+        od = _read_pq(os.path.join(sf_dir, "orders.parquet"),
+                      columns=["o_orderdate", "o_totalprice"])
+        return relational.monthly_revenue(od)
+
     def user_ltv_pcts(sf_dir):
         """Lifetime-value percentiles over per-user purchase totals —
         the monetization-skew readout next to revenue_pareto."""
@@ -2872,6 +2880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_cost_report": query_cost_report,
         "bm25_topk_langshare": bm25_topk_langshare,
         "user_ltv_pcts": user_ltv_pcts,
+        "monthly_revenue": monthly_revenue,
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "dedup_incremental": dedup_incremental,
         "simhash_confusion": simhash_confusion,
@@ -5359,6 +5368,15 @@ j AS (SELECT epoch_us(c.ts) - epoch_us(p.ts) AS lag
 SELECT CAST(lag // 600000000 AS BIGINT) AS bin,
        CAST(count(*) AS BIGINT) AS n
 FROM j GROUP BY bin""",
+
+        "monthly_revenue": """
+SELECT CAST((date_part('year', o_orderdate) - 1970) * 12
+            + date_part('month', o_orderdate) - 1 AS BIGINT)
+         AS epoch_month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_e2
+FROM orders GROUP BY epoch_month""",
 
         "user_ltv_pcts": """
 WITH u AS (SELECT user_id,

@@ -488,6 +488,34 @@ def conversion_lag_histogram(events: ray.data.Dataset,
         .groupby("bin").aggregate(RSum("n_p", alias_name="n"))
 
 
+def monthly_revenue(orders: ray.data.Dataset) -> ray.data.Dataset:
+    """Calendar revenue series over the orders fact — month buckets via
+    integer months-since-epoch (numpy ``datetime64[M]`` == DuckDB
+    ``(year-1970)*12 + month-1``), exact e2 revenue sums; the TPC-H
+    lane's missing date series (running_revenue is per-customer).
+    -> (epoch_month, n_orders, revenue_e2)."""
+    from ray.data.aggregate import Count, Sum as RSum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        months = ts.astype("datetime64[us]").astype("datetime64[M]") \
+            .astype(np.int64)
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "epoch_month": pa.array(months, pa.int64()),
+            "r_p": pa.array(np.floor(price * 100 + 0.5).astype(np.int64),
+                            pa.int64()),
+        })
+
+    return orders.select_columns(["o_orderdate", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("epoch_month") \
+        .aggregate(Count(alias_name="n_orders"),
+                   RSum("r_p", alias_name="revenue_e2"))
+
+
 def user_ltv_pcts(events: ray.data.Dataset,
                   pcts: tuple[int, ...] = (25, 50, 75, 90, 99),
                   convert_type: str = "purchase") -> pa.Table:
