@@ -99,7 +99,12 @@ def add_ann_generation(ds: ray.data.Dataset, index_dir: str,
     tombstones, state/tombstones.py).  ``compact_ann`` folds everything
     back into base files; query results are bit-identical
     before/after compaction AND to a from-scratch rebuild over the
-    union (tests assert all three)."""
+    union (tests assert all three).
+
+    Memory bound: a reader holds the UNION of generation id sets
+    (8 bytes x total added ids since the last compaction) — compaction
+    cadence is the knob that caps it, exactly like tombstone lists in
+    an LSM tree."""
     import json
     ann_dir = os.path.join(index_dir, "ann")
     with open(os.path.join(ann_dir, "_meta.json")) as f:

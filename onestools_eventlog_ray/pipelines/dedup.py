@@ -682,6 +682,12 @@ def dedup_incremental(new_ds: ray.data.Dataset, old_ds: ray.data.Dataset,
     union, restricted to pairs with >= 1 new endpoint (tested).
     ``update_store=True`` appends the increment's band rows to the
     store so the NEXT increment dedups against old + this one.
+
+    Scale note: the store's band rows re-enter the bucket groupby each
+    increment (narrow int64 triples — cheap relative to re-signing,
+    which this avoids); at the 10^12-doc target, write the store
+    PARTITIONED BY bucket-key range so an increment reads only the
+    store partitions its own band hashes touch.
     -> (doc_a < doc_b, <metric>_e6)."""
     mh = dict(spec=spec, shingle_k=shingle_k, num_perm=num_perm,
               bands=bands)
