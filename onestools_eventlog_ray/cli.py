@@ -150,6 +150,24 @@ def main(argv: list[str] | None = None) -> int:
     rs.add_argument("--snapshot", required=True)
     rs.add_argument("--out", required=True, help="restored index dir")
 
+    dd = sub.add_parser("dedup",
+                        help="near-dup detection: verified pairs + "
+                             "clusters over a parquet corpus; with "
+                             "--store, incremental against a signature "
+                             "store (new files only re-sign)")
+    dd.add_argument("--corpus", required=True,
+                    help="parquet corpus file or directory")
+    dd.add_argument("--min-jaccard", type=float, default=0.5)
+    dd.add_argument("--spec", choices=sorted(SPECS), default="code")
+    dd.add_argument("--store", default=None,
+                    help="signature-store dir; created from --corpus if "
+                         "absent, else --new is deduped against it")
+    dd.add_argument("--new", default=None,
+                    help="parquet file/dir of NEW docs (requires "
+                         "--store)")
+    dd.add_argument("--pairs-out", default=None,
+                    help="write the verified pairs parquet here")
+
     args = p.parse_args(argv)
 
     if args.cmd == "stats":
@@ -246,6 +264,48 @@ def main(argv: list[str] | None = None) -> int:
                     n += 1
                     if args.rounds is None or n < args.rounds:
                         _time.sleep(args.interval)
+        elif args.cmd == "dedup":
+            import os as _os
+            from onestools_eventlog_ray.pipelines.dedup import (
+                dedup_clusters, dedup_incremental, minhash_verified_pairs,
+                write_signature_store)
+            from onestools_eventlog_ray.sources.corpus import \
+                read_parquet_clean
+            spec = SPECS[args.spec]
+            corpus = read_parquet_clean(args.corpus)
+            if args.new:
+                if not args.store:
+                    raise SystemExit("--new requires --store")
+                if not (_os.path.isdir(args.store)
+                        and _os.listdir(args.store)):
+                    write_signature_store(corpus, args.store, spec)
+                pairs = dedup_incremental(
+                    read_parquet_clean(args.new), corpus, args.store,
+                    spec, min_jaccard=args.min_jaccard,
+                    update_store=True)
+                if args.pairs_out:
+                    pairs.write_parquet(args.pairs_out)
+                    n_pairs = "written"
+                else:
+                    n_pairs = pairs.count()
+                print(json.dumps({"mode": "incremental",
+                                  "n_pairs": n_pairs,
+                                  "store": args.store}))
+            else:
+                pairs = minhash_verified_pairs(
+                    corpus, spec, min_jaccard=args.min_jaccard)
+                clusters = dedup_clusters(corpus, spec,
+                                          min_jaccard=args.min_jaccard)
+                if args.pairs_out:
+                    pairs.write_parquet(args.pairs_out)
+                if args.store:
+                    write_signature_store(corpus, args.store, spec)
+                reps = set(clusters["rep_id"].to_pylist())
+                print(json.dumps({
+                    "mode": "full", "n_pairs": pairs.count(),
+                    "n_clustered_docs": clusters.num_rows,
+                    "n_clusters": len(reps),
+                    "store": args.store}))
         elif args.cmd == "compact":
             from onestools_eventlog_ray.pipelines.incremental import \
                 compact_generations

@@ -389,6 +389,34 @@ def test_cli_watch_alerts(ray_session, tmp_path, capsys):
     assert [a["query_name"] for a in rep["alerts"]] == ["leak"]
 
 
+def test_cli_dedup_full_and_incremental(ray_session, tmp_path, capsys):
+    import json
+    import pyarrow.parquet as pq
+    from onestools_eventlog_ray.cli import main
+    c = "shared template text with quite a few common tokens here now"
+    pq.write_table(pa.table({
+        "repo": pa.array(["r"] * 3), "path": pa.array(["a", "b", "u"]),
+        "commit": pa.array(["c"] * 3), "lang": pa.array(["py"] * 3),
+        "content": pa.array([c, c, "totally different unique body"]),
+    }), str(tmp_path / "corpus.parquet"))
+    pq.write_table(pa.table({
+        "repo": pa.array(["r"]), "path": pa.array(["n"]),
+        "commit": pa.array(["c"]), "lang": pa.array(["py"]),
+        "content": pa.array([c]),
+    }), str(tmp_path / "new.parquet"))
+    store = str(tmp_path / "store")
+    assert main(["dedup", "--corpus", str(tmp_path / "corpus.parquet"),
+                 "--store", store]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {"mode": "full", "n_pairs": 1, "n_clustered_docs": 2,
+                   "n_clusters": 1, "store": store}
+    assert main(["dedup", "--corpus", str(tmp_path / "corpus.parquet"),
+                 "--store", store, "--new",
+                 str(tmp_path / "new.parquet")]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["mode"] == "incremental" and rep2["n_pairs"] == 2
+
+
 def test_ab_test_report_bruteforce(ray_session):
     t = _events_table(seed=79, n=5000)
     out = relational.ab_test_report(
