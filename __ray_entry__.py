@@ -2323,6 +2323,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               DOCUMENTS_SPEC) \
             .sort(["doc_id", "query_name"])
 
+    def percolate_must_not(sf_dir):
+        """ES percolator with exclusions: bool-must terms plus must_not
+        — the real alert-rule shape ('spark' hits but not when 'slow'
+        is present)."""
+        rules = {
+            "spark_clean": {"must": ["spark"], "must_not": ["slow"]},
+            "scan_no_join": {"must": ["table", "scan"],
+                             "must_not": ["join", "merge"]},
+        }
+        return text.percolate(_documents_ds(sf_dir), rules,
+                              DOCUMENTS_SPEC) \
+            .sort(["doc_id", "query_name"])
+
     def span_near_sv(sf_dir):
         """ES span_near: 'spark' within 3 positions of 'vector',
         min distance per doc, over the positions sidecar."""
@@ -2881,6 +2894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_langshare": bm25_topk_langshare,
         "user_ltv_pcts": user_ltv_pcts,
         "monthly_revenue": monthly_revenue,
+        "percolate_must_not": percolate_must_not,
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "dedup_incremental": dedup_incremental,
         "simhash_confusion": simhash_confusion,
@@ -5368,6 +5382,24 @@ j AS (SELECT epoch_us(c.ts) - epoch_us(p.ts) AS lag
 SELECT CAST(lag // 600000000 AS BIGINT) AS bin,
        CAST(count(*) AS BIGINT) AS n
 FROM j GROUP BY bin""",
+
+        "percolate_must_not": f"""
+WITH toks AS ({_TOKS}),
+pt AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT doc_id, 'scan_no_join' AS query_name FROM documents d
+WHERE EXISTS (SELECT 1 FROM pt WHERE pt.doc_id = d.doc_id
+              AND pt.term = 'table')
+  AND EXISTS (SELECT 1 FROM pt WHERE pt.doc_id = d.doc_id
+              AND pt.term = 'scan')
+  AND NOT EXISTS (SELECT 1 FROM pt WHERE pt.doc_id = d.doc_id
+                  AND pt.term IN ('join', 'merge'))
+UNION ALL
+SELECT doc_id, 'spark_clean' FROM documents d
+WHERE EXISTS (SELECT 1 FROM pt WHERE pt.doc_id = d.doc_id
+              AND pt.term = 'spark')
+  AND NOT EXISTS (SELECT 1 FROM pt WHERE pt.doc_id = d.doc_id
+                  AND pt.term = 'slow')
+ORDER BY doc_id, query_name""",
 
         "monthly_revenue": """
 SELECT CAST((date_part('year', o_orderdate) - 1970) * 12

@@ -1171,7 +1171,15 @@ def percolate(ds: ray.data.Dataset, queries: dict[str, list[str]],
     """
     import ray
     qnames = sorted(queries)
-    qterms = {q: sorted(set(queries[q])) for q in qnames}
+    def _norm(rule):
+        # list[str] = bool-must; {"must": [...], "must_not": [...]} adds
+        # exclusions ("password" but not "test" — the alert-rule shape)
+        if isinstance(rule, dict):
+            return (sorted(set(rule.get("must", ()))),
+                    sorted(set(rule.get("must_not", ()))))
+        return (sorted(set(rule)), [])
+
+    qterms = {q: _norm(queries[q]) for q in qnames}
     ref = ray.put(qterms)
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -1183,18 +1191,23 @@ def percolate(ds: ray.data.Dataset, queries: dict[str, list[str]],
             .to_numpy(zero_copy_only=False)
         n = len(toks)
         doc = b["doc_id"].to_numpy(zero_copy_only=False)
+
+        def seen_mask(t: str) -> np.ndarray:
+            m = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            seen = np.zeros(n, dtype=bool)
+            if parents.size:
+                np.logical_or.at(seen, parents, m)
+            return seen
+
         out_d, out_q = [], []
         for qname in sorted(qt):
-            terms = qt[qname]
+            terms, excl = qt[qname]
             hit = np.zeros(n, dtype=np.int64)
             for t in terms:
-                m = pc.equal(flat, t).to_numpy(zero_copy_only=False)
-                if parents.size:
-                    # count each term at most once per doc
-                    seen = np.zeros(n, dtype=bool)
-                    np.logical_or.at(seen, parents, m)
-                    hit += seen
+                hit += seen_mask(t)
             matched = hit == len(terms)
+            for t in excl:
+                matched &= ~seen_mask(t)
             out_d.append(doc[matched])
             out_q.extend([qname] * int(matched.sum()))
         return pa.table({

@@ -389,6 +389,24 @@ def test_cli_watch_alerts(ray_session, tmp_path, capsys):
     assert [a["query_name"] for a in rep["alerts"]] == ["leak"]
 
 
+def test_percolate_must_not_planted(ray_session):
+    from onestools_eventlog_ray.pipelines import text as text_mod
+    texts = ["spark job fast", "spark job slow", "nothing here"]
+    t = pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    out = text_mod.percolate(
+        ray.data.from_arrow(t),
+        {"clean": {"must": ["spark"], "must_not": ["slow"]},
+         "plain": ["spark", "job"]}).to_pandas()
+    got = {(r.doc_id, r.query_name) for r in out.itertuples()}
+    assert got == {(0, "clean"), (0, "plain"), (1, "plain")}
+
+
 def test_cli_dedup_full_and_incremental(ray_session, tmp_path, capsys):
     import json
     import pyarrow.parquet as pq
