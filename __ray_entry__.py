@@ -714,6 +714,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["user_id", "event_type"])
         return relational.ab_test_report(ev, "purchase")
 
+    def embedding_norm_hist(sf_dir):
+        """L2-norm histogram of the embedding column — the dead/exploded
+        vector health check; e3-quantized norms, fixed-width bins."""
+        import ray.data
+        ds = _read_pq(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["embedding"])
+        return similarity.embedding_norm_histogram(ds)
+
     def embedding_cov(sf_dir):
         """Exact embedding covariance matrix (upper triangle) — PCA /
         whitening prep: one int64 Gram matmul per batch, d^2-row
@@ -2895,6 +2903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_ltv_pcts": user_ltv_pcts,
         "monthly_revenue": monthly_revenue,
         "percolate_must_not": percolate_must_not,
+        "embedding_norm_hist": embedding_norm_hist,
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "dedup_incremental": dedup_incremental,
         "simhash_confusion": simhash_confusion,
@@ -5382,6 +5391,15 @@ j AS (SELECT epoch_us(c.ts) - epoch_us(p.ts) AS lag
 SELECT CAST(lag // 600000000 AS BIGINT) AS bin,
        CAST(count(*) AS BIGINT) AS n
 FROM j GROUP BY bin""",
+
+        "embedding_norm_hist": """
+WITH e0 AS (SELECT vec_id, unnest(embedding) AS x FROM embeddings),
+nm AS (SELECT vec_id,
+              CAST(floor(sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                         * 1000 + 0.5) AS BIGINT) AS e3
+       FROM e0 GROUP BY vec_id)
+SELECT least(e3 // 500, 31) AS bin, CAST(count(*) AS BIGINT) AS n
+FROM nm GROUP BY bin""",
 
         "percolate_must_not": f"""
 WITH toks AS ({_TOKS}),

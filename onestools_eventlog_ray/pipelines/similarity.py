@@ -697,6 +697,36 @@ def embedding_cov(ds: ray.data.Dataset,
     })
 
 
+def embedding_norm_histogram(ds: ray.data.Dataset,
+                             vec_col: str = "embedding",
+                             bin_width_e3: int = 500,
+                             n_bins: int = 32) -> ray.data.Dataset:
+    """L2-norm distribution of an embedding column — the dead-vector /
+    exploded-vector health check a pipeline runs before cosine ops
+    (norm 0 breaks normalization; extreme norms flag training bugs).
+    Norms quantize to e3 (floor(|x|*1e3+0.5) — float sqrt agrees with
+    SQL's to well past e3) and land in fixed-width bins; a one-pass
+    bincount partial + bounded groupby.  -> (bin, n) sparse."""
+    from ray.data.aggregate import Sum as RSum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch[vec_col])
+        if not m.size:
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "n_p": pa.array([], pa.int64())})
+        e3 = np.floor(np.linalg.norm(m, axis=1) * 1000 + 0.5) \
+            .astype(np.int64)
+        bins = np.minimum(e3 // bin_width_e3, n_bins - 1)
+        counts = np.bincount(bins, minlength=n_bins)
+        nz = np.flatnonzero(counts)
+        return pa.table({"bin": pa.array(nz, pa.int64()),
+                         "n_p": pa.array(counts[nz].astype(np.int64),
+                                         pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bin").aggregate(RSum("n_p", alias_name="n"))
+
+
 def embedding_dim_stats(ds: ray.data.Dataset,
                         vec_col: str = "embedding") -> pa.Table:
     """Per-dimension profile of an embedding column: n, mean and

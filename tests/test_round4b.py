@@ -389,6 +389,21 @@ def test_cli_watch_alerts(ray_session, tmp_path, capsys):
     assert [a["query_name"] for a in rep["alerts"]] == ["leak"]
 
 
+def test_embedding_norm_histogram_planted(ray_session):
+    """Zero vector, unit vector, exploded vector -> three distinct bins
+    (bin 0, bin 2, capped last bin)."""
+    from onestools_eventlog_ray.pipelines import similarity
+    vecs = [[0.0, 0.0], [1.0, 0.0], [100.0, 0.0], [0.6, 0.8]]
+    t = pa.table({
+        "vec_id": pa.array(range(4), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    })
+    out = similarity.embedding_norm_histogram(
+        ray.data.from_arrow(t), bin_width_e3=500, n_bins=32).to_pandas()
+    got = dict(zip(out["bin"], out["n"]))
+    assert got == {0: 1, 2: 2, 31: 1}     # 0.0 | 1.0 x2 | 100 capped
+
+
 def test_percolate_must_not_planted(ray_session):
     from onestools_eventlog_ray.pipelines import text as text_mod
     texts = ["spark job fast", "spark job slow", "nothing here"]
