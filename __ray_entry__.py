@@ -1325,6 +1325,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.duplicate_ngrams(_documents_ds(sf_dir),
                                       DOCUMENTS_SPEC, k=8, top=10)
 
+    def exact_substr_spans(sf_dir):
+        """ExactSubstr dedup (Lee et al. 2021): maximal cross-document
+        duplicated-substring removal intervals, k=8 tokens."""
+        return dedup.exact_substr_spans(_documents_ds(sf_dir),
+                                        DOCUMENTS_SPEC, k=8, min_docs=2)
+
+    def exact_substr_savings(sf_dir):
+        """Per-source corpus savings from ExactSubstr span removal:
+        total vs duplicated-span tokens and the removable share."""
+        return dedup.exact_substr_savings(_documents_ds(sf_dir),
+                                          DOCUMENTS_SPEC, k=8,
+                                          min_docs=2, by="source")
+
     def mix_weights(sf_dir):
         """Domain-mixing table: per source, docs/tokens/share and the
         uniform-target resampling weight (exact integer math)."""
@@ -2861,6 +2874,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_explain": bm25_explain,
         "bm25_rescore": bm25_rescore,
         "duplicate_ngrams": duplicate_ngrams,
+        "exact_substr_spans": exact_substr_spans,
+        "exact_substr_savings": exact_substr_savings,
         "mix_weights": mix_weights,
         "knn_filtered": knn_filtered,
         "vector_range": vector_range,
@@ -5107,6 +5122,73 @@ SELECT CAST(row_number() OVER (
        gram, n_docs, n_occ
 FROM g WHERE n_docs >= 2
 ORDER BY n_docs DESC, n_occ DESC, gram ASC LIMIT 10""",
+
+        "exact_substr_spans": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+pos AS (
+  SELECT doc_id,
+         unnest([i - 1 for i in range(1, len(t) - 6)]) AS p,
+         unnest([array_to_string(t[i:i+7], ' ')
+                 for i in range(1, len(t) - 6)]) AS gram
+  FROM tok WHERE len(t) >= 8),
+dup AS (SELECT gram FROM pos
+        GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+hit AS (SELECT doc_id, p FROM pos
+        WHERE gram IN (SELECT gram FROM dup)),
+isl AS (SELECT doc_id, p,
+               CASE WHEN p - lag(p) OVER (PARTITION BY doc_id
+                                          ORDER BY p) <= 8
+                    THEN 0 ELSE 1 END AS brk
+        FROM hit),
+grp AS (SELECT doc_id, p,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g
+        FROM isl),
+sp AS (SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+              CAST(max(p) + 8 AS BIGINT) AS span_end
+       FROM grp GROUP BY doc_id, g)
+SELECT doc_id, span_start, span_end,
+       span_end - span_start AS span_tokens
+FROM sp ORDER BY doc_id, span_start""",
+
+        "exact_substr_savings": """
+WITH tok AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+pos AS (
+  SELECT doc_id,
+         unnest([i - 1 for i in range(1, len(t) - 6)]) AS p,
+         unnest([array_to_string(t[i:i+7], ' ')
+                 for i in range(1, len(t) - 6)]) AS gram
+  FROM tok WHERE len(t) >= 8),
+dup AS (SELECT gram FROM pos
+        GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+hit AS (SELECT doc_id, p FROM pos
+        WHERE gram IN (SELECT gram FROM dup)),
+isl AS (SELECT doc_id, p,
+               CASE WHEN p - lag(p) OVER (PARTITION BY doc_id
+                                          ORDER BY p) <= 8
+                    THEN 0 ELSE 1 END AS brk
+        FROM hit),
+grp AS (SELECT doc_id, p,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g
+        FROM isl),
+sp AS (SELECT doc_id, min(p) AS s, max(p) + 8 AS e
+       FROM grp GROUP BY doc_id, g),
+dt AS (SELECT doc_id, sum(e - s) AS dtok FROM sp GROUP BY doc_id),
+base AS (SELECT tok.source, CAST(len(tok.t) AS BIGINT) AS nt,
+                CAST(coalesce(dt.dtok, 0) AS BIGINT) AS dtk
+         FROM tok LEFT JOIN dt USING (doc_id))
+SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(sum(dtk) AS BIGINT) AS dup_tokens,
+       CAST(sum(dtk) * 1000000 // greatest(sum(nt), 1) AS BIGINT)
+         AS dup_share_e6
+FROM base GROUP BY source ORDER BY source""",
 
         "mix_weights": """
 WITH t AS (

@@ -1692,3 +1692,198 @@ def dup_rate_by_source(ds: ray.data.Dataset,
             [(agg[k][0] - agg[k][1]) * 10 ** 6 // agg[k][0]
              for k in keys], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style span dedup (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better"): find maximal token spans that are
+# duplicated ACROSS documents and report them as removal intervals —
+# finer-grained than doc-level exact_dedup (which only drops whole-doc
+# copies) and exact where MinHash is probabilistic.  The reference's
+# repeated-event collapse (ExportersManager.cs:101-111) is the same idea
+# one granularity up; the span shape here is the paper's suffix-array
+# output re-expressed as a two-pass Ray pipeline.
+# ---------------------------------------------------------------------------
+
+def _shingle_pos(toks, k: int) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Position-aware variant of :func:`_shingle_rows`: list<token> ->
+    (gram strings, parent row index, token position) for every k-token
+    window of docs with dl >= k.  Docs shorter than k contribute nothing
+    (a k-token duplicated substring cannot exist in them).  Vectorized:
+    k shifted views joined element-wise, cross-document windows masked."""
+    flat = toks.flatten()
+    offsets = _list_offsets(toks)
+    dl = np.diff(offsets)
+    parent = np.repeat(np.arange(dl.size, dtype=np.int64), dl)
+    n_flat = len(flat)
+    empty = (pa.array([], pa.string()), np.empty(0, np.int64),
+             np.empty(0, np.int64))
+    if n_flat < k:
+        return empty
+    w = n_flat - k + 1
+    cols = [flat.slice(j, w) for j in range(k)]
+    joined = pc.binary_join_element_wise(*cols, SHINGLE_SEP)
+    valid = parent[:w] == parent[k - 1:]
+    if not valid.any():
+        return empty
+    idx = np.flatnonzero(valid)
+    par = parent[idx]
+    pos = idx - offsets[par]
+    return joined.filter(pa.array(valid)), par, pos
+
+
+def _dup_gram_hashes(ds: ray.data.Dataset, spec: CorpusSpec,
+                     k: int, min_docs: int) -> np.ndarray:
+    """Pass A: sorted int64 md5-lower-64 hashes of every k-gram that
+    appears in >= ``min_docs`` DISTINCT documents.  Per-batch partial
+    dedups (gram, doc) locally, so only the batch's gram VOCABULARY
+    shuffles (exact across batches: each doc lives in one batch); the
+    global fold is a narrow (hash, count) groupby.
+
+    100-TB note: the dup-hash set is bounded by the duplicated
+    vocabulary (boilerplate), not the corpus — broadcastable in
+    practice.  If it ever isn't, swap pass B's broadcast lookup for a
+    semi-join (hash-partition gram rows against this table), same shape
+    as minhash_verified_pairs' cluster-side candidate join."""
+    from ray.data.aggregate import Sum as RSum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = tokenize_array(batch[spec.content_col])
+        g, par, _ = _shingle_pos(toks, k)
+        if not len(g):
+            return pa.table({"gh": pa.array([], pa.int64()),
+                             "nd_p": pa.array([], pa.int64())})
+        gh = md5_lower64(g).view(np.int64)
+        _, uv = _unique_per_doc(par, gh)
+        vals, counts = np.unique(uv, return_counts=True)
+        return pa.table({"gh": pa.array(vals, pa.int64()),
+                         "nd_p": pa.array(counts, pa.int64())})
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("gh").aggregate(RSum("nd_p", alias_name="nd")) \
+        .take_all()
+    dup = np.array([r["gh"] for r in folded if r["nd"] >= min_docs],
+                   dtype=np.int64)
+    dup.sort()
+    return dup
+
+
+_SPAN_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                          ("span_start", pa.int64()),
+                          ("span_end", pa.int64()),
+                          ("span_tokens", pa.int64())])
+
+
+def exact_substr_spans(ds: ray.data.Dataset,
+                       spec: CorpusSpec = DOCUMENTS_SPEC,
+                       k: int = 8, min_docs: int = 2) -> pa.Table:
+    """Maximal duplicated-substring removal spans: for every document,
+    the merged intervals [span_start, span_end) of token positions
+    covered by at least one k-gram that also occurs in another document.
+    -> (doc_id, span_start, span_end, span_tokens) sorted by
+    (doc_id, span_start); token indices are 0-based, end exclusive.
+
+    Pass B is embarrassingly parallel: re-shingle each batch, membership
+    test against the broadcast dup-hash set (one searchsorted), then a
+    vectorized gaps-and-islands merge (hit positions are generated
+    sorted by (doc, pos); a new island starts when the doc changes or
+    the gap exceeds k, since a hit at p covers [p, p+k))."""
+    dup = _dup_gram_hashes(ds, spec, k, min_docs)
+    ref = ray.put(dup)
+    id_col = spec.id_col or "doc_id"
+
+    def mark(batch: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        empty = _SPAN_SCHEMA.empty_table()
+        if d.size == 0:
+            return empty
+        toks = tokenize_array(batch[spec.content_col])
+        g, par, pos = _shingle_pos(toks, k)
+        if not len(g):
+            return empty
+        gh = md5_lower64(g).view(np.int64)
+        loc = np.searchsorted(d, gh)
+        hit = (loc < d.size) & (d[np.minimum(loc, d.size - 1)] == gh)
+        if not hit.any():
+            return empty
+        hp, hpos = par[hit], pos[hit]
+        brk = np.empty(hp.size, dtype=bool)
+        brk[0] = True
+        brk[1:] = (hp[1:] != hp[:-1]) | (hpos[1:] - hpos[:-1] > k)
+        starts = hpos[brk]
+        first = np.flatnonzero(brk)
+        last = np.append(first[1:], hp.size) - 1
+        ends = hpos[last] + k
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[hp[brk]]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "span_start": pa.array(starts, pa.int64()),
+                         "span_end": pa.array(ends, pa.int64()),
+                         "span_tokens": pa.array(ends - starts,
+                                                 pa.int64())})
+
+    rows = ds.map_batches(mark, batch_format="pyarrow").take_all()
+    tbl = pa.Table.from_pylist(rows, schema=_SPAN_SCHEMA) if rows \
+        else _SPAN_SCHEMA.empty_table()
+    return tbl.sort_by([("doc_id", "ascending"),
+                        ("span_start", "ascending")])
+
+
+def exact_substr_savings(ds: ray.data.Dataset,
+                         spec: CorpusSpec = DOCUMENTS_SPEC,
+                         k: int = 8, min_docs: int = 2,
+                         by: str = "source") -> pa.Table:
+    """Corpus-savings rollup of :func:`exact_substr_spans`: per ``by``
+    group, total tokens vs tokens inside duplicated spans and the
+    removable share.  -> (by, n_tokens, dup_tokens, dup_share_e6)
+    sorted by ``by``.  Fully scale-shaped: pass B folds (group,
+    n_tokens, dup_tokens) per batch, so only one partial row per group
+    per batch shuffles — never a span row."""
+    from ray.data.aggregate import Sum as RSum
+
+    dup = _dup_gram_hashes(ds, spec, k, min_docs)
+    ref = ray.put(dup)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        toks = tokenize_array(batch[spec.content_col])
+        offsets = _list_offsets(toks)
+        dl = np.diff(offsets)
+        grp = batch[by].to_numpy(zero_copy_only=False).astype(str)
+        dup_tok = np.zeros(dl.size, dtype=np.int64)
+        g, par, pos = _shingle_pos(toks, k)
+        if len(g) and d.size:
+            gh = md5_lower64(g).view(np.int64)
+            loc = np.searchsorted(d, gh)
+            hit = (loc < d.size) & (d[np.minimum(loc, d.size - 1)] == gh)
+            if hit.any():
+                hp, hpos = par[hit], pos[hit]
+                brk = np.empty(hp.size, dtype=bool)
+                brk[0] = True
+                brk[1:] = (hp[1:] != hp[:-1]) | (hpos[1:] - hpos[:-1] > k)
+                first = np.flatnonzero(brk)
+                last = np.append(first[1:], hp.size) - 1
+                span_len = hpos[last] + k - hpos[first]
+                np.add.at(dup_tok, hp[brk], span_len)
+        t = pa.table({by: pa.array(grp, pa.string()),
+                      "nt_p": pa.array(dl, pa.int64()),
+                      "dt_p": pa.array(dup_tok, pa.int64())})
+        g2 = t.group_by(by).aggregate([("nt_p", "sum"), ("dt_p", "sum")])
+        return pa.table({by: g2[by],
+                         "nt_p": g2["nt_p_sum"].cast(pa.int64()),
+                         "dt_p": g2["dt_p_sum"].cast(pa.int64())})
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(by).aggregate(RSum("nt_p", alias_name="n_tokens"),
+                               RSum("dt_p", alias_name="dup_tokens")) \
+        .take_all()
+    folded.sort(key=lambda r: str(r[by]))
+    return pa.table({
+        by: pa.array([str(r[by]) for r in folded], pa.string()),
+        "n_tokens": pa.array([int(r["n_tokens"]) for r in folded],
+                             pa.int64()),
+        "dup_tokens": pa.array([int(r["dup_tokens"]) for r in folded],
+                               pa.int64()),
+        "dup_share_e6": pa.array(
+            [int(r["dup_tokens"]) * 10 ** 6 // max(1, int(r["n_tokens"]))
+             for r in folded], pa.int64()),
+    })
