@@ -1338,6 +1338,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                           DOCUMENTS_SPEC, k=8,
                                           min_docs=2, by="source")
 
+    def exact_substr_clean(sf_dir):
+        """The apply step: affected documents rebuilt with duplicated
+        spans stripped (vectorized coverage-mask token filter)."""
+        return dedup.exact_substr_clean(_documents_ds(sf_dir),
+                                        DOCUMENTS_SPEC, k=8, min_docs=2)
+
+    def string_stats_lang(sf_dir):
+        """ES string_stats agg per lang: doc count, min/max/avg length
+        and aggregated character-distribution Shannon entropy."""
+        return relational.string_stats_by_group(
+            _documents_ds(sf_dir), key="lang", col="text")
+
+    def value_boxplot_by_type(sf_dir):
+        """ES boxplot agg per event_type: exact q1/q2/q3, IQR, Tukey
+        fences and the outlier count outside them."""
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                      columns=["event_type", "value"])
+        return relational.value_boxplot_by_type(ev)
+
+    def logreg_step(sf_dir):
+        """Distributed GLM iteration: exact full-batch logistic
+        gradient from w=0 over the embedding table (X^T r fold)."""
+        emb = _read_pq(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["embedding", "label"])
+        return similarity.logreg_step(emb)
+
     def mix_weights(sf_dir):
         """Domain-mixing table: per source, docs/tokens/share and the
         uniform-target resampling weight (exact integer math)."""
@@ -2876,6 +2902,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_ngrams": duplicate_ngrams,
         "exact_substr_spans": exact_substr_spans,
         "exact_substr_savings": exact_substr_savings,
+        "exact_substr_clean": exact_substr_clean,
+        "string_stats_lang": string_stats_lang,
+        "value_boxplot_by_type": value_boxplot_by_type,
+        "logreg_step": logreg_step,
         "mix_weights": mix_weights,
         "knn_filtered": knn_filtered,
         "vector_range": vector_range,
@@ -5189,6 +5219,113 @@ SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens,
        CAST(sum(dtk) * 1000000 // greatest(sum(nt), 1) AS BIGINT)
          AS dup_share_e6
 FROM base GROUP BY source ORDER BY source""",
+
+        "exact_substr_clean": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+pos AS (
+  SELECT doc_id,
+         unnest([i - 1 for i in range(1, len(t) - 6)]) AS p,
+         unnest([array_to_string(t[i:i+7], ' ')
+                 for i in range(1, len(t) - 6)]) AS gram
+  FROM tok WHERE len(t) >= 8),
+dup AS (SELECT gram FROM pos
+        GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+hit AS (SELECT doc_id, p FROM pos
+        WHERE gram IN (SELECT gram FROM dup)),
+isl AS (SELECT doc_id, p,
+               CASE WHEN p - lag(p) OVER (PARTITION BY doc_id
+                                          ORDER BY p) <= 8
+                    THEN 0 ELSE 1 END AS brk
+        FROM hit),
+grp AS (SELECT doc_id, p,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g
+        FROM isl),
+sp AS (SELECT doc_id, min(p) AS s, max(p) + 8 AS e
+       FROM grp GROUP BY doc_id, g),
+tp AS (SELECT doc_id,
+              unnest([i - 1 for i in range(1, len(t) + 1)]) AS p,
+              unnest(t) AS tok
+       FROM tok),
+cov AS (SELECT DISTINCT tp.doc_id, tp.p
+        FROM tp JOIN sp ON tp.doc_id = sp.doc_id
+                       AND tp.p >= sp.s AND tp.p < sp.e),
+cl AS (SELECT tp.doc_id,
+              CAST(count(*) FILTER (cov.p IS NOT NULL) AS BIGINT)
+                AS n_removed,
+              coalesce(string_agg(tp.tok, ' ' ORDER BY tp.p)
+                         FILTER (cov.p IS NULL), '') AS clean_text
+       FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id
+                            AND tp.p = cov.p
+       GROUP BY tp.doc_id)
+SELECT cl.doc_id, CAST(len(tok.t) AS BIGINT) AS n_tokens,
+       cl.n_removed, cl.clean_text
+FROM cl JOIN tok USING (doc_id)
+WHERE cl.n_removed > 0
+ORDER BY cl.doc_id""",
+
+        "string_stats_lang": """
+WITH ch AS (SELECT lang, unnest(string_split(text, '')) AS c
+            FROM documents),
+cc AS (SELECT lang, c, CAST(count(*) AS BIGINT) AS cnt
+       FROM ch GROUP BY lang, c),
+tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot
+        FROM cc GROUP BY lang),
+ent AS (SELECT cc.lang,
+               CAST(sum(CAST(floor(-(cnt / tot) * log2(cnt / tot)
+                                   * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS entropy_e6
+        FROM cc JOIN tot USING (lang) GROUP BY cc.lang),
+ls AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+              CAST(min(length(text)) AS BIGINT) AS min_len,
+              CAST(max(length(text)) AS BIGINT) AS max_len,
+              CAST(sum(length(text)) AS BIGINT) AS sl
+       FROM documents GROUP BY lang)
+SELECT lang, n, min_len, max_len,
+       CAST(sl * 1000000 // greatest(n, 1) AS BIGINT) AS avg_len_e6,
+       entropy_e6
+FROM ls JOIN ent USING (lang) ORDER BY lang""",
+
+        "value_boxplot_by_type": """
+WITH q AS (SELECT event_type,
+                  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+           FROM events),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY v)
+                  AS BIGINT) AS q1_e6,
+             CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY v)
+                  AS BIGINT) AS q2_e6,
+             CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY v)
+                  AS BIGINT) AS q3_e6
+      FROM q GROUP BY event_type),
+f AS (SELECT *, q3_e6 - q1_e6 AS iqr_e6,
+             q1_e6 - (3 * (q3_e6 - q1_e6)) // 2 AS lo_fence_e6,
+             q3_e6 + (3 * (q3_e6 - q1_e6)) // 2 AS hi_fence_e6
+      FROM s),
+o AS (SELECT f.event_type,
+             CAST(count(*) FILTER (q.v < f.lo_fence_e6
+                                   OR q.v > f.hi_fence_e6) AS BIGINT)
+               AS n_outliers
+      FROM q JOIN f USING (event_type) GROUP BY f.event_type)
+SELECT f.event_type, f.n, f.q1_e6, f.q2_e6, f.q3_e6, f.iqr_e6,
+       f.lo_fence_e6, f.hi_fence_e6, o.n_outliers
+FROM f JOIN o USING (event_type) ORDER BY f.event_type""",
+
+        "logreg_step": """
+WITH r AS (SELECT CAST(label AS DOUBLE) AS y,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+u AS (SELECT CAST(unnest([i - 1 for i in range(1, len(v) + 1)])
+                  AS BIGINT) AS dim,
+             unnest(v) AS x, y
+      FROM r)
+SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(x * (0.5 - y) * 1000000 + 0.5) AS BIGINT))
+            AS BIGINT) AS grad_e6
+FROM u GROUP BY dim ORDER BY dim""",
 
         "mix_weights": """
 WITH t AS (

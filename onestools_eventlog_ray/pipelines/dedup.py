@@ -1887,3 +1887,89 @@ def exact_substr_savings(ds: ray.data.Dataset,
             [int(r["dup_tokens"]) * 10 ** 6 // max(1, int(r["n_tokens"]))
              for r in folded], pa.int64()),
     })
+
+
+_CLEAN_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                           ("n_tokens", pa.int64()),
+                           ("n_removed", pa.int64()),
+                           ("clean_text", pa.string())])
+
+
+def exact_substr_clean(ds: ray.data.Dataset,
+                       spec: CorpusSpec = DOCUMENTS_SPEC,
+                       k: int = 8, min_docs: int = 2) -> pa.Table:
+    """The APPLY step of :func:`exact_substr_spans`: rebuild each
+    affected document with its duplicated spans stripped (C4-style
+    boilerplate removal semantics — the span is dropped from EVERY
+    occurrence; the paper's keep-one-copy variant needs a global
+    canonical-owner election and is documented as the swap).  Only
+    documents that actually lost tokens are emitted.
+    -> (doc_id, n_tokens, n_removed, clean_text) sorted by doc_id.
+
+    Vectorized rebuild: islands -> flat-index diff array -> cumsum
+    coverage mask over the batch's flat token array -> one filtered
+    ListArray -> one ``binary_join`` kernel; no per-row Python."""
+    dup = _dup_gram_hashes(ds, spec, k, min_docs)
+    ref = ray.put(dup)
+    id_col = spec.id_col or "doc_id"
+
+    def clean(batch: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        empty = _CLEAN_SCHEMA.empty_table()
+        if d.size == 0:
+            return empty
+        toks = tokenize_array(batch[spec.content_col])
+        g, par, pos = _shingle_pos(toks, k)
+        if not len(g):
+            return empty
+        gh = md5_lower64(g).view(np.int64)
+        loc = np.searchsorted(d, gh)
+        hit = (loc < d.size) & (d[np.minimum(loc, d.size - 1)] == gh)
+        if not hit.any():
+            return empty
+        hp, hpos = par[hit], pos[hit]
+        brk = np.empty(hp.size, dtype=bool)
+        brk[0] = True
+        brk[1:] = (hp[1:] != hp[:-1]) | (hpos[1:] - hpos[:-1] > k)
+        first = np.flatnonzero(brk)
+        last = np.append(first[1:], hp.size) - 1
+        offsets = _list_offsets(toks)
+        dl = np.diff(offsets)
+        span_doc = hp[brk]
+        flat_start = offsets[span_doc] + hpos[first]
+        flat_end = offsets[span_doc] + hpos[last] + k
+        n_flat = int(offsets[-1])
+        diff = np.zeros(n_flat + 1, dtype=np.int32)
+        np.add.at(diff, flat_start, 1)
+        np.add.at(diff, flat_end, -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        removed = np.zeros(dl.size, dtype=np.int64)
+        span_len = hpos[last] + k - hpos[first]
+        np.add.at(removed, span_doc, span_len)
+        affected = removed > 0
+        flat = toks.flatten()
+        parent = np.repeat(np.arange(dl.size, dtype=np.int64), dl)
+        keep = ~covered & affected[parent]
+        kept_parent = parent[keep]
+        kept = flat.filter(pa.array(keep))
+        aff_ids = np.flatnonzero(affected)
+        remap = np.zeros(dl.size, dtype=np.int64)
+        remap[aff_ids] = np.arange(aff_ids.size)
+        counts = np.bincount(remap[kept_parent],
+                             minlength=aff_ids.size).astype(np.int64)
+        new_offsets = np.zeros(aff_ids.size + 1, dtype=np.int32)
+        np.cumsum(counts, out=new_offsets[1:])
+        lst = pa.ListArray.from_arrays(pa.array(new_offsets, pa.int32()),
+                                       kept.cast(pa.string()))
+        joined = pc.binary_join(lst, " ")
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[aff_ids]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(dl[aff_ids], pa.int64()),
+                         "n_removed": pa.array(removed[aff_ids],
+                                               pa.int64()),
+                         "clean_text": joined.cast(pa.string())})
+
+    rows = ds.map_batches(clean, batch_format="pyarrow").take_all()
+    tbl = pa.Table.from_pylist(rows, schema=_CLEAN_SCHEMA) if rows \
+        else _CLEAN_SCHEMA.empty_table()
+    return tbl.sort_by([("doc_id", "ascending")])

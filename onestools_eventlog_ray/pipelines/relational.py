@@ -3123,3 +3123,147 @@ def value_lag1_cov(events: ray.data.Dataset) -> ray.data.Dataset:
                                   "value"]) \
         .groupby("event_type").map_groups(per_type,
                                           batch_format="pyarrow")
+
+
+def string_stats_by_group(ds: ray.data.Dataset, key: str = "lang",
+                          col: str = "text") -> pa.Table:
+    """ES ``string_stats`` aggregation (with ``show_distribution``'s
+    entropy) per ``key`` over a text column: doc count, min/max/avg
+    length and the Shannon entropy of the group's aggregated CHARACTER
+    distribution — the quick text-health probe ES serves off the index
+    (the reference's dashboards read the same per-field stats surface,
+    ``ElasticSearchStorage.cs:200-236``).
+
+    One corpus pass, fully vectorized: each batch folds a per-group
+    256-bin byte histogram with ONE ``np.bincount`` over the string
+    column's raw UTF-8 buffer (documents are ASCII, so bytes ==
+    characters; multi-byte corpora would switch this to a codepoint
+    dictionary), plus per-group length stats — emitted as a tagged
+    union (byte rows carry counts; one byte=-1 marker row per group
+    carries n/min/max with neutral elements elsewhere) so ONE
+    (key, byte) groupby folds both exactly.  Entropy finalizes on the
+    driver over <= 256 values per group as order-free e6-rounded
+    per-char contributions ``sum_c floor(-p_c*log2(p_c)*1e6 + 0.5)``
+    (p_c exact rationals), so the SQL oracle matches bit-for-bit.
+    -> (key, n, min_len, max_len, avg_len_e6, entropy_e6)."""
+    BIG = 1 << 62
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = pc.fill_null(batch[col].cast(pa.string()), "")
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        keys = batch[key].to_numpy(zero_copy_only=False).astype(str)
+        uk, inv = np.unique(keys, return_inverse=True)
+        offs = np.frombuffer(s.buffers()[1], np.int32)[
+            s.offset: s.offset + len(s) + 1]
+        data = np.frombuffer(s.buffers()[2], np.uint8)[offs[0]:offs[-1]]
+        row_bytes = np.diff(offs).astype(np.int64)
+        parent = np.repeat(inv, row_bytes)
+        hist = np.bincount(parent * 256 + data.astype(np.int64),
+                           minlength=uk.size * 256).reshape(uk.size, 256)
+        gi_nz, byte_nz = np.nonzero(hist)
+        n_g = np.bincount(inv, minlength=uk.size).astype(np.int64)
+        mn_g = np.full(uk.size, BIG, dtype=np.int64)
+        mx_g = np.full(uk.size, -1, dtype=np.int64)
+        np.minimum.at(mn_g, inv, row_bytes)
+        np.maximum.at(mx_g, inv, row_bytes)
+        gk = np.concatenate([gi_nz, np.arange(uk.size)])
+        return pa.table({
+            key: pa.array(uk[gk], pa.string()),
+            "byte": pa.array(np.concatenate(
+                [byte_nz, np.full(uk.size, -1)]).astype(np.int64),
+                pa.int64()),
+            "cnt_p": pa.array(np.concatenate(
+                [hist[gi_nz, byte_nz], np.zeros(uk.size, np.int64)])
+                .astype(np.int64), pa.int64()),
+            "n_p": pa.array(np.concatenate(
+                [np.zeros(gi_nz.size, np.int64), n_g]), pa.int64()),
+            "mn_p": pa.array(np.concatenate(
+                [np.full(gi_nz.size, BIG, np.int64), mn_g]), pa.int64()),
+            "mx_p": pa.array(np.concatenate(
+                [np.full(gi_nz.size, -1, np.int64), mx_g]), pa.int64()),
+        })
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([key, "byte"]) \
+        .aggregate(Sum("cnt_p", alias_name="cnt"),
+                   Sum("n_p", alias_name="n"),
+                   Min("mn_p", alias_name="mn"),
+                   Max("mx_p", alias_name="mx")).take_all()
+    groups: dict[str, dict] = {}
+    for r in folded:
+        g = groups.setdefault(str(r[key]),
+                              {"chars": {}, "n": 0, "mn": BIG, "mx": -1,
+                               "total": 0})
+        b = int(r["byte"])
+        if b < 0:
+            g["n"] = int(r["n"])
+            g["mn"] = int(r["mn"])
+            g["mx"] = int(r["mx"])
+        else:
+            g["chars"][b] = int(r["cnt"])
+            g["total"] += int(r["cnt"])
+    keys_sorted = sorted(groups)
+    ent = []
+    for kval in keys_sorted:
+        g = groups[kval]
+        tot = g["total"]
+        e = 0
+        for b in sorted(g["chars"]):
+            p = g["chars"][b] / tot
+            e += int(np.floor(-p * np.log2(p) * 1_000_000 + 0.5))
+        ent.append(e)
+    # ASCII corpus: total bytes == total chars, so avg length folds
+    # straight off the histogram mass (no separate length-sum channel)
+    avg = [groups[kv]["total"] * 1_000_000 // max(1, groups[kv]["n"])
+           for kv in keys_sorted]
+    return pa.table({
+        key: pa.array(keys_sorted, pa.string()),
+        "n": pa.array([groups[kv]["n"] for kv in keys_sorted], pa.int64()),
+        "min_len": pa.array([groups[kv]["mn"] for kv in keys_sorted],
+                            pa.int64()),
+        "max_len": pa.array([groups[kv]["mx"] for kv in keys_sorted],
+                            pa.int64()),
+        "avg_len_e6": pa.array(avg, pa.int64()),
+        "entropy_e6": pa.array(ent, pa.int64()),
+    })
+
+
+def value_boxplot_by_type(events: ray.data.Dataset) -> ray.data.Dataset:
+    """ES ``boxplot`` aggregation per event_type over ``value``: exact
+    q1/q2/q3 (percentile_disc over e6-quantized values — ES's TDigest
+    is approximate; exact is strictly stronger and SQL-checkable), the
+    IQR, Tukey fences at 1.5x IQR and the outlier count outside them.
+    Integer-exact end to end: values quantize to e6 BEFORE the
+    percentile pick, fences use ``(3*iqr)//2`` with iqr >= 0 so Python
+    and DuckDB division agree.  Scale: one event_type shuffle; each
+    group sorts in one task (exact percentiles need the sort — the
+    100-TB swap is a per-batch t-digest partial fold).
+    -> (event_type, n, q1_e6, q2_e6, q3_e6, iqr_e6, lo_fence_e6,
+        hi_fence_e6, n_outliers)."""
+
+    def box(group: pa.Table) -> pa.Table:
+        v = group["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.sort(np.floor(v * 1_000_000 + 0.5).astype(np.int64))
+        n = q.size
+        def disc(p: int) -> int:
+            return int(q[(p * n + 99) // 100 - 1])
+        q1, q2, q3 = disc(25), disc(50), disc(75)
+        iqr = q3 - q1
+        lo = q1 - (3 * iqr) // 2
+        hi = q3 + (3 * iqr) // 2
+        n_out = int(((q < lo) | (q > hi)).sum())
+        return pa.table({
+            "event_type": pa.array([group["event_type"][0].as_py()],
+                                   pa.string()),
+            "n": pa.array([n], pa.int64()),
+            "q1_e6": pa.array([q1], pa.int64()),
+            "q2_e6": pa.array([q2], pa.int64()),
+            "q3_e6": pa.array([q3], pa.int64()),
+            "iqr_e6": pa.array([iqr], pa.int64()),
+            "lo_fence_e6": pa.array([lo], pa.int64()),
+            "hi_fence_e6": pa.array([hi], pa.int64()),
+            "n_outliers": pa.array([n_out], pa.int64()),
+        })
+
+    return events.select_columns(["event_type", "value"]) \
+        .groupby("event_type").map_groups(box, batch_format="pyarrow")

@@ -1298,3 +1298,49 @@ def label_affinity(ds: ray.data.Dataset, id_col: str = "vec_id",
         "label_b": pa.array(out["label_b"], pa.int64()),
         "cos_e6": pa.array(out["cos_e6"], pa.int64()),
     })
+
+
+def logreg_step(ds: ray.data.Dataset, vec_col: str = "embedding",
+                label_col: str = "label") -> pa.Table:
+    """One EXACT full-batch logistic-regression gradient over the
+    embedding table from w=0 — the distributed ``X^T r`` fold at the
+    core of every GLM / quality-classifier training iteration (the
+    fastText-style quality scorer of CCNet/LLaMA data prep trains this
+    way; ``weak_label_table`` supplies the labels upstream).  At w=0
+    the sigmoid is exactly 0.5, so the residual (0.5 - y) is an exact
+    dyadic rational and each per-row per-dim contribution
+    ``floor(x_ij * (0.5 - y_i) * 1e6 + 0.5)`` is a deterministic int —
+    the fold is order-free integer addition, bit-exact in SQL.
+
+    Scale shape: each batch emits ONE (dim, partial) row per dimension
+    (d=64 rows per batch, never per row); the corpus never shuffles.
+    Further iterations need w != 0 (float dot products) and run the
+    same fold shape with float partials — documented, not oracled.
+    -> (dim, n, grad_e6) sorted by dim."""
+    from ray.data.aggregate import Sum as RSum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        y = batch[label_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        contrib = np.floor(X * (0.5 - y)[:, None] * 1_000_000 + 0.5) \
+            .astype(np.int64)
+        g = contrib.sum(axis=0)
+        d = g.size
+        return pa.table({"dim": pa.array(np.arange(d), pa.int64()),
+                         "n_p": pa.array(np.full(d, X.shape[0]),
+                                         pa.int64()),
+                         "g_p": pa.array(g, pa.int64())})
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("dim").aggregate(RSum("n_p", alias_name="n"),
+                                  RSum("g_p", alias_name="grad_e6")) \
+        .take_all()
+    folded.sort(key=lambda r: int(r["dim"]))
+    return pa.table({
+        "dim": pa.array([int(r["dim"]) for r in folded], pa.int64()),
+        "n": pa.array([int(r["n"]) for r in folded], pa.int64()),
+        "grad_e6": pa.array([int(r["grad_e6"]) for r in folded],
+                            pa.int64()),
+    })

@@ -124,3 +124,89 @@ def test_exact_substr_gap_exactly_k_merges():
     assert by_doc[0] == [(0, 24)]
     assert by_doc[1] == [(0, 8)]
     assert by_doc[2] == [(0, 8)]
+
+
+# ---------------------------------------------------------------------------
+# exact_substr_clean
+# ---------------------------------------------------------------------------
+
+def test_exact_substr_clean_planted():
+    ds = ray.data.from_arrow(_docs())
+    out = dedup.exact_substr_clean(ds, SPEC, k=8, min_docs=2)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert rows[0]["clean_text"] == "zz yy qq rr"
+    assert rows[0]["n_tokens"] == 12 and rows[0]["n_removed"] == 8
+    assert rows[1]["clean_text"] == "mm nn oo pp"
+    assert rows[2]["clean_text"] == "aa bb"
+    assert rows[2]["n_removed"] == 10
+    assert rows[3]["clean_text"] == "cc dd ee"
+
+
+def test_exact_substr_clean_fully_covered_doc():
+    # two identical docs: every position covered -> clean_text == ""
+    txt = "q1 q2 q3 q4 q5 q6 q7 q8 q9"
+    t = pa.table({"doc_id": pa.array([7, 8], pa.int64()),
+                  "text": pa.array([txt, txt], pa.string()),
+                  "source": pa.array(["s0", "s0"], pa.string())})
+    out = dedup.exact_substr_clean(ray.data.from_arrow(t), SPEC,
+                                   k=8, min_docs=2)
+    rows = out.to_pylist()
+    assert [r["doc_id"] for r in rows] == [7, 8]
+    for r in rows:
+        assert r["clean_text"] == ""
+        assert r["n_removed"] == 9 and r["n_tokens"] == 9
+
+
+# ---------------------------------------------------------------------------
+# string_stats / boxplot / logreg_step
+# ---------------------------------------------------------------------------
+
+def test_string_stats_by_group_exact():
+    from onestools_eventlog_ray.pipelines import relational
+    t = pa.table({"lang": pa.array(["en", "en", "de"], pa.string()),
+                  "text": pa.array(["aab", "b", "zzzz"], pa.string())})
+    out = relational.string_stats_by_group(
+        ray.data.from_arrow(t), key="lang", col="text")
+    rows = {r["lang"]: r for r in out.to_pylist()}
+    assert rows["de"]["n"] == 1
+    assert rows["de"]["min_len"] == rows["de"]["max_len"] == 4
+    assert rows["de"]["entropy_e6"] == 0          # single char: p=1
+    en = rows["en"]
+    assert (en["n"], en["min_len"], en["max_len"]) == (2, 1, 3)
+    assert en["avg_len_e6"] == 2_000_000
+    # chars over group: a:2, b:2 -> entropy = 1 bit exactly
+    assert en["entropy_e6"] == 1_000_000
+
+
+def test_value_boxplot_exact():
+    from onestools_eventlog_ray.pipelines import relational
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]
+    t = pa.table({"event_type": pa.array(["x"] * 5, pa.string()),
+                  "value": pa.array(vals, pa.float64())})
+    out = relational.value_boxplot_by_type(
+        ray.data.from_arrow(t)).take_all()
+    r = out[0]
+    # sorted e6: [1M, 2M, 3M, 4M, 100M]; disc idx (p*5+99)//100-1
+    assert (r["q1_e6"], r["q2_e6"], r["q3_e6"]) == (2_000_000, 3_000_000,
+                                                    4_000_000)
+    assert r["iqr_e6"] == 2_000_000
+    assert r["lo_fence_e6"] == -1_000_000
+    assert r["hi_fence_e6"] == 7_000_000
+    assert r["n_outliers"] == 1
+
+
+def test_logreg_step_exact():
+    from onestools_eventlog_ray.pipelines import similarity
+    t = pa.table({
+        "embedding": pa.array([[1.0, -2.0], [0.5, 4.0]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([1, 0], pa.int32()),
+    })
+    out = similarity.logreg_step(ray.data.from_arrow(t))
+    rows = {r["dim"]: r for r in out.to_pylist()}
+    # dim0: 1*(0.5-1)=-0.5 -> floor(-499999.5) = -500000; 0.5*0.5 -> 250000
+    assert rows[0]["grad_e6"] == -500000 + 250000
+    # dim1: -2*(-0.5)=1.0 -> 1e6; 4*0.5=2.0 -> 2e6
+    assert rows[1]["grad_e6"] == 3_000_000
+    assert rows[0]["n"] == rows[1]["n"] == 2
