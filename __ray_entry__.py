@@ -1364,6 +1364,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
                        columns=["embedding", "label"])
         return similarity.logreg_step(emb)
 
+    def q4_order_priority(sf_dir):
+        """TPC-H-Q4-shaped EXISTS semi-join: orders with a lineitem
+        shipped >= 30 days late, counted per priority."""
+        li = _read_pq(os.path.join(sf_dir, "lineitem.parquet"),
+                      columns=["l_orderkey", "l_shipdate"])
+        od = _read_pq(os.path.join(sf_dir, "orders.parquet"),
+                      columns=["o_orderkey", "o_orderdate",
+                               "o_orderpriority"])
+        return relational.q4_order_priority(li, od, lag_days=30)
+
+    def rfm_segments(sf_dir):
+        """RFM segmentation: NTILE(5) recency/frequency/monetary codes
+        over per-user purchase folds, rolled up per segment."""
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                      columns=["ts", "user_id", "event_type", "value"])
+        return relational.rfm_segments(ev, "purchase", n_tiles=5)
+
+    def dau_mau_stickiness(sf_dir):
+        """DAU/MAU stickiness per month: exact distinct-user folds,
+        sum(daily distinct) / (active days x monthly distinct)."""
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                      columns=["ts", "user_id"])
+        return relational.dau_mau_stickiness(ev)
+
+    def l_diversity_report(sf_dir):
+        """l-diversity audit: distinct sensitive (lang) values per
+        quasi-identifier (source) cell — k_anonymity's companion."""
+        docs = _read_pq(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["lang", "source"])
+        return relational.l_diversity_report(docs, "source", "lang")
+
+    def bm25_pinned(sf_dir):
+        """ES pinned query: docs 3 and 11 promoted in that order (with
+        their organic scores), organic BM25 fills the rest."""
+        from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                            search_pinned)
+        eng = SearchEngine(_ensure_index(sf_dir))
+        return search_pinned(eng, _BM25_TERMS, [3, 11], k=10)
+
     def mix_weights(sf_dir):
         """Domain-mixing table: per source, docs/tokens/share and the
         uniform-target resampling weight (exact integer math)."""
@@ -2906,6 +2945,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_stats_lang": string_stats_lang,
         "value_boxplot_by_type": value_boxplot_by_type,
         "logreg_step": logreg_step,
+        "q4_order_priority": q4_order_priority,
+        "rfm_segments": rfm_segments,
+        "dau_mau_stickiness": dau_mau_stickiness,
+        "l_diversity_report": l_diversity_report,
+        "bm25_pinned": bm25_pinned,
         "mix_weights": mix_weights,
         "knn_filtered": knn_filtered,
         "vector_range": vector_range,
@@ -5326,6 +5370,100 @@ SELECT dim, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(floor(x * (0.5 - y) * 1000000 + 0.5) AS BIGINT))
             AS BIGINT) AS grad_e6
 FROM u GROUP BY dim ORDER BY dim""",
+
+        "q4_order_priority": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+        "rfm_segments": """
+WITH p AS (SELECT user_id,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+           FROM events WHERE event_type = 'purchase'),
+u AS (SELECT user_id, max(day) AS r_day,
+             CAST(count(*) AS BIGINT) AS f, CAST(sum(v) AS BIGINT) AS m
+      FROM p GROUP BY user_id),
+t AS (SELECT user_id, m,
+             ntile(5) OVER (ORDER BY r_day DESC, user_id) AS r_t,
+             ntile(5) OVER (ORDER BY f, user_id) AS f_t,
+             ntile(5) OVER (ORDER BY m, user_id) AS m_t
+      FROM u)
+SELECT CAST(r_t * 100 + f_t * 10 + m_t AS BIGINT) AS rfm_code,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(m) AS BIGINT) AS m_sum_e6
+FROM t GROUP BY 1 ORDER BY 1""",
+
+        "dau_mau_stickiness": """
+WITH d AS (SELECT DISTINCT
+                  CAST(epoch_us(date_trunc('month', ts))
+                       // 86400000000 AS BIGINT) AS month,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                  user_id
+           FROM events),
+dd AS (SELECT month, day, CAST(count(*) AS BIGINT) AS du
+       FROM d GROUP BY month, day),
+mu AS (SELECT month, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+       FROM d GROUP BY month),
+da AS (SELECT month, CAST(count(*) AS BIGINT) AS n_days,
+              CAST(sum(du) AS BIGINT) AS dau_sum
+       FROM dd GROUP BY month)
+SELECT month, n_days, mau, dau_sum,
+       CAST(dau_sum * 1000000 // greatest(n_days * mau, 1) AS BIGINT)
+         AS stickiness_e6
+FROM da JOIN mu USING (month) ORDER BY month""",
+
+        "l_diversity_report": """
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT lang) AS BIGINT) AS l_distinct
+FROM documents GROUP BY source ORDER BY source""",
+
+        "bm25_pinned": f"""
+WITH toks AS ({_TOKS}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark', 'vector', 'window')
+       GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('spark', 'vector', 'window') GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + ((SELECT n_docs FROM stats) - df.df + 0.5)
+                    / (df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                / (SELECT avgdl FROM stats)))
+            ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id),
+pin(doc_id, pord) AS (VALUES (3, 1), (11, 2)),
+org AS (SELECT doc_id, score FROM scored
+        WHERE doc_id NOT IN (SELECT doc_id FROM pin)
+        ORDER BY CAST(floor(score * 1000000 + 0.5) AS BIGINT) DESC,
+                 doc_id ASC
+        LIMIT 8),
+uni AS (
+  SELECT p.pord AS ord, p.doc_id, coalesce(s.score, 0) AS score,
+         CAST(1 AS BIGINT) AS pinned
+  FROM pin p LEFT JOIN scored s USING (doc_id)
+  UNION ALL
+  SELECT 100 + row_number() OVER (
+           ORDER BY CAST(floor(score * 1000000 + 0.5) AS BIGINT) DESC,
+                    doc_id ASC) AS ord,
+         doc_id, score, CAST(0 AS BIGINT) AS pinned
+  FROM org)
+SELECT CAST(row_number() OVER (ORDER BY ord) AS BIGINT) AS rank,
+       doc_id,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6,
+       pinned
+FROM uni ORDER BY rank""",
 
         "mix_weights": """
 WITH t AS (

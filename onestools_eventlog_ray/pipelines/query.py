@@ -1804,3 +1804,54 @@ def score_histogram(eng: SearchEngine, terms: list[str],
         "bin_lo_e6": pa.array(uq, pa.int64()),
         "n_docs": pa.array(counts.astype(np.int64), pa.int64()),
     })
+
+
+def score_docs(eng: SearchEngine, terms: list[str],
+               doc_ids: list[int]) -> dict[int, float]:
+    """Exact BM25 scores for SPECIFIC documents (zero if no query term
+    matches): per-doc binary-search probes into the query terms'
+    postings, accumulated in the SAME sorted-unique-term order and with
+    the SAME ``codec.bm25_impact`` kernel as :meth:`SearchEngine.search`
+    — bit-identical to the score the doc would carry in the ranked
+    list.  Reads only the query terms' postings (shard-pruned)."""
+    uniq = sorted(set(terms))
+    loaded = eng.load_terms(uniq)
+    out = {int(d): 0.0 for d in doc_ids}
+    for t in uniq:
+        hit = loaded.get(t)
+        if hit is None:
+            continue
+        df, blob = hit
+        post = codec.decode_posting(blob)
+        idf_t = idf_fn(eng.N, df)
+        for d in out:
+            i = int(np.searchsorted(post.doc_ids, d))
+            if i < post.doc_ids.size and post.doc_ids[i] == d:
+                out[d] += float(idf_t * codec.bm25_impact(
+                    post.tfs[i:i + 1], post.dls[i:i + 1], eng.avgdl,
+                    eng.k1, eng.b)[0])
+    return out
+
+
+def search_pinned(eng: SearchEngine, terms: list[str],
+                  pinned_ids: list[int], k: int = 10) -> pa.Table:
+    """ES ``pinned`` query: the given documents rank first IN THE GIVEN
+    ORDER (each showing its organic BM25 score, 0 if it matches no
+    query term), followed by the organic ranking with the pinned ids
+    excluded, to ``k`` rows total.  Pinned ids are assumed live
+    (tombstoned ids should be dropped by the caller).
+    -> (rank, doc_id, score_e6, pinned)."""
+    pins = [int(d) for d in pinned_ids][:k]
+    sc = score_docs(eng, terms, pins)
+    exc = np.array(sorted(set(pins)), dtype=np.int64)
+    organic = eng.search(terms, k - len(pins), excluded=exc)
+    ids = pins + [d for d, _ in organic]
+    scores = [sc[d] for d in pins] + [s for _, s in organic]
+    e6 = [int(np.floor(s * 1_000_000 + 0.5)) for s in scores]
+    return pa.table({
+        "rank": pa.array(range(1, len(ids) + 1), pa.int64()),
+        "doc_id": pa.array(ids, pa.int64()),
+        "score_e6": pa.array(e6, pa.int64()),
+        "pinned": pa.array([1] * len(pins) + [0] * len(organic),
+                           pa.int64()),
+    })

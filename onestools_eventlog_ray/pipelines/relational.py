@@ -3267,3 +3267,232 @@ def value_boxplot_by_type(events: ray.data.Dataset) -> ray.data.Dataset:
 
     return events.select_columns(["event_type", "value"]) \
         .groupby("event_type").map_groups(box, batch_format="pyarrow")
+
+
+def q4_order_priority(lineitem: ray.data.Dataset,
+                      orders: ray.data.Dataset,
+                      lag_days: int = 30) -> pa.Table:
+    """TPC-H-Q4-shaped EXISTS semi-join: count orders per
+    o_orderpriority having at least one lineitem shipped >= lag_days
+    after the order date (the schema has no commit/receipt dates, so
+    "late shipment" stands in for Q4's commit<receipt predicate —
+    same join/aggregation shape).  Plan: big-big :func:`equi_join`
+    (narrow projections), vectorized date filter, per-batch distinct
+    (orderkey, priority), global pair dedup, tiny priority fold —
+    orders and lineitem each shuffle once as narrow rows.
+    -> (o_orderpriority, n_orders) sorted by priority."""
+    from ray.data.aggregate import Sum as RSum
+
+    lag_us = lag_days * 86_400_000_000
+    li = lineitem.select_columns(["l_orderkey", "l_shipdate"])
+    od = orders.select_columns(["o_orderkey", "o_orderdate",
+                                "o_orderpriority"])
+    joined = equi_join(li, od, "l_orderkey", "o_orderkey",
+                       ["l_shipdate"],
+                       ["o_orderdate", "o_orderpriority"],
+                       key_alias="okey")
+
+    def late_pairs(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        odate = batch["o_orderdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        m = ship >= odate + lag_us
+        t = pa.table({"okey": batch["okey"].filter(pa.array(m)),
+                      "pri": batch["o_orderpriority"]
+                      .filter(pa.array(m))})
+        return t.group_by(["okey", "pri"]).aggregate([]) \
+            if t.num_rows else t
+
+    pairs = joined.map_batches(late_pairs, batch_format="pyarrow") \
+        .groupby(["okey", "pri"]).count()
+
+    def pri_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("pri").aggregate([([], "count_all")])
+        return pa.table({"pri": g["pri"],
+                         "n_p": g["count_all"].cast(pa.int64())})
+
+    folded = pairs.map_batches(pri_partial, batch_format="pyarrow") \
+        .groupby("pri").aggregate(RSum("n_p", alias_name="n_orders")) \
+        .take_all()
+    folded.sort(key=lambda r: str(r["pri"]))
+    return pa.table({
+        "o_orderpriority": pa.array([str(r["pri"]) for r in folded],
+                                    pa.string()),
+        "n_orders": pa.array([int(r["n_orders"]) for r in folded],
+                             pa.int64()),
+    })
+
+
+def rfm_segments(events: ray.data.Dataset,
+                 event_type: str = "purchase",
+                 n_tiles: int = 5) -> pa.Table:
+    """RFM customer segmentation over purchase events: per user,
+    recency (latest purchase day), frequency (count) and monetary
+    (exact e6 value sum) fold distributedly (one user_id shuffle of
+    narrow partials); each metric is then NTILE'd (SQL semantics,
+    tie-broken by user_id; recency ordered DESC so tile 1 = most
+    recent) and users roll up by the 3-digit R*100+F*10+M code.
+    Finalize runs on the per-user result — at the 100-TB target the
+    tile thresholds come from a quantile sketch instead and the
+    rollup stays distributed (documented swap, same outputs).
+    -> (rfm_code, n_users, m_sum_e6) sorted by code."""
+    from ray.data.aggregate import Count, Max, Sum as RSum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["event_type"], event_type)
+        b = batch.filter(m)
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ve6 = np.floor(v * 1_000_000 + 0.5).astype(np.int64)
+        day = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        t = pa.table({"user_id": b["user_id"].cast(pa.int64()),
+                      "day": pa.array(day, pa.int64()),
+                      "v": pa.array(ve6, pa.int64())})
+        g = t.group_by("user_id").aggregate(
+            [("day", "max"), ("v", "sum"), ([], "count_all")])
+        return pa.table({"user_id": g["user_id"],
+                         "r_p": g["day_max"].cast(pa.int64()),
+                         "m_p": g["v_sum"].cast(pa.int64()),
+                         "f_p": g["count_all"].cast(pa.int64())})
+
+    folded = events.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            Max("r_p", alias_name="r_day"),
+            RSum("f_p", alias_name="f"),
+            RSum("m_p", alias_name="m_e6")).take_all()
+    if not folded:
+        return pa.table({"rfm_code": pa.array([], pa.int64()),
+                         "n_users": pa.array([], pa.int64()),
+                         "m_sum_e6": pa.array([], pa.int64())})
+    uid = np.array([int(r["user_id"]) for r in folded], np.int64)
+    r_day = np.array([int(r["r_day"]) for r in folded], np.int64)
+    f = np.array([int(r["f"]) for r in folded], np.int64)
+    m = np.array([int(r["m_e6"]) for r in folded], np.int64)
+    n = uid.size
+
+    def ntile(keys: np.ndarray, desc: bool) -> np.ndarray:
+        order = np.lexsort((uid, -keys if desc else keys))
+        ranks = np.empty(n, dtype=np.int64)
+        ranks[order] = np.arange(n, dtype=np.int64)
+        base, rem = divmod(n, n_tiles)
+        if base == 0:
+            return ranks + 1
+        big = rem * (base + 1)
+        return np.where(ranks < big, ranks // (base + 1),
+                        rem + (ranks - big) // base) + 1
+
+    code = ntile(r_day, True) * 100 + ntile(f, False) * 10 \
+        + ntile(m, False)
+    codes, inv = np.unique(code, return_inverse=True)
+    n_users = np.bincount(inv).astype(np.int64)
+    m_sum = np.zeros(codes.size, dtype=np.int64)
+    np.add.at(m_sum, inv, m)
+    return pa.table({"rfm_code": pa.array(codes, pa.int64()),
+                     "n_users": pa.array(n_users, pa.int64()),
+                     "m_sum_e6": pa.array(m_sum, pa.int64())})
+
+
+def dau_mau_stickiness(events: ray.data.Dataset) -> pa.Table:
+    """DAU/MAU stickiness per calendar month: sum of daily distinct
+    users / (active days x monthly distinct users), exact integers.
+    One narrow distinct-pair shuffle: per-batch distinct
+    (month, day, user) triples (exact across batches after the global
+    pair groupby), then day counts and month-distinct folds.
+    -> (month, n_days, mau, dau_sum, stickiness_e6) by month;
+    month is the epoch-day of the month's first day."""
+    from ray.data.aggregate import Sum as RSum
+
+    def triples(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // 86_400_000_000
+        # month key = epoch-day of the month start, numpy datetime math
+        days = day.astype("datetime64[D]")
+        mstart = days.astype("datetime64[M]").astype("datetime64[D]") \
+            .astype(np.int64)
+        t = pa.table({"month": pa.array(mstart, pa.int64()),
+                      "day": pa.array(day, pa.int64()),
+                      "user_id": batch["user_id"].cast(pa.int64())})
+        return t.group_by(["month", "day", "user_id"]).aggregate([])
+
+    pairs = events.select_columns(["ts", "user_id"]) \
+        .map_batches(triples, batch_format="pyarrow") \
+        .groupby(["month", "day", "user_id"]).count()
+
+    def fold(batch: pa.Table) -> pa.Table:
+        # batch rows are globally-distinct triples
+        g = batch.group_by(["month", "day"]).aggregate([([], "count_all")])
+        mu = batch.group_by(["month", "user_id"]).aggregate([])
+        return pa.table({
+            "month": pa.concat_arrays(
+                [g["month"].combine_chunks(),
+                 mu["month"].combine_chunks()]),
+            "kind": pa.array([0] * g.num_rows + [1] * mu.num_rows,
+                             pa.int64()),
+            "key": pa.concat_arrays(
+                [g["day"].combine_chunks(),
+                 mu["user_id"].combine_chunks()]),
+            "cnt": pa.concat_arrays(
+                [g["count_all"].cast(pa.int64()).combine_chunks(),
+                 pa.array([1] * mu.num_rows, pa.int64())]),
+        })
+
+    # (month, 0, day) rows need a cnt SUM across batches (a day's users
+    # can straddle pair blocks); (month, 1, user) rows dedup by key.
+    folded = pairs.map_batches(fold, batch_format="pyarrow") \
+        .groupby(["month", "kind", "key"]) \
+        .aggregate(RSum("cnt", alias_name="n")).take_all()
+    agg: dict[int, dict] = {}
+    for r in folded:
+        g = agg.setdefault(int(r["month"]),
+                           {"days": 0, "dau_sum": 0, "mau": 0})
+        if int(r["kind"]) == 0:
+            g["days"] += 1
+            g["dau_sum"] += int(r["n"])
+        else:
+            g["mau"] += 1
+    months = sorted(agg)
+    return pa.table({
+        "month": pa.array(months, pa.int64()),
+        "n_days": pa.array([agg[m]["days"] for m in months], pa.int64()),
+        "mau": pa.array([agg[m]["mau"] for m in months], pa.int64()),
+        "dau_sum": pa.array([agg[m]["dau_sum"] for m in months],
+                            pa.int64()),
+        "stickiness_e6": pa.array(
+            [agg[m]["dau_sum"] * 10 ** 6
+             // max(1, agg[m]["days"] * agg[m]["mau"])
+             for m in months], pa.int64()),
+    })
+
+
+def l_diversity_report(docs: ray.data.Dataset,
+                       quasi: str = "source",
+                       sensitive: str = "lang") -> pa.Table:
+    """l-diversity audit (the companion to ``k_anonymity``): per
+    quasi-identifier cell, row count and the number of DISTINCT
+    sensitive values — a cell with l=1 lets an attacker who locates a
+    row in it read the sensitive attribute outright.  Narrow
+    (quasi, sensitive) pair partials; content never shuffles.
+    -> (quasi, n_rows, l_distinct) sorted by quasi."""
+    from ray.data.aggregate import Sum as RSum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([quasi, sensitive])
+        g = t.group_by([quasi, sensitive]).aggregate([([], "count_all")])
+        return pa.table({quasi: g[quasi], "s": g[sensitive],
+                         "n_p": g["count_all"].cast(pa.int64())})
+
+    folded = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby([quasi, "s"]).aggregate(RSum("n_p", alias_name="n")) \
+        .take_all()
+    agg: dict[str, list[int]] = {}
+    for r in folded:
+        a = agg.setdefault(str(r[quasi]), [0, 0])
+        a[0] += int(r["n"])
+        a[1] += 1
+    keys = sorted(agg)
+    return pa.table({
+        quasi: pa.array(keys, pa.string()),
+        "n_rows": pa.array([agg[k][0] for k in keys], pa.int64()),
+        "l_distinct": pa.array([agg[k][1] for k in keys], pa.int64()),
+    })

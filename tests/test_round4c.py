@@ -210,3 +210,120 @@ def test_logreg_step_exact():
     # dim1: -2*(-0.5)=1.0 -> 1e6; 4*0.5=2.0 -> 2e6
     assert rows[1]["grad_e6"] == 3_000_000
     assert rows[0]["n"] == rows[1]["n"] == 2
+
+
+# ---------------------------------------------------------------------------
+# q4 / rfm / dau_mau / l_diversity / pinned
+# ---------------------------------------------------------------------------
+
+def _ts(day: int, hour: int = 0) -> int:
+    return (day * 24 + hour) * 3_600_000_000
+
+
+def test_q4_order_priority_exists_semantics():
+    from onestools_eventlog_ray.pipelines import relational
+    od = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array([_ts(0), _ts(0), _ts(0)],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT", "2-HIGH"],
+                                    pa.string()),
+    })
+    li = pa.table({
+        # order 1: two late lines (counted ONCE); order 2: on-time only;
+        # order 3: one late line
+        "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "l_shipdate": pa.array([_ts(31), _ts(40), _ts(5), _ts(30)],
+                               pa.timestamp("us")),
+    })
+    out = relational.q4_order_priority(
+        ray.data.from_arrow(li), ray.data.from_arrow(od), lag_days=30)
+    assert out.to_pydict() == {"o_orderpriority": ["1-URGENT", "2-HIGH"],
+                               "n_orders": [1, 1]}
+
+
+def test_rfm_segments_ntile_and_rollup():
+    from onestools_eventlog_ray.pipelines import relational
+    # 5 users, distinct metrics: user i purchases (i+1) times on day i
+    # with value 10*(i+1) -> every metric ranks users identically
+    uids, tss, vals = [], [], []
+    for i in range(5):
+        for _ in range(i + 1):
+            uids.append(i)
+            tss.append(_ts(i))
+            vals.append(10.0 * (i + 1))
+    t = pa.table({
+        "ts": pa.array(tss, pa.timestamp("us")),
+        "user_id": pa.array(uids, pa.int64()),
+        "event_type": pa.array(["purchase"] * len(uids), pa.string()),
+        "value": pa.array(vals, pa.float64()),
+    })
+    out = relational.rfm_segments(ray.data.from_arrow(t), "purchase",
+                                  n_tiles=5)
+    rows = {r["rfm_code"]: r for r in out.to_pylist()}
+    # r is DESC (tile 1 = most recent); f/m are ASC (tile 1 = lowest):
+    # user 4 -> r1 f5 m5 = 155 ... user 0 -> r5 f1 m1 = 511
+    assert set(rows) == {155, 244, 333, 422, 511}
+    assert all(r["n_users"] == 1 for r in rows.values())
+    assert rows[155]["m_sum_e6"] == 5 * 50_000_000
+
+
+def test_dau_mau_two_months():
+    from onestools_eventlog_ray.pipelines import relational
+    # Jan 1970: user 0 active day 0 and 1; user 1 active day 0
+    # Feb 1970 (day 31): user 0 active once
+    t = pa.table({
+        "ts": pa.array([_ts(0), _ts(0, 5), _ts(1), _ts(0), _ts(31)],
+                       pa.timestamp("us")),
+        "user_id": pa.array([0, 0, 0, 1, 0], pa.int64()),
+    })
+    out = relational.dau_mau_stickiness(ray.data.from_arrow(t))
+    rows = {r["month"]: r for r in out.to_pylist()}
+    jan, feb = rows[0], rows[31]
+    assert (jan["n_days"], jan["mau"], jan["dau_sum"]) == (2, 2, 3)
+    assert jan["stickiness_e6"] == 3 * 10**6 // 4
+    assert (feb["n_days"], feb["mau"], feb["dau_sum"]) == (1, 1, 1)
+    assert feb["stickiness_e6"] == 10**6
+
+
+def test_l_diversity_report():
+    from onestools_eventlog_ray.pipelines import relational
+    t = pa.table({
+        "source": pa.array(["a", "a", "a", "b"], pa.string()),
+        "lang": pa.array(["en", "de", "en", "fr"], pa.string()),
+    })
+    out = relational.l_diversity_report(ray.data.from_arrow(t),
+                                        "source", "lang")
+    assert out.to_pydict() == {"source": ["a", "b"],
+                               "n_rows": [3, 1],
+                               "l_distinct": [2, 1]}
+
+
+def test_search_pinned(tmp_path):
+    from onestools_eventlog_ray import synth
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.build import build_index
+    from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                        search_pinned,
+                                                        score_docs)
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    synth.write_corpus(corpus, n_docs=300, seed=11)
+    build_index(corpus, index, cfg=EngineConfig(num_partitions=4))
+    eng = SearchEngine(index)
+    organic = eng.search(["def", "import"], 12)
+    assert len(organic) >= 12
+    # pin the 5th and 2nd organic docs, in that order
+    pins = [organic[4][0], organic[1][0]]
+    out = search_pinned(eng, ["def", "import"], pins, k=10)
+    rows = out.to_pylist()
+    assert [r["doc_id"] for r in rows[:2]] == pins
+    assert [r["pinned"] for r in rows] == [1, 1] + [0] * 8
+    # pinned scores are the organic scores, bit-exact
+    sc = score_docs(eng, ["def", "import"], pins)
+    assert rows[0]["score_e6"] == int(np.floor(sc[pins[0]] * 1e6 + 0.5))
+    exp_org = [d for d, _ in organic if d not in set(pins)][:8]
+    assert [r["doc_id"] for r in rows[2:]] == exp_org
+    # a pinned doc matching NO query term scores 0 but still ranks first
+    out2 = search_pinned(eng, ["def"], [organic[0][0]], k=5)
+    assert out2["rank"].to_pylist()[0] == 1
