@@ -1403,6 +1403,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         eng = SearchEngine(_ensure_index(sf_dir))
         return search_pinned(eng, _BM25_TERMS, [3, 11], k=10)
 
+    def transform_rollup(sf_dir):
+        """ES transform (continuous pivot): per-event_type rollup
+        materialized via the checkpointed incremental path — initial
+        build on even event_ids, one increment with the odd ones, then
+        served from the partials; bit-identical to a one-shot SQL
+        aggregate over all events."""
+        import tempfile
+        from onestools_eventlog_ray.pipelines import transform
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                      columns=["event_id", "event_type", "value"])
+        import pyarrow.compute as _pc
+
+        def _par(rem):
+            def f(b):
+                return b.filter(_pc.equal(
+                    _pc.bit_wise_and(b["event_id"], 1), rem))
+            return f
+        even = ev.map_batches(_par(0), batch_format="pyarrow")
+        odd = ev.map_batches(_par(1), batch_format="pyarrow")
+        out = tempfile.mkdtemp(prefix="oel-transform-", dir="/tmp")
+        transform.write_transform(out, even, "event_type", "value")
+        transform.update_transform(out, odd)
+        return transform.read_transform(out)
+
     def mix_weights(sf_dir):
         """Domain-mixing table: per source, docs/tokens/share and the
         uniform-target resampling weight (exact integer math)."""
@@ -2950,6 +2974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dau_mau_stickiness": dau_mau_stickiness,
         "l_diversity_report": l_diversity_report,
         "bm25_pinned": bm25_pinned,
+        "transform_rollup": transform_rollup,
         "mix_weights": mix_weights,
         "knn_filtered": knn_filtered,
         "vector_range": vector_range,
@@ -5464,6 +5489,19 @@ SELECT CAST(row_number() OVER (ORDER BY ord) AS BIGINT) AS rank,
        CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6,
        pinned
 FROM uni ORDER BY rank""",
+
+        "transform_rollup": """
+SELECT event_type AS group_key,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_e6,
+       CAST(min(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+            AS BIGINT) AS min_e6,
+       CAST(max(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+            AS BIGINT) AS max_e6,
+       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+            // greatest(count(*), 1) AS BIGINT) AS avg_e6
+FROM events GROUP BY event_type ORDER BY event_type""",
 
         "mix_weights": """
 WITH t AS (
