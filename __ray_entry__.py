@@ -1403,6 +1403,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         eng = SearchEngine(_ensure_index(sf_dir))
         return search_pinned(eng, _BM25_TERMS, [3, 11], k=10)
 
+    def es_dsl_search(sf_dir):
+        """ES JSON query-DSL front end: bool{must: spark, should:
+        vector window, filter: lang='en'} interpreted by
+        pipelines/dsl.py and executed in one TAAT pass."""
+        from onestools_eventlog_ray.pipelines.dsl import es_search
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        eng = SearchEngine(_ensure_index(sf_dir))
+        q = {"bool": {"must": [{"match": {"text": "spark"}}],
+                      "should": [{"match": {"text": "vector window"}}],
+                      "filter": [{"term": {"lang": "en"}}]}}
+        return es_search(eng, q, k=10)
+
     def transform_rollup(sf_dir):
         """ES transform (continuous pivot): per-event_type rollup
         materialized via the checkpointed incremental path — initial
@@ -2974,6 +2986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dau_mau_stickiness": dau_mau_stickiness,
         "l_diversity_report": l_diversity_report,
         "bm25_pinned": bm25_pinned,
+        "es_dsl_search": es_dsl_search,
         "transform_rollup": transform_rollup,
         "mix_weights": mix_weights,
         "knn_filtered": knn_filtered,
@@ -5489,6 +5502,39 @@ SELECT CAST(row_number() OVER (ORDER BY ord) AS BIGINT) AS rank,
        CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6,
        pinned
 FROM uni ORDER BY rank""",
+
+        "es_dsl_search": f"""
+WITH toks AS ({_TOKS}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark', 'vector', 'window')
+       GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('spark', 'vector', 'window') GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + ((SELECT n_docs FROM stats) - df.df + 0.5)
+                    / (df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                / (SELECT avgdl FROM stats)))
+            ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id),
+must AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+flt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+kept AS (SELECT s.doc_id, s.score FROM scored s
+         JOIN must USING (doc_id) JOIN flt USING (doc_id))
+SELECT CAST(row_number() OVER (
+         ORDER BY CAST(floor(score * 1000000 + 0.5) AS BIGINT) DESC,
+                  doc_id ASC) AS BIGINT) AS rank,
+       doc_id,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6
+FROM kept ORDER BY score_e6 DESC, doc_id ASC LIMIT 10""",
 
         "transform_rollup": """
 SELECT event_type AS group_key,
