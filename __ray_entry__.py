@@ -1972,6 +1972,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return relational.q18_volume_customers(sf("lineitem"),
                                                sf("orders"))
 
+    def q7_nation_volume(sf_dir):
+        """TPC-H Q7: bilateral shipping volume between two nations per
+        ship year (pivoted orderkey co-group, exact e4)."""
+        import pyarrow.parquet as pq
+        import ray.data
+        return relational.q7_nation_volume(
+            _read_pq(os.path.join(sf_dir, "lineitem.parquet"),
+                     columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                              "l_extendedprice", "l_discount"]),
+            _read_pq(os.path.join(sf_dir, "orders.parquet"),
+                     columns=["o_orderkey", "o_custkey"]),
+            _read_pq(os.path.join(sf_dir, "customer.parquet"),
+                     columns=["c_custkey", "c_nationkey"]),
+            pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                          columns=["s_suppkey", "s_nationkey"]),
+            pq.read_table(os.path.join(sf_dir, "nation.parquet")),
+            nation1="NATION_1", nation2="NATION_2")
+
+    def q8_market_share(sf_dir):
+        """TPC-H Q8: NATION_3 suppliers' revenue share among ASIA
+        customers' PROMO-part orders per order year (exact e6 share)."""
+        import pyarrow.parquet as pq
+        import ray.data
+        return relational.q8_market_share(
+            _read_pq(os.path.join(sf_dir, "lineitem.parquet"),
+                     columns=["l_orderkey", "l_partkey", "l_suppkey",
+                              "l_extendedprice", "l_discount"]),
+            _read_pq(os.path.join(sf_dir, "orders.parquet"),
+                     columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+            _read_pq(os.path.join(sf_dir, "customer.parquet"),
+                     columns=["c_custkey", "c_nationkey"]),
+            pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                          columns=["p_partkey", "p_type"]),
+            pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                          columns=["s_suppkey", "s_nationkey"]),
+            pq.read_table(os.path.join(sf_dir, "nation.parquet")),
+            pq.read_table(os.path.join(sf_dir, "region.parquet")),
+            region_name="ASIA", target_nation="NATION_3", p_type="PROMO")
+
+    def q13_customer_distribution(sf_dir):
+        """TPC-H Q13: customers per order count including zero-order
+        customers (tagged-union LEFT-JOIN shape)."""
+        import ray.data
+        sf = lambda t: _read_pq(os.path.join(sf_dir, f"{t}.parquet"))
+        return relational.q13_order_distribution(sf("customer"),
+                                                 sf("orders"))
+
     def heaps_curve(sf_dir):
         """Heaps-law vocabulary growth: distinct vocab size after the
         first N docs, from one (term -> first doc) fold."""
@@ -3075,6 +3122,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_window": funnel_window,
         "q14_promo": q14_promo,
         "q18_volume": q18_volume,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q13_customer_distribution": q13_customer_distribution,
         "heaps_curve": heaps_curve,
         "knn_label_eval": knn_label_eval,
         "twa_by_type": twa_by_type,
@@ -7152,6 +7202,58 @@ WITH q AS (SELECT l_orderkey,
 SELECT o_orderkey, o_custkey, CAST(tq AS BIGINT) AS total_qty
 FROM q JOIN orders ON l_orderkey = o_orderkey WHERE tq > 150
 ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20""",
+
+        "q7_nation_volume": """
+WITH shipping AS (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+         CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+         * CAST(floor((1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS r
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+         OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    AND year(l.l_shipdate) BETWEEN 1995 AND 2001)
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(r) AS BIGINT) AS revenue_e4
+FROM shipping GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year""",
+
+        "q8_market_share": """
+WITH rows_ AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+         * CAST(floor((1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS r,
+         CASE WHEN sn.n_name = 'NATION_3' THEN 1 ELSE 0 END AS is_t
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cnat ON cnat.n_nationkey = c.c_nationkey
+  JOIN region rg ON rg.r_regionkey = cnat.n_regionkey
+  WHERE rg.r_name = 'ASIA')
+SELECT o_year,
+       CAST(sum(r) AS BIGINT) AS rev_total_e4,
+       CAST(sum(r * is_t) AS BIGINT) AS rev_target_e4,
+       CAST((CAST(sum(r * is_t) AS HUGEINT) * 1000000)
+            // CAST(sum(r) AS HUGEINT) AS BIGINT) AS share_e6
+FROM rows_ GROUP BY o_year ORDER BY o_year""",
+
+        "q13_customer_distribution": """
+WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC""",
 
         "heaps_curve": f"""
 WITH toks AS ({_TOKS}),

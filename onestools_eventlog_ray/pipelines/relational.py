@@ -3496,3 +3496,352 @@ def l_diversity_report(docs: ray.data.Dataset,
         "n_rows": pa.array([agg[k][0] for k in keys], pa.int64()),
         "l_distinct": pa.array([agg[k][1] for k in keys], pa.int64()),
     })
+
+
+def q7_nation_volume(lineitem: ray.data.Dataset, orders: ray.data.Dataset,
+                     customer: ray.data.Dataset, supplier: pa.Table,
+                     nation: pa.Table, nation1: str = "NATION_1",
+                     nation2: str = "NATION_2", year_lo: int = 1995,
+                     year_hi: int = 2001) -> pa.Table:
+    """TPC-H-Q7-shaped bilateral shipping volume: revenue between two
+    nations (supplier in one, ordering customer in the other, both
+    directions) per ship year.  Same co-group plan as
+    ``q5_region_revenue`` — the only large-large exchange is ONE
+    ``groupby(orderkey)`` over pivoted partials:
+
+    - supplier->nation and the two-nation customer map are broadcast
+      (tiny / documented small-side; at 10^9 customers swap the cust
+      map for a key-salted co-group, downstream unchanged);
+    - lineitem partials pivot revenue into (2 supplier slots x year)
+      columns so the direction match after the shuffle is a vectorized
+      column-take, never per-group Python.
+
+    Revenue exact e4.  -> (supp_nation, cust_nation, l_year,
+    revenue_e4) ordered by the three keys."""
+    import ray
+
+    nat_key = {r["n_name"]: int(r["n_nationkey"]) for r in nation.to_pylist()}
+    nk1, nk2 = nat_key[nation1], nat_key[nation2]
+    years = list(range(year_lo, year_hi + 1))
+    n_y = len(years)
+
+    supp_slot = np.full(
+        int(max(r["s_suppkey"] for r in supplier.to_pylist())) + 1, -1,
+        dtype=np.int64)
+    for r in supplier.to_pylist():
+        nk = int(r["s_nationkey"])
+        if nk == nk1:
+            supp_slot[int(r["s_suppkey"])] = 0
+        elif nk == nk2:
+            supp_slot[int(r["s_suppkey"])] = 1
+
+    cust_nat: dict[int, int] = {}
+    for b in customer.select_columns(["c_custkey", "c_nationkey"]) \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (nk == nk1) | (nk == nk2)
+        cust_nat.update(zip(ck[m].tolist(),
+                            np.where(nk[m] == nk1, 0, 1).tolist()))
+    cust_keys = np.asarray(sorted(cust_nat), dtype=np.int64)
+    cust_vals = np.asarray([cust_nat[k] for k in cust_keys], dtype=np.int64)
+    cref = ray.put((cust_keys, cust_vals))
+    sref = ray.put(supp_slot)
+
+    rev_cols = [f"rev_{s}_{y}" for s in (0, 1) for y in years]
+
+    def proj_orders(batch: pa.Table) -> pa.Table:
+        keys, vals = ray.get(cref)
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ckey = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if keys.size:
+            pos = np.searchsorted(keys, ckey)
+            pos[pos >= keys.size] = 0
+            m = keys[pos] == ckey
+        else:
+            pos = np.zeros(ckey.size, dtype=np.int64)
+            m = np.zeros(ckey.size, dtype=bool)
+        cols = {"key": pa.array(okey[m], pa.int64()),
+                "c_slot": pa.array(vals[pos[m]], pa.int64())}
+        for c in rev_cols:
+            cols[c] = pa.array(np.zeros(int(m.sum()), np.int64), pa.int64())
+        return pa.table(cols)
+
+    def proj_line(batch: pa.Table) -> pa.Table:
+        slot = ray.get(sref)
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        skey = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        yr = pc.year(batch["l_shipdate"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ss = np.where(skey < slot.size, slot[np.minimum(skey, slot.size - 1)],
+                      -1)
+        m = (ss >= 0) & (yr >= years[0]) & (yr <= years[-1])
+        okey, ss, yr = okey[m], ss[m], yr[m]
+        rev = (np.floor(price[m] * 100 + 0.5).astype(np.int64)
+               * np.floor((1.0 - disc[m]) * 100 + 0.5).astype(np.int64))
+        col = ss * n_y + (yr - years[0])
+        keys, inv = np.unique(okey, return_inverse=True)
+        pivot = np.zeros((keys.size, 2 * n_y), dtype=np.int64)
+        np.add.at(pivot, (inv, col), rev)
+        cols = {"key": pa.array(keys, pa.int64()),
+                "c_slot": pa.nulls(keys.size, pa.int64())}
+        for j, c in enumerate(rev_cols):
+            cols[c] = pa.array(pivot[:, j], pa.int64())
+        return pa.table(cols)
+
+    tagged = orders.map_batches(proj_orders, batch_format="pyarrow") \
+        .union(lineitem.map_batches(proj_line, batch_format="pyarrow"))
+    agg = tagged.groupby("key").aggregate(
+        Max("c_slot", alias_name="c_slot"),
+        *[Sum(c, alias_name=c) for c in rev_cols])
+
+    names = {0: nation1, 1: nation2}
+    # (supp_slot, cust_slot, year) accumulator: only opposite-slot pairs.
+    acc = np.zeros((2, n_y), dtype=np.int64)   # row = supp slot
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch["c_slot"]))
+        if not t.num_rows:
+            return pa.table({"s": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64()),
+                             "r": pa.array([], pa.int64())})
+        cs = t["c_slot"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pivot = np.stack([t[c].to_numpy(zero_copy_only=False)
+                          .astype(np.int64) for c in rev_cols], axis=1)
+        pivot = pivot.reshape(-1, 2, n_y)
+        out_s, out_y, out_r = [], [], []
+        for supp in (0, 1):
+            rows = pivot[cs == 1 - supp, supp, :]   # cust is the OTHER slot
+            if rows.size:
+                part = rows.sum(axis=0)
+                nz = np.nonzero(part)[0]
+                out_s.extend([supp] * nz.size)
+                out_y.extend((nz + years[0]).tolist())
+                out_r.extend(part[nz].tolist())
+        return pa.table({"s": pa.array(out_s, pa.int64()),
+                         "y": pa.array(out_y, pa.int64()),
+                         "r": pa.array(out_r, pa.int64())})
+
+    for b in agg.map_batches(finish, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        s = b["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = b["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        np.add.at(acc, (s, y - years[0]), r)
+
+    out = {"supp_nation": [], "cust_nation": [], "l_year": [],
+           "revenue_e4": []}
+    for supp in sorted((0, 1), key=lambda s: names[s]):
+        for j, y in enumerate(years):
+            if acc[supp, j]:
+                out["supp_nation"].append(names[supp])
+                out["cust_nation"].append(names[1 - supp])
+                out["l_year"].append(y)
+                out["revenue_e4"].append(int(acc[supp, j]))
+    return pa.table({"supp_nation": pa.array(out["supp_nation"], pa.string()),
+                     "cust_nation": pa.array(out["cust_nation"], pa.string()),
+                     "l_year": pa.array(out["l_year"], pa.int64()),
+                     "revenue_e4": pa.array(out["revenue_e4"], pa.int64())})
+
+
+def q8_market_share(lineitem: ray.data.Dataset, orders: ray.data.Dataset,
+                    customer: ray.data.Dataset, part: pa.Table,
+                    supplier: pa.Table, nation: pa.Table, region: pa.Table,
+                    region_name: str = "ASIA",
+                    target_nation: str = "NATION_3",
+                    p_type: str = "PROMO") -> pa.Table:
+    """TPC-H-Q8-shaped national market share: among orders placed by
+    customers in one region for parts of one type, the share of
+    revenue supplied by one target nation, per ORDER year.
+
+    Plan: part-of-type ids, supplier->target flag and in-region
+    customer keys broadcast (documented small sides — the part id set
+    becomes a Bloom filter at 10^9 parts, same downstream shape);
+    lineitem folds per-order (rev_total, rev_target) e4 partials;
+    orders tag (orderkey, year) for in-region customers; ONE orderkey
+    co-group, then a tiny per-year fold.  Share is exact integer e6
+    (floor of rev_target*1e6 / rev_total, Python bigint — no float).
+    -> (o_year, rev_total_e4, rev_target_e4, share_e6) by year."""
+    import ray
+
+    rkeys = {r["r_regionkey"]: r["r_name"] for r in region.to_pylist()}
+    in_region = {int(r["n_nationkey"]) for r in nation.to_pylist()
+                 if rkeys[r["n_regionkey"]] == region_name}
+    target_nk = {r["n_name"]: int(r["n_nationkey"])
+                 for r in nation.to_pylist()}[target_nation]
+
+    type_parts = np.asarray(sorted(
+        int(r["p_partkey"]) for r in part.to_pylist()
+        if r["p_type"] == p_type), dtype=np.int64)
+    supp_target = np.zeros(
+        int(max(r["s_suppkey"] for r in supplier.to_pylist())) + 1,
+        dtype=bool)
+    for r in supplier.to_pylist():
+        if int(r["s_nationkey"]) == target_nk:
+            supp_target[int(r["s_suppkey"])] = True
+
+    cust_keys: list[np.ndarray] = []
+    for b in customer.select_columns(["c_custkey", "c_nationkey"]) \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cust_keys.append(ck[np.isin(nk, np.asarray(sorted(in_region),
+                                                   dtype=np.int64))])
+    ckeys = np.sort(np.concatenate(cust_keys)) if cust_keys \
+        else np.array([], dtype=np.int64)
+    cref = ray.put(ckeys)
+    pref = ray.put(type_parts)
+    sref = ray.put(supp_target)
+
+    def proj_orders(batch: pa.Table) -> pa.Table:
+        keys = ray.get(cref)
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ckey = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        yr = pc.year(batch["o_orderdate"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if keys.size:
+            pos = np.searchsorted(keys, ckey)
+            pos[pos >= keys.size] = 0
+            m = keys[pos] == ckey
+        else:
+            m = np.zeros(ckey.size, dtype=bool)
+        n = int(m.sum())
+        return pa.table({"key": pa.array(okey[m], pa.int64()),
+                         "o_year": pa.array(yr[m], pa.int64()),
+                         "rev_total": pa.array(np.zeros(n, np.int64)),
+                         "rev_target": pa.array(np.zeros(n, np.int64))})
+
+    def proj_line(batch: pa.Table) -> pa.Table:
+        parts = ray.get(pref)
+        st = ray.get(sref)
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pkey = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        skey = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if parts.size:
+            pos = np.searchsorted(parts, pkey)
+            pos[pos >= parts.size] = 0
+            m = parts[pos] == pkey
+        else:
+            m = np.zeros(pkey.size, dtype=bool)
+        okey, skey = okey[m], skey[m]
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)[m]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)[m]
+        rev = (np.floor(price * 100 + 0.5).astype(np.int64)
+               * np.floor((1.0 - disc) * 100 + 0.5).astype(np.int64))
+        tgt = np.where(skey < st.size, st[np.minimum(skey, st.size - 1)],
+                       False)
+        keys, inv = np.unique(okey, return_inverse=True)
+        tot = np.zeros(keys.size, dtype=np.int64)
+        tg = np.zeros(keys.size, dtype=np.int64)
+        np.add.at(tot, inv, rev)
+        np.add.at(tg, inv[tgt], rev[tgt])
+        return pa.table({"key": pa.array(keys, pa.int64()),
+                         "o_year": pa.nulls(keys.size, pa.int64()),
+                         "rev_total": pa.array(tot, pa.int64()),
+                         "rev_target": pa.array(tg, pa.int64())})
+
+    tagged = orders.map_batches(proj_orders, batch_format="pyarrow") \
+        .union(lineitem.map_batches(proj_line, batch_format="pyarrow"))
+    agg = tagged.groupby("key").aggregate(
+        Max("o_year", alias_name="o_year"),
+        Sum("rev_total", alias_name="rev_total"),
+        Sum("rev_target", alias_name="rev_target"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch["o_year"]),
+                    pc.greater(pc.coalesce(batch["rev_total"], 0), 0))
+        t = batch.filter(m)
+        if not t.num_rows:
+            return pa.table({"o_year": pa.array([], pa.int64()),
+                             "tot": pa.array([], pa.int64()),
+                             "tg": pa.array([], pa.int64())})
+        yr = t["o_year"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = t["rev_total"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tg = t["rev_target"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, inv = np.unique(yr, return_inverse=True)
+        ptot = np.zeros(keys.size, dtype=np.int64)
+        ptg = np.zeros(keys.size, dtype=np.int64)
+        np.add.at(ptot, inv, tot)
+        np.add.at(ptg, inv, tg)
+        return pa.table({"o_year": pa.array(keys, pa.int64()),
+                         "tot": pa.array(ptot, pa.int64()),
+                         "tg": pa.array(ptg, pa.int64())})
+
+    acc: dict[int, list[int]] = {}
+    for b in agg.map_batches(finish, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for y, tot, tg in zip(b["o_year"].to_pylist(),
+                              b["tot"].to_pylist(), b["tg"].to_pylist()):
+            a = acc.setdefault(int(y), [0, 0])
+            a[0] += int(tot)
+            a[1] += int(tg)
+    years = sorted(acc)
+    return pa.table({
+        "o_year": pa.array(years, pa.int64()),
+        "rev_total_e4": pa.array([acc[y][0] for y in years], pa.int64()),
+        "rev_target_e4": pa.array([acc[y][1] for y in years], pa.int64()),
+        "share_e6": pa.array([acc[y][1] * 1_000_000 // acc[y][0]
+                              for y in years], pa.int64()),
+    })
+
+
+def q13_order_distribution(customer: ray.data.Dataset,
+                           orders: ray.data.Dataset) -> pa.Table:
+    """TPC-H-Q13-shaped customer order-count distribution INCLUDING
+    zero-order customers (the LEFT-JOIN shape): tagged union of
+    (custkey, one order) and (custkey, customer marker) rows, ONE
+    custkey groupby -> per-customer count gated on the marker (order
+    rows with no customer row are dropped, mirroring the LEFT side),
+    then a tiny count-of-counts fold.  Narrow int rows only.
+    -> (c_count, custdist) by (custdist desc, c_count desc)."""
+
+    def proj_orders(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"key": batch["o_custkey"].cast(pa.int64()),
+                         "n_ord": pa.array(np.ones(n, np.int64)),
+                         "is_cust": pa.array(np.zeros(n, np.int64))})
+
+    def proj_cust(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"key": batch["c_custkey"].cast(pa.int64()),
+                         "n_ord": pa.array(np.zeros(n, np.int64)),
+                         "is_cust": pa.array(np.ones(n, np.int64))})
+
+    tagged = orders.select_columns(["o_custkey"]) \
+        .map_batches(proj_orders, batch_format="pyarrow") \
+        .union(customer.select_columns(["c_custkey"])
+               .map_batches(proj_cust, batch_format="pyarrow"))
+    per_cust = tagged.groupby("key").aggregate(
+        Sum("n_ord", alias_name="c_count"),
+        Max("is_cust", alias_name="is_cust"))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["is_cust"], 1))
+        cc = t["c_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, counts = np.unique(cc, return_counts=True)
+        return pa.table({"c_count": pa.array(keys, pa.int64()),
+                         "n_p": pa.array(counts.astype(np.int64))})
+
+    acc: dict[int, int] = {}
+    for b in per_cust.map_batches(hist, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for k, v in zip(b["c_count"].to_pylist(), b["n_p"].to_pylist()):
+            acc[int(k)] = acc.get(int(k), 0) + int(v)
+    rows = sorted(acc.items(), key=lambda kv: (-kv[1], -kv[0]))
+    return pa.table({"c_count": pa.array([r[0] for r in rows], pa.int64()),
+                     "custdist": pa.array([r[1] for r in rows], pa.int64())})
