@@ -2019,6 +2019,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return relational.q13_order_distribution(sf("customer"),
                                                  sf("orders"))
 
+    def q17_small_qty_revenue(sf_dir):
+        """TPC-H Q17: revenue from Brand#13 lineitems below 20% of the
+        part's average quantity (exact integer two-pass predicate)."""
+        import pyarrow.parquet as pq
+        import ray.data
+        return relational.q17_small_qty_revenue(
+            _read_pq(os.path.join(sf_dir, "lineitem.parquet"),
+                     columns=["l_partkey", "l_quantity",
+                              "l_extendedprice"]),
+            pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                          columns=["p_partkey", "p_brand"]),
+            brand="Brand#13")
+
+    def q22_idle_balances(sf_dir):
+        """TPC-H Q22: above-average-balance customers with zero orders,
+        per nation (tagged-union anti-join, exact e2 mean)."""
+        import ray.data
+        sf = lambda t: _read_pq(os.path.join(sf_dir, f"{t}.parquet"))
+        return relational.q22_idle_balances(sf("customer"), sf("orders"))
+
     def heaps_curve(sf_dir):
         """Heaps-law vocabulary growth: distinct vocab size after the
         first N docs, from one (term -> first doc) fold."""
@@ -3125,6 +3145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_nation_volume": q7_nation_volume,
         "q8_market_share": q8_market_share,
         "q13_customer_distribution": q13_customer_distribution,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q22_idle_balances": q22_idle_balances,
         "heaps_curve": heaps_curve,
         "knn_label_eval": knn_label_eval,
         "twa_by_type": twa_by_type,
@@ -7244,6 +7266,38 @@ SELECT o_year,
        CAST((CAST(sum(r * is_t) AS HUGEINT) * 1000000)
             // CAST(sum(r) AS HUGEINT) AS BIGINT) AS share_e6
 FROM rows_ GROUP BY o_year ORDER BY o_year""",
+
+        "q17_small_qty_revenue": """
+WITH pruned AS (
+  SELECT l.l_partkey AS pk,
+         CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS q,
+         CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS p_e2
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#13'),
+stats AS (SELECT pk, sum(q) AS sum_q, count(*) AS cnt
+          FROM pruned GROUP BY pk)
+SELECT 'Brand#13' AS p_brand,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(coalesce(sum(pr.p_e2), 0) AS BIGINT) AS total_price_e2
+FROM pruned pr JOIN stats st ON pr.pk = st.pk
+WHERE 5 * pr.q * st.cnt < st.sum_q""",
+
+        "q22_idle_balances": """
+WITH bal AS (SELECT c_custkey, c_nationkey,
+                    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS b
+             FROM customer),
+avg_pos AS (SELECT CAST(sum(b) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM bal WHERE b > 0),
+eligible AS (
+  SELECT bal.c_nationkey, bal.b FROM bal, avg_pos
+  WHERE bal.b * avg_pos.n > avg_pos.s
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = bal.c_custkey))
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(b) AS BIGINT) AS totacctbal_e2
+FROM eligible GROUP BY c_nationkey ORDER BY c_nationkey""",
 
         "q13_customer_distribution": """
 WITH c_orders AS (

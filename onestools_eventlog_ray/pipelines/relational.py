@@ -3845,3 +3845,155 @@ def q13_order_distribution(customer: ray.data.Dataset,
     rows = sorted(acc.items(), key=lambda kv: (-kv[1], -kv[0]))
     return pa.table({"c_count": pa.array([r[0] for r in rows], pa.int64()),
                      "custdist": pa.array([r[1] for r in rows], pa.int64())})
+
+
+def q17_small_qty_revenue(lineitem: ray.data.Dataset, part: pa.Table,
+                          brand: str = "Brand#13") -> pa.Table:
+    """TPC-H-Q17-shaped correlated-average predicate: total revenue of
+    lineitems for one brand's parts whose quantity is below 20% of that
+    PART's average quantity.  The correlated subquery becomes a
+    two-pass plan: pass 1 folds per-part (sum_qty, count) over the
+    brand-pruned lineitems (bounded by the brand's part count — tiny),
+    the driver broadcasts it; pass 2 re-streams the pruned lineitems
+    and applies the EXACT integer predicate ``5*qty*cnt < sum_qty``
+    (no float average anywhere).  -> one row
+    (p_brand, n_lineitems, total_price_e2)."""
+    import ray
+
+    brand_parts = np.asarray(sorted(
+        int(r["p_partkey"]) for r in part.to_pylist()
+        if r["p_brand"] == brand), dtype=np.int64)
+    pref = ray.put(brand_parts)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        parts = ray.get(pref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if parts.size:
+            pos = np.searchsorted(parts, pk)
+            pos[pos >= parts.size] = 0
+            m = parts[pos] == pk
+        else:
+            m = np.zeros(pk.size, dtype=bool)
+        t = batch.filter(pa.array(m))
+        q = np.floor(t["l_quantity"].to_numpy(zero_copy_only=False)
+                     .astype(np.float64) + 0.5).astype(np.int64)
+        p = np.floor(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * 100 + 0.5).astype(np.int64)
+        return pa.table({"pk": t["l_partkey"].cast(pa.int64()),
+                         "q": pa.array(q, pa.int64()),
+                         "p_e2": pa.array(p, pa.int64())})
+
+    pruned = lineitem.select_columns(
+        ["l_partkey", "l_quantity", "l_extendedprice"]) \
+        .map_batches(prune, batch_format="pyarrow").materialize()
+
+    stats = pruned.groupby("pk").aggregate(
+        Sum("q", alias_name="sum_q"), Count(alias_name="cnt")).take_all()
+    sum_q = {int(r["pk"]): int(r["sum_q"]) for r in stats}
+    cnt = {int(r["pk"]): int(r["cnt"]) for r in stats}
+    keys = np.asarray(sorted(sum_q), dtype=np.int64)
+    sref = ray.put((keys,
+                    np.asarray([sum_q[k] for k in keys], dtype=np.int64),
+                    np.asarray([cnt[k] for k in keys], dtype=np.int64)))
+
+    def below(batch: pa.Table) -> pa.Table:
+        keys, sq, ct = ray.get(sref)
+        pk = batch["pk"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, pk)
+        q = batch["q"].to_numpy(zero_copy_only=False)
+        p = batch["p_e2"].to_numpy(zero_copy_only=False)
+        m = 5 * q * ct[pos] < sq[pos]
+        return pa.table({"n_p": pa.array([int(m.sum())], pa.int64()),
+                         "p_p": pa.array([int(p[m].sum())], pa.int64())})
+
+    n_rows, total = 0, 0
+    if keys.size:
+        for b in pruned.map_batches(below, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow", batch_size=None):
+            n_rows += int(pc.sum(b["n_p"]).as_py() or 0)
+            total += int(pc.sum(b["p_p"]).as_py() or 0)
+    return pa.table({"p_brand": pa.array([brand], pa.string()),
+                     "n_lineitems": pa.array([n_rows], pa.int64()),
+                     "total_price_e2": pa.array([total], pa.int64())})
+
+
+def q22_idle_balances(customer: ray.data.Dataset,
+                      orders: ray.data.Dataset) -> pa.Table:
+    """TPC-H-Q22-shaped anti-join: customers with an account balance
+    above the mean POSITIVE balance who have placed NO orders, counted
+    per nation.  Exact integer mean predicate (``bal*n > sum``, e2
+    fixed point); the anti-join is the q13 tagged union — one custkey
+    groupby of narrow rows, order rows only flip a marker.
+    -> (c_nationkey, numcust, totacctbal_e2) by nation."""
+    from ray.data.aggregate import Count as RCount
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        bal = np.floor(batch["c_acctbal"].to_numpy(zero_copy_only=False)
+                       .astype(np.float64) * 100 + 0.5).astype(np.int64)
+        m = bal > 0
+        return pa.table({"s_p": pa.array([int(bal[m].sum())], pa.int64()),
+                         "n_p": pa.array([int(m.sum())], pa.int64())})
+
+    s_pos, n_pos = 0, 0
+    for b in customer.select_columns(["c_acctbal"]) \
+            .map_batches(bal_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        s_pos += int(pc.sum(b["s_p"]).as_py() or 0)
+        n_pos += int(pc.sum(b["n_p"]).as_py() or 0)
+
+    def proj_cust(batch: pa.Table) -> pa.Table:
+        bal = np.floor(batch["c_acctbal"].to_numpy(zero_copy_only=False)
+                       .astype(np.float64) * 100 + 0.5).astype(np.int64)
+        keep = bal * n_pos > s_pos
+        t = batch.filter(pa.array(keep))
+        n = t.num_rows
+        return pa.table({"key": t["c_custkey"].cast(pa.int64()),
+                         "nat": t["c_nationkey"].cast(pa.int64()),
+                         "bal": pa.array(bal[keep], pa.int64()),
+                         "has_ord": pa.array(np.zeros(n, np.int64))})
+
+    def proj_orders(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"key": batch["o_custkey"].cast(pa.int64()),
+                         "nat": pa.nulls(n, pa.int64()),
+                         "bal": pa.nulls(n, pa.int64()),
+                         "has_ord": pa.array(np.ones(n, np.int64))})
+
+    tagged = customer.select_columns(
+        ["c_custkey", "c_nationkey", "c_acctbal"]) \
+        .map_batches(proj_cust, batch_format="pyarrow") \
+        .union(orders.select_columns(["o_custkey"])
+               .map_batches(proj_orders, batch_format="pyarrow"))
+    per_cust = tagged.groupby("key").aggregate(
+        Max("nat", alias_name="nat"), Max("bal", alias_name="bal"),
+        Max("has_ord", alias_name="has_ord"))
+
+    def nat_partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch["nat"]), pc.equal(batch["has_ord"], 0))
+        t = batch.filter(m)
+        nat = t["nat"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bal = t["bal"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, inv = np.unique(nat, return_inverse=True)
+        cnt = np.zeros(keys.size, dtype=np.int64)
+        tot = np.zeros(keys.size, dtype=np.int64)
+        np.add.at(cnt, inv, 1)
+        np.add.at(tot, inv, bal)
+        return pa.table({"nat": pa.array(keys, pa.int64()),
+                         "c_p": pa.array(cnt, pa.int64()),
+                         "b_p": pa.array(tot, pa.int64())})
+
+    acc: dict[int, list[int]] = {}
+    for b in per_cust.map_batches(nat_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for nat, c, t_ in zip(b["nat"].to_pylist(), b["c_p"].to_pylist(),
+                              b["b_p"].to_pylist()):
+            a = acc.setdefault(int(nat), [0, 0])
+            a[0] += int(c)
+            a[1] += int(t_)
+    nats = sorted(acc)
+    return pa.table({
+        "c_nationkey": pa.array(nats, pa.int64()),
+        "numcust": pa.array([acc[n][0] for n in nats], pa.int64()),
+        "totacctbal_e2": pa.array([acc[n][1] for n in nats], pa.int64()),
+    })

@@ -131,3 +131,94 @@ def test_q13_customer_distribution_bruteforce():
     assert [(r["c_count"], r["custdist"]) for r in out] == want
     # every customer accounted for exactly once
     assert sum(r["custdist"] for r in out) == len(cust)
+
+
+def test_q17_small_qty_revenue_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import \
+        q17_small_qty_revenue
+
+    part = pq.read_table(_sf("part"))
+    brand_parts = {p for p, b in zip(part["p_partkey"].to_pylist(),
+                                     part["p_brand"].to_pylist())
+                   if b == "Brand#13"}
+    li = pq.read_table(_sf("lineitem"))
+    rows = [(pk, int(np.floor(q + 0.5)), int(np.floor(pr * 100 + 0.5)))
+            for pk, q, pr in zip(li["l_partkey"].to_pylist(),
+                                 li["l_quantity"].to_pylist(),
+                                 li["l_extendedprice"].to_pylist())
+            if pk in brand_parts]
+    sum_q, cnt = Counter(), Counter()
+    for pk, q, _ in rows:
+        sum_q[pk] += q
+        cnt[pk] += 1
+    kept = [(pk, q, p) for pk, q, p in rows
+            if 5 * q * cnt[pk] < sum_q[pk]]
+
+    out = q17_small_qty_revenue(
+        ray.data.read_parquet(_sf("lineitem")),
+        pq.read_table(_sf("part")), brand="Brand#13").to_pylist()
+    assert len(out) == 1
+    assert out[0]["p_brand"] == "Brand#13"
+    assert out[0]["n_lineitems"] == len(kept)
+    assert out[0]["total_price_e2"] == sum(p for _, _, p in kept)
+    assert rows, "brand prune selected nothing — test is vacuous"
+
+
+def test_q22_idle_balances_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import \
+        q22_idle_balances
+
+    cu = pq.read_table(_sf("customer"))
+    bal = {ck: int(np.floor(b * 100 + 0.5)) for ck, b in
+           zip(cu["c_custkey"].to_pylist(), cu["c_acctbal"].to_pylist())}
+    nat = dict(zip(cu["c_custkey"].to_pylist(),
+                   cu["c_nationkey"].to_pylist()))
+    pos = [b for b in bal.values() if b > 0]
+    s, n = sum(pos), len(pos)
+    has_ord = set(pq.read_table(_sf("orders"))["o_custkey"].to_pylist())
+    per_nat = defaultdict(lambda: [0, 0])
+    for ck, b in bal.items():
+        if b * n > s and ck not in has_ord:
+            per_nat[nat[ck]][0] += 1
+            per_nat[nat[ck]][1] += b
+
+    out = q22_idle_balances(
+        ray.data.read_parquet(_sf("customer")),
+        ray.data.read_parquet(_sf("orders"))).to_pylist()
+    got = {r["c_nationkey"]: (r["numcust"], r["totacctbal_e2"])
+           for r in out}
+    assert got == {k: tuple(v) for k, v in per_nat.items()}
+    assert [r["c_nationkey"] for r in out] \
+        == sorted(r["c_nationkey"] for r in out)
+
+
+def test_q22_idle_balances_planted(tmp_path):
+    # the synthetic TPC-H tables have (almost) no zero-order customers,
+    # so the anti-join arm is vacuous there — plant one directly.
+    import pyarrow as pa
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import \
+        q22_idle_balances
+
+    cust = pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "c_nationkey": pa.array([0, 0, 1, 1, 1], pa.int64()),
+        # e2 balances: 100.00, 900.00, 900.00, 10.00, -50.00
+        "c_acctbal": pa.array([100.0, 900.0, 900.0, 10.0, -50.0]),
+    })
+    orders = pa.table({
+        "o_custkey": pa.array([1, 1, 3], pa.int64()),
+        "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+    })
+    pq.write_table(cust, str(tmp_path / "customer.parquet"))
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    # mean positive bal = (100+900+900+10)/4 = 477.50; eligible: 2, 3
+    # (bal 900 > mean); of those only cust 2 has NO orders -> nation 0.
+    out = q22_idle_balances(
+        ray.data.read_parquet(str(tmp_path / "customer.parquet")),
+        ray.data.read_parquet(str(tmp_path / "orders.parquet"))) \
+        .to_pylist()
+    assert out == [{"c_nationkey": 0, "numcust": 1,
+                    "totacctbal_e2": 90000}]
