@@ -2346,6 +2346,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from onestools_eventlog_ray.pipelines.query import facet_counts
         return facet_counts(_ensure_index(sf_dir), "spark")
 
+    def adjacency_matrix_q(sf_dir):
+        """ES adjacency_matrix agg: doc counts for named term filters
+        and every pairwise intersection (df-bounded posting merges)."""
+        from onestools_eventlog_ray.pipelines.query import adjacency_matrix
+        return adjacency_matrix(_ensure_index(sf_dir),
+                                {"a": "spark", "b": "vector",
+                                 "c": "window"})
+
+    def top_metrics_lang(sf_dir):
+        """ES top_metrics agg: per lang, the doc_id of the single
+        longest doc (n_chars desc, doc_id asc tie) — O(buckets)
+        shuffle."""
+        import ray.data
+        docs = _read_pq(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "lang", "n_chars"])
+        return relational.top_metrics(docs, by="lang",
+                                      sort_col="n_chars",
+                                      metric_cols=("doc_id",))
+
     def redact_stats(sf_dir):
         """C4-style denylist redaction: per doc (n_redacted, n_kept,
         md5 of the scrubbed text) — vectorized mask + binary_join +
@@ -2983,6 +3002,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_term_stats": fuzzy_term_stats,
         "bm25_fuzzy": bm25_fuzzy,
         "search_facets": search_facets,
+        "adjacency_matrix": adjacency_matrix_q,
+        "top_metrics_lang": top_metrics_lang,
         "redact_stats": redact_stats,
         "lm_quality": lm_quality,
         "significant_terms_de": significant_terms_de,
@@ -7266,6 +7287,30 @@ SELECT o_year,
        CAST((CAST(sum(r * is_t) AS HUGEINT) * 1000000)
             // CAST(sum(r) AS HUGEINT) AS BIGINT) AS share_e6
 FROM rows_ GROUP BY o_year ORDER BY o_year""",
+
+        "adjacency_matrix": f"""
+WITH toks AS ({_TOKS}),
+m AS (SELECT doc_id,
+             max(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS a,
+             max(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) AS b,
+             max(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS c
+      FROM toks GROUP BY doc_id),
+k AS (          SELECT 'a' AS key, sum(a) AS n FROM m
+      UNION ALL SELECT 'a&b', sum(a*b) FROM m
+      UNION ALL SELECT 'a&c', sum(a*c) FROM m
+      UNION ALL SELECT 'b', sum(b) FROM m
+      UNION ALL SELECT 'b&c', sum(b*c) FROM m
+      UNION ALL SELECT 'c', sum(c) FROM m)
+SELECT key, CAST(n AS BIGINT) AS n_docs FROM k
+WHERE n > 0 ORDER BY key""",
+
+        "top_metrics_lang": """
+SELECT lang, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(doc_id AS BIGINT) AS doc_id
+FROM (SELECT lang, n_chars, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents) WHERE rn = 1 ORDER BY lang""",
 
         "q17_small_qty_revenue": """
 WITH pruned AS (

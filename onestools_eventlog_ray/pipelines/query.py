@@ -1855,3 +1855,45 @@ def search_pinned(eng: SearchEngine, terms: list[str],
         "pinned": pa.array([1] * len(pins) + [0] * len(organic),
                            pa.int64()),
     })
+
+
+def adjacency_matrix(index_dir: str, filters: dict[str, str]) -> pa.Table:
+    """ES ``adjacency_matrix`` aggregation: named term filters ->
+    document counts for every filter and every pairwise intersection,
+    keyed ``name`` / ``nameA&nameB`` (names in sorted order, empty
+    buckets omitted — exactly the ES response shape).
+
+    df-bounded like ``count_matches``: only the k named terms' postings
+    decode (shard-pruned reads, tombstones masked); intersections run
+    on sorted id arrays, O(k^2) merges of O(df) ints, never a corpus
+    pass.  At df~N swap the arrays for per-id-range bitmap partials
+    folded by range — same output, bounded memory.  -> (key, n_docs)
+    sorted by key."""
+    eng = SearchEngine(index_dir)
+    names = sorted(filters)
+    loaded = eng.load_terms([filters[n] for n in names])
+    sets: dict[str, np.ndarray] = {}
+    for n in names:
+        t = filters[n]
+        if t in loaded:
+            ids = codec.decode_posting(loaded[t][1]).doc_ids
+            if eng.deleted.size:
+                ids = ids[~np.isin(ids, eng.deleted)]
+            sets[n] = np.sort(ids)
+        else:
+            sets[n] = np.empty(0, dtype=np.int64)
+    keys, counts = [], []
+    for i, a in enumerate(names):
+        if sets[a].size:
+            keys.append(a)
+            counts.append(int(sets[a].size))
+        for b in names[i + 1:]:
+            inter = np.intersect1d(sets[a], sets[b], assume_unique=True)
+            if inter.size:
+                keys.append(f"{a}&{b}")
+                counts.append(int(inter.size))
+    order = np.argsort(np.asarray(keys, dtype=object))
+    return pa.table({
+        "key": pa.array([keys[i] for i in order], pa.string()),
+        "n_docs": pa.array([counts[i] for i in order], pa.int64()),
+    })

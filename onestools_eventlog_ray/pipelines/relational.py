@@ -3997,3 +3997,51 @@ def q22_idle_balances(customer: ray.data.Dataset,
         "numcust": pa.array([acc[n][0] for n in nats], pa.int64()),
         "totacctbal_e2": pa.array([acc[n][1] for n in nats], pa.int64()),
     })
+
+
+def top_metrics(ds: ray.data.Dataset, by: str = "lang",
+                sort_col: str = "n_chars",
+                metric_cols: tuple[str, ...] = ("doc_id",)) -> pa.Table:
+    """ES ``top_metrics`` aggregation: per ``by`` bucket, the metric
+    columns from the single row with the LARGEST ``sort_col``
+    (deterministic tie-break: smallest first metric column — ES leaves
+    ties to shard order; we pin them so every cluster size agrees).
+
+    Per-batch partial keeps one candidate row per bucket (vectorized
+    lexsort cut), then a tiny groupby over <=|buckets| rows per batch
+    picks the global winner — O(buckets) shuffle, never the table.
+    -> (by, sort_col, *metric_cols) sorted by ``by``."""
+    cols = [by, sort_col, *metric_cols]
+    tie = metric_cols[0]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        if not t.num_rows:
+            return t
+        key = t[by].to_numpy(zero_copy_only=False)
+        sv = t[sort_col].to_numpy(zero_copy_only=False)
+        tv = t[tie].to_numpy(zero_copy_only=False)
+        # order: by bucket, sort_col DESC, tie ASC -> first row per bucket
+        order = np.lexsort((tv, -sv, key))
+        first = np.ones(order.size, dtype=bool)
+        first[1:] = key[order][1:] != key[order][:-1]
+        return t.take(pa.array(order[first], pa.int64()))
+
+    def pick(group: pa.Table) -> pa.Table:
+        sv = group[sort_col].to_numpy(zero_copy_only=False)
+        tv = group[tie].to_numpy(zero_copy_only=False)
+        best = np.lexsort((tv, -sv))[0]
+        return group.take(pa.array([best], pa.int64()))
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(by).map_groups(pick, batch_format="pyarrow") \
+        .take_all()
+    out.sort(key=lambda r: r[by])
+
+    def _typed(c):
+        vals = [r[c] for r in out]
+        if vals and isinstance(vals[0], str):
+            return pa.array(vals, pa.string())
+        return pa.array([int(v) for v in vals], pa.int64())
+
+    return pa.table({c: _typed(c) for c in cols})

@@ -222,3 +222,55 @@ def test_q22_idle_balances_planted(tmp_path):
         .to_pylist()
     assert out == [{"c_nationkey": 0, "numcust": 1,
                     "totacctbal_e2": 90000}]
+
+
+def test_top_metrics_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import top_metrics
+
+    t = pq.read_table(_sf("documents"),
+                      columns=["doc_id", "lang", "n_chars"])
+    best = {}
+    for d, l, n in zip(t["doc_id"].to_pylist(), t["lang"].to_pylist(),
+                       t["n_chars"].to_pylist()):
+        cur = best.get(l)
+        if cur is None or (-n, d) < (-cur[1], cur[0]):
+            best[l] = (d, n)
+    out = top_metrics(
+        ray.data.read_parquet(_sf("documents"),
+                              columns=["doc_id", "lang", "n_chars"]),
+        by="lang", sort_col="n_chars", metric_cols=("doc_id",)) \
+        .to_pylist()
+    assert {r["lang"]: (r["doc_id"], r["n_chars"]) for r in out} == best
+    assert [r["lang"] for r in out] == sorted(best)
+
+
+def test_adjacency_matrix_planted(tmp_path):
+    import pyarrow as pa
+    import ray
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.build import build_index
+    from onestools_eventlog_ray.pipelines.query import adjacency_matrix
+
+    docs = pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "text": pa.array(["x y", "x", "y z", "x y z", "q", "z"],
+                         pa.string()),
+        "lang": pa.array(["en"] * 6, pa.string()),
+        "source": pa.array(["s"] * 6, pa.string()),
+        "n_chars": pa.array([3, 1, 3, 5, 1, 1], pa.int64()),
+    })
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    pq.write_table(docs, str(corpus / "part-0.parquet"))
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    build_index(str(corpus), str(tmp_path / "idx"),
+                cfg=EngineConfig(num_partitions=4), spec=DOCUMENTS_SPEC)
+    out = adjacency_matrix(str(tmp_path / "idx"),
+                           {"a": "x", "b": "y", "c": "z",
+                            "d": "missing"}).to_pylist()
+    got = {r["key"]: r["n_docs"] for r in out}
+    # x:3 y:3 z:3, x&y:2 x&z:1 y&z:2; 'missing' and its pairs omitted
+    assert got == {"a": 3, "b": 3, "c": 3,
+                   "a&b": 2, "a&c": 1, "b&c": 2}
+    assert [r["key"] for r in out] == sorted(got)
