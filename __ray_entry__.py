@@ -2365,6 +2365,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                       sort_col="n_chars",
                                       metric_cols=("doc_id",))
 
+    def kn_count_of_counts(sf_dir):
+        """Kneser-Ney discount stats: bigram count-of-counts N_r,
+        r=1..8 (top row >=8) — two bounded folds, no materialized
+        count table."""
+        return text.kn_count_of_counts(_documents_ds(sf_dir),
+                                       DOCUMENTS_SPEC, cap=8)
+
+    def date_histogram_moving_pcts(sf_dir):
+        """ES moving_percentiles pipeline agg: exact trailing-7-bucket
+        nearest-rank p50/p90 over the zero-filled date histogram."""
+        from onestools_eventlog_ray.pipelines.streaming import \
+            date_histogram_moving_pcts as _mp
+        return _mp(_read_pq(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts"]), window=7, qs=(50, 90))
+
     def redact_stats(sf_dir):
         """C4-style denylist redaction: per doc (n_redacted, n_kept,
         md5 of the scrubbed text) — vectorized mask + binary_join +
@@ -3004,6 +3019,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facets": search_facets,
         "adjacency_matrix": adjacency_matrix_q,
         "top_metrics_lang": top_metrics_lang,
+        "kn_count_of_counts": kn_count_of_counts,
+        "date_histogram_moving_pcts": date_histogram_moving_pcts,
         "redact_stats": redact_stats,
         "lm_quality": lm_quality,
         "significant_terms_de": significant_terms_de,
@@ -7311,6 +7328,38 @@ FROM (SELECT lang, n_chars, doc_id,
              row_number() OVER (PARTITION BY lang
                                 ORDER BY n_chars DESC, doc_id ASC) AS rn
       FROM documents) WHERE rn = 1 ORDER BY lang""",
+
+        "kn_count_of_counts": """
+WITH tok AS (SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+       FROM documents),
+bg AS (SELECT t[g] || ' ' || t[g+1] AS bigram
+       FROM (SELECT doc_id, t,
+                    unnest(generate_series(1, len(t) - 1)) AS g FROM tok)),
+cnt AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram)
+SELECT CAST(least(n, 8) AS BIGINT) AS r,
+       CAST(count(*) AS BIGINT) AS n_bigrams
+FROM cnt GROUP BY least(n, 8) ORDER BY r""",
+
+        "date_histogram_moving_pcts": """
+WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,
+                  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+f AS (SELECT s.epoch_day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
+      FROM (SELECT unnest(generate_series((SELECT min(epoch_day) FROM d),
+                                          (SELECT max(epoch_day) FROM d)))
+              AS epoch_day) s
+      LEFT JOIN d USING (epoch_day)),
+w AS (SELECT epoch_day, n_events,
+             list_sort(list(n_events) OVER (ORDER BY epoch_day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS l
+      FROM f)
+SELECT epoch_day, n_events,
+       CAST(l[CAST(greatest(ceil(0.50 * len(l)), 1) AS BIGINT)]
+            AS BIGINT) AS p50,
+       CAST(l[CAST(greatest(ceil(0.90 * len(l)), 1) AS BIGINT)]
+            AS BIGINT) AS p90
+FROM w ORDER BY epoch_day""",
 
         "q17_small_qty_revenue": """
 WITH pruned AS (

@@ -826,3 +826,29 @@ def user_activity_percentiles(ds: ray.data.Dataset,
         out_v.append(int(vals[np.searchsorted(cum, rank)]))
     return pa.table({"pct": pa.array(out_p, pa.int64()),
                      "events_per_user": pa.array(out_v, pa.int64())})
+
+
+def date_histogram_moving_pcts(ds: ray.data.Dataset, window: int = 7,
+                               qs: tuple[int, ...] = (50, 90)) -> pa.Table:
+    """ES ``moving_percentiles`` pipeline aggregation: exact trailing
+    ``window``-bucket percentiles of the zero-filled date_histogram
+    (partial head windows included, like every ES pipeline agg).
+
+    Discrete percentile rule (pinned so the oracle can reproduce it):
+    ``p_q = sorted(window)[ceil(q/100 * len) - 1]`` — the classic
+    nearest-rank definition.  Runs on the REDUCED bucket table
+    (span-bounded, the heavy fold is :func:`date_histogram_filled`).
+    -> (epoch_day, n_events, p{q}...) ascending."""
+    base = date_histogram_filled(ds)
+    n = base["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+    out: dict[int, np.ndarray] = {q: np.zeros(n.size, dtype=np.int64)
+                                  for q in qs}
+    for i in range(n.size):
+        w = np.sort(n[max(0, i + 1 - window):i + 1])
+        for q in qs:
+            idx = max(int(np.ceil(q / 100.0 * w.size)) - 1, 0)
+            out[q][i] = w[idx]
+    cols = {"epoch_day": base["epoch_day"], "n_events": base["n_events"]}
+    for q in qs:
+        cols[f"p{q}"] = pa.array(out[q], pa.int64())
+    return pa.table(cols)

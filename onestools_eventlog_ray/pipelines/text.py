@@ -2398,3 +2398,35 @@ def source_overlap(ds: ray.data.Dataset,
         "n_common": pa.array(out["n_common"], pa.int64()),
         "jaccard_e6": pa.array(out["jaccard_e6"], pa.int64()),
     })
+
+
+def kn_count_of_counts(ds: ray.data.Dataset,
+                       spec: CorpusSpec = DOCUMENTS_SPEC,
+                       cap: int = 8) -> pa.Table:
+    """Kneser-Ney discount statistics: the bigram count-of-counts table
+    N_r = |{bigram : count(bigram) = r}| for r = 1..cap (the top row is
+    ``>= cap``), the numbers the KN/Good-Turing discounts D1/D2/D3+ are
+    estimated from (Chen & Goodman 1998 needs N_1..N_4).
+
+    Two bounded folds: :func:`bigram_stats` (vocabulary-bounded bigram
+    exchange) then a per-batch clipped histogram -> tiny (<= cap rows)
+    fold — the count table itself never materializes anywhere.
+    -> (r, n_bigrams) ascending r."""
+    counts = bigram_stats(ds, spec)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = np.minimum(n, cap)
+        keys, cnt = np.unique(r, return_counts=True)
+        return pa.table({"r": pa.array(keys, pa.int64()),
+                         "n_p": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    acc: dict[int, int] = {}
+    for b in counts.map_batches(hist, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for k, v in zip(b["r"].to_pylist(), b["n_p"].to_pylist()):
+            acc[int(k)] = acc.get(int(k), 0) + int(v)
+    rs = sorted(acc)
+    return pa.table({"r": pa.array(rs, pa.int64()),
+                     "n_bigrams": pa.array([acc[r] for r in rs],
+                                           pa.int64())})

@@ -274,3 +274,56 @@ def test_adjacency_matrix_planted(tmp_path):
     assert got == {"a": 3, "b": 3, "c": 3,
                    "a&b": 2, "a&c": 1, "b&c": 2}
     assert [r["key"] for r in out] == sorted(got)
+
+
+def _tok(text):
+    import re
+    return [t for t in re.split(r"[^a-z0-9_]+", text.lower()) if t]
+
+
+def test_kn_count_of_counts_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.text import kn_count_of_counts
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+
+    t = pq.read_table(_sf("documents"))
+    cnt = Counter()
+    for txt in t["text"].to_pylist():
+        toks = _tok(txt)
+        for a, b in zip(toks, toks[1:]):
+            cnt[(a, b)] += 1
+    want = Counter(min(n, 8) for n in cnt.values())
+
+    out = kn_count_of_counts(
+        ray.data.read_parquet(_sf("documents")), DOCUMENTS_SPEC,
+        cap=8).to_pylist()
+    assert {r["r"]: r["n_bigrams"] for r in out} == dict(want)
+    assert [r["r"] for r in out] == sorted(want)
+    assert 1 in want and want[1] > 0   # N_1 must exist for KN discounts
+
+
+def test_moving_pcts_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.streaming import \
+        date_histogram_moving_pcts
+
+    ev = pq.read_table(_sf("events"), columns=["ts"])
+    days = [int(ts.timestamp() * 1_000_000) // 86_400_000_000
+            for ts in ev["ts"].to_pylist()]
+    per_day = Counter(days)
+    lo, hi = min(per_day), max(per_day)
+    series = [per_day.get(d, 0) for d in range(lo, hi + 1)]
+
+    out = date_histogram_moving_pcts(
+        ray.data.read_parquet(_sf("events"), columns=["ts"]),
+        window=7, qs=(50, 90)).to_pylist()
+    assert len(out) == len(series)
+    for i, r in enumerate(out):
+        w = sorted(series[max(0, i - 6):i + 1])
+        assert r["epoch_day"] == lo + i
+        assert r["n_events"] == series[i]
+        for q, col in ((50, "p50"), (90, "p90")):
+            idx = max(int(np.ceil(q / 100 * len(w))) - 1, 0)
+            assert r[col] == w[idx], (i, q)
+    # p90 dominates p50 everywhere
+    assert all(r["p90"] >= r["p50"] for r in out)
