@@ -2349,10 +2349,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def adjacency_matrix_q(sf_dir):
         """ES adjacency_matrix agg: doc counts for named term filters
         and every pairwise intersection (df-bounded posting merges)."""
-        from onestools_eventlog_ray.pipelines.query import adjacency_matrix
-        return adjacency_matrix(_ensure_index(sf_dir),
-                                {"a": "spark", "b": "vector",
-                                 "c": "window"})
+        from onestools_eventlog_ray.pipelines.query import \
+            adjacency_matrix_named
+        return adjacency_matrix_named(_ensure_index(sf_dir),
+                                      {"a": "spark", "b": "vector",
+                                       "c": "window"})
 
     def top_metrics_lang(sf_dir):
         """ES top_metrics agg: per lang, the doc_id of the single
@@ -2379,6 +2380,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             date_histogram_moving_pcts as _mp
         return _mp(_read_pq(os.path.join(sf_dir, "events.parquet"),
                             columns=["ts"]), window=7, qs=(50, 90))
+
+    def tfidf_pair_mining(sf_dir):
+        """Similar-doc pair mining via rare-term occurrence lists:
+        top-20 pairs by tf-idf dot (df-capped self-join)."""
+        return text.tfidf_pair_mining(_documents_ds(sf_dir),
+                                      DOCUMENTS_SPEC, df_cap=380, k=20)
 
     def redact_stats(sf_dir):
         """C4-style denylist redaction: per doc (n_redacted, n_kept,
@@ -3021,6 +3028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_metrics_lang": top_metrics_lang,
         "kn_count_of_counts": kn_count_of_counts,
         "date_histogram_moving_pcts": date_histogram_moving_pcts,
+        "tfidf_pair_mining": tfidf_pair_mining,
         "redact_stats": redact_stats,
         "lm_quality": lm_quality,
         "significant_terms_de": significant_terms_de,
@@ -7360,6 +7368,24 @@ SELECT epoch_day, n_events,
        CAST(l[CAST(greatest(ceil(0.90 * len(l)), 1) AS BIGINT)]
             AS BIGINT) AS p90
 FROM w ORDER BY epoch_day""",
+
+        "tfidf_pair_mining": f"""
+WITH toks AS ({_TOKS}),
+n AS (SELECT count(*) AS n_docs FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+rare AS (SELECT term, df FROM df WHERE df BETWEEN 2 AND 380),
+w AS (SELECT tf.doc_id, tf.term,
+             CAST(floor(tf.tf * ln((SELECT n_docs FROM n) * 1.0 / rare.df)
+                        * 1000 + 0.5) AS BIGINT) AS w
+      FROM tf JOIN rare USING (term)),
+pairs AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+                 CAST(sum(a.w * b.w) AS BIGINT) AS dot_e6
+          FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT doc_i, doc_j, dot_e6 FROM pairs
+ORDER BY dot_e6 DESC, doc_i, doc_j LIMIT 20""",
 
         "q17_small_qty_revenue": """
 WITH pruned AS (

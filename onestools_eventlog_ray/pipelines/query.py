@@ -1857,41 +1857,38 @@ def search_pinned(eng: SearchEngine, terms: list[str],
     })
 
 
-def adjacency_matrix(index_dir: str, filters: dict[str, str]) -> pa.Table:
-    """ES ``adjacency_matrix`` aggregation: named term filters ->
-    document counts for every filter and every pairwise intersection,
-    keyed ``name`` / ``nameA&nameB`` (names in sorted order, empty
-    buckets omitted — exactly the ES response shape).
+def adjacency_matrix_named(index_dir: str,
+                           filters: dict[str, str]) -> pa.Table:
+    """ES ``adjacency_matrix`` aggregation in its RESPONSE shape: named
+    term filters -> one keyed bucket per filter (``name``) and per
+    pairwise intersection (``nameA&nameB``, names in sorted order),
+    empty buckets omitted — exactly what the ES API returns.
 
-    df-bounded like ``count_matches``: only the k named terms' postings
-    decode (shard-pruned reads, tombstones masked); intersections run
-    on sorted id arrays, O(k^2) merges of O(df) ints, never a corpus
-    pass.  At df~N swap the arrays for per-id-range bitmap partials
-    folded by range — same output, bounded memory.  -> (key, n_docs)
-    sorted by key."""
-    eng = SearchEngine(index_dir)
+    Thin reshaping layer over :func:`adjacency_matrix` (the pairwise
+    posting-intersection kernel: shard-pruned reads, sorted-array
+    merges, nothing corpus-sized).  -> (key, n_docs) sorted by key."""
     names = sorted(filters)
-    loaded = eng.load_terms([filters[n] for n in names])
-    sets: dict[str, np.ndarray] = {}
-    for n in names:
-        t = filters[n]
-        if t in loaded:
-            ids = codec.decode_posting(loaded[t][1]).doc_ids
-            if eng.deleted.size:
-                ids = ids[~np.isin(ids, eng.deleted)]
-            sets[n] = np.sort(ids)
-        else:
-            sets[n] = np.empty(0, dtype=np.int64)
+    term_name = {}
+    for n in names:                     # distinct names may share a term
+        term_name.setdefault(filters[n], []).append(n)
+    mat = adjacency_matrix(SearchEngine(index_dir),
+                           [filters[n] for n in names])
     keys, counts = [], []
-    for i, a in enumerate(names):
-        if sets[a].size:
-            keys.append(a)
-            counts.append(int(sets[a].size))
-        for b in names[i + 1:]:
-            inter = np.intersect1d(sets[a], sets[b], assume_unique=True)
-            if inter.size:
-                keys.append(f"{a}&{b}")
-                counts.append(int(inter.size))
+    for a, b, n_docs in zip(mat["key_a"].to_pylist(),
+                            mat["key_b"].to_pylist(),
+                            mat["n_docs"].to_pylist()):
+        if not n_docs:
+            continue
+        for na in term_name[a]:
+            for nb in term_name[b]:
+                if a == b and na >= nb:          # diagonal: single key
+                    if na == nb:
+                        keys.append(na)
+                        counts.append(int(n_docs))
+                    continue
+                lo, hi = sorted((na, nb))
+                keys.append(f"{lo}&{hi}")
+                counts.append(int(n_docs))
     order = np.argsort(np.asarray(keys, dtype=object))
     return pa.table({
         "key": pa.array([keys[i] for i in order], pa.string()),

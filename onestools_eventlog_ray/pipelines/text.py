@@ -2430,3 +2430,101 @@ def kn_count_of_counts(ds: ray.data.Dataset,
     return pa.table({"r": pa.array(rs, pa.int64()),
                      "n_bigrams": pa.array([acc[r] for r in rs],
                                            pa.int64())})
+
+
+def tfidf_pair_mining(ds: ray.data.Dataset,
+                      spec: CorpusSpec = DOCUMENTS_SPEC,
+                      df_cap: int = 20, k: int = 20) -> pa.Table:
+    """Similar-document pair mining through the inverted occurrence
+    lists (the index-based doc-doc similarity self-join): top-``k``
+    doc pairs by tf-idf dot product accumulated over RARE terms only
+    (2 <= df <= ``df_cap``).
+
+    The df cap is the explicit skew bound that makes the self-join
+    scale: a term of df d yields d(d-1)/2 pair partials, so capping df
+    bounds per-term work at df_cap^2 while hot terms — which carry
+    near-zero idf anyway — never enter the exchange.  Plan: one
+    :func:`term_stats` fold -> broadcast rare-term (term -> df) dict;
+    one corpus pass emits (term, doc_id, w_e3) rows with
+    ``w_e3 = floor(tf * ln(N/df) * 1e3 + 0.5)`` (int64-safe products);
+    ``groupby(term)`` emits in-term pairs; ``groupby(i, j)`` folds the
+    dot.  The rare-term dict broadcast is O(rare vocab) — at open-web
+    vocab swap it for the tagged-union term co-group (df rows union
+    triple rows, weight computed inside the group), identical output.
+    -> (doc_i, doc_j, dot_e6) by (dot desc, i, j)."""
+    import ray
+    from ray.data.aggregate import Sum as RSum
+
+    n_docs = ds.count()
+    stats = term_stats(ds, spec)
+
+    def rare_only(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(batch["df"], 2),
+                    pc.less_equal(batch["df"], df_cap))
+        t = batch.filter(m)
+        return pa.table({"term": t["term"], "df": t["df"].cast(pa.int64())})
+
+    rare = {}
+    for b in stats.map_batches(rare_only, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        rare.update(zip(b["term"].to_pylist(),
+                        (int(x) for x in b["df"].to_pylist())))
+    terms = sorted(rare)
+    ln_arr = np.log(n_docs / np.asarray([rare[t] for t in terms],
+                                        dtype=np.float64))
+    rref = ray.put((pa.array(terms, pa.string()), ln_arr))
+
+    def weights(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.analyzer import doc_term_table
+        terms_pa, ln = ray.get(rref)
+        b = add_doc_id(batch, spec)
+        triples, _ = doc_term_table(b["doc_id"], b["content"])
+        idx = pc.index_in(triples["term"], value_set=terms_pa)
+        keep = pc.is_valid(idx)
+        t = triples.filter(keep)
+        pos = idx.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.floor(tf * ln[pos] * 1_000 + 0.5).astype(np.int64)
+        return pa.table({"term": t["term"], "doc_id": t["doc_id"],
+                         "w": pa.array(w, pa.int64())})
+
+    def in_term_pairs(group: pa.Table) -> pa.Table:
+        doc = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = group["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(doc, kind="stable")
+        doc, w = doc[order], w[order]
+        n = doc.size
+        if n < 2:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "d_p": pa.array([], pa.int64())})
+        iu, ju = np.triu_indices(n, 1)
+        return pa.table({"i": pa.array(doc[iu], pa.int64()),
+                         "j": pa.array(doc[ju], pa.int64()),
+                         "d_p": pa.array(w[iu] * w[ju], pa.int64())})
+
+    dots = ds.map_batches(weights, batch_format="pyarrow") \
+        .groupby("term").map_groups(in_term_pairs,
+                                    batch_format="pyarrow") \
+        .groupby(["i", "j"]).aggregate(RSum("d_p", alias_name="dot_e6"))
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        d = batch["dot_e6"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = batch["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = batch["j"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((j, i, -d))[:k]
+        return batch.take(pa.array(order, pa.int64()))
+
+    top: list[tuple[int, int, int]] = []
+    for b in dots.map_batches(topk_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for i, j, d in zip(b["i"].to_pylist(), b["j"].to_pylist(),
+                           b["dot_e6"].to_pylist()):
+            top.append((-int(d), int(i), int(j)))
+    top.sort()
+    top = top[:k]
+    return pa.table({
+        "doc_i": pa.array([t[1] for t in top], pa.int64()),
+        "doc_j": pa.array([t[2] for t in top], pa.int64()),
+        "dot_e6": pa.array([-t[0] for t in top], pa.int64()),
+    })

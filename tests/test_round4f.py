@@ -250,7 +250,8 @@ def test_adjacency_matrix_planted(tmp_path):
     import ray
     from onestools_eventlog_ray.config import EngineConfig
     from onestools_eventlog_ray.pipelines.build import build_index
-    from onestools_eventlog_ray.pipelines.query import adjacency_matrix
+    from onestools_eventlog_ray.pipelines.query import \
+        adjacency_matrix_named
 
     docs = pa.table({
         "doc_id": pa.array(list(range(6)), pa.int64()),
@@ -266,9 +267,9 @@ def test_adjacency_matrix_planted(tmp_path):
     from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
     build_index(str(corpus), str(tmp_path / "idx"),
                 cfg=EngineConfig(num_partitions=4), spec=DOCUMENTS_SPEC)
-    out = adjacency_matrix(str(tmp_path / "idx"),
-                           {"a": "x", "b": "y", "c": "z",
-                            "d": "missing"}).to_pylist()
+    out = adjacency_matrix_named(str(tmp_path / "idx"),
+                                 {"a": "x", "b": "y", "c": "z",
+                                  "d": "missing"}).to_pylist()
     got = {r["key"]: r["n_docs"] for r in out}
     # x:3 y:3 z:3, x&y:2 x&z:1 y&z:2; 'missing' and its pairs omitted
     assert got == {"a": 3, "b": 3, "c": 3,
@@ -327,3 +328,38 @@ def test_moving_pcts_bruteforce():
             assert r[col] == w[idx], (i, q)
     # p90 dominates p50 everywhere
     assert all(r["p90"] >= r["p50"] for r in out)
+
+
+def test_tfidf_pair_mining_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.text import tfidf_pair_mining
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+
+    t = pq.read_table(_sf("documents"))
+    docs = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    n_docs = len(docs)
+    tf = {d: Counter(_tok(txt)) for d, txt in docs.items()}
+    df = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    rare = {w for w, d in df.items() if 2 <= d <= 380}
+    weights = {d: {w: int(np.floor(c[w] * np.log(n_docs / df[w]) * 1000
+                                   + 0.5))
+                   for w in c if w in rare}
+               for d, c in tf.items()}
+    dots = Counter()
+    ids = sorted(weights)
+    for a_i, a in enumerate(ids):
+        wa = weights[a]
+        if not wa:
+            continue
+        for b in ids[a_i + 1:]:
+            s = sum(wv * weights[b].get(wk, 0) for wk, wv in wa.items())
+            if s:
+                dots[(a, b)] += s
+    want = sorted(((-d, i, j) for (i, j), d in dots.items()))[:20]
+
+    out = tfidf_pair_mining(ray.data.read_parquet(_sf("documents")),
+                            DOCUMENTS_SPEC, df_cap=380, k=20).to_pylist()
+    assert [(-r["dot_e6"], r["doc_i"], r["doc_j"]) for r in out] == want
+    assert want, "no rare-term pairs at sf0.001 — test vacuous"
