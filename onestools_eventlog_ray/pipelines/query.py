@@ -1894,3 +1894,19 @@ def adjacency_matrix_named(index_dir: str,
         "key": pa.array([keys[i] for i in order], pa.string()),
         "n_docs": pa.array([counts[i] for i in order], pa.int64()),
     })
+
+
+def search_pit(index_dir: str, pit: dict, terms: list[str],
+               k: int = 10) -> list[tuple[int, float]]:
+    """ES point-in-time search: rank against the delete state pinned by
+    ``pit`` (from ``state.tombstones.open_pit``) — deletes applied
+    after the PIT opened are invisible, exactly ES PIT semantics over
+    immutable segments.  Works because shards/docstore are append-only
+    and the engine's corpus statistics are those of the BUILT index
+    either way; only the result-membership mask time-travels.  A fresh
+    engine instance is used so per-instance posting caches never mix
+    delete states."""
+    from onestools_eventlog_ray.state.tombstones import load_tombstones_at
+    eng = SearchEngine(index_dir)
+    eng.deleted = load_tombstones_at(index_dir, pit)
+    return eng.search(terms, k)

@@ -74,3 +74,39 @@ def clear_tombstones(index_dir: str) -> None:
     d = tombstone_dir(index_dir)
     if os.path.isdir(d):
         shutil.rmtree(d)
+
+
+class PitInvalidError(RuntimeError):
+    """A point-in-time snapshot references tombstone files that no
+    longer exist — compaction ran since the PIT was opened (ES returns
+    the same error for a PIT that outlives its segments)."""
+
+
+def open_pit(index_dir: str) -> dict:
+    """ES point-in-time API: snapshot the CURRENT delete state as a
+    small token.  Tombstone files are immutable and content-named, so
+    pinning the file listing pins the visible document set exactly —
+    deletes appended after the PIT opened add new files the PIT never
+    reads.  The token is a plain dict (JSON-serializable, shippable to
+    any worker)."""
+    files = sorted(os.path.basename(f) for f in glob.glob(
+        os.path.join(tombstone_dir(index_dir), "*.parquet")))
+    return {"tombstone_files": files}
+
+
+def load_tombstones_at(index_dir: str, pit: dict) -> np.ndarray:
+    """The tombstone set AS OF a PIT token (sorted unique int64).
+    Raises :class:`PitInvalidError` if compaction has dropped any
+    pinned file."""
+    names = list(pit.get("tombstone_files", ()))
+    if not names:
+        return np.empty(0, dtype=np.int64)
+    paths = [os.path.join(tombstone_dir(index_dir), n) for n in names]
+    missing = [p for p in paths if not os.path.isfile(p)]
+    if missing:
+        raise PitInvalidError(
+            f"PIT pins {len(missing)} tombstone file(s) removed by "
+            f"compaction: {[os.path.basename(m) for m in missing]}")
+    t = pq.read_table(paths, columns=["doc_id"])
+    return np.unique(t["doc_id"].to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
