@@ -1180,6 +1180,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def bm25_rank_feature(sf_dir):
+        """ES rank_feature query (saturation function) in a bool should
+        next to the text query: score = BM25(join, merge) +
+        1.5 * v / (v + 500) with v = n_chars, the feature fetched only
+        for matching docs via the range-pruned docstore read (ES reads
+        it from the _feature pseudo-postings the same way)."""
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        eng = SearchEngine(_ensure_index(sf_dir))
+        hits = eng.search_rank_feature(["join", "merge"], field="n_chars",
+                                       pivot=500.0, boost=1.5,
+                                       k=1_000_000)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
+    def rank_eval_report(sf_dir):
+        """ES _rank_eval API: three rated requests evaluated in one
+        call — precision@10 / recall@10 / MRR / binary nDCG@10 per
+        request, relevance = conjunctive containment of the request's
+        own terms (df-bounded postings intersection)."""
+        from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                            rank_eval)
+        eng = SearchEngine(_ensure_index(sf_dir))
+        return rank_eval(eng, [("join_merge", ["join", "merge"]),
+                               ("spark_window", ["spark", "window"]),
+                               ("table_vector", ["table", "vector"])])
+
     def bm25_after_delete_query(sf_dir):
         """ES _delete_by_query: tombstone every doc containing 'merge'
         (matching ids come from the postings — df-bounded, no corpus
@@ -3083,6 +3115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_win": suggest_win,
         "bm25_boosting": bm25_boosting,
         "bm25_field_factor": bm25_field_factor,
+        "bm25_rank_feature": bm25_rank_feature,
+        "rank_eval_report": rank_eval_report,
         "training_mix_report": training_mix_report,
         "bm25_after_delete_query": bm25_after_delete_query,
         "bm25_explain": bm25_explain,
@@ -3334,6 +3368,55 @@ def _bm25_filtered_sql(terms: list[str], where_sql: str, k: int = 10) -> str:
         "FROM scored\nORDER BY",
         f"FROM scored JOIN documents USING (doc_id)\nWHERE {where_sql}\n"
         "ORDER BY")
+
+
+def _rank_eval_sql(requests: list[tuple[str, list[str]]],
+                   k: int = 10) -> str:
+    """ES _rank_eval oracle: one UNION ALL branch per rated request,
+    each branch re-deriving the BM25 top-k and the conjunctive
+    relevance set, folding precision/recall/MRR/nDCG as e6 integers
+    (rank discount rounded FIRST, exactly like pipelines.query.rank_eval)."""
+    branches = []
+    for name, terms in requests:
+        uniq = sorted(set(terms))
+        in_list = ", ".join(f"'{t}'" for t in uniq)
+        branches.append(f"""
+SELECT * FROM (
+WITH toks AS ({_TOKS}),
+m AS (SELECT doc_id, count(DISTINCT term) AS c FROM toks
+      WHERE term IN ({in_list}) GROUP BY doc_id),
+rel AS (SELECT doc_id FROM m WHERE c = {len(uniq)}),
+base AS ({_bm25_sql(terms, k=k)}),
+g AS (SELECT base.rank,
+             CAST(floor(1000000.0 / log2(base.rank + 1) + 0.5) AS BIGINT)
+               AS d6,
+             (rel.doc_id IS NOT NULL) AS isrel
+      FROM base LEFT JOIN rel USING (doc_id)),
+nrel AS (SELECT count(*) AS nr FROM rel),
+nret AS (SELECT count(*) AS m FROM g),
+hh AS (SELECT coalesce(count(*) FILTER (isrel), 0) AS h FROM g),
+dcg AS (SELECT coalesce(sum(d6) FILTER (isrel), 0) AS v FROM g),
+idcg AS (SELECT coalesce(sum(d6), 0) AS v FROM g
+         WHERE rank <= least((SELECT nr FROM nrel), {k})),
+fst AS (SELECT coalesce(min(rank), 0) AS fr FROM g WHERE isrel)
+SELECT '{name}' AS query,
+       CAST((SELECT nr FROM nrel) AS BIGINT) AS n_relevant,
+       CAST((SELECT m FROM nret) AS BIGINT) AS n_retrieved,
+       CAST((SELECT h FROM hh) AS BIGINT) AS hits_at_k,
+       CAST(CASE WHEN (SELECT m FROM nret) > 0
+                 THEN (SELECT h FROM hh) * 1000000 // (SELECT m FROM nret)
+                 ELSE 0 END AS BIGINT) AS precision_e6,
+       CAST(CASE WHEN (SELECT nr FROM nrel) > 0
+                 THEN (SELECT h FROM hh) * 1000000 // (SELECT nr FROM nrel)
+                 ELSE 0 END AS BIGINT) AS recall_e6,
+       CAST(CASE WHEN (SELECT fr FROM fst) > 0
+                 THEN 1000000 // (SELECT fr FROM fst)
+                 ELSE 0 END AS BIGINT) AS mrr_e6,
+       CAST(CASE WHEN (SELECT v FROM idcg) > 0
+                 THEN (SELECT v FROM dcg) * 1000000 // (SELECT v FROM idcg)
+                 ELSE 0 END AS BIGINT) AS ndcg_e6
+)""")
+    return " UNION ALL ".join(branches) + "\nORDER BY query"
 
 
 _MF_TERMS = ["spark", "src1"]
@@ -5195,6 +5278,15 @@ FROM r WHERE rank <= 5 ORDER BY rank""",
             ["join", "merge"],
             "SELECT s.doc_id, s.score * d.n_chars AS score"
             " FROM scored0 s JOIN documents d USING (doc_id)"),
+        "bm25_rank_feature": _bm25_adjusted_sql(
+            ["join", "merge"],
+            "SELECT s.doc_id, s.score"
+            " + 1.5 * (CAST(d.n_chars AS DOUBLE) / (d.n_chars + 500.0))"
+            " AS score FROM scored0 s JOIN documents d USING (doc_id)"),
+        "rank_eval_report": _rank_eval_sql(
+            [("join_merge", ["join", "merge"]),
+             ("spark_window", ["spark", "window"]),
+             ("table_vector", ["table", "vector"])]),
 
         "training_mix_report": """
 WITH tok AS (

@@ -385,6 +385,30 @@ class SearchEngine:
         idx = topk_order(scores, ids_np, k)
         return [(int(ids_np[i]), float(scores[i])) for i in idx]
 
+    def search_rank_feature(self, terms: list[str],
+                            field: str = "n_chars",
+                            pivot: float = 500.0, boost: float = 1.5,
+                            k: int = 10) -> list[tuple[int, float]]:
+        """ES ``rank_feature`` query with the ``saturation`` function in
+        a bool ``should`` next to the text query: score = BM25 +
+        boost * v / (v + pivot) where v = doc[``field``].  Like
+        :meth:`search_function_score`, the feature value is fetched only
+        for MATCHING docs via the range-pruned stored-fields read — the
+        feature side is O(matches), never a corpus scan (ES reads it
+        from the _feature pseudo-postings the same way).  saturation is
+        one IEEE divide + add, deterministic for the oracle."""
+        hits = self.search(terms, k=1 << 62)
+        if not hits:
+            return []
+        ids = [d for d, _ in hits]
+        vals_tbl = self.fetch_docs(ids, ["doc_id", field])
+        v = vals_tbl[field].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        ids_np = np.asarray(ids, dtype=np.int64)
+        scores = (np.asarray([s for _, s in hits], dtype=np.float64)
+                  + boost * (v / (v + pivot)))
+        idx = topk_order(scores, ids_np, k)
+        return [(int(ids_np[i]), float(scores[i])) for i in idx]
+
     def more_like_this(self, doc_id: int, n_terms: int = 5,
                        k: int = 10) -> tuple[list[str],
                                              list[tuple[int, float]]]:
@@ -1747,6 +1771,69 @@ def bm25_eval(eng: SearchEngine, terms: list[str], k: int = 10) -> pa.Table:
         "first_rel_rank": pa.array([first], pa.int64()),
         "mrr_e6": pa.array([mrr], pa.int64()),
         "ndcg_e6": pa.array([ndcg], pa.int64()),
+    })
+
+
+def rank_eval(eng: SearchEngine, requests: list[tuple[str, list[str]]],
+              k: int = 10) -> pa.Table:
+    """ES ``_rank_eval`` API: evaluate a whole SET of rated requests in
+    one call — per request precision@k, recall@k, MRR and binary
+    nDCG@k.  The rating rule is deterministic: a doc is relevant iff it
+    contains ALL the request's terms (the conjunctive upper bound,
+    computed as a df-bounded postings intersection — no corpus scan),
+    while the ranking under test is the disjunctive BM25 top-k.  ES
+    runs the same template: the `requests` array each carry `ratings`,
+    the engine replays the query and folds the chosen metric.
+
+    Exact integers everywhere: the rank discount ``floor(1e6 /
+    log2(r+1) + 0.5)`` is rounded FIRST so DCG/IDCG are order-free int
+    sums; every metric is ``num * 1e6 // den``.  One row per request,
+    sorted by request name.  Each request costs O(sum df) — the whole
+    evaluation is a handful of term lookups, never a corpus pass."""
+    names = [n for n, _ in requests]
+    out = {c: [] for c in ("query", "n_relevant", "n_retrieved",
+                           "hits_at_k", "precision_e6", "recall_e6",
+                           "mrr_e6", "ndcg_e6")}
+    for name, terms in sorted(requests, key=lambda r: r[0]):
+        uniq = sorted(set(terms))
+        loaded = eng.load_terms(uniq)
+        rel = None
+        for t in uniq:
+            ids = codec.decode_posting(loaded[t][1]).doc_ids \
+                if t in loaded else np.empty(0, np.int64)
+            rel = ids if rel is None else rel[np.isin(rel, ids)]
+        rel = rel if rel is not None else np.empty(0, np.int64)
+        if eng.deleted.size:
+            rel = rel[~np.isin(rel, eng.deleted)]
+        hits = eng.search(terms, k=1 << 62)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = np.floor(np.asarray([s for _, s in hits], dtype=np.float64)
+                      * 1_000_000 + 0.5).astype(np.int64)
+        order = np.lexsort((ids, -e6))[:k]
+        top = ids[order]
+        is_rel = np.isin(top, rel)
+        n_hits = int(is_rel.sum())
+        disc_e6 = np.floor(10 ** 6 / np.log2(np.arange(1, top.size + 1) + 1)
+                           + 0.5).astype(np.int64)
+        dcg = int(disc_e6[is_rel].sum())
+        idcg = int(disc_e6[:min(int(rel.size), k)].sum())
+        first = int(np.flatnonzero(is_rel)[0]) + 1 if is_rel.any() else 0
+        out["query"].append(name)
+        out["n_relevant"].append(int(rel.size))
+        out["n_retrieved"].append(int(top.size))
+        out["hits_at_k"].append(n_hits)
+        out["precision_e6"].append(
+            n_hits * 10 ** 6 // top.size if top.size else 0)
+        out["recall_e6"].append(
+            n_hits * 10 ** 6 // int(rel.size) if rel.size else 0)
+        out["mrr_e6"].append(10 ** 6 // first if first else 0)
+        out["ndcg_e6"].append(dcg * 10 ** 6 // idcg if idcg else 0)
+    assert len(set(names)) == len(names), "request names must be unique"
+    return pa.table({
+        "query": pa.array(out["query"], pa.string()),
+        **{c: pa.array(out[c], pa.int64())
+           for c in ("n_relevant", "n_retrieved", "hits_at_k",
+                     "precision_e6", "recall_e6", "mrr_e6", "ndcg_e6")},
     })
 
 

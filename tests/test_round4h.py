@@ -1,0 +1,99 @@
+"""Round-4h brute-force tests: ES rank_feature (saturation) query and
+the _rank_eval API (precision/recall/MRR/nDCG over a rated request set).
+"""
+import os
+import re
+from math import floor, log2
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _tok(text):
+    return [t for t in re.split(r"[^a-z0-9_]+", text.lower()) if t]
+
+
+@pytest.fixture(scope="module")
+def docs_tbl():
+    return pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def index_dir():
+    import __ray_entry__ as em
+    return em._ensure_index(SF_DIR)
+
+
+def _bm25_scores(docs_tbl, terms):
+    from onestools_eventlog_ray.functions.bm25 import BruteForceBM25
+    bf = BruteForceBM25(docs_tbl["doc_id"].to_pylist(),
+                        docs_tbl["text"].to_pylist())
+    return dict(bf.search(terms, k=10**9))
+
+
+def test_rank_feature_saturation(index_dir, docs_tbl):
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    eng = SearchEngine(index_dir)
+    base = _bm25_scores(docs_tbl, ["join", "merge"])
+    nch = dict(zip(docs_tbl["doc_id"].to_pylist(),
+                   docs_tbl["n_chars"].to_pylist()))
+    want = {d: s + 1.5 * (nch[d] / (nch[d] + 500.0))
+            for d, s in base.items()}
+    got = dict(eng.search_rank_feature(["join", "merge"], field="n_chars",
+                                       pivot=500.0, boost=1.5, k=10**9))
+    assert got == pytest.approx(want)
+    # saturation is bounded by boost: feature can never add more than 1.5
+    assert all(got[d] - base[d] < 1.5 for d in got)
+    # and is monotone in the feature value
+    assert all(got[d] > base[d] for d in got)
+
+
+def test_rank_feature_no_hits(index_dir):
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    eng = SearchEngine(index_dir)
+    assert eng.search_rank_feature(["zz_no_such_term_zz"]) == []
+
+
+def test_rank_eval_bruteforce(index_dir, docs_tbl):
+    from onestools_eventlog_ray.pipelines.query import SearchEngine, \
+        rank_eval
+    eng = SearchEngine(index_dir)
+    requests = [("join_merge", ["join", "merge"]),
+                ("spark_window", ["spark", "window"])]
+    out = {r["query"]: r for r in rank_eval(eng, requests, k=10).to_pylist()}
+    assert list(out) == ["join_merge", "spark_window"]
+
+    ids = docs_tbl["doc_id"].to_pylist()
+    texts = docs_tbl["text"].to_pylist()
+    for name, terms in requests:
+        rel = {d for d, t in zip(ids, texts) if set(terms) <= set(_tok(t))}
+        scores = _bm25_scores(docs_tbl, terms)
+        e6 = {d: int(floor(s * 1e6 + 0.5)) for d, s in scores.items()}
+        top = sorted(e6, key=lambda d: (-e6[d], d))[:10]
+        hits = sum(1 for d in top if d in rel)
+        d6 = [int(floor(1e6 / log2(r + 1) + 0.5))
+              for r in range(1, len(top) + 1)]
+        dcg = sum(w for w, d in zip(d6, top) if d in rel)
+        idcg = sum(d6[:min(len(rel), 10)])
+        first = next((i + 1 for i, d in enumerate(top) if d in rel), 0)
+        r = out[name]
+        assert r["n_relevant"] == len(rel)
+        assert r["n_retrieved"] == len(top)
+        assert r["hits_at_k"] == hits
+        assert r["precision_e6"] == (hits * 10**6 // len(top) if top else 0)
+        assert r["recall_e6"] == (hits * 10**6 // len(rel) if rel else 0)
+        assert r["mrr_e6"] == (10**6 // first if first else 0)
+        assert r["ndcg_e6"] == (dcg * 10**6 // idcg if idcg else 0)
+
+
+def test_rank_eval_empty_request(index_dir):
+    from onestools_eventlog_ray.pipelines.query import SearchEngine, \
+        rank_eval
+    eng = SearchEngine(index_dir)
+    out = rank_eval(eng, [("none", ["zz_no_such_term_zz"])]).to_pylist()
+    assert out == [{"query": "none", "n_relevant": 0, "n_retrieved": 0,
+                    "hits_at_k": 0, "precision_e6": 0, "recall_e6": 0,
+                    "mrr_e6": 0, "ndcg_e6": 0}]
