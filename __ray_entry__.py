@@ -2071,6 +2071,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf = lambda t: _read_pq(os.path.join(sf_dir, f"{t}.parquet"))
         return relational.q22_idle_balances(sf("customer"), sf("orders"))
 
+    def q15_top_supplier(sf_dir):
+        """TPC-H Q15: the supplier(s) with the maximum quarter revenue
+        (ties kept) — per-supplier partial fold + one narrow groupby;
+        max-pick and name join on the supplier-cardinality result."""
+        import pyarrow.parquet as pq_
+        return relational.q15_top_supplier(
+            _read_pq(os.path.join(sf_dir, "lineitem.parquet")),
+            pq_.read_table(os.path.join(sf_dir, "supplier.parquet")))
+
+    def q12_priority_by_flag(sf_dir):
+        """TPC-H Q12 shape: high- vs low-priority lineitem counts per
+        returnflag for a two-year ship window (tagged-union co-group on
+        orderkey, pivoted per-flag count partials)."""
+        import ray.data
+        sf = lambda t: _read_pq(os.path.join(sf_dir, f"{t}.parquet"))
+        return relational.q12_priority_by_flag(sf("lineitem"), sf("orders"))
+
     def heaps_curve(sf_dir):
         """Heaps-law vocabulary growth: distinct vocab size after the
         first N docs, from one (term -> first doc) fold."""
@@ -3227,6 +3244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_customer_distribution": q13_customer_distribution,
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "q22_idle_balances": q22_idle_balances,
+        "q15_top_supplier": q15_top_supplier,
+        "q12_priority_by_flag": q12_priority_by_flag,
         "heaps_curve": heaps_curve,
         "knn_label_eval": knn_label_eval,
         "twa_by_type": twa_by_type,
@@ -4532,7 +4551,7 @@ FROM walk WHERE json_type(j) NOT IN ('OBJECT','ARRAY')
 GROUP BY path""",
 
 
-        "pii_scrub_report": """
+        "pii_scrub_report": r"""
 WITH s1 AS (SELECT doc_id, source,
         len(regexp_extract_all(text, '[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}')) AS n_email,
         regexp_replace(text, '[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS t FROM documents),
@@ -7493,6 +7512,36 @@ SELECT 'Brand#13' AS p_brand,
        CAST(coalesce(sum(pr.p_e2), 0) AS BIGINT) AS total_price_e2
 FROM pruned pr JOIN stats st ON pr.pk = st.pk
 WHERE 5 * pr.q * st.cnt < st.sum_q""",
+
+        "q15_top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey AS sk,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * CAST(floor((1.0 - l_discount) * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS total_revenue_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+       r.total_revenue_e4
+FROM rev r JOIN supplier s ON s.s_suppkey = r.sk
+WHERE r.total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)
+ORDER BY s_suppkey""",
+
+        "q12_priority_by_flag": """
+SELECT l.l_returnflag,
+       CAST(coalesce(sum(CASE WHEN o.o_orderpriority IN
+                                   ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS high_line_count,
+       CAST(coalesce(sum(CASE WHEN o.o_orderpriority NOT IN
+                                   ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE year(l.l_shipdate) BETWEEN 1996 AND 1997
+GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
 
         "q22_idle_balances": """
 WITH bal AS (SELECT c_custkey, c_nationkey,

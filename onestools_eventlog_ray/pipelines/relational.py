@@ -4045,3 +4045,136 @@ def top_metrics(ds: ray.data.Dataset, by: str = "lang",
         return pa.array([int(v) for v in vals], pa.int64())
 
     return pa.table({c: _typed(c) for c in cols})
+
+
+def q15_top_supplier(lineitem: ray.data.Dataset, supplier: pa.Table,
+                     date_lo: str = "1996-01-01",
+                     date_hi: str = "1996-04-01") -> pa.Table:
+    """TPC-H-Q15-shaped top supplier: the supplier(s) with the MAXIMUM
+    total revenue over a ship-date quarter (ties all kept, like the
+    view-based original).  One distributed pass: per-batch partials
+    pre-aggregate revenue by ``l_suppkey`` (np.add.at fold), ONE
+    groupby over supplier-cardinality narrow rows, and the max-pick +
+    name join happen on the per-supplier result — the small side of
+    every TPC-H schema (suppliers = docs/10^4; at 10^12 lineitems the
+    shuffled rows are still only O(n_suppliers x n_blocks) partials).
+
+    Revenue exact e4 (price e2 x (1-disc) e2, reference Q1/Q5 house
+    convention).  -> (s_suppkey, s_name, total_revenue_e4) for the max
+    revenue, ordered by s_suppkey."""
+    lo = np.datetime64(date_lo).astype("datetime64[D]").astype(np.int64)
+    hi = np.datetime64(date_hi).astype("datetime64[D]").astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch["l_shipdate"].cast(pa.date32()) \
+            .to_numpy(zero_copy_only=False).astype("datetime64[D]") \
+            .astype(np.int64)
+        m = (day >= lo) & (day < hi)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[m]
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)[m]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)[m]
+        rev = (np.floor(price * 100 + 0.5).astype(np.int64)
+               * np.floor((1.0 - disc) * 100 + 0.5).astype(np.int64))
+        keys, inv = np.unique(sk, return_inverse=True)
+        tot = np.zeros(keys.size, dtype=np.int64)
+        np.add.at(tot, inv, rev)
+        return pa.table({"key": pa.array(keys, pa.int64()),
+                         "rev": pa.array(tot, pa.int64())})
+
+    per_supp = lineitem.select_columns(
+        ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("key").aggregate(Sum("rev", alias_name="total_revenue_e4"))
+
+    rows = per_supp.take_all()            # supplier-cardinality result
+    if not rows:
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "total_revenue_e4": pa.array([], pa.int64())})
+    best = max(int(r["total_revenue_e4"]) for r in rows)
+    names = {int(r["s_suppkey"]): r["s_name"] for r in supplier.to_pylist()}
+    top = sorted(int(r["key"]) for r in rows
+                 if int(r["total_revenue_e4"]) == best)
+    return pa.table({
+        "s_suppkey": pa.array(top, pa.int64()),
+        "s_name": pa.array([names[k] for k in top], pa.string()),
+        "total_revenue_e4": pa.array([best] * len(top), pa.int64()),
+    })
+
+
+def q12_priority_by_flag(lineitem: ray.data.Dataset,
+                         orders: ray.data.Dataset,
+                         year_lo: int = 1996,
+                         year_hi: int = 1997) -> pa.Table:
+    """TPC-H-Q12-shaped priority split: for lineitems shipped inside a
+    year window, how many belong to HIGH-priority orders (1-URGENT /
+    2-HIGH) vs low, per ``l_returnflag`` (standing in for the
+    reference's l_shipmode, absent from this corpus).  The Q12 plan
+    shape is preserved exactly: the orders->lineitem equi-join is the
+    q7/q13 tagged union — orders rows carry an ``is_high`` marker,
+    lineitem partials pivot per-flag counts into columns, ONE
+    groupby(orderkey) over narrow int64 rows co-groups them, and the
+    conditional count is a vectorized post-fold.  Nothing wide ever
+    shuffles.  -> (l_returnflag, high_line_count, low_line_count)
+    ordered by flag."""
+    flags = ["A", "N", "R"]
+    cnt_cols = [f"c_{f}" for f in flags]
+
+    def proj_orders(batch: pa.Table) -> pa.Table:
+        pri = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        hi = np.asarray([p.startswith(("1-", "2-")) for p in pri],
+                        dtype=np.int64)
+        cols = {"key": batch["o_orderkey"].cast(pa.int64()),
+                "is_high": pa.array(hi, pa.int64())}
+        for c in cnt_cols:
+            cols[c] = pa.array(np.zeros(batch.num_rows, np.int64))
+        return pa.table(cols)
+
+    def proj_line(batch: pa.Table) -> pa.Table:
+        yr = pc.year(batch["l_shipdate"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = (yr >= year_lo) & (yr <= year_hi)
+        t = batch.filter(pa.array(m))
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fl = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        slot = np.full(fl.size, -1, dtype=np.int64)
+        for j, f in enumerate(flags):
+            slot[fl == f] = j
+        keep = slot >= 0
+        ok, slot = ok[keep], slot[keep]
+        keys, inv = np.unique(ok, return_inverse=True)
+        pivot = np.zeros((keys.size, len(flags)), dtype=np.int64)
+        np.add.at(pivot, (inv, slot), 1)
+        cols = {"key": pa.array(keys, pa.int64()),
+                "is_high": pa.nulls(keys.size, pa.int64())}
+        for j, c in enumerate(cnt_cols):
+            cols[c] = pa.array(pivot[:, j], pa.int64())
+        return pa.table(cols)
+
+    tagged = orders.select_columns(["o_orderkey", "o_orderpriority"]) \
+        .map_batches(proj_orders, batch_format="pyarrow") \
+        .union(lineitem.select_columns(
+            ["l_orderkey", "l_shipdate", "l_returnflag"])
+            .map_batches(proj_line, batch_format="pyarrow"))
+    agg = tagged.groupby("key").aggregate(
+        Max("is_high", alias_name="is_high"),
+        *[Sum(c, alias_name=c) for c in cnt_cols])
+
+    hi_acc = np.zeros(len(flags), dtype=np.int64)
+    lo_acc = np.zeros(len(flags), dtype=np.int64)
+    for b in agg.iter_batches(batch_format="pyarrow", batch_size=None):
+        ih = b["is_high"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for j, c in enumerate(cnt_cols):
+            v = b[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            hi_acc[j] += int(v[ih == 1].sum())
+            lo_acc[j] += int(v[ih == 0].sum())
+    nz = (hi_acc + lo_acc) > 0          # SQL GROUP BY emits no empty group
+    return pa.table({
+        "l_returnflag": pa.array([f for f, k in zip(flags, nz) if k],
+                                 pa.string()),
+        "high_line_count": pa.array(hi_acc[nz], pa.int64()),
+        "low_line_count": pa.array(lo_acc[nz], pa.int64()),
+    })

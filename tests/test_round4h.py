@@ -97,3 +97,58 @@ def test_rank_eval_empty_request(index_dir):
     assert out == [{"query": "none", "n_relevant": 0, "n_retrieved": 0,
                     "hits_at_k": 0, "precision_e6": 0, "recall_e6": 0,
                     "mrr_e6": 0, "ndcg_e6": 0}]
+
+
+def test_q15_top_supplier_bruteforce():
+    import duckdb
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import q15_top_supplier
+    li = ray.data.read_parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    sup = pq.read_table(os.path.join(SF_DIR, "supplier.parquet"))
+    got = q15_top_supplier(li, sup).to_pylist()
+    con = duckdb.connect()
+    con.register("lineitem", pq.read_table(
+        os.path.join(SF_DIR, "lineitem.parquet")))
+    con.register("supplier", sup)
+    want = con.sql("""
+        WITH rev AS (
+          SELECT l_suppkey AS sk,
+                 sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * CAST(floor((1.0 - l_discount) * 100 + 0.5)
+                            AS BIGINT)) AS r
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY sk)
+        SELECT s.s_suppkey, s.s_name, r.r FROM rev r
+        JOIN supplier s ON s.s_suppkey = r.sk
+        WHERE r.r = (SELECT max(r) FROM rev) ORDER BY s.s_suppkey
+    """).fetchall()
+    assert [(r["s_suppkey"], r["s_name"], r["total_revenue_e4"])
+            for r in got] == [(int(a), b, int(c)) for a, b, c in want]
+
+
+def test_q12_priority_by_flag_bruteforce():
+    import duckdb
+    import ray.data
+    from onestools_eventlog_ray.pipelines.relational import \
+        q12_priority_by_flag
+    li = ray.data.read_parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    od = ray.data.read_parquet(os.path.join(SF_DIR, "orders.parquet"))
+    got = q12_priority_by_flag(li, od).to_pylist()
+    con = duckdb.connect()
+    con.register("lineitem", pq.read_table(
+        os.path.join(SF_DIR, "lineitem.parquet")))
+    con.register("orders", pq.read_table(
+        os.path.join(SF_DIR, "orders.parquet")))
+    want = con.sql("""
+        SELECT l.l_returnflag,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS hi,
+               sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS lo
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE year(l.l_shipdate) BETWEEN 1996 AND 1997
+        GROUP BY 1 ORDER BY 1
+    """).fetchall()
+    assert [(r["l_returnflag"], r["high_line_count"], r["low_line_count"])
+            for r in got] == [(f, int(h), int(l)) for f, h, l in want]
