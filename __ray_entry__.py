@@ -1200,6 +1200,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def bm25_distance_feature(sf_dir):
+        """ES distance_feature query (recency-boost shape): score =
+        BM25(join, merge) + 2 * 500 / (500 + |n_chars - 1000|) — docs
+        near the origin length rank up; feature fetched only for
+        matching docs (O(matches) stored-fields read)."""
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        eng = SearchEngine(_ensure_index(sf_dir))
+        hits = eng.search_distance_feature(
+            ["join", "merge"], field="n_chars", origin=1000.0,
+            pivot=500.0, boost=2.0, k=1_000_000)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
     def rank_eval_report(sf_dir):
         """ES _rank_eval API: three rated requests evaluated in one
         call — precision@10 / recall@10 / MRR / binary nDCG@10 per
@@ -2087,6 +2106,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
         sf = lambda t: _read_pq(os.path.join(sf_dir, f"{t}.parquet"))
         return relational.q12_priority_by_flag(sf("lineitem"), sf("orders"))
+
+    def categorize_text_topk(sf_dir):
+        """ES categorize_text aggregation (deterministic): docs grouped
+        by message template (lowercase, digit runs -> '#', first 6
+        tokens), top 15 categories — the log-template / boilerplate-spam
+        miner."""
+        return text.categorize_text(_documents_ds(sf_dir))
+
+    def value_ttest_report(sf_dir):
+        """ES t_test aggregation (Welch): purchase vs click mean value —
+        per-side n/mean plus t statistic and Satterthwaite df, from
+        exact e3-quantized integer moments (one shuffle-free pass)."""
+        return relational.value_ttest(
+            _read_pq(os.path.join(sf_dir, "events.parquet"),
+                     columns=["event_type", "value"]))
 
     def heaps_curve(sf_dir):
         """Heaps-law vocabulary growth: distinct vocab size after the
@@ -3133,6 +3167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boosting": bm25_boosting,
         "bm25_field_factor": bm25_field_factor,
         "bm25_rank_feature": bm25_rank_feature,
+        "bm25_distance_feature": bm25_distance_feature,
         "rank_eval_report": rank_eval_report,
         "training_mix_report": training_mix_report,
         "bm25_after_delete_query": bm25_after_delete_query,
@@ -3246,6 +3281,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_idle_balances": q22_idle_balances,
         "q15_top_supplier": q15_top_supplier,
         "q12_priority_by_flag": q12_priority_by_flag,
+        "categorize_text_topk": categorize_text_topk,
+        "value_ttest_report": value_ttest_report,
         "heaps_curve": heaps_curve,
         "knn_label_eval": knn_label_eval,
         "twa_by_type": twa_by_type,
@@ -5301,6 +5338,11 @@ FROM r WHERE rank <= 5 ORDER BY rank""",
             ["join", "merge"],
             "SELECT s.doc_id, s.score"
             " + 1.5 * (CAST(d.n_chars AS DOUBLE) / (d.n_chars + 500.0))"
+            " AS score FROM scored0 s JOIN documents d USING (doc_id)"),
+        "bm25_distance_feature": _bm25_adjusted_sql(
+            ["join", "merge"],
+            "SELECT s.doc_id, s.score"
+            " + 2.0 * (500.0 / (500.0 + abs(d.n_chars - 1000.0)))"
             " AS score FROM scored0 s JOIN documents d USING (doc_id)"),
         "rank_eval_report": _rank_eval_sql(
             [("join_merge", ["join", "merge"]),
@@ -7542,6 +7584,51 @@ SELECT l.l_returnflag,
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 WHERE year(l.l_shipdate) BETWEEN 1996 AND 1997
 GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
+
+        "categorize_text_topk": """
+WITH tpl AS (
+  SELECT doc_id,
+         array_to_string(
+           list_filter(string_split_regex(
+             regexp_replace(lower(text), '[0-9]+', '#', 'g'),
+             '[^a-z_#]+'), x -> x <> '')[1:6], ' ') AS template
+  FROM documents),
+g AS (SELECT template, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(min(doc_id) AS BIGINT) AS example_doc_id
+      FROM tpl GROUP BY template)
+SELECT template, n_docs, example_doc_id
+FROM g ORDER BY n_docs DESC, template ASC LIMIT 15""",
+
+        "value_ttest_report": """
+WITH q AS (SELECT event_type,
+                  CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v3
+           FROM events),
+m AS (SELECT
+        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS na,
+        sum(CASE WHEN event_type = 'purchase' THEN v3 ELSE 0 END) AS sa,
+        sum(CASE WHEN event_type = 'purchase' THEN v3 * v3 ELSE 0 END) AS qa,
+        sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nb,
+        sum(CASE WHEN event_type = 'click' THEN v3 ELSE 0 END) AS sb,
+        sum(CASE WHEN event_type = 'click' THEN v3 * v3 ELSE 0 END) AS qb
+      FROM q),
+f AS (SELECT na, nb, sa, sb,
+             CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS m1,
+             CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS m2,
+             CAST(na * qa - sa * sa AS DOUBLE)
+               / CAST(na * (na - 1) AS DOUBLE) / na AS se1,
+             CAST(nb * qb - sb * sb AS DOUBLE)
+               / CAST(nb * (nb - 1) AS DOUBLE) / nb AS se2
+      FROM m)
+SELECT 'purchase' AS type_a, 'click' AS type_b,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(sa * 1000 // na AS BIGINT) AS mean_a_e6,
+       CAST(sb * 1000 // nb AS BIGINT) AS mean_b_e6,
+       CAST(floor((m1 - m2) / sqrt(se1 + se2) * 1000000 + 0.5) AS BIGINT)
+         AS t_e6,
+       CAST(floor((se1 + se2) * (se1 + se2)
+                  / (se1 * se1 / (na - 1) + se2 * se2 / (nb - 1))
+                  * 1000000 + 0.5) AS BIGINT) AS df_e6
+FROM f""",
 
         "q22_idle_balances": """
 WITH bal AS (SELECT c_custkey, c_nationkey,

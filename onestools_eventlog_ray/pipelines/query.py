@@ -409,6 +409,31 @@ class SearchEngine:
         idx = topk_order(scores, ids_np, k)
         return [(int(ids_np[i]), float(scores[i])) for i in idx]
 
+    def search_distance_feature(self, terms: list[str],
+                                field: str = "n_chars",
+                                origin: float = 1000.0,
+                                pivot: float = 500.0, boost: float = 2.0,
+                                k: int = 10) -> list[tuple[int, float]]:
+        """ES ``distance_feature`` query in a bool ``should`` next to
+        the text query: score = BM25 + boost * pivot / (pivot +
+        |v - origin|) where v = doc[``field``] — boosts docs whose
+        numeric/date field sits NEAR an origin (recency boost is the
+        canonical use).  Feature values are fetched only for MATCHING
+        docs via the range-pruned stored-fields read, O(matches) like
+        :meth:`search_rank_feature`; the decay is one abs + divide,
+        deterministic for the oracle."""
+        hits = self.search(terms, k=1 << 62)
+        if not hits:
+            return []
+        ids = [d for d, _ in hits]
+        vals_tbl = self.fetch_docs(ids, ["doc_id", field])
+        v = vals_tbl[field].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        ids_np = np.asarray(ids, dtype=np.int64)
+        scores = (np.asarray([s for _, s in hits], dtype=np.float64)
+                  + boost * (pivot / (pivot + np.abs(v - origin))))
+        idx = topk_order(scores, ids_np, k)
+        return [(int(ids_np[i]), float(scores[i])) for i in idx]
+
     def more_like_this(self, doc_id: int, n_terms: int = 5,
                        k: int = 10) -> tuple[list[str],
                                              list[tuple[int, float]]]:

@@ -4178,3 +4178,70 @@ def q12_priority_by_flag(lineitem: ray.data.Dataset,
         "high_line_count": pa.array(hi_acc[nz], pa.int64()),
         "low_line_count": pa.array(lo_acc[nz], pa.int64()),
     })
+
+
+def value_ttest(events: ray.data.Dataset, type_a: str = "purchase",
+                type_b: str = "click") -> pa.Table:
+    """ES ``t_test`` aggregation (heteroscedastic / Welch): is the mean
+    ``value`` of one event type significantly different from another's?
+    Returns the full inference row — per-side n / mean, Welch t
+    statistic and the Satterthwaite degrees of freedom — as e6
+    integers.
+
+    Exact mergeable partials: each batch folds (n, sum, sum_sq) per
+    side with values quantized e3 FIRST (int64-safe to ~10^7 rows at
+    |value|<=10^3; swap to e2 or per-partition hugeint folds beyond),
+    so the distributed sum is order-free; the float t/df math runs once
+    on the driver from the exact integer moments, mirrored verbatim by
+    the SQL oracle.  One streaming pass, no shuffle at all — the fold
+    output is a single 6-int row per batch."""
+    cols = ["n_a", "s_a", "q_a", "n_b", "s_b", "q_b"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        v3 = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                      .astype(np.float64) * 1_000 + 0.5).astype(np.int64)
+        out = []
+        for t in (type_a, type_b):
+            m = et == t
+            x = v3[m]
+            out += [int(m.sum()), int(x.sum()), int((x * x).sum())]
+        return pa.table({c: pa.array([out[i]], pa.int64())
+                         for i, c in enumerate(cols)})
+
+    acc = dict.fromkeys(cols, 0)
+    for b in events.select_columns(["event_type", "value"]) \
+            .map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for c in cols:
+            acc[c] += int(pc.sum(b[c]).as_py() or 0)
+
+    na, sa, qa = acc["n_a"], acc["s_a"], acc["q_a"]
+    nb, sb, qb = acc["n_b"], acc["s_b"], acc["q_b"]
+    if na < 2 or nb < 2:
+        t_e6 = df_e6 = 0
+    else:
+        # float chain written as cast-to-double-then-divide so the SQL
+        # oracle (CAST(x AS DOUBLE) / y) is bit-identical even when the
+        # integer moments exceed 2^53
+        m1 = float(sa) / float(na)
+        m2 = float(sb) / float(nb)
+        v1 = float(na * qa - sa * sa) / float(na * (na - 1))
+        v2 = float(nb * qb - sb * sb) / float(nb * (nb - 1))
+        se1 = v1 / na
+        se2 = v2 / nb
+        t = (m1 - m2) / np.sqrt(se1 + se2)
+        df = ((se1 + se2) * (se1 + se2)
+              / (se1 * se1 / (na - 1) + se2 * se2 / (nb - 1)))
+        t_e6 = int(np.floor(t * 1_000_000 + 0.5))
+        df_e6 = int(np.floor(df * 1_000_000 + 0.5))
+    return pa.table({
+        "type_a": pa.array([type_a], pa.string()),
+        "type_b": pa.array([type_b], pa.string()),
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "mean_a_e6": pa.array([sa * 1_000 // na if na else 0], pa.int64()),
+        "mean_b_e6": pa.array([sb * 1_000 // nb if nb else 0], pa.int64()),
+        "t_e6": pa.array([t_e6], pa.int64()),
+        "df_e6": pa.array([df_e6], pa.int64()),
+    })

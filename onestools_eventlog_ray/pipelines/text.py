@@ -2528,3 +2528,77 @@ def tfidf_pair_mining(ds: ray.data.Dataset,
         "doc_j": pa.array([t[2] for t in top], pa.int64()),
         "dot_e6": pa.array([-t[0] for t in top], pa.int64()),
     })
+
+
+def categorize_text(ds: ray.data.Dataset, spec: CorpusSpec = DOCUMENTS_SPEC,
+                    n_tokens: int = 6, k: int = 15) -> pa.Table:
+    """ES ``categorize_text`` aggregation, deterministic flavor: group
+    documents by their MESSAGE TEMPLATE — lowercase, digit runs
+    collapsed to ``#``, first ``n_tokens`` tokens joined — and return
+    the ``k`` largest categories.  The log-template mining every
+    observability stack runs (and the template-spam detector an
+    LLM-data pipeline runs over web text: giant categories = generated
+    boilerplate).
+
+    Fully vectorized: Arrow regex kernels normalize, a numpy
+    offsets fold keeps the first ``n_tokens`` non-empty tokens per doc,
+    ``pc.binary_join`` re-joins — no Python row loop.  Per-batch Arrow
+    group_by partials -> ONE groupby over (template) narrow rows ->
+    per-block top-k partials -> driver merges <= k x n_blocks rows
+    (never the full category table).  -> (template, n_docs,
+    example_doc_id = min) ordered by n_docs desc, template asc."""
+    from ray.data.aggregate import Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = add_doc_id(batch, spec)      # -> (doc_id, content)
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(batch["content"]), "[0-9]+", "#")
+        toks = pc.split_pattern_regex(norm, "[^a-z_#]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        lens = np.asarray(toks.value_lengths(), dtype=np.int64)
+        parents = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        keep = flat != ""
+        p, f = parents[keep], flat[keep]
+        # rank within parent, vectorized: index - start_of_parent_run
+        if p.size:
+            starts = np.flatnonzero(np.r_[True, np.diff(p) != 0])
+            runs = np.diff(np.r_[starts, p.size])
+            rank = np.arange(p.size) - np.repeat(starts, runs)
+            keep2 = rank < n_tokens
+            p, f = p[keep2], f[keep2]
+        counts = np.zeros(lens.size, dtype=np.int64)
+        if p.size:
+            np.add.at(counts, p, 1)
+        offsets = np.r_[0, np.cumsum(counts)]
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(f, pa.string()))
+        tpl = pc.binary_join(lists, " ")
+        t = pa.table({"template": tpl, "doc_id": batch["doc_id"]})
+        g = t.group_by("template").aggregate(
+            [("doc_id", "count"), ("doc_id", "min")])
+        return g.rename_columns(["template", "n_p", "ex_p"])
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("template").aggregate(
+            Sum("n_p", alias_name="n_docs"),
+            Min("ex_p", alias_name="example_doc_id"))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        n = t["n_docs"].to_numpy(zero_copy_only=False)
+        tpl = t["template"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((tpl, -n))[:k]
+        return t.take(pa.array(np.sort(idx), pa.int64()))
+
+    rows = folded.map_batches(block_topk, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (-int(r["n_docs"]), r["template"]))
+    rows = rows[:k]
+    return pa.table({
+        "template": pa.array([r["template"] for r in rows], pa.string()),
+        "n_docs": pa.array([int(r["n_docs"]) for r in rows], pa.int64()),
+        "example_doc_id": pa.array([int(r["example_doc_id"]) for r in rows],
+                                   pa.int64()),
+    })

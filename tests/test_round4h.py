@@ -6,6 +6,7 @@ import re
 from math import floor, log2
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -152,3 +153,86 @@ def test_q12_priority_by_flag_bruteforce():
     """).fetchall()
     assert [(r["l_returnflag"], r["high_line_count"], r["low_line_count"])
             for r in got] == [(f, int(h), int(l)) for f, h, l in want]
+
+
+def test_distance_feature_decay(index_dir, docs_tbl):
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    eng = SearchEngine(index_dir)
+    base = _bm25_scores(docs_tbl, ["join", "merge"])
+    nch = dict(zip(docs_tbl["doc_id"].to_pylist(),
+                   docs_tbl["n_chars"].to_pylist()))
+    want = {d: s + 2.0 * (500.0 / (500.0 + abs(nch[d] - 1000.0)))
+            for d, s in base.items()}
+    got = dict(eng.search_distance_feature(
+        ["join", "merge"], field="n_chars", origin=1000.0,
+        pivot=500.0, boost=2.0, k=10**9))
+    assert got == pytest.approx(want)
+    # decay peaks at the origin: boost contribution bounded by `boost`
+    assert all(0.0 < got[d] - base[d] <= 2.0 for d in got)
+
+
+def test_categorize_text_bruteforce(docs_tbl):
+    import ray.data
+    from collections import Counter
+    from onestools_eventlog_ray.pipelines.text import categorize_text
+    out = categorize_text(ray.data.from_arrow(docs_tbl),
+                          n_tokens=4, k=8).to_pylist()
+    tpl_of = {}
+    for d, t in zip(docs_tbl["doc_id"].to_pylist(),
+                    docs_tbl["text"].to_pylist()):
+        norm = re.sub(r"[0-9]+", "#", t.lower())
+        toks = [x for x in re.split(r"[^a-z_#]+", norm) if x][:4]
+        tpl_of[d] = " ".join(toks)
+    cnt = Counter(tpl_of.values())
+    examples = {}
+    for d, tp in tpl_of.items():
+        examples[tp] = min(examples.get(tp, d), d)
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    assert [(r["template"], r["n_docs"], r["example_doc_id"])
+            for r in out] == [(tp, n, examples[tp]) for tp, n in want]
+
+
+def test_categorize_text_digit_collapse():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.text import categorize_text
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["Error 404 at line 23", "Error 500 at line 7",
+                          "all good here"]),
+        "lang": pa.array(["en"] * 3), "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([20, 20, 13], pa.int64()),
+    })
+    out = categorize_text(ray.data.from_arrow(docs), n_tokens=6,
+                          k=5).to_pylist()
+    assert out[0] == {"template": "error # at line #", "n_docs": 2,
+                      "example_doc_id": 1}
+
+
+def test_value_ttest_bruteforce():
+    import ray.data
+    from math import floor, sqrt
+    from onestools_eventlog_ray.pipelines.relational import value_ttest
+    tbl = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                        columns=["event_type", "value"])
+    out = value_ttest(ray.data.from_arrow(tbl)).to_pylist()[0]
+    et = tbl["event_type"].to_pylist()
+    v3 = [int(floor(v * 1000 + 0.5)) for v in tbl["value"].to_pylist()]
+    sides = {}
+    for name in ("purchase", "click"):
+        xs = [x for e, x in zip(et, v3) if e == name]
+        n, s, q = len(xs), sum(xs), sum(x * x for x in xs)
+        sides[name] = (n, s, q)
+    (na, sa, qa), (nb, sb, qb) = sides["purchase"], sides["click"]
+    m1, m2 = sa / na, sb / nb
+    se1 = float(na * qa - sa * sa) / float(na * (na - 1)) / na
+    se2 = float(nb * qb - sb * sb) / float(nb * (nb - 1)) / nb
+    t = (m1 - m2) / sqrt(se1 + se2)
+    df = ((se1 + se2) * (se1 + se2)
+          / (se1 * se1 / (na - 1) + se2 * se2 / (nb - 1)))
+    assert out["n_a"] == na and out["n_b"] == nb
+    assert out["mean_a_e6"] == sa * 1000 // na
+    assert out["mean_b_e6"] == sb * 1000 // nb
+    assert out["t_e6"] == int(floor(t * 1e6 + 0.5))
+    assert out["df_e6"] == int(floor(df * 1e6 + 0.5))
+    # sanity: Welch df between min(n)-1 and na+nb-2
+    assert min(na, nb) - 1 <= out["df_e6"] / 1e6 <= na + nb - 2
