@@ -875,6 +875,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def bm25_combined_fields(sf_dir):
+        """ES combined_fields query (term-centric BM25F): per-field
+        tf/dl fused by the field weights into one pseudo-field BEFORE a
+        single BM25 pass; df = docs matching in ANY field.  The third
+        multi-field semantics next to weighted-sum and best_fields."""
+        from onestools_eventlog_ray.config import EngineConfig
+        from onestools_eventlog_ray.pipelines.multifield import (
+            MultiFieldEngine, build_multifield_index,
+            search_combined_fields)
+        root = _index_dir_for(sf_dir) + "_mf"
+        build_multifield_index(os.path.join(sf_dir, "documents.parquet"),
+                               root, list(_MF_BOOSTS),
+                               cfg=EngineConfig(num_partitions=8))
+        eng = MultiFieldEngine(root, _MF_BOOSTS)
+        hits = search_combined_fields(eng, _MF_TERMS, k=1_000_000)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
     def phrase_search(sf_dir):
         """Exact phrase matching over the positional sidecar index
         (doc_id, n_matches) — the ES match_phrase capability."""
@@ -3065,6 +3089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": bm25_topk_filtered,
         "bm25_after_delete": bm25_after_delete,
         "bm25_multifield": bm25_multifield,
+        "bm25_combined_fields": bm25_combined_fields,
         "phrase_search": phrase_search,
         "knn_cosine_ivf": knn_cosine_ivf,
         "orders_by_nation": orders_by_nation,
@@ -3509,6 +3534,65 @@ scored_{f} AS (
   GROUP BY tf.doc_id)"""
 
 
+def _bm25_combined_sql(terms: list[str], boosts: dict[str, float],
+                       k: int = 10) -> str:
+    """ES combined_fields oracle (term-centric BM25F): per-field
+    tf/dl/avgdl fused with the field weights BEFORE a single BM25 pass;
+    df = distinct docs containing the term in ANY field.  Field fold
+    order = sorted fields, mirroring search_combined_fields."""
+    fields = sorted(boosts)
+    a, b = fields
+    wa, wb = boosts[a], boosts[b]
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    per_field = []
+    for f in fields:
+        per_field.append(f"""
+toks_{f} AS (SELECT doc_id, unnest(list_filter(string_split_regex(
+               lower({f}), '[^a-z0-9_]+'), x -> x <> '')) AS term
+             FROM documents),
+stats_{f} AS (SELECT (SELECT count(*) FROM toks_{f}) * 1.0
+                / (SELECT count(*) FROM documents) AS avgdl),
+dl_{f} AS (SELECT doc_id, count(*) AS dl FROM toks_{f} GROUP BY doc_id),
+tf_{f} AS (SELECT doc_id, term, count(*) AS tf FROM toks_{f}
+           WHERE term IN ({in_list}) GROUP BY doc_id, term)""")
+    ctes = ",".join(per_field)
+    return f"""
+WITH {ctes},
+nn AS (SELECT count(*) AS n_docs FROM documents),
+cand AS (SELECT doc_id, term FROM tf_{a}
+         UNION SELECT doc_id, term FROM tf_{b}),
+dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM cand GROUP BY term),
+dlc AS (SELECT d.doc_id,
+               {wa} * coalesce(da.dl, 0) + {wb} * coalesce(db.dl, 0) AS dl
+        FROM (SELECT DISTINCT doc_id FROM cand) d
+        LEFT JOIN dl_{a} da USING (doc_id)
+        LEFT JOIN dl_{b} db USING (doc_id)),
+tfc AS (SELECT c.doc_id, c.term,
+               {wa} * coalesce(ta.tf, 0) + {wb} * coalesce(tb.tf, 0) AS tf
+        FROM cand c
+        LEFT JOIN tf_{a} ta ON ta.doc_id = c.doc_id AND ta.term = c.term
+        LEFT JOIN tf_{b} tb ON tb.doc_id = c.doc_id AND tb.term = c.term),
+avgc AS (SELECT {wa} * (SELECT avgdl FROM stats_{a})
+                + {wb} * (SELECT avgdl FROM stats_{b}) AS a),
+scored AS (
+  SELECT tfc.doc_id,
+         sum( ln(1 + ((SELECT n_docs FROM nn) - dfc.df + 0.5)
+                     / (dfc.df + 0.5))
+              * tfc.tf * 2.2
+              / (tfc.tf + 1.2 * (0.25 + 0.75 * dlc.dl
+                                 / (SELECT a FROM avgc))) ) AS score
+  FROM tfc JOIN dfc USING (term) JOIN dlc USING (doc_id)
+  GROUP BY tfc.doc_id)
+SELECT CAST(row_number() OVER (
+         ORDER BY CAST(floor(score * 1000000 + 0.5) AS BIGINT) DESC,
+                  doc_id ASC) AS BIGINT) AS rank,
+       doc_id,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6
+FROM scored
+ORDER BY score_e6 DESC, doc_id ASC
+LIMIT {k}"""
+
+
 def _bm25_multifield_sql(terms: list[str], boosts: dict[str, float],
                          k: int = 10) -> str:
     fields = sorted(boosts)
@@ -3875,6 +3959,7 @@ LIMIT 10""",
         "bm25_after_delete": _bm25_filtered_sql(_BM25_TERMS,
                                                 "doc_id % 7 >= 2"),
         "bm25_multifield": _bm25_multifield_sql(_MF_TERMS, _MF_BOOSTS),
+        "bm25_combined_fields": _bm25_combined_sql(_MF_TERMS, _MF_BOOSTS),
 
         "minhash_lsh_groups": f"""
 WITH {_minhash_cte()}

@@ -119,3 +119,96 @@ def search_best_fields(eng: MultiFieldEngine, terms: list[str],
     scores = maxs + tie_breaker * (sums - maxs)
     idx = topk_order(scores, uids, k)
     return [(int(uids[i]), float(scores[i])) for i in idx]
+
+
+def search_combined_fields(eng: MultiFieldEngine, terms: list[str],
+                           k: int = 10) -> list[tuple[int, float]]:
+    """ES ``combined_fields`` query — TERM-centric multi-field BM25
+    (Lucene CombinedFieldQuery / simplified BM25F), the third
+    multi-field semantics next to :meth:`MultiFieldEngine.search`
+    (sum of per-field scores) and :func:`search_best_fields`
+    (dis_max): all fields are fused into one pseudo-field FIRST, then
+    BM25 is scored once —
+
+        tf_c(d,t)  = sum_f w_f * tf_f(d,t)
+        dl_c(d)    = sum_f w_f * dl_f(d)
+        avgdl_c    = sum_f w_f * avgdl_f
+        df_c(t)    = |union_f docs_f(t)|   (distinct docs, any field)
+        score(d)   = sum_t idf(N, df_c) * tf_c*(k1+1)
+                       / (tf_c + k1*(1-b+b*dl_c/avgdl_c))
+
+    Per-term postings come from the same df-bounded shard loads as
+    every other query; the per-field doc LENGTH for candidate docs
+    (needed even for fields where the term is absent) comes from each
+    field's range-pruned docstore read — O(candidates), never a corpus
+    scan (Lucene stores combined norms at index time; recomputing from
+    stored per-field norms is the equivalent read).  Field fold order
+    is sorted-field, term fold order sorted-term — deterministic for
+    the SQL oracle."""
+    from onestools_eventlog_ray.functions import codec
+    from onestools_eventlog_ray.functions.bm25 import idf as idf_fn
+
+    fields = sorted(eng.engines)
+    e0 = eng.engines[fields[0]]
+    N, k1, b = e0.N, e0.k1, e0.b
+    avgdl_c = 0.0
+    for f in fields:
+        avgdl_c += eng.boosts[f] * eng.engines[f].avgdl
+
+    uniq = sorted(set(terms))
+    post: dict[tuple[str, str], object] = {}
+    for f in fields:
+        loaded = eng.engines[f].load_terms(uniq)
+        for t in uniq:
+            if t in loaded:
+                post[(f, t)] = codec.decode_posting(loaded[t][1])
+    if not post:
+        return []
+    all_ids = np.unique(np.concatenate(
+        [p.doc_ids for p in post.values()]))
+    deleted = np.unique(np.concatenate(
+        [eng.engines[f].deleted for f in fields])) \
+        if any(eng.engines[f].deleted.size for f in fields) \
+        else np.empty(0, np.int64)
+    if deleted.size:
+        all_ids = all_ids[~np.isin(all_ids, deleted)]
+    if all_ids.size == 0:
+        return []
+
+    dl_c = np.zeros(all_ids.size, dtype=np.float64)
+    for f in fields:
+        tbl = eng.engines[f].fetch_docs(all_ids.tolist(),
+                                        ["doc_id", "n_tokens"])
+        got = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ntk = tbl["n_tokens"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        pos = np.searchsorted(all_ids, got)     # align, order-safe
+        dl_c[pos] += eng.boosts[f] * ntk
+
+    denom_dl = k1 * (1.0 - b + b * dl_c / avgdl_c)
+    scores = np.zeros(all_ids.size, dtype=np.float64)
+    matched = np.zeros(all_ids.size, dtype=bool)
+    for t in uniq:
+        tf_c = np.zeros(all_ids.size, dtype=np.float64)
+        seen = np.zeros(all_ids.size, dtype=bool)
+        for f in fields:
+            p = post.get((f, t))
+            if p is None:
+                continue
+            pos = np.searchsorted(all_ids, p.doc_ids)
+            ok = (pos < all_ids.size)
+            pos = np.minimum(pos, all_ids.size - 1)
+            ok &= all_ids[pos] == p.doc_ids     # drop tombstoned ids
+            tf_c[pos[ok]] += eng.boosts[f] * p.tfs[ok]
+            seen[pos[ok]] = True
+        df_c = int(seen.sum())
+        if df_c == 0:
+            continue
+        w = idf_fn(N, df_c)
+        m = seen
+        scores[m] += (w * tf_c[m] * (k1 + 1.0)
+                      / (tf_c[m] + denom_dl[m]))
+        matched |= m
+    ids_m, sc_m = all_ids[matched], scores[matched]
+    idx = topk_order(sc_m, ids_m, k)
+    return [(int(ids_m[i]), float(sc_m[i])) for i in idx]

@@ -236,3 +236,39 @@ def test_value_ttest_bruteforce():
     assert out["df_e6"] == int(floor(df * 1e6 + 0.5))
     # sanity: Welch df between min(n)-1 and na+nb-2
     assert min(na, nb) - 1 <= out["df_e6"] / 1e6 <= na + nb - 2
+
+
+def test_combined_fields_bruteforce(docs_tbl):
+    from math import log
+    import __ray_entry__ as em
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.multifield import (
+        MultiFieldEngine, build_multifield_index, search_combined_fields)
+    root = em._index_dir_for(SF_DIR) + "_mf"
+    build_multifield_index(os.path.join(SF_DIR, "documents.parquet"),
+                           root, ["source", "text"],
+                           cfg=EngineConfig(num_partitions=8))
+    boosts = {"text": 1.0, "source": 2.0}
+    eng = MultiFieldEngine(root, boosts)
+    terms = ["spark", "src1"]
+    got = dict(search_combined_fields(eng, terms, k=10**9))
+
+    ids = docs_tbl["doc_id"].to_pylist()
+    toks = {f: [_tok(t) for t in docs_tbl[f].to_pylist()]
+            for f in ("source", "text")}
+    N = len(ids)
+    w = {"source": 2.0, "text": 1.0}
+    avgdl = sum(w[f] * (sum(len(x) for x in toks[f]) / N)
+                for f in ("source", "text"))
+    want = {}
+    for t in sorted(set(terms)):
+        cand = [i for i in range(N)
+                if t in toks["source"][i] or t in toks["text"][i]]
+        df = len(cand)
+        idf = log(1 + (N - df + 0.5) / (df + 0.5))
+        for i in cand:
+            tf = sum(w[f] * toks[f][i].count(t) for f in ("source", "text"))
+            dl = sum(w[f] * len(toks[f][i]) for f in ("source", "text"))
+            want[ids[i]] = want.get(ids[i], 0.0) + (
+                idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+    assert got == pytest.approx(want)
