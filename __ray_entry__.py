@@ -298,6 +298,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def bm25_after_shrink(sf_dir):
+        """ES _shrink proof: the index shrunk 16 -> 4 shards (term
+        shards merged by routing congruence, docstore hardlinked, no
+        rebuild) must reproduce the full BM25 ranking bit-for-bit
+        (same oracle as bm25_topk — stats unchanged by design)."""
+        from onestools_eventlog_ray.pipelines.incremental import \
+            shrink_index
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        src = _ensure_index(sf_dir)
+        out = src.rstrip(os.sep) + "_shrunk"
+        import glob
+        if not glob.glob(os.path.join(out, "shards", "*.parquet")):
+            shrink_index(src, out, factor=4)
+        eng = SearchEngine(out)
+        hits = eng.search(_BM25_TERMS, k=1_000_000)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
     def bm25_compacted(sf_dir):
         """Force-merge proof: the two incremental generations compacted
         into ONE fresh index must reproduce the single-build BM25
@@ -3100,6 +3124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_click_purchase": asof_click_purchase,
         "cm_term_registers": cm_term_registers,
         "bm25_compacted": bm25_compacted,
+        "bm25_after_shrink": bm25_after_shrink,
         "repetition_scores": repetition_scores,
         "tfidf_topk": tfidf_topk,
         "sample_by_hash": sample_by_hash,
@@ -3952,6 +3977,7 @@ LIMIT 10""",
         "bm25_incremental": _bm25_sql(_BM25_TERMS),
         # the compacted (force-merged) generations must reproduce it too
         "bm25_compacted": _bm25_sql(_BM25_TERMS),
+        "bm25_after_shrink": _bm25_sql(_BM25_TERMS),
         # the distributed actor-pool block-max WAND path must reproduce it too
         "bm25_topk_wand": _bm25_sql(_BM25_TERMS),
         "bm25_topk_filtered": _bm25_filtered_sql(_BM25_TERMS, "lang = 'en'"),

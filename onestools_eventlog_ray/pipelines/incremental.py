@@ -439,3 +439,107 @@ def index_diff(index_a: str, index_b: str) -> ray.data.Dataset:
                                             pa.string())})
 
     return folded.map_batches(status, batch_format="pyarrow")
+
+
+def shrink_index(src_index: str, out_dir: str, factor: int = 2) -> dict:
+    """ES ``_shrink``: reduce the shard count of an index WITHOUT
+    rebuilding — the target shard count must divide the source count
+    (the same constraint ES imposes), because the term routing
+    ``md5(term) % P`` is compatible: ``h % P == r`` implies
+    ``h % (P/f) == r % (P/f)``, so new shard ``j`` is exactly the
+    merge of old shards ``{r : r % P' == j}`` and every query keeps
+    probing the right (now bigger) shard.
+
+    Per new shard, one Ray task reads its ``factor`` source part files
+    (terms are disjoint across them by construction), re-sorts by term
+    (K4 invariant) and writes atomically — O(index size / P') per task,
+    embarrassingly parallel, no shuffle.  The docstore and manifest are
+    HARDLINKED (copy fallback), like ES shrink hardlinks Lucene
+    segments; corpus stats (N, avgdl, df) are unchanged so every BM25
+    score is bit-identical to the source index (rank identity proven in
+    tests/test_round4h.py).  Positions shards merge the same way.
+
+    Reference parity: the original's index-lifecycle management keeps
+    ES storage bounded (ElasticSearchStorage.cs index templates /
+    rollover); shrink is the missing-shard-count half of that story."""
+    import shutil
+    import ray
+    from onestools_eventlog_ray.state import checkpoint as ckpt
+
+    stats = ckpt.read_stats(src_index)
+    P = int(stats["num_partitions"])
+    if factor < 1 or P % factor:
+        raise ValueError(f"factor {factor} must divide num_partitions {P}")
+    P2 = P // factor
+    os.makedirs(os.path.join(out_dir, "shards"), exist_ok=True)
+
+    @ray.remote
+    def merge_group(kind: str, j: int, srcs: list[str], dst: str) -> int:
+        import pyarrow as pa_
+        import pyarrow.parquet as pq_
+        tbls = [pq_.read_table(s) for s in srcs if os.path.exists(s)]
+        if not tbls:
+            return 0
+        t = pa_.concat_tables(tbls)
+        order = (["term", "doc_id"] if kind == "pos" else ["term"])
+        t = t.sort_by([(c, "ascending") for c in order])
+        tmp = dst + ".tmp"
+        pq_.write_table(t, tmp)
+        os.replace(tmp, dst)
+        return t.num_rows
+
+    jobs = []
+    for j in range(P2):
+        srcs = [os.path.join(src_index, "shards", f"part-{r:05d}.parquet")
+                for r in range(j, P, P2)]
+        dst = os.path.join(out_dir, "shards", f"part-{j:05d}.parquet")
+        jobs.append(merge_group.remote("shard", j, srcs, dst))
+
+    pos_src = os.path.join(src_index, "positions")
+    pos_rows = []
+    if os.path.isdir(pos_src):
+        os.makedirs(os.path.join(out_dir, "positions"), exist_ok=True)
+        for j in range(P2):
+            srcs = [os.path.join(pos_src, f"pos-{r:05d}.parquet")
+                    for r in range(j, P, P2)]
+            dst = os.path.join(out_dir, "positions", f"pos-{j:05d}.parquet")
+            pos_rows.append(merge_group.remote("pos", j, srcs, dst))
+
+    def _link_tree(sub: str) -> None:
+        src = os.path.join(src_index, sub)
+        if not os.path.isdir(src):
+            return
+        dst = os.path.join(out_dir, sub)
+        os.makedirs(dst, exist_ok=True)
+        for name in os.listdir(src):
+            s, d = os.path.join(src, name), os.path.join(dst, name)
+            if os.path.exists(d):
+                continue
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+    for sub in ("docstore", "manifest", "tombstones"):
+        _link_tree(sub)
+
+    n_postings = int(sum(ray.get(jobs)))
+    new_stats = dict(stats)
+    new_stats["num_partitions"] = P2
+    new_stats["config"] = dict(stats.get("config", {}),
+                               num_partitions=P2)
+    new_stats["shrunk_from"] = {"src_index": src_index,
+                                "num_partitions": P, "factor": factor}
+    ckpt.write_stats(out_dir, new_stats)
+
+    if pos_rows:
+        import json
+        meta_p = os.path.join(pos_src, "_meta.json")
+        meta = json.load(open(meta_p)) if os.path.exists(meta_p) else {}
+        total = int(sum(ray.get(pos_rows)))
+        meta.update(num_partitions=P2, n_shards=P2, n_rows=total)
+        with open(os.path.join(out_dir, "positions", "_meta.json"),
+                  "w") as fh:
+            json.dump(meta, fh)
+    return {"num_partitions": P2, "n_postings_rows": n_postings,
+            "factor": factor}

@@ -272,3 +272,47 @@ def test_combined_fields_bruteforce(docs_tbl):
             want[ids[i]] = want.get(ids[i], 0.0) + (
                 idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
     assert got == pytest.approx(want)
+
+
+def test_shrink_rank_and_phrase_identity(index_dir, tmp_path):
+    from onestools_eventlog_ray.pipelines.incremental import shrink_index
+    from onestools_eventlog_ray.pipelines.phrase import PhraseEngine
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    out = str(tmp_path / "shrunk")
+    rep = shrink_index(index_dir, out, factor=4)
+    a, b = SearchEngine(index_dir), SearchEngine(out)
+    assert b.P == a.P // 4 == rep["num_partitions"]
+    assert (b.N, b.avgdl) == (a.N, a.avgdl)        # stats untouched
+    for terms in (["spark", "window"], ["join", "merge", "vector"],
+                  ["src1"], ["zz_missing"]):
+        assert a.search(terms, 25) == b.search(terms, 25)
+        assert a.search_wand(terms, 10) == b.search_wand(terms, 10)
+    if os.path.isdir(os.path.join(index_dir, "positions")):
+        assert PhraseEngine(index_dir).search_phrase(["spark", "window"]) \
+            == PhraseEngine(out).search_phrase(["spark", "window"])
+
+
+def test_shrink_requires_divisible_factor(index_dir, tmp_path):
+    from onestools_eventlog_ray.pipelines.incremental import shrink_index
+    with pytest.raises(ValueError):
+        shrink_index(index_dir, str(tmp_path / "bad"), factor=3)
+
+
+def test_shrink_term_disjointness(index_dir, tmp_path):
+    """Every term appears exactly once in the shrunk shard set, in its
+    routing-congruent shard, sorted (K4)."""
+    import glob
+    from onestools_eventlog_ray.functions.hashing import term_partition_one
+    from onestools_eventlog_ray.pipelines.incremental import shrink_index
+    out = str(tmp_path / "shrunk2")
+    shrink_index(index_dir, out, factor=2)
+    seen = {}
+    for f in glob.glob(os.path.join(out, "shards", "part-*.parquet")):
+        pkey = int(os.path.basename(f)[5:10])
+        terms = pq.read_table(f, columns=["term"])["term"].to_pylist()
+        assert terms == sorted(terms)
+        for t in terms:
+            assert t not in seen
+            seen[t] = pkey
+            assert term_partition_one(t, 8) == pkey
+    assert seen
