@@ -322,6 +322,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def bm25_after_split(sf_dir):
+        """ES _split proof: the index split 16 -> 32 shards (each old
+        shard scattered by the new routing modulus, no rebuild, no
+        shuffle) reproduces the full BM25 ranking bit-for-bit."""
+        from onestools_eventlog_ray.pipelines.incremental import \
+            split_index
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        src = _ensure_index(sf_dir)
+        out = src.rstrip(os.sep) + "_split"
+        import glob
+        if not glob.glob(os.path.join(out, "shards", "*.parquet")):
+            split_index(src, out, factor=2)
+        eng = SearchEngine(out)
+        hits = eng.search(_BM25_TERMS, k=1_000_000)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
     def bm25_compacted(sf_dir):
         """Force-merge proof: the two incremental generations compacted
         into ONE fresh index must reproduce the single-build BM25
@@ -3125,6 +3148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm_term_registers": cm_term_registers,
         "bm25_compacted": bm25_compacted,
         "bm25_after_shrink": bm25_after_shrink,
+        "bm25_after_split": bm25_after_split,
         "repetition_scores": repetition_scores,
         "tfidf_topk": tfidf_topk,
         "sample_by_hash": sample_by_hash,
@@ -3978,6 +4002,7 @@ LIMIT 10""",
         # the compacted (force-merged) generations must reproduce it too
         "bm25_compacted": _bm25_sql(_BM25_TERMS),
         "bm25_after_shrink": _bm25_sql(_BM25_TERMS),
+        "bm25_after_split": _bm25_sql(_BM25_TERMS),
         # the distributed actor-pool block-max WAND path must reproduce it too
         "bm25_topk_wand": _bm25_sql(_BM25_TERMS),
         "bm25_topk_filtered": _bm25_filtered_sql(_BM25_TERMS, "lang = 'en'"),

@@ -543,3 +543,111 @@ def shrink_index(src_index: str, out_dir: str, factor: int = 2) -> dict:
             json.dump(meta, fh)
     return {"num_partitions": P2, "n_postings_rows": n_postings,
             "factor": factor}
+
+
+def split_index(src_index: str, out_dir: str, factor: int = 2) -> dict:
+    """ES ``_split``: MULTIPLY the shard count of an index without
+    rebuilding — the exact inverse of :func:`shrink_index`.  Every term
+    in old shard ``r`` satisfies ``md5(term) % P == r``, so under the
+    new count ``f*P`` it can only land in one of the ``f`` shards
+    ``{r, r+P, ..., r+(f-1)P}``; one Ray task per OLD shard recomputes
+    the vectorized term hash at the new modulus and scatters its rows
+    into those ``f`` files (terms stay disjoint and sorted, K4).  No
+    shuffle, O(shard) per task; docstore/manifest hardlinked; stats
+    unchanged -> BM25 bit-identity, like shrink.  ES uses the same
+    trick (routing-space subdivision) to split without reindexing."""
+    import shutil
+    import ray
+    from onestools_eventlog_ray.state import checkpoint as ckpt
+
+    stats = ckpt.read_stats(src_index)
+    P = int(stats["num_partitions"])
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    P2 = P * factor
+    os.makedirs(os.path.join(out_dir, "shards"), exist_ok=True)
+
+    @ray.remote
+    def scatter_shard(kind: str, src: str, r: int,
+                      dst_tpl: str) -> int:
+        import numpy as np_
+        import pyarrow as pa_
+        import pyarrow.parquet as pq_
+        from onestools_eventlog_ray.functions.hashing import term_partition
+        if not os.path.exists(src):
+            return 0
+        t = pq_.read_table(src)
+        if not t.num_rows:
+            return 0
+        pk = term_partition(t["term"].combine_chunks(), P2)
+        total = 0
+        for j in sorted(set(pk.tolist())):
+            assert j % P == r, (j, P, r)   # routing congruence invariant
+            sub = t.filter(pa_.array(pk == j))
+            order = (["term", "doc_id"] if kind == "pos" else ["term"])
+            sub = sub.sort_by([(c, "ascending") for c in order])
+            dst = dst_tpl.format(j=j)
+            tmp = dst + ".tmp"
+            pq_.write_table(sub, tmp)
+            os.replace(tmp, dst)
+            total += sub.num_rows
+        return total
+
+    jobs = []
+    for r in range(P):
+        src = os.path.join(src_index, "shards", f"part-{r:05d}.parquet")
+        jobs.append(scatter_shard.remote(
+            "shard", src, r,
+            os.path.join(out_dir, "shards", "part-{j:05d}.parquet")))
+
+    pos_src = os.path.join(src_index, "positions")
+    pos_rows = []
+    if os.path.isdir(pos_src):
+        os.makedirs(os.path.join(out_dir, "positions"), exist_ok=True)
+        for r in range(P):
+            src = os.path.join(pos_src, f"pos-{r:05d}.parquet")
+            pos_rows.append(scatter_shard.remote(
+                "pos", src, r,
+                os.path.join(out_dir, "positions", "pos-{j:05d}.parquet")))
+
+    def _link_tree(sub: str) -> None:
+        src = os.path.join(src_index, sub)
+        if not os.path.isdir(src):
+            return
+        dst = os.path.join(out_dir, sub)
+        os.makedirs(dst, exist_ok=True)
+        for name in os.listdir(src):
+            s, d = os.path.join(src, name), os.path.join(dst, name)
+            if os.path.exists(d):
+                continue
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+    for sub in ("docstore", "manifest", "tombstones"):
+        _link_tree(sub)
+
+    n_postings = int(sum(ray.get(jobs)))
+    new_stats = dict(stats)
+    new_stats["num_partitions"] = P2
+    new_stats["config"] = dict(stats.get("config", {}), num_partitions=P2)
+    new_stats["split_from"] = {"src_index": src_index,
+                               "num_partitions": P, "factor": factor}
+    ckpt.write_stats(out_dir, new_stats)
+
+    if pos_rows:
+        import json
+        meta_p = os.path.join(pos_src, "_meta.json")
+        meta = json.load(open(meta_p)) if os.path.exists(meta_p) else {}
+        total = int(sum(ray.get(pos_rows)))
+        meta.update(num_partitions=P2,
+                    n_shards=len([f for f in os.listdir(
+                        os.path.join(out_dir, "positions"))
+                        if f.startswith("pos-")]),
+                    n_rows=total)
+        with open(os.path.join(out_dir, "positions", "_meta.json"),
+                  "w") as fh:
+            json.dump(meta, fh)
+    return {"num_partitions": P2, "n_postings_rows": n_postings,
+            "factor": factor}

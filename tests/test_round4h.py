@@ -316,3 +316,27 @@ def test_shrink_term_disjointness(index_dir, tmp_path):
             seen[t] = pkey
             assert term_partition_one(t, 8) == pkey
     assert seen
+
+
+def test_split_then_shrink_roundtrip(index_dir, tmp_path):
+    """split x2 then shrink x2 reproduces the original ranking AND the
+    original shard layout (same shard count, same term placement)."""
+    import glob
+    from onestools_eventlog_ray.pipelines.incremental import (shrink_index,
+                                                              split_index)
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    up = str(tmp_path / "up")
+    back = str(tmp_path / "back")
+    split_index(index_dir, up, factor=2)
+    shrink_index(up, back, factor=2)
+    a, c = SearchEngine(index_dir), SearchEngine(back)
+    assert c.P == a.P
+    for terms in (["spark", "window"], ["join", "merge", "vector"]):
+        assert a.search(terms, 25) == c.search(terms, 25)
+    # same per-shard term sets as the original
+    for f in glob.glob(os.path.join(index_dir, "shards", "part-*.parquet")):
+        other = os.path.join(back, "shards", os.path.basename(f))
+        t0 = pq.read_table(f, columns=["term"])["term"].to_pylist()
+        t1 = pq.read_table(other, columns=["term"])["term"].to_pylist() \
+            if os.path.exists(other) else []
+        assert t0 == t1
