@@ -1290,6 +1290,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def bm25_random_score(sf_dir):
+        """ES function_score random_score (seed+field, replace): the
+        reproducible random top-10 of the docs matching join/merge —
+        all-integer md5 ranking, bit-exact vs md5_number_lower."""
+        from onestools_eventlog_ray.pipelines.query import (
+            SearchEngine, search_random_score)
+        eng = SearchEngine(_ensure_index(sf_dir))
+        return search_random_score(eng, ["join", "merge"], seed="rs")
+
     def rank_eval_report(sf_dir):
         """ES _rank_eval API: three rated requests evaluated in one
         call — precision@10 / recall@10 / MRR / binary nDCG@10 per
@@ -3243,6 +3252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_rank_feature": bm25_rank_feature,
         "bm25_distance_feature": bm25_distance_feature,
         "rank_eval_report": rank_eval_report,
+        "bm25_random_score": bm25_random_score,
         "training_mix_report": training_mix_report,
         "bm25_after_delete_query": bm25_after_delete_query,
         "bm25_explain": bm25_explain,
@@ -5480,6 +5490,16 @@ FROM r WHERE rank <= 5 ORDER BY rank""",
             "SELECT s.doc_id, s.score"
             " + 2.0 * (500.0 / (500.0 + abs(d.n_chars - 1000.0)))"
             " AS score FROM scored0 s JOIN documents d USING (doc_id)"),
+        "bm25_random_score": f"""
+WITH toks AS ({_TOKS}),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('join', 'merge')),
+h AS (SELECT doc_id,
+             CAST(md5_number_lower(concat('rs:', CAST(doc_id AS VARCHAR)))
+                  >> 1 AS BIGINT) AS h
+      FROM m)
+SELECT CAST(row_number() OVER (ORDER BY h DESC, doc_id ASC) AS BIGINT)
+         AS rank, doc_id, h
+FROM h ORDER BY h DESC, doc_id ASC LIMIT 10""",
         "rank_eval_report": _rank_eval_sql(
             [("join_merge", ["join", "merge"]),
              ("spark_window", ["spark", "window"]),

@@ -1799,6 +1799,35 @@ def bm25_eval(eng: SearchEngine, terms: list[str], k: int = 10) -> pa.Table:
     })
 
 
+def search_random_score(eng: SearchEngine, terms: list[str],
+                        seed: str = "rs", k: int = 10) -> pa.Table:
+    """ES ``function_score`` with ``random_score`` (seed + field,
+    boost_mode=replace): rank the MATCHING docs by a deterministic
+    per-doc pseudo-random value — the reproducible random sample of a
+    result set (ES hashes seed+field the same way; same value on every
+    replica and every re-query).  h = md5_lower64(f"{seed}:{doc_id}")
+    >> 1, all-integer so the oracle is bit-exact with DuckDB's
+    ``md5_number_lower``.  Candidates come from the df-bounded postings
+    union — no corpus scan.  -> (rank, doc_id, h) top-k by h desc."""
+    from onestools_eventlog_ray.functions import fasthash
+    hits = eng.search(terms, k=1 << 62)
+    if not hits:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "h": pa.array([], pa.int64())})
+    ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+    keyed = pc.binary_join_element_wise(
+        pa.array([f"{seed}:"] * ids.size, pa.string()),
+        pc.cast(pa.array(ids, pa.int64()), pa.string()), "")
+    h = (fasthash.md5_lower64(keyed) >> np.uint64(1)).astype(np.int64)
+    order = np.lexsort((ids, -h))[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+        "doc_id": pa.array(ids[order], pa.int64()),
+        "h": pa.array(h[order], pa.int64()),
+    })
+
+
 def rank_eval(eng: SearchEngine, requests: list[tuple[str, list[str]]],
               k: int = 10) -> pa.Table:
     """ES ``_rank_eval`` API: evaluate a whole SET of rated requests in

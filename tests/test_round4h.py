@@ -340,3 +340,25 @@ def test_split_then_shrink_roundtrip(index_dir, tmp_path):
         t1 = pq.read_table(other, columns=["term"])["term"].to_pylist() \
             if os.path.exists(other) else []
         assert t0 == t1
+
+
+def test_random_score_deterministic_and_matching_only(index_dir, docs_tbl):
+    from onestools_eventlog_ray.functions.fasthash import md5_lower64_one
+    from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                        search_random_score)
+    eng = SearchEngine(index_dir)
+    out1 = search_random_score(eng, ["join", "merge"], seed="rs", k=10)
+    out2 = search_random_score(eng, ["join", "merge"], seed="rs", k=10)
+    assert out1.equals(out2)                      # reproducible
+    match = {d for d, t in zip(docs_tbl["doc_id"].to_pylist(),
+                               docs_tbl["text"].to_pylist())
+             if {"join", "merge"} & set(_tok(t))}
+    got = out1.to_pylist()
+    assert all(r["doc_id"] in match for r in got)
+    for r in got:
+        assert r["h"] == md5_lower64_one(f"rs:{r['doc_id']}") >> 1
+    # a different seed reshuffles
+    out3 = search_random_score(eng, ["join", "merge"], seed="other", k=10)
+    assert out3["doc_id"].to_pylist() != out1["doc_id"].to_pylist()
+    # no-match query -> empty, schema'd
+    assert search_random_score(eng, ["zz_missing"]).num_rows == 0
