@@ -970,6 +970,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "n_matches": pa.array([r["n_matches"] for r in rows], pa.int64()),
         })
 
+    def span_not_matches(sf_dir):
+        """ES span_not: 'table hash' phrase matches NOT adjacent (±1
+        token) to 'scan' — per-match negative context, the filter
+        must_not cannot express (must_not drops whole docs)."""
+        from onestools_eventlog_ray.pipelines.phrase import (PhraseEngine,
+                                                             span_not)
+        phrase_search(sf_dir)                 # ensures the positions sidecar
+        index_dir = _ensure_index(sf_dir)
+        out = span_not(PhraseEngine(index_dir), ("table", "hash"), "scan",
+                       pre=1, post=1)
+        return pa.table({
+            "doc_id": pa.array([d for d, _ in out], pa.int64()),
+            "n_matches": pa.array([n for _, n in out], pa.int64()),
+        })
+
     def repetition_scores(sf_dir):
         return text.repetition_scores(_documents_ds(sf_dir), DOCUMENTS_SPEC)
 
@@ -3147,6 +3162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_multifield": bm25_multifield,
         "bm25_combined_fields": bm25_combined_fields,
         "phrase_search": phrase_search,
+        "span_not_matches": span_not_matches,
         "knn_cosine_ivf": knn_cosine_ivf,
         "orders_by_nation": orders_by_nation,
         "topk_orders_per_cust": topk_orders_per_cust,
@@ -5078,6 +5094,20 @@ tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
 SELECT doc_id, query_name
 FROM tok CROSS JOIN q WHERE list_has_all(l, terms)
 ORDER BY doc_id, query_name""",
+        "span_not_matches": """
+WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9_]+'), x -> x <> '') AS l FROM documents),
+p AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS g, l
+      FROM tok WHERE len(l) > 0),
+m AS (SELECT doc_id, g FROM p
+      WHERE l[g] = 'table' AND g < len(l) AND l[g + 1] = 'hash'),
+c AS (SELECT doc_id, g FROM p WHERE l[g] = 'scan'),
+kept AS (SELECT m.doc_id, m.g FROM m
+         WHERE NOT EXISTS (SELECT 1 FROM c
+                           WHERE c.doc_id = m.doc_id
+                             AND c.g BETWEEN m.g - 1 AND m.g + 2))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM kept GROUP BY doc_id ORDER BY doc_id""",
         "span_near_sv": """
 WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
                  '[^a-z0-9_]+'), x -> x <> '') AS l FROM documents),

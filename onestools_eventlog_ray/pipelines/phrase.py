@@ -420,3 +420,48 @@ def proximity_rerank(eng, peng: "PhraseEngine", terms: list[str],
         "win_len": pa.array([wins[i] for i in key], pa.int64()),
         "score_e6": pa.array([int(e6[i]) for i in key], pa.int64()),
     })
+
+
+def span_not(eng: PhraseEngine, include: tuple[str, str], exclude: str,
+             pre: int = 0, post: int = 0) -> list[tuple[int, int]]:
+    """ES ``span_not``: matches of the include PHRASE (two adjacent
+    tokens) whose span, widened by ``pre`` tokens left and ``post``
+    tokens right, does NOT overlap any occurrence of ``exclude`` —
+    "match 'table hash' but not when 'scan' sits next to it".  The
+    negative-context filter no bool must_not can express (must_not
+    drops the whole DOC; span_not drops the individual MATCH).
+
+    Fully vectorized over the positions sidecar: phrase matches come
+    from one searchsorted of a-keys+1 into b-keys (doc*2^32+pos
+    composite, the :func:`span_near` encoding); the exclusion test is
+    two searchsorteds of the widened window bounds into the exclude
+    keys — window clamped at the doc start so it can never leak into
+    the previous doc's key range, and it cannot reach the next doc
+    because positions << 2^32.  O(df) work, no corpus scan.
+    -> [(doc_id, n_kept)] for docs with a surviving match, doc asc."""
+    a, b = include
+    loaded = eng._load_flat([a, b, exclude])
+    da, ppa = loaded[a]
+    db, ppb = loaded[b]
+    dc, ppc = loaded[exclude]
+    if da.size == 0 or db.size == 0:
+        return []
+    C = np.int64(1) << np.int64(32)
+    ka = np.sort(da * C + ppa)
+    kb = np.sort(db * C + ppb)
+    idx = np.searchsorted(kb, ka + 1)
+    ok = (idx < kb.size)
+    ok &= kb[np.minimum(idx, kb.size - 1)] == ka + 1
+    mk = ka[ok]                          # phrase match at (doc, p)
+    if mk.size == 0:
+        return []
+    kc = np.sort(dc * C + ppc)
+    docs = mk // C
+    p = mk % C
+    lo = docs * C + np.maximum(p - pre, 0)
+    hi = docs * C + (p + 1 + post)
+    i_lo = np.searchsorted(kc, lo, side="left")
+    i_hi = np.searchsorted(kc, hi, side="right")
+    kept = mk[~(i_hi > i_lo)]
+    ud, cnt = np.unique(kept // C, return_counts=True)
+    return [(int(d), int(n)) for d, n in zip(ud.tolist(), cnt.tolist())]

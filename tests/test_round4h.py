@@ -362,3 +362,29 @@ def test_random_score_deterministic_and_matching_only(index_dir, docs_tbl):
     assert out3["doc_id"].to_pylist() != out1["doc_id"].to_pylist()
     # no-match query -> empty, schema'd
     assert search_random_score(eng, ["zz_missing"]).num_rows == 0
+
+
+def test_span_not_bruteforce(index_dir, docs_tbl):
+    import __ray_entry__ as em
+    from onestools_eventlog_ray.pipelines.phrase import (PhraseEngine,
+                                                         span_not)
+    em.queries()["phrase_search"](SF_DIR)     # ensure positions sidecar
+    got = dict(span_not(PhraseEngine(index_dir), ("table", "hash"),
+                        "scan", pre=1, post=1))
+    want = {}
+    for d, t in zip(docs_tbl["doc_id"].to_pylist(),
+                    docs_tbl["text"].to_pylist()):
+        toks = _tok(t)
+        n = 0
+        for i in range(len(toks) - 1):
+            if toks[i] == "table" and toks[i + 1] == "hash":
+                win = toks[max(i - 1, 0):i + 3]
+                if "scan" not in win:
+                    n += 1
+        if n:
+            want[d] = n
+    assert got == want
+    # the exclusion is strictly narrower than the raw phrase when the
+    # planted corpus has 'scan' near at least one match
+    full = dict(PhraseEngine(index_dir).search_phrase(["table", "hash"]))
+    assert sum(got.values()) <= sum(full.values())
