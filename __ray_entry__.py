@@ -970,6 +970,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "n_matches": pa.array([r["n_matches"] for r in rows], pa.int64()),
         })
 
+    def auto_date_histogram_q(sf_dir):
+        """ES auto_date_histogram: engine-chosen calendar interval
+        (smallest ladder rung fitting <=20 buckets, exact integer
+        rule), then the usual partial-count fold at that interval."""
+        from onestools_eventlog_ray.pipelines.streaming import \
+            auto_date_histogram
+        return auto_date_histogram(
+            _read_pq(os.path.join(sf_dir, "events.parquet"),
+                     columns=["ts"]))
+
+    def date_histogram_serial_diff_q(sf_dir):
+        """ES serial_diff pipeline agg (lag 7): de-seasonalized daily
+        deltas over the zero-filled histogram; first 7 buckets NULL."""
+        from onestools_eventlog_ray.pipelines.streaming import \
+            date_histogram_serial_diff
+        return date_histogram_serial_diff(
+            _read_pq(os.path.join(sf_dir, "events.parquet"),
+                     columns=["ts"]))
+
     def span_not_matches(sf_dir):
         """ES span_not: 'table hash' phrase matches NOT adjacent (±1
         token) to 'scan' — per-match negative context, the filter
@@ -3163,6 +3182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_combined_fields": bm25_combined_fields,
         "phrase_search": phrase_search,
         "span_not_matches": span_not_matches,
+        "auto_date_histogram": auto_date_histogram_q,
+        "date_histogram_serial_diff": date_histogram_serial_diff_q,
         "knn_cosine_ivf": knn_cosine_ivf,
         "orders_by_nation": orders_by_nation,
         "topk_orders_per_cust": topk_orders_per_cust,
@@ -5094,6 +5115,37 @@ tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
 SELECT doc_id, query_name
 FROM tok CROSS JOIN q WHERE list_has_all(l, terms)
 ORDER BY doc_id, query_name""",
+        "auto_date_histogram": """
+WITH mm AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+            FROM events),
+iv AS (SELECT CASE
+  WHEN hi // 3600000000 - lo // 3600000000 + 1 <= 20
+    THEN 3600000000
+  WHEN hi // 21600000000 - lo // 21600000000 + 1 <= 20
+    THEN 21600000000
+  WHEN hi // 86400000000 - lo // 86400000000 + 1 <= 20
+    THEN 86400000000
+  WHEN hi // 604800000000 - lo // 604800000000 + 1 <= 20
+    THEN 604800000000
+  ELSE 2592000000000 END AS v FROM mm)
+SELECT CAST((SELECT v FROM iv) AS BIGINT) AS interval_us,
+       CAST(epoch_us(ts) // (SELECT v FROM iv) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 2 ORDER BY 2""",
+
+        "date_histogram_serial_diff": """
+WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,
+                  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+f AS (SELECT s.epoch_day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
+      FROM (SELECT unnest(generate_series((SELECT min(epoch_day) FROM d),
+                                          (SELECT max(epoch_day) FROM d)))
+              AS epoch_day) s
+      LEFT JOIN d USING (epoch_day))
+SELECT epoch_day, n_events,
+       CAST(n_events - lag(n_events, 7) OVER (ORDER BY epoch_day)
+            AS BIGINT) AS diff_events
+FROM f ORDER BY epoch_day""",
+
         "span_not_matches": """
 WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
                  '[^a-z0-9_]+'), x -> x <> '') AS l FROM documents),

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Count, Max, Min
@@ -852,3 +853,83 @@ def date_histogram_moving_pcts(ds: ray.data.Dataset, window: int = 7,
     for q in qs:
         cols[f"p{q}"] = pa.array(out[q], pa.int64())
     return pa.table(cols)
+
+
+#: the ES auto_date_histogram rounding ladder (µs): 1h, 6h, 1d, 7d, 30d.
+AUTO_HIST_LADDER_US = (3_600 * US, 21_600 * US, 86_400 * US,
+                       604_800 * US, 2_592_000 * US)
+
+
+def auto_date_histogram(ds: ray.data.Dataset,
+                        target_buckets: int = 20) -> pa.Table:
+    """ES ``auto_date_histogram``: the engine PICKS the calendar
+    interval — the smallest rung of the rounding ladder whose bucket
+    count fits ``target_buckets`` — instead of the caller guessing one.
+
+    Two cheap passes: a min/max fold over ``ts`` only (column-pruned)
+    decides the interval with pure integer arithmetic
+    (``hi // iv - lo // iv + 1 <= target``), then the standard
+    per-batch partial count + tiny groupby at that interval.  Both
+    decisions are exact integers -> SQL-reproducible.
+    -> (interval_us, bucket, n_events) non-empty buckets, bucket asc."""
+    from ray.data.aggregate import Max as RMax, Min as RMin, Sum
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array([int(us.min())], pa.int64()),
+                         "hi": pa.array([int(us.max())], pa.int64())})
+
+    lo, hi = None, None
+    for b in ds.select_columns(["ts"]) \
+            .map_batches(mm_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        blo = int(pc.min(b["lo"]).as_py())
+        bhi = int(pc.max(b["hi"]).as_py())
+        lo = blo if lo is None else min(lo, blo)
+        hi = bhi if hi is None else max(hi, bhi)
+    if lo is None:
+        return pa.table({"interval_us": pa.array([], pa.int64()),
+                         "bucket": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64())})
+    iv = AUTO_HIST_LADDER_US[-1]
+    for cand in AUTO_HIST_LADDER_US:
+        if hi // cand - lo // cand + 1 <= target_buckets:
+            iv = cand
+            break
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bk, counts = np.unique(us // iv, return_counts=True)
+        return pa.table({"bucket": pa.array(bk, pa.int64()),
+                         "n_p": pa.array(counts.astype(np.int64),
+                                         pa.int64())})
+
+    folded = ds.select_columns(["ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Sum("n_p", alias_name="n_events")) \
+        .sort("bucket").take_all()
+    return pa.table({
+        "interval_us": pa.array([iv] * len(folded), pa.int64()),
+        "bucket": pa.array([int(r["bucket"]) for r in folded], pa.int64()),
+        "n_events": pa.array([int(r["n_events"]) for r in folded],
+                             pa.int64()),
+    })
+
+
+def date_histogram_serial_diff(ds: ray.data.Dataset,
+                               lag: int = 7) -> pa.Table:
+    """ES ``serial_diff`` pipeline aggregation: n(t) - n(t-lag) over the
+    zero-filled daily histogram — lag 7 removes weekly seasonality so
+    trend shifts stand out.  Computed where ES computes it: on the
+    span-bounded folded bucket table; the first ``lag`` buckets emit
+    NULL exactly like ES.  -> (epoch_day, n_events, diff_events)."""
+    base = date_histogram_filled(ds)
+    n = base["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+    diff = np.empty(n.size, dtype=object)
+    if n.size > lag:
+        diff[lag:] = (n[lag:] - n[:-lag]).tolist()
+    return pa.table({
+        "epoch_day": base["epoch_day"],
+        "n_events": base["n_events"],
+        "diff_events": pa.array(diff.tolist(), pa.int64()),
+    })

@@ -388,3 +388,39 @@ def test_span_not_bruteforce(index_dir, docs_tbl):
     # planted corpus has 'scan' near at least one match
     full = dict(PhraseEngine(index_dir).search_phrase(["table", "hash"]))
     assert sum(got.values()) <= sum(full.values())
+
+
+def test_auto_date_histogram_picks_interval():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.streaming import (
+        AUTO_HIST_LADDER_US, auto_date_histogram)
+    ev = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                       columns=["ts"])
+    out = auto_date_histogram(ray.data.from_arrow(ev), target_buckets=20)
+    lo = min(ev["ts"].to_pylist()).timestamp() * 1e6
+    hi = max(ev["ts"].to_pylist()).timestamp() * 1e6
+    lo, hi = int(lo), int(hi)
+    iv = out["interval_us"][0].as_py()
+    assert iv in AUTO_HIST_LADDER_US
+    assert hi // iv - lo // iv + 1 <= 20          # fits the target
+    pos = AUTO_HIST_LADDER_US.index(iv)
+    if pos:                                       # smallest fitting rung
+        prev = AUTO_HIST_LADDER_US[pos - 1]
+        assert hi // prev - lo // prev + 1 > 20
+    assert sum(out["n_events"].to_pylist()) == ev.num_rows
+    assert out["bucket"].to_pylist() == sorted(set(
+        int(t.timestamp() * 1e6) // iv for t in ev["ts"].to_pylist()))
+
+
+def test_serial_diff_bruteforce():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.streaming import (
+        date_histogram_filled, date_histogram_serial_diff)
+    ev = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                       columns=["ts"])
+    base = date_histogram_filled(ray.data.from_arrow(ev))
+    out = date_histogram_serial_diff(ray.data.from_arrow(ev), lag=7)
+    n = base["n_events"].to_pylist()
+    d = out["diff_events"].to_pylist()
+    assert d[:7] == [None] * 7
+    assert d[7:] == [n[i] - n[i - 7] for i in range(7, len(n))]
