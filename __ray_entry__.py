@@ -970,6 +970,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "n_matches": pa.array([r["n_matches"] for r in rows], pa.int64()),
         })
 
+    def bm25_after_restore(sf_dir):
+        """ES _snapshot/_restore proof: snapshot the index (hardlinks +
+        per-file sha256 manifest), restore with full integrity verify,
+        and reproduce the BM25 ranking bit-for-bit from the restored
+        copy (same oracle as bm25_topk)."""
+        from onestools_eventlog_ray.pipelines.incremental import (
+            restore_index, snapshot_index)
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        src = _ensure_index(sf_dir)
+        snap = src.rstrip(os.sep) + "_snap"
+        dst = src.rstrip(os.sep) + "_restored"
+        snapshot_index(src, snap)
+        if not os.path.exists(os.path.join(dst, "stats.json")):
+            restore_index(snap, dst, verify=True)
+        eng = SearchEngine(dst)
+        hits = eng.search(_BM25_TERMS, k=1_000_000)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
     def auto_date_histogram_q(sf_dir):
         """ES auto_date_histogram: engine-chosen calendar interval
         (smallest ladder rung fitting <=20 buckets, exact integer
@@ -3195,6 +3220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_compacted": bm25_compacted,
         "bm25_after_shrink": bm25_after_shrink,
         "bm25_after_split": bm25_after_split,
+        "bm25_after_restore": bm25_after_restore,
         "repetition_scores": repetition_scores,
         "tfidf_topk": tfidf_topk,
         "sample_by_hash": sample_by_hash,
@@ -4050,6 +4076,7 @@ LIMIT 10""",
         "bm25_compacted": _bm25_sql(_BM25_TERMS),
         "bm25_after_shrink": _bm25_sql(_BM25_TERMS),
         "bm25_after_split": _bm25_sql(_BM25_TERMS),
+        "bm25_after_restore": _bm25_sql(_BM25_TERMS),
         # the distributed actor-pool block-max WAND path must reproduce it too
         "bm25_topk_wand": _bm25_sql(_BM25_TERMS),
         "bm25_topk_filtered": _bm25_filtered_sql(_BM25_TERMS, "lang = 'en'"),

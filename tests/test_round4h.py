@@ -424,3 +424,29 @@ def test_serial_diff_bruteforce():
     d = out["diff_events"].to_pylist()
     assert d[:7] == [None] * 7
     assert d[7:] == [n[i] - n[i - 7] for i in range(7, len(n))]
+
+
+def test_snapshot_restore_verify_and_corruption(index_dir, tmp_path):
+    from onestools_eventlog_ray.pipelines.incremental import (
+        SnapshotCorruptError, restore_index, snapshot_index)
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    snap = str(tmp_path / "snap")
+    dst = str(tmp_path / "restored")
+    man = snapshot_index(index_dir, snap)
+    assert man["n_files"] > 3
+    # snapshot is idempotent (returns the recorded manifest)
+    assert snapshot_index(index_dir, snap) == man
+    rep = restore_index(snap, dst, verify=True)
+    assert rep == {"n_files": man["n_files"], "verified": True}
+    a, b = SearchEngine(index_dir), SearchEngine(dst)
+    for terms in (["spark", "window"], ["join", "merge", "vector"]):
+        assert a.search(terms, 25) == b.search(terms, 25)
+    # corrupt one snapshot file -> restore must refuse
+    victim = os.path.join(snap, "stats.json")
+    os.unlink(victim)                 # break the hardlink, then rewrite
+    with open(victim, "a") as fh:
+        pass
+    with open(victim, "w") as fh:
+        fh.write("{}")
+    with pytest.raises(SnapshotCorruptError):
+        restore_index(snap, str(tmp_path / "r2"), verify=True)
