@@ -2246,6 +2246,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf = lambda t: _read_pq(os.path.join(sf_dir, f"{t}.parquet"))
         return relational.q12_priority_by_flag(sf("lineitem"), sf("orders"))
 
+    def entropy_scores(sf_dir):
+        """Shannon-entropy quality filters: per-doc char entropy (byte
+        bincount over the flat Arrow buffer) + token entropy (factorized
+        vocab fold) — catches repeated-filler/template spam that passes
+        length cuts.  Exact-count e6 integers."""
+        return text.entropy_scores(_documents_ds(sf_dir))
+
+    def source_kl_divergence(sf_dir):
+        """Distribution-shift report: KL(source || corpus) over unigram
+        distributions per source — one narrow (term, source) count fold,
+        KL computed on the vocab-bounded table."""
+        return text.source_unigram_kl(_documents_ds(sf_dir))
+
     def categorize_text_topk(sf_dir):
         """ES categorize_text aggregation (deterministic): docs grouped
         by message template (lowercase, digit runs -> '#', first 6
@@ -3428,6 +3441,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_idle_balances": q22_idle_balances,
         "q15_top_supplier": q15_top_supplier,
         "q12_priority_by_flag": q12_priority_by_flag,
+        "entropy_scores": entropy_scores,
+        "source_kl_divergence": source_kl_divergence,
         "categorize_text_topk": categorize_text_topk,
         "value_ttest_report": value_ttest_report,
         "heaps_curve": heaps_curve,
@@ -7849,6 +7864,50 @@ SELECT l.l_returnflag,
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 WHERE year(l.l_shipdate) BETWEEN 1996 AND 1997
 GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
+
+        "entropy_scores": f"""
+WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+            FROM documents),
+cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+ctot AS (SELECT doc_id, sum(n) AS nt FROM cc GROUP BY doc_id),
+ce AS (SELECT cc.doc_id, CAST(max(ctot.nt) AS BIGINT) AS n_chars_h,
+              CAST(floor((ln(max(ctot.nt))
+                          - sum(cc.n * ln(cc.n)) / max(ctot.nt))
+                         * 1000000 + 0.5) AS BIGINT) AS char_entropy_e6
+       FROM cc JOIN ctot USING (doc_id) GROUP BY cc.doc_id),
+toks AS ({_TOKS}),
+tc AS (SELECT doc_id, term, count(*) AS n FROM toks GROUP BY doc_id, term),
+ttot AS (SELECT doc_id, sum(n) AS nt FROM tc GROUP BY doc_id),
+te AS (SELECT tc.doc_id, CAST(max(ttot.nt) AS BIGINT) AS n_tokens_h,
+              CAST(floor((ln(max(ttot.nt))
+                          - sum(tc.n * ln(tc.n)) / max(ttot.nt))
+                         * 1000000 + 0.5) AS BIGINT) AS token_entropy_e6
+       FROM tc JOIN ttot USING (doc_id) GROUP BY tc.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(ce.n_chars_h, 0) AS BIGINT) AS n_chars_h,
+       CAST(coalesce(ce.char_entropy_e6, 0) AS BIGINT) AS char_entropy_e6,
+       CAST(coalesce(te.n_tokens_h, 0) AS BIGINT) AS n_tokens_h,
+       CAST(coalesce(te.token_entropy_e6, 0) AS BIGINT)
+         AS token_entropy_e6
+FROM documents d LEFT JOIN ce USING (doc_id) LEFT JOIN te USING (doc_id)
+ORDER BY d.doc_id""",
+
+        "source_kl_divergence": """
+WITH toks AS (SELECT source,
+                     unnest(list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9_]+'), x -> x <> '')) AS term
+              FROM documents),
+c AS (SELECT source, term, count(*) AS c FROM toks GROUP BY source, term),
+st AS (SELECT source, sum(c) AS n FROM c GROUP BY source),
+tt AS (SELECT term, sum(c) AS n FROM c GROUP BY term),
+nn AS (SELECT sum(c) AS n FROM c)
+SELECT c.source, CAST(max(st.n) AS BIGINT) AS n_tok,
+       CAST(floor(sum((c.c * 1.0 / st.n)
+                      * ln((c.c * 1.0 / st.n)
+                           / (tt.n * 1.0 / (SELECT n FROM nn))))
+                  * 1000000 + 0.5) AS BIGINT) AS kl_e6
+FROM c JOIN st USING (source) JOIN tt USING (term)
+GROUP BY c.source ORDER BY c.source""",
 
         "categorize_text_topk": """
 WITH tpl AS (

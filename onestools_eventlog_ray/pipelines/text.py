@@ -2602,3 +2602,139 @@ def categorize_text(ds: ray.data.Dataset, spec: CorpusSpec = DOCUMENTS_SPEC,
         "example_doc_id": pa.array([int(r["example_doc_id"]) for r in rows],
                                    pa.int64()),
     })
+
+
+def entropy_scores(ds: ray.data.Dataset,
+                   spec: CorpusSpec = DOCUMENTS_SPEC) -> ray.data.Dataset:
+    """Shannon-entropy quality scores, the C4/Gopher-family filter the
+    length/punct ratios miss: CHARACTER entropy (low = repeated filler,
+    base64 blobs sit high, natural text ~4 bits) and TOKEN entropy
+    (low = the same words over and over — template spam that passes a
+    length cut).  H = ln(n) - sum(c_i ln c_i)/n from exact counts, e6
+    ints; empty docs -> 0.
+
+    Zero shuffle, one batch pass; the char fold is a numpy bincount
+    over the flat UTF-8 view per doc (offsets from the Arrow buffers),
+    the token fold reuses the vectorized tokenizer + per-doc unique
+    counts.  -> (doc_id, n_chars_h, char_entropy_e6, n_tokens_h,
+    token_entropy_e6)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = add_doc_id(batch, spec)
+        content = batch["content"]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        n = batch.num_rows
+
+        def entropy_from(keys: np.ndarray, parents: np.ndarray,
+                         width: int) -> tuple[np.ndarray, np.ndarray]:
+            # keys = parent*width + symbol (doc-major composite); per-doc
+            # totals + per-(doc,symbol) counts in two vectorized folds
+            totals = np.zeros(n, dtype=np.int64)
+            np.add.at(totals, parents, 1)
+            uk, cnt = np.unique(keys, return_counts=True)
+            ud = (uk // width).astype(np.int64)
+            c = cnt.astype(np.float64)
+            ssum = np.zeros(n, dtype=np.float64)
+            np.add.at(ssum, ud, c * np.log(c))
+            h = np.zeros(n, dtype=np.float64)
+            m = totals > 0
+            tf = totals[m].astype(np.float64)
+            h[m] = np.log(tf) - ssum[m] / tf
+            return totals, np.floor(h * 1_000_000 + 0.5).astype(np.int64)
+
+        # chars: flat UTF-8 bytes + per-doc byte lengths from the Arrow
+        # offsets (large_string offsets are int64)
+        buf = np.frombuffer(content.buffers()[2], dtype=np.uint8)             if content.buffers()[2] is not None else np.empty(0, np.uint8)
+        off = np.frombuffer(
+            content.buffers()[1],
+            dtype=np.int64 if pa.types.is_large_string(content.type)
+            else np.int32)[content.offset:content.offset + n + 1]             .astype(np.int64)
+        blens = np.diff(off)
+        cparents = np.repeat(np.arange(n, dtype=np.int64), blens)
+        ckeys = cparents * 256 + buf[off[0]:off[-1]].astype(np.int64)
+        nc, ce = entropy_from(ckeys, cparents, 256)
+
+        # tokens: vectorized tokenizer, vocab factorized once per batch
+        toks = tokenize_array(content)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        tlens = np.asarray(toks.value_lengths(), dtype=np.int64)
+        tparents = np.repeat(np.arange(n, dtype=np.int64), tlens)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        if flat.size:
+            _vocab, tid = np.unique(flat, return_inverse=True)
+            tkeys = tparents * np.int64(_vocab.size) + tid
+            nt, te = entropy_from(tkeys, tparents, int(_vocab.size))
+        else:
+            nt = np.zeros(n, dtype=np.int64)
+            te = np.zeros(n, dtype=np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars_h": pa.array(nc, pa.int64()),
+            "char_entropy_e6": pa.array(ce, pa.int64()),
+            "n_tokens_h": pa.array(nt, pa.int64()),
+            "token_entropy_e6": pa.array(te, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def source_unigram_kl(ds: ray.data.Dataset,
+                      spec: CorpusSpec = DOCUMENTS_SPEC,
+                      by: str = "source") -> pa.Table:
+    """Distribution-shift report: KL(source || corpus) over unigram
+    term distributions, per source — the drift metric a training-mix
+    curator watches when one feed starts injecting boilerplate (its KL
+    jumps) or goes stale.  KL = sum_t p_t ln(p_t / q_t) with p from the
+    source, q from the whole corpus; terms absent from a source
+    contribute 0 (p=0); q covers every term by construction.
+
+    One (term, source) count fold — narrow rows, partial-aggregated
+    per batch before the groupby — then the KL sum runs over the
+    folded vocabulary table (vocab-bounded, never corpus-bounded),
+    term-ascending for a deterministic float fold.  -> (source, n_tok,
+    kl_e6) source asc."""
+    from ray.data.aggregate import Sum as RSum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch2 = add_doc_id(batch, spec)
+        toks = tokenize_array(batch2["content"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = np.asarray(toks.value_lengths(), dtype=np.int64)
+        src = batch[by].to_numpy(zero_copy_only=False)
+        flat_src = np.repeat(src, lens)
+        flat_term = toks.flatten().to_numpy(zero_copy_only=False)
+        t = pa.table({"term": pa.array(flat_term, pa.string()),
+                      "source": pa.array(flat_src, pa.string())})
+        g = t.group_by(["term", "source"]).aggregate([("term", "count")])
+        return g.rename_columns(["term", "source", "c_p"])
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["term", "source"]).aggregate(
+            RSum("c_p", alias_name="c")).take_all()
+    if not folded:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "n_tok": pa.array([], pa.int64()),
+                         "kl_e6": pa.array([], pa.int64())})
+    # vocab-bounded driver fold, term-ascending for determinism
+    folded.sort(key=lambda r: (r["term"], r["source"]))
+    tot_term: dict[str, int] = {}
+    tot_src: dict[str, int] = {}
+    for r in folded:
+        tot_term[r["term"]] = tot_term.get(r["term"], 0) + int(r["c"])
+        tot_src[r["source"]] = tot_src.get(r["source"], 0) + int(r["c"])
+    n_corpus = sum(tot_src.values())
+    kl: dict[str, float] = {s: 0.0 for s in tot_src}
+    for r in folded:
+        s, t, c = r["source"], r["term"], int(r["c"])
+        p = c / tot_src[s]
+        q = tot_term[t] / n_corpus
+        kl[s] += p * np.log(p / q)
+    srcs = sorted(tot_src)
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_tok": pa.array([tot_src[s] for s in srcs], pa.int64()),
+        "kl_e6": pa.array([int(np.floor(kl[s] * 1_000_000 + 0.5))
+                           for s in srcs], pa.int64()),
+    })

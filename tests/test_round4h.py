@@ -450,3 +450,65 @@ def test_snapshot_restore_verify_and_corruption(index_dir, tmp_path):
         fh.write("{}")
     with pytest.raises(SnapshotCorruptError):
         restore_index(snap, str(tmp_path / "r2"), verify=True)
+
+
+def test_entropy_scores_bruteforce(docs_tbl):
+    import ray.data
+    from collections import Counter
+    from math import log
+    from onestools_eventlog_ray.pipelines.text import entropy_scores
+    out = {r["doc_id"]: r for r in
+           entropy_scores(ray.data.from_arrow(docs_tbl)).take_all()}
+
+    def h_e6(counts):
+        n = sum(counts.values())
+        if not n:
+            return 0, 0
+        h = log(n) - sum(c * log(c) for c in
+                         sorted(counts.values())) / n
+        return n, int(np.floor(h * 1e6 + 0.5))
+
+    for d, t in list(zip(docs_tbl["doc_id"].to_pylist(),
+                         docs_tbl["text"].to_pylist()))[:50]:
+        nc, ce = h_e6(Counter(t.encode()))
+        nt, te = h_e6(Counter(_tok(t)))
+        r = out[d]
+        assert r["n_chars_h"] == nc and r["n_tokens_h"] == nt
+        assert abs(r["char_entropy_e6"] - ce) <= 1   # sum-order ulp
+        assert abs(r["token_entropy_e6"] - te) <= 1
+    # uniform text has lower token entropy than varied text
+    uni = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(["a a a a a a a a",
+                                      "a b c d e f g h"]),
+                    "lang": pa.array(["en"] * 2),
+                    "source": pa.array(["s"] * 2),
+                    "n_chars": pa.array([15, 15], pa.int64())})
+    r = {x["doc_id"]: x for x in
+         entropy_scores(ray.data.from_arrow(uni)).take_all()}
+    assert r[1]["token_entropy_e6"] == 0           # single symbol
+    assert r[2]["token_entropy_e6"] > r[1]["token_entropy_e6"]
+
+
+def test_source_kl_bruteforce(docs_tbl):
+    import ray.data
+    from collections import Counter
+    from math import log
+    from onestools_eventlog_ray.pipelines.text import source_unigram_kl
+    got = {r["source"]: r for r in
+           source_unigram_kl(ray.data.from_arrow(docs_tbl)).to_pylist()}
+    per_src: dict = {}
+    tot = Counter()
+    for s, t in zip(docs_tbl["source"].to_pylist(),
+                    docs_tbl["text"].to_pylist()):
+        c = Counter(_tok(t))
+        per_src.setdefault(s, Counter()).update(c)
+        tot.update(c)
+    n_all = sum(tot.values())
+    assert set(got) == set(per_src)
+    for s, cnt in per_src.items():
+        n_s = sum(cnt.values())
+        kl = sum((c / n_s) * log((c / n_s) / (tot[t] / n_all))
+                 for t, c in sorted(cnt.items()))
+        assert got[s]["n_tok"] == n_s
+        assert abs(got[s]["kl_e6"] - int(np.floor(kl * 1e6 + 0.5))) <= 1
+        assert got[s]["kl_e6"] >= 0                 # Gibbs' inequality
