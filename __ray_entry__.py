@@ -1042,6 +1042,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["doc_id", "lang", "n_chars"])
         return sampling.sample_by_hash(ds, "doc_id", pct=10, mod=100)
 
+    def importance_sample(sf_dir):
+        """Quality-weighted deterministic Bernoulli downsampling: keep
+        prob = min(1, n_chars/600) per doc, verdict from an integer md5
+        compare — retry-stable, RNG-free, SQL-exact."""
+        from onestools_eventlog_ray.pipelines import sampling
+        ds = _read_pq(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "n_chars"])
+        return sampling.importance_sample(ds)
+
     def stratified_sample(sf_dir):
         import ray.data
         from onestools_eventlog_ray.pipelines import sampling
@@ -2246,6 +2255,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf = lambda t: _read_pq(os.path.join(sf_dir, f"{t}.parquet"))
         return relational.q12_priority_by_flag(sf("lineitem"), sf("orders"))
 
+    def mterm_vectors_top3(sf_dir):
+        """ES _mtermvectors: term vectors for the reference query's
+        top-3 docs in ONE call — one pruned docstore fetch + one
+        batched dictionary probe for the union vocabulary."""
+        from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                            mtermvectors)
+        eng = SearchEngine(_ensure_index(sf_dir))
+        top = _bm25_table(sf_dir, _BM25_TERMS, k=3)
+        return mtermvectors(eng, [int(d) for d in
+                                  top["doc_id"].to_pylist()])
+
     def entropy_scores(sf_dir):
         """Shannon-entropy quality filters: per-doc char entropy (byte
         bincount over the flat Arrow buffer) + token entropy (factorized
@@ -3237,6 +3257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": repetition_scores,
         "tfidf_topk": tfidf_topk,
         "sample_by_hash": sample_by_hash,
+        "importance_sample": importance_sample,
         "stratified_sample": stratified_sample,
         "bloom_term_bits": bloom_term_bits,
         "label_centroids": label_centroids,
@@ -3441,6 +3462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_idle_balances": q22_idle_balances,
         "q15_top_supplier": q15_top_supplier,
         "q12_priority_by_flag": q12_priority_by_flag,
+        "mterm_vectors_top3": mterm_vectors_top3,
         "entropy_scores": entropy_scores,
         "source_kl_divergence": source_kl_divergence,
         "categorize_text_topk": categorize_text_topk,
@@ -4558,6 +4580,16 @@ r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
                                    ORDER BY tfidf_e6 DESC, term) AS rk
       FROM s)
 SELECT doc_id, term, tfidf_e6 FROM r WHERE rk <= 3""",
+
+        "importance_sample": """
+WITH h AS (SELECT doc_id, n_chars,
+                  CAST(md5_number_lower(concat('is:',
+                           CAST(doc_id AS VARCHAR))) % 1000000
+                       AS BIGINT) AS h_mod,
+                  CAST(least(1000000, n_chars * 1000000 // 600)
+                       AS BIGINT) AS w_e6
+           FROM documents)
+SELECT doc_id, n_chars, w_e6, h_mod FROM h WHERE h_mod < w_e6""",
 
         "sample_by_hash": """
 WITH h AS (SELECT doc_id, lang, n_chars,
@@ -7864,6 +7896,18 @@ SELECT l.l_returnflag,
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 WHERE year(l.l_shipdate) BETWEEN 1996 AND 1997
 GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
+
+        "mterm_vectors_top3": f"""
+WITH toks AS ({_TOKS}),
+base AS ({_bm25_sql(_BM25_TERMS, k=3)}),
+sel AS (SELECT doc_id FROM base),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks JOIN sel USING (doc_id) GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM toks GROUP BY term)
+SELECT tf.doc_id, tf.term, tf.tf, df.df
+FROM tf JOIN df USING (term)
+ORDER BY tf.doc_id, tf.term""",
 
         "entropy_scores": f"""
 WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c

@@ -1466,6 +1466,49 @@ def term_vectors(eng: SearchEngine, doc_id: int,
     })
 
 
+def mtermvectors(eng: SearchEngine, doc_ids: list[int],
+                 content_col: str = "content") -> pa.Table:
+    """ES ``_mtermvectors``: term vectors for MANY stored docs in one
+    call — ONE range-pruned docstore fetch for all ids and ONE batched
+    dictionary probe for the union of their distinct terms (instead of
+    per-doc round trips; exactly why the ES bulk API exists).  The
+    re-analysis is the vectorized batch tokenizer, per-doc tf via a
+    factorized (doc, term) composite-key fold.
+    -> (doc_id, term, tf, df) ordered (doc_id, term)."""
+    from onestools_eventlog_ray.functions.analyzer import tokenize_array
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "term": pa.array([], pa.string()),
+                      "tf": pa.array([], pa.int64()),
+                      "df": pa.array([], pa.int64())})
+    tbl = eng.fetch_docs(list(doc_ids), columns=["doc_id", content_col])
+    if not tbl.num_rows or content_col not in tbl.column_names:
+        return empty
+    toks = tokenize_array(tbl[content_col])
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = np.asarray(toks.value_lengths(), dtype=np.int64)
+    docs = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    parents = np.repeat(np.arange(docs.size, dtype=np.int64), lens)
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    if not flat.size:
+        return empty
+    vocab, tid = np.unique(flat, return_inverse=True)
+    keys, cnt = np.unique(parents * np.int64(vocab.size) + tid,
+                          return_counts=True)
+    kd = docs[(keys // vocab.size)]
+    kt = vocab[(keys % vocab.size)]
+    loaded = eng.load_terms([str(t) for t in vocab])
+    df_of = {t: loaded[t][0] for t in loaded}
+    df = np.asarray([df_of.get(str(t), 0) for t in kt], dtype=np.int64)
+    order = np.lexsort((kt, kd))
+    return pa.table({
+        "doc_id": pa.array(kd[order], pa.int64()),
+        "term": pa.array(kt[order].tolist(), pa.string()),
+        "tf": pa.array(cnt.astype(np.int64)[order], pa.int64()),
+        "df": pa.array(df[order], pa.int64()),
+    })
+
+
 def count_matches(index_dir: str, terms: list[str]) -> pa.Table:
     """ES ``_count`` API: how many (live) documents match the query,
     under both OR semantics (any term) and AND semantics (all terms) —

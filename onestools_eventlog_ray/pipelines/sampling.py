@@ -164,3 +164,43 @@ def balanced_sample(ds: ray.data.Dataset, group_col: str, id_col: str,
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def importance_sample(ds: ray.data.Dataset, id_col: str = "doc_id",
+                      weight_col: str = "n_chars",
+                      full_weight_at: int = 600,
+                      salt: str = "is") -> ray.data.Dataset:
+    """Deterministic IMPORTANCE sampling: keep each row with its OWN
+    acceptance probability ``w = min(1, value / full_weight_at)`` —
+    the quality/length-weighted Bernoulli downsampler a training-mix
+    builder runs (DSIR-style: low-value docs survive at reduced rate
+    instead of a hard cut, so the tail stays represented).
+
+    RNG-free and retry-stable like every sampler here: accept iff
+    ``md5_lower64(f"{salt}:{id}") % 1e6 < w_e6`` — the same row gets
+    the same verdict on every run, every retry, every cluster size,
+    and the whole decision is one integer compare the SQL oracle
+    reproduces exactly.  Zero shuffle, pure batch filter.
+    -> kept rows (id, weight value, w_e6, h_mod)."""
+    prefix = f"{salt}:"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        keyed = pc.binary_join_element_wise(
+            pa.array([prefix] * len(ids), pa.string()),
+            pc.cast(ids, pa.string()), "")
+        h = (md5_lower64(keyed) % np.uint64(1_000_000)).astype(np.int64)
+        v = batch[weight_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        w = np.minimum(np.int64(1_000_000),
+                       v * np.int64(1_000_000) // full_weight_at)
+        keep = h < w
+        t = batch.select([id_col, weight_col]).filter(pa.array(keep))
+        return t.append_column(
+            "w_e6", pa.array(w[keep], pa.int64())).append_column(
+            "h_mod", pa.array(h[keep], pa.int64()))
+
+    return ds.select_columns([id_col, weight_col]) \
+        .map_batches(fn, batch_format="pyarrow")

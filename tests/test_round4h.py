@@ -512,3 +512,52 @@ def test_source_kl_bruteforce(docs_tbl):
         assert got[s]["n_tok"] == n_s
         assert abs(got[s]["kl_e6"] - int(np.floor(kl * 1e6 + 0.5))) <= 1
         assert got[s]["kl_e6"] >= 0                 # Gibbs' inequality
+
+
+def test_mtermvectors_matches_single(index_dir, docs_tbl):
+    from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                        mtermvectors,
+                                                        term_vectors)
+    eng = SearchEngine(index_dir)
+    ids = docs_tbl["doc_id"].to_pylist()[:3]
+    multi = mtermvectors(eng, ids).to_pylist()
+    for d in ids:
+        single = term_vectors(eng, d).to_pylist()
+        got = [(r["term"], r["tf"], r["df"]) for r in multi
+               if r["doc_id"] == d]
+        assert got == [(r["term"], r["tf"], r["df"]) for r in single]
+    assert mtermvectors(eng, []).num_rows == 0
+
+
+def test_importance_sample_properties():
+    import ray.data
+    from onestools_eventlog_ray.functions.fasthash import md5_lower64_one
+    from onestools_eventlog_ray.pipelines.sampling import importance_sample
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                        columns=["doc_id", "n_chars"])
+    out = importance_sample(ray.data.from_arrow(tbl)).take_all()
+    got = {r["doc_id"]: r for r in out}
+    n_full = 0
+    for d, nc in zip(tbl["doc_id"].to_pylist(),
+                     tbl["n_chars"].to_pylist()):
+        w = min(10**6, nc * 10**6 // 600)
+        h = md5_lower64_one(f"is:{d}") % 10**6
+        if h < w:
+            assert got[d]["w_e6"] == w and got[d]["h_mod"] == h
+        else:
+            assert d not in got
+        if w == 10**6:
+            n_full += 1
+            assert d in got                     # prob-1 rows always kept
+    assert 0 < len(got) < tbl.num_rows
+    # planted prob-1 row is always kept regardless of its hash
+    import ray.data as rd
+    big = pa.table({"doc_id": pa.array([999_999], pa.int64()),
+                    "n_chars": pa.array([5000], pa.int64())})
+    kept = importance_sample(rd.from_arrow(big)).take_all()
+    assert [r["doc_id"] for r in kept] == [999_999]
+    assert kept[0]["w_e6"] == 10**6
+    # deterministic: a second run is identical
+    out2 = importance_sample(ray.data.from_arrow(tbl)).take_all()
+    assert sorted(r["doc_id"] for r in out) == \
+        sorted(r["doc_id"] for r in out2)
