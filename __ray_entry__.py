@@ -995,6 +995,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def date_histogram_ewma_q(sf_dir):
+        """ES moving_fn ewma (alpha=0.3) over the zero-filled daily
+        histogram — expanded weighted-sum form, span-bounded."""
+        from onestools_eventlog_ray.pipelines.streaming import \
+            date_histogram_ewma
+        return date_histogram_ewma(
+            _read_pq(os.path.join(sf_dir, "events.parquet"),
+                     columns=["ts"]))
+
     def auto_date_histogram_q(sf_dir):
         """ES auto_date_histogram: engine-chosen calendar interval
         (smallest ladder rung fitting <=20 buckets, exact integer
@@ -3240,6 +3249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_combined_fields": bm25_combined_fields,
         "phrase_search": phrase_search,
         "span_not_matches": span_not_matches,
+        "date_histogram_ewma": date_histogram_ewma_q,
         "auto_date_histogram": auto_date_histogram_q,
         "date_histogram_serial_diff": date_histogram_serial_diff_q,
         "knn_cosine_ivf": knn_cosine_ivf,
@@ -5189,6 +5199,25 @@ tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
 SELECT doc_id, query_name
 FROM tok CROSS JOIN q WHERE list_has_all(l, terms)
 ORDER BY doc_id, query_name""",
+        "date_histogram_ewma": """
+WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,
+                  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+f0 AS (SELECT s.epoch_day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
+       FROM (SELECT unnest(generate_series((SELECT min(epoch_day) FROM d),
+                                           (SELECT max(epoch_day) FROM d)))
+               AS epoch_day) s
+       LEFT JOIN d USING (epoch_day)),
+f AS (SELECT epoch_day, n_events,
+             row_number() OVER (ORDER BY epoch_day) - 1 AS t FROM f0)
+SELECT a.epoch_day, a.n_events,
+       CAST(floor((pow(1.0 - 0.3, a.t)
+                     * (SELECT n_events FROM f WHERE t = 0)
+                   + coalesce((SELECT sum(0.3 * pow(1.0 - 0.3, a.t - b.t)
+                                          * b.n_events)
+                               FROM f b WHERE b.t BETWEEN 1 AND a.t), 0))
+                  * 1000000 + 0.5) AS BIGINT) AS ewma_e6
+FROM f a ORDER BY a.epoch_day""",
+
         "auto_date_histogram": """
 WITH mm AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
             FROM events),

@@ -933,3 +933,32 @@ def date_histogram_serial_diff(ds: ray.data.Dataset,
         "n_events": base["n_events"],
         "diff_events": pa.array(diff.tolist(), pa.int64()),
     })
+
+
+def date_histogram_ewma(ds: ray.data.Dataset,
+                        alpha_e6: int = 300_000) -> pa.Table:
+    """ES ``moving_fn`` with the builtin ``MovingFunctions.ewma``:
+    exponentially-weighted moving average of the zero-filled daily
+    histogram, s_t = alpha*x_t + (1-alpha)*s_{t-1} with s_0 = x_0.
+    Computed on the span-bounded folded buckets like every pipeline
+    agg.  The float recursion is written in its expanded weighted-sum
+    form (sum over j of alpha(1-alpha)^(t-j) x_j, oldest term first,
+    plus the (1-alpha)^t x_0 seed) so the SQL oracle can reproduce the
+    identical operation order with a window sum — bucket count is
+    span-bounded, the O(span^2) oracle form is fine.
+    -> (epoch_day, n_events, ewma_e6)."""
+    base = date_histogram_filled(ds)
+    n = base["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+    alpha = alpha_e6 / 1_000_000.0
+    out = np.zeros(n.size, dtype=np.float64)
+    for t in range(n.size):                    # span-bounded (~days), not data
+        acc = (1.0 - alpha) ** t * n[0]
+        for j in range(1, t + 1):
+            acc += alpha * (1.0 - alpha) ** (t - j) * n[j]
+        out[t] = acc
+    return pa.table({
+        "epoch_day": base["epoch_day"],
+        "n_events": base["n_events"],
+        "ewma_e6": pa.array(np.floor(out * 1_000_000 + 0.5)
+                            .astype(np.int64), pa.int64()),
+    })

