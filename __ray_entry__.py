@@ -995,6 +995,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def hdr_quantiles_q(sf_dir):
+        """Mergeable HDR-histogram quantile sketch (8 sub-buckets per
+        octave, all-integer): p50/p90/p95/p99 estimates — the scale
+        path where exact percentiles would need a full sort."""
+        from onestools_eventlog_ray.pipelines.sketch import hdr_quantiles
+        return hdr_quantiles(
+            _read_pq(os.path.join(sf_dir, "events.parquet"),
+                     columns=["value"]))
+
+    def hdr_quantile_error_q(sf_dir):
+        """Calibration gate for the HDR sketch: estimate vs exact
+        quantile with measured relative error (design bound 1/8)."""
+        from onestools_eventlog_ray.pipelines.sketch import \
+            hdr_quantile_error
+        return hdr_quantile_error(
+            _read_pq(os.path.join(sf_dir, "events.parquet"),
+                     columns=["value"]))
+
     def date_histogram_ewma_q(sf_dir):
         """ES moving_fn ewma (alpha=0.3) over the zero-filled daily
         histogram — expanded weighted-sum form, span-bounded."""
@@ -3249,6 +3267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_combined_fields": bm25_combined_fields,
         "phrase_search": phrase_search,
         "span_not_matches": span_not_matches,
+        "hdr_quantiles": hdr_quantiles_q,
+        "hdr_quantile_error": hdr_quantile_error_q,
         "date_histogram_ewma": date_histogram_ewma_q,
         "auto_date_histogram": auto_date_histogram_q,
         "date_histogram_serial_diff": date_histogram_serial_diff_q,
@@ -5199,6 +5219,65 @@ tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
 SELECT doc_id, query_name
 FROM tok CROSS JOIN q WHERE list_has_all(l, terms)
 ORDER BY doc_id, query_name""",
+        "hdr_quantiles": """
+WITH v AS (SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) + 1 AS v1
+           FROM events),
+b AS (SELECT CASE WHEN v1 < 8 THEN v1
+             ELSE 8 * (CAST(floor(log2(v1)) AS BIGINT) - 3)
+                  + (v1 >> (CAST(floor(log2(v1)) AS BIGINT) - 3))
+             END AS bucket FROM v),
+h AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+c AS (SELECT bucket, sum(n) OVER (ORDER BY bucket) AS cum,
+             (SELECT sum(n) FROM h) AS total FROM h),
+qs AS (SELECT unnest([50, 90, 95, 99]) AS q),
+pick AS (SELECT qs.q,
+                (qs.q * (SELECT total FROM c LIMIT 1) + 99) // 100 AS rank,
+                min(c.bucket) AS bucket
+         FROM qs JOIN c
+           ON c.cum >= (qs.q * c.total + 99) // 100
+         GROUP BY qs.q)
+SELECT CAST(q AS BIGINT) AS q, CAST(rank AS BIGINT) AS rank,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(CASE WHEN bucket < 8 THEN bucket
+                 ELSE (bucket % 8 + 8) << (bucket // 8 - 1) END - 1
+            AS BIGINT) AS est_e3
+FROM pick ORDER BY q""",
+
+        "hdr_quantile_error": """
+WITH v AS (SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) + 1 AS v1
+           FROM events),
+b AS (SELECT CASE WHEN v1 < 8 THEN v1
+             ELSE 8 * (CAST(floor(log2(v1)) AS BIGINT) - 3)
+                  + (v1 >> (CAST(floor(log2(v1)) AS BIGINT) - 3))
+             END AS bucket FROM v),
+h AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+c AS (SELECT bucket, sum(n) OVER (ORDER BY bucket) AS cum,
+             (SELECT sum(n) FROM h) AS total FROM h),
+qs AS (SELECT unnest([50, 90, 95, 99]) AS q),
+pick AS (SELECT qs.q,
+                (qs.q * (SELECT total FROM c LIMIT 1) + 99) // 100 AS rank,
+                min(c.bucket) AS bucket
+         FROM qs JOIN c
+           ON c.cum >= (qs.q * c.total + 99) // 100
+         GROUP BY qs.q),
+est AS (SELECT q, rank,
+               CASE WHEN bucket < 8 THEN bucket
+                    ELSE (bucket % 8 + 8) << (bucket // 8 - 1) END - 1
+                 AS est_e3
+        FROM pick),
+ev AS (SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v3 FROM events),
+cv AS (SELECT v3, count(*) AS c FROM ev GROUP BY v3),
+cc AS (SELECT v3, sum(c) OVER (ORDER BY v3) AS cum FROM cv),
+ex AS (SELECT est.q, est.est_e3,
+              (SELECT min(v3) FROM cc WHERE cum >= est.rank) AS exact_e3
+       FROM est)
+SELECT CAST(q AS BIGINT) AS q, CAST(est_e3 AS BIGINT) AS est_e3,
+       CAST(exact_e3 AS BIGINT) AS exact_e3,
+       CAST(CASE WHEN exact_e3 > 0
+                 THEN abs(est_e3 - exact_e3) * 1000000 // exact_e3
+                 ELSE 0 END AS BIGINT) AS rel_err_e6
+FROM ex ORDER BY q""",
+
         "date_histogram_ewma": """
 WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,
                   CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),

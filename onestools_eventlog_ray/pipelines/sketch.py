@@ -291,3 +291,123 @@ def cm_error_report(ds: ray.data.Dataset,
         "cf_est": pa.array(out["cf_est"], pa.int64()),
         "overcount": pa.array(out["overcount"], pa.int64()),
     })
+
+
+def _hdr_bucket(v1: np.ndarray) -> np.ndarray:
+    """HDR-histogram bucket id for positive int64 values: identity below
+    8, then 8 log2 sub-buckets per octave — ALL integer except the
+    power-of-2-exact ``floor(log2)`` (IEEE log2 of 2^k is exactly k, so
+    the floor can never mis-bucket; every other step is bit math the
+    SQL oracle mirrors verbatim)."""
+    v1 = np.asarray(v1, dtype=np.int64)
+    m = np.zeros(v1.size, dtype=np.int64)
+    big = v1 >= 8
+    m[big] = np.floor(np.log2(v1[big])).astype(np.int64)
+    out = v1.copy()
+    shift = m[big] - 3
+    out[big] = 8 * shift + (v1[big] >> shift)
+    return out
+
+
+def _hdr_lower(bk: np.ndarray) -> np.ndarray:
+    """Inverse: bucket id -> lower bound of its value range (v1 space)."""
+    bk = np.asarray(bk, dtype=np.int64)
+    out = bk.copy()
+    big = bk >= 8
+    m = bk[big] // 8 + 2                     # b in [8(m-2), 8(m-2)+7]
+    sub = bk[big] % 8 + 8
+    out[big] = sub << (m - 3)
+    return out
+
+
+def hdr_value_sketch(events: ray.data.Dataset,
+                     col: str = "value") -> pa.Table:
+    """Mergeable HDR-histogram sketch of a float column (e3-quantized):
+    THE scale path for percentiles — exact percentiles of 10^12 rows
+    need a full sort (all-to-all over everything); this is one
+    partial-count pass folding into <=~230 bucket registers per block,
+    merged by integer addition, with a guaranteed <=1/8 relative error
+    from the 8-per-octave sub-bucketing.  Same mergeable-register
+    shape as the HLL/CM sketches above.  -> (bucket, n) bucket asc."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v1 = np.floor(batch[col].to_numpy(zero_copy_only=False)
+                      .astype(np.float64) * 1_000 + 0.5).astype(np.int64) + 1
+        bk, cnt = np.unique(_hdr_bucket(v1), return_counts=True)
+        return pa.table({"bucket": pa.array(bk, pa.int64()),
+                         "n_p": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    folded = events.select_columns([col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Sum("n_p", alias_name="n")) \
+        .sort("bucket").take_all()
+    return pa.table({
+        "bucket": pa.array([int(r["bucket"]) for r in folded], pa.int64()),
+        "n": pa.array([int(r["n"]) for r in folded], pa.int64()),
+    })
+
+
+def hdr_quantiles(events: ray.data.Dataset, col: str = "value",
+                  qs: tuple[int, ...] = (50, 90, 95, 99)) -> pa.Table:
+    """Quantile estimates from the HDR sketch: for each q, the lower
+    bound (e3 units) of the first bucket whose cumulative count reaches
+    ``ceil(q * n / 100)`` — deterministic integers end to end.
+    -> (q, rank, bucket, est_e3)."""
+    sk = hdr_value_sketch(events, col)
+    bk = sk["bucket"].to_numpy(zero_copy_only=False)
+    n = sk["n"].to_numpy(zero_copy_only=False)
+    cum = np.cumsum(n)
+    total = int(cum[-1]) if cum.size else 0
+    rows = {"q": [], "rank": [], "bucket": [], "est_e3": []}
+    for q in qs:
+        rank = (q * total + 99) // 100
+        i = int(np.searchsorted(cum, rank))
+        b = int(bk[i]) if i < bk.size else int(bk[-1])
+        rows["q"].append(q)
+        rows["rank"].append(rank)
+        rows["bucket"].append(b)
+        rows["est_e3"].append(int(_hdr_lower(np.asarray([b]))[0]) - 1)
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+
+def hdr_quantile_error(events: ray.data.Dataset,
+                       col: str = "value",
+                       qs: tuple[int, ...] = (50, 90, 95, 99)) -> pa.Table:
+    """Calibration gate for the HDR sketch (house rule: every estimator
+    ships with its measured adequacy): sketch estimate vs the EXACT
+    quantile (from a value-cardinality-bounded (v_e3, count) fold —
+    calibration-only, the sketch itself never needs it), with the
+    relative error as e6.  The 8-sub-bucket design bound is 1/8; the
+    report shows the measured error per q.
+    -> (q, est_e3, exact_e3, rel_err_e6)."""
+    from ray.data.aggregate import Sum
+
+    est = hdr_quantiles(events, col, qs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch[col].to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * 1_000 + 0.5).astype(np.int64)
+        uv, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uv, pa.int64()),
+                         "c_p": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    folded = events.select_columns([col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("v").aggregate(Sum("c_p", alias_name="c")) \
+        .sort("v").take_all()
+    vals = np.asarray([int(r["v"]) for r in folded], dtype=np.int64)
+    cum = np.cumsum(np.asarray([int(r["c"]) for r in folded],
+                               dtype=np.int64))
+    total = int(cum[-1]) if cum.size else 0
+    rows = {"q": [], "est_e3": [], "exact_e3": [], "rel_err_e6": []}
+    for q, e3 in zip(est["q"].to_pylist(), est["est_e3"].to_pylist()):
+        rank = (q * total + 99) // 100
+        i = int(np.searchsorted(cum, rank))
+        exact = int(vals[i]) if i < vals.size else int(vals[-1])
+        err = abs(e3 - exact) * 1_000_000 // exact if exact else 0
+        rows["q"].append(q)
+        rows["est_e3"].append(e3)
+        rows["exact_e3"].append(exact)
+        rows["rel_err_e6"].append(err)
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})

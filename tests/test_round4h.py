@@ -582,3 +582,41 @@ def test_ewma_recursion_equivalence():
     assert got == pytest.approx(want, abs=2e-6)
     # smoothing: ewma deviates from the raw series less than raw varies
     assert len(got) == len(n)
+
+
+def test_hdr_bucket_roundtrip_and_merge():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.sketch import (_hdr_bucket,
+                                                         _hdr_lower,
+                                                         hdr_quantile_error,
+                                                         hdr_value_sketch)
+    v1 = np.concatenate([np.arange(1, 100), 2 ** np.arange(3, 30),
+                         2 ** np.arange(3, 30) - 1,
+                         np.asarray([560_211], np.int64)])
+    bk = _hdr_bucket(v1)
+    lb = _hdr_lower(bk)
+    # lower bound <= value < lower bound * (1 + 1/8) (octave sub-bucket)
+    assert np.all(lb <= v1)
+    big = v1 >= 8
+    assert np.all(v1[big] < lb[big] + (lb[big] >> 3) + 1)
+    # buckets are monotone in value
+    order = np.argsort(v1)
+    assert np.all(np.diff(bk[order]) >= 0)
+
+    # sketch of (A union B) == sketch(A) + sketch(B) merged by addition
+    ev = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                       columns=["value"])
+    half = ev.num_rows // 2
+    a = hdr_value_sketch(ray.data.from_arrow(ev.slice(0, half)))
+    b = hdr_value_sketch(ray.data.from_arrow(ev.slice(half)))
+    merged = {}
+    for t in (a, b):
+        for r in t.to_pylist():
+            merged[r["bucket"]] = merged.get(r["bucket"], 0) + r["n"]
+    full = {r["bucket"]: r["n"] for r in
+            hdr_value_sketch(ray.data.from_arrow(ev)).to_pylist()}
+    assert merged == full
+
+    # measured error within the 1/8 design bound
+    err = hdr_quantile_error(ray.data.from_arrow(ev)).to_pylist()
+    assert all(r["rel_err_e6"] <= 125_000 for r in err)
