@@ -2282,6 +2282,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf = lambda t: _read_pq(os.path.join(sf_dir, f"{t}.parquet"))
         return relational.q12_priority_by_flag(sf("lineitem"), sf("orders"))
 
+    def context_packing(sf_dir):
+        """LLM sequence packing (concat-and-cut): per doc the global
+        token offset and the 2048-token context-window span it lands
+        in — exclusive prefix sum in doc_id order."""
+        return text.context_window_packing(_documents_ds(sf_dir))
+
     def mterm_vectors_top3(sf_dir):
         """ES _mtermvectors: term vectors for the reference query's
         top-3 docs in ONE call — one pruned docstore fetch + one
@@ -3492,6 +3498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_idle_balances": q22_idle_balances,
         "q15_top_supplier": q15_top_supplier,
         "q12_priority_by_flag": q12_priority_by_flag,
+        "context_packing": context_packing,
         "mterm_vectors_top3": mterm_vectors_top3,
         "entropy_scores": entropy_scores,
         "source_kl_divergence": source_kl_divergence,
@@ -8004,6 +8011,25 @@ SELECT l.l_returnflag,
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 WHERE year(l.l_shipdate) BETWEEN 1996 AND 1997
 GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
+
+        "context_packing": f"""
+WITH toks AS ({_TOKS}),
+nt AS (SELECT d.doc_id,
+              CAST(coalesce(t.n, 0) AS BIGINT) AS n_tok
+       FROM documents d
+       LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks
+                  GROUP BY doc_id) t USING (doc_id)),
+sc AS (SELECT doc_id, n_tok,
+              CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start_tok
+       FROM nt)
+SELECT doc_id, n_tok, start_tok,
+       CAST(start_tok // 2048 AS BIGINT) AS first_bin,
+       CAST((start_tok + greatest(n_tok, 1) - 1) // 2048 AS BIGINT)
+         AS last_bin,
+       CAST(start_tok % 2048 AS BIGINT) AS offset_in_first
+FROM sc ORDER BY doc_id""",
 
         "mterm_vectors_top3": f"""
 WITH toks AS ({_TOKS}),

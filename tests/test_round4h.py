@@ -620,3 +620,29 @@ def test_hdr_bucket_roundtrip_and_merge():
     # measured error within the 1/8 design bound
     err = hdr_quantile_error(ray.data.from_arrow(ev)).to_pylist()
     assert all(r["rel_err_e6"] <= 125_000 for r in err)
+
+
+def test_context_packing_invariants(docs_tbl):
+    import ray.data
+    from onestools_eventlog_ray.pipelines.text import context_window_packing
+    out = context_window_packing(ray.data.from_arrow(docs_tbl),
+                                 capacity=100).to_pylist()
+    assert [r["doc_id"] for r in out] == sorted(r["doc_id"] for r in out)
+    want_nt = {d: len(_tok(t)) for d, t in
+               zip(docs_tbl["doc_id"].to_pylist(),
+                   docs_tbl["text"].to_pylist())}
+    run = 0
+    for r in out:
+        assert r["n_tok"] == want_nt[r["doc_id"]]
+        assert r["start_tok"] == run          # gapless concat stream
+        run += r["n_tok"]
+        assert r["first_bin"] == r["start_tok"] // 100
+        assert r["offset_in_first"] == r["start_tok"] % 100
+        assert r["last_bin"] == (r["start_tok"]
+                                 + max(r["n_tok"], 1) - 1) // 100
+        assert r["last_bin"] >= r["first_bin"]
+    # every bin up to the last is covered by at least one doc span
+    covered = set()
+    for r in out:
+        covered.update(range(r["first_bin"], r["last_bin"] + 1))
+    assert covered == set(range(max(covered) + 1))
