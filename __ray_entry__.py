@@ -1435,6 +1435,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def bm25_after_ilm_delete(sf_dir):
+        """ILM retention sweep: delete_by_metadata(lang='de') tombstones
+        via a predicate-pushed docstore read (doc_id column only), then
+        BM25 over survivors — stats stay global (soft-delete), so the
+        oracle is filtered BM25."""
+        from onestools_eventlog_ray.config import EngineConfig
+        from onestools_eventlog_ray.pipelines.build import build_index
+        from onestools_eventlog_ray.pipelines.query import (
+            SearchEngine, delete_by_metadata)
+        from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+        from onestools_eventlog_ray.state.tombstones import load_tombstones
+        src = os.path.join(sf_dir, "documents.parquet")
+        index_dir = _index_dir_for(sf_dir) + "_ilm"
+        build_index(src, index_dir, spec=DOCUMENTS_SPEC,
+                    cfg=EngineConfig(num_partitions=16))
+        if load_tombstones(index_dir).size == 0:
+            delete_by_metadata(index_dir, {"lang": "de"})
+        eng = SearchEngine(index_dir)
+        hits = eng.search(_BM25_TERMS, k=1_000_000)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
     def bm25_explain(sf_dir):
         """ES _explain: the per-term BM25 breakdown (tf, df, dl, idf,
         contribution) for the top-1 doc of the reference query —
@@ -3388,6 +3416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_random_score": bm25_random_score,
         "training_mix_report": training_mix_report,
         "bm25_after_delete_query": bm25_after_delete_query,
+        "bm25_after_ilm_delete": bm25_after_ilm_delete,
         "bm25_explain": bm25_explain,
         "bm25_rescore": bm25_rescore,
         "duplicate_ngrams": duplicate_ngrams,
@@ -5823,6 +5852,8 @@ SELECT * FROM (
          CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s4
 ) ORDER BY stage_id""",
 
+        "bm25_after_ilm_delete": _bm25_filtered_sql(
+            _BM25_TERMS, "lang <> 'de'", k=10),
         "bm25_after_delete_query": _bm25_sql(["table", "join"]).replace(
             "FROM scored\nORDER BY",
             "FROM scored\nWHERE doc_id NOT IN (SELECT DISTINCT doc_id "

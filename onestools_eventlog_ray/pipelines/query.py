@@ -1287,6 +1287,41 @@ def delete_by_query(index_dir: str, terms: list[str]) -> int:
     return delete_docs(index_dir, ids)
 
 
+def delete_by_metadata(index_dir: str, where: dict) -> int:
+    """ES ILM delete phase / ``_delete_by_query`` with a METADATA
+    predicate: tombstone every live doc whose docstore metadata matches
+    ``where`` (scalar = equality, ``(lo, hi)`` tuple = inclusive range
+    — the :meth:`SearchEngine.search_filtered` convention).  The ids
+    come from a predicate-PUSHED-DOWN docstore read of the ``doc_id``
+    column only (row groups that can't match never leave storage) —
+    the retention sweep ("delete everything older than 90 days" /
+    "drop language X") that index lifecycle management runs on a
+    schedule.  Soft tombstones like every delete here; physical drop
+    at compaction.  Returns the number newly tombstoned."""
+    import glob
+    import pyarrow.dataset as pads
+    from onestools_eventlog_ray.state.tombstones import delete_docs
+    eng = SearchEngine(index_dir)
+    expr = None
+    for c, v in sorted(where.items()):
+        e = ((pads.field(c) >= v[0]) & (pads.field(c) <= v[1])) \
+            if isinstance(v, tuple) else (pads.field(c) == v)
+        expr = e if expr is None else expr & e
+    files = sorted(glob.glob(os.path.join(index_dir, "docstore",
+                                          "*.parquet")))
+    if not files or expr is None:
+        return 0
+    dset = pads.dataset(files)
+    ids = dset.to_table(columns=["doc_id"], filter=expr)["doc_id"] \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = np.unique(ids)
+    if eng.deleted.size:
+        ids = ids[~np.isin(ids, eng.deleted)]
+    if not ids.size:
+        return 0
+    return delete_docs(index_dir, ids)
+
+
 def explain_score(eng: SearchEngine, terms: list[str],
                   doc_id: int) -> pa.Table:
     """ES ``_explain``: the per-term BM25 score breakdown for ONE

@@ -646,3 +646,31 @@ def test_context_packing_invariants(docs_tbl):
     for r in out:
         covered.update(range(r["first_bin"], r["last_bin"] + 1))
     assert covered == set(range(max(covered) + 1))
+
+
+def test_delete_by_metadata(tmp_path, docs_tbl):
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.build import build_index
+    from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                        delete_by_metadata)
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    idx = str(tmp_path / "ilm")
+    build_index(os.path.join(SF_DIR, "documents.parquet"), idx,
+                spec=DOCUMENTS_SPEC, cfg=EngineConfig(num_partitions=8))
+    de = {d for d, la in zip(docs_tbl["doc_id"].to_pylist(),
+                             docs_tbl["lang"].to_pylist()) if la == "de"}
+    n = delete_by_metadata(idx, {"lang": "de"})
+    assert n == len(de)
+    eng = SearchEngine(idx)
+    assert set(eng.deleted.tolist()) == de
+    hits = {d for d, _ in eng.search(["spark", "window"], k=1 << 62)}
+    assert not (hits & de)
+    # idempotent: nothing newly tombstoned on repeat
+    assert delete_by_metadata(idx, {"lang": "de"}) == 0
+    # range predicate: (lo, hi) tuple convention
+    n2 = delete_by_metadata(idx, {"n_chars": (0, 100)})
+    short = {d for d, la, nc in zip(docs_tbl["doc_id"].to_pylist(),
+                                    docs_tbl["lang"].to_pylist(),
+                                    docs_tbl["n_chars"].to_pylist())
+             if nc <= 100 and la != "de"}
+    assert n2 == len(short)
