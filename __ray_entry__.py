@@ -995,6 +995,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score_e6": pa.array(e6[order], pa.int64()),
         })
 
+    def hdr_percentile_ranks_q(sf_dir):
+        """ES percentile_ranks on the HDR sketch: estimated share of
+        rows <= each probe value — the inverse quantile, same integer
+        bucket math."""
+        from onestools_eventlog_ray.pipelines.sketch import \
+            hdr_percentile_ranks
+        return hdr_percentile_ranks(
+            _read_pq(os.path.join(sf_dir, "events.parquet"),
+                     columns=["value"]))
+
     def hdr_quantiles_q(sf_dir):
         """Mergeable HDR-histogram quantile sketch (8 sub-buckets per
         octave, all-integer): p50/p90/p95/p99 estimates — the scale
@@ -1426,6 +1436,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
             delete_by_query(index_dir, ["merge"])
         eng = SearchEngine(index_dir)
         hits = eng.search(["table", "join"], k=1_000_000)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
+    def bm25_topk_csv(sf_dir):
+        """Source-format independence #2: the corpus served from CSV
+        (ray.data.read_csv) builds to a rank-identical index — same
+        oracle as bm25_topk."""
+        import pyarrow.csv as pacsv
+        import pyarrow.parquet as pq_
+        from onestools_eventlog_ray.config import EngineConfig
+        from onestools_eventlog_ray.pipelines.build import build_index
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+        cdir = _index_dir_for(sf_dir) + "_csv_src"
+        cpath = os.path.join(cdir, "documents.csv")
+        if not os.path.exists(cpath):
+            os.makedirs(cdir, exist_ok=True)
+            tbl = pq_.read_table(os.path.join(sf_dir, "documents.parquet"))
+            tmp = cpath + ".tmp"
+            pacsv.write_csv(tbl, tmp)
+            os.replace(tmp, cpath)
+        index_dir = _index_dir_for(sf_dir) + "_csv_idx"
+        build_index(cpath, index_dir, spec=DOCUMENTS_SPEC,
+                    cfg=EngineConfig(num_partitions=8), corpus_fmt="csv")
+        eng = SearchEngine(index_dir)
+        hits = eng.search(_BM25_TERMS, k=1_000_000)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
+    def bm25_topk_orc(sf_dir):
+        """Source-format independence #3: ORC via the custom
+        FileBasedDatasource (per-stripe streaming, column pruning pushed
+        to read_stripe) — the user-extension seam X1 proven with a real
+        format Ray Data doesn't ship."""
+        import pyarrow.orc as po
+        import pyarrow.parquet as pq_
+        from onestools_eventlog_ray.config import EngineConfig
+        from onestools_eventlog_ray.pipelines.build import build_index
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+        odir = _index_dir_for(sf_dir) + "_orc_src"
+        opath = os.path.join(odir, "documents.orc")
+        if not os.path.exists(opath):
+            os.makedirs(odir, exist_ok=True)
+            tbl = pq_.read_table(os.path.join(sf_dir, "documents.parquet"))
+            tmp = opath + ".tmp"
+            po.write_table(tbl, tmp)
+            os.replace(tmp, opath)
+        index_dir = _index_dir_for(sf_dir) + "_orc_idx"
+        build_index(opath, index_dir, spec=DOCUMENTS_SPEC,
+                    cfg=EngineConfig(num_partitions=8), corpus_fmt="orc")
+        eng = SearchEngine(index_dir)
+        hits = eng.search(_BM25_TERMS, k=1_000_000)
         ids = np.asarray([d for d, _ in hits], dtype=np.int64)
         e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
         order = np.lexsort((ids, -e6))[:10]
@@ -3301,6 +3376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_combined_fields": bm25_combined_fields,
         "phrase_search": phrase_search,
         "span_not_matches": span_not_matches,
+        "hdr_percentile_ranks": hdr_percentile_ranks_q,
         "hdr_quantiles": hdr_quantiles_q,
         "hdr_quantile_error": hdr_quantile_error_q,
         "date_histogram_ewma": date_histogram_ewma_q,
@@ -3364,6 +3440,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_lang": top_terms_per_lang,
         "export_events_by_type": export_events_by_type,
         "bm25_topk_jsonl": bm25_topk_jsonl,
+        "bm25_topk_csv": bm25_topk_csv,
+        "bm25_topk_orc": bm25_topk_orc,
         "source_lang_cube": source_lang_cube,
         "user_paths": user_paths,
         "event_transitions": event_transitions,
@@ -5219,6 +5297,8 @@ ORDER BY lang, rank""",
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
 FROM events GROUP BY event_type ORDER BY event_type""",
         "bm25_topk_jsonl": _bm25_sql(_BM25_TERMS),
+        "bm25_topk_csv": _bm25_sql(_BM25_TERMS),
+        "bm25_topk_orc": _bm25_sql(_BM25_TERMS),
         "source_lang_cube": """
 SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -5255,6 +5335,35 @@ tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
 SELECT doc_id, query_name
 FROM tok CROSS JOIN q WHERE list_has_all(l, terms)
 ORDER BY doc_id, query_name""",
+        "hdr_percentile_ranks": """
+WITH v AS (SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) + 1 AS v1
+           FROM events),
+b AS (SELECT CASE WHEN v1 < 8 THEN v1
+             ELSE 8 * (CAST(floor(log2(v1)) AS BIGINT) - 3)
+                  + (v1 >> (CAST(floor(log2(v1)) AS BIGINT) - 3))
+             END AS bucket FROM v),
+h AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+tot AS (SELECT sum(n) AS t FROM h),
+probes AS (SELECT CAST(unnest([50000, 100000, 200000]) AS BIGINT)
+             AS probe_e3),
+pb AS (SELECT probe_e3, probe_e3 + 1 AS v1,
+              CASE WHEN probe_e3 + 1 < 8 THEN probe_e3 + 1
+                   ELSE 8 * (CAST(floor(log2(probe_e3 + 1)) AS BIGINT) - 3)
+                        + ((probe_e3 + 1)
+                           >> (CAST(floor(log2(probe_e3 + 1)) AS BIGINT)
+                               - 3))
+              END AS bucket
+       FROM probes),
+r AS (SELECT pb.probe_e3, pb.bucket,
+             CAST(coalesce((SELECT sum(h.n) FROM h
+                            WHERE h.bucket <= pb.bucket), 0) AS BIGINT)
+               AS n_le
+      FROM pb)
+SELECT probe_e3, CAST(bucket AS BIGINT) AS bucket, n_le,
+       CAST(n_le * 1000000 // (SELECT t FROM tot) AS BIGINT)
+         AS rank_pct_e6
+FROM r ORDER BY probe_e3""",
+
         "hdr_quantiles": """
 WITH v AS (SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) + 1 AS v1
            FROM events),

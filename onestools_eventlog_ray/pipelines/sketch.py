@@ -411,3 +411,31 @@ def hdr_quantile_error(events: ray.data.Dataset,
         rows["exact_e3"].append(exact)
         rows["rel_err_e6"].append(err)
     return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+
+def hdr_percentile_ranks(events: ray.data.Dataset,
+                         values: tuple[float, ...] = (50.0, 100.0, 200.0),
+                         col: str = "value") -> pa.Table:
+    """ES ``percentile_ranks`` on the HDR sketch (the inverse of
+    :func:`hdr_quantiles`): for each probe value, the estimated share
+    of rows with value <= probe — counted as every bucket strictly
+    below the probe's bucket plus the probe's own bucket (<=1/8
+    relative value error by construction, same integer math as the
+    forward direction).  -> (probe_e3, bucket, n_le, rank_pct_e6)."""
+    sk = hdr_value_sketch(events, col)
+    bk = sk["bucket"].to_numpy(zero_copy_only=False)
+    n = sk["n"].to_numpy(zero_copy_only=False)
+    cum = np.cumsum(n)
+    total = int(cum[-1]) if cum.size else 0
+    probes_e3 = [int(np.floor(v * 1_000 + 0.5)) for v in values]
+    pb = _hdr_bucket(np.asarray(probes_e3, dtype=np.int64) + 1)
+    rows = {"probe_e3": [], "bucket": [], "n_le": [], "rank_pct_e6": []}
+    for p3, b in zip(probes_e3, pb.tolist()):
+        i = int(np.searchsorted(bk, b, side="right"))
+        n_le = int(cum[i - 1]) if i else 0
+        rows["probe_e3"].append(p3)
+        rows["bucket"].append(int(b))
+        rows["n_le"].append(n_le)
+        rows["rank_pct_e6"].append(n_le * 1_000_000 // total
+                                   if total else 0)
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})

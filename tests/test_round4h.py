@@ -674,3 +674,36 @@ def test_delete_by_metadata(tmp_path, docs_tbl):
                                     docs_tbl["n_chars"].to_pylist())
              if nc <= 100 and la != "de"}
     assert n2 == len(short)
+
+
+def test_orc_datasource_stripes_and_pruning(tmp_path):
+    import pyarrow.orc as po
+    import ray.data
+    from onestools_eventlog_ray.sources.corpus import (DOCUMENTS_SPEC,
+                                                       read_corpus)
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    p = str(tmp_path / "docs.orc")
+    w = po.ORCWriter(p, stripe_size=16 * 1024)
+    for i in range(0, tbl.num_rows, 100):            # force several stripes
+        w.write(tbl.slice(i, 100))
+    w.close()
+    assert po.ORCFile(p).nstripes > 1
+    ds = read_corpus(p, DOCUMENTS_SPEC, fmt="orc")
+    got = ds.take_all()
+    assert len(got) == tbl.num_rows
+    assert sorted(r["doc_id"] for r in got) == \
+        sorted(tbl["doc_id"].to_pylist())
+    # column pruning: only the spec's read columns come back
+    assert set(got[0].keys()) == set(DOCUMENTS_SPEC.read_cols())
+
+
+def test_csv_corpus_roundtrip(tmp_path):
+    import pyarrow.csv as pacsv
+    import ray.data
+    from onestools_eventlog_ray.sources.corpus import (DOCUMENTS_SPEC,
+                                                       read_corpus)
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    p = str(tmp_path / "docs.csv")
+    pacsv.write_csv(tbl, p)
+    ds = read_corpus(p, DOCUMENTS_SPEC, fmt="csv")
+    assert ds.count() == tbl.num_rows
