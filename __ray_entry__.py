@@ -2385,6 +2385,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf = lambda t: _read_pq(os.path.join(sf_dir, f"{t}.parquet"))
         return relational.q12_priority_by_flag(sf("lineitem"), sf("orders"))
 
+    def training_shards_manifest(sf_dir):
+        """WebDataset-style training-shard export: docs hash-routed to 8
+        atomic parquet shards (resumable skip on re-export) + the
+        manifest a loader resumes from (per-shard docs/tokens/id
+        range)."""
+        from onestools_eventlog_ray.pipelines.export import \
+            export_training_shards
+        out = os.path.join("/tmp/oel_ray_shards",
+                           os.path.basename(sf_dir.rstrip(os.sep)))
+        return export_training_shards(_documents_ds(sf_dir), out,
+                                      n_shards=8)
+
     def context_packing(sf_dir):
         """LLM sequence packing (concat-and-cut): per doc the global
         token offset and the 2048-token context-window span it lands
@@ -3605,6 +3617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_idle_balances": q22_idle_balances,
         "q15_top_supplier": q15_top_supplier,
         "q12_priority_by_flag": q12_priority_by_flag,
+        "training_shards_manifest": training_shards_manifest,
         "context_packing": context_packing,
         "mterm_vectors_top3": mterm_vectors_top3,
         "entropy_scores": entropy_scores,
@@ -8151,6 +8164,23 @@ SELECT l.l_returnflag,
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 WHERE year(l.l_shipdate) BETWEEN 1996 AND 1997
 GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
+
+        "training_shards_manifest": f"""
+WITH toks AS ({_TOKS}),
+nt AS (SELECT d.doc_id,
+              CAST(coalesce(t.n, 0) AS BIGINT) AS n_tok
+       FROM documents d
+       LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks
+                  GROUP BY doc_id) t USING (doc_id)),
+r AS (SELECT doc_id, n_tok,
+             CAST(md5_number_lower(concat('shard:',
+                      CAST(doc_id AS VARCHAR))) % 8 AS BIGINT) AS shard
+      FROM nt)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM r GROUP BY shard ORDER BY shard""",
 
         "context_packing": f"""
 WITH toks AS ({_TOKS}),

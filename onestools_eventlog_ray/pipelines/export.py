@@ -72,3 +72,84 @@ def export_partitioned(ds: ray.data.Dataset, out_dir: str,
         "n_rows": pa.array([r["n_rows"] for r in rows], pa.int64()),
         "skipped": pa.array([r["skipped"] for r in rows], pa.bool_()),
     })
+
+
+def export_training_shards(ds: "ray.data.Dataset", out_dir: str,
+                           n_shards: int = 8,
+                           spec=None) -> "pa.Table":
+    """WebDataset-style TRAINING SHARD export: the bridge between the
+    curated corpus and a training loader — docs are routed to
+    ``n_shards`` shard files by the deterministic id hash (same verdict
+    on every run/retry), each shard written atomically as parquet, and
+    the returned MANIFEST carries per-shard (n_docs, n_tokens,
+    min/max doc_id) so the loader can size epochs and resume per shard
+    without opening files.  A re-export skips shards whose file already
+    exists (resumable, like every sink here).
+
+    Scale shape: one tokenize+route pass; each shard file is written by
+    the task that owns its partition of the hash space (groupby on the
+    narrow shard key, content moves once).  -> manifest (shard, n_docs,
+    n_tokens, min_doc_id, max_doc_id) shard asc."""
+    import os
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min, Sum
+    from onestools_eventlog_ray.functions.analyzer import tokenize_array
+    from onestools_eventlog_ray.functions.fasthash import md5_lower64
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    from onestools_eventlog_ray.stages.normalize import add_doc_id
+
+    spec = spec or DOCUMENTS_SPEC
+    os.makedirs(out_dir, exist_ok=True)
+
+    def route(batch: pa.Table) -> pa.Table:
+        b = add_doc_id(batch, spec)
+        toks = tokenize_array(b["content"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ids = b["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        import pyarrow.compute as pc_
+        keyed = pc_.binary_join_element_wise(
+            pa.array(["shard:"] * len(ids), pa.string()),
+            pc_.cast(ids, pa.string()), "")
+        shard = (md5_lower64(keyed) % np.uint64(n_shards)).astype(np.int64)
+        return pa.table({
+            "shard": pa.array(shard, pa.int64()),
+            "doc_id": ids,
+            "n_tok": pa.array(np.asarray(toks.value_lengths(),
+                                         dtype=np.int64), pa.int64()),
+            "content": b["content"],
+        })
+
+    routed = ds.map_batches(route, batch_format="pyarrow")
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        sid = int(group["shard"][0].as_py())
+        path = os.path.join(out_dir, f"shard-{sid:05d}.parquet")
+        if not os.path.exists(path):                 # resumable skip
+            out = group.select(["doc_id", "n_tok", "content"]) \
+                .sort_by("doc_id")
+            tmp = path + f".tmp-{os.getpid()}"
+            pq.write_table(out, tmp)
+            os.replace(tmp, path)
+        return pa.table({"shard": pa.array([sid], pa.int64())})
+
+    # one task per shard writes its file; manifest from a narrow fold
+    routed.groupby("shard").map_groups(write_shard,
+                                       batch_format="pyarrow") \
+        .materialize()
+    manifest = routed.select_columns(["shard", "doc_id", "n_tok"]) \
+        .groupby("shard").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tok", alias_name="n_tokens"),
+            Min("doc_id", alias_name="min_doc_id"),
+            Max("doc_id", alias_name="max_doc_id")) \
+        .sort("shard").take_all()
+    return pa.table({
+        c: pa.array([int(r[c]) for r in manifest], pa.int64())
+        for c in ("shard", "n_docs", "n_tokens", "min_doc_id",
+                  "max_doc_id")})

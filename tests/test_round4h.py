@@ -707,3 +707,35 @@ def test_csv_corpus_roundtrip(tmp_path):
     pacsv.write_csv(tbl, p)
     ds = read_corpus(p, DOCUMENTS_SPEC, fmt="csv")
     assert ds.count() == tbl.num_rows
+
+
+def test_export_training_shards_resumable(tmp_path, docs_tbl):
+    import glob
+    import ray.data
+    from onestools_eventlog_ray.functions.fasthash import md5_lower64_one
+    from onestools_eventlog_ray.pipelines.export import \
+        export_training_shards
+    out = str(tmp_path / "shards")
+    man = export_training_shards(ray.data.from_arrow(docs_tbl), out,
+                                 n_shards=4).to_pylist()
+    files = sorted(glob.glob(os.path.join(out, "shard-*.parquet")))
+    assert len(files) == len(man) <= 4
+    total = 0
+    for m in man:
+        t = pq.read_table(os.path.join(out,
+                                       f"shard-{m['shard']:05d}.parquet"))
+        assert t.num_rows == m["n_docs"]
+        ids = t["doc_id"].to_pylist()
+        assert ids == sorted(ids)
+        assert all(md5_lower64_one(f"shard:{d}") % 4 == m["shard"]
+                   for d in ids)
+        assert m["min_doc_id"] == ids[0] and m["max_doc_id"] == ids[-1]
+        assert sum(t["n_tok"].to_pylist()) == m["n_tokens"]
+        total += m["n_docs"]
+    assert total == docs_tbl.num_rows
+    # resumable: re-export leaves identical files (mtime unchanged)
+    before = {f: os.path.getmtime(f) for f in files}
+    man2 = export_training_shards(ray.data.from_arrow(docs_tbl), out,
+                                  n_shards=4).to_pylist()
+    assert man2 == man
+    assert {f: os.path.getmtime(f) for f in files} == before
