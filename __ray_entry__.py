@@ -1404,6 +1404,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         eng = SearchEngine(_ensure_index(sf_dir))
         return search_random_score(eng, ["join", "merge"], seed="rs")
 
+    def rank_correlation_report(sf_dir):
+        """Ranker agreement: exact Kendall tau-a between the BM25
+        top-50 for join/merge and the same docs ranked by n_chars —
+        the A/B diagnostic between relevance and a static prior."""
+        from onestools_eventlog_ray.pipelines.query import (
+            SearchEngine, rank_correlation)
+        eng = SearchEngine(_ensure_index(sf_dir))
+        return rank_correlation(eng, ["join", "merge"], field="n_chars",
+                                k=50)
+
     def rank_eval_report(sf_dir):
         """ES _rank_eval API: three rated requests evaluated in one
         call — precision@10 / recall@10 / MRR / binary nDCG@10 per
@@ -3502,6 +3512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_field_factor": bm25_field_factor,
         "bm25_rank_feature": bm25_rank_feature,
         "bm25_distance_feature": bm25_distance_feature,
+        "rank_correlation_report": rank_correlation_report,
         "rank_eval_report": rank_eval_report,
         "bm25_random_score": bm25_random_score,
         "training_mix_report": training_mix_report,
@@ -5922,6 +5933,23 @@ h AS (SELECT doc_id,
 SELECT CAST(row_number() OVER (ORDER BY h DESC, doc_id ASC) AS BIGINT)
          AS rank, doc_id, h
 FROM h ORDER BY h DESC, doc_id ASC LIMIT 10""",
+        "rank_correlation_report": f"""
+WITH base AS ({_bm25_sql(["join", "merge"], k=50)}),
+j AS (SELECT base.rank AS a_rank, base.doc_id, d.n_chars
+      FROM base JOIN documents d USING (doc_id)),
+b AS (SELECT doc_id, a_rank,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)
+               AS b_rank
+      FROM j),
+p AS (SELECT coalesce(count(*) FILTER (x.b_rank < y.b_rank), 0) AS conc,
+             count(*) AS np
+      FROM b x JOIN b y ON x.a_rank < y.a_rank)
+SELECT CAST((SELECT count(*) FROM b) AS BIGINT) AS n,
+       CAST(np AS BIGINT) AS n_pairs,
+       CAST(conc AS BIGINT) AS concordant,
+       CAST(np - conc AS BIGINT) AS discordant,
+       CAST((conc - (np - conc)) * 1000000 // np AS BIGINT) AS tau_e6
+FROM p""",
         "rank_eval_report": _rank_eval_sql(
             [("join_merge", ["join", "merge"]),
              ("spark_window", ["spark", "window"]),

@@ -1287,6 +1287,53 @@ def delete_by_query(index_dir: str, terms: list[str]) -> int:
     return delete_docs(index_dir, ids)
 
 
+def rank_correlation(eng: SearchEngine, terms: list[str],
+                     field: str = "n_chars", k: int = 50) -> pa.Table:
+    """Ranker-agreement report: Kendall tau-a between the BM25 top-k
+    and the same docs re-ranked by a stored field (the static quality
+    prior a ranking team A/B-tests against relevance).  Exact integers:
+    concordant/discordant pair counts over the k(k-1)/2 pairs,
+    ``tau_e6 = (C - D) * 1e6 // npairs`` — no float anywhere.  Both
+    orders are fully deterministic (BM25: score_e6 desc, doc asc;
+    field: value desc, doc asc), so ties cannot exist and C + D =
+    npairs.  Cost: one search + one O(matches) stored-field fetch +
+    an O(k^2) pair fold on the TOP-K ONLY (k is small by definition).
+    -> one row (n, n_pairs, concordant, discordant, tau_e6)."""
+    hits = eng.search(terms, k=1 << 62)
+    ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+    e6 = np.floor(np.asarray([s for _, s in hits], dtype=np.float64)
+                  * 1_000_000 + 0.5).astype(np.int64)
+    order = np.lexsort((ids, -e6))[:k]
+    top = ids[order]                       # A-order: BM25 rank
+    n = int(top.size)
+    if n < 2:
+        return pa.table({c: pa.array([v], pa.int64())
+                         for c, v in (("n", n), ("n_pairs", 0),
+                                      ("concordant", 0),
+                                      ("discordant", 0), ("tau_e6", 0))})
+    vals_tbl = eng.fetch_docs(top.tolist(), ["doc_id", field])
+    got = vals_tbl["doc_id"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    v = vals_tbl[field].to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = np.searchsorted(np.sort(got), top)
+    v = v[np.argsort(got)][pos]            # align field values to A-order
+    # B-rank of each doc: order by (field desc, doc asc)
+    b_order = np.lexsort((top, -v))
+    b_rank = np.empty(n, dtype=np.int64)
+    b_rank[b_order] = np.arange(n)
+    # pair fold over the top-k only: concordant iff B agrees with A
+    i, j = np.triu_indices(n, k=1)         # i before j in A-order
+    conc = int((b_rank[i] < b_rank[j]).sum())
+    npairs = n * (n - 1) // 2
+    disc = npairs - conc
+    tau = (conc - disc) * 1_000_000 // npairs
+    return pa.table({c: pa.array([x], pa.int64())
+                     for c, x in (("n", n), ("n_pairs", npairs),
+                                  ("concordant", conc),
+                                  ("discordant", disc),
+                                  ("tau_e6", tau))})
+
+
 def delete_by_metadata(index_dir: str, where: dict) -> int:
     """ES ILM delete phase / ``_delete_by_query`` with a METADATA
     predicate: tombstone every live doc whose docstore metadata matches

@@ -739,3 +739,29 @@ def test_export_training_shards_resumable(tmp_path, docs_tbl):
                                   n_shards=4).to_pylist()
     assert man2 == man
     assert {f: os.path.getmtime(f) for f in files} == before
+
+
+def test_rank_correlation_properties(index_dir, docs_tbl):
+    from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                        rank_correlation)
+    eng = SearchEngine(index_dir)
+    out = rank_correlation(eng, ["join", "merge"], field="n_chars",
+                           k=30).to_pylist()[0]
+    assert out["n_pairs"] == out["n"] * (out["n"] - 1) // 2
+    assert out["concordant"] + out["discordant"] == out["n_pairs"]
+    assert -10**6 <= out["tau_e6"] <= 10**6
+    # brute-force tau on the same two orders
+    base = _bm25_scores(docs_tbl, ["join", "merge"])
+    e6 = {d: int(np.floor(s * 1e6 + 0.5)) for d, s in base.items()}
+    top = sorted(e6, key=lambda d: (-e6[d], d))[:30]
+    nch = dict(zip(docs_tbl["doc_id"].to_pylist(),
+                   docs_tbl["n_chars"].to_pylist()))
+    b_sorted = sorted(top, key=lambda d: (-nch[d], d))
+    b_rank = {d: i for i, d in enumerate(b_sorted)}
+    conc = sum(1 for i in range(len(top)) for j in range(i + 1, len(top))
+               if b_rank[top[i]] < b_rank[top[j]])
+    assert out["concordant"] == conc
+    # a ranking correlates perfectly with itself
+    self_out = rank_correlation(eng, ["zz_missing"], k=30).to_pylist()[0]
+    assert self_out == {"n": 0, "n_pairs": 0, "concordant": 0,
+                       "discordant": 0, "tau_e6": 0}
