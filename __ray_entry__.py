@@ -1051,6 +1051,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read_pq(os.path.join(sf_dir, "events.parquet"),
                      columns=["ts"]))
 
+    def bm25_phrase_boost(sf_dir):
+        """ES bool should with a match_phrase booster next to the match
+        query: score = BM25(table, hash) + 0.5 * n_exact_phrase_matches
+        — the classic relevance recipe (loose match recalls, exact
+        phrase promotes).  Phrase counts come from the positions
+        sidecar (df-bounded), BM25 from the postings; both O(df)."""
+        from onestools_eventlog_ray.pipelines.phrase import PhraseEngine
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        phrase_search(sf_dir)                 # ensures the positions sidecar
+        index_dir = _ensure_index(sf_dir)
+        eng = SearchEngine(index_dir)
+        hits = eng.search(["table", "hash"], k=1_000_000)
+        pm = dict(PhraseEngine(index_dir).search_phrase(["table", "hash"]))
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        scores = (np.asarray([s for _, s in hits], dtype=np.float64)
+                  + 0.5 * np.asarray([pm.get(int(d), 0) for d in ids],
+                                     dtype=np.float64))
+        e6 = _score_e6(scores)
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
     def span_not_matches(sf_dir):
         """ES span_not: 'table hash' phrase matches NOT adjacent (±1
         token) to 'scan' — per-match negative context, the filter
@@ -2402,7 +2427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         range)."""
         from onestools_eventlog_ray.pipelines.export import \
             export_training_shards
-        out = os.path.join("/tmp/oel_ray_shards",
+        out = os.path.join("/tmp/oel_ray_shards_v2",
                            os.path.basename(sf_dir.rstrip(os.sep)))
         return export_training_shards(_documents_ds(sf_dir), out,
                                       n_shards=8)
@@ -3397,6 +3422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_multifield": bm25_multifield,
         "bm25_combined_fields": bm25_combined_fields,
         "phrase_search": phrase_search,
+        "bm25_phrase_boost": bm25_phrase_boost,
         "span_not_matches": span_not_matches,
         "hdr_percentile_ranks": hdr_percentile_ranks_q,
         "hdr_quantiles": hdr_quantiles_q,
@@ -5497,6 +5523,18 @@ SELECT epoch_day, n_events,
             AS BIGINT) AS diff_events
 FROM f ORDER BY epoch_day""",
 
+        "bm25_phrase_boost": _bm25_adjusted_sql(
+            ["table", "hash"],
+            "SELECT s.doc_id, s.score + 0.5 * coalesce(ph.n, 0) AS score"
+            " FROM scored0 s LEFT JOIN ph USING (doc_id)",
+            extra_cte="tokl AS (SELECT doc_id,"
+                      " list_filter(string_split_regex(lower(text),"
+                      " '[^a-z0-9_]+'), x -> x <> '') AS l"
+                      " FROM documents), "
+                      "ph AS (SELECT doc_id, count(*) AS n FROM ("
+                      "SELECT doc_id, unnest([l[i] || ' ' || l[i+1]"
+                      " for i in range(1, len(l))]) AS bg FROM tokl)"
+                      " WHERE bg = 'table hash' GROUP BY doc_id)"),
         "span_not_matches": """
 WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
                  '[^a-z0-9_]+'), x -> x <> '') AS l FROM documents),

@@ -79,20 +79,25 @@ def export_training_shards(ds: "ray.data.Dataset", out_dir: str,
                            spec=None) -> "pa.Table":
     """WebDataset-style TRAINING SHARD export: the bridge between the
     curated corpus and a training loader — docs are routed to
-    ``n_shards`` shard files by the deterministic id hash (same verdict
-    on every run/retry), each shard written atomically as parquet, and
-    the returned MANIFEST carries per-shard (n_docs, n_tokens,
-    min/max doc_id) so the loader can size epochs and resume per shard
-    without opening files.  A re-export skips shards whose file already
-    exists (resumable, like every sink here).
+    ``n_shards`` shard DIRECTORIES by the deterministic id hash (same
+    verdict on every run/retry), each routed batch written as its own
+    immutable content-named part file (tmp + atomic rename, idempotent
+    under Ray task retries), and the returned MANIFEST carries
+    per-shard (n_docs, n_tokens, min/max doc_id) so the loader can
+    size epochs and resume per shard without opening files.
 
-    Scale shape: one tokenize+route pass; each shard file is written by
-    the task that owns its partition of the hash space (groupby on the
-    narrow shard key, content moves once).  -> manifest (shard, n_docs,
-    n_tokens, min_doc_id, max_doc_id) shard asc."""
+    Scale shape: ONE tokenize+route+write pass — no groupby of content
+    at all (a per-shard map_groups would materialize 1/n_shards of the
+    corpus in one task; writing part-per-batch inside the shard dir
+    keeps every task O(batch)); only the narrow (shard, doc_id, n_tok)
+    rows reach the manifest fold.  A loader reads ``shard-K/*.parquet``
+    — the shard is a directory, exactly like this engine's docstore.
+    -> manifest (shard, n_docs, n_tokens, min_doc_id, max_doc_id)."""
+    import hashlib
     import os
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc_
     import pyarrow.parquet as pq
     import ray.data
     from ray.data.aggregate import Count, Max, Min, Sum
@@ -102,9 +107,22 @@ def export_training_shards(ds: "ray.data.Dataset", out_dir: str,
     from onestools_eventlog_ray.stages.normalize import add_doc_id
 
     spec = spec or DOCUMENTS_SPEC
-    os.makedirs(out_dir, exist_ok=True)
+    # completed-export marker: batch boundaries are not guaranteed
+    # stable across runs, so a finished export must not re-route (it
+    # could lay down differently-split duplicate parts) — the manifest
+    # file IS the _SUCCESS marker, and re-export returns it verbatim
+    import json
+    marker = os.path.join(out_dir, "_MANIFEST.json")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            rec = json.load(fh)
+        return pa.table({c: pa.array(rec[c], pa.int64())
+                         for c in ("shard", "n_docs", "n_tokens",
+                                   "min_doc_id", "max_doc_id")})
+    for k in range(n_shards):
+        os.makedirs(os.path.join(out_dir, f"shard-{k:05d}"), exist_ok=True)
 
-    def route(batch: pa.Table) -> pa.Table:
+    def route_and_write(batch: pa.Table) -> pa.Table:
         b = add_doc_id(batch, spec)
         toks = tokenize_array(b["content"])
         if isinstance(toks, pa.ChunkedArray):
@@ -112,44 +130,41 @@ def export_training_shards(ds: "ray.data.Dataset", out_dir: str,
         ids = b["doc_id"]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        import pyarrow.compute as pc_
         keyed = pc_.binary_join_element_wise(
             pa.array(["shard:"] * len(ids), pa.string()),
             pc_.cast(ids, pa.string()), "")
         shard = (md5_lower64(keyed) % np.uint64(n_shards)).astype(np.int64)
-        return pa.table({
+        nt = np.asarray(toks.value_lengths(), dtype=np.int64)
+        full = pa.table({
             "shard": pa.array(shard, pa.int64()),
             "doc_id": ids,
-            "n_tok": pa.array(np.asarray(toks.value_lengths(),
-                                         dtype=np.int64), pa.int64()),
+            "n_tok": pa.array(nt, pa.int64()),
             "content": b["content"],
         })
+        for k in np.unique(shard).tolist():
+            sub = full.filter(pa.array(shard == k))                 .select(["doc_id", "n_tok", "content"]).sort_by("doc_id")
+            # content-named part: a retried task rewrites the SAME file
+            sig = hashlib.md5(
+                sub["doc_id"].to_string().encode()).hexdigest()[:16]
+            path = os.path.join(out_dir, f"shard-{int(k):05d}",
+                                f"part-{sig}.parquet")
+            if not os.path.exists(path):             # resumable skip
+                tmp = path + f".tmp-{os.getpid()}"
+                pq.write_table(sub, tmp)
+                os.replace(tmp, path)
+        return full.select(["shard", "doc_id", "n_tok"])
 
-    routed = ds.map_batches(route, batch_format="pyarrow")
-
-    def write_shard(group: pa.Table) -> pa.Table:
-        sid = int(group["shard"][0].as_py())
-        path = os.path.join(out_dir, f"shard-{sid:05d}.parquet")
-        if not os.path.exists(path):                 # resumable skip
-            out = group.select(["doc_id", "n_tok", "content"]) \
-                .sort_by("doc_id")
-            tmp = path + f".tmp-{os.getpid()}"
-            pq.write_table(out, tmp)
-            os.replace(tmp, path)
-        return pa.table({"shard": pa.array([sid], pa.int64())})
-
-    # one task per shard writes its file; manifest from a narrow fold
-    routed.groupby("shard").map_groups(write_shard,
-                                       batch_format="pyarrow") \
-        .materialize()
-    manifest = routed.select_columns(["shard", "doc_id", "n_tok"]) \
-        .groupby("shard").aggregate(
+    manifest = ds.map_batches(route_and_write, batch_format="pyarrow")         .groupby("shard").aggregate(
             Count(alias_name="n_docs"),
             Sum("n_tok", alias_name="n_tokens"),
             Min("doc_id", alias_name="min_doc_id"),
-            Max("doc_id", alias_name="max_doc_id")) \
-        .sort("shard").take_all()
-    return pa.table({
+            Max("doc_id", alias_name="max_doc_id"))         .sort("shard").take_all()
+    out = pa.table({
         c: pa.array([int(r[c]) for r in manifest], pa.int64())
         for c in ("shard", "n_docs", "n_tokens", "min_doc_id",
                   "max_doc_id")})
+    tmp = marker + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({c: out[c].to_pylist() for c in out.column_names}, fh)
+    os.replace(tmp, marker)
+    return out

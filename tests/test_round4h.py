@@ -718,15 +718,15 @@ def test_export_training_shards_resumable(tmp_path, docs_tbl):
     out = str(tmp_path / "shards")
     man = export_training_shards(ray.data.from_arrow(docs_tbl), out,
                                  n_shards=4).to_pylist()
-    files = sorted(glob.glob(os.path.join(out, "shard-*.parquet")))
-    assert len(files) == len(man) <= 4
+    assert len(man) <= 4
     total = 0
     for m in man:
-        t = pq.read_table(os.path.join(out,
-                                       f"shard-{m['shard']:05d}.parquet"))
+        parts = sorted(glob.glob(os.path.join(
+            out, f"shard-{m['shard']:05d}", "part-*.parquet")))
+        assert parts                      # shard = directory of parts
+        t = pa.concat_tables([pq.read_table(f) for f in parts])
         assert t.num_rows == m["n_docs"]
-        ids = t["doc_id"].to_pylist()
-        assert ids == sorted(ids)
+        ids = sorted(t["doc_id"].to_pylist())
         assert all(md5_lower64_one(f"shard:{d}") % 4 == m["shard"]
                    for d in ids)
         assert m["min_doc_id"] == ids[0] and m["max_doc_id"] == ids[-1]
@@ -734,6 +734,7 @@ def test_export_training_shards_resumable(tmp_path, docs_tbl):
         total += m["n_docs"]
     assert total == docs_tbl.num_rows
     # resumable: re-export leaves identical files (mtime unchanged)
+    files = sorted(glob.glob(os.path.join(out, "shard-*", "*.parquet")))
     before = {f: os.path.getmtime(f) for f in files}
     man2 = export_training_shards(ray.data.from_arrow(docs_tbl), out,
                                   n_shards=4).to_pylist()
