@@ -2449,6 +2449,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return mtermvectors(eng, [int(d) for d in
                                   top["doc_id"].to_pylist()])
 
+    def terms_agg_error_bound(sf_dir):
+        """ES sharded terms aggregation with
+        doc_count_error_upper_bound: per top term the shard-merged
+        estimate, the ES error bound, the true count and whether the
+        bound holds — the distributed top-k accuracy story, measured."""
+        return text.terms_agg_approx(_documents_ds(sf_dir))
+
     def entropy_scores(sf_dir):
         """Shannon-entropy quality filters: per-doc char entropy (byte
         bincount over the flat Arrow buffer) + token entropy (factorized
@@ -3657,6 +3664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_shards_manifest": training_shards_manifest,
         "context_packing": context_packing,
         "mterm_vectors_top3": mterm_vectors_top3,
+        "terms_agg_error_bound": terms_agg_error_bound,
         "entropy_scores": entropy_scores,
         "source_kl_divergence": source_kl_divergence,
         "categorize_text_topk": categorize_text_topk,
@@ -8278,6 +8286,43 @@ df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
 SELECT tf.doc_id, tf.term, tf.tf, df.df
 FROM tf JOIN df USING (term)
 ORDER BY tf.doc_id, tf.term""",
+
+        "terms_agg_error_bound": f"""
+WITH toks AS ({_TOKS}),
+sh AS (SELECT doc_id,
+              CAST(md5_number_lower(concat('ta:',
+                       CAST(doc_id AS VARCHAR))) % 4 AS BIGINT) AS shard
+       FROM documents),
+tc AS (SELECT sh.shard, t.term, count(*) AS c
+       FROM toks t JOIN sh USING (doc_id) GROUP BY sh.shard, t.term),
+rk AS (SELECT *, row_number() OVER (PARTITION BY shard
+                                    ORDER BY c DESC, term ASC) AS rk,
+              count(*) OVER (PARTITION BY shard) AS nterms FROM tc),
+kept AS (SELECT * FROM rk WHERE rk <= 12),
+lastc AS (SELECT shard,
+                 CASE WHEN max(nterms) >= 12
+                      THEN max(CASE WHEN rk = 12 THEN c END)
+                      ELSE 0 END AS lc
+          FROM rk GROUP BY shard),
+est AS (SELECT term, CAST(sum(c) AS BIGINT) AS est_count
+        FROM kept GROUP BY term),
+topk AS (SELECT term, est_count FROM est
+         ORDER BY est_count DESC, term ASC LIMIT 10),
+tru AS (SELECT term, CAST(sum(c) AS BIGINT) AS true_count
+        FROM tc GROUP BY term),
+bnd AS (SELECT tk.term,
+               CAST(coalesce((SELECT sum(l.lc) FROM lastc l
+                              WHERE NOT EXISTS (SELECT 1 FROM kept k
+                                    WHERE k.shard = l.shard
+                                      AND k.term = tk.term)), 0)
+                    AS BIGINT) AS err_bound
+        FROM topk tk)
+SELECT tk.term, tk.est_count, b.err_bound, tr.true_count,
+       CAST(CASE WHEN tk.est_count <= tr.true_count
+                  AND tr.true_count <= tk.est_count + b.err_bound
+                 THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+FROM topk tk JOIN bnd b USING (term) JOIN tru tr USING (term)
+ORDER BY tk.est_count DESC, tk.term ASC""",
 
         "entropy_scores": f"""
 WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c

@@ -2799,3 +2799,82 @@ def context_window_packing(ds: ray.data.Dataset,
         "last_bin": pa.array(end // capacity, pa.int64()),
         "offset_in_first": pa.array(st % capacity, pa.int64()),
     })
+
+
+def terms_agg_approx(ds: ray.data.Dataset,
+                     spec: CorpusSpec = DOCUMENTS_SPEC,
+                     n_shards: int = 4, shard_size: int = 12,
+                     k: int = 10) -> pa.Table:
+    """ES ``terms`` aggregation EXACTLY as ES computes it on a sharded
+    index — each shard returns only its local top ``shard_size`` terms,
+    the coordinator sums them and reports
+    ``doc_count_error_upper_bound`` per term (the sum of the last
+    returned count from every shard that did NOT return the term) —
+    plus the true count and whether the bound actually contains it.
+    The mechanism every distributed top-k inherits its accuracy
+    story from, made measurable (the house calibration-gate pattern).
+
+    Shards are the deterministic id hash (md5 % n_shards), NOT Ray
+    block boundaries, so the result is run-stable and SQL-exact.  One
+    (shard, term) count fold -> per-shard top-S (tiny) -> coordinator
+    merge on <= n_shards*shard_size candidate rows.
+    -> (term, est_count, err_bound, true_count, within_bound) top-k by
+    est desc, term asc."""
+    from ray.data.aggregate import Sum as RSum
+    from onestools_eventlog_ray.functions.fasthash import md5_lower64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = add_doc_id(batch, spec)
+        toks = tokenize_array(b["content"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ids = b["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        keyed = pc.binary_join_element_wise(
+            pa.array(["ta:"] * len(ids), pa.string()),
+            pc.cast(ids, pa.string()), "")
+        shard = (md5_lower64(keyed) % np.uint64(n_shards)).astype(np.int64)
+        lens = np.asarray(toks.value_lengths(), dtype=np.int64)
+        t = pa.table({
+            "shard": pa.array(np.repeat(shard, lens), pa.int64()),
+            "term": pa.array(toks.flatten()
+                             .to_numpy(zero_copy_only=False), pa.string()),
+        })
+        g = t.group_by(["shard", "term"]).aggregate([("term", "count")])
+        return g.rename_columns(["shard", "term", "c_p"])
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["shard", "term"]).aggregate(
+            RSum("c_p", alias_name="c")).take_all()
+    # coordinator merge: vocab-bounded rows
+    by_shard: dict[int, list[tuple[int, str]]] = {}
+    true_cnt: dict[str, int] = {}
+    for r in folded:
+        by_shard.setdefault(int(r["shard"]), []).append(
+            (int(r["c"]), str(r["term"])))
+        true_cnt[str(r["term"])] = true_cnt.get(str(r["term"]), 0) \
+            + int(r["c"])
+    est: dict[str, int] = {}
+    returned: dict[int, set] = {}
+    last_c: dict[int, int] = {}
+    for s, rows in by_shard.items():
+        rows.sort(key=lambda x: (-x[0], x[1]))
+        top = rows[:shard_size]
+        returned[s] = {t for _, t in top}
+        last_c[s] = top[-1][0] if len(rows) >= shard_size else 0
+        for c, t in top:
+            est[t] = est.get(t, 0) + c
+    out = sorted(est.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    terms = [t for t, _ in out]
+    bounds = [sum(last_c[s] for s in by_shard if t not in returned[s])
+              for t in terms]
+    return pa.table({
+        "term": pa.array(terms, pa.string()),
+        "est_count": pa.array([est[t] for t in terms], pa.int64()),
+        "err_bound": pa.array(bounds, pa.int64()),
+        "true_count": pa.array([true_cnt[t] for t in terms], pa.int64()),
+        "within_bound": pa.array(
+            [1 if est[t] <= true_cnt[t] <= est[t] + b else 0
+             for t, b in zip(terms, bounds)], pa.int64()),
+    })

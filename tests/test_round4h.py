@@ -766,3 +766,45 @@ def test_rank_correlation_properties(index_dir, docs_tbl):
     self_out = rank_correlation(eng, ["zz_missing"], k=30).to_pylist()[0]
     assert self_out == {"n": 0, "n_pairs": 0, "concordant": 0,
                        "discordant": 0, "tau_e6": 0}
+
+
+def test_terms_agg_bound_holds(docs_tbl):
+    import ray.data
+    from collections import Counter
+    from onestools_eventlog_ray.functions.fasthash import md5_lower64_one
+    from onestools_eventlog_ray.pipelines.text import terms_agg_approx
+    out = terms_agg_approx(ray.data.from_arrow(docs_tbl), n_shards=4,
+                           shard_size=5, k=8).to_pylist()
+    # ES invariant: est <= true <= est + bound, always
+    assert all(r["est_count"] <= r["true_count"]
+               <= r["est_count"] + r["err_bound"] for r in out)
+    assert all(r["within_bound"] == 1 for r in out)
+    # brute-force the shard merge
+    shards = {}
+    tru = Counter()
+    for d, t in zip(docs_tbl["doc_id"].to_pylist(),
+                    docs_tbl["text"].to_pylist()):
+        s = md5_lower64_one(f"ta:{d}") % 4
+        c = Counter(_tok(t))
+        shards.setdefault(s, Counter()).update(c)
+        tru.update(c)
+    est = Counter()
+    last = {}
+    ret = {}
+    for s, cnt in shards.items():
+        rows = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        top = rows[:5]
+        ret[s] = {t for t, _ in top}
+        last[s] = top[-1][1] if len(rows) >= 5 else 0
+        for t, c in top:
+            est[t] += c
+    want = sorted(est.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    assert [(r["term"], r["est_count"]) for r in out] == want
+    for r in out:
+        b = sum(last[s] for s in shards if r["term"] not in ret[s])
+        assert r["err_bound"] == b and r["true_count"] == tru[r["term"]]
+    # with shard_size >= vocab, estimates are exact and bounds zero
+    exact = terms_agg_approx(ray.data.from_arrow(docs_tbl), n_shards=4,
+                             shard_size=10_000, k=8).to_pylist()
+    assert all(r["err_bound"] == 0 and r["est_count"] == r["true_count"]
+               for r in exact)
