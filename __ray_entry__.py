@@ -1032,6 +1032,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read_pq(os.path.join(sf_dir, "events.parquet"),
                      columns=["ts"]))
 
+    def cep_click_purchase_clean(sf_dir):
+        """CEP absence pattern: purchases whose most recent click by
+        the same user has NO error in between — per-user vectorized
+        last-seen tracking, one narrow partial row per user."""
+        from onestools_eventlog_ray.pipelines.streaming import \
+            cep_no_interruption
+        return cep_no_interruption(
+            _read_pq(os.path.join(sf_dir, "events.parquet"),
+                     columns=["user_id", "ts", "event_id",
+                              "event_type"]))
+
     def auto_date_histogram_q(sf_dir):
         """ES auto_date_histogram: engine-chosen calendar interval
         (smallest ladder rung fitting <=20 buckets, exact integer
@@ -3435,6 +3446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hdr_quantiles": hdr_quantiles_q,
         "hdr_quantile_error": hdr_quantile_error_q,
         "date_histogram_ewma": date_histogram_ewma_q,
+        "cep_click_purchase_clean": cep_click_purchase_clean,
         "auto_date_histogram": auto_date_histogram_q,
         "date_histogram_serial_diff": date_histogram_serial_diff_q,
         "knn_cosine_ivf": knn_cosine_ivf,
@@ -5499,6 +5511,30 @@ SELECT a.epoch_day, a.n_events,
                                FROM f b WHERE b.t BETWEEN 1 AND a.t), 0))
                   * 1000000 + 0.5) AS BIGINT) AS ewma_e6
 FROM f a ORDER BY a.epoch_day""",
+
+        "cep_click_purchase_clean": """
+WITH e AS (SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+m AS (SELECT user_id, event_type,
+             max(CASE WHEN event_type = 'click' THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn) AS lf,
+             max(CASE WHEN event_type = 'error' THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn) AS lb
+      FROM e),
+p AS (SELECT user_id,
+             (event_type = 'purchase') AS is2,
+             (event_type = 'purchase' AND lf IS NOT NULL
+              AND lf > coalesce(lb, 0)) AS ok
+      FROM m)
+SELECT CAST(count(*) FILTER (is2) AS BIGINT) AS n_second,
+       CAST(count(*) FILTER (ok) AS BIGINT) AS n_matched,
+       CAST(count(DISTINCT CASE WHEN ok THEN user_id END) AS BIGINT)
+         AS n_users_matched,
+       CAST(count(*) FILTER (ok) * 1000000
+            // count(*) FILTER (is2) AS BIGINT) AS match_rate_e6
+FROM p""",
 
         "auto_date_histogram": """
 WITH mm AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi

@@ -962,3 +962,54 @@ def date_histogram_ewma(ds: ray.data.Dataset,
         "ewma_e6": pa.array(np.floor(out * 1_000_000 + 0.5)
                             .astype(np.int64), pa.int64()),
     })
+
+
+def cep_no_interruption(ds: ray.data.Dataset, first: str = "click",
+                        second: str = "purchase",
+                        blocker: str = "error") -> pa.Table:
+    """CEP ABSENCE pattern — "A then B with no C between" (the
+    complex-event-processing shape funnels can't express: a funnel
+    counts A->B, this REJECTS the pair when a blocker interrupts):
+    for every ``second`` event, the pattern matches iff the most recent
+    ``first`` event by the same user precedes it with no ``blocker``
+    in between.  The purchase-after-click-without-error conversion a
+    checkout team alarms on.
+
+    Distributed like every per-user window here: ``groupby(user)``
+    ``map_groups`` with a fully vectorized in-group pass — sort by
+    (ts, event_id), one ``np.maximum.accumulate`` per role tracks the
+    most recent first/blocker position, match = last_first >
+    last_blocker.  Each group emits ONE narrow partial row; the final
+    fold sums tiny per-user rows.  -> one row (n_second, n_matched,
+    n_users_matched, match_rate_e6)."""
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        et = et[order]
+        pos = np.arange(1, et.size + 1, dtype=np.int64)
+        lf = np.maximum.accumulate(np.where(et == first, pos, 0))
+        lb = np.maximum.accumulate(np.where(et == blocker, pos, 0))
+        is_second = et == second
+        matched = is_second & (lf > 0) & (lf > lb)
+        return pa.table({
+            "n_second_p": pa.array([int(is_second.sum())], pa.int64()),
+            "n_matched_p": pa.array([int(matched.sum())], pa.int64()),
+            "has_match": pa.array([int(matched.any())], pa.int64()),
+        })
+
+    parts = ds.select_columns(["user_id", "ts", "event_id", "event_type"])         .groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    n_second = n_matched = n_users = 0
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        n_second += int(pc.sum(b["n_second_p"]).as_py() or 0)
+        n_matched += int(pc.sum(b["n_matched_p"]).as_py() or 0)
+        n_users += int(pc.sum(b["has_match"]).as_py() or 0)
+    return pa.table({
+        "n_second": pa.array([n_second], pa.int64()),
+        "n_matched": pa.array([n_matched], pa.int64()),
+        "n_users_matched": pa.array([n_users], pa.int64()),
+        "match_rate_e6": pa.array(
+            [n_matched * 1_000_000 // n_second if n_second else 0],
+            pa.int64()),
+    })

@@ -808,3 +808,27 @@ def test_terms_agg_bound_holds(docs_tbl):
                              shard_size=10_000, k=8).to_pylist()
     assert all(r["err_bound"] == 0 and r["est_count"] == r["true_count"]
                for r in exact)
+
+
+def test_cep_no_interruption_planted():
+    import ray.data
+    from onestools_eventlog_ray.pipelines.streaming import \
+        cep_no_interruption
+    # user 1: click -> purchase (match); user 2: click -> error ->
+    # purchase (blocked); user 3: purchase with no click (no match);
+    # user 4: click, error, click, purchase (match: latest click wins)
+    rows = [(1, 10, "click"), (1, 20, "purchase"),
+            (2, 10, "click"), (2, 15, "error"), (2, 20, "purchase"),
+            (3, 10, "purchase"),
+            (4, 10, "click"), (4, 15, "error"), (4, 18, "click"),
+            (4, 20, "purchase"), (4, 25, "purchase")]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * 10**6 for r in rows],
+                       pa.timestamp("us")),
+        "event_id": pa.array(list(range(len(rows))), pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    out = cep_no_interruption(ray.data.from_arrow(tbl)).to_pylist()[0]
+    assert out == {"n_second": 5, "n_matched": 3, "n_users_matched": 2,
+                   "match_rate_e6": 3 * 10**6 // 5}
