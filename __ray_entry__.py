@@ -171,6 +171,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["l_returnflag", "l_linestatus", "l_quantity"])
         return relational.lineitem_qty_by_flag(ds)
 
+    def mmr_rerank_top5(sf_dir):
+        """MMR diversity reranking: greedy top-5 from the exact top-20
+        pool for query vec 0, lambda=0.7 — integer-quantized sims so
+        the greedy unrolls to a SQL oracle."""
+        import pyarrow.parquet as pq_
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        emb = pq_.read_table(path, columns=["vec_id", "embedding"])
+        i0 = emb["vec_id"].to_pylist().index(0)
+        qvec = np.asarray(emb["embedding"][i0].as_py(), dtype=np.float64)
+        ds = _read_pq(path, columns=["vec_id", "embedding"])
+        return similarity.mmr_rerank(ds, qvec, pool_k=20, k=5,
+                                     lam_e6=700_000, exclude_ids={0})
+
     def knn_cosine(sf_dir):
         import pyarrow.parquet as pq
         import ray.data
@@ -3415,6 +3428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top1_recovery": top1_recovery,
         "events_by_type": events_by_type,
         "lineitem_qty_by_flag": lineitem_qty_by_flag,
+        "mmr_rerank_top5": mmr_rerank_top5,
         "knn_cosine": knn_cosine,
         "window_counts": window_counts,
         "sliding_window_counts": sliding_window_counts,
@@ -4743,6 +4757,63 @@ SELECT d.doc_id,
        ELSE 'fr' END AS pred_lang,
   coalesce(greatest(h_de, h_en, h_es, h_fr), 0) AS stopword_hits
 FROM documents d LEFT JOIN hits USING (doc_id)""",
+
+        "mmr_rerank_top5": """
+WITH qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings WHERE vec_id = 0),
+cos AS (SELECT e.vec_id,
+               CAST(floor(list_cosine_similarity(
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                   (SELECT v FROM qv)) * 1000000 + 0.5) AS BIGINT) AS c6
+        FROM embeddings e WHERE e.vec_id <> 0),
+pool AS (SELECT vec_id, c6 FROM cos ORDER BY c6 DESC, vec_id ASC LIMIT 20),
+pairs AS (SELECT a.vec_id AS a, b.vec_id AS b,
+                 CAST(floor(list_cosine_similarity(
+                     list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),
+                     list_transform(eb.embedding, x -> CAST(x AS DOUBLE)))
+                   * 1000000 + 0.5) AS BIGINT) AS p6
+          FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id),
+pick1 AS (SELECT pool.vec_id, pool.c6, 0 AS msel,
+                   700000 * pool.c6 - 300000 * 0 AS score
+            FROM pool
+            ORDER BY score DESC, pool.vec_id ASC LIMIT 1),
+sel1 AS (SELECT vec_id FROM pick1),
+pick2 AS (SELECT pool.vec_id, pool.c6, coalesce((SELECT max(pp.p6) FROM pairs pp JOIN sel1 s ON pp.a = s.vec_id WHERE pp.b = pool.vec_id), 0) AS msel,
+                   700000 * pool.c6 - 300000 * coalesce((SELECT max(pp.p6) FROM pairs pp JOIN sel1 s ON pp.a = s.vec_id WHERE pp.b = pool.vec_id), 0) AS score
+            FROM pool
+            WHERE pool.vec_id NOT IN (SELECT vec_id FROM sel1)
+            ORDER BY score DESC, pool.vec_id ASC LIMIT 1),
+sel2 AS (SELECT vec_id FROM sel1 UNION ALL SELECT vec_id FROM pick2),
+pick3 AS (SELECT pool.vec_id, pool.c6, coalesce((SELECT max(pp.p6) FROM pairs pp JOIN sel2 s ON pp.a = s.vec_id WHERE pp.b = pool.vec_id), 0) AS msel,
+                   700000 * pool.c6 - 300000 * coalesce((SELECT max(pp.p6) FROM pairs pp JOIN sel2 s ON pp.a = s.vec_id WHERE pp.b = pool.vec_id), 0) AS score
+            FROM pool
+            WHERE pool.vec_id NOT IN (SELECT vec_id FROM sel2)
+            ORDER BY score DESC, pool.vec_id ASC LIMIT 1),
+sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM pick3),
+pick4 AS (SELECT pool.vec_id, pool.c6, coalesce((SELECT max(pp.p6) FROM pairs pp JOIN sel3 s ON pp.a = s.vec_id WHERE pp.b = pool.vec_id), 0) AS msel,
+                   700000 * pool.c6 - 300000 * coalesce((SELECT max(pp.p6) FROM pairs pp JOIN sel3 s ON pp.a = s.vec_id WHERE pp.b = pool.vec_id), 0) AS score
+            FROM pool
+            WHERE pool.vec_id NOT IN (SELECT vec_id FROM sel3)
+            ORDER BY score DESC, pool.vec_id ASC LIMIT 1),
+sel4 AS (SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM pick4),
+pick5 AS (SELECT pool.vec_id, pool.c6, coalesce((SELECT max(pp.p6) FROM pairs pp JOIN sel4 s ON pp.a = s.vec_id WHERE pp.b = pool.vec_id), 0) AS msel,
+                   700000 * pool.c6 - 300000 * coalesce((SELECT max(pp.p6) FROM pairs pp JOIN sel4 s ON pp.a = s.vec_id WHERE pp.b = pool.vec_id), 0) AS score
+            FROM pool
+            WHERE pool.vec_id NOT IN (SELECT vec_id FROM sel4)
+            ORDER BY score DESC, pool.vec_id ASC LIMIT 1),
+sel5 AS (SELECT vec_id FROM sel4 UNION ALL SELECT vec_id FROM pick5)
+SELECT CAST(1 AS BIGINT) AS step, vec_id, CAST(c6 AS BIGINT) AS q_sim_e6, CAST(msel AS BIGINT) AS max_sel_sim_e6, CAST(score AS BIGINT) AS mmr_score_e12 FROM pick1
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS step, vec_id, CAST(c6 AS BIGINT) AS q_sim_e6, CAST(msel AS BIGINT) AS max_sel_sim_e6, CAST(score AS BIGINT) AS mmr_score_e12 FROM pick2
+UNION ALL
+SELECT CAST(3 AS BIGINT) AS step, vec_id, CAST(c6 AS BIGINT) AS q_sim_e6, CAST(msel AS BIGINT) AS max_sel_sim_e6, CAST(score AS BIGINT) AS mmr_score_e12 FROM pick3
+UNION ALL
+SELECT CAST(4 AS BIGINT) AS step, vec_id, CAST(c6 AS BIGINT) AS q_sim_e6, CAST(msel AS BIGINT) AS max_sel_sim_e6, CAST(score AS BIGINT) AS mmr_score_e12 FROM pick4
+UNION ALL
+SELECT CAST(5 AS BIGINT) AS step, vec_id, CAST(c6 AS BIGINT) AS q_sim_e6, CAST(msel AS BIGINT) AS max_sel_sim_e6, CAST(score AS BIGINT) AS mmr_score_e12 FROM pick5
+ORDER BY step""",
 
         "knn_cosine": """
 WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

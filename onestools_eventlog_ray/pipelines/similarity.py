@@ -1344,3 +1344,69 @@ def logreg_step(ds: ray.data.Dataset, vec_col: str = "embedding",
         "grad_e6": pa.array([int(r["grad_e6"]) for r in folded],
                             pa.int64()),
     })
+
+
+def mmr_rerank(ds: ray.data.Dataset, query: np.ndarray, pool_k: int = 20,
+               k: int = 5, lam_e6: int = 700_000,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               exclude_ids: set[int] | None = None) -> pa.Table:
+    """Maximal Marginal Relevance reranking — the diversity-aware
+    selection every RAG retriever bolts onto similarity search: after
+    the exact top ``pool_k`` candidate pool, greedily pick the vector
+    maximizing ``lam * sim(query) - (1 - lam) * max sim(already
+    picked)`` so near-duplicate passages don't crowd the context
+    window.
+
+    Determinism: every similarity is e6-quantized FIRST, the greedy
+    argmax compares integers with vec_id tie-break — the whole
+    selection is SQL-reproducible (the oracle unrolls the k greedy
+    steps as chained CTEs).  Cost: one distributed exact-kNN pass for
+    the pool + one O(pool_k) candidate-vector fetch + an
+    O(k * pool_k) integer greedy on the driver (pool_k is small by
+    definition).  -> (step, vec_id, q_sim_e6, max_sel_sim_e6,
+    mmr_score_e12)."""
+    res = knn_cosine(ds, query, k=pool_k, id_col=id_col, vec_col=vec_col,
+                     exclude_ids=exclude_ids)
+    pool_ids = res["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    q6 = np.floor(res["cosine"].to_numpy(zero_copy_only=False)
+                  * 1_000_000 + 0.5).astype(np.int64)
+    import ray
+    idset = ray.put(frozenset(pool_ids.tolist()))
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        want = ray.get(idset)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.asarray([int(i) in want for i in ids], dtype=bool)
+        return batch.filter(pa.array(m)).select([id_col, vec_col])
+
+    rows = ds.map_batches(fetch, batch_format="pyarrow").take_all()
+    vec_of = {int(r[id_col]): np.asarray(r[vec_col], dtype=np.float64)
+              for r in rows}
+    mat = np.stack([vec_of[int(i)] for i in pool_ids])
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    pair = mat @ mat.T / np.outer(norms, norms)
+    p6 = np.floor(pair * 1_000_000 + 0.5).astype(np.int64)
+
+    one = np.int64(1_000_000)
+    picked: list[int] = []
+    out = {c: [] for c in ("step", "vec_id", "q_sim_e6",
+                           "max_sel_sim_e6", "mmr_score_e12")}
+    remaining = list(range(pool_ids.size))
+    for step in range(1, min(k, pool_ids.size) + 1):
+        best = None
+        for i in remaining:
+            msel = int(p6[i, picked].max()) if picked else 0
+            score = int(lam_e6) * int(q6[i]) - (int(one) - int(lam_e6)) \
+                * msel
+            key = (-score, int(pool_ids[i]))
+            if best is None or key < best[0]:
+                best = (key, i, msel, score)
+        _, i, msel, score = best
+        picked.append(i)
+        remaining.remove(i)
+        out["step"].append(step)
+        out["vec_id"].append(int(pool_ids[i]))
+        out["q_sim_e6"].append(int(q6[i]))
+        out["max_sel_sim_e6"].append(msel)
+        out["mmr_score_e12"].append(score)
+    return pa.table({c: pa.array(v, pa.int64()) for c, v in out.items()})

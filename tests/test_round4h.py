@@ -832,3 +832,47 @@ def test_cep_no_interruption_planted():
     out = cep_no_interruption(ray.data.from_arrow(tbl)).to_pylist()[0]
     assert out == {"n_second": 5, "n_matched": 3, "n_users_matched": 2,
                    "match_rate_e6": 3 * 10**6 // 5}
+
+
+def test_mmr_rerank_properties():
+    import ray.data
+    from math import floor
+    from onestools_eventlog_ray.pipelines.similarity import mmr_rerank
+    emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_pylist()
+    vecs = {d: np.asarray(v, dtype=np.float64)
+            for d, v in zip(ids, emb["embedding"].to_pylist())}
+    q = vecs[0]
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    out = mmr_rerank(ray.data.from_arrow(emb), q, pool_k=20, k=5,
+                     lam_e6=700_000, exclude_ids={0}).to_pylist()
+    assert [r["step"] for r in out] == [1, 2, 3, 4, 5]
+    sel = [r["vec_id"] for r in out]
+    assert len(set(sel)) == 5 and 0 not in sel
+    # brute-force the greedy over the exact pool
+    c6 = {d: int(floor(cos(q, v) * 1e6 + 0.5))
+          for d, v in vecs.items() if d != 0}
+    pool = sorted(c6, key=lambda d: (-c6[d], d))[:20]
+    picked = []
+    for r in out:
+        best = None
+        for d in pool:
+            if d in picked:
+                continue
+            msel = max((int(floor(cos(vecs[d], vecs[p]) * 1e6 + 0.5))
+                        for p in picked), default=0)
+            score = 700_000 * c6[d] - 300_000 * msel
+            key = (-score, d)
+            if best is None or key < best[0]:
+                best = (key, d, msel, score)
+        _, d, msel, score = best
+        picked.append(d)
+        assert (r["vec_id"], r["q_sim_e6"], r["max_sel_sim_e6"],
+                r["mmr_score_e12"]) == (d, c6[d], msel, score)
+    # step 1 is the plain top-1; later steps trade relevance for novelty
+    assert out[0]["vec_id"] == pool[0]
+    assert any(r["max_sel_sim_e6"] != 0 for r in out[1:])
