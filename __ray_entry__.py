@@ -3175,6 +3175,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return text.bigram_coherence(_documents_ds(sf_dir),
                                      DOCUMENTS_SPEC).sort("doc_id")
 
+    def bm25_cross_cluster(sf_dir):
+        """ES cross-cluster search: the same query fanned out to two
+        independent per-tenant indexes (en / de, each with its OWN
+        N/avgdl/df — ES's default local-idf CCS scoring) and merged by
+        raw score.  The multi-tenant serving shape the reference's
+        manager exports into (one ES index per 1C base)."""
+        from onestools_eventlog_ray.config import EngineConfig
+        from onestools_eventlog_ray.pipelines.incremental import reindex
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        src = _ensure_index(sf_dir)
+        hits = []
+        for lang in ("en", "de"):
+            dst = src + f"-reidx-{lang}"
+            reindex(src, dst, where={"lang": lang},
+                    cfg=EngineConfig(num_partitions=8))
+            hits += SearchEngine(dst).search(_BM25_TERMS, k=1_000_000)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+        order = np.lexsort((ids, -e6))[:10]
+        return pa.table({
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_e6": pa.array(e6[order], pa.int64()),
+        })
+
     def bm25_reindexed(sf_dir):
         """ES _reindex with a query: rebuild the index over lang='en'
         docs only (predicate pushed to the docstore read), then BM25
@@ -3544,6 +3569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_counts": quality_filter_counts,
         "bigram_coherence": bigram_coherence,
         "bm25_reindexed": bm25_reindexed,
+        "bm25_cross_cluster": bm25_cross_cluster,
         "q3_top_revenue": q3_top_revenue,
         "phrase_prefix": phrase_prefix,
         "facet_avg_nchars": facet_avg_nchars,
@@ -3804,6 +3830,38 @@ SELECT CAST(row_number() OVER (
        doc_id,
        CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6
 FROM scored
+ORDER BY score_e6 DESC, doc_id ASC
+LIMIT {k}"""
+
+
+def _bm25_federated_sql(terms: list[str], langs: tuple[str, ...] = ("de", "en"),
+                        k: int = 10) -> str:
+    """Cross-cluster-search oracle: one per-subset BM25 CTE chain per
+    tenant (each with the SUBSET's own n_docs/avgdl/df — ES local-idf
+    CCS), merged by raw score.  CTE names are word-boundary-suffixed
+    copies of the single-index chain."""
+    import re
+    chains = []
+    for lang in langs:
+        base = _bm25_sql(terms, k)
+        body = base.split("WITH", 1)[1]             .split("\nSELECT CAST(row_number()", 1)[0].rstrip().rstrip(",")
+        body = re.sub(r"\b(toks|stats|dl|tf|df|scored)\b",
+                      rf"\1_{lang}", body)
+        body = body.replace("FROM documents", f"FROM docs_{lang}")
+        chains.append(
+            f"docs_{lang} AS (SELECT * FROM documents"
+            f" WHERE lang = '{lang}'),{body}")
+    sels = " UNION ALL ".join(
+        f"SELECT doc_id, score FROM scored_{lang}" for lang in langs)
+    return f"""
+WITH {",".join(chains)},
+allh AS ({sels})
+SELECT CAST(row_number() OVER (
+         ORDER BY CAST(floor(score * 1000000 + 0.5) AS BIGINT) DESC,
+                  doc_id ASC) AS BIGINT) AS rank,
+       doc_id,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6
+FROM allh
 ORDER BY score_e6 DESC, doc_id ASC
 LIMIT {k}"""
 
@@ -5843,6 +5901,7 @@ p AS (SELECT bg.doc_id,
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        CAST(sum(p_e6) // count(*) AS BIGINT) AS coherence_e6
 FROM p GROUP BY doc_id ORDER BY doc_id""",
+        "bm25_cross_cluster": _bm25_federated_sql(_BM25_TERMS),
         "bm25_reindexed": (
             "WITH docs_f AS (SELECT * FROM documents WHERE lang = 'en'),"
             + _bm25_sql(_BM25_TERMS, 10)

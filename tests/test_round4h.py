@@ -876,3 +876,26 @@ def test_mmr_rerank_properties():
     # step 1 is the plain top-1; later steps trade relevance for novelty
     assert out[0]["vec_id"] == pool[0]
     assert any(r["max_sel_sim_e6"] != 0 for r in out[1:])
+
+
+def test_cross_cluster_local_idf(tmp_path, docs_tbl):
+    """Per-tenant indexes score with their OWN stats: the same doc gets
+    a DIFFERENT score than under the global index (local-idf CCS)."""
+    import __ray_entry__ as em
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    merged = em.queries()["bm25_cross_cluster"](SF_DIR).to_pylist()
+    assert len(merged) == 10
+    src = em._ensure_index(SF_DIR)
+    glob_hits = dict(SearchEngine(src).search(em._BM25_TERMS, k=1 << 62))
+    en = SearchEngine(src + "-reidx-en")
+    en_hits = dict(en.search(em._BM25_TERMS, k=1 << 62))
+    # en subset has fewer docs -> different N/avgdl/df -> different score
+    assert en.N < SearchEngine(src).N
+    common = set(glob_hits) & set(en_hits)
+    assert common
+    assert any(abs(glob_hits[d] - en_hits[d]) > 1e-9 for d in common)
+    # every merged hit comes from one of the two tenant indexes
+    de_hits = dict(SearchEngine(src + "-reidx-de")
+                   .search(em._BM25_TERMS, k=1 << 62))
+    for r in merged:
+        assert r["doc_id"] in en_hits or r["doc_id"] in de_hits
