@@ -180,6 +180,63 @@ def run_headline(clock: _StageClock) -> dict:
     }
 
 
+def run_serving(index_dir: str, n_queries: int = 256) -> dict:
+    """Concurrent-clients serving benchmark (round-4 verdict item #3).
+
+    Closed-loop model: C client threads, each issuing SEQUENTIAL BM25
+    queries as raw Ray tasks against the per-worker-process engine cache
+    (the ``impl="tasks"`` serving path).  Per-query latency is the
+    client-observed round trip (submit -> result on the driver), so it
+    includes scheduling + queueing — what a real search tier's p95
+    means.  One full warmup pass loads shard/weight caches in every
+    worker; the measured pass is steady-state serving.
+    -> {qps, p50_ms, p95_ms, p99_ms, clients, n_queries}."""
+    import threading
+    import numpy as np
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def _serve(index_dir: str, terms: list, k: int):
+        from onestools_eventlog_ray.pipelines.query import _engine_for
+        return len(_engine_for(index_dir).search(terms, k, tie="e6"))
+
+    queries = bench_queries(n_queries)
+    ray.get([_serve.remote(index_dir, q["terms"], q["k"])
+             for q in queries])                 # warmup: caches + workers
+    n_clients = min(32, NUM_CPUS)
+    qlock = threading.Lock()
+    qiter = iter(queries)
+    lats: list[list[float]] = [[] for _ in range(n_clients)]
+
+    def client(ci: int) -> None:
+        while True:
+            with qlock:
+                q = next(qiter, None)
+            if q is None:
+                return
+            t0 = time.perf_counter()
+            ray.get(_serve.remote(index_dir, q["terms"], q["k"]))
+            lats[ci].append(time.perf_counter() - t0)
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(n_clients)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    lat_ms = np.sort(np.concatenate([np.asarray(x) for x in lats])) * 1e3
+
+    def pct(p):
+        return round(float(lat_ms[min(len(lat_ms) - 1,
+                                      int(p * (len(lat_ms) - 1)))]), 2)
+
+    return {"qps": round(n_queries / wall, 1),
+            "p50_ms": pct(0.50), "p95_ms": pct(0.95), "p99_ms": pct(0.99),
+            "clients": n_clients, "n_queries": n_queries}
+
+
 def run_aux(clock: _StageClock) -> None:
     """Auxiliary-table pipelines over $GRAFT_SF_DIR."""
     import __ray_entry__ as entrymod
@@ -246,8 +303,10 @@ def main_single(build_only: bool = False) -> dict:
     warm_workers()
     clock = _StageClock()
     stages = run_headline(clock)
+    serving = {}
     if not build_only:
         run_aux(clock)
+        serving = run_serving(f"/dev/shm/oel_bench_index/cpus{NUM_CPUS}")
     ray.shutdown()
     total = sum(clock.wall.values())
     return {
@@ -264,6 +323,10 @@ def main_single(build_only: bool = False) -> dict:
         "n_hot_terms": stages["n_hot_terms"],
         "build_detail": stages["build_detail"],
         "build_phases": stages.get("build_phases", {}),
+        # concurrent-clients serving benchmark (QPS + latency
+        # percentiles; NOT added to "value" — serving throughput is a
+        # rate, not a pipeline stage wall)
+        "serving": serving,
         "sf": SF,
         "num_cpus": NUM_CPUS,
     }
