@@ -195,19 +195,44 @@ class CorpusWatcher:
             alerts, preserve_index=False)}
 
     def watch(self, interval_s: float = 5.0,
-              max_rounds: int | None = None) -> list[dict]:
-        """Poll loop (the wakeup signal); returns the non-noop reports."""
+              max_rounds: int | None = None,
+              backend: str = "auto") -> list[dict]:
+        """Wakeup loop around :meth:`sync`; returns the non-noop reports.
+
+        ``backend="inotify"`` (or ``"auto"`` on Linux) is EVENT-driven —
+        the reference's ``FileSystemWatcher`` + ``ManualResetEvent``
+        shape (``EventLogReader.cs:156-173``): the loop blocks on the
+        directory's inotify fd and a completed corpus file triggers the
+        next reconciliation within milliseconds, with ``interval_s`` as
+        the fallback heartbeat (changes that bypass inotify — network
+        mounts — still reconcile once per interval, exactly why the
+        reference keeps its timer too).  ``backend="poll"`` is the plain
+        sleep loop for platforms without inotify."""
         import time
-        out = []
-        n = 0
-        while max_rounds is None or n < max_rounds:
-            rep = self.sync()
-            if rep.get("indexed_files"):
-                out.append(rep)
-            n += 1
-            if max_rounds is None or n < max_rounds:
-                time.sleep(interval_s)
-        return out
+        from onestools_eventlog_ray.functions.inotify import (
+            Inotify, inotify_available)
+        if backend not in ("auto", "inotify", "poll"):
+            raise ValueError(f"unknown watch backend {backend!r}")
+        use_events = backend == "inotify" or (
+            backend == "auto" and inotify_available(self.corpus_dir))
+        ino = Inotify(self.corpus_dir) if use_events else None
+        try:
+            out = []
+            n = 0
+            while max_rounds is None or n < max_rounds:
+                rep = self.sync()
+                if rep.get("indexed_files"):
+                    out.append(rep)
+                n += 1
+                if max_rounds is None or n < max_rounds:
+                    if ino is not None:
+                        ino.wait(interval_s)     # event OR heartbeat
+                    else:
+                        time.sleep(interval_s)
+            return out
+        finally:
+            if ino is not None:
+                ino.close()
 
 
 def compact_generations(index_root: str, out_dir: str,
