@@ -537,18 +537,23 @@ def shrink_index(src_index: str, out_dir: str, factor: int = 2) -> dict:
         src = os.path.join(src_index, sub)
         if not os.path.isdir(src):
             return
-        dst = os.path.join(out_dir, sub)
-        os.makedirs(dst, exist_ok=True)
-        for name in os.listdir(src):
-            s, d = os.path.join(src, name), os.path.join(dst, name)
-            if os.path.exists(d):
-                continue
-            try:
-                os.link(s, d)
-            except OSError:
-                shutil.copy2(s, d)
+        for root, _dirs, names in os.walk(src):
+            rel = os.path.relpath(root, src_index)
+            dst = os.path.join(out_dir, rel)
+            os.makedirs(dst, exist_ok=True)
+            for name in names:
+                s, d = os.path.join(root, name), os.path.join(dst, name)
+                if os.path.exists(d):
+                    continue
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
 
-    for sub in ("docstore", "manifest", "tombstones"):
+    # ann/ buckets are hyperplane-partitioned — independent of the term
+    # shard count — so they ride shard-count changes unchanged, like the
+    # docstore (round-5 lifecycle matrix)
+    for sub in ("docstore", "manifest", "tombstones", "ann"):
         _link_tree(sub)
 
     n_postings = int(sum(ray.get(jobs)))
@@ -642,18 +647,23 @@ def split_index(src_index: str, out_dir: str, factor: int = 2) -> dict:
         src = os.path.join(src_index, sub)
         if not os.path.isdir(src):
             return
-        dst = os.path.join(out_dir, sub)
-        os.makedirs(dst, exist_ok=True)
-        for name in os.listdir(src):
-            s, d = os.path.join(src, name), os.path.join(dst, name)
-            if os.path.exists(d):
-                continue
-            try:
-                os.link(s, d)
-            except OSError:
-                shutil.copy2(s, d)
+        for root, _dirs, names in os.walk(src):
+            rel = os.path.relpath(root, src_index)
+            dst = os.path.join(out_dir, rel)
+            os.makedirs(dst, exist_ok=True)
+            for name in names:
+                s, d = os.path.join(root, name), os.path.join(dst, name)
+                if os.path.exists(d):
+                    continue
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
 
-    for sub in ("docstore", "manifest", "tombstones"):
+    # ann/ buckets are hyperplane-partitioned — independent of the term
+    # shard count — so they ride shard-count changes unchanged, like the
+    # docstore (round-5 lifecycle matrix)
+    for sub in ("docstore", "manifest", "tombstones", "ann"):
         _link_tree(sub)
 
     n_postings = int(sum(ray.get(jobs)))

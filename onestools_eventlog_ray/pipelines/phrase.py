@@ -118,6 +118,14 @@ class PhraseEngine:
         # layout-version gate as SearchEngine (round-2 ADVICE)
         if os.path.exists(ckpt.stats_path(index_dir)):
             ckpt.check_layout(ckpt.read_stats(index_dir), index_dir)
+        # tombstones mask every phrase/span path exactly like
+        # SearchEngine's result paths (ES soft-delete semantics): the
+        # filter sits in _load_flat, so every downstream positional op
+        # (phrase, span_near, span_not, proximity rerank) inherits it
+        # (round-5 lifecycle-matrix gap: deleted docs kept matching
+        # phrases until compaction dropped them physically)
+        from onestools_eventlog_ray.state.tombstones import load_tombstones
+        self.deleted = load_tombstones(index_dir)
         if num_partitions is None:
             # the positions sidecar records ITS OWN partition count —
             # it may differ from the BM25 index's
@@ -166,7 +174,11 @@ class PhraseEngine:
                     .astype(np.int64)
                 docs = sub["doc_id"].to_numpy(zero_copy_only=False) \
                     .astype(np.int64)
-                out[t] = (np.repeat(docs, np.diff(offs)), flat)
+                docs = np.repeat(docs, np.diff(offs))
+                if self.deleted.size:
+                    live = ~np.isin(docs, self.deleted)
+                    docs, flat = docs[live], flat[live]
+                out[t] = (docs, flat)
         return out
 
     def search_phrase(self, phrase_terms: list[str]) -> list[tuple[int, int]]:
@@ -215,10 +227,15 @@ def _phrase_batch(batch: pa.Table, *, index_dir: str) -> pa.Table:
     from onestools_eventlog_ray.functions.runtime import pin_worker_threads
     pin_worker_threads()
     # staleness guard (mirror of query._engine_for): an in-place sidecar
-    # rebuild rewrites the positions dir, so key on its listing
+    # rebuild rewrites the positions dir and a delete appends tombstone
+    # part files (phrase results mask them since round 5), so key on
+    # both listings
+    from onestools_eventlog_ray.state.tombstones import tombstone_dir
     pos_dir = os.path.join(index_dir, "positions")
-    ver = tuple(sorted(os.listdir(pos_dir))) \
-        if os.path.isdir(pos_dir) else ()
+    td = tombstone_dir(index_dir)
+    ver = (tuple(sorted(os.listdir(pos_dir)))
+           if os.path.isdir(pos_dir) else (),
+           tuple(sorted(os.listdir(td))) if os.path.isdir(td) else ())
     eng = _PHRASE_CACHE.get(index_dir)
     if eng is None or getattr(eng, "_cache_ver", None) != ver:
         eng = PhraseEngine(index_dir)
