@@ -206,7 +206,10 @@ def _shingle_rows(toks, k: int) -> tuple[pa.Array, np.ndarray]:
     if n_flat >= k:
         w = n_flat - k + 1
         cols = [flat.slice(j, w) for j in range(k)]
-        joined = pc.binary_join_element_wise(*cols, SHINGLE_SEP)
+        # separator scalar MUST match the token type: large_string
+        # corpora (code-corpus reads) crash the kernel with a plain str
+        joined = pc.binary_join_element_wise(
+            *cols, pa.scalar(SHINGLE_SEP, type=flat.type))
         valid = parent[:w] == parent[k - 1:]
         if valid.any():
             parts.append(joined.filter(pa.array(valid)))
@@ -1006,6 +1009,9 @@ def _components_distributed(edges: ray.data.Dataset,
     so the practical round count is 2-4.  Returns (doc_id, rep_id).
     """
     edges = edges.select_columns(["doc_a", "doc_b"]).materialize()
+    if edges.count() == 0:                   # no near-dups at this threshold
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "rep_id": pa.array([], pa.int64())})
 
     def init_labels(t: pa.Table) -> pa.Table:
         n = np.unique(np.concatenate([

@@ -146,6 +146,63 @@ def test_entry_source_has_no_full_match_pulls():
 
 
 # ---------------------------------------------------------------------------
+# verified-pairs semi-join: fused sketch path == tight fallback path
+# (round-4 verdict wrong #2 + the 10x memory audit's regression guard:
+# the big-corpus fallback must stay bit-identical to the fused regime)
+# ---------------------------------------------------------------------------
+
+def test_verified_pairs_fused_equals_fallback(ray_session, monkeypatch):
+    import ray.data
+    from onestools_eventlog_ray.pipelines import dedup
+    from onestools_eventlog_ray.sources.corpus import (DOCUMENTS_SPEC,
+                                                       read_parquet_clean)
+
+    def pairs():
+        ds = read_parquet_clean("/root/testdata/sf0.001/documents.parquet")
+        t = dedup.minhash_verified_pairs(ds, DOCUMENTS_SPEC,
+                                         min_jaccard=0.2) \
+            .to_pandas().sort_values(["doc_a", "doc_b"]) \
+            .reset_index(drop=True)
+        return t
+
+    fused = pairs()
+    monkeypatch.setattr(dedup, "_FUSED_FOLD_MAX_BITS", 0)   # force fallback
+    tight = pairs()
+    assert fused.equals(tight)
+    assert len(fused) > 0
+
+
+def test_driver_rss_flat_on_verified_pairs(ray_session):
+    """Driver-side allocation regression (round-4 verdict item #5): a
+    4x bigger corpus must not grow the driver's RSS delta during
+    minhash_verified_pairs by more than the Bloom/manifest budget (the
+    full evidence at 10x scale lives in MEMPROFILE_r5.json)."""
+    import ray.data
+    from onestools_eventlog_ray.pipelines import dedup
+    from onestools_eventlog_ray.sources.corpus import CODE_CORPUS_SPEC
+    from onestools_eventlog_ray.synth import generate_corpus
+
+    def rss_mb():
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+
+    def run(n):
+        tbl = generate_corpus(n, seed=3)
+        ds = ray.data.from_arrow(tbl)
+        base = rss_mb()
+        dedup.minhash_verified_pairs(ds, CODE_CORPUS_SPEC,
+                                     min_jaccard=0.5).count()
+        return rss_mb() - base
+
+    run(500)                                  # warm allocator + caches
+    d_small = run(2_000)
+    d_big = run(8_000)
+    assert d_big - d_small < 256.0, (d_small, d_big)
+
+
+# ---------------------------------------------------------------------------
 # event-driven corpus watcher (round-4 verdict missing #1)
 # ---------------------------------------------------------------------------
 
