@@ -332,6 +332,30 @@ def main_single(build_only: bool = False) -> dict:
     }
 
 
+def main_serving_only() -> dict:
+    """Serving-tier benchmark alone (one fresh build, then the
+    concurrent-clients stage).  Lets BASELINE.md record QPS + latency
+    percentiles at two parallelism levels (RAY_GRAFT_CPUS=8 and 32)
+    without paying the full aux-pipeline sweep twice."""
+    import ray
+    from ray.data import DataContext
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.op_resource_reservation_enabled = False
+    ctx.read_op_min_num_blocks = max(32, 2 * NUM_CPUS)
+    ensure_corpus()
+    warm_workers()
+    index_dir = f"/dev/shm/oel_bench_index/cpus{NUM_CPUS}"
+    run_build(index_dir)
+    serving = run_serving(index_dir)
+    ray.shutdown()
+    return {"metric": "serving_qps", "value": serving["qps"],
+            "unit": "queries/sec", "serving": serving,
+            "n_docs": N_DOCS, "sf": SF, "num_cpus": NUM_CPUS}
+
+
 def run_scaling() -> dict:
     """Same build, fresh processes, num_cpus=8 then 32 (N vs 4N proxy)."""
     results = {}
@@ -430,6 +454,8 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--serving-only" in sys.argv:
+        print(json.dumps(main_serving_only()))
     elif "--build-only" in sys.argv:
         print(json.dumps(main_single(build_only=True)))
     else:

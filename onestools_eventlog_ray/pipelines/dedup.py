@@ -1651,6 +1651,7 @@ def dedup_savings(ds: ray.data.Dataset,
 def dup_graph_triangles(ds: ray.data.Dataset,
                         spec: CorpusSpec = DOCUMENTS_SPEC,
                         min_jaccard: float = 0.2,
+                        impl: str = "auto",
                         **minhash_kwargs) -> pa.Table:
     """Near-duplicate graph cohesion: triangle count and per-node
     degree over the verified pair graph — high triangle density means
@@ -1660,10 +1661,27 @@ def dup_graph_triangles(ds: ray.data.Dataset,
     The expensive half is the distributed pair mining
     (:func:`minhash_verified_pairs`); the triangle join runs on the
     pair-bounded edge list (like :func:`dedup_clusters`'s union-find —
-    edges, never the corpus).  -> one row
+    edges, never the corpus).  ``impl``: "driver" (adjacency sets,
+    O(pairs) driver memory), "distributed" (degree-ordered wedge join,
+    :func:`_triangles_distributed`), or "auto" (driver below
+    ``DRIVER_TRIANGLES_MAX_PAIRS`` pairs, distributed above — the same
+    convention as :func:`dedup_clusters`).  -> one row
     (n_nodes, n_edges, n_triangles, max_degree)."""
-    pairs = minhash_verified_pairs(ds, spec, min_jaccard=min_jaccard,
-                                   **minhash_kwargs).to_pandas()
+    pairs_ds = minhash_verified_pairs(ds, spec, min_jaccard=min_jaccard,
+                                      **minhash_kwargs).materialize()
+    if impl == "auto":
+        impl = ("distributed"
+                if pairs_ds.count() > DRIVER_TRIANGLES_MAX_PAIRS
+                else "driver")
+    if impl == "distributed":
+        n, ne, tri, maxdeg = _triangles_distributed(pairs_ds)
+        return pa.table({
+            "n_nodes": pa.array([n], pa.int64()),
+            "n_edges": pa.array([ne], pa.int64()),
+            "n_triangles": pa.array([tri], pa.int64()),
+            "max_degree": pa.array([maxdeg], pa.int64()),
+        })
+    pairs = pairs_ds.to_pandas()
     a = pairs["doc_a"].to_numpy().astype(np.int64)
     b = pairs["doc_b"].to_numpy().astype(np.int64)
     nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
@@ -1683,6 +1701,133 @@ def dup_graph_triangles(ds: ray.data.Dataset,
         "n_triangles": pa.array([tri // 3], pa.int64()),
         "max_degree": pa.array([int(deg.max()) if n else 0], pa.int64()),
     })
+
+
+#: above this many verified pairs :func:`dup_graph_triangles` switches
+#: from the driver adjacency-set count (O(pairs) driver memory) to the
+#: distributed degree-ordered wedge join below.
+DRIVER_TRIANGLES_MAX_PAIRS = 2_000_000
+
+
+def _triangles_distributed(edges: ray.data.Dataset) -> tuple[int, int, int, int]:
+    """Exact triangle count over an edge Dataset (``doc_a``/``doc_b``,
+    unique canonical pairs) — the documented scale path of
+    :func:`dup_graph_triangles` for pair graphs too big for one process.
+
+    Classic degree-ordered wedge join (MapReduce triangle counting):
+    orienting every edge from its lower-(degree, id) endpoint to the
+    higher one bounds total wedge volume at O(E^1.5) regardless of hot
+    nodes (a dup-family star of degree d generates d^2 wedges unoriented
+    but ~0 oriented, since the hub loses every comparison).  Four
+    narrow-row shuffles, all over (int64, int64[, int64]) rows:
+
+        deg    = groupby(endpoint).count()
+        r1     = co-group(edges ∪ deg): each node sends (its id, its
+                 degree) to every neighbor, plus one self row
+        orient = groupby(node): edge u-v becomes u→v iff
+                 (deg_u, u) < (deg_v, v)   [exactly one side fires]
+        wedges = groupby(src): all out-neighbor pairs, canonical (a<b)
+        close  = groupby(a, b) over wedges ∪ original edges:
+                 triangles += n_wedges in every group holding an edge
+
+    Only per-batch scalar partials reach the driver.
+    Returns (n_nodes, n_edges, n_triangles, max_degree)."""
+    edges = edges.select_columns(["doc_a", "doc_b"]).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return 0, 0, 0, 0
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            t["doc_a"].combine_chunks().cast(pa.int64()),
+            t["doc_b"].combine_chunks().cast(pa.int64())])})
+
+    deg = edges.map_batches(endpoints, batch_format="pyarrow") \
+        .groupby("node").aggregate(Count(alias_name="deg")).materialize()
+    n_nodes = deg.count()
+    max_degree = int(deg.max("deg"))
+
+    def half_edges(t: pa.Table, *, src: str, dst: str) -> pa.Table:
+        return pa.table({"key": t[src].cast(pa.int64()),
+                         "other": t[dst].cast(pa.int64()),
+                         "deg": pa.nulls(t.num_rows, pa.int64())})
+
+    def deg_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["node"],
+                         "other": pa.nulls(t.num_rows, pa.int64()),
+                         "deg": t["deg"].cast(pa.int64())})
+
+    tagged = edges.map_batches(half_edges, batch_format="pyarrow",
+                               fn_kwargs=dict(src="doc_a", dst="doc_b")) \
+        .union(edges.map_batches(half_edges, batch_format="pyarrow",
+                                 fn_kwargs=dict(src="doc_b", dst="doc_a"))) \
+        .union(deg.map_batches(deg_rows, batch_format="pyarrow"))
+
+    def send_degree(group: pa.Table) -> pa.Table:
+        # node v tells every neighbor u "(v, deg_v)", plus one self row
+        # (src=null) so v's own degree is present in v's next group
+        deg_v = group["deg"].drop_null()
+        v = group["key"][0].as_py()
+        d = deg_v[0].as_py() if len(deg_v) else 0
+        others = group["other"].drop_null().to_numpy(zero_copy_only=False)
+        key = np.concatenate([others, [v]])
+        src = np.concatenate([np.full(others.size, v, np.int64),
+                              [np.iinfo(np.int64).min]])
+        return pa.table({"key": pa.array(key, pa.int64()),
+                         "src": pa.array(src, pa.int64()),
+                         "deg_src": pa.array(np.full(key.size, d, np.int64))})
+
+    r1 = tagged.groupby("key").map_groups(send_degree,
+                                          batch_format="pyarrow")
+
+    SELF = np.iinfo(np.int64).min
+
+    def orient(group: pa.Table) -> pa.Table:
+        v = group["key"][0].as_py()
+        src = group["src"].to_numpy(zero_copy_only=False)
+        dsrc = group["deg_src"].to_numpy(zero_copy_only=False)
+        self_mask = src == SELF
+        deg_v = int(dsrc[self_mask][0]) if self_mask.any() else 0
+        u, du = src[~self_mask], dsrc[~self_mask]
+        win = (du < deg_v) | ((du == deg_v) & (u < v))
+        u = u[win]
+        return pa.table({"src": pa.array(u, pa.int64()),
+                         "dst": pa.array(np.full(u.size, v, np.int64))})
+
+    oriented = r1.groupby("key").map_groups(orient, batch_format="pyarrow")
+
+    def wedges(group: pa.Table) -> pa.Table:
+        nbr = np.sort(group["dst"].to_numpy(zero_copy_only=False))
+        i, j = np.triu_indices(nbr.size, k=1)
+        return pa.table({"a": pa.array(nbr[i], pa.int64()),
+                         "b": pa.array(nbr[j], pa.int64()),
+                         "w": pa.array(np.ones(i.size, np.int64)),
+                         "e": pa.array(np.zeros(i.size, np.int64))})
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].cast(pa.int64())
+        b = t["doc_b"].cast(pa.int64())
+        return pa.table({"a": pc.min_element_wise(a, b),
+                         "b": pc.max_element_wise(a, b),
+                         "w": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "e": pa.array(np.ones(t.num_rows, np.int64))})
+
+    closed = oriented.groupby("src").map_groups(wedges,
+                                                batch_format="pyarrow") \
+        .union(edges.map_batches(edge_rows, batch_format="pyarrow")) \
+        .groupby(["a", "b"]) \
+        .aggregate(RSum("w", alias_name="w_sum"),
+                   Max("e", alias_name="e_max"))
+
+    def tri_partial(t: pa.Table) -> pa.Table:
+        w = t["w_sum"].to_numpy(zero_copy_only=False)
+        e = t["e_max"].to_numpy(zero_copy_only=False)
+        return pa.table({"t": pa.array([int(w[e == 1].sum())], pa.int64())})
+
+    tri = sum(int(r["t"]) for r in
+              closed.map_batches(tri_partial,
+                                 batch_format="pyarrow").take_all())
+    return int(n_nodes), int(n_edges), tri, max_degree
 
 
 def minhash_calibration(ds: ray.data.Dataset,

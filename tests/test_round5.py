@@ -300,3 +300,54 @@ def test_driver_received_hits_are_O_k(tie_index, monkeypatch):
     hits = eng.search(["join", "merge"], k=10, tie="e6")
     assert seen and all(k <= 1000 and n <= k for k, n in seen)
     assert len(hits) <= 10
+
+
+# ---------------------------------------------------------------------------
+# distributed triangle counting (degree-ordered wedge join) — the last
+# driver-side graph shape upgraded to the dedup_clusters convention
+# ---------------------------------------------------------------------------
+
+def _tri_driver(edges):
+    """Reference adjacency-set count (mirrors dup_graph_triangles'
+    driver impl) over a python edge list."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(len(adj[a] & adj[b]) for a, b in edges) // 3
+    deg = {n: len(s) for n, s in adj.items()}
+    return (len(adj), len(edges), tri, max(deg.values()) if deg else 0)
+
+
+@pytest.mark.parametrize("edges", [
+    [],                                           # empty graph
+    [(1, 2)],                                     # single edge
+    [(1, 2), (2, 3), (1, 3)],                     # one triangle
+    [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5), (1, 5)],
+    # K5: C(5,3)=10 triangles, every orientation branch exercised
+    [(a, b) for a in range(1, 6) for b in range(a + 1, 6)],
+    # star hub (0 triangles, max_degree=8) + disjoint K4 (4 triangles)
+    [(100, x) for x in range(1, 9)] +
+    [(a, b) for a in (20, 21, 22, 23) for b in (20, 21, 22, 23) if a < b],
+])
+def test_triangles_distributed_vs_reference(ray_session, edges):
+    import ray.data
+    from onestools_eventlog_ray.pipelines.dedup import _triangles_distributed
+    tbl = pa.table({"doc_a": pa.array([a for a, _ in edges], pa.int64()),
+                    "doc_b": pa.array([b for _, b in edges], pa.int64())})
+    got = _triangles_distributed(ray.data.from_arrow(tbl))
+    assert got == _tri_driver(edges)
+
+
+def test_dup_graph_triangles_impl_equivalence(ray_session):
+    """Driver and distributed impls agree on a real near-dup graph."""
+    from onestools_eventlog_ray.pipelines import dedup
+    from onestools_eventlog_ray.sources.corpus import (DOCUMENTS_SPEC,
+                                                       read_parquet_clean)
+    ds = read_parquet_clean("/root/testdata/sf0.001/documents.parquet")
+    drv = dedup.dup_graph_triangles(ds, DOCUMENTS_SPEC, min_jaccard=0.2,
+                                    impl="driver")
+    dst = dedup.dup_graph_triangles(ds, DOCUMENTS_SPEC, min_jaccard=0.2,
+                                    impl="distributed")
+    assert drv.equals(dst)
+    assert drv["n_edges"][0].as_py() > 0
