@@ -157,6 +157,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         hits = eng.search_and(_BM25_TERMS, k=10, tie="e6")
         return _hits_to_table(hits)
 
+    def bm25_sharded_serving(sf_dir):
+        """Doc-sharded scatter-gather serving (`pipelines/serving.py`):
+        route docs to 4 hash shards, one independent index build per
+        shard, one engine ACTOR per shard, two-phase exact BM25
+        (scatter local df -> global idf -> scatter score under global
+        stats -> O(k)-per-shard gather) — the ES data-tier shape
+        (dfs_query_then_fetch) for an index bigger than one node.
+        Rank-AND-score identical to the monolithic index, so the oracle
+        is the very same SQL as bm25_topk."""
+        from onestools_eventlog_ray.config import EngineConfig
+        from onestools_eventlog_ray.pipelines.serving import (
+            ShardedSearchTier, build_sharded_index)
+        from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+        root = _index_dir_for(sf_dir) + "_sharded4"
+        build_sharded_index(os.path.join(sf_dir, "documents.parquet"),
+                            root, n_shards=4, spec=DOCUMENTS_SPEC,
+                            cfg=EngineConfig(num_partitions=16))
+        tier = ShardedSearchTier(root)
+        try:
+            return _hits_to_table(tier.search(_BM25_TERMS, k=10, tie="e6"))
+        finally:
+            tier.shutdown()
+
     def exact_dedup(sf_dir):
         return dedup.exact_dedup(_documents_ds(sf_dir), DOCUMENTS_SPEC)
 
@@ -3273,6 +3296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": bm25_topk,
         "bm25_topk_single": bm25_topk_single,
         "bm25_topk_and": bm25_topk_and,
+        "bm25_sharded_serving": bm25_sharded_serving,
         "exact_dedup": exact_dedup,
         "top1_recovery": top1_recovery,
         "events_by_type": events_by_type,
@@ -4216,6 +4240,9 @@ LIMIT 10""",
         "bm25_topk": _bm25_sql(_BM25_TERMS),
         "bm25_topk_and": _bm25_and_sql(_BM25_TERMS),
         "bm25_topk_single": _bm25_sql(_BM25_TERMS_SINGLE),
+        # the doc-sharded scatter-gather tier is EXACT global BM25 over
+        # the same corpus -> the very same oracle as bm25_topk
+        "bm25_sharded_serving": _bm25_sql(_BM25_TERMS),
         # the incremental (two-generation) engine must reproduce the very
         # same single-build BM25 ranking
         "bm25_incremental": _bm25_sql(_BM25_TERMS),

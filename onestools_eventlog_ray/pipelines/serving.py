@@ -1,0 +1,243 @@
+"""Doc-sharded scatter-gather serving — an index larger than one node.
+
+The bench's replicated-searcher pool (one full-index engine per actor)
+is the right shape while the index fits a node; at 100 TB it does not.
+The ES deployment the reference delegates to
+(``/root/reference/OneSTools.EventLog.Exporter.Core/ElasticSearch/
+ElasticSearchStorage.cs``) solves this with DOC-sharded data nodes and
+a two-phase query (``dfs_query_then_fetch``): gather per-shard term
+statistics, compute GLOBAL idf, score every shard locally under the
+global stats, merge per-shard top-k.  Shards hold disjoint documents,
+so a document's full score is computed entirely on its own shard and
+the union of per-shard top-k provably contains the global top-k — the
+merge is EXACT, not approximate.
+
+This module provides that deployment shape on Ray:
+
+* :func:`route_corpus_shards` — ONE streaming hash-route pass corpus ->
+  ``n_shards`` sub-corpus dirs (deterministic ``doc_id % n``; immutable
+  content-named part files committed tmp->rename, a ``_MANIFEST.json``
+  success marker gates re-routes — the ``export_training_shards``
+  contract without the tokenize).
+* :func:`build_sharded_index` — one independent index build per
+  sub-corpus under ``root/gen-%04d``: deliberately the generational
+  layout, so the single-process :class:`~.incremental.GenerationalEngine`
+  over the SAME deployment is the in-process oracle for the tier.
+* :class:`ShardedSearchTier` — one ``@ray.remote`` worker per shard
+  (its own :class:`~.query.SearchEngine`), two-phase exact BM25.
+  Float exactness: scoring is terms-major within the owning shard, the
+  same accumulation order as ``SearchEngine.search`` /
+  ``GenerationalEngine.search``, so per-doc float64 scores are
+  bit-identical to a single-index build over the union of the docs.
+
+Scale shape: phase 1 ships O(len(terms)) ints per shard; phase 2 ships
+O(k) (id, score) pairs per shard; the driver merges O(shards * k) rows.
+Nothing corpus-sized moves at query time, and each worker's resident
+set is one shard — the deployment grows by adding shards, not by
+growing a node.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from onestools_eventlog_ray.config import EngineConfig
+from onestools_eventlog_ray.functions import codec
+from onestools_eventlog_ray.functions.bm25 import idf as idf_fn, pick_topk
+from onestools_eventlog_ray.sources.corpus import (CODE_CORPUS_SPEC,
+                                                   CorpusSpec,
+                                                   read_parquet_clean)
+from onestools_eventlog_ray.stages.normalize import add_doc_id
+
+
+def route_corpus_shards(corpus_paths, out_dir: str, n_shards: int,
+                        spec: CorpusSpec = CODE_CORPUS_SPEC) -> dict:
+    """Hash-route a corpus into ``n_shards`` sub-corpus directories
+    (``out_dir/shard-%05d/``) in ONE streaming pass.
+
+    Routing key is the deterministic content-keyed ``doc_id % n_shards``
+    — stable across runs, retries and parallelism, so a re-route lands
+    every document on the same shard.  Each routed slice of each input
+    batch becomes its own immutable part file named by the md5 of its
+    sorted doc_ids (idempotent under Ray task retries).  A completed
+    route writes ``_MANIFEST.json`` and later calls return it verbatim
+    (batch boundaries are not stable across runs, so re-routing a
+    finished output could duplicate rows in differently-split parts).
+    -> {"n_shards": n, "n_docs": total, "per_shard": [counts]}."""
+    import hashlib
+
+    marker = os.path.join(out_dir, "_MANIFEST.json")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return json.load(fh)
+    for i in range(n_shards):
+        os.makedirs(os.path.join(out_dir, f"shard-{i:05d}"), exist_ok=True)
+
+    def route(batch: pa.Table) -> pa.Table:
+        ids = add_doc_id(batch, spec)["doc_id"].to_numpy(
+            zero_copy_only=False)
+        shard = (ids % n_shards).astype(np.int64)
+        counts = np.zeros(n_shards, dtype=np.int64)
+        for s in np.unique(shard):
+            sub = batch.filter(pa.array(shard == s))
+            sub_ids = np.sort(ids[shard == s])
+            name = hashlib.md5(
+                f"{sub.num_rows}:".encode()
+                + ",".join(map(str, sub_ids)).encode()).hexdigest()
+            dst = os.path.join(out_dir, f"shard-{int(s):05d}",
+                               f"part-{name[:16]}.parquet")
+            if not os.path.exists(dst):
+                tmp = dst + ".tmp"
+                pq.write_table(sub, tmp)
+                os.replace(tmp, dst)
+            counts[int(s)] = sub.num_rows
+        return pa.table({"shard": pa.array(np.arange(n_shards)),
+                         "n": pa.array(counts)})
+
+    ds = corpus_paths if isinstance(corpus_paths, ray.data.Dataset) \
+        else read_parquet_clean(corpus_paths)
+    partials = ds.map_batches(route, batch_format="pyarrow").to_pandas()
+    per_shard = partials.groupby("shard")["n"].sum()
+    rec = {"n_shards": n_shards,
+           "n_docs": int(per_shard.sum()),
+           "per_shard": [int(per_shard.get(i, 0)) for i in range(n_shards)]}
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(rec, fh)
+    os.replace(tmp, marker)
+    return rec
+
+
+def build_sharded_index(corpus_paths, index_root: str, n_shards: int,
+                        spec: CorpusSpec = CODE_CORPUS_SPEC,
+                        cfg: EngineConfig = EngineConfig()) -> dict:
+    """Build a doc-sharded deployment: route the corpus, then run one
+    independent index build per sub-corpus under ``index_root/gen-%04d``
+    (the generational layout, so ``GenerationalEngine(index_root)`` is
+    the in-process oracle for :class:`ShardedSearchTier` and the whole
+    add/delete/compact lifecycle applies per shard unchanged).  Each
+    build is itself resumable; re-running skips finished shards.
+    -> {"n_shards", "n_docs", "shard_dirs"}."""
+    from onestools_eventlog_ray.pipelines.build import build_index
+
+    shards_dir = os.path.join(index_root, "_shard_corpus")
+    rec = route_corpus_shards(corpus_paths, shards_dir, n_shards, spec)
+    shard_dirs = []
+    for i in range(n_shards):
+        gen_dir = os.path.join(index_root, f"gen-{i:04d}")
+        build_index(os.path.join(shards_dir, f"shard-{i:05d}"),
+                    gen_dir, spec=spec, cfg=cfg)
+        shard_dirs.append(gen_dir)
+    return {"n_shards": n_shards, "n_docs": rec["n_docs"],
+            "shard_dirs": shard_dirs}
+
+
+@ray.remote(num_cpus=1)
+class ShardWorker:
+    """One data node: a :class:`SearchEngine` over one doc-shard.
+
+    ``extra_deleted``: deployment-level tombstones (the index root's),
+    unioned with the shard's own — the same rule GenerationalEngine
+    applies in-process."""
+
+    def __init__(self, gen_dir: str, extra_deleted=None):
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        self.eng = SearchEngine(gen_dir)
+        if extra_deleted is not None and len(extra_deleted):
+            self.eng.deleted = np.unique(np.concatenate(
+                [self.eng.deleted, np.asarray(extra_deleted, np.int64)]))
+
+    def stats(self) -> tuple[int, float]:
+        return int(self.eng.N), float(self.eng.avgdl * self.eng.N)
+
+    def local_df(self, terms: list) -> dict:
+        """Phase 1 (the DFS of dfs_query_then_fetch): per-term local df."""
+        return {t: int(df)
+                for t, (df, _) in self.eng.load_terms(terms).items()}
+
+    def score_topk(self, terms: list, idf_map: dict, avgdl: float,
+                   k: int, tie: str) -> tuple[np.ndarray, np.ndarray]:
+        """Phase 2: TAAT over this shard's postings under the injected
+        GLOBAL (idf, avgdl); local top-k cut under the same total order
+        the merge uses, so the union of shard top-k contains the global
+        top-k."""
+        eng = self.eng
+        uniq = sorted(set(terms))
+        loaded = eng.load_terms(uniq)
+        ids_parts, w_parts = [], []
+        for t in uniq:
+            if t not in loaded or t not in idf_map:
+                continue
+            _df, blob = loaded[t]
+            post = codec.decode_posting(blob)
+            w = idf_map[t] * codec.bm25_impact(post.tfs, post.dls, avgdl,
+                                               eng.k1, eng.b)
+            ids_parts.append(post.doc_ids)
+            w_parts.append(w)
+        if not ids_parts:
+            return (np.empty(0, np.int64), np.empty(0, np.float64))
+        all_ids = np.concatenate(ids_parts)
+        all_w = np.concatenate(w_parts)
+        uids, inverse = np.unique(all_ids, return_inverse=True)
+        scores = np.zeros(uids.size, dtype=np.float64)
+        np.add.at(scores, inverse, all_w)
+        if eng.deleted.size:
+            live = ~np.isin(uids, eng.deleted)
+            uids, scores = uids[live], scores[live]
+        idx = pick_topk(tie)(scores, uids, k)
+        return (uids[idx].astype(np.int64), scores[idx])
+
+
+class ShardedSearchTier:
+    """Scatter-gather search over a doc-sharded deployment.
+
+    Query cost at the driver: O(terms) down + O(shards * k) up — never
+    O(matches).  Exact BM25 (scores AND ranks) vs a single index over
+    the union of the shards; asserted against GenerationalEngine and a
+    monolithic build in tests."""
+
+    def __init__(self, index_root: str):
+        from onestools_eventlog_ray.pipelines.incremental import \
+            list_generations
+        from onestools_eventlog_ray.state.tombstones import load_tombstones
+        self.gen_dirs = list_generations(index_root)
+        if not self.gen_dirs:
+            raise FileNotFoundError(f"no shards under {index_root}")
+        root_del = load_tombstones(index_root)
+        self.workers = [ShardWorker.remote(d, root_del)
+                        for d in self.gen_dirs]
+        st = ray.get([w.stats.remote() for w in self.workers])
+        self.N = sum(n for n, _ in st)
+        total_tokens = sum(tt for _, tt in st)
+        self.avgdl = total_tokens / self.N if self.N else 0.0
+
+    def search(self, terms: list[str], k: int = 10,
+               tie: str = "float") -> list[tuple[int, float]]:
+        uniq = sorted(set(terms))
+        dfs = ray.get([w.local_df.remote(uniq) for w in self.workers])
+        df_global: dict[str, int] = {}
+        for d in dfs:
+            for t, v in d.items():
+                df_global[t] = df_global.get(t, 0) + v
+        idf_map = {t: float(idf_fn(self.N, df))
+                   for t, df in df_global.items() if df}
+        parts = ray.get([w.score_topk.remote(uniq, idf_map, self.avgdl,
+                                             k, tie)
+                         for w in self.workers])
+        ids = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        idx = pick_topk(tie)(scores, ids, k)
+        return [(int(ids[i]), float(scores[i])) for i in idx]
+
+    def shutdown(self) -> None:
+        for w in self.workers:
+            ray.kill(w)
+        self.workers = []

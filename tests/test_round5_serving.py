@@ -1,0 +1,126 @@
+"""Doc-sharded scatter-gather serving tier (`pipelines/serving.py`).
+
+The exactness contract under test: a ShardedSearchTier over N doc-hash
+shards returns BIT-IDENTICAL (doc_id, score) rankings to (a) one
+monolithic index over the same corpus and (b) the in-process
+GenerationalSearchEngine over the same sharded deployment — for hot, mid,
+rare, multi-term and absent-term queries, in both float and e6 tie
+modes.  Plus the router's completeness/idempotence contracts.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from onestools_eventlog_ray.config import EngineConfig
+
+CFG = EngineConfig(num_partitions=8)
+
+QUERIES = [
+    ["def"],                        # hot (df ~ N)
+    ["def", "import"],              # two hot terms
+    ["license", "merge", "def"],    # hot + mid
+    ["merge"],                      # mid
+    ["zzz_not_a_term"],             # absent
+    ["merge", "zzz_not_a_term"],    # present + absent
+]
+
+
+@pytest.fixture(scope="module")
+def deployment(ray_session, tmp_path_factory, small_corpus_dir):
+    """Monolithic index + 4-shard deployment over the same 400 docs."""
+    from onestools_eventlog_ray.pipelines.build import build_index
+    from onestools_eventlog_ray.pipelines.serving import build_sharded_index
+
+    mono = str(tmp_path_factory.mktemp("mono") / "idx")
+    build_index(small_corpus_dir, mono, cfg=CFG)
+    root = str(tmp_path_factory.mktemp("sharded") / "root")
+    rep = build_sharded_index(small_corpus_dir, root, n_shards=4, cfg=CFG)
+    assert rep["n_shards"] == 4 and len(rep["shard_dirs"]) == 4
+    return mono, root
+
+
+@pytest.mark.parametrize("tie", ["float", "e6"])
+def test_tier_rank_identical_to_monolith_and_generational(deployment, tie):
+    import ray
+    from onestools_eventlog_ray.pipelines.incremental import \
+        GenerationalSearchEngine
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    from onestools_eventlog_ray.pipelines.serving import ShardedSearchTier
+
+    mono, root = deployment
+    eng = SearchEngine(mono)
+    gen = GenerationalSearchEngine(root)
+    tier = ShardedSearchTier(root)
+    try:
+        assert tier.N == eng.N
+        assert tier.avgdl == pytest.approx(eng.avgdl, rel=1e-12)
+        for terms in QUERIES:
+            for k in (1, 5, 10):
+                want = eng.search(terms, k, tie=tie)
+                assert tier.search(terms, k, tie=tie) == want
+                assert gen.search(terms, k, tie=tie) == want
+    finally:
+        tier.shutdown()
+
+
+def test_route_is_complete_and_idempotent(ray_session, tmp_path,
+                                          small_corpus_dir):
+    import pyarrow.parquet as pq
+    from onestools_eventlog_ray.pipelines.serving import route_corpus_shards
+
+    out = str(tmp_path / "routed")
+    rec = route_corpus_shards(small_corpus_dir, out, n_shards=4)
+    assert rec["n_docs"] == 400
+    assert sum(rec["per_shard"]) == 400
+    assert all(n > 0 for n in rec["per_shard"])      # hash spreads
+    # every routed row's doc_id % 4 matches its shard dir
+    from onestools_eventlog_ray.sources.corpus import CODE_CORPUS_SPEC
+    from onestools_eventlog_ray.stages.normalize import add_doc_id
+    for i in range(4):
+        sdir = os.path.join(out, f"shard-{i:05d}")
+        for name in os.listdir(sdir):
+            t = pq.read_table(os.path.join(sdir, name))
+            ids = add_doc_id(t, CODE_CORPUS_SPEC)["doc_id"] \
+                .to_numpy(zero_copy_only=False)
+            assert (ids % 4 == i).all()
+    # a completed route returns the manifest verbatim, no rewrites
+    mtimes = {p: os.path.getmtime(os.path.join(out, p))
+              for p in os.listdir(out)}
+    rec2 = route_corpus_shards(small_corpus_dir, out, n_shards=4)
+    assert rec2 == rec
+    assert mtimes == {p: os.path.getmtime(os.path.join(out, p))
+                      for p in os.listdir(out)}
+
+
+def test_sharded_build_is_resumable(deployment, small_corpus_dir):
+    from onestools_eventlog_ray.pipelines.serving import build_sharded_index
+    _mono, root = deployment
+    rep2 = build_sharded_index(small_corpus_dir, root, n_shards=4, cfg=CFG)
+    assert rep2["n_shards"] == 4 and rep2["n_docs"] > 0
+
+
+def test_tier_respects_root_tombstones(ray_session, tmp_path_factory,
+                                       small_corpus_dir, deployment):
+    """A deployment-level delete must drop the doc from tier results
+    (the GenerationalSearchEngine root-tombstone rule, applied per worker)."""
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    from onestools_eventlog_ray.pipelines.serving import (
+        ShardedSearchTier, build_sharded_index)
+    from onestools_eventlog_ray.state.tombstones import delete_docs
+
+    mono, _root = deployment
+    top = SearchEngine(mono).search(["def"], 1)
+    assert top
+    victim = top[0][0]
+    root2 = str(tmp_path_factory.mktemp("sharded_del") / "root")
+    build_sharded_index(small_corpus_dir, root2, n_shards=4, cfg=CFG)
+    delete_docs(root2, [victim])
+    tier = ShardedSearchTier(root2)
+    try:
+        hits = tier.search(["def"], 10)
+        assert victim not in [d for d, _ in hits]
+        assert len(hits) == 10
+    finally:
+        tier.shutdown()
