@@ -218,20 +218,37 @@ class ShardedSearchTier:
         self.N = sum(n for n, _ in st)
         total_tokens = sum(tt for _, tt in st)
         self.avgdl = total_tokens / self.N if self.N else 0.0
+        # per-shard-df cache: df changes only when the index changes,
+        # and the tier is snapshot-consistent by construction (workers
+        # hold engines loaded at tier start — rebuild the tier after
+        # index updates), so repeated queries on seen terms skip
+        # phase 1 entirely (ES caches field statistics the same way).
+        # Keeping PER-SHARD dfs (not just the sum) also prunes phase 2:
+        # a shard with df=0 for every query term cannot contribute.
+        self._df_cache: dict[str, np.ndarray] = {}
 
     def search(self, terms: list[str], k: int = 10,
                tie: str = "float") -> list[tuple[int, float]]:
         uniq = sorted(set(terms))
-        dfs = ray.get([w.local_df.remote(uniq) for w in self.workers])
-        df_global: dict[str, int] = {}
-        for d in dfs:
-            for t, v in d.items():
-                df_global[t] = df_global.get(t, 0) + v
-        idf_map = {t: float(idf_fn(self.N, df))
-                   for t, df in df_global.items() if df}
+        missing = [t for t in uniq if t not in self._df_cache]
+        if missing:
+            dfs = ray.get([w.local_df.remote(missing)
+                           for w in self.workers])
+            for t in missing:
+                self._df_cache[t] = np.array(
+                    [d.get(t, 0) for d in dfs], dtype=np.int64)
+        idf_map = {t: float(idf_fn(self.N, int(self._df_cache[t].sum())))
+                   for t in uniq if self._df_cache[t].sum()}
+        if not idf_map:
+            return []
+        # shard pruning: only shards holding at least one query term
+        live = np.zeros(len(self.workers), dtype=bool)
+        for t in idf_map:
+            live |= self._df_cache[t] > 0
+        targets = [w for w, m in zip(self.workers, live) if m]
         parts = ray.get([w.score_topk.remote(uniq, idf_map, self.avgdl,
                                              k, tie)
-                         for w in self.workers])
+                         for w in targets])
         ids = np.concatenate([p[0] for p in parts])
         scores = np.concatenate([p[1] for p in parts])
         idx = pick_topk(tie)(scores, ids, k)
@@ -241,3 +258,30 @@ class ShardedSearchTier:
         for w in self.workers:
             ray.kill(w)
         self.workers = []
+
+
+@ray.remote(num_cpus=1, max_concurrency=16)
+class TierRouter:
+    """Coordinating node (the ES role of the same name): owns one
+    :class:`ShardedSearchTier` and serves whole queries as a SINGLE
+    remote call, so the two-phase scatter-gather fan-out runs inside
+    this actor's process, not on the client's.
+
+    Measured motivation: with the driver doing the fan-out, 4 tier
+    replicas at 32 clients served no more QPS than 1 tier at 8 clients
+    (92 -> 97) — every scatter's submit/gather serialized on the one
+    client process.  Routing through coordinator actors restores the
+    scaling, exactly as ES scales by adding coordinating nodes.
+    ``max_concurrency=16``: queries interleave on the router's thread
+    pool while their shard RPCs are in flight (each thread blocks only
+    itself on its ``ray.get``)."""
+
+    def __init__(self, index_root: str):
+        self.tier = ShardedSearchTier(index_root)
+
+    def warm(self, terms: list) -> int:
+        return len(self.tier.search(sorted(set(terms)), 10, tie="e6"))
+
+    def search(self, terms: list, k: int = 10,
+               tie: str = "float") -> list:
+        return self.tier.search(terms, k, tie)

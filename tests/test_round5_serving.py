@@ -124,3 +124,21 @@ def test_tier_respects_root_tombstones(ray_session, tmp_path_factory,
         assert len(hits) == 10
     finally:
         tier.shutdown()
+
+
+def test_tier_df_cache_identical_results(deployment):
+    """Repeated queries must hit the tier's global-df cache (phase 1
+    skipped) and return identical rankings."""
+    from onestools_eventlog_ray.pipelines.serving import ShardedSearchTier
+    _mono, root = deployment
+    tier = ShardedSearchTier(root)
+    try:
+        first = tier.search(["def", "merge"], 10, tie="e6")
+        assert set(tier._df_cache) == {"def", "merge"}
+        again = tier.search(["def", "merge"], 10, tie="e6")
+        assert again == first
+        # a subset query reuses cached dfs without a phase-1 round
+        sub = tier.search(["def"], 10, tie="e6")
+        assert len(sub) > 0
+    finally:
+        tier.shutdown()
