@@ -164,14 +164,27 @@ class ShardWorker:
                 for t, (df, _) in self.eng.load_terms(terms).items()}
 
     def score_topk(self, terms: list, idf_map: dict, avgdl: float,
-                   k: int, tie: str) -> tuple[np.ndarray, np.ndarray]:
-        """Phase 2: TAAT over this shard's postings under the injected
+                   k: int, tie: str,
+                   method: str = "taat") -> tuple[np.ndarray, np.ndarray]:
+        """Phase 2: score this shard's postings under the injected
         GLOBAL (idf, avgdl); local top-k cut under the same total order
         the merge uses, so the union of shard top-k contains the global
-        top-k."""
+        top-k.  ``method="wand"`` swaps the exhaustive TAAT for
+        block-max WAND (same cursors the monolithic engine uses, fed
+        the global stats) — identical results, block-skipping cost."""
         eng = self.eng
         uniq = sorted(set(terms))
         loaded = eng.load_terms(uniq)
+        if method == "wand":
+            from onestools_eventlog_ray.pipelines.query import (
+                _PostingCursor, wand_topk)
+            iters = [_PostingCursor(blob, idf_map[t], avgdl, eng.k1, eng.b)
+                     for t, (_df, blob) in loaded.items() if t in idf_map]
+            hits = wand_topk(iters, k, tie=tie,
+                             deleted=eng.deleted if eng.deleted.size
+                             else None)
+            return (np.asarray([d for d, _ in hits], np.int64),
+                    np.asarray([s for _, s in hits], np.float64))
         ids_parts, w_parts = [], []
         for t in uniq:
             if t not in loaded or t not in idf_map:
@@ -228,7 +241,8 @@ class ShardedSearchTier:
         self._df_cache: dict[str, np.ndarray] = {}
 
     def search(self, terms: list[str], k: int = 10,
-               tie: str = "float") -> list[tuple[int, float]]:
+               tie: str = "float",
+               method: str = "taat") -> list[tuple[int, float]]:
         uniq = sorted(set(terms))
         missing = [t for t in uniq if t not in self._df_cache]
         if missing:
@@ -247,7 +261,7 @@ class ShardedSearchTier:
             live |= self._df_cache[t] > 0
         targets = [w for w, m in zip(self.workers, live) if m]
         parts = ray.get([w.score_topk.remote(uniq, idf_map, self.avgdl,
-                                             k, tie)
+                                             k, tie, method)
                          for w in targets])
         ids = np.concatenate([p[0] for p in parts])
         scores = np.concatenate([p[1] for p in parts])

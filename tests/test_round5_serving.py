@@ -142,3 +142,19 @@ def test_tier_df_cache_identical_results(deployment):
         assert len(sub) > 0
     finally:
         tier.shutdown()
+
+
+@pytest.mark.parametrize("tie", ["float", "e6"])
+def test_tier_wand_method_identical(deployment, tie):
+    """Block-max WAND inside the shard workers (global stats injected
+    into the cursors) must reproduce the TAAT tier exactly."""
+    from onestools_eventlog_ray.pipelines.serving import ShardedSearchTier
+    _mono, root = deployment
+    tier = ShardedSearchTier(root)
+    try:
+        for terms in QUERIES:
+            for k in (1, 5, 10):
+                assert tier.search(terms, k, tie=tie, method="wand") \
+                    == tier.search(terms, k, tie=tie, method="taat")
+    finally:
+        tier.shutdown()
