@@ -262,6 +262,64 @@ def run_serving(index_dir: str, n_queries: int = 256) -> dict:
     return out
 
 
+def run_serving_sharded(n_queries: int = 256, n_routers: int = 2) -> dict:
+    """Sharded-tier serving benchmark: the index-bigger-than-one-node
+    path (`pipelines/serving.py`).  8 doc-hash shards, ``n_routers``
+    coordinating-node actors (each fronting its own replica group of
+    shard workers), closed-loop clients pinned to routers.  Results are
+    bit-identical to the monolithic index (oracle-checked as
+    bm25_sharded_serving); this stage records the THROUGHPUT of the
+    deployment shape."""
+    import threading
+    import numpy as np
+    import ray
+    from onestools_eventlog_ray.pipelines.serving import (
+        TierRouter, build_sharded_index)
+
+    root = f"/dev/shm/oel_bench_sharded/cpus{NUM_CPUS}"
+    build_sharded_index(CORPUS_DIR, root, n_shards=8, cfg=bench_cfg())
+    queries = bench_queries(n_queries)
+    all_terms = sorted({t for q in queries for t in q["terms"]})
+    routers = [TierRouter.remote(root) for _ in range(n_routers)]
+    ray.get([r.warm.remote(all_terms) for r in routers])
+    n_clients = 8 * n_routers
+    qlock = threading.Lock()
+    qiter = iter(queries)
+    lats: list[list[float]] = [[] for _ in range(n_clients)]
+
+    def client(ci: int) -> None:
+        r = routers[ci % n_routers]
+        while True:
+            with qlock:
+                q = next(qiter, None)
+            if q is None:
+                return
+            t0 = time.perf_counter()
+            ray.get(r.search.remote(q["terms"], q["k"], "e6"))
+            lats[ci].append(time.perf_counter() - t0)
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(n_clients)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    lat_ms = np.sort(np.concatenate([np.asarray(x) for x in lats])) * 1e3
+
+    def pct(p):
+        return round(float(lat_ms[min(len(lat_ms) - 1,
+                                      int(p * (len(lat_ms) - 1)))]), 2)
+
+    for r in routers:
+        ray.kill(r)
+    return {"qps": round(n_queries / wall, 1),
+            "p50_ms": pct(0.50), "p95_ms": pct(0.95), "p99_ms": pct(0.99),
+            "routers": n_routers, "shards": 8,
+            "clients": n_clients, "n_queries": n_queries}
+
+
 def run_aux(clock: _StageClock) -> None:
     """Auxiliary-table pipelines over $GRAFT_SF_DIR."""
     import __ray_entry__ as entrymod
@@ -329,9 +387,11 @@ def main_single(build_only: bool = False) -> dict:
     clock = _StageClock()
     stages = run_headline(clock)
     serving = {}
+    serving_sharded = {}
     if not build_only:
         run_aux(clock)
         serving = run_serving(f"/dev/shm/oel_bench_index/cpus{NUM_CPUS}")
+        serving_sharded = run_serving_sharded()
     ray.shutdown()
     total = sum(clock.wall.values())
     return {
@@ -352,6 +412,9 @@ def main_single(build_only: bool = False) -> dict:
         # percentiles; NOT added to "value" — serving throughput is a
         # rate, not a pipeline stage wall)
         "serving": serving,
+        # index-bigger-than-one-node path: doc-sharded scatter-gather
+        # tier behind coordinating-node actors (pipelines/serving.py)
+        "serving_sharded": serving_sharded,
         "sf": SF,
         "num_cpus": NUM_CPUS,
     }

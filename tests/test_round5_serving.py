@@ -158,3 +158,24 @@ def test_tier_wand_method_identical(deployment, tie):
                     == tier.search(terms, k, tie=tie, method="taat")
     finally:
         tier.shutdown()
+
+
+def test_tier_exact_at_odd_shard_count(ray_session, tmp_path_factory,
+                                       small_corpus_dir, deployment):
+    """3 shards (uneven hash split) must stay exact too — the shard
+    count is a deployment knob, not a correctness parameter."""
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    from onestools_eventlog_ray.pipelines.serving import (
+        ShardedSearchTier, build_sharded_index)
+    mono, _root = deployment
+    root3 = str(tmp_path_factory.mktemp("sharded3") / "root")
+    rep = build_sharded_index(small_corpus_dir, root3, n_shards=3, cfg=CFG)
+    assert rep["n_shards"] == 3
+    eng = SearchEngine(mono)
+    tier = ShardedSearchTier(root3)
+    try:
+        for terms in QUERIES:
+            assert tier.search(terms, 10, tie="e6") \
+                == eng.search(terms, 10, tie="e6")
+    finally:
+        tier.shutdown()
