@@ -70,6 +70,24 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--generational", action="store_true",
                    help="treat --index as a generation root")
 
+    sb = sub.add_parser("shard-build",
+                        help="build a doc-sharded deployment (one index "
+                             "per hash shard; serving.py tier layout)")
+    sb.add_argument("--corpus", required=True)
+    sb.add_argument("--index-root", required=True)
+    sb.add_argument("--shards", type=int, default=8)
+    sb.add_argument("--config", default=None)
+    sb.add_argument("--spec", choices=sorted(SPECS), default="code")
+
+    ss = sub.add_parser("shard-search",
+                        help="two-phase exact BM25 over a doc-sharded "
+                             "deployment (scatter-gather tier)")
+    ss.add_argument("--index-root", required=True)
+    ss.add_argument("--terms", required=True, help="space-separated terms")
+    ss.add_argument("-k", type=int, default=10)
+    ss.add_argument("--wand", action="store_true",
+                    help="block-max WAND inside the shard workers")
+
     g = sub.add_parser("add-generation", help="incrementally index new docs")
     g.add_argument("--corpus", required=True)
     g.add_argument("--index-root", required=True)
@@ -229,6 +247,27 @@ def main(argv: list[str] | None = None) -> int:
             rep = build_index(args.corpus, args.index, spec=SPECS[args.spec],
                               cfg=_load_cfg(args.config))
             print(json.dumps(rep))
+        elif args.cmd == "shard-build":
+            from onestools_eventlog_ray.pipelines.serving import \
+                build_sharded_index
+            rep = build_sharded_index(args.corpus, args.index_root,
+                                      n_shards=args.shards,
+                                      spec=SPECS[args.spec],
+                                      cfg=_load_cfg(args.config))
+            print(json.dumps(rep))
+        elif args.cmd == "shard-search":
+            from onestools_eventlog_ray.functions.analyzer import tokenize_py
+            from onestools_eventlog_ray.pipelines.serving import \
+                ShardedSearchTier
+            tier = ShardedSearchTier(args.index_root)
+            try:
+                hits = tier.search(tokenize_py(args.terms), args.k,
+                                   method="wand" if args.wand else "taat")
+            finally:
+                tier.shutdown()
+            for rank, (doc_id, score) in enumerate(hits, 1):
+                print(json.dumps({"rank": rank, "doc_id": doc_id,
+                                  "score": score}))
         elif args.cmd == "add-generation":
             from onestools_eventlog_ray.pipelines.incremental import add_generation
             rep = add_generation(args.corpus, args.index_root,

@@ -179,3 +179,26 @@ def test_tier_exact_at_odd_shard_count(ray_session, tmp_path_factory,
                 == eng.search(terms, 10, tie="e6")
     finally:
         tier.shutdown()
+
+
+def test_cli_shard_build_and_search(ray_session, tmp_path,
+                                    small_corpus_dir, capsys):
+    """CLI round-trip over the sharded deployment: shard-build then
+    shard-search, taat and wand agree."""
+    import json as _json
+    from onestools_eventlog_ray.cli import main as cli_main
+    root = str(tmp_path / "cliroot")
+    assert cli_main(["shard-build", "--corpus", small_corpus_dir,
+                     "--index-root", root, "--shards", "3"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_shards"] == 3 and rep["n_docs"] == 400
+
+    def run(extra=()):
+        assert cli_main(["shard-search", "--index-root", root,
+                         "--terms", "def import", "-k", "5", *extra]) == 0
+        return [_json.loads(x)
+                for x in capsys.readouterr().out.strip().splitlines()]
+
+    taat = run()
+    assert len(taat) == 5 and taat[0]["rank"] == 1
+    assert run(("--wand",)) == taat
