@@ -215,19 +215,45 @@ class ShardedSearchTier:
     Query cost at the driver: O(terms) down + O(shards * k) up — never
     O(matches).  Exact BM25 (scores AND ranks) vs a single index over
     the union of the shards; asserted against GenerationalEngine and a
-    monolithic build in tests."""
+    monolithic build in tests.
 
-    def __init__(self, index_root: str):
+    ``replicas``: ES-style shard replicas — each shard gets that many
+    interchangeable :class:`ShardWorker` actors (same immutable shard
+    files, so any replica answers exactly).  Queries pick a replica
+    round-robin; a dead replica fails over to the next one, and a shard
+    whose replicas ALL died is respawned from the index files — the
+    serving analog of the reference sink's infinite retry with node
+    rotation (``ElasticSearchStorage.cs:95-149``) and of ES reallocating
+    a lost shard from disk.  Failover is exact, not degraded: shards are
+    disjoint, so the retried call returns the same rows any replica
+    would.
+
+    ``worker_cpus``: CPU reservation per shard worker (1.0 on a real
+    cluster — one data node core per shard; fractional when shards ×
+    replicas oversubscribe a small machine, e.g. tests — serving
+    workers are idle between queries, so actor creation must not
+    deadlock waiting for whole cores that scoring never pins)."""
+
+    def __init__(self, index_root: str, replicas: int = 1,
+                 worker_cpus: float = 1.0):
         from onestools_eventlog_ray.pipelines.incremental import \
             list_generations
         from onestools_eventlog_ray.state.tombstones import load_tombstones
         self.gen_dirs = list_generations(index_root)
         if not self.gen_dirs:
             raise FileNotFoundError(f"no shards under {index_root}")
-        root_del = load_tombstones(index_root)
-        self.workers = [ShardWorker.remote(d, root_del)
-                        for d in self.gen_dirs]
-        st = ray.get([w.stats.remote() for w in self.workers])
+        if replicas < 1:
+            raise ValueError("replicas must be >= 1")
+        self._root_del = load_tombstones(index_root)
+        self._worker_cpus = worker_cpus
+        self.replica_groups = [
+            [self._spawn(d) for _ in range(replicas)]
+            for d in self.gen_dirs]
+        # kept for introspection/back-compat: the current primary per shard
+        self.workers = [g[0] for g in self.replica_groups]
+        self._rr = 0
+        st = self._scatter(range(len(self.gen_dirs)), "stats",
+                           lambda si: ())
         self.N = sum(n for n, _ in st)
         total_tokens = sum(tt for _, tt in st)
         self.avgdl = total_tokens / self.N if self.N else 0.0
@@ -240,14 +266,67 @@ class ShardedSearchTier:
         # a shard with df=0 for every query term cannot contribute.
         self._df_cache: dict[str, np.ndarray] = {}
 
+    # ---- replica pick / failover -------------------------------------
+
+    def _spawn(self, gen_dir: str):
+        return ShardWorker.options(num_cpus=self._worker_cpus).remote(
+            gen_dir, self._root_del)
+
+    def _pick(self, si: int):
+        """Round-robin replica choice for shard ``si`` (one shared
+        counter — per-shard counters buy nothing since shards are
+        scattered together)."""
+        grp = self.replica_groups[si]
+        self._rr += 1
+        return grp[self._rr % len(grp)]
+
+    def _failover_call(self, si: int, picked, method: str, args: tuple):
+        """Shard ``si``'s picked replica died mid-call: rotate through
+        the remaining replicas; if every replica is gone, respawn one
+        from the shard's immutable index files and retry on it."""
+        grp = self.replica_groups[si]
+        rest = [w for w in grp if w is not picked]
+        last: Exception | None = None
+        for w in rest:
+            try:
+                return ray.get(getattr(w, method).remote(*args))
+            except ray.exceptions.RayActorError as e:
+                last = e
+        fresh = self._spawn(self.gen_dirs[si])
+        self.replica_groups[si] = [fresh]
+        self.workers[si] = fresh
+        try:
+            return ray.get(getattr(fresh, method).remote(*args))
+        except ray.exceptions.RayActorError:
+            raise last if last is not None else RuntimeError(
+                f"shard {si}: respawned worker died immediately")
+
+    def _scatter(self, shard_idxs, method: str, args_fn) -> list:
+        """Fan ``method`` out to one replica of each listed shard in
+        parallel; gather per-future so one dead replica fails over
+        without poisoning the whole gather."""
+        futs = []
+        for si in shard_idxs:
+            w = self._pick(si)
+            futs.append((si, w, getattr(w, method).remote(*args_fn(si))))
+        out = []
+        for si, w, f in futs:
+            try:
+                out.append(ray.get(f))
+            except ray.exceptions.RayActorError:
+                out.append(self._failover_call(si, w, method, args_fn(si)))
+        return out
+
+    # ---- query -------------------------------------------------------
+
     def search(self, terms: list[str], k: int = 10,
                tie: str = "float",
                method: str = "taat") -> list[tuple[int, float]]:
         uniq = sorted(set(terms))
         missing = [t for t in uniq if t not in self._df_cache]
         if missing:
-            dfs = ray.get([w.local_df.remote(missing)
-                           for w in self.workers])
+            dfs = self._scatter(range(len(self.gen_dirs)), "local_df",
+                                lambda si: (missing,))
             for t in missing:
                 self._df_cache[t] = np.array(
                     [d.get(t, 0) for d in dfs], dtype=np.int64)
@@ -256,21 +335,22 @@ class ShardedSearchTier:
         if not idf_map:
             return []
         # shard pruning: only shards holding at least one query term
-        live = np.zeros(len(self.workers), dtype=bool)
+        live = np.zeros(len(self.gen_dirs), dtype=bool)
         for t in idf_map:
             live |= self._df_cache[t] > 0
-        targets = [w for w, m in zip(self.workers, live) if m]
-        parts = ray.get([w.score_topk.remote(uniq, idf_map, self.avgdl,
-                                             k, tie, method)
-                         for w in targets])
+        parts = self._scatter(
+            np.flatnonzero(live).tolist(), "score_topk",
+            lambda si: (uniq, idf_map, self.avgdl, k, tie, method))
         ids = np.concatenate([p[0] for p in parts])
         scores = np.concatenate([p[1] for p in parts])
         idx = pick_topk(tie)(scores, ids, k)
         return [(int(ids[i]), float(scores[i])) for i in idx]
 
     def shutdown(self) -> None:
-        for w in self.workers:
-            ray.kill(w)
+        for grp in self.replica_groups:
+            for w in grp:
+                ray.kill(w)
+        self.replica_groups = []
         self.workers = []
 
 
@@ -290,8 +370,10 @@ class TierRouter:
     pool while their shard RPCs are in flight (each thread blocks only
     itself on its ``ray.get``)."""
 
-    def __init__(self, index_root: str):
-        self.tier = ShardedSearchTier(index_root)
+    def __init__(self, index_root: str, replicas: int = 1,
+                 worker_cpus: float = 1.0):
+        self.tier = ShardedSearchTier(index_root, replicas=replicas,
+                                      worker_cpus=worker_cpus)
 
     def warm(self, terms: list) -> int:
         return len(self.tier.search(sorted(set(terms)), 10, tie="e6"))

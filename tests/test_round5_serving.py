@@ -181,6 +181,54 @@ def test_tier_exact_at_odd_shard_count(ray_session, tmp_path_factory,
         tier.shutdown()
 
 
+def test_tier_replica_failover_exact(deployment):
+    """ES replica semantics: with replicas=2 per shard, killing one
+    replica of every shard mid-session must not change a single
+    (doc_id, score) — the rotation retries on the surviving replica."""
+    import ray
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    from onestools_eventlog_ray.pipelines.serving import ShardedSearchTier
+
+    mono, root = deployment
+    eng = SearchEngine(mono)
+    tier = ShardedSearchTier(root, replicas=2, worker_cpus=0.25)
+    try:
+        want = {tuple(t): eng.search(list(t), 10, tie="e6") for t in QUERIES}
+        for terms in QUERIES:
+            assert tier.search(list(terms), 10, tie="e6") == want[tuple(terms)]
+        for grp in tier.replica_groups:          # kill one replica/shard
+            ray.kill(grp[0])
+        for terms in QUERIES:
+            assert tier.search(list(terms), 10, tie="e6") == want[tuple(terms)]
+    finally:
+        tier.shutdown()
+
+
+def test_tier_respawns_fully_dead_shard(deployment):
+    """All replicas of a shard gone -> the tier respawns the shard from
+    its immutable index files and the query stays exact (the ES
+    reallocate-from-disk path)."""
+    import ray
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    from onestools_eventlog_ray.pipelines.serving import ShardedSearchTier
+
+    mono, root = deployment
+    eng = SearchEngine(mono)
+    tier = ShardedSearchTier(root)                # replicas=1
+    try:
+        for grp in tier.replica_groups:           # every shard fully dead
+            for w in grp:
+                ray.kill(w)
+        for terms in QUERIES:
+            assert tier.search(list(terms), 10, tie="e6") \
+                == eng.search(list(terms), 10, tie="e6")
+        # respawned handles must be live for the next round too
+        assert tier.search(["def"], 3, tie="e6") \
+            == eng.search(["def"], 3, tie="e6")
+    finally:
+        tier.shutdown()
+
+
 def test_cli_shard_build_and_search(ray_session, tmp_path,
                                     small_corpus_dir, capsys):
     """CLI round-trip over the sharded deployment: shard-build then
