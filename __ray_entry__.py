@@ -422,6 +422,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.minhash_verified_pairs(_documents_ds(sf_dir),
                                             DOCUMENTS_SPEC, min_jaccard=0.2)
 
+    def jaccard_join_pairs(sf_dir):
+        """EXACT threshold set-similarity self-join (100% recall, unlike
+        the LSH-probabilistic minhash_verified_pairs): prefix-filtered
+        candidate generation (Chaudhuri'06 lemma / Vernica SIGMOD'10
+        plan as Ray Data groupbys) + exact shingle-set verify of
+        candidate docs only.  Narrow int64 rows in every shuffle."""
+        return dedup.jaccard_join_pairs(_documents_ds(sf_dir),
+                                        DOCUMENTS_SPEC, shingle_k=5,
+                                        min_jaccard=0.5, hot_shingles=64)
+
     def cosine_pairs_lsh(sf_dir):
         """Bucketed near-dup pair mining: hyperplane-LSH candidates
         verified by exact cosine inside each bucket's task (the scale
@@ -3320,6 +3330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": simhash_signatures,
         "lsh_buckets": lsh_buckets,
         "minhash_verified_pairs": minhash_verified_pairs,
+        "jaccard_join_pairs": jaccard_join_pairs,
         "cosine_pairs_lsh": cosine_pairs_lsh,
         "bm25_topk_wand": bm25_topk_wand,
         "bm25_topk_filtered": bm25_topk_filtered,
@@ -4625,6 +4636,35 @@ SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
          AS cos_e6
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.45""",
+
+        # exact threshold join: string shingles (chr(31)-joined, same
+        # MinHasher edge cases: <k tokens -> one whole-doc shingle,
+        # empty -> none); jaccard_e6 rounding matches the engine gate
+        "jaccard_join_pairs": """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                             x -> x <> '') AS t
+  FROM documents),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(t) < 5 THEN [array_to_string(t, chr(31))]
+              ELSE [t[i] || chr(31) || t[i+1] || chr(31) || t[i+2]
+                    || chr(31) || t[i+3] || chr(31) || t[i+4]
+                    for i in range(1, len(t) - 3)]
+         END AS shs
+  FROM tok),
+sh AS (SELECT doc_id, list_distinct(shs) AS s FROM shl WHERE len(shs) > 0),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.s, b.s)) AS i,
+         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(floor(i * 1000000.0 / u + 0.5) AS BIGINT) AS jaccard_e6
+FROM pairs
+WHERE u > 0 AND CAST(floor(i * 1000000.0 / u + 0.5) AS BIGINT) >= 500000
+ORDER BY doc_a, doc_b""",
 
         "ngram_jaccard_topk": """
 WITH toks AS (

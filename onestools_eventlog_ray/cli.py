@@ -87,6 +87,11 @@ def main(argv: list[str] | None = None) -> int:
     ss.add_argument("-k", type=int, default=10)
     ss.add_argument("--wand", action="store_true",
                     help="block-max WAND inside the shard workers")
+    ss.add_argument("--replicas", type=int, default=1,
+                    help="ShardWorker replicas per shard (failover)")
+    ss.add_argument("--worker-cpus", type=float, default=1.0,
+                    help="CPU reservation per shard worker (fractional "
+                         "when shards x replicas oversubscribe one box)")
 
     g = sub.add_parser("add-generation", help="incrementally index new docs")
     g.add_argument("--corpus", required=True)
@@ -259,7 +264,9 @@ def main(argv: list[str] | None = None) -> int:
             from onestools_eventlog_ray.functions.analyzer import tokenize_py
             from onestools_eventlog_ray.pipelines.serving import \
                 ShardedSearchTier
-            tier = ShardedSearchTier(args.index_root)
+            tier = ShardedSearchTier(args.index_root,
+                                     replicas=args.replicas,
+                                     worker_cpus=args.worker_cpus)
             try:
                 hits = tier.search(tokenize_py(args.terms), args.k,
                                    method="wand" if args.wand else "taat")

@@ -250,3 +250,4 @@ def test_cli_shard_build_and_search(ray_session, tmp_path,
     taat = run()
     assert len(taat) == 5 and taat[0]["rank"] == 1
     assert run(("--wand",)) == taat
+    assert run(("--replicas", "2", "--worker-cpus", "0.25")) == taat
