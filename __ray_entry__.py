@@ -1098,6 +1098,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "n_matches": pa.array([n for _, n in out], pa.int64()),
         })
 
+    def span_first_matches(sf_dir):
+        """ES span_first: 'spark' occurring within the first 8 token
+        positions (span end <= 8) — start-of-field matching over the
+        positions sidecar, no corpus scan."""
+        from onestools_eventlog_ray.pipelines.phrase import (PhraseEngine,
+                                                             span_first)
+        phrase_search(sf_dir)                 # ensures the positions sidecar
+        out = span_first(PhraseEngine(_ensure_index(sf_dir)), "spark", end=8)
+        return pa.table({
+            "doc_id": pa.array([d for d, _ in out], pa.int64()),
+            "n_matches": pa.array([n for _, n in out], pa.int64()),
+        })
+
+    def has_child_topk(sf_dir):
+        """ES has_child (score_mode=sum, min_children=2): customers
+        ranked by the summed price-cents of their URGENT orders;
+        children partial-agg in map_batches, parents never shuffle."""
+        import pyarrow.parquet as pq
+        cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                             columns=["c_custkey", "c_name"])
+        orders = _read_pq(os.path.join(sf_dir, "orders.parquet"),
+                          columns=["o_custkey", "o_orderpriority",
+                                   "o_totalprice"])
+        return relational.has_child_topk(orders, cust)
+
+    def has_parent_orders(sf_dir):
+        """ES has_parent (score=true): orders scored by their matching
+        parent customer's acctbal cents (BUILDING, bal > 5000) — the
+        parent map broadcasts once, orders stream one semi-join pass."""
+        import pyarrow.parquet as pq
+        cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                             columns=["c_custkey", "c_mktsegment",
+                                      "c_acctbal"])
+        orders = _read_pq(os.path.join(sf_dir, "orders.parquet"),
+                          columns=["o_orderkey", "o_custkey"])
+        return relational.has_parent_orders(orders, cust)
+
+    def diversified_sampler_langs(sf_dir):
+        """ES diversified_sampler (field=source, max_docs_per_value=3,
+        shard_size=50) with a per-lang sub-agg; distributed-exact via
+        the per-source top-m candidate identity."""
+        docs = _read_pq(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "source", "lang", "n_chars"])
+        return relational.diversified_sample_stats(docs)
+
     def repetition_scores(sf_dir):
         return text.repetition_scores(_documents_ds(sf_dir), DOCUMENTS_SPEC)
 
@@ -3331,6 +3376,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_buckets": lsh_buckets,
         "minhash_verified_pairs": minhash_verified_pairs,
         "jaccard_join_pairs": jaccard_join_pairs,
+        "span_first_matches": span_first_matches,
+        "has_child_topk": has_child_topk,
+        "has_parent_orders": has_parent_orders,
+        "diversified_sampler_langs": diversified_sampler_langs,
         "cosine_pairs_lsh": cosine_pairs_lsh,
         "bm25_topk_wand": bm25_topk_wand,
         "bm25_topk_filtered": bm25_topk_filtered,
@@ -5599,6 +5648,51 @@ FROM f ORDER BY epoch_day""",
                       "SELECT doc_id, unnest([l[i] || ' ' || l[i+1]"
                       " for i in range(1, len(l))]) AS bg FROM tokl)"
                       " WHERE bg = 'table hash' GROUP BY doc_id)"),
+        "span_first_matches": """
+WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9_]+'), x -> x <> '') AS l FROM documents),
+p AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS g, l
+      FROM tok WHERE len(l) > 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM p WHERE l[g] = 'spark' AND g <= 8
+GROUP BY doc_id ORDER BY doc_id""",
+
+        "has_child_topk": """
+WITH ch AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS score_cents,
+         CAST(count(*) AS BIGINT) AS n_children
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  GROUP BY o_custkey HAVING count(*) >= 2)
+SELECT CAST(row_number() OVER (ORDER BY score_cents DESC, o_custkey)
+            AS BIGINT) AS rank,
+       o_custkey AS c_custkey, c.c_name, score_cents, n_children
+FROM ch JOIN customer c ON c.c_custkey = ch.o_custkey
+ORDER BY score_cents DESC, c_custkey LIMIT 10""",
+
+        "has_parent_orders": """
+WITH par AS (
+  SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+  FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000.0)
+SELECT CAST(row_number() OVER (ORDER BY bal DESC, o_orderkey)
+            AS BIGINT) AS rank,
+       o_orderkey, o_custkey, bal AS parent_bal_cents
+FROM orders o JOIN par p ON o.o_custkey = p.c_custkey
+ORDER BY parent_bal_cents DESC, o_orderkey LIMIT 10""",
+
+        "diversified_sampler_langs": """
+WITH c AS (
+  SELECT doc_id, source, lang, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents),
+s AS (SELECT * FROM c WHERE rn <= 3
+      ORDER BY n_chars DESC, doc_id LIMIT 50)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY lang ORDER BY lang""",
+
         "span_not_matches": """
 WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
                  '[^a-z0-9_]+'), x -> x <> '') AS l FROM documents),

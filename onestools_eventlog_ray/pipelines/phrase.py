@@ -482,3 +482,25 @@ def span_not(eng: PhraseEngine, include: tuple[str, str], exclude: str,
     kept = mk[~(i_hi > i_lo)]
     ud, cnt = np.unique(kept // C, return_counts=True)
     return [(int(d), int(n)) for d, n in zip(ud.tolist(), cnt.tolist())]
+
+
+def span_first(eng: "PhraseEngine", term: str, end: int
+               ) -> list[tuple[int, int]]:
+    """ES ``span_first``: occurrences of ``term`` whose span ends at or
+    before token position ``end`` — "match only near the start of the
+    field" (title-ish matching without a separate field).  For a
+    single-term span at 0-based position p the span end is p+1, so the
+    gate is ``p + 1 <= end``.
+
+    One df-bounded sidecar read (shard-pruned like every positional
+    op), one vectorized mask, one ``np.unique`` fold — no corpus scan.
+    -> [(doc_id, n_matches)] for docs with >=1 early occurrence, doc
+    asc.  n_matches counts only the qualifying occurrences (ES scores
+    the doc by its matching spans; the count is the deterministic
+    integer analog)."""
+    docs, pos = eng._load_flat([term])[term]
+    if docs.size == 0:
+        return []
+    keep = pos + 1 <= end
+    ud, cnt = np.unique(docs[keep], return_counts=True)
+    return [(int(d), int(n)) for d, n in zip(ud.tolist(), cnt.tolist())]

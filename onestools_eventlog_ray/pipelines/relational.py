@@ -166,6 +166,168 @@ def topk_orders_per_cust(orders: ray.data.Dataset, k: int = 3
                                                   batch_format="pyarrow")
 
 
+def has_child_topk(orders: ray.data.Dataset, customer: pa.Table,
+                   priority: str = "1-URGENT", min_children: int = 2,
+                   k: int = 10) -> pa.Table:
+    """ES parent-child join field, ``has_child`` query with
+    ``score_mode=sum`` and ``min_children`` — parents (customers) ranked
+    by the SUM of their matching children's scores (orders whose
+    ``o_orderpriority`` equals ``priority``; child score = exact price
+    cents, the deterministic analog of a relevance score).  The join
+    capability the reference gets for free from ES mappings
+    (``ElasticSearchStorage.cs:200-236`` index templates).
+
+    100-TB shape: children partial-aggregate INSIDE ``map_batches``
+    (filter + per-batch custkey fold), so only narrow
+    (custkey, cents, n) rows reach the one small groupby; parents never
+    shuffle — names attach to the k-row result from the broadcast-sized
+    customer table on the driver.
+
+    -> (rank, c_custkey, c_name, score_cents, n_children) top-k by
+    (score desc, custkey asc), parents with >= min_children matches.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["o_orderpriority"], priority)
+        b = batch.filter(m)
+        cents = np.floor(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                         .astype(np.float64) * 100 + 0.5).astype(np.int64)
+        part = pa.table({"o_custkey": b["o_custkey"],
+                         "cents": pa.array(cents, pa.int64())}) \
+            .group_by("o_custkey").aggregate([("cents", "sum"),
+                                              ("cents", "count")])
+        return part.rename_columns(["o_custkey", "cents_p", "n_p"])
+
+    agg = orders.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_custkey") \
+        .aggregate(Sum("cents_p", alias_name="score_cents"),
+                   Sum("n_p", alias_name="n_children"))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["n_children"],
+                                             min_children))
+
+    rows = agg.map_batches(gate, batch_format="pyarrow") \
+        .sort(["score_cents", "o_custkey"], descending=[True, False]) \
+        .limit(k).take_all()
+    names = {int(ck): nm for ck, nm in zip(
+        customer["c_custkey"].to_pylist(), customer["c_name"].to_pylist())}
+    return pa.table({
+        "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+        "c_custkey": pa.array([r["o_custkey"] for r in rows], pa.int64()),
+        "c_name": pa.array([names[int(r["o_custkey"])] for r in rows],
+                           pa.string()),
+        "score_cents": pa.array([r["score_cents"] for r in rows],
+                                pa.int64()),
+        "n_children": pa.array([r["n_children"] for r in rows], pa.int64()),
+    })
+
+
+def has_parent_orders(orders: ray.data.Dataset, customer: pa.Table,
+                      segment: str = "BUILDING", min_bal: float = 5000.0,
+                      k: int = 10) -> pa.Table:
+    """ES ``has_parent`` query with ``score=true`` — children (orders)
+    returned when their parent (customer) matches a predicate
+    (``c_mktsegment = segment AND c_acctbal > min_bal``), each child
+    scored by the PARENT's score (exact acctbal cents).
+
+    100-TB shape: the matching-parent map (custkey -> bal cents) is the
+    small side, shipped ONCE via ``ray.put``; orders stream through one
+    vectorized semi-join + score-attach pass and only the global top-k
+    sort sees the (already filtered) survivors.
+
+    -> (rank, o_orderkey, o_custkey, parent_bal_cents) top-k by
+    (parent bal desc, orderkey asc)."""
+    import ray
+    keep = pc.and_(pc.equal(customer["c_mktsegment"], segment),
+                   pc.greater(customer["c_acctbal"], min_bal))
+    par = customer.filter(keep)
+    bal_cents = np.floor(par["c_acctbal"].to_numpy(zero_copy_only=False)
+                         .astype(np.float64) * 100 + 0.5).astype(np.int64)
+    side_ref = ray.put(pa.table({
+        "custkey": par["c_custkey"],
+        "bal_cents": pa.array(bal_cents, pa.int64())}))
+
+    def semi(batch: pa.Table) -> pa.Table:
+        side = ray.get(side_ref)
+        idx = pc.index_in(batch["o_custkey"], value_set=side["custkey"])
+        m = pc.is_valid(idx)
+        b = batch.filter(m)
+        bc = pc.take(side["bal_cents"].combine_chunks()
+                     if isinstance(side["bal_cents"], pa.ChunkedArray)
+                     else side["bal_cents"], idx.filter(m))
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_custkey": b["o_custkey"],
+                         "parent_bal_cents": bc})
+
+    rows = orders.map_batches(semi, batch_format="pyarrow") \
+        .sort(["parent_bal_cents", "o_orderkey"],
+              descending=[True, False]).limit(k).take_all()
+    return pa.table({
+        "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+        "o_orderkey": pa.array([r["o_orderkey"] for r in rows], pa.int64()),
+        "o_custkey": pa.array([r["o_custkey"] for r in rows], pa.int64()),
+        "parent_bal_cents": pa.array([r["parent_bal_cents"] for r in rows],
+                                     pa.int64()),
+    })
+
+
+def diversified_sample_stats(docs: ray.data.Dataset,
+                             max_per_source: int = 3,
+                             sample_size: int = 50) -> pa.Table:
+    """ES ``diversified_sampler`` aggregation (deterministic analog):
+    scan documents best-first (score = ``n_chars`` desc, doc_id asc —
+    the rank_feature-style score), select at most ``max_per_source``
+    docs per ``source``, stop at ``sample_size``; then run the sub-agg
+    (per-lang doc count + char sum) over the sample.
+
+    Selection identity that makes this distributed-exact: a doc chosen
+    by the capped best-first scan is necessarily among its source's
+    global top-``max_per_source`` (its better same-source docs are
+    scanned earlier and consume the cap first), so candidates = per-
+    source top-m — a per-batch partial top-m followed by one
+    ``groupby(source)`` over m-row partials — and applying the cap to
+    the candidate union is a no-op, leaving plain
+    "order by score, limit sample_size".  Only n_sources x m rows ever
+    reach the driver.
+
+    -> (lang, n_docs, sum_chars) over the sample, lang asc."""
+
+    def topm(group: pa.Table) -> pa.Table:
+        nc = group["n_chars"].to_numpy(zero_copy_only=False)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -nc))[:max_per_source]
+        return group.take(pa.array(order, pa.int64())) \
+            .select(["doc_id", "source", "lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # per-batch per-source top-m: narrows each batch to <= m rows
+        # per source before the (tiny) source groupby
+        out = []
+        src = batch["source"]
+        for s in pc.unique(src).to_pylist():
+            out.append(topm(batch.filter(pc.equal(src, s))))
+        return pa.concat_tables(out) if out else batch.select(
+            ["doc_id", "source", "lang", "n_chars"])
+
+    cands = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").map_groups(topm, batch_format="pyarrow") \
+        .take_all()
+    nc = np.array([r["n_chars"] for r in cands], dtype=np.int64)
+    ids = np.array([r["doc_id"] for r in cands], dtype=np.int64)
+    sel = np.lexsort((ids, -nc))[:sample_size]
+    langs = np.array([cands[i]["lang"] for i in sel])
+    chars = nc[sel]
+    ul = np.unique(langs)
+    return pa.table({
+        "lang": pa.array(ul.tolist(), pa.string()),
+        "n_docs": pa.array([int((langs == g).sum()) for g in ul],
+                           pa.int64()),
+        "sum_chars": pa.array([int(chars[langs == g].sum()) for g in ul],
+                              pa.int64()),
+    })
+
+
 def distinct_users_by_type(events: ray.data.Dataset) -> ray.data.Dataset:
     """Exact COUNT(DISTINCT user_id) per event_type: per-batch local
     dedupe (Acero group_by) -> composite-key dedupe shuffle -> tiny
