@@ -430,7 +430,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         candidate docs only.  Narrow int64 rows in every shuffle."""
         return dedup.jaccard_join_pairs(_documents_ds(sf_dir),
                                         DOCUMENTS_SPEC, shingle_k=5,
-                                        min_jaccard=0.5, hot_shingles=64)
+                                        min_jaccard=0.5, hot_shingles=64,
+                                        hot_sample_mod=5)
 
     def cosine_pairs_lsh(sf_dir):
         """Bucketed near-dup pair mining: hyperplane-LSH candidates

@@ -1061,9 +1061,13 @@ def jaccard_join_pairs(ds: ray.data.Dataset,
     hot_ref = None
     if hot_shingles > 0:
         def hot_partial(batch: pa.Table) -> pa.Table:
-            doc_ids, parent, h = _jj_doc_shingles(batch, spec, shingle_k)
-            keep = (doc_ids[parent] % hot_sample_mod) == 0
-            uk, cnt = np.unique(h[keep], return_counts=True)
+            # sample BEFORE shingling: the detect pass costs
+            # 1/hot_sample_mod of a corpus scan, not a full one
+            ids = add_doc_id(batch, spec)["doc_id"] \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch.filter(pa.array(ids % hot_sample_mod == 0))
+            _, _, h = _jj_doc_shingles(b, spec, shingle_k)
+            uk, cnt = np.unique(h, return_counts=True)
             return pa.table({"sh": pa.array(uk, pa.int64()),
                              "c": pa.array(cnt, pa.int64())})
 
