@@ -1438,6 +1438,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pivot=500.0, boost=2.0, k=10, tie="e6")
         return _hits_to_table(hits)
 
+    def _lm_table(sf_dir, similarity):
+        """Shared wrapper for the ES similarity-module swaps: the SAME
+        index ranked under an alternate relevance model; the engine
+        returns integer e6 scores (per-term fixed-point, order-safe)."""
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        eng = SearchEngine(_ensure_index(sf_dir))
+        hits = eng.search_lm(_BM25_TERMS, k=10, similarity=similarity)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        e6 = np.asarray([s for _, s in hits], dtype=np.int64)
+        return pa.table({
+            "rank": pa.array(np.arange(1, ids.size + 1), pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "score_e6": pa.array(e6, pa.int64()),
+        })
+
+    def lm_dirichlet_topk(sf_dir):
+        """ES similarity=LMDirichlet (index setting swap, same postings):
+        per matched term ln(1 + tf/(mu*p_t)) + ln(mu/(dl+mu)), mu=2000,
+        clamped >=0, e6-quantized per term then summed (integer-exact)."""
+        return _lm_table(sf_dir, "lm_dirichlet")
+
+    def lm_jm_topk(sf_dir):
+        """ES similarity=LMJelinekMercer (lambda=0.1): per matched term
+        ln(1 + ((1-l)/l)*(tf/dl)/p_t), e6-quantized per term."""
+        return _lm_table(sf_dir, "lm_jm")
+
+    def dfi_topk(sf_dir):
+        """ES similarity=DFI (standardized independence measure):
+        (tf - e)/sqrt(e), e = dl*cf/total_tokens, clamped >=0,
+        e6-quantized per term."""
+        return _lm_table(sf_dir, "dfi")
+
     def bm25_random_score(sf_dir):
         """ES function_score random_score (seed+field, replace): the
         reproducible random top-10 of the docs matching join/merge —
@@ -3506,6 +3538,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_field_factor": bm25_field_factor,
         "bm25_rank_feature": bm25_rank_feature,
         "bm25_distance_feature": bm25_distance_feature,
+        "lm_dirichlet_topk": lm_dirichlet_topk,
+        "lm_jm_topk": lm_jm_topk,
+        "dfi_topk": dfi_topk,
         "rank_correlation_report": rank_correlation_report,
         "rank_eval_report": rank_eval_report,
         "bm25_random_score": bm25_random_score,
@@ -3706,6 +3741,35 @@ ORDER BY score_e6 DESC, doc_id ASC
 LIMIT {k}"""
 
 
+
+def _lm_sql(val_expr: str, k: int = 10) -> str:
+    """Oracle template for the ES similarity-module swaps (search_lm):
+    per-(term,doc) contribution ``val_expr`` is clamped >= 0 and
+    e6-quantized BEFORE the per-doc sum — integer fixed-point exactly
+    mirroring the engine, so addition order can never diverge."""
+    in_list = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH toks AS ({_TOKS}),
+tot AS (SELECT count(*) AS t FROM toks),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+cf AS (SELECT term, count(*) AS cf FROM toks
+       WHERE term IN ({in_list}) GROUP BY term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({in_list}) GROUP BY doc_id, term),
+per AS (SELECT tf.doc_id,
+  GREATEST(CAST(floor(({val_expr}) * 1000000 + 0.5) AS BIGINT), 0) AS s_e6
+  FROM tf JOIN cf USING (term) JOIN dl USING (doc_id)),
+scored AS (SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS score_e6
+           FROM per GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id ASC)
+            AS BIGINT) AS rank,
+       doc_id, score_e6
+FROM scored ORDER BY score_e6 DESC, doc_id ASC LIMIT {k}"""
+
+
+_LM_P = "(cf.cf * 1.0 / (SELECT t FROM tot))"
+# (1-lambda)/lambda embedded as the exact double the engine computes
+_LM_JM_COEF = repr((1.0 - 0.1) / 0.1)
 
 _W_EXPR = ("ln(1 + ((SELECT n_docs FROM stats) - df.df + 0.5) / (df.df + 0.5))"
            " * tf.tf * 2.2"
@@ -6077,6 +6141,15 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n,
              - sum(n_chars) * sum(n_chars)) * 1000000
             // (count(*) * count(*)) AS BIGINT) AS var_e6
 FROM documents GROUP BY lang ORDER BY lang""",
+        "lm_dirichlet_topk": _lm_sql(
+            "ln(1 + tf.tf / (2000.0 * " + _LM_P + "))"
+            " + ln(2000.0 / (dl.dl + 2000.0))"),
+        "lm_jm_topk": _lm_sql(
+            f"ln(1 + CAST({_LM_JM_COEF} AS DOUBLE)"
+            f" * (tf.tf * 1.0 / dl.dl) / " + _LM_P + ")"),
+        "dfi_topk": _lm_sql(
+            "(tf.tf - (dl.dl * cf.cf * 1.0 / (SELECT t FROM tot)))"
+            " / sqrt(dl.dl * cf.cf * 1.0 / (SELECT t FROM tot))"),
         "date_histogram_ma": """
 WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,
                   CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),

@@ -67,6 +67,9 @@ class SearchEngine:
         self.deleted = load_tombstones(index_dir)
         self.N = stats["n_docs"]
         self.avgdl = stats["avgdl"]
+        # exact corpus token count (Σ dl) — the collection-model
+        # denominator for the LM/DFI similarity modules (search_lm)
+        self.total_tokens = int(stats.get("total_tokens", 0))
         self.P = stats["num_partitions"]
         bm = stats["config"]["bm25"]
         self.k1, self.b = bm["k1"], bm["b"]
@@ -448,6 +451,79 @@ class SearchEngine:
         scores = base + boost * (pivot / (pivot + np.abs(v - origin)))
         idx = pick_topk(tie)(scores, ids_np, k)
         return [(int(ids_np[i]), float(scores[i])) for i in idx]
+
+    def search_lm(self, terms: list[str], k: int = 10,
+                  similarity: str = "lm_dirichlet",
+                  mu: float = 2000.0, lam: float = 0.1
+                  ) -> list[tuple[int, int]]:
+        """ES ``similarity`` module swap: in ES the per-field similarity
+        is an index setting (``BM25`` default, ``LMDirichlet``,
+        ``LMJelinekMercer``, ``DFI``) and the SAME inverted index serves
+        whichever model is configured.  This is that swap for this
+        engine: alternate probabilistic relevance models ranked from the
+        postings (tf, dl per entry) plus one extra corpus stat the
+        manifest already carries (``total_tokens`` = Σ dl, the
+        collection-model denominator) — no extra corpus pass, same
+        shard-pruned term lookups as :meth:`search`.
+
+        Models (Lucene analogs, per MATCHED (term, doc) entry; cf_t =
+        Σ tf over the term's posting, p_t = cf_t / total_tokens):
+
+        - ``lm_dirichlet``:  ln(1 + tf/(μ·p_t)) + ln(μ/(dl+μ))
+          (LMDirichletSimilarity, Zhai & Lafferty smoothing)
+        - ``lm_jm``:         ln(1 + ((1-λ)/λ)·(tf/dl)/p_t)
+          (LMJelinekMercerSimilarity)
+        - ``dfi``:           (tf − e)/sqrt(e),  e = dl·cf_t/total_tokens
+          (DFISimilarity, standardized independence measure)
+
+        Every contribution is clamped at ≥ 0 (Lucene clamps negative
+        term scores) and e6-quantized BEFORE the per-doc sum, so scores
+        are int64, addition-order independent and bit-identical to the
+        SQL oracle (same fixed-point design as ``text.lm_scores``).
+        -> [(doc_id, score_e6)], (score_e6 desc, doc_id asc), len <= k.
+        Cost is df-bounded like TAAT; soft-deleted docs are masked, stats
+        stay global (ES soft-delete semantics)."""
+        if not self.total_tokens:
+            raise ValueError("index stats lack total_tokens; rebuild")
+        T = self.total_tokens
+        uniq = sorted(set(terms))
+        loaded = self.load_terms(uniq)
+        ids_parts, e6_parts = [], []
+        for t in uniq:
+            hit = loaded.get(t)
+            if hit is None:
+                continue
+            post = codec.decode_posting(hit[1])
+            cf_t = int(post.tfs.sum())
+            p = cf_t / T                      # one double divide == oracle
+            tfs = post.tfs.astype(np.float64)
+            dls = post.dls.astype(np.float64)
+            if similarity == "lm_dirichlet":
+                val = np.log(1.0 + tfs / (mu * p)) + np.log(mu / (dls + mu))
+            elif similarity == "lm_jm":
+                coef = (1.0 - lam) / lam
+                val = np.log(1.0 + coef * (tfs / dls) / p)
+            elif similarity == "dfi":
+                e = (post.dls * cf_t).astype(np.float64) / T
+                val = (tfs - e) / np.sqrt(e)
+            else:
+                raise ValueError(f"unknown similarity {similarity!r}")
+            e6 = np.maximum(
+                np.floor(val * 1_000_000 + 0.5).astype(np.int64), 0)
+            ids_parts.append(post.doc_ids)
+            e6_parts.append(e6)
+        if not ids_parts:
+            return []
+        all_ids = np.concatenate(ids_parts)
+        all_e6 = np.concatenate(e6_parts)
+        uids, inverse = np.unique(all_ids, return_inverse=True)
+        scores = np.zeros(uids.size, dtype=np.int64)
+        np.add.at(scores, inverse, all_e6)
+        if self.deleted.size:
+            live = ~np.isin(uids, self.deleted)
+            uids, scores = uids[live], scores[live]
+        order = np.lexsort((uids, -scores))[:k]
+        return [(int(uids[i]), int(scores[i])) for i in order]
 
     def more_like_this(self, doc_id: int, n_terms: int = 5,
                        k: int = 10, tie: str = "float"
