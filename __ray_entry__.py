@@ -139,6 +139,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def token_counts_bpe(sf_dir):
         return text.token_counts_bpe(_documents_ds(sf_dir), DOCUMENTS_SPEC)
 
+    def line_quality_filters(sf_dir):
+        """C4/Gopher/StarCoder filter inputs: per-doc line/char quality
+        features (max/mean line length, terminal-punct line fraction,
+        alnum char fraction, word count) — floor-e6 integers, RE2 both
+        sides."""
+        return text.line_quality_filters(_documents_ds(sf_dir),
+                                         DOCUMENTS_SPEC)
+
+    def quality_funnel(sf_dir):
+        """Gopher/C4 quality-filter funnel: survivor counts per
+        cumulative stage (word count, mean word length, symbol ratio,
+        alpha-word fraction, max line length) — per-batch boolean folds,
+        one 6-int row per batch reaches the driver."""
+        return text.quality_funnel(_documents_ds(sf_dir), DOCUMENTS_SPEC)
+
+    def fim_split(sf_dir):
+        """Deterministic fill-in-the-middle transform: hash-derived cut
+        points, PSM reorder, md5 content witness per doc."""
+        return text.fim_split(_documents_ds(sf_dir), DOCUMENTS_SPEC)
+
+    def top_hits_by_lang(sf_dir):
+        """ES top_hits sub-agg under a terms agg: top-3 docs per lang by
+        (n_chars desc, doc_id asc); per-batch local top-k then a tiny
+        groupby — full docs never shuffle."""
+        return text.top_hits_by_lang(_documents_ds(sf_dir), k=3,
+                                     spec=DOCUMENTS_SPEC)
+
+    def date_histogram_bucket_script(sf_dir):
+        """ES bucket_script + bucket_selector pipeline aggs: per-day
+        purchase/click conversion ratio (floor e6), buckets with
+        < 10 clicks dropped by the selector."""
+        from onestools_eventlog_ray.pipelines import streaming
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                      columns=["ts", "event_type"])
+        return streaming.date_histogram_bucket_script(ev)
+
     def term_topk(sf_dir):
         t = text.term_stats(_documents_ds(sf_dir), DOCUMENTS_SPEC).to_pandas()
         t = t.sort_values(["cf", "term"], ascending=[False, True]).head(10)
@@ -1469,6 +1505,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (tf - e)/sqrt(e), e = dl*cf/total_tokens, clamped >=0,
         e6-quantized per term."""
         return _lm_table(sf_dir, "dfi")
+
+    def dfr_inl2_topk(sf_dir):
+        """ES similarity=DFR (basic_model=in, after_effect=l,
+        normalization=h2, c=1): tfn/(tfn+1)*log2((N+1)/(df+0.5)) with
+        tfn = tf*log2(1+avgdl/dl), e6-quantized per term."""
+        return _lm_table(sf_dir, "dfr_inl2")
 
     def bm25_random_score(sf_dir):
         """ES function_score random_score (seed+field, replace): the
@@ -3380,6 +3422,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_summary": corpus_summary,
         "quality_scores": quality_scores,
         "token_counts_bpe": token_counts_bpe,
+        "line_quality_filters": line_quality_filters,
+        "quality_funnel": quality_funnel,
+        "fim_split": fim_split,
+        "top_hits_by_lang": top_hits_by_lang,
+        "date_histogram_bucket_script": date_histogram_bucket_script,
         "term_topk": term_topk,
         "bm25_topk": bm25_topk,
         "bm25_topk_single": bm25_topk_single,
@@ -3541,6 +3588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_dirichlet_topk": lm_dirichlet_topk,
         "lm_jm_topk": lm_jm_topk,
         "dfi_topk": dfi_topk,
+        "dfr_inl2_topk": dfr_inl2_topk,
         "rank_correlation_report": rank_correlation_report,
         "rank_eval_report": rank_eval_report,
         "bm25_random_score": bm25_random_score,
@@ -3751,14 +3799,20 @@ def _lm_sql(val_expr: str, k: int = 10) -> str:
     return f"""
 WITH toks AS ({_TOKS}),
 tot AS (SELECT count(*) AS t FROM toks),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
 cf AS (SELECT term, count(*) AS cf FROM toks
+       WHERE term IN ({in_list}) GROUP BY term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
        WHERE term IN ({in_list}) GROUP BY term),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
        WHERE term IN ({in_list}) GROUP BY doc_id, term),
 per AS (SELECT tf.doc_id,
   GREATEST(CAST(floor(({val_expr}) * 1000000 + 0.5) AS BIGINT), 0) AS s_e6
-  FROM tf JOIN cf USING (term) JOIN dl USING (doc_id)),
+  FROM tf JOIN cf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)),
 scored AS (SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS score_e6
            FROM per GROUP BY doc_id)
 SELECT CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id ASC)
@@ -4333,6 +4387,88 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
        count(*) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
 FROM toks""",
 
+        "line_quality_filters": r"""
+WITH f AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines,
+         length(text) AS total_chars,
+         len(regexp_extract_all(text, '[a-zA-Z0-9]')) AS alnum,
+         len(regexp_extract_all(text, '\S+')) AS n_words
+  FROM documents)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(coalesce(list_max(list_transform(lines, x -> length(x))), 0)
+       AS BIGINT) AS max_line_len,
+  CAST((total_chars - (len(lines) - 1)) * 1000000 // len(lines)
+       AS BIGINT) AS mean_line_len_e6,
+  CAST(len(list_filter(lines, x -> regexp_matches(x, '[.!?]$')))
+       * 1000000 // len(lines) AS BIGINT) AS punct_line_frac_e6,
+  CAST(CASE WHEN total_chars > 0 THEN alnum * 1000000 // total_chars
+            ELSE 0 END AS BIGINT) AS alnum_frac_e6,
+  CAST(n_words AS BIGINT) AS n_words
+FROM f""",
+        "quality_funnel": r"""
+WITH f AS (
+  SELECT len(regexp_extract_all(text, '\S+')) AS n_words,
+         length(text) - len(regexp_extract_all(text, '\s')) AS nonws,
+         len(regexp_extract_all(text, '#')) AS n_hash,
+         len(regexp_extract_all(text, '\.\.\.')) AS n_ell,
+         len(regexp_extract_all(text, '\S*[a-zA-Z]\S*')) AS n_alpha_w,
+         coalesce(list_max(list_transform(string_split(text, chr(10)),
+                                          x -> length(x))), 0) AS mll
+  FROM documents),
+m AS (SELECT (n_words >= 10 AND n_words <= 100000) AS c1,
+             (3 * n_words <= nonws AND nonws <= 10 * n_words) AS c2,
+             ((n_hash + n_ell) * 10 <= n_words) AS c3,
+             (n_alpha_w * 10 >= n_words * 8) AS c4,
+             (mll <= 2000) AS c5
+      FROM f)
+SELECT 's0_total' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM m
+UNION ALL SELECT 's1_word_count',
+  CAST(count(*) FILTER (WHERE c1) AS BIGINT) FROM m
+UNION ALL SELECT 's2_mean_word_len',
+  CAST(count(*) FILTER (WHERE c1 AND c2) AS BIGINT) FROM m
+UNION ALL SELECT 's3_symbol_ratio',
+  CAST(count(*) FILTER (WHERE c1 AND c2 AND c3) AS BIGINT) FROM m
+UNION ALL SELECT 's4_alpha_words',
+  CAST(count(*) FILTER (WHERE c1 AND c2 AND c3 AND c4) AS BIGINT) FROM m
+UNION ALL SELECT 's5_max_line_len',
+  CAST(count(*) FILTER (WHERE c1 AND c2 AND c3 AND c4 AND c5)
+       AS BIGINT) FROM m""",
+        "fim_split": r"""
+WITH f AS (
+  SELECT doc_id, text, length(text) AS L,
+    CAST(md5_number_lower(text || chr(31) || 'fim1')
+         % CAST(length(text) + 1 AS UBIGINT) AS BIGINT) AS c1,
+    CAST(md5_number_lower(text || chr(31) || 'fim2')
+         % CAST(length(text) + 1 AS UBIGINT) AS BIGINT) AS c2
+  FROM documents),
+g AS (SELECT doc_id, text, L, least(c1, c2) AS lo,
+             greatest(c1, c2) AS hi FROM f)
+SELECT doc_id,
+  CAST(lo AS BIGINT) AS n_prefix,
+  CAST(hi - lo AS BIGINT) AS n_middle,
+  CAST(L - hi AS BIGINT) AS n_suffix,
+  md5(substr(text, 1, lo) || chr(30) || substr(text, hi + 1)
+      || chr(30) || substr(text, lo + 1, hi - lo)) AS psm_md5
+FROM g""",
+        "top_hits_by_lang": """
+WITH r AS (SELECT lang, doc_id, n_chars,
+  row_number() OVER (PARTITION BY lang
+                     ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents)
+SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM r WHERE rank <= 3""",
+        "date_histogram_bucket_script": """
+WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                    AS epoch_day,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_num,
+       count(*) FILTER (WHERE event_type = 'click') AS n_den
+  FROM events GROUP BY 1)
+SELECT epoch_day, CAST(n_den AS BIGINT) AS n_den,
+       CAST(n_num AS BIGINT) AS n_num,
+       CAST(n_num * 1000000 // n_den AS BIGINT) AS ratio_e6
+FROM d WHERE n_den >= 10 ORDER BY epoch_day""",
         "quality_scores": f"""
 WITH toks AS ({_TOKS}),
 agg AS (SELECT doc_id, count(*) AS n_tokens,
@@ -6150,6 +6286,11 @@ FROM documents GROUP BY lang ORDER BY lang""",
         "dfi_topk": _lm_sql(
             "(tf.tf - (dl.dl * cf.cf * 1.0 / (SELECT t FROM tot)))"
             " / sqrt(dl.dl * cf.cf * 1.0 / (SELECT t FROM tot))"),
+        "dfr_inl2_topk": _lm_sql(
+            "(tf.tf * log2(1 + (SELECT avgdl FROM stats) / dl.dl))"
+            " / ((tf.tf * log2(1 + (SELECT avgdl FROM stats) / dl.dl))"
+            " + 1)"
+            " * log2(((SELECT n_docs FROM stats) + 1.0) / (df.df + 0.5))"),
         "date_histogram_ma": """
 WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,
                   CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),

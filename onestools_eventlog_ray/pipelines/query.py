@@ -475,6 +475,9 @@ class SearchEngine:
           (LMJelinekMercerSimilarity)
         - ``dfi``:           (tf − e)/sqrt(e),  e = dl·cf_t/total_tokens
           (DFISimilarity, standardized independence measure)
+        - ``dfr_inl2``:      tfn/(tfn+1) · log2((N+1)/(df+0.5)),
+          tfn = tf·log2(1 + avgdl/dl)  (DFRSimilarity, basic model
+          I(n), after-effect L, normalization H2 with c=1)
 
         Every contribution is clamped at ≥ 0 (Lucene clamps negative
         term scores) and e6-quantized BEFORE the per-doc sum, so scores
@@ -506,6 +509,10 @@ class SearchEngine:
             elif similarity == "dfi":
                 e = (post.dls * cf_t).astype(np.float64) / T
                 val = (tfs - e) / np.sqrt(e)
+            elif similarity == "dfr_inl2":
+                tfn = tfs * np.log2(1.0 + self.avgdl / dls)
+                val = tfn / (tfn + 1.0) \
+                    * np.log2((self.N + 1.0) / (post.doc_ids.size + 0.5))
             else:
                 raise ValueError(f"unknown similarity {similarity!r}")
             e6 = np.maximum(

@@ -1013,3 +1013,58 @@ def cep_no_interruption(ds: ray.data.Dataset, first: str = "click",
             [n_matched * 1_000_000 // n_second if n_second else 0],
             pa.int64()),
     })
+
+
+def date_histogram_bucket_script(ds: ray.data.Dataset,
+                                 num_type: str = "purchase",
+                                 den_type: str = "click",
+                                 min_den: int = 10) -> pa.Table:
+    """ES ``bucket_script`` + ``bucket_selector`` pipeline aggs in one
+    daily histogram: per day, count the numerator and denominator event
+    types, derive ``ratio_e6 = n_num * 1e6 // n_den`` (the
+    ``bucket_script``), and keep only buckets with ``n_den >= min_den``
+    (the ``bucket_selector``) — the canonical conversion-rate-per-day
+    dashboard panel.
+
+    100-TB shape: per-batch (day, type) partial counts fold through one
+    tiny groupby; full rows never shuffle.  The ratio is a floor-e6
+    integer, so DuckDB reproduces it exactly.
+    -> (epoch_day, n_den, n_num, ratio_e6), epoch_day asc."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        out_day, out_num, out_den = [], [], []
+        for m, col in ((et == num_type, "num"), (et == den_type, "den")):
+            dk, counts = np.unique(day[m], return_counts=True)
+            for d, c in zip(dk.tolist(), counts.tolist()):
+                out_day.append(d)
+                out_num.append(c if col == "num" else 0)
+                out_den.append(c if col == "den" else 0)
+        return pa.table({"epoch_day": pa.array(out_day, pa.int64()),
+                         "num_p": pa.array(out_num, pa.int64()),
+                         "den_p": pa.array(out_den, pa.int64())})
+
+    folded = ds.select_columns(["ts", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("epoch_day") \
+        .aggregate(Sum("num_p", alias_name="n_num"),
+                   Sum("den_p", alias_name="n_den")) \
+        .sort("epoch_day").take_all()
+    days, nn, nd, ratio = [], [], [], []
+    for r in folded:
+        den = int(r["n_den"])
+        if den < min_den:
+            continue
+        days.append(int(r["epoch_day"]))
+        nn.append(int(r["n_num"]))
+        nd.append(den)
+        ratio.append(int(r["n_num"]) * 1_000_000 // den)
+    return pa.table({
+        "epoch_day": pa.array(days, pa.int64()),
+        "n_den": pa.array(nd, pa.int64()),
+        "n_num": pa.array(nn, pa.int64()),
+        "ratio_e6": pa.array(ratio, pa.int64()),
+    })

@@ -2878,3 +2878,245 @@ def terms_agg_approx(ds: ray.data.Dataset,
             [1 if est[t] <= true_cnt[t] <= est[t] + b else 0
              for t, b in zip(terms, bounds)], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# round 5: C4/Gopher/StarCoder-style document quality filters + FIM transform
+# ---------------------------------------------------------------------------
+
+def line_quality_filters(ds: ray.data.Dataset,
+                         spec: CorpusSpec = DOCUMENTS_SPEC
+                         ) -> ray.data.Dataset:
+    """Per-doc line/character quality features — the C4/Gopher/StarCoder
+    pre-training filter inputs (max line length, mean line length,
+    terminal-punctuation line fraction, alphanumeric character fraction,
+    whitespace-word count).  All fractions are floor-e6 integers so the
+    DuckDB oracle is bit-exact; every regex is RE2 on BOTH sides
+    (pyarrow ``count_substring_regex`` == DuckDB ``regexp_extract_all``).
+
+    100-TB shape: one vectorized ``map_batches`` pass, no shuffle; the
+    output is a narrow feature table suitable as the left side of a
+    filter predicate pushed into the next read.
+
+    -> (doc_id, n_lines, max_line_len, mean_line_len_e6,
+        punct_line_frac_e6, alnum_frac_e6, n_words)
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = add_doc_id(batch, spec)
+        content = b["content"]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        n = len(content)
+        lines = pc.split_pattern(content, "\n")
+        n_lines = pc.list_value_length(lines).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = lines.flatten()
+        parents = pc.list_parent_indices(lines).to_numpy(
+            zero_copy_only=False)
+        lens = pc.utf8_length(flat).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        max_len = np.zeros(n, dtype=np.int64)
+        char_sum = np.zeros(n, dtype=np.int64)
+        punct = np.zeros(n, dtype=np.int64)
+        if parents.size:
+            np.maximum.at(max_len, parents, lens)
+            np.add.at(char_sum, parents, lens)
+            is_punct = pc.match_substring_regex(
+                flat, r"[.!?]$").to_numpy(zero_copy_only=False)
+            np.add.at(punct, parents, is_punct.astype(np.int64))
+        total = pc.utf8_length(content).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        alnum = pc.count_substring_regex(
+            content, pattern="[a-zA-Z0-9]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_words = pc.count_substring_regex(
+            content, pattern=r"\S+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        alnum_frac = np.zeros(n, dtype=np.int64)
+        nz = total > 0
+        alnum_frac[nz] = (alnum[nz] * 1_000_000) // total[nz]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "max_line_len": pa.array(max_len, pa.int64()),
+            "mean_line_len_e6": pa.array(
+                (char_sum * 1_000_000) // n_lines, pa.int64()),
+            "punct_line_frac_e6": pa.array(
+                (punct * 1_000_000) // n_lines, pa.int64()),
+            "alnum_frac_e6": pa.array(alnum_frac, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# (stage key, human label) in application order — Gopher/C4-flavoured
+# document-level rules, integer cross-multiplied so no floats exist.
+QUALITY_FUNNEL_STAGES = (
+    "s0_total",
+    "s1_word_count",       # 10 <= n_words <= 100000
+    "s2_mean_word_len",    # 3.0 <= mean word length <= 10.0
+    "s3_symbol_ratio",     # (#-chars + '...' runs) <= 0.1 * n_words
+    "s4_alpha_words",      # >= 80% of words contain a letter
+    "s5_max_line_len",     # max line length <= 2000 chars
+)
+
+
+def quality_funnel(ds: ray.data.Dataset,
+                   spec: CorpusSpec = DOCUMENTS_SPEC) -> pa.Table:
+    """Sequential Gopher/C4-style quality-filter funnel: how many docs
+    survive each cumulative stage (the standard pre-training-data audit
+    chart).  All thresholds are exact integer cross-multiplications
+    (e.g. mean word length in [3,10] <-> 3*n_words <= nonws_chars <=
+    10*n_words), so the DuckDB oracle matches bit-for-bit.
+
+    100-TB shape: per-batch boolean masks fold to ONE 6-int row per
+    batch; the driver sums a handful of partials — no shuffle, no
+    per-doc rows leaving the workers.
+
+    -> (stage, n_docs) — one row per funnel stage, application order.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        content = batch[spec.content_col]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        n_words = pc.count_substring_regex(
+            content, pattern=r"\S+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        total = pc.utf8_length(content).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_ws = pc.count_substring_regex(
+            content, pattern=r"\s").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nonws = total - n_ws
+        n_hash = pc.count_substring_regex(
+            content, pattern="#").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_ell = pc.count_substring_regex(
+            content, pattern=r"\.\.\.").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_alpha_w = pc.count_substring_regex(
+            content, pattern=r"\S*[a-zA-Z]\S*").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lines = pc.split_pattern(content, "\n")
+        flat = lines.flatten()
+        parents = pc.list_parent_indices(lines).to_numpy(
+            zero_copy_only=False)
+        lens = pc.utf8_length(flat).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        max_len = np.zeros(len(content), dtype=np.int64)
+        if parents.size:
+            np.maximum.at(max_len, parents, lens)
+
+        m = np.ones(len(content), dtype=bool)
+        counts = [int(m.sum())]
+        m &= (n_words >= 10) & (n_words <= 100_000)
+        counts.append(int(m.sum()))
+        m &= (3 * n_words <= nonws) & (nonws <= 10 * n_words)
+        counts.append(int(m.sum()))
+        m &= (n_hash + n_ell) * 10 <= n_words
+        counts.append(int(m.sum()))
+        m &= n_alpha_w * 10 >= n_words * 8
+        counts.append(int(m.sum()))
+        m &= max_len <= 2000
+        counts.append(int(m.sum()))
+        return pa.table({f"c{i}": pa.array([c], pa.int64())
+                         for i, c in enumerate(counts)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    sums = [sum(int(p[f"c{i}"]) for p in parts)
+            for i in range(len(QUALITY_FUNNEL_STAGES))]
+    return pa.table({
+        "stage": pa.array(list(QUALITY_FUNNEL_STAGES), pa.string()),
+        "n_docs": pa.array(sums, pa.int64()),
+    })
+
+
+def fim_split(ds: ray.data.Dataset,
+              spec: CorpusSpec = DOCUMENTS_SPEC) -> ray.data.Dataset:
+    """Deterministic fill-in-the-middle (FIM) transform (Bavarian et al.
+    2022): each doc is split at two hash-derived cut points into
+    (prefix, middle, suffix) and re-emitted in PSM order.  Cut points are
+    ``md5_lower64(text + '\\x1f' + salt) % (len+1)`` so the transform is
+    RNG-free, retry-stable and oracle-reproducible; the output carries
+    the three segment lengths plus the md5 of the PSM-reordered document
+    (prefix || RS || suffix || RS || middle) as the content witness.
+
+    100-TB shape: one map_batches pass; hashing dominates (DuckDB-kernel
+    vectorized md5), the per-row codepoint slicing is the same O(bytes)
+    as the hash.  -> (doc_id, n_prefix, n_middle, n_suffix, psm_md5).
+    """
+    from onestools_eventlog_ray.functions.fasthash import (md5_hex_fast,
+                                                           md5_lower64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = add_doc_id(batch, spec)
+        content = b["content"]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        texts = content.to_pylist()
+        h1 = md5_lower64(
+            pc.binary_join_element_wise(
+                content, pa.scalar("fim1", type=content.type),
+                pa.scalar("\x1f", type=content.type)))
+        h2 = md5_lower64(
+            pc.binary_join_element_wise(
+                content, pa.scalar("fim2", type=content.type),
+                pa.scalar("\x1f", type=content.type)))
+        lens = np.asarray([len(t) for t in texts], dtype=np.uint64)
+        c1 = (h1 % (lens + 1)).astype(np.int64)
+        c2 = (h2 % (lens + 1)).astype(np.int64)
+        lo = np.minimum(c1, c2)
+        hi = np.maximum(c1, c2)
+        psm = [t[:a] + "\x1e" + t[b_:] + "\x1e" + t[a:b_]
+               for t, a, b_ in zip(texts, lo.tolist(), hi.tolist())]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_prefix": pa.array(lo, pa.int64()),
+            "n_middle": pa.array(hi - lo, pa.int64()),
+            "n_suffix": pa.array(lens.astype(np.int64) - hi, pa.int64()),
+            "psm_md5": md5_hex_fast(psm),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def top_hits_by_lang(ds: ray.data.Dataset, k: int = 3,
+                     spec: CorpusSpec = DOCUMENTS_SPEC) -> ray.data.Dataset:
+    """ES ``top_hits`` sub-aggregation under a ``terms`` agg: the top-k
+    documents per language bucket ranked by (n_chars desc, doc_id asc).
+
+    100-TB shape: per-batch LOCAL top-k per lang (narrow rows), then one
+    small groupby over <= k*n_langs rows per batch — the big side never
+    shuffles whole documents.  -> (lang, rank, doc_id, n_chars)."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        b = add_doc_id(batch, spec)
+        t = pa.table({"lang": batch["lang"], "doc_id": b["doc_id"],
+                      "n_chars": pc.cast(batch["n_chars"], pa.int64())})
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nch = t["n_chars"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(t), dtype=bool)
+        for lg in np.unique(langs):
+            idx = np.flatnonzero(langs == lg)
+            order = np.lexsort((ids[idx], -nch[idx]))[:k]
+            keep[idx[order]] = True
+        return t.filter(pa.array(keep))
+
+    def topk(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        nch = group["n_chars"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -nch))[:k]
+        return pa.table({
+            "lang": pa.array(
+                group["lang"].to_numpy(zero_copy_only=False)[order]),
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "n_chars": pa.array(nch[order], pa.int64()),
+        })
+
+    return ds.map_batches(local, batch_format="pyarrow") \
+             .groupby("lang").map_groups(topk, batch_format="pyarrow")
