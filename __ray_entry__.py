@@ -2477,6 +2477,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf = lambda t: _read_pq(os.path.join(sf_dir, f"{t}.parquet"))
         return relational.q12_priority_by_flag(sf("lineitem"), sf("orders"))
 
+    def q2_min_cost_supplier(sf_dir):
+        """TPC-H Q2 shape: region supplier(s) with the minimum observed
+        unit price per size-15 STANDARD part (correlated min -> narrow
+        (part, supplier) Min groupby + per-part pick)."""
+        import pyarrow.parquet as pq_
+        d = lambda t: pq_.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        return relational.q2_min_cost_supplier(
+            _read_pq(os.path.join(sf_dir, "lineitem.parquet"),
+                     columns=["l_partkey", "l_suppkey", "l_extendedprice"]),
+            d("part"), d("supplier"), d("nation"), d("region"))
+
+    def q9_product_profit(sf_dir):
+        """TPC-H Q9 shape: profit on 'red' parts per (supplier nation,
+        order year) — q7-style pivoted co-group on orderkey, retail
+        price standing in for supply cost."""
+        import pyarrow.parquet as pq_
+        d = lambda t: pq_.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        return relational.q9_product_profit(
+            _read_pq(os.path.join(sf_dir, "lineitem.parquet")),
+            _read_pq(os.path.join(sf_dir, "orders.parquet"),
+                     columns=["o_orderkey", "o_orderdate"]),
+            d("part"), d("supplier"), d("nation"))
+
+    def q11_important_parts(sf_dir):
+        """TPC-H Q11 shape: parts above 0.2% of one nation's traded
+        value (HAVING > scalar subquery, exact integer threshold)."""
+        import pyarrow.parquet as pq_
+        d = lambda t: pq_.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        return relational.q11_important_parts(
+            _read_pq(os.path.join(sf_dir, "lineitem.parquet"),
+                     columns=["l_partkey", "l_suppkey",
+                              "l_extendedprice", "l_discount"]),
+            d("supplier"), d("nation"))
+
+    def q16_supplier_part_counts(sf_dir):
+        """TPC-H Q16 shape: distinct suppliers per part family with
+        brand/type/size filters and a complaint-supplier exclusion
+        (s_acctbal < 0 as the NOT IN analog)."""
+        import pyarrow.parquet as pq_
+        d = lambda t: pq_.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        return relational.q16_supplier_part_counts(
+            _read_pq(os.path.join(sf_dir, "lineitem.parquet"),
+                     columns=["l_partkey", "l_suppkey"]),
+            d("part"), d("supplier"))
+
+    def q20_promotion_suppliers(sf_dir):
+        """TPC-H Q20 shape: NATION_1 suppliers who shipped strictly
+        above a 'red' part's per-supplier average quantity in 1996
+        (nested correlated subquery -> q17-style two-pass)."""
+        import pyarrow.parquet as pq_
+        d = lambda t: pq_.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        return relational.q20_promotion_suppliers(
+            _read_pq(os.path.join(sf_dir, "lineitem.parquet"),
+                     columns=["l_partkey", "l_suppkey", "l_quantity",
+                              "l_shipdate"]),
+            d("part"), d("supplier"), d("nation"))
+
+    def q21_waiting_suppliers(sf_dir):
+        """TPC-H Q21 shape: suppliers who were the only late shipper in
+        multi-supplier 'F' orders (EXISTS/NOT EXISTS pair -> one
+        tagged-union co-group on orderkey)."""
+        import pyarrow.parquet as pq_
+        d = lambda t: pq_.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        return relational.q21_waiting_suppliers(
+            _read_pq(os.path.join(sf_dir, "lineitem.parquet"),
+                     columns=["l_orderkey", "l_suppkey", "l_shipdate"]),
+            _read_pq(os.path.join(sf_dir, "orders.parquet"),
+                     columns=["o_orderkey", "o_orderstatus",
+                              "o_orderdate"]),
+            d("supplier"), d("nation"))
+
     def training_shards_manifest(sf_dir):
         """WebDataset-style training-shard export: docs hash-routed to 8
         atomic parquet shards (resumable skip on re-export) + the
@@ -3704,6 +3775,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "q22_idle_balances": q22_idle_balances,
         "q15_top_supplier": q15_top_supplier,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_parts": q11_important_parts,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q20_promotion_suppliers": q20_promotion_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         "q12_priority_by_flag": q12_priority_by_flag,
         "training_shards_manifest": training_shards_manifest,
         "context_packing": context_packing,
@@ -8574,6 +8651,115 @@ SELECT 'Brand#13' AS p_brand,
        CAST(coalesce(sum(pr.p_e2), 0) AS BIGINT) AS total_price_e2
 FROM pruned pr JOIN stats st ON pr.pk = st.pk
 WHERE 5 * pr.q * st.cnt < st.sum_q""",
+
+        "q2_min_cost_supplier": """
+WITH rsupp AS (
+  SELECT s.s_suppkey, CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)
+           AS s_acctbal_e2, s.s_name, n.n_name
+  FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'ASIA'),
+fpart AS (SELECT p_partkey, p_name FROM part
+          WHERE p_size = 15 AND p_type = 'STANDARD'),
+pairs AS (
+  SELECT l.l_partkey AS pk, l.l_suppkey AS sk,
+         min(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+           AS min_price_e2
+  FROM lineitem l
+  JOIN fpart p ON p.p_partkey = l.l_partkey
+  JOIN rsupp s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2),
+best AS (SELECT pk, min(min_price_e2) AS m FROM pairs GROUP BY pk)
+SELECT s.s_acctbal_e2, s.s_name, s.n_name,
+       CAST(pr.pk AS BIGINT) AS p_partkey, p.p_name, pr.min_price_e2
+FROM pairs pr
+JOIN best b ON b.pk = pr.pk AND pr.min_price_e2 = b.m
+JOIN rsupp s ON s.s_suppkey = pr.sk
+JOIN fpart p ON p.p_partkey = pr.pk
+ORDER BY s.s_acctbal_e2 DESC, s.n_name, s.s_name, p_partkey
+LIMIT 100""",
+
+        "q9_product_profit": """
+SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+           * CAST(floor((1.0 - l.l_discount) * 100 + 0.5) AS BIGINT)
+           - CAST(floor(l.l_quantity + 0.5) AS BIGINT)
+           * CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT) * 100)
+       AS BIGINT) AS profit_e4
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE 'red%'
+  AND year(o.o_orderdate) BETWEEN 1995 AND 2001
+GROUP BY 1, 2 ORDER BY n_name ASC, o_year DESC""",
+
+        "q11_important_parts": """
+WITH v AS (
+  SELECT l.l_partkey AS pk,
+         CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * CAST(floor((1.0 - l.l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS value_e4
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_1' GROUP BY 1)
+SELECT CAST(pk AS BIGINT) AS p_partkey, value_e4
+FROM v WHERE value_e4 * 500 > (SELECT sum(value_e4) FROM v) * 1
+ORDER BY value_e4 DESC, p_partkey""",
+
+        "q16_supplier_part_counts": """
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+        "q20_promotion_suppliers": """
+WITH pairs AS (
+  SELECT l.l_partkey AS pk, l.l_suppkey AS sk,
+         CAST(sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+           AS qty
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'red%' AND year(l.l_shipdate) = 1996
+  GROUP BY 1, 2),
+stats AS (SELECT pk, sum(qty) AS tot, count(*) AS n_sup
+          FROM pairs GROUP BY pk)
+SELECT DISTINCT CAST(pr.sk AS BIGINT) AS s_suppkey, s.s_name
+FROM pairs pr
+JOIN stats st ON st.pk = pr.pk
+JOIN supplier s ON s.s_suppkey = pr.sk
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_1' AND pr.qty * st.n_sup > st.tot
+ORDER BY s_name""",
+
+        "q21_waiting_suppliers": """
+WITH f AS (
+  SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+         bool_or(CAST(l.l_shipdate AS DATE) >
+                 CAST(o.o_orderdate AS DATE) + INTERVAL 90 DAY) AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F' GROUP BY 1, 2),
+per_order AS (
+  SELECT ok, count(*) AS n_supp,
+         count(*) FILTER (WHERE late) AS n_late,
+         max(CASE WHEN late THEN sk END) AS late_sk
+  FROM f GROUP BY ok)
+SELECT CAST(po.late_sk AS BIGINT) AS s_suppkey, s.s_name,
+       CAST(count(*) AS BIGINT) AS numwait
+FROM per_order po
+JOIN supplier s ON s.s_suppkey = po.late_sk
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE po.n_supp >= 2 AND po.n_late = 1 AND n.n_name = 'NATION_1'
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_name LIMIT 100""",
 
         "q15_top_supplier": """
 WITH rev AS (

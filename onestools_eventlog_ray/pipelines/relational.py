@@ -4407,3 +4407,532 @@ def value_ttest(events: ray.data.Dataset, type_a: str = "purchase",
         "t_e6": pa.array([t_e6], pa.int64()),
         "df_e6": pa.array([df_e6], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# round 5: the six remaining TPC-H plan shapes (Q2/Q9/Q11/Q16/Q20/Q21),
+# adapted to this corpus (no partsupp table: p_retailprice stands in for
+# ps_supplycost, lineitem participation for ps_availqty — same house
+# convention as q12's returnflag-for-shipmode)
+# ---------------------------------------------------------------------------
+
+def _in_sorted(keys: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Vectorized membership mask: vals[i] in sorted ``keys``."""
+    if keys.size == 0:
+        return np.zeros(vals.size, dtype=bool)
+    pos = np.searchsorted(keys, vals)
+    pos[pos >= keys.size] = 0
+    return keys[pos] == vals
+
+
+def _pos_sorted(keys: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Positions of vals in sorted keys (caller guarantees membership)."""
+    return np.searchsorted(keys, vals)
+
+
+def q2_min_cost_supplier(lineitem: ray.data.Dataset, part: pa.Table,
+                         supplier: pa.Table, nation: pa.Table,
+                         region: pa.Table, size: int = 15,
+                         ptype: str = "STANDARD",
+                         region_name: str = "ASIA",
+                         k: int = 100) -> pa.Table:
+    """TPC-H-Q2-shaped min-cost supplier: for every part of one size and
+    type, the region supplier(s) offering the MINIMUM observed unit
+    price (min lineitem ``l_extendedprice`` stands in for the absent
+    ``ps_supplycost``).  The correlated min subquery becomes the house
+    two-level fold: per-batch (part, supplier) min partials -> ONE
+    narrow ``groupby([pk, sk]).Min`` -> per-part min pick + dimension
+    join on the dimension-sized result.  Both filters are broadcast
+    sorted-key masks (part set and region-supplier set), so the
+    lineitem stream is pruned before anything shuffles.
+
+    -> (s_acctbal_e2, s_name, n_name, p_partkey, p_name, min_price_e2)
+    ordered by (s_acctbal_e2 desc, n_name, s_name, p_partkey), top k —
+    the reference's ORDER/LIMIT 100 (ref Program.cs-era Q2 shape)."""
+    import ray
+
+    part_rows = part.to_pylist()
+    pk_keep = np.asarray(sorted(
+        int(r["p_partkey"]) for r in part_rows
+        if int(r["p_size"]) == size and r["p_type"] == ptype),
+        dtype=np.int64)
+    p_name = {int(r["p_partkey"]): r["p_name"] for r in part_rows}
+
+    rk = {int(r["r_regionkey"]) for r in region.to_pylist()
+          if r["r_name"] == region_name}
+    nat = {int(r["n_nationkey"]): r["n_name"] for r in nation.to_pylist()
+           if int(r["n_regionkey"]) in rk}
+    srows = [r for r in supplier.to_pylist()
+             if int(r["s_nationkey"]) in nat]
+    sk_keep = np.asarray(sorted(int(r["s_suppkey"]) for r in srows),
+                         dtype=np.int64)
+    s_attr = {int(r["s_suppkey"]):
+              (int(np.floor(float(r["s_acctbal"]) * 100 + 0.5)),
+               r["s_name"], nat[int(r["s_nationkey"])]) for r in srows}
+    pref = ray.put((pk_keep, sk_keep))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pks, sks = ray.get(pref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = _in_sorted(pks, pk) & _in_sorted(sks, sk)
+        price = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            .astype(np.float64)[m] * 100 + 0.5).astype(np.int64)
+        pk, sk = pk[m], sk[m]
+        pair = pk * 1_000_000 + sk          # suppkey < 1e6 by schema
+        keys, inv = np.unique(pair, return_inverse=True)
+        mins = np.full(keys.size, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mins, inv, price)
+        return pa.table({"pk": pa.array(keys // 1_000_000, pa.int64()),
+                         "sk": pa.array(keys % 1_000_000, pa.int64()),
+                         "min_p": pa.array(mins, pa.int64())})
+
+    rows = lineitem.select_columns(
+        ["l_partkey", "l_suppkey", "l_extendedprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["pk", "sk"]) \
+        .aggregate(Min("min_p", alias_name="min_price_e2")).take_all()
+
+    best: dict[int, int] = {}
+    for r in rows:
+        p, v = int(r["pk"]), int(r["min_price_e2"])
+        if p not in best or v < best[p]:
+            best[p] = v
+    out = []
+    for r in rows:
+        p, s, v = int(r["pk"]), int(r["sk"]), int(r["min_price_e2"])
+        if v == best[p]:
+            bal, sname, nname = s_attr[s]
+            out.append((bal, sname, nname, p, p_name[p], v))
+    out.sort(key=lambda t: (-t[0], t[2], t[1], t[3]))
+    out = out[:k]
+    return pa.table({
+        "s_acctbal_e2": pa.array([t[0] for t in out], pa.int64()),
+        "s_name": pa.array([t[1] for t in out], pa.string()),
+        "n_name": pa.array([t[2] for t in out], pa.string()),
+        "p_partkey": pa.array([t[3] for t in out], pa.int64()),
+        "p_name": pa.array([t[4] for t in out], pa.string()),
+        "min_price_e2": pa.array([t[5] for t in out], pa.int64()),
+    })
+
+
+def q9_product_profit(lineitem: ray.data.Dataset, orders: ray.data.Dataset,
+                      part: pa.Table, supplier: pa.Table, nation: pa.Table,
+                      name_prefix: str = "red", year_lo: int = 1995,
+                      year_hi: int = 2001) -> pa.Table:
+    """TPC-H-Q9-shaped product-type profit: per (supplier nation, order
+    year), the profit on parts whose name starts with a prefix, where
+    ``profit_e4 = price_e2*(100-disc_e2) - qty*retail_e2*100``
+    (``p_retailprice`` stands in for the absent ``ps_supplycost``).
+
+    The lineitem-orders join is the q7 pivoted co-group: lineitem
+    partials pivot (profit, count) into one column pair per nation
+    slot keyed by orderkey; orders rows carry the order YEAR; ONE
+    ``groupby(orderkey)`` folds both sides, and a second tiny groupby
+    rolls (year, nation) up.  Part prices and supplier->nation are
+    broadcast sorted-key lookups.  Groups with zero contributing
+    lineitems are dropped (count pivot), matching SQL GROUP BY.
+
+    -> (n_name, o_year, profit_e4) ordered by (n_name asc, o_year
+    desc)."""
+    import ray
+
+    pk_rows = [(int(r["p_partkey"]),
+                int(np.floor(float(r["p_retailprice"]) * 100 + 0.5)))
+               for r in part.to_pylist()
+               if r["p_name"].startswith(name_prefix)]
+    pk_rows.sort()
+    pks = np.asarray([p for p, _ in pk_rows], dtype=np.int64)
+    retail = np.asarray([c for _, c in pk_rows], dtype=np.int64)
+
+    nk_sorted = sorted(int(r["n_nationkey"]) for r in nation.to_pylist())
+    slot_of = {nk: i for i, nk in enumerate(nk_sorted)}
+    names = {r["n_name"]: slot_of[int(r["n_nationkey"])]
+             for r in nation.to_pylist()}
+    n_slots = len(nk_sorted)
+    supp_slot = np.full(
+        int(max(r["s_suppkey"] for r in supplier.to_pylist())) + 1, -1,
+        dtype=np.int64)
+    for r in supplier.to_pylist():
+        supp_slot[int(r["s_suppkey"])] = slot_of[int(r["s_nationkey"])]
+    bref = ray.put((pks, retail, supp_slot))
+
+    prof_cols = [f"prof_{i}" for i in range(n_slots)]
+    cnt_cols = [f"cnt_{i}" for i in range(n_slots)]
+
+    def proj_orders(batch: pa.Table) -> pa.Table:
+        okey = batch["o_orderkey"].cast(pa.int64())
+        yr = pc.year(batch["o_orderdate"]).cast(pa.int64())
+        n = batch.num_rows
+        cols = {"key": okey, "o_year": yr}
+        zero = pa.array(np.zeros(n, np.int64), pa.int64())
+        for c in prof_cols + cnt_cols:
+            cols[c] = zero
+        return pa.table(cols)
+
+    def proj_line(batch: pa.Table) -> pa.Table:
+        pks, retail, slot = ray.get(bref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = _in_sorted(pks, pk) & (sk < slot.size)
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[m]
+        ss = slot[sk[m]]
+        price = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            .astype(np.float64)[m] * 100 + 0.5).astype(np.int64)
+        disc2 = np.floor(
+            (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)
+             .astype(np.float64)[m]) * 100 + 0.5).astype(np.int64)
+        qty = np.floor(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+            .astype(np.float64)[m] + 0.5).astype(np.int64)
+        profit = price * disc2 - qty * retail[_pos_sorted(pks, pk[m])] * 100
+        keys, inv = np.unique(okey, return_inverse=True)
+        pv = np.zeros((keys.size, n_slots), dtype=np.int64)
+        cv = np.zeros((keys.size, n_slots), dtype=np.int64)
+        np.add.at(pv, (inv, ss), profit)
+        np.add.at(cv, (inv, ss), 1)
+        cols = {"key": pa.array(keys, pa.int64()),
+                "o_year": pa.nulls(keys.size, pa.int64())}
+        for i, c in enumerate(prof_cols):
+            cols[c] = pa.array(pv[:, i], pa.int64())
+        for i, c in enumerate(cnt_cols):
+            cols[c] = pa.array(cv[:, i], pa.int64())
+        return pa.table(cols)
+
+    folded = orders.select_columns(["o_orderkey", "o_orderdate"]) \
+        .map_batches(proj_orders, batch_format="pyarrow") \
+        .union(lineitem.select_columns(
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+             "l_extendedprice", "l_discount"])
+            .map_batches(proj_line, batch_format="pyarrow")) \
+        .groupby("key") \
+        .aggregate(Max("o_year", alias_name="yr"),
+                   *[Sum(c, alias_name=c) for c in prof_cols],
+                   *[Sum(c, alias_name=c) for c in cnt_cols])
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        yr = batch["yr"].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(yr.astype(np.float64))
+        yr = yr[ok].astype(np.int64)
+        out_y, out_s, out_p, out_c = [], [], [], []
+        for i in range(n_slots):
+            pv = batch[prof_cols[i]].to_numpy(zero_copy_only=False)[ok]
+            cv = batch[cnt_cols[i]].to_numpy(zero_copy_only=False)[ok]
+            nz = cv > 0
+            ys, inv = np.unique(yr[nz], return_inverse=True)
+            ps = np.zeros(ys.size, dtype=np.int64)
+            cs = np.zeros(ys.size, dtype=np.int64)
+            np.add.at(ps, inv, pv[nz])
+            np.add.at(cs, inv, cv[nz])
+            out_y += ys.tolist()
+            out_s += [i] * ys.size
+            out_p += ps.tolist()
+            out_c += cs.tolist()
+        return pa.table({"o_year": pa.array(out_y, pa.int64()),
+                         "slot": pa.array(out_s, pa.int64()),
+                         "p_p": pa.array(out_p, pa.int64()),
+                         "c_p": pa.array(out_c, pa.int64())})
+
+    rows = folded.map_batches(rollup, batch_format="pyarrow") \
+        .groupby(["o_year", "slot"]) \
+        .aggregate(Sum("p_p", alias_name="profit_e4"),
+                   Sum("c_p", alias_name="cnt")).take_all()
+    agg = {(int(r["slot"]), int(r["o_year"])): int(r["profit_e4"])
+           for r in rows if int(r["cnt"]) > 0
+           and year_lo <= int(r["o_year"]) <= year_hi}
+    slot_name = sorted(names.items())           # n_name asc
+    out_n, out_y, out_p = [], [], []
+    for nname, slot in slot_name:
+        yrs = sorted((y for s, y in agg if s == slot), reverse=True)
+        for y in yrs:
+            out_n.append(nname)
+            out_y.append(y)
+            out_p.append(agg[(slot, y)])
+    return pa.table({"n_name": pa.array(out_n, pa.string()),
+                     "o_year": pa.array(out_y, pa.int64()),
+                     "profit_e4": pa.array(out_p, pa.int64())})
+
+
+def q11_important_parts(lineitem: ray.data.Dataset, supplier: pa.Table,
+                        nation: pa.Table, nation_name: str = "NATION_1",
+                        frac_num: int = 1, frac_den: int = 500
+                        ) -> pa.Table:
+    """TPC-H-Q11-shaped important stock: parts whose traded value from
+    one nation's suppliers exceeds ``frac_num/frac_den`` of the
+    nation's total (lineitem revenue e4 stands in for the absent
+    ``ps_supplycost*ps_availqty``).  The HAVING > scalar-subquery shape
+    survives exactly: per-batch per-part partials -> ONE narrow
+    ``groupby(pk).Sum`` (part-cardinality) -> the global total and the
+    strict integer threshold ``value*den > total*num`` on the driver —
+    no float division anywhere.
+
+    -> (p_partkey, value_e4) ordered by (value_e4 desc, p_partkey)."""
+    import ray
+
+    nk = {int(r["n_nationkey"]) for r in nation.to_pylist()
+          if r["n_name"] == nation_name}
+    sk_keep = np.asarray(sorted(
+        int(r["s_suppkey"]) for r in supplier.to_pylist()
+        if int(r["s_nationkey"]) in nk), dtype=np.int64)
+    sref = ray.put(sk_keep)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sks = ray.get(sref)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = _in_sorted(sks, sk)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[m]
+        price = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            .astype(np.float64)[m] * 100 + 0.5).astype(np.int64)
+        disc2 = np.floor(
+            (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)
+             .astype(np.float64)[m]) * 100 + 0.5).astype(np.int64)
+        val = price * disc2
+        keys, inv = np.unique(pk, return_inverse=True)
+        tot = np.zeros(keys.size, dtype=np.int64)
+        np.add.at(tot, inv, val)
+        return pa.table({"pk": pa.array(keys, pa.int64()),
+                         "v": pa.array(tot, pa.int64())})
+
+    rows = lineitem.select_columns(
+        ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("pk").aggregate(Sum("v", alias_name="value_e4")) \
+        .take_all()
+    total = sum(int(r["value_e4"]) for r in rows)
+    keep = sorted(((int(r["value_e4"]), int(r["pk"])) for r in rows
+                   if int(r["value_e4"]) * frac_den > total * frac_num),
+                  key=lambda t: (-t[0], t[1]))
+    return pa.table({
+        "p_partkey": pa.array([p for _, p in keep], pa.int64()),
+        "value_e4": pa.array([v for v, _ in keep], pa.int64()),
+    })
+
+
+def q16_supplier_part_counts(lineitem: ray.data.Dataset, part: pa.Table,
+                             supplier: pa.Table,
+                             excl_brand: str = "Brand#1",
+                             excl_type: str = "PROMO",
+                             sizes: tuple = (1, 5, 10, 15, 20, 25, 30, 35)
+                             ) -> pa.Table:
+    """TPC-H-Q16-shaped supplier/part relationship: distinct suppliers
+    per (brand, type, size) over the filtered part families, excluding
+    "complaint" suppliers (``s_acctbal < 0`` stands in for the
+    reference's comment-pattern NOT IN subquery).  Distinctness is the
+    two-level narrow fold: per-batch unique (family, supplier) codes ->
+    ``groupby([bts, sk])`` dedups globally -> per-batch family partials
+    -> one tiny ``groupby(bts)`` counts.  Nothing wider than two int64
+    columns ever shuffles.
+
+    -> (p_brand, p_type, p_size, supplier_cnt) ordered by
+    (supplier_cnt desc, p_brand, p_type, p_size)."""
+    import ray
+
+    size_set = set(int(s) for s in sizes)
+    fam: dict[tuple, int] = {}
+    fam_of_pk: dict[int, int] = {}
+    for r in part.to_pylist():
+        key = (r["p_brand"], r["p_type"], int(r["p_size"]))
+        if (r["p_brand"] == excl_brand or r["p_type"] == excl_type
+                or key[2] not in size_set):
+            continue
+        fam_of_pk[int(r["p_partkey"])] = fam.setdefault(key, len(fam))
+    fams = [k for k, _ in sorted(fam.items(), key=lambda kv: kv[1])]
+    pks = np.asarray(sorted(fam_of_pk), dtype=np.int64)
+    fam_arr = np.asarray([fam_of_pk[p] for p in pks], dtype=np.int64)
+    bad_sk = np.asarray(sorted(
+        int(r["s_suppkey"]) for r in supplier.to_pylist()
+        if float(r["s_acctbal"]) < 0), dtype=np.int64)
+    bref = ray.put((pks, fam_arr, bad_sk))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pks, fam_arr, bad = ray.get(bref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = _in_sorted(pks, pk) & ~_in_sorted(bad, sk)
+        bts = fam_arr[_pos_sorted(pks, pk[m])]
+        pair = np.unique(bts * 1_000_000 + sk[m])
+        return pa.table({"bts": pa.array(pair // 1_000_000, pa.int64()),
+                         "sk": pa.array(pair % 1_000_000, pa.int64())})
+
+    distinct = lineitem.select_columns(["l_partkey", "l_suppkey"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["bts", "sk"]).aggregate(Count(alias_name="_c"))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        bts = batch["bts"].to_numpy(zero_copy_only=False)
+        keys, counts = np.unique(bts, return_counts=True)
+        return pa.table({"bts": pa.array(keys, pa.int64()),
+                         "c": pa.array(counts, pa.int64())})
+
+    rows = distinct.map_batches(fold, batch_format="pyarrow") \
+        .groupby("bts").aggregate(Sum("c", alias_name="supplier_cnt")) \
+        .take_all()
+    out = sorted(((int(r["supplier_cnt"]),) + fams[int(r["bts"])]
+                  for r in rows), key=lambda t: (-t[0], t[1], t[2], t[3]))
+    return pa.table({
+        "p_brand": pa.array([t[1] for t in out], pa.string()),
+        "p_type": pa.array([t[2] for t in out], pa.string()),
+        "p_size": pa.array([t[3] for t in out], pa.int64()),
+        "supplier_cnt": pa.array([t[0] for t in out], pa.int64()),
+    })
+
+
+def q20_promotion_suppliers(lineitem: ray.data.Dataset, part: pa.Table,
+                            supplier: pa.Table, nation: pa.Table,
+                            name_prefix: str = "red", year: int = 1996,
+                            nation_name: str = "NATION_1") -> pa.Table:
+    """TPC-H-Q20-shaped promotion candidates: suppliers in one nation
+    who, for SOME part with a given name prefix, shipped strictly more
+    than that part's per-supplier average quantity in the year (the
+    above-average correlated comparison stands in for the absent
+    ``ps_availqty > 0.5 * sum(l_quantity)``).  Q20's nested-subquery
+    shape becomes the q17 two-pass: per-(part, supplier) qty fold
+    (ONE narrow groupby), per-part totals + supplier counts derived
+    from it, then the exact integer qualifier ``qty * n_supp >
+    total_qty`` — no float average.
+
+    -> (s_suppkey, s_name) ordered by s_name."""
+    import ray
+
+    pks = np.asarray(sorted(
+        int(r["p_partkey"]) for r in part.to_pylist()
+        if r["p_name"].startswith(name_prefix)), dtype=np.int64)
+    pref = ray.put(pks)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pks = ray.get(pref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        yr = pc.year(batch["l_shipdate"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = _in_sorted(pks, pk) & (yr == year)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[m]
+        qty = np.floor(batch["l_quantity"].to_numpy(zero_copy_only=False)
+                       .astype(np.float64)[m] + 0.5).astype(np.int64)
+        pair = pk[m] * 1_000_000 + sk
+        keys, inv = np.unique(pair, return_inverse=True)
+        tot = np.zeros(keys.size, dtype=np.int64)
+        np.add.at(tot, inv, qty)
+        return pa.table({"pk": pa.array(keys // 1_000_000, pa.int64()),
+                         "sk": pa.array(keys % 1_000_000, pa.int64()),
+                         "q": pa.array(tot, pa.int64())})
+
+    pairs = lineitem.select_columns(
+        ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["pk", "sk"]).aggregate(Sum("q", alias_name="qty")) \
+        .take_all()
+
+    tot_q: dict[int, int] = {}
+    n_sup: dict[int, int] = {}
+    for r in pairs:
+        p = int(r["pk"])
+        tot_q[p] = tot_q.get(p, 0) + int(r["qty"])
+        n_sup[p] = n_sup.get(p, 0) + 1
+    nk = {int(r["n_nationkey"]) for r in nation.to_pylist()
+          if r["n_name"] == nation_name}
+    s_name = {int(r["s_suppkey"]): r["s_name"]
+              for r in supplier.to_pylist()
+              if int(r["s_nationkey"]) in nk}
+    qual = sorted({int(r["sk"]) for r in pairs
+                   if int(r["sk"]) in s_name
+                   and int(r["qty"]) * n_sup[int(r["pk"])]
+                   > tot_q[int(r["pk"])]})
+    qual.sort(key=lambda s: (s_name[s], s))
+    return pa.table({
+        "s_suppkey": pa.array(qual, pa.int64()),
+        "s_name": pa.array([s_name[s] for s in qual], pa.string()),
+    })
+
+
+def q21_waiting_suppliers(lineitem: ray.data.Dataset,
+                          orders: ray.data.Dataset, supplier: pa.Table,
+                          nation: pa.Table,
+                          nation_name: str = "NATION_1",
+                          late_days: int = 90, k: int = 100) -> pa.Table:
+    """TPC-H-Q21-shaped waiting suppliers: for finalized ('F') orders,
+    count per supplier the orders where that supplier was the ONLY late
+    one among >= 2 distinct suppliers (``l_shipdate > o_orderdate +
+    late_days`` stands in for the absent receipt-vs-commit lateness).
+    The EXISTS / NOT-EXISTS pair becomes one tagged-union co-group on
+    orderkey (orders rows carry the order date; lineitem rows carry
+    (supplier, ship day)), with the per-order verdict fully vectorized
+    inside each group task; the survivor stream is supplier-cardinality
+    narrow rows.
+
+    -> (s_suppkey, s_name, numwait) ordered by (numwait desc, s_name),
+    top k — the reference's ORDER BY/LIMIT 100."""
+    day_us = 86_400_000_000
+
+    def proj_orders(batch: pa.Table) -> pa.Table:
+        st = batch["o_orderstatus"].to_numpy(zero_copy_only=False)
+        m = st == "F"
+        t = batch.filter(pa.array(m))
+        oday = t["o_orderdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) // day_us
+        return pa.table({
+            "key": t["o_orderkey"].cast(pa.int64()),
+            "sk": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+            "day": pa.array(oday, pa.int64())})
+
+    def proj_line(batch: pa.Table) -> pa.Table:
+        shipday = batch["l_shipdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) // day_us
+        return pa.table({
+            "key": batch["l_orderkey"].cast(pa.int64()),
+            "sk": batch["l_suppkey"].cast(pa.int64()),
+            "day": pa.array(shipday, pa.int64())})
+
+    tagged = orders.select_columns(
+        ["o_orderkey", "o_orderstatus", "o_orderdate"]) \
+        .map_batches(proj_orders, batch_format="pyarrow") \
+        .union(lineitem.select_columns(
+            ["l_orderkey", "l_suppkey", "l_shipdate"])
+            .map_batches(proj_line, batch_format="pyarrow"))
+
+    def per_order(g: pa.Table) -> pa.Table:
+        sk = g["sk"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        om = sk == -1
+        if not om.any():                      # non-'F' order: no row
+            return pa.table({"sk": pa.array([], pa.int64())})
+        oday = int(day[om][0])
+        lsk, lday = sk[~om], day[~om]
+        supps = np.unique(lsk)
+        if supps.size < 2:
+            return pa.table({"sk": pa.array([], pa.int64())})
+        late = np.unique(lsk[lday > oday + late_days])
+        if late.size != 1:
+            return pa.table({"sk": pa.array([], pa.int64())})
+        return pa.table({"sk": pa.array(late, pa.int64())})
+
+    counted = tagged.groupby("key") \
+        .map_groups(per_order, batch_format="pyarrow") \
+        .groupby("sk").aggregate(Count(alias_name="numwait")).take_all()
+
+    nk = {int(r["n_nationkey"]) for r in nation.to_pylist()
+          if r["n_name"] == nation_name}
+    s_name = {int(r["s_suppkey"]): r["s_name"]
+              for r in supplier.to_pylist()
+              if int(r["s_nationkey"]) in nk}
+    out = sorted(((int(r["numwait"]), s_name[int(r["sk"])], int(r["sk"]))
+                  for r in counted if int(r["sk"]) in s_name),
+                 key=lambda t: (-t[0], t[1], t[2]))[:k]
+    return pa.table({
+        "s_suppkey": pa.array([t[2] for t in out], pa.int64()),
+        "s_name": pa.array([t[1] for t in out], pa.string()),
+        "numwait": pa.array([t[0] for t in out], pa.int64()),
+    })
