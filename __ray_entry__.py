@@ -219,6 +219,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def exact_dedup(sf_dir):
         return dedup.exact_dedup(_documents_ds(sf_dir), DOCUMENTS_SPEC)
 
+    def line_dedup_clean(sf_dir):
+        """C4/Dolma corpus-wide line dedup: lines in >= 2 distinct docs
+        removed from every doc; per-doc removal counts + md5 witness of
+        the cleaned text (distinct-doc count shuffle + broadcast
+        dup-hash mask)."""
+        return dedup.line_dedup_clean(_documents_ds(sf_dir),
+                                      DOCUMENTS_SPEC)
+
     def top1_recovery(sf_dir):
         return relational.top1_recovery(_documents_ds(sf_dir), "doc_id")
 
@@ -3504,6 +3512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_and": bm25_topk_and,
         "bm25_sharded_serving": bm25_sharded_serving,
         "exact_dedup": exact_dedup,
+        "line_dedup_clean": line_dedup_clean,
         "top1_recovery": top1_recovery,
         "events_by_type": events_by_type,
         "lineitem_qty_by_flag": lineitem_qty_by_flag,
@@ -4816,6 +4825,26 @@ FROM ranked r JOIN documents d USING (doc_id) JOIN dl USING (doc_id)""",
 SELECT md5(text) AS content_md5, min(doc_id) AS rep_doc_id,
        count(*) AS n_dups
 FROM documents GROUP BY md5(text)""",
+
+        "line_dedup_clean": """
+WITH lines AS (
+  SELECT doc_id, unnest(ls) AS line,
+         unnest(range(len(ls))) AS i
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+        FROM documents)),
+dup AS (SELECT md5_number_lower(line) AS lh FROM lines
+        GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+kept AS (SELECT doc_id, i, line FROM lines
+         WHERE md5_number_lower(line) NOT IN (SELECT lh FROM dup)),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               md5(string_agg(line, chr(10) ORDER BY i)) AS clean_md5
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+       CAST(len(string_split(d.text, chr(10)))
+            - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(a.clean_md5, md5('')) AS clean_md5
+FROM documents d LEFT JOIN agg a USING (doc_id)""",
 
         "top1_recovery": """
 SELECT max(doc_id) AS max_id, count(*) AS n_rows FROM documents""",

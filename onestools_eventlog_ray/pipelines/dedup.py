@@ -2479,3 +2479,90 @@ def exact_substr_clean(ds: ray.data.Dataset,
     tbl = pa.Table.from_pylist(rows, schema=_CLEAN_SCHEMA) if rows \
         else _CLEAN_SCHEMA.empty_table()
     return tbl.sort_by([("doc_id", "ascending")])
+
+
+def line_dedup_clean(ds: ray.data.Dataset,
+                     spec: CorpusSpec = DOCUMENTS_SPEC,
+                     min_docs: int = 2) -> ray.data.Dataset:
+    """C4/Dolma-style corpus-wide LINE deduplication: a line occurring in
+    ``>= min_docs`` distinct documents is boilerplate; remove every
+    occurrence from every doc.  Distinct from :func:`exact_substr_spans`
+    (gram windows) and whole-doc :func:`exact_dedup` — this is the
+    newline-boundary variant the C4 paper applies ("three-sentence
+    span" relaxed to lines for code corpora).
+
+    Two-pass shape: pass A explodes docs into per-batch-distinct
+    ``(line_hash, doc_id)`` narrow rows (docs never span batches, so
+    batch-local dedup is global per doc) and ONE ``groupby(h).Count``
+    yields each line's distinct-doc count; the duplicate-hash set —
+    bounded by the number of distinct boilerplate lines, the small side
+    by construction — is broadcast sorted for pass B's vectorized
+    membership mask.  (If the boilerplate set ever outgrew broadcast, the
+    same rows feed a tagged-union co-group on ``h`` instead; downstream
+    unchanged.)  Line identity is ``md5_number_lower`` on BOTH sides, so
+    the DuckDB oracle reproduces the output bit-for-bit including any
+    64-bit collisions.
+
+    -> (doc_id, n_lines, n_removed, clean_md5) where clean_md5 hashes
+    the surviving lines re-joined with ``\\n`` in original order."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        b = add_doc_id(batch, spec)
+        content = b["content"]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        lines = pc.split_pattern(content, "\n")
+        parents = pc.list_parent_indices(lines).to_numpy(
+            zero_copy_only=False)
+        h = md5_lower64(lines.flatten()).view(np.int64)
+        doc = b["doc_id"].to_numpy(zero_copy_only=False)[parents]
+        pair = np.unique(np.stack([h, doc], axis=1), axis=0)
+        return pa.table({"h": pa.array(pair[:, 0], pa.int64()),
+                         "doc_id": pa.array(pair[:, 1], pa.int64())})
+
+    def only_dups(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch["n_docs"], min_docs)
+        return batch.filter(m).select(["h"])
+
+    dup_rows = ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby("h").aggregate(Count(alias_name="n_docs")) \
+        .map_batches(only_dups, batch_format="pyarrow").take_all()
+    dref = ray.put(np.asarray(sorted(int(r["h"]) for r in dup_rows),
+                              dtype=np.int64))
+
+    def clean(batch: pa.Table) -> pa.Table:
+        dups = ray.get(dref)
+        b = add_doc_id(batch, spec)
+        content = b["content"]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        lines = pc.split_pattern(content, "\n")
+        n_lines = pc.list_value_length(lines).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = lines.flatten()
+        parents = pc.list_parent_indices(lines).to_numpy(
+            zero_copy_only=False)
+        h = md5_lower64(flat).view(np.int64)
+        if dups.size:
+            pos = np.searchsorted(dups, h)
+            pos[pos >= dups.size] = 0
+            is_dup = dups[pos] == h
+        else:
+            is_dup = np.zeros(h.size, dtype=bool)
+        n_removed = np.zeros(len(content), dtype=np.int64)
+        np.add.at(n_removed, parents, is_dup.astype(np.int64))
+        texts = flat.to_pylist()
+        outs, start = [], 0
+        for n in n_lines.tolist():
+            seg = [texts[j] for j in range(start, start + n)
+                   if not is_dup[j]]
+            outs.append("\n".join(seg))
+            start += n
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_removed": pa.array(n_removed, pa.int64()),
+            "clean_md5": md5_hex_fast(outs),
+        })
+
+    return ds.map_batches(clean, batch_format="pyarrow")

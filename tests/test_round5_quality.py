@@ -189,3 +189,32 @@ def test_dfr_inl2_brute(ray_session, tmp_path_factory):
             expect[i + 1] = s
     want = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))
     assert eng.search_lm(TERMS, k=10, similarity="dfr_inl2") == want
+
+
+def test_line_dedup_clean_planted(ray_session):
+    import hashlib as _h
+
+    import ray.data
+    from onestools_eventlog_ray.pipelines.dedup import line_dedup_clean
+    docs = [
+        "keep me\nBOILER\nunique a",     # BOILER in docs 1+2 -> removed
+        "BOILER\nunique b\nBOILER",      # both occurrences removed
+        "solo\nsolo\nsolo",              # repeats WITHIN one doc only:
+                                         # 1 distinct doc -> kept
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(docs),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["t"] * 3),
+        "n_chars": pa.array([len(t) for t in docs], pa.int64()),
+    }))
+    got = {r["doc_id"]: r for r in
+           line_dedup_clean(ds, min_docs=2).take_all()}
+    assert (got[1]["n_lines"], got[1]["n_removed"]) == (3, 1)
+    assert got[1]["clean_md5"] == _h.md5(
+        "keep me\nunique a".encode()).hexdigest()
+    assert (got[2]["n_lines"], got[2]["n_removed"]) == (3, 2)
+    assert got[2]["clean_md5"] == _h.md5("unique b".encode()).hexdigest()
+    assert (got[3]["n_lines"], got[3]["n_removed"]) == (3, 0)
+    assert got[3]["clean_md5"] == _h.md5(docs[2].encode()).hexdigest()
