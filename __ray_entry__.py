@@ -590,6 +590,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sketch.cm_term_registers(_documents_ds(sf_dir),
                                         DOCUMENTS_SPEC, depth=4, width=1024)
 
+    def mg_heavy_hitters(sf_dir):
+        """Misra-Gries heavy hitters (mergeable-summaries form): exact
+        per-(doc_id%8) partition counts compressed to 32 counters each,
+        counter-addition merge, with the summed-decrement error bound
+        checked per reported term (within)."""
+        from onestools_eventlog_ray.pipelines import sketch
+        return sketch.mg_heavy_hitters(_documents_ds(sf_dir),
+                                       DOCUMENTS_SPEC, n_partitions=8,
+                                       n_counters=32, top=10)
+
+    def terms_set_q(sf_dir):
+        """ES terms_set query with minimum_should_match_field: per-doc
+        required count 1 + doc_id % 3 (documented stand-in field),
+        matched purely from the unioned postings."""
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        eng = SearchEngine(_ensure_index(sf_dir))
+        hits = eng.terms_set_matches(_BM25_TERMS, k=20, msm_mod=3)
+        import pyarrow as pa_
+        return pa_.table({
+            "rank": pa_.array(range(1, len(hits) + 1), pa_.int64()),
+            "doc_id": pa_.array([h[0] for h in hits], pa_.int64()),
+            "n_matched": pa_.array([h[1] for h in hits], pa_.int64()),
+            "msm_required": pa_.array([h[2] for h in hits], pa_.int64()),
+        })
+
     def hll_term_registers(sf_dir):
         """Mergeable HyperLogLog sketch of the distinct-term count:
         per-batch partial registers -> 2^b-row max-merge groupby.  The
@@ -3562,6 +3587,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_value_by_type": median_value_by_type,
         "distinct_users_by_type": distinct_users_by_type,
         "hll_term_registers": hll_term_registers,
+        "mg_heavy_hitters": mg_heavy_hitters,
+        "terms_set_q": terms_set_q,
         "asof_click_purchase": asof_click_purchase,
         "cm_term_registers": cm_term_registers,
         "bm25_compacted": bm25_compacted,
@@ -4899,6 +4926,45 @@ h AS (SELECT row_id,
       FROM tc CROSS JOIN r)
 SELECT row_id, col_id, CAST(sum(cnt) AS BIGINT) AS n
 FROM h GROUP BY row_id, col_id""",
+
+        "mg_heavy_hitters": f"""
+WITH toks AS ({_TOKS}),
+pc AS (SELECT doc_id % 8 AS p, term, count(*) AS c
+       FROM toks GROUP BY 1, 2),
+rk AS (SELECT p, term, c,
+              row_number() OVER (PARTITION BY p
+                                 ORDER BY c DESC, term ASC) AS rn
+       FROM pc),
+dd AS (SELECT p, coalesce(max(CASE WHEN rn = 33 THEN c END), 0) AS d
+       FROM rk GROUP BY p),
+est AS (SELECT term,
+               CAST(sum(greatest(c - dd.d, 0)) AS BIGINT) AS est_n
+        FROM pc JOIN dd USING (p) GROUP BY term
+        HAVING sum(greatest(c - dd.d, 0)) > 0),
+bound AS (SELECT CAST(sum(d) AS BIGINT) AS b FROM dd),
+tc AS (SELECT term, CAST(count(*) AS BIGINT) AS true_n
+       FROM toks GROUP BY term),
+heads AS (SELECT term, est_n FROM est
+          ORDER BY est_n DESC, term LIMIT 10)
+SELECT h.term, h.est_n, (SELECT b FROM bound) AS err_bound, t.true_n,
+       CAST(CASE WHEN h.est_n <= t.true_n
+                  AND t.true_n <= h.est_n + (SELECT b FROM bound)
+                 THEN 1 ELSE 0 END AS BIGINT) AS within
+FROM heads h JOIN tc t USING (term)
+ORDER BY est_n DESC, term""",
+
+        "terms_set_q": f"""
+WITH toks AS ({_TOKS}),
+m AS (SELECT doc_id, count(DISTINCT term) AS n_matched
+      FROM toks WHERE term IN ('spark', 'vector', 'window')
+      GROUP BY doc_id),
+q AS (SELECT doc_id, n_matched,
+             CAST(1 + doc_id % 3 AS BIGINT) AS msm_required
+      FROM m WHERE n_matched >= 1 + doc_id % 3)
+SELECT CAST(row_number() OVER (ORDER BY n_matched DESC, doc_id ASC)
+            AS BIGINT) AS rank,
+       doc_id, CAST(n_matched AS BIGINT) AS n_matched, msm_required
+FROM q ORDER BY n_matched DESC, doc_id ASC LIMIT 20""",
 
         "hll_term_registers": f"""
 WITH toks AS ({_TOKS}),

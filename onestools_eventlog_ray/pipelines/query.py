@@ -147,6 +147,36 @@ class SearchEngine:
         idx = pick_topk(tie)(scores[keep], uids[keep], k)
         return [(int(uids[keep][i]), float(scores[keep][i])) for i in idx]
 
+    def terms_set_matches(self, terms: list[str], k: int = 20,
+                          msm_mod: int = 3) -> list[tuple[int, int, int]]:
+        """ES ``terms_set`` query with a per-document
+        ``minimum_should_match_field``: a doc matches when it contains
+        at least ``msm(doc)`` distinct query terms, where the required
+        count is a stored per-doc field — derived here as
+        ``1 + doc_id % msm_mod`` (this corpus has no such column; the
+        derivation is the documented stand-in, reproduced by the SQL
+        oracle).  Pure postings math: per-doc distinct-term counts from
+        the unioned postings, a vectorized modular threshold, no text
+        access.  -> [(doc_id, n_matched, msm_required)] ordered by
+        (n_matched desc, doc_id asc), top k."""
+        uniq = sorted(set(terms))
+        loaded = self.load_terms(uniq)
+        parts = [codec.decode_posting(blob).doc_ids
+                 for _, blob in loaded.values()]
+        if not parts:
+            return []
+        uids, counts = np.unique(np.concatenate(parts),
+                                 return_counts=True)
+        if self.deleted.size:
+            live = ~np.isin(uids, self.deleted)
+            uids, counts = uids[live], counts[live]
+        msm = 1 + (uids % msm_mod)
+        m = counts >= msm
+        uids, counts, msm = uids[m], counts[m], msm[m]
+        order = np.lexsort((uids, -counts))[:k]
+        return [(int(uids[i]), int(counts[i]), int(msm[i]))
+                for i in order]
+
     def search_text(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Free-text query: run the SAME analyzer over the query string
         (ES analyzes queries with the field's analyzer), then score."""

@@ -439,3 +439,92 @@ def hdr_percentile_ranks(events: ray.data.Dataset,
         rows["rank_pct_e6"].append(n_le * 1_000_000 // total
                                    if total else 0)
     return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+
+def mg_heavy_hitters(ds: ray.data.Dataset,
+                     spec: CorpusSpec = DOCUMENTS_SPEC,
+                     n_partitions: int = 8, n_counters: int = 32,
+                     top: int = 10) -> pa.Table:
+    """Misra-Gries heavy hitters as a mergeable summary (Agarwal et al.,
+    "Mergeable Summaries", PODS'12): each of ``n_partitions``
+    deterministic partitions (``doc_id % P`` — batch-layout-independent,
+    unlike per-block summaries) compresses its EXACT term counts to at
+    most ``n_counters`` counters by subtracting the (k+1)-th largest
+    count ``d_p`` from every counter and dropping the non-positives.
+    Merging is counter addition, so ``est(t) = sum_p max(c_pt - d_p, 0)``
+    and every true count is bracketed by ``est <= true <= est +
+    sum_p d_p`` — the shipped ``err_bound``, checked row-by-row in the
+    output like the other estimators in this module (``within``).
+
+    100-TB shape: one (p, term, count) groupby over per-batch partials
+    (the A3 pattern), per-partition compression inside ``map_groups``
+    (each group is one partition's term histogram), and only the
+    <= P * (k+1) surviving counters + the exact counts of the reported
+    top terms reach the driver.
+
+    -> (term, est_n, err_bound, true_n, within) ordered by
+    (est_n desc, term asc), top ``top``."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum as RSum
+    from onestools_eventlog_ray.functions.analyzer import doc_term_table
+    from onestools_eventlog_ray.stages.normalize import add_doc_id
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = add_doc_id(batch, spec)
+        triples, _ = doc_term_table(b["doc_id"], b["content"])
+        p = pa.array(triples["doc_id"].to_numpy(zero_copy_only=False)
+                     % n_partitions, pa.int64())
+        t = pa.table({"p": p, "term": triples["term"],
+                      "tf": triples["tf"]})
+        return t.group_by(["p", "term"]).aggregate([("tf", "sum")]) \
+            .rename_columns(["p", "term", "c_p"])
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["p", "term"]) \
+        .aggregate(RSum("c_p", alias_name="c")).materialize()
+
+    def compress(g: pa.Table) -> pa.Table:
+        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = g["term"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms, -c))
+        d = int(c[order[n_counters]]) if c.size > n_counters else 0
+        est = c - d
+        keep = est > 0
+        n = int(keep.sum())
+        return pa.table({
+            "term": pa.array(terms[keep]),
+            "est_p": pa.array(est[keep], pa.int64()),
+            "d_p": pa.array(np.full(n, d, np.int64), pa.int64()),
+            "is_head": pa.array(
+                np.arange(n) == 0, pa.bool_()),   # one d row per part
+        })
+
+    summary = counts.groupby("p") \
+        .map_groups(compress, batch_format="pyarrow").take_all()
+    bound = sum(int(r["d_p"]) for r in summary if r["is_head"])
+    est: dict[str, int] = {}
+    for r in summary:
+        est[r["term"]] = est.get(r["term"], 0) + int(r["est_p"])
+    heads = sorted(est.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+    head_terms = sorted(t for t, _ in heads)
+
+    def true_partial(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["term"],
+                     value_set=pa.array(head_terms, pa.string()))
+        t = batch.filter(m)
+        return pa.table({"term": t["term"], "c": t["c"]})
+
+    true_rows = counts.map_batches(true_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(RSum("c", alias_name="true_n")) \
+        .take_all()
+    true_n = {r["term"]: int(r["true_n"]) for r in true_rows}
+    return pa.table({
+        "term": pa.array([t for t, _ in heads], pa.string()),
+        "est_n": pa.array([e for _, e in heads], pa.int64()),
+        "err_bound": pa.array([bound] * len(heads), pa.int64()),
+        "true_n": pa.array([true_n[t] for t, _ in heads], pa.int64()),
+        "within": pa.array(
+            [1 if e <= true_n[t] <= e + bound else 0
+             for t, e in heads], pa.int64()),
+    })

@@ -218,3 +218,62 @@ def test_line_dedup_clean_planted(ray_session):
     assert got[2]["clean_md5"] == _h.md5("unique b".encode()).hexdigest()
     assert (got[3]["n_lines"], got[3]["n_removed"]) == (3, 0)
     assert got[3]["clean_md5"] == _h.md5(docs[2].encode()).hexdigest()
+
+
+def test_mg_heavy_hitters_bound(ray_session):
+    import ray.data
+    from onestools_eventlog_ray.pipelines.sketch import mg_heavy_hitters
+    # planted zipf-ish corpus: "hot" dominates, long tail of singletons
+    docs = []
+    for i in range(40):
+        body = ["hot"] * 20 + ["warm"] * 5 + [f"tail{i}_{j}"
+                                              for j in range(30)]
+        docs.append(" ".join(body))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(1, 41), pa.int64()),
+        "text": pa.array(docs),
+        "lang": pa.array(["en"] * 40),
+        "source": pa.array(["t"] * 40),
+        "n_chars": pa.array([len(t) for t in docs], pa.int64()),
+    }))
+    out = mg_heavy_hitters(ds, n_partitions=4, n_counters=8, top=5)
+    rows = {r["term"]: r for r in out.to_pylist()}
+    # the true heavy hitters surface, estimates bracket the truth
+    assert out["term"].to_pylist()[0] == "hot"
+    assert rows["hot"]["true_n"] == 800
+    for r in rows.values():
+        assert r["est_n"] <= r["true_n"] <= r["est_n"] + r["err_bound"]
+        assert r["within"] == 1
+
+
+def test_terms_set_matches_planted(ray_session, tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.build import build_index
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+
+    texts = ["spark vector window",      # doc 1: 3 matched, msm 2 -> in
+             "spark vector window",      # doc 2: 3 matched, msm 3 -> in
+             "spark",                    # doc 3: 1 matched, msm 1 -> in
+             "spark vector",             # doc 4: 2 matched, msm 2 -> in
+             "vector",                   # doc 5: 1 matched, msm 3 -> out
+             "nothing here"]             # doc 6: 0 matched -> out
+    root = tmp_path_factory.mktemp("tset")
+    corpus = str(root / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(1, 7), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 6),
+        "source": pa.array(["t"] * 6),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), corpus)
+    idx = str(root / "idx")
+    build_index(corpus, idx, spec=DOCUMENTS_SPEC,
+                cfg=EngineConfig(num_partitions=2))
+    eng = SearchEngine(idx)
+    got = eng.terms_set_matches(["spark", "vector", "window"], k=20,
+                                msm_mod=3)
+    # msm(doc) = 1 + doc_id % 3: doc1->2, doc2->3, doc3->1, doc4->2,
+    # doc5->3, doc6->1
+    assert got == [(1, 3, 2), (2, 3, 3), (4, 2, 2), (3, 1, 1)]
