@@ -3245,6 +3245,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                           DOCUMENTS_SPEC, k=4, w=5) \
             .sort("doc_id")
 
+    def video_gif_features(sf_dir):
+        """REAL video decode: deterministic animated GIFs (pure-Python
+        LZW encode) -> StructCodec actor-pool decode -> feature table.
+        LZW decompression is not SQL-expressible, so this is a
+        rows-only driver check; pixel-exactness is pytest-verified
+        (test_round5_gif)."""
+        import ray.data
+        from onestools_eventlog_ray.stages.multimodal import (
+            StructCodec, extract_media_features, make_gif)
+        pal = np.array([[(j * 37) % 256, (j * 59) % 256, (j * 83) % 256]
+                        for j in range(8)], dtype=np.uint8)
+        payloads = []
+        for i in range(24):
+            h, w, nf = 6 + i % 5, 8 + i % 7, 1 + i % 4
+            frames = [((np.arange(w)[None, :] + np.arange(h)[:, None]
+                        + f + i) % 8).astype(np.uint8)
+                      for f in range(nf)]
+            payloads.append(make_gif(frames, pal))
+        ds = ray.data.from_arrow(pa.table({
+            "media_id": pa.array(range(24), pa.int64()),
+            "kind": pa.array(["video"] * 24),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "source_path": pa.array([f"v{i}.gif" for i in range(24)]),
+        }))
+        return extract_media_features(
+            ds, batch_size=8, concurrency=(1, 2),
+            codec_factory=StructCodec).sort("media_id")
+
     def media_frames(sf_dir):
         """Video frame-sampling plumbing: every 4th 256-byte frame
         window fingerprinted in an actor-pool stage (payloads never
@@ -3660,6 +3688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_histogram_pipeline": date_histogram_pipeline,
         "winnowed_fps": winnowed_fps,
         "media_frames": media_frames,
+        "video_gif_features": video_gif_features,
         "chunk_assignments": chunk_assignments,
         "quality_filter_counts": quality_filter_counts,
         "bigram_coherence": bigram_coherence,

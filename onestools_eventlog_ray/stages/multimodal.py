@@ -5,8 +5,9 @@ metadata struct, processed by actor-pool ``map_batches`` stages.  Two
 decoders ship behind the ``Codec`` protocol:
 
 - :class:`StructCodec` — a REAL pure-Python decoder (uncompressed
-  24-bit BMP images, 16-bit PCM WAV audio: full header parse +
-  pixel/sample decode), proving the seam with actual binary formats;
+  24-bit BMP images, 16-bit PCM WAV audio, animated-GIF video with
+  full LZW decompression: header parse + pixel/sample/frame decode),
+  proving the seam with actual binary formats across all three kinds;
 - :class:`FakeCodec` — a deterministic payload-derived stand-in for
   formats that need external libraries (JPEG/MP4/...; none exist in
   this container), exactly reproducible by the DuckDB oracle.
@@ -90,17 +91,18 @@ class FakeCodec:
 class StructCodec:
     """REAL pure-Python decoder proving the :class:`Codec` seam with
     actual binary formats (no external libs needed): uncompressed
-    24-bit BMP for ``kind='image'`` and 16-bit PCM WAV for
-    ``kind='audio'`` — full header parse + pixel/sample decode into the
-    same FEATURE_SCHEMA the stub emits.  ``video`` has no pure-Python
-    container format in this environment and raises
-    ``NotImplementedError`` (use :class:`FakeCodec` for the video
-    plumbing lane).  Feature vector (8 x float32):
+    24-bit BMP for ``kind='image'``, 16-bit PCM WAV for
+    ``kind='audio'`` and animated GIF (full LZW decompression,
+    global/local palettes) for ``kind='video'`` — full container parse
+    + pixel/sample decode into the same FEATURE_SCHEMA the stub emits.
+    Feature vector (8 x float32):
 
         image: [mean_B, mean_G, mean_R, std_all, min_all, max_all,
                 width/4096, height/4096]           (channel means /255)
         audio: [mean, rms, min, max, std, zero-cross rate,
                 n_samples/1e6, sample_rate/1e5]     (amplitudes /32768)
+        video: [mean_R, mean_G, mean_B, std_all, min_all, max_all,
+                width/4096, height/4096]  over all frames' own rects
     """
 
     def decode(self, payload: bytes, kind: str) -> dict:
@@ -108,9 +110,28 @@ class StructCodec:
             return self._decode_bmp(payload)
         if kind == "audio":
             return self._decode_wav(payload)
+        if kind == "video":
+            return self._decode_gif(payload)
         raise NotImplementedError(
-            "StructCodec decodes BMP images and PCM WAV audio only; "
-            f"kind={kind!r} needs a real media library")
+            "StructCodec decodes BMP images, PCM WAV audio and animated "
+            f"GIF video; kind={kind!r} needs a real media library")
+
+    @staticmethod
+    def _decode_gif(b: bytes) -> dict:
+        d = decode_gif(b)
+        frames = d["frames"]
+        if not frames:
+            raise ValueError("GIF with no image frames")
+        f = np.concatenate([fr.reshape(-1, 3) for fr in frames]) \
+            .astype(np.float32) / np.float32(255.0)
+        feature = np.array([
+            f[:, 0].mean(), f[:, 1].mean(), f[:, 2].mean(),
+            f.std(), f.min(), f.max(),
+            d["width"] / 4096.0, d["height"] / 4096.0,
+        ], dtype=np.float32)
+        return {"width": d["width"], "height": d["height"],
+                "n_frames": len(frames), "feature": feature,
+                "frames": frames}
 
     @staticmethod
     def _decode_bmp(b: bytes) -> dict:
@@ -318,3 +339,152 @@ def sample_media_frames(ds: ray.data.Dataset, frame_bytes: int = 256,
                           batch_size=batch_size, concurrency=concurrency,
                           fn_constructor_kwargs=dict(
                               frame_bytes=frame_bytes, stride=stride))
+
+
+# ---------------------------------------------------------------------------
+# round 5: REAL video decode — animated GIF (LZW), pure Python
+# ---------------------------------------------------------------------------
+
+def _lzw_decode(data: bytes, min_code_size: int) -> np.ndarray:
+    """GIF-flavoured LZW decompression (LSB-first variable-width codes,
+    CLEAR/EOI handling, dictionary growth to 4096) -> uint8 index array.
+    A per-frame Python loop over CODES (not pixels): each code appends a
+    whole string, so the loop count is the compressed length."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bits = np.unpackbits(
+        np.frombuffer(data, dtype=np.uint8), bitorder="little")
+    pos = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out: list[bytes] = []
+    prev: bytes | None = None
+    n_bits = bits.size
+    while pos + width <= n_bits:
+        code = int(bits[pos:pos + width] @ (1 << np.arange(width)))
+        pos += width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):                 # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.append(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return np.frombuffer(b"".join(out), dtype=np.uint8)
+
+
+def decode_gif(b: bytes) -> dict:
+    """Full animated-GIF parse: logical screen, global/local color
+    tables, per-frame LZW decode -> list of (h, w, 3) uint8 RGB frames
+    (each frame's own rect; compositing/disposal is the caller's
+    concern — feature extraction treats frames independently)."""
+    import struct
+    if len(b) < 14 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    frames = []
+    while pos < len(b):
+        blk = b[pos]
+        pos += 1
+        if blk == 0x3B:                          # trailer
+            break
+        if blk == 0x21:                          # extension: skip subblocks
+            pos += 1
+            while b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if blk != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{blk:02x}")
+        _l, _t, fw, fh, fpack = struct.unpack_from("<HHHHB", b, pos)
+        pos += 9
+        lct = gct
+        if fpack & 0x80:
+            n = 2 << (fpack & 0x07)
+            lct = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if fpack & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        if lct is None:
+            raise ValueError("GIF frame without a color table")
+        min_code = b[pos]
+        pos += 1
+        chunks = []
+        while b[pos]:
+            ln = b[pos]
+            chunks.append(b[pos + 1:pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(b"".join(chunks), min_code)[:fw * fh]
+        if idx.size < fw * fh:
+            raise ValueError("GIF frame pixel data truncated")
+        frames.append(lct[idx.reshape(fh, fw)])
+    return {"width": int(sw), "height": int(sh), "frames": frames}
+
+
+def make_gif(frames: list[np.ndarray], palette: np.ndarray) -> bytes:
+    """Encode (h, w) uint8 INDEX arrays + an (n, 3) palette as an
+    animated GIF89a.  The LZW stream is the classic no-growth encoding:
+    every pixel is emitted as its own literal code with a CLEAR inserted
+    before the decoder's table would force a width increase — valid
+    LZW that any decoder (including :func:`decode_gif`) accepts.  The
+    planted-payload writer for the video lane tests."""
+    import struct
+    n_col = len(palette)
+    cbits = max(2, int(np.ceil(np.log2(max(n_col, 2)))))
+    n_pad = 1 << cbits
+    pal = np.zeros((n_pad, 3), dtype=np.uint8)
+    pal[:n_col] = palette
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (cbits - 1), 0, 0)
+    out += pal.tobytes()
+    clear, eoi = 1 << cbits, (1 << cbits) + 1
+    width = cbits + 1
+    # table grows by 1 per emitted literal; CLEAR before it hits 2^width
+    budget = (1 << width) - (eoi + 1) - 1
+    for fr in frames:
+        assert fr.shape == (h, w)
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(cbits)
+        codes = [clear]
+        left = budget
+        for px in fr.reshape(-1).tolist():
+            if left == 0:
+                codes.append(clear)
+                left = budget
+            codes.append(int(px))
+            left -= 1
+        codes.append(eoi)
+        bits = np.zeros(len(codes) * width, dtype=np.uint8)
+        for i, c in enumerate(codes):
+            for j in range(width):
+                bits[i * width + j] = (c >> j) & 1
+        stream = np.packbits(bits, bitorder="little").tobytes()
+        for off in range(0, len(stream), 255):
+            chunk = stream[off:off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)                        # sub-block terminator
+    out.append(0x3B)
+    return bytes(out)

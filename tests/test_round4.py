@@ -395,8 +395,12 @@ def test_struct_codec_wav_hand_computed():
     assert abs(float(f[1]) - np.sqrt((s * s).mean())) < 1e-6
     assert abs(float(f[7]) - 0.08) < 1e-7                 # rate/1e5 (f32)
 
-    with pytest.raises(NotImplementedError):
+    # video is a real decoder since round 5 (animated GIF); garbage
+    # payloads fail the container check, unknown kinds stay explicit
+    with pytest.raises(ValueError):
         StructCodec().decode(b"????", "video")
+    with pytest.raises(NotImplementedError):
+        StructCodec().decode(b"????", "hologram")
 
 
 def test_media_pipeline_with_real_codec(ray_session):
