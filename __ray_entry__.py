@@ -615,6 +615,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "msm_required": pa_.array([h[2] for h in hits], pa_.int64()),
         })
 
+    def bm25_synonyms(sf_dir):
+        """ES synonym_graph at query time (Lucene SynonymQuery): each
+        group {spark,fast} {vector,column} {window,pane} scores as one
+        logical term — merged postings, union df, per-group e6
+        quantization.  'pane' is absent from the vocabulary on purpose
+        (absent surfaces contribute nothing)."""
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        eng = SearchEngine(_ensure_index(sf_dir))
+        hits = eng.search_synonyms(
+            [["spark", "fast"], ["vector", "column"],
+             ["window", "pane"]], k=10)
+        import pyarrow as pa_
+        return pa_.table({
+            "rank": pa_.array(range(1, len(hits) + 1), pa_.int64()),
+            "doc_id": pa_.array([h[0] for h in hits], pa_.int64()),
+            "score_e6": pa_.array([h[1] for h in hits], pa_.int64()),
+        })
+
     def hll_term_registers(sf_dir):
         """Mergeable HyperLogLog sketch of the distinct-term count:
         per-batch partial registers -> 2^b-row max-merge groupby.  The
@@ -3617,6 +3635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_term_registers": hll_term_registers,
         "mg_heavy_hitters": mg_heavy_hitters,
         "terms_set_q": terms_set_q,
+        "bm25_synonyms": bm25_synonyms,
         "asof_click_purchase": asof_click_purchase,
         "cm_term_registers": cm_term_registers,
         "bm25_compacted": bm25_compacted,
@@ -4981,6 +5000,32 @@ SELECT h.term, h.est_n, (SELECT b FROM bound) AS err_bound, t.true_n,
                  THEN 1 ELSE 0 END AS BIGINT) AS within
 FROM heads h JOIN tc t USING (term)
 ORDER BY est_n DESC, term""",
+
+        "bm25_synonyms": f"""
+WITH toks AS ({_TOKS}),
+syn(term, grp) AS (VALUES ('spark', 0), ('fast', 0), ('vector', 1),
+                          ('column', 1), ('window', 2), ('pane', 2)),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+gt AS (SELECT t.doc_id, s.grp, count(*) AS tf
+       FROM toks t JOIN syn s USING (term) GROUP BY 1, 2),
+gdf AS (SELECT grp, count(DISTINCT doc_id) AS df FROM gt GROUP BY grp),
+per AS (SELECT gt.doc_id,
+  GREATEST(CAST(floor(
+    ln(1 + ((SELECT n_docs FROM stats) - gdf.df + 0.5) / (gdf.df + 0.5))
+    * gt.tf * 2.2
+    / (gt.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+    * 1000000 + 0.5) AS BIGINT), 0) AS s_e6
+  FROM gt JOIN gdf USING (grp) JOIN dl USING (doc_id)),
+scored AS (SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS score_e6
+           FROM per GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id ASC)
+            AS BIGINT) AS rank,
+       doc_id, score_e6
+FROM scored ORDER BY score_e6 DESC, doc_id ASC LIMIT 10""",
 
         "terms_set_q": f"""
 WITH toks AS ({_TOKS}),

@@ -147,6 +147,58 @@ class SearchEngine:
         idx = pick_topk(tie)(scores[keep], uids[keep], k)
         return [(int(uids[keep][i]), float(scores[keep][i])) for i in idx]
 
+    def search_synonyms(self, groups: list[list[str]], k: int = 10
+                        ) -> list[tuple[int, int]]:
+        """ES query-time synonym expansion (``synonym_graph`` token
+        filter semantics, Lucene ``SynonymQuery``): each group of
+        surface forms scores as ONE logical term — postings are merged
+        (tf summed per doc), and a SINGLE BM25 contribution uses the
+        union's df.  A group's absent surfaces simply contribute no
+        postings.  Per-group contributions are e6-quantized BEFORE the
+        per-doc sum (integer fixed-point, order-safe), so the DuckDB
+        oracle — which canonicalizes tokens through the same synonym
+        map — matches bit-for-bit.
+
+        -> [(doc_id, score_e6)] by (score_e6 desc, doc_id asc), top k."""
+        all_terms = sorted({t for g in groups for t in g})
+        loaded = self.load_terms(all_terms)
+        ids_parts, e6_parts = [], []
+        for g in groups:
+            gi, gt, gd = [], [], []
+            for t in sorted(set(g)):
+                hit = loaded.get(t)
+                if hit is None:
+                    continue
+                post = codec.decode_posting(hit[1])
+                gi.append(post.doc_ids)
+                gt.append(post.tfs)
+                gd.append(post.dls)
+            if not gi:
+                continue
+            ids = np.concatenate(gi)
+            uids, first, inv = np.unique(ids, return_index=True,
+                                         return_inverse=True)
+            tf = np.zeros(uids.size, dtype=np.int64)
+            np.add.at(tf, inv, np.concatenate(gt))
+            dls = np.concatenate(gd)[first]
+            w = idf_fn(self.N, uids.size) \
+                * codec.bm25_impact(tf, dls, self.avgdl, self.k1, self.b)
+            e6 = np.maximum(
+                np.floor(w * 1_000_000 + 0.5).astype(np.int64), 0)
+            ids_parts.append(uids)
+            e6_parts.append(e6)
+        if not ids_parts:
+            return []
+        all_ids = np.concatenate(ids_parts)
+        uids, inv = np.unique(all_ids, return_inverse=True)
+        score = np.zeros(uids.size, dtype=np.int64)
+        np.add.at(score, inv, np.concatenate(e6_parts))
+        if self.deleted.size:
+            live = ~np.isin(uids, self.deleted)
+            uids, score = uids[live], score[live]
+        order = np.lexsort((uids, -score))[:k]
+        return [(int(uids[i]), int(score[i])) for i in order]
+
     def terms_set_matches(self, terms: list[str], k: int = 20,
                           msm_mod: int = 3) -> list[tuple[int, int, int]]:
         """ES ``terms_set`` query with a per-document

@@ -277,3 +277,58 @@ def test_terms_set_matches_planted(ray_session, tmp_path_factory):
     # msm(doc) = 1 + doc_id % 3: doc1->2, doc2->3, doc3->1, doc4->2,
     # doc5->3, doc6->1
     assert got == [(1, 3, 2), (2, 3, 3), (4, 2, 2), (3, 1, 1)]
+
+
+def test_search_synonyms_planted(ray_session, tmp_path_factory):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.build import build_index
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+
+    texts = ["spark engine", "fast engine", "spark fast engine",
+             "window pane glass", "nothing"]
+    root = tmp_path_factory.mktemp("syn")
+    corpus = str(root / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(1, 6), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 5),
+        "source": pa.array(["t"] * 5),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), corpus)
+    idx = str(root / "idx")
+    build_index(corpus, idx, spec=DOCUMENTS_SPEC,
+                cfg=EngineConfig(num_partitions=2))
+    eng = SearchEngine(idx)
+
+    toks = [t.split() for t in texts]
+    N, avgdl = 5, sum(len(d) for d in toks) / 5
+
+    def brute(groups):
+        out = {}
+        for g in groups:
+            per_doc = {}
+            for i, d in enumerate(toks):
+                tf = sum(d.count(t) for t in g)
+                if tf:
+                    per_doc[i + 1] = tf
+            df = len(per_doc)
+            for doc, tf in per_doc.items():
+                dl = len(toks[doc - 1])
+                w = math.log(1 + (N - df + 0.5) / (df + 0.5)) \
+                    * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                e6 = max(0, int(math.floor(w * 1_000_000 + 0.5)))
+                out[doc] = out.get(doc, 0) + e6
+        return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    # merged group: docs 1-3 all match {spark,fast} as ONE term (df=3);
+    # doc 3 has tf=2
+    groups = [["spark", "fast"], ["window", "absent_zzz"]]
+    assert eng.search_synonyms(groups, k=10) == brute(groups)
+    # a group whose every surface is absent contributes nothing
+    assert eng.search_synonyms([["absent_zzz", "missing_qqq"]], k=5) == []
+    # single-surface group == plain term scoring
+    assert eng.search_synonyms([["window"]], k=5) == brute([["window"]])
