@@ -159,6 +159,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         points, PSM reorder, md5 content witness per doc."""
         return text.fim_split(_documents_ds(sf_dir), DOCUMENTS_SPEC)
 
+    def word_dropout(sf_dir):
+        """Deterministic word-dropout augmentation: token i of doc d
+        dropped iff md5_lower64(f"{d}:{i}:{tok}") % 10 == 0; md5
+        witness of the surviving text (RNG-free, retry-stable)."""
+        return text.word_dropout(_documents_ds(sf_dir), DOCUMENTS_SPEC)
+
     def top_hits_by_lang(sf_dir):
         """ES top_hits sub-agg under a terms agg: top-3 docs per lang by
         (n_chars desc, doc_id asc); per-batch local top-k then a tiny
@@ -3576,6 +3582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_funnel": quality_funnel,
         "fim_split": fim_split,
         "top_hits_by_lang": top_hits_by_lang,
+        "word_dropout": word_dropout,
         "date_histogram_bucket_script": date_histogram_bucket_script,
         "term_topk": term_topk,
         "bm25_topk": bm25_topk,
@@ -4612,6 +4619,29 @@ SELECT doc_id,
   md5(substr(text, 1, lo) || chr(30) || substr(text, hi + 1)
       || chr(30) || substr(text, lo + 1, hi - lo)) AS psm_md5
 FROM g""",
+        "word_dropout": r"""
+WITH w AS (
+  SELECT doc_id, unnest(ws) AS tok, unnest(range(len(ws))) AS i,
+         len(ws) AS n_tokens
+  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+        FROM documents)),
+m AS (SELECT doc_id, tok, i, n_tokens,
+             (md5_number_lower(doc_id || ':' || i || ':' || tok)
+              % 10 = 0) AS dropped
+      FROM w),
+agg AS (SELECT doc_id,
+               CAST(count(*) FILTER (WHERE dropped) AS BIGINT)
+                 AS n_dropped,
+               md5(string_agg(tok, ' ' ORDER BY i)
+                   FILTER (WHERE NOT dropped)) AS kept_md5_nn
+        FROM m GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(regexp_extract_all(d.text, '\S+')) AS BIGINT)
+         AS n_tokens,
+       coalesce(a.n_dropped, 0) AS n_dropped,
+       coalesce(a.kept_md5_nn, md5('')) AS kept_md5
+FROM documents d LEFT JOIN agg a USING (doc_id)""",
+
         "top_hits_by_lang": """
 WITH r AS (SELECT lang, doc_id, n_chars,
   row_number() OVER (PARTITION BY lang

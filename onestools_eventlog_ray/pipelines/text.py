@@ -3120,3 +3120,65 @@ def top_hits_by_lang(ds: ray.data.Dataset, k: int = 3,
 
     return ds.map_batches(local, batch_format="pyarrow") \
              .groupby("lang").map_groups(topk, batch_format="pyarrow")
+
+
+def word_dropout(ds: ray.data.Dataset,
+                 spec: CorpusSpec = DOCUMENTS_SPEC,
+                 rate_mod: int = 10) -> ray.data.Dataset:
+    """Deterministic word-dropout augmentation (the classic robustness /
+    denoising-pretraining transform): token ``i`` of a doc is dropped
+    when ``md5_lower64(f"{doc_id}:{i}:{token}") % rate_mod == 0`` — an
+    expected 1/rate_mod dropout that is RNG-free, retry-stable and
+    reproduced exactly by the SQL oracle.  Tokens are the whitespace
+    words (``\\S+``), the survivor text is re-joined with single spaces
+    and witnessed by md5.
+
+    100-TB shape: one map_batches pass; the per-token hash is the
+    vectorized DuckDB-kernel md5, string rebuild is O(bytes).
+    -> (doc_id, n_tokens, n_dropped, kept_md5)."""
+    from onestools_eventlog_ray.functions.fasthash import (md5_hex_fast,
+                                                           md5_lower64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = add_doc_id(batch, spec)
+        content = b["content"]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(content)
+        toks = pc.split_pattern_regex(content, r"\s+")
+        flat = toks.flatten()
+        nonempty = pc.not_equal(flat, "")
+        flat_parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        keep0 = nonempty.to_numpy(zero_copy_only=False)
+        words = flat.filter(nonempty)
+        parents = flat_parents[keep0]
+        n_tokens = np.zeros(n, dtype=np.int64)
+        np.add.at(n_tokens, parents, 1)
+        # within-doc token index (tokens are emitted in doc order)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(n_tokens, out=offsets[1:])
+        idx = np.arange(parents.size, dtype=np.int64) - offsets[parents]
+        key = pc.binary_join_element_wise(
+            pa.array(doc_ids[parents].astype(str), pa.string()),
+            pa.array(idx.astype(str), pa.string()),
+            pc.cast(words, pa.string()),
+            pa.scalar(":", pa.string()))
+        dropped = md5_lower64(key) % np.uint64(rate_mod) == 0
+        n_dropped = np.zeros(n, dtype=np.int64)
+        np.add.at(n_dropped, parents, dropped.astype(np.int64))
+        kept_words = words.filter(pa.array(~dropped)).to_pylist()
+        outs, start = [], 0
+        for d in range(n):
+            cnt = int(n_tokens[d] - n_dropped[d])
+            outs.append(" ".join(kept_words[start:start + cnt]))
+            start += cnt
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_dropped": pa.array(n_dropped, pa.int64()),
+            "kept_md5": md5_hex_fast(outs),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

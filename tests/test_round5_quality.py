@@ -332,3 +332,35 @@ def test_search_synonyms_planted(ray_session, tmp_path_factory):
     assert eng.search_synonyms([["absent_zzz", "missing_qqq"]], k=5) == []
     # single-surface group == plain term scoring
     assert eng.search_synonyms([["window"]], k=5) == brute([["window"]])
+
+
+def test_word_dropout_planted(ray_session):
+    import hashlib as _h
+
+    import ray.data
+    from onestools_eventlog_ray.pipelines.text import word_dropout
+    docs = ["alpha beta gamma delta", "  spaced   out  words ", ""]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([7, 8, 9], pa.int64()),
+        "text": pa.array(docs),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["t"] * 3),
+        "n_chars": pa.array([len(t) for t in docs], pa.int64()),
+    }))
+    got = {r["doc_id"]: r for r in
+           word_dropout(ds, rate_mod=10).take_all()}
+    for did, txt in zip([7, 8, 9], docs):
+        words = re.findall(r"\S+", txt)
+        kept = []
+        n_drop = 0
+        for i, w in enumerate(words):
+            h = int.from_bytes(_h.md5(
+                f"{did}:{i}:{w}".encode()).digest()[8:16], "little")
+            if h % 10 == 0:
+                n_drop += 1
+            else:
+                kept.append(w)
+        r = got[did]
+        assert r["n_tokens"] == len(words)
+        assert r["n_dropped"] == n_drop
+        assert r["kept_md5"] == _h.md5(" ".join(kept).encode()).hexdigest()
