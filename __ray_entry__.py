@@ -1881,6 +1881,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         eng = SearchEngine(_ensure_index(sf_dir))
         return search_pinned(eng, _BM25_TERMS, [3, 11], k=10)
 
+    def simple_query_string(sf_dir):
+        """ES simple_query_string mini-language: '+spark win* value^2
+        -dup' — required term, prefix expansion (scoring_boolean
+        rewrite), boosted optional term, prohibited term — parsed by
+        pipelines/dsl.py and executed in one TAAT pass."""
+        from onestools_eventlog_ray.pipelines.dsl import (
+            simple_query_string as sqs)
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        eng = SearchEngine(_ensure_index(sf_dir))
+        return sqs(eng, "+spark win* value^2 -dup", k=10)
+
+    def wildcard_terms(sf_dir):
+        """ES wildcard query 's?a*' over the term dictionary (anchored:
+        * = any run, ? = one char) -> (term, df, cf)."""
+        from onestools_eventlog_ray.pipelines.query import (
+            wildcard_term_stats)
+        return wildcard_term_stats(_ensure_index(sf_dir), "s?a*") \
+            .sort("term")
+
     def es_dsl_search(sf_dir):
         """ES JSON query-DSL front end: bool{must: spark, should:
         vector window, filter: lang='en'} interpreted by
@@ -3772,6 +3791,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "l_diversity_report": l_diversity_report,
         "bm25_pinned": bm25_pinned,
         "es_dsl_search": es_dsl_search,
+        "simple_query_string": simple_query_string,
+        "wildcard_terms": wildcard_terms,
         "transform_rollup": transform_rollup,
         "mix_weights": mix_weights,
         "knn_filtered": knn_filtered,
@@ -7069,6 +7090,48 @@ SELECT CAST(row_number() OVER (ORDER BY ord) AS BIGINT) AS rank,
        CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6,
        pinned
 FROM uni ORDER BY rank""",
+
+        "simple_query_string": f"""
+WITH toks AS ({_TOKS}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+qt AS (SELECT DISTINCT term FROM toks
+       WHERE term IN ('spark', 'value') OR term LIKE 'win%'),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN (SELECT term FROM qt) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + ((SELECT n_docs FROM stats) - df.df + 0.5)
+                    / (df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                / (SELECT avgdl FROM stats)))
+              * CASE WHEN tf.term = 'value' THEN 2.0 ELSE 1.0 END
+            ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id),
+must AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+excl AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'dup'),
+kept AS (SELECT s.doc_id, s.score FROM scored s JOIN must USING (doc_id)
+         WHERE s.doc_id NOT IN (SELECT doc_id FROM excl))
+SELECT CAST(row_number() OVER (
+         ORDER BY CAST(floor(score * 1000000 + 0.5) AS BIGINT) DESC,
+                  doc_id ASC) AS BIGINT) AS rank,
+       doc_id,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6
+FROM kept ORDER BY score_e6 DESC, doc_id ASC LIMIT 10""",
+
+        "wildcard_terms": f"""
+WITH toks AS ({_TOKS})
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM toks WHERE term LIKE 's_a%'
+GROUP BY term ORDER BY term""",
 
         "es_dsl_search": f"""
 WITH toks AS ({_TOKS}),

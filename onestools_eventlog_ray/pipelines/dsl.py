@@ -67,7 +67,7 @@ def _parse(node: dict) -> dict:
     (kind, body), = node.items()
     plan = {"terms": [], "boosts": {}, "msm": 1, "mode": "sum",
             "tie_breaker": 0.0, "must_terms": [], "must_not_terms": [],
-            "where": {}, "pinned": []}
+            "must_any": [], "where": {}, "pinned": []}
     if kind == "match":
         terms, boost = _match_terms(body)
         plan["terms"] = terms
@@ -89,6 +89,21 @@ def _parse(node: dict) -> dict:
         return plan
     if kind == "bool":
         for q in body.get("must", []):
+            if "terms_or" in q:
+                # disjunctive required group (a rewritten multi-term
+                # clause, e.g. a required prefix): doc must match ANY
+                # member; every member still scores individually
+                (field, spec), = q["terms_or"].items()
+                ts = list(spec["terms"] if isinstance(spec, dict)
+                          else spec)
+                boost = (float(spec.get("boost", 1.0))
+                         if isinstance(spec, dict) else 1.0)
+                plan["must_any"].append(ts)
+                plan["terms"].extend(ts)
+                if boost != 1.0:
+                    for t in ts:
+                        plan["boosts"][t] = boost
+                continue
             terms, boost = _match_terms(q["match"])
             plan["must_terms"].extend(terms)
             plan["terms"].extend(terms)
@@ -153,6 +168,10 @@ def es_search(eng: SearchEngine, query: dict, k: int = 10) -> pa.Table:
             allowed = post if allowed is None \
                 else np.intersect1d(allowed, post, assume_unique=True)
         keep &= np.isin(ids, allowed)
+    for group in plan["must_any"]:
+        uni = np.unique(np.concatenate(
+            _posting_ids(eng, group) or [np.empty(0, np.int64)]))
+        keep &= np.isin(ids, uni)
     if plan["must_not_terms"]:
         exc = np.unique(np.concatenate(
             _posting_ids(eng, plan["must_not_terms"])
@@ -195,3 +214,104 @@ def es_search(eng: SearchEngine, query: dict, k: int = 10) -> pa.Table:
             [int(np.floor(s * 1_000_000 + 0.5)) for s in scores],
             pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# simple_query_string — the Lucene mini-language front end
+# ---------------------------------------------------------------------------
+
+_SQS_BOOST = None  # compiled lazily (module import stays regex-free)
+
+
+def parse_simple_query_string(query: str,
+                              default_operator: str = "or") -> list[dict]:
+    """Parse the ES ``simple_query_string`` mini-language into clause
+    dicts ``{"op", "text", "boost", "prefix"}``.
+
+    Supported syntax (the subset meaningful without a positions
+    sidecar; quoted phrases raise — use ``search_phrase`` /
+    ``bm25_phrase_boost`` for those):
+
+    * ``+token``   -> required (``op="must"``)
+    * ``-token``   -> prohibited (``op="must_not"``)
+    * ``token``    -> optional (``op="should"``; with
+      ``default_operator="and"`` every optional clause becomes must —
+      ES's ``default_operator`` knob)
+    * ``token^2``  -> per-clause boost
+    * ``tok*``     -> prefix clause, expanded against the term
+      dictionary at execution time (scoring_boolean rewrite: each
+      expansion scores as a regular term)
+
+    Tokens are run through the index analyzer, so ``Spark,`` and
+    ``spark`` are the same clause."""
+    import re
+    global _SQS_BOOST
+    if _SQS_BOOST is None:
+        _SQS_BOOST = re.compile(r"\^(\d+(?:\.\d+)?)$")
+    if '"' in query:
+        raise DslError("quoted phrases are not supported by "
+                       "simple_query_string here; use search_phrase")
+    clauses: list[dict] = []
+    for raw in query.split():
+        op = "should"
+        if raw.startswith("+"):
+            op, raw = "must", raw[1:]
+        elif raw.startswith("-"):
+            op, raw = "must_not", raw[1:]
+        if op == "should" and default_operator.lower() == "and":
+            op = "must"
+        boost = 1.0
+        m = _SQS_BOOST.search(raw)
+        if m:
+            boost, raw = float(m.group(1)), raw[:m.start()]
+        prefix = raw.endswith("*")
+        if prefix:
+            raw = raw[:-1]
+        toks = tokenize_py(raw)
+        if len(toks) != 1:
+            raise DslError(f"clause {raw!r} must analyze to one token")
+        clauses.append({"op": op, "text": toks[0], "boost": boost,
+                        "prefix": prefix})
+    return clauses
+
+
+def simple_query_string(eng: SearchEngine, query: str, k: int = 10,
+                        default_operator: str = "or",
+                        max_expansions: int = 50) -> pa.Table:
+    """ES ``simple_query_string`` executed against this engine:
+    parse the mini-language, expand prefix clauses against the term
+    dictionary (``expand_prefix_terms`` — range-filtered dictionary-page
+    skim, posting blobs pruned), assemble the equivalent ``bool`` node
+    and run it through :func:`es_search` (ONE TAAT pass; must/must_not
+    gating df-bounded).  -> (rank, doc_id, score_e6).
+
+    Prefix clauses use the scoring_boolean rewrite: every expansion
+    contributes its own BM25 weight x the clause boost, so the SQL
+    oracle (``term LIKE 'pre%'``) reproduces scores exactly."""
+    from onestools_eventlog_ray.pipelines.query import expand_prefix_terms
+
+    def _match(term: str, boost: float) -> dict:
+        if boost != 1.0:
+            return {"match": {"text": {"query": term, "boost": boost}}}
+        return {"match": {"text": term}}
+
+    buckets: dict[str, list[dict]] = {"must": [], "should": [],
+                                      "must_not": []}
+    for cl in parse_simple_query_string(query, default_operator):
+        terms = ([cl["text"]] if not cl["prefix"]
+                 else expand_prefix_terms(eng.index_dir, cl["text"],
+                                          max_expansions))
+        if not terms and cl["op"] == "must":
+            # a required prefix that expands to nothing matches nothing
+            return pa.table({"rank": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "score_e6": pa.array([], pa.int64())})
+        if cl["op"] == "must" and len(terms) > 1:
+            # required multi-term rewrite: ANY expansion satisfies it
+            buckets["must"].append({"terms_or": {"text": {
+                "terms": terms, "boost": cl["boost"]}}})
+            continue
+        for t in terms:
+            buckets[cl["op"]].append(_match(t, cl["boost"]))
+    node = {"bool": {kk: v for kk, v in buckets.items() if v}}
+    return es_search(eng, node, k=k)

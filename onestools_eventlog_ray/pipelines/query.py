@@ -1308,6 +1308,50 @@ def regexp_term_stats(index_dir: str, pattern: str):
         .map_batches(fn, batch_format="pyarrow")
 
 
+def wildcard_term_stats(index_dir: str, pattern: str):
+    """ES ``wildcard`` query over the term dictionary: ``*`` matches any
+    run of characters, ``?`` exactly one, every other character is
+    literal, and the whole pattern is anchored at both ends (ES wildcard
+    semantics — NOT a substring search).  Compiles the pattern to an
+    anchored RE2 and reuses the distributed dictionary scan of
+    :func:`regexp_term_stats` -> Dataset of (term, df, cf).
+
+    Reference parity: the ES ``wildcard`` query the reference's users
+    issue against the indexed event text (OneSTools.EventLog exports to
+    ElasticSearch; wildcard is part of that query surface)."""
+    import re as _re
+    parts = []
+    for ch in pattern:
+        parts.append(".*" if ch == "*" else "." if ch == "?"
+                     else _re.escape(ch))
+    return regexp_term_stats(index_dir, "^" + "".join(parts) + "$")
+
+
+def expand_prefix_terms(index_dir: str, prefix: str,
+                        max_expansions: int = 50) -> list[str]:
+    """Dictionary terms of the MAIN index starting with ``prefix``
+    (sorted, capped at ``max_expansions``) — the multi-term rewrite used
+    by query-time prefix clauses (``simple_query_string`` ``foo*``).
+
+    Serving-path shape: a driver-local range-filtered read of each
+    shard's dictionary pages (posting blobs pruned by the column
+    projection), same as :meth:`SearchEngine.load_terms`.  For a
+    dictionary too large to skim per query, :func:`prefix_term_stats`
+    is the distributed variant of the same scan."""
+    import glob
+    if not prefix:
+        return []
+    upper = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+    found: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(index_dir, "shards",
+                                              "part-*.parquet"))):
+        tbl = pq.read_table(path, columns=["term"],
+                            filters=[("term", ">=", prefix),
+                                     ("term", "<", upper)])
+        found.update(tbl["term"].to_pylist())
+    return sorted(found)[:max_expansions]
+
+
 def facet_stats(index_dir: str, term: str, by: str = "lang",
                 metric_col: str = "n_chars"):
     """ES terms-aggregation WITH a metric sub-aggregation: for every
