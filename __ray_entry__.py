@@ -2084,6 +2084,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["event_type", "user_id"])
         return sketch.hll_users_by_type(ev, b=8)
 
+    def kmv_distinct_cells(sf_dir):
+        """KMV / bottom-k theta sketch: distinct (user, hour-of-day)
+        activity cells per event type with the 3-sigma error gate
+        (mergeable k-min partials; exact count from the same narrow
+        hash rows)."""
+        from onestools_eventlog_ray.pipelines import sketch
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                      columns=["ts", "user_id", "event_type"])
+        return sketch.kmv_distinct_cells(ev, k=256)
+
+    def theta_set_ops(sf_dir):
+        """Theta-sketch set operations: |click ∩ purchase| and
+        |click ∪ purchase| activity-cell estimates from two KMV(64)
+        sketches alone, gated against exact counts from one narrow
+        hash-flag groupby."""
+        from onestools_eventlog_ray.pipelines import sketch
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                      columns=["ts", "user_id", "event_type"])
+        return sketch.theta_intersection_report(ev, "click", "purchase",
+                                                k=64)
+
     def q5_region_revenue(sf_dir):
         """TPC-H-Q5-shaped five-way join: same-nation customer/supplier
         revenue per ASIA nation; pivoted co-group, exact e4."""
@@ -3846,6 +3867,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_ntile_by_type": value_ntile_by_type,
         "value_cume_dist": value_cume_dist,
         "hll_users_by_type": hll_users_by_type,
+        "kmv_distinct_cells": kmv_distinct_cells,
+        "theta_set_ops": theta_set_ops,
         "q5_region_revenue": q5_region_revenue,
         "term_vectors_doc": term_vectors_doc,
         "contamination_matrix": contamination_matrix,
@@ -7714,6 +7737,106 @@ r AS (SELECT event_type, bucket,
       FROM v)
 SELECT event_type, bucket, max(rho) AS max_rho
 FROM r GROUP BY event_type, bucket""",
+
+        "kmv_distinct_cells": """
+WITH cells AS (
+  SELECT DISTINCT event_type,
+         user_id * 24 + CAST(EXTRACT(hour FROM ts) AS BIGINT) AS cell
+  FROM events),
+h AS (SELECT DISTINCT event_type,
+        CAST(md5_number_lower(CAST(cell AS VARCHAR)) >> 1 AS BIGINT) AS h
+      FROM cells),
+r AS (SELECT event_type, h,
+        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+        count(*) OVER (PARTITION BY event_type) AS n
+      FROM h),
+s AS (SELECT event_type,
+        CAST(max(n) AS BIGINT) AS n_exact,
+        max(CASE WHEN rn = 256 THEN h END) AS theta_k
+      FROM r GROUP BY event_type),
+fin AS (SELECT event_type, n_exact,
+        CAST(coalesce(theta_k, 9223372036854775807) AS BIGINT) AS theta,
+        CAST(CASE WHEN theta_k IS NULL THEN n_exact
+                  ELSE 255 * CAST('9223372036854775808' AS HUGEINT)
+                       // theta_k END AS BIGINT) AS est
+      FROM s)
+SELECT event_type, CAST(256 AS BIGINT) AS k, n_exact, theta, est,
+       CAST(CASE WHEN CAST(est - n_exact AS HUGEINT)
+                      * CAST(est - n_exact AS HUGEINT) * 254
+                      <= 9 * CAST(n_exact AS HUGEINT)
+                           * CAST(n_exact AS HUGEINT)
+                 THEN 1 ELSE 0 END AS BIGINT) AS within
+FROM fin ORDER BY event_type""",
+
+        "theta_set_ops": """
+WITH cells AS (
+  SELECT DISTINCT event_type,
+         user_id * 24 + CAST(EXTRACT(hour FROM ts) AS BIGINT) AS cell
+  FROM events WHERE event_type IN ('click', 'purchase')),
+h AS (SELECT DISTINCT event_type,
+        CAST(md5_number_lower(CAST(cell AS VARCHAR)) >> 1 AS BIGINT) AS h
+      FROM cells),
+ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+       FROM h WHERE event_type = 'click'),
+rb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+       FROM h WHERE event_type = 'purchase'),
+ta AS (SELECT coalesce(max(CASE WHEN rn = 64 THEN h END),
+                       9223372036854775807) AS theta FROM ra),
+tb AS (SELECT coalesce(max(CASE WHEN rn = 64 THEN h END),
+                       9223372036854775807) AS theta FROM rb),
+tu AS (SELECT least((SELECT theta FROM ta),
+                    (SELECT theta FROM tb)) AS theta),
+sa AS (SELECT h FROM ra WHERE rn < 64),
+sb AS (SELECT h FROM rb WHERE rn < 64),
+sau AS (SELECT h FROM sa WHERE h < (SELECT theta FROM tu)),
+sbu AS (SELECT h FROM sb WHERE h < (SELECT theta FROM tu)),
+si AS (SELECT h FROM sau INTERSECT SELECT h FROM sbu),
+su AS (SELECT h FROM sau UNION SELECT h FROM sbu),
+ex AS (SELECT
+        (SELECT count(*) FROM ra) AS exact_a,
+        (SELECT count(*) FROM rb) AS exact_b,
+        (SELECT count(*) FROM (SELECT h FROM ra INTERSECT
+                               SELECT h FROM rb)) AS exact_i,
+        (SELECT count(*) FROM (SELECT h FROM ra UNION
+                               SELECT h FROM rb)) AS exact_u),
+est AS (SELECT
+  CAST((SELECT count(*) FROM sa)
+       * CAST('9223372036854775808' AS HUGEINT)
+       // (SELECT theta FROM ta) AS BIGINT) AS est_a,
+  CAST((SELECT count(*) FROM sb)
+       * CAST('9223372036854775808' AS HUGEINT)
+       // (SELECT theta FROM tb) AS BIGINT) AS est_b,
+  CAST((SELECT count(*) FROM si)
+       * CAST('9223372036854775808' AS HUGEINT)
+       // (SELECT theta FROM tu) AS BIGINT) AS est_i,
+  CAST((SELECT count(*) FROM su)
+       * CAST('9223372036854775808' AS HUGEINT)
+       // (SELECT theta FROM tu) AS BIGINT) AS est_u)
+SELECT CAST(64 AS BIGINT) AS k,
+       CAST(exact_a AS BIGINT) AS exact_a,
+       CAST(exact_b AS BIGINT) AS exact_b,
+       CAST(exact_i AS BIGINT) AS exact_intersection,
+       CAST(exact_u AS BIGINT) AS exact_union,
+       est_a, est_b,
+       est_i AS est_intersection,
+       est_u AS est_union,
+       CAST(CASE WHEN exact_u = 0 THEN 0
+            ELSE exact_i * 1000000 // exact_u END AS BIGINT)
+         AS jaccard_exact_e6,
+       CAST(CASE WHEN est_u = 0 THEN 0
+            ELSE est_i * 1000000 // est_u END AS BIGINT)
+         AS jaccard_est_e6,
+       CAST(CASE WHEN CAST(est_i - exact_i AS HUGEINT)
+                      * CAST(est_i - exact_i AS HUGEINT) * 62
+                      <= 9 * CAST(exact_u AS HUGEINT)
+                           * CAST(exact_u AS HUGEINT)
+                 THEN 1 ELSE 0 END AS BIGINT) AS within_intersection,
+       CAST(CASE WHEN CAST(est_u - exact_u AS HUGEINT)
+                      * CAST(est_u - exact_u AS HUGEINT) * 62
+                      <= 9 * CAST(exact_u AS HUGEINT)
+                           * CAST(exact_u AS HUGEINT)
+                 THEN 1 ELSE 0 END AS BIGINT) AS within_union
+FROM ex, est""",
 
         "q5_region_revenue": """
 WITH rev AS (

@@ -528,3 +528,225 @@ def mg_heavy_hitters(ds: ray.data.Dataset,
             [1 if e <= true_n[t] <= e + bound else 0
              for t, e in heads], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketches — distinct counting with set operations
+# ---------------------------------------------------------------------------
+
+_HASH_SPACE = 1 << 63        # exclusive upper bound of the 63-bit hash space
+# exact-path theta: 2^63 - 1 fits int64, and |S| * 2^63 // (2^63 - 1)
+# == |S| for any realistic |S| — the estimator degrades to exact
+_THETA_EXACT = (1 << 63) - 1
+
+
+def _cell_hashes(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(event_type, 63-bit md5 hash of the activity cell) per row.
+    Cell = user_id * 24 + hour(ts) — one distinct value per (user, hour
+    of day); the universe a KMV sketch counts here."""
+    import pyarrow.compute as pc
+    hour = pc.hour(batch["ts"]).cast(pa.int64())
+    cell = pc.add(pc.multiply(batch["user_id"], 24), hour)
+    h = (md5_lower64(pc.cast(cell, pa.string())) >> np.uint64(1)) \
+        .astype(np.int64)
+    return batch["event_type"].to_numpy(zero_copy_only=False), h
+
+
+def _kmv_fold(hashes: np.ndarray, k: int) -> tuple[int, np.ndarray]:
+    """(theta, retained set) of the KMV(k) sketch over DISTINCT hashes:
+    theta = k-th smallest (1-indexed) when estimating, else the full
+    hash space; retained = values strictly below theta."""
+    u = np.unique(hashes)
+    if u.size < k:
+        return _THETA_EXACT, u
+    theta = int(u[k - 1])
+    return theta, u[:k - 1]
+
+
+def kmv_distinct_cells(events: ray.data.Dataset, k: int = 256
+                       ) -> pa.Table:
+    """KMV (k-minimum-values / bottom-k theta) distinct-count sketch per
+    event type over the (user, hour-of-day) activity cells, WITH its
+    error gate — the mergeable distinct counter whose sketches also
+    support set operations (see :func:`theta_intersection_report`).
+
+    Estimator (Bar-Yossef et al. 2002 / Beyer et al. 2007): keep the k
+    smallest distinct 63-bit hashes; ``est = |S| * 2^63 // theta`` where
+    ``theta`` = the k-th smallest and ``S`` = values strictly below it
+    (the formula degrades to the EXACT count when the universe is
+    smaller than k, because theta becomes the full hash space).
+
+    100-TB shape: each batch emits at most k rows per type it saw (its
+    local k-min of distinct hashes) — the mergeable partial; one tiny
+    ``groupby(event_type)`` folds partials (merge = k-min of the
+    union).  The exact count used by the gate is a calibration-time
+    distinct fold over the same narrow (type, hash) rows — convention
+    shared with ``cm_error_report`` / ``hdr_quantile_error``.
+
+    Gate: ``(est - exact)^2 * (k - 2) <= 9 * exact^2`` — the
+    3-standard-deviation band of the KMV relative error 1/sqrt(k-2),
+    in exact integer math.
+
+    -> (event_type, k, n_exact, theta, est, within) by event_type.
+
+    (The mergeable per-batch k-min partial path is
+    :func:`kmv_sketch_of`; a test asserts folding those partials yields
+    the same (theta, S) as the direct k-min this report computes.)"""
+
+    def finalize(g: pa.Table) -> pa.Table:
+        t = g["event_type"][0].as_py()
+        hashes = g["h"].to_numpy(zero_copy_only=False)
+        theta, kept = _kmv_fold(hashes, k)
+        n_exact = int(np.unique(hashes).size)
+        est = int(kept.size) * _HASH_SPACE // theta
+        within = 1 if (est - n_exact) ** 2 * (k - 2) <= 9 * n_exact ** 2 \
+            else 0
+        return pa.table({
+            "event_type": pa.array([t], pa.string()),
+            "k": pa.array([k], pa.int64()),
+            "n_exact": pa.array([n_exact], pa.int64()),
+            "theta": pa.array([theta], pa.int64()),
+            "est": pa.array([est], pa.int64()),
+            "within": pa.array([within], pa.int64()),
+        })
+
+    # exact gate needs the true distinct set, so the fold consumes the
+    # UNCAPPED distinct rows (calibration convention); the capped
+    # partial above is the pure-sketch path exercised by tests
+    def full_rows(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import \
+            pin_worker_threads
+        pin_worker_threads()
+        if batch.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "h": pa.array([], pa.int64())})
+        et, h = _cell_hashes(batch)
+        keys = pa.table({"event_type": pa.array(et, pa.string()),
+                         "h": pa.array(h, pa.int64())})
+        import pyarrow.compute as pc
+        return keys.group_by(["event_type", "h"]).aggregate([]) \
+            if keys.num_rows else keys
+
+    rows = events.map_batches(full_rows, batch_format="pyarrow")
+    out = rows.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow").to_pandas()
+    out = out.sort_values("event_type").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def kmv_sketch_of(events: ray.data.Dataset, event_type: str, k: int
+                  ) -> tuple[int, np.ndarray]:
+    """Driver-side KMV(k) sketch of one event type's activity cells:
+    fold the per-batch k-min partials (<= k rows each) — the mergeable
+    path, no full distinct set materializes."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import \
+            pin_worker_threads
+        pin_worker_threads()
+        import pyarrow.compute as pc
+        b = batch.filter(pc.equal(batch["event_type"], event_type))
+        if b.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64())})
+        _, h = _cell_hashes(b)
+        return pa.table({"h": pa.array(np.unique(h)[:k], pa.int64())})
+
+    parts = events.map_batches(partial, batch_format="pyarrow").take_all()
+    hashes = np.array([r["h"] for r in parts], dtype=np.int64)
+    return _kmv_fold(hashes, k)
+
+
+def theta_intersection_report(events: ray.data.Dataset, type_a: str,
+                              type_b: str, k: int = 64) -> pa.Table:
+    """Theta-sketch SET OPERATIONS (union / intersection a-la Apache
+    DataSketches): estimate |A ∩ B| and |A ∪ B| of two event types'
+    distinct activity-cell sets from their KMV(k) sketches alone, gated
+    against the exact counts.
+
+    * union:        theta_u = min(theta_a, theta_b);
+                    S_u = {h ∈ S_a ∪ S_b : h < theta_u};
+                    est = |S_u| * 2^63 // theta_u
+    * intersection: same theta_u; S_i = S_a ∩ S_b below theta_u.
+
+    Exact sets never ship: sketches fold from per-batch k-min partials;
+    the exact gate counts come from one narrow (hash -> seen-in-a /
+    seen-in-b flag) groupby.  Error gates use the union-scaled
+    3-sigma band ``(est - exact)^2 * (k - 2) <= 9 * exact_union^2``
+    (theta intersection error scales with the UNION size).
+
+    -> one row (k, exact_a, exact_b, exact_intersection, exact_union,
+    est_a, est_b, est_intersection, est_union, jaccard_exact_e6,
+    jaccard_est_e6, within_intersection, within_union)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max as RMax
+
+    theta_a, sa = kmv_sketch_of(events, type_a, k)
+    theta_b, sb = kmv_sketch_of(events, type_b, k)
+    theta_u = min(theta_a, theta_b)
+    s_a = sa[sa < theta_u]
+    s_b = sb[sb < theta_u]
+    s_i = np.intersect1d(s_a, s_b, assume_unique=True)
+    s_u = np.union1d(s_a, s_b)
+    est_a = int(sa.size) * _HASH_SPACE // theta_a
+    est_b = int(sb.size) * _HASH_SPACE // theta_b
+    est_i = int(s_i.size) * _HASH_SPACE // theta_u
+    est_u = int(s_u.size) * _HASH_SPACE // theta_u
+
+    def flags(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import \
+            pin_worker_threads
+        pin_worker_threads()
+        b = batch.filter(pc.is_in(batch["event_type"],
+                                  pa.array([type_a, type_b])))
+        if b.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "in_a": pa.array([], pa.int64()),
+                             "in_b": pa.array([], pa.int64())})
+        et, h = _cell_hashes(b)
+        t = pa.table({
+            "h": pa.array(h, pa.int64()),
+            "in_a": pa.array((et == type_a).astype(np.int64), pa.int64()),
+            "in_b": pa.array((et == type_b).astype(np.int64), pa.int64()),
+        })
+        g = t.group_by("h").aggregate([("in_a", "max"), ("in_b", "max")])
+        return g.select(["h", "in_a_max", "in_b_max"]) \
+            .rename_columns(["h", "in_a", "in_b"])
+
+    folded = events.map_batches(flags, batch_format="pyarrow") \
+        .groupby("h").aggregate(RMax("in_a", alias_name="a"),
+                                RMax("in_b", alias_name="b"))
+
+    def tally(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "na": pa.array([int(a.sum())], pa.int64()),
+            "nb": pa.array([int(b.sum())], pa.int64()),
+            "ni": pa.array([int((a & b).sum())], pa.int64()),
+            "nu": pa.array([batch.num_rows], pa.int64()),
+        })
+
+    tt = folded.map_batches(tally, batch_format="pyarrow").to_pandas()
+    exact_a, exact_b = int(tt["na"].sum()), int(tt["nb"].sum())
+    exact_i, exact_u = int(tt["ni"].sum()), int(tt["nu"].sum())
+
+    def gate(est: int, exact: int) -> int:
+        return 1 if (est - exact) ** 2 * (k - 2) <= 9 * exact_u ** 2 else 0
+
+    jx = exact_i * 1_000_000 // exact_u if exact_u else 0
+    je = est_i * 1_000_000 // est_u if est_u else 0
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "exact_a": pa.array([exact_a], pa.int64()),
+        "exact_b": pa.array([exact_b], pa.int64()),
+        "exact_intersection": pa.array([exact_i], pa.int64()),
+        "exact_union": pa.array([exact_u], pa.int64()),
+        "est_a": pa.array([est_a], pa.int64()),
+        "est_b": pa.array([est_b], pa.int64()),
+        "est_intersection": pa.array([est_i], pa.int64()),
+        "est_union": pa.array([est_u], pa.int64()),
+        "jaccard_exact_e6": pa.array([jx], pa.int64()),
+        "jaccard_est_e6": pa.array([je], pa.int64()),
+        "within_intersection": pa.array([gate(est_i, exact_i)], pa.int64()),
+        "within_union": pa.array([gate(est_u, exact_u)], pa.int64()),
+    })
