@@ -165,6 +165,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         witness of the surviving text (RNG-free, retry-stable)."""
         return text.word_dropout(_documents_ds(sf_dir), DOCUMENTS_SPEC)
 
+    def span_corruption(sf_dir):
+        """Deterministic T5 span corruption: fixed spans of 3 tokens,
+        span g of doc d corrupted iff md5(f"{d}:g:{g}") % 100 < 15;
+        inputs get <extra_id_K> sentinels, targets restore the spans +
+        closing sentinel; both witnessed by md5 (bytes-exact oracle)."""
+        return text.span_corruption(_documents_ds(sf_dir), DOCUMENTS_SPEC)
+
     def top_hits_by_lang(sf_dir):
         """ES top_hits sub-agg under a terms agg: top-3 docs per lang by
         (n_chars desc, doc_id asc); per-batch local top-k then a tiny
@@ -3623,6 +3630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fim_split": fim_split,
         "top_hits_by_lang": top_hits_by_lang,
         "word_dropout": word_dropout,
+        "span_corruption": span_corruption,
         "date_histogram_bucket_script": date_histogram_bucket_script,
         "term_topk": term_topk,
         "bm25_topk": bm25_topk,
@@ -4685,6 +4693,65 @@ SELECT d.doc_id,
        coalesce(a.n_dropped, 0) AS n_dropped,
        coalesce(a.kept_md5_nn, md5('')) AS kept_md5
 FROM documents d LEFT JOIN agg a USING (doc_id)""",
+
+        "span_corruption": r"""
+WITH w AS (
+  SELECT doc_id, unnest(ws) AS tok, unnest(range(len(ws))) AS i
+  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+        FROM documents)),
+t AS (SELECT doc_id, tok, i, i // 3 AS g,
+             (md5_number_lower(doc_id || ':g:' || (i // 3)) % 100 < 15)
+               AS corr
+      FROM w),
+gs AS (SELECT doc_id, g, min(i) AS gstart, bool_or(corr) AS corr
+       FROM t GROUP BY doc_id, g),
+kk AS (SELECT doc_id, g, gstart, corr,
+              CAST(coalesce(sum(CASE WHEN corr THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY g
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS k
+       FROM gs),
+agg AS (SELECT doc_id,
+               CAST(count(*) FILTER (WHERE corr) AS BIGINT) AS n_spans
+        FROM gs GROUP BY doc_id),
+mask AS (SELECT doc_id,
+                CAST(count(*) FILTER (WHERE corr) AS BIGINT) AS n_masked
+         FROM t GROUP BY doc_id),
+emit_in AS (
+  SELECT t.doc_id, t.i AS ord, t.tok AS s
+  FROM t JOIN gs USING (doc_id, g) WHERE NOT gs.corr
+  UNION ALL
+  SELECT doc_id, gstart AS ord, '<extra_id_' || k || '>' AS s
+  FROM kk WHERE corr),
+inputs AS (SELECT doc_id,
+                  md5(string_agg(s, ' ' ORDER BY ord)) AS inputs_md5
+           FROM emit_in GROUP BY doc_id),
+emit_tg AS (
+  SELECT t.doc_id, t.g, t.i AS pos, t.tok AS s
+  FROM t JOIN gs USING (doc_id, g) WHERE gs.corr
+  UNION ALL
+  SELECT doc_id, g, -1 AS pos, '<extra_id_' || k || '>' AS s
+  FROM kk WHERE corr
+  UNION ALL
+  SELECT doc_id, 9223372036854775807 AS g, 0 AS pos,
+         '<extra_id_' || n_spans || '>' AS s
+  FROM agg),
+targets AS (SELECT doc_id,
+                   md5(string_agg(s, ' ' ORDER BY g, pos))
+                     AS targets_md5
+            FROM emit_tg GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(regexp_extract_all(d.text, '\S+')) AS BIGINT)
+         AS n_tokens,
+       coalesce(a.n_spans, 0) AS n_spans,
+       coalesce(m.n_masked, 0) AS n_masked,
+       coalesce(i.inputs_md5, md5('')) AS inputs_md5,
+       coalesce(t2.targets_md5, md5('<extra_id_0>')) AS targets_md5
+FROM documents d
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN mask m USING (doc_id)
+LEFT JOIN inputs i USING (doc_id)
+LEFT JOIN targets t2 USING (doc_id)""",
 
         "top_hits_by_lang": """
 WITH r AS (SELECT lang, doc_id, n_chars,

@@ -3182,3 +3182,116 @@ def word_dropout(ds: ray.data.Dataset,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def span_corruption(ds: ray.data.Dataset,
+                    spec: CorpusSpec = DOCUMENTS_SPEC,
+                    span_len: int = 3, noise_pct: int = 15
+                    ) -> ray.data.Dataset:
+    """Deterministic T5-style SPAN CORRUPTION (Raffel et al. 2020): the
+    denoising-pretraining transform that masks contiguous token spans
+    and emits (inputs with sentinels, targets that restore the spans).
+
+    SQL-exact determinism: tokens (whitespace words) are grouped into
+    fixed spans ``g = i // span_len``; span g of a doc is corrupted iff
+    ``md5_lower64(f"{doc_id}:g:{g}") % 100 < noise_pct`` — an expected
+    ``noise_pct``% token mask with mean span length ``span_len``,
+    RNG-free and retry-stable.  Corrupted span K (0-based, in doc
+    order) is replaced in the INPUTS by the single token
+    ``<extra_id_K>``; the TARGETS are ``<extra_id_0> span0 tokens
+    <extra_id_1> span1 tokens ... <extra_id_n>`` with the closing
+    sentinel always present (T5 convention — a doc with nothing
+    corrupted has targets ``<extra_id_0>``).  Both strings are
+    witnessed by md5 so the oracle verifies the BYTES, not just counts.
+
+    100-TB shape: one map_batches pass, vectorized hashing (DuckDB md5
+    kernel) + numpy span bookkeeping; only the per-doc join is a
+    Python loop (same shape as :func:`word_dropout`).
+    -> (doc_id, n_tokens, n_spans, n_masked, inputs_md5, targets_md5)."""
+    from onestools_eventlog_ray.functions.fasthash import (md5_hex_fast,
+                                                           md5_lower64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = add_doc_id(batch, spec)
+        content = b["content"]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(content)
+        toks = pc.split_pattern_regex(content, r"\s+")
+        flat = toks.flatten()
+        nonempty = pc.not_equal(flat, "")
+        flat_parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        keep0 = nonempty.to_numpy(zero_copy_only=False)
+        words = np.asarray(flat.filter(nonempty).to_pylist(), dtype=object)
+        parents = flat_parents[keep0]
+        n_tokens = np.zeros(n, dtype=np.int64)
+        np.add.at(n_tokens, parents, 1)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(n_tokens, out=offsets[1:])
+        idx = np.arange(parents.size, dtype=np.int64) - offsets[parents]
+        g = idx // span_len
+        key = pc.binary_join_element_wise(
+            pa.array(doc_ids[parents].astype(str), pa.string()),
+            pa.array(["g"] * parents.size, pa.string()),
+            pa.array(g.astype(str), pa.string()),
+            pa.scalar(":", pa.string()))
+        corr = (md5_lower64(key) % np.uint64(100)
+                < np.uint64(noise_pct))
+        gstart = (idx % span_len) == 0            # first token of span
+        corr_gs = (corr & gstart).astype(np.int64)
+        cum = np.cumsum(corr_gs)
+        exc = np.concatenate([[0], cum])          # exclusive prefix
+        doc_base = exc[offsets[parents]]          # corrupted spans before doc
+        # K of each token's span (valid where corr): inclusive count at
+        # the token minus the doc base minus the span's own start mark
+        k_tok = cum - doc_base - corr.astype(np.int64)
+        n_spans = np.zeros(n, dtype=np.int64)
+        np.add.at(n_spans, parents, corr_gs)
+        n_masked = np.zeros(n, dtype=np.int64)
+        np.add.at(n_masked, parents, corr.astype(np.int64))
+        sent = np.array([f"<extra_id_{k}>" for k in k_tok], dtype=object)
+        # inputs: uncorrupted words, sentinels at corrupted span starts
+        in_keep = ~corr | (corr & gstart)
+        in_tok = np.where(corr, sent, words)[in_keep]
+        in_par = parents[in_keep]
+        # targets: sentinel before each corrupted span, then its words
+        tg_words = words[corr]
+        tg_wpar = parents[corr]
+        tg_sent = sent[corr & gstart]
+        tg_spar = parents[corr & gstart]
+        inputs, targets = [], []
+        i_in = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(i_in[1:], in_par, 1)
+        np.cumsum(i_in, out=i_in)
+        # per-doc assembly (targets interleave sentinel + span words in
+        # token order — rebuild by walking the doc's corrupted tokens)
+        w_off = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(w_off[1:], tg_wpar, 1)
+        np.cumsum(w_off, out=w_off)
+        s_off = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(s_off[1:], tg_spar, 1)
+        np.cumsum(s_off, out=s_off)
+        corr_idx = idx[corr]
+        for d in range(n):
+            inputs.append(" ".join(in_tok[i_in[d]:i_in[d + 1]]))
+            parts_t = []
+            si = s_off[d]
+            for j in range(w_off[d], w_off[d + 1]):
+                if corr_idx[j] % span_len == 0:
+                    parts_t.append(tg_sent[si])
+                    si += 1
+                parts_t.append(tg_words[j])
+            parts_t.append(f"<extra_id_{int(n_spans[d])}>")
+            targets.append(" ".join(parts_t))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_spans": pa.array(n_spans, pa.int64()),
+            "n_masked": pa.array(n_masked, pa.int64()),
+            "inputs_md5": md5_hex_fast(inputs),
+            "targets_md5": md5_hex_fast(targets),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
