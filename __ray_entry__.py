@@ -2886,6 +2886,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.dup_graph_triangles(_documents_ds(sf_dir),
                                          DOCUMENTS_SPEC, min_jaccard=0.2)
 
+    def kcore_nodes(sf_dir):
+        """2-core of the verified near-dup graph by 4 bounded peeling
+        rounds (degree groupby + broadcast removed-id edge filter per
+        round) — the template-farm node set for drop-all dedup."""
+        return dedup.kcore_report(_documents_ds(sf_dir), DOCUMENTS_SPEC,
+                                  k=2, rounds=4, min_jaccard=0.2)
+
+    def cep_kleene(sf_dir):
+        """CEP Kleene-plus pattern click (view)+ purchase with strict
+        contiguity (MATCH_RECOGNIZE PATTERN (A B+ C)): per-user match
+        counts + view-run length stats, one vectorized in-group pass."""
+        from onestools_eventlog_ray.pipelines import streaming
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                      columns=["user_id", "ts", "event_id", "event_type"])
+        return streaming.cep_kleene_plus(ev)
+
     def bool_count(sf_dir):
         """ES bool query in filter context: ((spark AND vector) OR
         (window AND NOT merge)) evaluated as df-bounded sorted-set
@@ -3952,6 +3968,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_3paths": event_3paths,
         "bm25_quality": bm25_quality,
         "dup_triangles": dup_triangles,
+        "kcore_nodes": kcore_nodes,
+        "cep_kleene": cep_kleene,
         "bool_count": bool_count,
         "ann_recall_curve": ann_recall_curve,
         "reindex_diff": reindex_diff,
@@ -4384,6 +4402,48 @@ bandh AS (
   SELECT doc_id, CAST(perm_id // {rpb} AS BIGINT) AS band_id,
          CAST(CAST(({fold}) AS UBIGINT) >> 1 AS BIGINT) AS band_hash
   FROM mins GROUP BY doc_id, perm_id // {rpb})"""
+
+
+def _kcore_sql(k: int = 2, rounds: int = 4) -> str:
+    """Unrolled k-core peeling over the verified near-dup pair graph
+    (the same minhash CTE + jaccard >= 0.2 edge set as dup_triangles):
+    each round removes nodes with degree < k and their incident edges;
+    output = degrees of the surviving subgraph."""
+    # every e_i / d_i is MATERIALIZED: the default inlined CTEs would
+    # re-evaluate the expensive minhash chain once per reference, which
+    # compounds exponentially across peel rounds
+    rounds_sql = ""
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        rounds_sql += f""",
+en{i} AS (SELECT doc_a AS x FROM {prev} UNION ALL
+          SELECT doc_b FROM {prev}),
+d{i} AS MATERIALIZED (SELECT x, count(*) AS c FROM en{i} GROUP BY x),
+rm{i} AS (SELECT x FROM d{i} WHERE c < {k}),
+e{i} AS MATERIALIZED (SELECT doc_a, doc_b FROM {prev}
+         WHERE doc_a NOT IN (SELECT x FROM rm{i})
+           AND doc_b NOT IN (SELECT x FROM rm{i}))"""
+        prev = f"e{i}"
+    return f"""
+WITH {_minhash_cte()},
+sets AS (SELECT doc_id, list_distinct(list(CAST(h AS BIGINT))) AS hs
+         FROM shh GROUP BY doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bandh a JOIN bandh b
+           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id),
+e0 AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+         SELECT doc_a, doc_b,
+                CAST(floor(len(list_intersect(sa.hs, sb.hs)) * 1.0
+                           / len(list_distinct(sa.hs || sb.hs))
+                           * 1000000 + 0.5) AS BIGINT) AS jaccard_e6
+         FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
+                   JOIN sets sb ON sb.doc_id = cand.doc_b)
+       WHERE jaccard_e6 >= 200000){rounds_sql},
+enf AS (SELECT doc_a AS x FROM {prev} UNION ALL
+        SELECT doc_b FROM {prev})
+SELECT x AS doc_id, CAST(count(*) AS BIGINT) AS degree
+FROM enf GROUP BY x ORDER BY doc_id"""
 
 
 def _planes_values(dim: int, nbits: int, seed: int, tables: int = 1) -> str:
@@ -8662,6 +8722,28 @@ SELECT CAST((SELECT nr FROM nrel) AS BIGINT) AS n_relevant,
        CAST(CASE WHEN (SELECT v FROM idcg) > 0
                  THEN (SELECT v FROM dcg) * 1000000 // (SELECT v FROM idcg)
                  ELSE 0 END AS BIGINT) AS ndcg_e6""",
+
+        "kcore_nodes": _kcore_sql(k=2, rounds=4),
+
+        "cep_kleene": """
+WITH seq AS (SELECT user_id, event_type,
+        row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn
+      FROM events),
+nb AS (SELECT user_id, event_type, rn,
+        min(CASE WHEN event_type <> 'view' THEN rn END) OVER
+          (PARTITION BY user_id ORDER BY rn
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS stop_rn
+       FROM seq),
+m AS (SELECT a.user_id, a.stop_rn - a.rn - 1 AS run_len
+      FROM nb a JOIN seq s2
+        ON s2.user_id = a.user_id AND s2.rn = a.stop_rn
+      WHERE a.event_type = 'click' AND s2.event_type = 'purchase'
+        AND a.stop_rn > a.rn + 1)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(sum(run_len) AS BIGINT) AS sum_runlen,
+       CAST(max(run_len) AS BIGINT) AS max_runlen
+FROM m GROUP BY user_id ORDER BY user_id""",
 
         "dup_triangles": f"""
 WITH {_minhash_cte()},

@@ -2566,3 +2566,79 @@ def line_dedup_clean(ds: ray.data.Dataset,
         })
 
     return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def kcore_report(ds: ray.data.Dataset,
+                 spec: CorpusSpec = DOCUMENTS_SPEC,
+                 k: int = 2, rounds: int = 4,
+                 min_jaccard: float = 0.2,
+                 **minhash_kwargs) -> pa.Table:
+    """k-CORE of the verified near-dup graph by ``rounds`` rounds of
+    bounded degree peeling: each round removes every node whose degree
+    in the surviving subgraph is below ``k``, then drops its incident
+    edges.  The k-core (the maximal subgraph where every node keeps
+    >= k neighbours) separates tight duplicate FAMILIES from chance
+    pairs more sharply than raw degree — the node set a drop-all dedup
+    policy should treat as template farms.
+
+    Bounded-round semantics (documented, oracle-matched): exactly
+    ``rounds`` peels run; on the near-dup graphs this engine mines,
+    peeling converges in 2-3 rounds (a test asserts convergence — the
+    last round removes nothing — and that the survivors all keep
+    degree >= k).
+
+    100-TB shape: the pair graph comes from the distributed miner
+    (:func:`minhash_verified_pairs`); each round is one narrow
+    endpoint groupby for degrees plus an edge filter against the
+    broadcast removed-id array (ids only — O(pair-graph nodes), the
+    small side by construction, same convention as
+    :func:`dedup_clusters`'s driver path).
+
+    -> (doc_id, degree) of the surviving subgraph, by doc_id."""
+    from ray.data.aggregate import Sum as _Sum
+
+    edges = minhash_verified_pairs(ds, spec, min_jaccard=min_jaccard,
+                                   **minhash_kwargs) \
+        .select_columns(["doc_a", "doc_b"]).materialize()
+
+    def _degrees(removed: np.ndarray):
+        rm_ref = ray.put(np.sort(removed))
+
+        def deg_partial(batch: pa.Table, _ref=rm_ref) -> pa.Table:
+            rm = ray.get(_ref)
+            a = batch["doc_a"].to_numpy(zero_copy_only=False)
+            b = batch["doc_b"].to_numpy(zero_copy_only=False)
+            keep = ~(np.isin(a, rm) | np.isin(b, rm))
+            ends = np.concatenate([a[keep], b[keep]])
+            nodes, cnt = np.unique(ends, return_counts=True)
+            return pa.table({"node": pa.array(nodes, pa.int64()),
+                             "c": pa.array(cnt, pa.int64())})
+
+        df = edges.map_batches(deg_partial, batch_format="pyarrow") \
+            .groupby("node").aggregate(_Sum("c", alias_name="deg")) \
+            .to_pandas()
+        if "deg" not in df.columns:     # empty edge set loses the schema
+            import pandas as pd
+            df = pd.DataFrame({"node": np.empty(0, np.int64),
+                               "deg": np.empty(0, np.int64)})
+        return df
+
+    # exactly `rounds` removal rounds (early-exit when converged), then
+    # one final degree pass over the surviving subgraph — matching the
+    # unrolled SQL oracle round for round
+    removed = np.empty(0, dtype=np.int64)
+    for _ in range(rounds):
+        degs = _degrees(removed)
+        low = degs[degs["deg"] < k]["node"].to_numpy()
+        if low.size == 0:
+            break
+        removed = np.union1d(removed, low.astype(np.int64))
+    degs = _degrees(removed)
+    if len(degs) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "degree": pa.array([], pa.int64())})
+    out = degs.sort_values("node").reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(out["node"].to_numpy(), pa.int64()),
+        "degree": pa.array(out["deg"].to_numpy(), pa.int64()),
+    })

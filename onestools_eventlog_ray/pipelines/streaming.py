@@ -1015,6 +1015,58 @@ def cep_no_interruption(ds: ray.data.Dataset, first: str = "click",
     })
 
 
+def cep_kleene_plus(ds: ray.data.Dataset, first: str = "click",
+                    middle: str = "view", last: str = "purchase"
+                    ) -> ray.data.Dataset:
+    """CEP KLEENE-PLUS pattern — ``A B+ C`` with STRICT contiguity
+    (MATCH_RECOGNIZE ``PATTERN (A B+ C)`` / FlinkCEP ``oneOrMore``):
+    in a user's event stream ordered by (ts, event_id), a match is a
+    ``first`` event immediately followed by one or more ``middle``
+    events and then a ``last`` event — the browse-run-to-purchase
+    shape (click, >= 1 views, purchase, nothing else in between).
+
+    Same distributed shape as the other CEP operators here:
+    ``groupby(user)`` + one vectorized in-group pass — the index of
+    each event's NEXT non-``middle`` event comes from one
+    ``searchsorted`` against the non-middle positions, so a match is
+    ``et[i] == A  and  nxt[i] > i+1  and  et[nxt[i]] == C`` and the
+    B-run length is ``nxt[i] - i - 1``; no Python loop over events.
+
+    -> (user_id, n_matches, sum_runlen, max_runlen), matching users
+    only, by user_id."""
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        et = et[order]
+        n = et.size
+        nonb = np.flatnonzero(et != middle)
+        # next strictly-after non-middle position for every index
+        nxt_idx = np.searchsorted(nonb, np.arange(n), side="right")
+        has = nxt_idx < nonb.size
+        nxt = np.where(has, nonb[np.minimum(nxt_idx, nonb.size - 1)], -1)
+        match = (et == first) & has & (nxt > np.arange(n) + 1)
+        match &= np.where(match, et[np.maximum(nxt, 0)] == last, False)
+        if not match.any():
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_matches": pa.array([], pa.int64()),
+                             "sum_runlen": pa.array([], pa.int64()),
+                             "max_runlen": pa.array([], pa.int64())})
+        runs = (nxt - np.arange(n) - 1)[match]
+        return pa.table({
+            "user_id": pa.array([int(g["user_id"][0].as_py())],
+                                pa.int64()),
+            "n_matches": pa.array([int(match.sum())], pa.int64()),
+            "sum_runlen": pa.array([int(runs.sum())], pa.int64()),
+            "max_runlen": pa.array([int(runs.max())], pa.int64()),
+        })
+
+    return ds.select_columns(["user_id", "ts", "event_id", "event_type"]) \
+        .groupby("user_id").map_groups(per_user, batch_format="pyarrow") \
+        .sort("user_id")
+
+
 def date_histogram_bucket_script(ds: ray.data.Dataset,
                                  num_type: str = "purchase",
                                  den_type: str = "click",
