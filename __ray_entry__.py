@@ -3243,6 +3243,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "min_dist": pa.array([m for _, m in hits], pa.int64()),
         })
 
+    def intervals_q(sf_dir):
+        """ES intervals query (match rule, ordered: true, max_gaps=8):
+        'spark' then 'vector' then 'window' in order with at most 8
+        tokens of slack; per doc the minimal gap count via the greedy
+        searchsorted chain over the positions sidecar."""
+        from onestools_eventlog_ray.config import EngineConfig
+        from onestools_eventlog_ray.pipelines.phrase import (
+            PhraseEngine, build_position_index, intervals_ordered)
+        from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+        index_dir = _ensure_index(sf_dir)
+        if not os.path.isdir(os.path.join(index_dir, "positions")):
+            build_position_index(
+                os.path.join(sf_dir, "documents.parquet"), index_dir,
+                spec=DOCUMENTS_SPEC, cfg=EngineConfig(num_partitions=16))
+        hits = intervals_ordered(PhraseEngine(index_dir),
+                                 ["spark", "vector", "window"],
+                                 max_gaps=8)
+        return pa.table({
+            "doc_id": pa.array([d for d, _ in hits], pa.int64()),
+            "min_gaps": pa.array([g for _, g in hits], pa.int64()),
+        })
+
+    def epoch_shuffle(sf_dir):
+        """Deterministic per-epoch training order: rank of doc d in
+        epoch e = position of md5(f'e{e}:{d}') in the epoch's sorted
+        key order — distributed ordered-rank via top-bits range
+        offsets, no global sort."""
+        return text.epoch_shuffle(_documents_ds(sf_dir), DOCUMENTS_SPEC,
+                                  epochs=2)
+
     def rare_terms_q(sf_dir):
         """ES rare_terms agg: dictionary terms with df <= 100
         (the long tail below the common-vocabulary band)."""
@@ -3768,6 +3798,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_page2": composite_page2,
         "percolate_matches": percolate_matches,
         "span_near_sv": span_near_sv,
+        "intervals_q": intervals_q,
+        "epoch_shuffle": epoch_shuffle,
         "rare_terms_q": rare_terms_q,
         "term_adjacency": term_adjacency,
         "substring_grep": substring_grep,
@@ -6367,6 +6399,33 @@ m AS (SELECT a.doc_id, min(abs(a.g - b.g)) AS min_dist
 SELECT doc_id, CAST(min_dist AS BIGINT) AS min_dist
 FROM m WHERE min_dist <= 3
 ORDER BY min_dist, doc_id""",
+        "intervals_q": """
+WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9_]+'), x -> x <> '') AS l FROM documents),
+p AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS g, l
+      FROM tok WHERE len(l) > 0),
+a AS (SELECT doc_id, g FROM p WHERE l[g] = 'spark'),
+b AS (SELECT doc_id, g FROM p WHERE l[g] = 'vector'),
+c AS (SELECT doc_id, g FROM p WHERE l[g] = 'window'),
+m AS (SELECT a.doc_id, min(c.g - a.g - 2) AS min_gaps
+      FROM a JOIN b ON b.doc_id = a.doc_id AND b.g > a.g
+             JOIN c ON c.doc_id = b.doc_id AND c.g > b.g
+      GROUP BY a.doc_id)
+SELECT doc_id, CAST(min_gaps AS BIGINT) AS min_gaps
+FROM m WHERE min_gaps <= 8
+ORDER BY min_gaps, doc_id""",
+
+        "epoch_shuffle": """
+WITH e AS (SELECT unnest([0, 1]) AS epoch),
+k AS (SELECT epoch, doc_id,
+        CAST(md5_number_lower('e' || epoch || ':' || doc_id) >> 1
+             AS BIGINT) AS h
+      FROM documents CROSS JOIN e)
+SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+       CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+            - 1 AS BIGINT) AS rank
+FROM k ORDER BY epoch, rank""",
+
         "rare_terms_q": f"""
 WITH toks AS ({_TOKS})
 SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df

@@ -377,6 +377,54 @@ def span_near(eng: PhraseEngine, term_a: str, term_b: str,
     return [(int(d), int(m)) for m, d in out]
 
 
+def intervals_ordered(eng: PhraseEngine, terms: list[str],
+                      max_gaps: int = 4) -> list[tuple[int, int]]:
+    """Lucene/ES ``intervals`` query, ``match`` rule with
+    ``ordered: true`` + ``max_gaps``: documents containing ALL query
+    terms in the given order within a window that has at most
+    ``max_gaps`` other tokens inside it.  A doc's score here is its
+    MINIMAL achievable gap count ``min(p_n - p_1 - (n-1))`` over
+    ordered position tuples ``p_1 < p_2 < ... < p_n``.
+
+    Vectorized greedy chain (optimal: for a fixed start, taking the
+    smallest valid next position at every level minimizes the end):
+    every level is ONE ``searchsorted`` of the current chain keys into
+    the next term's sorted (doc*2^32 + pos) keys, so the scan is
+    O(sum tf · log tf) with no per-doc Python.  Positions come from
+    the same shard-pruned sidecar reads as exact phrase.
+    -> [(doc_id, min_gaps)] with min_gaps <= max_gaps,
+    (gaps asc, doc asc)."""
+    if len(terms) < 2:
+        raise ValueError("intervals_ordered needs at least two terms")
+    loaded = eng._load_flat(list(terms))
+    C = np.int64(1) << np.int64(32)
+    keys = {}
+    for t in set(terms):
+        d, p = loaded[t]
+        if d.size == 0:
+            return []
+        keys[t] = np.sort(d * C + p)
+    cur = keys[terms[0]]
+    start = cur.copy()
+    for t in terms[1:]:
+        nxt_keys = keys[t]
+        idx = np.searchsorted(nxt_keys, cur, side="right")
+        valid = idx < nxt_keys.size
+        nxt = nxt_keys[np.minimum(idx, nxt_keys.size - 1)]
+        ok = valid & ((nxt // C) == (cur // C))
+        cur, start = nxt[ok], start[ok]
+        if cur.size == 0:
+            return []
+    gaps = (cur - start) - np.int64(len(terms) - 1)
+    docs = start // C
+    order = np.argsort(docs, kind="stable")
+    ud, first = np.unique(docs[order], return_index=True)
+    mins = np.minimum.reduceat(gaps[order], first)
+    keep = mins <= max_gaps
+    out = sorted(zip(mins[keep].tolist(), ud[keep].tolist()))
+    return [(int(d), int(g)) for g, d in out]
+
+
 def proximity_rerank(eng, peng: "PhraseEngine", terms: list[str],
                      window_k: int = 50, k: int = 10) -> pa.Table:
     """Proximity reranking — the classic two-phase IR pattern ES

@@ -3295,3 +3295,93 @@ def span_corruption(ds: ray.data.Dataset,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def epoch_shuffle(ds: ray.data.Dataset,
+                  spec: CorpusSpec = DOCUMENTS_SPEC,
+                  epochs: int = 2, range_bits: int = 6
+                  ) -> ray.data.Dataset:
+    """Deterministic PER-EPOCH training order: every epoch gets its own
+    full permutation of the corpus — rank of doc d in epoch e is the
+    position of ``md5_lower64(f"e{e}:{d}") >> 1`` in that epoch's
+    sorted key order.  RNG-free and retry-stable (the property a
+    resumable multi-epoch dataloader needs: any worker can recompute
+    any doc's position without coordination), and a different order
+    every epoch, unlike a single static shuffle.
+
+    Distributed ordered-rank assignment — the same scan primitive as
+    :func:`chunk_assignments`: shuffle keys are uniform 63-bit hashes,
+    so their top ``range_bits`` bits split the key space into ranges
+    contiguous in the global order.  Pass 1 folds per-(epoch, range)
+    doc counts (tiny); the driver exclusive-scans them into offsets;
+    pass 2 sorts each range locally and adds its offset.  No global
+    sort of the corpus.
+
+    -> (epoch, doc_id, rank) — rank 0-based within epoch, bit-identical
+    to SQL ``row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+    - 1``."""
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+    from onestools_eventlog_ray.functions.fasthash import md5_lower64
+
+    shift = 63 - range_bits
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        b = add_doc_id(batch, spec)
+        doc = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_e, out_d, out_h = [], [], []
+        for ep in range(epochs):
+            key = pa.array([f"e{ep}:{d}" for d in doc], pa.string())
+            h = (md5_lower64(key) >> np.uint64(1)).astype(np.int64)
+            out_e.append(np.full(doc.size, ep, dtype=np.int64))
+            out_d.append(doc)
+            out_h.append(h)
+        return pa.table({
+            "epoch": pa.array(np.concatenate(out_e), pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            "h": pa.array(np.concatenate(out_h), pa.int64()),
+        })
+
+    narrow = ds.map_batches(per_doc, batch_format="pyarrow") \
+        .add_column("r", lambda df: df["h"] // (1 << shift)) \
+        .materialize()
+
+    def range_partial(batch: pa.Table) -> pa.Table:
+        e = batch["epoch"].to_numpy(zero_copy_only=False)
+        r = batch["r"].to_numpy(zero_copy_only=False)
+        key = e * (np.int64(1) << np.int64(range_bits + 1)) + r
+        keys, cnt = np.unique(key, return_counts=True)
+        return pa.table({"k": pa.array(keys, pa.int64()),
+                         "n_p": pa.array(cnt, pa.int64())})
+
+    folded = narrow.map_batches(range_partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(_Sum("n_p", alias_name="n")).take_all()
+    span = np.int64(1) << np.int64(range_bits + 1)
+    offsets: dict[int, int] = {}
+    acc_by_epoch: dict[int, int] = {}
+    for row in sorted(folded, key=lambda x: int(x["k"])):
+        kk = int(row["k"])
+        ep = kk // int(span)
+        offsets[kk] = acc_by_epoch.get(ep, 0)
+        acc_by_epoch[ep] = offsets[kk] + int(row["n"])
+    off_ref = ray.put(offsets)
+
+    def assign(group: pa.Table) -> pa.Table:
+        offs = ray.get(off_ref)
+        e = group["epoch"].to_numpy(zero_copy_only=False)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        h = group["h"].to_numpy(zero_copy_only=False)
+        r = group["r"].to_numpy(zero_copy_only=False)
+        base = offs[int(e[0]) * int(span) + int(r[0])]
+        order = np.lexsort((d, h))
+        rank = np.empty(d.size, dtype=np.int64)
+        rank[order] = base + np.arange(d.size, dtype=np.int64)
+        return pa.table({
+            "epoch": pa.array(e, pa.int64()),
+            "doc_id": pa.array(d, pa.int64()),
+            "rank": pa.array(rank, pa.int64()),
+        })
+
+    return narrow.groupby(["epoch", "r"]) \
+        .map_groups(assign, batch_format="pyarrow") \
+        .sort(["epoch", "rank"])
