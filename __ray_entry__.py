@@ -21,6 +21,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from onestools_eventlog_ray.sources.corpus import \
     read_parquet_clean as _read_pq
@@ -309,6 +310,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["user_id", "ts"])
         return streaming.sessionize(ds, gap_s=1800)
+
+    def late_events(sf_dir):
+        """Watermark / late-data audit: the synthetic feed is in event_id
+        order, so the wrapper synthesizes a deterministic ADVERSARIAL
+        arrival permutation (md5 hash shuffle, the DuckDB-expressible
+        ``md5_number_lower >> 1`` convention) and reports, per
+        event_type, how many events a 14-day watermark would have
+        declared late and the worst lateness — the report that sizes
+        window allowed-lateness before deploying a streaming job."""
+        import ray.data
+        from onestools_eventlog_ray.functions.hashing import doc_id_from_keys
+        from onestools_eventlog_ray.pipelines import streaming
+        ds = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                      columns=["event_id", "ts", "event_type"])
+
+        def add_arr(batch: pa.Table) -> pa.Table:
+            pre = pc.binary_join_element_wise(
+                pa.array(["arr:"] * len(batch), pa.string()),
+                pc.cast(batch["event_id"], pa.string()), "")
+            return batch.append_column("arr", doc_id_from_keys(pre))
+
+        shuffled = ds.map_batches(add_arr, batch_format="pyarrow")
+        return streaming.late_events_report(
+            shuffled, watermark_s=14 * 86400, arrival_col="arr")
 
     def cosine_pairs(sf_dir):
         import pyarrow.parquet as pq
@@ -1536,6 +1561,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         hits = eng.search_distance_feature(
             ["join", "merge"], field="n_chars", origin=1000.0,
             pivot=500.0, boost=2.0, k=10, tie="e6")
+        return _hits_to_table(hits)
+
+    def bm25_gauss_decay(sf_dir):
+        """ES function_score with a MULTIPLICATIVE gauss decay (the
+        other composition mode next to the additive rank_feature /
+        distance_feature family): score = BM25(join, merge) *
+        exp(ln(0.5) * (|n_chars - 500| / 200)^2) — at 200 chars from
+        the origin length the text score is halved.  Feature values
+        fetched only for matching docs (O(matches) stored-fields
+        read)."""
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        eng = SearchEngine(_ensure_index(sf_dir))
+        hits = eng.search_gauss_decay(
+            ["join", "merge"], field="n_chars", origin=500.0,
+            scale=200.0, decay=0.5, k=10, tie="e6")
         return _hits_to_table(hits)
 
     def _lm_table(sf_dir, similarity):
@@ -3693,6 +3733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_counts": window_counts,
         "sliding_window_counts": sliding_window_counts,
         "sessionize": sessionize,
+        "late_events": late_events,
         "cosine_pairs": cosine_pairs,
         "ngram_jaccard_topk": ngram_jaccard_topk,
         "bm25_incremental": bm25_incremental,
@@ -3843,6 +3884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_field_factor": bm25_field_factor,
         "bm25_rank_feature": bm25_rank_feature,
         "bm25_distance_feature": bm25_distance_feature,
+        "bm25_gauss_decay": bm25_gauss_decay,
         "lm_dirichlet_topk": lm_dirichlet_topk,
         "lm_jm_topk": lm_jm_topk,
         "dfi_topk": dfi_topk,
@@ -5330,6 +5372,24 @@ s AS (SELECT user_id, ts,
 SELECT user_id, min(ts) AS session_start_us, max(ts) AS session_end_us,
        count(*) AS n_events
 FROM s GROUP BY user_id, sid""",
+
+        "late_events": """
+WITH a AS (SELECT event_type, event_id, epoch_us(ts) AS t,
+        CAST(md5_number_lower(concat('arr:', CAST(event_id AS VARCHAR)))
+             >> 1 AS BIGINT) AS arr
+      FROM events),
+w AS (SELECT event_type, t,
+        max(t) OVER (ORDER BY arr, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS pmax
+      FROM a)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (pmax - t > 1209600000000) AS BIGINT) AS n_late,
+       CAST(coalesce(max(CASE WHEN pmax - t > 1209600000000
+                               THEN pmax - t END), 0) // 1000000
+            AS BIGINT) AS max_lateness_s
+FROM w GROUP BY event_type ORDER BY event_type""",
 
         "window_distinct_users": """
 SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start_us,
@@ -6840,6 +6900,14 @@ FROM r WHERE rank <= 5 ORDER BY rank""",
             ["join", "merge"],
             "SELECT s.doc_id, s.score"
             " + 2.0 * (500.0 / (500.0 + abs(d.n_chars - 1000.0)))"
+            " AS score FROM scored0 s JOIN documents d USING (doc_id)"),
+        # left-assoc ln(0.5)*x*x on BOTH sides (engine: np.log(decay)*x*x)
+        # so the float expression is bit-identical pre-quantization
+        "bm25_gauss_decay": _bm25_adjusted_sql(
+            ["join", "merge"],
+            "SELECT s.doc_id, s.score"
+            " * exp(ln(0.5) * (abs(d.n_chars - 500.0) / 200.0)"
+            "                * (abs(d.n_chars - 500.0) / 200.0))"
             " AS score FROM scored0 s JOIN documents d USING (doc_id)"),
         "bm25_random_score": f"""
 WITH toks AS ({_TOKS}),

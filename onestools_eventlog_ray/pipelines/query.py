@@ -534,6 +534,31 @@ class SearchEngine:
         idx = pick_topk(tie)(scores, ids_np, k)
         return [(int(ids_np[i]), float(scores[i])) for i in idx]
 
+    def search_gauss_decay(self, terms: list[str],
+                           field: str = "n_chars",
+                           origin: float = 500.0, scale: float = 200.0,
+                           decay: float = 0.5, k: int = 10,
+                           tie: str = "float") -> list[tuple[int, float]]:
+        """ES ``function_score`` with a MULTIPLICATIVE ``gauss`` decay
+        (the other composition mode next to the additive
+        rank_feature/distance_feature family): score = BM25 ·
+        exp(ln(decay) · (|v − origin| / scale)²) — at distance
+        ``scale`` from ``origin`` the text score is multiplied by
+        exactly ``decay`` (ES's gauss definition with offset 0).
+        Feature values are fetched only for MATCHING docs via the
+        range-pruned stored-fields read, O(matches); the decay is
+        composed as exp(ln(decay)·x·x) on BOTH sides so the SQL oracle
+        evaluates the identical float expression."""
+        ids_np, base = self._taat_arrays(terms)
+        if not ids_np.size:
+            return []
+        vals_tbl = self.fetch_docs(ids_np.tolist(), ["doc_id", field])
+        v = vals_tbl[field].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        x = np.abs(v - origin) / scale
+        scores = base * np.exp(np.log(decay) * x * x)
+        idx = pick_topk(tie)(scores, ids_np, k)
+        return [(int(ids_np[i]), float(scores[i])) for i in idx]
+
     def search_lm(self, terms: list[str], k: int = 10,
                   similarity: str = "lm_dirichlet",
                   mu: float = 2000.0, lam: float = 0.1

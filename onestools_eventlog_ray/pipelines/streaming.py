@@ -1015,6 +1015,122 @@ def cep_no_interruption(ds: ray.data.Dataset, first: str = "click",
     })
 
 
+def late_events_report(ds: ray.data.Dataset,
+                       watermark_s: int = 6 * 3600,
+                       range_bits: int = 6,
+                       arrival_col: str = "event_id") -> pa.Table:
+    """Watermark / LATE-DATA audit — the out-of-orderness report a
+    streaming pipeline needs before choosing window allowed-lateness:
+    taking ``(arrival_col, event_id)`` as ARRIVAL order and ``ts`` as
+    event time, an event is late iff the maximum event time seen
+    strictly before it exceeds its own by more than ``watermark_s``
+    (Flink/Beam watermark semantics: it would have been dropped or
+    side-outputted).
+
+    This is a distributed RUNNING MAX over arrival order — the same
+    ordered-scan primitive as ``chunk_assignments`` / ``epoch_shuffle``
+    but with data-dependent bounds: one tiny aggregate finds the
+    arrival-key span, which splits into 2^``range_bits`` contiguous
+    ranges; pass 1 folds per-range max event time (tiny), the driver
+    exclusive-prefix-maxes them into per-range incoming watermarks;
+    pass 2 cummaxes inside each range on top of its incoming value and
+    folds per-type lateness partials.  No global sort, nothing
+    O(events) on the driver.
+
+    -> (event_type, n_events, n_late, max_lateness_s) by type."""
+    import ray
+    from ray.data.aggregate import Max as _Max, Min as _Min
+
+    stats = ds.select_columns([arrival_col]).aggregate(
+        _Min(arrival_col), _Max(arrival_col))
+    lo = int(stats[f"min({arrival_col})"])
+    hi = int(stats[f"max({arrival_col})"])
+    n_ranges = 1 << range_bits
+    span = max(1, (hi - lo + n_ranges) // n_ranges)
+
+    def rng_partial(batch: pa.Table) -> pa.Table:
+        arr = batch[arrival_col].to_numpy(zero_copy_only=False)
+        t = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        r = (arr - lo) // span
+        keys, inv = np.unique(r, return_inverse=True)
+        mx = np.full(keys.size, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, t)
+        return pa.table({"r": pa.array(keys, pa.int64()),
+                         "mx_p": pa.array(mx, pa.int64())})
+
+    folded = ds.select_columns([arrival_col, "ts"]) \
+        .map_batches(rng_partial, batch_format="pyarrow") \
+        .groupby("r").aggregate(_Max("mx_p", alias_name="mx")).take_all()
+    by_r = dict(sorted((int(x["r"]), int(x["mx"])) for x in folded))
+    incoming: dict[int, int] = {}
+    # seed far below any epoch-µs timestamp but safe from int64 wrap in
+    # ``pmax - t`` (INT64_MIN - t would overflow to a huge positive
+    # "lateness" for the first event in arrival order)
+    acc = -(1 << 62)
+    for r, mx in by_r.items():
+        incoming[r] = acc
+        acc = max(acc, mx)
+    inc_ref = ray.put(incoming)
+    wm_us = int(watermark_s) * 1_000_000
+
+    def scan(group: pa.Table) -> pa.Table:
+        inc = ray.get(inc_ref)
+        arr = group[arrival_col].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        t = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, arr))
+        t_o = t[order]
+        base = inc[int((arr[order[0]] - lo) // span)]
+        # prefix max STRICTLY BEFORE each event, seeded by the incoming
+        # watermark of this range
+        pmax = np.empty(t_o.size, dtype=np.int64)
+        pmax[0] = base
+        np.maximum.accumulate(t_o[:-1], out=pmax[1:])
+        np.maximum(pmax[1:], base, out=pmax[1:])
+        late_by = pmax - t_o
+        is_late = late_by > wm_us
+        et_o = et[order]
+        types, inv = np.unique(et_o, return_inverse=True)
+        n_ev = np.bincount(inv, minlength=types.size)
+        n_late = np.zeros(types.size, dtype=np.int64)
+        np.add.at(n_late, inv, is_late.astype(np.int64))
+        mx_late = np.zeros(types.size, dtype=np.int64)
+        np.maximum.at(mx_late, inv,
+                      np.where(is_late, late_by, 0))
+        return pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "n_events_p": pa.array(n_ev.astype(np.int64), pa.int64()),
+            "n_late_p": pa.array(n_late, pa.int64()),
+            "mx_p": pa.array(mx_late, pa.int64()),
+        })
+
+    cols = ["event_id", "ts", "event_type"]
+    if arrival_col not in cols:
+        cols.append(arrival_col)
+    parts = ds.select_columns(cols) \
+        .add_column("r", lambda df: (df[arrival_col] - lo) // span) \
+        .groupby("r").map_groups(scan, batch_format="pyarrow")
+    agg: dict[str, list[int]] = {}
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for ty, ne, nl, mx in zip(b["event_type"].to_pylist(),
+                                  b["n_events_p"].to_pylist(),
+                                  b["n_late_p"].to_pylist(),
+                                  b["mx_p"].to_pylist()):
+            cur = agg.setdefault(ty, [0, 0, 0])
+            cur[0] += ne
+            cur[1] += nl
+            cur[2] = max(cur[2], mx)
+    types = sorted(agg)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n_events": pa.array([agg[t][0] for t in types], pa.int64()),
+        "n_late": pa.array([agg[t][1] for t in types], pa.int64()),
+        "max_lateness_s": pa.array([agg[t][2] // 1_000_000
+                                    for t in types], pa.int64()),
+    })
+
+
 def cep_kleene_plus(ds: ray.data.Dataset, first: str = "click",
                     middle: str = "view", last: str = "purchase"
                     ) -> ray.data.Dataset:
