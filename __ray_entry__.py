@@ -335,6 +335,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return streaming.late_events_report(
             shuffled, watermark_s=14 * 86400, arrival_col="arr")
 
+    def window_allowed_lateness(sf_dir):
+        """Flink-style tumbling 6h event-time windows with 14-day
+        allowed lateness over the hash-shuffled arrival order: per
+        window, on-time events, late updates (window re-fires), and
+        side-output drops — the full window-lifecycle accounting."""
+        import ray.data
+        from onestools_eventlog_ray.functions.hashing import doc_id_from_keys
+        from onestools_eventlog_ray.pipelines import streaming
+        ds = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                      columns=["event_id", "ts"])
+
+        def add_arr(batch: pa.Table) -> pa.Table:
+            pre = pc.binary_join_element_wise(
+                pa.array(["arr:"] * len(batch), pa.string()),
+                pc.cast(batch["event_id"], pa.string()), "")
+            return batch.append_column("arr", doc_id_from_keys(pre))
+
+        shuffled = ds.map_batches(add_arr, batch_format="pyarrow")
+        return streaming.window_counts_allowed_lateness(
+            shuffled, window_s=6 * 3600, allowed_lateness_s=14 * 86400,
+            arrival_col="arr")
+
+    def cumulative_new_users_q(sf_dir):
+        """ES cumulative_cardinality pipeline agg: hourly first-seen
+        users + running distinct-user total (cross-bucket dedup via one
+        narrow groupby(user).min(ts))."""
+        from onestools_eventlog_ray.pipelines import streaming
+        ds = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                      columns=["user_id", "ts"])
+        return streaming.cumulative_new_users(ds, bucket_s=3600)
+
     def cosine_pairs(sf_dir):
         import pyarrow.parquet as pq
         import ray.data
@@ -1219,6 +1250,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         index_dir = _ensure_index(sf_dir)
         out = span_not(PhraseEngine(index_dir), ("table", "hash"), "scan",
                        pre=1, post=1)
+        return pa.table({
+            "doc_id": pa.array([d for d, _ in out], pa.int64()),
+            "n_matches": pa.array([n for _, n in out], pa.int64()),
+        })
+
+    def span_containing_q(sf_dir):
+        """ES span_containing: ordered spark..table spans (slop 5) that
+        contain a 'join' occurrence — big-span filtering by inner
+        content, counted per doc over the positions sidecar."""
+        from onestools_eventlog_ray.pipelines.phrase import (
+            PhraseEngine, span_containing)
+        phrase_search(sf_dir)                 # ensures the positions sidecar
+        index_dir = _ensure_index(sf_dir)
+        out = span_containing(PhraseEngine(index_dir), ("spark", "table"),
+                              "join", slop=5)
+        return pa.table({
+            "doc_id": pa.array([d for d, _ in out], pa.int64()),
+            "n_spans": pa.array([n for _, n in out], pa.int64()),
+        })
+
+    def span_within_q(sf_dir):
+        """ES span_within: 'join' occurrences sitting inside an ordered
+        spark..table span (slop 5) — the inverse of span_containing
+        (little matches gated by the big span), distinct occurrences
+        counted per doc via a difference-array coverage fold."""
+        from onestools_eventlog_ray.pipelines.phrase import (
+            PhraseEngine, span_within)
+        phrase_search(sf_dir)
+        index_dir = _ensure_index(sf_dir)
+        out = span_within(PhraseEngine(index_dir), "join",
+                          ("spark", "table"), slop=5)
         return pa.table({
             "doc_id": pa.array([d for d, _ in out], pa.int64()),
             "n_matches": pa.array([n for _, n in out], pa.int64()),
@@ -2130,6 +2192,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                                    columns=["event_type", "user_id"])
         return sketch.hll_users_by_type(ev, b=8)
+
+    def ams_f2(sf_dir):
+        """AMS F2 sketch of the term stream: the second frequency
+        moment (self-join size of the postings on term — the classic
+        join-size/skew estimator) from 9 one-counter ±1-sign rows,
+        next to the exact vocab-bounded F2 and the estimator's error
+        gate.  Linear sketch: per-batch integer partials, O(1) driver
+        state."""
+        from onestools_eventlog_ray.pipelines import sketch
+        return sketch.ams_f2_report(_documents_ds(sf_dir), DOCUMENTS_SPEC,
+                                    n_rows=9)
 
     def kmv_distinct_cells(sf_dir):
         """KMV / bottom-k theta sketch: distinct (user, hour-of-day)
@@ -3734,6 +3807,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_counts": sliding_window_counts,
         "sessionize": sessionize,
         "late_events": late_events,
+        "window_allowed_lateness": window_allowed_lateness,
+        "cumulative_new_users_q": cumulative_new_users_q,
         "cosine_pairs": cosine_pairs,
         "ngram_jaccard_topk": ngram_jaccard_topk,
         "bm25_incremental": bm25_incremental,
@@ -3762,6 +3837,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": phrase_search,
         "bm25_phrase_boost": bm25_phrase_boost,
         "span_not_matches": span_not_matches,
+        "span_containing_q": span_containing_q,
+        "span_within_q": span_within_q,
         "hdr_percentile_ranks": hdr_percentile_ranks_q,
         "hdr_quantiles": hdr_quantiles_q,
         "hdr_quantile_error": hdr_quantile_error_q,
@@ -3966,6 +4043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_cume_dist": value_cume_dist,
         "hll_users_by_type": hll_users_by_type,
         "kmv_distinct_cells": kmv_distinct_cells,
+        "ams_f2": ams_f2,
         "theta_set_ops": theta_set_ops,
         "q5_region_revenue": q5_region_revenue,
         "term_vectors_doc": term_vectors_doc,
@@ -5391,6 +5469,40 @@ SELECT event_type,
             AS BIGINT) AS max_lateness_s
 FROM w GROUP BY event_type ORDER BY event_type""",
 
+        "window_allowed_lateness": """
+WITH a AS (SELECT event_id, epoch_us(ts) AS t,
+        CAST(md5_number_lower(concat('arr:', CAST(event_id AS VARCHAR)))
+             >> 1 AS BIGINT) AS arr
+      FROM events),
+w AS (SELECT t,
+        max(t) OVER (ORDER BY arr, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS pmax
+      FROM a),
+c AS (SELECT (t // 21600000000) * 21600000000 AS ws,
+             coalesce(pmax, -4611686018427387904) AS pm, t
+      FROM w)
+SELECT ws AS window_start_us,
+       CAST(count(*) FILTER (pm <= ws + 21600000000) AS BIGINT)
+         AS n_on_time,
+       CAST(count(*) FILTER (pm > ws + 21600000000
+              AND pm <= ws + 21600000000 + 1209600000000) AS BIGINT)
+         AS n_late_update,
+       CAST(count(*) FILTER (pm > ws + 21600000000 + 1209600000000)
+            AS BIGINT) AS n_dropped
+FROM c GROUP BY ws ORDER BY ws""",
+
+        "cumulative_new_users_q": """
+WITH f AS (SELECT user_id, min(epoch_us(ts)) AS ft FROM events
+           GROUP BY user_id),
+h AS (SELECT (ft // 3600000000) * 3600000000 AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM f GROUP BY b)
+SELECT b AS bucket_start_us, n AS n_new_users,
+       CAST(sum(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM h ORDER BY b""",
+
         "window_distinct_users": """
 SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start_us,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
@@ -6447,6 +6559,35 @@ kept AS (SELECT m.doc_id, m.g FROM m
                              AND c.g BETWEEN m.g - 1 AND m.g + 2))
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
 FROM kept GROUP BY doc_id ORDER BY doc_id""",
+        "span_containing_q": """
+WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9_]+'), x -> x <> '') AS l FROM documents),
+p AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS g, l
+      FROM tok WHERE len(l) > 0),
+a AS (SELECT doc_id, g FROM p WHERE l[g] = 'spark'),
+b AS (SELECT doc_id, g FROM p WHERE l[g] = 'table'),
+c AS (SELECT doc_id, g FROM p WHERE l[g] = 'join'),
+m AS (SELECT a.doc_id, a.g AS s, b.g AS e FROM a JOIN b
+      ON b.doc_id = a.doc_id AND b.g > a.g AND b.g <= a.g + 6),
+k AS (SELECT m.doc_id FROM m
+      WHERE EXISTS (SELECT 1 FROM c WHERE c.doc_id = m.doc_id
+                      AND c.g BETWEEN m.s AND m.e))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+FROM k GROUP BY doc_id ORDER BY doc_id""",
+        "span_within_q": """
+WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9_]+'), x -> x <> '') AS l FROM documents),
+p AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS g, l
+      FROM tok WHERE len(l) > 0),
+a AS (SELECT doc_id, g FROM p WHERE l[g] = 'spark'),
+b AS (SELECT doc_id, g FROM p WHERE l[g] = 'table'),
+c AS (SELECT doc_id, g FROM p WHERE l[g] = 'join'),
+m AS (SELECT a.doc_id, a.g AS s, b.g AS e FROM a JOIN b
+      ON b.doc_id = a.doc_id AND b.g > a.g AND b.g <= a.g + 6),
+k AS (SELECT DISTINCT c.doc_id, c.g FROM c JOIN m
+      ON m.doc_id = c.doc_id AND c.g BETWEEN m.s AND m.e)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM k GROUP BY doc_id ORDER BY doc_id""",
         "span_near_sv": """
 WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
                  '[^a-z0-9_]+'), x -> x <> '') AS l FROM documents),
@@ -9077,6 +9218,29 @@ p2 AS (SELECT va, vb, sum(pd * pd) AS d2p FROM pj GROUP BY va, vb)
 SELECT o.va AS vec_a, o.vb AS vec_b, CAST(d2o AS BIGINT) AS d2_orig,
        CAST(d2p AS BIGINT) AS d2_proj
 FROM o JOIN p2 USING (va, vb) ORDER BY vec_a""",
+
+        "ams_f2": f"""
+WITH toks AS ({_TOKS}),
+cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term),
+r AS (SELECT unnest(generate_series(0, 8)) AS i),
+s AS (SELECT r.i, cnt.c,
+        CASE WHEN (md5_number_lower(concat('ams', CAST(r.i AS VARCHAR),
+                                           ':', cnt.term)) >> 1) & 1 = 1
+             THEN -1 ELSE 1 END AS sgn
+      FROM r CROSS JOIN cnt),
+z AS (SELECT i, CAST(sum(sgn * c) AS BIGINT) AS z FROM s GROUP BY i),
+x AS (SELECT i, z * z AS x FROM z),
+ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2 FROM cnt),
+est AS (SELECT CAST(sum(x) // 9 AS BIGINT) AS e FROM x),
+med AS (SELECT x AS m FROM x ORDER BY x LIMIT 1 OFFSET 4),
+u AS (SELECT GREATEST(CAST(1 AS BIGINT), f2 // 1000000) AS unit FROM ex)
+SELECT CAST(9 AS BIGINT) AS n_rows,
+       e AS est_f2, m AS med_f2, f2 AS f2_exact,
+       CAST(abs(e - f2) // unit AS BIGINT) AS mean_rel_err_e6,
+       CAST(abs(m - f2) // unit AS BIGINT) AS med_rel_err_e6,
+       CAST(CASE WHEN abs(e - f2) // unit <= 1500000
+                 THEN 1 ELSE 0 END AS BIGINT) AS within_gate
+FROM est, med, ex, u""",
 
         "cm_error": f"""
 WITH toks AS ({_TOKS}),

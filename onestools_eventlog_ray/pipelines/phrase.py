@@ -552,3 +552,85 @@ def span_first(eng: "PhraseEngine", term: str, end: int
     keep = pos + 1 <= end
     ud, cnt = np.unique(docs[keep], return_counts=True)
     return [(int(d), int(n)) for d, n in zip(ud.tolist(), cnt.tolist())]
+
+
+def _big_spans(eng: "PhraseEngine", big: tuple[str, str], slop: int
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Enumerate ES ``span_near(in_order=true)`` spans for a two-term
+    big query: pairs (pa, pb) with ``b`` at pb, ``a`` at pa, and
+    ``pa < pb <= pa + slop + 1`` (slop = max intervening tokens).
+    Composite doc*2^32+pos keys make the whole enumeration three
+    searchsorteds + one ranges-expansion — O(df_a + df_b + n_spans),
+    no per-doc loop.  -> (start_keys, end_keys), parallel arrays."""
+    a, b = big
+    loaded = eng._load_flat([a, b])
+    da, ppa = loaded[a]
+    db, ppb = loaded[b]
+    if da.size == 0 or db.size == 0:
+        return (np.empty(0, np.int64),) * 2
+    C = np.int64(1) << np.int64(32)
+    ka = np.sort(da * C + ppa)
+    kb = np.sort(db * C + ppb)
+    i_lo = np.searchsorted(kb, ka + 1, side="left")
+    i_hi = np.searchsorted(kb, ka + np.int64(slop) + 1, side="right")
+    cnt = i_hi - i_lo
+    total = int(cnt.sum())
+    if total == 0:
+        return (np.empty(0, np.int64),) * 2
+    # flatten the [i_lo, i_hi) ranges: classic vectorized ragged expand
+    starts = np.repeat(ka, cnt)
+    base = np.repeat(i_lo, cnt)
+    off = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    ends = kb[base + off]
+    return starts, ends
+
+
+def span_containing(eng: "PhraseEngine", big: tuple[str, str],
+                    little: str, slop: int = 3) -> list[tuple[int, int]]:
+    """ES ``span_containing``: BIG spans (ordered two-term span_near
+    within ``slop``) that contain >=1 occurrence of the LITTLE term,
+    boundaries inclusive — "a..b windows that mention c".  The
+    containment test is two searchsorteds of the span bounds into the
+    little keys.  -> [(doc_id, n_spans)] doc asc."""
+    starts, ends = _big_spans(eng, big, slop)
+    if starts.size == 0:
+        return []
+    dc, ppc = eng._load_flat([little])[little]
+    if dc.size == 0:
+        return []
+    C = np.int64(1) << np.int64(32)
+    kc = np.sort(dc * C + ppc)
+    jl = np.searchsorted(kc, starts, side="left")
+    jh = np.searchsorted(kc, ends, side="right")
+    kept = starts[jh > jl]
+    if kept.size == 0:
+        return []
+    ud, cnt = np.unique(kept // C, return_counts=True)
+    return [(int(d), int(n)) for d, n in zip(ud.tolist(), cnt.tolist())]
+
+
+def span_within(eng: "PhraseEngine", little: str, big: tuple[str, str],
+                slop: int = 3) -> list[tuple[int, int]]:
+    """ES ``span_within``: LITTLE-term occurrences that sit inside at
+    least one BIG span (same span_near big query, boundaries
+    inclusive).  Coverage is computed with a difference array over the
+    sorted little keys — each span adds +1/-1 at its searchsorted
+    bounds, one cumsum marks every covered occurrence; fully
+    vectorized whatever the span/occurrence overlap structure.
+    -> [(doc_id, n_matches)] doc asc."""
+    starts, ends = _big_spans(eng, big, slop)
+    dc, ppc = eng._load_flat([little])[little]
+    if starts.size == 0 or dc.size == 0:
+        return []
+    C = np.int64(1) << np.int64(32)
+    kc = np.sort(dc * C + ppc)
+    jl = np.searchsorted(kc, starts, side="left")
+    jh = np.searchsorted(kc, ends, side="right")
+    delta = np.zeros(kc.size + 1, dtype=np.int64)
+    np.add.at(delta, jl, 1)
+    np.add.at(delta, jh, -1)
+    covered = np.cumsum(delta[:-1]) > 0
+    if not covered.any():
+        return []
+    ud, cnt = np.unique(kc[covered] // C, return_counts=True)
+    return [(int(d), int(n)) for d, n in zip(ud.tolist(), cnt.tolist())]

@@ -750,3 +750,87 @@ def theta_intersection_report(events: ray.data.Dataset, type_a: str,
         "within_intersection": pa.array([gate(est_i, exact_i)], pa.int64()),
         "within_union": pa.array([gate(est_u, exact_u)], pa.int64()),
     })
+
+
+def ams_f2_report(ds: ray.data.Dataset,
+                  spec: CorpusSpec = DOCUMENTS_SPEC,
+                  n_rows: int = 9) -> pa.Table:
+    """AMS (Alon-Matias-Szegedy) F2 sketch — the second frequency
+    moment of the term stream, the classic join-size / skew estimator
+    (self-join size of the postings on term): ``n_rows`` independent
+    ±1 four-wise-ish hashes s_i(t) = 1 - 2*bit1(md5("ams{i}:" + t)),
+    each row keeps the single counter Z_i = sum_t s_i(t)*cf(t); each
+    X_i = Z_i^2 is an unbiased F2 estimate with Var <= 2*F2^2, so the
+    row-mean has relative std <= sqrt(2/n_rows).
+
+    Linear sketch => perfectly mergeable: each batch folds its token
+    stream into ``n_rows`` integers (one np.add.at over unique terms),
+    the shuffle moves n_rows rows per batch, the driver sees n_rows
+    totals — O(1) state at any corpus size.  Signs are md5-determined
+    and counts exact integers, so Z_i is integer-exact and the whole
+    report (including the exact-F2 comparison, a vocab-bounded fold
+    over term_stats) is SQL-reproducible bit for bit.
+
+    -> one row: (n_rows, est_f2 = mean of X_i via integer floor-div,
+    med_f2 = lower median of X_i, f2_exact, mean_rel_err_e6,
+    med_rel_err_e6, within_gate) — the error gate every estimator in
+    this module ships."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from onestools_eventlog_ray.pipelines.text import term_stats
+
+    R = int(n_rows)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import \
+            pin_worker_threads
+        pin_worker_threads()
+        from onestools_eventlog_ray.stages.normalize import add_doc_id
+        b = add_doc_id(batch, spec)
+        toks = tokenize_array(b["content"])
+        flat = toks.flatten()
+        zs = np.zeros(R, dtype=np.int64)
+        if len(flat):
+            d = flat.dictionary_encode()
+            idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            tf = np.bincount(idx, minlength=len(d.dictionary)).astype(np.int64)
+            uniq = d.dictionary
+            for i in range(R):
+                salted = pc.binary_join_element_wise(
+                    pa.array([f"ams{i}:"] * len(uniq), pa.string()),
+                    uniq.cast(pa.string()), "")
+                bit = ((md5_lower64(salted) >> np.uint64(1))
+                       & np.uint64(1)).astype(np.int64)
+                sgn = 1 - 2 * bit
+                zs[i] = int((sgn * tf).sum())
+        return pa.table({"row_id": pa.array(np.arange(R), pa.int64()),
+                         "z_p": pa.array(zs, pa.int64())})
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("row_id").aggregate(Sum("z_p", alias_name="z")).take_all()
+    xs = sorted(int(r["z"]) ** 2 for r in folded)
+    est = sum(xs) // R
+    med = xs[R // 2]  # lower median (ORDER BY x LIMIT 1 OFFSET R//2)
+
+    # exact F2: vocab-bounded distributed fold over term_stats
+    f2_parts = term_stats(ds, spec).map_batches(
+        lambda b: pa.table({"p": pa.array(
+            [int((b["cf"].to_numpy(zero_copy_only=False).astype(object)
+                  ** 2).sum())], pa.int64())}),
+        batch_format="pyarrow").take_all()
+    exact = sum(int(r["p"]) for r in f2_parts)
+
+    unit = max(1, exact // 1_000_000)   # int64-safe relative error
+    mean_err = abs(est - exact) // unit
+    med_err = abs(med - exact) // unit
+    return pa.table({
+        "n_rows": pa.array([R], pa.int64()),
+        "est_f2": pa.array([est], pa.int64()),
+        "med_f2": pa.array([med], pa.int64()),
+        "f2_exact": pa.array([exact], pa.int64()),
+        "mean_rel_err_e6": pa.array([mean_err], pa.int64()),
+        "med_rel_err_e6": pa.array([med_err], pa.int64()),
+        "within_gate": pa.array(
+            [1 if mean_err <= 1_500_000 else 0], pa.int64()),
+    })

@@ -1015,29 +1015,24 @@ def cep_no_interruption(ds: ray.data.Dataset, first: str = "click",
     })
 
 
-def late_events_report(ds: ray.data.Dataset,
-                       watermark_s: int = 6 * 3600,
-                       range_bits: int = 6,
-                       arrival_col: str = "event_id") -> pa.Table:
-    """Watermark / LATE-DATA audit — the out-of-orderness report a
-    streaming pipeline needs before choosing window allowed-lateness:
-    taking ``(arrival_col, event_id)`` as ARRIVAL order and ``ts`` as
-    event time, an event is late iff the maximum event time seen
-    strictly before it exceeds its own by more than ``watermark_s``
-    (Flink/Beam watermark semantics: it would have been dropped or
-    side-outputted).
+def _watermark_scan(ds: ray.data.Dataset, arrival_col: str,
+                    range_bits: int, extra_cols: list[str],
+                    fold) -> ray.data.Dataset:
+    """Shared distributed RUNNING-MAX-over-arrival-order primitive —
+    the same ordered-scan shape as ``chunk_assignments`` /
+    ``epoch_shuffle`` but with data-dependent bounds.  Arrival order is
+    the total order ``(arrival_col, event_id)``.
 
-    This is a distributed RUNNING MAX over arrival order — the same
-    ordered-scan primitive as ``chunk_assignments`` / ``epoch_shuffle``
-    but with data-dependent bounds: one tiny aggregate finds the
-    arrival-key span, which splits into 2^``range_bits`` contiguous
-    ranges; pass 1 folds per-range max event time (tiny), the driver
-    exclusive-prefix-maxes them into per-range incoming watermarks;
+    One tiny aggregate finds the arrival-key span, which splits into
+    2^``range_bits`` contiguous ranges; pass 1 folds per-range max
+    event time (tiny), the driver exclusive-prefix-maxes them into
+    per-range incoming watermarks (O(2^range_bits) driver state);
     pass 2 cummaxes inside each range on top of its incoming value and
-    folds per-type lateness partials.  No global sort, nothing
-    O(events) on the driver.
-
-    -> (event_type, n_events, n_late, max_lateness_s) by type."""
+    calls ``fold(group_sorted, pmax)`` — ``group_sorted`` the
+    arrival-ordered group table, ``pmax`` the max event time STRICTLY
+    BEFORE each row (the Flink/Beam watermark at its arrival).  No
+    global sort, nothing O(events) on the driver.  -> Dataset of
+    ``fold`` partials."""
     import ray
     from ray.data.aggregate import Max as _Max, Min as _Min
 
@@ -1071,14 +1066,12 @@ def late_events_report(ds: ray.data.Dataset,
         incoming[r] = acc
         acc = max(acc, mx)
     inc_ref = ray.put(incoming)
-    wm_us = int(watermark_s) * 1_000_000
 
     def scan(group: pa.Table) -> pa.Table:
         inc = ray.get(inc_ref)
         arr = group[arrival_col].to_numpy(zero_copy_only=False)
         eid = group["event_id"].to_numpy(zero_copy_only=False)
         t = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        et = group["event_type"].to_numpy(zero_copy_only=False)
         order = np.lexsort((eid, arr))
         t_o = t[order]
         base = inc[int((arr[order[0]] - lo) // span)]
@@ -1088,9 +1081,38 @@ def late_events_report(ds: ray.data.Dataset,
         pmax[0] = base
         np.maximum.accumulate(t_o[:-1], out=pmax[1:])
         np.maximum(pmax[1:], base, out=pmax[1:])
+        return fold(group.take(pa.array(order, pa.int64())), pmax)
+
+    cols = ["event_id", "ts"] + [c for c in extra_cols
+                                 if c not in ("event_id", "ts")]
+    if arrival_col not in cols:
+        cols.append(arrival_col)
+    return ds.select_columns(cols) \
+        .add_column("r", lambda df: (df[arrival_col] - lo) // span) \
+        .groupby("r").map_groups(scan, batch_format="pyarrow")
+
+
+def late_events_report(ds: ray.data.Dataset,
+                       watermark_s: int = 6 * 3600,
+                       range_bits: int = 6,
+                       arrival_col: str = "event_id") -> pa.Table:
+    """Watermark / LATE-DATA audit — the out-of-orderness report a
+    streaming pipeline needs before choosing window allowed-lateness:
+    taking ``(arrival_col, event_id)`` as ARRIVAL order and ``ts`` as
+    event time, an event is late iff the maximum event time seen
+    strictly before it exceeds its own by more than ``watermark_s``
+    (Flink/Beam watermark semantics: it would have been dropped or
+    side-outputted).  Built on :func:`_watermark_scan`; per-type
+    lateness partials fold on the driver (O(n_types) rows).
+
+    -> (event_type, n_events, n_late, max_lateness_s) by type."""
+    wm_us = int(watermark_s) * 1_000_000
+
+    def fold(group: pa.Table, pmax: np.ndarray) -> pa.Table:
+        t_o = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et_o = group["event_type"].to_numpy(zero_copy_only=False)
         late_by = pmax - t_o
         is_late = late_by > wm_us
-        et_o = et[order]
         types, inv = np.unique(et_o, return_inverse=True)
         n_ev = np.bincount(inv, minlength=types.size)
         n_late = np.zeros(types.size, dtype=np.int64)
@@ -1105,12 +1127,8 @@ def late_events_report(ds: ray.data.Dataset,
             "mx_p": pa.array(mx_late, pa.int64()),
         })
 
-    cols = ["event_id", "ts", "event_type"]
-    if arrival_col not in cols:
-        cols.append(arrival_col)
-    parts = ds.select_columns(cols) \
-        .add_column("r", lambda df: (df[arrival_col] - lo) // span) \
-        .groupby("r").map_groups(scan, batch_format="pyarrow")
+    parts = _watermark_scan(ds, arrival_col, range_bits,
+                            ["event_type"], fold)
     agg: dict[str, list[int]] = {}
     for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
         for ty, ne, nl, mx in zip(b["event_type"].to_pylist(),
@@ -1128,6 +1146,113 @@ def late_events_report(ds: ray.data.Dataset,
         "n_late": pa.array([agg[t][1] for t in types], pa.int64()),
         "max_lateness_s": pa.array([agg[t][2] // 1_000_000
                                     for t in types], pa.int64()),
+    })
+
+
+def window_counts_allowed_lateness(ds: ray.data.Dataset,
+                                   window_s: int = 6 * 3600,
+                                   allowed_lateness_s: int = 24 * 3600,
+                                   range_bits: int = 6,
+                                   arrival_col: str = "event_id"
+                                   ) -> pa.Table:
+    """Tumbling event-time windows WITH ALLOWED LATENESS and a side
+    output — the full Flink window-lifecycle accounting: at an event's
+    arrival the watermark is the max event time seen strictly before it
+    (:func:`_watermark_scan`); the event is ON TIME if the watermark
+    has not yet passed its window end, a LATE UPDATE if the watermark
+    passed the end but not end + ``allowed_lateness_s`` (the window
+    re-fires), and DROPPED to the side output beyond that.
+
+    Window partials fold inside each range task and again on the
+    driver (O(n_windows) rows; windows are a time histogram, never
+    O(events)).  -> (window_start_us, n_on_time, n_late_update,
+    n_dropped) by window_start_us."""
+    win_us = int(window_s) * 1_000_000
+    allow_us = int(allowed_lateness_s) * 1_000_000
+
+    def fold(group: pa.Table, pmax: np.ndarray) -> pa.Table:
+        t_o = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        wstart = (t_o // win_us) * win_us
+        wend = wstart + win_us
+        late_update = (pmax > wend) & (pmax <= wend + allow_us)
+        dropped = pmax > wend + allow_us
+        keys, inv = np.unique(wstart, return_inverse=True)
+        n_all = np.bincount(inv, minlength=keys.size).astype(np.int64)
+        n_lu = np.zeros(keys.size, dtype=np.int64)
+        np.add.at(n_lu, inv, late_update.astype(np.int64))
+        n_dr = np.zeros(keys.size, dtype=np.int64)
+        np.add.at(n_dr, inv, dropped.astype(np.int64))
+        return pa.table({
+            "w": pa.array(keys, pa.int64()),
+            "n_on_p": pa.array(n_all - n_lu - n_dr, pa.int64()),
+            "n_lu_p": pa.array(n_lu, pa.int64()),
+            "n_dr_p": pa.array(n_dr, pa.int64()),
+        })
+
+    parts = _watermark_scan(ds, arrival_col, range_bits, [], fold)
+    agg: dict[int, list[int]] = {}
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for w, on, lu, dr in zip(b["w"].to_pylist(), b["n_on_p"].to_pylist(),
+                                 b["n_lu_p"].to_pylist(),
+                                 b["n_dr_p"].to_pylist()):
+            cur = agg.setdefault(w, [0, 0, 0])
+            cur[0] += on
+            cur[1] += lu
+            cur[2] += dr
+    ws = sorted(agg)
+    return pa.table({
+        "window_start_us": pa.array(ws, pa.int64()),
+        "n_on_time": pa.array([agg[w][0] for w in ws], pa.int64()),
+        "n_late_update": pa.array([agg[w][1] for w in ws], pa.int64()),
+        "n_dropped": pa.array([agg[w][2] for w in ws], pa.int64()),
+    })
+
+
+def cumulative_new_users(ds: ray.data.Dataset, bucket_s: int = 86400
+                         ) -> pa.Table:
+    """ES ``cumulative_cardinality`` pipeline aggregation: per time
+    bucket, how many users appear for the FIRST time, plus the running
+    total of distinct users ever seen — the user-growth curve a
+    cardinality agg alone cannot give (dedup must happen across
+    buckets, not within).
+
+    Distributed shape: ``groupby(user_id).min(ts)`` (narrow rows, the
+    only shuffle) -> per-bucket first-seen histogram inside
+    ``map_batches`` -> tiny driver cumsum over O(n_buckets) rows.
+    -> (bucket_start_us, n_new_users, cum_users) by bucket."""
+    from ray.data.aggregate import Min as _Min
+
+    bucket_us = int(bucket_s) * 1_000_000
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "t": batch["ts"].cast(pa.int64()),
+        })
+
+    first_seen = ds.select_columns(["user_id", "ts"]) \
+        .map_batches(to_us, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(_Min("t", alias_name="first_t"))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = batch["first_t"].to_numpy(zero_copy_only=False)
+        b = (t // bucket_us) * bucket_us
+        keys, cnt = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(keys, pa.int64()),
+                         "n_p": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    agg: dict[int, int] = {}
+    for tb in first_seen.map_batches(hist, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for b, n in zip(tb["b"].to_pylist(), tb["n_p"].to_pylist()):
+            agg[b] = agg.get(b, 0) + n
+    buckets = sorted(agg)
+    news = [agg[b] for b in buckets]
+    cums = np.cumsum(news)
+    return pa.table({
+        "bucket_start_us": pa.array(buckets, pa.int64()),
+        "n_new_users": pa.array(news, pa.int64()),
+        "cum_users": pa.array(cums.astype(np.int64), pa.int64()),
     })
 
 
