@@ -1625,6 +1625,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pivot=500.0, boost=2.0, k=10, tie="e6")
         return _hits_to_table(hits)
 
+    def bm25_bool_prefix(sf_dir):
+        """ES match_bool_prefix (search-as-you-type): BM25 over the
+        complete words (join, merge) + a constant-score prefix clause
+        on the partially-typed 's' (first 4 dictionary expansions in
+        term order — the max_expansions cap under test)."""
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        eng = SearchEngine(_ensure_index(sf_dir))
+        hits = eng.search_bool_prefix(["join", "merge"], "s", k=10,
+                                      max_expansions=4, tie="e6")
+        return _hits_to_table(hits)
+
     def bm25_gauss_decay(sf_dir):
         """ES function_score with a MULTIPLICATIVE gauss decay (the
         other composition mode next to the additive rank_feature /
@@ -2203,6 +2214,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from onestools_eventlog_ray.pipelines import sketch
         return sketch.ams_f2_report(_documents_ds(sf_dir), DOCUMENTS_SPEC,
                                     n_rows=9)
+
+    def filters_agg(sf_dir):
+        """ES filters aggregation with other_bucket: overlapping named
+        buckets (clicks / big value / weekend) + the _other_ bucket,
+        counts and exact e6 value sums, folded 4 rows per batch."""
+        from onestools_eventlog_ray.pipelines import relational
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                      columns=["event_type", "value", "ts"])
+        return relational.filters_agg_report(ev)
+
+    def revenue_stats_bucket(sf_dir):
+        """ES stats_bucket + max_bucket pipeline aggs over the monthly
+        revenue date histogram: bucket-series min/max/sum/avg plus the
+        argmax month (earliest on ties)."""
+        from onestools_eventlog_ray.pipelines import relational
+        orders = _read_pq(os.path.join(sf_dir, "orders.parquet"),
+                          columns=["o_orderdate", "o_totalprice"])
+        return relational.revenue_stats_bucket(orders)
+
+    def dp_noisy_counts(sf_dir):
+        """DP-shaped histogram release: per-type counts + deterministic
+        Laplace(1/eps) noise from the type's md5 via the inverse CDF —
+        mechanism demo, exactly SQL-reproducible."""
+        from onestools_eventlog_ray.pipelines import relational
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                      columns=["event_type"])
+        return relational.dp_noisy_counts(ev, epsilon=1.0)
 
     def kmv_distinct_cells(sf_dir):
         """KMV / bottom-k theta sketch: distinct (user, hour-of-day)
@@ -3962,6 +4000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_rank_feature": bm25_rank_feature,
         "bm25_distance_feature": bm25_distance_feature,
         "bm25_gauss_decay": bm25_gauss_decay,
+        "bm25_bool_prefix": bm25_bool_prefix,
         "lm_dirichlet_topk": lm_dirichlet_topk,
         "lm_jm_topk": lm_jm_topk,
         "dfi_topk": dfi_topk,
@@ -4044,6 +4083,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users_by_type": hll_users_by_type,
         "kmv_distinct_cells": kmv_distinct_cells,
         "ams_f2": ams_f2,
+        "filters_agg": filters_agg,
+        "revenue_stats_bucket": revenue_stats_bucket,
+        "dp_noisy_counts": dp_noisy_counts,
         "theta_set_ops": theta_set_ops,
         "q5_region_revenue": q5_region_revenue,
         "term_vectors_doc": term_vectors_doc,
@@ -9218,6 +9260,102 @@ p2 AS (SELECT va, vb, sum(pd * pd) AS d2p FROM pj GROUP BY va, vb)
 SELECT o.va AS vec_a, o.vb AS vec_b, CAST(d2o AS BIGINT) AS d2_orig,
        CAST(d2p AS BIGINT) AS d2_proj
 FROM o JOIN p2 USING (va, vb) ORDER BY vec_a""",
+
+        "bm25_bool_prefix": f"""
+WITH toks AS ({_TOKS}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('join', 'merge') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('join', 'merge') GROUP BY term),
+scored0 AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + ((SELECT n_docs FROM stats) - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+            ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id),
+exp AS (SELECT term FROM (SELECT DISTINCT term FROM toks
+                          WHERE term >= 's' AND term < 't')
+        ORDER BY term LIMIT 4),
+pdocs AS (SELECT DISTINCT doc_id FROM toks
+          WHERE term IN (SELECT term FROM exp)),
+alld AS (SELECT doc_id FROM scored0 UNION SELECT doc_id FROM pdocs),
+fin AS (SELECT a.doc_id,
+          coalesce(s.score, 0.0)
+            + CASE WHEN p.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS score
+        FROM alld a LEFT JOIN scored0 s USING (doc_id)
+                    LEFT JOIN pdocs p USING (doc_id))
+SELECT CAST(row_number() OVER (
+         ORDER BY CAST(floor(score * 1000000 + 0.5) AS BIGINT) DESC,
+                  doc_id ASC) AS BIGINT) AS rank,
+       doc_id,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6
+FROM fin ORDER BY score_e6 DESC, doc_id ASC LIMIT 10""",
+
+        "filters_agg": """
+WITH e AS (SELECT event_type, value,
+        CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v6,
+        ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow
+      FROM events),
+b AS (
+  SELECT 'clicks' AS bucket,
+         count(*) FILTER (event_type = 'click') AS n,
+         coalesce(sum(v6) FILTER (event_type = 'click'), 0) AS s FROM e
+  UNION ALL
+  SELECT 'big', count(*) FILTER (value > 100.0),
+         coalesce(sum(v6) FILTER (value > 100.0), 0) FROM e
+  UNION ALL
+  SELECT 'weekend', count(*) FILTER (dow IN (5, 6)),
+         coalesce(sum(v6) FILTER (dow IN (5, 6)), 0) FROM e
+  UNION ALL
+  SELECT '_other_',
+         count(*) FILTER (NOT (event_type = 'click' OR value > 100.0
+                               OR dow IN (5, 6))),
+         coalesce(sum(v6) FILTER (NOT (event_type = 'click'
+                   OR value > 100.0 OR dow IN (5, 6))), 0) FROM e)
+SELECT bucket, CAST(n AS BIGINT) AS n_events,
+       CAST(s AS BIGINT) AS sum_value_e6
+FROM b ORDER BY bucket""",
+
+        "revenue_stats_bucket": """
+WITH m AS (
+  SELECT CAST((date_part('year', o_orderdate) - 1970) * 12
+              + date_part('month', o_orderdate) - 1 AS BIGINT)
+           AS epoch_month,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders GROUP BY epoch_month)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(min(rev) AS BIGINT) AS min_rev_e2,
+       CAST(max(rev) AS BIGINT) AS max_rev_e2,
+       CAST(sum(rev) AS BIGINT) AS sum_rev_e2,
+       CAST(sum(rev) // count(*) AS BIGINT) AS avg_rev_e2,
+       CAST((SELECT min(epoch_month) FROM m
+             WHERE rev = (SELECT max(rev) FROM m)) AS BIGINT)
+         AS max_epoch_month
+FROM m""",
+
+        "dp_noisy_counts": """
+WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type),
+h AS (SELECT event_type, n,
+        CAST(md5_number_lower(concat('dp:', event_type)) >> 1 AS DOUBLE)
+          / 9223372036854775808.0 AS u
+      FROM c),
+x AS (SELECT event_type, n, u - 0.5 AS v FROM h),
+nz AS (SELECT event_type, n,
+         -1.0 * sign(v) * ln(1.0 - 2.0 * abs(v)) AS noise
+       FROM x)
+SELECT event_type, n AS n_true,
+       CAST(floor(noise * 1000000 + 0.5) AS BIGINT) AS noise_e6,
+       CAST(floor((n + noise) * 1000000 + 0.5) AS BIGINT) AS n_noisy_e6
+FROM nz ORDER BY event_type""",
 
         "ams_f2": f"""
 WITH toks AS ({_TOKS}),

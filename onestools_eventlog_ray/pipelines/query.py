@@ -428,6 +428,51 @@ class SearchEngine:
         idx = pick_topk(tie)(scores, uids, k)
         return [(int(uids[i]), float(scores[i])) for i in idx]
 
+    def search_bool_prefix(self, terms: list[str], prefix: str,
+                           k: int = 10, max_expansions: int = 50,
+                           tie: str = "float") -> list[tuple[int, float]]:
+        """ES ``match_bool_prefix`` — the search-as-you-type query: a
+        bool SHOULD of term queries over the complete words plus a
+        ``prefix`` query on the final, partially-typed word.  The term
+        clauses keep BM25; the prefix clause uses Lucene's
+        constant-score multi-term rewrite (+1.0 for any doc matching
+        >= 1 of the first ``max_expansions`` dictionary expansions in
+        term order) — multi-term queries never invent per-expansion
+        IDF in ES either.
+
+        Expansions come from the distributed dictionary scan
+        (:func:`prefix_term_stats`, range filter pushed to parquet);
+        expansion postings load via the same shard-pruned term reads
+        as every query.  Either clause may be empty (prefix-only or
+        no-expansion searches degrade gracefully)."""
+        exp_rows = prefix_term_stats(self.index_dir, prefix) \
+            .take_all() if prefix else []
+        expansions = sorted({str(r["term"]) for r in exp_rows}
+                            )[:max_expansions]
+        ids_np, base = (self._taat_arrays(terms) if terms
+                        else (np.empty(0, np.int64),
+                              np.empty(0, np.float64)))
+        pdocs = np.empty(0, np.int64)
+        if expansions:
+            from onestools_eventlog_ray.functions import codec
+            loaded = self.load_terms(expansions)
+            parts = [codec.decode_posting(blob).doc_ids
+                     for _, (_df, blob) in sorted(loaded.items())]
+            if parts:
+                pdocs = np.unique(np.concatenate(parts))
+                if self.deleted.size:
+                    pdocs = pdocs[~np.isin(pdocs, self.deleted)]
+        if ids_np.size == 0 and pdocs.size == 0:
+            return []
+        uids = np.union1d(ids_np, pdocs)
+        scores = np.zeros(uids.size, dtype=np.float64)
+        if ids_np.size:
+            scores[np.searchsorted(uids, ids_np)] = base
+        if pdocs.size:
+            scores[np.searchsorted(uids, pdocs)] += 1.0
+        idx = pick_topk(tie)(scores, uids, k)
+        return [(int(uids[i]), float(scores[i])) for i in idx]
+
     def search_not(self, terms: list[str], exclude_terms: list[str],
                    k: int = 10, tie: str = "float") -> list[tuple[int, float]]:
         """Boolean must / must_not: BM25 over ``terms``, dropping every

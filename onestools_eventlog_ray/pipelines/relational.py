@@ -4936,3 +4936,116 @@ def q21_waiting_suppliers(lineitem: ray.data.Dataset,
         "s_name": pa.array([t[1] for t in out], pa.string()),
         "numwait": pa.array([t[0] for t in out], pa.int64()),
     })
+
+
+def filters_agg_report(ds: ray.data.Dataset) -> pa.Table:
+    """ES ``filters`` aggregation with ``other_bucket``: NAMED filter
+    buckets evaluated independently over the event stream (a doc can
+    land in several — unlike ``terms``, buckets may overlap) plus the
+    ``_other_`` bucket for docs matching none.  Buckets here: clicks
+    (event_type='click'), big (value > 100), weekend (Sat/Sun).
+
+    One vectorized mask pass per batch folds counts + e6 value sums
+    into a fixed four-row partial; the shuffle moves 4 rows per batch.
+    -> (bucket, n_events, sum_value_e6) by bucket."""
+    from ray.data.aggregate import Sum as RSum
+
+    names = ["big", "clicks", "weekend", "_other_"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # 1970-01-01 was a Thursday; with Monday=0 indexing,
+        # dow = (epoch_day + 3) % 7 and Sat/Sun are 5/6
+        dow = ((t // 86_400_000_000) + 3) % 7
+        v_e6 = np.floor(v * 1_000_000 + 0.5).astype(np.int64)
+        masks = {
+            "clicks": et == "click",
+            "big": v > 100.0,
+            "weekend": (dow == 5) | (dow == 6),
+        }
+        masks["_other_"] = ~(masks["clicks"] | masks["big"]
+                             | masks["weekend"])
+        return pa.table({
+            "bucket": pa.array(names, pa.string()),
+            "n_p": pa.array([int(masks[n].sum()) for n in names],
+                            pa.int64()),
+            "s_p": pa.array([int(v_e6[masks[n]].sum()) for n in names],
+                            pa.int64()),
+        })
+
+    out = ds.select_columns(["event_type", "value", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket") \
+        .aggregate(RSum("n_p", alias_name="n_events"),
+                   RSum("s_p", alias_name="sum_value_e6")) \
+        .sort("bucket").take_all()
+    return pa.table({
+        "bucket": pa.array([r["bucket"] for r in out], pa.string()),
+        "n_events": pa.array([int(r["n_events"]) for r in out], pa.int64()),
+        "sum_value_e6": pa.array([int(r["sum_value_e6"]) for r in out],
+                                 pa.int64()),
+    })
+
+
+def revenue_stats_bucket(orders: ray.data.Dataset) -> pa.Table:
+    """ES ``stats_bucket`` + ``max_bucket`` pipeline aggregations over
+    the monthly-revenue date histogram: min/max/sum/avg of the bucket
+    metric across buckets, plus WHICH bucket holds the max (earliest
+    month on ties — ES reports all keys, we pin the deterministic
+    first).  The histogram is the existing distributed fold
+    (:func:`monthly_revenue`); the pipeline stage is an O(n_buckets)
+    driver pass, exactly like ES computes sibling aggs on the
+    coordinating node.  -> one row."""
+    rows = sorted((int(r["epoch_month"]), int(r["revenue_e2"]))
+                  for r in monthly_revenue(orders).take_all())
+    revs = [r for _, r in rows]
+    n = len(rows)
+    mx = max(revs)
+    max_month = next(m for m, r in rows if r == mx)
+    return pa.table({
+        "n_buckets": pa.array([n], pa.int64()),
+        "min_rev_e2": pa.array([min(revs)], pa.int64()),
+        "max_rev_e2": pa.array([mx], pa.int64()),
+        "sum_rev_e2": pa.array([sum(revs)], pa.int64()),
+        "avg_rev_e2": pa.array([sum(revs) // n], pa.int64()),
+        "max_epoch_month": pa.array([max_month], pa.int64()),
+    })
+
+
+def dp_noisy_counts(ds: ray.data.Dataset, epsilon: float = 1.0
+                    ) -> pa.Table:
+    """Differential-privacy-SHAPED histogram release (demo of the
+    mechanism, not a privacy claim — the true counts ride along for
+    the oracle check): per event_type, count + Laplace(1/epsilon)
+    noise drawn DETERMINISTICALLY from the type's md5 hash via the
+    inverse CDF — u = (md5 >> 1)/2^63, v = u - 1/2, noise =
+    -(1/eps)*sign(v)*ln(1 - 2|v|) — so the release is reproducible
+    and exactly SQL-checkable (same float expression on both sides).
+    A production release would use a fresh secret seed per epoch;
+    the pipeline shape (tiny per-type fold + constant-time noise) is
+    identical.  -> (event_type, n_true, noise_e6, n_noisy_e6)."""
+    from ray.data.aggregate import Count
+
+    from onestools_eventlog_ray.functions.fasthash import md5_lower64
+
+    rows = sorted((str(r["event_type"]), int(r["count()"]))
+                  for r in ds.groupby("event_type")
+                             .aggregate(Count()).take_all())
+    types = [t for t, _ in rows]
+    n = np.array([c for _, c in rows], dtype=np.float64)
+    salted = pa.array([f"dp:{t}" for t in types], pa.string())
+    h = (md5_lower64(salted) >> np.uint64(1)).astype(np.float64)
+    u = h / 9223372036854775808.0
+    v = u - 0.5
+    b = 1.0 / float(epsilon)
+    noise = -b * np.sign(v) * np.log(1.0 - 2.0 * np.abs(v))
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n_true": pa.array(n.astype(np.int64), pa.int64()),
+        "noise_e6": pa.array(np.floor(noise * 1_000_000 + 0.5)
+                             .astype(np.int64), pa.int64()),
+        "n_noisy_e6": pa.array(np.floor((n + noise) * 1_000_000 + 0.5)
+                               .astype(np.int64), pa.int64()),
+    })
