@@ -1065,6 +1065,84 @@ def queries() -> dict[str, Callable[[str], Any]]:
         eng = SearchEngine(index_dir)
         return _hits_to_table(eng.search(_BM25_TERMS, k=10, tie="e6"))
 
+    def bm25_pit_search(sf_dir):
+        """ES point-in-time search: a PIT opened BEFORE a batch of
+        deletes (doc_id % 11 < 2) keeps serving the pre-delete ranking
+        while the live view excludes the victims — time travel over the
+        append-only tombstone files.  The PIT handle persists as JSON
+        next to the index so reruns replay the same snapshot."""
+        import json
+        from onestools_eventlog_ray.config import EngineConfig
+        from onestools_eventlog_ray.pipelines.build import build_index
+        from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                            search_pit)
+        from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+        from onestools_eventlog_ray.state.tombstones import (delete_docs,
+                                                             load_tombstones,
+                                                             open_pit)
+        import pyarrow.parquet as pq
+        src = os.path.join(sf_dir, "documents.parquet")
+        index_dir = _index_dir_for(sf_dir) + "_pit"
+        build_index(src, index_dir, spec=DOCUMENTS_SPEC,
+                    cfg=EngineConfig(num_partitions=8))
+        pit_path = os.path.join(index_dir, "pit0.json")
+        if not os.path.exists(pit_path):
+            pit0 = open_pit(index_dir)          # BEFORE any delete
+            with open(pit_path, "w") as f:
+                json.dump(pit0, f)
+        with open(pit_path) as f:
+            pit0 = json.load(f)
+        if load_tombstones(index_dir).size == 0:
+            ids = pq.read_table(src, columns=["doc_id"])["doc_id"] \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            delete_docs(index_dir, ids[ids % 11 < 2])
+        live = _hits_to_table(
+            SearchEngine(index_dir).search(_BM25_TERMS, k=10, tie="e6"))
+        pit = _hits_to_table(
+            search_pit(index_dir, pit0, _BM25_TERMS, k=10, tie="e6"))
+        return pa.table({
+            "view": pa.array(["live"] * live.num_rows
+                             + ["pit"] * pit.num_rows, pa.string()),
+            "rank": pa.concat_arrays([live["rank"].combine_chunks(),
+                                      pit["rank"].combine_chunks()]),
+            "doc_id": pa.concat_arrays([live["doc_id"].combine_chunks(),
+                                        pit["doc_id"].combine_chunks()]),
+            "score_e6": pa.concat_arrays(
+                [live["score_e6"].combine_chunks(),
+                 pit["score_e6"].combine_chunks()]),
+        })
+
+    def update_by_query_report(sf_dir):
+        """ES _update_by_query ("reindex in place"): docs containing
+        'spark' get a marker token appended and source set to
+        'updated'; the rebuilt postings make the marker searchable.
+        Report: corpus size, marker df (== docs updated), docstore
+        count with the updated meta — all read back from the built
+        index, proving postings and stored fields both moved."""
+        import pyarrow.dataset as pads
+        from onestools_eventlog_ray.config import EngineConfig
+        from onestools_eventlog_ray.pipelines.incremental import \
+            update_by_query
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        from onestools_eventlog_ray.state import checkpoint as ckpt
+        src_index = _ensure_index(sf_dir)
+        out = _index_dir_for(sf_dir) + "_ubq"
+        try:
+            ckpt.read_stats(out)
+        except Exception:
+            update_by_query(src_index, out, ["spark"],
+                            set_meta={"source": "updated"},
+                            cfg=EngineConfig(num_partitions=8))
+        eng = SearchEngine(out)
+        hit = eng.load_terms(["updatedmarker"]).get("updatedmarker")
+        dset = pads.dataset(os.path.join(out, "docstore"))
+        n_meta = dset.count_rows(filter=pads.field("source") == "updated")
+        return pa.table({
+            "n_docs": pa.array([int(eng.N)], pa.int64()),
+            "df_marker": pa.array([int(hit[0]) if hit else 0], pa.int64()),
+            "n_source_updated": pa.array([int(n_meta)], pa.int64()),
+        })
+
     def bm25_multifield(sf_dir):
         """Per-field postings + boosts (the ES three-analyzed-fields
         surface, ElasticSearchStorage.cs:217-231): score = sum_f boost_f
@@ -4001,6 +4079,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_distance_feature": bm25_distance_feature,
         "bm25_gauss_decay": bm25_gauss_decay,
         "bm25_bool_prefix": bm25_bool_prefix,
+        "bm25_pit_search": bm25_pit_search,
+        "update_by_query_report": update_by_query_report,
         "lm_dirichlet_topk": lm_dirichlet_topk,
         "lm_jm_topk": lm_jm_topk,
         "dfi_topk": dfi_topk,
@@ -5074,6 +5154,20 @@ LIMIT 10""",
         # tombstoned deletes: global stats, deleted ids gated out of results
         "bm25_after_delete": _bm25_filtered_sql(_BM25_TERMS,
                                                 "doc_id % 7 >= 2"),
+        # PIT = the pre-delete ranking; live = soft-deleted docs
+        # filtered at result membership, stats global (ES semantics)
+        "bm25_pit_search": f"""
+WITH live AS ({_bm25_filtered_sql(_BM25_TERMS, "doc_id % 11 >= 2")}),
+pit AS ({_bm25_sql(_BM25_TERMS)})
+SELECT 'live' AS "view", rank, doc_id, score_e6 FROM live
+UNION ALL
+SELECT 'pit' AS "view", rank, doc_id, score_e6 FROM pit""",
+        "update_by_query_report": f"""
+WITH toks AS ({_TOKS}),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+       CAST((SELECT count(*) FROM m) AS BIGINT) AS df_marker,
+       CAST((SELECT count(*) FROM m) AS BIGINT) AS n_source_updated""",
         "bm25_multifield": _bm25_multifield_sql(_MF_TERMS, _MF_BOOSTS),
         "bm25_combined_fields": _bm25_combined_sql(_MF_TERMS, _MF_BOOSTS),
 

@@ -774,3 +774,108 @@ def restore_index(snap_dir: str, dst_index: str,
             except OSError:
                 shutil.copy2(src, dst)
     return {"n_files": manifest["n_files"], "verified": bool(verify)}
+
+
+def update_by_query(src_index: str, out_dir: str,
+                    match_terms: list[str],
+                    append_token: str = "updatedmarker",
+                    set_meta: dict[str, str] | None = None,
+                    cfg: EngineConfig = EngineConfig()) -> dict:
+    """ES ``_update_by_query`` (batch analog — ES itself documents the
+    API as "reindex in place"): every live document whose text contains
+    ALL ``match_terms`` is rewritten by the script (append
+    ``append_token`` to the text, set the ``set_meta`` fields) and the
+    index is rebuilt so the POSTINGS reflect the update — the marker
+    token becomes searchable, exactly like ES reindexing the matched
+    docs with a new ``_version``.
+
+    Streaming shape: one column-pruned pass over the source docstore
+    (tombstones honored via the same pushdown as :func:`reindex`), the
+    match evaluated per batch with the vectorized tokenizer (no
+    postings round-trip, no driver materialization), the rewritten
+    corpus written as partitioned parquet, then the normal distributed
+    build.  -> build report + ``n_updated``."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from onestools_eventlog_ray.functions.analyzer import tokenize_array
+    from onestools_eventlog_ray.state import checkpoint as ckpt
+    from onestools_eventlog_ray.state.tombstones import load_tombstones
+
+    src_stats = ckpt.read_stats(src_index)
+    if not src_stats.get("config", {}).get("store_content", True):
+        raise ValueError(f"{src_index} was built with store_content=False")
+    meta_cols = tuple(src_stats.get("spec", {}).get("meta_cols", ()))
+    spec = CorpusSpec(content_col="content", id_col="doc_id",
+                      key_cols=("doc_id",), meta_cols=meta_cols)
+    part_files = sorted(glob.glob(os.path.join(src_index, "docstore",
+                                               "*.parquet")))
+    if not part_files:
+        raise FileNotFoundError(f"no docstore under {src_index}")
+    deleted = load_tombstones(src_index)
+    terms = sorted(set(match_terms))
+    metas = dict(set_meta or {})
+    for c in metas:
+        if c not in meta_cols:
+            raise KeyError(f"set_meta column {c!r} not in docstore "
+                           f"meta columns {meta_cols}")
+
+    def script(batch: pa.Table) -> pa.Table:
+        if deleted.size:
+            live = ~np.isin(batch["doc_id"].to_numpy(zero_copy_only=False),
+                            deleted)
+            batch = batch.filter(pa.array(live))
+        if batch.num_rows == 0:
+            return batch.append_column("n_upd_p",
+                                       pa.array([], pa.int64()))
+        toks = tokenize_array(batch["content"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        mask = np.ones(batch.num_rows, dtype=bool)
+        counts = np.diff(offs)
+        for t in terms:
+            eq = pc.equal(flat, t).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            hits = np.add.reduceat(eq, offs[:-1]) if eq.size else \
+                np.zeros(batch.num_rows, dtype=np.int64)
+            hits[counts == 0] = 0       # reduceat artifact on empty rows
+            mask &= hits > 0
+        amask = pa.array(mask)
+        content = batch["content"]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        sep = pa.array([" " + append_token] * batch.num_rows,
+                       content.type)
+        updated = pc.binary_join_element_wise(content, sep, "")
+        cols = {"doc_id": batch["doc_id"],
+                "content": pc.if_else(amask, updated, content)}
+        for c in meta_cols:
+            col = batch[c]
+            if c in metas:
+                col = pc.if_else(amask, pa.scalar(metas[c]), col)
+            cols[c] = col
+        return pa.table(cols)
+
+    corpus_dir = out_dir.rstrip("/") + "_corpus"
+    if os.path.isdir(corpus_dir):      # half-written corpus from a crash
+        import shutil                  # would duplicate rows on append
+        shutil.rmtree(corpus_dir)
+    os.makedirs(corpus_dir, exist_ok=True)
+    ray.data.read_parquet(part_files) \
+        .map_batches(script, batch_format="pyarrow") \
+        .write_parquet(corpus_dir)
+    files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    report = build_index(files, out_dir, spec=spec, cfg=cfg)
+    # n_updated read back from the built postings: the marker's df IS
+    # the number of rewritten docs (pick a token absent from the
+    # corpus; one shard-pruned term lookup, no extra corpus pass)
+    hit = SearchEngine(out_dir).load_terms([append_token]) \
+        .get(append_token)
+    report["n_updated"] = int(hit[0]) if hit else 0
+    report["src_index"] = src_index
+    return report

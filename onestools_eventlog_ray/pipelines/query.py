@@ -2486,7 +2486,7 @@ def adjacency_matrix_named(index_dir: str,
 
 
 def search_pit(index_dir: str, pit: dict, terms: list[str],
-               k: int = 10) -> list[tuple[int, float]]:
+               k: int = 10, tie: str = "float") -> list[tuple[int, float]]:
     """ES point-in-time search: rank against the delete state pinned by
     ``pit`` (from ``state.tombstones.open_pit``) — deletes applied
     after the PIT opened are invisible, exactly ES PIT semantics over
@@ -2498,4 +2498,4 @@ def search_pit(index_dir: str, pit: dict, terms: list[str],
     from onestools_eventlog_ray.state.tombstones import load_tombstones_at
     eng = SearchEngine(index_dir)
     eng.deleted = load_tombstones_at(index_dir, pit)
-    return eng.search(terms, k)
+    return eng.search(terms, k, tie=tie)
