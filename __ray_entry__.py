@@ -2134,6 +2134,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         transform.update_transform(out, odd)
         return transform.read_transform(out)
 
+    def token_budget_plan(sf_dir):
+        """Chinchilla-style token-budget allocator: 110k-token budget,
+        uniform target share per source, 4-epoch repetition cap —
+        fractional epochs (e6), allocated tokens and the cap-induced
+        shortfall per source, all exact integer math."""
+        from onestools_eventlog_ray.pipelines import mix
+        return mix.token_budget_plan(_documents_ds(sf_dir),
+                                     budget_tokens=110_000,
+                                     spec=DOCUMENTS_SPEC,
+                                     max_epochs=4)
+
+    def shard_balance_report(sf_dir):
+        """Serving-tier shard-placement audit: per doc_id%8 shard, doc
+        and token counts, e6 fill ratio vs uniform, and the docs a
+        rebalancer would move off over-full shards (deterministic ES
+        disk-watermark balancing analog)."""
+        from onestools_eventlog_ray.pipelines.serving import \
+            shard_balance_report as _sbr
+        return _sbr(_documents_ds(sf_dir), n_shards=8)
+
     def mix_weights(sf_dir):
         """Domain-mixing table: per source, docs/tokens/share and the
         uniform-target resampling weight (exact integer math)."""
@@ -4110,6 +4130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_terms": wildcard_terms,
         "transform_rollup": transform_rollup,
         "mix_weights": mix_weights,
+        "token_budget_plan": token_budget_plan,
+        "shard_balance_report": shard_balance_report,
         "knn_filtered": knn_filtered,
         "vector_range": vector_range,
         "embedding_dim_stats": embedding_dim_stats,
@@ -7732,6 +7754,46 @@ SELECT event_type AS group_key,
        CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
             // greatest(count(*), 1) AS BIGINT) AS avg_e6
 FROM events GROUP BY event_type ORDER BY event_type""",
+
+        "token_budget_plan": f"""
+WITH toks AS ({_TOKS}),
+t AS (SELECT d.source, CAST(count(*) AS BIGINT) AS nt
+      FROM toks JOIN documents d USING (doc_id) GROUP BY d.source),
+p AS (SELECT source, nt,
+        CAST(110000 // (SELECT count(*) FROM t) AS BIGINT) AS desired,
+        CAST(LEAST(CAST(4000000 AS BIGINT),
+                   (110000 // (SELECT count(*) FROM t)) * 1000000 // nt)
+             AS BIGINT) AS epochs_e6
+      FROM t)
+SELECT source, nt AS n_tokens, desired AS desired_tokens, epochs_e6,
+       CAST(epochs_e6 * nt // 1000000 AS BIGINT) AS allocated_tokens,
+       CAST(desired - epochs_e6 * nt // 1000000 AS BIGINT) AS shortfall
+FROM p ORDER BY source""",
+
+        "shard_balance_report": """
+WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(
+                lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS term
+              FROM documents),
+nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks
+       GROUP BY doc_id),
+d AS (SELECT d.doc_id % 8 AS shard, coalesce(nt.n, 0) AS n
+      FROM documents d LEFT JOIN nt USING (doc_id)),
+s AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_tokens
+      FROM d GROUP BY shard),
+a AS (SELECT unnest(generate_series(0, 7)) AS shard),
+j AS (SELECT a.shard, coalesce(s.n_docs, 0) AS n_docs,
+             coalesce(s.n_tokens, 0) AS n_tokens
+      FROM a LEFT JOIN s ON s.shard = a.shard),
+tot AS (SELECT sum(n_docs) AS t FROM j)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_docs * 1000000 * 8 // GREATEST((SELECT t FROM tot), 1)
+            AS BIGINT) AS fill_e6,
+       CAST(GREATEST(n_docs - CAST(ceil((SELECT t FROM tot) / 8.0)
+                                   AS BIGINT), 0) AS BIGINT) AS moves
+FROM j ORDER BY shard""",
 
         "mix_weights": """
 WITH t AS (

@@ -408,3 +408,52 @@ def source_entropy(ds: ray.data.Dataset,
         })
 
     return folded.groupby(by).map_groups(finalize, batch_format="pyarrow")
+
+
+def token_budget_plan(ds: ray.data.Dataset,
+                      budget_tokens: int,
+                      spec: CorpusSpec = DOCUMENTS_SPEC,
+                      by: str = "source",
+                      max_epochs: int = 4) -> pa.Table:
+    """Token-budget ALLOCATOR — the Chinchilla-style data-planning
+    table: given a training budget of ``budget_tokens`` and a UNIFORM
+    target share per ``by`` group, how many (fractional) epochs of each
+    source fit under the ``max_epochs`` repetition cap, how many tokens
+    that actually draws, and the shortfall the cap leaves unfilled —
+    the planner a data team runs before mixing a corpus into a run.
+
+    All integer math (e6 fixed-point epochs, floor division both
+    sides), over the same one-pass per-group token fold as
+    :func:`mix_weights`.  -> (by, n_tokens, desired_tokens, epochs_e6,
+    allocated_tokens, shortfall) sorted by group."""
+    from ray.data.aggregate import Sum as RSum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_tok = _n_tokens(batch[spec.content_col])
+        g = pa.table({by: batch[by],
+                      "nt": pa.array(n_tok, pa.int64())}) \
+            .group_by(by).aggregate([("nt", "sum")])
+        return pa.table({by: g[by],
+                         "n_tokens_p": g["nt_sum"].cast(pa.int64())})
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(by).aggregate(RSum("n_tokens_p", alias_name="n_tokens")) \
+        .take_all()
+    folded.sort(key=lambda r: r[by])
+    groups = [r[by] for r in folded]
+    nt = np.asarray([r["n_tokens"] for r in folded], dtype=np.int64)
+    ng = len(groups)
+    desired = int(budget_tokens) // max(ng, 1)
+    cap_e6 = int(max_epochs) * 1_000_000
+    epochs = np.zeros(ng, dtype=np.int64)
+    nz = nt > 0
+    epochs[nz] = np.minimum(cap_e6, desired * 1_000_000 // nt[nz])
+    allocated = epochs * nt // 1_000_000
+    return pa.table({
+        by: pa.array(groups, pa.string()),
+        "n_tokens": pa.array(nt, pa.int64()),
+        "desired_tokens": pa.array([desired] * ng, pa.int64()),
+        "epochs_e6": pa.array(epochs, pa.int64()),
+        "allocated_tokens": pa.array(allocated, pa.int64()),
+        "shortfall": pa.array(desired - allocated, pa.int64()),
+    })

@@ -381,3 +381,55 @@ class TierRouter:
     def search(self, terms: list, k: int = 10,
                tie: str = "float") -> list:
         return self.tier.search(terms, k, tie)
+
+
+def shard_balance_report(ds: "ray.data.Dataset", n_shards: int = 8
+                         ) -> "pa.Table":
+    """Shard-placement audit for the doc-sharded serving tier: per
+    shard (the same content-keyed ``doc_id % n_shards`` route as
+    :func:`route_corpus_shards`), doc and token counts, the shard's
+    e6 fill ratio vs the uniform ideal, and the rebalance plan —
+    ``moves`` = docs above the ceil(total/n_shards) ceiling that a
+    rebalancer would relocate (ES disk-watermark shard balancing, made
+    deterministic).  Narrow-row fold: (shard, n_docs, n_tokens)
+    partials per batch, O(n_shards) rows after the groupby.
+    -> (shard, n_docs, n_tokens, fill_e6, moves) by shard."""
+    import numpy as _np
+    import pyarrow as _pa
+    from ray.data.aggregate import Sum as _Sum
+
+    from onestools_eventlog_ray.pipelines.mix import _n_tokens
+
+    def partial(batch: "pa.Table") -> "pa.Table":
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nt = _n_tokens(batch["text"])
+        shard = (ids % n_shards).astype(_np.int64)
+        keys, inv = _np.unique(shard, return_inverse=True)
+        nd = _np.bincount(inv, minlength=keys.size).astype(_np.int64)
+        ts = _np.zeros(keys.size, dtype=_np.int64)
+        _np.add.at(ts, inv, nt)
+        return _pa.table({"shard": _pa.array(keys, _pa.int64()),
+                          "nd_p": _pa.array(nd, _pa.int64()),
+                          "nt_p": _pa.array(ts, _pa.int64())})
+
+    rows = ds.select_columns(["doc_id", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("shard") \
+        .aggregate(_Sum("nd_p", alias_name="n_docs"),
+                   _Sum("nt_p", alias_name="n_tokens")).take_all()
+    by = {int(r["shard"]): (int(r["n_docs"]), int(r["n_tokens"]))
+          for r in rows}
+    shards = list(range(n_shards))
+    nd = _np.array([by.get(s, (0, 0))[0] for s in shards], dtype=_np.int64)
+    nt = _np.array([by.get(s, (0, 0))[1] for s in shards], dtype=_np.int64)
+    total = int(nd.sum())
+    ceil_cap = -(-total // n_shards) if total else 0
+    fill = nd * 1_000_000 * n_shards // max(total, 1)
+    moves = _np.maximum(nd - ceil_cap, 0)
+    return _pa.table({
+        "shard": _pa.array(shards, _pa.int64()),
+        "n_docs": _pa.array(nd, _pa.int64()),
+        "n_tokens": _pa.array(nt, _pa.int64()),
+        "fill_e6": _pa.array(fill, _pa.int64()),
+        "moves": _pa.array(moves, _pa.int64()),
+    })
