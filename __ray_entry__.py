@@ -3611,6 +3611,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                           DOCUMENTS_SPEC, k=4, w=5) \
             .sort("doc_id")
 
+    def msearch_topk(sf_dir):
+        """ES _msearch: three queries in one request sharing ONE
+        posting-load pass (union-of-terms shard reads, then warm-cache
+        scoring per query) — O(Q*k) on the driver."""
+        from onestools_eventlog_ray.pipelines.query import (SearchEngine,
+                                                            msearch)
+        eng = SearchEngine(_ensure_index(sf_dir))
+        return msearch(eng, [_BM25_TERMS, [_BM25_TERMS[0]],
+                             _BM25_TERMS[1:]], k=10)
+
+    def bpe_learned_merges(sf_dir):
+        """BPE tokenizer TRAINING (Sennrich 2016): one distributed pass
+        builds the word-type frequency table (vocabulary-sized by
+        Heaps' law), then the exact merge loop learns 24 merges over
+        word TYPES — never re-touching the corpus.  Iterative merge
+        learning is not SQL-expressible, so this is a rows-only driver
+        check; exactness vs a naive full-recount reference is
+        pytest-verified (test_round5_bpe)."""
+        return text.learn_bpe(_documents_ds(sf_dir), DOCUMENTS_SPEC,
+                              n_merges=24)
+
+    def bpe_apply_stats(sf_dir):
+        """Encode the corpus with the LEARNED merge table (broadcast
+        once, per-worker word-type segmentation cache): per doc the
+        subword count and chars-per-subword compression ratio.
+        Rows-only (BPE inference is not SQL-expressible); encode
+        exactness is pytest-verified (test_round5_bpe)."""
+        ds = _documents_ds(sf_dir)
+        merges = text.learn_bpe(ds, DOCUMENTS_SPEC, n_merges=24)
+        return text.apply_bpe(_documents_ds(sf_dir), merges,
+                              DOCUMENTS_SPEC).sort("doc_id")
+
     def video_gif_features(sf_dir):
         """REAL video decode: deterministic animated GIFs (pure-Python
         LZW encode) -> StructCodec actor-pool decode -> feature table.
@@ -4202,6 +4234,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_encode": pq_encode,
         "dsir_doc_weights": dsir_doc_weights,
         "bpe_pairs": bpe_pairs,
+        "bpe_learned_merges": bpe_learned_merges,
+        "bpe_apply_stats": bpe_apply_stats,
+        "msearch_topk": msearch_topk,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
         "user_activity_pcts": user_activity_pcts,
@@ -5157,6 +5192,16 @@ ORDER BY cf DESC, term ASC
 LIMIT 10""",
 
         "bm25_topk": _bm25_sql(_BM25_TERMS),
+        "msearch_topk": f"""
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS query_id, * FROM ({_bm25_sql(_BM25_TERMS)})
+  UNION ALL
+  SELECT CAST(1 AS BIGINT) AS query_id, *
+  FROM ({_bm25_sql([_BM25_TERMS[0]])})
+  UNION ALL
+  SELECT CAST(2 AS BIGINT) AS query_id, *
+  FROM ({_bm25_sql(_BM25_TERMS[1:])})
+) ORDER BY query_id, rank""",
         "bm25_topk_and": _bm25_and_sql(_BM25_TERMS),
         "bm25_topk_single": _bm25_sql(_BM25_TERMS_SINGLE),
         # the doc-sharded scatter-gather tier is EXACT global BM25 over

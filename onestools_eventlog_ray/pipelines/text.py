@@ -3385,3 +3385,225 @@ def epoch_shuffle(ds: ray.data.Dataset,
     return narrow.groupby(["epoch", "r"]) \
         .map_groups(assign, batch_format="pyarrow") \
         .sort(["epoch", "rank"])
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer TRAINING (iterative merge learning) + application
+# ---------------------------------------------------------------------------
+
+def word_type_counts(ds: ray.data.Dataset,
+                     spec: CorpusSpec = DOCUMENTS_SPEC,
+                     max_types: int | None = None) -> "pa.Table":
+    """Corpus-wide word-TYPE frequency table (term, n) — the distributed
+    half of BPE training (Sennrich et al. 2016: learn merges from the
+    word-frequency dictionary, not the raw corpus).
+
+    Scale shape: per-batch dictionary-encode + bincount partials, then a
+    ``groupby(term).Sum`` — only (term, count) rows shuffle and the
+    result is VOCABULARY-sized, independent of corpus size (Heaps' law:
+    ~millions of types at 100 TB, a driver-safe table).  ``max_types``
+    caps the dictionary to the most frequent types (count desc, term
+    asc), the standard frequency-cutoff used by BPE trainers."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import \
+            pin_worker_threads
+        pin_worker_threads()
+        b = add_doc_id(batch, spec)
+        toks = tokenize_array(b["content"])
+        d = toks.flatten().dictionary_encode()
+        idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if idx.size == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n_p": pa.array([], pa.int64())})
+        counts = np.bincount(idx, minlength=len(d.dictionary))
+        return pa.table({"term": d.dictionary,
+                         "n_p": pa.array(counts, pa.int64())})
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("n_p", alias_name="n"))
+    rows = folded.take_all()  # vocabulary-bounded (see docstring)
+    terms = np.asarray([r["term"] for r in rows], dtype=np.str_)
+    n = np.asarray([int(r["n"]) for r in rows], dtype=np.int64)
+    order = np.lexsort((terms, -n))
+    if max_types is not None:
+        order = order[:max_types]
+    return pa.table({"term": pa.array(terms[order], pa.string()),
+                     "n": pa.array(n[order], pa.int64())})
+
+
+def _bpe_merge_loop(types: list[tuple[str, int]], n_merges: int,
+                    end_token: str = "</w>") -> list[tuple[str, str, int]]:
+    """The classic BPE merge loop over a word-TYPE frequency dict
+    (driver-side by design: input is vocabulary-bounded, each iteration
+    touches only the types containing the merged pair).  Deterministic
+    tie-break: (count desc, left asc, right asc).
+    Returns [(left, right, pair_count), ...] in merge order."""
+    from collections import Counter, defaultdict
+    segs: list[list[str]] = [list(w) + [end_token] for w, _ in types]
+    freqs = [int(f) for _, f in types]
+    pair_counts: Counter = Counter()
+    where: defaultdict = defaultdict(set)  # pair -> set of type indices
+    for i, s in enumerate(segs):
+        f = freqs[i]
+        for a, b in zip(s, s[1:]):
+            pair_counts[(a, b)] += f
+            where[(a, b)].add(i)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (la, rb), cnt = best
+        if cnt <= 0:
+            break
+        merges.append((la, rb, cnt))
+        merged = la + rb
+        for i in sorted(where[(la, rb)]):
+            s = segs[i]
+            f = freqs[i]
+            out: list[str] = []
+            j = 0
+            while j < len(s):
+                if j + 1 < len(s) and s[j] == la and s[j + 1] == rb:
+                    prev = out[-1] if out else None
+                    nxt = s[j + 2] if j + 2 < len(s) else None
+                    pair_counts[(la, rb)] -= f
+                    if prev is not None:
+                        pair_counts[(prev, la)] -= f
+                        if pair_counts[(prev, la)] <= 0:
+                            pair_counts.pop((prev, la), None)
+                        pair_counts[(prev, merged)] += f
+                        where[(prev, merged)].add(i)
+                    if nxt is not None:
+                        pair_counts[(rb, nxt)] -= f
+                        if pair_counts[(rb, nxt)] <= 0:
+                            pair_counts.pop((rb, nxt), None)
+                        pair_counts[(merged, nxt)] += f
+                        where[(merged, nxt)].add(i)
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            segs[i] = out
+        pair_counts.pop((la, rb), None)
+        where.pop((la, rb), None)
+    return merges
+
+
+def learn_bpe(ds: ray.data.Dataset,
+              spec: CorpusSpec = DOCUMENTS_SPEC,
+              n_merges: int = 30,
+              max_types: int | None = 50_000,
+              end_token: str = "</w>") -> "pa.Table":
+    """Train a BPE tokenizer on the corpus (Sennrich et al. 2016):
+    distributed word-type frequency table (:func:`word_type_counts` —
+    the only pass over the data), then the exact merge loop over the
+    vocabulary-sized dict.  -> (rank, left, right, merged, n) in merge
+    order; ``n`` is the corpus-wide count of the pair at merge time.
+
+    100-TB story: the corpus is touched ONCE by a streaming
+    map_batches + a (term,count) groupby whose output obeys Heaps' law;
+    the iterative part runs over word TYPES (bounded by ``max_types``),
+    never over tokens — this is how subword-nmt/fastBPE scale and the
+    reason no per-iteration corpus pass exists.  Iterating pair counts
+    over the full corpus per merge (the naive reading of
+    ``bpe_pair_counts``) would be O(n_merges x corpus) and is
+    deliberately avoided."""
+    wt = word_type_counts(ds, spec, max_types=max_types)
+    types = list(zip(wt["term"].to_pylist(),
+                     wt["n"].to_pylist()))
+    merges = _bpe_merge_loop(types, n_merges, end_token=end_token)
+    return pa.table({
+        "rank": pa.array(range(len(merges)), pa.int64()),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string()),
+        "merged": pa.array([m[0] + m[1] for m in merges], pa.string()),
+        "n": pa.array([m[2] for m in merges], pa.int64()),
+    })
+
+
+def _bpe_encode_type(word: str, ranks: dict[tuple[str, str], int],
+                     end_token: str = "</w>") -> list[str]:
+    """Encode ONE word type with a learned merge table (lowest-rank
+    merge first — the standard BPE inference order)."""
+    s = list(word) + [end_token]
+    while len(s) > 1:
+        best_rank, best_j = None, -1
+        for j in range(len(s) - 1):
+            r = ranks.get((s[j], s[j + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_j = r, j
+        if best_rank is None:
+            break
+        s[best_j:best_j + 2] = [s[best_j] + s[best_j + 1]]
+    return s
+
+
+def apply_bpe(ds: ray.data.Dataset, merges: "pa.Table",
+              spec: CorpusSpec = DOCUMENTS_SPEC,
+              end_token: str = "</w>") -> ray.data.Dataset:
+    """Tokenize the corpus with a LEARNED merge table: per doc, the
+    subword count and compression ratio vs raw characters.
+    -> (doc_id, n_tokens, n_subwords, chars_per_subword_e6).
+
+    Scale shape: the merge table is broadcast once (``ray.put``); each
+    batch dictionary-encodes its tokens and encodes only the DISTINCT
+    word types (cached per worker process across batches — the per-type
+    LRU is exactly the reference's per-worker dictionary-cache pattern,
+    ST1), then scatters type subword-lengths back through the dictionary
+    indices.  No shuffle; one streaming pass."""
+    ranks = {(l_, r_): i for i, (l_, r_) in
+             enumerate(zip(merges["left"].to_pylist(),
+                           merges["right"].to_pylist()))}
+    ranks_ref = ray.put((ranks, end_token))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from onestools_eventlog_ray.functions.runtime import \
+            pin_worker_threads
+        pin_worker_threads()
+        cache_key = ("bpe_apply", ranks_ref.hex())
+        cached = _BPE_TYPE_CACHE.get(cache_key)
+        if cached is None:
+            rk, endt = ray.get(ranks_ref)
+            cached = {"ranks": rk, "end": endt, "lens": {}}
+            _BPE_TYPE_CACHE.clear()
+            _BPE_TYPE_CACHE[cache_key] = cached
+        rk, endt, lens = cached["ranks"], cached["end"], cached["lens"]
+        b = add_doc_id(batch, spec)
+        toks = tokenize_array(b["content"])
+        n = len(toks)
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+               .astype(np.int64)
+        d = toks.flatten().dictionary_encode()
+        idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        type_lens = np.empty(len(d.dictionary), dtype=np.int64)
+        type_chars = np.empty(len(d.dictionary), dtype=np.int64)
+        for ti, t in enumerate(d.dictionary.to_pylist()):
+            got = lens.get(t)
+            if got is None:
+                got = (len(_bpe_encode_type(t, rk, endt)), len(t))
+                lens[t] = got
+            type_lens[ti] = got[0]
+            type_chars[ti] = got[1]
+        parent = np.repeat(np.arange(n, dtype=np.int64), dl)
+        n_sub = np.zeros(n, dtype=np.int64)
+        n_chr = np.zeros(n, dtype=np.int64)
+        if idx.size:
+            np.add.at(n_sub, parent, type_lens[idx])
+            np.add.at(n_chr, parent, type_chars[idx])
+        ratio = np.zeros(n, dtype=np.int64)
+        nz = n_sub > 0
+        ratio[nz] = (n_chr[nz] * 1_000_000) // n_sub[nz]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array(dl, pa.int64()),
+            "n_subwords": pa.array(n_sub, pa.int64()),
+            "chars_per_subword_e6": pa.array(ratio, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_BPE_TYPE_CACHE: dict = {}
