@@ -3611,6 +3611,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                           DOCUMENTS_SPEC, k=4, w=5) \
             .sort("doc_id")
 
+    def snapshot_repo_report(sf_dir):
+        """ES incremental-snapshot repository: snapshot the index into
+        a content-addressed blob repo ('gen1'), soft-delete doc_id%13==0
+        (a tombstone-only mutation), snapshot again ('gen2') — gen2
+        uploads ONLY the new tombstone blob and reuses every immutable
+        shard/docstore part.  Filesystem semantics, so rows-only;
+        blob reuse / GC / sha-verified restore are pytest-verified
+        (test_round5_snaprepo)."""
+        import pyarrow.parquet as _pq
+        from onestools_eventlog_ray.config import EngineConfig
+        from onestools_eventlog_ray.pipelines.build import build_index
+        from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+        from onestools_eventlog_ray.state.snapshot import (repo_report,
+                                                           snapshot_to_repo)
+        from onestools_eventlog_ray.state.tombstones import (delete_docs,
+                                                             load_tombstones)
+        src = os.path.join(sf_dir, "documents.parquet")
+        index_dir = _index_dir_for(sf_dir) + "_repoq"
+        build_index(src, index_dir, spec=DOCUMENTS_SPEC,
+                    cfg=EngineConfig(num_partitions=16))
+        repo = index_dir + "_repo"
+        snapshot_to_repo(index_dir, repo, "gen1")
+        if load_tombstones(index_dir).size == 0:
+            ids = _pq.read_table(src, columns=["doc_id"])["doc_id"] \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            delete_docs(index_dir, ids[ids % 13 == 0])
+        snapshot_to_repo(index_dir, repo, "gen2")
+        return repo_report(repo)
+
     def msearch_topk(sf_dir):
         """ES _msearch: three queries in one request sharing ONE
         posting-load pass (union-of-terms shard reads, then warm-cache
@@ -4237,6 +4266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_learned_merges": bpe_learned_merges,
         "bpe_apply_stats": bpe_apply_stats,
         "msearch_topk": msearch_topk,
+        "snapshot_repo_report": snapshot_repo_report,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
         "user_activity_pcts": user_activity_pcts,
