@@ -3611,6 +3611,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                           DOCUMENTS_SPEC, k=4, w=5) \
             .sort("doc_id")
 
+    def kn_bigram_probs(sf_dir):
+        """Interpolated Kneser-Ney bigram LM probabilities (Chen &
+        Goodman 1998) for the top-20 bigrams: absolute-discount term +
+        continuation-probability backoff, all derived from the
+        vocabulary-bounded bigram type table; floor-e9 integers."""
+        return text.kn_bigram_probs(_documents_ds(sf_dir),
+                                    DOCUMENTS_SPEC, k=20)
+
     def snapshot_repo_report(sf_dir):
         """ES incremental-snapshot repository: snapshot the index into
         a content-addressed blob repo ('gen1'), soft-delete doc_id%13==0
@@ -4267,6 +4275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_apply_stats": bpe_apply_stats,
         "msearch_topk": msearch_topk,
         "snapshot_repo_report": snapshot_repo_report,
+        "kn_bigram_probs": kn_bigram_probs,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
         "user_activity_pcts": user_activity_pcts,
@@ -5222,6 +5231,25 @@ ORDER BY cf DESC, term ASC
 LIMIT 10""",
 
         "bm25_topk": _bm25_sql(_BM25_TERMS),
+        "kn_bigram_probs": """
+WITH tok AS (SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+       FROM documents),
+bgp AS (SELECT t[g] AS w1, t[g+1] AS w2
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 1)) AS g FROM tok)),
+cnt AS (SELECT w1, w2, count(*) AS n FROM bgp GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(n) AS c1, count(*) AS n1pl FROM cnt GROUP BY w1),
+c2 AS (SELECT w2, count(*) AS n1pr FROM cnt GROUP BY w2),
+tot AS (SELECT count(*) AS t FROM cnt)
+SELECT cnt.w1, cnt.w2, CAST(cnt.n AS BIGINT) AS n,
+       CAST(floor((greatest(cnt.n - 0.75, 0) / c1.c1
+             + (0.75 * c1.n1pl / c1.c1)
+               * (c2.n1pr / (SELECT t FROM tot))) * 1000000000 + 0.5)
+            AS BIGINT) AS pkn_e9
+FROM cnt JOIN c1 USING (w1) JOIN c2 USING (w2)
+ORDER BY n DESC, cnt.w1, cnt.w2 LIMIT 20""",
         "msearch_topk": f"""
 SELECT * FROM (
   SELECT CAST(0 AS BIGINT) AS query_id, * FROM ({_bm25_sql(_BM25_TERMS)})

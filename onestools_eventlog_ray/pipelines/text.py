@@ -3607,3 +3607,95 @@ def apply_bpe(ds: ray.data.Dataset, merges: "pa.Table",
 
 
 _BPE_TYPE_CACHE: dict = {}
+
+
+def kn_bigram_probs(ds: ray.data.Dataset,
+                    spec: CorpusSpec = DOCUMENTS_SPEC,
+                    k: int = 20, discount: float = 0.75) -> "pa.Table":
+    """Interpolated Kneser-Ney bigram probabilities (Chen & Goodman
+    1998) for the corpus's top-``k`` bigrams — the n-gram-LM training
+    step count-based data pipelines end in:
+
+        P_KN(w2|w1) = max(c(w1 w2) - D, 0) / c(w1 .)
+                      + (D * N1+(w1 .) / c(w1 .)) * N1+(. w2) / N1+(..)
+
+    Scale shape: everything derives from :func:`bigram_stats`'s
+    vocabulary-bounded (bigram, n) exchange — two further groupbys over
+    that TYPE table (per-w1 totals + left-type counts, per-w2 right-type
+    counts) and a distributed row count; the token stream is read once
+    and only type rows ever shuffle.  The driver touches O(k) bigrams
+    plus their O(k) context rows (filtered server-side by broadcast key
+    sets).  -> (w1, w2, n, pkn_e9), (n desc, w1, w2) — float ops ordered
+    exactly as the DuckDB oracle's expression, then floor-e9."""
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    def split(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch["bigram"], " ")
+        return pa.table({
+            "w1": pc.list_element(parts, 0),
+            "w2": pc.list_element(parts, 1),
+            "n": batch["n"],
+        })
+
+    bg = bigram_stats(ds, spec).map_batches(split, batch_format="pyarrow")
+    n_types = bg.count()
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w1 = np.asarray(batch["w1"].to_pylist(), dtype=np.str_)
+        w2 = np.asarray(batch["w2"].to_pylist(), dtype=np.str_)
+        order = np.lexsort((w2, w1, -n))[:k]
+        return pa.table({"w1": pa.array(w1[order], pa.string()),
+                         "w2": pa.array(w2[order], pa.string()),
+                         "n": pa.array(n[order], pa.int64())})
+
+    rows = bg.map_batches(local_topk, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(local_topk, batch_format="pyarrow").take_all()
+    top = pa.table({
+        "w1": pa.array([r["w1"] for r in rows], pa.string()),
+        "w2": pa.array([r["w2"] for r in rows], pa.string()),
+        "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+    })
+    w1_keys = set(top["w1"].to_pylist())
+    w2_keys = set(top["w2"].to_pylist())
+    w1_ref = ray.put(w1_keys)
+    w2_ref = ray.put(w2_keys)
+
+    def keep_w1(batch: pa.Table) -> pa.Table:
+        keys = ray.get(w1_ref)
+        mask = pa.array([w in keys for w in batch["w1"].to_pylist()])
+        return batch.filter(mask)
+
+    def keep_w2(batch: pa.Table) -> pa.Table:
+        keys = ray.get(w2_ref)
+        mask = pa.array([w in keys for w in batch["w2"].to_pylist()])
+        return batch.filter(mask)
+
+    per1 = {r["w1"]: (int(r["c1"]), int(r["n1pl"])) for r in
+            bg.map_batches(keep_w1, batch_format="pyarrow")
+            .groupby("w1").aggregate(_Sum("n", alias_name="c1"),
+                                     _Count(alias_name="n1pl"))
+            .take_all()}
+    per2 = {r["w2"]: int(r["n1pr"]) for r in
+            bg.map_batches(keep_w2, batch_format="pyarrow")
+            .groupby("w2").aggregate(_Count(alias_name="n1pr"))
+            .take_all()}
+    w1s = top["w1"].to_pylist()
+    w2s = top["w2"].to_pylist()
+    ns = top["n"].to_pylist()
+    e9 = []
+    for w1, w2, n in zip(w1s, w2s, ns):
+        c1, n1pl = per1[w1]
+        n1pr = per2[w2]
+        # exact float-op order of the DuckDB oracle expression
+        pkn = max(n - discount, 0.0) / c1 \
+            + (discount * n1pl / c1) * (n1pr / n_types)
+        e9.append(int(np.floor(pkn * 1_000_000_000 + 0.5)))
+    return pa.table({
+        "w1": pa.array(w1s, pa.string()),
+        "w2": pa.array(w2s, pa.string()),
+        "n": pa.array(ns, pa.int64()),
+        "pkn_e9": pa.array(e9, pa.int64()),
+    })
