@@ -3611,6 +3611,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                           DOCUMENTS_SPEC, k=4, w=5) \
             .sort("doc_id")
 
+    def bm25_via_alias(sf_dir):
+        """ES index aliases: serving goes through the 'prod' alias
+        indirection (atomic-flip registry, `state/aliases.py`) instead
+        of a physical index path — same BM25 top-10, so the standard
+        oracle; flip/rollback/validation-gate semantics are
+        pytest-verified (test_round5_aliases)."""
+        from onestools_eventlog_ray.state.aliases import (engine_for_alias,
+                                                          put_alias)
+        index_dir = _ensure_index(sf_dir)
+        reg = index_dir.rstrip(os.sep) + "_aliases"
+        put_alias(reg, "prod", index_dir)
+        eng = engine_for_alias(reg, "prod")
+        return _hits_to_table(eng.search(_BM25_TERMS, k=10, tie="e6"))
+
     def kn_bigram_probs(sf_dir):
         """Interpolated Kneser-Ney bigram LM probabilities (Chen &
         Goodman 1998) for the top-20 bigrams: absolute-discount term +
@@ -4276,6 +4290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "msearch_topk": msearch_topk,
         "snapshot_repo_report": snapshot_repo_report,
         "kn_bigram_probs": kn_bigram_probs,
+        "bm25_via_alias": bm25_via_alias,
         "scroll_export": scroll_export,
         "q10_returned": q10_returned,
         "user_activity_pcts": user_activity_pcts,
@@ -5231,6 +5246,7 @@ ORDER BY cf DESC, term ASC
 LIMIT 10""",
 
         "bm25_topk": _bm25_sql(_BM25_TERMS),
+        "bm25_via_alias": _bm25_sql(_BM25_TERMS),
         "kn_bigram_probs": """
 WITH tok AS (SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
