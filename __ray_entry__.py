@@ -3997,7 +3997,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return text.significant_terms(_documents_ds(sf_dir), DOCUMENTS_SPEC,
                                       fg_col="lang", fg_value="de")
 
+    def multi_terms_agg(sf_dir):
+        """ES multi_terms agg: compound (lang, source) buckets ordered
+        by doc count desc / key asc, size=10, sum(n_chars) sub-metric;
+        per-batch partial fold, bounded-key groupby."""
+        return text.multi_terms_agg(_documents_ds(sf_dir), size=10)
+
+    def runtime_field_terms(sf_dir):
+        """ES runtime fields: size_bucket = (n_chars/200)*200 emitted by
+        a query-time script (map_batches, never stored), then a terms
+        agg with an exact integer-division mean."""
+        return text.runtime_field_terms(_documents_ds(sf_dir),
+                                        bucket_width=200)
+
+    def scripted_metric_variance(sf_dir):
+        """ES scripted_metric (map/combine/reduce): exact population
+        variance of value per event_type — split-representation integer
+        sum-of-squares partials, arbitrary-precision driver reduce."""
+        from onestools_eventlog_ray.pipelines.relational import (
+            scripted_metric_variance as smv)
+        return smv(_read_pq(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_type", "value"]))
+
     return {
+        "multi_terms_agg": multi_terms_agg,
+        "runtime_field_terms": runtime_field_terms,
+        "scripted_metric_variance": scripted_metric_variance,
         "doc_token_stats": doc_token_stats,
         "term_stats": term_stats,
         "corpus_summary": corpus_summary,
@@ -5030,6 +5055,37 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
 
 def _oracle_sql_dict() -> dict[str, str]:
     return {
+        "multi_terms_agg": """
+WITH g AS (SELECT lang, source, count(*) AS doc_count,
+                  sum(n_chars) AS sum_nchars
+           FROM documents GROUP BY lang, source)
+SELECT CAST(row_number() OVER (
+         ORDER BY doc_count DESC, lang ASC, source ASC) AS BIGINT) AS rank,
+       lang, source, CAST(doc_count AS BIGINT) AS doc_count,
+       CAST(sum_nchars AS BIGINT) AS sum_nchars
+FROM g ORDER BY doc_count DESC, lang ASC, source ASC LIMIT 10""",
+
+        "runtime_field_terms": """
+SELECT CAST((n_chars // 200) * 200 AS BIGINT) AS size_bucket,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       CAST((sum(n_chars) * 1000000) // count(*) AS BIGINT)
+         AS avg_nchars_e6
+FROM documents GROUP BY size_bucket ORDER BY size_bucket""",
+
+        "scripted_metric_variance": """
+WITH v AS (SELECT event_type,
+                  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v6
+           FROM events),
+g AS (SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(v6) AS HUGEINT) AS s,
+             sum(CAST(v6 AS HUGEINT) * v6) AS sq
+      FROM v GROUP BY event_type)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(s // n AS BIGINT) AS mean_e6,
+       CAST((n * sq - s * s) // (n * n * 1000000) AS BIGINT) AS var_e6
+FROM g ORDER BY event_type""",
         "doc_token_stats": f"""
 WITH toks AS ({_TOKS}),
 agg AS (SELECT doc_id, count(*) AS n_tokens,

@@ -5049,3 +5049,69 @@ def dp_noisy_counts(ds: ray.data.Dataset, epsilon: float = 1.0
         "n_noisy_e6": pa.array(np.floor((n + noise) * 1_000_000 + 0.5)
                                .astype(np.int64), pa.int64()),
     })
+
+
+def scripted_metric_variance(ds: ray.data.Dataset) -> pa.Table:
+    """ES ``scripted_metric`` aggregation — the map / combine / reduce
+    contract — instantiated with the canonical script: exact population
+    VARIANCE of ``value`` per ``event_type``.
+
+    Faithful to the ES phase model AND integer-exact: the map script
+    runs per batch (per shard in ES) and folds ``value`` into fixed-size
+    integer partials; ``combine`` is the per-type groupby over those
+    partials; ``reduce`` runs on the coordinating node (driver) over a
+    handful of rows with arbitrary-precision Python ints.  The int64
+    overflow trap in sum-of-squares (v_e6^2 reaches 1e18) is dodged by
+    the split representation v_e6 = a*2^20 + b, accumulating
+    (sum a^2, sum a*b, sum b^2) — each int64-safe per batch — and
+    recombining exactly in the reduce: sum v6^2 = Sa2*2^40 + 2*Sab*2^20
+    + Sb2.  var_e6 = (n*sum(v6^2) - sum(v6)^2) // (n^2 * 1e6) exactly as
+    the HUGEINT SQL oracle computes it.
+    -> (event_type, n_events, mean_e6, var_e6) ordered by event_type."""
+
+    def map_script(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v6 = np.floor(v * 1_000_000 + 0.5).astype(np.int64)
+        a, b = v6 >> 20, v6 & ((1 << 20) - 1)
+        out = {"event_type": [], "n_p": [], "s_p": [],
+               "a2_p": [], "ab_p": [], "b2_p": []}
+        for t in np.unique(et):
+            m = et == t
+            out["event_type"].append(str(t))
+            out["n_p"].append(int(m.sum()))
+            out["s_p"].append(int(v6[m].sum()))
+            out["a2_p"].append(int((a[m] * a[m]).sum()))
+            out["ab_p"].append(int((a[m] * b[m]).sum()))
+            out["b2_p"].append(int((b[m] * b[m]).sum()))
+        return pa.table({k: pa.array(vv, pa.string() if k == "event_type"
+                                     else pa.int64())
+                         for k, vv in out.items()})
+
+    def reduce_script(group: pa.Table) -> pa.Table:
+        n = sum(group["n_p"].to_pylist())
+        s = sum(group["s_p"].to_pylist())
+        sq = (sum(group["a2_p"].to_pylist()) * (1 << 40)
+              + 2 * sum(group["ab_p"].to_pylist()) * (1 << 20)
+              + sum(group["b2_p"].to_pylist()))
+        return pa.table({
+            "event_type": pa.array([group["event_type"][0].as_py()],
+                                   pa.string()),
+            "n_events": pa.array([n], pa.int64()),
+            "mean_e6": pa.array([s // n], pa.int64()),
+            "var_e6": pa.array([(n * sq - s * s)
+                                // (n * n * 1_000_000)], pa.int64()),
+        })
+
+    out = (ds.select_columns(["event_type", "value"])
+           .map_batches(map_script, batch_format="pyarrow")
+           .groupby("event_type")
+           .map_groups(reduce_script, batch_format="pyarrow")
+           .take_all())
+    rows = sorted(out, key=lambda r: r["event_type"])
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows]),
+        "n_events": pa.array([r["n_events"] for r in rows], pa.int64()),
+        "mean_e6": pa.array([r["mean_e6"] for r in rows], pa.int64()),
+        "var_e6": pa.array([r["var_e6"] for r in rows], pa.int64()),
+    })

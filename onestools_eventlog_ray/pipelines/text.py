@@ -3699,3 +3699,94 @@ def kn_bigram_probs(ds: ray.data.Dataset,
         "n": pa.array(ns, pa.int64()),
         "pkn_e9": pa.array(e9, pa.int64()),
     })
+
+
+def multi_terms_agg(ds: ray.data.Dataset, size: int = 10) -> pa.Table:
+    """ES ``multi_terms`` aggregation: terms buckets keyed by a COMPOUND
+    key — here ``(lang, source)`` — ordered by doc count desc with the
+    compound key ascending as tie-break, truncated to ``size`` buckets,
+    each bucket carrying a sub-metric (sum of ``n_chars``).  The agg the
+    reference's users reach for when one ``terms`` dimension is not
+    enough (ES docs: multi_terms = terms over a composite key with
+    proper cross-shard doc-count ordering).
+
+    100-TB shape: one vectorized per-batch partial fold (``(lang,
+    source)`` pair counts + n_chars sums — the shuffle moves a few rows
+    per batch, never documents), a small groupby over the bounded
+    lang x source key space, driver-side top-``size`` cut.
+    -> (rank, lang, source, doc_count, sum_nchars)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"lang": batch["lang"], "source": batch["source"],
+                      "n_chars": pc.cast(batch["n_chars"], pa.int64())})
+        g = t.group_by(["lang", "source"]).aggregate(
+            [("n_chars", "sum"), ("lang", "count")])
+        return pa.table({
+            "lang": g["lang"], "source": g["source"],
+            "c_p": pc.cast(g["lang_count"], pa.int64()),
+            "s_p": g["n_chars_sum"],
+        })
+
+    folded = (ds.select_columns(["lang", "source", "n_chars"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(["lang", "source"])
+              .aggregate(Sum("c_p", alias_name="doc_count"),
+                         Sum("s_p", alias_name="sum_nchars"))
+              .take_all())
+    rows = sorted(folded, key=lambda r: (-r["doc_count"], r["lang"],
+                                         r["source"]))[:size]
+    return pa.table({
+        "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        "doc_count": pa.array([int(r["doc_count"]) for r in rows],
+                              pa.int64()),
+        "sum_nchars": pa.array([int(r["sum_nchars"]) for r in rows],
+                               pa.int64()),
+    })
+
+
+def runtime_field_terms(ds: ray.data.Dataset,
+                        bucket_width: int = 200) -> pa.Table:
+    """ES RUNTIME FIELDS (runtime mappings): a field that does not exist
+    in the index is defined by a script AT QUERY TIME and then used by a
+    ``terms`` aggregation as if it were indexed.  Script here:
+    ``emit((doc['n_chars'].value / width) * width)`` — the size bucket —
+    aggregated with doc_count + an exact integer mean of n_chars.
+
+    The engine analog of ES's per-shard script execution: the derived
+    column materializes only inside ``map_batches`` (vectorized integer
+    division — never written to storage, exactly the runtime-field
+    contract), partial (count, sum) folds per batch, small groupby on
+    the bounded bucket space, integer-division mean so the SQL oracle
+    reproduces values bit-exactly.
+    -> (size_bucket, doc_count, avg_nchars_e6) ordered by size_bucket."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nch = pc.cast(batch["n_chars"], pa.int64())
+        bucket = pc.multiply(pc.divide(nch, bucket_width), bucket_width)
+        t = pa.table({"size_bucket": bucket, "n_chars": nch})
+        g = t.group_by("size_bucket").aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")])
+        return pa.table({
+            "size_bucket": g["size_bucket"],
+            "c_p": pc.cast(g["n_chars_count"], pa.int64()),
+            "s_p": g["n_chars_sum"],
+        })
+
+    folded = (ds.select_columns(["n_chars"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("size_bucket")
+              .aggregate(Sum("c_p", alias_name="doc_count"),
+                         Sum("s_p", alias_name="sum_nchars"))
+              .take_all())
+    rows = sorted(folded, key=lambda r: int(r["size_bucket"]))
+    return pa.table({
+        "size_bucket": pa.array([int(r["size_bucket"]) for r in rows],
+                                pa.int64()),
+        "doc_count": pa.array([int(r["doc_count"]) for r in rows],
+                              pa.int64()),
+        "avg_nchars_e6": pa.array(
+            [int(r["sum_nchars"]) * 1_000_000 // int(r["doc_count"])
+             for r in rows], pa.int64()),
+    })
