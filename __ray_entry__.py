@@ -3997,6 +3997,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return text.significant_terms(_documents_ds(sf_dir), DOCUMENTS_SPEC,
                                       fg_col="lang", fg_value="de")
 
+    def query_string_search(sf_dir):
+        """ES query_string — the FULL Lucene syntax: parens, AND/OR/NOT,
+        field:term (metadata fields = constant_score filters), quoted
+        phrases (PhraseQuery scoring: tf = phrase freq, idf = sum of
+        constituent idfs), ^boosts distributing over groups."""
+        from onestools_eventlog_ray.config import EngineConfig
+        from onestools_eventlog_ray.pipelines.dsl import (
+            query_string_search as qss)
+        from onestools_eventlog_ray.pipelines.phrase import (
+            PhraseEngine, build_position_index)
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+        index_dir = _ensure_index(sf_dir)
+        if not os.path.isdir(os.path.join(index_dir, "positions")):
+            build_position_index(
+                os.path.join(sf_dir, "documents.parquet"), index_dir,
+                spec=DOCUMENTS_SPEC, cfg=EngineConfig(num_partitions=16))
+        return qss(SearchEngine(index_dir),
+                   '(spark OR "table hash"^2) AND value AND NOT dup '
+                   'AND lang:de', k=10, peng=PhraseEngine(index_dir))
+
     def multi_terms_agg(sf_dir):
         """ES multi_terms agg: compound (lang, source) buckets ordered
         by doc count desc / key asc, size=10, sum(n_chars) sub-metric;
@@ -4020,6 +4041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             columns=["event_type", "value"]))
 
     return {
+        "query_string_search": query_string_search,
         "multi_terms_agg": multi_terms_agg,
         "runtime_field_terms": runtime_field_terms,
         "scripted_metric_variance": scripted_metric_variance,
@@ -5055,6 +5077,74 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
 
 def _oracle_sql_dict() -> dict[str, str]:
     return {
+        "query_string_search": f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                             x -> x <> '') AS t
+  FROM documents),
+toks AS (SELECT doc_id, unnest(t) AS term FROM tok),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('spark', 'value', 'table', 'hash') GROUP BY term),
+pf AS (SELECT doc_id, count(*) AS pf
+       FROM (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                                    for i in range(1, len(t))]) AS bg
+             FROM tok) g
+       WHERE bg = 'table hash' GROUP BY doc_id),
+cand AS (
+  SELECT d.doc_id, dl.dl,
+         coalesce(ts.tf, 0) AS tf_spark,
+         coalesce(tv.tf, 0) AS tf_value,
+         coalesce(pf.pf, 0) AS pf
+  FROM documents d
+  JOIN dl USING (doc_id)
+  LEFT JOIN (SELECT doc_id, count(*) AS tf FROM toks
+             WHERE term = 'spark' GROUP BY doc_id) ts USING (doc_id)
+  LEFT JOIN (SELECT doc_id, count(*) AS tf FROM toks
+             WHERE term = 'value' GROUP BY doc_id) tv USING (doc_id)
+  LEFT JOIN pf USING (doc_id)
+  WHERE d.lang = 'de'
+    AND d.doc_id NOT IN (SELECT DISTINCT doc_id FROM toks
+                         WHERE term = 'dup')
+    AND (coalesce(ts.tf, 0) > 0 OR coalesce(pf.pf, 0) > 0)
+    AND coalesce(tv.tf, 0) > 0),
+scored AS (
+  SELECT doc_id,
+    CASE WHEN tf_spark > 0 THEN
+      ln(1 + ((SELECT n_docs FROM stats)
+              - (SELECT df FROM df WHERE term = 'spark') + 0.5)
+             / ((SELECT df FROM df WHERE term = 'spark') + 0.5))
+      * tf_spark * 2.2
+      / (tf_spark + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM stats)))
+    ELSE 0 END
+    + CASE WHEN pf > 0 THEN
+      2.0 * ( ln(1 + ((SELECT n_docs FROM stats)
+                      - (SELECT df FROM df WHERE term = 'table') + 0.5)
+                     / ((SELECT df FROM df WHERE term = 'table') + 0.5))
+            + ln(1 + ((SELECT n_docs FROM stats)
+                      - (SELECT df FROM df WHERE term = 'hash') + 0.5)
+                     / ((SELECT df FROM df WHERE term = 'hash') + 0.5)) )
+      * pf * 2.2
+      / (pf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM stats)))
+    ELSE 0 END
+    + ln(1 + ((SELECT n_docs FROM stats)
+              - (SELECT df FROM df WHERE term = 'value') + 0.5)
+             / ((SELECT df FROM df WHERE term = 'value') + 0.5))
+      * tf_value * 2.2
+      / (tf_value + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM stats)))
+    AS score
+  FROM cand)
+SELECT CAST(row_number() OVER (
+         ORDER BY CAST(floor(score * 1000000 + 0.5) AS BIGINT) DESC,
+                  doc_id ASC) AS BIGINT) AS rank,
+       doc_id,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6
+FROM scored ORDER BY score_e6 DESC, doc_id ASC LIMIT 10""",
+
         "multi_terms_agg": """
 WITH g AS (SELECT lang, source, count(*) AS doc_count,
                   sum(n_chars) AS sum_nchars

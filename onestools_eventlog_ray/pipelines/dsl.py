@@ -315,3 +315,342 @@ def simple_query_string(eng: SearchEngine, query: str, k: int = 10,
             buckets[cl["op"]].append(_match(t, cl["boost"]))
     node = {"bool": {kk: v for kk, v in buckets.items() if v}}
     return es_search(eng, node, k=k)
+
+
+# ---------------------------------------------------------------------------
+# query_string — the full Lucene query language front end
+# ---------------------------------------------------------------------------
+
+#: metadata (keyword) columns servable as constant_score filter clauses
+_QS_META_FIELDS = ("lang", "source")
+
+
+def _qs_lex(query: str) -> list[tuple]:
+    """Lexer for the Lucene ``query_string`` syntax subset:
+    parens, AND/OR/NOT (also ``&&`` / ``||`` / ``!``), ``field:`` prefixes,
+    quoted phrases, ``^boost``.  Yields (kind, value) tuples."""
+    import re
+    toks: list[tuple] = []
+    i, n = 0, len(query)
+    word = re.compile(r"[A-Za-z0-9_.]+")
+    num = re.compile(r"\d+(?:\.\d+)?")
+    while i < n:
+        c = query[i]
+        if c.isspace():
+            i += 1
+        elif c == "(":
+            toks.append(("lparen", None)); i += 1
+        elif c == ")":
+            toks.append(("rparen", None)); i += 1
+        elif c == "!":
+            toks.append(("not", None)); i += 1
+        elif query.startswith("&&", i):
+            toks.append(("and", None)); i += 2
+        elif query.startswith("||", i):
+            toks.append(("or", None)); i += 2
+        elif c == '"':
+            j = query.index('"', i + 1)
+            toks.append(("phrase", query[i + 1:j])); i = j + 1
+        elif c == "^":
+            m = num.match(query, i + 1)
+            if not m:
+                raise DslError(f"bad boost at {i}: {query[i:i+8]!r}")
+            toks.append(("boost", float(m.group(0)))); i = m.end()
+        elif c == ":":
+            toks.append(("colon", None)); i += 1
+        else:
+            m = word.match(query, i)
+            if not m:
+                raise DslError(f"unexpected char {c!r} at {i}")
+            w = m.group(0)
+            if w == "AND":
+                toks.append(("and", None))
+            elif w == "OR":
+                toks.append(("or", None))
+            elif w == "NOT":
+                toks.append(("not", None))
+            else:
+                toks.append(("word", w))
+            i = m.end()
+    return toks
+
+
+def parse_query_string(query: str,
+                       default_operator: str = "or") -> tuple:
+    """Recursive-descent parser for the Lucene ``query_string`` language
+    (the full-syntax big brother of ``simple_query_string``; ES rejects a
+    malformed query_string instead of degrading — so do we).
+
+    Supported: ``( )`` grouping, ``AND`` / ``OR`` / ``NOT`` (and ``&&``
+    ``||`` ``!``), bare-term adjacency joined by ``default_operator``,
+    ``field:term`` / ``field:"a phrase"`` (text field scores; metadata
+    fields are constant_score filters), ``"quoted phrases"``, ``^boost``
+    on terms, phrases and groups.  AND binds tighter than OR, exactly as
+    Lucene's precedence-parser rewrite.
+
+    AST: ("term", field, token, boost) | ("phrase", field, [tok...],
+    boost) | ("and", [child...]) | ("or", [child...]) | ("not", child).
+    """
+    toks = _qs_lex(query)
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else (None, None)
+
+    def take():
+        t = peek(); pos[0] += 1
+        return t
+
+    def atom():
+        kind, val = take()
+        neg = False
+        while kind == "not":
+            neg = not neg
+            kind, val = take()
+        node = None
+        if kind == "lparen":
+            node = or_expr()
+            if take()[0] != "rparen":
+                raise DslError("unbalanced parens")
+        elif kind == "phrase":
+            node = ("phrase", "text", tokenize_py(val), 1.0)
+        elif kind == "word":
+            field = "text"
+            if peek()[0] == "colon":
+                take()
+                field = val
+                kind2, val2 = take()
+                if kind2 == "phrase":
+                    node = ("phrase", field, tokenize_py(val2), 1.0)
+                elif kind2 == "word":
+                    node = _qs_leaf(field, val2)
+                else:
+                    raise DslError(f"bad clause after {field}:")
+            if node is None:
+                node = _qs_leaf(field, val)
+        else:
+            raise DslError(f"unexpected token {kind}")
+        if peek()[0] == "boost":
+            node = _qs_boost(node, take()[1])
+        return ("not", node) if neg else node
+
+    def and_expr():
+        items = [atom()]
+        while True:
+            kind = peek()[0]
+            if kind == "and":
+                take(); items.append(atom())
+            elif kind == "not":
+                # adjacency with NOT ("a NOT b") is an AND in Lucene
+                items.append(atom())
+            elif kind in ("word", "phrase", "lparen") \
+                    and default_operator.lower() == "and":
+                items.append(atom())
+            else:
+                break
+        return items[0] if len(items) == 1 else ("and", items)
+
+    def or_expr():
+        items = [and_expr()]
+        while True:
+            kind = peek()[0]
+            if kind == "or":
+                take(); items.append(and_expr())
+            elif kind in ("word", "phrase", "lparen", "not") \
+                    and default_operator.lower() != "and":
+                items.append(and_expr())
+            else:
+                break
+        return items[0] if len(items) == 1 else ("or", items)
+
+    node = or_expr()
+    if pos[0] != len(toks):
+        raise DslError(f"trailing tokens at {pos[0]}")
+    return node
+
+
+def _qs_leaf(field: str, raw: str) -> tuple:
+    if field == "text":
+        t = tokenize_py(raw)
+        if len(t) != 1:
+            raise DslError(f"term {raw!r} must analyze to one token")
+        return ("term", "text", t[0], 1.0)
+    if field not in _QS_META_FIELDS:
+        raise DslError(f"unknown field {field!r}")
+    return ("term", field, raw, 1.0)
+
+
+def _qs_boost(node: tuple, b: float) -> tuple:
+    """Multiply a boost through a node (groups distribute to children —
+    Lucene's BoostQuery over a BooleanQuery)."""
+    kind = node[0]
+    if kind in ("term", "phrase"):
+        return (*node[:3], node[3] * b)
+    if kind == "not":
+        return ("not", _qs_boost(node[1], b))
+    return (kind, [_qs_boost(c, b) for c in node[1]])
+
+
+def _qs_match_ids(node: tuple, eng: SearchEngine, peng,
+                  cache: dict) -> np.ndarray:
+    """Sorted unique doc_ids matching a (non-negated) AST node — pure
+    df-bounded posting / sidecar / docstore-column set algebra."""
+    kind = node[0]
+    if kind == "term":
+        _, field, tok, _ = node
+        if field == "text":
+            key = ("t", tok)
+            if key not in cache:
+                ids = _posting_ids(eng, [tok])[0]
+                if eng.deleted.size:
+                    ids = ids[~np.isin(ids, eng.deleted)]
+                cache[key] = ids
+            return cache[key]
+        key = ("m", field, tok)
+        if key not in cache:
+            cache[key] = eng.allowed_doc_ids({field: tok})
+        return cache[key]
+    if kind == "phrase":
+        _, _, toks, _ = node
+        key = ("p", tuple(toks))
+        if key not in cache:
+            if peng is None:
+                raise DslError("phrase clause needs a PhraseEngine "
+                               "(positions sidecar)")
+            m = peng.search_phrase(list(toks))
+            cache[key] = (np.sort(np.array([d for d, _ in m],
+                                           dtype=np.int64)),
+                          {d: f for d, f in m})
+        return cache[key][0]
+    if kind == "and":
+        pos_ids = None
+        for c in node[1]:
+            if c[0] == "not":
+                continue
+            ids = _qs_match_ids(c, eng, peng, cache)
+            pos_ids = ids if pos_ids is None \
+                else np.intersect1d(pos_ids, ids, assume_unique=True)
+        if pos_ids is None:
+            raise DslError("a bool must have at least one positive "
+                           "clause (pure NOT is unsupported, as in ES)")
+        for c in node[1]:
+            if c[0] == "not":
+                exc = _qs_match_ids(c[1], eng, peng, cache)
+                pos_ids = np.setdiff1d(pos_ids, exc, assume_unique=True)
+        return pos_ids
+    if kind == "or":
+        parts = []
+        for c in node[1]:
+            if c[0] == "not":
+                raise DslError("NOT directly under OR is unsupported "
+                               "(as in Lucene)")
+            parts.append(_qs_match_ids(c, eng, peng, cache))
+        return np.unique(np.concatenate(parts)) if parts \
+            else np.empty(0, np.int64)
+    raise DslError(f"cannot match node kind {kind}")
+
+
+def _qs_scoring_leaves(node: tuple, acc: list, negated: bool = False):
+    kind = node[0]
+    if kind in ("term", "phrase"):
+        if not negated and not (kind == "term" and node[1] != "text"):
+            acc.append(node)
+    elif kind == "not":
+        _qs_scoring_leaves(node[1], acc, True)
+    else:
+        for c in node[1]:
+            _qs_scoring_leaves(c, acc, negated)
+
+
+def query_string_search(eng: SearchEngine, query: str, k: int = 10,
+                        peng=None,
+                        default_operator: str = "or") -> pa.Table:
+    """ES ``query_string`` query — the FULL Lucene syntax (parens,
+    AND/OR/NOT, field:term, quoted phrases, boosts) executed against
+    this engine.  -> (rank, doc_id, score_e6).
+
+    Semantics (each Lucene-faithful and reproduced by the SQL oracle):
+
+    * **matching** is boolean set algebra over doc-id sets — term
+      postings, phrase-sidecar occurrence sets, metadata docstore
+      column scans (only doc_id + the field column leave storage) —
+      every set df-/filter-bounded, never a corpus materialization;
+    * **scoring** sums every non-negated TEXT leaf whose own match set
+      contains the doc (Lucene's BooleanScorer: an OR branch that also
+      matches still contributes), boost = product along the path;
+      metadata clauses are constant_score filters (0 contribution);
+    * **phrase scoring** is Lucene PhraseQuery's: tf = exact phrase
+      frequency, idf = SUM of the constituent terms' idfs, same
+      ``bm25_impact`` saturation kernel;
+    * ranking on (floor(score*1e6+0.5) desc, doc_id asc); matched docs
+      with no scoring leaf rank after all positive scores, doc_id asc.
+    """
+    from onestools_eventlog_ray.functions.bm25 import idf as idf_fn
+
+    ast = parse_query_string(query, default_operator)
+    cache: dict = {}
+    ids = _qs_match_ids(ast, eng, peng, cache)
+    if ids.size == 0:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score_e6": pa.array([], pa.int64())})
+    leaves: list = []
+    _qs_scoring_leaves(ast, leaves)
+    scores = np.zeros(ids.size, dtype=np.float64)
+    seen_terms: set = set()
+    seen_phrases: set = set()
+    for leaf in leaves:
+        if leaf[0] == "term":
+            _, _, tok, boost = leaf
+            if (tok, boost) in seen_terms:
+                continue
+            seen_terms.add((tok, boost))
+            hit = eng.load_terms([tok]).get(tok)
+            if hit is None:
+                continue
+            df, blob = hit
+            post = codec.decode_posting(blob)
+            idx = np.searchsorted(post.doc_ids, ids)
+            np.clip(idx, 0, max(post.doc_ids.size - 1, 0), out=idx)
+            valid = (post.doc_ids.size > 0) \
+                & (post.doc_ids[idx] == ids)
+            if not valid.any():
+                continue
+            w = idf_fn(eng.N, df) * boost
+            scores[valid] += w * codec.bm25_impact(
+                post.tfs[idx[valid]], post.dls[idx[valid]],
+                eng.avgdl, eng.k1, eng.b)
+        else:
+            _, _, toks, boost = leaf
+            tkey = (tuple(toks), boost)
+            if tkey in seen_phrases:
+                continue
+            seen_phrases.add(tkey)
+            # occurrence map is already in the match cache (or compute)
+            _qs_match_ids(leaf, eng, peng, cache)
+            freq = cache[("p", tuple(toks))][1]
+            loaded = eng.load_terms(sorted(set(toks)))
+            idf_sum = sum(idf_fn(eng.N, loaded[t][0])
+                          for t in set(toks) if t in loaded)
+            # doc length from the first constituent term's posting
+            hit0 = loaded.get(toks[0])
+            if hit0 is None or not freq:
+                continue
+            p0 = codec.decode_posting(hit0[1])
+            idx = np.searchsorted(p0.doc_ids, ids)
+            np.clip(idx, 0, max(p0.doc_ids.size - 1, 0), out=idx)
+            pf = np.array([freq.get(int(d), 0) for d in ids],
+                          dtype=np.int64)
+            valid = (pf > 0) & (p0.doc_ids[idx] == ids)
+            if not valid.any():
+                continue
+            scores[valid] += idf_sum * boost * codec.bm25_impact(
+                pf[valid], p0.dls[idx[valid]], eng.avgdl,
+                eng.k1, eng.b)
+    e6 = np.floor(scores * 1_000_000 + 0.5).astype(np.int64)
+    order = np.lexsort((ids, -e6))[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+        "doc_id": pa.array(ids[order], pa.int64()),
+        "score_e6": pa.array(e6[order], pa.int64()),
+    })
