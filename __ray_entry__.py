@@ -36,6 +36,8 @@ _STOP_SQL = "('a','the','and','of','to','in','is','it')"
 _BM25_TERMS = ["spark", "vector", "window"]
 _BM25_TERMS_SINGLE = ["spark"]
 _BOOSTS = {"spark": 2.0, "vector": 1.0, "window": 0.5}
+# sparse_vector (text_expansion) query weights, e6 fixed-point
+_SPARSE_QW = {"spark": 2_000_000, "vector": 1_000_000, "window": 500_000}
 
 
 def _documents_ds(sf_dir: str):
@@ -67,6 +69,20 @@ def _ensure_index(sf_dir: str) -> str:
     index_dir = _index_dir_for(sf_dir)
     build_index(os.path.join(sf_dir, "documents.parquet"), index_dir,
                 spec=DOCUMENTS_SPEC, cfg=EngineConfig(num_partitions=16))
+    return index_dir
+
+
+def _ensure_impacts(sf_dir: str) -> str:
+    """Impact (sparse_vector) sidecar under the BM25 index dir —
+    idempotent via the ``_meta.json`` success marker."""
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.sparse import build_impact_index
+    from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+    index_dir = _ensure_index(sf_dir)
+    if not os.path.exists(os.path.join(index_dir, "impacts", "_meta.json")):
+        build_impact_index(os.path.join(sf_dir, "documents.parquet"),
+                           index_dir, spec=DOCUMENTS_SPEC,
+                           cfg=EngineConfig(num_partitions=16))
     return index_dir
 
 
@@ -4040,7 +4056,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return smv(_read_pq(os.path.join(sf_dir, "events.parquet"),
                             columns=["event_type", "value"]))
 
+    def sparse_vector_topk(sf_dir):
+        """ES 8.x sparse_vector / text_expansion query: per-doc impact
+        weights w_e6 = floor(ln(1+tf)*idf*1e6+0.5) built into a pruned
+        term-hash-sharded sidecar (one pass, df computed inside the
+        shard group), queried with e6 query weights and ranked on the
+        int64 dot product score_e12 (order-independent by construction)."""
+        from onestools_eventlog_ray.pipelines.sparse import sparse_topk_table
+        return sparse_topk_table(_ensure_impacts(sf_dir), _SPARSE_QW, k=10)
+
+    def sparse_index_stats(sf_dir):
+        """Impact-pruning build report: raw vs kept vs pruned posting
+        counts + surviving vocabulary, from the sidecar's _meta.json
+        (folded from per-shard writer partials, never recomputed)."""
+        from onestools_eventlog_ray.pipelines.sparse import impact_stats_table
+        return impact_stats_table(_ensure_impacts(sf_dir))
+
     return {
+        "sparse_vector_topk": sparse_vector_topk,
+        "sparse_index_stats": sparse_index_stats,
         "query_string_search": query_string_search,
         "multi_terms_agg": multi_terms_agg,
         "runtime_field_terms": runtime_field_terms,
@@ -4897,6 +4931,36 @@ def _bits_values() -> str:
 
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_dict()
+    # sparse_vector (text_expansion): impact weights + int dot product;
+    # identical float64 op order (ln(1+tf), ln(1+(N-df+.5)/(df+.5)))
+    # then e6 floor BEFORE the product, so both sides are integer-exact
+    _impact_w = """
+WITH toks AS ({toks}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+w AS (SELECT doc_id, term,
+        CAST(floor(ln(1 + tf)
+             * ln(1 + ((SELECT count(*) FROM documents) - df + 0.5)
+                      / (df + 0.5)) * 1000000 + 0.5) AS BIGINT) AS w_e6
+      FROM tf JOIN df USING (term))""".format(toks=_TOKS)
+    _qw_vals = ", ".join(f"('{t}', {w})" for t, w in sorted(_SPARSE_QW.items()))
+    d["sparse_vector_topk"] = f"""{_impact_w},
+q(term, q_e6) AS (VALUES {_qw_vals}),
+scored AS (SELECT doc_id, CAST(sum(q_e6 * w_e6) AS BIGINT) AS score_e12
+           FROM w JOIN q USING (term) WHERE w_e6 >= 200000
+           GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score_e12 DESC, doc_id ASC)
+            AS BIGINT) AS rank, doc_id, score_e12
+FROM scored ORDER BY score_e12 DESC, doc_id ASC LIMIT 10"""
+    d["sparse_index_stats"] = f"""{_impact_w}
+SELECT CAST(count(*) AS BIGINT) AS n_postings,
+       CAST(sum(CASE WHEN w_e6 >= 200000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN w_e6 < 200000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pruned,
+       CAST(count(DISTINCT CASE WHEN w_e6 >= 200000 THEN term END)
+            AS BIGINT) AS n_terms_kept
+FROM w"""
     # incremental ANN is rank-identical to the full-corpus build by the
     # generational-merge parity (tests/test_round4b.py), so its oracle
     # IS the knn_cosine_ivf SQL over the union table.
