@@ -4072,7 +4072,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from onestools_eventlog_ray.pipelines.sparse import impact_stats_table
         return impact_stats_table(_ensure_impacts(sf_dir))
 
+    def retriever_rrf(sf_dir):
+        """ES 8.14+ retriever tree: rrf over THREE children — standard
+        (BM25 top-50), knn (cosine top-50, self excluded) and
+        sparse_vector (impact dot-product top-50) — each child a
+        distributed ranking, fused with integer-floored 1e9//(c+rank)
+        contributions so the result is bit-reproducible."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines.hybrid import retriever_tree
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        from onestools_eventlog_ray.pipelines.sparse import SparseEngine
+        idx = _ensure_impacts(sf_dir)
+        emb = _read_pq(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"])
+        return retriever_tree(SearchEngine(idx), SparseEngine(idx), emb,
+                              _BM25_TERMS, _SPARSE_QW, query_vec_id=0)
+
     return {
+        "retriever_rrf": retriever_rrf,
         "sparse_vector_topk": sparse_vector_topk,
         "sparse_index_stats": sparse_index_stats,
         "query_string_search": query_string_search,
@@ -4961,6 +4978,49 @@ SELECT CAST(count(*) AS BIGINT) AS n_postings,
        CAST(count(DISTINCT CASE WHEN w_e6 >= 200000 THEN term END)
             AS BIGINT) AS n_terms_kept
 FROM w"""
+    # retriever tree: rrf over bm25 + knn + sparse children, each a
+    # nested self-contained WITH subquery ranked over its top-50 window
+    d["retriever_rrf"] = f"""
+WITH base AS ({_bm25_sql(_BM25_TERMS, k=50)}),
+qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings WHERE vec_id = 0),
+cosr AS (SELECT vec_id AS doc_id,
+                CAST(row_number() OVER (ORDER BY c6 DESC, vec_id ASC)
+                     AS BIGINT) AS rank
+         FROM (SELECT e2.vec_id,
+                      CAST(floor(list_cosine_similarity(
+                          list_transform(e2.embedding,
+                                         x -> CAST(x AS DOUBLE)),
+                          (SELECT v FROM qv)) * 1000000 + 0.5) AS BIGINT)
+                        AS c6
+               FROM embeddings e2 WHERE e2.vec_id <> 0)),
+knn AS (SELECT doc_id, rank FROM cosr WHERE rank <= 50),
+sp AS (SELECT doc_id, rank FROM (
+        {_impact_w},
+        q(term, q_e6) AS (VALUES {_qw_vals}),
+        scored AS (SELECT doc_id,
+                          CAST(sum(q_e6 * w_e6) AS BIGINT) AS score_e12
+                   FROM w JOIN q USING (term) WHERE w_e6 >= 200000
+                   GROUP BY doc_id)
+        SELECT doc_id, CAST(row_number() OVER (
+                 ORDER BY score_e12 DESC, doc_id ASC) AS BIGINT) AS rank
+        FROM scored) WHERE rank <= 50),
+fused AS (SELECT coalesce(b.doc_id, c.doc_id, s.doc_id) AS doc_id,
+                 coalesce(1000000000 // (60 + b.rank), 0)
+                 + coalesce(1000000000 // (60 + c.rank), 0)
+                 + coalesce(1000000000 // (60 + s.rank), 0) AS rrf_e9,
+                 b.rank AS bm25_rank, c.rank AS knn_rank,
+                 s.rank AS sparse_rank
+          FROM base b
+          FULL OUTER JOIN knn c ON b.doc_id = c.doc_id
+          FULL OUTER JOIN sp s ON coalesce(b.doc_id, c.doc_id) = s.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY rrf_e9 DESC, doc_id ASC)
+            AS BIGINT) AS rank,
+       doc_id, CAST(rrf_e9 AS BIGINT) AS rrf_e9,
+       CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(knn_rank AS BIGINT) AS knn_rank,
+       CAST(sparse_rank AS BIGINT) AS sparse_rank
+FROM fused ORDER BY rrf_e9 DESC, doc_id ASC LIMIT 10"""
     # incremental ANN is rank-identical to the full-corpus build by the
     # generational-merge parity (tests/test_round4b.py), so its oracle
     # IS the knn_cosine_ivf SQL over the union table.
