@@ -38,6 +38,9 @@ _BM25_TERMS_SINGLE = ["spark"]
 _BOOSTS = {"spark": 2.0, "vector": 1.0, "window": 0.5}
 # sparse_vector (text_expansion) query weights, e6 fixed-point
 _SPARSE_QW = {"spark": 2_000_000, "vector": 1_000_000, "window": 500_000}
+# late-interaction (MaxSim) query: morphological variants that are NOT
+# corpus tokens — only soft trigram matching can rank them
+_MAXSIM_Q = ["vectors", "windowed", "streaming"]
 
 
 def _documents_ds(sf_dir: str):
@@ -4088,7 +4091,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return retriever_tree(SearchEngine(idx), SparseEngine(idx), emb,
                               _BM25_TERMS, _SPARSE_QW, query_vec_id=0)
 
+    def maxsim_topk(sf_dir):
+        """ColBERT-style late interaction: score(q,d) = sum over query
+        terms of MAX over doc token types of e6-floored trigram
+        Jaccard — soft matching with no stemmer.  One streaming pass,
+        zero shuffles: per-doc MAX/SUM complete inside map_batches
+        (docs are batch-disjoint); the sim kernel runs on distinct
+        token TYPES through a per-actor memo cache; global top-k folds
+        exact per-batch partials."""
+        from onestools_eventlog_ray.pipelines.lateinteraction import \
+            maxsim_topk as _mt
+        from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+        return _mt(os.path.join(sf_dir, "documents.parquet"), _MAXSIM_Q,
+                   k=10, spec=DOCUMENTS_SPEC)
+
+    def maxsim_expansions(sf_dir):
+        """The soft-match expansion type table the MaxSim kernel sees:
+        (qterm, corpus term, sim_e6) for every vocabulary type with
+        nonzero trigram Jaccard — vocabulary-bounded (Heaps' law), so
+        the distinct-type reduction is the only shuffle."""
+        from onestools_eventlog_ray.pipelines.lateinteraction import \
+            query_term_expansions
+        from onestools_eventlog_ray.sources.corpus import DOCUMENTS_SPEC
+        return query_term_expansions(
+            os.path.join(sf_dir, "documents.parquet"), _MAXSIM_Q,
+            spec=DOCUMENTS_SPEC)
+
     return {
+        "maxsim_topk": maxsim_topk,
+        "maxsim_expansions": maxsim_expansions,
         "retriever_rrf": retriever_rrf,
         "sparse_vector_topk": sparse_vector_topk,
         "sparse_index_stats": sparse_index_stats,
@@ -5021,6 +5052,45 @@ SELECT CAST(row_number() OVER (ORDER BY rrf_e9 DESC, doc_id ASC)
        CAST(knn_rank AS BIGINT) AS knn_rank,
        CAST(sparse_rank AS BIGINT) AS sparse_rank
 FROM fused ORDER BY rrf_e9 DESC, doc_id ASC LIMIT 10"""
+    # late-interaction MaxSim: integer trigram-Jaccard sim table over
+    # (query term x vocabulary type), MAX per (doc, qterm), SUM per doc
+    _q_vals = ", ".join(f"('{t}')" for t in _MAXSIM_Q)
+    _maxsim_sim = f"""
+WITH toks AS ({_TOKS}),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+vg AS (SELECT DISTINCT term, gram FROM (
+         SELECT term, unnest(CASE WHEN length(term) < 3 THEN [term]
+             ELSE [substr(term, x, 3)
+                   FOR x IN range(1, length(term) - 1)] END) AS gram
+         FROM (SELECT DISTINCT term FROM dt))),
+vsz AS (SELECT term, count(*) AS sz FROM vg GROUP BY term),
+q(qterm) AS (VALUES {_q_vals}),
+qg AS (SELECT DISTINCT qterm, gram FROM (
+         SELECT qterm, unnest(CASE WHEN length(qterm) < 3 THEN [qterm]
+             ELSE [substr(qterm, x, 3)
+                   FOR x IN range(1, length(qterm) - 1)] END) AS gram
+         FROM q)),
+qsz AS (SELECT qterm, count(*) AS sz FROM qg GROUP BY qterm),
+sim AS (SELECT i.qterm, i.term,
+               CAST(1000000 * i.inter
+                    // (qsz.sz + vsz.sz - i.inter) AS BIGINT) AS sim_e6
+        FROM (SELECT qg.qterm, vg.term, count(*) AS inter
+              FROM qg JOIN vg USING (gram)
+              GROUP BY qg.qterm, vg.term) i
+        JOIN qsz ON qsz.qterm = i.qterm
+        JOIN vsz ON vsz.term = i.term)"""
+    d["maxsim_topk"] = f"""{_maxsim_sim},
+permax AS (SELECT dt.doc_id, sim.qterm, max(sim.sim_e6) AS m
+           FROM dt JOIN sim USING (term) GROUP BY dt.doc_id, sim.qterm),
+scored AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS maxsim_e6
+           FROM permax GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY maxsim_e6 DESC, doc_id ASC)
+            AS BIGINT) AS rank, doc_id, maxsim_e6
+FROM scored WHERE maxsim_e6 > 0
+ORDER BY maxsim_e6 DESC, doc_id ASC LIMIT 10"""
+    d["maxsim_expansions"] = f"""{_maxsim_sim}
+SELECT qterm, term, sim_e6 FROM sim WHERE sim_e6 >= 1
+ORDER BY qterm, term"""
     # incremental ANN is rank-identical to the full-corpus build by the
     # generational-merge parity (tests/test_round4b.py), so its oracle
     # IS the knn_cosine_ivf SQL over the union table.

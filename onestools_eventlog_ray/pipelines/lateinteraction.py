@@ -1,0 +1,188 @@
+"""Late-interaction (ColBERT-style MaxSim) retrieval with a symbolic
+token similarity — the "rank_vectors / multi-vector" ES retrieval
+family re-expressed Ray-Data-first with no learned model.
+
+ColBERT scores a query against a document as
+
+    score(q, d) = sum_{t in q}  max_{s in d}  sim(t, s)
+
+(per-query-token MAX over document tokens, then a SUM over query
+tokens) instead of one dot product over pooled vectors.  Here the
+"token embedding similarity" is a deterministic symbolic kernel —
+e6-floored character-trigram Jaccard
+
+    sim_e6(t, s) = (1_000_000 * |G(t) & G(s)|) // |G(t) | G(s)|,
+    G(x) = set of length-3 substrings of x   (G(x) = {x} if |x| < 3)
+
+— integer-exact, so the whole MaxSim path has a DuckDB oracle.  The
+behavior it buys is the same one ColBERT buys: *soft* matching — the
+query token ``vectors`` matches documents containing ``vector``
+(sim 0.8) without any stemmer or fuzzy edit-distance pass.
+
+Scale shape (the part that matters at 10^12 files):
+- ONE streaming pass over the corpus, ZERO shuffles.  Documents are
+  rows, so every token of a doc lives in the batch that holds the doc;
+  the per-doc MAX and SUM complete inside ``map_batches``.
+- The sim kernel is evaluated on the batch's distinct token TYPES
+  (vocabulary-bounded, Heaps' law), never per token, and memoized in a
+  per-worker type cache across batches (the reference's per-worker LGF
+  dictionary-cache pattern, ``LgfReader.cs:18-25``) — query terms are
+  broadcast once via the actor-pool constructor closure.
+- The global top-k is a fold of per-batch top-k partials (docs are
+  batch-disjoint, so partial top-ks are exact), O(num_batches * k)
+  driver bytes.
+
+Reference parity: the reference delegates ranking to ElasticSearch
+(`/root/reference/OneSTools.EventLog.Exporter.Core/ElasticSearch/
+ElasticSearchStorage.cs:217-236`); late interaction is the modern ES
+``rank_vectors`` field type serving the same corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from onestools_eventlog_ray.config import EngineConfig
+from onestools_eventlog_ray.sources.corpus import (CODE_CORPUS_SPEC,
+                                                   CorpusSpec, read_corpus)
+from onestools_eventlog_ray.stages.tokenize import emit_triples
+
+
+def trigrams(term: str) -> frozenset:
+    """G(term): length-3 substring set; the term itself when shorter."""
+    if len(term) < 3:
+        return frozenset((term,))
+    return frozenset(term[i:i + 3] for i in range(len(term) - 2))
+
+
+def trigram_jaccard_e6(a: str, b: str) -> int:
+    """e6-floored trigram Jaccard — pure-integer, oracle-identical:
+    ``(1_000_000 * inter) // union``."""
+    ga, gb = trigrams(a), trigrams(b)
+    inter = len(ga & gb)
+    if not inter:
+        return 0
+    return (1_000_000 * inter) // len(ga | gb)
+
+
+class MaxSimScorer:
+    """Actor-pool stage: documents batch -> (doc_id, maxsim_e6) rows.
+
+    ``__init__`` (once per actor) stores the query-term gram sets;
+    ``__call__`` tokenizes the batch, evaluates the sim kernel on the
+    batch's distinct token types through a per-worker memo cache, and
+    reduces MAX-per-(doc, query-term) then SUM-per-doc with
+    ``np.maximum.at`` — no Python loop over tokens, only over types."""
+
+    def __init__(self, query_terms: list[str], spec: CorpusSpec,
+                 token_split_pattern: str):
+        self.q = list(query_terms)
+        self.spec = spec
+        self.pattern = token_split_pattern
+        self._sim_cache: dict[str, np.ndarray] = {}
+
+    def _sims_for_types(self, types: list[str]) -> np.ndarray:
+        """(n_types, n_qterms) int64 sim matrix, memoized per type."""
+        out = np.empty((len(types), len(self.q)), dtype=np.int64)
+        for i, t in enumerate(types):
+            row = self._sim_cache.get(t)
+            if row is None:
+                row = np.asarray([trigram_jaccard_e6(qt, t)
+                                  for qt in self.q], dtype=np.int64)
+                self._sim_cache[t] = row
+            out[i] = row
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        triples = emit_triples(batch, spec=self.spec,
+                               token_split_pattern=self.pattern)
+        if triples.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "maxsim_e6": pa.array([], pa.int64())})
+        term_col = triples["term"]
+        if isinstance(term_col, pa.ChunkedArray):
+            term_col = term_col.combine_chunks()
+        d = term_col.dictionary_encode()
+        tidx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = self._sims_for_types(d.dictionary.to_pylist())  # types only
+        doc_ids = triples["doc_id"].to_numpy(zero_copy_only=False)
+        udocs, dinv = np.unique(doc_ids, return_inverse=True)
+        # MAX per (doc, qterm): scatter-max the per-row sim vectors.
+        mx = np.zeros((udocs.size, len(self.q)), dtype=np.int64)
+        np.maximum.at(mx, dinv, sims[tidx])
+        score = mx.sum(axis=1)
+        keep = score > 0
+        return pa.table({"doc_id": pa.array(udocs[keep], pa.int64()),
+                         "maxsim_e6": pa.array(score[keep], pa.int64())})
+
+
+def _topk_partial(k: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch["maxsim_e6"].to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -s))[:k]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "maxsim_e6": pa.array(s[order], pa.int64())})
+    return fn
+
+
+def maxsim_topk(corpus_paths, query_terms: list[str], k: int = 10,
+                spec: CorpusSpec = CODE_CORPUS_SPEC,
+                cfg: EngineConfig = EngineConfig(),
+                concurrency: int | None = None) -> pa.Table:
+    """Top-k (rank, doc_id, maxsim_e6) by late-interaction MaxSim.
+
+    Docs are batch-disjoint, so per-batch top-k partials are exact and
+    the driver folds O(num_batches * k) rows."""
+    ds = (read_corpus(corpus_paths, spec, with_meta=False)
+          .map_batches(MaxSimScorer, batch_format="pyarrow",
+                       concurrency=concurrency or (1, 8),
+                       fn_constructor_kwargs=dict(
+                           query_terms=query_terms, spec=spec,
+                           token_split_pattern=cfg.token_split_pattern))
+          .map_batches(_topk_partial(k), batch_format="pyarrow"))
+    parts = ds.take_all()
+    ids = np.asarray([r["doc_id"] for r in parts], dtype=np.int64)
+    sc = np.asarray([r["maxsim_e6"] for r in parts], dtype=np.int64)
+    order = np.lexsort((ids, -sc))[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+        "doc_id": pa.array(ids[order], pa.int64()),
+        "maxsim_e6": pa.array(sc[order], pa.int64()),
+    })
+
+
+def query_term_expansions(corpus_paths, query_terms: list[str],
+                          min_sim_e6: int = 1,
+                          spec: CorpusSpec = CODE_CORPUS_SPEC,
+                          cfg: EngineConfig = EngineConfig()) -> pa.Table:
+    """The soft-match expansion table: (qterm, term, sim_e6) for every
+    corpus vocabulary type with sim >= min_sim_e6 — what the MaxSim
+    kernel "sees".  Vocabulary-bounded: distinct types are reduced
+    per-batch, then a type-table groupby dedups across batches."""
+    import ray.data
+
+    def batch_types(batch: pa.Table) -> pa.Table:
+        t = emit_triples(batch, spec=spec,
+                         token_split_pattern=cfg.token_split_pattern)
+        term_col = t["term"]
+        if isinstance(term_col, pa.ChunkedArray):
+            term_col = term_col.combine_chunks()
+        u = term_col.unique()
+        return pa.table({"term": u})
+
+    vocab = (read_corpus(corpus_paths, spec, with_meta=False)
+             .map_batches(batch_types, batch_format="pyarrow")
+             .unique("term"))
+    rows_q, rows_t, rows_s = [], [], []
+    for t in sorted(vocab):
+        for qt in query_terms:
+            s = trigram_jaccard_e6(qt, t)
+            if s >= min_sim_e6:
+                rows_q.append(qt)
+                rows_t.append(t)
+                rows_s.append(s)
+    return pa.table({"qterm": pa.array(rows_q, pa.string()),
+                     "term": pa.array(rows_t, pa.string()),
+                     "sim_e6": pa.array(rows_s, pa.int64())})
