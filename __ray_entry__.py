@@ -4117,7 +4117,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(sf_dir, "documents.parquet"), _MAXSIM_Q,
             spec=DOCUMENTS_SPEC)
 
+    def _esql_tables(sf_dir):
+        import ray.data
+        return {n: ray.data.read_parquet(
+                    os.path.join(sf_dir, f"{n}.parquet"))
+                for n in ("events", "documents", "lineitem")}
+
+    def esql_stats(sf_dir):
+        """ES|QL STATS with BY key: wildcard WHERE pushed into the
+        fused row stage, then the per-batch partial-aggregate combiner
+        (COUNT / COUNT_DISTINCT / MAX) + driver type-table fold."""
+        from onestools_eventlog_ray.pipelines.esql import run_esql
+        return run_esql(
+            'FROM events | WHERE event_type LIKE "p*" '
+            '| STATS n = COUNT(*), users = COUNT_DISTINCT(user_id), '
+            'vmax = MAX(value) BY event_type '
+            '| SORT event_type | LIMIT 100', _esql_tables(sf_dir))
+
+    def esql_eval_topn(sf_dir):
+        """ES|QL EVAL + KEEP + SORT/LIMIT raw-row path: vectorized
+        string kernels in map_batches, exact distributed top-n (each
+        batch contributes a sort_by().slice(0,n) partial)."""
+        from onestools_eventlog_ray.pipelines.esql import run_esql
+        return run_esql(
+            'FROM documents '
+            '| EVAL nchars = TO_LONG(LENGTH(text)), l = TO_UPPER(lang) '
+            '| WHERE nchars >= 100 | KEEP doc_id, l, nchars '
+            '| SORT nchars DESC, doc_id ASC | LIMIT 15',
+            _esql_tables(sf_dir))
+
+    def esql_having(sf_dir):
+        """ES|QL WHERE-after-STATS (the HAVING shape): the second
+        WHERE runs on the already-folded driver type table through the
+        same expression evaluator."""
+        from onestools_eventlog_ray.pipelines.esql import run_esql
+        return run_esql(
+            'FROM events | STATS n = COUNT(*) BY user_id '
+            '| WHERE n >= 5 | SORT n DESC, user_id ASC | LIMIT 20',
+            _esql_tables(sf_dir))
+
+    def esql_date_trunc(sf_dir):
+        """ES|QL DATE_TRUNC bucketing (floor_temporal) feeding the
+        STATS combiner — the date_histogram idiom in ES|QL form."""
+        from onestools_eventlog_ray.pipelines.esql import run_esql
+        return run_esql(
+            'FROM events | EVAL day = DATE_TRUNC("day", ts) '
+            '| STATS n = COUNT(*), users = COUNT_DISTINCT(user_id) '
+            'BY day | SORT day | LIMIT 1000', _esql_tables(sf_dir))
+
     return {
+        "esql_stats": esql_stats,
+        "esql_eval_topn": esql_eval_topn,
+        "esql_having": esql_having,
+        "esql_date_trunc": esql_date_trunc,
         "maxsim_topk": maxsim_topk,
         "maxsim_expansions": maxsim_expansions,
         "retriever_rrf": retriever_rrf,
@@ -5091,6 +5143,25 @@ ORDER BY maxsim_e6 DESC, doc_id ASC LIMIT 10"""
     d["maxsim_expansions"] = f"""{_maxsim_sim}
 SELECT qterm, term, sim_e6 FROM sim WHERE sim_e6 >= 1
 ORDER BY qterm, term"""
+    # ES|QL front-end oracles — each piped query has a direct SQL twin
+    d["esql_stats"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+       max(value) AS vmax
+FROM events WHERE event_type LIKE 'p%'
+GROUP BY event_type ORDER BY event_type LIMIT 100"""
+    d["esql_eval_topn"] = """
+SELECT doc_id, upper(lang) AS l, CAST(length(text) AS BIGINT) AS nchars
+FROM documents WHERE length(text) >= 100
+ORDER BY nchars DESC, doc_id ASC LIMIT 15"""
+    d["esql_having"] = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id HAVING count(*) >= 5
+ORDER BY n DESC, user_id ASC LIMIT 20"""
+    d["esql_date_trunc"] = """
+SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM events GROUP BY day ORDER BY day LIMIT 1000"""
     # incremental ANN is rank-identical to the full-corpus build by the
     # generational-merge parity (tests/test_round4b.py), so its oracle
     # IS the knn_cosine_ivf SQL over the union table.

@@ -1,0 +1,701 @@
+"""ES|QL front end — the modern Elasticsearch piped query language
+(``FROM t | WHERE … | EVAL … | STATS … BY … | SORT … | LIMIT n``)
+compiled onto Ray Data.
+
+The reference's consumers query the exported rows through Kibana /
+ES search APIs (`/root/reference/OneSTools.EventLog.Exporter.Core/
+ElasticSearch/ElasticSearchStorage.cs`); ES|QL is the tabular query
+surface modern ES puts on the same data.  This module implements a
+self-contained lexer + recursive-descent parser + Arrow-kernel
+evaluator, compiled to the engine's execution shapes:
+
+- **Row-wise commands** (WHERE / EVAL / KEEP / DROP / RENAME) become
+  ONE fused vectorized ``map_batches`` stage over zero-copy Arrow
+  batches — every expression node maps to a ``pyarrow.compute``
+  kernel, never a Python loop over rows.
+- **STATS** is the classic combiner split: a per-batch partial
+  aggregate (Acero ``Table.group_by``) emits key-bounded partial rows
+  — sums / mins / maxes / non-null counts, plus per-batch DISTINCT
+  (key, value) rows for COUNT_DISTINCT — and the driver folds the
+  tiny type-table.  The full input never shuffles; the fold traffic
+  is O(num_batches x |keys|), the same A3 pattern as the corpus-stats
+  rollup (``stages/stats.py``).
+- **SORT + LIMIT** on raw rows is an exact distributed top-n: each
+  batch contributes its own ``sort_by().slice(0, n)`` partial and the
+  driver merges O(num_batches x n) rows.  Like real ES|QL, every
+  query carries an implicit ``LIMIT 1000`` unless an explicit LIMIT
+  is given — a full unbounded sort is an anti-pattern the language
+  itself refuses at 100-TB scale.
+- Commands AFTER a STATS (a second WHERE = HAVING, SORT, EVAL …)
+  run on the already-tiny driver table through the SAME evaluator.
+
+Supported expression surface: arithmetic (+ - * / %), comparisons,
+AND/OR/NOT, LIKE (ES wildcards ``*``/``?``), RLIKE, IN, IS NULL /
+IS NOT NULL, and functions LENGTH, TO_LOWER, TO_UPPER, SUBSTRING
+(1-based), ABS, ROUND, STARTS_WITH, ENDS_WITH, CONCAT, COALESCE,
+DATE_TRUNC.  Aggregates: COUNT(*), COUNT(expr), SUM, MIN, MAX, AVG,
+COUNT_DISTINCT.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class EsqlError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------- lexer
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<num>\d+\.\d+|\d+)
+      | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
+      | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+      | (?P<op>==|!=|<=|>=|[|,()<>+\-*/%=])
+    )""", re.VERBOSE)
+
+_KEYWORDS = {"FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT",
+             "KEEP", "DROP", "RENAME", "AS", "ASC", "DESC", "AND", "OR",
+             "NOT", "LIKE", "RLIKE", "IN", "IS", "NULL", "TRUE", "FALSE"}
+
+
+def _lex(q: str) -> list[tuple[str, object]]:
+    toks, pos = [], 0
+    while pos < len(q):
+        m = _TOKEN_RE.match(q, pos)
+        if not m or m.end() == pos:
+            if q[pos:].strip() == "":
+                break
+            raise EsqlError(f"lex error at {q[pos:pos + 20]!r}")
+        pos = m.end()
+        if m.group("num") is not None:
+            s = m.group("num")
+            toks.append(("num", float(s) if "." in s else int(s)))
+        elif m.group("ident") is not None:
+            s = m.group("ident")
+            if s.upper() in _KEYWORDS:
+                toks.append(("kw", s.upper()))
+            else:
+                toks.append(("ident", s))
+        elif m.group("str") is not None:
+            raw = m.group("str")
+            body = raw[1:-1]
+            body = re.sub(r"\\(.)", r"\1", body)
+            toks.append(("str", body))
+        else:
+            toks.append(("op", m.group("op")))
+    return toks
+
+
+# --------------------------------------------------------------- parser
+
+class _P:
+    def __init__(self, toks):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def take(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, kind, val=None):
+        k, v = self.take()
+        if k != kind or (val is not None and v != val):
+            raise EsqlError(f"expected {val or kind}, got {v!r}")
+        return v
+
+    def at_kw(self, *kws):
+        k, v = self.peek()
+        return k == "kw" and v in kws
+
+    def at_op(self, *ops):
+        k, v = self.peek()
+        return k == "op" and v in ops
+
+    def done(self):
+        return self.i >= len(self.toks)
+
+    # expression grammar -------------------------------------------
+    def expr(self):
+        return self._or()
+
+    def _or(self):
+        n = self._and()
+        while self.at_kw("OR"):
+            self.take()
+            n = ("or", n, self._and())
+        return n
+
+    def _and(self):
+        n = self._not()
+        while self.at_kw("AND"):
+            self.take()
+            n = ("and", n, self._not())
+        return n
+
+    def _not(self):
+        if self.at_kw("NOT"):
+            self.take()
+            return ("not", self._not())
+        return self._cmp()
+
+    def _cmp(self):
+        n = self._add()
+        if self.at_op("==", "!=", "<", ">", "<=", ">="):
+            op = self.take()[1]
+            return ("bin", op, n, self._add())
+        if self.at_kw("LIKE"):
+            self.take()
+            return ("like", n, self.expect("str"))
+        if self.at_kw("RLIKE"):
+            self.take()
+            return ("rlike", n, self.expect("str"))
+        if self.at_kw("IN"):
+            self.take()
+            self.expect("op", "(")
+            vals = [self._literal()]
+            while self.at_op(","):
+                self.take()
+                vals.append(self._literal())
+            self.expect("op", ")")
+            return ("in", n, vals)
+        if self.at_kw("IS"):
+            self.take()
+            neg = False
+            if self.at_kw("NOT"):
+                self.take()
+                neg = True
+            self.expect("kw", "NULL")
+            node = ("isnull", n)
+            return ("not", node) if neg else node
+        return n
+
+    def _add(self):
+        n = self._mul()
+        while self.at_op("+", "-"):
+            op = self.take()[1]
+            n = ("bin", op, n, self._mul())
+        return n
+
+    def _mul(self):
+        n = self._unary()
+        while self.at_op("*", "/", "%"):
+            op = self.take()[1]
+            n = ("bin", op, n, self._unary())
+        return n
+
+    def _unary(self):
+        if self.at_op("-"):
+            self.take()
+            return ("neg", self._unary())
+        return self._primary()
+
+    def _literal(self):
+        k, v = self.take()
+        if k in ("num", "str"):
+            return v
+        if k == "kw" and v in ("TRUE", "FALSE"):
+            return v == "TRUE"
+        if k == "kw" and v == "NULL":
+            return None
+        raise EsqlError(f"expected literal, got {v!r}")
+
+    def _primary(self):
+        k, v = self.peek()
+        if k == "num" or k == "str":
+            self.take()
+            return ("lit", v)
+        if k == "kw" and v in ("TRUE", "FALSE", "NULL"):
+            self.take()
+            return ("lit", None if v == "NULL" else v == "TRUE")
+        if k == "op" and v == "(":
+            self.take()
+            n = self.expr()
+            self.expect("op", ")")
+            return n
+        if k == "ident":
+            self.take()
+            if self.at_op("("):
+                self.take()
+                args = []
+                if not self.at_op(")"):
+                    args.append(self.expr())
+                    while self.at_op(","):
+                        self.take()
+                        args.append(self.expr())
+                self.expect("op", ")")
+                return ("call", v.upper(), args)
+            return ("col", v)
+        raise EsqlError(f"unexpected token {v!r}")
+
+
+_AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "COUNT_DISTINCT"}
+
+
+def parse(query: str) -> list[tuple]:
+    """ES|QL text -> command list.  Commands are split on top-level
+    ``|`` (no expression uses that operator)."""
+    toks = _lex(query)
+    groups, cur = [], []
+    for t in toks:
+        if t == ("op", "|"):
+            groups.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    groups.append(cur)
+    cmds = []
+    for gi, g in enumerate(groups):
+        p = _P(g)
+        k, v = p.take()
+        if k != "kw":
+            raise EsqlError(f"expected command keyword, got {v!r}")
+        if v == "FROM":
+            if gi != 0:
+                raise EsqlError("FROM must be the first command")
+            cmds.append(("from", p.expect("ident")))
+        elif v == "WHERE":
+            cmds.append(("where", p.expr()))
+        elif v == "EVAL":
+            assigns = []
+            while True:
+                name = p.expect("ident")
+                p.expect("op", "=")
+                assigns.append((name, p.expr()))
+                if p.at_op(","):
+                    p.take()
+                    continue
+                break
+            cmds.append(("eval", assigns))
+        elif v == "STATS":
+            aggs = []
+            while True:
+                name = p.expect("ident")
+                p.expect("op", "=")
+                fk, fv = p.take()
+                if fk != "ident" or fv.upper() not in _AGGS:
+                    raise EsqlError(f"unknown aggregate {fv!r}")
+                fn = fv.upper()
+                p.expect("op", "(")
+                if fn == "COUNT" and p.at_op("*"):
+                    p.take()
+                    arg = None
+                else:
+                    arg = p.expr()
+                p.expect("op", ")")
+                aggs.append((name, fn, arg))
+                if p.at_op(","):
+                    p.take()
+                    continue
+                break
+            keys = []
+            if p.at_kw("BY"):
+                p.take()
+                keys.append(p.expect("ident"))
+                while p.at_op(","):
+                    p.take()
+                    keys.append(p.expect("ident"))
+            cmds.append(("stats", aggs, keys))
+        elif v == "SORT":
+            specs = []
+            while True:
+                col = p.expect("ident")
+                asc = True
+                if p.at_kw("ASC", "DESC"):
+                    asc = p.take()[1] == "ASC"
+                specs.append((col, asc))
+                if p.at_op(","):
+                    p.take()
+                    continue
+                break
+            cmds.append(("sort", specs))
+        elif v == "LIMIT":
+            k2, n = p.take()
+            if k2 != "num" or not isinstance(n, int):
+                raise EsqlError("LIMIT needs an integer")
+            cmds.append(("limit", n))
+        elif v == "KEEP":
+            cols = [p.expect("ident")]
+            while p.at_op(","):
+                p.take()
+                cols.append(p.expect("ident"))
+            cmds.append(("keep", cols))
+        elif v == "DROP":
+            cols = [p.expect("ident")]
+            while p.at_op(","):
+                p.take()
+                cols.append(p.expect("ident"))
+            cmds.append(("drop", cols))
+        elif v == "RENAME":
+            pairs = []
+            while True:
+                old = p.expect("ident")
+                p.expect("kw", "AS")
+                pairs.append((old, p.expect("ident")))
+                if p.at_op(","):
+                    p.take()
+                    continue
+                break
+            cmds.append(("rename", pairs))
+        else:
+            raise EsqlError(f"unsupported command {v}")
+        if not p.done():
+            raise EsqlError(f"trailing tokens in {v} command")
+    if not cmds or cmds[0][0] != "from":
+        raise EsqlError("query must start with FROM")
+    return cmds
+
+
+# ------------------------------------------------------------ evaluator
+
+def _wildcard_to_like(p: str) -> str:
+    out = []
+    for ch in p:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+_CMP = {"==": pc.equal, "!=": pc.not_equal, "<": pc.less,
+        ">": pc.greater, "<=": pc.less_equal, ">=": pc.greater_equal}
+_ARITH = {"+": pc.add, "-": pc.subtract, "*": pc.multiply,
+          "/": pc.divide, "%": lambda a, b: pc.subtract(
+              a, pc.multiply(pc.divide(a, b), b))}
+
+
+def eval_expr(ast, tbl: pa.Table):
+    """AST x Arrow table -> Arrow array (or python scalar for pure
+    literals).  Every node is a vectorized kernel."""
+    op = ast[0]
+    if op == "lit":
+        return ast[1]
+    if op == "col":
+        name = ast[1]
+        if name not in tbl.column_names:
+            raise EsqlError(f"unknown column {name!r}")
+        c = tbl[name]
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+    if op == "neg":
+        return pc.negate(eval_expr(ast[1], tbl))
+    if op == "not":
+        return pc.invert(eval_expr(ast[1], tbl))
+    if op in ("and", "or"):
+        l, r = eval_expr(ast[1], tbl), eval_expr(ast[2], tbl)
+        return (pc.and_kleene if op == "and" else pc.or_kleene)(l, r)
+    if op == "bin":
+        o, l, r = ast[1], eval_expr(ast[2], tbl), eval_expr(ast[3], tbl)
+        if o in _CMP:
+            return _CMP[o](l, r)
+        if o == "%":
+            # integer modulo via floor-div identity (arrow int divide
+            # truncates; operands in this engine's queries are ints)
+            q = pc.divide(l, r)
+            return pc.subtract(l, pc.multiply(q, r))
+        return _ARITH[o](l, r)
+    if op == "like":
+        return pc.match_like(eval_expr(ast[1], tbl),
+                             _wildcard_to_like(ast[2]))
+    if op == "rlike":
+        return pc.match_substring_regex(eval_expr(ast[1], tbl),
+                                        f"^(?:{ast[2]})$")
+    if op == "in":
+        return pc.is_in(eval_expr(ast[1], tbl),
+                        value_set=pa.array(ast[2]))
+    if op == "isnull":
+        return pc.is_null(eval_expr(ast[1], tbl))
+    if op == "call":
+        return _call(ast[1], ast[2], tbl)
+    raise EsqlError(f"bad AST node {op}")
+
+
+def _call(fn: str, args: list, tbl: pa.Table):
+    a = [eval_expr(x, tbl) for x in args]
+    if fn == "LENGTH":
+        return pc.utf8_length(a[0])
+    if fn == "TO_LOWER":
+        return pc.utf8_lower(a[0])
+    if fn == "TO_UPPER":
+        return pc.utf8_upper(a[0])
+    if fn == "SUBSTRING":          # 1-based, like ES|QL
+        start = int(a[1]) - 1
+        if len(a) > 2:
+            return pc.utf8_slice_codeunits(a[0], start, start + int(a[2]))
+        return pc.utf8_slice_codeunits(a[0], start)
+    if fn == "ABS":
+        return pc.abs(a[0])
+    if fn == "ROUND":
+        nd = int(a[1]) if len(a) > 1 else 0
+        # half away from zero — matches ES|QL ROUND and DuckDB round()
+        return pc.round(a[0], ndigits=nd,
+                        round_mode="half_towards_infinity")
+    if fn == "STARTS_WITH":
+        return pc.starts_with(a[0], pattern=a[1])
+    if fn == "ENDS_WITH":
+        return pc.ends_with(a[0], pattern=a[1])
+    if fn == "CONCAT":
+        return pc.binary_join_element_wise(*a, "")
+    if fn == "COALESCE":
+        return pc.coalesce(*a)
+    if fn == "DATE_TRUNC":
+        return pc.floor_temporal(a[1], unit=a[0])
+    if fn == "TO_LONG":                # truncates toward zero, like ES|QL
+        return pc.cast(a[0], pa.int64(), safe=False)
+    if fn == "TO_DOUBLE":
+        return pc.cast(a[0], pa.float64())
+    if fn == "TO_STRING":
+        return pc.cast(a[0], pa.string())
+    raise EsqlError(f"unknown function {fn}")
+
+
+def _as_array(v, n: int):
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        return v
+    return pa.array([v] * n)
+
+
+def apply_rowops(tbl: pa.Table, ops: list[tuple]) -> pa.Table:
+    """WHERE / EVAL / KEEP / DROP / RENAME on one Arrow table — shared
+    by the distributed map_batches stage and the post-STATS driver
+    path."""
+    for op in ops:
+        kind = op[0]
+        if kind == "where":
+            mask = eval_expr(op[1], tbl)
+            tbl = tbl.filter(pc.fill_null(mask, False))
+        elif kind == "eval":
+            for name, ex in op[1]:
+                col = _as_array(eval_expr(ex, tbl), tbl.num_rows)
+                if name in tbl.column_names:
+                    tbl = tbl.set_column(
+                        tbl.column_names.index(name), name, col)
+                else:
+                    tbl = tbl.append_column(name, col)
+        elif kind == "keep":
+            tbl = tbl.select(op[1])
+        elif kind == "drop":
+            tbl = tbl.drop_columns(op[1])
+        elif kind == "rename":
+            names = list(tbl.column_names)
+            for old, new in op[1]:
+                names[names.index(old)] = new
+            tbl = tbl.rename_columns(names)
+        else:
+            raise EsqlError(f"not a row op: {kind}")
+    return tbl
+
+
+# ----------------------------------------------------- STATS execution
+
+_GKEY = "__esql_g"
+
+
+def _stats_partial(aggs, keys):
+    """Per-batch combiner: ONE partial table holding scalar partials
+    (row_kind=0) and DISTINCT (key, value) rows per COUNT_DISTINCT
+    (row_kind = 1 + agg index), schema-aligned with nulls."""
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        base = pa.table({k: batch[k] for k in keys} if keys else
+                        {_GKEY: pa.array(np.zeros(n, np.int8))})
+        gk = list(base.column_names)
+        work = base
+        specs = []
+        out_schema_cols = []
+        for i, (name, fn_name, arg) in enumerate(aggs):
+            if fn_name == "COUNT" and arg is None:
+                work = work.append_column(f"__a{i}",
+                                          pa.array(np.ones(n, np.int64)))
+                specs.append((f"__a{i}", "sum", f"__p{i}"))
+            elif fn_name == "COUNT_DISTINCT":
+                continue
+            else:
+                col = _as_array(eval_expr(arg, batch), n)
+                work = work.append_column(f"__a{i}", col)
+                if fn_name in ("SUM", "MIN", "MAX"):
+                    specs.append((f"__a{i}", fn_name.lower(), f"__p{i}"))
+                elif fn_name == "COUNT":
+                    specs.append((f"__a{i}", "count", f"__p{i}"))
+                elif fn_name == "AVG":
+                    specs.append((f"__a{i}", "sum", f"__p{i}s"))
+                    specs.append((f"__a{i}", "count", f"__p{i}c"))
+        agg_list = [(c, f) for c, f, _ in specs]
+        grouped = work.group_by(gk, use_threads=False).aggregate(agg_list)
+        # group_by names outputs "<col>_<fn>"; rename to partial names
+        ren = {f"{c}_{f}": out for c, f, out in specs}
+        grouped = grouped.rename_columns(
+            [ren.get(c, c) for c in grouped.column_names])
+        parts = []
+        kind0 = grouped.append_column(
+            "__row_kind", pa.array(np.zeros(grouped.num_rows, np.int32)))
+        parts.append(kind0)
+        for i, (name, fn_name, arg) in enumerate(aggs):
+            if fn_name != "COUNT_DISTINCT":
+                continue
+            col = _as_array(eval_expr(arg, batch), n)
+            dt = base.append_column(f"__d{i}", col)
+            dt = dt.group_by(gk + [f"__d{i}"],
+                             use_threads=False).aggregate([])
+            dt = dt.append_column(
+                "__row_kind",
+                pa.array(np.full(dt.num_rows, i + 1, np.int32)))
+            parts.append(dt)
+        return pa.concat_tables(parts, promote_options="default")
+    return fn
+
+
+def _stats_fold(partials: pa.Table, aggs, keys) -> pa.Table:
+    """Driver fold of the key-bounded partial rows -> final table with
+    BY keys first, aggregates in declaration order."""
+    gk = keys if keys else [_GKEY]
+    scal = partials.filter(pc.equal(partials["__row_kind"], 0))
+    specs = []
+    for i, (name, fn_name, arg) in enumerate(aggs):
+        if fn_name in ("COUNT",):
+            specs.append((f"__p{i}", "sum", name))
+        elif fn_name in ("SUM",):
+            specs.append((f"__p{i}", "sum", name))
+        elif fn_name == "MIN":
+            specs.append((f"__p{i}", "min", name))
+        elif fn_name == "MAX":
+            specs.append((f"__p{i}", "max", name))
+        elif fn_name == "AVG":
+            specs.append((f"__p{i}s", "sum", f"__f{i}s"))
+            specs.append((f"__p{i}c", "sum", f"__f{i}c"))
+    out = scal.group_by(gk, use_threads=False).aggregate(
+        [(c, f) for c, f, _ in specs]) if specs else None
+    if out is not None:
+        ren = {f"{c}_{f}": o for c, f, o in specs}
+        out = out.rename_columns(
+            [ren.get(c, c) for c in out.column_names])
+        for i, (name, fn_name, arg) in enumerate(aggs):
+            if fn_name == "AVG":
+                avg = pc.divide(
+                    pc.cast(out[f"__f{i}s"], pa.float64()),
+                    pc.cast(out[f"__f{i}c"], pa.float64()))
+                out = out.append_column(name, avg)
+                out = out.drop_columns([f"__f{i}s", f"__f{i}c"])
+    for i, (name, fn_name, arg) in enumerate(aggs):
+        if fn_name != "COUNT_DISTINCT":
+            continue
+        d = partials.filter(pc.equal(partials["__row_kind"], i + 1))
+        d = d.select(gk + [f"__d{i}"])
+        d = d.group_by(gk + [f"__d{i}"], use_threads=False).aggregate([])
+        cnt = d.group_by(gk, use_threads=False).aggregate(
+            [(f"__d{i}", "count")])
+        cnt = cnt.rename_columns(
+            [name if c == f"__d{i}_count" else c
+             for c in cnt.column_names])
+        out = cnt if out is None else out.join(cnt, keys=gk,
+                                               join_type="full outer")
+    # fill COUNT-family nulls from the outer join with 0
+    for name, fn_name, _ in aggs:
+        if fn_name in ("COUNT", "COUNT_DISTINCT"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, pc.fill_null(pc.cast(out[name], pa.int64()), 0))
+    cols = (keys if keys else []) + [a[0] for a in aggs]
+    out = out.select(cols) if keys else out.drop_columns([_GKEY]).select(cols)
+    return out
+
+
+# -------------------------------------------------------------- runner
+
+DEFAULT_IMPLICIT_LIMIT = 1000
+
+
+def run_esql(query: str, tables: dict) -> pa.Table:
+    """Execute an ES|QL query over named Ray ``Dataset``s.
+
+    ``tables`` maps FROM names to ``ray.data.Dataset``.  Returns a
+    ``pyarrow.Table`` (ES|QL results are bounded: implicit LIMIT
+    1000, exactly like the real language)."""
+    cmds = parse(query)
+    ds = tables[cmds[0][1]]
+    i = 1
+    rowops = []
+    # phase 1: row ops until STATS / SORT / LIMIT
+    while i < len(cmds) and cmds[i][0] in ("where", "eval", "keep",
+                                           "drop", "rename"):
+        rowops.append(cmds[i])
+        i += 1
+    if rowops:
+        ops = list(rowops)
+        ds = ds.map_batches(lambda b: apply_rowops(b, ops),
+                            batch_format="pyarrow")
+    if i < len(cmds) and cmds[i][0] == "stats":
+        _, aggs, keys = cmds[i]
+        i += 1
+        parts = ds.map_batches(_stats_partial(aggs, keys),
+                               batch_format="pyarrow")
+        partial_tbl = pa.concat_tables(_collect_tables(parts),
+                                       promote_options="default")
+        tbl = _stats_fold(partial_tbl, aggs, keys)
+        tbl = _finish_on_table(tbl, cmds[i:])
+        return tbl
+    # raw-row path: distributed exact top-n
+    sort_specs = None
+    limit = None
+    post = []
+    for c in cmds[i:]:
+        if c[0] == "sort" and sort_specs is None and limit is None:
+            sort_specs = c[1]
+        elif c[0] == "limit" and limit is None:
+            limit = c[1]
+        else:
+            post.append(c)
+    n = limit if limit is not None else DEFAULT_IMPLICIT_LIMIT
+    if sort_specs:
+        arrow_specs = [(c, "ascending" if asc else "descending")
+                       for c, asc in sort_specs]
+        topn = ds.map_batches(
+            lambda b: b.sort_by(arrow_specs).slice(0, n),
+            batch_format="pyarrow")
+        tbl = pa.concat_tables(_collect_tables(topn),
+                               promote_options="default")
+        tbl = tbl.sort_by(arrow_specs).slice(0, n)
+    else:
+        tbl = pa.concat_tables(
+            _collect_tables(ds.limit(n)), promote_options="default")
+        tbl = tbl.slice(0, n)
+    return _finish_on_table(tbl, post)
+
+
+def _collect_tables(ds) -> list[pa.Table]:
+    out = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+           else b
+           for b in ds.iter_batches(batch_format="pyarrow",
+                                    batch_size=None)]
+    return out or [pa.table({})]
+
+
+def _finish_on_table(tbl: pa.Table, cmds: list[tuple]) -> pa.Table:
+    """Post-aggregation commands on the (small) driver table."""
+    for c in cmds:
+        if c[0] in ("where", "eval", "keep", "drop", "rename"):
+            tbl = apply_rowops(tbl, [c])
+        elif c[0] == "sort":
+            tbl = tbl.sort_by([(col, "ascending" if asc else "descending")
+                               for col, asc in c[1]])
+        elif c[0] == "limit":
+            tbl = tbl.slice(0, c[1])
+        elif c[0] == "stats":
+            raise EsqlError("only one STATS per query is supported")
+        else:
+            raise EsqlError(f"unsupported post command {c[0]}")
+    return tbl

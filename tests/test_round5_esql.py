@@ -1,0 +1,198 @@
+"""Round-5: ES|QL front end — lexer/parser shape, Arrow-kernel
+evaluator semantics, the STATS partial+fold combiner (batch-split
+invariance), the raw-row exact top-n, post-STATS HAVING, and the
+implicit LIMIT 1000."""
+
+import datetime
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from onestools_eventlog_ray.pipelines.esql import (EsqlError, apply_rowops,
+                                                   eval_expr, parse,
+                                                   run_esql)
+
+
+def _events(n=200):
+    rng = np.random.default_rng(7)
+    types = np.asarray(["view", "click", "purchase"])[rng.integers(0, 3, n)]
+    return pa.table({
+        "ts": pa.array([datetime.datetime(2024, 1, 1 + i % 5, i % 24)
+                        for i in range(n)], pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 20, n), pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array(rng.uniform(0, 100, n), pa.float64()),
+    })
+
+
+# ------------------------------------------------------------- parsing
+
+def test_parse_shapes():
+    cmds = parse('FROM t | WHERE a == 1 AND b LIKE "x*" | EVAL c = a + 2 '
+                 '| STATS n = COUNT(*) BY c | SORT n DESC | LIMIT 5')
+    assert [c[0] for c in cmds] == ["from", "where", "eval", "stats",
+                                    "sort", "limit"]
+    assert cmds[0][1] == "t"
+    assert cmds[3][1] == [("n", "COUNT", None)] and cmds[3][2] == ["c"]
+    assert cmds[4][1] == [("n", False)]
+
+
+def test_parse_errors():
+    with pytest.raises(EsqlError):
+        parse('WHERE a == 1')                      # no FROM
+    with pytest.raises(EsqlError):
+        parse('FROM t | STATS n = MEDIAN(a)')      # unknown agg
+    with pytest.raises(EsqlError):
+        parse('FROM t | LIMIT 2.5')                # non-int limit
+    with pytest.raises(EsqlError):
+        parse('FROM t | FROB a')                   # unknown command
+
+
+# ----------------------------------------------------------- evaluator
+
+def _tbl():
+    return pa.table({"a": pa.array([1, 2, 3, None], pa.int64()),
+                     "s": pa.array(["foo", "Bar", None, "quux"]),
+                     "x": pa.array([1.5, -2.5, 0.5, 3.0])})
+
+
+def _ev(expr_text, tbl):
+    cmds = parse(f"FROM t | EVAL r = {expr_text}")
+    return eval_expr(cmds[1][1][0][1], tbl)
+
+
+def test_eval_arithmetic_and_compare():
+    t = _tbl()
+    assert _ev("a * 2 + 1", t).to_pylist() == [3, 5, 7, None]
+    assert _ev("a % 2", t).to_pylist() == [1, 0, 1, None]
+    assert _ev("a >= 2", t).to_pylist() == [False, True, True, None]
+    assert _ev("-a", t).to_pylist() == [-1, -2, -3, None]
+    assert _ev("NOT (a == 2)", t).to_pylist() == [True, False, True, None]
+
+
+def test_eval_string_kernels():
+    t = _tbl()
+    assert _ev('TO_UPPER(s)', t).to_pylist() == ["FOO", "BAR", None, "QUUX"]
+    assert _ev('LENGTH(s)', t).to_pylist() == [3, 3, None, 4]
+    assert _ev('SUBSTRING(s, 2, 2)', t).to_pylist() == ["oo", "ar", None,
+                                                        "uu"]
+    assert _ev('s LIKE "f*"', t).to_pylist() == [True, False, None, False]
+    assert _ev('s LIKE "?ar"', t).to_pylist() == [False, True, None, False]
+    assert _ev('s RLIKE "[fq].*"', t).to_pylist() == [True, False, None,
+                                                      True]
+    assert _ev('STARTS_WITH(s, "f")', t).to_pylist() == [True, False, None,
+                                                         False]
+    assert _ev('CONCAT(s, "!")', t).to_pylist() == ["foo!", "Bar!", None,
+                                                    "quux!"]
+    assert _ev('COALESCE(s, "zz")', t).to_pylist() == ["foo", "Bar", "zz",
+                                                       "quux"]
+
+
+def test_eval_misc_kernels():
+    t = _tbl()
+    assert _ev("ABS(x)", t).to_pylist() == [1.5, 2.5, 0.5, 3.0]
+    assert _ev("ROUND(x)", t).to_pylist() == [2.0, -3.0, 1.0, 3.0]
+    assert _ev('a IN (1, 3)', t).to_pylist() == [True, False, True, False]
+    assert _ev("a IS NULL", t).to_pylist() == [False, False, False, True]
+    assert _ev("a IS NOT NULL", t).to_pylist() == [True, True, True, False]
+    assert _ev("TO_LONG(x)", t).type == pa.int64()
+
+
+def test_rowops_pipeline():
+    t = _tbl()
+    cmds = parse('FROM t | WHERE a IS NOT NULL | EVAL b = a * 10 '
+                 '| RENAME s AS name | DROP x | KEEP name, b')
+    out = apply_rowops(t, cmds[1:])
+    assert out.column_names == ["name", "b"]
+    assert out["b"].to_pylist() == [10, 20, 30]
+
+
+# ------------------------------------------------------ full execution
+
+@pytest.fixture(scope="module")
+def tables(ray_session):
+    import ray.data
+    return {"events": ray.data.from_arrow(_events()).repartition(7)}
+
+
+def test_stats_matches_pyarrow_reference(tables):
+    got = run_esql(
+        'FROM events | STATS n = COUNT(*), users = COUNT_DISTINCT(user_id),'
+        ' vmax = MAX(value), vsum = SUM(user_id) BY event_type '
+        '| SORT event_type', tables).to_pydict()
+    ev = _events()
+    want = {}
+    for et, uid, val in zip(ev["event_type"].to_pylist(),
+                            ev["user_id"].to_pylist(),
+                            ev["value"].to_pylist()):
+        e = want.setdefault(et, {"n": 0, "u": set(), "m": -1.0, "s": 0})
+        e["n"] += 1
+        e["u"].add(uid)
+        e["m"] = max(e["m"], val)
+        e["s"] += uid
+    keys = sorted(want)
+    assert got["event_type"] == keys
+    assert got["n"] == [want[k]["n"] for k in keys]
+    assert got["users"] == [len(want[k]["u"]) for k in keys]
+    assert got["vmax"] == [want[k]["m"] for k in keys]
+    assert got["vsum"] == [want[k]["s"] for k in keys]
+
+
+def test_stats_batch_split_invariance(tables, ray_session):
+    """7-block dataset and 1-block dataset fold to identical results —
+    the combiner's mergeability contract."""
+    import ray.data
+    one = {"events": ray.data.from_arrow(_events())}
+    q = ('FROM events | STATS n = COUNT(*), u = COUNT_DISTINCT(user_id) '
+         'BY event_type | SORT event_type')
+    assert run_esql(q, tables).to_pydict() == run_esql(q, one).to_pydict()
+
+
+def test_global_stats_no_by(tables):
+    got = run_esql('FROM events | STATS n = COUNT(*), '
+                   'u = COUNT_DISTINCT(event_type), mn = MIN(user_id)',
+                   tables).to_pydict()
+    assert got == {"n": [200], "u": [3], "mn": [0]}
+
+
+def test_avg_agg(tables):
+    got = run_esql('FROM events | STATS a = AVG(user_id)',
+                   tables).to_pydict()
+    uid = _events()["user_id"].to_pylist()
+    assert got["a"] == [pytest.approx(sum(uid) / len(uid))]
+
+
+def test_raw_topn_exact(tables):
+    got = run_esql('FROM events | SORT value DESC, user_id ASC | LIMIT 7 '
+                   '| KEEP user_id, value', tables).to_pydict()
+    ev = _events()
+    pairs = sorted(zip(ev["value"].to_pylist(), ev["user_id"].to_pylist()),
+                   key=lambda p: (-p[0], p[1]))[:7]
+    assert got["value"] == [p[0] for p in pairs]
+    assert got["user_id"] == [p[1] for p in pairs]
+
+
+def test_having_and_post_eval(tables):
+    got = run_esql('FROM events | STATS n = COUNT(*) BY user_id '
+                   '| WHERE n >= 10 | EVAL n2 = n * 2 '
+                   '| SORT n DESC, user_id ASC | LIMIT 3', tables)
+    assert got.num_rows == 3
+    assert got["n2"].to_pylist() == [v * 2 for v in got["n"].to_pylist()]
+
+
+def test_implicit_limit_1000(ray_session):
+    import ray.data
+    big = {"t": ray.data.range(5000).map_batches(
+        lambda b: pa.table({"i": b["id"]}), batch_format="pyarrow")}
+    assert run_esql('FROM t', big).num_rows == 1000
+    assert run_esql('FROM t | LIMIT 20', big).num_rows == 20
+
+
+def test_date_trunc_day(tables):
+    got = run_esql('FROM events | EVAL day = DATE_TRUNC("day", ts) '
+                   '| STATS n = COUNT(*) BY day | SORT day',
+                   tables).to_pydict()
+    assert len(got["day"]) == 5 and sum(got["n"]) == 200
+    assert all(d.hour == 0 for d in got["day"])
