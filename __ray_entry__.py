@@ -4121,7 +4121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
         return {n: ray.data.read_parquet(
                     os.path.join(sf_dir, f"{n}.parquet"))
-                for n in ("events", "documents", "lineitem")}
+                for n in ("events", "documents", "lineitem",
+                          "customer", "nation")}
 
     def esql_stats(sf_dir):
         """ES|QL STATS with BY key: wildcard WHERE pushed into the
@@ -4165,7 +4166,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             '| STATS n = COUNT(*), users = COUNT_DISTINCT(user_id) '
             'BY day | SORT day | LIMIT 1000', _esql_tables(sf_dir))
 
+    def esql_enrich(sf_dir):
+        """ES|QL ENRICH: the lookup join executed as a broadcast dim —
+        the enrich index is materialized once, ray.put into the object
+        store, and every batch does an index_in/take lookup; the big
+        side never shuffles (the J1 pattern)."""
+        from onestools_eventlog_ray.pipelines.esql import run_esql
+        return run_esql(
+            'FROM customer | ENRICH nation ON c_nationkey WITH n_name '
+            '| STATS n = COUNT(*) BY n_name '
+            '| SORT n DESC, n_name ASC | LIMIT 10', _esql_tables(sf_dir))
+
+    def esql_grok(sf_dir):
+        """ES|QL GROK: logstash-style %{INT:k:int} patterns compiled
+        to ONE RE2 extract_regex kernel per batch, typed casts applied
+        column-wise — no per-row Python."""
+        from onestools_eventlog_ray.pipelines.esql import run_esql
+        return run_esql(
+            'FROM events | GROK props "{\\"k\\": %{INT:k:int}}" '
+            '| STATS n = COUNT(*), ksum = SUM(k) BY event_type '
+            '| SORT event_type | LIMIT 100', _esql_tables(sf_dir))
+
+    def esql_dissect(sf_dir):
+        """ES|QL DISSECT: positional %{} keys between literal
+        separators, compiled to an anchored non-greedy regex and run
+        through the same vectorized extractor."""
+        from onestools_eventlog_ray.pipelines.esql import run_esql
+        return run_esql(
+            'FROM customer | DISSECT c_name "%{pre}#%{cid}" '
+            '| STATS n = COUNT(*), d = COUNT_DISTINCT(pre), '
+            'cids = COUNT_DISTINCT(cid)', _esql_tables(sf_dir))
+
     return {
+        "esql_enrich": esql_enrich,
+        "esql_grok": esql_grok,
+        "esql_dissect": esql_dissect,
         "esql_stats": esql_stats,
         "esql_eval_topn": esql_eval_topn,
         "esql_having": esql_having,
@@ -5162,6 +5197,22 @@ ORDER BY n DESC, user_id ASC LIMIT 20"""
 SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n,
        CAST(count(DISTINCT user_id) AS BIGINT) AS users
 FROM events GROUP BY day ORDER BY day LIMIT 1000"""
+    d["esql_enrich"] = """
+SELECT n_name, CAST(count(*) AS BIGINT) AS n
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n DESC, n_name ASC LIMIT 10"""
+    d["esql_grok"] = r"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(regexp_extract(props, '"k": ([+-]?\d+)', 1)
+                     AS BIGINT)) AS BIGINT) AS ksum
+FROM events GROUP BY event_type ORDER BY event_type LIMIT 100"""
+    d["esql_dissect"] = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT regexp_extract(c_name, '^(.*?)#(.*)$', 1))
+            AS BIGINT) AS d,
+       CAST(count(DISTINCT regexp_extract(c_name, '^(.*?)#(.*)$', 2))
+            AS BIGINT) AS cids
+FROM customer"""
     # incremental ANN is rank-identical to the full-corpus build by the
     # generational-merge parity (tests/test_round4b.py), so its oracle
     # IS the knn_cosine_ivf SQL over the union table.

@@ -62,7 +62,8 @@ _TOKEN_RE = re.compile(
 
 _KEYWORDS = {"FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT",
              "KEEP", "DROP", "RENAME", "AS", "ASC", "DESC", "AND", "OR",
-             "NOT", "LIKE", "RLIKE", "IN", "IS", "NULL", "TRUE", "FALSE"}
+             "NOT", "LIKE", "RLIKE", "IN", "IS", "NULL", "TRUE", "FALSE",
+             "ENRICH", "ON", "WITH", "GROK", "DISSECT"}
 
 
 def _lex(q: str) -> list[tuple[str, object]]:
@@ -336,6 +337,22 @@ def parse(query: str) -> list[tuple]:
                 p.take()
                 cols.append(p.expect("ident"))
             cmds.append(("drop", cols))
+        elif v == "ENRICH":
+            tname = p.expect("ident")
+            p.expect("kw", "ON")
+            key = p.expect("ident")
+            with_cols = None
+            if p.at_kw("WITH"):
+                p.take()
+                with_cols = [p.expect("ident")]
+                while p.at_op(","):
+                    p.take()
+                    with_cols.append(p.expect("ident"))
+            cmds.append(("enrich", tname, key, with_cols))
+        elif v in ("GROK", "DISSECT"):
+            col = p.expect("ident")
+            pat = p.expect("str")
+            cmds.append((v.lower(), col, pat))
         elif v == "RENAME":
             pairs = []
             while True:
@@ -463,6 +480,110 @@ def _call(fn: str, args: list, tbl: pa.Table):
     raise EsqlError(f"unknown function {fn}")
 
 
+# GROK pattern library (the usual logstash core names, RE2-safe)
+_GROK_LIB = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|WARN|ERROR|FATAL)",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?",
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::(\w+)(?::(\w+))?)?\}")
+
+
+def compile_grok(pattern: str) -> tuple[str, list[tuple[str, str]]]:
+    """GROK pattern -> (RE2 regex with named groups, [(name, type)])."""
+    fields: list[tuple[str, str]] = []
+    out, pos = [], 0
+    for m in _GROK_REF.finditer(pattern):
+        out.append(re.escape(pattern[pos:m.start()]))
+        syntax, name, typ = m.group(1), m.group(2), m.group(3)
+        if syntax not in _GROK_LIB:
+            raise EsqlError(f"unknown GROK pattern %{{{syntax}}}")
+        if name:
+            out.append(f"(?P<{name}>{_GROK_LIB[syntax]})")
+            fields.append((name, typ or "string"))
+        else:
+            out.append(f"(?:{_GROK_LIB[syntax]})")
+        pos = m.end()
+    out.append(re.escape(pattern[pos:]))
+    if not fields:
+        raise EsqlError("GROK pattern captures no fields")
+    return "".join(out), fields
+
+
+_DISSECT_REF = re.compile(r"%\{(\w*)\}")
+
+
+def compile_dissect(pattern: str) -> tuple[str, list[tuple[str, str]]]:
+    """DISSECT pattern -> anchored RE2 regex (non-greedy %{} keys split
+    by the literal separators, last key greedy) + field list."""
+    fields: list[tuple[str, str]] = []
+    out, pos = ["^"], 0
+    matches = list(_DISSECT_REF.finditer(pattern))
+    if not matches:
+        raise EsqlError("DISSECT pattern has no %{} keys")
+    for j, m in enumerate(matches):
+        out.append(re.escape(pattern[pos:m.start()]))
+        name = m.group(1)
+        body = ".*" if j == len(matches) - 1 else ".*?"
+        if name:
+            out.append(f"(?P<{name}>{body})")
+            fields.append((name, "string"))
+        else:
+            out.append(f"(?:{body})")
+        pos = m.end()
+    out.append(re.escape(pattern[pos:]))
+    out.append("$")
+    return "".join(out), fields
+
+
+def _extract_fields(tbl: pa.Table, col: str, regex: str,
+                    fields: list[tuple[str, str]]) -> pa.Table:
+    src = tbl[col]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    struct = pc.extract_regex(src, pattern=regex)
+    for name, typ in fields:
+        arr = pc.struct_field(struct, name)
+        if typ in ("int", "long"):
+            arr = pc.cast(arr, pa.int64(), safe=False)
+        elif typ in ("float", "double"):
+            arr = pc.cast(arr, pa.float64())
+        if name in tbl.column_names:
+            tbl = tbl.set_column(tbl.column_names.index(name), name, arr)
+        else:
+            tbl = tbl.append_column(name, arr)
+    return tbl
+
+
+def _enrich_lookup(tbl: pa.Table, dim: pa.Table, key: str,
+                   with_cols: list[str] | None) -> pa.Table:
+    """Broadcast lookup join (the ES|QL ENRICH execution): the dim's
+    FIRST column is the match field; misses yield nulls (left join)."""
+    match_col = dim.column_names[0]
+    cols = with_cols if with_cols else [c for c in dim.column_names
+                                        if c != match_col]
+    idx = pc.index_in(tbl[key], value_set=dim[match_col].combine_chunks()
+                      if isinstance(dim[match_col], pa.ChunkedArray)
+                      else dim[match_col])
+    for c in cols:
+        src = dim[c]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        arr = src.take(idx)
+        if c in tbl.column_names:
+            tbl = tbl.set_column(tbl.column_names.index(c), c, arr)
+        else:
+            tbl = tbl.append_column(c, arr)
+    return tbl
+
+
 def _as_array(v, n: int):
     if isinstance(v, (pa.Array, pa.ChunkedArray)):
         return v
@@ -495,6 +616,16 @@ def apply_rowops(tbl: pa.Table, ops: list[tuple]) -> pa.Table:
             for old, new in op[1]:
                 names[names.index(old)] = new
             tbl = tbl.rename_columns(names)
+        elif kind in ("grok", "dissect"):
+            compiled = (compile_grok if kind == "grok"
+                        else compile_dissect)(op[2])
+            tbl = _extract_fields(tbl, op[1], *compiled)
+        elif kind == "enrich_tbl":
+            dim = op[1]
+            if not isinstance(dim, pa.Table):   # broadcast ObjectRef
+                import ray
+                dim = ray.get(dim)
+            tbl = _enrich_lookup(tbl, dim, op[2], op[3])
         else:
             raise EsqlError(f"not a row op: {kind}")
     return tbl
@@ -631,8 +762,19 @@ def run_esql(query: str, tables: dict) -> pa.Table:
     rowops = []
     # phase 1: row ops until STATS / SORT / LIMIT
     while i < len(cmds) and cmds[i][0] in ("where", "eval", "keep",
-                                           "drop", "rename"):
-        rowops.append(cmds[i])
+                                           "drop", "rename", "grok",
+                                           "dissect", "enrich"):
+        c = cmds[i]
+        if c[0] == "enrich":
+            # materialize the (small, by definition) enrich index once
+            # and broadcast it via the object store — the J1 pattern
+            if c[1] not in tables:
+                raise EsqlError(f"unknown enrich table {c[1]!r}")
+            dim = pa.concat_tables(_collect_tables(tables[c[1]]),
+                                   promote_options="default")
+            import ray
+            c = ("enrich_tbl", ray.put(dim), c[2], c[3])
+        rowops.append(c)
         i += 1
     if rowops:
         ops = list(rowops)

@@ -196,3 +196,70 @@ def test_date_trunc_day(tables):
                    tables).to_pydict()
     assert len(got["day"]) == 5 and sum(got["n"]) == 200
     assert all(d.hour == 0 for d in got["day"])
+
+
+# ------------------------------------------- ENRICH / GROK / DISSECT
+
+def test_compile_grok_and_dissect():
+    from onestools_eventlog_ray.pipelines.esql import (compile_dissect,
+                                                       compile_grok)
+    rx, fields = compile_grok('%{WORD:w} = %{NUMBER:n:float}')
+    assert fields == [("w", "string"), ("n", "float")]
+    m = __import__("re").search(rx, "abc = 4.25")
+    assert m.group("w") == "abc" and m.group("n") == "4.25"
+    rx2, f2 = compile_dissect("%{a}-%{b}.%{c}")
+    m2 = __import__("re").match(rx2, "x-y.z.w")
+    assert (m2.group("a"), m2.group("b"), m2.group("c")) == ("x", "y",
+                                                             "z.w")
+    with pytest.raises(EsqlError):
+        compile_grok("%{NOSUCH:x}")
+    with pytest.raises(EsqlError):
+        compile_dissect("no keys at all")
+
+
+def test_grok_typed_extraction(ray_session):
+    import ray.data
+    t = {"logs": ray.data.from_arrow(pa.table({
+        "line": ["INFO 2024-01-01T10:00:00 took 12ms",
+                 "ERROR 2024-01-02T11:30:00 took 340ms",
+                 "not a log line"]}))}
+    got = run_esql(
+        'FROM logs | GROK line "%{LOGLEVEL:lvl} %{TIMESTAMP_ISO8601:t}'
+        ' took %{INT:ms:int}ms" | WHERE lvl IS NOT NULL '
+        '| KEEP lvl, ms | SORT ms ASC', t).to_pydict()
+    assert got == {"lvl": ["INFO", "ERROR"], "ms": [12, 340]}
+
+
+def test_dissect_extraction(ray_session):
+    import ray.data
+    t = {"c": ray.data.from_arrow(pa.table({
+        "name": ["Customer#001", "Customer#002", "Vendor#009"]}))}
+    got = run_esql('FROM c | DISSECT name "%{kind}#%{num}" '
+                   '| STATS n = COUNT(*) BY kind | SORT kind',
+                   t).to_pydict()
+    assert got == {"kind": ["Customer", "Vendor"], "n": [2, 1]}
+
+
+def test_enrich_broadcast_lookup(ray_session):
+    import ray.data
+    t = {"orders": ray.data.from_arrow(pa.table({
+             "oid": [1, 2, 3, 4],
+             "nk": [10, 20, 10, 99]})).repartition(2),
+         "dim": ray.data.from_arrow(pa.table({
+             "nk": [10, 20],
+             "nname": ["ALPHA", "BETA"],
+             "region": ["r1", "r2"]}))}
+    got = run_esql('FROM orders | ENRICH dim ON nk WITH nname '
+                   '| SORT oid ASC | LIMIT 10', t).to_pydict()
+    assert got["nname"] == ["ALPHA", "BETA", "ALPHA", None]  # left join
+    assert "region" not in got                                # WITH obeyed
+    got2 = run_esql('FROM orders | ENRICH dim ON nk '
+                    '| SORT oid ASC | LIMIT 10', t).to_pydict()
+    assert got2["region"] == ["r1", "r2", "r1", None]  # default: all cols
+
+
+def test_enrich_unknown_table_raises(ray_session):
+    import ray.data
+    t = {"x": ray.data.from_arrow(pa.table({"a": [1]}))}
+    with pytest.raises(EsqlError):
+        run_esql('FROM x | ENRICH nope ON a', t)
