@@ -4197,7 +4197,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             '| STATS n = COUNT(*), d = COUNT_DISTINCT(pre), '
             'cids = COUNT_DISTINCT(cid)', _esql_tables(sf_dir))
 
+    def month_rate(sf_dir):
+        """ES rate agg (unit: day) inside a calendar-month
+        date_histogram: bucket count normalized by the month's true
+        day length — folded from the span-bounded daily partials."""
+        from onestools_eventlog_ray.pipelines.streaming import \
+            date_histogram_month_rate
+        return date_histogram_month_rate(
+            _read_pq(os.path.join(sf_dir, "events.parquet"),
+                     columns=["ts"]))
+
+    def percentiles_bucket(sf_dir):
+        """ES percentiles_bucket pipeline agg: exact interpolated
+        p50/p90/p99 of the zero-filled daily bucket counts, computed
+        on the folded bucket table with oracle-identical float64 op
+        order then e6 floor."""
+        from onestools_eventlog_ray.pipelines.streaming import \
+            percentiles_bucket_daily
+        return percentiles_bucket_daily(
+            _read_pq(os.path.join(sf_dir, "events.parquet"),
+                     columns=["ts"]))
+
     return {
+        "month_rate": month_rate,
+        "percentiles_bucket": percentiles_bucket,
         "esql_enrich": esql_enrich,
         "esql_grok": esql_grok,
         "esql_dissect": esql_dissect,
@@ -5213,6 +5236,49 @@ SELECT CAST(count(*) AS BIGINT) AS n,
        CAST(count(DISTINCT regexp_extract(c_name, '^(.*?)#(.*)$', 2))
             AS BIGINT) AS cids
 FROM customer"""
+    d["month_rate"] = """
+WITH b AS (SELECT date_trunc('month', ts) AS m, count(*) AS n
+           FROM events GROUP BY m),
+span AS (SELECT min(m) AS lo, max(m) AS hi FROM b),
+months AS (SELECT unnest(generate_series((SELECT lo FROM span),
+                                          (SELECT hi FROM span),
+                                          INTERVAL 1 MONTH)) AS m),
+f AS (SELECT months.m, coalesce(b.n, 0) AS n
+      FROM months LEFT JOIN b USING (m))
+SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(m AS DATE))
+            AS BIGINT) AS month_start_day,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(date_diff('day', CAST(m AS DATE),
+                      CAST(m + INTERVAL 1 MONTH AS DATE))
+            AS BIGINT) AS days_in_month,
+       CAST(1000000 * n // date_diff('day', CAST(m AS DATE),
+                      CAST(m + INTERVAL 1 MONTH AS DATE))
+            AS BIGINT) AS rate_per_day_e6
+FROM f ORDER BY month_start_day"""
+    d["percentiles_bucket"] = """
+WITH b AS (SELECT date_trunc('day', ts) AS d, count(*) AS n
+           FROM events GROUP BY d),
+span AS (SELECT min(d) AS lo, max(d) AS hi FROM b),
+days AS (SELECT unnest(generate_series((SELECT lo FROM span),
+                                        (SELECT hi FROM span),
+                                        INTERVAL 1 DAY)) AS d),
+f AS (SELECT days.d, coalesce(b.n, 0) AS n FROM days LEFT JOIN b USING (d)),
+v AS (SELECT n, row_number() OVER (ORDER BY n) - 1 AS r FROM f),
+c AS (SELECT count(*) AS cnt FROM v),
+p(q_e2) AS (VALUES (50), (90), (99)),
+k AS (SELECT q_e2,
+             (q_e2 / 100.0) * ((SELECT cnt FROM c) - 1) AS idx FROM p),
+pick AS (SELECT k.q_e2,
+    (SELECT n FROM v WHERE r = CAST(floor(k.idx) AS BIGINT)) AS vlo,
+    (SELECT n FROM v
+     WHERE r = least(CAST(floor(k.idx) AS BIGINT) + 1,
+                     (SELECT cnt FROM c) - 1)) AS vhi,
+    k.idx - floor(k.idx) AS frac FROM k)
+SELECT CAST(q_e2 AS BIGINT) AS q_e2,
+       CAST(floor((CAST(vlo AS DOUBLE)
+                   + (CAST(vhi AS DOUBLE) - CAST(vlo AS DOUBLE)) * frac)
+                  * 1000000 + 0.5) AS BIGINT) AS value_e6
+FROM pick ORDER BY q_e2"""
     # incremental ANN is rank-identical to the full-corpus build by the
     # generational-merge parity (tests/test_round4b.py), so its oracle
     # IS the knn_cosine_ivf SQL over the union table.

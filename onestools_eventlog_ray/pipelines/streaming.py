@@ -1361,3 +1361,67 @@ def date_histogram_bucket_script(ds: ray.data.Dataset,
         "n_num": pa.array(nn, pa.int64()),
         "ratio_e6": pa.array(ratio, pa.int64()),
     })
+
+
+def date_histogram_month_rate(ds: ray.data.Dataset) -> pa.Table:
+    """ES ``rate`` aggregation inside a calendar-month
+    ``date_histogram`` with ``unit: day``: the bucket's event count
+    normalized by the actual day length of that calendar month
+    (28/29/30/31) — rate_per_day_e6 = floor(n * 1e6 / days_in_month).
+
+    Folds the span-bounded daily bucket table (one tiny groupby — the
+    same partial/fold shape as every pipeline agg here) up to months
+    on the driver.  -> (month_start_day, n_events, days_in_month,
+    rate_per_day_e6), month_start_day = epoch days of the month's
+    first day."""
+    import datetime
+    base = date_histogram_filled(ds)
+    days = base["epoch_day"].to_numpy(zero_copy_only=False)
+    n = base["n_events"].to_numpy(zero_copy_only=False)
+    months: dict[int, int] = {}
+    for d, c in zip(days, n):
+        dt = datetime.date(1970, 1, 1) + datetime.timedelta(days=int(d))
+        first = dt.replace(day=1)
+        months[(first - datetime.date(1970, 1, 1)).days] = \
+            months.get((first - datetime.date(1970, 1, 1)).days, 0) + int(c)
+    import calendar
+    rows = []
+    for m0 in sorted(months):
+        dt = datetime.date(1970, 1, 1) + datetime.timedelta(days=m0)
+        dim = calendar.monthrange(dt.year, dt.month)[1]
+        cnt = months[m0]
+        rows.append((m0, cnt, dim, 1_000_000 * cnt // dim))
+    return pa.table({
+        "month_start_day": pa.array([r[0] for r in rows], pa.int64()),
+        "n_events": pa.array([r[1] for r in rows], pa.int64()),
+        "days_in_month": pa.array([r[2] for r in rows], pa.int64()),
+        "rate_per_day_e6": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+def percentiles_bucket_daily(ds: ray.data.Dataset,
+                             pcts_e2: tuple = (50, 90, 99)) -> pa.Table:
+    """ES ``percentiles_bucket`` pipeline agg over the daily
+    date_histogram counts: exact linear-interpolated percentiles of
+    the (span-bounded) bucket values, computed where ES computes them
+    — on the folded bucket table, never on the raw stream.
+
+    The interpolation is written as v_lo + (v_hi - v_lo) * frac with
+    idx = (q/100) * (nbuckets - 1) in float64, then e6-floored — the
+    SQL oracle repeats the identical op order, so both sides are
+    bit-equal.  -> (q_e2, value_e6)."""
+    base = date_histogram_filled(ds)
+    v = np.sort(base["n_events"].to_numpy(zero_copy_only=False)
+                .astype(np.int64))
+    out = []
+    for q in pcts_e2:
+        idx = (q / 100.0) * (v.size - 1)
+        lo = int(np.floor(idx))
+        hi = min(lo + 1, v.size - 1)
+        frac = idx - lo
+        val = float(v[lo]) + (float(v[hi]) - float(v[lo])) * frac
+        out.append((int(q), int(np.floor(val * 1_000_000 + 0.5))))
+    return pa.table({
+        "q_e2": pa.array([o[0] for o in out], pa.int64()),
+        "value_e6": pa.array([o[1] for o in out], pa.int64()),
+    })

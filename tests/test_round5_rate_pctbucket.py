@@ -1,0 +1,78 @@
+"""Round-5: ES rate agg (calendar-month buckets, unit=day) and
+percentiles_bucket over daily histogram counts — planted calendars
+exercise month-length normalization, leap February, zero-filled month
+gaps, and the exact interpolation arithmetic."""
+
+import datetime
+
+import numpy as np
+import pyarrow as pa
+
+from onestools_eventlog_ray.pipelines.streaming import (
+    date_histogram_month_rate, percentiles_bucket_daily)
+
+
+def _ev(days_counts):
+    ts = []
+    for day, cnt in days_counts:
+        ts.extend([datetime.datetime.combine(day, datetime.time(12))] * cnt)
+    return pa.table({"ts": pa.array(ts, pa.timestamp("us"))})
+
+
+def test_month_rate_normalizes_by_month_length(ray_session):
+    import ray.data
+    # 62 events in Jan (31d), 58 in Feb 2024 (leap: 29d)
+    ev = _ev([(datetime.date(2024, 1, 1), 30),
+              (datetime.date(2024, 1, 31), 32),
+              (datetime.date(2024, 2, 29), 58)])
+    t = date_histogram_month_rate(
+        ray.data.from_arrow(ev).repartition(3)).to_pydict()
+    jan = (datetime.date(2024, 1, 1) - datetime.date(1970, 1, 1)).days
+    feb = (datetime.date(2024, 2, 1) - datetime.date(1970, 1, 1)).days
+    assert t["month_start_day"] == [jan, feb]
+    assert t["n_events"] == [62, 58]
+    assert t["days_in_month"] == [31, 29]
+    assert t["rate_per_day_e6"] == [1_000_000 * 62 // 31,
+                                    1_000_000 * 58 // 29]
+
+
+def test_month_rate_zero_fills_gap_months(ray_session):
+    import ray.data
+    ev = _ev([(datetime.date(2024, 1, 10), 5),
+              (datetime.date(2024, 3, 10), 7)])   # February silent
+    t = date_histogram_month_rate(ray.data.from_arrow(ev)).to_pydict()
+    assert t["n_events"] == [5, 0, 7]
+    assert t["days_in_month"] == [31, 29, 31]
+    assert t["rate_per_day_e6"][1] == 0
+
+
+def test_percentiles_bucket_exact_interpolation(ray_session):
+    import ray.data
+    # five consecutive days with counts 1..5 -> sorted v = [1,2,3,4,5]
+    ev = _ev([(datetime.date(2024, 1, 1 + i), i + 1) for i in range(5)])
+    t = percentiles_bucket_daily(ray.data.from_arrow(ev),
+                                 pcts_e2=(0, 50, 75, 100)).to_pydict()
+    v = np.array([1, 2, 3, 4, 5], dtype=float)
+
+    def ref(q):
+        idx = (q / 100.0) * 4
+        lo = int(np.floor(idx))
+        hi = min(lo + 1, 4)
+        val = v[lo] + (v[hi] - v[lo]) * (idx - lo)
+        return int(np.floor(val * 1_000_000 + 0.5))
+
+    assert t["q_e2"] == [0, 50, 75, 100]
+    assert t["value_e6"] == [ref(0), ref(50), ref(75), ref(100)]
+    assert t["value_e6"][1] == 3_000_000          # median of 1..5
+    assert t["value_e6"][2] == 4_000_000          # p75 lands on 4.0
+
+
+def test_percentiles_bucket_counts_zero_filled_days(ray_session):
+    import ray.data
+    # events on day 1 and day 5 only -> three zero buckets in between
+    ev = _ev([(datetime.date(2024, 1, 1), 4),
+              (datetime.date(2024, 1, 5), 4)])
+    t = percentiles_bucket_daily(ray.data.from_arrow(ev),
+                                 pcts_e2=(50,)).to_pydict()
+    # sorted buckets [0,0,0,4,4] -> median 0
+    assert t["value_e6"] == [0]
