@@ -4218,7 +4218,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read_pq(os.path.join(sf_dir, "events.parquet"),
                      columns=["ts"]))
 
+    def _esql_emb(sf_dir):
+        import ray.data
+        t = _esql_tables(sf_dir)
+        t["embeddings"] = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"))
+        return t
+
+    def esql_mv_expand(sf_dir):
+        """ES|QL MV_EXPAND: list column exploded inside the batch via
+        list offsets (parent-index take, no Python loop) feeding the
+        STATS combiner — one row per embedding element."""
+        from onestools_eventlog_ray.pipelines.esql import run_esql
+        return run_esql(
+            'FROM embeddings | MV_EXPAND embedding '
+            '| STATS n = COUNT(*), mx = MAX(embedding) BY vec_id '
+            '| SORT vec_id ASC | LIMIT 10', _esql_emb(sf_dir))
+
+    def esql_mv_stats(sf_dir):
+        """ES|QL multi-value functions (MV_COUNT / MV_MAX) as
+        segmented-reduce kernels over the list layout — per-row list
+        stats without expanding."""
+        from onestools_eventlog_ray.pipelines.esql import run_esql
+        return run_esql(
+            'FROM embeddings | EVAL dim = MV_COUNT(embedding), '
+            'amx = MV_MAX(embedding) '
+            '| STATS d = MAX(dim), n = COUNT(*), gmx = MAX(amx)',
+            _esql_emb(sf_dir))
+
+    def esql_case(sf_dir):
+        """ES|QL CASE(): right-folded if_else kernel chain banding a
+        numeric column, grouped by the STATS combiner."""
+        from onestools_eventlog_ray.pipelines.esql import run_esql
+        return run_esql(
+            'FROM events | EVAL band = CASE(value < 10, "low", '
+            'value < 100, "mid", "high") '
+            '| STATS n = COUNT(*) BY band | SORT band | LIMIT 10',
+            _esql_tables(sf_dir))
+
     return {
+        "esql_mv_expand": esql_mv_expand,
+        "esql_mv_stats": esql_mv_stats,
+        "esql_case": esql_case,
         "month_rate": month_rate,
         "percentiles_bucket": percentiles_bucket,
         "esql_enrich": esql_enrich,
@@ -5279,6 +5320,20 @@ SELECT CAST(q_e2 AS BIGINT) AS q_e2,
                    + (CAST(vhi AS DOUBLE) - CAST(vlo AS DOUBLE)) * frac)
                   * 1000000 + 0.5) AS BIGINT) AS value_e6
 FROM pick ORDER BY q_e2"""
+    d["esql_mv_expand"] = """
+SELECT vec_id, CAST(count(*) AS BIGINT) AS n, max(x) AS mx
+FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+GROUP BY vec_id ORDER BY vec_id ASC LIMIT 10"""
+    d["esql_mv_stats"] = """
+SELECT CAST(max(len(embedding)) AS BIGINT) AS d,
+       CAST(count(*) AS BIGINT) AS n,
+       max(CAST(list_max(embedding) AS DOUBLE)) AS gmx
+FROM embeddings"""
+    d["esql_case"] = """
+SELECT CASE WHEN value < 10 THEN 'low'
+            WHEN value < 100 THEN 'mid' ELSE 'high' END AS band,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY band ORDER BY band LIMIT 10"""
     # incremental ANN is rank-identical to the full-corpus build by the
     # generational-merge parity (tests/test_round4b.py), so its oracle
     # IS the knn_cosine_ivf SQL over the union table.

@@ -63,7 +63,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {"FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT",
              "KEEP", "DROP", "RENAME", "AS", "ASC", "DESC", "AND", "OR",
              "NOT", "LIKE", "RLIKE", "IN", "IS", "NULL", "TRUE", "FALSE",
-             "ENRICH", "ON", "WITH", "GROK", "DISSECT"}
+             "ENRICH", "ON", "WITH", "GROK", "DISSECT", "MV_EXPAND"}
 
 
 def _lex(q: str) -> list[tuple[str, object]]:
@@ -349,6 +349,8 @@ def parse(query: str) -> list[tuple]:
                     p.take()
                     with_cols.append(p.expect("ident"))
             cmds.append(("enrich", tname, key, with_cols))
+        elif v == "MV_EXPAND":
+            cmds.append(("mv_expand", p.expect("ident")))
         elif v in ("GROK", "DISSECT"):
             col = p.expect("ident")
             pat = p.expect("str")
@@ -370,7 +372,42 @@ def parse(query: str) -> list[tuple]:
             raise EsqlError(f"trailing tokens in {v} command")
     if not cmds or cmds[0][0] != "from":
         raise EsqlError("query must start with FROM")
+    for c in cmds:                      # fail fast on the driver
+        _validate_cmd_asts(c)
     return cmds
+
+
+_FUNCS = {"LENGTH", "TO_LOWER", "TO_UPPER", "SUBSTRING", "ABS", "ROUND",
+          "STARTS_WITH", "ENDS_WITH", "CONCAT", "COALESCE", "DATE_TRUNC",
+          "TO_LONG", "TO_DOUBLE", "TO_STRING", "CASE", "MV_COUNT",
+          "MV_MIN", "MV_MAX", "MV_SUM", "MV_AVG"}
+
+
+def _validate_ast(ast):
+    if not isinstance(ast, tuple):
+        return
+    if ast[0] == "call":
+        if ast[1] not in _FUNCS:
+            raise EsqlError(f"unknown function {ast[1]}")
+        if ast[1] == "CASE" and (len(ast[2]) < 3 or len(ast[2]) % 2 == 0):
+            raise EsqlError("CASE needs cond/value pairs + a default")
+        for a in ast[2]:
+            _validate_ast(a)
+    else:
+        for a in ast[1:]:
+            _validate_ast(a)
+
+
+def _validate_cmd_asts(cmd):
+    if cmd[0] == "where":
+        _validate_ast(cmd[1])
+    elif cmd[0] == "eval":
+        for _, ex in cmd[1]:
+            _validate_ast(ex)
+    elif cmd[0] == "stats":
+        for _, _, arg in cmd[1]:
+            if arg is not None:
+                _validate_ast(arg)
 
 
 # ------------------------------------------------------------ evaluator
@@ -471,6 +508,35 @@ def _call(fn: str, args: list, tbl: pa.Table):
         return pc.coalesce(*a)
     if fn == "DATE_TRUNC":
         return pc.floor_temporal(a[1], unit=a[0])
+    if fn == "CASE":                   # CASE(c1, v1, c2, v2, ..., default)
+        if len(a) < 3 or len(a) % 2 == 0:
+            raise EsqlError("CASE needs cond/value pairs + default")
+        out = a[-1]
+        for j in range(len(a) - 3, -1, -2):
+            out = pc.if_else(a[j], a[j + 1], out)
+        return out
+    if fn == "MV_COUNT":
+        return pc.cast(pc.list_value_length(a[0]), pa.int64())
+    if fn in ("MV_MIN", "MV_MAX", "MV_SUM", "MV_AVG"):
+        arr = a[0]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+        parent = np.repeat(np.arange(lens.size), lens)
+        if fn == "MV_SUM" or fn == "MV_AVG":
+            acc = np.zeros(lens.size, dtype=np.float64)
+            np.add.at(acc, parent, flat.astype(np.float64))
+            res = acc / lens if fn == "MV_AVG" else acc
+        else:
+            init = np.inf if fn == "MV_MIN" else -np.inf
+            acc = np.full(lens.size, init, dtype=np.float64)
+            (np.minimum if fn == "MV_MIN" else np.maximum) \
+                .at(acc, parent, flat.astype(np.float64))
+            res = acc
+        return pa.array(np.where(lens > 0, res, np.nan), pa.float64(),
+                        mask=(lens == 0))
     if fn == "TO_LONG":                # truncates toward zero, like ES|QL
         return pc.cast(a[0], pa.int64(), safe=False)
     if fn == "TO_DOUBLE":
@@ -620,6 +686,27 @@ def apply_rowops(tbl: pa.Table, ops: list[tuple]) -> pa.Table:
             compiled = (compile_grok if kind == "grok"
                         else compile_dissect)(op[2])
             tbl = _extract_fields(tbl, op[1], *compiled)
+        elif kind == "mv_expand":
+            col = op[1]
+            arr = tbl[col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            lens = pc.list_value_length(arr).to_numpy(
+                zero_copy_only=False)
+            lens = np.nan_to_num(
+                lens.astype(np.float64)).astype(np.int64)
+            parent = np.repeat(np.arange(lens.size), lens)
+            idx = pa.array(parent, pa.int64())
+            cols = {}
+            for c in tbl.column_names:
+                if c == col:
+                    cols[c] = arr.flatten()
+                else:
+                    src_c = tbl[c]
+                    if isinstance(src_c, pa.ChunkedArray):
+                        src_c = src_c.combine_chunks()
+                    cols[c] = src_c.take(idx)
+            tbl = pa.table(cols)
         elif kind == "enrich_tbl":
             dim = op[1]
             if not isinstance(dim, pa.Table):   # broadcast ObjectRef
@@ -763,7 +850,8 @@ def run_esql(query: str, tables: dict) -> pa.Table:
     # phase 1: row ops until STATS / SORT / LIMIT
     while i < len(cmds) and cmds[i][0] in ("where", "eval", "keep",
                                            "drop", "rename", "grok",
-                                           "dissect", "enrich"):
+                                           "dissect", "enrich",
+                                           "mv_expand"):
         c = cmds[i]
         if c[0] == "enrich":
             # materialize the (small, by definition) enrich index once

@@ -263,3 +263,35 @@ def test_enrich_unknown_table_raises(ray_session):
     t = {"x": ray.data.from_arrow(pa.table({"a": [1]}))}
     with pytest.raises(EsqlError):
         run_esql('FROM x | ENRICH nope ON a', t)
+
+
+# --------------------------------------------- MV functions and CASE
+
+def test_mv_expand_and_functions(ray_session):
+    import ray.data
+    t = {"e": ray.data.from_arrow(pa.table({
+        "id": [1, 2, 3],
+        "v": pa.array([[1.0, 5.0, 3.0], [], [2.0, 2.0]],
+                      pa.list_(pa.float64()))}))}
+    got = run_esql('FROM e | MV_EXPAND v | STATS n = COUNT(*), '
+                   'mx = MAX(v) BY id | SORT id', t).to_pydict()
+    assert got == {"id": [1, 3], "n": [3, 2], "mx": [5.0, 2.0]}
+    got2 = run_esql('FROM e | EVAL c = MV_COUNT(v), mn = MV_MIN(v), '
+                    'mx = MV_MAX(v), s = MV_SUM(v), a = MV_AVG(v) '
+                    '| KEEP id, c, mn, mx, s, a | SORT id', t).to_pydict()
+    assert got2["c"] == [3, 0, 2]
+    assert got2["mn"] == [1.0, None, 2.0]   # empty list -> null
+    assert got2["mx"] == [5.0, None, 2.0]
+    assert got2["s"] == [9.0, None, 4.0]
+    assert got2["a"] == [3.0, None, 2.0]
+
+
+def test_case_function(ray_session):
+    import ray.data
+    t = {"x": ray.data.from_arrow(pa.table({"v": [1, 15, 150, 99]}))}
+    got = run_esql('FROM x | EVAL band = CASE(v < 10, "low", '
+                   'v < 100, "mid", "high") | KEEP v, band | SORT v',
+                   t).to_pydict()
+    assert got["band"] == ["low", "mid", "mid", "high"]
+    with pytest.raises(EsqlError):
+        run_esql('FROM x | EVAL y = CASE(v < 10, "a")', t)  # no default
