@@ -4256,7 +4256,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             '| STATS n = COUNT(*) BY band | SORT band | LIMIT 10',
             _esql_tables(sf_dir))
 
+    def frequent_item_sets(sf_dir):
+        """ES frequent_item_sets agg (sizes 1-3) over (user, day)
+        baskets of event types: distributed Apriori — one basket
+        co-group shuffle, then broadcast-pruned streaming counts
+        (F1 set, F2 adjacency matrix for downward-closure pruning)."""
+        from onestools_eventlog_ray.pipelines.relational import \
+            frequent_item_sets as _fis
+        return _fis(_read_pq(os.path.join(sf_dir, "events.parquet"),
+                             columns=["ts", "user_id", "event_type"]))
+
+    def normalize_agg(sf_dir):
+        """ES normalize pipeline agg (percent_of_sum + rescale_0_1)
+        over the zero-filled daily histogram, integer-e6 exact."""
+        from onestools_eventlog_ray.pipelines.streaming import \
+            date_histogram_normalize
+        return date_histogram_normalize(
+            _read_pq(os.path.join(sf_dir, "events.parquet"),
+                     columns=["ts"]))
+
     return {
+        "frequent_item_sets": frequent_item_sets,
+        "normalize_agg": normalize_agg,
         "esql_mv_expand": esql_mv_expand,
         "esql_mv_stats": esql_mv_stats,
         "esql_case": esql_case,
@@ -5334,6 +5355,61 @@ SELECT CASE WHEN value < 10 THEN 'low'
             WHEN value < 100 THEN 'mid' ELSE 'high' END AS band,
        CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY band ORDER BY band LIMIT 10"""
+    # frequent_item_sets: relative support ceil(0.1 * n_baskets); SQL
+    # computes every level directly (the engine's Apriori pruning is
+    # lossless by downward closure, so the results must coincide)
+    d["frequent_item_sets"] = """
+WITH b AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d,
+                  event_type FROM events),
+nb AS (SELECT count(*) AS n FROM (SELECT DISTINCT user_id, d FROM b)),
+th AS (SELECT CAST(ceil(100000 * (SELECT n FROM nb) / 1000000.0)
+              AS BIGINT) AS t),
+f1 AS (SELECT event_type AS item_a, count(*) AS support
+       FROM b GROUP BY item_a HAVING count(*) >= (SELECT t FROM th)),
+f2 AS (SELECT x.event_type AS item_a, y.event_type AS item_b,
+              count(*) AS support
+       FROM b x JOIN b y ON x.user_id = y.user_id AND x.d = y.d
+                        AND x.event_type < y.event_type
+       GROUP BY item_a, item_b
+       HAVING count(*) >= (SELECT t FROM th)),
+f3 AS (SELECT x.event_type AS item_a, y.event_type AS item_b,
+              z.event_type AS item_c, count(*) AS support
+       FROM b x JOIN b y ON x.user_id = y.user_id AND x.d = y.d
+                        AND x.event_type < y.event_type
+                JOIN b z ON y.user_id = z.user_id AND y.d = z.d
+                        AND y.event_type < z.event_type
+       GROUP BY item_a, item_b, item_c
+       HAVING count(*) >= (SELECT t FROM th)),
+u AS (
+  SELECT 1 AS set_size, item_a, CAST(NULL AS VARCHAR) AS item_b,
+         CAST(NULL AS VARCHAR) AS item_c, support FROM f1
+  UNION ALL
+  SELECT 2, item_a, item_b, NULL, support FROM f2
+  UNION ALL
+  SELECT 3, item_a, item_b, item_c, support FROM f3)
+SELECT CAST(set_size AS BIGINT) AS set_size, item_a, item_b, item_c,
+       CAST(support AS BIGINT) AS support
+FROM u ORDER BY set_size, item_a, coalesce(item_b, ''),
+                coalesce(item_c, '')"""
+    d["normalize_agg"] = """
+WITH b AS (SELECT date_trunc('day', ts) AS d, count(*) AS n
+           FROM events GROUP BY d),
+span AS (SELECT min(d) AS lo, max(d) AS hi FROM b),
+days AS (SELECT unnest(generate_series((SELECT lo FROM span),
+                                        (SELECT hi FROM span),
+                                        INTERVAL 1 DAY)) AS d),
+f AS (SELECT days.d, coalesce(b.n, 0) AS n FROM days LEFT JOIN b USING (d)),
+agg AS (SELECT sum(n) AS total, min(n) AS mn, max(n) AS mx FROM f)
+SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(d AS DATE))
+            AS BIGINT) AS epoch_day,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(n * 1000000 // (SELECT total FROM agg) AS BIGINT)
+         AS pct_of_sum_e6,
+       CAST(CASE WHEN (SELECT mx FROM agg) > (SELECT mn FROM agg)
+                 THEN (n - (SELECT mn FROM agg)) * 1000000
+                      // ((SELECT mx FROM agg) - (SELECT mn FROM agg))
+                 ELSE 0 END AS BIGINT) AS rescaled_e6
+FROM f ORDER BY epoch_day"""
     # incremental ANN is rank-identical to the full-corpus build by the
     # generational-merge parity (tests/test_round4b.py), so its oracle
     # IS the knn_cosine_ivf SQL over the union table.

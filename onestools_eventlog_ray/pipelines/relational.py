@@ -5115,3 +5115,149 @@ def scripted_metric_variance(ds: ray.data.Dataset) -> pa.Table:
         "mean_e6": pa.array([r["mean_e6"] for r in rows], pa.int64()),
         "var_e6": pa.array([r["var_e6"] for r in rows], pa.int64()),
     })
+
+
+def frequent_item_sets(events: ray.data.Dataset,
+                       support_frac_e6: int = 100_000,
+                       max_items_per_basket: int = 64) -> pa.Table:
+    """ES 8.4 ``frequent_item_sets`` aggregation: itemsets of size 1-3
+    over (user, day) baskets of event types, with relative support
+    ``>= ceil(support_frac_e6/1e6 * n_baskets)`` — a distributed
+    Apriori.
+
+    Scale shape: ONE shuffle total.  Baskets are co-grouped once
+    (groupby basket id -> distinct items per basket) and MATERIALIZED
+    (one short row per basket); the three Apriori levels are then
+    broadcast-pruned streaming counts over that cached table:
+    F1 = frequent items (type-table fold), F2 = pairs restricted to F1
+    (vectorized triu per basket), F3 = triples whose three sub-pairs
+    all sit in the broadcast F2 adjacency matrix (downward closure —
+    the pruning that makes level 3 affordable).  Baskets are capped at
+    ``max_items_per_basket`` items (same degenerate-group treatment as
+    the LSH buckets); the cap is a no-op here (items = event types).
+
+    -> (set_size, item_a, item_b, item_c, support), NULL-padded,
+    sorted by (set_size, item_a, item_b, item_c)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    US_DAY = 86_400_000_000
+
+    def to_basket_rows(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        bid = uid.astype(np.int64) * 1_000_000 + us // US_DAY
+        return pa.table({"bid": pa.array(bid, pa.int64()),
+                         "item": batch["event_type"]})
+
+    def per_basket(group: pa.Table) -> pa.Table:
+        items = sorted(set(group["item"].to_pylist()))[
+            :max_items_per_basket]
+        return pa.table({
+            "bid": pa.array([int(group["bid"][0].as_py())], pa.int64()),
+            "items": pa.array([items], pa.list_(pa.string()))})
+
+    baskets = (events.select_columns(["ts", "user_id", "event_type"])
+               .map_batches(to_basket_rows, batch_format="pyarrow")
+               .groupby("bid")
+               .map_groups(per_basket, batch_format="pyarrow")
+               .materialize())
+    n_baskets = baskets.count()
+    thr = -(-support_frac_e6 * n_baskets // 1_000_000)  # ceil
+
+    def count_items(batch: pa.Table) -> pa.Table:
+        flat = batch["items"].combine_chunks().flatten()
+        g = pa.table({"item": flat}).group_by("item") \
+            .aggregate([([], "count_all")])
+        return pa.table({"item": g["item"],
+                         "n_p": g["count_all"].cast(pa.int64())})
+
+    f1_rows = (baskets.map_batches(count_items, batch_format="pyarrow")
+               .groupby("item").aggregate(Sum("n_p", alias_name="n"))
+               .take_all())
+    f1 = {r["item"]: int(r["n"]) for r in f1_rows if int(r["n"]) >= thr}
+    vocab = sorted(f1)                       # broadcast: tiny type table
+    code = {t: i for i, t in enumerate(vocab)}
+
+    def codes_per_basket(batch):
+        """list<string> items -> list of sorted F1 code arrays."""
+        out = []
+        for lst in batch["items"].to_pylist():
+            cs = sorted(code[t] for t in lst if t in code)
+            out.append(np.asarray(cs, dtype=np.int64))
+        return out
+
+    def count_pairs(batch: pa.Table) -> pa.Table:
+        da, db = [], []
+        for g in codes_per_basket(batch):
+            if g.size > 1:
+                iu, ju = np.triu_indices(g.size, 1)
+                da.append(g[iu])
+                db.append(g[ju])
+        if not da:
+            return pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                              ("n_p", pa.int64())]).empty_table()
+        t = pa.table({"a": pa.array(np.concatenate(da), pa.int64()),
+                      "b": pa.array(np.concatenate(db), pa.int64())})
+        g2 = t.group_by(["a", "b"]).aggregate([([], "count_all")])
+        return pa.table({"a": g2["a"], "b": g2["b"],
+                         "n_p": g2["count_all"].cast(pa.int64())})
+
+    f2_rows = (baskets.map_batches(count_pairs, batch_format="pyarrow")
+               .groupby(["a", "b"]).aggregate(Sum("n_p", alias_name="n"))
+               .take_all())
+    f2 = {(int(r["a"]), int(r["b"])): int(r["n"])
+          for r in f2_rows if int(r["n"]) >= thr}
+    V = len(vocab)
+    adj = np.zeros((V, V), dtype=bool)
+    for (a, b) in f2:
+        adj[a, b] = True
+
+    def count_triples(batch: pa.Table) -> pa.Table:
+        ta, tb, tc = [], [], []
+        for g in codes_per_basket(batch):
+            m = g.size
+            if m < 3:
+                continue
+            for i in range(m - 2):          # baskets are cap-bounded
+                for j in range(i + 1, m - 1):
+                    if not adj[g[i], g[j]]:
+                        continue            # downward-closure prune
+                    for l in range(j + 1, m):
+                        if adj[g[i], g[l]] and adj[g[j], g[l]]:
+                            ta.append(g[i])
+                            tb.append(g[j])
+                            tc.append(g[l])
+        if not ta:
+            return pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                              ("c", pa.int64()),
+                              ("n_p", pa.int64())]).empty_table()
+        t = pa.table({"a": pa.array(ta, pa.int64()),
+                      "b": pa.array(tb, pa.int64()),
+                      "c": pa.array(tc, pa.int64())})
+        g3 = t.group_by(["a", "b", "c"]).aggregate([([], "count_all")])
+        return pa.table({"a": g3["a"], "b": g3["b"], "c": g3["c"],
+                         "n_p": g3["count_all"].cast(pa.int64())})
+
+    f3_rows = (baskets.map_batches(count_triples, batch_format="pyarrow")
+               .groupby(["a", "b", "c"])
+               .aggregate(Sum("n_p", alias_name="n"))
+               .take_all())
+    f3 = {(int(r["a"]), int(r["b"]), int(r["c"])): int(r["n"])
+          for r in f3_rows if int(r["n"]) >= thr}
+
+    rows = []
+    for t, n in f1.items():
+        rows.append((1, t, None, None, n))
+    for (a, b), n in f2.items():
+        rows.append((2, vocab[a], vocab[b], None, n))
+    for (a, b, c), n in f3.items():
+        rows.append((3, vocab[a], vocab[b], vocab[c], n))
+    rows.sort(key=lambda r: (r[0], r[1], r[2] or "", r[3] or ""))
+    return pa.table({
+        "set_size": pa.array([r[0] for r in rows], pa.int64()),
+        "item_a": pa.array([r[1] for r in rows], pa.string()),
+        "item_b": pa.array([r[2] for r in rows], pa.string()),
+        "item_c": pa.array([r[3] for r in rows], pa.string()),
+        "support": pa.array([r[4] for r in rows], pa.int64()),
+    })

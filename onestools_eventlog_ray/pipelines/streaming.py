@@ -1425,3 +1425,27 @@ def percentiles_bucket_daily(ds: ray.data.Dataset,
         "q_e2": pa.array([o[0] for o in out], pa.int64()),
         "value_e6": pa.array([o[1] for o in out], pa.int64()),
     })
+
+
+def date_histogram_normalize(ds: ray.data.Dataset) -> pa.Table:
+    """ES ``normalize`` pipeline agg, methods ``percent_of_sum`` and
+    ``rescale_0_1``, over the zero-filled daily histogram — both as
+    pure-integer e6 floors (n*1e6//total, (n-min)*1e6//(max-min)) so
+    the oracle is bit-exact.  Computed on the span-bounded folded
+    bucket table like every pipeline agg.
+    -> (epoch_day, n_events, pct_of_sum_e6, rescaled_e6)."""
+    base = date_histogram_filled(ds)
+    n = base["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(n.sum())
+    lo, hi = int(n.min()), int(n.max())
+    pct = (n * 1_000_000) // total if total else np.zeros_like(n)
+    if hi > lo:
+        resc = ((n - lo) * 1_000_000) // (hi - lo)
+    else:
+        resc = np.zeros_like(n)
+    return pa.table({
+        "epoch_day": base["epoch_day"],
+        "n_events": base["n_events"],
+        "pct_of_sum_e6": pa.array(pct, pa.int64()),
+        "rescaled_e6": pa.array(resc, pa.int64()),
+    })
