@@ -69,14 +69,11 @@ def hybrid_rrf(eng, emb_ds, terms: list[str], query_vec_id: int,
 
 
 def bm25_ranks(eng, terms: list[str], window: int) -> dict[int, int]:
-    """BM25 component ranking: doc_id -> rank (1-based, e6-floored
-    score desc, doc_id asc) over the top-``window``."""
-    hits = eng.search(terms, k=1 << 62)
-    ids = np.asarray([d for d, _ in hits], dtype=np.int64)
-    e6 = np.floor(np.asarray([s for _, s in hits], dtype=np.float64)
-                  * 1_000_000 + 0.5).astype(np.int64)
-    order = np.lexsort((ids, -e6))[:window]
-    return {int(ids[i]): r for r, i in enumerate(order, 1)}
+    """BM25 component ranking: doc_id -> rank (1-based, e6-quantized
+    score desc, doc_id asc) over the top-``window`` — bounded engine
+    top-k (``tie="e6"``), O(window) hits reach the driver."""
+    hits = eng.search(terms, k=window, tie="e6")
+    return {int(d): r for r, (d, _) in enumerate(hits, 1)}
 
 
 def knn_ranks(emb_ds, query_vec_id: int, window: int,
