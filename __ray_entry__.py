@@ -4275,7 +4275,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read_pq(os.path.join(sf_dir, "events.parquet"),
                      columns=["ts"]))
 
+    def esql_match(sf_dir):
+        """ES 8.17 ES|QL full-text MATCH(field, "terms"): the predicate
+        resolves once on the driver from the inverted index's posting
+        lists (df-bounded shard-pruned reads — content never scanned)
+        and each batch applies one is_in kernel on doc_id; composes
+        with ordinary columnar predicates in the same WHERE."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines.esql import run_esql
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        eng = SearchEngine(_ensure_index(sf_dir))
+        return run_esql(
+            'FROM documents | WHERE MATCH(text, "spark vector") '
+            'AND lang == "en" | STATS n = COUNT(*) BY source '
+            '| SORT source | LIMIT 100',
+            _esql_tables(sf_dir), search_engine=eng)
+
     return {
+        "esql_match": esql_match,
         "frequent_item_sets": frequent_item_sets,
         "normalize_agg": normalize_agg,
         "esql_mv_expand": esql_mv_expand,
@@ -5410,6 +5427,14 @@ SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(d AS DATE))
                       // ((SELECT mx FROM agg) - (SELECT mn FROM agg))
                  ELSE 0 END AS BIGINT) AS rescaled_e6
 FROM f ORDER BY epoch_day"""
+    d["esql_match"] = f"""
+WITH toks AS ({_TOKS})
+SELECT source, CAST(count(*) AS BIGINT) AS n
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks
+                 WHERE term IN ('spark', 'vector'))
+  AND lang = 'en'
+GROUP BY source ORDER BY source LIMIT 100"""
     # incremental ANN is rank-identical to the full-corpus build by the
     # generational-merge parity (tests/test_round4b.py), so its oracle
     # IS the knn_cosine_ivf SQL over the union table.

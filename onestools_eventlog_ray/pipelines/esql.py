@@ -401,7 +401,7 @@ def parse(query: str) -> list[tuple]:
 _FUNCS = {"LENGTH", "TO_LOWER", "TO_UPPER", "SUBSTRING", "ABS", "ROUND",
           "STARTS_WITH", "ENDS_WITH", "CONCAT", "COALESCE", "DATE_TRUNC",
           "TO_LONG", "TO_DOUBLE", "TO_STRING", "CASE", "MV_COUNT",
-          "MV_MIN", "MV_MAX", "MV_SUM", "MV_AVG"}
+          "MV_MIN", "MV_MAX", "MV_SUM", "MV_AVG", "MATCH"}
 
 
 def _validate_ast(ast):
@@ -412,6 +412,11 @@ def _validate_ast(ast):
             raise EsqlError(f"unknown function {ast[1]}")
         if ast[1] == "CASE" and (len(ast[2]) < 3 or len(ast[2]) % 2 == 0):
             raise EsqlError("CASE needs cond/value pairs + a default")
+        if ast[1] == "MATCH" and (
+                len(ast[2]) != 2 or ast[2][0][0] != "col"
+                or ast[2][1][0] != "lit"
+                or not isinstance(ast[2][1][1], str)):
+            raise EsqlError("MATCH needs (field, \"query terms\")")
         for a in ast[2]:
             _validate_ast(a)
     else:
@@ -494,6 +499,22 @@ def eval_expr(ast, tbl: pa.Table):
                         value_set=pa.array(ast[2]))
     if op == "isnull":
         return pc.is_null(eval_expr(ast[1], tbl))
+    if op == "in_ids":
+        if ast[1] in tbl.column_names:
+            ids_col = tbl[ast[1]]
+        else:
+            # corpora that derive the doc id (ST2 content-keyed
+            # identity) instead of storing it: recompute per batch
+            from onestools_eventlog_ray.sources.corpus import \
+                CODE_CORPUS_SPEC
+            from onestools_eventlog_ray.stages.normalize import \
+                doc_id_from_keys
+            keys = CODE_CORPUS_SPEC.key_cols
+            if not all(c in tbl.column_names for c in keys):
+                raise EsqlError(f"MATCH id column {ast[1]!r} absent and "
+                                f"key columns {keys} not present")
+            ids_col = doc_id_from_keys(*[tbl[c] for c in keys])
+        return pc.is_in(ids_col, value_set=pa.array(ast[2], pa.int64()))
     if op == "call":
         return _call(ast[1], ast[2], tbl)
     raise EsqlError(f"bad AST node {op}")
@@ -669,6 +690,36 @@ def _enrich_lookup(tbl: pa.Table, dim: pa.Table, key: str,
         else:
             tbl = tbl.append_column(c, arr)
     return tbl
+
+
+def _resolve_match(ast, search_engine, id_col: str):
+    """Rewrite MATCH(field, "terms") nodes into ("in_ids", idset)
+    predicates — the ES 8.17 ES|QL full-text function.  The id set is
+    resolved ONCE on the driver from the inverted index's posting
+    lists (df-bounded, the standard filter-context read — content is
+    never scanned) and broadcast in the op closure; per batch the
+    predicate is a single ``is_in`` kernel on the id column."""
+    if not isinstance(ast, tuple):
+        return ast
+    if ast[0] == "call" and ast[1] == "MATCH":
+        if search_engine is None:
+            raise EsqlError("MATCH needs a search_engine")
+        terms = [t for t in re.split(r"\s+", ast[2][1][1].lower()) if t]
+        ids = np.unique(np.concatenate(
+            [np.asarray(p, dtype=np.int64) for p in
+             _match_posting_ids(search_engine, terms)] or
+            [np.empty(0, np.int64)]))
+        return ("in_ids", id_col, ids)
+    return tuple(ast[:1]) + tuple(
+        _resolve_match(a, search_engine, id_col) if isinstance(a, tuple)
+        else a for a in ast[1:])
+
+
+def _match_posting_ids(eng, terms):
+    """Per-term matching doc_id arrays straight from the posting
+    lists (shard-pruned ``term IN`` reads, df-bounded)."""
+    from onestools_eventlog_ray.pipelines.dsl import _posting_ids
+    return _posting_ids(eng, terms)
 
 
 def _as_array(v, n: int):
@@ -858,13 +909,22 @@ def _stats_fold(partials: pa.Table, aggs, keys) -> pa.Table:
 DEFAULT_IMPLICIT_LIMIT = 1000
 
 
-def run_esql(query: str, tables: dict) -> pa.Table:
+def run_esql(query: str, tables: dict, search_engine=None,
+             id_col: str = "doc_id") -> pa.Table:
     """Execute an ES|QL query over named Ray ``Dataset``s.
 
     ``tables`` maps FROM names to ``ray.data.Dataset``.  Returns a
     ``pyarrow.Table`` (ES|QL results are bounded: implicit LIMIT
-    1000, exactly like the real language)."""
+    1000, exactly like the real language).
+
+    ``search_engine`` (a ``SearchEngine`` over the FROM table's
+    corpus) enables the ES 8.17 full-text function ``MATCH(field,
+    "terms")``: the predicate resolves ONCE on the driver from the
+    inverted index's posting lists (df-bounded — content is never
+    scanned) and every batch applies a single ``is_in`` kernel on
+    ``id_col``."""
     cmds = parse(query)
+    cmds = [_resolve_cmd_match(c, search_engine, id_col) for c in cmds]
     ds = tables[cmds[0][1]]
     i = 1
     rowops = []
@@ -925,6 +985,15 @@ def run_esql(query: str, tables: dict) -> pa.Table:
             _collect_tables(ds.limit(n)), promote_options="default")
         tbl = tbl.slice(0, n)
     return _finish_on_table(tbl, post)
+
+
+def _resolve_cmd_match(cmd, search_engine, id_col):
+    if cmd[0] == "where":
+        return ("where", _resolve_match(cmd[1], search_engine, id_col))
+    if cmd[0] == "eval":
+        return ("eval", [(n, _resolve_match(e, search_engine, id_col))
+                         for n, e in cmd[1]])
+    return cmd
 
 
 def _collect_tables(ds) -> list[pa.Table]:

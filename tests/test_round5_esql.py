@@ -295,3 +295,43 @@ def test_case_function(ray_session):
     assert got["band"] == ["low", "mid", "mid", "high"]
     with pytest.raises(EsqlError):
         run_esql('FROM x | EVAL y = CASE(v < 10, "a")', t)  # no default
+
+
+# ------------------------------------------------- full-text MATCH()
+
+def test_match_predicate_index_accelerated(ray_session, small_corpus_dir,
+                                           tmp_path):
+    """MATCH resolves from the inverted index and must agree with a
+    brute-force text scan; it composes with columnar predicates."""
+    import ray.data
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.build import build_index
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    from onestools_eventlog_ray.functions.analyzer import tokenize_py
+    idx = str(tmp_path / "idx")
+    build_index(small_corpus_dir, idx, cfg=EngineConfig(num_partitions=8))
+    eng = SearchEngine(idx)
+    docs = ray.data.read_parquet(small_corpus_dir)
+    got = run_esql('FROM t | WHERE MATCH(content, "def import") '
+                   '| STATS n = COUNT(*)', {"t": docs},
+                   search_engine=eng, id_col="doc_id").to_pydict()
+    # brute force over raw text (OR semantics)
+    import pyarrow.parquet as pq
+    from onestools_eventlog_ray.stages.normalize import add_doc_id
+    from onestools_eventlog_ray.sources.corpus import CODE_CORPUS_SPEC
+    raw = add_doc_id(pq.read_table(small_corpus_dir + "/part-00000.parquet"),
+                     CODE_CORPUS_SPEC)
+    want = sum(1 for t in raw["content"].to_pylist()
+               if {"def", "import"} & set(tokenize_py(t)))
+    assert got["n"] == [want] and want > 0
+
+
+def test_match_requires_engine_and_shape(ray_session):
+    import ray.data
+    t = {"x": ray.data.from_arrow(pa.table({"doc_id": [1], "s": ["a"]}))}
+    with pytest.raises(EsqlError):
+        run_esql('FROM x | WHERE MATCH(s, "a")', t)   # no engine
+    with pytest.raises(EsqlError):
+        parse('FROM x | WHERE MATCH("lit", "a")')     # field not a col
+    with pytest.raises(EsqlError):
+        parse('FROM x | WHERE MATCH(s, 5)')           # query not a str
