@@ -956,7 +956,11 @@ def run_esql(query: str, tables: dict, search_engine=None,
                                batch_format="pyarrow")
         partial_tbl = pa.concat_tables(_collect_tables(parts),
                                        promote_options="default")
-        tbl = _stats_fold(partial_tbl, aggs, keys)
+        if ("__row_kind" not in partial_tbl.column_names
+                or partial_tbl.num_rows == 0):
+            tbl = _empty_stats_result(ds, aggs, keys)
+        else:
+            tbl = _stats_fold(partial_tbl, aggs, keys)
         tbl = _finish_on_table(tbl, cmds[i:])
         return tbl
     # raw-row path: distributed exact top-n
@@ -979,12 +983,24 @@ def run_esql(query: str, tables: dict, search_engine=None,
             batch_format="pyarrow")
         tbl = pa.concat_tables(_collect_tables(topn),
                                promote_options="default")
+        tbl = _restore_schema_if_empty(tbl, ds)
         tbl = tbl.sort_by(arrow_specs).slice(0, n)
     else:
         tbl = pa.concat_tables(
             _collect_tables(ds.limit(n)), promote_options="default")
+        tbl = _restore_schema_if_empty(tbl, ds)
         tbl = tbl.slice(0, n)
     return _finish_on_table(tbl, post)
+
+
+def _restore_schema_if_empty(tbl: pa.Table, ds) -> pa.Table:
+    """A fully-filtered dataset collects as a schemaless empty table;
+    rebuild the typed empty table from the source schema so SORT /
+    KEEP still resolve columns."""
+    if tbl.num_columns > 0:
+        return tbl
+    sch = ds.schema()
+    return pa.schema(list(zip(sch.names, sch.types))).empty_table()
 
 
 def _resolve_cmd_match(cmd, search_engine, id_col):
@@ -994,6 +1010,27 @@ def _resolve_cmd_match(cmd, search_engine, id_col):
         return ("eval", [(n, _resolve_match(e, search_engine, id_col))
                          for n, e in cmd[1]])
     return cmd
+
+
+def _empty_stats_result(ds, aggs, keys) -> pa.Table:
+    """STATS over zero input rows — SQL semantics: grouped -> zero
+    rows (keys typed from the source schema); global -> ONE row with
+    COUNT/COUNT_DISTINCT = 0 and SUM/MIN/MAX/AVG = NULL."""
+    def agg_type(fn):
+        return pa.int64() if fn in ("COUNT", "COUNT_DISTINCT") \
+            else pa.float64()
+    if keys:
+        sch = ds.schema()
+        ktypes = dict(zip(sch.names, sch.types))
+        fields = [(k, ktypes.get(k, pa.string())) for k in keys]
+        fields += [(n, agg_type(f)) for n, f, _ in aggs]
+        return pa.schema(fields).empty_table()
+    cols = {}
+    for n, f, _ in aggs:
+        cols[n] = pa.array(
+            [0] if f in ("COUNT", "COUNT_DISTINCT") else [None],
+            agg_type(f))
+    return pa.table(cols)
 
 
 def _collect_tables(ds) -> list[pa.Table]:

@@ -335,3 +335,22 @@ def test_match_requires_engine_and_shape(ray_session):
         parse('FROM x | WHERE MATCH("lit", "a")')     # field not a col
     with pytest.raises(EsqlError):
         parse('FROM x | WHERE MATCH(s, 5)')           # query not a str
+
+
+# ------------------------------------------------- empty-input edges
+
+def test_empty_input_edges(ray_session):
+    """Fully-filtered input: grouped STATS -> zero typed rows, global
+    STATS -> one row (COUNT=0, MAX=NULL — SQL semantics), SORT/LIMIT
+    -> zero rows with the source schema restored."""
+    import ray.data
+    t = {"x": ray.data.from_arrow(pa.table({"a": [1, 2, 3],
+                                            "s": ["p", "q", "r"]}))}
+    g = run_esql('FROM x | WHERE a > 99 | STATS n = COUNT(*), '
+                 'u = COUNT_DISTINCT(s) BY s | SORT s', t)
+    assert g.num_rows == 0 and g.column_names == ["s", "n", "u"]
+    gl = run_esql('FROM x | WHERE a > 99 | STATS n = COUNT(*), '
+                  'mx = MAX(a)', t).to_pydict()
+    assert gl == {"n": [0], "mx": [None]}
+    srt = run_esql('FROM x | WHERE a > 99 | SORT a | LIMIT 5', t)
+    assert srt.num_rows == 0 and srt.column_names == ["a", "s"]
