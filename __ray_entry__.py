@@ -4291,7 +4291,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             '| SORT source | LIMIT 100',
             _esql_tables(sf_dir), search_engine=eng)
 
+    def change_point(sf_dir):
+        """ES change_point agg: split of the daily histogram that
+        maximizes the integer-e6 mean shift between the segments,
+        computed on the span-bounded folded bucket table."""
+        from onestools_eventlog_ray.pipelines.streaming import \
+            date_histogram_change_point
+        return date_histogram_change_point(
+            _read_pq(os.path.join(sf_dir, "events.parquet"),
+                     columns=["ts"]))
+
     return {
+        "change_point": change_point,
         "esql_match": esql_match,
         "frequent_item_sets": frequent_item_sets,
         "normalize_agg": normalize_agg,
@@ -5435,6 +5446,32 @@ WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks
                  WHERE term IN ('spark', 'vector'))
   AND lang = 'en'
 GROUP BY source ORDER BY source LIMIT 100"""
+    d["change_point"] = """
+WITH b AS (SELECT date_trunc('day', ts) AS d, count(*) AS n
+           FROM events GROUP BY d),
+span AS (SELECT min(d) AS lo, max(d) AS hi FROM b),
+days AS (SELECT unnest(generate_series((SELECT lo FROM span),
+                                        (SELECT hi FROM span),
+                                        INTERVAL 1 DAY)) AS d),
+f AS (SELECT days.d, coalesce(b.n, 0) AS n FROM days LEFT JOIN b USING (d)),
+v AS (SELECT d, n, row_number() OVER (ORDER BY d) AS r,
+             sum(n) OVER (ORDER BY d) AS cum,
+             count(*) OVER () AS cnt, sum(n) OVER () AS tot FROM f),
+s AS (SELECT r AS t, cum,
+             1000000 * cum // r AS mb,
+             1000000 * (tot - cum) // (cnt - r) AS ma,
+             cnt FROM v WHERE r < cnt),
+best AS (SELECT t, abs(mb - ma) AS stat, mb, ma, cnt FROM s
+         ORDER BY stat DESC, t ASC LIMIT 1)
+SELECT CAST(date_diff('day', DATE '1970-01-01',
+            CAST((SELECT d FROM v WHERE r = (SELECT t FROM best) + 1)
+                 AS DATE)) AS BIGINT) AS change_day,
+       CAST(stat AS BIGINT) AS stat_e6,
+       CAST(mb AS BIGINT) AS mean_before_e6,
+       CAST(ma AS BIGINT) AS mean_after_e6,
+       CAST(t AS BIGINT) AS n_before,
+       CAST(cnt - t AS BIGINT) AS n_after
+FROM best"""
     # incremental ANN is rank-identical to the full-corpus build by the
     # generational-merge parity (tests/test_round4b.py), so its oracle
     # IS the knn_cosine_ivf SQL over the union table.

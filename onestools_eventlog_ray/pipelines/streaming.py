@@ -1449,3 +1449,40 @@ def date_histogram_normalize(ds: ray.data.Dataset) -> pa.Table:
         "pct_of_sum_e6": pa.array(pct, pa.int64()),
         "rescaled_e6": pa.array(resc, pa.int64()),
     })
+
+
+def date_histogram_change_point(ds: ray.data.Dataset) -> pa.Table:
+    """ES ``change_point`` agg over the zero-filled daily histogram:
+    the split maximizing the mean shift between the two segments —
+    stat_e6(t) = |1e6*S_before//t - 1e6*S_after//(n-t)| over every
+    candidate split t (all pure-integer floors, so the SQL oracle is
+    bit-exact); tie-break earliest day.  Like every pipeline agg, the
+    scan runs on the span-bounded folded bucket table, never the raw
+    stream.  -> one row (change_day, stat_e6, mean_before_e6,
+    mean_after_e6, n_before, n_after)."""
+    base = date_histogram_filled(ds)
+    days = base["epoch_day"].to_numpy(zero_copy_only=False)
+    n = base["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = n.size
+    if cnt < 2:
+        return pa.table({"change_day": pa.array([], pa.int64()),
+                         "stat_e6": pa.array([], pa.int64()),
+                         "mean_before_e6": pa.array([], pa.int64()),
+                         "mean_after_e6": pa.array([], pa.int64()),
+                         "n_before": pa.array([], pa.int64()),
+                         "n_after": pa.array([], pa.int64())})
+    cum = np.cumsum(n)
+    tot = int(cum[-1])
+    t = np.arange(1, cnt, dtype=np.int64)          # split sizes
+    mb = (1_000_000 * cum[:-1]) // t
+    ma = (1_000_000 * (tot - cum[:-1])) // (cnt - t)
+    stat = np.abs(mb - ma)
+    best = int(np.argmax(stat))                    # ties -> earliest
+    return pa.table({
+        "change_day": pa.array([int(days[best + 1])], pa.int64()),
+        "stat_e6": pa.array([int(stat[best])], pa.int64()),
+        "mean_before_e6": pa.array([int(mb[best])], pa.int64()),
+        "mean_after_e6": pa.array([int(ma[best])], pa.int64()),
+        "n_before": pa.array([int(t[best])], pa.int64()),
+        "n_after": pa.array([int(cnt - t[best])], pa.int64()),
+    })

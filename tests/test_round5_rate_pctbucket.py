@@ -76,3 +76,33 @@ def test_percentiles_bucket_counts_zero_filled_days(ray_session):
                                  pcts_e2=(50,)).to_pydict()
     # sorted buckets [0,0,0,4,4] -> median 0
     assert t["value_e6"] == [0]
+
+
+def test_change_point_planted_step(ray_session):
+    """10 days at 2/day then 10 days at 20/day -> change point at the
+    first high day, means 2.0 vs 20.0 exactly."""
+    import ray.data
+    from onestools_eventlog_ray.pipelines.streaming import \
+        date_histogram_change_point
+    days = [(datetime.date(2024, 1, 1 + i), 2) for i in range(10)] + \
+           [(datetime.date(2024, 1, 11 + i), 20) for i in range(10)]
+    t = date_histogram_change_point(
+        ray.data.from_arrow(_ev(days)).repartition(4)).to_pydict()
+    d11 = (datetime.date(2024, 1, 11) - datetime.date(1970, 1, 1)).days
+    assert t["change_day"] == [d11]
+    assert t["mean_before_e6"] == [2_000_000]
+    assert t["mean_after_e6"] == [20_000_000]
+    assert t["stat_e6"] == [18_000_000]
+    assert t["n_before"] == [10] and t["n_after"] == [10]
+
+
+def test_change_point_flat_series_ties_earliest(ray_session):
+    import ray.data
+    from onestools_eventlog_ray.pipelines.streaming import \
+        date_histogram_change_point
+    days = [(datetime.date(2024, 1, 1 + i), 5) for i in range(6)]
+    t = date_histogram_change_point(
+        ray.data.from_arrow(_ev(days))).to_pydict()
+    # all splits give stat 0 -> earliest split day (Jan 2) wins
+    d2 = (datetime.date(2024, 1, 2) - datetime.date(1970, 1, 1)).days
+    assert t["change_day"] == [d2] and t["stat_e6"] == [0]
