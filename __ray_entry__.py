@@ -1786,6 +1786,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tfn = tf*log2(1+avgdl/dl), e6-quantized per term."""
         return _lm_table(sf_dir, "dfr_inl2")
 
+    def ib_ll_topk(sf_dir):
+        """ES similarity=IB (distribution=ll, lambda=df,
+        normalization=h2, c=1): ln((tfn+λ)/λ) with
+        λ = (df+1)/(N+1), tfn = tf*log2(1+avgdl/dl) — completes the
+        builtin similarity-module matrix (BM25/DFR/DFI/LMD/LMJM/IB)
+        over the SAME index."""
+        return _lm_table(sf_dir, "ib_ll")
+
     def bm25_random_score(sf_dir):
         """ES function_score random_score (seed+field, replace): the
         reproducible random top-10 of the docs matching join/merge —
@@ -4517,6 +4525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_jm_topk": lm_jm_topk,
         "dfi_topk": dfi_topk,
         "dfr_inl2_topk": dfr_inl2_topk,
+        "ib_ll_topk": ib_ll_topk,
         "rank_correlation_report": rank_correlation_report,
         "rank_eval_report": rank_eval_report,
         "bm25_random_score": bm25_random_score,
@@ -7996,6 +8005,10 @@ FROM documents GROUP BY lang ORDER BY lang""",
             " / ((tf.tf * log2(1 + (SELECT avgdl FROM stats) / dl.dl))"
             " + 1)"
             " * log2(((SELECT n_docs FROM stats) + 1.0) / (df.df + 0.5))"),
+        "ib_ll_topk": _lm_sql(
+            "ln(((tf.tf * log2(1 + (SELECT avgdl FROM stats) / dl.dl))"
+            " + ((df.df + 1.0) / ((SELECT n_docs FROM stats) + 1.0)))"
+            " / ((df.df + 1.0) / ((SELECT n_docs FROM stats) + 1.0)))"),
         "date_histogram_ma": """
 WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,
                   CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),

@@ -665,6 +665,13 @@ class SearchEngine:
                 tfn = tfs * np.log2(1.0 + self.avgdl / dls)
                 val = tfn / (tfn + 1.0) \
                     * np.log2((self.N + 1.0) / (post.doc_ids.size + 0.5))
+            elif similarity == "ib_ll":
+                # IBSimilarity(DistributionLL, LambdaDF, H2 c=1):
+                # lambda = (df+1)/(N+1), tfn = tf*log2(1+avgdl/dl),
+                # score = ln((tfn + lambda)/lambda)
+                lam_df = (post.doc_ids.size + 1.0) / (self.N + 1.0)
+                tfn = tfs * np.log2(1.0 + self.avgdl / dls)
+                val = np.log((tfn + lam_df) / lam_df)
             else:
                 raise ValueError(f"unknown similarity {similarity!r}")
             e6 = np.maximum(

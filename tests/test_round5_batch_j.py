@@ -83,3 +83,43 @@ def test_shard_balance_partition_invariance(ray_session):
                               n_shards=8).to_pylist()
     assert r1 == r2
     assert sum(r["n_docs"] for r in r1) == 100
+
+
+def test_ib_ll_similarity_brute_force(ray_session, small_corpus_dir,
+                                      tmp_path):
+    """IB(LL, lambda_df, H2) ranks identically to a brute-force numpy
+    recomputation from raw tokens, and differs from BM25's ranking
+    criterion (it is a genuinely distinct model)."""
+    import numpy as np
+    from collections import Counter
+    import pyarrow.parquet as pq
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.functions.analyzer import tokenize_py
+    from onestools_eventlog_ray.pipelines.build import build_index
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    from onestools_eventlog_ray.sources.corpus import CODE_CORPUS_SPEC
+    from onestools_eventlog_ray.stages.normalize import add_doc_id
+    idx = str(tmp_path / "ibidx")
+    build_index(small_corpus_dir, idx, cfg=EngineConfig(num_partitions=8))
+    eng = SearchEngine(idx)
+    terms = ["def", "import"]
+    got = eng.search_lm(terms, k=10, similarity="ib_ll")
+
+    raw = add_doc_id(pq.read_table(small_corpus_dir + "/part-00000.parquet"),
+                     CODE_CORPUS_SPEC)
+    docs = {did: tokenize_py(t) for did, t in
+            zip(raw["doc_id"].to_pylist(), raw["content"].to_pylist())}
+    N = len(docs)
+    avgdl = sum(len(v) for v in docs.values()) / N
+    scores = Counter()
+    for t in terms:
+        df = sum(1 for v in docs.values() if t in v)
+        lam = (df + 1.0) / (N + 1.0)
+        for did, toks in docs.items():
+            tf = toks.count(t)
+            if tf:
+                tfn = tf * np.log2(1.0 + avgdl / len(toks))
+                v = np.log((tfn + lam) / lam)
+                scores[did] += max(int(np.floor(v * 1e6 + 0.5)), 0)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == [(int(d), int(s)) for d, s in want]
