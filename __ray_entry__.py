@@ -4309,7 +4309,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read_pq(os.path.join(sf_dir, "events.parquet"),
                      columns=["ts"]))
 
+    def esql_multi_index(sf_dir):
+        """ES|QL wildcard FROM over time-partitioned indices
+        (FROM events_p* unions the partitions' block lists — zero data
+        movement), aggregated with the STATS combiner: must equal the
+        unpartitioned table."""
+        import ray.data
+        from onestools_eventlog_ray.pipelines.esql import run_esql
+        import pyarrow.compute as _pc
+
+        def _half(parity):
+            def fn(b):
+                ids = b["event_id"]
+                rem = _pc.subtract(
+                    ids, _pc.multiply(_pc.divide(ids, 2), 2))
+                return b.filter(_pc.equal(rem, parity))
+            return fn
+        ev = _read_pq(os.path.join(sf_dir, "events.parquet"))
+        T = {
+            "events_p0": ev.map_batches(_half(0), batch_format="pyarrow"),
+            "events_p1": ev.map_batches(_half(1), batch_format="pyarrow"),
+        }
+        return run_esql(
+            'FROM events_p* | STATS n = COUNT(*), '
+            'users = COUNT_DISTINCT(user_id) BY event_type '
+            '| SORT event_type | LIMIT 100', T)
+
     return {
+        "esql_multi_index": esql_multi_index,
         "change_point": change_point,
         "esql_match": esql_match,
         "frequent_item_sets": frequent_item_sets,
@@ -5481,6 +5508,10 @@ SELECT CAST(date_diff('day', DATE '1970-01-01',
        CAST(t AS BIGINT) AS n_before,
        CAST(cnt - t AS BIGINT) AS n_after
 FROM best"""
+    d["esql_multi_index"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM events GROUP BY event_type ORDER BY event_type LIMIT 100"""
     # incremental ANN is rank-identical to the full-corpus build by the
     # generational-merge parity (tests/test_round4b.py), so its oracle
     # IS the knn_cosine_ivf SQL over the union table.

@@ -285,7 +285,18 @@ def parse(query: str) -> list[tuple]:
         if v == "FROM":
             if gi != 0:
                 raise EsqlError("FROM must be the first command")
-            cmds.append(("from", p.expect("ident")))
+            pats = []
+            while True:
+                name = p.expect("ident")
+                if p.at_op("*"):            # trailing wildcard: idx*
+                    p.take()
+                    name += "*"
+                pats.append(name)
+                if p.at_op(","):
+                    p.take()
+                    continue
+                break
+            cmds.append(("from", pats))
         elif v == "WHERE":
             cmds.append(("where", p.expr()))
         elif v == "EVAL":
@@ -925,7 +936,7 @@ def run_esql(query: str, tables: dict, search_engine=None,
     ``id_col``."""
     cmds = parse(query)
     cmds = [_resolve_cmd_match(c, search_engine, id_col) for c in cmds]
-    ds = tables[cmds[0][1]]
+    ds = _resolve_from(cmds[0][1], tables)
     i = 1
     rowops = []
     # phase 1: row ops until STATS / SORT / LIMIT
@@ -1001,6 +1012,28 @@ def _restore_schema_if_empty(tbl: pa.Table, ds) -> pa.Table:
         return tbl
     sch = ds.schema()
     return pa.schema(list(zip(sch.names, sch.types))).empty_table()
+
+
+def _resolve_from(patterns, tables):
+    """FROM index list with trailing-``*`` wildcards (the ES
+    time-partitioned-indices idiom, ``FROM logs-2024-*``): matching
+    Datasets union WITHOUT materializing — union of block lists, zero
+    data movement."""
+    names = []
+    for pat in patterns:
+        if pat.endswith("*"):
+            hits = sorted(n for n in tables if n.startswith(pat[:-1]))
+            if not hits:
+                raise EsqlError(f"no index matches {pat!r}")
+            names.extend(h for h in hits if h not in names)
+        else:
+            if pat not in tables:
+                raise EsqlError(f"unknown index {pat!r}")
+            if pat not in names:
+                names.append(pat)
+    ds = tables[names[0]]
+    return ds.union(*[tables[n] for n in names[1:]]) \
+        if len(names) > 1 else ds
 
 
 def _resolve_cmd_match(cmd, search_engine, id_col):

@@ -34,7 +34,7 @@ def test_parse_shapes():
                  '| STATS n = COUNT(*) BY c | SORT n DESC | LIMIT 5')
     assert [c[0] for c in cmds] == ["from", "where", "eval", "stats",
                                     "sort", "limit"]
-    assert cmds[0][1] == "t"
+    assert cmds[0][1] == ["t"]
     assert cmds[3][1] == [("n", "COUNT", None)] and cmds[3][2] == ["c"]
     assert cmds[4][1] == [("n", False)]
 
@@ -354,3 +354,20 @@ def test_empty_input_edges(ray_session):
     assert gl == {"n": [0], "mx": [None]}
     srt = run_esql('FROM x | WHERE a > 99 | SORT a | LIMIT 5', t)
     assert srt.num_rows == 0 and srt.column_names == ["a", "s"]
+
+
+def test_from_wildcard_and_list(ray_session):
+    import ray.data
+    t1 = pa.table({"a": [1, 2], "g": ["x", "x"]})
+    t2 = pa.table({"a": [3], "g": ["y"]})
+    T = {"logs_01": ray.data.from_arrow(t1),
+         "logs_02": ray.data.from_arrow(t2),
+         "other": ray.data.from_arrow(t1)}
+    got = run_esql('FROM logs_* | STATS n = COUNT(*), s = SUM(a) BY g '
+                   '| SORT g', T).to_pydict()
+    assert got == {"g": ["x", "y"], "n": [2, 1], "s": [3, 3]}
+    # explicit list, repeated names dedup (ES: an index matches once)
+    assert run_esql('FROM logs_01, logs_02, logs_01 '
+                    '| STATS n = COUNT(*)', T).to_pydict() == {"n": [3]}
+    with pytest.raises(EsqlError):
+        run_esql('FROM nope_* | LIMIT 1', T)
