@@ -4335,7 +4335,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             'users = COUNT_DISTINCT(user_id) BY event_type '
             '| SORT event_type | LIMIT 100', T)
 
+    def _unigram_pieces(sf_dir):
+        from onestools_eventlog_ray.pipelines.unigram import learn_unigram
+        return learn_unigram(_documents_ds(sf_dir), DOCUMENTS_SPEC,
+                             vocab_size=128, iters=2)
+
+    def unigram_vocab_top(sf_dir):
+        """Unigram-LM (SentencePiece) tokenizer training: distributed
+        EM over the word-TYPE table with e9-integer-quantized expected
+        counts (bit-reproducible under any partitioning); top multi-
+        char pieces by expected count.  [rows-only: iterative EM is not
+        SQL-expressible; exhaustive-enumeration parity is pytest-
+        verified in test_round5_unigram]"""
+        import pyarrow.compute as _pc
+        p = _unigram_pieces(sf_dir)
+        m = p.filter(_pc.equal(p["is_single"], False))
+        return m.select(["piece", "count_e9", "logprob_e9"]).slice(0, 20)
+
+    def unigram_fertility(sf_dir):
+        """Viterbi segmentation of the corpus under the learned unigram
+        model (per-worker type memo cache): corpus fertility report.
+        [rows-only: same reason as unigram_vocab_top]"""
+        from onestools_eventlog_ray.pipelines.unigram import apply_unigram
+        return apply_unigram(_documents_ds(sf_dir),
+                             _unigram_pieces(sf_dir), DOCUMENTS_SPEC)
+
     return {
+        "unigram_vocab_top": unigram_vocab_top,
+        "unigram_fertility": unigram_fertility,
         "esql_multi_index": esql_multi_index,
         "change_point": change_point,
         "esql_match": esql_match,
