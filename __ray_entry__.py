@@ -4360,7 +4360,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return apply_unigram(_documents_ds(sf_dir),
                              _unigram_pieces(sf_dir), DOCUMENTS_SPEC)
 
+    def rerank_maxsim(sf_dir):
+        """ES 8.14 text_similarity_reranker retriever: BM25 bounded
+        top-50 recall, second-stage rescoring with the deterministic
+        MaxSim trigram kernel over docstore-fetched candidates
+        (filename-range-pruned stored-fields reads); tie-break keeps
+        first-stage order — fully oracle-exact two-stage retrieval."""
+        from onestools_eventlog_ray.pipelines.lateinteraction import \
+            rerank_by_maxsim
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        eng = SearchEngine(_ensure_index(sf_dir))
+        return rerank_by_maxsim(eng, _BM25_TERMS, _MAXSIM_Q, k=10)
+
     return {
+        "rerank_maxsim": rerank_maxsim,
         "unigram_vocab_top": unigram_vocab_top,
         "unigram_fertility": unigram_fertility,
         "esql_multi_index": esql_multi_index,
@@ -5354,6 +5367,21 @@ ORDER BY maxsim_e6 DESC, doc_id ASC LIMIT 10"""
     d["maxsim_expansions"] = f"""{_maxsim_sim}
 SELECT qterm, term, sim_e6 FROM sim WHERE sim_e6 >= 1
 ORDER BY qterm, term"""
+    d["rerank_maxsim"] = f"""{_maxsim_sim},
+base AS (SELECT * FROM ({_bm25_sql(_BM25_TERMS, k=50)})),
+permax AS (SELECT dt.doc_id, sim.qterm, max(sim.sim_e6) AS m
+           FROM dt JOIN sim USING (term)
+           WHERE dt.doc_id IN (SELECT doc_id FROM base)
+           GROUP BY dt.doc_id, sim.qterm),
+ms AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS s
+       FROM permax GROUP BY doc_id),
+scored AS (SELECT b.doc_id, b.rank AS first_stage_rank,
+                  coalesce(ms.s, 0) AS maxsim_e6
+           FROM base b LEFT JOIN ms USING (doc_id))
+SELECT CAST(row_number() OVER (ORDER BY maxsim_e6 DESC,
+            first_stage_rank ASC) AS BIGINT) AS rank,
+       doc_id, maxsim_e6, first_stage_rank
+FROM scored ORDER BY maxsim_e6 DESC, first_stage_rank ASC LIMIT 10"""
     # ES|QL front-end oracles — each piped query has a direct SQL twin
     d["esql_stats"] = """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -186,3 +186,60 @@ def query_term_expansions(corpus_paths, query_terms: list[str],
     return pa.table({"qterm": pa.array(rows_q, pa.string()),
                      "term": pa.array(rows_t, pa.string()),
                      "sim_e6": pa.array(rows_s, pa.int64())})
+
+
+def rerank_by_maxsim(eng, terms: list[str], query_terms: list[str],
+                     k: int = 10, window: int = 50,
+                     token_split_pattern: str = r"[^a-z0-9_]+"
+                     ) -> pa.Table:
+    """ES 8.14 ``text_similarity_reranker`` retriever: first-stage BM25
+    recalls a rank window, a second-stage model rescores it — here the
+    "model" is the deterministic MaxSim trigram kernel, so the whole
+    two-stage path stays oracle-exact.
+
+    Stage 1 is the engine's bounded e6 top-``window`` (O(window) hits
+    on the driver); stage 2 fetches ONLY those docs from the docstore
+    (filename-range-pruned parquet reads, the stored-fields lookup)
+    and scores them with :func:`MaxSimScorer`'s kernel.  Final order:
+    (maxsim_e6 desc, bm25 window rank asc as the deterministic tie —
+    rerankers keep first-stage order among equals).
+    -> (rank, doc_id, maxsim_e6, first_stage_rank)."""
+    from onestools_eventlog_ray.functions.analyzer import tokenize_py
+    hits = eng.search(terms, k=window, tie="e6")
+    if not hits:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "maxsim_e6": pa.array([], pa.int64()),
+                         "first_stage_rank": pa.array([], pa.int64())})
+    ids = [int(d) for d, _ in hits]
+    docs = eng.fetch_docs(ids, columns=["doc_id", "content"])
+    sim_cache: dict[str, int] = {}
+
+    def best(qt, types):
+        m = 0
+        for t in types:
+            key = qt + "\x00" + t
+            s = sim_cache.get(key)
+            if s is None:
+                s = trigram_jaccard_e6(qt, t)
+                sim_cache[key] = s
+            if s > m:
+                m = s
+        return m
+
+    scored = []
+    first_rank = {d: r for r, d in enumerate(ids, 1)}
+    for did, text in zip(docs["doc_id"].to_pylist(),
+                         docs["content"].to_pylist()):
+        types = set(tokenize_py(text, token_split_pattern))
+        s = sum(best(qt, types) for qt in query_terms)
+        scored.append((did, s))
+    scored.sort(key=lambda x: (-x[1], first_rank[x[0]]))
+    scored = scored[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(scored) + 1), pa.int64()),
+        "doc_id": pa.array([d for d, _ in scored], pa.int64()),
+        "maxsim_e6": pa.array([s for _, s in scored], pa.int64()),
+        "first_stage_rank": pa.array([first_rank[d] for d, _ in scored],
+                                     pa.int64()),
+    })

@@ -90,3 +90,38 @@ def test_expansions_match_brute_force(ray_session, small_corpus,
                   if trigram_jaccard_e6(qt, v) >= 1)
     got = sorted(zip(t["qterm"], t["term"], t["sim_e6"]))
     assert got == want and len(got) > 0
+
+
+def test_rerank_by_maxsim_two_stage(ray_session, small_corpus_dir,
+                                    tmp_path):
+    """Reranked result must (a) be a subset of the first-stage window,
+    (b) be ordered by (maxsim desc, first-stage rank asc), (c) match a
+    brute-force rescoring of the window."""
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.functions.analyzer import tokenize_py
+    from onestools_eventlog_ray.pipelines.build import build_index
+    from onestools_eventlog_ray.pipelines.lateinteraction import (
+        rerank_by_maxsim, trigram_jaccard_e6)
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    idx = str(tmp_path / "rrk")
+    build_index(small_corpus_dir, idx, cfg=EngineConfig(num_partitions=8))
+    eng = SearchEngine(idx)
+    qterms = ["defs", "importing"]
+    t = rerank_by_maxsim(eng, ["def", "import"], qterms, k=10, window=25)
+    window = eng.search(["def", "import"], k=25, tie="e6")
+    wids = [int(d) for d, _ in window]
+    fr = {d: r for r, d in enumerate(wids, 1)}
+    assert set(t["doc_id"].to_pylist()) <= set(wids)
+    docs = eng.fetch_docs(wids, columns=["doc_id", "content"])
+    want = []
+    for did, text in zip(docs["doc_id"].to_pylist(),
+                         docs["content"].to_pylist()):
+        types = set(tokenize_py(text))
+        s = sum(max((trigram_jaccard_e6(qt, x) for x in types), default=0)
+                for qt in qterms)
+        want.append((did, s))
+    want.sort(key=lambda x: (-x[1], fr[x[0]]))
+    want = want[:10]
+    assert list(zip(t["doc_id"].to_pylist(),
+                    t["maxsim_e6"].to_pylist())) == want
+    assert t["first_stage_rank"].to_pylist() == [fr[d] for d, _ in want]
