@@ -4372,7 +4372,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         eng = SearchEngine(_ensure_index(sf_dir))
         return rerank_by_maxsim(eng, _BM25_TERMS, _MAXSIM_Q, k=10)
 
+    def esql_inlinestats(sf_dir):
+        """ES|QL INLINESTATS: per-user MAX joined back onto every row
+        (STATS combiner + broadcast enrich on the BY key), then the
+        argmax filter — the window-function idiom in piped form."""
+        from onestools_eventlog_ray.pipelines.esql import run_esql
+        return run_esql(
+            'FROM events | INLINESTATS mx = MAX(value) BY user_id '
+            '| WHERE value == mx '
+            '| STATS n = COUNT(*), users = COUNT_DISTINCT(user_id)',
+            _esql_tables(sf_dir))
+
     return {
+        "esql_inlinestats": esql_inlinestats,
         "rerank_maxsim": rerank_maxsim,
         "unigram_vocab_top": unigram_vocab_top,
         "unigram_fertility": unigram_fertility,
@@ -5567,6 +5579,12 @@ FROM best"""
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(count(DISTINCT user_id) AS BIGINT) AS users
 FROM events GROUP BY event_type ORDER BY event_type LIMIT 100"""
+    d["esql_inlinestats"] = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM (SELECT user_id, value,
+             max(value) OVER (PARTITION BY user_id) AS mx FROM events)
+WHERE value = mx"""
     # incremental ANN is rank-identical to the full-corpus build by the
     # generational-merge parity (tests/test_round4b.py), so its oracle
     # IS the knn_cosine_ivf SQL over the union table.

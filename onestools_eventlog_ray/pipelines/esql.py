@@ -84,7 +84,8 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {"FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT",
              "KEEP", "DROP", "RENAME", "AS", "ASC", "DESC", "AND", "OR",
              "NOT", "LIKE", "RLIKE", "IN", "IS", "NULL", "TRUE", "FALSE",
-             "ENRICH", "ON", "WITH", "GROK", "DISSECT", "MV_EXPAND"}
+             "ENRICH", "ON", "WITH", "GROK", "DISSECT", "MV_EXPAND",
+             "INLINESTATS"}
 
 
 def _lex(q: str) -> list[tuple[str, object]]:
@@ -310,7 +311,8 @@ def parse(query: str) -> list[tuple]:
                     continue
                 break
             cmds.append(("eval", assigns))
-        elif v == "STATS":
+        elif v in ("STATS", "INLINESTATS"):
+            kind = "stats" if v == "STATS" else "inlinestats"
             aggs = []
             while True:
                 name = p.expect("ident")
@@ -338,7 +340,7 @@ def parse(query: str) -> list[tuple]:
                 while p.at_op(","):
                     p.take()
                     keys.append(p.expect("ident"))
-            cmds.append(("stats", aggs, keys))
+            cmds.append((kind, aggs, keys))
         elif v == "SORT":
             specs = []
             while True:
@@ -441,7 +443,7 @@ def _validate_cmd_asts(cmd):
     elif cmd[0] == "eval":
         for _, ex in cmd[1]:
             _validate_ast(ex)
-    elif cmd[0] == "stats":
+    elif cmd[0] in ("stats", "inlinestats"):
         for _, _, arg in cmd[1]:
             if arg is not None:
                 _validate_ast(arg)
@@ -943,8 +945,32 @@ def run_esql(query: str, tables: dict, search_engine=None,
     while i < len(cmds) and cmds[i][0] in ("where", "eval", "keep",
                                            "drop", "rename", "grok",
                                            "dissect", "enrich",
-                                           "mv_expand"):
+                                           "mv_expand", "inlinestats"):
         c = cmds[i]
+        if c[0] == "inlinestats":
+            # ES|QL INLINESTATS: aggregate, then join the (tiny)
+            # result back onto every row — executed as the STATS
+            # combiner followed by a broadcast enrich on the BY key
+            _, aggs, keys = c
+            if len(keys) > 1:
+                raise EsqlError("INLINESTATS supports at most 1 BY key")
+            if rowops:
+                ops0 = list(rowops)
+                ds = ds.map_batches(lambda b, _o=ops0: apply_rowops(b, _o),
+                                    batch_format="pyarrow")
+                rowops = []
+            stat_tbl = _run_stats(ds, aggs, keys)
+            if keys:
+                import ray
+                dim = stat_tbl.select(keys + [a[0] for a in aggs])
+                c = ("enrich_tbl", ray.put(dim), keys[0],
+                     [a[0] for a in aggs])
+            else:
+                c = ("eval", [(n, ("lit", stat_tbl[n][0].as_py()))
+                              for n, _, _ in aggs])
+            rowops.append(c)
+            i += 1
+            continue
         if c[0] == "enrich":
             # materialize the (small, by definition) enrich index once
             # and broadcast it via the object store — the J1 pattern
@@ -963,15 +989,7 @@ def run_esql(query: str, tables: dict, search_engine=None,
     if i < len(cmds) and cmds[i][0] == "stats":
         _, aggs, keys = cmds[i]
         i += 1
-        parts = ds.map_batches(_stats_partial(aggs, keys),
-                               batch_format="pyarrow")
-        partial_tbl = pa.concat_tables(_collect_tables(parts),
-                                       promote_options="default")
-        if ("__row_kind" not in partial_tbl.column_names
-                or partial_tbl.num_rows == 0):
-            tbl = _empty_stats_result(ds, aggs, keys)
-        else:
-            tbl = _stats_fold(partial_tbl, aggs, keys)
+        tbl = _run_stats(ds, aggs, keys)
         tbl = _finish_on_table(tbl, cmds[i:])
         return tbl
     # raw-row path: distributed exact top-n
@@ -1012,6 +1030,17 @@ def _restore_schema_if_empty(tbl: pa.Table, ds) -> pa.Table:
         return tbl
     sch = ds.schema()
     return pa.schema(list(zip(sch.names, sch.types))).empty_table()
+
+
+def _run_stats(ds, aggs, keys) -> pa.Table:
+    parts = ds.map_batches(_stats_partial(aggs, keys),
+                           batch_format="pyarrow")
+    partial_tbl = pa.concat_tables(_collect_tables(parts),
+                                   promote_options="default")
+    if ("__row_kind" not in partial_tbl.column_names
+            or partial_tbl.num_rows == 0):
+        return _empty_stats_result(ds, aggs, keys)
+    return _stats_fold(partial_tbl, aggs, keys)
 
 
 def _resolve_from(patterns, tables):

@@ -371,3 +371,18 @@ def test_from_wildcard_and_list(ray_session):
                     '| STATS n = COUNT(*)', T).to_pydict() == {"n": [3]}
     with pytest.raises(EsqlError):
         run_esql('FROM nope_* | LIMIT 1', T)
+
+
+def test_inlinestats_grouped_and_global(ray_session):
+    import ray.data
+    t = {"e": ray.data.from_arrow(pa.table({
+        "u": [1, 1, 2, 2, 2], "v": [5, 9, 3, 7, 7]})).repartition(3)}
+    got = run_esql('FROM e | INLINESTATS mx = MAX(v) BY u '
+                   '| WHERE v == mx | SORT u, v | LIMIT 10', t).to_pydict()
+    assert got == {"u": [1, 2, 2], "v": [9, 7, 7], "mx": [9, 7, 7]}
+    got2 = run_esql('FROM e | INLINESTATS tot = SUM(v) '
+                    '| EVAL pct = v * 100 / tot | KEEP u, v, pct '
+                    '| SORT u, v | LIMIT 10', t).to_pydict()
+    assert got2["pct"] == [16, 29, 9, 22, 22]   # int division, tot=31
+    with pytest.raises(EsqlError):
+        run_esql('FROM e | INLINESTATS m = MAX(v) BY u, v | LIMIT 1', t)
