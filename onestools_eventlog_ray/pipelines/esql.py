@@ -45,6 +45,17 @@ Further commands:
   the same vectorized extractor.
 - **MV_EXPAND <col>** — explodes a list column inside the batch via
   list offsets (parent-index take), one output row per element.
+- **INLINESTATS … BY key** — the aggregate joined back onto every
+  row: STATS combiner + broadcast enrich on the BY key (global form
+  appends constants) — the window-function idiom in piped form.
+- **MATCH(field, "terms")** (ES 8.17 full-text function) — resolved
+  ONCE on the driver from the inverted index's posting lists
+  (df-bounded, shard-pruned ``term IN`` reads; content never scanned)
+  and applied per batch as one ``is_in`` kernel on the id column;
+  pass ``search_engine=`` to :func:`run_esql`.
+- **FROM a, b, logs-\*** — multi-index FROM with trailing-wildcard
+  patterns: matching Datasets union without materializing (block-list
+  union, zero data movement); repeated names count once, like ES.
 
 Supported expression surface: arithmetic (+ - * / %), comparisons,
 AND/OR/NOT, LIKE (ES wildcards ``*``/``?``), RLIKE, IN, IS NULL /
