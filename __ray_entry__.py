@@ -4383,7 +4383,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             '| STATS n = COUNT(*), users = COUNT_DISTINCT(user_id)',
             _esql_tables(sf_dir))
 
+    def maxsim_topk_indexed(sf_dir):
+        """Index-accelerated late interaction: the MaxSim kernel
+        factorizes through the inverted index — one dictionary scan
+        finds the kernel-hit vocabulary types, their postings load via
+        shard-pruned term IN reads (df-bounded), scatter-MAX + SUM
+        ranks.  Rank-identical to the zero-index streaming scan
+        (maxsim_topk), so both share one oracle."""
+        from onestools_eventlog_ray.pipelines.lateinteraction import \
+            maxsim_topk_indexed as _mti
+        from onestools_eventlog_ray.pipelines.query import SearchEngine
+        return _mti(SearchEngine(_ensure_index(sf_dir)), _MAXSIM_Q, k=10)
+
     return {
+        "maxsim_topk_indexed": maxsim_topk_indexed,
         "esql_inlinestats": esql_inlinestats,
         "rerank_maxsim": rerank_maxsim,
         "unigram_vocab_top": unigram_vocab_top,
@@ -5376,6 +5389,8 @@ SELECT CAST(row_number() OVER (ORDER BY maxsim_e6 DESC, doc_id ASC)
             AS BIGINT) AS rank, doc_id, maxsim_e6
 FROM scored WHERE maxsim_e6 > 0
 ORDER BY maxsim_e6 DESC, doc_id ASC LIMIT 10"""
+    # the indexed path is rank-identical by construction: same oracle
+    d["maxsim_topk_indexed"] = d["maxsim_topk"]
     d["maxsim_expansions"] = f"""{_maxsim_sim}
 SELECT qterm, term, sim_e6 FROM sim WHERE sim_e6 >= 1
 ORDER BY qterm, term"""

@@ -333,7 +333,8 @@ def run_aux(clock: _StageClock) -> None:
                  "minhash_lsh_groups", "knn_cosine",
                  "simhash_signatures", "rolling_fingerprint",
                  "minhash_verified_pairs", "cosine_pairs_lsh",
-                 "sparse_vector_topk", "maxsim_topk", "esql_stats"):
+                 "sparse_vector_topk", "maxsim_topk",
+                 "maxsim_topk_indexed", "esql_stats"):
 
         def _stage(name=name):
             res = q[name](SF_DIR)

@@ -125,3 +125,24 @@ def test_rerank_by_maxsim_two_stage(ray_session, small_corpus_dir,
     assert list(zip(t["doc_id"].to_pylist(),
                     t["maxsim_e6"].to_pylist())) == want
     assert t["first_stage_rank"].to_pylist() == [fr[d] for d, _ in want]
+
+
+def test_maxsim_indexed_rank_identical_to_scan(ray_session,
+                                               small_corpus_dir,
+                                               tmp_path):
+    """The df-bounded indexed path must be rank-identical to the
+    zero-index streaming scan — the factorization contract."""
+    from onestools_eventlog_ray.config import EngineConfig
+    from onestools_eventlog_ray.pipelines.build import build_index
+    from onestools_eventlog_ray.pipelines.lateinteraction import \
+        maxsim_topk_indexed
+    from onestools_eventlog_ray.pipelines.query import SearchEngine
+    idx = str(tmp_path / "msi")
+    build_index(small_corpus_dir, idx, cfg=EngineConfig(num_partitions=8))
+    qterms = ["defs", "importing", "classy"]
+    scan = maxsim_topk(small_corpus_dir, qterms, k=10)
+    indexed = maxsim_topk_indexed(SearchEngine(idx), qterms, k=10)
+    assert indexed.equals(scan)
+    # no kernel hits at all -> empty, both paths
+    assert maxsim_topk_indexed(SearchEngine(idx),
+                               ["zzzqqq"], k=5).num_rows == 0
