@@ -4395,7 +4395,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from onestools_eventlog_ray.pipelines.query import SearchEngine
         return _mti(SearchEngine(_ensure_index(sf_dir)), _MAXSIM_Q, k=10)
 
+    def bucket_sort_topdays(sf_dir):
+        """ES bucket_sort pipeline agg: top-5 busiest days of the daily
+        histogram (count desc, day asc), sorted/truncated on the folded
+        bucket table like ES."""
+        from onestools_eventlog_ray.pipelines.streaming import \
+            date_histogram_bucket_sort
+        return date_histogram_bucket_sort(
+            _read_pq(os.path.join(sf_dir, "events.parquet"),
+                     columns=["ts"]), k=5)
+
+    def moving_max_daily(sf_dir):
+        """ES moving_fn MovingFunctions.max: trailing-7-bucket maximum
+        over the zero-filled daily histogram (partial prefix windows
+        like MovingFunctions)."""
+        from onestools_eventlog_ray.pipelines.streaming import \
+            date_histogram_moving_max
+        return date_histogram_moving_max(
+            _read_pq(os.path.join(sf_dir, "events.parquet"),
+                     columns=["ts"]), window=7)
+
     return {
+        "bucket_sort_topdays": bucket_sort_topdays,
+        "moving_max_daily": moving_max_daily,
         "maxsim_topk_indexed": maxsim_topk_indexed,
         "esql_inlinestats": esql_inlinestats,
         "rerank_maxsim": rerank_maxsim,
@@ -5391,6 +5413,27 @@ FROM scored WHERE maxsim_e6 > 0
 ORDER BY maxsim_e6 DESC, doc_id ASC LIMIT 10"""
     # the indexed path is rank-identical by construction: same oracle
     d["maxsim_topk_indexed"] = d["maxsim_topk"]
+    _FILLED_DAYS = """
+WITH b AS (SELECT date_trunc('day', ts) AS d, count(*) AS n
+           FROM events GROUP BY d),
+span AS (SELECT min(d) AS lo, max(d) AS hi FROM b),
+days AS (SELECT unnest(generate_series((SELECT lo FROM span),
+                                        (SELECT hi FROM span),
+                                        INTERVAL 1 DAY)) AS d),
+f AS (SELECT days.d, coalesce(b.n, 0) AS n FROM days LEFT JOIN b USING (d))"""
+    d["bucket_sort_topdays"] = f"""{_FILLED_DAYS}
+SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(d AS DATE))
+            AS BIGINT) AS epoch_day,
+       CAST(n AS BIGINT) AS n_events
+FROM f ORDER BY n DESC, epoch_day ASC LIMIT 5"""
+    d["moving_max_daily"] = f"""{_FILLED_DAYS}
+SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(d AS DATE))
+            AS BIGINT) AS epoch_day,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(max(n) OVER (ORDER BY d
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS wmax_events
+FROM f ORDER BY epoch_day"""
     d["maxsim_expansions"] = f"""{_maxsim_sim}
 SELECT qterm, term, sim_e6 FROM sim WHERE sim_e6 >= 1
 ORDER BY qterm, term"""

@@ -1486,3 +1486,40 @@ def date_histogram_change_point(ds: ray.data.Dataset) -> pa.Table:
         "n_before": pa.array([int(t[best])], pa.int64()),
         "n_after": pa.array([int(cnt - t[best])], pa.int64()),
     })
+
+
+def date_histogram_bucket_sort(ds: ray.data.Dataset, k: int = 5,
+                               frm: int = 0) -> pa.Table:
+    """ES ``bucket_sort`` pipeline agg: reorder + truncate the parent
+    date_histogram's buckets by a metric — top-``k`` busiest days
+    (count desc, day asc) with optional ``from`` offset, computed on
+    the span-bounded folded bucket table exactly where ES runs it.
+    -> (epoch_day, n_events) in bucket-sort order."""
+    base = date_histogram_filled(ds)
+    days = base["epoch_day"].to_numpy(zero_copy_only=False)
+    n = base["n_events"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((days, -n))[frm:frm + k]
+    return pa.table({
+        "epoch_day": pa.array(days[order], pa.int64()),
+        "n_events": pa.array(n[order], pa.int64()),
+    })
+
+
+def date_histogram_moving_max(ds: ray.data.Dataset,
+                              window: int = 7) -> pa.Table:
+    """ES ``moving_fn`` with ``MovingFunctions.max``: trailing-window
+    maximum of the zero-filled daily counts (window = the ``window``
+    buckets ENDING at each bucket, ES's shift=default semantics over
+    [t-window+1, t]); the first buckets use the shorter prefix, like
+    MovingFunctions over a partial window.
+    -> (epoch_day, n_events, wmax_events)."""
+    base = date_histogram_filled(ds)
+    n = base["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+    wmax = np.empty(n.size, dtype=np.int64)
+    for t in range(n.size):                  # span-bounded, not data
+        wmax[t] = n[max(0, t - window + 1):t + 1].max() if n.size else 0
+    return pa.table({
+        "epoch_day": base["epoch_day"],
+        "n_events": base["n_events"],
+        "wmax_events": pa.array(wmax, pa.int64()),
+    })

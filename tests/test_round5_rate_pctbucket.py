@@ -106,3 +106,30 @@ def test_change_point_flat_series_ties_earliest(ray_session):
     # all splits give stat 0 -> earliest split day (Jan 2) wins
     d2 = (datetime.date(2024, 1, 2) - datetime.date(1970, 1, 1)).days
     assert t["change_day"] == [d2] and t["stat_e6"] == [0]
+
+
+def test_bucket_sort_top_days(ray_session):
+    import ray.data
+    from onestools_eventlog_ray.pipelines.streaming import \
+        date_histogram_bucket_sort
+    days = [(datetime.date(2024, 1, 1), 3), (datetime.date(2024, 1, 2), 9),
+            (datetime.date(2024, 1, 3), 9), (datetime.date(2024, 1, 5), 1)]
+    t = date_histogram_bucket_sort(
+        ray.data.from_arrow(_ev(days)), k=3).to_pydict()
+    base = (datetime.date(2024, 1, 1)
+            - datetime.date(1970, 1, 1)).days
+    # counts [3,9,9,0,1] -> top3 = day2(9), day3(9), day1(3); tie day asc
+    assert t["epoch_day"] == [base + 1, base + 2, base]
+    assert t["n_events"] == [9, 9, 3]
+
+
+def test_moving_max_trailing_window(ray_session):
+    import ray.data
+    from onestools_eventlog_ray.pipelines.streaming import \
+        date_histogram_moving_max
+    days = [(datetime.date(2024, 1, 1 + i), c)
+            for i, c in enumerate([5, 1, 1, 7, 2])]
+    t = date_histogram_moving_max(
+        ray.data.from_arrow(_ev(days)), window=2).to_pydict()
+    assert t["n_events"] == [5, 1, 1, 7, 2]
+    assert t["wmax_events"] == [5, 5, 1, 7, 7]   # trailing pairs
